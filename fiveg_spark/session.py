@@ -1,0 +1,55 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are sized for local testing but every knob is env-overridable so
+the same entrypoint scales to a multi-executor cluster (AQE handles runtime
+re-planning; shuffle partitions and file split sizes are the two knobs that
+matter most at 100 TB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "fiveg_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-appropriate defaults.
+
+    - AQE on (coalesce + skew-join): runtime re-planning replaces any
+      hand-tuned partition counts when data sizes surprise us.
+    - Arrow on: every pandas interchange (model inference UDFs) is
+      columnar-batched.
+    - 128 MiB file split target: keeps scan tasks balanced on wide
+      parquet at cluster scale.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(8, int(cpus) if cpus.isdigit() else 8))))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet stores TIMESTAMP(NANOS) which Spark rejects by
+        # default; read as long and convert in sources.tables (exact
+        # integer ns→us truncation — matches DuckDB's conversion bit-for-bit)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

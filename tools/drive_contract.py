@@ -1,0 +1,111 @@
+"""Drive the driver contract end-to-end, the way the driver does.
+
+Runs ``entry(spark)`` as a smoke check, then every ``queries()`` entry at
+the given sf dir against its ``oracle_sql()`` through DuckDB with
+driver-like comparison semantics: row count, schema (sorted column
+names), and order-insensitive value comparison (columns sorted by name,
+rows sorted by all columns, floats compared exactly after both engines'
+own rounding).
+
+Usage:  python tools/drive_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+
+
+def compare(name: str, pdf, odf) -> list[str]:
+    problems = []
+    if sorted(pdf.columns) != sorted(odf.columns):
+        problems.append(
+            f"schema mismatch: spark-only={set(pdf.columns) - set(odf.columns)} "
+            f"oracle-only={set(odf.columns) - set(pdf.columns)}"
+        )
+        return problems
+    if len(pdf) != len(odf):
+        problems.append(f"row count {len(pdf)} != oracle {len(odf)}")
+        return problems
+    cols = sorted(pdf.columns)
+    a = pdf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    b = odf[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    for c in cols:
+        av, bv = a[c], b[c]
+        if av.dtype.kind in "fc" or bv.dtype.kind in "fc":
+            eq = np.array_equal(
+                av.astype(float).fillna(-9e99).values,
+                bv.astype(float).fillna(-9e99).values,
+            )
+        else:
+            eq = (av.astype(str).fillna("~") == bv.astype(str).fillna("~")).all()
+        if not eq:
+            mask = ~(av.astype(str) == bv.astype(str))
+            problems.append(
+                f"values differ in {c}: spark={av[mask].head(3).tolist()} "
+                f"oracle={bv[mask].head(3).tolist()}"
+            )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as contract
+
+    from fiveg_spark.session import get_spark
+
+    spark = get_spark("drive_contract")
+
+    t0 = time.time()
+    edf = contract.entry(spark)
+    n = edf.count()
+    print(f"entry(): {n} rows, {len(edf.columns)} cols  [{time.time() - t0:.1f}s]")
+    assert n >= 0
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = contract.queries(), contract.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        pdf = sdf.toPandas()
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"  {name}: rows-only, {len(pdf)} rows  [{spark_s:.1f}s]")
+            continue
+        t0 = time.time()
+        odf = con.execute(oracles[name]).fetchdf()
+        duck_s = time.time() - t0
+        problems = compare(name, pdf, odf)
+        status = "OK " if not problems else "FAIL"
+        print(
+            f"  {name}: {status} {len(pdf)} rows x {len(pdf.columns)} cols "
+            f"[spark {spark_s:.1f}s / duck {duck_s:.1f}s]"
+        )
+        for p in problems:
+            print(f"      {p}")
+        if problems:
+            failed.append(name)
+    spark.stop()
+    if failed:
+        print(f"FAILED: {failed}")
+        return 1
+    print("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
