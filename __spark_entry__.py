@@ -15,7 +15,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fiveg_spark.operators import dedup as _dedup
+from fiveg_spark.operators import flows as _flows
 from fiveg_spark.operators import kpi as _kpi
+from fiveg_spark.operators import similarity as _similarity
+from fiveg_spark.operators import text as _text
+from fiveg_spark.operators import timeseries as _timeseries
+from fiveg_spark.operators import tpch as _tpch
+
+_MODULES = (_flows, _timeseries, _tpch, _dedup, _text, _similarity)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,11 +36,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "kpi36": _kpi.kpi36,
     }
+    for mod in _MODULES:
+        for query in mod.QUERIES:
+            q[query.name] = query.run
     return q
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each query (same column names/aliases)."""
-    return {
+    o: dict[str, str] = {
         "kpi36": _kpi.kpi36_oracle_sql(),
     }
+    for mod in _MODULES:
+        for query in mod.QUERIES:
+            if query.oracle is not None:
+                o[query.name] = query.oracle
+    return o

@@ -1,0 +1,148 @@
+"""Deduplication operators over the documents table (SURVEY §2 E1-E4).
+
+Exact dedup, MinHash+LSH candidate generation, and n-gram Jaccard — the
+near-duplicate toolkit for training-data curation.
+
+Engine-parity trick: MinHash uses ``min(md5(shingle || '#' || seed))``.
+md5 hex strings are identical in Spark and DuckDB and ordering of hex
+strings is plain lexicographic in both, so signatures (and therefore LSH
+buckets) match bit-for-bit across engines — no custom hash UDF needed,
+and everything stays JVM-side / vectorized.
+
+Scale shape (100 TB corpus):
+  - shingling is map-only (explode);
+  - signatures are one groupBy (doc_id, seed) — doc_id is unique, so the
+    shuffle is perfectly spread;
+  - LSH bucketing groups by (band, sig) and only emits pairs inside a
+    bucket: the O(n²) pair space never materializes;
+  - n-gram Jaccard is restricted to (lang, source) blocks — the blocked
+    self-join is the standard scalable blocking pattern.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import Query, cnt, dbl, split_ws, sql_backed
+
+N_HASHES = 8  # 4 bands x 2 rows
+N_BANDS = 4
+JACCARD_THRESHOLD = 0.5
+
+
+def _shingles_cte(d: str) -> str:
+    """doc_id → distinct 3-token shingles, via posexplode + lead windows."""
+    toks = split_ws("lower(text)", d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents"
+    else:
+        exploded = (
+            f"SELECT doc_id, generate_subscripts({toks}, 1) AS pos, "
+            f"unnest({toks}) AS tok FROM documents"
+        )
+    return f"""WITH toks AS (
+      {exploded}
+    ),
+    shingled AS (
+      SELECT
+        doc_id,
+        tok,
+        lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+        lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM toks
+    ),
+    -- explicit NULL filter: Spark's concat propagates NULL but DuckDB's
+    -- ignores it, so partial trailing shingles must be dropped BEFORE concat
+    shingles AS (
+      SELECT DISTINCT doc_id, concat(tok, ' ', t1, ' ', t2) AS shingle
+      FROM shingled
+      WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    )"""
+
+
+def _dedup_exact_sql(d: str) -> str:
+    # E1: content-hash groups; keeper = min doc_id (stable choice).
+    return f"""
+    SELECT
+      md5(lower(text)) AS content_hash,
+      {cnt("min(doc_id)", "keeper_doc_id")},
+      {cnt("count(*)", "n_copies")}
+    FROM documents
+    GROUP BY md5(lower(text))
+    """
+
+
+def _minhash_lsh_sql(d: str) -> str:
+    # E2: md5-minhash signatures → banded LSH → candidate pairs.
+    seeds = ", ".join(f"({s})" for s in range(N_HASHES))
+    if d == "spark":
+        seed_rel = f"SELECT * FROM VALUES {seeds} AS s(seed)"
+    else:
+        seed_rel = f"SELECT * FROM (VALUES {seeds}) s(seed)"
+    return f"""
+    {_shingles_cte(d)},
+    seeds AS ({seed_rel}),
+    minhashes AS (
+      SELECT
+        sh.doc_id,
+        s.seed,
+        min(md5(concat(sh.shingle, '#', CAST(s.seed AS STRING)))) AS mh
+      FROM shingles sh CROSS JOIN seeds s
+      GROUP BY sh.doc_id, s.seed
+    ),
+    bands AS (
+      SELECT
+        doc_id,
+        CAST(floor(seed / 2.0) AS INT) AS band,
+        min(CASE WHEN seed % 2 = 0 THEN mh END) AS sig0,
+        min(CASE WHEN seed % 2 = 1 THEN mh END) AS sig1
+      FROM minhashes
+      GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)
+    )
+    SELECT
+      a.doc_id AS doc_a,
+      b.doc_id AS doc_b,
+      {cnt("count(DISTINCT a.band)", "n_bands")}
+    FROM bands a
+    JOIN bands b
+      ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+def _ngram_jaccard_sql(d: str) -> str:
+    # E3: exact Jaccard over 3-gram sets, blocked by (lang, source).
+    return f"""
+    {_shingles_cte(d)},
+    blocked AS (
+      SELECT s.doc_id, doc.lang, doc.source, s.shingle
+      FROM shingles s JOIN documents doc ON s.doc_id = doc.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, lang, source, count(*) AS n_sh
+      FROM blocked GROUP BY doc_id, lang, source
+    ),
+    inter AS (
+      SELECT
+        a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM blocked a
+      JOIN blocked b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT
+      i.doc_a,
+      i.doc_b,
+      {dbl("i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE)", "jaccard")}
+    FROM inter i
+    JOIN sizes sa ON i.doc_a = sa.doc_id
+    JOIN sizes sb ON i.doc_b = sb.doc_id
+    WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """
+
+
+QUERIES = [
+    sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
+    sql_backed("minhash_lsh_pairs", _minhash_lsh_sql, ("documents",)),
+    sql_backed("ngram_jaccard_pairs", _ngram_jaccard_sql, ("documents",)),
+]

@@ -1,0 +1,130 @@
+"""Flow-level analytics over the packet-event view.
+
+Per-flow aggregation, top-k talkers, and gap-based sessionization —
+the flow dimension of the reference's KPI pipeline (flowId-keyed
+processing, PcapKpiExtractor.scala:207,252; KafkaKpiPipeline.scala:86-97).
+
+Scale notes: every query here shuffles on (slice, flow_id) or flow_id —
+high-cardinality keys that spread evenly at 100 TB.  top_flows is a
+full agg followed by a single-partition top-k of an already-tiny
+aggregate (one row per flow), which AQE keeps cheap.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.kpi import IDLE_THRESHOLD_S, flows_cte
+from fiveg_spark.plans.registry import Query, cnt, dbl, sql_backed
+
+SESSION_GAP_S = 1800.0  # 30 min inactivity closes a session
+
+
+def _flow_iat_stats_sql(d: str) -> str:
+    return f"""
+    {flows_cte(d)}
+    SELECT
+      slice,
+      flow_id,
+      {cnt("count(*)", "n_events")},
+      {dbl("sum(pkt_len)", "total_bytes")},
+      {dbl("avg(iat)", "avg_iat")},
+      {dbl("min(iat)", "min_iat")},
+      {dbl("max(iat)", "max_iat")},
+      {dbl("max(ts_sec) - min(ts_sec)", "duration_s")},
+      {cnt(f"sum(CASE WHEN iat > {IDLE_THRESHOLD_S} THEN 1 ELSE 0 END)", "idle_periods")}
+    FROM flows
+    GROUP BY slice, flow_id
+    """
+
+
+def _idle_periods_sql(d: str) -> str:
+    # Exercises a different threshold than the kpi36 default (B5).
+    return f"""
+    {flows_cte(d)}
+    SELECT
+      slice,
+      {cnt("sum(CASE WHEN iat > 3600.0 THEN 1 ELSE 0 END)", "idle_periods_1h")},
+      {dbl("sum(CASE WHEN iat > 3600.0 THEN 1 ELSE 0 END) / count(*)", "idle_rate_1h")},
+      {cnt("sum(CASE WHEN iat > 60.0 THEN 1 ELSE 0 END)", "idle_periods_1m")},
+      {dbl("sum(CASE WHEN iat > 60.0 THEN 1 ELSE 0 END) / count(*)", "idle_rate_1m")}
+    FROM flows
+    GROUP BY slice
+    """
+
+
+def _top_flows_sql(d: str) -> str:
+    # Deterministic top-k: rank on the ROUNDED measure with unique tiebreak.
+    return f"""
+    {flows_cte(d)},
+    per_flow AS (
+      SELECT
+        flow_id,
+        slice,
+        {dbl("sum(pkt_len)", "total_bytes")},
+        {cnt("count(*)", "n_events")}
+      FROM flows
+      GROUP BY flow_id, slice
+    )
+    SELECT flow_id, slice, total_bytes, n_events,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY total_bytes DESC, flow_id) AS rnk
+      FROM per_flow
+    ) ranked
+    WHERE rnk <= 10
+    """
+
+
+def _sessionize_sql(d: str) -> str:
+    # C6: gap-based sessionization = boundary flag -> running sum ->
+    # session-level agg.  Two window passes + one agg, all on flow_id.
+    return f"""
+    {flows_cte(d)},
+    flagged AS (
+      SELECT *,
+        CASE WHEN lag(ts_sec) OVER (PARTITION BY flow_id ORDER BY ts_sec, event_id) IS NULL
+               OR ts_sec - lag(ts_sec) OVER (PARTITION BY flow_id ORDER BY ts_sec, event_id)
+                   > {SESSION_GAP_S}
+             THEN 1 ELSE 0 END AS is_new
+      FROM flows
+    ),
+    numbered AS (
+      SELECT *,
+        sum(is_new) OVER (PARTITION BY flow_id ORDER BY ts_sec, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT
+      flow_id,
+      CAST(session_idx AS BIGINT) AS session_idx,
+      {cnt("count(*)", "n_events")},
+      min(ts) AS session_start,
+      {dbl("max(ts_sec) - min(ts_sec)", "duration_s")},
+      {dbl("sum(pkt_len)", "total_bytes")}
+    FROM numbered
+    GROUP BY flow_id, session_idx
+    """
+
+
+def _slice_throughput_hourly_sql(d: str) -> str:
+    # B7: the multivariate-time-series construction feed (one row per
+    # slice per hour) that train.py consumes.
+    return f"""
+    {flows_cte(d)}
+    SELECT
+      slice,
+      date_trunc('hour', ts) AS window_start,
+      {dbl("sum(pkt_len) * 8", "throughput_bps")},
+      {cnt("count(*)", "total_packets")},
+      {dbl("sum(pkt_len)", "total_bytes")}
+    FROM flows
+    GROUP BY slice, date_trunc('hour', ts)
+    """
+
+
+QUERIES = [
+    sql_backed("flow_iat_stats", _flow_iat_stats_sql, ("events",)),
+    sql_backed("idle_periods", _idle_periods_sql, ("events",)),
+    sql_backed("top_flows", _top_flows_sql, ("events",)),
+    sql_backed("sessionize", _sessionize_sql, ("events",)),
+    sql_backed("slice_throughput_hourly", _slice_throughput_hourly_sql, ("events",)),
+]

@@ -47,10 +47,11 @@ def packet_projection(dialect: str) -> list[str]:
     """Shared events→packet-event projection; only two snippets differ
     between Spark SQL and DuckDB (epoch + JSON extraction)."""
     if dialect == "spark":
-        ts_sec = "CAST(ts AS DOUBLE)"
+        ts_sec = "(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0)"
         k = "CAST(get_json_object(props, '$.k') AS INT)"
     elif dialect == "duckdb":
-        ts_sec = "epoch(ts)"
+        # same integer micros, same division → bit-identical double
+        ts_sec = "(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)"
         k = "CAST(json_extract_string(props, '$.k') AS INT)"
     else:  # pragma: no cover
         raise ValueError(dialect)
@@ -185,18 +186,24 @@ def kpi36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def kpi36_oracle_sql() -> str:
-    proj = ",\n      ".join(packet_projection("duckdb"))
-    aggs = ",\n      ".join(kpi_aggregates(dialect="duckdb"))
-    return f"""
-    WITH packets AS (
+def flows_cte(dialect: str) -> str:
+    """Reusable CTE prefix: events → packets → flows (with per-flow IAT).
+    Shared by every events-derived operator in BOTH dialects."""
+    proj = ",\n      ".join(packet_projection(dialect))
+    return f"""WITH packets AS (
       SELECT
       {proj}
       FROM events
     ), flows AS (
       SELECT *, {IAT_EXPR}
       FROM packets
-    )
+    )"""
+
+
+def kpi36_oracle_sql() -> str:
+    aggs = ",\n      ".join(kpi_aggregates(dialect="duckdb"))
+    return f"""
+    {flows_cte("duckdb")}
     SELECT
       slice,
       date_trunc('hour', ts) AS window_start,

@@ -1,0 +1,117 @@
+"""Similarity search over the embeddings table (SURVEY §2 E5-E7, E12).
+
+Brute-force cosine top-k is the exact baseline (map-only against a
+broadcast query vector + one top-k); embedding near-dup pairs are
+blocked by label (the standard ANN-blocking shape); label centroids are
+the posexplode/unnest aggregation.
+
+Cosine math runs in DOUBLE on both engines (float32 inputs are exactly
+representable in double), so cross-engine drift is ~1e-15 — absorbed by
+the shared round-with-nudge discipline.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import Query, cnt, dbl, sql_backed
+
+COSINE_DUP_THRESHOLD = 0.30  # synthetic embeddings: p99 within-label ≈ 0.295
+KNN_K = 10
+
+
+def _cos(d: str, a: str, b: str) -> str:
+    if d == "spark":
+        dot = (
+            f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
+            f"(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+        na = (
+            f"sqrt(aggregate(CAST({a} AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x))"
+        )
+        nb = (
+            f"sqrt(aggregate(CAST({b} AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x))"
+        )
+    else:
+        dot = f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        na = f"sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        nb = f"sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))"
+    return f"({dot} / ({na} * {nb} + 1e-12))"
+
+
+def _knn_sql(d: str) -> str:
+    # E6: exact top-k against the query vector (vec_id = 0).  At scale the
+    # query side is a broadcast and the scan is embarrassingly parallel;
+    # ordering on the ROUNDED similarity + unique id keeps top-k stable.
+    cos = _cos(d, "e.embedding", "q.embedding")
+    return f"""
+    WITH q AS (
+      SELECT embedding FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT
+        e.vec_id,
+        e.label,
+        {dbl(cos, "cosine")}
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cosine
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk
+      FROM scored
+    ) ranked
+    WHERE rnk <= {KNN_K}
+    """
+
+
+def _embedding_dedup_sql(d: str) -> str:
+    # E5: near-dup candidate pairs, blocked by label.
+    cos = _cos(d, "a.embedding", "b.embedding")
+    return f"""
+    WITH pairs AS (
+      SELECT
+        a.vec_id AS vec_a,
+        b.vec_id AS vec_b,
+        a.label,
+        {dbl(cos, "cosine")}
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label, cosine
+    FROM pairs
+    WHERE cosine >= {COSINE_DUP_THRESHOLD}
+    """
+
+
+def _label_centroids_sql(d: str) -> str:
+    # E12: per-label centroid, one row per (label, dimension).
+    if d == "spark":
+        exploded = (
+            "SELECT label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos0, v) "
+            "FROM embeddings"
+        )
+        pos = "pos0 + 1"
+    else:
+        exploded = (
+            "SELECT label, unnest(generate_series(1, len(embedding))) AS pos0, "
+            "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+        )
+        pos = "pos0"
+    return f"""
+    WITH exploded AS (
+      {exploded}
+    )
+    SELECT
+      label,
+      CAST({pos} AS INT) AS dim,
+      {dbl("avg(v)", "centroid")},
+      {cnt("count(*)", "n_vectors")}
+    FROM exploded
+    GROUP BY label, CAST({pos} AS INT)
+    """
+
+
+QUERIES = [
+    sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
+    sql_backed("embedding_dedup_pairs", _embedding_dedup_sql, ("embeddings",)),
+    sql_backed("label_centroids", _label_centroids_sql, ("embeddings",)),
+]

@@ -1,0 +1,135 @@
+"""Text-analysis operators over the documents table (SURVEY §2 E8-E11).
+
+Language-ID, quality scoring, token counting, and fingerprinting — the
+text half of the LLM-training-data toolkit.  All map-only projections +
+one small agg; at 100 TB these scale linearly with zero shuffles
+(token_counts shuffles once on `source`).
+
+Tokenization is space-run splitting (the synthetic corpus is plain
+word-soup); the BPE-ish regex tokenizer shows the regexp path.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import Query, arr_len, cnt, dbl, split_ws, sql_backed
+
+# Marker stopwords per language: deterministic scoring material that
+# exists in the synthetic corpus vocabulary.
+_MARKERS = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "part", "batch", "stream"),
+    "de": ("window", "filter", "join", "merge"),
+}
+
+_BPE_ISH = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _tok(d: str) -> str:
+    return split_ws("lower(text)", d)
+
+
+def _marker_count(d: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    if d == "spark":
+        return f"size(filter({_tok(d)}, x -> x IN ({inlist})))"
+    return f"len(list_filter({_tok(d)}, x -> x IN ({inlist})))"
+
+
+def _lang_id_sql(d: str) -> str:
+    en = _marker_count(d, _MARKERS["en"])
+    es = _marker_count(d, _MARKERS["es"])
+    de = _marker_count(d, _MARKERS["de"])
+    return f"""
+    WITH scored AS (
+      SELECT
+        doc_id,
+        lang,
+        CAST({en} AS INT) AS score_en,
+        CAST({es} AS INT) AS score_es,
+        CAST({de} AS INT) AS score_de
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      lang,
+      score_en, score_es, score_de,
+      CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+           WHEN score_es >= score_de THEN 'es'
+           ELSE 'de' END AS predicted
+    FROM scored
+    """
+
+
+def _text_quality_sql(d: str) -> str:
+    toks = _tok(d)
+    n_toks = arr_len(toks, d)
+    stop = _marker_count(d, ("the", "a", "of", "and"))
+    return f"""
+    WITH m AS (
+      SELECT
+        doc_id,
+        lang,
+        source,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST({n_toks} AS BIGINT) AS n_tokens,
+        CAST({stop} AS BIGINT) AS n_stopwords
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      lang,
+      source,
+      n_chars,
+      n_tokens,
+      {dbl("(n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE)", "avg_token_len")},
+      {dbl("n_stopwords / CAST(n_tokens AS DOUBLE)", "stopword_ratio")},
+      {dbl(
+        "CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END"
+        " * (1.0 - n_stopwords / CAST(n_tokens AS DOUBLE))",
+        "quality_score",
+      )}
+    FROM m
+    """
+
+
+def _token_counts_sql(d: str) -> str:
+    toks = _tok(d)
+    # Spark's regexp_extract_all defaults to group 1; group 0 = whole match.
+    grp = ", 0" if d == "spark" else ""
+    bpe = f"regexp_extract_all(lower(text), '{_BPE_ISH}'{grp})"
+    return f"""
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt(f"sum({arr_len(toks, d)})", "ws_tokens")},
+      {cnt(f"sum({arr_len(bpe, d)})", "bpe_tokens")},
+      {cnt("sum(length(text))", "total_chars")},
+      {dbl(f"avg({arr_len(toks, d)})", "avg_doc_tokens")}
+    FROM documents
+    GROUP BY source
+    """
+
+
+def _doc_fingerprint_sql(d: str) -> str:
+    # E11: whole-doc content hash on normalized text + a positional
+    # prefix fingerprint (first 5 tokens), both engine-identical via md5.
+    toks = _tok(d)
+    if d == "spark":
+        prefix = f"concat_ws(' ', slice({toks}, 1, 5))"
+    else:
+        prefix = f"array_to_string(list_slice({toks}, 1, 5), ' ')"
+    return f"""
+    SELECT
+      doc_id,
+      md5(lower(text)) AS content_hash,
+      md5({prefix}) AS prefix_hash
+    FROM documents
+    """
+
+
+QUERIES = [
+    sql_backed("lang_id", _lang_id_sql, ("documents",)),
+    sql_backed("text_quality", _text_quality_sql, ("documents",)),
+    sql_backed("token_counts", _token_counts_sql, ("documents",)),
+    sql_backed("doc_fingerprint", _doc_fingerprint_sql, ("documents",)),
+]

@@ -1,0 +1,311 @@
+"""Time-series construction & ML-support operators.
+
+Re-expresses train.py's pandas preprocessing as distributed plans:
+feature mapping (train.py:52-110), forward/backward fill (:110), ordered
+70/15/15 split (:186-190), RobustScaler parameter fit (:193-196), VAR lag
+matrix (:199-214), naive-baseline eval metrics (:264-269) — plus the
+general time-series toolkit (resample+gap-fill, moving windows,
+percentiles, JSON props).
+
+Everything is a window/agg plan over the hourly slice series (3 slices ×
+~720 hours at any sf — tiny after the first aggregation, so the heavy
+lifting is the single shuffle over raw events; all downstream windows
+operate on the reduced series).
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.kpi import flows_cte
+from fiveg_spark.plans.registry import (
+    Query,
+    cnt,
+    dbl,
+    epoch,
+    json_int,
+    pct,
+    sql_backed,
+)
+
+# Hourly series CTE reused by most queries here (rounded measure so every
+# downstream window sees identical inputs in both engines).
+def _hourly_cte(d: str) -> str:
+    return f"""{flows_cte(d)},
+    hourly AS (
+      SELECT
+        slice,
+        date_trunc('hour', ts) AS h,
+        {dbl("sum(pkt_len) * 8", "throughput_bps")},
+        {cnt("count(*)", "total_packets")},
+        {dbl("stddev_samp(iat)", "jitter")},
+        {dbl("avg(iat)", "latency")},
+        {dbl("avg(win_size)", "congestion")}
+      FROM flows
+      GROUP BY slice, date_trunc('hour', ts)
+    )"""
+
+
+def _feature_vectors_sql(d: str) -> str:
+    # D1 — train.py FEATURE_MAP: sources missing from the KPI set
+    # (Retransmission_Ratio, Entropy_Score) become 0.0 (train.py:104-109).
+    return f"""
+    {_hourly_cte(d)}
+    SELECT
+      slice,
+      h AS window_start,
+      throughput_bps AS throughput,
+      total_packets AS packets,
+      jitter,
+      latency,
+      CAST(0.0 AS DOUBLE) AS reliability,
+      congestion,
+      CAST(0.0 AS DOUBLE) AS complexity
+    FROM hourly
+    """
+
+
+def _moving_avg_sql(d: str) -> str:
+    # C5 — frame-based moving average + lag delta on the hourly series.
+    return f"""
+    {_hourly_cte(d)}
+    SELECT
+      slice,
+      h AS window_start,
+      throughput_bps,
+      {dbl("avg(throughput_bps) OVER (PARTITION BY slice ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", "ma3")},
+      {dbl("throughput_bps - coalesce(lag(throughput_bps) OVER (PARTITION BY slice ORDER BY h), throughput_bps)", "delta")}
+    FROM hourly
+    """
+
+
+def _resample_gapfill_sql(d: str) -> str:
+    # C7 — dense hourly grid per slice, missing hours -> 0.
+    if d == "spark":
+        grid = "SELECT slice, explode(sequence(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds"
+    else:
+        grid = "SELECT slice, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds"
+    return f"""
+    {_hourly_cte(d)},
+    bounds AS (
+      SELECT slice, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY slice
+    ),
+    grid AS (
+      {grid}
+    )
+    SELECT
+      g.slice,
+      g.h AS window_start,
+      CAST(coalesce(hh.throughput_bps, 0.0) AS DOUBLE) AS throughput_bps,
+      CAST(coalesce(hh.total_packets, 0) AS BIGINT) AS total_packets,
+      CAST(CASE WHEN hh.slice IS NULL THEN 1 ELSE 0 END AS INT) AS was_gap
+    FROM grid g
+    LEFT JOIN hourly hh ON g.slice = hh.slice AND g.h = hh.h
+    """
+
+
+def _ffill_sql(d: str) -> str:
+    # D2 — pandas ffill().bfill() (train.py:110) as IGNORE NULLS windows.
+    if d == "spark":
+        ff = (
+            "last_value(err_avg) IGNORE NULLS OVER "
+            "(PARTITION BY slice ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        bf = (
+            "first_value(err_avg) IGNORE NULLS OVER "
+            "(PARTITION BY slice ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        )
+    else:
+        ff = (
+            "last_value(err_avg IGNORE NULLS) OVER "
+            "(PARTITION BY slice ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        )
+        bf = (
+            "first_value(err_avg IGNORE NULLS) OVER "
+            "(PARTITION BY slice ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+        )
+    return f"""
+    {flows_cte(d)},
+    hourly AS (
+      SELECT
+        slice,
+        date_trunc('hour', ts) AS h,
+        CAST(round(avg(CASE WHEN protocol = 'ICMP' THEN pkt_len END) + 1e-9, 4) AS DOUBLE) AS err_avg
+      FROM flows
+      GROUP BY slice, date_trunc('hour', ts)
+    )
+    SELECT
+      slice,
+      h AS window_start,
+      err_avg,
+      CAST(coalesce({ff}, {bf}, 0.0) AS DOUBLE) AS err_avg_filled
+    FROM hourly
+    """
+
+
+def _train_split_sql(d: str) -> str:
+    # D3 — ordered 70/15/15 split (train.py:186-190, int() truncation).
+    return f"""
+    {_hourly_cte(d)},
+    numbered AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n
+      FROM hourly
+    ),
+    tagged AS (
+      SELECT *,
+        CASE WHEN rn <= CAST(floor(0.7 * n) AS BIGINT) THEN 'train'
+             WHEN rn <= CAST(floor(0.85 * n) AS BIGINT) THEN 'val'
+             ELSE 'test' END AS split
+      FROM numbered
+    )
+    SELECT
+      slice,
+      split,
+      {cnt("count(*)", "n_rows")},
+      min(h) AS start_h,
+      max(h) AS end_h
+    FROM tagged
+    GROUP BY slice, split
+    """
+
+
+def _robust_scaler_sql(d: str) -> str:
+    # D4 — RobustScaler fit: median + IQR per (slice, feature), computed
+    # on the train split only (first 70%), mirroring scaler.fit(train).
+    def block(feature: str, col: str) -> str:
+        return f"""
+    SELECT
+      slice,
+      '{feature}' AS feature,
+      {dbl(pct(col, 0.5, d), "center")},
+      {dbl(f"{pct(col, 0.75, d)} - {pct(col, 0.25, d)}", "iqr")}
+    FROM train_rows
+    GROUP BY slice"""
+
+    return f"""
+    {_hourly_cte(d)},
+    numbered AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n
+      FROM hourly
+    ),
+    train_rows AS (
+      SELECT * FROM numbered WHERE rn <= CAST(floor(0.7 * n) AS BIGINT)
+    )
+    {block("throughput", "throughput_bps")}
+    UNION ALL
+    {block("packets", "total_packets")}
+    UNION ALL
+    {block("jitter", "jitter")}
+    UNION ALL
+    {block("latency", "latency")}
+    """
+
+
+def _var_lag_sql(d: str) -> str:
+    # D5 — VAR(3) design matrix: y with 3 lags per slice (train.py:201).
+    lag = "lag(throughput_bps, {k}) OVER (PARTITION BY slice ORDER BY h)"
+    return f"""
+    {_hourly_cte(d)},
+    lagged AS (
+      SELECT
+        slice,
+        h,
+        throughput_bps AS y,
+        {lag.format(k=1)} AS y_l1,
+        {lag.format(k=2)} AS y_l2,
+        {lag.format(k=3)} AS y_l3
+      FROM hourly
+    )
+    SELECT slice, h AS window_start, y, y_l1, y_l2, y_l3
+    FROM lagged
+    WHERE y_l3 IS NOT NULL
+    """
+
+
+def _eval_metrics_sql(d: str) -> str:
+    # D10 — RMSE/MAE (train.py:267-268) of the naive lag-1 forecaster on
+    # the test split (last 15%): the SQL-checkable end of the eval path.
+    return f"""
+    {_hourly_cte(d)},
+    numbered AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n,
+        lag(throughput_bps) OVER (PARTITION BY slice ORDER BY h) AS yhat
+      FROM hourly
+    ),
+    test_rows AS (
+      SELECT *, throughput_bps - yhat AS err
+      FROM numbered
+      WHERE rn > CAST(floor(0.85 * n) AS BIGINT) AND yhat IS NOT NULL
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_test")},
+      {dbl("sqrt(avg(power(err, 2)))", "rmse")},
+      {dbl("avg(abs(err))", "mae")}
+    FROM test_rows
+    GROUP BY slice
+    """
+
+
+def _event_type_mix_sql(d: str) -> str:
+    # C8 — daily event-type shares (agg + window-over-agg).
+    return f"""
+    SELECT
+      date_trunc('day', ts) AS day,
+      event_type,
+      {cnt("count(*)", "n")},
+      {dbl("count(*) / CAST(sum(count(*)) OVER (PARTITION BY date_trunc('day', ts)) AS DOUBLE)", "share")}
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """
+
+
+def _value_percentiles_sql(d: str) -> str:
+    # B4 — exact interpolated percentiles per event_type.
+    return f"""
+    SELECT
+      event_type,
+      {dbl(pct("value", 0.5, d), "p50")},
+      {dbl(pct("value", 0.9, d), "p90")},
+      {dbl(pct("value", 0.95, d), "p95")},
+      {dbl(pct("value", 0.99, d), "p99")},
+      {dbl("min(value)", "min_v")},
+      {dbl("max(value)", "max_v")},
+      {dbl("avg(value)", "avg_v")}
+    FROM events
+    GROUP BY event_type
+    """
+
+
+def _json_props_sql(d: str) -> str:
+    # A4 — schema-on-read JSON prop extraction + agg.
+    k = json_int("props", "k", d)
+    return f"""
+    SELECT
+      event_type,
+      {dbl(f"avg({k})", "avg_k")},
+      {cnt(f"min({k})", "min_k")},
+      {cnt(f"max({k})", "max_k")},
+      {cnt(f"count(DISTINCT {k})", "distinct_k")}
+    FROM events
+    GROUP BY event_type
+    """
+
+
+QUERIES = [
+    sql_backed("feature_vectors", _feature_vectors_sql, ("events",)),
+    sql_backed("moving_avg_throughput", _moving_avg_sql, ("events",)),
+    sql_backed("resample_gapfill", _resample_gapfill_sql, ("events",)),
+    sql_backed("ffill_features", _ffill_sql, ("events",)),
+    sql_backed("train_split_bounds", _train_split_sql, ("events",)),
+    sql_backed("robust_scaler_params", _robust_scaler_sql, ("events",)),
+    sql_backed("var_lag_features", _var_lag_sql, ("events",)),
+    sql_backed("eval_metrics", _eval_metrics_sql, ("events",)),
+    sql_backed("event_type_mix", _event_type_mix_sql, ("events",)),
+    sql_backed("value_percentiles", _value_percentiles_sql, ("events",)),
+    sql_backed("json_props_stats", _json_props_sql, ("events",)),
+]

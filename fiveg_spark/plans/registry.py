@@ -1,0 +1,86 @@
+"""Query registry: one declarative SQL text per operator, two dialects.
+
+Most operators are expressed as ONE SQL template with a handful of
+dialect substitutions (epoch extraction, json access, exact percentile,
+list functions).  The Spark side runs through ``spark.sql`` — identical
+to the DataFrame API from Catalyst's point of view (same logical plan,
+same pushdown/codegen) — and the DuckDB side becomes the driver oracle.
+Sharing the text makes oracle parity structural instead of aspirational.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from fiveg_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    run: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, None → rows-only check
+
+
+def sql_backed(
+    name: str,
+    sql_fn: Callable[[str], str],
+    tables: tuple[str, ...],
+) -> Query:
+    """Build a Query from a dialect-parameterized SQL template."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        for t in tables:
+            load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+        return spark.sql(sql_fn("spark"))
+
+    return Query(name=name, run=run, oracle=sql_fn("duckdb"))
+
+
+# ---- shared snippet helpers (identical rounding discipline everywhere) ----
+
+NUDGE = "1e-9"  # see operators/kpi.py:_dbl for why
+
+
+def dbl(expr: str, alias: str) -> str:
+    return f"CAST(round(coalesce({expr}, 0.0) + {NUDGE}, 4) AS DOUBLE) AS {alias}"
+
+
+def cnt(expr: str, alias: str) -> str:
+    return f"CAST({expr} AS BIGINT) AS {alias}"
+
+
+def pct(col: str, p: float, dialect: str) -> str:
+    """Exact interpolated percentile in both engines."""
+    if dialect == "spark":
+        return f"percentile({col}, {p})"
+    return f"quantile_cont({col}, {p})"
+
+
+def epoch(col: str, dialect: str) -> str:
+    """Epoch seconds derived from exact integer microseconds in BOTH
+    engines — identical integer, identical division, bit-identical
+    double.  (A plain CAST/epoch() pair drifts ~1e-7 at 1.7e9 s, which
+    punches through the rounding nudge.)"""
+    us = f"unix_micros({col})" if dialect == "spark" else f"epoch_us({col})"
+    return f"(CAST({us} AS DOUBLE) / 1000000.0)"
+
+
+def json_int(col: str, path_key: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"CAST(get_json_object({col}, '$.{path_key}') AS INT)"
+    return f"CAST(json_extract_string({col}, '$.{path_key}') AS INT)"
+
+
+def split_ws(col: str, dialect: str) -> str:
+    """Whitespace tokenization (space-run splitting, no backslash escapes)."""
+    if dialect == "spark":
+        return f"split({col}, ' +')"
+    return f"string_split_regex({col}, ' +')"
+
+
+def arr_len(expr: str, dialect: str) -> str:
+    return f"size({expr})" if dialect == "spark" else f"len({expr})"
