@@ -1,0 +1,69 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1}
+
+Each query is timed to full materialization (count of every row) on a
+warm session; the first query's JVM/session startup is excluded by a
+throwaway warm-up action.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as contract
+from fiveg_spark.session import get_spark
+
+HEADLINE = (
+    "kpi36",
+    "flow_iat_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "sessionize",
+    "minhash_lsh_pairs",
+    "knn_bruteforce",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # sf encoded in the dir name (…/sf0.1); fall back to 0.1
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = 0.1
+
+    spark = get_spark("bench")
+    spark.range(1).count()  # pay JVM startup outside the timings
+
+    queries = contract.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        n = queries[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -255,7 +255,7 @@ def _event_type_mix_sql(d: str) -> str:
     # C8 — daily event-type shares (agg + window-over-agg).
     return f"""
     SELECT
-      date_trunc('day', ts) AS day,
+      CAST(date_trunc('day', ts) AS DATE) AS day,
       event_type,
       {cnt("count(*)", "n")},
       {dbl("count(*) / CAST(sum(count(*)) OVER (PARTITION BY date_trunc('day', ts)) AS DOUBLE)", "share")}
