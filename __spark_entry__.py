@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fiveg_spark.ml import queries as _ml
 from fiveg_spark.operators import dedup as _dedup
 from fiveg_spark.operators import flows as _flows
 from fiveg_spark.operators import kpi as _kpi
@@ -23,7 +24,7 @@ from fiveg_spark.operators import text as _text
 from fiveg_spark.operators import timeseries as _timeseries
 from fiveg_spark.operators import tpch as _tpch
 
-_MODULES = (_flows, _timeseries, _tpch, _dedup, _text, _similarity)
+_MODULES = (_flows, _timeseries, _tpch, _dedup, _text, _similarity, _ml)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,112 @@
+"""ML-block equivalence tests (SURVEY §5): the distributed linear
+algebra must match straight numpy on the same (collected) data."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fiveg_spark.ml.features import FEATURES, feature_frame, robust_scale, with_split
+from fiveg_spark.ml.hybrid import hybrid_eval
+from fiveg_spark.ml.model import forward, init_weights, predict_residuals
+from fiveg_spark.ml.sequences import sliding_sequences
+from fiveg_spark.ml.var import lag_design, normal_equations, solve_coefficients
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def scaled(spark):
+    df, _ = robust_scale(feature_frame(spark, SF_DIR))
+    df.cache().count()
+    return df
+
+
+def test_robust_scaler_train_median_zero(scaled):
+    """After robust scaling, the train split's median is 0 per feature."""
+    train = scaled.filter(F.col("split") == "train")
+    meds = train.groupBy("slice").agg(
+        *[F.expr(f"percentile({f}, 0.5)").alias(f) for f in FEATURES]
+    )
+    for row in meds.collect():
+        for f in FEATURES:
+            assert abs(row[f]) < 1e-9, f"{row['slice']}.{f} median {row[f]}"
+
+
+def test_var_normal_equations_match_numpy_lstsq(scaled):
+    design = lag_design(scaled, p=3).filter(F.col("split") == "train")
+    coeffs = solve_coefficients(normal_equations(design))
+
+    rows = design.orderBy("slice", "window_start").collect()
+    by_slice: dict[str, list] = {}
+    for r in rows:
+        by_slice.setdefault(r["slice"], []).append(r)
+    for slice_name, rs in by_slice.items():
+        X = np.array([r["x"] for r in rs])
+        Y = np.array([r["y"] for r in rs])
+        B_np, *_ = np.linalg.lstsq(X, Y, rcond=None)
+        B_spark = coeffs[slice_name]
+        assert B_spark.shape == B_np.shape
+        np.testing.assert_allclose(B_spark, B_np, rtol=1e-4, atol=1e-6)
+
+
+def test_sliding_sequences_are_the_preceding_rows(spark, scaled):
+    w = 5
+    seqs = sliding_sequences(scaled, window=w)
+    one_slice = seqs.filter(F.col("slice") == "eMBB").orderBy("window_start")
+    seq_rows = one_slice.collect()
+    base = (
+        scaled.filter(F.col("slice") == "eMBB")
+        .orderBy("window_start")
+        .select("window_start", *FEATURES)
+        .collect()
+    )
+    by_ts = {r["window_start"]: [r[f] for f in FEATURES] for r in base}
+    ts_sorted = [r["window_start"] for r in base]
+    idx = {t: i for i, t in enumerate(ts_sorted)}
+    assert len(seq_rows) == len(base) - w
+    for r in seq_rows[:25]:
+        i = idx[r["window_start"]]
+        expected = [by_ts[ts_sorted[j]] for j in range(i - w, i)]
+        got = [list(v) for v in r["seq"]]
+        np.testing.assert_allclose(got, expected)
+        np.testing.assert_allclose(list(r["target"]), by_ts[r["window_start"]])
+
+
+def test_spark_forward_matches_local_numpy(spark, scaled):
+    w = init_weights()
+    seqs = sliding_sequences(scaled, window=10).limit(40)
+    preds = predict_residuals(seqs, spark.sparkContext.broadcast(w))
+    got = {
+        (r["slice"], r["window_start"]): np.array(r["resid_pred"])
+        for r in preds.collect()
+    }
+    local_rows = seqs.collect()
+    X = np.stack([np.stack([np.asarray(r) for r in row["seq"]]) for row in local_rows])
+    expected = forward(X, w)
+    assert len(got) == len(local_rows)
+    for i, row in enumerate(local_rows):
+        np.testing.assert_allclose(
+            got[(row["slice"], row["window_start"])], expected[i], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_hybrid_eval_surface(spark):
+    df = hybrid_eval(spark, SF_DIR, p=2, window=12)
+    rows = df.collect()
+    assert {r["feature"] for r in rows} == set(FEATURES)
+    assert all(r["rmse"] >= 0 and r["mae"] >= 0 for r in rows)
+    assert all(r["n"] > 0 for r in rows)
+
+
+def test_split_proportions(spark):
+    df = with_split(feature_frame(spark, SF_DIR))
+    counts = {
+        (r["slice"], r["split"]): r["cnt"]
+        for r in df.groupBy("slice", "split").agg(F.count("*").alias("cnt")).collect()
+    }
+    slices = {s for s, _ in counts}
+    for s in slices:
+        n = sum(counts[(s, sp)] for sp in ("train", "val", "test"))
+        assert counts[(s, "train")] == int(0.7 * n)
+        assert counts[(s, "train")] + counts[(s, "val")] == int(0.85 * n)
