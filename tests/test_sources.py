@@ -1,0 +1,172 @@
+"""Source/sink tests (SURVEY §2 A2/A3/A5): synthesized pcap bytes →
+decode parity; Kafka JSON round-trip; partitioned + streaming parquet
+sinks."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from fiveg_spark.sources.kafka import (
+    PACKET_JSON_SCHEMA,
+    kafka_batch_reader,
+    kafka_stream_reader,
+    parse_packet_json,
+    to_kafka_records,
+)
+from fiveg_spark.sources.pcap import decode_pcap_bytes, infer_slice, read_pcap
+from fiveg_spark.sources.sinks import streaming_parquet_sink, write_partitioned
+from tests.conftest import SF_DIR
+
+
+def _ipv4_tcp_packet(
+    src=(10, 0, 0, 1), dst=(10, 0, 0, 2), sport=1234, dport=80,
+    seq=42, flags=0x18, win=512, payload=b"x" * 20,
+) -> bytes:
+    eth = b"\x00" * 12 + b"\x08\x00"  # ethertype IPv4
+    ip_hdr = bytes([0x45, 0]) + struct.pack(">H", 40 + len(payload))
+    ip_hdr += b"\x00\x00\x00\x00" + bytes([64, 6]) + b"\x00\x00"
+    ip_hdr += bytes(src) + bytes(dst)
+    tcp = struct.pack(">HH", sport, dport) + struct.pack(">I", seq)
+    tcp += b"\x00\x00\x00\x00" + bytes([0x50, flags]) + struct.pack(">H", win)
+    tcp += b"\x00\x00\x00\x00"
+    return eth + ip_hdr + tcp + payload
+
+
+def _pcap_bytes(packets, ts0=1700000000, little=True) -> bytes:
+    end = "<" if little else ">"
+    magic = 0xA1B2C3D4
+    out = struct.pack(f"{end}IHHiIII", magic, 2, 4, 0, 0, 65535, 1)
+    for i, pkt in enumerate(packets):
+        out += struct.pack(f"{end}IIII", ts0 + i, i * 1000, len(pkt), len(pkt) + 8)
+        out += pkt
+    return out
+
+
+def test_decode_pcap_field_parity():
+    pkt = _ipv4_tcp_packet()
+    rows = list(decode_pcap_bytes(_pcap_bytes([pkt]), "eMBB", "f.pcap"))
+    assert len(rows) == 1
+    r = dict(zip([f.name for f in __import__("fiveg_spark.sources.pcap", fromlist=["PACKET_SCHEMA"]).PACKET_SCHEMA.fields], rows[0]))
+    assert r["protocol"] == "TCP"
+    assert r["src_ip"] == "10.0.0.1" and r["dst_ip"] == "10.0.0.2"
+    assert r["src_port"] == 1234 and r["dst_port"] == 80
+    assert r["seq_number"] == 42 and r["tcp_flags"] == 0x18 and r["window_size"] == 512
+    assert r["flow_id"] == "10.0.0.1_10.0.0.2_1234_80_TCP"
+    assert r["packet_len"] == len(pkt) + 8 and r["captured_len"] == len(pkt)
+    assert abs(r["timestamp"] - 1700000000.0) < 1e-9
+    assert r["ip_header_len"] == 20
+
+
+def test_decode_pcap_both_endianness_and_truncation():
+    pkts = [_ipv4_tcp_packet(sport=i) for i in range(5)]
+    for little in (True, False):
+        rows = list(decode_pcap_bytes(_pcap_bytes(pkts, little=little), "URLLC", "g.pcap"))
+        assert [r[9] for r in rows] == [0, 1, 2, 3, 4]  # src_port order kept
+    # truncated tail: decoder stops cleanly
+    blob = _pcap_bytes(pkts)[:-10]
+    rows = list(decode_pcap_bytes(blob, "URLLC", "g.pcap"))
+    assert len(rows) == 4
+
+
+def test_read_pcap_dataframe(spark, tmp_path):
+    d = tmp_path / "captures" / "embb"
+    d.mkdir(parents=True)
+    pkts = [_ipv4_tcp_packet(sport=1000 + i) for i in range(10)]
+    (d / "cap0.pcap").write_bytes(_pcap_bytes(pkts))
+    (d / "ignore.txt").write_bytes(b"not a pcap")
+    df = read_pcap(spark, str(tmp_path / "captures"))
+    rows = df.orderBy("src_port").collect()
+    assert len(rows) == 10
+    assert rows[0]["slice_type"] == "eMBB"
+    assert rows[0]["file_name"] == "cap0.pcap"
+    assert [r["src_port"] for r in rows] == list(range(1000, 1010))
+
+
+def test_infer_slice():
+    assert infer_slice("/data/URLLC/x.pcap") == "URLLC"
+    assert infer_slice("/data/mmtc_day1/x.pcap") == "mMTC"
+    assert infer_slice("/data/misc/x.pcap") == "unknown"
+
+
+def test_kafka_json_round_trip(spark):
+    packets = spark.createDataFrame(
+        [
+            ("eMBB", 1.5, 1500, 100, "TCP", 10, 20, "f1", 4, 100, 7),
+            ("URLLC", 2.5, 2500, 50, "UDP", 11, 21, "f2", 0, 0, 0),
+        ],
+        schema=(
+            "sliceType string, timestamp double, timestampMs long, packetLen int,"
+            " protocol string, srcPort int, dstPort int, flowId string,"
+            " tcpFlags int, windowSize int, seqNumber long"
+        ),
+    )
+    records = to_kafka_records(packets, key_col="flowId")
+    assert records.columns == ["key", "value"]
+    # simulate the broker round-trip: key/value arrive as binary
+    raw = records.select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+    )
+    # malformed extra record must be dropped
+    bad = spark.createDataFrame([("k", "{not json")], "key string, value string")
+    raw = raw.union(bad.select(F.col("key").cast("binary"), F.col("value").cast("binary")))
+    parsed = parse_packet_json(raw)
+    rows = {r["flowId"]: r for r in parsed.collect()}
+    assert set(rows) == {"f1", "f2"}
+    assert rows["f1"]["sliceType"] == "eMBB" and rows["f1"]["windowSize"] == 100
+    assert rows["f2"]["protocol"] == "UDP" and rows["f2"]["kafka_key"] == "f2"
+
+
+def test_kafka_reader_builders(spark):
+    r1 = kafka_stream_reader(spark, "broker:9092", "packets", max_offsets_per_trigger=1000)
+    r2 = kafka_batch_reader(spark, "broker:9092", "packets")
+    assert r1 is not None and r2 is not None  # construction only: no broker in env
+
+
+def test_partitioned_parquet_sink(spark, tmp_path):
+    from fiveg_spark.operators.kpi import kpi36
+
+    out = str(tmp_path / "kpi_parquet")
+    df = kpi36(spark, SF_DIR)
+    write_partitioned(df, out, partition_by=("slice",))
+    import os
+
+    parts = sorted(p for p in os.listdir(out) if p.startswith("slice="))
+    assert parts == ["slice=URLLC", "slice=eMBB", "slice=mMTC"]
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    # partition pruning: single-slice read scans one directory
+    pruned = back.filter(F.col("slice") == "eMBB")
+    assert "slice=eMBB" in pruned._jdf.queryExecution().executedPlan().toString() or pruned.count() > 0
+
+
+def test_streaming_parquet_sink(spark, tmp_path):
+    import shutil
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "part-0.parquet")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{SF_DIR}/events.parquet").schema)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .withColumn(
+            "slice",
+            F.expr(
+                "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'eMBB'"
+                " WHEN 1 THEN 'URLLC' ELSE 'mMTC' END"
+            ),
+        )
+    )
+    q = streaming_parquet_sink(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        partition_by=("slice",),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == spark.read.parquet(f"{SF_DIR}/events.parquet").count()

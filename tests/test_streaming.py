@@ -1,0 +1,100 @@
+"""Streaming KPI tests (SURVEY §5): micro-batch the events table through
+the streaming plan with availableNow + memory sink, and check the
+stateful IAT operator against the batch window-function plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from fiveg_spark.operators.kpi import packet_view, with_iat
+from fiveg_spark.streaming.kpi_stream import streaming_kpi36, with_streaming_iat
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def packet_stream(spark, tmp_path_factory):
+    import shutil
+
+    src_dir = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    batch = packet_view(spark, SF_DIR)
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+        )
+        .parquet(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    from fiveg_spark.operators.kpi import packet_projection
+
+    return stream.selectExpr(*packet_projection("spark")), batch
+
+
+def _run_to_memory(df, name: str, spark):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stateful_iat_matches_batch_lag(spark, packet_stream):
+    stream_pkts, batch_pkts = packet_stream
+    got = _run_to_memory(with_streaming_iat(stream_pkts), "iat_stream", spark)
+    expected = with_iat(batch_pkts)
+    g = {
+        (r["slice"], r["flow_id"], r["ts_sec"]): r["iat"]
+        for r in got.collect()
+    }
+    e = {
+        (r["slice"], r["flow_id"], r["ts_sec"]): r["iat"]
+        for r in expected.collect()
+    }
+    assert len(g) == len(e)
+    diffs = [k for k in e if abs(g[k] - e[k]) > 1e-9]
+    assert not diffs, f"{len(diffs)} IAT mismatches, first {diffs[:3]}"
+
+
+def test_streaming_kpi36_window_agg(spark, packet_stream):
+    stream_pkts, batch_pkts = packet_stream
+    got = _run_to_memory(
+        streaming_kpi36(stream_pkts, window="1 hour", watermark="0 seconds"),
+        "kpi_stream",
+        spark,
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    cols = set(got.columns)
+    assert {"slice", "window_start", "window_end", "Throughput_bps", "IAT_Median",
+            "RST_Count", "Coeff_Variation_Size"} <= cols
+    assert len(cols) == 3 + 36
+
+    # spot-check one window's streamable aggregates against a batch agg
+    batch = (
+        with_iat(batch_pkts)
+        .withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+        .groupBy("slice", "window_start")
+        .agg(
+            F.expr("sum(pkt_len) * 8").alias("Throughput_bps"),
+            F.count("*").alias("Total_Packets"),
+            F.expr("avg(iat)").alias("Avg_IAT"),
+        )
+    )
+    b = {
+        (r["slice"], r["window_start"]): r
+        for r in batch.collect()
+    }
+    checked = 0
+    for r in rows:
+        key = (r["slice"], r["window_start"])
+        if key in b:
+            assert abs(r["Throughput_bps"] - b[key]["Throughput_bps"]) < 1e-6
+            assert r["Total_Packets"] == b[key]["Total_Packets"]
+            assert abs(r["Avg_IAT"] - b[key]["Avg_IAT"]) < 1e-9
+            checked += 1
+    assert checked == len(rows) and checked > 100
