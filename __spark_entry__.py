@@ -16,7 +16,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from fiveg_spark.ml import queries as _ml
+from fiveg_spark.operators import ann_lsh as _ann
 from fiveg_spark.operators import dedup as _dedup
+from fiveg_spark.operators import simhash as _simhash
 from fiveg_spark.operators import flows as _flows
 from fiveg_spark.operators import kpi as _kpi
 from fiveg_spark.operators import similarity as _similarity
@@ -24,7 +26,7 @@ from fiveg_spark.operators import text as _text
 from fiveg_spark.operators import timeseries as _timeseries
 from fiveg_spark.operators import tpch as _tpch
 
-_MODULES = (_flows, _timeseries, _tpch, _dedup, _text, _similarity, _ml)
+_MODULES = (_flows, _timeseries, _tpch, _dedup, _text, _similarity, _ml, _simhash, _ann)
 
 
 def entry(spark: SparkSession) -> DataFrame:
