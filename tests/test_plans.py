@@ -1,0 +1,61 @@
+"""Plan-shape regression tests (SURVEY §3): pushdown, pruning,
+broadcast, codegen, Python-free hot paths — the properties that keep
+the engine fast at 100 TB, locked in at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as contract
+from fiveg_spark.operators.kpi import kpi36
+from fiveg_spark.plans.explain import assert_scan_pruned, formatted_plan, plan_facts
+from fiveg_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+QUERIES = contract.queries()
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = QUERIES["q6_revenue_filter"](spark, SF_DIR)
+    facts = plan_facts(df)
+    pushed = " ".join(facts.pushed_filters)
+    assert "l_discount" in pushed or "l_quantity" in pushed, (
+        f"no pushed filters in scan: {facts.pushed_filters}"
+    )
+
+
+def test_column_pruning_on_narrow_projection(spark):
+    df = load_table(spark, "lineitem", SF_DIR).select("l_orderkey", "l_quantity")
+    assert_scan_pruned(df, required={"l_orderkey", "l_quantity"}, forbidden={"l_comment", "l_shipdate"})
+
+
+def test_kpi36_is_python_free_two_shuffles(spark):
+    df = kpi36(spark, SF_DIR)
+    facts = plan_facts(df, execute=True)
+    assert facts.python_ops == 0, "flagship KPI plan must stay JVM-side"
+    # one window shuffle on (slice, flow) + one agg shuffle on (slice, hour);
+    # distinct-agg expansion may add one more exchange but no more
+    assert facts.n_exchanges <= 3, formatted_plan(df)[:2000]
+    assert facts.codegen_spans >= 2
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    df = QUERIES["q5_local_supplier"](spark, SF_DIR)
+    facts = plan_facts(df)
+    assert facts.n_broadcasts >= 2, "dimension tables must broadcast, not shuffle"
+
+
+def test_events_scan_prunes_props_when_unused(spark):
+    df = QUERIES["slice_throughput_hourly"](spark, SF_DIR)
+    schemas = " ".join(plan_facts(df).read_schemas)
+    assert "props" not in schemas, f"props not pruned: {schemas}"
+
+
+def test_knn_has_no_shuffle_before_topk(spark):
+    df = QUERIES["knn_bruteforce"](spark, SF_DIR)
+    facts = plan_facts(df)
+    # scan + broadcast of the single query vector; the only exchange is the
+    # final single-partition top-k
+    assert facts.n_broadcasts >= 1
+    assert facts.python_ops == 0
