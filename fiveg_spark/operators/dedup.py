@@ -72,30 +72,28 @@ def _dedup_exact_sql(d: str) -> str:
 
 def _minhash_lsh_sql(d: str) -> str:
     # E2: md5-minhash signatures → banded LSH → candidate pairs.
-    seeds = ", ".join(f"({s})" for s in range(N_HASHES))
-    if d == "spark":
-        seed_rel = f"SELECT * FROM VALUES {seeds} AS s(seed)"
-    else:
-        seed_rel = f"SELECT * FROM (VALUES {seeds}) s(seed)"
+    # All N_HASHES minhashes are aggregates of ONE scan over the shingle
+    # set (no seed cross-join: that would multiply the shuffle by
+    # N_HASHES); banding then unpivots the one-row-per-doc signature —
+    # tiny — via portable UNION ALL.
+    mh_aggs = ",\n        ".join(
+        f"min(md5(concat(shingle, '#{s}'))) AS mh{s}" for s in range(N_HASHES)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} AS sig0, mh{2 * b + 1} AS sig1 FROM minhashes"
+        for b in range(N_BANDS)
+    )
     return f"""
     {_shingles_cte(d)},
-    seeds AS ({seed_rel}),
     minhashes AS (
       SELECT
-        sh.doc_id,
-        s.seed,
-        min(md5(concat(sh.shingle, '#', CAST(s.seed AS STRING)))) AS mh
-      FROM shingles sh CROSS JOIN seeds s
-      GROUP BY sh.doc_id, s.seed
+        doc_id,
+        {mh_aggs}
+      FROM shingles
+      GROUP BY doc_id
     ),
     bands AS (
-      SELECT
-        doc_id,
-        CAST(floor(seed / 2.0) AS INT) AS band,
-        min(CASE WHEN seed % 2 = 0 THEN mh END) AS sig0,
-        min(CASE WHEN seed % 2 = 1 THEN mh END) AS sig1
-      FROM minhashes
-      GROUP BY doc_id, CAST(floor(seed / 2.0) AS INT)
+      {band_selects}
     )
     SELECT
       a.doc_id AS doc_a,

@@ -43,16 +43,25 @@ SMALL_PKT = 50.0
 LARGE_PKT = 150.0
 
 
+def json_k_expr(dialect: str) -> str:
+    """The one JSON field used by the packet mapping — extracted ONCE in
+    a pre-projection layer (JSON parsing is the most expensive scalar in
+    the scan; doing it once instead of 4× saves ~½ the map time)."""
+    if dialect == "spark":
+        return "CAST(get_json_object(props, '$.k') AS INT)"
+    if dialect == "duckdb":
+        return "CAST(json_extract_string(props, '$.k') AS INT)"
+    raise ValueError(dialect)  # pragma: no cover
+
+
 def packet_projection(dialect: str) -> list[str]:
-    """Shared events→packet-event projection; only two snippets differ
-    between Spark SQL and DuckDB (epoch + JSON extraction)."""
+    """Shared events→packet-event projection over a layer that already
+    extracted ``k``; only the epoch snippet differs between dialects."""
     if dialect == "spark":
         ts_sec = "(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0)"
-        k = "CAST(get_json_object(props, '$.k') AS INT)"
     elif dialect == "duckdb":
         # same integer micros, same division → bit-identical double
         ts_sec = "(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)"
-        k = "CAST(json_extract_string(props, '$.k') AS INT)"
     else:  # pragma: no cover
         raise ValueError(dialect)
     return [
@@ -70,10 +79,10 @@ def packet_projection(dialect: str) -> list[str]:
             "WHEN event_type IN ('view', 'signup') THEN 'UDP' "
             "ELSE 'ICMP' END AS protocol"
         ),
-        f"{k} AS src_port",
-        f"CAST((user_id * 31 + {k}) % 1000 AS INT) AS dst_port",
-        f"CAST(({k} * 13) % 100 AS INT) AS win_size",
-        f"CAST({k} % 32 AS INT) AS tcp_flags",
+        "k AS src_port",
+        "CAST((user_id * 31 + k) % 1000 AS INT) AS dst_port",
+        "CAST((k * 13) % 100 AS INT) AS win_size",
+        "CAST(k % 32 AS INT) AS tcp_flags",
     ]
 
 
@@ -165,7 +174,8 @@ def kpi_aggregates(
 def packet_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet → canonical packet-event view (map-only, codegen'd)."""
     events = load_table(spark, "events", sf_dir)
-    return events.selectExpr(*packet_projection("spark"))
+    with_k = events.selectExpr("*", f"{json_k_expr('spark')} AS k")
+    return with_k.selectExpr(*packet_projection("spark"))
 
 
 def with_iat(packets: DataFrame) -> DataFrame:
@@ -187,13 +197,16 @@ def kpi36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def flows_cte(dialect: str) -> str:
-    """Reusable CTE prefix: events → packets → flows (with per-flow IAT).
-    Shared by every events-derived operator in BOTH dialects."""
+    """Reusable CTE prefix: events → (+k) → packets → flows (with
+    per-flow IAT).  Shared by every events-derived operator in BOTH
+    dialects."""
     proj = ",\n      ".join(packet_projection(dialect))
-    return f"""WITH packets AS (
+    return f"""WITH events_k AS (
+      SELECT *, {json_k_expr(dialect)} AS k FROM events
+    ), packets AS (
       SELECT
       {proj}
-      FROM events
+      FROM events_k
     ), flows AS (
       SELECT *, {IAT_EXPR}
       FROM packets

@@ -40,7 +40,9 @@ def _cos(d: str, a: str, b: str) -> str:
 def _knn_sql(d: str) -> str:
     # E6: exact top-k against the query vector (vec_id = 0).  At scale the
     # query side is a broadcast and the scan is embarrassingly parallel;
-    # ordering on the ROUNDED similarity + unique id keeps top-k stable.
+    # ORDER BY + LIMIT compiles to TakeOrdered (per-partition partial
+    # top-k, no single-partition window shuffle); ordering on the ROUNDED
+    # similarity + unique id keeps the cut deterministic.
     cos = _cos(d, "e.embedding", "q.embedding")
     return f"""
     WITH q AS (
@@ -55,11 +57,9 @@ def _knn_sql(d: str) -> str:
       WHERE e.vec_id <> 0
     )
     SELECT vec_id, label, cosine
-    FROM (
-      SELECT *, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rnk
-      FROM scored
-    ) ranked
-    WHERE rnk <= {KNN_K}
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT {KNN_K}
     """
 
 

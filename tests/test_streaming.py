@@ -26,8 +26,9 @@ def packet_stream(spark, tmp_path_factory):
         .parquet(str(src_dir))
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
-    from fiveg_spark.operators.kpi import packet_projection
+    from fiveg_spark.operators.kpi import json_k_expr, packet_projection
 
+    stream = stream.selectExpr("*", f"{json_k_expr('spark')} AS k")
     return stream.selectExpr(*packet_projection("spark")), batch
 
 
