@@ -1,0 +1,163 @@
+"""Extended relational breadth (SURVEY §2 C-block widening).
+
+Join-shape and aggregation-shape coverage beyond the core star queries:
+outer-join aggregation, anti/semi joins, ROLLUP hierarchies, CASE-based
+pivots, per-group top-k, ntile banding.  Everything is shared-text SQL
+(both engines run the same statement), so oracle parity is structural.
+
+Scale notes: the anti/semi joins build on the orders/customer keys that
+also drive the core joins — broadcast when small, shuffle+AQE when not;
+ROLLUP expands per grouping set BEFORE the shuffle (Spark's Expand),
+which is the map-side-combine-friendly layout; the per-group top-k uses
+a rank window partitioned by the group key (never a global sort).
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+
+
+def _q13_order_counts_sql(d: str) -> str:
+    # C9: customer order-count distribution (TPC-H Q13 shape: LEFT OUTER
+    # JOIN + two-level aggregation; NULL-group handling differs from an
+    # inner join and is exactly what this checks).
+    return f"""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT
+      {cnt("n_orders", "n_orders")},
+      {cnt("count(*)", "n_customers")}
+    FROM per_cust
+    GROUP BY n_orders
+    """
+
+
+def _customers_without_orders_sql(d: str) -> str:
+    # C10: anti join (NOT EXISTS) — distributes as a left-anti hash join.
+    # The correlated predicate keeps the selected set non-empty on the
+    # synthetic data (every customer has SOME order).
+    return f"""
+    SELECT
+      c.c_nationkey,
+      {cnt("count(*)", "n_inactive")},
+      {dbl("avg(c.c_acctbal)", "avg_balance")}
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000
+    )
+    GROUP BY c.c_nationkey
+    """
+
+
+def _active_high_value_sql(d: str) -> str:
+    # C11: semi join (EXISTS) with a correlated value predicate.
+    return f"""
+    SELECT
+      c.c_mktsegment,
+      {cnt("count(*)", "n_active")},
+      {dbl("max(c.c_acctbal)", "max_balance")}
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+    )
+    GROUP BY c.c_mktsegment
+    """
+
+
+def _rollup_revenue_sql(d: str) -> str:
+    # C12: ROLLUP hierarchy region → nation with grouping flags.
+    return f"""
+    SELECT
+      coalesce(r.r_name, 'ALL') AS region,
+      coalesce(n.n_name, 'ALL') AS nation,
+      {cnt("grouping(r.r_name)", "g_region")},
+      {cnt("grouping(n.n_name)", "g_nation")},
+      {dbl("sum(o.o_totalprice)", "revenue")},
+      {cnt("count(*)", "n_orders")}
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """
+
+
+def _event_type_pivot_sql(d: str) -> str:
+    # C13: pivot via conditional aggregation (portable PIVOT).
+    def bucket(et: str) -> str:
+        return f"sum(CASE WHEN event_type = '{et}' THEN value ELSE 0 END)"
+
+    return f"""
+    SELECT
+      CAST(date_trunc('day', ts) AS DATE) AS day,
+      {dbl(bucket("click"), "click_value")},
+      {dbl(bucket("view"), "view_value")},
+      {dbl(bucket("purchase"), "purchase_value")},
+      {dbl(bucket("signup"), "signup_value")},
+      {dbl(bucket("error"), "error_value")}
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """
+
+
+def _top_customers_per_nation_sql(d: str) -> str:
+    # C14: per-group top-k — rank window partitioned by the group key.
+    return f"""
+    WITH spend AS (
+      SELECT c.c_nationkey, c.c_custkey, sum(o.o_totalprice) AS total
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY c_nationkey
+          ORDER BY round(total, 4) DESC, c_custkey
+        ) AS rnk
+      FROM spend
+    )
+    SELECT
+      c_nationkey,
+      {cnt("rnk", "rnk")},
+      {cnt("c_custkey", "c_custkey")},
+      {dbl("total", "total_spend")}
+    FROM ranked
+    WHERE rnk <= 3
+    """
+
+
+def _balance_bands_sql(d: str) -> str:
+    # C15: ntile banding + per-band stats (equi-depth histogram shape).
+    return f"""
+    WITH banded AS (
+      SELECT
+        c_acctbal,
+        ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS band
+      FROM customer
+    )
+    SELECT
+      {cnt("band", "band")},
+      {cnt("count(*)", "n")},
+      {dbl("min(c_acctbal)", "lo")},
+      {dbl("max(c_acctbal)", "hi")},
+      {dbl("avg(c_acctbal)", "avg_bal")}
+    FROM banded
+    GROUP BY band
+    """
+
+
+QUERIES = [
+    sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),
+    sql_backed("customers_without_orders", _customers_without_orders_sql, ("customer", "orders")),
+    sql_backed("active_high_value", _active_high_value_sql, ("customer", "orders")),
+    sql_backed("rollup_revenue", _rollup_revenue_sql, ("orders", "customer", "nation", "region")),
+    sql_backed("event_type_pivot", _event_type_pivot_sql, ("events",)),
+    sql_backed("top_customers_per_nation", _top_customers_per_nation_sql, ("customer", "orders")),
+    sql_backed("balance_bands", _balance_bands_sql, ("customer",)),
+]

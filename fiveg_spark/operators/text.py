@@ -127,7 +127,54 @@ def _doc_fingerprint_sql(d: str) -> str:
     """
 
 
+def _tfidf_sql(d: str) -> str:
+    # E14 — TF-IDF top-3 terms per document: explode tokens, tf per
+    # (doc, term), df per term, smoothed idf, rank window per doc.
+    # The df side is a tiny term dictionary -> broadcast at scale.
+    toks = _tok(d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
+    else:
+        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
+    return f"""
+    WITH terms AS (
+      {exploded}
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ),
+    n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ),
+    scored AS (
+      SELECT
+        tf.doc_id,
+        tf.term,
+        round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1e-9, 4) AS score
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, term
+        ) AS rnk
+      FROM scored
+    )
+    SELECT
+      doc_id,
+      {cnt("rnk", "rnk")},
+      term,
+      CAST(score AS DOUBLE) AS tfidf
+    FROM ranked
+    WHERE rnk <= 3
+    """
+
+
 QUERIES = [
+    sql_backed("tfidf_top_terms", _tfidf_sql, ("documents",)),
     sql_backed("lang_id", _lang_id_sql, ("documents",)),
     sql_backed("text_quality", _text_quality_sql, ("documents",)),
     sql_backed("token_counts", _token_counts_sql, ("documents",)),

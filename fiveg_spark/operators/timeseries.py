@@ -251,6 +251,38 @@ def _eval_metrics_sql(d: str) -> str:
     """
 
 
+def _window_entropy_sql(d: str) -> str:
+    # B8 — Shannon entropy of the protocol mix per (slice, hour): the
+    # reference's Entropy_Score feature (train.py:59) computed for real
+    # instead of filled with 0.  Two-level agg + window-over-agg; log2
+    # is identical in both engines.
+    return f"""
+    {flows_cte(d)},
+    counts AS (
+      SELECT
+        slice,
+        date_trunc('hour', ts) AS h,
+        protocol,
+        count(*) AS c
+      FROM flows
+      GROUP BY slice, date_trunc('hour', ts), protocol
+    ),
+    withp AS (
+      SELECT
+        slice, h, c,
+        c / CAST(sum(c) OVER (PARTITION BY slice, h) AS DOUBLE) AS p
+      FROM counts
+    )
+    SELECT
+      slice,
+      h AS window_start,
+      {dbl("-sum(p * log2(p))", "entropy")},
+      {cnt("count(*)", "n_protocols")}
+    FROM withp
+    GROUP BY slice, h
+    """
+
+
 def _event_type_mix_sql(d: str) -> str:
     # C8 — daily event-type shares (agg + window-over-agg).
     return f"""
@@ -305,6 +337,7 @@ QUERIES = [
     sql_backed("robust_scaler_params", _robust_scaler_sql, ("events",)),
     sql_backed("var_lag_features", _var_lag_sql, ("events",)),
     sql_backed("eval_metrics", _eval_metrics_sql, ("events",)),
+    sql_backed("window_entropy", _window_entropy_sql, ("events",)),
     sql_backed("event_type_mix", _event_type_mix_sql, ("events",)),
     sql_backed("value_percentiles", _value_percentiles_sql, ("events",)),
     sql_backed("json_props_stats", _json_props_sql, ("events",)),
