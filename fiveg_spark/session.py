@@ -48,6 +48,11 @@ def get_spark(
         # integer ns→us truncation — matches DuckDB's conversion bit-for-bit)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+        # managed-table warehouse (bucketed tables) out of the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/fiveg_spark_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()

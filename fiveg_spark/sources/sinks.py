@@ -24,6 +24,27 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: tuple[str, ...],
+    n_buckets: int,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles on the join key so
+    repeated joins/aggregations on ``bucket_by`` read co-located data
+    with NO exchange (SURVEY §3 'co-located joins via bucketing').
+
+    Bucketed layout only exists for tables (it needs the metastore to
+    record bucket spec), hence ``saveAsTable`` rather than a path write.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)
+
+
 def streaming_parquet_sink(
     df: DataFrame,
     path: str,
