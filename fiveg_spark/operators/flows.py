@@ -121,7 +121,65 @@ def _slice_throughput_hourly_sql(d: str) -> str:
     """
 
 
+def _session_window_native(spark, sf_dir):
+    # C6b: Spark's NATIVE session_window operator (dynamic gap windows in
+    # the engine itself) — same semantics as the cumsum construction the
+    # oracle uses: a session closes when the next event is >= gap away
+    # (session windows are end-exclusive).
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.sources.tables import load_table
+
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    flows = spark.sql(f"{flows_cte('spark')} SELECT * FROM flows")
+    return (
+        flows.groupBy(
+            "flow_id", F.session_window("ts", f"{int(SESSION_GAP_S)} seconds")
+        )
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
+            F.expr(
+                "CAST(round(coalesce(sum(pkt_len), 0.0) + 1e-9, 4) AS DOUBLE)"
+            ).alias("total_bytes"),
+        )
+        .select(
+            "flow_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "total_bytes",
+        )
+    )
+
+
+def _session_window_oracle() -> str:
+    return f"""
+    {flows_cte("duckdb")},
+    flagged AS (
+      SELECT *,
+        CASE WHEN lag(ts_sec) OVER (PARTITION BY flow_id ORDER BY ts_sec, event_id) IS NULL
+               OR ts_sec - lag(ts_sec) OVER (PARTITION BY flow_id ORDER BY ts_sec, event_id)
+                   >= {SESSION_GAP_S}
+             THEN 1 ELSE 0 END AS is_new
+      FROM flows
+    ),
+    numbered AS (
+      SELECT *,
+        sum(is_new) OVER (PARTITION BY flow_id ORDER BY ts_sec, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    )
+    SELECT
+      flow_id,
+      min(ts) AS session_start,
+      {cnt("count(*)", "n_events")},
+      {dbl("sum(pkt_len)", "total_bytes")}
+    FROM numbered
+    GROUP BY flow_id, session_idx
+    """
+
+
 QUERIES = [
+    Query("session_window_native", _session_window_native, _session_window_oracle()),
     sql_backed("flow_iat_stats", _flow_iat_stats_sql, ("events",)),
     sql_backed("idle_periods", _idle_periods_sql, ("events",)),
     sql_backed("top_flows", _top_flows_sql, ("events",)),

@@ -296,6 +296,49 @@ def _event_type_mix_sql(d: str) -> str:
     """
 
 
+def _feature_correlations_sql(d: str) -> str:
+    # D11 — sample Pearson correlations between the hourly KPI features
+    # (the multivariate structure VAR exploits); corr() is sample-based
+    # in both engines.
+    return f"""
+    {_hourly_cte(d)}
+    SELECT
+      slice,
+      {dbl("corr(throughput_bps, total_packets)", "corr_tp_pkts")},
+      {dbl("corr(throughput_bps, jitter)", "corr_tp_jitter")},
+      {dbl("corr(throughput_bps, latency)", "corr_tp_latency")},
+      {dbl("corr(jitter, latency)", "corr_jitter_latency")},
+      {dbl("corr(congestion, latency)", "corr_cong_latency")}
+    FROM hourly
+    GROUP BY slice
+    """
+
+
+def _value_histogram_sql(d: str) -> str:
+    # C17 — fixed-width histogram via portable bucket arithmetic
+    # (no width_bucket: DuckDB lacks it; floor arithmetic is identical).
+    nbins = 20
+    return f"""
+    WITH bounds AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    bucketed AS (
+      SELECT
+        CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / {nbins}.0)), {nbins - 1}) AS INT) AS bucket,
+        e.value,
+        b.lo, b.hi
+      FROM events e CROSS JOIN bounds b
+    )
+    SELECT
+      bucket,
+      {cnt("count(*)", "n")},
+      {dbl("min(value)", "bucket_min")},
+      {dbl("max(value)", "bucket_max")}
+    FROM bucketed
+    GROUP BY bucket
+    """
+
+
 def _value_percentiles_sql(d: str) -> str:
     # B4 — exact interpolated percentiles per event_type.
     return f"""
@@ -338,6 +381,8 @@ QUERIES = [
     sql_backed("var_lag_features", _var_lag_sql, ("events",)),
     sql_backed("eval_metrics", _eval_metrics_sql, ("events",)),
     sql_backed("window_entropy", _window_entropy_sql, ("events",)),
+    sql_backed("feature_correlations", _feature_correlations_sql, ("events",)),
+    sql_backed("value_histogram", _value_histogram_sql, ("events",)),
     sql_backed("event_type_mix", _event_type_mix_sql, ("events",)),
     sql_backed("value_percentiles", _value_percentiles_sql, ("events",)),
     sql_backed("json_props_stats", _json_props_sql, ("events",)),

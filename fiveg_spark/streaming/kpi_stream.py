@@ -169,3 +169,35 @@ def streaming_kpi36(
         .drop("window")
     )
     return out.na.fill(0.0)
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str], watermark_col: str, delay: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup bounded by the watermark: duplicates of a
+    key are dropped as long as they arrive within ``delay`` of the
+    original — state is garbage-collected past the watermark, so memory
+    is bounded by (throughput × delay), not by stream history."""
+    return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_sessions(
+    packets: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-flow session aggregation on a stream via native session
+    windows (dynamic-length state windows closed by the watermark)."""
+    return (
+        packets.withWatermark("ts", watermark)
+        .groupBy(F.col("flow_id"), F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("pkt_len").alias("total_bytes"),
+        )
+        .select(
+            "flow_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_bytes",
+        )
+    )

@@ -99,3 +99,42 @@ def test_streaming_kpi36_window_agg(spark, packet_stream):
             assert abs(r["Avg_IAT"] - b[key]["Avg_IAT"]) < 1e-9
             checked += 1
     assert checked == len(rows) and checked > 100
+
+
+def test_streaming_dedup_within_watermark(spark, packet_stream, tmp_path):
+    from fiveg_spark.streaming.kpi_stream import streaming_dedup
+
+    stream_pkts, batch_pkts = packet_stream
+    # duplicate the stream by unioning it with itself: every event_id
+    # appears twice; watermark-bounded dedup must collapse them
+    doubled = stream_pkts.union(stream_pkts)
+    deduped = streaming_dedup(doubled, keys=["event_id"], watermark_col="ts")
+    got = _run_to_memory(deduped, "dedup_stream", spark)
+    assert got.count() == batch_pkts.count()
+
+
+def test_streaming_session_windows(spark, packet_stream):
+    from fiveg_spark.streaming.kpi_stream import streaming_sessions
+
+    stream_pkts, batch_pkts = packet_stream
+    got = _run_to_memory(
+        streaming_sessions(stream_pkts, gap="30 minutes", watermark="0 seconds"),
+        "session_stream",
+        spark,
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # append mode only emits sessions CLOSED by the final watermark
+    # (= max event time with 0s delay): sessions still open at
+    # end-of-stream stay in state.  Compare against exactly the batch
+    # sessions whose end <= max ts.
+    max_ts = batch_pkts.agg(F.max("ts")).collect()[0][0]
+    batch_closed = (
+        batch_pkts.groupBy("flow_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .filter(F.col("session_window.end") <= max_ts)
+    )
+    closed_rows = batch_closed.collect()
+    assert len(rows) == len(closed_rows)
+    assert sum(r["n_events"] for r in rows) == sum(r["n_events"] for r in closed_rows)
+    assert batch_pkts.count() - sum(r["n_events"] for r in rows) >= 1  # open tail retained
