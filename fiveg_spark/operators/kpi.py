@@ -185,15 +185,26 @@ def with_iat(packets: DataFrame) -> DataFrame:
     return packets.selectExpr("*", IAT_EXPR)
 
 
-def kpi36(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship: 36 KPIs per (slice, hour window)."""
-    flows = with_iat(packet_view(spark, sf_dir))
-    aggs = [F.expr(e) for e in kpi_aggregates(dialect="spark")]
+def kpi36_from_packets(
+    packets: DataFrame,
+    window: str = "hour",
+    **agg_kwargs,
+) -> DataFrame:
+    """36 KPIs from ANY canonical packet frame (events-mapped view, PCAP
+    decode via ``sources.pcap.to_canonical_packets``, or Kafka-parsed
+    records) — the single aggregation the whole ingest tier feeds."""
+    flows = with_iat(packets)
+    aggs = [F.expr(e) for e in kpi_aggregates(dialect="spark", **agg_kwargs)]
     return (
-        flows.withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+        flows.withColumn("window_start", F.date_trunc(window, F.col("ts")))
         .groupBy("slice", "window_start")
         .agg(*aggs)
     )
+
+
+def kpi36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 36 KPIs per (slice, hour window)."""
+    return kpi36_from_packets(packet_view(spark, sf_dir))
 
 
 def flows_cte(dialect: str) -> str:

@@ -145,6 +145,32 @@ def _parse_packet(
     )
 
 
+def to_canonical_packets(pcap_df: DataFrame) -> DataFrame:
+    """PCAP packet events → the canonical packet frame every KPI
+    operator consumes (operators/kpi.py packet_view schema): the
+    real-ingest end of the same pipeline the synthetic events feed.
+
+    flow_id becomes a stable 64-bit hash of the reference's string
+    flowId (srcIp_dstIp_ports_proto) so downstream keyed shuffles and
+    the stateful streaming IAT treat both sources identically.
+    """
+    from pyspark.sql import functions as F
+
+    return pcap_df.select(
+        F.abs(F.xxhash64("flow_id", "file_name")).alias("event_id"),
+        F.timestamp_micros((F.col("timestamp") * 1_000_000).cast("long")).alias("ts"),
+        F.col("slice_type").alias("slice"),
+        F.abs(F.xxhash64("flow_id")).alias("flow_id"),
+        F.col("timestamp").alias("ts_sec"),
+        F.col("packet_len").cast("double").alias("pkt_len"),
+        "protocol",
+        "src_port",
+        "dst_port",
+        F.col("window_size").alias("win_size"),
+        "tcp_flags",
+    )
+
+
 def read_pcap(
     spark: SparkSession,
     path: str,

@@ -170,3 +170,35 @@ def test_streaming_parquet_sink(spark, tmp_path):
     q.awaitTermination(120)
     back = spark.read.parquet(str(tmp_path / "out"))
     assert back.count() == spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+
+def test_pcap_to_kpi_end_to_end(spark, tmp_path):
+    """The reference's full phase-2→3 shape: pcap bytes → decode →
+    canonical packets → 36-KPI windowed aggregation."""
+    from fiveg_spark.operators.kpi import kpi36_from_packets
+    from fiveg_spark.sources.pcap import to_canonical_packets
+
+    d = tmp_path / "caps" / "urllc"
+    d.mkdir(parents=True)
+    # two flows, packets 10 min apart spanning ~3 hours
+    pkts_a = [_ipv4_tcp_packet(sport=5001, payload=b"a" * (30 + 7 * i)) for i in range(12)]
+    pkts_b = [_ipv4_tcp_packet(src=(10, 0, 0, 9), sport=6001, win=0, payload=b"b" * 40) for i in range(12)]
+    blob = b""
+    end = "<"
+    blob += struct.pack(f"{end}IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1)
+    for i, pkt in enumerate(pkts_a + pkts_b):
+        ts = 1700000000 + (i % 12) * 600
+        blob += struct.pack(f"{end}IIII", ts, 0, len(pkt), len(pkt))
+        blob += pkt
+    (d / "c.pcap").write_bytes(blob)
+
+    packets = to_canonical_packets(read_pcap(spark, str(tmp_path / "caps")))
+    kpis = kpi36_from_packets(packets, idle_threshold=900.0, small_pkt=60.0, large_pkt=90.0)
+    rows = kpis.collect()
+    assert len(rows) == 3  # 3 hourly windows, single slice
+    assert all(r["slice"] == "URLLC" for r in rows)
+    assert len(rows[0].asDict()) == 2 + 36
+    total = {r["window_start"]: r["Total_Packets"] for r in rows}
+    assert sum(total.values()) == 24
+    # zero-window TCP packets from flow B are visible in the health KPIs
+    assert sum(r["Zero_Win_Count"] for r in rows) == 12
