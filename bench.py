@@ -45,12 +45,13 @@ def main() -> None:
 
     queries = contract.queries()
     timings: dict[str, float] = {}
-    # two timed runs per query, keep the steady-state (min): the first
+    # three timed runs per query, keep the steady-state (min): the first
     # execution in this environment pays one-off JVM/page-fault warm-up
-    # that a resident cluster service would not see per-query
+    # (and co-tenant load spikes) that a resident cluster service would
+    # not see per-query
     for name in HEADLINE:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = queries[name](spark, sf_dir).count()
             dt = round(time.time() - t0, 3)
