@@ -22,13 +22,14 @@ from fiveg_spark.operators import dedup as _dedup
 from fiveg_spark.operators import simhash as _simhash
 from fiveg_spark.operators import flows as _flows
 from fiveg_spark.operators import kpi as _kpi
+from fiveg_spark.operators import quality as _quality
 from fiveg_spark.operators import relational_ext as _rel_ext
 from fiveg_spark.operators import similarity as _similarity
 from fiveg_spark.operators import text as _text
 from fiveg_spark.operators import timeseries as _timeseries
 from fiveg_spark.operators import tpch as _tpch
 
-_MODULES = (_flows, _timeseries, _tpch, _rel_ext, _asof, _dedup, _text, _similarity, _ml, _simhash, _ann)
+_MODULES = (_flows, _timeseries, _tpch, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _simhash, _ann)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -178,7 +178,31 @@ def _session_window_oracle() -> str:
     """
 
 
+def _approx_variants(spark, sf_dir):
+    # Production-scale variants of the exact aggregates: HLL distinct
+    # counts and approx percentiles (mergeable sketches -> one pass, no
+    # Expand, no exact-distinct shuffle multiplication).  Rows-only:
+    # sketch internals differ across engines by design; the exact
+    # queries above are the correctness anchor.
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.sources.tables import load_table
+
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    flows = spark.sql(f"{flows_cte('spark')} SELECT * FROM flows")
+    return flows.groupBy("slice").agg(
+        F.approx_count_distinct("flow_id").alias("approx_flows"),
+        F.approx_count_distinct("pkt_len").alias("approx_pkt_sizes"),
+        F.expr("percentile_approx(iat, 0.5, 1000)").alias("approx_iat_median"),
+        F.expr("percentile_approx(pkt_len, array(0.5, 0.95, 0.99), 1000)").alias(
+            "approx_pkt_percentiles"
+        ),
+        F.count("*").alias("n"),
+    )
+
+
 QUERIES = [
+    Query("approx_variants", _approx_variants, None),
     Query("session_window_native", _session_window_native, _session_window_oracle()),
     sql_backed("flow_iat_stats", _flow_iat_stats_sql, ("events",)),
     sql_backed("idle_periods", _idle_periods_sql, ("events",)),

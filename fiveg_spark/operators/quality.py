@@ -1,0 +1,112 @@
+"""Data-quality / validation operators (pipeline hygiene at 100 TB).
+
+Constraint checking as aggregation: null ratios, domain ranges,
+referential integrity, duplicate keys — each check is a cheap aggregate
+over one scan (or one broadcast-joined scan), so validating a 100 TB
+drop costs one pass, not one pass per rule.
+
+Also: window-function breadth (`window_functions_suite`) and the
+non-equi interval join (`interval_join_stats`) — the remaining classic
+analytics shapes.  All shared-text SQL, oracle-checked.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+
+
+def _dq_checks_sql(d: str) -> str:
+    # one scan per table, union of rule results
+    return f"""
+    SELECT 'events_null_props' AS rule,
+      {cnt("sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)", "violations")},
+      {cnt("count(*)", "n_rows")}
+    FROM events
+    UNION ALL
+    SELECT 'events_value_range' AS rule,
+      {cnt("sum(CASE WHEN value < 0 OR value > 1e6 THEN 1 ELSE 0 END)", "violations")},
+      {cnt("count(*)", "n_rows")}
+    FROM events
+    UNION ALL
+    SELECT 'orders_orphan_customer' AS rule,
+      {cnt("sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)", "violations")},
+      {cnt("count(*)", "n_rows")}
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orphan_order' AS rule,
+      {cnt("sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)", "violations")},
+      {cnt("count(*)", "n_rows")}
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'customer_dup_key' AS rule,
+      {cnt("count(*) - count(DISTINCT c_custkey)", "violations")},
+      {cnt("count(*)", "n_rows")}
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem_negative_qty' AS rule,
+      {cnt("sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)", "violations")},
+      {cnt("count(*)", "n_rows")}
+    FROM lineitem
+    """
+
+
+def _window_suite_sql(d: str) -> str:
+    # the remaining window-function family over the daily order series:
+    # percent_rank / cume_dist / nth value via min-over-frame / range frame
+    return f"""
+    WITH daily AS (
+      SELECT
+        CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        sum(o_totalprice) AS revenue,
+        count(*) AS n_orders
+      FROM orders
+      GROUP BY date_trunc('day', o_orderdate)
+    )
+    SELECT
+      day,
+      {dbl("revenue", "revenue")},
+      {dbl("percent_rank() OVER (ORDER BY round(revenue, 4), day)", "pr")},
+      {dbl("cume_dist() OVER (ORDER BY round(revenue, 4), day)", "cd")},
+      {dbl("first_value(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", "week_ago")},
+      {dbl("sum(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)", "trailing_7d")},
+      {cnt("count(*) OVER (ORDER BY day RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW)", "days_in_range")}
+    FROM daily
+    """
+
+
+def _interval_join_sql(d: str) -> str:
+    # non-equi (range) interval join: events matched into promo windows
+    # derived from the highest-revenue days.  Spark: broadcast the tiny
+    # interval table → BroadcastNestedLoopJoin on the range predicate;
+    # DuckDB: IEJoin.  Same answer, different physical strategy.
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             sum(o_totalprice) AS revenue
+      FROM orders
+      GROUP BY date_trunc('day', o_orderdate)
+    ),
+    promo AS (
+      SELECT day AS promo_start,
+             CAST(day + INTERVAL 2 DAY AS DATE) AS promo_end
+      FROM daily
+      ORDER BY round(revenue, 4) DESC, day
+      LIMIT 5
+    )
+    SELECT
+      p.promo_start,
+      {cnt("count(e.event_id)", "n_events")},
+      {dbl("sum(e.value)", "total_value")}
+    FROM promo p
+    LEFT JOIN events e
+      ON CAST(e.ts AS DATE) >= p.promo_start
+     AND CAST(e.ts AS DATE) < p.promo_end
+    GROUP BY p.promo_start
+    """
+
+
+QUERIES = [
+    sql_backed("dq_checks", _dq_checks_sql, ("events", "orders", "customer", "lineitem")),
+    sql_backed("window_functions_suite", _window_suite_sql, ("orders",)),
+    sql_backed("interval_join_stats", _interval_join_sql, ("orders", "events")),
+]
