@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from fiveg_spark.ml import mllib_models as _mllib
 from fiveg_spark.ml import queries as _ml
 from fiveg_spark.operators import ann_lsh as _ann
 from fiveg_spark.operators import asof as _asof
@@ -29,7 +30,7 @@ from fiveg_spark.operators import text as _text
 from fiveg_spark.operators import timeseries as _timeseries
 from fiveg_spark.operators import tpch as _tpch
 
-_MODULES = (_flows, _timeseries, _tpch, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _simhash, _ann)
+_MODULES = (_flows, _timeseries, _tpch, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _mllib, _simhash, _ann)
 
 
 def entry(spark: SparkSession) -> DataFrame:

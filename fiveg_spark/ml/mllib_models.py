@@ -1,0 +1,146 @@
+"""MLlib-native counterparts of the hand-built operators.
+
+Where Spark MLlib ships a distributed implementation of something this
+engine needs, we expose it alongside the from-scratch version:
+
+- ``linear_baseline``: Pipeline(VectorAssembler → StandardScaler →
+  LinearRegression) forecasting next-hour throughput from VAR lag
+  features — the classic MLlib-pipeline shape (fit = distributed WLS
+  normal equations, exactly the layout ml/var.py hand-rolls).
+- ``mllib_minhash_pairs``: HashingTF token sets → MinHashLSH
+  ``approxSimilarityJoin`` — MLlib's own banded MinHash, complementing
+  the md5-based oracle-checked implementation in operators/dedup.py.
+- ``mllib_ann_topk``: BucketedRandomProjectionLSH
+  ``approxNearestNeighbors`` — MLlib's Euclidean-LSH ANN, complementing
+  operators/ann_lsh.py's cosine hyperplanes.
+
+All rows-only in the contract (MLlib's hash seeds/solvers are not
+reproducible in DuckDB); pytests pin behavior against the from-scratch
+implementations and closed-form solutions.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import (
+    BucketedRandomProjectionLSH,
+    HashingTF,
+    MinHashLSH,
+    NGram,
+    RegexTokenizer,
+    StandardScaler,
+    VectorAssembler,
+)
+from pyspark.ml.functions import array_to_vector
+from pyspark.ml.regression import LinearRegression
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiveg_spark.plans.registry import Query
+from fiveg_spark.sources.tables import load_table
+
+
+def linear_baseline(spark: SparkSession, sf_dir: str, p: int = 3) -> DataFrame:
+    """Per-slice next-hour throughput AR(p) baseline as an MLlib Pipeline.
+
+    Returns one row per slice with train RMSE/R² and coefficient count —
+    a compact, deterministic surface (LinearRegression with the 'normal'
+    solver is exact least squares, no SGD nondeterminism).
+    """
+    from fiveg_spark.operators.timeseries import _var_lag_sql
+
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    lagged = spark.sql(_var_lag_sql("spark"))
+
+    pipeline = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["y_l1", "y_l2", "y_l3"][:p], outputCol="raw"),
+            StandardScaler(inputCol="raw", outputCol="features"),
+            LinearRegression(
+                featuresCol="features", labelCol="y", solver="normal", regParam=0.0
+            ),
+        ]
+    )
+    rows = []
+    for slice_name in ("eMBB", "URLLC", "mMTC"):
+        part = lagged.filter(F.col("slice") == slice_name)
+        model = pipeline.fit(part)
+        lr = model.stages[-1]
+        rows.append(
+            (
+                slice_name,
+                int(lr.numFeatures),
+                round(float(lr.summary.rootMeanSquaredError), 4),
+                round(float(lr.summary.r2), 4),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "slice string, n_features int, train_rmse double, train_r2 double"
+    )
+
+
+def _doc_features(spark: SparkSession, sf_dir: str, num_features: int = 1 << 18):
+    """tokens → 3-gram shingles → binary hashed set vectors: the same
+    shingle granularity as operators/dedup.py, so set-Jaccard measures
+    near-duplication rather than shared vocabulary."""
+    docs = load_table(spark, "documents", sf_dir)
+    tokenizer = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern=" +", toLowercase=True
+    )
+    ngram = NGram(n=3, inputCol="tokens", outputCol="shingles")
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    return tf.transform(ngram.transform(tokenizer.transform(docs)))
+
+
+def mllib_minhash_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """MinHashLSH approxSimilarityJoin over binary shingle-set vectors
+    (``threshold`` is Jaccard DISTANCE: 0.5 → similarity ≥ 0.5)."""
+    feats = _doc_features(spark, sf_dir).filter(
+        F.expr("size(shingles)") > 0
+    )
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = mh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1.0 - F.col("jaccard_dist"), 4).alias("jaccard"),
+        )
+    )
+
+
+def mllib_ann_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """BucketedRandomProjectionLSH approximate nearest neighbours."""
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=8,
+        bucketLength=2.0,
+        seed=42,
+    )
+    model = brp.fit(emb)
+    query = emb.filter(F.col("vec_id") == query_vec_id).first()["features"]
+    neighbours = model.approxNearestNeighbors(
+        emb.filter(F.col("vec_id") != query_vec_id), query, k, distCol="dist"
+    )
+    return neighbours.select(
+        "vec_id", "label", F.round("dist", 4).alias("euclidean_dist")
+    )
+
+
+QUERIES = [
+    Query("mllib_linear_baseline", linear_baseline, None),
+    Query("mllib_minhash_pairs", mllib_minhash_pairs, None),
+    Query("mllib_ann_topk", mllib_ann_topk, None),
+]
