@@ -22,6 +22,7 @@ from fiveg_spark.operators import asof as _asof
 from fiveg_spark.operators import dedup as _dedup
 from fiveg_spark.operators import simhash as _simhash
 from fiveg_spark.operators import flows as _flows
+from fiveg_spark.operators import graph as _graph
 from fiveg_spark.operators import kpi as _kpi
 from fiveg_spark.operators import quality as _quality
 from fiveg_spark.operators import relational_ext as _rel_ext
@@ -30,7 +31,7 @@ from fiveg_spark.operators import text as _text
 from fiveg_spark.operators import timeseries as _timeseries
 from fiveg_spark.operators import tpch as _tpch
 
-_MODULES = (_flows, _timeseries, _tpch, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _mllib, _simhash, _ann)
+_MODULES = (_flows, _timeseries, _tpch, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _mllib, _simhash, _ann, _graph)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,155 @@
+"""Connected components for dedup clustering (SURVEY §2 E15).
+
+Near-dup candidate pairs are edges; the dedup decision needs the
+transitive closure — A~B, B~C ⇒ {A,B,C} is one cluster with one keeper.
+This is the standard last step of large-scale corpus dedup.
+
+Spark-first: iterative minimum-label propagation (the large-star/
+small-star simplification).  Each round is one join + one groupBy on
+the edge list; the label of every vertex converges to the component's
+minimum doc_id in O(log diameter) rounds.  Convergence is checked with
+a cheap count per round — at 100 TB the edge list after LSH blocking is
+a tiny fraction of the corpus, and each round is shuffle-bounded by it.
+
+Oracle: a DuckDB RECURSIVE CTE enumerating reachability and taking the
+min reachable id — a completely different algorithm that must land on
+identical cluster roots (min-id is algorithm-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiveg_spark.operators.dedup import JACCARD_THRESHOLD, _ngram_jaccard_sql, _shingles_cte
+from fiveg_spark.plans.registry import Query, cnt
+from fiveg_spark.sources.tables import load_table
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(src, dst) edge list → (node, component) with component = min
+    node id in the connected component."""
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").union(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    )
+    # materialize once: every propagation round re-reads the edge list,
+    # which must not re-run the (possibly expensive) upstream pair plan
+    sym = sym.localCheckpoint()
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("component", F.col("node"))
+    for _ in range(max_iter):
+        msgs = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("msg"))
+        )
+        new_labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("msg"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        # pointer doubling: component ← component(component).  Neighbor
+        # propagation alone needs O(diameter) rounds; the shortcut makes
+        # long chains collapse in O(log diameter).
+        as_parent = new_labels.select(
+            F.col("node").alias("p_node"), F.col("component").alias("p_comp")
+        )
+        new_labels = (
+            new_labels.join(
+                as_parent, new_labels["component"] == as_parent["p_node"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("p_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()  # truncate the iterative lineage
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from exact-Jaccard pairs: (root, n_docs)."""
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    pairs = spark.sql(_ngram_jaccard_sql("spark")).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("component").cast("long").alias("cluster_root"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    return f"""
+    {_shingles_cte("duckdb")},
+    blocked AS (
+      SELECT s.doc_id, doc.lang, doc.source, s.shingle
+      FROM shingles s JOIN documents doc ON s.doc_id = doc.doc_id
+    ),
+    sizes AS (
+      SELECT doc_id, lang, source, count(*) AS n_sh
+      FROM blocked GROUP BY doc_id, lang, source
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM blocked a
+      JOIN blocked b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN sizes sa ON i.doc_a = sa.doc_id
+      JOIN sizes sb ON i.doc_b = sb.doc_id
+      WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE)
+            >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    nodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT rc.node, e.b FROM reach rc JOIN edges e ON e.a = rc.r
+    ),
+    comp AS (
+      SELECT node, min(r) AS component FROM reach GROUP BY node
+    )
+    SELECT
+      CAST(component AS BIGINT) AS cluster_root,
+      {cnt("count(*)", "n_docs")}
+    FROM comp
+    GROUP BY component
+    """
+
+
+QUERIES = [
+    Query("dedup_clusters", dedup_clusters, "WITH RECURSIVE " + _dedup_clusters_oracle().lstrip().removeprefix("WITH ")),
+]
