@@ -283,6 +283,62 @@ def _window_entropy_sql(d: str) -> str:
     """
 
 
+def _cohort_retention_sql(d: str) -> str:
+    # C23 — weekly cohort retention: users bucketed by first-seen day,
+    # activity tracked in 7-day offsets.  Only the day-difference
+    # function differs between engines.
+    if d == "spark":
+        ddiff = "date_diff(day, first_day)"
+    else:
+        ddiff = "date_diff('day', first_day, day)"
+    return f"""
+    WITH activity AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    firsts AS (
+      SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id
+    ),
+    offsets AS (
+      SELECT
+        f.first_day,
+        CAST(floor({ddiff} / 7.0) AS INT) AS week_offset,
+        a.user_id
+      FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    )
+    SELECT
+      first_day AS cohort_day,
+      {cnt("week_offset", "week_offset")},
+      {cnt("count(DISTINCT user_id)", "active_users")}
+    FROM offsets
+    GROUP BY first_day, week_offset
+    """
+
+
+def _funnel_sql(d: str) -> str:
+    # C24 — ordered funnel view -> click -> purchase per user: stage
+    # timestamps must be strictly increasing.  Conditional min-aggs +
+    # one count — a single shuffle on user_id.
+    return f"""
+    WITH stages AS (
+      SELECT
+        user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      {cnt("count(*)", "n_users")},
+      {cnt("sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)", "reached_view")},
+      {cnt("sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 ELSE 0 END)", "reached_click")},
+      {cnt("sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END)", "reached_purchase")}
+    FROM stages
+    """
+
+
 def _event_type_mix_sql(d: str) -> str:
     # C8 — daily event-type shares (agg + window-over-agg).
     return f"""
@@ -382,6 +438,8 @@ QUERIES = [
     sql_backed("eval_metrics", _eval_metrics_sql, ("events",)),
     sql_backed("window_entropy", _window_entropy_sql, ("events",)),
     sql_backed("feature_correlations", _feature_correlations_sql, ("events",)),
+    sql_backed("cohort_retention", _cohort_retention_sql, ("events",)),
+    sql_backed("funnel_stages", _funnel_sql, ("events",)),
     sql_backed("value_histogram", _value_histogram_sql, ("events",)),
     sql_backed("event_type_mix", _event_type_mix_sql, ("events",)),
     sql_backed("value_percentiles", _value_percentiles_sql, ("events",)),
