@@ -92,14 +92,17 @@ def ann_lsh(
     planes_bc = spark.sparkContext.broadcast(hyperplanes())
     buckets = bucketize(emb, planes_bc)
 
+    # Rename the probe side before the self-join: q_buckets derives from
+    # buckets, so an unrenamed `table == table` resolves to one attribute
+    # (trivially true) and the per-table pruning silently disappears.
     q_buckets = buckets.filter(F.col("vec_id") == query_vec_id).select(
-        "table", F.col("bucket").alias("q_bucket")
+        F.col("table").alias("q_table"), F.col("bucket").alias("q_bucket")
     )
     candidates = (
         buckets.join(
             F.broadcast(q_buckets),
-            (buckets["table"] == q_buckets["table"])
-            & (buckets["bucket"] == q_buckets["q_bucket"]),
+            (F.col("table") == F.col("q_table"))
+            & (F.col("bucket") == F.col("q_bucket")),
         )
         .filter(F.col("vec_id") != query_vec_id)
         .select("vec_id")
@@ -125,14 +128,11 @@ def ann_lsh(
         CROSS JOIN q
         """
     )
-    from pyspark.sql import Window
-
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heap +
+    # driver merge of k rows) — no single-partition window shuffle.
     return (
-        scored.withColumn(
-            "rnk",
-            F.row_number().over(Window.orderBy(F.desc("cosine"), F.asc("vec_id"))),
-        )
-        .filter(F.col("rnk") <= k)
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
         .select("vec_id", "label", "cosine")
     )
 
