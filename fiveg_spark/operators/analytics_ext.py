@@ -1,0 +1,214 @@
+"""Extended analytics shapes: multi-grouping, set ops, TS smoothing/anomaly.
+
+SURVEY §2 C26-C31 + E16.  All shared-text SQL except the array-HOF query
+(Spark `aggregate` lambda ↔ DuckDB `list_*`).
+
+Scale notes: GROUPING SETS / CUBE expand per grouping set BEFORE the
+shuffle (Spark's Expand operator) — one pass over the fact table, k×
+map-side rows, still a single shuffle keyed by the padded group key.
+INTERSECT/EXCEPT lower to distinct + semi/anti hash joins on the
+already-distinct year cohorts (small relative to orders).  EWMA and
+z-score run over the day-level aggregate (one shuffle over events, then
+window/join plans on ~#days × #types rows).
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, sql_backed
+
+# Day-level value series per event_type; measure rounded so every
+# downstream window sees identical inputs in both engines.
+_DAILY = f"""
+    daily AS (
+      SELECT
+        event_type,
+        CAST(date_trunc('day', ts) AS DATE) AS day,
+        CAST(round(sum(value) + {NUDGE}, 4) AS DOUBLE) AS v
+      FROM events
+      GROUP BY event_type, CAST(date_trunc('day', ts) AS DATE)
+    )"""
+
+
+def _grouping_sets_sql(d: str) -> str:
+    # C26: explicit GROUPING SETS lattice with grouping() disambiguation
+    # flags (NULL group key vs NULL-from-padding).
+    return f"""
+    SELECT
+      l_returnflag, l_linestatus,
+      {cnt("grouping(l_returnflag)", "g_rf")},
+      {cnt("grouping(l_linestatus)", "g_ls")},
+      {cnt("count(*)", "n_items")},
+      {dbl("sum(l_extendedprice * (1 - l_discount))", "revenue")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+    """
+
+
+def _cube_sql(d: str) -> str:
+    # C27: full CUBE over (event_type, month) — all 4 grouping sets.
+    return f"""
+    WITH monthly AS (
+      SELECT event_type, CAST(date_trunc('month', ts) AS DATE) AS month, value
+      FROM events
+    )
+    SELECT
+      event_type,
+      coalesce(CAST(month AS STRING), 'ALL') AS month,
+      {cnt("grouping(event_type)", "g_type")},
+      {cnt("grouping(month)", "g_month")},
+      {cnt("count(*)", "n_events")},
+      {dbl("sum(value)", "total_value")}
+    FROM monthly
+    GROUP BY CUBE (event_type, month)
+    """
+
+
+def _set_ops_sql(d: str) -> str:
+    # C28: INTERSECT / EXCEPT cohort arithmetic on year-active customers
+    # (lowers to distinct + semi/anti hash joins; no full materialization).
+    def year_cte(name: str, y: int) -> str:
+        return f"""{name} AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{y}-01-01'
+        AND o_orderdate < TIMESTAMP '{y + 1}-01-01'
+    )"""
+
+    return f"""
+    WITH {year_cte("y97", 1997)},
+    {year_cte("y98", 1998)}
+    SELECT 'retained' AS cohort, {cnt("count(*)", "n_customers")}
+    FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98) t
+    UNION ALL
+    SELECT 'churned' AS cohort, {cnt("count(*)", "n_customers")}
+    FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98) t
+    UNION ALL
+    SELECT 'new' AS cohort, {cnt("count(*)", "n_customers")}
+    FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97) t
+    """
+
+
+def _ewma_sql(d: str) -> str:
+    # C29: EWMA (pandas adjust=True semantics) as ONE window pass via the
+    # scaled-cumsum identity:  Σ v_i·r^(t-i) = r^t · Σ v_i·r^(-i).
+    # pow(r,-rn) grows as r^-days — safe for day-granularity series
+    # (r=0.8, 365 days → 4e35 ≪ double max; do NOT reuse at second
+    # granularity without re-deriving the range).  Terms the scaling
+    # drowns (beyond ~150 days back) are exactly the terms EWMA itself
+    # has already damped below double precision.
+    r = "0.8"
+    return f"""
+    WITH {_DAILY},
+    numbered AS (
+      SELECT *,
+        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS INT) AS rn
+      FROM daily
+    ),
+    scaled AS (
+      SELECT *,
+        sum(v * power({r}, -rn)) OVER (
+          PARTITION BY event_type ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM numbered
+    )
+    SELECT
+      event_type, day, v AS daily_value,
+      {dbl(f"power({r}, rn) * s * (1 - {r}) / (1 - power({r}, rn + 1))", "ewma")}
+    FROM scaled
+    """
+
+
+def _zscore_sql(d: str) -> str:
+    # C30: z-score anomalies vs the per-type distribution.  Sample std
+    # from Σx, Σx² (explicit formula — engine-identical, see §4 rules);
+    # the |z|>2 filter runs on the ROUNDED z so both engines apply an
+    # identical predicate to an identical value.
+    z = (
+        "round((v - s1 / n) /"
+        " sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 1e-12))"
+        f" + {NUDGE}, 4)"
+    )
+    return f"""
+    WITH {_DAILY},
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             sum(v) AS s1,
+             sum(v * v) AS s2
+      FROM daily GROUP BY event_type
+    ),
+    scored AS (
+      SELECT d.event_type, d.day, d.v, CAST({z} AS DOUBLE) AS z
+      FROM daily d JOIN stats s ON d.event_type = s.event_type
+    )
+    SELECT event_type, day,
+           CAST(v AS DOUBLE) AS daily_value,
+           CAST(z AS DOUBLE) AS zscore
+    FROM scored
+    WHERE abs(z) > 2.0
+    """
+
+
+def _mode_sql(d: str) -> str:
+    # C31: modal event_type per day (count-rank with deterministic
+    # tiebreak — never engine-native mode(), whose ties are unspecified).
+    return f"""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n
+      FROM events
+      GROUP BY CAST(date_trunc('day', ts) AS DATE), event_type
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type) AS rnk
+      FROM c
+    )
+    SELECT day, event_type AS modal_type, {cnt("n", "n_events")}
+    FROM ranked WHERE rnk = 1
+    """
+
+
+def _emb_norm_sql(d: str) -> str:
+    # E16: array higher-order functions stay engine-side in BOTH engines
+    # (Spark lambda `aggregate` in codegen, DuckDB list_* kernels) — the
+    # pattern every embedding-column metric builds on.  float32 elements
+    # are cast to double BEFORE squaring so both engines square the same
+    # value.
+    if d == "spark":
+        norm = (
+            "sqrt(aggregate(CAST(embedding AS ARRAY<DOUBLE>), 0D,"
+            " (acc, x) -> acc + x * x))"
+        )
+        first = "CAST(element_at(embedding, 1) AS DOUBLE)"
+        dim = "size(embedding)"
+    else:
+        norm = (
+            "sqrt(list_sum(list_transform(embedding,"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+        first = "CAST(embedding[1] AS DOUBLE)"
+        dim = "len(embedding)"
+    return f"""
+    SELECT
+      label,
+      {cnt("count(*)", "n_vecs")},
+      {cnt(f"max({dim})", "dim")},
+      {dbl(f"avg({norm})", "avg_norm")},
+      {dbl(f"min({norm})", "min_norm")},
+      {dbl(f"max({norm})", "max_norm")},
+      {dbl(f"avg({first})", "avg_first_dim")}
+    FROM embeddings
+    GROUP BY label
+    """
+
+
+QUERIES = [
+    sql_backed("grouping_sets_mix", _grouping_sets_sql, ("lineitem",)),
+    sql_backed("cube_event_volume", _cube_sql, ("events",)),
+    sql_backed("set_ops_cohorts", _set_ops_sql, ("orders",)),
+    sql_backed("ewma_throughput", _ewma_sql, ("events",)),
+    sql_backed("zscore_anomalies", _zscore_sql, ("events",)),
+    sql_backed("daily_modal_type", _mode_sql, ("events",)),
+    sql_backed("embedding_norm_stats", _emb_norm_sql, ("embeddings",)),
+]

@@ -49,6 +49,40 @@ def _q2_sql(d: str) -> str:
     """
 
 
+def _q4_sql(d: str) -> str:
+    # Q4: order-priority count over orders having at least one late line
+    # (EXISTS correlated on the outer order; "late" = shipped after the
+    # order date since the driver schema has no commitdate).
+    return f"""
+    SELECT o.o_orderpriority, {cnt("count(*)", "order_count")}
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o.o_orderpriority
+    """
+
+
+def _q12_sql(d: str) -> str:
+    # Q12 shape: priority-class conditional counts per category (driver
+    # schema has no shipmode -> returnflag is the category axis).
+    return f"""
+    SELECT l.l_returnflag,
+           {cnt("sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END)", "high_line_count")},
+           {cnt("sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')"
+                " THEN 1 ELSE 0 END)", "low_line_count")}
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """
+
+
 def _q7_sql(d: str) -> str:
     # Q7: volume shipping between two nations; nation dim joined twice
     # (supplier side + customer side), symmetric pair filter, per-year agg.
@@ -270,6 +304,25 @@ def _q19_sql(d: str) -> str:
     """
 
 
+def _q20_sql(d: str) -> str:
+    # Q20 shape: two-level nested IN (supplier <- shipped-lines <- part
+    # name filter) with a grouped-HAVING volume threshold; both INs
+    # decorrelate to semi joins.  Threshold compares an exact integer sum.
+    return f"""
+    SELECT s.s_name, {dbl("s.s_acctbal", "s_acctbal")}
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l
+      WHERE l.l_partkey IN (
+          SELECT p.p_partkey FROM part p WHERE p.p_name LIKE '%widget%'
+        )
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey HAVING sum(l.l_quantity) > 50
+    )
+    """
+
+
 def _q21_sql(d: str) -> str:
     # Q21 shape: suppliers who were the SOLE late shipper on a finished
     # multi-supplier order ("late" = shipped after the order date; the
@@ -316,6 +369,9 @@ def _q22_sql(d: str) -> str:
 
 QUERIES = [
     sql_backed("q2_min_cost_part", _q2_sql, ("part",)),
+    sql_backed("q4_priority_count", _q4_sql, ("orders", "lineitem")),
+    sql_backed("q12_priority_class", _q12_sql, ("orders", "lineitem")),
+    sql_backed("q20_excess_suppliers", _q20_sql, ("supplier", "lineitem", "part")),
     sql_backed(
         "q7_volume_shipping",
         _q7_sql,

@@ -1,0 +1,72 @@
+"""Semantic checks for analytics_ext — oracle parity proves Spark≡DuckDB,
+these pin the formulas against independent references (pandas / numpy)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from fiveg_spark.operators.analytics_ext import QUERIES
+
+_Q = {q.name: q for q in QUERIES}
+
+SF_DIR = None  # set from conftest fixture default
+
+
+def _run(spark, name):
+    import tests.conftest as c
+
+    return _Q[name].run(spark, c.SF_DIR).toPandas()
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    out = _run(spark, "ewma_throughput").sort_values(["event_type", "day"])
+    for et, grp in out.groupby("event_type"):
+        expected = grp["daily_value"].ewm(alpha=0.2, adjust=True).mean()
+        np.testing.assert_allclose(
+            grp["ewma"].to_numpy(), expected.to_numpy(), atol=2e-4
+        )
+
+
+def test_zscore_matches_numpy(spark):
+    anomalies = _run(spark, "zscore_anomalies")
+    daily = _run(spark, "ewma_throughput")[["event_type", "day", "daily_value"]]
+    for et, grp in daily.groupby("event_type"):
+        v = grp["daily_value"].to_numpy()
+        z = (v - v.mean()) / v.std(ddof=1)
+        expect_days = set(grp["day"].to_numpy()[np.abs(np.round(z, 4)) > 2.0])
+        got_days = set(anomalies[anomalies["event_type"] == et]["day"])
+        assert got_days == expect_days
+
+
+def test_cube_totals_consistent(spark):
+    out = _run(spark, "cube_event_volume")
+    grand = out[(out["g_type"] == 1) & (out["g_month"] == 1)]
+    assert len(grand) == 1
+    per_type = out[(out["g_type"] == 0) & (out["g_month"] == 1)]
+    assert per_type["n_events"].sum() == grand["n_events"].iloc[0]
+    per_month = out[(out["g_type"] == 1) & (out["g_month"] == 0)]
+    assert per_month["n_events"].sum() == grand["n_events"].iloc[0]
+
+
+def test_set_ops_cohorts_partition(spark, duck):
+    out = _run(spark, "set_ops_cohorts").set_index("cohort")["n_customers"]
+    n97 = duck.execute(
+        "SELECT count(DISTINCT o_custkey) FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'"
+    ).fetchone()[0]
+    # retained + churned partition the 1997 cohort exactly
+    assert out["retained"] + out["churned"] == n97
+
+
+def test_embedding_norms_match_numpy(spark, duck):
+    out = _run(spark, "embedding_norm_stats")
+    emb = duck.execute("SELECT label, embedding FROM embeddings").df()
+    for _, row in out.iterrows():
+        X = np.stack(
+            [np.asarray(e, dtype=np.float64) for e in emb[emb["label"] == row["label"]]["embedding"]]
+        )
+        norms = np.sqrt((X**2).sum(axis=1))
+        np.testing.assert_allclose(row["avg_norm"], norms.mean(), atol=2e-4)
+        np.testing.assert_allclose(row["max_norm"], norms.max(), atol=2e-4)
+        assert row["dim"] == X.shape[1]
