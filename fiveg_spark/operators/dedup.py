@@ -28,34 +28,39 @@ N_BANDS = 4
 JACCARD_THRESHOLD = 0.5
 
 
-def _shingles_cte(d: str) -> str:
-    """doc_id → distinct 3-token shingles, via posexplode + lead windows."""
+def _shingles_body(d: str, distinct: bool) -> str:
+    """3-token shingles built MAP-ONLY with array HOFs (index lambda over
+    the token array, then one explode) — no window sort, no shuffle until
+    the consumer aggregates.  Both index functions are 1-based and both
+    ranges are guarded (Spark's sequence(1, 0) counts DOWN)."""
     toks = split_ws("lower(text)", d)
     if d == "spark":
-        exploded = f"SELECT doc_id, posexplode({toks}) AS (pos, tok) FROM documents"
-    else:
-        exploded = (
-            f"SELECT doc_id, generate_subscripts({toks}, 1) AS pos, "
-            f"unnest({toks}) AS tok FROM documents"
+        sh = (
+            "explode(transform(sequence(1, size(t) - 2), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', "
+            "element_at(t, i + 2))))"
         )
+        pred = "size(t) >= 3"
+    else:
+        sh = (
+            "unnest(list_transform(generate_series(1, len(t) - 2), "
+            "i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))"
+        )
+        pred = "len(t) >= 3"
+    kw = "DISTINCT " if distinct else ""
     return f"""WITH toks AS (
-      {exploded}
+      SELECT doc_id, {toks} AS t FROM documents
     ),
-    shingled AS (
-      SELECT
-        doc_id,
-        tok,
-        lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
-        lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-      FROM toks
-    ),
-    -- explicit NULL filter: Spark's concat propagates NULL but DuckDB's
-    -- ignores it, so partial trailing shingles must be dropped BEFORE concat
     shingles AS (
-      SELECT DISTINCT doc_id, concat(tok, ' ', t1, ' ', t2) AS shingle
-      FROM shingled
-      WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      SELECT {kw}doc_id, shingle FROM (
+        SELECT doc_id, {sh} AS shingle FROM toks WHERE {pred}
+      ) exploded
     )"""
+
+
+def _shingles_cte(d: str) -> str:
+    """doc_id → DISTINCT shingles (set semantics, for Jaccard)."""
+    return _shingles_body(d, distinct=True)
 
 
 def _dedup_exact_sql(d: str) -> str:
@@ -72,24 +77,34 @@ def _dedup_exact_sql(d: str) -> str:
 
 def _minhash_lsh_sql(d: str) -> str:
     # E2: md5-minhash signatures → banded LSH → candidate pairs.
-    # All N_HASHES minhashes are aggregates of ONE scan over the shingle
-    # set (no seed cross-join: that would multiply the shuffle by
-    # N_HASHES); banding then unpivots the one-row-per-doc signature —
+    # Hashing cost: 2 md5s per shingle occurrence, split into four 32-bit
+    # hex lanes each -> 8 independent minhash lanes (lexicographic min on
+    # a hex substring ≡ numeric min on that lane).  No DISTINCT before
+    # the agg: min() is duplicate-insensitive, so signatures come from
+    # ONE partial-aggregated shuffle on doc_id (map-side combine does the
+    # dedup for free).  Banding unpivots the one-row-per-doc signature —
     # tiny — via portable UNION ALL.
     mh_aggs = ",\n        ".join(
-        f"min(md5(concat(shingle, '#{s}'))) AS mh{s}" for s in range(N_HASHES)
+        f"min(substring(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}"
+        for i in range(N_HASHES)
     )
     band_selects = "\n      UNION ALL\n      ".join(
         f"SELECT doc_id, {b} AS band, mh{2 * b} AS sig0, mh{2 * b + 1} AS sig1 FROM minhashes"
         for b in range(N_BANDS)
     )
     return f"""
-    {_shingles_cte(d)},
+    {_shingles_body(d, distinct=False)},
+    hashed AS (
+      SELECT doc_id,
+        md5(concat(shingle, '#0')) AS h0,
+        md5(concat(shingle, '#1')) AS h1
+      FROM shingles
+    ),
     minhashes AS (
       SELECT
         doc_id,
         {mh_aggs}
-      FROM shingles
+      FROM hashed
       GROUP BY doc_id
     ),
     bands AS (
