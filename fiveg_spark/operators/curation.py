@@ -1,0 +1,127 @@
+"""Corpus-curation operators: deterministic sampling, splits, end-to-end
+filter pass (SURVEY §2 E17-E19).
+
+The sampling primitives every training-data pipeline needs, built on
+KEYED HASH sampling rather than RNG: a doc is in the sample iff a hex
+prefix of md5(salt || doc_id) falls under a rate threshold.  Fully
+deterministic (re-runs and backfills pick identical rows), engine-exact
+(md5 hex + lexicographic compare are identical in Spark and DuckDB), and
+map-only at any scale — no global count, no sort, no RNG state.
+
+Threshold strings are precomputed in Python: rate r → the 8-hex-digit
+string for floor(r · 16⁸); P(prefix < thr) = r to within 2⁻³².
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.text import _marker_count, _tok
+from fiveg_spark.plans.registry import arr_len, cnt, dbl, sql_backed
+
+# Per-source sampling rates: the "data mixing" knob (down-weight
+# over-represented sources).  Even sources keep 75%, odd keep 30%.
+_RATES = {f"src{i}": (0.75 if i % 2 == 0 else 0.30) for i in range(10)}
+
+
+def _thr(rate: float) -> str:
+    return format(int(rate * 16**8), "08x")
+
+
+def _doc_hash(salt: str) -> str:
+    return f"substring(md5(concat('{salt}#', CAST(doc_id AS STRING))), 1, 8)"
+
+
+def _stratified_sample_sql(d: str) -> str:
+    # E17: per-source keyed-hash sampling at configured rates.
+    values = ",\n      ".join(
+        f"('{s}', '{_thr(r)}')" for s, r in sorted(_RATES.items())
+    )
+    return f"""
+    WITH rates(source, thr) AS (
+      VALUES {values}
+    ),
+    tagged AS (
+      SELECT doc.source,
+             CASE WHEN {_doc_hash("mix")} < r.thr THEN 1 ELSE 0 END AS sampled
+      FROM documents doc JOIN rates r ON doc.source = r.source
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_total")},
+      {cnt("sum(sampled)", "n_sampled")},
+      {dbl("sum(sampled) / CAST(count(*) AS DOUBLE)", "realized_rate")}
+    FROM tagged
+    GROUP BY source
+    """
+
+
+def _hash_split_sql(d: str) -> str:
+    # E18: deterministic 90/5/5 train/val/test assignment by hash bucket.
+    # Boundaries are hex-string constants, so membership is stable under
+    # corpus growth (a doc's split never changes when other docs arrive).
+    return f"""
+    WITH assigned AS (
+      SELECT
+        source,
+        CASE WHEN {_doc_hash("split")} < '{_thr(0.90)}' THEN 'train'
+             WHEN {_doc_hash("split")} < '{_thr(0.95)}' THEN 'val'
+             ELSE 'test' END AS split,
+        length(text) AS n_chars
+      FROM documents
+    )
+    SELECT
+      source,
+      split,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(n_chars)", "total_chars")}
+    FROM assigned
+    GROUP BY source, split
+    """
+
+
+def _curation_sql(d: str) -> str:
+    # E19: the end-to-end curation pass — exact-dedup keeper + length band
+    # + quality threshold, reported as a per-source funnel.  One shuffle
+    # for the dup-group agg (keyed by content hash), one for the final
+    # rollup; every predicate is arithmetic on integer token counts so
+    # the 0.5 quality boundary cannot drift between engines.
+    toks = _tok(d)
+    stop = _marker_count(d, ("the", "a", "of", "and"))
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, source, md5(lower(text)) AS chash,
+             CAST({arr_len(toks, d)} AS BIGINT) AS n_tokens,
+             CAST({stop} AS BIGINT) AS n_stopwords
+      FROM documents
+    ),
+    keepers AS (
+      SELECT chash, min(doc_id) AS keeper FROM hashed GROUP BY chash
+    ),
+    flagged AS (
+      SELECT
+        h.source,
+        h.n_tokens,
+        CASE WHEN h.doc_id <> k.keeper THEN 1 ELSE 0 END AS is_dup,
+        CASE WHEN h.n_tokens < 10 OR h.n_tokens > 2000 THEN 1 ELSE 0 END AS bad_len,
+        CASE WHEN (CASE WHEN h.n_tokens >= 20 AND h.n_tokens <= 1000 THEN 1.0 ELSE 0.5 END)
+                  * (1.0 - h.n_stopwords / CAST(h.n_tokens AS DOUBLE)) < 0.5
+             THEN 1 ELSE 0 END AS low_quality
+      FROM hashed h JOIN keepers k ON h.chash = k.chash
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(is_dup)", "n_dropped_dup")},
+      {cnt("sum((1 - is_dup) * bad_len)", "n_dropped_len")},
+      {cnt("sum((1 - is_dup) * (1 - bad_len) * low_quality)", "n_dropped_quality")},
+      {cnt("sum((1 - is_dup) * (1 - bad_len) * (1 - low_quality))", "n_kept")},
+      {cnt("sum((1 - is_dup) * (1 - bad_len) * (1 - low_quality) * n_tokens)", "kept_tokens")}
+    FROM flagged
+    GROUP BY source
+    """
+
+
+QUERIES = [
+    sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
+    sql_backed("hash_split", _hash_split_sql, ("documents",)),
+    sql_backed("curation_funnel", _curation_sql, ("documents",)),
+]

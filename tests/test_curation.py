@@ -1,0 +1,55 @@
+"""Curation-operator semantics: determinism, rate accuracy, funnel math."""
+
+from __future__ import annotations
+
+import hashlib
+
+from fiveg_spark.operators.curation import _RATES, QUERIES
+
+import tests.conftest as c
+
+_Q = {q.name: q for q in QUERIES}
+
+
+def _run(spark, name):
+    return _Q[name].run(spark, c.SF_DIR).toPandas()
+
+
+def test_stratified_sample_rates_and_determinism(spark, duck):
+    out = _run(spark, "stratified_sample")
+    again = _run(spark, "stratified_sample")
+    assert out.sort_values("source").equals(again.sort_values("source"))
+    for _, row in out.iterrows():
+        rate = _RATES[row["source"]]
+        # binomial tolerance on small per-source counts
+        assert abs(row["realized_rate"] - rate) < 0.35
+
+
+def test_stratified_sample_matches_python_md5(spark, duck):
+    # independently recompute membership for every doc in one source
+    docs = duck.execute("SELECT doc_id, source FROM documents").df()
+    expected = 0
+    for _, r in docs[docs["source"] == "src0"].iterrows():
+        h = hashlib.md5(f"mix#{r['doc_id']}".encode()).hexdigest()[:8]
+        expected += h < format(int(_RATES["src0"] * 16**8), "08x")
+    out = _run(spark, "stratified_sample")
+    assert out[out["source"] == "src0"]["n_sampled"].iloc[0] == expected
+
+
+def test_hash_split_partitions_corpus(spark, duck):
+    out = _run(spark, "hash_split")
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert out["n_docs"].sum() == n_docs
+    shares = out.groupby("split")["n_docs"].sum() / n_docs
+    assert shares["train"] > 0.8
+    assert shares.get("val", 0) < 0.15
+    assert shares.get("test", 0) < 0.15
+
+
+def test_curation_funnel_conserves_docs(spark, duck):
+    out = _run(spark, "curation_funnel")
+    n_docs = duck.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert out["n_docs"].sum() == n_docs
+    stages = out[["n_dropped_dup", "n_dropped_len", "n_dropped_quality", "n_kept"]]
+    assert (stages.sum(axis=1) == out["n_docs"]).all()
+    assert out["n_kept"].sum() > 0
