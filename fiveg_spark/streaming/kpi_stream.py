@@ -181,6 +181,41 @@ def streaming_dedup(
     return events.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_attribution(
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join bounded by an event-time interval: each
+    'view' joins the 'click's of the same user that land in
+    (view_ts, view_ts + within].  Both sides carry watermarks and the
+    join condition bounds event time in BOTH directions, so Spark can
+    size the join state to (watermark + within) and GC behind it —
+    unbounded-state stream joins never reach production.  Self-joining
+    one source stream (filtered two ways) is supported; state shards by
+    user_id with the shuffle."""
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("click_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return (
+        views.withWatermark("view_ts", watermark)
+        .join(
+            clicks.withWatermark("click_ts", watermark),
+            F.expr(
+                "view_user = click_user"
+                " AND click_ts > view_ts"
+                f" AND click_ts <= view_ts + INTERVAL {within}"
+            ),
+        )
+        .select("view_user", "view_id", "view_ts", "click_id", "click_ts")
+    )
+
+
 def streaming_sessions(
     packets: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -113,6 +113,40 @@ def test_streaming_dedup_within_watermark(spark, packet_stream, tmp_path):
     assert got.count() == batch_pkts.count()
 
 
+def test_streaming_interval_join_matches_batch(spark, tmp_path_factory):
+    import shutil
+
+    from fiveg_spark.streaming.kpi_stream import streaming_attribution
+
+    src_dir = tmp_path_factory.mktemp("events_raw_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    to_ts = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = to_ts(spark.readStream.schema(schema).parquet(str(src_dir)))
+    got = _run_to_memory(streaming_attribution(stream), "attr_stream", spark)
+
+    # batch oracle: identical join logic on the static frame
+    batch = to_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    views = batch.filter(F.col("event_type") == "view").selectExpr(
+        "user_id AS view_user", "ts AS view_ts", "event_id AS view_id"
+    )
+    clicks = batch.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS click_user", "ts AS click_ts", "event_id AS click_id"
+    )
+    expected = views.join(
+        clicks,
+        F.expr(
+            "view_user = click_user AND click_ts > view_ts"
+            " AND click_ts <= view_ts + INTERVAL 1 hour"
+        ),
+    )
+    assert got.count() == expected.count()
+    assert got.count() > 0
+    g = {(r["view_id"], r["click_id"]) for r in got.collect()}
+    e = {(r["view_id"], r["click_id"]) for r in expected.collect()}
+    assert g == e
+
+
 def test_streaming_session_windows(spark, packet_stream):
     from fiveg_spark.streaming.kpi_stream import streaming_sessions
 
