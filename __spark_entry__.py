@@ -34,8 +34,9 @@ from fiveg_spark.operators import tpch_deep as _tpch_deep
 from fiveg_spark.operators import analytics_ext as _analytics_ext
 from fiveg_spark.operators import curation as _curation
 from fiveg_spark.operators import sketches as _sketches
+from fiveg_spark.operators import ann_ivf as _ann_ivf
 
-_MODULES = (_flows, _timeseries, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _mllib, _simhash, _ann, _graph)
+_MODULES = (_flows, _timeseries, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _mllib, _simhash, _ann, _ann_ivf, _graph)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -129,3 +129,37 @@ def test_codec_decoder_is_gated():
 
     with pytest.raises(NotImplementedError):
         codec_decoder(b"x", "image")
+
+
+def test_ann_ivf_recall_and_assignment(spark):
+    import numpy as np
+
+    from fiveg_spark.operators.ann_ivf import (
+        ann_ivf,
+        assign_lists,
+        fit_centroids,
+    )
+    from fiveg_spark.operators.similarity import QUERIES as SIM_QUERIES
+    from fiveg_spark.sources.tables import load_table
+
+    brute = next(q for q in SIM_QUERIES if q.name == "knn_bruteforce")
+    exact = {r["vec_id"] for r in brute.run(spark, SF_DIR).collect()}
+    approx_df = ann_ivf(spark, SF_DIR, query_vec_id=0, k=10)
+    approx = {r["vec_id"] for r in approx_df.collect()}
+    assert len(approx) == 10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+
+    # assignment ≡ numpy argmin over the same centroids
+    emb = load_table(spark, "embeddings", SF_DIR)
+    C = fit_centroids(spark, emb)
+    got = {
+        r["vec_id"]: r["list_id"]
+        for r in assign_lists(emb, spark.sparkContext.broadcast(C)).collect()
+    }
+    rows = emb.limit(50).collect()
+    for r in rows:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        x = x / (np.linalg.norm(x) + 1e-12)
+        expect = int(((C - x) ** 2).sum(axis=1).argmin())
+        assert got[r["vec_id"]] == expect
