@@ -52,6 +52,29 @@ def test_events_scan_prunes_props_when_unused(spark):
     assert "props" not in schemas, f"props not pruned: {schemas}"
 
 
+def test_no_cartesian_product_anywhere(spark):
+    """Sweeping invariant: NO contract query may plan a CartesianProduct.
+    (BroadcastNestedLoopJoin is acceptable — interval joins use it with a
+    broadcast side on purpose; an unconstrained cartesian is always a
+    scale bug.)  Skips rows-only queries whose physical plan needs
+    Python-side fitting to build (they assert their own shapes)."""
+    skip = {"ann_ivf_topk", "mllib_linear_baseline"}  # KMeans/LR fit at plan-build time
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in skip:
+            continue
+        plan = formatted_plan(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_deep_tpch_dims_broadcast(spark):
+    for name in ("q7_volume_shipping", "q9_product_profit", "q10_returned_items"):
+        facts = plan_facts(QUERIES[name](spark, SF_DIR))
+        assert facts.n_broadcasts >= 1, f"{name}: dimension joins must broadcast"
+
+
 def test_knn_has_no_shuffle_before_topk(spark):
     df = QUERIES["knn_bruteforce"](spark, SF_DIR)
     facts = plan_facts(df)
