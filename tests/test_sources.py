@@ -202,3 +202,44 @@ def test_pcap_to_kpi_end_to_end(spark, tmp_path):
     assert sum(total.values()) == 24
     # zero-window TCP packets from flow B are visible in the health KPIs
     assert sum(r["Zero_Win_Count"] for r in rows) == 12
+
+
+def test_compact_shrinks_file_count(spark, tmp_path):
+    from fiveg_spark.sources.sinks import compact
+
+    src = str(tmp_path / "fragmented")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_rows = events.count()
+    events.repartition(50).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 50
+    compact(spark, src, target_file_mb=64)
+    files_after = glob.glob(f"{src}/*.parquet")
+    assert len(files_after) <= 2
+    assert spark.read.parquet(src).count() == n_rows
+
+
+def test_sorted_write_gives_skippable_row_groups(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from fiveg_spark.sources.sinks import write_sorted
+
+    out = str(tmp_path / "sorted")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(1)
+    write_sorted(events, out, sort_by=("value",))
+    [f] = glob.glob(f"{out}/*.parquet")
+    md = pq.ParquetFile(f).metadata
+    idx = next(
+        i for i in range(md.num_columns)
+        if md.row_group(0).column(i).path_in_schema == "value"
+    )
+    stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+    if len(stats) > 1:
+        # sorted layout => row-group ranges are non-overlapping & increasing
+        for a, b in zip(stats, stats[1:]):
+            assert a.max <= b.min
+    # and a selective range predicate could skip all but one group
+    assert stats[0].min < stats[-1].max
