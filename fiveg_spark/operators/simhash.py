@@ -16,9 +16,10 @@ Band-blocked Hamming pairs then group by fingerprint quarters (a
 least one of 4 16-bit bands — pigeonhole), so the pair join never
 scans O(n²).
 
-Rows-only in the driver contract (64-bit bit arithmetic has no clean
-shared SQL dialect); pytest checks the Spark fingerprints bit-for-bit
-against a pure-Python reference implementation.
+Fully oracle-checked: a DuckDB twin (strpos nibble decode, & bit tests,
+xor + bit_count Hamming) rebuilds fingerprints and pairs independently;
+pytest additionally checks the Spark fingerprints bit-for-bit against a
+pure-Python reference implementation.
 """
 
 from __future__ import annotations
@@ -127,9 +128,65 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- DuckDB oracles ----
+# The bit arithmetic IS portable after all: hex nibble → int via strpos
+# into a hex alphabet, & for bit tests, xor()+bit_count() for Hamming.
+# The oracle rebuilds the exact fingerprint independently, so both
+# simhash queries get full value-hash parity instead of rows-only.
+
+_HEX = "0123456789abcdef"
+
+
+def _duck_nib(col: str, i: int) -> str:
+    return f"(strpos('{_HEX}', substring({col}, {i + 1}, 1)) - 1)"
+
+
+def _duck_fp_cte() -> str:
+    aggs = []
+    for i in range(N_NIBBLES):
+        for b in (8, 4, 2, 1):
+            aggs.append(
+                f"sum(CASE WHEN ({_duck_nib('h', i)} & {b}) > 0 THEN 1 ELSE -1 END) AS s{i}_{b}"
+            )
+    nibs = []
+    for i in range(N_NIBBLES):
+        v = " + ".join(
+            f"(CASE WHEN s{i}_{b} > 0 THEN {b} ELSE 0 END)" for b in (8, 4, 2, 1)
+        )
+        nibs.append(f"substring('{_HEX}', 1 + ({v}), 1)")
+    return f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok
+      FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks WHERE tok <> ''),
+    sums AS (SELECT doc_id, {", ".join(aggs)} FROM hashed GROUP BY doc_id),
+    fp AS (SELECT doc_id, concat({", ".join(nibs)}) AS simhash FROM sums)"""
+
+
+_FP_ORACLE = f"{_duck_fp_cte()}\nSELECT doc_id, simhash FROM fp"
+
+_HAM = " + ".join(
+    f"bit_count(xor({_duck_nib('sim_a', i)}, {_duck_nib('sim_b', i)}))"
+    for i in range(N_NIBBLES)
+)
+
+_PAIRS_ORACLE = f"""{_duck_fp_cte()},
+bands AS (
+  SELECT doc_id, simhash, band, substring(simhash, 4 * band + 1, 4) AS key
+  FROM fp, (VALUES (0), (1), (2), (3)) b(band)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({_HAM} AS INT) AS hamming
+FROM pairs
+WHERE {_HAM} <= {HAMMING_MAX}"""
+
+
 QUERIES = [
-    # rows-only: cross-engine 64-bit bit arithmetic isn't portable SQL
-    # (strong check = tests vs simhash_py reference implementation)
-    Query("simhash_fingerprints", simhash_fingerprints, None),
-    Query("simhash_near_pairs", simhash_near_pairs, None),
+    Query("simhash_fingerprints", simhash_fingerprints, _FP_ORACLE),
+    Query("simhash_near_pairs", simhash_near_pairs, _PAIRS_ORACLE),
 ]
