@@ -53,6 +53,9 @@ def _idle_periods_sql(d: str) -> str:
 
 def _top_flows_sql(d: str) -> str:
     # Deterministic top-k: rank on the ROUNDED measure with unique tiebreak.
+    # ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition heap +
+    # driver merge, no single-partition window over millions of flows);
+    # the rank window then runs over just the 10 surviving rows.
     return f"""
     {flows_cte(d)},
     per_flow AS (
@@ -63,14 +66,13 @@ def _top_flows_sql(d: str) -> str:
         {cnt("count(*)", "n_events")}
       FROM flows
       GROUP BY flow_id, slice
+    ),
+    top AS (
+      SELECT * FROM per_flow ORDER BY total_bytes DESC, flow_id LIMIT 10
     )
     SELECT flow_id, slice, total_bytes, n_events,
-           CAST(rnk AS BIGINT) AS rnk
-    FROM (
-      SELECT *, row_number() OVER (ORDER BY total_bytes DESC, flow_id) AS rnk
-      FROM per_flow
-    ) ranked
-    WHERE rnk <= 10
+           CAST(row_number() OVER (ORDER BY total_bytes DESC, flow_id) AS BIGINT) AS rnk
+    FROM top
     """
 
 

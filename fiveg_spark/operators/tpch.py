@@ -50,11 +50,9 @@ def _q3_sql(d: str) -> str:
       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
     )
     SELECT l_orderkey, revenue, o_orderdate, o_orderpriority
-    FROM (
-      SELECT *, row_number() OVER (ORDER BY revenue DESC, l_orderkey) AS rnk
-      FROM agg
-    ) ranked
-    WHERE rnk <= 10
+    FROM agg
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
     """
 
 

@@ -168,11 +168,9 @@ def _q10_sql(d: str) -> str:
       GROUP BY c.c_custkey, c.c_name, n.n_name
     )
     SELECT c_custkey, c_name, n_name, revenue, c_acctbal
-    FROM (
-      SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
-      FROM per_cust
-    ) ranked
-    WHERE rnk <= 20
+    FROM per_cust
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
     """
 
 

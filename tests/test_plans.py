@@ -75,6 +75,15 @@ def test_deep_tpch_dims_broadcast(spark):
         assert facts.n_broadcasts >= 1, f"{name}: dimension joins must broadcast"
 
 
+def test_topk_queries_use_take_ordered(spark):
+    """Top-k must plan as TakeOrderedAndProject (per-partition heaps +
+    driver merge of k rows), never a single-partition row_number window
+    over the full aggregate — that window is the classic 100-TB choke."""
+    for name in ("q3_shipping_priority", "q10_returned_items", "top_flows"):
+        plan = formatted_plan(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, f"{name}: top-k not TakeOrdered"
+
+
 def test_knn_has_no_shuffle_before_topk(spark):
     df = QUERIES["knn_bruteforce"](spark, SF_DIR)
     facts = plan_facts(df)
