@@ -35,8 +35,9 @@ from fiveg_spark.operators import analytics_ext as _analytics_ext
 from fiveg_spark.operators import curation as _curation
 from fiveg_spark.operators import sketches as _sketches
 from fiveg_spark.operators import ann_ivf as _ann_ivf
+from fiveg_spark.operators import ts_diagnostics as _ts_diag
 
-_MODULES = (_flows, _timeseries, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _mllib, _simhash, _ann, _ann_ivf, _graph)
+_MODULES = (_flows, _timeseries, _ts_diag, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _similarity, _ml, _mllib, _simhash, _ann, _ann_ivf, _graph)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,150 @@
+"""Time-series diagnostics over the hourly slice series.
+
+The forecasting pipeline (ref train.py) needs model-selection
+diagnostics before fitting: autocorrelation (picks the VAR lag order p,
+ref train.py:199 uses p=3), drift/change detection (is the series
+stationary enough for VAR?), a seasonal-naive error floor (the
+baseline any model must beat), and robust smoothing.
+
+All queries aggregate raw events ONCE into the tiny hourly series
+(3 slices x ~720 hours regardless of SF), so the single events shuffle
+dominates and every window below it runs on a reduced frame partitioned
+by slice — nothing here degrades at 100 TB.
+
+Parity notes: hourly measures are rounded before any window (identical
+inputs both engines); running sums evaluate sequentially in frame order
+in both engines, so CUSUM is bit-stable; `corr` accumulation noise is
+~1e-16 and dies in the 4-decimal rounding.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.timeseries import _hourly_cte
+from fiveg_spark.plans.registry import cnt, dbl, pct, sql_backed
+
+
+def _acf_sql(d: str) -> str:
+    # Lag-1 / lag-3 / lag-24 sample autocorrelation per slice: the
+    # order-selection evidence for VAR(p) (ref train.py:214 fits p=3).
+    return f"""
+    {_hourly_cte(d)},
+    lagged AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        lag(throughput_bps, 1) OVER (PARTITION BY slice ORDER BY h) AS v1,
+        lag(throughput_bps, 3) OVER (PARTITION BY slice ORDER BY h) AS v3,
+        lag(throughput_bps, 24) OVER (PARTITION BY slice ORDER BY h) AS v24
+      FROM hourly
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_hours")},
+      {dbl("corr(v, v1)", "acf_lag1")},
+      {dbl("corr(v, v3)", "acf_lag3")},
+      {dbl("corr(v, v24)", "acf_lag24")}
+    FROM lagged
+    GROUP BY slice
+    """
+
+
+def _cusum_sql(d: str) -> str:
+    # CUSUM drift scan: running sum of deviations from the slice mean;
+    # the max |excursion| and its hour locate the strongest level shift.
+    # The mean is rounded so both engines cumsum identical doubles.
+    return f"""
+    {_hourly_cte(d)},
+    mu AS (
+      SELECT slice, {dbl("avg(throughput_bps)", "mean_bps")}
+      FROM hourly GROUP BY slice
+    ),
+    cusum AS (
+      SELECT
+        hr.slice,
+        hr.h,
+        round(abs(
+          sum(hr.throughput_bps - mu.mean_bps) OVER (
+            PARTITION BY hr.slice ORDER BY hr.h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          )
+        ) + 1e-9, 2) AS abs_c
+      FROM hourly hr JOIN mu ON hr.slice = mu.slice
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY slice ORDER BY abs_c DESC, h) AS rnk
+      FROM cusum
+    )
+    SELECT
+      slice,
+      {dbl("abs_c", "max_abs_cusum")},
+      h AS drift_hour
+    FROM ranked
+    WHERE rnk = 1
+    """
+
+
+def _seasonal_naive_sql(d: str) -> str:
+    # Error floor of the 24-hour seasonal-naive forecaster — the
+    # baseline the hybrid model's RMSE/MAE (ref train.py:264-269) must
+    # beat to justify itself.
+    return f"""
+    {_hourly_cte(d)},
+    lagged AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        lag(throughput_bps, 24) OVER (PARTITION BY slice ORDER BY h) AS pred
+      FROM hourly
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_eval")},
+      {dbl("sqrt(avg((v - pred) * (v - pred)))", "rmse")},
+      {dbl("avg(abs(v - pred))", "mae")}
+    FROM lagged
+    WHERE pred IS NOT NULL
+    GROUP BY slice
+    """
+
+
+def _seasonal_profile_sql(d: str) -> str:
+    # Hour-of-day seasonality profile (the pattern seasonal-naive
+    # exploits): per (slice, hour-of-day) level + spread.
+    return f"""
+    {_hourly_cte(d)}
+    SELECT
+      slice,
+      {cnt("hour(h)", "hour_of_day")},
+      {cnt("count(*)", "n_days")},
+      {dbl("avg(throughput_bps)", "mean_bps")},
+      {dbl("stddev_samp(throughput_bps)", "sd_bps")}
+    FROM hourly
+    GROUP BY slice, hour(h)
+    """
+
+
+def _rolling_median_sql(d: str) -> str:
+    # Robust trailing-7h smoothing: exact median as a WINDOW aggregate
+    # (holistic frame agg in both engines) — outlier-proof where the
+    # moving average (C5) is not.
+    med = pct("throughput_bps", 0.5, d)
+    frame = "PARTITION BY slice ORDER BY h ROWS BETWEEN 6 PRECEDING AND CURRENT ROW"
+    return f"""
+    {_hourly_cte(d)}
+    SELECT
+      slice,
+      h AS window_start,
+      throughput_bps,
+      {dbl(f"{med} OVER ({frame})", "rolling_median_7h")}
+    FROM hourly
+    """
+
+
+QUERIES = [
+    sql_backed("acf_throughput", _acf_sql, ("events",)),
+    sql_backed("cusum_drift", _cusum_sql, ("events",)),
+    sql_backed("seasonal_naive_eval", _seasonal_naive_sql, ("events",)),
+    sql_backed("seasonal_profile", _seasonal_profile_sql, ("events",)),
+    sql_backed("rolling_median_throughput", _rolling_median_sql, ("events",)),
+]
