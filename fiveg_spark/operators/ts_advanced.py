@@ -1,0 +1,225 @@
+"""Advanced time-series / graph analytics: hopping windows, seasonal
+decomposition, rolling-origin CV, PageRank.
+
+Completes the forecasting-support surface around ref train.py:
+
+- Hopping (sliding) windows are the streaming-native generalization of
+  the reference's tumbling 1 s windows (KafkaKpiPipeline.scala:99): the
+  Spark side uses the engine-native ``window(ts, size, slide)``
+  assignment while the oracle reconstructs windows arithmetically from
+  hour offsets — a cross-ALGORITHM check, not just cross-engine.
+- Seasonal decomposition (classical additive: hour-of-day seasonal +
+  residual z-anomalies) is the statistical counterpart of the model's
+  learned seasonality, and the standard pre-model anomaly screen.
+- Rolling-origin CV generalizes train.py's single ordered 70/15/15
+  split (train.py:186-190) into the walk-forward fold evaluation used
+  for honest time-series model selection.
+- PageRank over the nation-trade graph (revenue-weighted edges from the
+  TPC-H star) demonstrates iterative graph analytics as UNROLLED join
+  rounds — at 100 TB the edge aggregation is the only heavy shuffle;
+  the rank table is |nations| rows and every iteration joins
+  broadcast-small state against it.
+
+Scale notes: every query aggregates raw facts ONCE (single shuffle);
+all windows/iterations run on the reduced frame (≤ thousands of rows
+regardless of SF).  Hopping windows multiply rows by the overlap factor
+(2×) BEFORE the shuffle via a map-side expansion — the canonical
+streaming-window cost model, no skew introduced.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.kpi import flows_cte
+from fiveg_spark.operators.timeseries import _hourly_cte
+from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+
+
+def _hopping_window_sql(d: str) -> str:
+    # 2 h windows hopping every 1 h: each packet lands in exactly two
+    # windows.  Spark: native window() assignment (what the streaming
+    # path uses).  Oracle: arithmetic reconstruction via hour offsets.
+    if d == "spark":
+        return f"""
+    {flows_cte(d)}
+    SELECT
+      slice,
+      window.start AS window_start,
+      {cnt("count(*)", "n_packets")},
+      {dbl("sum(pkt_len)", "total_bytes")},
+      {dbl("avg(pkt_len)", "avg_pkt_len")},
+      {cnt("count(DISTINCT flow_id)", "n_flows")}
+    FROM flows
+    GROUP BY slice, window(ts, '2 hours', '1 hour')
+    """
+    return f"""
+    {flows_cte(d)},
+    offs AS (SELECT 0 AS k UNION ALL SELECT 1),
+    assigned AS (
+      SELECT
+        slice,
+        date_trunc('hour', ts) - to_hours(k) AS window_start,
+        pkt_len,
+        flow_id
+      FROM flows CROSS JOIN offs
+    )
+    SELECT
+      slice,
+      window_start,
+      {cnt("count(*)", "n_packets")},
+      {dbl("sum(pkt_len)", "total_bytes")},
+      {dbl("avg(pkt_len)", "avg_pkt_len")},
+      {cnt("count(DISTINCT flow_id)", "n_flows")}
+    FROM assigned
+    GROUP BY slice, window_start
+    """
+
+
+def _seasonal_decomposition_sql(d: str) -> str:
+    # Classical additive decomposition on the hourly series: seasonal =
+    # hour-of-day mean per slice, residual = value - seasonal, anomaly =
+    # |z(residual)| > 3.  The z statistic is computed from explicit
+    # Σ/Σ² (population), rounded BEFORE the flag comparison so the flag
+    # derives from an already-parity-checked value in both engines.
+    return f"""
+    {_hourly_cte(d)},
+    seasonal AS (
+      SELECT
+        slice,
+        h,
+        throughput_bps,
+        round(avg(throughput_bps) OVER (PARTITION BY slice, hour(h)) + 1e-9, 4) AS seas
+      FROM hourly
+    ),
+    resid AS (
+      SELECT
+        slice, h, throughput_bps, seas,
+        round(throughput_bps - seas, 4) AS r
+      FROM seasonal
+    ),
+    stats AS (
+      SELECT
+        slice,
+        round(sqrt(avg(r * r) - avg(r) * avg(r)) + 1e-9, 4) AS sd_r,
+        round(avg(r) + 1e-9, 4) AS mean_r
+      FROM resid
+      GROUP BY slice
+    )
+    SELECT
+      re.slice,
+      re.h AS window_start,
+      CAST(re.throughput_bps AS DOUBLE) AS throughput_bps,
+      CAST(re.seas AS DOUBLE) AS seasonal,
+      CAST(re.r AS DOUBLE) AS residual,
+      {dbl("(re.r - st.mean_r) / nullif(st.sd_r, 0.0)", "resid_z")},
+      CAST(CASE WHEN abs(round((re.r - st.mean_r) / nullif(st.sd_r, 0.0) + 1e-9, 4)) > 3.0
+                THEN 1 ELSE 0 END AS INT) AS is_anomaly
+    FROM resid re JOIN stats st ON re.slice = st.slice
+    """
+
+
+def _rolling_origin_cv_sql(d: str) -> str:
+    # Walk-forward cross-validation: three expanding-train folds with a
+    # 10%-of-series test horizon each; the naive lag-1 forecaster's
+    # error per fold is the floor every candidate model must beat
+    # (generalizes the single split at train.py:186-190).
+    return f"""
+    {_hourly_cte(d)},
+    numbered AS (
+      SELECT
+        slice,
+        h,
+        throughput_bps AS v,
+        lag(throughput_bps) OVER (PARTITION BY slice ORDER BY h) AS yhat,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n
+      FROM hourly
+    ),
+    folds AS (
+      SELECT 1 AS fold, 0.6 AS cut
+      UNION ALL SELECT 2, 0.7
+      UNION ALL SELECT 3, 0.8
+    ),
+    assigned AS (
+      SELECT
+        nu.slice, f.fold, nu.v, nu.yhat,
+        CASE WHEN nu.rn <= CAST(floor(f.cut * nu.n) AS BIGINT) THEN 'train'
+             WHEN nu.rn <= CAST(floor((f.cut + 0.1) * nu.n) AS BIGINT) THEN 'test'
+             ELSE NULL END AS part
+      FROM numbered nu CROSS JOIN folds f
+    )
+    SELECT
+      slice,
+      {cnt("fold", "fold")},
+      {cnt("sum(CASE WHEN part = 'train' THEN 1 ELSE 0 END)", "n_train")},
+      {cnt("sum(CASE WHEN part = 'test' THEN 1 ELSE 0 END)", "n_test")},
+      {dbl("sqrt(avg(CASE WHEN part = 'test' THEN (v - yhat) * (v - yhat) END))", "rmse_naive")},
+      {dbl("avg(CASE WHEN part = 'test' THEN abs(v - yhat) END)", "mae_naive")}
+    FROM assigned
+    WHERE part IS NOT NULL
+    GROUP BY slice, fold
+    """
+
+
+def _nation_pagerank_sql(d: str) -> str:
+    # PageRank (damping 0.85, 3 unrolled iterations, no dangling-mass
+    # redistribution) over the revenue-weighted customer-nation →
+    # supplier-nation trade graph.  Edge weights and per-iteration ranks
+    # are rounded to 8 dp so both engines iterate identical doubles
+    # (sums span ≤25 terms; accumulation noise ~1e-17 dies at 8 dp).
+    iter_tmpl = """
+    r{i} AS (
+      SELECT
+        n.node,
+        round(0.15 / n.cnt + 0.85 * coalesce(sum(p.rank * e.p), 0.0), 8) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r{prev} p ON p.node = e.src
+      GROUP BY n.node, n.cnt
+    )"""
+    iters = ",".join(iter_tmpl.format(i=i, prev=i - 1) for i in (1, 2, 3))
+    return f"""
+    WITH edges_raw AS (
+      SELECT
+        cn.n_name AS src,
+        sn.n_name AS dst,
+        sum(l.l_extendedprice * (1 - l.l_discount)) AS w
+      FROM customer c
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY cn.n_name, sn.n_name
+    ),
+    edges AS (
+      SELECT
+        src, dst,
+        round(w / sum(w) OVER (PARTITION BY src) + 1e-12, 8) AS p
+      FROM edges_raw
+    ),
+    nodes AS (
+      SELECT n_name AS node, CAST(cnt AS DOUBLE) AS cnt
+      FROM nation CROSS JOIN (SELECT count(*) AS cnt FROM nation) t
+    ),
+    r0 AS (
+      SELECT node, round(1.0 / cnt, 8) AS rank FROM nodes
+    ),
+    {iters}
+    SELECT
+      node AS nation,
+      CAST(round(rank * 1000.0 + 1e-9, 4) AS DOUBLE) AS pagerank_x1000
+    FROM r3
+    """
+
+
+QUERIES = [
+    sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
+    sql_backed("seasonal_decomposition", _seasonal_decomposition_sql, ("events",)),
+    sql_backed("rolling_origin_cv", _rolling_origin_cv_sql, ("events",)),
+    sql_backed(
+        "nation_pagerank",
+        _nation_pagerank_sql,
+        ("customer", "nation", "orders", "lineitem", "supplier"),
+    ),
+]
