@@ -1,0 +1,227 @@
+"""LLM training-data curation operators: PII scan, Gopher-style quality
+rules, repeated-n-gram detection, benchmark decontamination.
+
+The four standard corpus-hygiene passes a large-scale pretraining
+pipeline runs between raw ingestion and tokenization:
+
+- **PII scan** — regex families (email / phone / IPv4) counted per
+  source so a redaction pass can be budgeted.  Patterns avoid
+  lookaround and backslash classes so Java regex (Spark) and RE2
+  (DuckDB) agree; the synthetic corpus contains no PII, so two
+  corpus-matching pattern families ride along as live parity evidence,
+  and the pytest covers real emails/phones/IPs on literal frames.
+- **Gopher quality rules** (Rae et al. 2021 §A1.1, public): word-count
+  bounds, mean-word-length band, stopword floor, max single-token
+  dominance — evaluated per document, reported as per-source pass
+  rates.
+- **Repeated n-grams** — the most-duplicated word 3-grams corpus-wide
+  (the "duplicated passage" diagnostic from Lee et al. 2022,
+  "Deduplicating Training Data Makes Language Models Better").
+- **Decontamination** — n-gram overlap of each corpus document against
+  a held-out benchmark set (here: every 10th doc stands in for the
+  benchmark); documents sharing a high fraction of their 3-grams are
+  flagged, the standard test-set leakage screen.
+
+Scale: every pass is explode → hash-aggregate on (doc, ngram) →
+reduce; one shuffle each, keys are high-cardinality n-grams (no skew).
+Decontamination joins corpus n-grams against the DISTINCT benchmark
+n-gram set — benchmark suites are tiny in practice, so that side is a
+broadcast; at 100 TB the corpus side stays map-local.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.text import _marker_count, _tok
+from fiveg_spark.plans.registry import arr_len, cnt, dbl, sql_backed
+
+# Group 0 passed explicitly: Spark's regexp_extract_all defaults to
+# group 1 (and errors on group-free patterns); DuckDB defaults to 0.
+_PATTERNS = {
+    "email": "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z][a-zA-Z]+",
+    "phone": "[0-9][0-9][0-9][-.][0-9][0-9][0-9][-.][0-9][0-9][0-9][0-9]",
+    "ipv4": "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+",
+    "digit_runs": "[0-9]+",
+    "markers": "(key|hash)",
+}
+
+
+def _pat_hits(d: str, pat: str) -> str:
+    return arr_len(f"regexp_extract_all(text, '{pat}', 0)", d)
+
+
+def _pii_scan_sql(d: str) -> str:
+    hits = ",\n      ".join(
+        cnt(f"sum({_pat_hits(d, pat)})", f"{name}_hits")
+        for name, pat in _PATTERNS.items()
+    )
+    return f"""
+    SELECT
+      source,
+      {cnt("count(*)", "docs_scanned")},
+      {hits},
+      {cnt(f"sum(CASE WHEN {_pat_hits(d, _PATTERNS['email'])} > 0 THEN 1 ELSE 0 END)", "docs_with_email")}
+    FROM documents
+    GROUP BY source
+    """
+
+
+def _gopher_quality_sql(d: str) -> str:
+    # Per-document Gopher-style rules, aggregated to per-source pass
+    # rates.  Mean word length and top-token dominance are rounded
+    # BEFORE the rule comparison so flags derive from parity-identical
+    # values in both engines.
+    toks = _tok(d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, source, explode({toks}) AS term FROM documents"
+    else:
+        exploded = f"SELECT doc_id, source, unnest({toks}) AS term FROM documents"
+    stop_ct = _marker_count(d, ("the", "a"))
+    return f"""
+    WITH base AS (
+      SELECT
+        doc_id,
+        source,
+        {arr_len(toks, d)} AS n_words,
+        {stop_ct} AS stop_ct
+      FROM documents
+    ),
+    exploded AS (
+      {exploded}
+    ),
+    term_counts AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM exploded
+      GROUP BY doc_id, term
+    ),
+    doc_stats AS (
+      SELECT
+        doc_id,
+        round(sum(length(term) * c) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS mean_wl,
+        round(max(c) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top1_frac
+      FROM term_counts
+      GROUP BY doc_id
+    ),
+    rules AS (
+      SELECT
+        b.source,
+        CASE WHEN b.n_words BETWEEN 25 AND 100000 THEN 1 ELSE 0 END AS r_wordcount,
+        CASE WHEN s.mean_wl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS r_meanwordlen,
+        CASE WHEN b.stop_ct >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+        CASE WHEN s.top1_frac <= 0.2 THEN 1 ELSE 0 END AS r_dominance
+      FROM base b JOIN doc_stats s ON b.doc_id = s.doc_id
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(r_wordcount)", "pass_wordcount")},
+      {cnt("sum(r_meanwordlen)", "pass_meanwordlen")},
+      {cnt("sum(r_stopwords)", "pass_stopwords")},
+      {cnt("sum(r_dominance)", "pass_dominance")},
+      {cnt("sum(r_wordcount * r_meanwordlen * r_stopwords * r_dominance)", "pass_all")},
+      {dbl("avg(r_wordcount * r_meanwordlen * r_stopwords * r_dominance)", "pass_rate")}
+    FROM rules
+    GROUP BY source
+    """
+
+
+def _ngram_cte(d: str, table: str = "documents") -> str:
+    # Word 3-grams via index expansion: portable across engines (no
+    # posexplode/ORDINALITY dialect gap), and a map-side-only expansion.
+    toks = _tok(d)
+    if d == "spark":
+        idx = f"explode(sequence(1, {arr_len('toks', d)} - 2)) AS i"
+        elem = "element_at(toks, CAST(i AS INT))"
+    else:
+        idx = f"unnest(generate_series(1, {arr_len('toks', d)} - 2)) AS i"
+        elem = "list_extract(toks, i)"
+    e1 = elem
+    e2 = elem.replace("i)", "i + 1)") if d == "duckdb" else "element_at(toks, CAST(i + 1 AS INT))"
+    e3 = elem.replace("i)", "i + 2)") if d == "duckdb" else "element_at(toks, CAST(i + 2 AS INT))"
+    return f"""tokd AS (
+      SELECT doc_id, source, {toks} AS toks FROM {table}
+      WHERE {arr_len(toks, d)} >= 3
+    ),
+    idxd AS (
+      SELECT doc_id, source, toks, {idx} FROM tokd
+    ),
+    ngrams AS (
+      SELECT
+        doc_id,
+        source,
+        concat_ws(' ', {e1}, {e2}, {e3}) AS ng
+      FROM idxd
+    )"""
+
+
+def _repeated_ngrams_sql(d: str) -> str:
+    # Top-20 most duplicated 3-grams corpus-wide (appearing in >1 doc),
+    # deterministic tiebreak on the n-gram text.
+    return f"""
+    WITH {_ngram_cte(d)},
+    counts AS (
+      SELECT
+        ng,
+        count(*) AS n_occurrences,
+        count(DISTINCT doc_id) AS n_docs
+      FROM ngrams
+      GROUP BY ng
+      HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT
+      ng AS ngram,
+      {cnt("n_occurrences", "n_occurrences")},
+      {cnt("n_docs", "n_docs")}
+    FROM counts
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 20
+    """
+
+
+def _decontamination_sql(d: str) -> str:
+    # Benchmark = every 10th document (stand-in for a held-out eval
+    # suite).  A corpus doc is contaminated when >= 80% of its distinct
+    # 3-grams appear anywhere in the benchmark set.  The benchmark
+    # n-gram set is DISTINCT-reduced before the join (broadcast side at
+    # scale).  Output: the 50 most-contaminated docs, deterministic.
+    return f"""
+    WITH {_ngram_cte(d)},
+    bench_ng AS (
+      SELECT DISTINCT ng FROM ngrams WHERE doc_id % 10 = 0
+    ),
+    corpus AS (
+      SELECT DISTINCT doc_id, ng FROM ngrams WHERE doc_id % 10 <> 0
+    ),
+    totals AS (
+      SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY doc_id
+    ),
+    shared AS (
+      SELECT c.doc_id, count(*) AS n_shared
+      FROM corpus c JOIN bench_ng b ON c.ng = b.ng
+      GROUP BY c.doc_id
+    ),
+    scored AS (
+      SELECT
+        t.doc_id,
+        t.n_ngrams,
+        coalesce(s.n_shared, 0) AS n_shared,
+        round(coalesce(s.n_shared, 0) / CAST(t.n_ngrams AS DOUBLE) + 1e-9, 4) AS frac
+      FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+    )
+    SELECT
+      doc_id,
+      {cnt("n_ngrams", "n_distinct_ngrams")},
+      {cnt("n_shared", "n_shared_ngrams")},
+      CAST(frac AS DOUBLE) AS overlap_frac,
+      CAST(CASE WHEN frac >= 0.8 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM scored
+    ORDER BY frac DESC, doc_id
+    LIMIT 50
+    """
+
+
+QUERIES = [
+    sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
+    sql_backed("gopher_quality", _gopher_quality_sql, ("documents",)),
+    sql_backed("repeated_ngrams", _repeated_ngrams_sql, ("documents",)),
+    sql_backed("decontamination", _decontamination_sql, ("documents",)),
+]

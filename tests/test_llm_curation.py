@@ -1,0 +1,85 @@
+"""Unit tests for the LLM-curation operators on literal frames with
+known PII / quality / duplication structure (the synthetic corpus has no
+PII, so the oracle-parity run only proves engine agreement; these tests
+prove the operators detect what they claim to detect)."""
+
+from __future__ import annotations
+
+import pytest
+
+from fiveg_spark.operators import llm_curation as lc
+
+
+def _docs_view(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+    df.createOrReplaceTempView("documents")
+
+
+def test_pii_patterns_detect_real_pii(spark):
+    _docs_view(
+        spark,
+        [
+            (0, "contact me at alice@example.com or bob.smith@corp.co.uk", "en", "s1", 0),
+            (1, "call 555-123-4567 now; backup 800.555.1212", "en", "s1", 0),
+            (2, "server at 192.168.0.1 and 10.0.0.255 responded", "en", "s2", 0),
+            (3, "no pii here just words", "en", "s2", 0),
+        ],
+    )
+    rows = {r["source"]: r.asDict() for r in spark.sql(lc._pii_scan_sql("spark")).collect()}
+    assert rows["s1"]["email_hits"] == 2
+    assert rows["s1"]["phone_hits"] == 2
+    assert rows["s1"]["docs_with_email"] == 1
+    assert rows["s2"]["ipv4_hits"] == 2
+    assert rows["s2"]["email_hits"] == 0
+
+
+def test_gopher_rules_flag_bad_docs(spark):
+    good = "the quick brown fox jumps over a lazy dog " * 5  # 45 words, has the/a
+    short = "the tiny a doc"  # fails wordcount
+    dominated = "the " + "spam " * 40 + "a word"  # top1_frac >> 0.2
+    _docs_view(
+        spark,
+        [
+            (0, good.strip(), "en", "g", 0),
+            (1, short, "en", "b", 0),
+            (2, dominated.strip(), "en", "b", 0),
+        ],
+    )
+    rows = {r["source"]: r.asDict() for r in spark.sql(lc._gopher_quality_sql("spark")).collect()}
+    assert rows["g"]["pass_all"] == 1
+    assert rows["b"]["pass_wordcount"] == 1  # dominated doc is long enough
+    assert rows["b"]["pass_dominance"] == 0  # but fails dominance
+    assert rows["b"]["pass_all"] == 0
+
+
+def test_repeated_ngrams_finds_known_duplicate(spark):
+    _docs_view(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon", "en", "s", 0),
+            (1, "zeta alpha beta gamma eta", "en", "s", 0),
+            (2, "alpha beta gamma theta iota", "en", "s", 0),
+            (3, "unrelated words entirely here now", "en", "s", 0),
+        ],
+    )
+    rows = spark.sql(lc._repeated_ngrams_sql("spark")).collect()
+    assert rows[0]["ngram"] == "alpha beta gamma"
+    assert rows[0]["n_docs"] == 3
+    assert rows[0]["n_occurrences"] == 3
+
+
+def test_decontamination_flags_benchmark_copy(spark):
+    bench = "one two three four five six seven eight"
+    _docs_view(
+        spark,
+        [
+            (0, bench, "en", "s", 0),  # doc_id % 10 == 0 -> benchmark
+            (1, bench, "en", "s", 0),  # verbatim copy -> contaminated
+            (2, "totally different text with no overlap at all", "en", "s", 0),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in spark.sql(lc._decontamination_sql("spark")).collect()}
+    assert rows[1]["overlap_frac"] == pytest.approx(1.0)
+    assert rows[1]["contaminated"] == 1
+    assert rows[2]["n_shared_ngrams"] == 0
+    assert rows[2]["contaminated"] == 0
