@@ -219,8 +219,85 @@ def _decontamination_sql(d: str) -> str:
     """
 
 
+def _sequence_packing_sql(d: str) -> str:
+    # Sequence packing: assign documents to fixed token-budget packs
+    # (4096) per source by cumulative-offset binning — the distributed
+    # stand-in for greedy sequence packing (deterministic doc_id order,
+    # one window shuffle on source; a doc spanning a boundary spills
+    # into its starting pack, so fill can exceed 1.0).
+    toks = _tok(d)
+    return f"""
+    WITH counted AS (
+      SELECT
+        doc_id,
+        source,
+        {arr_len(toks, d)} AS n_tokens
+      FROM documents
+    ),
+    offsets AS (
+      SELECT
+        source,
+        n_tokens,
+        sum(n_tokens) OVER (
+          PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - n_tokens AS start_offset
+      FROM counted
+    ),
+    packed AS (
+      SELECT
+        source,
+        CAST(floor(start_offset / 4096.0) AS BIGINT) AS pack_id,
+        n_tokens
+      FROM offsets
+    )
+    SELECT
+      source,
+      {cnt("pack_id", "pack_id")},
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(n_tokens)", "total_tokens")},
+      {dbl("sum(n_tokens) / 4096.0", "fill_frac")}
+    FROM packed
+    GROUP BY source, pack_id
+    """
+
+
+def _mixture_weights_sql(d: str) -> str:
+    # Temperature-scaled source mixing weights: w_i ∝ tokens_i^alpha
+    # (alpha = 0.7) — the standard up/down-sampling knob for corpus
+    # mixing.  Two tiny aggregates; the token count is the only scan.
+    toks = _tok(d)
+    return f"""
+    WITH per_source AS (
+      SELECT
+        source,
+        CAST(sum({arr_len(toks, d)}) AS DOUBLE) AS n_tokens,
+        count(*) AS n_docs
+      FROM documents
+      GROUP BY source
+    ),
+    scaled AS (
+      SELECT
+        source,
+        n_tokens,
+        n_docs,
+        round(power(n_tokens, 0.7) + 1e-9, 6) AS w_raw
+      FROM per_source
+    )
+    SELECT
+      source,
+      {cnt("n_docs", "n_docs")},
+      {cnt("n_tokens", "n_tokens")},
+      {dbl("n_tokens / sum(n_tokens) OVER ()", "natural_share")},
+      {dbl("w_raw / sum(w_raw) OVER ()", "mixture_weight")}
+    FROM scaled
+    """
+
+
 QUERIES = [
     sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
+    sql_backed("sequence_packing", _sequence_packing_sql, ("documents",)),
+    sql_backed("mixture_weights", _mixture_weights_sql, ("documents",)),
     sql_backed("gopher_quality", _gopher_quality_sql, ("documents",)),
     sql_backed("repeated_ngrams", _repeated_ngrams_sql, ("documents",)),
     sql_backed("decontamination", _decontamination_sql, ("documents",)),
