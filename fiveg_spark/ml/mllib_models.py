@@ -139,8 +139,30 @@ def mllib_ann_topk(
     )
 
 
+def pca_explained_variance(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
+    """MLlib PCA over the embeddings: top-k explained-variance ratios.
+
+    The dimensionality-reduction step before ANN at scale (project to
+    k ≪ d, prune with cheap low-d distances, re-rank exactly).  The fit
+    is a distributed Gramian eigendecomposition; only the k scalar
+    ratios come back to the driver.  Deterministic (no seed), pinned
+    against numpy's eigendecomposition in pytest.
+    """
+    from pyspark.ml.feature import PCA
+
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    model = PCA(k=k, inputCol="features", outputCol="pc").fit(emb)
+    rows = [
+        (i, round(float(v), 6)) for i, v in enumerate(model.explainedVariance)
+    ]
+    return spark.createDataFrame(rows, "component int, explained_variance double")
+
+
 QUERIES = [
     Query("mllib_linear_baseline", linear_baseline, None),
+    Query("pca_explained_variance", pca_explained_variance, None),
     Query("mllib_minhash_pairs", mllib_minhash_pairs, None),
     Query("mllib_ann_topk", mllib_ann_topk, None),
 ]

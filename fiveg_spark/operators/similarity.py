@@ -110,8 +110,54 @@ def _label_centroids_sql(d: str) -> str:
     """
 
 
+def _quantization_sql(d: str) -> str:
+    # E27 — per-vector uint8 quantization (the vector-compression step
+    # before ANN at scale: 4× smaller than float32, 75% less shuffle).
+    # code(x) = floor((x - mn)/s + 0.5) with explicit half-up floor so
+    # both engines agree without relying on round()'s tie semantics;
+    # all math in DOUBLE from identical float32 inputs → bit-identical.
+    # Constant vectors (s = 0) degrade to code 0 via the s guard.
+    if d == "spark":
+        arr = "CAST(embedding AS ARRAY<DOUBLE>)"
+        mn, mx = "array_min(arr)", "array_max(arr)"
+        code = "CAST(floor((x - mn) / s + 0.5) AS BIGINT)"
+        code_sum = f"aggregate(transform(arr, x -> {code}), 0L, (a, x) -> a + x)"
+        err = "abs(x - (mn + CAST(floor((x - mn) / s + 0.5) AS BIGINT) * s))"
+        err_sum = f"aggregate(transform(arr, x -> {err}), 0D, (a, x) -> a + x)"
+        n_dims = "size(arr)"
+    else:
+        arr = "CAST(embedding AS DOUBLE[])"
+        mn, mx = "list_min(arr)", "list_max(arr)"
+        code = "CAST(floor((x - mn) / s + 0.5) AS BIGINT)"
+        code_sum = f"list_sum(list_transform(arr, x -> {code}))"
+        err = "abs(x - (mn + CAST(floor((x - mn) / s + 0.5) AS BIGINT) * s))"
+        err_sum = f"list_sum(list_transform(arr, x -> {err}))"
+        n_dims = "len(arr)"
+    return f"""
+    WITH base AS (
+      SELECT vec_id, label, {arr} AS arr FROM embeddings
+    ),
+    ranged AS (
+      SELECT *, {mn} AS mn, {mx} AS mx FROM base
+    ),
+    scaled AS (
+      SELECT *, CASE WHEN mx = mn THEN 1.0 ELSE (mx - mn) / 255.0 END AS s
+      FROM ranged
+    )
+    SELECT
+      vec_id,
+      {cnt(n_dims, "n_dims")},
+      {dbl("mn", "v_min")},
+      {dbl("mx", "v_max")},
+      {cnt(code_sum, "code_sum")},
+      {dbl(f"{err_sum} / {n_dims}", "mean_abs_error")}
+    FROM scaled
+    """
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
+    sql_backed("embedding_quantization", _quantization_sql, ("embeddings",)),
     sql_backed("embedding_dedup_pairs", _embedding_dedup_sql, ("embeddings",)),
     sql_backed("label_centroids", _label_centroids_sql, ("embeddings",)),
 ]

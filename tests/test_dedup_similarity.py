@@ -163,3 +163,26 @@ def test_ann_ivf_recall_and_assignment(spark):
         x = x / (np.linalg.norm(x) + 1e-12)
         expect = int(((C - x) ** 2).sum(axis=1).argmin())
         assert got[r["vec_id"]] == expect
+
+
+def test_embedding_quantization_matches_numpy(spark):
+    import numpy as np
+
+    from fiveg_spark.operators.similarity import QUERIES as SIM_QUERIES
+    from fiveg_spark.sources.tables import load_table
+
+    q = next(q for q in SIM_QUERIES if q.name == "embedding_quantization")
+    got = {r["vec_id"]: r.asDict() for r in q.run(spark, SF_DIR).collect()}
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, "embeddings", SF_DIR).collect()
+    }
+    for vid in list(vecs)[:50]:
+        x = vecs[vid]
+        mn, mx = x.min(), x.max()
+        s = 1.0 if mx == mn else (mx - mn) / 255.0
+        codes = np.floor((x - mn) / s + 0.5).astype(np.int64)
+        assert codes.min() >= 0 and codes.max() <= 255
+        err = np.abs(x - (mn + codes * s)).sum() / len(x)
+        assert got[vid]["code_sum"] == int(codes.sum()), vid
+        assert abs(got[vid]["mean_abs_error"] - err) < 1e-3, vid

@@ -63,3 +63,25 @@ def test_mllib_ann_topk_reasonable(spark):
     for r in got[:5]:
         exact = float(np.linalg.norm(emb[r["vec_id"]] - q))
         assert abs(exact - r["euclidean_dist"]) < 1e-3
+
+
+def test_pca_explained_variance_matches_numpy(spark):
+    from fiveg_spark.ml.mllib_models import pca_explained_variance
+    from fiveg_spark.sources.tables import load_table
+
+    got = {
+        r["component"]: r["explained_variance"]
+        for r in pca_explained_variance(spark, SF_DIR, k=4).collect()
+    }
+    X = np.array(
+        [r["embedding"] for r in load_table(spark, "embeddings", SF_DIR).collect()],
+        dtype=np.float64,
+    )
+    # MLlib divides the Gramian by n (population covariance, uncentered
+    # mean handling matches RowMatrix.computeCovariance: centered, /(n-1))
+    C = np.cov(X, rowvar=False, ddof=1)
+    eig = np.sort(np.linalg.eigvalsh(C))[::-1]
+    ratios = eig / eig.sum()
+    for i in range(4):
+        assert abs(got[i] - ratios[i]) < 1e-4, (i, got[i], ratios[i])
+    assert all(got[i] >= got[i + 1] for i in range(3))
