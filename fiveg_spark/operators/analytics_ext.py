@@ -14,7 +14,7 @@ window/join plans on ~#days × #types rows).
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, pct, sql_backed
 
 # Day-level value series per event_type; measure rounded so every
 # downstream window sees identical inputs in both engines.
@@ -203,8 +203,80 @@ def _emb_norm_sql(d: str) -> str:
     """
 
 
+def _winsorized_stats_sql(d: str) -> str:
+    # C35 — winsorized mean/std per event_type: clip at the exact
+    # p05/p95 (interpolated, identical in both engines per B4), then
+    # aggregate the clipped values — the robust-stats companion to the
+    # trimmed z-score pass.  Percentiles are rounded before clipping so
+    # both engines clip identical doubles.
+    p05 = pct("value", 0.05, d)
+    p95 = pct("value", 0.95, d)
+    return f"""
+    WITH bounds AS (
+      SELECT
+        event_type,
+        round({p05} + 1e-9, 4) AS lo,
+        round({p95} + 1e-9, 4) AS hi
+      FROM events
+      GROUP BY event_type
+    ),
+    clipped AS (
+      SELECT
+        e.event_type,
+        least(greatest(e.value, b.lo), b.hi) AS v,
+        CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END AS was_clipped
+      FROM events e JOIN bounds b ON e.event_type = b.event_type
+    )
+    SELECT
+      event_type,
+      {cnt("count(*)", "n")},
+      {cnt("sum(was_clipped)", "n_clipped")},
+      {dbl("avg(v)", "winsorized_mean")},
+      {dbl("sqrt(avg(v * v) - avg(v) * avg(v))", "winsorized_std")}
+    FROM clipped
+    GROUP BY event_type
+    """
+
+
+def _mad_outliers_sql(d: str) -> str:
+    # C36 — median absolute deviation (MAD) robust outlier counts per
+    # event_type: |x - median| > 3 * 1.4826 * MAD.  Double exact-median
+    # pass (value median, then deviation median) — the holistic-agg
+    # stress test; thresholds rounded before comparison (parity rule).
+    med_v = pct("value", 0.5, d)
+    med_dev = pct("abs_dev", 0.5, d)
+    return f"""
+    WITH med AS (
+      SELECT event_type, round({med_v} + 1e-9, 4) AS m
+      FROM events GROUP BY event_type
+    ),
+    devs AS (
+      SELECT
+        e.event_type,
+        e.value,
+        m.m,
+        abs(e.value - m.m) AS abs_dev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, round({med_dev} + 1e-9, 4) AS mad_val
+      FROM devs GROUP BY event_type
+    )
+    SELECT
+      d.event_type,
+      {dbl("min(d.m)", "median_value")},
+      {dbl("min(md.mad_val)", "mad")},
+      {cnt("count(*)", "n")},
+      {cnt("sum(CASE WHEN d.abs_dev > round(3 * 1.4826 * md.mad_val + 1e-9, 4) THEN 1 ELSE 0 END)", "n_outliers")}
+    FROM devs d JOIN mad md ON d.event_type = md.event_type
+    GROUP BY d.event_type
+    """
+
+
 QUERIES = [
     sql_backed("grouping_sets_mix", _grouping_sets_sql, ("lineitem",)),
+    sql_backed("winsorized_stats", _winsorized_stats_sql, ("events",)),
+    sql_backed("mad_outliers", _mad_outliers_sql, ("events",)),
     sql_backed("cube_event_volume", _cube_sql, ("events",)),
     sql_backed("set_ops_cohorts", _set_ops_sql, ("orders",)),
     sql_backed("ewma_throughput", _ewma_sql, ("events",)),

@@ -154,8 +154,51 @@ def _ngram_jaccard_sql(d: str) -> str:
     """
 
 
+def _edit_distance_sql(d: str) -> str:
+    # E28 — edit-distance near-dup on document PREFIXES with length-band
+    # blocking: candidate pairs must sit in the same (lang, source)
+    # block AND within ±10% prefix length, so the self-join prunes to a
+    # sliver of the pair space before levenshtein() runs (both engines
+    # ship the identical DP algorithm).  Prefix cap (80 chars) bounds
+    # the O(m·n) DP cost per pair — the standard fuzzy-title-match
+    # shape, complementary to set-based Jaccard.
+    return f"""
+    WITH pre AS (
+      SELECT
+        doc_id,
+        lang,
+        source,
+        substr(text, 1, 80) AS prefix,
+        length(substr(text, 1, 80)) AS plen
+      FROM documents
+    ),
+    pairs AS (
+      SELECT
+        a.doc_id AS doc_a,
+        b.doc_id AS doc_b,
+        levenshtein(a.prefix, b.prefix) AS dist,
+        greatest(a.plen, b.plen) AS max_len
+      FROM pre a
+      JOIN pre b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+       AND b.plen BETWEEN CAST(floor(a.plen * 0.9) AS BIGINT)
+                      AND CAST(ceil(a.plen * 1.1) AS BIGINT)
+    )
+    SELECT
+      doc_a,
+      doc_b,
+      {cnt("dist", "edit_distance")},
+      {dbl("1.0 - dist / CAST(max_len AS DOUBLE)", "similarity")}
+    FROM pairs
+    WHERE dist <= CAST(0.3 * max_len AS BIGINT)
+    ORDER BY doc_a, doc_b
+    """
+
+
 QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
+    sql_backed("edit_distance_pairs", _edit_distance_sql, ("documents",)),
     sql_backed("minhash_lsh_pairs", _minhash_lsh_sql, ("documents",)),
     sql_backed("ngram_jaccard_pairs", _ngram_jaccard_sql, ("documents",)),
 ]
