@@ -219,6 +219,46 @@ def _decontamination_sql(d: str) -> str:
     """
 
 
+def _pii_redact_sql(d: str) -> str:
+    # The transform half of the PII pass: global-replace each pattern
+    # family with a typed placeholder, emit md5 of the redacted text so
+    # the oracle proves byte-identical redaction (not just counts).
+    # DuckDB's regexp_replace is first-match-only without the 'g' flag;
+    # Spark's is always global — hence the dialect branch.
+    def rep(expr: str, pat: str, tag: str) -> str:
+        if d == "spark":
+            return f"regexp_replace({expr}, '{pat}', '<{tag}>')"
+        return f"regexp_replace({expr}, '{pat}', '<{tag}>', 'g')"
+
+    redacted = rep(
+        rep(rep("text", _PATTERNS["email"], "EMAIL"), _PATTERNS["ipv4"], "IP"),
+        _PATTERNS["digit_runs"],
+        "NUM",
+    )
+    # n_redactions = placeholders actually inserted (counted on the
+    # redacted text), NOT raw-pattern hits — the ip's digit runs are
+    # consumed by the earlier IP pass and must not double-count.
+    inserted = arr_len("regexp_extract_all(redacted, '<(EMAIL|IP|NUM)>', 0)", d)
+    return f"""
+    WITH red AS (
+      SELECT
+        doc_id,
+        source,
+        {redacted} AS redacted
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      source,
+      {cnt(inserted, "n_redactions")},
+      md5(redacted) AS redacted_md5,
+      {cnt("length(redacted)", "redacted_len")}
+    FROM red
+    ORDER BY n_redactions DESC, doc_id
+    LIMIT 100
+    """
+
+
 def _sequence_packing_sql(d: str) -> str:
     # Sequence packing: assign documents to fixed token-budget packs
     # (4096) per source by cumulative-offset binning — the distributed
@@ -296,6 +336,7 @@ def _mixture_weights_sql(d: str) -> str:
 
 QUERIES = [
     sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
+    sql_backed("pii_redact", _pii_redact_sql, ("documents",)),
     sql_backed("sequence_packing", _sequence_packing_sql, ("documents",)),
     sql_backed("mixture_weights", _mixture_weights_sql, ("documents",)),
     sql_backed("gopher_quality", _gopher_quality_sql, ("documents",)),

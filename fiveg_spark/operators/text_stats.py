@@ -1,0 +1,121 @@
+"""Corpus token statistics: BPE-style adjacent-pair counts with PMI,
+and Heaps'-law vocabulary-growth profiles (SURVEY §2 E30/E31).
+
+Two statistics a tokenizer-training / corpus-profiling pass computes
+before an LLM run:
+
+- **Adjacent-pair stats** — the count of every adjacent token pair is
+  exactly the statistic the first BPE merge step ranks (Sennrich et al.
+  2016, "Neural Machine Translation of Rare Words with Subword Units");
+  PMI over the same pairs is the classic collocation score (Church &
+  Hanks 1990).  Pair generation is a per-row array transform (map-only,
+  no shuffle); the count is ONE hash-agg on the pair key — high
+  cardinality, no skew.  At 100 TB this is the same shape as word
+  count: partial aggregation does almost all the work map-side.
+- **Vocabulary growth** — per-source type/token counts, hapax fraction
+  and the implied Heaps exponent ln(V)/ln(T).  Distinct-term counting
+  is a (source, term) hash-agg then a per-source reduce: two shuffles,
+  both on high-cardinality keys.
+
+Both are pure SQL in both engines — no Python in the plan.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.text import _tok
+from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+
+
+def _pairs_expr(d: str) -> str:
+    """Adjacent token pairs 'a b' from the whitespace tokenization.
+    Guarded for <2 tokens: Spark's sequence(1, 0) yields a DESCENDING
+    [1, 0], not an empty array — the CASE is load-bearing."""
+    t = _tok(d)
+    if d == "spark":
+        return (
+            f"CASE WHEN size({t}) < 2 THEN array() "
+            f"ELSE transform(sequence(1, size({t}) - 1), "
+            f"i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1))) END"
+        )
+    return (
+        f"CASE WHEN len({t}) < 2 THEN [] "
+        f"ELSE list_transform(generate_series(1, len({t}) - 1), "
+        f"i -> {t}[i] || ' ' || {t}[i + 1]) END"
+    )
+
+
+def _bpe_pair_stats_sql(d: str) -> str:
+    # PMI = ln( p(a,b) / (p(a) p(b)) ) with pair probability over total
+    # adjacent-pair events and unigram probabilities over total tokens.
+    explode = "explode" if d == "spark" else "unnest"
+    tok_explode = (
+        f"SELECT {explode}({_tok(d)}) AS term FROM documents"
+        if d == "spark"
+        else f"SELECT unnest({_tok(d)}) AS term FROM documents"
+    )
+    pair_explode = (
+        f"SELECT explode({_pairs_expr(d)}) AS pair FROM documents"
+        if d == "spark"
+        else f"SELECT unnest({_pairs_expr(d)}) AS pair FROM documents"
+    )
+    split_left = "split_part(pair, ' ', 1)"
+    split_right = "split_part(pair, ' ', 2)"
+    return f"""
+    WITH toks AS ({tok_explode}),
+    uni AS (
+      SELECT term, count(*) AS c FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
+    ),
+    pairs AS ({pair_explode}),
+    pc AS (
+      SELECT pair, count(*) AS pair_c FROM pairs GROUP BY pair
+    ),
+    ptot AS (
+      SELECT CAST(sum(pair_c) AS DOUBLE) AS n FROM pc
+    )
+    SELECT
+      pc.pair,
+      {cnt("pc.pair_c", "pair_count")},
+      {cnt("la.c", "left_count")},
+      {cnt("ra.c", "right_count")},
+      {dbl("ln((pc.pair_c * tot.t * tot.t) / (ptot.n * la.c * ra.c))", "pmi")}
+    FROM pc
+    JOIN uni la ON la.term = {split_left}
+    JOIN uni ra ON ra.term = {split_right}
+    CROSS JOIN tot CROSS JOIN ptot
+    ORDER BY pair_count DESC, pc.pair
+    LIMIT 50
+    """
+
+
+def _vocab_growth_sql(d: str) -> str:
+    explode = (
+        f"SELECT source, explode({_tok(d)}) AS term FROM documents"
+        if d == "spark"
+        else f"SELECT source, unnest({_tok(d)}) AS term FROM documents"
+    )
+    return f"""
+    WITH toks AS ({explode}),
+    per_term AS (
+      SELECT source, term, count(*) AS c FROM toks GROUP BY source, term
+    )
+    SELECT
+      source,
+      {cnt("sum(c)", "total_tokens")},
+      {cnt("count(*)", "vocab_size")},
+      {cnt("sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)", "hapax_terms")},
+      {dbl("CAST(count(*) AS DOUBLE) / sum(c)", "type_token_ratio")},
+      {dbl("sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / count(*)", "hapax_frac")},
+      {dbl("ln(CAST(count(*) AS DOUBLE)) / ln(CAST(sum(c) AS DOUBLE))", "heaps_exponent")}
+    FROM per_term
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+QUERIES = [
+    sql_backed("bpe_pair_stats", _bpe_pair_stats_sql, ("documents",)),
+    sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
+]

@@ -83,3 +83,24 @@ def test_decontamination_flags_benchmark_copy(spark):
     assert rows[1]["contaminated"] == 1
     assert rows[2]["n_shared_ngrams"] == 0
     assert rows[2]["contaminated"] == 0
+
+
+def test_pii_redact_replaces_all_families(spark):
+    _docs_view(
+        spark,
+        [
+            (0, "mail alice@example.com or 192.168.0.1 x 1234", "en", "s1", 0),
+            (1, "clean text only", "en", "s1", 0),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in spark.sql(lc._pii_redact_sql("spark")).collect()}
+    # email + ip + the two digit runs inside the ip are consumed by
+    # earlier passes; remaining digit run "1234" -> <NUM>
+    assert rows[0]["n_redactions"] == 3
+    assert rows[1]["n_redactions"] == 0
+    # redacted text itself is only surfaced as md5; recompute expectation
+    import hashlib
+
+    expected = "mail <EMAIL> or <IP> x <NUM>"
+    assert rows[0]["redacted_md5"] == hashlib.md5(expected.encode()).hexdigest()
+    assert rows[0]["redacted_len"] == len(expected)

@@ -1,0 +1,54 @@
+"""Literal-frame tests proving the token statistics compute what they
+claim (the parity run only proves engine agreement)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fiveg_spark.operators import text_stats as ts
+
+
+def _docs_view(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.createOrReplaceTempView("documents")
+
+
+def test_bpe_pairs_count_and_pmi(spark):
+    # corpus: "a b a b" + "a b c" -> pairs: (a b)x3, (b a)x1, (b c)x1
+    _docs_view(
+        spark,
+        [
+            (0, "a b a b", "en", "s", 0),
+            (1, "a b c", "en", "s", 0),
+            (2, "solo", "en", "s", 0),  # <2 tokens -> no pairs, no crash
+        ],
+    )
+    rows = {r["pair"]: r.asDict() for r in spark.sql(ts._bpe_pair_stats_sql("spark")).collect()}
+    assert rows["a b"]["pair_count"] == 3
+    assert rows["a b"]["left_count"] == 3  # unigram a appears 3x
+    assert rows["a b"]["right_count"] == 3
+    assert rows["b a"]["pair_count"] == 1
+    # pmi(a,b) = ln(c_ab * T^2 / (N * c_a * c_b)); T=8 tokens, N=5 pairs
+    expect = math.log(3 * 8 * 8 / (5 * 3 * 3))
+    assert rows["a b"]["pmi"] == pytest.approx(expect, abs=1e-3)
+
+
+def test_vocab_growth_heaps(spark):
+    _docs_view(
+        spark,
+        [
+            (0, "x x x y", "en", "s1", 0),  # T=4, V=2, hapax={y}
+            (1, "p q r", "en", "s2", 0),  # T=3, V=3, all hapax
+        ],
+    )
+    rows = {r["source"]: r.asDict() for r in spark.sql(ts._vocab_growth_sql("spark")).collect()}
+    assert rows["s1"]["total_tokens"] == 4
+    assert rows["s1"]["vocab_size"] == 2
+    assert rows["s1"]["hapax_terms"] == 1
+    assert rows["s1"]["type_token_ratio"] == pytest.approx(0.5, abs=1e-3)
+    assert rows["s1"]["heaps_exponent"] == pytest.approx(math.log(2) / math.log(4), abs=1e-3)
+    assert rows["s2"]["hapax_frac"] == pytest.approx(1.0, abs=1e-3)
