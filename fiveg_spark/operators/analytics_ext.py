@@ -14,6 +14,7 @@ window/join plans on ~#days × #types rows).
 
 from __future__ import annotations
 
+from fiveg_spark.operators.kpi import flows_cte
 from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, pct, sql_backed
 
 # Day-level value series per event_type; measure rounded so every
@@ -273,8 +274,79 @@ def _mad_outliers_sql(d: str) -> str:
     """
 
 
+def _percent_of_total_sql(d: str) -> str:
+    # Ratio-to-report: each nation's revenue as a share of its region
+    # and of the world — two window sums over the aggregated frame.
+    # Scale: facts reduce ONCE via hash-agg (one shuffle); the window
+    # runs on |nations| rows.  The denominators are unrounded; only the
+    # emitted ratios round.
+    return f"""
+    WITH rev AS (
+      SELECT
+        r.r_name AS region,
+        n.n_name AS nation,
+        sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT
+      region,
+      nation,
+      {dbl("revenue", "revenue")},
+      {dbl("revenue / sum(revenue) OVER (PARTITION BY region)", "share_of_region")},
+      {dbl("revenue / sum(revenue) OVER ()", "share_of_world")},
+      {cnt("rank() OVER (PARTITION BY region ORDER BY revenue DESC, nation)", "rank_in_region")}
+    FROM rev
+    ORDER BY region, rank_in_region
+    """
+
+
+def _unpivot_sql(d: str) -> str:
+    # Wide→long melt of the per-slice packet summary.  Spark: stack()
+    # (the engine's native UNPIVOT lowering); oracle: UNION ALL
+    # reconstruction — cross-algorithm agreement on the melted frame.
+    if d == "spark":
+        melt = """
+      SELECT slice, stack(3,
+        'n_packets', CAST(n_packets AS DOUBLE),
+        'total_bytes', total_bytes,
+        'avg_pkt_len', avg_pkt_len) AS (metric, value)
+      FROM wide"""
+    else:
+        melt = """
+      SELECT slice, 'n_packets' AS metric, CAST(n_packets AS DOUBLE) AS value FROM wide
+      UNION ALL SELECT slice, 'total_bytes', total_bytes FROM wide
+      UNION ALL SELECT slice, 'avg_pkt_len', avg_pkt_len FROM wide"""
+    return f"""
+    {flows_cte(d)},
+    wide AS (
+      SELECT
+        slice,
+        CAST(count(*) AS BIGINT) AS n_packets,
+        round(sum(pkt_len) + 1e-9, 4) AS total_bytes,
+        round(avg(pkt_len) + 1e-9, 4) AS avg_pkt_len
+      FROM flows
+      GROUP BY slice
+    ),
+    melted AS ({melt})
+    SELECT slice, metric, CAST(value AS DOUBLE) AS value
+    FROM melted
+    ORDER BY slice, metric
+    """
+
+
 QUERIES = [
     sql_backed("grouping_sets_mix", _grouping_sets_sql, ("lineitem",)),
+    sql_backed(
+        "percent_of_total",
+        _percent_of_total_sql,
+        ("customer", "nation", "region", "orders", "lineitem"),
+    ),
+    sql_backed("unpivot_slice_stats", _unpivot_sql, ("events",)),
     sql_backed("winsorized_stats", _winsorized_stats_sql, ("events",)),
     sql_backed("mad_outliers", _mad_outliers_sql, ("events",)),
     sql_backed("cube_event_volume", _cube_sql, ("events",)),

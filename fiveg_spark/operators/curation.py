@@ -120,8 +120,43 @@ def _curation_sql(d: str) -> str:
     """
 
 
+def _topk_sample_sql(d: str) -> str:
+    # Fixed-k per-group deterministic sample: rank docs inside each
+    # source by keyed hash and keep the first K — the distributed
+    # replacement for per-group reservoir sampling (same guarantee:
+    # exactly min(K, n) uniform-without-replacement rows, but
+    # deterministic and re-runnable).  One window shuffle on source;
+    # at 100 TB a two-phase per-partition top-K + merge (TakeOrdered
+    # shape) bounds memory — K is tiny, so state is K rows/partition.
+    k = 5
+    return f"""
+    WITH ranked AS (
+      SELECT
+        source,
+        doc_id,
+        row_number() OVER (
+          PARTITION BY source ORDER BY {_doc_hash("topk")}, doc_id
+        ) AS rk
+      FROM documents
+    ),
+    kept AS (
+      SELECT source, doc_id FROM ranked WHERE rk <= {k}
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_sampled")},
+      {cnt("sum(doc_id)", "sample_id_sum")},
+      {cnt("min(doc_id)", "sample_id_min")},
+      {cnt("max(doc_id)", "sample_id_max")}
+    FROM kept
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
+    sql_backed("per_source_topk_sample", _topk_sample_sql, ("documents",)),
     sql_backed("hash_split", _hash_split_sql, ("documents",)),
     sql_backed("curation_funnel", _curation_sql, ("documents",)),
 ]

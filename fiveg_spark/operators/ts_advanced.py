@@ -213,8 +213,124 @@ def _nation_pagerank_sql(d: str) -> str:
     """
 
 
+def _arr_sorted(d: str, arr: str) -> str:
+    return f"array_sort({arr})" if d == "spark" else f"list_sort({arr})"
+
+
+def _arr_at(d: str, arr: str, i: str) -> str:
+    return f"element_at({arr}, {i})" if d == "spark" else f"{arr}[{i}]"
+
+
+def _arr_median(d: str, arr: str) -> str:
+    """Lower+upper middle average over a sorted copy — exact median of
+    an array of ANY length ≥1, identical arithmetic in both engines."""
+    n = f"size({arr})" if d == "spark" else f"len({arr})"
+    lo = _arr_at(d, _arr_sorted(d, arr), f"CAST(floor(({n} + 1) / 2.0) AS INT)")
+    hi = _arr_at(d, _arr_sorted(d, arr), f"CAST(floor({n} / 2.0) AS INT) + 1")
+    return f"(({lo}) + ({hi})) / 2.0"
+
+
+def _hampel_sql(d: str) -> str:
+    # Hampel filter on the hourly per-slice throughput series: rolling
+    # window of 7 (±3 h), center x flagged when |x - med| exceeds
+    # 3 * 1.4826 * MAD.  Both the rolling median and the rolling MAD
+    # depend on the CENTER row's window, so this is NOT two chained
+    # window aggs — the frame is materialized as an array (7 doubles,
+    # constant memory) and both statistics come from array HOFs.
+    # Scale: the window runs on the hourly reduced frame (≤ thousands
+    # of rows per slice at any SF), one shuffle on slice.
+    la = "x -> abs(x - m)" if d == "spark" else "x -> abs(x - m)"
+    xform = "transform" if d == "spark" else "list_transform"
+    collect = "collect_list" if d == "spark" else "list"
+    frame = (
+        f"{collect}(throughput_bps) OVER (PARTITION BY slice ORDER BY h "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"
+    )
+    return f"""
+    {_hourly_cte(d)},
+    win AS (
+      SELECT slice, h, throughput_bps, {frame} AS arr FROM hourly
+    ),
+    med AS (
+      SELECT slice, h, throughput_bps, arr,
+             round({_arr_median(d, "arr")}, 4) AS m
+      FROM win
+    ),
+    madded AS (
+      SELECT slice, h, throughput_bps, m,
+             round({_arr_median(d, f"{xform}(arr, {la})")}, 4) AS mad
+      FROM med
+    )
+    SELECT
+      slice,
+      h AS window_start,
+      {dbl("throughput_bps", "throughput")},
+      {dbl("m", "rolling_median")},
+      {dbl("mad", "rolling_mad")},
+      {cnt("CASE WHEN round(abs(throughput_bps - m), 4) > round(3 * 1.4826 * mad, 4) THEN 1 ELSE 0 END", "is_outlier")}
+    FROM madded
+    ORDER BY slice, window_start
+    """
+
+
+def _triangle_count_sql(d: str) -> str:
+    # Triangle counting + local clustering coefficient on the (undirected)
+    # nation-trade graph.  Edges are oriented a<b and triangles joined
+    # a<b<c — the degree-orientation trick that bounds join fanout at
+    # scale (each triangle enumerated exactly once, no 6x duplication).
+    return f"""
+    WITH edges_raw AS (
+      SELECT DISTINCT
+        least(cn.n_name, sn.n_name) AS a,
+        greatest(cn.n_name, sn.n_name) AS b
+      FROM customer c
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+    ),
+    tris AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM edges_raw e1
+      JOIN edges_raw e2 ON e2.a = e1.b
+      JOIN edges_raw e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+      ) t GROUP BY node
+    ),
+    degree AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM edges_raw UNION ALL SELECT b FROM edges_raw
+      ) t GROUP BY node
+    )
+    SELECT
+      d.node AS nation,
+      {cnt("d.deg", "degree")},
+      {cnt("coalesce(t.n_tri, 0)", "n_triangles")},
+      {dbl(
+          "CASE WHEN d.deg > 1 THEN 2.0 * coalesce(t.n_tri, 0) / (d.deg * (d.deg - 1.0)) ELSE 0.0 END",
+          "clustering_coeff",
+      )}
+    FROM degree d
+    LEFT JOIN tri_per_node t ON t.node = d.node
+    ORDER BY n_triangles DESC, nation
+    """
+
+
 QUERIES = [
     sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
+    sql_backed("hampel_outliers", _hampel_sql, ("events",)),
+    sql_backed(
+        "triangle_count",
+        _triangle_count_sql,
+        ("customer", "nation", "orders", "lineitem", "supplier"),
+    ),
     sql_backed("seasonal_decomposition", _seasonal_decomposition_sql, ("events",)),
     sql_backed("rolling_origin_cv", _rolling_origin_cv_sql, ("events",)),
     sql_backed(

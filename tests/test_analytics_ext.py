@@ -70,3 +70,32 @@ def test_embedding_norms_match_numpy(spark, duck):
         np.testing.assert_allclose(row["avg_norm"], norms.mean(), atol=2e-4)
         np.testing.assert_allclose(row["max_norm"], norms.max(), atol=2e-4)
         assert row["dim"] == X.shape[1]
+
+
+def test_percent_of_total_shares_sum_to_one(spark):
+    from fiveg_spark.operators.analytics_ext import QUERIES as _AQ
+    import tests.conftest as c
+
+    q = {x.name: x for x in _AQ}["percent_of_total"]
+    df = q.run(spark, c.SF_DIR).toPandas()
+    by_region = df.groupby("region")["share_of_region"].sum()
+    assert ((by_region - 1.0).abs() < 1e-2).all()
+    assert abs(df["share_of_world"].sum() - 1.0) < 1e-2
+    # rank 1 is the region max
+    for _, g in df.groupby("region"):
+        assert g.loc[g["rank_in_region"] == 1, "revenue"].iloc[0] == g["revenue"].max()
+
+
+def test_unpivot_emits_three_metrics_per_slice(spark):
+    from fiveg_spark.operators.analytics_ext import QUERIES as _AQ
+    import tests.conftest as c
+
+    q = {x.name: x for x in _AQ}["unpivot_slice_stats"]
+    df = q.run(spark, c.SF_DIR).toPandas()
+    per_slice = df.groupby("slice")["metric"].apply(lambda s: sorted(s))
+    for metrics in per_slice:
+        assert metrics == ["avg_pkt_len", "n_packets", "total_bytes"]
+    # melt preserves values: avg * count == sum (packet-len identity)
+    wide = df.pivot(index="slice", columns="metric", values="value")
+    rel = (wide["avg_pkt_len"] * wide["n_packets"] / wide["total_bytes"] - 1.0).abs()
+    assert (rel < 1e-3).all()

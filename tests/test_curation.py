@@ -53,3 +53,19 @@ def test_curation_funnel_conserves_docs(spark, duck):
     stages = out[["n_dropped_dup", "n_dropped_len", "n_dropped_quality", "n_kept"]]
     assert (stages.sum(axis=1) == out["n_docs"]).all()
     assert out["n_kept"].sum() > 0
+
+
+def test_topk_sample_matches_python_md5(spark, duck):
+    docs = duck.execute("SELECT doc_id, source FROM documents").df()
+    sub = docs[docs["source"] == "src0"]
+    ranked = sorted(
+        (hashlib.md5(f"topk#{int(r['doc_id'])}".encode()).hexdigest()[:8], int(r["doc_id"]))
+        for _, r in sub.iterrows()
+    )
+    expected_ids = sorted(doc_id for _, doc_id in ranked[:5])
+    out = _run(spark, "per_source_topk_sample")
+    row = out[out["source"] == "src0"].iloc[0]
+    assert row["n_sampled"] == min(5, len(sub))
+    assert row["sample_id_sum"] == sum(expected_ids)
+    assert row["sample_id_min"] == expected_ids[0]
+    assert row["sample_id_max"] == expected_ids[-1]
