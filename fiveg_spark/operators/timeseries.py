@@ -339,6 +339,89 @@ def _funnel_sql(d: str) -> str:
     """
 
 
+def _pinball_eval_sql(d: str) -> str:
+    # D16 — quantile-forecast evaluation with pinball (quantile) loss,
+    # the eval the reference's TFT-style quantile head calls for.  The
+    # forecaster is the rolling empirical quantile of the previous 24 h
+    # (exact holistic window agg); loss and coverage are computed on the
+    # last-15% test split.  Forecasts round to 4 dp BEFORE the loss so
+    # both engines score identical numbers.  Scale: one shuffle on
+    # slice; the holistic window runs on the hourly reduced frame.
+    def fq(p: float) -> str:
+        agg = pct("throughput_bps", p, d)
+        return (
+            f"round({agg} OVER (PARTITION BY slice ORDER BY h "
+            f"ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) + 1e-9, 4)"
+        )
+
+    def pinball(q: float, yhat: str) -> str:
+        diff = f"(throughput_bps - {yhat})"
+        return f"avg(CASE WHEN {diff} >= 0 THEN {q} * {diff} ELSE ({q} - 1) * {diff} END)"
+
+    return f"""
+    {_hourly_cte(d)},
+    numbered AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n,
+        {fq(0.1)} AS q10,
+        {fq(0.5)} AS q50,
+        {fq(0.9)} AS q90
+      FROM hourly
+    ),
+    test_rows AS (
+      SELECT * FROM numbered
+      WHERE rn > CAST(floor(0.85 * n) AS BIGINT) AND q50 IS NOT NULL
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_test")},
+      {dbl(pinball(0.1, "q10"), "pinball_q10")},
+      {dbl(pinball(0.5, "q50"), "pinball_q50")},
+      {dbl(pinball(0.9, "q90"), "pinball_q90")},
+      {dbl("avg(CASE WHEN throughput_bps <= q10 THEN 1.0 ELSE 0.0 END)", "coverage_q10")},
+      {dbl("avg(CASE WHEN throughput_bps <= q90 THEN 1.0 ELSE 0.0 END)", "coverage_q90")}
+    FROM test_rows
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+def _time_to_convert_sql(d: str) -> str:
+    # C41 — funnel latency: distribution of view→purchase delay per
+    # first-view day.  Same single user_id shuffle as the funnel; the
+    # percentile agg runs on converted users only.
+    delta = f"{epoch('t_purchase', d)} - {epoch('t_view', d)}"
+    return f"""
+    WITH stages AS (
+      SELECT
+        user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    ),
+    converted AS (
+      SELECT
+        CAST(date_trunc('day', t_view) AS DATE) AS cohort_day,
+        {delta} AS delay_s
+      FROM stages
+      WHERE t_view IS NOT NULL AND t_purchase > t_view
+    )
+    SELECT
+      cohort_day,
+      {cnt("count(*)", "n_converted")},
+      {dbl("avg(delay_s)", "avg_delay_s")},
+      {dbl(pct("delay_s", 0.5, d), "p50_delay_s")},
+      {dbl(pct("delay_s", 0.9, d), "p90_delay_s")},
+      {dbl("min(delay_s)", "min_delay_s")},
+      {dbl("max(delay_s)", "max_delay_s")}
+    FROM converted
+    GROUP BY cohort_day
+    ORDER BY cohort_day
+    """
+
+
 def _event_type_mix_sql(d: str) -> str:
     # C8 — daily event-type shares (agg + window-over-agg).
     return f"""
@@ -440,6 +523,8 @@ QUERIES = [
     sql_backed("feature_correlations", _feature_correlations_sql, ("events",)),
     sql_backed("cohort_retention", _cohort_retention_sql, ("events",)),
     sql_backed("funnel_stages", _funnel_sql, ("events",)),
+    sql_backed("pinball_eval", _pinball_eval_sql, ("events",)),
+    sql_backed("time_to_convert", _time_to_convert_sql, ("events",)),
     sql_backed("value_histogram", _value_histogram_sql, ("events",)),
     sql_backed("event_type_mix", _event_type_mix_sql, ("events",)),
     sql_backed("value_percentiles", _value_percentiles_sql, ("events",)),

@@ -216,6 +216,16 @@ def streaming_attribution(
     )
 
 
+def streaming_enrich(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static broadcast join: enrich a stream with a small
+    dimension table.  The static side is re-read per micro-batch (so
+    dimension updates are picked up) and broadcast — no shuffle touches
+    the stream, no state is kept, and the join adds zero watermark
+    requirements.  This is the scale path for stream × dimension at
+    100 TB/day: the stream stays partition-local."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def streaming_sessions(
     packets: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -172,3 +172,24 @@ def test_streaming_session_windows(spark, packet_stream):
     assert len(rows) == len(closed_rows)
     assert sum(r["n_events"] for r in rows) == sum(r["n_events"] for r in closed_rows)
     assert batch_pkts.count() - sum(r["n_events"] for r in rows) >= 1  # open tail retained
+
+
+def test_stream_static_broadcast_enrich(spark, packet_stream):
+    from fiveg_spark.streaming.kpi_stream import streaming_enrich
+
+    stream_pkts, batch_pkts = packet_stream
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 3)], "event_type STRING, priority INT"
+    )
+    # slice stands in for event_type in the packet view; join on slice
+    dim2 = spark.createDataFrame(
+        [(r["slice"], i) for i, r in enumerate(batch_pkts.select("slice").distinct().collect())],
+        "slice STRING, priority INT",
+    )
+    enriched = streaming_enrich(stream_pkts, dim2, on="slice")
+    got = _run_to_memory(enriched, "enrich_stream", spark)
+    assert got.count() == batch_pkts.count()  # left join preserves rows
+    assert got.filter("priority IS NULL").count() == 0  # every slice matched
+    # static-side values joined correctly
+    exp = {(r["slice"], r["priority"]) for r in dim2.collect()}
+    assert {(r["slice"], r["priority"]) for r in got.select("slice", "priority").distinct().collect()} == exp

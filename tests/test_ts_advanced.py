@@ -74,3 +74,59 @@ def test_triangle_count_known_graph(spark):
     assert rows["A"]["clustering_coeff"] == pytest.approx(1.0, abs=1e-3)
     assert rows["C"]["clustering_coeff"] == pytest.approx(1.0 / 3.0, abs=1e-3)
     assert rows["D"]["degree"] == 1
+
+
+def test_pinball_matches_pandas(spark):
+    from fiveg_spark.operators import timeseries as tsq
+
+    for t in ("events",):
+        load_table(spark, t, SF_DIR).createOrReplaceTempView(t)
+    got = {r["slice"]: r.asDict() for r in spark.sql(tsq._pinball_eval_sql("spark")).collect()}
+    hourly = spark.sql(
+        tsq._hourly_cte("spark") + " SELECT slice, h, throughput_bps FROM hourly"
+    ).toPandas()
+    sl = sorted(got)[0]
+    s = (
+        hourly[hourly["slice"] == sl]
+        .sort_values("h")["throughput_bps"]
+        .reset_index(drop=True)
+    )
+    q50 = s.shift(1).rolling(24, min_periods=1).quantile(0.5, interpolation="linear").round(4)
+    n = len(s)
+    lo = int(n * 0.85)
+    mask = (pd.Series(range(1, n + 1)) > lo) & q50.notna()
+    diff = s[mask] - q50[mask]
+    expected = diff.apply(lambda e: 0.5 * e if e >= 0 else -0.5 * e).mean()
+    assert got[sl]["pinball_q50"] == pytest.approx(expected, rel=1e-3)
+    for r in got.values():
+        assert r["coverage_q10"] <= r["coverage_q90"]
+        assert r["pinball_q10"] >= 0 and r["pinball_q90"] >= 0
+
+
+def test_time_to_convert_literal(spark):
+    from fiveg_spark.operators import timeseries as tsq
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # u1: view at 0s, purchase 90s later
+        (1, "view", base),
+        (1, "purchase", base + dt.timedelta(seconds=90)),
+        # u2: view, purchase 30s later (same cohort day)
+        (2, "view", base + dt.timedelta(hours=1)),
+        (2, "purchase", base + dt.timedelta(hours=1, seconds=30)),
+        # u3: purchase BEFORE view -> not converted
+        (3, "purchase", base),
+        (3, "view", base + dt.timedelta(seconds=5)),
+        # u4: view only
+        (4, "view", base),
+    ]
+    spark.createDataFrame(rows, "user_id BIGINT, event_type STRING, ts TIMESTAMP").createOrReplaceTempView("events")
+    out = spark.sql(tsq._time_to_convert_sql("spark")).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["n_converted"] == 2
+    assert r["avg_delay_s"] == pytest.approx(60.0, abs=1e-3)
+    assert r["p50_delay_s"] == pytest.approx(60.0, abs=1e-3)
+    assert r["min_delay_s"] == pytest.approx(30.0, abs=1e-3)
+    assert r["max_delay_s"] == pytest.approx(90.0, abs=1e-3)
