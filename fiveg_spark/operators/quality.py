@@ -105,7 +105,75 @@ def _interval_join_sql(d: str) -> str:
     """
 
 
+def _table_profile_sql(d: str) -> str:
+    # C42 — one-scan column profiler over events (the ANALYZE-style
+    # statistics a pipeline collects before planning a 100 TB job):
+    # rows / nulls / exact NDV / numeric min-max-mean per column, one
+    # output row per column.  The profile aggregates in a SINGLE pass —
+    # count(DISTINCT a), count(DISTINCT b), ... in one SELECT expands to
+    # one expand-aggregate in Spark, still one scan of the fact table.
+    # Timestamps profile via exact epoch micros; categoricals leave
+    # numeric stats NULL.
+    ep = (
+        "CAST(unix_micros(ts) AS DOUBLE) / 1000000.0"
+        if d == "spark"
+        else "CAST(epoch_us(ts) AS DOUBLE) / 1000000.0"
+    )
+    cols = [
+        ("value", "value", "CAST(value AS DOUBLE)"),
+        ("user_id", "user_id", "CAST(user_id AS DOUBLE)"),
+        ("ts", "ts", ep),
+        ("event_type", "event_type", None),
+    ]
+    aggs, melts, stack_rows = [], [], []
+    for name, src, num in cols:
+        aggs.append(f"CAST(sum(CASE WHEN {src} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {name}_nulls")
+        aggs.append(f"CAST(count(DISTINCT {src}) AS BIGINT) AS {name}_ndv")
+        if num is not None:
+            aggs.append(f"CAST(round(min({num}) + 1e-9, 4) AS DOUBLE) AS {name}_min")
+            aggs.append(f"CAST(round(max({num}) + 1e-9, 4) AS DOUBLE) AS {name}_max")
+            aggs.append(f"CAST(round(avg({num}) + 1e-9, 4) AS DOUBLE) AS {name}_mean")
+            stats = (f"{name}_min", f"{name}_max", f"{name}_mean")
+        else:
+            stats = ("CAST(NULL AS DOUBLE)",) * 3
+        stack_rows.append(
+            f"'{name}', nr, {name}_nulls, {name}_ndv, {stats[0]}, {stats[1]}, {stats[2]}"
+        )
+        melts.append(
+            f"SELECT '{name}' AS column_name, nr AS n_rows, {name}_nulls AS n_nulls, "
+            f"{name}_ndv AS ndv, {stats[0]} AS min_v, {stats[1]} AS max_v, {stats[2]} AS mean_v FROM wide"
+        )
+    agg_list = ",\n        ".join(aggs)
+    wide = f"""wide AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS nr,
+        {agg_list}
+      FROM events
+    )"""
+    if d == "spark":
+        # stack() melts the ONE aggregated row — Spark inlines WITH-CTEs
+        # into every reference, so a UNION-ALL melt would rescan events
+        # once per column; stack keeps it to a single scan.
+        rows = ",\n        ".join(stack_rows)
+        return f"""
+    WITH {wide}
+    SELECT column_name, n_rows, n_nulls, ndv, min_v, max_v, mean_v FROM (
+      SELECT stack({len(cols)},
+        {rows}) AS (column_name, n_rows, n_nulls, ndv, min_v, max_v, mean_v)
+      FROM wide
+    )
+    ORDER BY column_name
+    """
+    melted = "\n      UNION ALL ".join(melts)
+    return f"""
+    WITH {wide}
+    {melted}
+    ORDER BY column_name
+    """
+
+
 QUERIES = [
+    sql_backed("table_profile", _table_profile_sql, ("events",)),
     sql_backed("dq_checks", _dq_checks_sql, ("events", "orders", "customer", "lineitem")),
     sql_backed("window_functions_suite", _window_suite_sql, ("orders",)),
     sql_backed("interval_join_stats", _interval_join_sql, ("orders", "events")),

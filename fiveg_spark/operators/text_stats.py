@@ -115,7 +115,59 @@ def _vocab_growth_sql(d: str) -> str:
     """
 
 
+def _unigram_ppl_sql(d: str) -> str:
+    # Unigram-LM perplexity proxy: score each doc by the mean negative
+    # log-probability of its tokens under the corpus unigram model —
+    # the cheap stand-in for the KenLM perplexity filter of CCNet
+    # (Wenzek et al. 2020); high-ppl docs are boilerplate/noise
+    # candidates.  Model "training" is ONE hash-agg (term counts);
+    # scoring is explode → broadcast-join the (small) vocab → per-doc
+    # avg: at 100 TB the vocab side is ≪ the corpus and broadcasts.
+    # ppl derives from the ROUNDED mean NLL so both engines exponentiate
+    # the identical double.
+    explode = (
+        f"SELECT doc_id, source, explode({_tok(d)}) AS term FROM documents"
+        if d == "spark"
+        else f"SELECT doc_id, source, unnest({_tok(d)}) AS term FROM documents"
+    )
+    return f"""
+    WITH toks AS ({explode}),
+    uni AS (
+      SELECT term, count(*) AS c FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
+    ),
+    scored AS (
+      SELECT
+        toks.doc_id,
+        toks.source,
+        -ln(uni.c / tot.t) AS nll
+      FROM toks JOIN uni ON toks.term = uni.term CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT
+        doc_id,
+        source,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        round(avg(nll) + 1e-9, 4) AS avg_nll
+      FROM scored
+      GROUP BY doc_id, source
+    )
+    SELECT
+      doc_id,
+      source,
+      n_tokens,
+      CAST(avg_nll AS DOUBLE) AS avg_nll,
+      {dbl("exp(avg_nll)", "ppl")}
+    FROM per_doc
+    ORDER BY avg_nll DESC, doc_id
+    LIMIT 100
+    """
+
+
 QUERIES = [
     sql_backed("bpe_pair_stats", _bpe_pair_stats_sql, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
+    sql_backed("unigram_ppl", _unigram_ppl_sql, ("documents",)),
 ]

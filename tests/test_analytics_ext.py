@@ -99,3 +99,20 @@ def test_unpivot_emits_three_metrics_per_slice(spark):
     wide = df.pivot(index="slice", columns="metric", values="value")
     rel = (wide["avg_pkt_len"] * wide["n_packets"] / wide["total_bytes"] - 1.0).abs()
     assert (rel < 1e-3).all()
+
+
+def test_table_profile_stats_correct(spark, duck):
+    from fiveg_spark.operators.quality import QUERIES as _QQ
+    import tests.conftest as c
+
+    q = {x.name: x for x in _QQ}["table_profile"]
+    df = q.run(spark, c.SF_DIR).toPandas().set_index("column_name")
+    truth = duck.execute(
+        "SELECT count(*) AS n, count(DISTINCT event_type) AS ndv_et, "
+        "min(value) AS mn, max(value) AS mx FROM events"
+    ).df().iloc[0]
+    assert (df["n_rows"] == truth["n"]).all()
+    assert df.loc["event_type", "ndv"] == truth["ndv_et"]
+    assert df.loc["value", "min_v"] == round(float(truth["mn"]) + 1e-9, 4)
+    assert df.loc["value", "max_v"] == round(float(truth["mx"]) + 1e-9, 4)
+    assert df.loc["event_type", ["min_v", "max_v", "mean_v"]].isna().all()

@@ -52,3 +52,22 @@ def test_vocab_growth_heaps(spark):
     assert rows["s1"]["type_token_ratio"] == pytest.approx(0.5, abs=1e-3)
     assert rows["s1"]["heaps_exponent"] == pytest.approx(math.log(2) / math.log(4), abs=1e-3)
     assert rows["s2"]["hapax_frac"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_unigram_ppl_hand_computed(spark):
+    _docs_view(
+        spark,
+        [
+            (0, "a a b", "en", "s", 0),
+            (1, "c", "en", "s", 0),
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in spark.sql(ts._unigram_ppl_sql("spark")).collect()}
+    # T=4: p(a)=1/2, p(b)=1/4, p(c)=1/4
+    nll0 = -(math.log(0.5) * 2 + math.log(0.25)) / 3
+    nll1 = -math.log(0.25)
+    assert rows[0]["avg_nll"] == pytest.approx(nll0, abs=1e-3)
+    assert rows[1]["avg_nll"] == pytest.approx(nll1, abs=1e-3)
+    assert rows[1]["ppl"] == pytest.approx(4.0, abs=1e-3)
+    # rare-token doc is MORE surprising than common-token doc
+    assert rows[1]["avg_nll"] > rows[0]["avg_nll"]
