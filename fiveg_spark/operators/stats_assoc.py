@@ -1,0 +1,199 @@
+"""Statistical-association and distribution-shape operators.
+
+The model-selection side of the reference (train.py's VAR lag choice,
+feature map) implicitly assumes trends and feature/target association;
+these operators surface that evidence as first-class queries, plus the
+corpus-concentration diagnostics an LLM-data pipeline runs before
+fixing mixture weights (a handful of mega-sources dominating a corpus
+is the #1 mixing failure).
+
+Scale notes (SURVEY §3): every query aggregates the fact table ONCE
+into a tiny frame (hours × slices, or sources, or a small contingency
+grid); all follow-up arithmetic runs on that reduced frame, so the
+single wide-table scan/shuffle dominates and nothing here adds a
+second pass over raw data.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.timeseries import _hourly_cte
+from fiveg_spark.plans.registry import cnt, dbl, epoch, sql_backed
+
+
+def _ols_trend_sql(d: str) -> str:
+    # C44 — per-slice OLS trend of hourly throughput: slope (bps/hour),
+    # intercept, and r².  Closed-form from Σx, Σy, Σxy, Σx², Σy² — the
+    # same partial-sums shape a 1000-executor regression uses (map-side
+    # partials, one tiny reduce).  x is hours since each slice's first
+    # hour (window min over the ALREADY-hourly frame) so the sums stay
+    # far from double-precision loss; y is the 4-dp-rounded hourly
+    # throughput, identical in both engines by construction.
+    return f"""
+    {_hourly_cte(d)},
+    xy AS (
+      SELECT
+        slice,
+        ({epoch("h", d)} - min({epoch("h", d)}) OVER (PARTITION BY slice)) / 3600.0 AS x,
+        throughput_bps AS y
+      FROM hourly
+    ),
+    sums AS (
+      SELECT
+        slice,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(x) AS sx, sum(y) AS sy,
+        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy
+      GROUP BY slice
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {dbl("(n * sxy - sx * sy) / (n * sxx - sx * sx)", "slope_bps_per_hour")},
+      {dbl("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", "intercept_bps")},
+      {dbl(
+        "(n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy))",
+        "r2",
+      )}
+    FROM sums
+    ORDER BY slice
+    """
+
+
+def _gini_sql(d: str) -> str:
+    # C45 — Gini coefficient of per-doc token mass within each source:
+    # how concentrated a source's token budget is in its biggest docs.
+    # Exact rank formula over ascending token counts,
+    #   G = 2·Σ(i·x_i) / (n·Σx) − (n+1)/n ;
+    # ties contribute the same Σ(i·x_i) under any tie order, so
+    # row_number with a doc_id tiebreak is deterministic AND
+    # order-insensitive.  One explode-agg to token counts (the heavy
+    # part), then windows over the per-doc frame.
+    from fiveg_spark.operators.text import _tok
+    from fiveg_spark.plans.registry import arr_len
+
+    return f"""
+    WITH doc_tokens AS (
+      SELECT doc_id, source, CAST({arr_len(_tok(d), d)} AS DOUBLE) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT
+        source,
+        n_tokens,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS DOUBLE) AS i
+      FROM doc_tokens
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(CAST(n_tokens AS BIGINT))", "total_tokens")},
+      {dbl(
+        "2.0 * sum(i * n_tokens) / (count(*) * sum(n_tokens)) - (count(*) + 1.0) / count(*)",
+        "gini",
+      )}
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def _assoc_sql(d: str) -> str:
+    # C46 — is event_type associated with time-of-day?  Chi-square,
+    # Cramér's V, and mutual information over the (event_type ×
+    # 6-hour-band) contingency grid.  One scan to the grid (≤ types×4
+    # cells), then expected counts via window sums — the pre-modeling
+    # feature/target association screen.  The grid is SPARSE (zero
+    # cells absent): an O=0 cell contributes E to χ², and Σ_all E = N,
+    # so the missing mass is N − Σ_observed E — closed form, no dense
+    # type×band cross join.  Zero cells contribute 0 to MI (p·ln p → 0).
+    return f"""
+    WITH grid AS (
+      SELECT
+        event_type,
+        CAST(floor(CAST(extract(hour FROM ts) AS DOUBLE) / 6.0) AS BIGINT) AS band,
+        CAST(count(*) AS DOUBLE) AS o
+      FROM events
+      GROUP BY event_type, CAST(floor(CAST(extract(hour FROM ts) AS DOUBLE) / 6.0) AS BIGINT)
+    ),
+    tot AS (
+      SELECT
+        event_type,
+        band,
+        o,
+        sum(o) OVER (PARTITION BY event_type) AS r_tot,
+        sum(o) OVER (PARTITION BY band) AS c_tot,
+        sum(o) OVER () AS n
+      FROM grid
+    )
+    SELECT
+      {cnt("count(DISTINCT event_type)", "n_types")},
+      {cnt("count(DISTINCT band)", "n_bands")},
+      {cnt("CAST(max(n) AS BIGINT)", "n_events")},
+      {dbl(
+        "sum((o - r_tot * c_tot / n) * (o - r_tot * c_tot / n) / (r_tot * c_tot / n)) "
+        "+ (max(n) - sum(r_tot * c_tot / n))",
+        "chi_square",
+      )},
+      {cnt("(count(DISTINCT event_type) - 1) * (count(DISTINCT band) - 1)", "dof")},
+      {dbl(
+        "sqrt((sum((o - r_tot * c_tot / n) * (o - r_tot * c_tot / n) / (r_tot * c_tot / n)) "
+        "+ (max(n) - sum(r_tot * c_tot / n))) "
+        "/ (max(n) * least(count(DISTINCT event_type) - 1, count(DISTINCT band) - 1)))",
+        "cramers_v",
+      )},
+      {dbl("sum((o / n) * ln(o * n / (r_tot * c_tot)))", "mutual_info_nats")}
+    FROM tot
+    """
+
+
+def _doc_chunks_sql(d: str) -> str:
+    # E35 — RAG/pretraining chunker: fixed 256-token windows with
+    # 64-token overlap (stride 192).  Chunk COUNT per doc is closed-form
+    # (no loop): 1 + ceil(max(0, n−256)/192); boundaries come from one
+    # sequence-explode — map-only, no shuffle at all until the final
+    # ORDER BY (which production writes skip).  The last chunk clips to
+    # the doc end; a short tail (< 64 tokens beyond overlap) still gets
+    # its own chunk iff it extends past the previous window.
+    from fiveg_spark.operators.text import _tok
+    from fiveg_spark.plans.registry import arr_len
+
+    gen = (
+        "explode(sequence(0, n_chunks - 1))"
+        if d == "spark"
+        else "unnest(generate_series(0, n_chunks - 1))"
+    )
+    return f"""
+    WITH doc_tokens AS (
+      SELECT doc_id, CAST({arr_len(_tok(d), d)} AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    counted AS (
+      SELECT
+        doc_id,
+        n_tokens,
+        CAST(1 + CAST(ceil(greatest(CAST(n_tokens AS DOUBLE) - 256.0, 0.0) / 192.0) AS BIGINT) AS BIGINT)
+          AS n_chunks
+      FROM doc_tokens
+    ),
+    chunks AS (
+      SELECT doc_id, n_tokens, {gen} AS chunk_idx
+      FROM counted
+    )
+    SELECT
+      doc_id,
+      chunk_idx,
+      {cnt("chunk_idx * 192", "start_tok")},
+      {cnt("least(chunk_idx * 192 + 256, n_tokens)", "end_tok")},
+      {cnt("least(chunk_idx * 192 + 256, n_tokens) - chunk_idx * 192", "chunk_tokens")}
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """
+
+
+QUERIES = [
+    sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
+    sql_backed("gini_token_concentration", _gini_sql, ("documents",)),
+    sql_backed("event_time_association", _assoc_sql, ("events",)),
+    sql_backed("doc_chunks", _doc_chunks_sql, ("documents",)),
+]

@@ -1,0 +1,117 @@
+"""Literal-frame + numpy ground-truth tests for the association /
+distribution-shape operators (parity only proves engine agreement)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fiveg_spark.operators import stats_assoc as sa
+from fiveg_spark.operators.timeseries import _hourly_cte
+
+
+def _docs_view(spark, rows):
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+
+
+def _events_view(spark, rows):
+    spark.createDataFrame(
+        rows, "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT, value DOUBLE, props STRING"
+    ).createOrReplaceTempView("events")
+
+
+def test_ols_trend_matches_numpy(spark):
+    import tests.conftest as c
+    from fiveg_spark.sources.tables import load_table
+
+    load_table(spark, "events", c.SF_DIR).createOrReplaceTempView("events")
+    hourly = spark.sql(
+        f"{_hourly_cte('spark')} SELECT slice, h, throughput_bps FROM hourly"
+    ).toPandas()
+    got = {
+        r["slice"]: r.asDict()
+        for r in spark.sql(sa._ols_trend_sql("spark")).collect()
+    }
+    for slc, grp in hourly.groupby("slice"):
+        x = (grp["h"].astype("int64") / 1e9 - (grp["h"].astype("int64") / 1e9).min()) / 3600.0
+        y = grp["throughput_bps"].to_numpy()
+        slope, intercept = np.polyfit(x, y, 1)
+        r = np.corrcoef(x, y)[0, 1]
+        assert got[slc]["slope_bps_per_hour"] == pytest.approx(slope, rel=1e-3)
+        assert got[slc]["intercept_bps"] == pytest.approx(intercept, rel=1e-3)
+        assert got[slc]["r2"] == pytest.approx(r * r, abs=1e-3)
+
+
+def test_gini_hand_computed(spark):
+    # source g: token counts 1,1,2 ascending -> G = 2*(1*1+2*1+3*2)/(3*4) - 4/3 = 1/6
+    _docs_view(
+        spark,
+        [
+            (0, "a", "en", "g", 0),
+            (1, "b", "en", "g", 0),
+            (2, "c d", "en", "g", 0),
+            (3, "e e e", "en", "u", 0),  # single doc -> G = 2*3/(1*3) - 2 = 0
+        ],
+    )
+    rows = {r["source"]: r.asDict() for r in spark.sql(sa._gini_sql("spark")).collect()}
+    assert rows["g"]["n_docs"] == 3
+    assert rows["g"]["total_tokens"] == 4
+    assert rows["g"]["gini"] == pytest.approx(1 / 6, abs=1e-3)
+    assert rows["u"]["gini"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_association_independent_is_zero(spark):
+    # every (type, band) cell has exactly 2 events -> perfectly independent
+    rows = []
+    eid = 0
+    for t in ("A", "B"):
+        for hour in (1, 7, 13, 19):  # one hour in each 6h band
+            for _ in range(2):
+                rows.append((eid, f"2024-01-01 {hour:02d}:00:00", t, 1, 1.0, "{}"))
+                eid += 1
+    _events_view(spark, [(i, __import__("datetime").datetime.fromisoformat(ts), t, u, v, p) for i, ts, t, u, v, p in rows])
+    got = spark.sql(sa._assoc_sql("spark")).collect()[0].asDict()
+    assert got["n_types"] == 2 and got["n_bands"] == 4 and got["n_events"] == 16
+    assert got["chi_square"] == pytest.approx(0.0, abs=1e-6)
+    assert got["mutual_info_nats"] == pytest.approx(0.0, abs=1e-6)
+    assert got["dof"] == 3
+
+
+def test_association_deterministic_is_maximal(spark):
+    # type A only in band 0, type B only in band 2 -> perfect association
+    import datetime as dt
+
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 2), "A", 1, 1.0, "{}"),
+        (1, dt.datetime(2024, 1, 1, 3), "A", 1, 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 14), "B", 1, 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 15), "B", 1, 1.0, "{}"),
+    ]
+    _events_view(spark, rows)
+    got = spark.sql(sa._assoc_sql("spark")).collect()[0].asDict()
+    assert got["cramers_v"] == pytest.approx(1.0, abs=1e-3)
+    # MI = H(type) = ln(2) when the mapping is 1:1 and classes are balanced
+    assert got["mutual_info_nats"] == pytest.approx(np.log(2), abs=1e-3)
+
+
+def test_doc_chunks_boundaries(spark):
+    _docs_view(
+        spark,
+        [
+            (0, " ".join(["w"] * 300), "en", "s", 0),  # 300 toks -> 2 chunks
+            (1, " ".join(["w"] * 10), "en", "s", 0),  # 10 toks -> 1 chunk
+            (2, " ".join(["w"] * 256), "en", "s", 0),  # exactly one window
+        ],
+    )
+    out = [
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["end_tok"], r["chunk_tokens"])
+        for r in spark.sql(sa._doc_chunks_sql("spark")).collect()
+    ]
+    assert out == [
+        (0, 0, 0, 256, 256),
+        (0, 1, 192, 300, 108),
+        (1, 0, 0, 10, 10),
+        (2, 0, 0, 256, 256),
+    ]
