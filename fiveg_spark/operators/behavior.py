@@ -1,0 +1,112 @@
+"""Behavioral/history operators: run-length (gaps-and-islands) state
+history and market-basket co-occurrence.
+
+Both reduce the raw event stream ONCE (per-user ordered window, or a
+distinct-reduce to baskets) before any join — the expensive part is a
+single shuffle on a high-cardinality key (user), never a fact×fact
+join on raw rows.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import cnt, dbl, epoch, sql_backed
+
+
+def _scd2_runs_sql(d: str) -> str:
+    # C47 — SCD-Type-2 style state history: collapse each user's
+    # consecutive same-event_type runs into [valid_from, valid_to)
+    # intervals via the gaps-and-islands double-row_number trick
+    # (global_rn − per-type_rn is constant within a run).  This is the
+    # dimension-history builder of a warehouse: the two window passes
+    # share ONE (user) shuffle — Catalyst plans both row_numbers over
+    # the same partitioning without re-exchanging.
+    # Output capped to a deterministic user sample to keep the contract
+    # frame small; production writes the full history.
+    return f"""
+    WITH ordered AS (
+      SELECT
+        user_id,
+        event_type,
+        ts,
+        event_id,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+          AS island
+      FROM events
+      WHERE user_id % 199 = 0
+    ),
+    runs AS (
+      SELECT
+        user_id,
+        event_type,
+        island,
+        min(ts) AS valid_from,
+        max(ts) AS valid_to,
+        CAST(count(*) AS BIGINT) AS n_events
+      FROM ordered
+      GROUP BY user_id, event_type, island
+    )
+    SELECT
+      user_id,
+      event_type,
+      CAST(row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_type) AS BIGINT)
+        AS run_seq,
+      {dbl(epoch("valid_from", d), "valid_from_s")},
+      {dbl(epoch("valid_to", d), "valid_to_s")},
+      n_events
+    FROM runs
+    ORDER BY user_id, run_seq
+    """
+
+
+def _cooccurrence_sql(d: str) -> str:
+    # C48 — market-basket lift between event types: a basket is one
+    # (user, day); types co-occur when both appear in a basket.
+    # distinct-reduce to (user, day, type) FIRST (≤ |types| rows per
+    # basket), self-join a<b within basket, then lift =
+    # P(ab)/(P(a)·P(b)) over N baskets.  The self-join fanout per
+    # basket is bounded by |types|² (~tens), independent of event
+    # volume — the reduce is where 100 TB becomes GBs.
+    return f"""
+    WITH basket_items AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
+      FROM events
+    ),
+    n_baskets AS (
+      SELECT CAST(count(DISTINCT CAST(user_id AS STRING) || '#' || CAST(day AS STRING)) AS DOUBLE) AS nb
+      FROM basket_items
+    ),
+    type_counts AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS c
+      FROM basket_items
+      GROUP BY event_type
+    ),
+    pair_counts AS (
+      SELECT
+        a.event_type AS type_a,
+        b.event_type AS type_b,
+        CAST(count(*) AS DOUBLE) AS c_ab
+      FROM basket_items a
+      JOIN basket_items b
+        ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT
+      p.type_a,
+      p.type_b,
+      {cnt("p.c_ab", "n_cobaskets")},
+      {dbl("p.c_ab / nb.nb", "support")},
+      {dbl("p.c_ab / ca.c", "confidence_a_to_b")},
+      {dbl("p.c_ab * nb.nb / (ca.c * cb.c)", "lift")}
+    FROM pair_counts p
+    JOIN type_counts ca ON p.type_a = ca.event_type
+    JOIN type_counts cb ON p.type_b = cb.event_type
+    CROSS JOIN n_baskets nb
+    ORDER BY type_a, type_b
+    """
+
+
+QUERIES = [
+    sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
+    sql_backed("event_cooccurrence_lift", _cooccurrence_sql, ("events",)),
+]

@@ -154,8 +154,40 @@ def _topk_sample_sql(d: str) -> str:
     """
 
 
+def _weighted_sample_sql(d: str) -> str:
+    # E36 — deterministic WEIGHTED sample (A-ES, Efraimidis-Spirakis):
+    # each doc gets key = u^(1/w) with u uniform from its keyed hash and
+    # w = n_chars; the global top-k by key is a weighted-without-
+    # replacement sample.  Ordering by ln(u)/w (monotone in u^(1/w))
+    # avoids pow().  u derives from the first 8 md5 hex digits via
+    # portable digit arithmetic — identical doubles in both engines, so
+    # the selected SET is engine-exact, re-runnable, and map-only until
+    # the final top-k (TakeOrdered, no global sort at scale).
+    u = " + ".join(
+        f"(instr('0123456789abcdef', substring(h, {i}, 1)) - 1) * {16.0 ** -i!r}"
+        for i in range(1, 9)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, source, n_chars,
+             substring(md5(concat('wsamp#', CAST(doc_id AS STRING))), 1, 8) AS h
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_chars,
+             ln(({u}) + 1e-10) / greatest(CAST(n_chars AS DOUBLE), 1.0) AS k
+      FROM hashed
+    )
+    SELECT doc_id, source, n_chars, {dbl("k * 1000.0", "sample_key_x1000")}
+    FROM keyed
+    ORDER BY k DESC, doc_id
+    LIMIT 20
+    """
+
+
 QUERIES = [
     sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
+    sql_backed("weighted_sample", _weighted_sample_sql, ("documents",)),
     sql_backed("per_source_topk_sample", _topk_sample_sql, ("documents",)),
     sql_backed("hash_split", _hash_split_sql, ("documents",)),
     sql_backed("curation_funnel", _curation_sql, ("documents",)),
