@@ -35,6 +35,7 @@ from fiveg_spark.operators import analytics_ext as _analytics_ext
 from fiveg_spark.operators import curation as _curation
 from fiveg_spark.operators import sketches as _sketches
 from fiveg_spark.operators import ann_ivf as _ann_ivf
+from fiveg_spark.operators import ann_pq as _ann_pq
 from fiveg_spark.operators import ts_diagnostics as _ts_diag
 from fiveg_spark.operators import ts_advanced as _ts_adv
 from fiveg_spark.operators import llm_curation as _llm_cur
@@ -43,7 +44,7 @@ from fiveg_spark.operators import stats_assoc as _stats_assoc
 from fiveg_spark.operators import behavior as _behavior
 from fiveg_spark.operators import semdedup as _semdedup
 
-_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _semdedup, _similarity, _ml, _mllib, _simhash, _ann, _ann_ivf, _graph)
+_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _semdedup, _similarity, _ml, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _graph)
 
 
 def entry(spark: SparkSession) -> DataFrame:

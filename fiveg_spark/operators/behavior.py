@@ -15,25 +15,34 @@ from fiveg_spark.plans.registry import cnt, dbl, epoch, sql_backed
 def _scd2_runs_sql(d: str) -> str:
     # C47 — SCD-Type-2 style state history: collapse each user's
     # consecutive same-event_type runs into [valid_from, valid_to)
-    # intervals via the gaps-and-islands double-row_number trick
-    # (global_rn − per-type_rn is constant within a run).  This is the
-    # dimension-history builder of a warehouse: the two window passes
-    # share ONE (user) shuffle — Catalyst plans both row_numbers over
-    # the same partitioning without re-exchanging.
+    # intervals.  Islands come from the lag-change-flag + running-sum
+    # form, NOT the double-row_number trick: both window functions here
+    # partition by the SAME key (user), so Catalyst plans them over one
+    # exchange — row_number over (user) + row_number over (user, type)
+    # would pay a second shuffle for the second partitioning.
     # Output capped to a deterministic user sample to keep the contract
     # frame small; production writes the full history.
     return f"""
-    WITH ordered AS (
+    WITH flagged AS (
       SELECT
         user_id,
         event_type,
         ts,
         event_id,
-        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-          - row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
-          AS island
+        CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS changed
       FROM events
       WHERE user_id % 199 = 0
+    ),
+    ordered AS (
+      SELECT
+        user_id,
+        event_type,
+        ts,
+        event_id,
+        sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
     ),
     runs AS (
       SELECT

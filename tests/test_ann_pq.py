@@ -1,0 +1,55 @@
+"""PQ-ANN: encoding must equal numpy argmin per sub-space, ADC recall
+must beat chance by a wide margin, and re-ranked scores are exact."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import SF_DIR
+from fiveg_spark.operators.ann_pq import (
+    M_SUBSPACES,
+    _normalize,
+    ann_pq,
+    encode,
+    fit_codebooks,
+)
+from fiveg_spark.sources.tables import load_table
+
+
+def test_encoding_matches_numpy_argmin(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    rows = emb.select("vec_id", "embedding").limit(200).collect()
+    sample = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    CB = fit_codebooks(sample)
+    cb_bc = spark.sparkContext.broadcast(CB)
+    got = {
+        r["vec_id"]: list(r["codes"])
+        for r in encode(emb.limit(200), cb_bc).collect()
+    }
+    X = _normalize(sample)
+    subs = np.array_split(X, M_SUBSPACES, axis=1)
+    for i, r in enumerate(rows):
+        expect = [
+            int(((subs[m][i][None, :] - CB[m]) ** 2).sum(axis=1).argmin())
+            for m in range(M_SUBSPACES)
+        ]
+        assert got[r["vec_id"]] == expect
+
+
+def test_pq_recall_and_exact_rerank_scores(spark):
+    from fiveg_spark.operators.similarity import QUERIES as SIM_QUERIES
+
+    brute = next(q for q in SIM_QUERIES if q.name == "knn_bruteforce")
+    brute_rows = brute.run(spark, SF_DIR).collect()
+    exact = {r["vec_id"] for r in brute_rows}
+    brute_scores = {r["vec_id"]: r["cosine"] for r in brute_rows}
+
+    approx_df = ann_pq(spark, SF_DIR, query_vec_id=0, k=10)
+    approx_rows = approx_df.collect()
+    approx = {r["vec_id"] for r in approx_rows}
+    assert len(approx) == 10
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"PQ recall {recall} too low"
+    for r in approx_rows:
+        if r["vec_id"] in brute_scores:
+            assert abs(r["cosine"] - brute_scores[r["vec_id"]]) < 1e-9
