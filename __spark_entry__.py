@@ -42,9 +42,10 @@ from fiveg_spark.operators import llm_curation as _llm_cur
 from fiveg_spark.operators import text_stats as _text_stats
 from fiveg_spark.operators import stats_assoc as _stats_assoc
 from fiveg_spark.operators import behavior as _behavior
+from fiveg_spark.operators import rollup_stats as _rollup_stats
 from fiveg_spark.operators import semdedup as _semdedup
 
-_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _semdedup, _similarity, _ml, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _graph)
+_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _graph)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,126 @@
+"""Mergeable-summary statistics: histogram quantile rollups and
+sweep-line concurrency.
+
+C49 is the SQL-expressible member of the sketch family (next to the
+HLL and Misra-Gries rows-only ops): a fixed-bin histogram is a FULLY
+mergeable quantile summary — daily bucket counts sum upward to any
+coarser grain with zero rescan, and quantile estimates carry a
+provable ≤ bin-width error.  Because build+merge+estimate are plain
+aggregation arithmetic, the DuckDB oracle checks every step exactly.
+
+C50 is the classic interval sweep-line: concurrency at time t =
+running sum of +1/−1 endpoint events — one window pass, no
+interval×interval join.
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+
+BIN_W = 10.0
+N_BINS = 60  # values clamp into [0, 600)
+
+
+def _hist_quantile_sql(d: str) -> str:
+    # C49 — daily histogram sketches → merged quantile estimates.
+    # daily: GROUP BY (day, bucket) — the persisted rollup-table unit;
+    # merged: GROUP BY bucket summing daily counts (NO rescan of raw);
+    # estimate: cumulative-count walk with linear interpolation inside
+    # the target bucket; exact percentiles ride along so the contract
+    # row itself shows |est − exact| ≤ BIN_W.
+    pct = "percentile" if d == "spark" else "quantile_cont"
+    cast_v = "CAST(value AS DOUBLE)" if d == "spark" else "CAST(value AS DOUBLE)"
+    return f"""
+    WITH daily AS (
+      SELECT
+        date_trunc('day', ts) AS day,
+        least(CAST(floor({cast_v} / {BIN_W}) AS BIGINT), {N_BINS - 1}) AS bucket,
+        CAST(count(*) AS BIGINT) AS c
+      FROM events
+      GROUP BY date_trunc('day', ts),
+               least(CAST(floor({cast_v} / {BIN_W}) AS BIGINT), {N_BINS - 1})
+    ),
+    merged AS (
+      SELECT bucket, CAST(sum(c) AS DOUBLE) AS c
+      FROM daily
+      GROUP BY bucket
+    ),
+    walk AS (
+      SELECT
+        bucket,
+        c,
+        sum(c) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(c) OVER () AS n
+      FROM merged
+    ),
+    targets(p) AS (VALUES (0.5), (0.9), (0.99)),
+    est AS (
+      SELECT
+        t.p,
+        min(w.bucket * {BIN_W} + {BIN_W} * (t.p * w.n - (w.cum - w.c)) / w.c) AS q_est
+      FROM targets t
+      JOIN walk w
+        ON w.cum >= t.p * w.n AND (w.cum - w.c) < t.p * w.n
+      GROUP BY t.p
+    ),
+    exact AS (
+      SELECT
+        CAST(0.5 AS DOUBLE) AS p, {pct}({cast_v}, 0.5) AS q_exact FROM events
+      UNION ALL
+      SELECT CAST(0.9 AS DOUBLE), {pct}({cast_v}, 0.9) FROM events
+      UNION ALL
+      SELECT CAST(0.99 AS DOUBLE), {pct}({cast_v}, 0.99) FROM events
+    )
+    SELECT
+      CAST(e.p AS DOUBLE) AS p,
+      {dbl("est.q_est", "q_est")},
+      {dbl("e.q_exact", "q_exact")},
+      {dbl("abs(est.q_est - e.q_exact)", "abs_err")}
+    FROM est JOIN exact e ON est.p = e.p
+    ORDER BY p
+    """
+
+
+def _concurrency_sql(d: str) -> str:
+    # C50 — peak concurrent active users per hour, sweep-line form:
+    # reduce each (user, day) to one [first_seen, last_seen] interval,
+    # explode into +1/−1 endpoint events, running-sum in event-time
+    # order (ties: starts before ends at the same instant — matches the
+    # closed-interval convention), then max per hour.  One interval agg
+    # + one global-ordered window over the (small) endpoint set; an
+    # interval×interval overlap join would be quadratic in peak load.
+    return f"""
+    WITH intervals AS (
+      SELECT
+        user_id,
+        date_trunc('day', ts) AS day,
+        min(ts) AS t_start,
+        max(ts) AS t_end
+      FROM events
+      GROUP BY user_id, date_trunc('day', ts)
+    ),
+    endpoints AS (
+      SELECT t_start AS t, 1 AS delta FROM intervals
+      UNION ALL
+      SELECT t_end AS t, -1 AS delta FROM intervals
+    ),
+    swept AS (
+      SELECT
+        t,
+        sum(delta) OVER (ORDER BY t, delta DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM endpoints
+    )
+    SELECT
+      date_trunc('hour', t) AS hour,
+      {cnt("max(live)", "peak_concurrent")}
+    FROM swept
+    GROUP BY date_trunc('hour', t)
+    ORDER BY hour
+    """
+
+
+QUERIES = [
+    sql_backed("histogram_quantile_rollup", _hist_quantile_sql, ("events",)),
+    sql_backed("concurrency_profile", _concurrency_sql, ("events",)),
+]
