@@ -105,9 +105,13 @@ def _concurrency_sql(d: str) -> str:
       SELECT t_end AS t, -1 AS delta FROM intervals
     ),
     swept AS (
+      -- intervals never span days (built per (user, day)), so the sweep
+      -- legally restarts each day: PARTITION BY day keeps the window
+      -- parallel at scale instead of one global single-partition sort.
       SELECT
         t,
-        sum(delta) OVER (ORDER BY t, delta DESC
+        sum(delta) OVER (PARTITION BY date_trunc('day', t)
+                         ORDER BY t, delta DESC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
       FROM endpoints
     )
