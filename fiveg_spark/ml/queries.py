@@ -64,8 +64,15 @@ def _run_gru_forward(spark, sf_dir):
     )
 
 
+def _huber_coeffs(spark, sf_dir):
+    from fiveg_spark.ml.huber import huber_var_coeffs
+
+    return huber_var_coeffs(spark, sf_dir)
+
+
 QUERIES = [
     Query("var_ols_coeffs", var.var_ols_coeffs, None),
+    Query("huber_var_coeffs", _huber_coeffs, None),
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
     Query("gru_forward", _run_gru_forward, None),
     Query("hybrid_forecast_eval", hybrid.hybrid_eval, None),
