@@ -124,7 +124,69 @@ def _concurrency_sql(d: str) -> str:
     """
 
 
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _countmin_sql(d: str) -> str:
+    # E39 — Count-Min sketch, entirely in SQL so the oracle checks the
+    # BUILD, the MERGE-compatible layout, and the estimates exactly:
+    # d×w counters where h_r(term) = md5('cm<r>#'||term) digits → int
+    # mod w (engine-identical arithmetic, same trick as the weighted
+    # sampler); point estimate = min over the d rows.  Build is ONE
+    # explode + one hash-agg on (r, bucket); the sketch (4096 cells)
+    # broadcasts to the probe join.  Guarantee est ≥ exact always,
+    # overestimate ≤ εN w.h.p. — the in-row exact column shows it.
+    from fiveg_spark.operators.text import _tok
+
+    explode = (
+        f"SELECT explode({_tok(d)}) AS term FROM documents"
+        if d == "spark"
+        else f"SELECT unnest({_tok(d)}) AS term FROM documents"
+    )
+    h8 = "substring(md5(concat('cm', CAST(r AS STRING), '#', term)), 1, 8)"
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring({h8}, {i}, 1)) - 1) * {16 ** (8 - i)}.0"
+        for i in range(1, 9)
+    )
+    hash_bucket = f"CAST(CAST(({digits}) AS BIGINT) % {CM_WIDTH} AS BIGINT)"
+    return f"""
+    WITH toks AS ({explode}),
+    rows_r(r) AS (VALUES (0), (1), (2), (3)),
+    hashed AS (
+      SELECT term, r, {hash_bucket} AS bucket
+      FROM toks CROSS JOIN rows_r
+    ),
+    sketch AS (
+      SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hashed
+      GROUP BY r, bucket
+    ),
+    exact AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+      FROM toks
+      GROUP BY term
+      ORDER BY exact_count DESC, term
+      LIMIT 10
+    ),
+    probes AS (
+      SELECT e.term, e.exact_count, {hash_bucket} AS bucket, r
+      FROM exact e CROSS JOIN rows_r
+    )
+    SELECT
+      p.term,
+      p.exact_count,
+      {cnt("min(s.c)", "cm_estimate")},
+      {cnt("min(s.c) - p.exact_count", "overestimate")}
+    FROM probes p
+    JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+    GROUP BY p.term, p.exact_count
+    ORDER BY p.exact_count DESC, p.term
+    """
+
+
 QUERIES = [
     sql_backed("histogram_quantile_rollup", _hist_quantile_sql, ("events",)),
     sql_backed("concurrency_profile", _concurrency_sql, ("events",)),
+    sql_backed("countmin_estimates", _countmin_sql, ("documents",)),
 ]

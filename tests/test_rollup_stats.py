@@ -27,6 +27,20 @@ def test_histogram_quantile_bound(spark):
         assert r["abs_err"] <= BIN_W + 1e-6, r
 
 
+def test_countmin_never_underestimates(spark):
+    import tests.conftest as c
+    from fiveg_spark.sources.tables import load_table
+
+    load_table(spark, "documents", c.SF_DIR).createOrReplaceTempView("documents")
+    rows = spark.sql(rs._countmin_sql("spark")).collect()
+    assert len(rows) == 10
+    total = sum(r["exact_count"] for r in rows)
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_count"], r
+        # depth 4 / width 1024 keeps collisions tame on this corpus
+        assert r["overestimate"] <= max(0.05 * total, 50), r
+
+
 def test_concurrency_sweep_hand_built(spark):
     t0 = dt.datetime(2024, 1, 1, 10)
     mk = lambda m: t0 + dt.timedelta(minutes=m)
