@@ -24,6 +24,39 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def write_format(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Format-agnostic batch sink (parquet/orc/json/csv — every format
+    Spark ships without extra jars).  ORC matters for interop with
+    Hive-era warehouses: columnar + predicate pushdown + partition
+    pruning behave like parquet; JSON/CSV are interchange-only (no
+    stats, no pruning beyond partitions) and belong at the edges of a
+    pipeline, never in the hot path."""
+    writer = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def read_format(spark, path: str, fmt: str = "parquet", schema=None):
+    """Companion reader; pass the writer's schema for the text formats
+    (JSON/CSV carry no types — schema-on-read keeps the round trip
+    lossless and skips the inference scan)."""
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -243,3 +243,40 @@ def test_sorted_write_gives_skippable_row_groups(spark, tmp_path):
             assert a.max <= b.min
     # and a selective range predicate could skip all but one group
     assert stats[0].min < stats[-1].max
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_matrix_round_trip(spark, tmp_path, fmt):
+    from fiveg_spark.sources.sinks import read_format, write_format
+    from fiveg_spark.sources.tables import load_table
+
+    ev = (
+        load_table(spark, "events", SF_DIR)
+        .select("event_id", "event_type", "user_id", "value")
+        .limit(200)
+    )
+    path = str(tmp_path / f"events_{fmt}")
+    write_format(ev, path, fmt=fmt, partition_by=("event_type",))
+    back = read_format(spark, path, fmt=fmt, schema=ev.schema)
+    got = sorted(
+        (r["event_id"], r["event_type"], r["user_id"], round(r["value"], 6))
+        for r in back.collect()
+    )
+    want = sorted(
+        (r["event_id"], r["event_type"], r["user_id"], round(r["value"], 6))
+        for r in ev.collect()
+    )
+    assert got == want
+
+
+def test_orc_partition_pruning(spark, tmp_path):
+    from fiveg_spark.sources.sinks import read_format, write_format
+    from fiveg_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF_DIR).select("event_id", "event_type", "value")
+    path = str(tmp_path / "orc_part")
+    write_format(ev, path, fmt="orc", partition_by=("event_type",))
+    one = read_format(spark, path, fmt="orc").filter(F.col("event_type") == "view")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan or "view" in plan
+    assert one.count() == ev.filter(F.col("event_type") == "view").count()
