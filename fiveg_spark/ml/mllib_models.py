@@ -160,8 +160,54 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str, k: int = 4) -> Data
     return spark.createDataFrame(rows, "component int, explained_variance double")
 
 
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 — monotone calibration of the 24 h seasonal-naive forecast:
+    MLlib IsotonicRegression (distributed pool-adjacent-violators) maps
+    raw forecast → calibrated forecast, the post-hoc correction layer a
+    quantile forecaster ships with (systematic over/under-forecast by
+    level is exactly what a monotone map repairs).  Returns the fitted
+    step function (one row per boundary) + before/after MAE so the
+    contract row shows whether calibration helped."""
+    from pyspark.ml.regression import IsotonicRegression
+
+    from fiveg_spark.operators.timeseries import _hourly_cte
+
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    pairs = spark.sql(
+        f"""
+        {_hourly_cte("spark")}
+        SELECT
+          lag(throughput_bps, 24) OVER (PARTITION BY slice ORDER BY h) AS fc,
+          throughput_bps AS actual
+        FROM hourly
+        """
+    ).filter(F.col("fc").isNotNull())
+    vec = pairs.withColumn("features", array_to_vector(F.array(F.col("fc"))))
+    model = IsotonicRegression(
+        featuresCol="features", labelCol="actual", isotonic=True
+    ).fit(vec)
+    scored = model.transform(vec)
+    mae = scored.agg(
+        F.round(F.avg(F.abs(F.col("actual") - F.col("fc"))), 4).alias("mae_raw"),
+        F.round(F.avg(F.abs(F.col("actual") - F.col("prediction"))), 4).alias(
+            "mae_calibrated"
+        ),
+    ).head()
+    bounds = [float(b) for b in model.boundaries]
+    preds = [float(p) for p in model.predictions]
+    rows = [
+        (i, round(b, 4), round(p, 4), mae["mae_raw"], mae["mae_calibrated"])
+        for i, (b, p) in enumerate(zip(bounds, preds))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "knot int, fc_boundary double, calibrated double, mae_raw double, mae_calibrated double",
+    )
+
+
 QUERIES = [
     Query("mllib_linear_baseline", linear_baseline, None),
+    Query("isotonic_calibration", isotonic_calibration, None),
     Query("pca_explained_variance", pca_explained_variance, None),
     Query("mllib_minhash_pairs", mllib_minhash_pairs, None),
     Query("mllib_ann_topk", mllib_ann_topk, None),

@@ -115,7 +115,68 @@ def _cooccurrence_sql(d: str) -> str:
     """
 
 
+def _kaplan_meier_sql(d: str) -> str:
+    # C51 — Kaplan-Meier product-limit survival of user lifetime (days
+    # from first to last event).  Users whose last event falls in the
+    # final 7 days of the corpus are CENSORED (still alive) — exactly
+    # the right-censoring KM exists to handle; dropping them would bias
+    # lifetimes short.  The survival product Π(1 − dᵢ/nᵢ) is computed
+    # as exp(Σ ln(·)) — a running-sum window, portable where cumulative
+    # PRODUCT aggregates are not.  One heavy reduce (per-user min/max),
+    # then windows over ≤ max-lifetime-days rows.
+    return f"""
+    WITH spans AS (
+      SELECT
+        user_id,
+        CAST(floor(({epoch("max(ts)", d)} - {epoch("min(ts)", d)}) / 86400.0) AS BIGINT)
+          AS dur_days,
+        max(ts) AS last_seen
+      FROM events
+      GROUP BY user_id
+    ),
+    horizon AS (
+      SELECT max(last_seen) AS h FROM spans
+    ),
+    flagged AS (
+      SELECT
+        dur_days,
+        CASE WHEN {epoch("last_seen", d)} < {epoch("h", d)} - 7.0 * 86400.0
+             THEN 1 ELSE 0 END AS churned
+      FROM spans CROSS JOIN horizon
+    ),
+    by_t AS (
+      SELECT
+        dur_days AS t,
+        CAST(count(*) AS DOUBLE) AS n_here,
+        CAST(sum(churned) AS DOUBLE) AS d_here
+      FROM flagged
+      GROUP BY dur_days
+    ),
+    risk AS (
+      SELECT
+        t,
+        n_here,
+        d_here,
+        sum(n_here) OVER (ORDER BY t DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+      FROM by_t
+    )
+    SELECT
+      CAST(t AS BIGINT) AS t_days,
+      {cnt("CAST(n_risk AS BIGINT)", "n_risk")},
+      {cnt("CAST(d_here AS BIGINT)", "n_churned")},
+      {dbl(
+        "exp(sum(CASE WHEN d_here < n_risk THEN ln(1.0 - d_here / n_risk) ELSE -23.0 END) "
+        "OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
+        "survival",
+      )}
+    FROM risk
+    ORDER BY t_days
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     sql_backed("event_cooccurrence_lift", _cooccurrence_sql, ("events",)),
+    sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
 ]

@@ -70,6 +70,31 @@ def test_cooccurrence_lift_hand_computed(spark):
     assert r["lift"] == pytest.approx(8 / 9, abs=1e-4)
 
 
+def test_kaplan_meier_hand_computed(spark):
+    # 4 users: durations 0,1,1,2 days; corpus ends at day 40 so all
+    # except user 4 (active till the end) are churned.
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "a", 1, 1.0, "{}"),  # u1: dur 0, churned
+        (1, t0, "a", 2, 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=1), "a", 2, 1.0, "{}"),  # u2: dur 1, churned
+        (3, t0, "a", 3, 1.0, "{}"),
+        (4, t0 + dt.timedelta(days=1, hours=2), "a", 3, 1.0, "{}"),  # u3: dur 1
+        (5, t0, "a", 4, 1.0, "{}"),
+        (6, t0 + dt.timedelta(days=40), "a", 4, 1.0, "{}"),  # u4: dur 40, censored
+    ]
+    _events_view(spark, rows)
+    got = {r["t_days"]: r.asDict() for r in spark.sql(bh._kaplan_meier_sql("spark")).collect()}
+    # t=0: n_risk 4, d 1 -> S = 3/4 ; t=1: n_risk 3, d 2 -> S = 3/4 * 1/3 = 1/4
+    assert got[0]["n_risk"] == 4 and got[0]["n_churned"] == 1
+    assert got[0]["survival"] == pytest.approx(0.75, abs=1e-4)
+    assert got[1]["n_risk"] == 3 and got[1]["n_churned"] == 2
+    assert got[1]["survival"] == pytest.approx(0.25, abs=1e-4)
+    # censored tail: no churn at t=40, survival flat
+    assert got[40]["n_churned"] == 0
+    assert got[40]["survival"] == pytest.approx(0.25, abs=1e-4)
+
+
 def test_weighted_sample_matches_python(spark):
     import tests.conftest as c
     from fiveg_spark.operators.curation import _weighted_sample_sql

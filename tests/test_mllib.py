@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from fiveg_spark.ml.mllib_models import (
@@ -85,3 +86,32 @@ def test_pca_explained_variance_matches_numpy(spark):
     for i in range(4):
         assert abs(got[i] - ratios[i]) < 1e-4, (i, got[i], ratios[i])
     assert all(got[i] >= got[i + 1] for i in range(3))
+
+
+def test_isotonic_matches_pava_hand_case(spark):
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)], "x double, y double"
+    )
+    vec = VectorAssembler(inputCols=["x"], outputCol="features").transform(df)
+    model = IsotonicRegression(featuresCol="features", labelCol="y").fit(vec)
+    got = {
+        r["x"]: r["prediction"] for r in model.transform(vec).collect()
+    }
+    # PAVA pools the (3,2) violation into 2.5
+    assert got[1.0] == pytest.approx(1.0)
+    assert got[2.0] == pytest.approx(2.5)
+    assert got[3.0] == pytest.approx(2.5)
+    assert got[4.0] == pytest.approx(4.0)
+
+
+def test_isotonic_calibration_query_shape(spark):
+    from fiveg_spark.ml.mllib_models import isotonic_calibration
+
+    out = isotonic_calibration(spark, SF_DIR).collect()
+    assert len(out) >= 2
+    cal = [r["calibrated"] for r in sorted(out, key=lambda r: r["fc_boundary"])]
+    assert cal == sorted(cal)  # monotone by construction
+    assert out[0]["mae_raw"] > 0
