@@ -1,0 +1,65 @@
+"""Plan lint: each rule fires on a planted antipattern and stays silent
+on the engine's own contract queries (which are kept clean)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import tests.conftest as c
+from fiveg_spark.plans.advisor import lint_plan
+from fiveg_spark.sources.tables import load_table
+
+
+def _rules(findings):
+    return {f.rule for f in findings}
+
+
+def test_detects_cartesian(spark):
+    a = load_table(spark, "nation", c.SF_DIR)
+    b = load_table(spark, "region", c.SF_DIR)
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    bad = a.hint("shuffle_replicate_nl").crossJoin(b.hint("shuffle_replicate_nl"))
+    assert "cartesian-product" in _rules(lint_plan(bad))
+
+
+def test_detects_row_udf(spark):
+    from pyspark.sql.types import DoubleType
+
+    ev = load_table(spark, "events", c.SF_DIR)
+    slow = F.udf(lambda x: x * 2.0, DoubleType())
+    bad = ev.select(slow("value").alias("v"))
+    assert "python-row-udf" in _rules(lint_plan(bad))
+
+
+def test_detects_global_window(spark):
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", c.SF_DIR)
+    bad = ev.withColumn("rn", F.row_number().over(Window.orderBy("ts")))
+    assert "global-window" in _rules(lint_plan(bad))
+
+
+def test_detects_unbounded_global_sort(spark):
+    ev = load_table(spark, "events", c.SF_DIR)
+    bad = ev.orderBy("value")
+    assert "global-sort-no-limit" in _rules(lint_plan(bad))
+
+
+def test_clean_plans_stay_clean(spark):
+    ev = load_table(spark, "events", c.SF_DIR)
+    good = (
+        ev.filter(F.col("value") > 10)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("v"))
+    )
+    fs = lint_plan(good)
+    assert {f.rule for f in fs} <= {"unpushed-filter"}  # ts-col nudge aside
+    topk = ev.orderBy(F.desc("value")).limit(5)
+    assert "global-sort-no-limit" not in _rules(lint_plan(topk))
+
+
+def test_flagship_kpi36_is_clean(spark):
+    from fiveg_spark.operators.kpi import kpi36
+
+    fs = [f for f in lint_plan(kpi36(spark, c.SF_DIR), shuffle_budget=8)]
+    assert not [f for f in fs if f.severity == "error"], fs
