@@ -1,0 +1,75 @@
+"""Zero-extra-pass pipeline observability (SURVEY §2 A11).
+
+A 100 TB write cannot afford a second scan just to know what it wrote.
+`Dataset.observe` attaches aggregate metrics to the EXISTING action —
+they ride the same pass, cost a few accumulators, and surface:
+
+- batch: via `pyspark.sql.Observation` right after the action;
+- streaming: per micro-batch in `StreamingQuery.lastProgress
+  ["observedMetrics"]` — the feed for a circuit breaker that halts a
+  backfill when null rates or volume drift outside tolerance.
+
+This is the production half of the data-quality story: `dq_checks`
+(C20) audits at rest, these audit IN FLIGHT.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def audit_metrics(value_col: str = "value") -> list[Column]:
+    """The standard write-audit set: volume, null rate, value spread."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0)).alias("n_null"),
+        F.min(value_col).alias("v_min"),
+        F.max(value_col).alias("v_max"),
+        F.sum(value_col).alias("v_sum"),
+    ]
+
+
+def observed(df: DataFrame, name: str = "audit", value_col: str = "value"):
+    """Attach audit metrics; returns (df, observation).
+
+    Batch: run any action on the returned df, then read
+    `observation.get`.  Streaming: `Observation` objects are batch-only,
+    so the metrics attach by NAME and surface per micro-batch in
+    `query.lastProgress["observedMetrics"][name]` (observation returns
+    None)."""
+    if df.isStreaming:
+        return df.observe(name, *audit_metrics(value_col)), None
+    obs = Observation(name)
+    return df.observe(obs, *audit_metrics(value_col)), obs
+
+
+@dataclass(frozen=True)
+class AuditVerdict:
+    ok: bool
+    reasons: list[str]
+
+
+def check_audit(
+    metrics: dict,
+    min_rows: int = 1,
+    max_null_frac: float = 0.01,
+    value_range: tuple[float, float] | None = None,
+) -> AuditVerdict:
+    """Circuit-breaker judgment over one audit-metric dict (batch get or
+    one streaming observedMetrics row)."""
+    reasons = []
+    n = metrics["n_rows"]
+    if n < min_rows:
+        reasons.append(f"row count {n} < {min_rows}")
+    if n > 0 and metrics["n_null"] / n > max_null_frac:
+        reasons.append(f"null fraction {metrics['n_null'] / n:.4f} > {max_null_frac}")
+    if value_range is not None and n > 0:
+        lo, hi = value_range
+        if metrics["v_min"] < lo or metrics["v_max"] > hi:
+            reasons.append(
+                f"values [{metrics['v_min']}, {metrics['v_max']}] outside [{lo}, {hi}]"
+            )
+    return AuditVerdict(ok=not reasons, reasons=reasons)
