@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from fiveg_spark.operators.kpi import flows_cte
 from fiveg_spark.operators.timeseries import _hourly_cte
-from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import Query, cnt, dbl, sql_backed
 
 
 def _hopping_window_sql(d: str) -> str:
@@ -323,6 +323,88 @@ def _triangle_count_sql(d: str) -> str:
     """
 
 
+def _khop_sql(d: str) -> str:
+    # C53 oracle — BFS shortest-hop distances from the
+    # lexicographically-first nation over the directed trade graph.
+    # CROSS-ALGORITHM check: Spark runs the iterative frontier loop in
+    # `_khop_run` (cached edges, broadcast frontiers, anti-join on
+    # seen), DuckDB answers with a genuinely RECURSIVE CTE + min(dist).
+    # Agreement means the loop is a correct BFS, not just
+    # self-consistent.
+    edges = """
+    edges AS (
+      SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+      FROM customer c
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+    ),
+    src0 AS (SELECT min(n_name) AS node FROM nation)"""
+    assert d == "duckdb"
+    return f"""
+    WITH RECURSIVE {edges},
+    reach(node, dist) AS (
+      SELECT node, 0 FROM src0
+      UNION ALL
+      SELECT e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < 4
+    )
+    SELECT node, CAST(min(dist) AS BIGINT) AS hops
+    FROM reach
+    GROUP BY node
+    ORDER BY hops, node
+    """
+
+
+def _khop_run(spark, sf_dir):
+    """Spark side of C53: edges computed ONCE and cached, then ≤4
+    frontier-expansion rounds — each a broadcast join of the (≤ nations)
+    frontier against the cached edge set + an anti-join on seen nodes.
+    The SQL-unroll alternative re-inlines the 5-table edge CTE at every
+    level (Spark inlines WITH), quadrupling the heavy join; this loop
+    is the idiomatic bounded-iteration BFS."""
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.sources.tables import load_table
+
+    for t in ("customer", "nation", "orders", "lineitem", "supplier"):
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    edges = spark.sql(
+        """
+        SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+        FROM customer c
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+        """
+    ).cache()
+    src = spark.sql("SELECT min(n_name) AS node FROM nation")
+    seen = src.withColumn("hops", F.lit(0))
+    frontier = seen
+    for k in range(1, 5):
+        frontier = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(seen.select("node")), "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+        )
+        if not frontier.take(1):
+            break
+        seen = seen.unionByName(frontier)
+    edges.unpersist()
+    return seen.select("node", F.col("hops").cast("long").alias("hops")).orderBy(
+        "hops", "node"
+    )
+
+
 QUERIES = [
     sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
     sql_backed("hampel_outliers", _hampel_sql, ("events",)),
@@ -338,4 +420,5 @@ QUERIES = [
         _nation_pagerank_sql,
         ("customer", "nation", "orders", "lineitem", "supplier"),
     ),
+    Query("khop_distances", _khop_run, _khop_sql("duckdb")),
 ]

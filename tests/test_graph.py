@@ -33,3 +33,24 @@ def test_dedup_clusters_surface(spark):
     # every cluster has >= 2 docs (only docs appearing in pairs enter)
     assert all(r["n_docs"] >= 2 for r in rows)
     assert all(r["cluster_root"] >= 0 for r in rows)
+
+
+def test_khop_bfs_properties(spark):
+    from fiveg_spark.operators.ts_advanced import QUERIES as TSQ
+    import tests.conftest as c
+
+    q = {x.name: x for x in TSQ}["khop_distances"]
+    rows = q.run(spark, c.SF_DIR).collect()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes))  # min-dist dedup held
+    by_node = {r["node"]: r["hops"] for r in rows}
+    src = min(
+        r["n_name"]
+        for r in spark.read.parquet(f"{c.SF_DIR}/nation.parquet").collect()
+    )
+    assert by_node[src] == 0
+    assert all(0 <= h <= 4 for h in by_node.values())
+    # BFS level sets are contiguous: if a node sits at hop k>0, some
+    # node exists at hop k-1
+    hops = set(by_node.values())
+    assert hops == set(range(max(hops) + 1))
