@@ -510,7 +510,37 @@ def _json_props_sql(d: str) -> str:
     """
 
 
+def _variant_props_sql(d: str) -> str:
+    # C54 — the same prop analytics through Spark 4's VARIANT type:
+    # parse_json once into the binary-encoded semi-structured value,
+    # then typed variant_get paths.  Against string re-parsing
+    # (get_json_object per access), VARIANT parses ONCE and every
+    # subsequent path is a binary traversal — the open-schema column
+    # pattern for event payloads at scale.  DuckDB oracle reads the
+    # same numbers through its native JSON path functions.
+    if d == "spark":
+        k = "variant_get(v, '$.k', 'int')"
+        pre = "SELECT event_type, parse_json(props) AS v FROM events"
+    else:
+        k = "CAST(json_extract_string(v, '$.k') AS INT)"
+        pre = "SELECT event_type, props AS v FROM events"
+    return f"""
+    WITH parsed AS ({pre})
+    SELECT
+      event_type,
+      {cnt("count(*)", "n")},
+      {cnt(f"sum(CASE WHEN {k} IS NULL THEN 1 ELSE 0 END)", "n_missing")},
+      {dbl(f"avg({k})", "avg_k")},
+      {dbl(f"stddev_samp({k})", "std_k")},
+      {cnt(f"sum(CASE WHEN {k} > 50 THEN 1 ELSE 0 END)", "n_large")}
+    FROM parsed
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
 QUERIES = [
+    sql_backed("variant_props_stats", _variant_props_sql, ("events",)),
     sql_backed("feature_vectors", _feature_vectors_sql, ("events",)),
     sql_backed("moving_avg_throughput", _moving_avg_sql, ("events",)),
     sql_backed("resample_gapfill", _resample_gapfill_sql, ("events",)),
