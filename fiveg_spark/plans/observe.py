@@ -68,8 +68,11 @@ def check_audit(
         reasons.append(f"null fraction {metrics['n_null'] / n:.4f} > {max_null_frac}")
     if value_range is not None and n > 0:
         lo, hi = value_range
-        if metrics["v_min"] < lo or metrics["v_max"] > hi:
-            reasons.append(
-                f"values [{metrics['v_min']}, {metrics['v_max']}] outside [{lo}, {hi}]"
-            )
+        v_min, v_max = metrics["v_min"], metrics["v_max"]
+        if v_min is None or v_max is None:
+            # min/max of an all-NULL value column — the degenerate batch a
+            # breaker exists to catch; fail it, never TypeError.
+            reasons.append("value column entirely NULL; range check failed")
+        elif v_min < lo or v_max > hi:
+            reasons.append(f"values [{v_min}, {v_max}] outside [{lo}, {hi}]")
     return AuditVerdict(ok=not reasons, reasons=reasons)

@@ -48,10 +48,17 @@ def zvalue(df: DataFrame, cols: tuple[str, ...], bits: int = 8) -> DataFrame:
         )
         splits = [float("-inf")] + sorted(set(bounds)) + [float("inf")]
         code = f"_code_{c}"
+        # handleInvalid="keep" routes NULL/NaN to an extra bucket instead
+        # of aborting the whole clustered write; clamp that overflow
+        # bucket onto the top valid code so widths stay consistent.
+        top_code = len(splits) - 2
         out = Bucketizer(
-            splits=splits, inputCol=f"_dbl_{c}", outputCol=code
+            splits=splits, inputCol=f"_dbl_{c}", outputCol=code,
+            handleInvalid="keep",
         ).transform(out.withColumn(f"_dbl_{c}", F.col(c).cast("double")))
-        out = out.withColumn(code, F.col(code).cast("long")).drop(f"_dbl_{c}")
+        out = out.withColumn(
+            code, F.least(F.col(code).cast("long"), F.lit(top_code))
+        ).drop(f"_dbl_{c}")
         code_cols.append(code)
         # EFFECTIVE width: a low-cardinality column yields few buckets;
         # interleaving its (always-zero) high bits against a wide

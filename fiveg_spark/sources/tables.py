@@ -42,6 +42,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Must be set on whatever session the caller built (the verify harness
+    # uses a vanilla SparkSession): without it, reading the driver's
+    # TIMESTAMP(NANOS) parquet raises PARQUET_TYPE_ILLEGAL. Runtime conf —
+    # safe to set after session start.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

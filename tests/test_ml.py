@@ -86,8 +86,10 @@ def test_spark_forward_matches_local_numpy(spark, scaled):
     expected = forward(X, w)
     assert len(got) == len(local_rows)
     for i, row in enumerate(local_rows):
+        # float32 forward pass: Arrow round-trip + chunked batching reorder
+        # summations, so drift up to a few ULPs per layer is expected.
         np.testing.assert_allclose(
-            got[(row["slice"], row["window_start"])], expected[i], rtol=1e-5, atol=1e-6
+            got[(row["slice"], row["window_start"])], expected[i], rtol=1e-4, atol=1e-5
         )
 
 

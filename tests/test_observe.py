@@ -63,3 +63,14 @@ def test_streaming_observed_metrics(spark, tmp_path):
     total = sum(m["n_rows"] for m in seen)
     assert total == spark.read.parquet(str(src)).count()
     assert check_audit(seen[0], min_rows=1).ok
+
+
+def test_circuit_breaker_all_null_value_column():
+    """ADVICE r1: min/max of an all-NULL value column is None — the breaker
+    must FAIL the range check, not TypeError."""
+    from fiveg_spark.plans.observe import check_audit
+
+    metrics = {"n_rows": 10, "n_null": 10, "v_min": None, "v_max": None, "v_sum": None}
+    verdict = check_audit(metrics, max_null_frac=1.0, value_range=(0.0, 100.0))
+    assert not verdict.ok
+    assert any("NULL" in r for r in verdict.reasons)

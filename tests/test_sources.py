@@ -280,3 +280,21 @@ def test_orc_partition_pruning(spark, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan or "view" in plan
     assert one.count() == ev.filter(F.col("event_type") == "view").count()
+
+
+def test_load_table_on_vanilla_session_conf(spark):
+    """Regression (ADVICE r1): the driver's verify harness builds a VANILLA
+    SparkSession — load_table must set nanosAsLong itself or every events/
+    orders/lineitem read dies with PARQUET_TYPE_ILLEGAL.  Simulate by
+    unsetting the conf that get_spark() installed, then loading."""
+    from fiveg_spark.sources.tables import load_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    try:
+        df = load_table(spark, "events", SF_DIR)
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.count() > 0
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, "true")

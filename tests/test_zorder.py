@@ -43,3 +43,19 @@ def test_zorder_skips_on_both_columns(spark, tmp_path):
     assert z_value < s_value
     assert z_value <= 0.75
     assert z_user <= 0.75
+
+
+def test_zvalue_survives_nulls(spark):
+    """ADVICE r1: NULL/NaN in a z-order column must not abort the write —
+    handleInvalid='keep' routes them to the clamped top bucket."""
+    import math
+    from fiveg_spark.plans.zorder import zvalue
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 5.0), (2, None, 7.0), (3, float("nan"), 1.0), (4, 20.0, None)],
+        "id int, a double, b double",
+    )
+    out = zvalue(df, ("a", "b"), bits=4)
+    rows = out.collect()
+    assert len(rows) == 4
+    assert all(r["_z"] is not None for r in rows)

@@ -58,9 +58,20 @@ def main() -> int:
     sys.path.insert(0, ".")
     import __spark_entry__ as contract
 
-    from fiveg_spark.session import get_spark
+    # VANILLA session, exactly like the driver's verify harness — NOT
+    # get_spark().  Round 1 failed 36/50 queries because get_spark()
+    # masked a config the contract code itself must set (nanosAsLong);
+    # verification must reproduce the driver's environment.
+    from pyspark.sql import SparkSession
 
-    spark = get_spark("drive_contract")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("drive_contract")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.time()
     edf = contract.entry(spark)
