@@ -339,7 +339,44 @@ def _unpivot_sql(d: str) -> str:
     """
 
 
+def _skew_profile_sql(d: str) -> str:
+    # C57 — shuffle-key skew diagnostic: the distribution of per-key row
+    # counts for the keys the heavy operators shuffle on.  This is the
+    # measurement half of plans/skew.py's salted join — run it BEFORE
+    # choosing salting/AQE-skew thresholds.  Top-key share and the
+    # max/median ratio are the two numbers that decide whether a 100 TB
+    # shuffle on this key stalls its biggest task.  One hash-agg per key
+    # column + tiny summary aggs over the per-key frames.
+    def one(key: str) -> str:
+        p50 = pct("c", 0.5, d)
+        p99 = pct("c", 0.99, d)
+        return f"""
+      SELECT
+        '{key}' AS key_col,
+        {cnt("count(*)", "n_keys")},
+        {cnt("sum(c)", "n_rows")},
+        {cnt("max(c)", "max_key_rows")},
+        {dbl("CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)", "top_key_share")},
+        {dbl(p50, "p50_key_rows")},
+        {dbl(p99, "p99_key_rows")},
+        {dbl(f"CAST(max(c) AS DOUBLE) / {p50}", "max_over_median")}
+      FROM (
+        SELECT CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY {key}
+      ) t_{key}"""
+
+    return f"""
+    SELECT * FROM (
+      {one("user_id")}
+      UNION ALL
+      {one("event_type")}
+    ) u
+    ORDER BY key_col
+    """
+
+
 QUERIES = [
+    sql_backed("skew_profile", _skew_profile_sql, ("events",)),
     sql_backed("grouping_sets_mix", _grouping_sets_sql, ("lineitem",)),
     sql_backed(
         "percent_of_total",

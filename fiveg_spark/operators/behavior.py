@@ -175,8 +175,82 @@ def _kaplan_meier_sql(d: str) -> str:
     """
 
 
+def _transition_matrix_sql(d: str) -> str:
+    # C54 — first-order Markov transition matrix over per-user event
+    # sequences: lag(event_type) within (user ORDER BY ts, event_id),
+    # then one hash-agg on (prev, next).  The ONLY shuffle is the
+    # per-user window partitioning (high-cardinality key, even spread);
+    # the output frame is |types|² rows — driver-sized at any scale.
+    return f"""
+    WITH ordered AS (
+      SELECT
+        event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM ordered
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT
+      prev_type,
+      next_type,
+      n AS n_transitions,
+      {dbl(
+        "CAST(n AS DOUBLE) / sum(CAST(n AS DOUBLE)) OVER (PARTITION BY prev_type)",
+        "p_transition",
+      )}
+    FROM trans
+    ORDER BY prev_type, next_type
+    """
+
+
+def _rfm_segments_sql(d: str) -> str:
+    # C55 — RFM segmentation: per-user recency/frequency/monetary, each
+    # ntile(5)-banded (deterministic tiebreak on user_id; ntile gives
+    # identical equal-fill bucketing in both engines), then rolled up
+    # to segment counts.  One reduce to |users| rows, three window
+    # passes over that reduced frame (ntile needs a global order —
+    # fine: the frame is |users|, not |events|; at 1e9 users switch to
+    # percent_rank over a range-partitioned sort), final agg is
+    # ≤125 rows.  Score convention: band 1 = most recent / most
+    # frequent / highest spend.
+    return f"""
+    WITH per_user AS (
+      SELECT
+        user_id,
+        {epoch("max(ts)", d)} AS last_seen_s,
+        CAST(count(*) AS BIGINT) AS freq,
+        sum(value) AS monetary
+      FROM events
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT
+        ntile(5) OVER (ORDER BY last_seen_s DESC, user_id) AS r_band,
+        ntile(5) OVER (ORDER BY freq DESC, user_id) AS f_band,
+        ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m_band,
+        monetary
+      FROM per_user
+    )
+    SELECT
+      CAST(r_band AS INT) AS r_band,
+      CAST(f_band AS INT) AS f_band,
+      CAST(m_band AS INT) AS m_band,
+      {cnt("count(*)", "n_users")},
+      {dbl("avg(monetary)", "avg_monetary")}
+    FROM scored
+    GROUP BY r_band, f_band, m_band
+    ORDER BY r_band, f_band, m_band
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     sql_backed("event_cooccurrence_lift", _cooccurrence_sql, ("events",)),
     sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
+    sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),
+    sql_backed("rfm_segments", _rfm_segments_sql, ("events",)),
 ]

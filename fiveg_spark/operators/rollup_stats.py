@@ -185,8 +185,96 @@ def _countmin_sql(d: str) -> str:
     """
 
 
+KMV_K = 16
+
+
+def _kmv_sql(d: str) -> str:
+    # C56 — KMV (k-minimum-values) distinct sketch, entirely in SQL so
+    # the oracle checks build, MERGE, and estimates exactly.  Per day:
+    # keep the k smallest md5-hash fractions of user_id (a k-row
+    # sketch); estimate distinct = (k−1)/frac_k (Bar-Yossef 2002).
+    # Merge: the global k-min set is a subset of the union of per-day
+    # k-min sets (any globally-k-smallest value is day-k-smallest in
+    # its own day), so month-level distincts come from k·days sketch
+    # rows with NO rescan of raw events — the same rollup contract as
+    # the histogram/HLL/CM rows.  Days with < k distinct users fall
+    # back to exact (the sketch IS the value set).  md5-digit → frac
+    # arithmetic is engine-identical (same trick as Count-Min / the
+    # weighted sampler); exact distincts ride in-row as the error
+    # witness.
+    h8 = "substring(md5(concat('kmv#', CAST(user_id AS STRING))), 1, 8)"
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring({h8}, {i}, 1)) - 1) * {16 ** (8 - i)}.0"
+        for i in range(1, 9)
+    )
+    frac = f"(({digits}) / 4294967296.0)"
+    k = KMV_K
+    return f"""
+    WITH day_users AS (
+      SELECT DISTINCT
+        CAST(CAST(ts AS DATE) AS STRING) AS day,
+        user_id
+      FROM events
+    ),
+    hashed AS (
+      SELECT day, user_id, {frac} AS frac FROM day_users
+    ),
+    ranked AS (
+      SELECT
+        day,
+        frac,
+        row_number() OVER (PARTITION BY day ORDER BY frac, user_id) AS rn,
+        count(*) OVER (PARTITION BY day) AS n_day
+      FROM hashed
+    ),
+    day_sketch AS (
+      SELECT day, frac, rn, n_day FROM ranked WHERE rn <= {k}
+    ),
+    day_rows AS (
+      SELECT
+        day AS grain,
+        CASE WHEN max(n_day) >= {k}
+             THEN ({k} - 1) / max(CASE WHEN rn = {k} THEN frac END)
+             ELSE CAST(max(n_day) AS DOUBLE) END AS est,
+        CAST(max(n_day) AS BIGINT) AS exact_distinct
+      FROM day_sketch
+      GROUP BY day
+    ),
+    merged_ranked AS (
+      SELECT frac, row_number() OVER (ORDER BY frac) AS rn
+      FROM (SELECT DISTINCT frac FROM day_sketch) u
+    ),
+    global_exact AS (
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
+    ),
+    merged_row AS (
+      SELECT
+        'ALL' AS grain,
+        CASE WHEN max(m.rn) >= {k}
+             THEN ({k} - 1) / max(CASE WHEN m.rn = {k} THEN m.frac END)
+             ELSE CAST(max(m.rn) AS DOUBLE) END AS est,
+        max(g.n) AS exact_distinct
+      FROM merged_ranked m CROSS JOIN global_exact g
+    ),
+    unioned AS (
+      SELECT * FROM day_rows UNION ALL SELECT * FROM merged_row
+    )
+    SELECT
+      grain,
+      {dbl("est", "kmv_estimate")},
+      exact_distinct,
+      {dbl(
+        "abs(est - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)",
+        "rel_err",
+      )}
+    FROM unioned
+    ORDER BY grain
+    """
+
+
 QUERIES = [
     sql_backed("histogram_quantile_rollup", _hist_quantile_sql, ("events",)),
     sql_backed("concurrency_profile", _concurrency_sql, ("events",)),
     sql_backed("countmin_estimates", _countmin_sql, ("documents",)),
+    sql_backed("kmv_distinct_rollup", _kmv_sql, ("events",)),
 ]

@@ -155,8 +155,68 @@ def _quantization_sql(d: str) -> str:
     """
 
 
+def _dot(d: str, a: str, b: str) -> str:
+    if d == "spark":
+        return (
+            f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>), "
+            f"(x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        )
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _rrf_sql(d: str) -> str:
+    # E40 — reciprocal-rank fusion (Cormack 2009) of two retrieval
+    # rankings against the query vector (vec_id = 0): cosine (angle)
+    # and euclidean (magnitude-sensitive, via the dot-product identity
+    # so BOTH engines evaluate the same formula).  Scores are rounded
+    # BEFORE ranking (tiebreak vec_id) so cross-engine summation noise
+    # can't flip a rank; rrf = Σ 1/(60 + rank).  At scale each ranking
+    # is a per-candidate map + TakeOrdered over the ANN candidate pool
+    # (LSH/IVF/PQ output), not the full corpus — the fusion itself
+    # touches only k rows per ranking.
+    cos = _cos(d, "e.embedding", "q.embedding")
+    dot_eq = _dot(d, "e.embedding", "q.embedding")
+    na2 = _dot(d, "e.embedding", "e.embedding")
+    nq2 = _dot(d, "q.embedding", "q.embedding")
+    euclid = f"sqrt({na2} - 2.0 * {dot_eq} + {nq2})"
+    return f"""
+    WITH q AS (
+      SELECT embedding FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+      SELECT
+        e.vec_id,
+        e.label,
+        round({cos} + 1e-9, 4) AS cosine_r,
+        round({euclid} + 1e-9, 4) AS euclid_r
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+    ),
+    ranked AS (
+      SELECT
+        vec_id,
+        label,
+        cosine_r,
+        euclid_r,
+        row_number() OVER (ORDER BY cosine_r DESC, vec_id) AS rank_cos,
+        row_number() OVER (ORDER BY euclid_r ASC, vec_id) AS rank_euc
+      FROM scored
+    )
+    SELECT
+      vec_id,
+      label,
+      {cnt("rank_cos", "rank_cos")},
+      {cnt("rank_euc", "rank_euc")},
+      {dbl("1.0 / (60.0 + rank_cos) + 1.0 / (60.0 + rank_euc)", "rrf_score")}
+    FROM ranked
+    ORDER BY round(1.0 / (60.0 + rank_cos) + 1.0 / (60.0 + rank_euc) + 1e-9, 6) DESC, vec_id
+    LIMIT {KNN_K}
+    """
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
+    sql_backed("rrf_fusion", _rrf_sql, ("embeddings",)),
     sql_backed("embedding_quantization", _quantization_sql, ("embeddings",)),
     sql_backed("embedding_dedup_pairs", _embedding_dedup_sql, ("embeddings",)),
     sql_backed("label_centroids", _label_centroids_sql, ("embeddings",)),

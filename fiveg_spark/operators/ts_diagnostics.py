@@ -141,10 +141,72 @@ def _rolling_median_sql(d: str) -> str:
     """
 
 
+def _changepoint_sql(d: str) -> str:
+    # D20 — single best changepoint per slice (one level of binary
+    # segmentation): the split hour minimizing SSE_left + SSE_right,
+    # where each segment SSE comes from prefix sums of y and y² —
+    # NO per-candidate rescan, the whole scan of candidate splits is
+    # one cumulative window over the (already tiny) hourly frame.
+    # Inputs are the pre-rounded hourly measures, and the combined SSE
+    # is rounded BEFORE the argmin rank (tiebreak on hour) so
+    # engine-side summation noise can't flip the winner.  Minimum
+    # segment length 24 h keeps the split out of the seasonal edges.
+    return f"""
+    {_hourly_cte(d)},
+    idx AS (
+      SELECT
+        slice,
+        h,
+        throughput_bps AS y,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n,
+        sum(throughput_bps) OVER (PARTITION BY slice ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_y,
+        sum(throughput_bps * throughput_bps) OVER (PARTITION BY slice ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_y2,
+        sum(throughput_bps) OVER (PARTITION BY slice) AS tot_y,
+        sum(throughput_bps * throughput_bps) OVER (PARTITION BY slice) AS tot_y2
+      FROM hourly
+    ),
+    cand AS (
+      SELECT
+        slice,
+        h,
+        rn,
+        n,
+        tot_y,
+        tot_y2,
+        round(
+          (cum_y2 - cum_y * cum_y / rn)
+          + (tot_y2 - cum_y2 - (tot_y - cum_y) * (tot_y - cum_y) / (n - rn))
+          + 1e-9, 2) AS sse_split
+      FROM idx
+      WHERE rn >= 24 AND rn <= n - 24
+    ),
+    best AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY slice ORDER BY sse_split, h) AS rnk
+      FROM cand
+    )
+    SELECT
+      slice,
+      h AS split_hour,
+      {cnt("rn", "left_hours")},
+      {cnt("n - rn", "right_hours")},
+      {dbl("sse_split", "sse_split")},
+      {dbl("tot_y2 - tot_y * tot_y / n", "sse_nosplit")},
+      {dbl("1.0 - sse_split / (tot_y2 - tot_y * tot_y / n)", "var_reduction")}
+    FROM best
+    WHERE rnk = 1
+    ORDER BY slice
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("cusum_drift", _cusum_sql, ("events",)),
     sql_backed("seasonal_naive_eval", _seasonal_naive_sql, ("events",)),
     sql_backed("seasonal_profile", _seasonal_profile_sql, ("events",)),
     sql_backed("rolling_median_throughput", _rolling_median_sql, ("events",)),
+    sql_backed("best_changepoint", _changepoint_sql, ("events",)),
 ]
