@@ -70,8 +70,15 @@ def _huber_coeffs(spark, sf_dir):
     return huber_var_coeffs(spark, sf_dir)
 
 
+def _holt(spark, sf_dir):
+    from fiveg_spark.ml.holt import holt_forecast
+
+    return holt_forecast(spark, sf_dir)
+
+
 QUERIES = [
     Query("var_ols_coeffs", var.var_ols_coeffs, None),
+    Query("holt_forecast", _holt, None),
     Query("huber_var_coeffs", _huber_coeffs, None),
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
     Query("gru_forward", _run_gru_forward, None),

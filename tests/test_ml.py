@@ -112,3 +112,38 @@ def test_split_proportions(spark):
         n = sum(counts[(s, sp)] for sp in ("train", "val", "test"))
         assert counts[(s, "train")] == int(0.7 * n)
         assert counts[(s, "train")] + counts[(s, "val")] == int(0.85 * n)
+
+
+def test_holt_spark_matches_python_recursion(spark):
+    """D21: the distributed applyInPandas Holt fit must equal the pure
+    recursion on the collected series, slice by slice."""
+    from fiveg_spark.ml.features import feature_frame
+    from fiveg_spark.ml.holt import holt_fit, holt_forecast
+
+    got = {r["slice"]: r for r in holt_forecast(spark, SF_DIR).collect()}
+    frame = (
+        feature_frame(spark, SF_DIR)
+        .select("slice", "window_start", "throughput")
+        .toPandas()
+        .sort_values(["slice", "window_start"])
+    )
+    for s, grp in frame.groupby("slice"):
+        level, trend, mae = holt_fit(grp["throughput"].to_numpy())
+        r = got[s]
+        assert r["n_hours"] == len(grp)
+        assert abs(r["level"] - round(level, 4)) < 1e-9
+        assert abs(r["trend"] - round(trend, 4)) < 1e-9
+        assert abs(r["one_step_mae"] - round(mae, 4)) < 1e-9
+        assert abs(r["fc_h2"] - round(level + 2 * trend, 4)) < 1e-9
+
+
+def test_holt_tracks_planted_linear_trend():
+    """A noiseless linear series y = 10 + 3t must converge to trend≈3 and
+    forecast the true continuation."""
+    from fiveg_spark.ml.holt import holt_fit
+
+    y = [10.0 + 3.0 * t for t in range(50)]
+    level, trend, mae = holt_fit(y)
+    assert abs(trend - 3.0) < 1e-6
+    assert abs(level - y[-1]) < 1e-6
+    assert mae < 1e-6

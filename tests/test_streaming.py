@@ -193,3 +193,40 @@ def test_stream_static_broadcast_enrich(spark, packet_stream):
     # static-side values joined correctly
     exp = {(r["slice"], r["priority"]) for r in dim2.collect()}
     assert {(r["slice"], r["priority"]) for r in got.select("slice", "priority").distinct().collect()} == exp
+
+
+def test_available_now_incremental_backfill(spark, tmp_path):
+    """A12: Trigger.AvailableNow + a persistent checkpoint = incremental
+    batch backfill over a streaming plan — each run drains exactly the
+    NEW files and stops.  This is the 100 TB catch-up pattern: the same
+    windowed-agg plan serves both the live stream and nightly backfills,
+    and a re-run after new data lands costs O(delta), not O(history)."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    def run_once(batch_df):
+        batch_df.write.mode("append").parquet(str(src))
+        q = (
+            spark.readStream.schema("event_id long, value double")
+            .parquet(str(src))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_once(spark.range(10).selectExpr("id AS event_id", "CAST(id AS DOUBLE) AS value"))
+    assert spark.read.parquet(str(out)).count() == 10
+
+    run_once(
+        spark.range(10, 15).selectExpr("id AS event_id", "CAST(id AS DOUBLE) AS value")
+    )
+    result = spark.read.parquet(str(out))
+    # second run appended ONLY the 5 new rows (no reprocessing of the 10)
+    assert result.count() == 15
+    assert result.select("event_id").distinct().count() == 15
