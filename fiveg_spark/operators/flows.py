@@ -196,9 +196,12 @@ def _approx_variants(spark, sf_dir):
         F.approx_count_distinct("flow_id").alias("approx_flows"),
         F.approx_count_distinct("pkt_len").alias("approx_pkt_sizes"),
         F.expr("percentile_approx(iat, 0.5, 1000)").alias("approx_iat_median"),
-        F.expr("percentile_approx(pkt_len, array(0.5, 0.95, 0.99), 1000)").alias(
-            "approx_pkt_percentiles"
-        ),
+        # scalar columns, not array<double>: the driver's comparator
+        # canonicalizes by sorting every column and list cells are
+        # unhashable there (round-2 lesson)
+        F.expr("percentile_approx(pkt_len, 0.5, 1000)").alias("approx_pkt_p50"),
+        F.expr("percentile_approx(pkt_len, 0.95, 1000)").alias("approx_pkt_p95"),
+        F.expr("percentile_approx(pkt_len, 0.99, 1000)").alias("approx_pkt_p99"),
         F.count("*").alias("n"),
     )
 

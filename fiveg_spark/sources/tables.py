@@ -27,11 +27,14 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long
-# (see session.py nanosAsLong) and we convert ns→us by exact integer
-# truncation, which is precisely what DuckDB does, keeping the oracle and
-# the engine bit-identical on event time.
-_NANOS_TS_COLS = {
+# Event-time columns whose physical parquet type has varied across driver
+# testdata generations: TIMESTAMP(NANOS) (read as long via nanosAsLong)
+# or TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ).
+# Either way we normalize to TIMESTAMP_LTZ carrying the file's exact
+# micros as UTC micros — the one shape every downstream expression
+# (unix_micros, date_trunc, double casts) was written against, and the
+# same instant DuckDB's naive TIMESTAMP/epoch_us() sees.
+_TS_COLS = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
     "lineitem": ("l_shipdate",),
@@ -43,14 +46,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     # Must be set on whatever session the caller built (the verify harness
-    # uses a vanilla SparkSession): without it, reading the driver's
-    # TIMESTAMP(NANOS) parquet raises PARQUET_TYPE_ILLEGAL. Runtime conf —
-    # safe to set after session start.
+    # uses a vanilla SparkSession): without nanosAsLong, reading a
+    # TIMESTAMP(NANOS) parquet generation raises PARQUET_TYPE_ILLEGAL.
+    # UTC session tz makes the NTZ→LTZ cast micros-preserving regardless
+    # of host tz. Both are runtime confs — safe after session start.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    for c in _TS_COLS.get(name, ()):
+        df = normalize_event_ts(df, c)
+    return df
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_LTZ(UTC micros)
+    whatever physical shape the source produced (works on streaming
+    DataFrames too — pure column expressions)."""
+    dt = dict(df.dtypes).get(col)
+    if dt == "bigint":  # TIMESTAMP(NANOS) generation: ns→us exact DIV
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dt == "timestamp_ntz":  # MICROS generation: same micros, UTC
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

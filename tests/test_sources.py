@@ -17,6 +17,7 @@ from fiveg_spark.sources.kafka import (
     to_kafka_records,
 )
 from fiveg_spark.sources.pcap import decode_pcap_bytes, infer_slice, read_pcap
+from fiveg_spark.sources.tables import normalize_event_ts
 from fiveg_spark.sources.sinks import streaming_parquet_sink, write_partitioned
 from tests.conftest import SF_DIR
 
@@ -152,7 +153,7 @@ def test_streaming_parquet_sink(spark, tmp_path):
     stream = (
         spark.readStream.schema(spark.read.parquet(f"{SF_DIR}/events.parquet").schema)
         .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .transform(normalize_event_ts)
         .withColumn(
             "slice",
             F.expr(
@@ -248,7 +249,7 @@ def test_sorted_write_gives_skippable_row_groups(spark, tmp_path):
 @pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_format_matrix_round_trip(spark, tmp_path, fmt):
     from fiveg_spark.sources.sinks import read_format, write_format
-    from fiveg_spark.sources.tables import load_table
+    from fiveg_spark.sources.tables import load_table, normalize_event_ts
 
     ev = (
         load_table(spark, "events", SF_DIR)

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from fiveg_spark.operators.kpi import packet_view, with_iat
+from fiveg_spark.sources.tables import normalize_event_ts
 from fiveg_spark.streaming.kpi_stream import streaming_kpi36, with_streaming_iat
 from tests.conftest import SF_DIR
 
@@ -24,7 +25,7 @@ def packet_stream(spark, tmp_path_factory):
             spark.read.parquet(f"{SF_DIR}/events.parquet").schema
         )
         .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .transform(normalize_event_ts)
     )
     from fiveg_spark.operators.kpi import json_k_expr, packet_projection
 
@@ -121,7 +122,7 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path_factory):
     src_dir = tmp_path_factory.mktemp("events_raw_stream")
     shutil.copy(f"{SF_DIR}/events.parquet", src_dir / "part-0.parquet")
     schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
-    to_ts = lambda df: df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    to_ts = lambda df: df.transform(normalize_event_ts)
     stream = to_ts(spark.readStream.schema(schema).parquet(str(src_dir)))
     got = _run_to_memory(streaming_attribution(stream), "attr_stream", spark)
 
