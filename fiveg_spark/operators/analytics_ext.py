@@ -216,8 +216,8 @@ def _winsorized_stats_sql(d: str) -> str:
     WITH bounds AS (
       SELECT
         event_type,
-        round({p05} + 1e-9, 4) AS lo,
-        round({p95} + 1e-9, 4) AS hi
+        round({p05} + 1e-9, 4) + 0.0 AS lo,
+        round({p95} + 1e-9, 4) + 0.0 AS hi
       FROM events
       GROUP BY event_type
     ),
@@ -248,7 +248,7 @@ def _mad_outliers_sql(d: str) -> str:
     med_dev = pct("abs_dev", 0.5, d)
     return f"""
     WITH med AS (
-      SELECT event_type, round({med_v} + 1e-9, 4) AS m
+      SELECT event_type, round({med_v} + 1e-9, 4) + 0.0 AS m
       FROM events GROUP BY event_type
     ),
     devs AS (
@@ -260,7 +260,7 @@ def _mad_outliers_sql(d: str) -> str:
       FROM events e JOIN med m ON e.event_type = m.event_type
     ),
     mad AS (
-      SELECT event_type, round({med_dev} + 1e-9, 4) AS mad_val
+      SELECT event_type, round({med_dev} + 1e-9, 4) + 0.0 AS mad_val
       FROM devs GROUP BY event_type
     )
     SELECT
@@ -268,7 +268,7 @@ def _mad_outliers_sql(d: str) -> str:
       {dbl("min(d.m)", "median_value")},
       {dbl("min(md.mad_val)", "mad")},
       {cnt("count(*)", "n")},
-      {cnt("sum(CASE WHEN d.abs_dev > round(3 * 1.4826 * md.mad_val + 1e-9, 4) THEN 1 ELSE 0 END)", "n_outliers")}
+      {cnt("sum(CASE WHEN d.abs_dev > round(3 * 1.4826 * md.mad_val + 1e-9, 4) + 0.0 THEN 1 ELSE 0 END)", "n_outliers")}
     FROM devs d JOIN mad md ON d.event_type = md.event_type
     GROUP BY d.event_type
     """
@@ -327,8 +327,8 @@ def _unpivot_sql(d: str) -> str:
       SELECT
         slice,
         CAST(count(*) AS BIGINT) AS n_packets,
-        round(sum(pkt_len) + 1e-9, 4) AS total_bytes,
-        round(avg(pkt_len) + 1e-9, 4) AS avg_pkt_len
+        round(sum(pkt_len) + 1e-9, 4) + 0.0 AS total_bytes,
+        round(avg(pkt_len) + 1e-9, 4) + 0.0 AS avg_pkt_len
       FROM flows
       GROUP BY slice
     ),

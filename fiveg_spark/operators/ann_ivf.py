@@ -133,7 +133,7 @@ def ann_ivf(
         f"""
         WITH q AS (SELECT embedding FROM emb_ivf WHERE vec_id = {query_vec_id})
         SELECT e.vec_id, e.label,
-               CAST(round({cos} + 1e-9, 4) AS DOUBLE) AS cosine
+               CAST(round({cos} + 1e-9, 4) + 0.0 AS DOUBLE) AS cosine
         FROM emb_ivf e
         JOIN ivf_candidates c ON e.vec_id = c.vec_id
         CROSS JOIN q

@@ -122,7 +122,7 @@ def ann_lsh(
         f"""
         WITH q AS (SELECT embedding FROM emb_ann WHERE vec_id = {query_vec_id})
         SELECT e.vec_id, e.label,
-               CAST(round({cos} + 1e-9, 4) AS DOUBLE) AS cosine
+               CAST(round({cos} + 1e-9, 4) + 0.0 AS DOUBLE) AS cosine
         FROM emb_ann e
         JOIN ann_candidates c ON e.vec_id = c.vec_id
         CROSS JOIN q

@@ -162,7 +162,7 @@ def ann_pq(
         f"""
         WITH q AS (SELECT embedding FROM emb_pq WHERE vec_id = {query_vec_id})
         SELECT e.vec_id, e.label,
-               CAST(round({cos} + 1e-9, 4) AS DOUBLE) AS cosine
+               CAST(round({cos} + 1e-9, 4) + 0.0 AS DOUBLE) AS cosine
         FROM emb_pq e
         JOIN pq_candidates c ON e.vec_id = c.vec_id
         CROSS JOIN q

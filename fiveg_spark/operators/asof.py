@@ -110,7 +110,7 @@ def _purchases_asof_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(count(*) AS BIGINT)").alias("n_lefts"),
         F.expr("CAST(count(asof_cfg_flow) AS BIGINT)").alias("n_matched"),
         F.expr(
-            "CAST(round(coalesce(avg(asof_cfg_flow), 0.0) + 1e-9, 4) AS DOUBLE)"
+            "CAST(round(coalesce(avg(asof_cfg_flow), 0.0) + 1e-9, 4) + 0.0 AS DOUBLE)"
         ).alias("avg_cfg_flow"),
     )
 
@@ -136,7 +136,7 @@ def _asof_oracle_sql() -> str:
       slice,
       {cnt("count(*)", "n_lefts")},
       {cnt("count(asof_cfg_flow)", "n_matched")},
-      CAST(round(coalesce(avg(asof_cfg_flow), 0.0) + 1e-9, 4) AS DOUBLE) AS avg_cfg_flow
+      CAST(round(coalesce(avg(asof_cfg_flow), 0.0) + 1e-9, 4) + 0.0 AS DOUBLE) AS avg_cfg_flow
     FROM joined
     GROUP BY slice
     """

@@ -141,7 +141,7 @@ def _session_window_native(spark, sf_dir):
         .agg(
             F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
             F.expr(
-                "CAST(round(coalesce(sum(pkt_len), 0.0) + 1e-9, 4) AS DOUBLE)"
+                "CAST(round(coalesce(sum(pkt_len), 0.0) + 1e-9, 4) + 0.0 AS DOUBLE)"
             ).alias("total_bytes"),
         )
         .select(

@@ -101,7 +101,11 @@ def _dbl(expr: str, alias: str) -> str:
     disagree.  1e-9 is far above cross-engine summation noise (~1e-13
     relative) and far below the 1e-4 grid, so both engines land on the
     same side of every boundary."""
-    return f"CAST(round(coalesce({expr}, 0.0) + 1e-9, 4) AS DOUBLE) AS {alias}"
+    # `+ 0.0` OUTSIDE the round erases IEEE negative zero: a tiny negative
+    # input (skewness ~ -1e-7) rounds to `-0.0` in DuckDB but renders `0.0`
+    # in Spark — numerically equal, string-hash different.  -0.0 + 0.0 =
+    # +0.0 in IEEE 754, identically in both engines.
+    return f"CAST(round(coalesce({expr}, 0.0) + 1e-9, 4) + 0.0 AS DOUBLE) AS {alias}"
 
 
 def _cnt(expr: str, alias: str) -> str:

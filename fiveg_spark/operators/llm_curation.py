@@ -96,8 +96,8 @@ def _gopher_quality_sql(d: str) -> str:
     doc_stats AS (
       SELECT
         doc_id,
-        round(sum(length(term) * c) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS mean_wl,
-        round(max(c) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top1_frac
+        round(sum(length(term) * c) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) + 0.0 AS mean_wl,
+        round(max(c) / CAST(sum(c) AS DOUBLE) + 1e-9, 4) + 0.0 AS top1_frac
       FROM term_counts
       GROUP BY doc_id
     ),
@@ -204,7 +204,7 @@ def _decontamination_sql(d: str) -> str:
         t.doc_id,
         t.n_ngrams,
         coalesce(s.n_shared, 0) AS n_shared,
-        round(coalesce(s.n_shared, 0) / CAST(t.n_ngrams AS DOUBLE) + 1e-9, 4) AS frac
+        round(coalesce(s.n_shared, 0) / CAST(t.n_ngrams AS DOUBLE) + 1e-9, 4) + 0.0 AS frac
       FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
     )
     SELECT

@@ -130,9 +130,9 @@ def _table_profile_sql(d: str) -> str:
         aggs.append(f"CAST(sum(CASE WHEN {src} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {name}_nulls")
         aggs.append(f"CAST(count(DISTINCT {src}) AS BIGINT) AS {name}_ndv")
         if num is not None:
-            aggs.append(f"CAST(round(min({num}) + 1e-9, 4) AS DOUBLE) AS {name}_min")
-            aggs.append(f"CAST(round(max({num}) + 1e-9, 4) AS DOUBLE) AS {name}_max")
-            aggs.append(f"CAST(round(avg({num}) + 1e-9, 4) AS DOUBLE) AS {name}_mean")
+            aggs.append(f"CAST(round(min({num}) + 1e-9, 4) + 0.0 AS DOUBLE) AS {name}_min")
+            aggs.append(f"CAST(round(max({num}) + 1e-9, 4) + 0.0 AS DOUBLE) AS {name}_max")
+            aggs.append(f"CAST(round(avg({num}) + 1e-9, 4) + 0.0 AS DOUBLE) AS {name}_mean")
             stats = (f"{name}_min", f"{name}_max", f"{name}_mean")
         else:
             stats = ("CAST(NULL AS DOUBLE)",) * 3

@@ -74,7 +74,7 @@ def _pairs_within(emb: DataFrame, assigned: DataFrame, threshold: float) -> Data
         "keep_id",
         "drop_id",
         "list_id",
-        F.expr("CAST(round(cosine + 1e-9, 4) AS DOUBLE)").alias("cosine"),
+        F.expr("CAST(round(cosine + 1e-9, 4) + 0.0 AS DOUBLE)").alias("cosine"),
     )
 
 

@@ -187,8 +187,8 @@ def _rrf_sql(d: str) -> str:
       SELECT
         e.vec_id,
         e.label,
-        round({cos} + 1e-9, 4) AS cosine_r,
-        round({euclid} + 1e-9, 4) AS euclid_r
+        round({cos} + 1e-9, 4) + 0.0 AS cosine_r,
+        round({euclid} + 1e-9, 4) + 0.0 AS euclid_r
       FROM embeddings e CROSS JOIN q
       WHERE e.vec_id <> 0
     ),

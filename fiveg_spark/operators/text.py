@@ -153,7 +153,7 @@ def _tfidf_sql(d: str) -> str:
       SELECT
         tf.doc_id,
         tf.term,
-        round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1e-9, 4) AS score
+        round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1e-9, 4) + 0.0 AS score
       FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
     ),
     ranked AS (

@@ -150,7 +150,7 @@ def _unigram_ppl_sql(d: str) -> str:
         doc_id,
         source,
         CAST(count(*) AS BIGINT) AS n_tokens,
-        round(avg(nll) + 1e-9, 4) AS avg_nll
+        round(avg(nll) + 1e-9, 4) + 0.0 AS avg_nll
       FROM scored
       GROUP BY doc_id, source
     )

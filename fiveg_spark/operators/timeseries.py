@@ -128,7 +128,7 @@ def _ffill_sql(d: str) -> str:
       SELECT
         slice,
         date_trunc('hour', ts) AS h,
-        CAST(round(avg(CASE WHEN protocol = 'ICMP' THEN pkt_len END) + 1e-9, 4) AS DOUBLE) AS err_avg
+        CAST(round(avg(CASE WHEN protocol = 'ICMP' THEN pkt_len END) + 1e-9, 4) + 0.0 AS DOUBLE) AS err_avg
       FROM flows
       GROUP BY slice, date_trunc('hour', ts)
     )
@@ -351,7 +351,7 @@ def _pinball_eval_sql(d: str) -> str:
         agg = pct("throughput_bps", p, d)
         return (
             f"round({agg} OVER (PARTITION BY slice ORDER BY h "
-            f"ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) + 1e-9, 4)"
+            f"ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) + 1e-9, 4) + 0.0"
         )
 
     def pinball(q: float, yhat: str) -> str:

@@ -87,7 +87,7 @@ def _seasonal_decomposition_sql(d: str) -> str:
         slice,
         h,
         throughput_bps,
-        round(avg(throughput_bps) OVER (PARTITION BY slice, hour(h)) + 1e-9, 4) AS seas
+        round(avg(throughput_bps) OVER (PARTITION BY slice, hour(h)) + 1e-9, 4) + 0.0 AS seas
       FROM hourly
     ),
     resid AS (
@@ -99,8 +99,8 @@ def _seasonal_decomposition_sql(d: str) -> str:
     stats AS (
       SELECT
         slice,
-        round(sqrt(avg(r * r) - avg(r) * avg(r)) + 1e-9, 4) AS sd_r,
-        round(avg(r) + 1e-9, 4) AS mean_r
+        round(sqrt(avg(r * r) - avg(r) * avg(r)) + 1e-9, 4) + 0.0 AS sd_r,
+        round(avg(r) + 1e-9, 4) + 0.0 AS mean_r
       FROM resid
       GROUP BY slice
     )
@@ -111,7 +111,7 @@ def _seasonal_decomposition_sql(d: str) -> str:
       CAST(re.seas AS DOUBLE) AS seasonal,
       CAST(re.r AS DOUBLE) AS residual,
       {dbl("(re.r - st.mean_r) / nullif(st.sd_r, 0.0)", "resid_z")},
-      CAST(CASE WHEN abs(round((re.r - st.mean_r) / nullif(st.sd_r, 0.0) + 1e-9, 4)) > 3.0
+      CAST(CASE WHEN abs(round((re.r - st.mean_r) / nullif(st.sd_r, 0.0) + 1e-9, 4) + 0.0) > 3.0
                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
     FROM resid re JOIN stats st ON re.slice = st.slice
     """
@@ -208,7 +208,7 @@ def _nation_pagerank_sql(d: str) -> str:
     {iters}
     SELECT
       node AS nation,
-      CAST(round(rank * 1000.0 + 1e-9, 4) AS DOUBLE) AS pagerank_x1000
+      CAST(round(rank * 1000.0 + 1e-9, 4) + 0.0 AS DOUBLE) AS pagerank_x1000
     FROM r3
     """
 

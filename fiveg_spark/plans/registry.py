@@ -46,7 +46,8 @@ NUDGE = "1e-9"  # see operators/kpi.py:_dbl for why
 
 
 def dbl(expr: str, alias: str) -> str:
-    return f"CAST(round(coalesce({expr}, 0.0) + {NUDGE}, 4) AS DOUBLE) AS {alias}"
+    # `+ 0.0` OUTSIDE the round erases IEEE -0.0 (see operators/kpi.py:_dbl)
+    return f"CAST(round(coalesce({expr}, 0.0) + {NUDGE}, 4) + 0.0 AS DOUBLE) AS {alias}"
 
 
 def cnt(expr: str, alias: str) -> str:

@@ -26,8 +26,12 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # queries round to 4 decimals already; absorb last-ulp noise
-        return round(v, 4) + 0.0
+        # queries round to 4 decimals already; absorb last-ulp noise, but
+        # stay SIGN-BIT-FAITHFUL: the driver string-hashes values, so
+        # -0.0 vs 0.0 is a real mismatch there (it cost kpi36 two rounds).
+        # repr() preserves the sign bit; a bare float compare would not
+        # (-0.0 == 0.0 in Python).
+        return repr(round(v, 4))
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, datetime.date):
