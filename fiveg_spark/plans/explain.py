@@ -38,6 +38,7 @@ class PlanFacts:
     read_schemas: list[str]   # parquet ReadSchema projections
     codegen_spans: int        # WholeStageCodegen regions
     python_ops: int           # ArrowEvalPython / MapInPandas / FlatMap* ops
+    n_scans: int              # FileScan operators (source re-read count)
 
 
 def plan_facts(df: DataFrame, execute: bool = False) -> PlanFacts:
@@ -59,6 +60,7 @@ def plan_facts(df: DataFrame, execute: bool = False) -> PlanFacts:
         read_schemas=re.findall(r"ReadSchema: (struct<[^\n]*)", text),
         codegen_spans=len(set(re.findall(r"\*\((\d+)\)", text))),
         python_ops=len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|BatchEvalPython", text)),
+        n_scans=len(re.findall(r"FileScan ", text)),
     )
 
 
