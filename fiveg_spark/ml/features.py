@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fiveg_spark.operators.timeseries import _feature_vectors_sql
-from fiveg_spark.sources.tables import load_table
+from fiveg_spark.plans.registry import ensure_views
 
 FEATURES = (
     "throughput",
@@ -29,7 +29,7 @@ FEATURES = (
 
 def feature_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(slice, window_start, 7 feature cols) — train.py's final_df."""
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    ensure_views(spark, ("events",), sf_dir)
     return spark.sql(_feature_vectors_sql("spark"))
 
 

@@ -36,7 +36,7 @@ from pyspark.ml.regression import LinearRegression
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fiveg_spark.plans.registry import Query
+from fiveg_spark.plans.registry import Query, ensure_views
 from fiveg_spark.sources.tables import load_table
 
 
@@ -49,7 +49,7 @@ def linear_baseline(spark: SparkSession, sf_dir: str, p: int = 3) -> DataFrame:
     """
     from fiveg_spark.operators.timeseries import _var_lag_sql
 
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    ensure_views(spark, ("events",), sf_dir)
     lagged = spark.sql(_var_lag_sql("spark"))
 
     pipeline = Pipeline(
@@ -172,7 +172,7 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fiveg_spark.operators.timeseries import _hourly_cte
 
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    ensure_views(spark, ("events",), sf_dir)
     pairs = spark.sql(
         f"""
         {_hourly_cte("spark")}

@@ -98,6 +98,35 @@ def assign_lists(emb: DataFrame, centroids_bc) -> DataFrame:
     return emb.mapInPandas(assign, schema=_ASSIGN_SCHEMA)
 
 
+def assign_lists_multi(emb: DataFrame, centroids_bc, n_assign: int = 2) -> DataFrame:
+    """Map-only assignment to the ``n_assign`` NEAREST centroids (multi-
+    probe indexing): a vector sitting on a cluster boundary lands in both
+    neighbouring lists, so near-dup pairs that straddle the boundary
+    still share a block.  Output (vec_id, label, list_id), n_assign rows
+    per vector."""
+
+    def assign(batches):
+        C = centroids_bc.value  # (k, dim)
+        c_norms = (C**2).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
+            X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+            d2 = c_norms[None, :] - 2.0 * (X @ C.T)
+            top = np.argsort(d2, axis=1)[:, :n_assign]  # (n, n_assign)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].values, n_assign),
+                    "label": np.repeat(pdf["label"].values, n_assign),
+                    "list_id": top.reshape(-1).astype(np.int32),
+                }
+            )
+
+    return emb.mapInPandas(assign, schema=_ASSIGN_SCHEMA)
+
+
 def ann_ivf(
     spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
 ) -> DataFrame:

@@ -33,8 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fiveg_spark.operators.kpi import flows_cte
-from fiveg_spark.plans.registry import Query, cnt
-from fiveg_spark.sources.tables import load_table
+from fiveg_spark.plans.registry import Query, cnt, ensure_views
 
 
 def asof_join(
@@ -86,7 +85,7 @@ def asof_join(
 
 
 def _purchases_asof_signups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    ensure_views(spark, ("events",), sf_dir)
     flows = spark.sql(f"{flows_cte('spark')} SELECT * FROM flows")
     purchases = flows.filter(F.col("protocol") == "TCP").select(
         "slice", "event_id", "ts_sec"

@@ -13,7 +13,7 @@ aggregate (one row per flow), which AQE keeps cheap.
 from __future__ import annotations
 
 from fiveg_spark.operators.kpi import IDLE_THRESHOLD_S, flows_cte
-from fiveg_spark.plans.registry import Query, cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import Query, cnt, dbl, pct, sql_backed
 
 SESSION_GAP_S = 1800.0  # 30 min inactivity closes a session
 
@@ -130,9 +130,9 @@ def _session_window_native(spark, sf_dir):
     # (session windows are end-exclusive).
     from pyspark.sql import functions as F
 
-    from fiveg_spark.sources.tables import load_table
+    from fiveg_spark.plans.registry import ensure_views
 
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    ensure_views(spark, ("events",), sf_dir)
     flows = spark.sql(f"{flows_cte('spark')} SELECT * FROM flows")
     return (
         flows.groupBy(
@@ -180,34 +180,55 @@ def _session_window_oracle() -> str:
     """
 
 
-def _approx_variants(spark, sf_dir):
+def _approx_variants_sql(d: str) -> str:
     # Production-scale variants of the exact aggregates: HLL distinct
     # counts and approx percentiles (mergeable sketches -> one pass, no
-    # Expand, no exact-distinct shuffle multiplication).  Rows-only:
-    # sketch internals differ across engines by design; the exact
-    # queries above are the correctness anchor.
-    from pyspark.sql import functions as F
+    # Expand, no exact-distinct shuffle multiplication).
+    #
+    # Certification design (r3 ADVICE): raw sketch outputs differ across
+    # engines by construction, so the query emits what IS comparable —
+    # the exact anchors plus in-row tolerance booleans.  Each engine
+    # checks ITS OWN sketch against ITS OWN exact value: HLL within 10%
+    # relative error (Spark default rsd = 5%), approx percentiles inside
+    # the exact ±5-rank-percent bracket (percentile_approx accuracy 1000
+    # → ±0.1 rank percent; DuckDB t-digest is comparably tight).  Both
+    # engines agree on every exact column and every boolean, so the
+    # driver hash-certifies the approx family instead of `no_oracle`.
+    if d == "spark":
+        hll = "approx_count_distinct({0})"
+        apx = "percentile_approx({0}, {1}, 1000)"
+    else:
+        hll = "approx_count_distinct({0})"
+        apx = "approx_quantile({0}, {1})"
 
-    from fiveg_spark.sources.tables import load_table
+    def bracket(col: str, p: float, lo: float, hi: float, alias: str) -> str:
+        return (
+            f"CAST({apx.format(col, p)} BETWEEN {pct(col, lo, d)} - 1e-9 "
+            f"AND {pct(col, hi, d)} + 1e-9 AS BOOLEAN) AS {alias}"
+        )
 
-    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
-    flows = spark.sql(f"{flows_cte('spark')} SELECT * FROM flows")
-    return flows.groupBy("slice").agg(
-        F.approx_count_distinct("flow_id").alias("approx_flows"),
-        F.approx_count_distinct("pkt_len").alias("approx_pkt_sizes"),
-        F.expr("percentile_approx(iat, 0.5, 1000)").alias("approx_iat_median"),
-        # scalar columns, not array<double>: the driver's comparator
-        # canonicalizes by sorting every column and list cells are
-        # unhashable there (round-2 lesson)
-        F.expr("percentile_approx(pkt_len, 0.5, 1000)").alias("approx_pkt_p50"),
-        F.expr("percentile_approx(pkt_len, 0.95, 1000)").alias("approx_pkt_p95"),
-        F.expr("percentile_approx(pkt_len, 0.99, 1000)").alias("approx_pkt_p99"),
-        F.count("*").alias("n"),
-    )
+    return f"""
+    {flows_cte(d)}
+    SELECT
+      slice,
+      {cnt("count(*)", "n")},
+      {cnt("count(DISTINCT flow_id)", "exact_flows")},
+      {cnt("count(DISTINCT pkt_len)", "exact_pkt_sizes")},
+      CAST(abs({hll.format("flow_id")} - count(DISTINCT flow_id))
+           <= 0.1 * count(DISTINCT flow_id) AS BOOLEAN) AS flows_hll_ok,
+      CAST(abs({hll.format("pkt_len")} - count(DISTINCT pkt_len))
+           <= 0.1 * count(DISTINCT pkt_len) AS BOOLEAN) AS sizes_hll_ok,
+      {bracket("iat", 0.5, 0.45, 0.55, "iat_p50_ok")},
+      {bracket("pkt_len", 0.5, 0.45, 0.55, "pkt_p50_ok")},
+      {bracket("pkt_len", 0.95, 0.90, 0.99, "pkt_p95_ok")},
+      {bracket("pkt_len", 0.99, 0.97, 1.0, "pkt_p99_ok")}
+    FROM flows
+    GROUP BY slice
+    """
 
 
 QUERIES = [
-    Query("approx_variants", _approx_variants, None),
+    sql_backed("approx_variants", _approx_variants_sql, ("events",)),
     Query("session_window_native", _session_window_native, _session_window_oracle()),
     sql_backed("flow_iat_stats", _flow_iat_stats_sql, ("events",)),
     sql_backed("idle_periods", _idle_periods_sql, ("events",)),

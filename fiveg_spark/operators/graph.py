@@ -22,8 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fiveg_spark.operators.dedup import JACCARD_THRESHOLD, _ngram_jaccard_sql, _shingles_cte
-from fiveg_spark.plans.registry import Query, cnt
-from fiveg_spark.sources.tables import load_table
+from fiveg_spark.plans.registry import Query, cnt, ensure_views
 
 
 def connected_components(
@@ -86,7 +85,7 @@ def connected_components(
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from exact-Jaccard pairs: (root, n_docs)."""
-    load_table(spark, "documents", sf_dir).createOrReplaceTempView("documents")
+    ensure_views(spark, ("documents",), sf_dir)
     pairs = spark.sql(_ngram_jaccard_sql("spark")).select("doc_a", "doc_b")
     comps = connected_components(pairs, "doc_a", "doc_b")
     return (

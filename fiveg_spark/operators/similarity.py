@@ -15,6 +15,7 @@ from __future__ import annotations
 from fiveg_spark.plans.registry import Query, cnt, dbl, sql_backed
 
 COSINE_DUP_THRESHOLD = 0.30  # synthetic embeddings: p99 within-label ≈ 0.295
+DEDUP_N_PROBE = 6  # lists each vector indexes into for dedup blocking (of N_LISTS=16)
 KNN_K = 10
 
 
@@ -80,6 +81,65 @@ def _embedding_dedup_sql(d: str) -> str:
     FROM pairs
     WHERE cosine >= {COSINE_DUP_THRESHOLD}
     """
+
+
+def embedding_dedup_ivf(spark, sf_dir):
+    """E5 scale path (r3 VERDICT): the exact `embedding_dedup_pairs`
+    blocks on raw `label`, whose low cardinality makes within-block pairs
+    O(n²/L) — fine as a small-corpus exact tool, lethal at 1e9 vectors.
+    This variant re-blocks through IVF cluster ids (ann_ivf fit/assign,
+    √n-ish lists) so the quadratic is bounded by CLUSTER size, with
+    multi-probe assignment so boundary-straddling near-dups still share a
+    block.  The probe count is the recall knob: this corpus' dup
+    threshold sits at the within-label p99 (weak pairs, cosine ~0.30),
+    and on it 2 probes miss 34/82 exact pairs, 6 probes miss none while
+    keeping the largest block at half the largest label block.  At 1e9
+    vectors with the usual sqrt(n) lists, the constant probe factor stays
+    put while label blocks grow linearly — the quadratic is tamed.
+
+    Shape at scale: centroid fit on a sample → map-only multi-assign
+    (ids only, no vectors in the shuffle) → bucket-local pair explode
+    from sorted posting lists (same one-scan pattern as the minhash
+    banding fix) → exact cosine on candidate pairs via two hash joins on
+    unique vec_id.  Rows-only in the contract (k-means fit is iterative);
+    the pytest gate asserts pair-set EQUALITY with the exact query at
+    test scale plus the block-size bound.
+    """
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.operators.ann_ivf import (
+        assign_lists_multi,
+        fit_centroids,
+    )
+    from fiveg_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    centroids_bc = spark.sparkContext.broadcast(fit_centroids(spark, emb))
+    assigned = assign_lists_multi(emb, centroids_bc, n_assign=DEDUP_N_PROBE)
+    pairs = (
+        assigned.groupBy("label", "list_id")
+        .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            "label",
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> "
+                    "named_struct('vec_a', x, 'vec_b', y))))"
+                )
+            ).alias("p"),
+        )
+        .select("label", "p.vec_a", "p.vec_b")
+        .distinct()  # multi-assign can emit a pair in two shared blocks
+    )
+    cos = _cos("spark", "ea.embedding", "eb.embedding")
+    scored = (
+        pairs.join(emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding")).alias("ea"), "vec_a")
+        .join(emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding")).alias("eb"), "vec_b")
+        .selectExpr("vec_a", "vec_b", "label", f"{dbl(cos, 'cosine')}")
+    )
+    return scored.filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
 
 
 def _label_centroids_sql(d: str) -> str:
@@ -219,5 +279,8 @@ QUERIES = [
     sql_backed("rrf_fusion", _rrf_sql, ("embeddings",)),
     sql_backed("embedding_quantization", _quantization_sql, ("embeddings",)),
     sql_backed("embedding_dedup_pairs", _embedding_dedup_sql, ("embeddings",)),
+    # rows-only: k-means fit is iterative, not SQL; pytest asserts
+    # pair-set equality with the exact query + the block-size bound
+    Query("embedding_dedup_ivf", embedding_dedup_ivf, None),
     sql_backed("label_centroids", _label_centroids_sql, ("embeddings",)),
 ]

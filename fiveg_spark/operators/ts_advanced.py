@@ -369,10 +369,9 @@ def _khop_run(spark, sf_dir):
     is the idiomatic bounded-iteration BFS."""
     from pyspark.sql import functions as F
 
-    from fiveg_spark.sources.tables import load_table
+    from fiveg_spark.plans.registry import ensure_views
 
-    for t in ("customer", "nation", "orders", "lineitem", "supplier"):
-        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    ensure_views(spark, ("customer", "nation", "orders", "lineitem", "supplier"), sf_dir)
     edges = spark.sql(
         """
         SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst

@@ -10,6 +10,7 @@ Sharing the text makes oracle parity structural instead of aspirational.
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -25,6 +26,28 @@ class Query:
     oracle: str | None  # DuckDB SQL, None → rows-only check
 
 
+# session → {(table, sf_dir): loaded DataFrame}.  load_table pays file
+# listing + schema resolution + timestamp normalization on every call; a
+# bench or test session runs hundreds of queries over the same (session,
+# sf_dir), so cache the DataFrame and only re-point the temp view (a
+# cheap catalog upsert).  The view is ALWAYS re-registered — tests
+# overwrite these names with synthetic frames, so skipping registration
+# would leak their data into the next query.  Weak keys: a stopped/GC'd
+# session drops its entries.
+_FRAMES: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def ensure_views(spark: SparkSession, tables: tuple[str, ...], sf_dir: str) -> None:
+    frames = _FRAMES.setdefault(spark, {})
+    for t in tables:
+        key = (t, sf_dir)
+        if key not in frames:
+            frames[key] = load_table(spark, t, sf_dir)
+        frames[key].createOrReplaceTempView(t)
+
+
 def sql_backed(
     name: str,
     sql_fn: Callable[[str], str],
@@ -33,8 +56,7 @@ def sql_backed(
     """Build a Query from a dialect-parameterized SQL template."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        for t in tables:
-            load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+        ensure_views(spark, tables, sf_dir)
         return spark.sql(sql_fn("spark"))
 
     return Query(name=name, run=run, oracle=sql_fn("duckdb"))

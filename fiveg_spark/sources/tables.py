@@ -61,12 +61,28 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an event-time column to TIMESTAMP_LTZ(UTC micros)
     whatever physical shape the source produced (works on streaming
-    DataFrames too — pure column expressions)."""
+    DataFrames too — pure column expressions).
+
+    Self-contained w.r.t. session timezone: the NTZ branch rebuilds the
+    instant from wall-clock parts with an explicit 'UTC' zone argument
+    (a plain ``CAST(ntz AS TIMESTAMP)`` goes through the session tz and
+    would shift the instant on a non-UTC session)."""
     dt = dict(df.dtypes).get(col)
     if dt == "bigint":  # TIMESTAMP(NANOS) generation: ns→us exact DIV
         return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
-    if dt == "timestamp_ntz":  # MICROS generation: same micros, UTC
-        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if dt == "timestamp_ntz":  # MICROS generation: same micros, as UTC
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+        if tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+            # micros-preserving no-op under a UTC session (the engine
+            # default, set by get_spark/load_table) — zero per-row cost
+            return df.withColumn(col, F.col(col).cast("timestamp"))
+        return df.withColumn(
+            col,
+            F.expr(
+                f"make_timestamp(year({col}), month({col}), day({col}), "
+                f"hour({col}), minute({col}), date_part('SECOND', {col}), 'UTC')"
+            ),
+        )
     return df
 
 

@@ -186,3 +186,43 @@ def test_embedding_quantization_matches_numpy(spark):
         err = np.abs(x - (mn + codes * s)).sum() / len(x)
         assert got[vid]["code_sum"] == int(codes.sum()), vid
         assert abs(got[vid]["mean_abs_error"] - err) < 1e-3, vid
+
+
+def test_embedding_dedup_ivf_matches_exact_and_bounds_blocks(spark):
+    """E5 scale path: IVF-cluster blocking must find EXACTLY the pairs the
+    exact label-blocked query finds on the testdata (2-probe assignment
+    covers boundary straddlers), while bounding every block well below
+    the label-block quadratic."""
+    from fiveg_spark.operators.ann_ivf import (
+        assign_lists_multi,
+        fit_centroids,
+    )
+    from fiveg_spark.operators.similarity import (
+        _embedding_dedup_sql,
+        embedding_dedup_ivf,
+    )
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("embeddings",), SF_DIR)
+    exact = {
+        (r["vec_a"], r["vec_b"], r["label"], r["cosine"])
+        for r in spark.sql(_embedding_dedup_sql("spark")).collect()
+    }
+    ivf = {
+        (r["vec_a"], r["vec_b"], r["label"], r["cosine"])
+        for r in embedding_dedup_ivf(spark, SF_DIR).collect()
+    }
+    assert ivf == exact, (
+        f"IVF blocking lost {len(exact - ivf)} / gained {len(ivf - exact)} pairs"
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    centroids_bc = spark.sparkContext.broadcast(fit_centroids(spark, emb))
+    blocks = (
+        assign_lists_multi(emb, centroids_bc, n_assign=6)
+        .groupBy("label", "list_id")
+        .count()
+    )
+    max_block = blocks.agg(F.max("count")).collect()[0][0]
+    max_label = emb.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+    assert max_block < max_label, f"blocks not smaller: {max_block} vs {max_label}"

@@ -249,7 +249,7 @@ def test_sorted_write_gives_skippable_row_groups(spark, tmp_path):
 @pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_format_matrix_round_trip(spark, tmp_path, fmt):
     from fiveg_spark.sources.sinks import read_format, write_format
-    from fiveg_spark.sources.tables import load_table, normalize_event_ts
+    from fiveg_spark.sources.tables import load_table
 
     ev = (
         load_table(spark, "events", SF_DIR)
@@ -299,3 +299,20 @@ def test_load_table_on_vanilla_session_conf(spark):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, "true")
+
+
+def test_normalize_event_ts_is_session_tz_independent(spark):
+    """Regression (ADVICE r3): the NTZ branch must preserve the instant on
+    a NON-UTC session — a plain NTZ→LTZ cast goes through the session tz
+    and silently shifts every timestamp by the tz offset."""
+    want_us = 1717245296789012  # 2024-06-01T12:34:56.789012Z
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    try:
+        spark.conf.set(tz_key, "America/New_York")
+        ntz = spark.sql("SELECT TIMESTAMP_NTZ '2024-06-01 12:34:56.789012' AS ts")
+        out = normalize_event_ts(ntz)
+        assert dict(out.dtypes)["ts"] == "timestamp"
+        assert out.select(F.unix_micros("ts")).collect()[0][0] == want_us
+    finally:
+        spark.conf.set(tz_key, old_tz)
