@@ -73,17 +73,18 @@ def residual_frame(design: DataFrame, coeffs_bc) -> DataFrame:
     return design.mapInPandas(score, schema=_RESID_SCHEMA)
 
 
-def hybrid_forecast(
+def residual_pipeline(
     spark: SparkSession, sf_dir: str, p: int = 3, window: int = 60
-) -> DataFrame:
-    """Long-form test-split forecast: (slice, window_start, feature, yhat, y)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared front half of the hybrid: scaled hourly features → VAR fit
+    on the train split → per-row residuals → sliding residual sequences.
+    Returns (resid, sequences, scaler_params)."""
     scaled, params = robust_scale(feature_frame(spark, sf_dir))
     design = lag_design(scaled, p=p)
     coeffs = solve_coefficients(
         normal_equations(design.filter(F.col("split") == "train"))
     )
-    sc = spark.sparkContext
-    resid = residual_frame(design, sc.broadcast(coeffs))
+    resid = residual_frame(design, spark.sparkContext.broadcast(coeffs))
 
     seq_expr = (
         f"collect_list(resid) OVER (PARTITION BY slice ORDER BY window_start "
@@ -92,8 +93,15 @@ def hybrid_forecast(
     sequences = resid.selectExpr(
         "slice", "window_start", "split", "resid AS target", f"{seq_expr} AS seq"
     ).filter(F.size("seq") == window)
+    return resid, sequences, params
 
-    preds = predict_residuals(sequences, sc.broadcast(init_weights()))
+
+def hybrid_forecast(
+    spark: SparkSession, sf_dir: str, p: int = 3, window: int = 60
+) -> DataFrame:
+    """Long-form test-split forecast: (slice, window_start, feature, yhat, y)."""
+    resid, sequences, params = residual_pipeline(spark, sf_dir, p=p, window=window)
+    preds = predict_residuals(sequences, spark.sparkContext.broadcast(init_weights()))
 
     # final = var_pred + resid_pred, then inverse-scale + clip (train.py:256-261)
     composed = (

@@ -76,6 +76,12 @@ def _holt(spark, sf_dir):
     return holt_forecast(spark, sf_dir)
 
 
+def _train_eval(spark, sf_dir):
+    from fiveg_spark.ml.train import hybrid_train_eval
+
+    return hybrid_train_eval(spark, sf_dir)
+
+
 QUERIES = [
     Query("var_ols_coeffs", var.var_ols_coeffs, None),
     Query("holt_forecast", _holt, None),
@@ -83,4 +89,8 @@ QUERIES = [
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
     Query("gru_forward", _run_gru_forward, None),
     Query("hybrid_forecast_eval", hybrid.hybrid_eval, None),
+    # rows-only: iterative Adam optimization is not SQL; the strong gate
+    # is tests/test_train.py (finite-difference gradient check + the
+    # trained-beats-VAR assertion)
+    Query("hybrid_train_eval", _train_eval, None),
 ]

@@ -1,0 +1,95 @@
+"""Training-loop tests (SURVEY §2 D8/D9 training story).
+
+The load-bearing check is the finite-difference gradient test: every
+parameter of a tiny-dims model in float64, analytic vs numeric — the
+same gate autograd frameworks run in CI.  On top: Adam/Huber training
+reduces the loss on synthetic data, and the Spark-side per-slice
+applyInPandas fit beats the VAR-only baseline on the test split.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from fiveg_spark.ml.train import (
+    Dims,
+    backward,
+    fit,
+    forward,
+    huber_loss_grad,
+    init_weights,
+)
+
+TINY = Dims(k=3, d1=4, u1=5, u2=4, heads=2, kd=3, d2=4)
+
+
+def _loss(X, Y, w, dims):
+    pred, _ = forward(X, w, dims)
+    loss, _ = huber_loss_grad(pred, Y, delta=0.35)
+    return loss
+
+
+def test_gradients_match_finite_differences():
+    rng = np.random.default_rng(7)
+    B, T = 3, 6
+    X = rng.normal(size=(B, T, TINY.k)).astype(np.float64)
+    # scale spreads |error| across both Huber regimes (quad + linear)
+    Y = rng.normal(scale=1.5, size=(B, TINY.k)).astype(np.float64)
+    w = init_weights(TINY, seed=3, dtype=np.float64)
+
+    pred, caches = forward(X, w, TINY)
+    _, dpred = huber_loss_grad(pred, Y, delta=0.35)
+    grads, _ = backward(dpred, caches, w, TINY)
+
+    assert set(grads) == set(w), "a parameter is missing its gradient"
+    eps = 1e-6
+    for name, g in grads.items():
+        flat = w[name].reshape(-1)
+        gflat = np.asarray(g, dtype=np.float64).reshape(-1)
+        assert gflat.shape == flat.shape, name
+        idxs = rng.choice(flat.size, size=min(5, flat.size), replace=False)
+        for i in idxs:
+            orig = flat[i]
+            flat[i] = orig + eps
+            up = _loss(X, Y, w, TINY)
+            flat[i] = orig - eps
+            dn = _loss(X, Y, w, TINY)
+            flat[i] = orig
+            num = (up - dn) / (2 * eps)
+            err = abs(num - gflat[i]) / max(1e-8, abs(num) + abs(gflat[i]))
+            assert err < 1e-5, f"{name}[{i}]: analytic {gflat[i]:.3e} vs numeric {num:.3e}"
+
+
+def test_fit_reduces_loss_on_learnable_signal():
+    rng = np.random.default_rng(11)
+    B, T = 48, 12
+    X = rng.normal(size=(B, T, TINY.k)).astype(np.float32)
+    # learnable target: mean of the last 3 steps + noise
+    Y = X[:, -3:, :].mean(axis=1) + 0.05 * rng.normal(size=(B, TINY.k)).astype(
+        np.float32
+    )
+    _, losses = fit(X, Y, TINY, epochs=60, lr=5e-3, seed=5)
+    assert losses[-1] < 0.5 * losses[0], f"no convergence: {losses[0]} -> {losses[-1]}"
+    # loss should be broadly monotone (tolerate small Adam bounces)
+    assert losses[-1] == min(losses) or losses[-1] < 1.05 * min(losses)
+
+
+def test_hybrid_train_eval_beats_var_only(spark):
+    from fiveg_spark.ml.train import hybrid_train_eval
+    from tests.conftest import SF_DIR
+
+    rows = {r["slice"]: r for r in hybrid_train_eval(spark, SF_DIR).collect()}
+    assert set(rows) == {"eMBB", "URLLC", "mMTC", "ALL"}
+    for s in ("eMBB", "URLLC", "mMTC"):
+        r = rows[s]
+        assert r["loss_last"] < r["loss_first"], f"{s}: training did not reduce loss"
+    # the deliverable: VAR + trained residual net beats VAR alone on the
+    # held-out test split (pooled; per-slice wins on the majority — at
+    # sf0.001 one slice's ~180-sequence train split is noise-dominated)
+    assert rows["ALL"]["improved"], (
+        f"pooled test rmse {rows['ALL']['rmse_hybrid']} not below "
+        f"VAR-only {rows['ALL']['rmse_var']}"
+    )
+    n_improved = sum(bool(rows[s]["improved"]) for s in ("eMBB", "URLLC", "mMTC"))
+    assert n_improved >= 2, f"only {n_improved}/3 slices improved"
