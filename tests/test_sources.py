@@ -316,3 +316,89 @@ def test_normalize_event_ts_is_session_tz_independent(spark):
         assert out.select(F.unix_micros("ts")).collect()[0][0] == want_us
     finally:
         spark.conf.set(tz_key, old_tz)
+
+
+def test_kafka_wire_round_trip_drives_streaming_kpi(spark, tmp_path):
+    """A3 behavior test without a broker (r3 VERDICT): canonical packets →
+    to_kafka_records (flowId-keyed JSON, the reference wire shape,
+    PcapKpiExtractor publish side) → binary (key, value) files standing
+    in for the topic → parse_packet_json (KafkaKpiPipeline subscribe
+    side) → stateful streaming 36-KPI — and the numbers must equal the
+    batch aggregation of the same records."""
+    from fiveg_spark.operators.kpi import packet_view, with_iat
+    from fiveg_spark.streaming.kpi_stream import streaming_kpi36
+
+    # publish side: canonical packets serialized in the reference's JSON
+    # field names (KafkaKpiPipeline.scala:245-261)
+    wire_cols = [
+        F.col("slice").alias("sliceType"),
+        F.col("ts_sec").alias("timestamp"),
+        (F.col("ts_sec") * 1000).cast("long").alias("timestampMs"),
+        F.col("pkt_len").cast("int").alias("packetLen"),
+        "protocol",
+        F.col("src_port").alias("srcPort"),
+        F.col("dst_port").alias("dstPort"),
+        F.col("flow_id").cast("string").alias("flowId"),
+        F.col("tcp_flags").alias("tcpFlags"),
+        F.col("win_size").alias("windowSize"),
+        F.col("event_id").alias("seqNumber"),
+    ]
+    records = to_kafka_records(
+        packet_view(spark, SF_DIR).select(*wire_cols), key_col="flowId"
+    ).select(F.col("key").cast("binary"), F.col("value").cast("binary"))
+    topic_dir = str(tmp_path / "topic")
+    records.write.parquet(topic_dir)
+
+    # subscribe side: identical parse for stream and batch
+    def to_canonical(raw):
+        return parse_packet_json(raw).selectExpr(
+            "sliceType AS slice",
+            "seqNumber AS event_id",
+            "CAST(flowId AS LONG) AS flow_id",
+            "timestamp_micros(CAST(timestamp * 1e6 AS LONG)) AS ts",
+            "timestamp AS ts_sec",
+            "CAST(packetLen AS DOUBLE) AS pkt_len",
+            "protocol",
+            "srcPort AS src_port",
+            "dstPort AS dst_port",
+            "windowSize AS win_size",
+            "tcpFlags AS tcp_flags",
+        )
+
+    raw_schema = spark.read.parquet(topic_dir).schema
+    stream = to_canonical(spark.readStream.schema(raw_schema).parquet(topic_dir))
+    q = (
+        streaming_kpi36(stream, window="1 hour", watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("kafka_kpi_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("kafka_kpi_stream").collect()
+    assert len(got) > 100
+
+    batch = (
+        with_iat(to_canonical(spark.read.parquet(topic_dir)))
+        .withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+        .groupBy("slice", "window_start")
+        .agg(
+            F.expr("sum(pkt_len) * 8").alias("Throughput_bps"),
+            F.count("*").alias("Total_Packets"),
+            F.expr("avg(iat)").alias("Avg_IAT"),
+            F.expr("sum(CASE WHEN tcp_flags % 8 >= 4 THEN 1 ELSE 0 END)").alias(
+                "RST_Count"
+            ),
+        )
+    )
+    b = {(r["slice"], r["window_start"]): r for r in batch.collect()}
+    # append mode holds back any window the final watermark hasn't closed:
+    # at most the trailing window of each slice
+    assert len(b) - 3 <= len(got) <= len(b)
+    for r in got:
+        e = b[(r["slice"], r["window_start"])]
+        assert r["Total_Packets"] == e["Total_Packets"]
+        assert r["RST_Count"] == e["RST_Count"]
+        assert abs(r["Throughput_bps"] - e["Throughput_bps"]) < 1e-6
+        assert abs(r["Avg_IAT"] - e["Avg_IAT"]) < 1e-9
