@@ -111,6 +111,23 @@ def lint_plan(df: DataFrame, shuffle_budget: int = 6) -> list[Finding]:
                 )
             )
 
+    # repeated scans of one relation: the CTE-inlining disease — a WITH
+    # body referenced n times re-executes its whole scan+compute pipeline
+    # n times (the r3 minhash plan read the corpus 8×).  Two scans can be
+    # a legitimate self-join; three or more of the SAME file is almost
+    # always a restructure-me signal (persist, or band/bucket map-only).
+    scan_paths = re.findall(r"Location: [^\[\n]*\[([^\],\n]+)", plan)
+    for path in {p for p in scan_paths if scan_paths.count(p) > 2}:
+        findings.append(
+            Finding(
+                "repeated-scan",
+                "warn",
+                f"{scan_paths.count(path)} FileScans of {path}: the source "
+                "pipeline re-executes per reference; compute once and "
+                "band/explode map-only, persist, or self-join a reduced frame",
+            )
+        )
+
     n_ex = plan.count("Exchange")
     if n_ex > shuffle_budget:
         findings.append(

@@ -63,3 +63,24 @@ def test_flagship_kpi36_is_clean(spark):
 
     fs = [f for f in lint_plan(kpi36(spark, c.SF_DIR), shuffle_budget=8)]
     assert not [f for f in fs if f.severity == "error"], fs
+
+
+def test_detects_repeated_scan(spark):
+    """Planted CTE-inlining disease: a UNION ALL of 3 aggregations of the
+    same table re-executes the scan 3x (the shape the r3 minhash fix
+    removed).  The rewritten dedup queries must NOT trip it."""
+    ev = load_table(spark, "events", c.SF_DIR)
+    bad = (
+        ev.groupBy("event_type").count()
+        .unionAll(ev.groupBy("event_type").count())
+        .unionAll(ev.groupBy("event_type").count())
+    )
+    assert "repeated-scan" in _rules(lint_plan(bad))
+
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("documents",), c.SF_DIR)
+    from fiveg_spark.operators.dedup import _minhash_lsh_sql, _ngram_jaccard_sql
+
+    for sql in (_minhash_lsh_sql("spark"), _ngram_jaccard_sql("spark")):
+        assert "repeated-scan" not in _rules(lint_plan(spark.sql(sql)))
