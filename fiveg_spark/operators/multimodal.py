@@ -6,12 +6,14 @@ Spark-side machinery is real and tested: schema, binaryFile ingestion,
 partition-friendly metadata extraction, Arrow-batched ``mapInPandas``
 decode/transform with bounded batch sizes.
 
-The pixel/sample decode itself requires codec libraries that are NOT in
-this environment, so the decode kernel is pluggable: the default
-``deterministic_fake_decoder`` derives a small feature vector from the
-raw bytes (stable, testable); ``codec_decoder`` raises
-``NotImplementedError`` with the dependency it would use.  Swapping in
-a real decoder changes ONE function — none of the distributed plumbing.
+The decode kernel is pluggable.  ``stdlib_decoder`` REALLY decodes the
+formats stdlib+numpy can handle — PCM WAV audio and binary netpbm
+images (with a pure-numpy nearest-neighbour resize) — while compressed
+codecs (PNG/JPEG/MP3/MP4) need libraries absent from this environment
+and stay gated behind ``codec_decoder``'s NotImplementedError naming
+the dependency.  ``deterministic_fake_decoder`` remains for exact-value
+plumbing tests.  Swapping decoders changes ONE function — none of the
+distributed plumbing.
 """
 
 from __future__ import annotations
@@ -70,11 +72,114 @@ def deterministic_fake_decoder(content: bytes, kind: str) -> np.ndarray:
 
 
 def codec_decoder(content: bytes, kind: str) -> np.ndarray:  # pragma: no cover
-    """Real decode path — requires media libraries absent from this env."""
+    """Compressed-codec decode path — requires media libraries absent
+    from this env (PNG/JPEG/MP3/MP4).  Uncompressed formats decode for
+    real via ``stdlib_decoder`` below."""
     raise NotImplementedError(
-        "media decode needs PIL (image) / soundfile (audio) / av (video); "
-        "install one and plug it in here — the Spark plumbing is decoder-agnostic"
+        "compressed media decode needs PIL (image) / soundfile (audio) / "
+        "av (video); install one and plug it in here — the Spark plumbing "
+        "is decoder-agnostic"
     )
+
+
+def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Real PCM WAV decode, stdlib-only: (mono float64 samples in [-1, 1],
+    sample_rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(content), "rb") as wf:
+        sr = wf.getframerate()
+        ch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    x = (x - 128.0) / 128.0 if sw == 1 else x / float(2 ** (8 * sw - 1))
+    return x.reshape(-1, ch).mean(axis=1), sr
+
+
+def decode_netpbm(content: bytes) -> np.ndarray:
+    """Real binary-netpbm decode, numpy-only: P5 → (h, w), P6 → (h, w, 3),
+    maxval ≤ 255."""
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:  # magic, width, height, maxval
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to EOL
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(content) and not content[j : j + 1].isspace():
+            j += 1
+        tokens.append(content[i:j])
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    magic, w, h, maxval = tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if magic not in (b"P5", b"P6") or maxval > 255:
+        raise ValueError(f"unsupported netpbm: {magic!r} maxval={maxval}")
+    ch = 3 if magic == b"P6" else 1
+    img = np.frombuffer(content, dtype=np.uint8, count=w * h * ch, offset=i)
+    return img.reshape(h, w, 3) if ch == 3 else img.reshape(h, w)
+
+
+def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbour resize (pure index math, any channel count)."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[rows][:, cols]
+
+
+def stdlib_decoder(content: bytes, kind: str) -> np.ndarray:
+    """REAL decode for the formats stdlib/numpy can handle — PCM WAV and
+    binary netpbm (P5/P6) — emitting an interpretable FEATURE_DIM vector;
+    compressed codecs still route to ``codec_decoder``.
+
+    Layout (zero-padded):
+      audio: [1, duration_s, sr/48000, rms, peak, zero-crossing rate,
+              mean, std]
+      image: [2, w/4096, h/4096, channels, mean/255, std/255,
+              r/255, g/255, b/255]  (gray repeats the mean)
+    """
+    head = content[:12]
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        x, sr = decode_wav(content)
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
+        vec = [
+            1.0,
+            len(x) / sr,
+            sr / 48000.0,
+            float(np.sqrt(np.mean(x**2))),
+            float(np.max(np.abs(x))) if len(x) else 0.0,
+            zcr,
+            float(x.mean()),
+            float(x.std()),
+        ]
+    elif head[:2] in (b"P5", b"P6"):
+        img = decode_netpbm(content)
+        chans = (
+            img.reshape(-1, 3).mean(axis=0)
+            if img.ndim == 3
+            else np.repeat(img.mean(), 3)
+        )
+        h, w = img.shape[:2]
+        vec = [
+            2.0,
+            w / 4096.0,
+            h / 4096.0,
+            3.0 if img.ndim == 3 else 1.0,
+            float(img.mean()) / 255.0,
+            float(img.std()) / 255.0,
+            *(float(c) / 255.0 for c in chans),
+        ]
+    else:
+        return codec_decoder(content, kind)
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[: len(vec)] = np.asarray(vec, dtype=np.float32)
+    return out
 
 
 def extract_features(

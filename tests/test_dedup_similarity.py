@@ -226,3 +226,64 @@ def test_embedding_dedup_ivf_matches_exact_and_bounds_blocks(spark):
     max_block = blocks.agg(F.max("count")).collect()[0][0]
     max_label = emb.groupBy("label").count().agg(F.max("count")).collect()[0][0]
     assert max_block < max_label, f"blocks not smaller: {max_block} vs {max_label}"
+
+
+def test_stdlib_decoder_real_wav_and_ppm(spark):
+    """E13 real-decode path: PCM WAV and binary netpbm decode with
+    stdlib+numpy only — features must match a locally computed reference
+    through the full mapInPandas plumbing."""
+    import io
+    import struct
+    import wave
+
+    from fiveg_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_netpbm,
+        decode_wav,
+        extract_features,
+        resize_nn,
+        stdlib_decoder,
+    )
+
+    # 100 ms 440 Hz sine, 16-bit mono 8 kHz
+    sr, n = 8000, 800
+    samples = (np.sin(2 * np.pi * 440 * np.arange(n) / sr) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(samples.tobytes())
+    wav_bytes = buf.getvalue()
+    x, got_sr = decode_wav(wav_bytes)
+    assert got_sr == sr and len(x) == n
+    assert abs(float(np.sqrt(np.mean(x**2))) - 20000 / 32768 / np.sqrt(2)) < 1e-3
+
+    # 4x2 P6 image with known pixels
+    pixels = bytes(range(4 * 2 * 3))
+    ppm_bytes = b"P6\n# comment\n4 2\n255\n" + pixels
+    img = decode_netpbm(ppm_bytes)
+    assert img.shape == (2, 4, 3)
+    assert img[0, 0, 0] == 0 and img[1, 3, 2] == 23
+    big = resize_nn(img, 4, 8)
+    assert big.shape == (4, 8, 3)
+    assert (big[0, 0] == img[0, 0]).all() and (big[3, 7] == img[1, 3]).all()
+
+    media = spark.createDataFrame(
+        [(1, "audio", "wav", bytearray(wav_bytes)), (2, "image", "ppm", bytearray(ppm_bytes))],
+        "media_id LONG, kind STRING, format STRING, content BINARY",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_features(media, decoder=stdlib_decoder).collect()
+    }
+    assert len(rows) == 2
+    for mid, blob in ((1, wav_bytes), (2, ppm_bytes)):
+        expect = stdlib_decoder(blob, rows[mid]["kind"])
+        assert len(rows[mid]["features"]) == FEATURE_DIM
+        assert np.allclose(rows[mid]["features"], expect, atol=1e-6)
+    assert rows[1]["features"][0] == 1.0 and rows[2]["features"][0] == 2.0
+
+    # compressed codecs still gate
+    with pytest.raises(NotImplementedError):
+        stdlib_decoder(b"\x89PNG\r\n\x1a\n....", "image")
