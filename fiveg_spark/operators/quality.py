@@ -105,6 +105,49 @@ def _interval_join_sql(d: str) -> str:
     """
 
 
+def _interval_join_binned_sql(d: str) -> str:
+    # The SCALE path for the same interval join: explode each interval
+    # into its covered day-bins and equi-join on the bin.  The range
+    # predicate becomes a hash-joinable key, so the plan is a plain
+    # (broadcastable) hash join instead of BroadcastNestedLoopJoin —
+    # O(|events|) probe work instead of O(|events|·|intervals|) predicate
+    # evaluations.  The standard binning trick for range joins when
+    # interval lengths are bounded (bins per interval = length/bin_size);
+    # identical answer to `interval_join_stats`, asserted in tests.
+    if d == "spark":
+        bins = "explode(sequence(promo_start, date_add(promo_start, 1), interval 1 day))"
+    else:
+        bins = (
+            "unnest(CAST(generate_series(CAST(promo_start AS TIMESTAMP), "
+            "CAST(promo_start AS TIMESTAMP) + INTERVAL 1 DAY, INTERVAL 1 DAY) "
+            "AS DATE[]))"
+        )
+    return f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+             sum(o_totalprice) AS revenue
+      FROM orders
+      GROUP BY date_trunc('day', o_orderdate)
+    ),
+    promo AS (
+      SELECT day AS promo_start
+      FROM daily
+      ORDER BY round(revenue, 4) DESC, day
+      LIMIT 5
+    ),
+    bins AS (
+      SELECT promo_start, {bins} AS day_bin FROM promo
+    )
+    SELECT
+      b.promo_start,
+      {cnt("count(e.event_id)", "n_events")},
+      {dbl("sum(e.value)", "total_value")}
+    FROM bins b
+    LEFT JOIN events e ON CAST(e.ts AS DATE) = b.day_bin
+    GROUP BY b.promo_start
+    """
+
+
 def _table_profile_sql(d: str) -> str:
     # C42 — one-scan column profiler over events (the ANALYZE-style
     # statistics a pipeline collects before planning a 100 TB job):
@@ -177,4 +220,5 @@ QUERIES = [
     sql_backed("dq_checks", _dq_checks_sql, ("events", "orders", "customer", "lineitem")),
     sql_backed("window_functions_suite", _window_suite_sql, ("orders",)),
     sql_backed("interval_join_stats", _interval_join_sql, ("orders", "events")),
+    sql_backed("interval_join_binned", _interval_join_binned_sql, ("orders", "events")),
 ]

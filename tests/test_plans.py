@@ -102,3 +102,49 @@ def test_knn_has_no_shuffle_before_topk(spark):
     # final single-partition top-k
     assert facts.n_broadcasts >= 1
     assert facts.python_ops == 0
+
+
+def test_binned_interval_join_is_hash_join_and_matches_range_join(spark):
+    """The binned interval join must (a) give exactly the
+    BroadcastNestedLoopJoin formulation's answer and (b) plan as an
+    equi hash join — the O(n·m) predicate work becomes an O(n) probe."""
+    range_rows = sorted(
+        tuple(r) for r in QUERIES["interval_join_stats"](spark, SF_DIR).collect()
+    )
+    binned_df = QUERIES["interval_join_binned"](spark, SF_DIR)
+    binned_rows = sorted(tuple(r) for r in binned_df.collect())
+    assert binned_rows == range_rows
+    plan = formatted_plan(binned_df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """100-TB capability check: when a selective dim filter feeds a
+    shuffle join, the optimizer injects a bloom-filter semi-join on the
+    fact side (rows drop out BEFORE the shuffle).  Locks in that the
+    session keeps spark.sql.optimizer.runtime.bloomFilter usable."""
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a shuffle join so the bloom filter is worth injecting
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, "lineitem", SF_DIR)
+        o = load_table(spark, "orders", SF_DIR).filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no runtime bloom filter injected"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
