@@ -21,6 +21,8 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
+import os
+
 from fiveg_spark.plans.registry import Query, cnt, dbl, split_ws, sql_backed
 
 N_HASHES = 8  # 4 bands x 2 rows
@@ -28,11 +30,31 @@ N_BANDS = 4
 JACCARD_THRESHOLD = 0.5
 
 
+def _parallelism() -> int:
+    """Explicit partition count for the pre-hash rebalance, mirroring the
+    session factory's shuffle sizing.  Must be EXPLICIT: AQE coalesces a
+    count-less REPARTITION back down by input BYTES, which is exactly
+    wrong when the downstream explode+md5 amplifies CPU work ~50× per
+    byte."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    default = max(8, int(cpus) if cpus.isdigit() else 8)
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(default)))
+
+
 def _shingles_body(d: str, distinct: bool) -> str:
     """3-token shingles built MAP-ONLY with array HOFs (index lambda over
-    the token array, then one explode) — no window sort, no shuffle until
-    the consumer aggregates.  Both index functions are 1-based and both
-    ranges are guarded (Spark's sequence(1, 0) counts DOWN)."""
+    the token array, then one explode) — no window sort until the
+    consumer aggregates.  Both index functions are 1-based and both
+    ranges are guarded (Spark's sequence(1, 0) counts DOWN).
+
+    The Spark branch REPARTITIONs the raw docs by doc_id before the
+    shingle/hash pipeline: the scan's parallelism follows INPUT bytes
+    (row groups), but the explode amplifies each row ~50× and md5 is the
+    real cost — a few-MB shuffle of the cheap rows unlocks full-core
+    hashing whenever the corpus sits in fewer splits than cores (single
+    row-group files locally; the same pattern holds for giant files at
+    cluster scale).  The hint inherits spark.sql.shuffle.partitions, so
+    it scales with the session instead of hard-coding a count."""
     toks = split_ws("lower(text)", d)
     if d == "spark":
         sh = (
@@ -41,15 +63,17 @@ def _shingles_body(d: str, distinct: bool) -> str:
             "element_at(t, i + 2))))"
         )
         pred = "size(t) >= 3"
+        hint = f"/*+ REPARTITION({_parallelism()}, doc_id) */ "
     else:
         sh = (
             "unnest(list_transform(generate_series(1, len(t) - 2), "
             "i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))"
         )
         pred = "len(t) >= 3"
+        hint = ""
     kw = "DISTINCT " if distinct else ""
     return f"""WITH toks AS (
-      SELECT doc_id, {toks} AS t FROM documents
+      SELECT {hint}doc_id, {toks} AS t FROM documents
     ),
     shingles AS (
       SELECT {kw}doc_id, shingle FROM (
@@ -216,7 +240,7 @@ def _ngram_jaccard_sql(d: str) -> str:
     toks = split_ws("lower(text)", d)
     return f"""
     WITH toks AS (
-      SELECT doc_id, lang, source, {toks} AS t FROM documents
+      SELECT /*+ REPARTITION({_parallelism()}, doc_id) */ doc_id, lang, source, {toks} AS t FROM documents
     ),
     shingles AS (
       SELECT DISTINCT doc_id, lang, source, shingle FROM (
