@@ -419,7 +419,16 @@ def train_residual_models(
             Y = np.stack([np.asarray(t, dtype=np.float32) for t in g["target"]])
             return X, Y
 
-        X, Y = stack(pdf[pdf["split"] == "train"])
+        train_pdf = pdf[pdf["split"] == "train"]
+        if len(train_pdf) == 0:
+            # a slice whose sequences all fall in val (short/late series)
+            # has nothing to fit — emit no model; scoring skips it
+            return pd.DataFrame(
+                {c: pd.Series(dtype=t) for c, t in
+                 [("slice", "object"), ("param", "object"),
+                  ("shape", "object"), ("values", "object")]}
+            )
+        X, Y = stack(train_pdf)
         val = pdf[pdf["split"] == "val"]
         X_val, Y_val = stack(val) if len(val) else (None, None)
         # standardize per feature from the TRAIN targets: raw VAR residuals
@@ -518,6 +527,8 @@ def predict_trained(sequences: DataFrame, weights_bc, dims: Dims) -> DataFrame:
             if len(pdf) == 0:
                 continue
             for slice_name, g in pdf.groupby("slice"):
+                if slice_name not in by_slice:
+                    continue  # no trained model for this slice (no train rows)
                 net, mu, sd = _norm_split(by_slice[slice_name])
                 for lo in range(0, len(g), _CHUNK):
                     part = g.iloc[lo : lo + _CHUNK]
@@ -567,10 +578,16 @@ def hybrid_train_eval(
 
     dims = Dims(k=len(FEATURES))
     resid, sequences, _params = residual_pipeline(spark, sf_dir, p=p, window=window)
+    # the sequence frame feeds BOTH the training collect and the scoring
+    # pass; without a persist the whole Python-heavy lineage (events scan
+    # → hourly agg → VAR residuals → window collect_list) re-executes
+    sequences = sequences.persist()
     weight_rows = train_residual_models(sequences, dims, epochs=epochs, lr=lr)
     by_slice, losses = collect_weights(weight_rows)
     bc = spark.sparkContext.broadcast(by_slice)
-    preds = predict_trained(sequences, bc, dims)
+    # only the test split is evaluated — filter BEFORE the forward pass
+    # (the filter cannot push below mapInPandas on its own)
+    preds = predict_trained(sequences.filter(F.col("split") == "test"), bc, dims)
 
     first_loss = {s: ls[0] for s, ls in losses.items()}
     last_loss = {s: ls[-1] for s, ls in losses.items()}

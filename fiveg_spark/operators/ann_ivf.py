@@ -75,27 +75,10 @@ def fit_centroids(spark: SparkSession, emb: DataFrame) -> np.ndarray:
 
 
 def assign_lists(emb: DataFrame, centroids_bc) -> DataFrame:
-    """Map-only nearest-centroid assignment, one matmul per Arrow batch."""
-
-    def assign(batches):
-        C = centroids_bc.value  # (k, dim)
-        c_norms = (C**2).sum(axis=1)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
-            X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
-            # argmin ||x - c||² = argmin (||c||² - 2x·c)
-            d2 = c_norms[None, :] - 2.0 * (X @ C.T)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].values,
-                    "label": pdf["label"].values,
-                    "list_id": d2.argmin(axis=1).astype(np.int32),
-                }
-            )
-
-    return emb.mapInPandas(assign, schema=_ASSIGN_SCHEMA)
+    """Map-only nearest-centroid assignment, one matmul per Arrow batch
+    (the n_assign=1 case of the multi-probe kernel — one copy of the
+    normalize/argmin discipline to keep in sync)."""
+    return assign_lists_multi(emb, centroids_bc, n_assign=1)
 
 
 def assign_lists_multi(emb: DataFrame, centroids_bc, n_assign: int = 2) -> DataFrame:
@@ -108,18 +91,20 @@ def assign_lists_multi(emb: DataFrame, centroids_bc, n_assign: int = 2) -> DataF
     def assign(batches):
         C = centroids_bc.value  # (k, dim)
         c_norms = (C**2).sum(axis=1)
+        k = len(C)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["embedding"]])
             X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+            # argmin ||x - c||² = argmin (||c||² - 2x·c)
             d2 = c_norms[None, :] - 2.0 * (X @ C.T)
-            top = np.argsort(d2, axis=1)[:, :n_assign]  # (n, n_assign)
-            n = len(pdf)
+            n_keep = min(n_assign, k)  # guard: can't probe more lists than exist
+            top = np.argsort(d2, axis=1)[:, :n_keep]  # (n, n_keep)
             yield pd.DataFrame(
                 {
-                    "vec_id": np.repeat(pdf["vec_id"].values, n_assign),
-                    "label": np.repeat(pdf["label"].values, n_assign),
+                    "vec_id": np.repeat(pdf["vec_id"].values, n_keep),
+                    "label": np.repeat(pdf["label"].values, n_keep),
                     "list_id": top.reshape(-1).astype(np.int32),
                 }
             )

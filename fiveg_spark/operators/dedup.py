@@ -21,8 +21,6 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
-import os
-
 from fiveg_spark.plans.registry import Query, cnt, dbl, split_ws, sql_backed
 
 N_HASHES = 8  # 4 bands x 2 rows
@@ -31,14 +29,14 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _parallelism() -> int:
-    """Explicit partition count for the pre-hash rebalance, mirroring the
-    session factory's shuffle sizing.  Must be EXPLICIT: AQE coalesces a
-    count-less REPARTITION back down by input BYTES, which is exactly
-    wrong when the downstream explode+md5 amplifies CPU work ~50× per
-    byte."""
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
-    default = max(8, int(cpus) if cpus.isdigit() else 8)
-    return int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(default)))
+    """Explicit partition count for the pre-hash rebalance — the session
+    factory's own sizing rule (one source of truth).  Must be EXPLICIT:
+    AQE coalesces a count-less REPARTITION back down by input BYTES,
+    which is exactly wrong when the downstream explode+md5 amplifies CPU
+    work ~50× per byte."""
+    from fiveg_spark.session import default_shuffle_partitions
+
+    return default_shuffle_partitions()
 
 
 def _shingles_body(d: str, distinct: bool) -> str:
@@ -53,8 +51,9 @@ def _shingles_body(d: str, distinct: bool) -> str:
     real cost — a few-MB shuffle of the cheap rows unlocks full-core
     hashing whenever the corpus sits in fewer splits than cores (single
     row-group files locally; the same pattern holds for giant files at
-    cluster scale).  The hint inherits spark.sql.shuffle.partitions, so
-    it scales with the session instead of hard-coding a count."""
+    cluster scale).  The count comes from the session factory's own
+    sizing rule at SQL-build time (an explicit number — AQE would
+    coalesce a count-less hint back down by input bytes)."""
     toks = split_ws("lower(text)", d)
     if d == "spark":
         sh = (

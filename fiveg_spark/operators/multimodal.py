@@ -93,9 +93,16 @@ def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
         ch = wf.getnchannels()
         sw = wf.getsampwidth()
         raw = wf.readframes(wf.getnframes())
-    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
-    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
-    x = (x - 128.0) / 128.0 if sw == 1 else x / float(2 ** (8 * sw - 1))
+    if sw == 3:  # 24-bit PCM: assemble little-endian signed ints by hand
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+        x = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64) / float(1 << 23)
+    elif sw in (1, 2, 4):
+        dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[sw]
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        x = (x - 128.0) / 128.0 if sw == 1 else x / float(2 ** (8 * sw - 1))
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {sw}")
     return x.reshape(-1, ch).mean(axis=1), sr
 
 

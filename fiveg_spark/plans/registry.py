@@ -40,6 +40,9 @@ _FRAMES: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFram
 
 
 def ensure_views(spark: SparkSession, tables: tuple[str, ...], sf_dir: str) -> None:
+    from fiveg_spark.sources.tables import ensure_session_confs
+
+    ensure_session_confs(spark)  # cached loads must not skip conf enforcement
     frames = _FRAMES.setdefault(spark, {})
     for t in tables:
         key = (t, sf_dir)

@@ -13,6 +13,15 @@ import os
 from pyspark.sql import SparkSession
 
 
+def default_shuffle_partitions() -> int:
+    """The session's shuffle-partition sizing, shared with operators that
+    embed an explicit REPARTITION count (dedup's pre-hash rebalance) so
+    the hint can never diverge from spark.sql.shuffle.partitions."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
+    default = max(8, int(cpus) if cpus.isdigit() else 8)
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(default)))
+
+
 def get_spark(
     app_name: str = "fiveg_spark",
     master: str | None = None,
@@ -30,7 +39,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(8, int(cpus) if cpus.isdigit() else 8))))
+        shuffle_partitions = default_shuffle_partitions()
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -41,17 +41,24 @@ _TS_COLS = {
 }
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Enforce the two runtime confs table reads depend on, on whatever
+    session the caller built (the verify harness uses a vanilla one):
+    without nanosAsLong, a TIMESTAMP(NANOS) parquet generation raises
+    PARQUET_TYPE_ILLEGAL; a UTC session tz makes the NTZ→LTZ cast
+    micros-preserving regardless of host tz.  Called on EVERY load AND
+    every cached re-registration (plans.registry.ensure_views), so a
+    test or harness that mutates the tz cannot silently poison later
+    queries."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    # Must be set on whatever session the caller built (the verify harness
-    # uses a vanilla SparkSession): without nanosAsLong, reading a
-    # TIMESTAMP(NANOS) parquet generation raises PARQUET_TYPE_ILLEGAL.
-    # UTC session tz makes the NTZ→LTZ cast micros-preserving regardless
-    # of host tz. Both are runtime confs — safe after session start.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLS.get(name, ()):
         df = normalize_event_ts(df, c)

@@ -190,9 +190,10 @@ def test_embedding_quantization_matches_numpy(spark):
 
 def test_embedding_dedup_ivf_matches_exact_and_bounds_blocks(spark):
     """E5 scale path: IVF-cluster blocking must find EXACTLY the pairs the
-    exact label-blocked query finds on the testdata (2-probe assignment
-    covers boundary straddlers), while bounding every block well below
-    the label-block quadratic."""
+    exact label-blocked query finds on the testdata (6-probe assignment
+    covers boundary straddlers — 2 probes demonstrably miss 34/82 pairs
+    at this corpus' weak dup threshold), while bounding every block well
+    below the label-block quadratic."""
     from fiveg_spark.operators.ann_ivf import (
         assign_lists_multi,
         fit_centroids,
