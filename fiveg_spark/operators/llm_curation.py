@@ -34,6 +34,8 @@ from __future__ import annotations
 from fiveg_spark.operators.text import _marker_count, _tok
 from fiveg_spark.plans.registry import arr_len, cnt, dbl, sql_backed
 
+BOILERPLATE_DF = 5  # 3-gram in >= this many docs = boilerplate
+
 # Group 0 passed explicitly: Spark's regexp_extract_all defaults to
 # group 1 (and errors on group-free patterns); DuckDB defaults to 0.
 _PATTERNS = {
@@ -334,7 +336,41 @@ def _mixture_weights_sql(d: str) -> str:
     """
 
 
+def _boilerplate_ngrams_sql(d: str) -> str:
+    """Cross-document repeated n-grams (the C4/RefinedWeb boilerplate
+    rule): a 3-gram appearing in >= BOILERPLATE_DF distinct documents is
+    boilerplate; each document reports how much of it is made of such
+    grams.  One corpus scan: the distinct (doc_id, shingle) frame feeds
+    BOTH sides through window counts (count over doc_id = grams per doc;
+    count over shingle = document frequency, exact because shingles are
+    DISTINCT per doc) — no re-scan, no join back (same windows run in
+    DuckDB).  Reuses the dedup shingle pipeline incl. its pre-hash
+    rebalance.  Reference scope: extends repeated_ngrams (within-doc,
+    KafkaKpiPipeline has no text tier) to the cross-doc rule."""
+    from fiveg_spark.operators.dedup import _shingles_cte
+
+    return f"""
+    {_shingles_cte(d)},
+    sized AS (
+      SELECT
+        doc_id,
+        count(*) OVER (PARTITION BY doc_id) AS n_grams,
+        count(*) OVER (PARTITION BY shingle) AS n_docs
+      FROM shingles
+    )
+    SELECT
+      doc_id,
+      {cnt("max(n_grams)", "n_grams")},
+      {cnt(f"sum(CASE WHEN n_docs >= {BOILERPLATE_DF} THEN 1 ELSE 0 END)", "n_boilerplate")},
+      {dbl(f"sum(CASE WHEN n_docs >= {BOILERPLATE_DF} THEN 1 ELSE 0 END) / CAST(max(n_grams) AS DOUBLE)", "boilerplate_frac")},
+      {cnt(f"coalesce(max(CASE WHEN n_docs >= {BOILERPLATE_DF} THEN n_docs END), 0)", "max_df")}
+    FROM sized
+    GROUP BY doc_id
+    """
+
+
 QUERIES = [
+    sql_backed("boilerplate_ngrams", _boilerplate_ngrams_sql, ("documents",)),
     sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
     sql_backed("pii_redact", _pii_redact_sql, ("documents",)),
     sql_backed("sequence_packing", _sequence_packing_sql, ("documents",)),
