@@ -334,9 +334,39 @@ def _edit_distance_sql(d: str) -> str:
     """
 
 
+def _edit_distance_candidates_sql(d: str) -> str:
+    # E43 — the SCALE path for edit-distance near-dup: run the O(m·n) DP
+    # only on pairs that SURVIVED MinHash candidate generation (~linear
+    # candidate count), not on a blocked quadratic pair space.  Composes
+    # the one-scan minhash query as a subquery, then two point joins on
+    # unique doc_id fetch the prefixes to compare — the "verify survivors
+    # exactly" stage every production near-dup pipeline ends with.
+    return f"""
+    SELECT
+      doc_a,
+      doc_b,
+      {cnt("dist", "edit_distance")},
+      {dbl("1.0 - dist / CAST(greatest(la, lb) AS DOUBLE)", "similarity")},
+      {cnt("n_bands", "n_bands")}
+    FROM (
+      SELECT
+        mp.doc_a,
+        mp.doc_b,
+        mp.n_bands,
+        levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS dist,
+        length(substr(a.text, 1, 80)) AS la,
+        length(substr(b.text, 1, 80)) AS lb
+      FROM ({_minhash_lsh_sql(d)}) mp
+      JOIN documents a ON mp.doc_a = a.doc_id
+      JOIN documents b ON mp.doc_b = b.doc_id
+    ) scored
+    """
+
+
 QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
     sql_backed("edit_distance_pairs", _edit_distance_sql, ("documents",)),
     sql_backed("minhash_lsh_pairs", _minhash_lsh_sql, ("documents",)),
+    sql_backed("edit_distance_candidates", _edit_distance_candidates_sql, ("documents",)),
     sql_backed("ngram_jaccard_pairs", _ngram_jaccard_sql, ("documents",)),
 ]
