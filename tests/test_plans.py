@@ -89,7 +89,7 @@ def test_dedup_banding_scans_corpus_once(spark):
     MinHash banding and n-gram Jaccard rescanned documents 8×.  The
     rewritten plans band via map-only explode + bucket-local pair
     generation: exactly ONE FileScan of the corpus, no Python."""
-    for name in ("minhash_lsh_pairs", "ngram_jaccard_pairs"):
+    for name in ("minhash_lsh_pairs", "ngram_jaccard_pairs", "boilerplate_ngrams"):
         facts = plan_facts(QUERIES[name](spark, SF_DIR), execute=True)
         assert facts.n_scans == 1, f"{name}: {facts.n_scans} corpus scans"
         assert facts.python_ops == 0, f"{name}: Python in hot path"
