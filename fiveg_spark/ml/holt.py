@@ -94,3 +94,106 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_holt_kernel, schema=_SCHEMA)
         .orderBy("slice")
     )
+
+
+# ---- Holt-Winters additive seasonal (SURVEY §2 D22) ----
+
+GAMMA = 0.1
+SEASON = 24  # hourly series, daily season
+
+_HW_SCHEMA = T.StructType(
+    [
+        T.StructField("slice", T.StringType()),
+        T.StructField("n_hours", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("trend", T.DoubleType()),
+        T.StructField("one_step_mae", T.DoubleType()),
+        T.StructField("holt_mae", T.DoubleType()),
+        T.StructField("fc_h1", T.DoubleType()),
+        T.StructField("fc_h2", T.DoubleType()),
+        T.StructField("fc_h3", T.DoubleType()),
+    ]
+)
+
+
+def holt_winters_fit(
+    y, m: int = SEASON, alpha: float = ALPHA, beta: float = BETA, gamma: float = GAMMA
+):
+    """Pure-Python additive Holt-Winters recursion (the single-series
+    reference the distributed path must match).
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(y_t − l_t) + (1−γ)s_{t−m}
+
+    Init over the first two seasons, TREND-ADJUSTED (the plain
+    ``s_i = y_i − mean(season 1)`` variant folds the in-season trend ramp
+    into the seasonal indices — an amplitude-sized contamination that a
+    small γ never washes out): b = (mean(season 2) − mean(season 1))/m,
+    s_i = y_i − trend-line value at i, l = trend-line value at m−1.
+    Returns (level, trend, seasonals list[m], one_step_mae over t ≥ m).
+    """
+    y = [float(v) for v in y]
+    if len(y) < 2 * m:
+        raise ValueError(f"need >= {2 * m} points, got {len(y)}")
+    mean1 = sum(y[:m]) / m
+    mean2 = sum(y[m : 2 * m]) / m
+    trend = (mean2 - mean1) / m
+    mid = (m - 1) / 2.0  # mean1 sits on the trend line at mid-season
+    seasonals = [y[i] - (mean1 + (i - mid) * trend) for i in range(m)]
+    level = mean1 + (m - 1 - mid) * trend
+    abs_err_sum, n_err = 0.0, 0
+    for t in range(m, len(y)):
+        s_prev = seasonals[t % m]
+        pred = level + trend + s_prev
+        abs_err_sum += abs(y[t] - pred)
+        n_err += 1
+        new_level = alpha * (y[t] - s_prev) + (1.0 - alpha) * (level + trend)
+        trend = beta * (new_level - level) + (1.0 - beta) * trend
+        seasonals[t % m] = gamma * (y[t] - new_level) + (1.0 - gamma) * s_prev
+        level = new_level
+    return level, trend, seasonals, abs_err_sum / max(n_err, 1)
+
+
+def _hw_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("window_start")
+    y = pdf["throughput"].to_numpy()
+    if len(y) < 2 * SEASON:
+        return pd.DataFrame(columns=[f.name for f in _HW_SCHEMA.fields])
+    level, trend, seasonals, mae = holt_winters_fit(y)
+    _, _, holt_mae = holt_fit(y)
+    n = len(y)
+    fc = {
+        f"fc_h{h}": round(level + h * trend + seasonals[(n + h - 1) % SEASON], 4)
+        for h in range(1, H_STEPS + 1)
+    }
+    return pd.DataFrame(
+        [
+            {
+                "slice": pdf["slice"].iloc[0],
+                "n_hours": n,
+                "level": round(level, 4),
+                "trend": round(trend, 4),
+                "one_step_mae": round(mae, 4),
+                "holt_mae": round(holt_mae, 4),
+                **fc,
+            }
+        ]
+    )
+
+
+def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice additive Holt-Winters over hourly throughput: final
+    level/trend, h-step forecasts carrying the seasonal index, and the
+    one-step MAE side-by-side with plain Holt's (same series, same
+    in-sample protocol) so the seasonal term's value is visible in-row.
+    Same scale shape as D21: one shuffle on the series key, sequential
+    recursion over the already-reduced hourly frame."""
+    from fiveg_spark.ml.features import feature_frame
+
+    frame = feature_frame(spark, sf_dir).select("slice", "window_start", "throughput")
+    return (
+        frame.groupBy("slice")
+        .applyInPandas(_hw_kernel, schema=_HW_SCHEMA)
+        .orderBy("slice")
+    )

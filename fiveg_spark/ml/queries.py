@@ -76,6 +76,12 @@ def _holt(spark, sf_dir):
     return holt_forecast(spark, sf_dir)
 
 
+def _holt_winters(spark, sf_dir):
+    from fiveg_spark.ml.holt import holt_winters_forecast
+
+    return holt_winters_forecast(spark, sf_dir)
+
+
 def _train_eval(spark, sf_dir):
     from fiveg_spark.ml.train import hybrid_train_eval
 
@@ -85,6 +91,7 @@ def _train_eval(spark, sf_dir):
 QUERIES = [
     Query("var_ols_coeffs", var.var_ols_coeffs, None),
     Query("holt_forecast", _holt, None),
+    Query("holt_winters_forecast", _holt_winters, None),
     Query("huber_var_coeffs", _huber_coeffs, None),
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
     Query("gru_forward", _run_gru_forward, None),

@@ -147,3 +147,42 @@ def test_holt_tracks_planted_linear_trend():
     assert abs(trend - 3.0) < 1e-6
     assert abs(level - y[-1]) < 1e-6
     assert mae < 1e-6
+
+
+def test_holt_winters_matches_reference_and_beats_holt_on_seasonal(spark):
+    """D22: (1) the distributed per-slice HW fit equals the pure-Python
+    recursion; (2) on a noiseless trend+seasonal series HW's one-step
+    error is ~0 while trend-only Holt's is dominated by the seasonal
+    amplitude."""
+    import math
+
+    from fiveg_spark.ml.holt import SEASON, holt_fit, holt_winters_fit, holt_winters_forecast
+    from tests.conftest import SF_DIR
+
+    # synthetic: linear trend + daily sawtooth, zero noise
+    y = [10.0 + 0.5 * t + 5.0 * math.sin(2 * math.pi * (t % SEASON) / SEASON)
+         for t in range(6 * SEASON)]
+    level, trend, seasonals, mae = holt_winters_fit(y)
+    _, _, holt_mae = holt_fit(y)
+    assert mae < 0.25 * holt_mae, f"HW {mae} not clearly below Holt {holt_mae}"
+    assert abs(trend - 0.5) < 0.05
+
+    rows = {r["slice"]: r for r in holt_winters_forecast(spark, SF_DIR).collect()}
+    assert set(rows) == {"eMBB", "URLLC", "mMTC"}
+    from fiveg_spark.ml.features import feature_frame
+
+    pdf = (
+        feature_frame(spark, SF_DIR)
+        .select("slice", "window_start", "throughput")
+        .orderBy("window_start")
+        .toPandas()
+    )
+    for s, r in rows.items():
+        series = pdf[pdf["slice"] == s]["throughput"].to_numpy()
+        lv, tr, seas, mae_ref = holt_winters_fit(series)
+        assert r["n_hours"] == len(series)
+        assert abs(r["level"] - round(lv, 4)) < 1e-9
+        assert abs(r["trend"] - round(tr, 4)) < 1e-9
+        assert abs(r["one_step_mae"] - round(mae_ref, 4)) < 1e-9
+        h1 = lv + tr + seas[len(series) % SEASON]
+        assert abs(r["fc_h1"] - round(h1, 4)) < 1e-9
