@@ -404,6 +404,94 @@ def _khop_run(spark, sf_dir):
     )
 
 
+_LP_ITERS = 3
+
+
+def _lp_edges_sql() -> str:
+    """Symmetric distinct nation trade edges (both directions — LP needs
+    an undirected neighborhood), shared by both engines."""
+    return """
+    SELECT DISTINCT cn.n_name AS a, sn.n_name AS b
+    FROM customer c
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    UNION
+    SELECT DISTINCT sn.n_name AS a, cn.n_name AS b
+    FROM customer c
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    """
+
+
+def _lp_oracle() -> str:
+    # C58 oracle — synchronous label propagation, UNROLLED per iteration
+    # (DuckDB materializes CTEs, so the edge frame computes once).  Fully
+    # deterministic: each node takes the MODE of its neighbors' labels
+    # with lexicographic-min tie-break; fixed iteration count sidesteps
+    # the oscillation classical async LP tolerates.
+    steps = []
+    prev = "init"
+    for k in range(1, _LP_ITERS + 1):
+        steps.append(f"""
+    iter{k} AS (
+      SELECT node, lbl FROM (
+        SELECT e.a AS node, l.lbl,
+               row_number() OVER (PARTITION BY e.a
+                                  ORDER BY count(*) DESC, l.lbl) AS rn
+        FROM edges e JOIN {prev} l ON e.b = l.node
+        GROUP BY e.a, l.lbl
+      ) x WHERE rn = 1
+    )""")
+        prev = f"iter{k}"
+    steps_sql = ",".join(steps)
+    return f"""
+    WITH edges AS (
+      {_lp_edges_sql()}
+    ),
+    init AS (
+      SELECT DISTINCT a AS node, a AS lbl FROM edges
+    ),{steps_sql}
+    SELECT node, lbl AS community FROM {prev}
+    """
+
+
+def _lp_run(spark, sf_dir):
+    """Spark side of C58: the khop pattern — edges computed ONCE and
+    cached, then {_LP_ITERS} synchronous mode-of-neighbors rounds (each
+    one groupBy + one row_number window on a 25-node frame).  The SQL
+    unroll would re-inline the 5-table edge CTE per round."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("customer", "nation", "orders", "lineitem", "supplier"), sf_dir)
+    edges = spark.sql(_lp_edges_sql()).cache()
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(_LP_ITERS):
+        labels = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a", "lbl")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("a").alias("node"), "lbl")
+        )
+    edges.unpersist()
+    return labels.select("node", F.col("lbl").alias("community")).orderBy("node")
+
+
 QUERIES = [
     sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
     sql_backed("hampel_outliers", _hampel_sql, ("events",)),
@@ -420,4 +508,5 @@ QUERIES = [
         ("customer", "nation", "orders", "lineitem", "supplier"),
     ),
     Query("khop_distances", _khop_run, _khop_sql("duckdb")),
+    Query("label_propagation", _lp_run, _lp_oracle()),
 ]
