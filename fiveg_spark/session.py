@@ -9,6 +9,7 @@ matter most at 100 TB).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -36,6 +37,14 @@ def get_spark(
     - 128 MiB file split target: keeps scan tasks balanced on wide
       parquet at cluster scale.
     """
+    # pin the process tz BEFORE the JVM starts: PySpark's collect()
+    # renders timestamp instants in the Python process's OS timezone
+    # (session tz notwithstanding), so a non-UTC host would shift every
+    # collected timestamp (see sources.tables.ensure_session_confs)
+    if os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        if hasattr(time, "tzset"):
+            time.tzset()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "4")
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:

@@ -8,6 +8,7 @@ DataFrame and the plan shows ``PushedFilters``/pruned ``ReadSchema``.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,7 +50,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
     micros-preserving regardless of host tz.  Called on EVERY load AND
     every cached re-registration (plans.registry.ensure_views), so a
     test or harness that mutates the tz cannot silently poison later
-    queries."""
+    queries.
+
+    Also pins the PYTHON process tz to UTC: PySpark's collect() renders
+    timestamp instants as naive datetimes in the OS timezone of the
+    Python process — session tz notwithstanding — so on a non-UTC host
+    every collected timestamp (and therefore every oracle comparison)
+    would shift by the tz offset."""
+    if os.environ.get("TZ") != "UTC":
+        os.environ["TZ"] = "UTC"
+        if hasattr(time, "tzset"):
+            time.tzset()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
