@@ -166,8 +166,68 @@ def _unigram_ppl_sql(d: str) -> str:
     """
 
 
+def _bigram_ppl_sql(d: str) -> str:
+    # E44 — bigram conditional cross-entropy per doc: mean -ln P(w2|w1)
+    # under the corpus MLE bigram model, the next rung above the unigram
+    # proxy (E33) toward CCNet's KenLM filter.  Scoring only OBSERVED
+    # bigrams makes the MLE well-defined without smoothing (every scored
+    # bigram has c12 >= 1 by construction), which in turn removes every
+    # global scalar (vocab size / total count) from the formula — so the
+    # whole model trains AND scores in ONE corpus scan: adjacent-pair
+    # explode (map-only), c12 and c1 via two window counts over the one
+    # pair frame (the boilerplate_ngrams pattern), one per-doc agg.
+    # ppl derives from the ROUNDED mean NLL so both engines exponentiate
+    # the identical double.
+    toks = _tok(d)
+    if d == "spark":
+        pairs = (
+            "SELECT /*+ REPARTITION(doc_id) */ doc_id, source, "
+            "explode(transform(sequence(1, size(t) - 1), "
+            "i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))) AS p "
+            f"FROM (SELECT doc_id, source, {toks} AS t FROM documents) x "
+            "WHERE size(t) >= 2"
+        )
+        sel = "SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM pairs_raw"
+    else:
+        pairs = (
+            "SELECT doc_id, source, "
+            "unnest(list_transform(generate_series(1, len(t) - 1), "
+            "i -> {'w1': t[i], 'w2': t[i + 1]})) AS p "
+            f"FROM (SELECT doc_id, source, {toks} AS t FROM documents) x "
+            "WHERE len(t) >= 2"
+        )
+        sel = "SELECT doc_id, source, p.w1 AS w1, p.w2 AS w2 FROM pairs_raw"
+    return f"""
+    WITH pairs_raw AS ({pairs}),
+    pairs AS ({sel}),
+    sized AS (
+      SELECT doc_id, source,
+        count(*) OVER (PARTITION BY w1, w2) AS c12,
+        count(*) OVER (PARTITION BY w1) AS c1
+      FROM pairs
+    ),
+    per_doc AS (
+      SELECT
+        doc_id,
+        source,
+        CAST(count(*) AS BIGINT) AS n_bigrams,
+        round(avg(-ln(c12 / CAST(c1 AS DOUBLE))) + 1e-9, 4) + 0.0 AS avg_nll
+      FROM sized
+      GROUP BY doc_id, source
+    )
+    SELECT
+      doc_id,
+      source,
+      n_bigrams,
+      CAST(avg_nll AS DOUBLE) AS avg_nll,
+      {dbl("exp(avg_nll)", "ppl")}
+    FROM per_doc
+    """
+
+
 QUERIES = [
     sql_backed("bpe_pair_stats", _bpe_pair_stats_sql, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
     sql_backed("unigram_ppl", _unigram_ppl_sql, ("documents",)),
+    sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),
 ]
