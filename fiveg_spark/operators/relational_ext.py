@@ -152,7 +152,44 @@ def _balance_bands_sql(d: str) -> str:
     """
 
 
+def _full_outer_daily_sql(d: str) -> str:
+    # C60 — FULL OUTER join of two independently-aggregated daily
+    # frames (order revenue vs event volume).  The testdata date ranges
+    # barely overlap (TPC-H 1992-98 vs events 2024), so BOTH null sides
+    # carry real weight — the align-two-calendars shape reconciliation
+    # pipelines use.  Each side is one scan + one agg; the join keys are
+    # the tiny aggregated day frames.
+    return f"""
+    WITH order_days AS (
+      SELECT
+        CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        sum(o_totalprice) AS revenue,
+        count(*) AS n_orders
+      FROM orders
+      GROUP BY date_trunc('day', o_orderdate)
+    ),
+    event_days AS (
+      SELECT
+        CAST(date_trunc('day', ts) AS DATE) AS day,
+        sum(value) AS total_value,
+        count(*) AS n_events
+      FROM events
+      GROUP BY date_trunc('day', ts)
+    )
+    SELECT
+      coalesce(o.day, e.day) AS day,
+      {dbl("coalesce(o.revenue, 0.0)", "revenue")},
+      {cnt("coalesce(o.n_orders, 0)", "n_orders")},
+      {dbl("coalesce(e.total_value, 0.0)", "total_value")},
+      {cnt("coalesce(e.n_events, 0)", "n_events")},
+      CAST(o.day IS NOT NULL AND e.day IS NOT NULL AS BOOLEAN) AS both_sides
+    FROM order_days o
+    FULL JOIN event_days e ON o.day = e.day
+    """
+
+
 QUERIES = [
+    sql_backed("full_outer_daily", _full_outer_daily_sql, ("orders", "events")),
     sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),
     sql_backed("customers_without_orders", _customers_without_orders_sql, ("customer", "orders")),
     sql_backed("active_high_value", _active_high_value_sql, ("customer", "orders")),

@@ -343,7 +343,10 @@ def _khop_sql(d: str) -> str:
       WHERE cn.n_name <> sn.n_name
     ),
     src0 AS (SELECT min(n_name) AS node FROM nation)"""
-    assert d == "duckdb"
+    # the text is fully portable: Spark 4 executes WITH RECURSIVE
+    # natively (UnionLoop), DuckDB always has — so the same SQL serves
+    # as the DuckDB oracle for the iterative loop (C53) AND as the
+    # Spark-native recursive query (C59, `khop_recursive`).
     return f"""
     WITH RECURSIVE {edges},
     reach(node, dist) AS (
@@ -509,4 +512,8 @@ QUERIES = [
     ),
     Query("khop_distances", _khop_run, _khop_sql("duckdb")),
     Query("label_propagation", _lp_run, _lp_oracle()),
+    # C59: the SAME recursive SQL on BOTH engines — Spark 4 native
+    # WITH RECURSIVE vs DuckDB recursion; cross-checks the C53 loop
+    sql_backed("khop_recursive", _khop_sql,
+               ("customer", "nation", "orders", "lineitem", "supplier")),
 ]
