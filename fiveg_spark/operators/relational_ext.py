@@ -188,7 +188,32 @@ def _full_outer_daily_sql(d: str) -> str:
     """
 
 
+def _lateral_topk_sql(d: str) -> str:
+    # C61 — correlated LATERAL subquery: per-customer top-3 orders by
+    # price, expressed as a lateral join (the planner feature) rather
+    # than the row_number window of C14 — a genuinely different plan
+    # family for the same semantics.  The rounded price is the ranking
+    # key (cross-engine determinism, tiebreak o_orderkey).  The customer
+    # side is pre-filtered so the pushdown reaches the scan.
+    return f"""
+    SELECT
+      c.c_custkey,
+      {cnt("t.o_orderkey", "o_orderkey")},
+      {dbl("t.o_totalprice", "o_totalprice")}
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY round(o_totalprice, 4) DESC, o_orderkey
+      LIMIT 3
+    ) t
+    WHERE c.c_custkey <= 200
+    """
+
+
 QUERIES = [
+    sql_backed("lateral_topk", _lateral_topk_sql, ("customer", "orders")),
     sql_backed("full_outer_daily", _full_outer_daily_sql, ("orders", "events")),
     sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),
     sql_backed("customers_without_orders", _customers_without_orders_sql, ("customer", "orders")),
