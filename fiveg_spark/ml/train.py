@@ -643,3 +643,16 @@ def hybrid_train_eval(
             F.round("loss_last", 6).alias("loss_last"),
         )
     )
+
+
+def save_weights(weight_rows: DataFrame, path: str) -> None:
+    """Persist trained per-slice weights as parquet — the weight-row
+    frame IS the storage format (slice, param, shape, values), so a
+    model registry is just a partitioned table."""
+    weight_rows.write.mode("overwrite").parquet(path)
+
+
+def load_weights(spark, path: str):
+    """Parquet → ({slice: pytree}, {slice: losses}) — inverse of
+    save_weights, same shapes as collect_weights."""
+    return collect_weights(spark.read.parquet(path))

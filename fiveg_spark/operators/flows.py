@@ -227,6 +227,39 @@ def _approx_variants_sql(d: str) -> str:
     """
 
 
+def _salted_agg_sql(d: str) -> str:
+    # C62 — two-phase SALTED aggregation surfaced as a certified query:
+    # `slice` has cardinality 3, so a direct groupBy(slice) funnels a
+    # third of 100 TB through each of three reducers.  Salting splits
+    # every hot key 16 ways (partial agg on (slice, salt) spreads the
+    # shuffle), then the tiny 48-row partial frame re-aggregates to the
+    # final 3 rows.  Sum/count decompose exactly, so the result is
+    # bit-identical to the direct aggregation — which is what the oracle
+    # checks (DuckDB runs the same two-phase text; its materialized CTE
+    # makes that cheap).
+    return f"""
+    {flows_cte(d)},
+    partials AS (
+      SELECT
+        slice,
+        CAST(flow_id % 16 AS INT) AS salt,
+        sum(pkt_len) AS s_bytes,
+        count(*) AS c_pkts,
+        max(pkt_len) AS m_pkt
+      FROM flows
+      GROUP BY slice, CAST(flow_id % 16 AS INT)
+    )
+    SELECT
+      slice,
+      {dbl("sum(s_bytes)", "total_bytes")},
+      {cnt("sum(c_pkts)", "n_packets")},
+      {dbl("sum(s_bytes) / sum(c_pkts)", "avg_pkt_len")},
+      {dbl("max(m_pkt)", "max_pkt_len")}
+    FROM partials
+    GROUP BY slice
+    """
+
+
 QUERIES = [
     sql_backed("approx_variants", _approx_variants_sql, ("events",)),
     Query("session_window_native", _session_window_native, _session_window_oracle()),
@@ -235,4 +268,5 @@ QUERIES = [
     sql_backed("top_flows", _top_flows_sql, ("events",)),
     sql_backed("sessionize", _sessionize_sql, ("events",)),
     sql_backed("slice_throughput_hourly", _slice_throughput_hourly_sql, ("events",)),
+    sql_backed("salted_agg_throughput", _salted_agg_sql, ("events",)),
 ]

@@ -93,3 +93,41 @@ def test_hybrid_train_eval_beats_var_only(spark):
     )
     n_improved = sum(bool(rows[s]["improved"]) for s in ("eMBB", "URLLC", "mMTC"))
     assert n_improved >= 2, f"only {n_improved}/3 slices improved"
+
+
+def test_weight_save_load_round_trip(spark, tmp_path):
+    """The weight-row frame round-trips through parquet bit-exactly and
+    the reloaded pytree drives the same predictions."""
+    import numpy as np
+
+    from fiveg_spark.ml.hybrid import residual_pipeline
+    from fiveg_spark.ml.train import (
+        Dims,
+        collect_weights,
+        load_weights,
+        predict_trained,
+        save_weights,
+        train_residual_models,
+    )
+    from tests.conftest import SF_DIR
+
+    dims = Dims(k=7)
+    _, sequences, _ = residual_pipeline(spark, SF_DIR)
+    sequences = sequences.persist()
+    rows = train_residual_models(sequences, dims, epochs=2).persist()
+    direct, losses = collect_weights(rows)
+    path = str(tmp_path / "weights")
+    save_weights(rows, path)
+    loaded, losses2 = load_weights(spark, path)
+    assert losses == losses2
+    assert set(direct) == set(loaded)
+    for s in direct:
+        assert set(direct[s]) == set(loaded[s])
+        for k in direct[s]:
+            assert np.array_equal(direct[s][k], loaded[s][k]), (s, k)
+    test_seqs = sequences.filter("split = 'test'")
+    a = predict_trained(test_seqs, spark.sparkContext.broadcast(direct), dims)
+    b = predict_trained(test_seqs, spark.sparkContext.broadcast(loaded), dims)
+    ra = sorted((r["slice"], r["window_start"], tuple(r["resid_pred"])) for r in a.collect())
+    rb = sorted((r["slice"], r["window_start"], tuple(r["resid_pred"])) for r in b.collect())
+    assert ra == rb
