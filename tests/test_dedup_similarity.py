@@ -288,3 +288,62 @@ def test_stdlib_decoder_real_wav_and_ppm(spark):
     # compressed codecs still gate
     with pytest.raises(NotImplementedError):
         stdlib_decoder(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_media_decoders_property_based():
+    """Hypothesis: decode_netpbm and decode_wav invert arbitrary valid
+    encodings exactly, and resize_nn preserves corner pixels — for ANY
+    image dims / sample content, not just the handpicked cases."""
+    import io
+    import wave
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fiveg_spark.operators.multimodal import (
+        decode_netpbm,
+        decode_wav,
+        resize_nn,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        rgb=st.booleans(),
+        data=st.data(),
+    )
+    def check_netpbm(w, h, rgb, data):
+        ch = 3 if rgb else 1
+        pixels = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch))
+        )
+        blob = (b"P6" if rgb else b"P5") + f"\n{w} {h}\n255\n".encode() + pixels
+        img = decode_netpbm(blob)
+        assert img.shape == ((h, w, 3) if rgb else (h, w))
+        assert bytes(img.reshape(-1).tolist()) == pixels
+        big = resize_nn(img, 2 * h, 2 * w)
+        assert (big[0, 0] == img[0, 0]).all() if rgb else big[0, 0] == img[0, 0]
+        assert (big[-1, -1] == img[-1, -1]).all() if rgb else big[-1, -1] == img[-1, -1]
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        sr=st.sampled_from([8000, 16000, 44100]),
+        ch=st.integers(1, 2),
+        samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+    )
+    def check_wav(sr, ch, samples):
+        arr = np.asarray(samples, dtype="<i2")
+        frames = np.repeat(arr, ch)  # same value on every channel
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(ch)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(frames.tobytes())
+        x, got_sr = decode_wav(buf.getvalue())
+        assert got_sr == sr and len(x) == len(samples)
+        assert np.allclose(x, arr.astype(np.float64) / 32768.0, atol=1e-12)
+
+    check_netpbm()
+    check_wav()
