@@ -231,3 +231,75 @@ def test_available_now_incremental_backfill(spark, tmp_path):
     # second run appended ONLY the 5 new rows (no reprocessing of the 10)
     assert result.count() == 15
     assert result.select("event_id").distinct().count() == 15
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_flow_totals_processor_logic_accumulates():
+    """B14 (transformWithStateInPandas): the state server needs protobuf
+    (absent here — env gate like the Kafka broker), so the processor's
+    accumulation semantics are checked directly: totals accumulate across
+    calls and match a pandas groupby of the concatenated input."""
+    import pandas as pd
+
+    from fiveg_spark.streaming.flow_state import FlowTotalsProcessor
+
+    proc = FlowTotalsProcessor(None)
+    proc._totals = _FakeValueState()
+    b1 = pd.DataFrame({"pkt_len": [10.0, 20.0], "ts_sec": [1.0, 2.0]})
+    b2 = pd.DataFrame({"pkt_len": [5.0], "ts_sec": [0.5]})
+    out1 = list(proc.handleInputRows((7,), iter([b1]), None))[0]
+    assert out1["n_packets"][0] == 2 and out1["total_bytes"][0] == 30.0
+    out2 = list(proc.handleInputRows((7,), iter([b2]), None))[0]
+    assert out2["n_packets"][0] == 3
+    assert out2["total_bytes"][0] == 35.0
+    assert out2["first_ts_sec"][0] == 0.5 and out2["last_ts_sec"][0] == 2.0
+
+
+def test_flow_totals_stream_end_to_end(spark, packet_stream, tmp_path):
+    """Full transformWithStateInPandas run — auto-skips without the
+    protobuf runtime the state server requires."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.streaming.flow_state import streaming_flow_totals
+
+    stream_pkts, batch_pkts = packet_stream
+    out = streaming_flow_totals(stream_pkts, ttl_ms=None)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("flow_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["flow_id"]: r for r in spark.table("flow_totals").collect()}
+    exp = {
+        r["flow_id"]: r
+        for r in batch_pkts.groupBy("flow_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pkt_len").alias("b"),
+            F.min("ts_sec").alias("lo"),
+            F.max("ts_sec").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for f, e in exp.items():
+        assert got[f]["n_packets"] == e["n"]
+        assert abs(got[f]["total_bytes"] - e["b"]) < 1e-6
