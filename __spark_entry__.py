@@ -53,7 +53,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return _kpi.kpi36(spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver has already hash-certified green (CORRECTNESS_r01-r03).
+# Queries the driver has already hash-certified green (CORRECTNESS_r01-r04).
 # The driver samples the FIRST 50 entries of queries() in insertion order, so
 # never-certified oracle-backed queries are promoted to the front of the dict
 # and these (plus oracle-less rows-only queries, which can never hash-match)
@@ -74,6 +74,22 @@ _DRIVER_CERTIFIED = {
     "train_split_bounds", "triangle_count", "value_histogram",
     "value_percentiles", "var_lag_features", "variant_props_stats",
     "window_entropy",
+    # round-4 window (CORRECTNESS_r04.json, all 50 green)
+    "active_high_value", "approx_variants", "asof_join_stats", "balance_bands",
+    "bigram_ppl", "boilerplate_ngrams", "bpe_pair_stats", "concurrency_profile",
+    "countmin_estimates", "cube_event_volume", "curation_funnel",
+    "customers_without_orders", "daily_modal_type", "dedup_clusters",
+    "dedup_exact", "doc_chunks", "doc_fingerprint", "dq_checks",
+    "edit_distance_candidates", "edit_distance_pairs", "embedding_dedup_pairs",
+    "embedding_norm_stats", "embedding_quantization", "event_cooccurrence_lift",
+    "event_time_association", "event_type_pivot", "ewma_throughput",
+    "full_outer_daily", "gini_token_concentration", "grouping_sets_mix",
+    "hash_split", "histogram_quantile_rollup", "interval_join_binned",
+    "interval_join_stats", "kaplan_meier_lifetime", "khop_recursive",
+    "kmv_distinct_rollup", "knn_bruteforce", "kpi36", "label_centroids",
+    "label_propagation", "lang_id", "lateral_topk", "mad_outliers",
+    "minhash_lsh_pairs", "ngram_jaccard_pairs", "ols_trend_per_slice",
+    "per_source_topk_sample", "percent_of_total", "q10_returned_items",
 }
 
 
