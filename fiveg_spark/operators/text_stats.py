@@ -180,8 +180,13 @@ def _bigram_ppl_sql(d: str) -> str:
     # the identical double.
     toks = _tok(d)
     if d == "spark":
+        from fiveg_spark.operators.dedup import _parallelism
+
+        # explicit count (dedup._parallelism): AQE coalesces a count-less
+        # REPARTITION back down by input bytes — wrong when the explode
+        # amplifies CPU work far past the byte size
         pairs = (
-            "SELECT /*+ REPARTITION(doc_id) */ doc_id, source, "
+            f"SELECT /*+ REPARTITION({_parallelism()}, doc_id) */ doc_id, source, "
             "explode(transform(sequence(1, size(t) - 1), "
             "i -> named_struct('w1', element_at(t, i), 'w2', element_at(t, i + 1)))) AS p "
             f"FROM (SELECT doc_id, source, {toks} AS t FROM documents) x "

@@ -364,7 +364,7 @@ def _khop_sql(d: str) -> str:
 
 
 def _khop_run(spark, sf_dir):
-    """Spark side of C53: edges computed ONCE and cached, then ≤4
+    """Spark side of C53: edges computed ONCE and materialized, then ≤4
     frontier-expansion rounds — each a broadcast join of the (≤ nations)
     frontier against the cached edge set + an anti-join on seen nodes.
     The SQL-unroll alternative re-inlines the 5-table edge CTE at every
@@ -386,7 +386,11 @@ def _khop_run(spark, sf_dir):
         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
         WHERE cn.n_name <> sn.n_name
         """
-    ).cache()
+    ).localCheckpoint()  # eager: materializes NOW, so every loop round
+    # (and the final plan's multiple references) reads the stored edge
+    # partitions instead of re-running the 5-table join; a lazy .cache()
+    # + pre-action unpersist() pair would never populate (graph.py:38
+    # uses the same pattern)
     src = spark.sql("SELECT min(n_name) AS node FROM nation")
     seen = src.withColumn("hops", F.lit(0))
     frontier = seen
@@ -401,7 +405,6 @@ def _khop_run(spark, sf_dir):
         if not frontier.take(1):
             break
         seen = seen.unionByName(frontier)
-    edges.unpersist()
     return seen.select("node", F.col("hops").cast("long").alias("hops")).orderBy(
         "hops", "node"
     )
@@ -468,7 +471,7 @@ def _lp_oracle() -> str:
 
 def _lp_run(spark, sf_dir):
     """Spark side of C58: the khop pattern — edges computed ONCE and
-    cached, then {_LP_ITERS} synchronous mode-of-neighbors rounds (each
+    materialized, then {_LP_ITERS} synchronous mode-of-neighbors rounds (each
     one groupBy + one row_number window on a 25-node frame).  The SQL
     unroll would re-inline the 5-table edge CTE per round."""
     from pyspark.sql import functions as F
@@ -477,7 +480,12 @@ def _lp_run(spark, sf_dir):
     from fiveg_spark.plans.registry import ensure_views
 
     ensure_views(spark, ("customer", "nation", "orders", "lineitem", "supplier"), sf_dir)
-    edges = spark.sql(_lp_edges_sql()).cache()
+    # eager localCheckpoint (not lazy cache): the loop only builds
+    # lineage, so a cache would never populate before the caller's
+    # single action, and the final plan references edges _LP_ITERS+1
+    # times — each must read the materialized partitions, not re-run
+    # the 5-table join
+    edges = spark.sql(_lp_edges_sql()).localCheckpoint()
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -491,7 +499,6 @@ def _lp_run(spark, sf_dir):
             .filter(F.col("rn") == 1)
             .select(F.col("a").alias("node"), "lbl")
         )
-    edges.unpersist()
     return labels.select("node", F.col("lbl").alias("community")).orderBy("node")
 
 

@@ -83,10 +83,15 @@ class FlowTotalsProcessor(StatefulProcessor):
 def streaming_flow_totals(
     packets: DataFrame, ttl_ms: int | None = 24 * 3600 * 1000
 ) -> DataFrame:
-    """packet stream → live per-flow running-totals stream (Update mode)."""
+    """packet stream → live per-flow running-totals stream (Update mode).
+
+    TTL state requires ProcessingTime time mode — Spark 4 raises
+    STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL if a TTL is
+    assigned under timeMode="None" — so the mode follows ttl_ms.
+    """
     return packets.groupBy("flow_id").transformWithStateInPandas(
         FlowTotalsProcessor(ttl_ms),
         outputStructType=FLOW_TOTALS_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

@@ -268,9 +268,30 @@ def test_flow_totals_processor_logic_accumulates():
     assert out2["first_ts_sec"][0] == 0.5 and out2["last_ts_sec"][0] == 2.0
 
 
+def test_flow_totals_time_mode_follows_ttl(spark, packet_stream):
+    """TTL state is only legal under ProcessingTime time mode (Spark 4
+    raises STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+    otherwise), so the builder must switch modes with ttl_ms.  The mode
+    lands in the logical plan, checkable without the protobuf runtime."""
+    from fiveg_spark.streaming.flow_state import streaming_flow_totals
+
+    stream_pkts, _ = packet_stream
+
+    def mode(df):
+        plan = df._jdf.queryExecution().logical().toString().splitlines()[0]
+        assert "TransformWithStateInPySpark" in plan
+        return plan
+
+    assert "ProcessingTime" in mode(streaming_flow_totals(stream_pkts, ttl_ms=60_000))
+    assert "ProcessingTime" in mode(streaming_flow_totals(stream_pkts))  # default TTL
+    assert "NoTime" in mode(streaming_flow_totals(stream_pkts, ttl_ms=None))
+
+
 def test_flow_totals_stream_end_to_end(spark, packet_stream, tmp_path):
     """Full transformWithStateInPandas run — auto-skips without the
-    protobuf runtime the state server requires."""
+    protobuf runtime the state server requires (pip installs are not
+    permitted in this container, so the gate stands; the TTL-mode fix is
+    covered ungated by test_flow_totals_time_mode_follows_ttl)."""
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql import functions as F
 
@@ -303,3 +324,26 @@ def test_flow_totals_stream_end_to_end(spark, packet_stream, tmp_path):
     for f, e in exp.items():
         assert got[f]["n_packets"] == e["n"]
         assert abs(got[f]["total_bytes"] - e["b"]) < 1e-6
+
+
+def test_flow_totals_stream_with_ttl_end_to_end(spark, packet_stream, tmp_path):
+    """Same run with a TTL assigned — exercises the ProcessingTime time
+    mode the TTL requires (a generous TTL so nothing expires mid-test).
+    Auto-skips without protobuf like the variant above."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from fiveg_spark.streaming.flow_state import streaming_flow_totals
+
+    stream_pkts, batch_pkts = packet_stream
+    out = streaming_flow_totals(stream_pkts, ttl_ms=24 * 3600 * 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("flow_totals_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["flow_id"]: r["n_packets"] for r in spark.table("flow_totals_ttl").collect()}
+    exp = {r["flow_id"]: r["n"] for r in batch_pkts.groupBy("flow_id").count().withColumnRenamed("count", "n").collect()}
+    assert got == exp
