@@ -101,9 +101,10 @@ def embedding_dedup_ivf(spark, sf_dir):
     (ids only, no vectors in the shuffle) → bucket-local pair explode
     from sorted posting lists (same one-scan pattern as the minhash
     banding fix) → exact cosine on candidate pairs via two hash joins on
-    unique vec_id.  Rows-only in the contract (k-means fit is iterative);
-    the pytest gate asserts pair-set EQUALITY with the exact query at
-    test scale plus the block-size bound.
+    unique vec_id.  Certified against the EXACT pair SQL as its DuckDB
+    oracle (6 probes recover the full pair set on this corpus); the
+    pytest gate additionally asserts pair-set equality at test scale
+    plus the block-size bound.
     """
     from pyspark.sql import functions as F
 
@@ -279,8 +280,11 @@ QUERIES = [
     sql_backed("rrf_fusion", _rrf_sql, ("embeddings",)),
     sql_backed("embedding_quantization", _quantization_sql, ("embeddings",)),
     sql_backed("embedding_dedup_pairs", _embedding_dedup_sql, ("embeddings",)),
-    # rows-only: k-means fit is iterative, not SQL; pytest asserts
-    # pair-set equality with the exact query + the block-size bound
-    Query("embedding_dedup_ivf", embedding_dedup_ivf, None),
+    # oracle = the EXACT pair SQL: at 6 probes the IVF blocking recovers
+    # the full exact pair set (pytest-asserted at sf0.001, driver-checked
+    # at sf0.01), so the iterative k-means path certifies against the
+    # same DuckDB query as the exact variant — recall failures surface
+    # as a hash mismatch, not a silent quality drop.
+    Query("embedding_dedup_ivf", embedding_dedup_ivf, _embedding_dedup_sql("duckdb")),
     sql_backed("label_centroids", _label_centroids_sql, ("embeddings",)),
 ]

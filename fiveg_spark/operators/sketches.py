@@ -8,8 +8,11 @@ partitions land (the classic "distinct users per day → per month"
 hypertable rollup).  Exact distincts are carried alongside here so the
 contract and tests can bound the estimation error.
 
-Rows-only in the contract (DuckDB has no compatible HLL); pytest bounds
-the relative error at the default lgConfigK=12 (<~2% typical).
+Certified via tolerance-boolean oracles (the approx_variants pattern):
+the raw sketch bytes/estimates have no DuckDB twin, so the contract
+rows carry exact anchors plus booleans in which each engine bounds ITS
+OWN approximation; pytest additionally bounds the relative error at the
+default lgConfigK=12 (<~2% typical).
 """
 
 from __future__ import annotations
@@ -22,7 +25,13 @@ from fiveg_spark.sources.tables import load_table
 
 
 def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily user sketches per event_type, merged to per-type totals."""
+    """Daily user sketches per event_type, merged to per-type totals.
+
+    Returns the full diagnostic frame (raw estimate + rel_err) for
+    tests; the contract projects the cross-engine-comparable subset —
+    exact anchors plus an in-row 10%-relative-error boolean, the
+    approx_variants certification pattern (each engine checks ITS OWN
+    sketch against ITS OWN exact count)."""
     events = load_table(spark, "events", sf_dir)
     daily = events.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -51,8 +60,69 @@ def hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("exact_users"),
                 4,
             ).alias("rel_err"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("hll_ok"),
         )
     )
+
+
+def _hll_rollup_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparable projection: drop the engine-specific raw estimate."""
+    return hll_rollup(spark, sf_dir).select(
+        "event_type", "n_days", "n_events", "exact_users", "hll_ok"
+    )
+
+
+_HLL_ROLLUP_ORACLE = """
+SELECT
+  event_type,
+  CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+  CAST(abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+       <= 0.1 * count(DISTINCT user_id) AS BOOLEAN) AS hll_ok
+FROM events
+GROUP BY event_type
+"""
+
+
+def _mg_kernel(capacity: int):
+    """Per-partition Misra-Gries summarizer for mapInPandas: at most
+    ``capacity`` counters, decrement-all on overflow; the marker row
+    (term="") carries the partition's decrement count so the merged
+    bound includes partitions where a term died out."""
+
+    def mg(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        dec = 0
+        for pdf in batches:
+            for t in pdf["term"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    dec += 1
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "term": list(counters) + [""],
+                "est": list(counters.values()) + [0],
+                "dec": [0] * len(counters) + [dec],
+            }
+        )
+
+    return mg
 
 
 def heavy_hitters(
@@ -72,41 +142,11 @@ def heavy_hitters(
     multiset, this moves capacity × n_partitions rows.  Exact counts for
     the reported terms ride along (broadcast semi-join) so the contract
     row itself shows the bound holding."""
-    import pandas as pd
-
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(F.split(F.lower("text"), " +")).alias("term"))
 
-    def mg(batches):
-        counters: dict[str, int] = {}
-        dec = 0
-        for pdf in batches:
-            for t in pdf["term"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < capacity:
-                    counters[t] = 1
-                else:
-                    dec += 1
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-        # marker row (term="") carries this partition's decrement count,
-        # so the global bound includes partitions where a term died out.
-        yield pd.DataFrame(
-            {
-                "term": list(counters) + [""],
-                "est": list(counters.values()) + [0],
-                "dec": [0] * len(counters) + [dec],
-            }
-        )
-
     summaries = toks.mapInPandas(
-        mg, schema="term STRING, est LONG, dec LONG"
+        _mg_kernel(capacity), schema="term STRING, est LONG, dec LONG"
     ).cache()
     total_err = summaries.agg(F.sum("dec").alias("max_err"))
     top = (
@@ -129,11 +169,81 @@ def heavy_hitters(
     )
 
 
+def heavy_hitters_certified(
+    spark: SparkSession, sf_dir: str, k: int = 20, capacity: int = 64
+) -> DataFrame:
+    """Certifiable E37 surface: the deterministic EXACT top-k terms as
+    the cross-engine anchor, with the Misra-Gries guarantee carried as
+    in-row booleans (the approx_variants pattern — Spark checks ITS OWN
+    sketch, the oracle emits the literal truths the theorem promises):
+
+        mg_lower_ok:  est ≤ true          (MG never overcounts)
+        mg_upper_ok:  true ≤ est + Σdec   (underestimate ≤ total decrements;
+                                           holds with est = 0 for a term
+                                           absent from every summary)
+
+    Empty tokens (split artifacts of trailing space-runs) are excluded
+    identically in both engines — "" doubles as the marker row's key."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " +")).alias("term")
+    ).filter(F.col("term") != "")
+    summaries = toks.mapInPandas(
+        _mg_kernel(capacity), schema="term STRING, est LONG, dec LONG"
+    ).cache()
+    total_err = summaries.agg(F.sum("dec").alias("max_err"))
+    mg_est = (
+        summaries.filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.sum("est").alias("est_count"))
+    )
+    exact_topk = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+        .limit(k)
+    )
+    return (
+        exact_topk.join(mg_est, "term", "left")
+        .na.fill({"est_count": 0})
+        .crossJoin(F.broadcast(total_err))
+        .select(
+            "term",
+            "exact_count",
+            (F.col("est_count") <= F.col("exact_count")).alias("mg_lower_ok"),
+            (F.col("exact_count") <= F.col("est_count") + F.col("max_err")).alias(
+                "mg_upper_ok"
+            ),
+        )
+        .orderBy(F.desc("exact_count"), F.asc("term"))
+    )
+
+
+_HEAVY_HITTERS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), ' +')) AS term FROM documents
+),
+topk AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS exact_count
+  FROM toks
+  WHERE term <> ''
+  GROUP BY term
+  ORDER BY exact_count DESC, term
+  LIMIT 20
+)
+SELECT term, exact_count,
+       TRUE AS mg_lower_ok,
+       TRUE AS mg_upper_ok
+FROM topk
+ORDER BY exact_count DESC, term
+"""
+
+
 QUERIES = [
-    # rows-only: Datasketches HLL binary format has no DuckDB twin; the
-    # in-row exact_users/rel_err columns self-document the error bound.
-    Query("hll_rollup_users", hll_rollup, None),
-    # rows-only: the sketch is stateful per-partition Python; in-row
-    # exact_count self-documents est ≤ exact ≤ est + max_err.
-    Query("heavy_hitters", heavy_hitters, None),
+    # tolerance-boolean oracle (the approx_variants pattern): exact
+    # anchors hash-compared, each engine bounds ITS OWN sketch in-row.
+    Query("hll_rollup_users", _hll_rollup_contract, _HLL_ROLLUP_ORACLE),
+    # exact top-k anchor + in-row Misra-Gries bound booleans; the raw
+    # estimate-ordered diagnostic surface stays pytest-pinned.
+    Query("heavy_hitters", heavy_hitters_certified, _HEAVY_HITTERS_ORACLE),
 ]
