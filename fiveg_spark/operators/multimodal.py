@@ -7,11 +7,12 @@ partition-friendly metadata extraction, Arrow-batched ``mapInPandas``
 decode/transform with bounded batch sizes.
 
 The decode kernel is pluggable.  ``stdlib_decoder`` REALLY decodes the
-formats stdlib+numpy can handle — PCM WAV audio and binary netpbm
-images (with a pure-numpy nearest-neighbour resize) — while compressed
-codecs (PNG/JPEG/MP3/MP4) need libraries absent from this environment
-and stay gated behind ``codec_decoder``'s NotImplementedError naming
-the dependency.  ``deterministic_fake_decoder`` remains for exact-value
+formats stdlib+numpy can handle — PCM WAV audio, binary netpbm images,
+and PNG (zlib inflate + the five RFC 2083 scanline filters), with a
+pure-numpy nearest-neighbour resize — while the remaining compressed
+codecs (JPEG/MP3/MP4) need libraries absent from this environment and
+stay gated behind ``codec_decoder``'s NotImplementedError naming the
+dependency.  ``deterministic_fake_decoder`` remains for exact-value
 plumbing tests.  Swapping decoders changes ONE function — none of the
 distributed plumbing.
 """
@@ -73,13 +74,118 @@ def deterministic_fake_decoder(content: bytes, kind: str) -> np.ndarray:
 
 def codec_decoder(content: bytes, kind: str) -> np.ndarray:  # pragma: no cover
     """Compressed-codec decode path — requires media libraries absent
-    from this env (PNG/JPEG/MP3/MP4).  Uncompressed formats decode for
-    real via ``stdlib_decoder`` below."""
+    from this env (JPEG/MP3/MP4; PNG decodes for REAL via
+    ``decode_png``).  Uncompressed formats decode via ``stdlib_decoder``
+    below."""
     raise NotImplementedError(
         "compressed media decode needs PIL (image) / soundfile (audio) / "
         "av (video); install one and plug it in here — the Spark plumbing "
         "is decoder-agnostic"
     )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbour (left, up,
+    upper-left) closest to the linear estimate a + b - c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Real PNG decode, stdlib+numpy only (no PIL): chunk walk → zlib
+    inflate → per-scanline unfilter (all five filter types of RFC 2083)
+    → sample unpack.  Supports bit depth 8, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+    the shapes synthetic training corpora actually contain.  Alpha is
+    dropped and palette indices are resolved, so the result is (h, w)
+    grayscale or (h, w, 3) RGB uint8 like ``decode_netpbm``.
+
+    Interlaced (Adam7) and 16-bit images raise NotImplementedError —
+    honestly gated, same policy as the JPEG/MP4 codec gate."""
+    import struct
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    idat = bytearray()
+    plte: np.ndarray | None = None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(content):
+        (ln,), typ = struct.unpack(">I", content[pos : pos + 4]), content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc (crc not verified)
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    try:
+        nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    except KeyError:
+        raise NotImplementedError(f"PNG color type {ctype}") from None
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub: left-neighbour cumsum per channel lane
+            cur = line.reshape(w, nch).cumsum(axis=0).reshape(stride)
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype == 3:  # Average (left dependency → per-pixel loop)
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                cur[i] = line[i] + ((left + prev[i]) >> 1)
+                cur[i] &= 255
+        elif ftype == 4:  # Paeth (left dependency → per-pixel loop)
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - nch] if i >= nch else 0
+                ul = prev[i - nch] if i >= nch else 0
+                cur[i] = (line[i] + _paeth(int(left), int(prev[i]), int(ul))) & 255
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        cur &= 255
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        return plte[px[:, :, 0]]
+    if ctype == 0:
+        return px[:, :, 0]
+    if ctype == 4:  # gray+alpha → gray
+        return px[:, :, 0]
+    if ctype == 6:  # RGBA → RGB
+        return px[:, :, :3].copy()
+    return px
 
 
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
@@ -141,9 +247,10 @@ def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def stdlib_decoder(content: bytes, kind: str) -> np.ndarray:
-    """REAL decode for the formats stdlib/numpy can handle — PCM WAV and
-    binary netpbm (P5/P6) — emitting an interpretable FEATURE_DIM vector;
-    compressed codecs still route to ``codec_decoder``.
+    """REAL decode for the formats stdlib/numpy can handle — PCM WAV,
+    binary netpbm (P5/P6), and PNG (zlib inflate + unfilter) — emitting
+    an interpretable FEATURE_DIM vector; the remaining compressed codecs
+    (JPEG/MP3/MP4) still route to ``codec_decoder``.
 
     Layout (zero-padded):
       audio: [1, duration_s, sr/48000, rms, peak, zero-crossing rate,
@@ -165,8 +272,12 @@ def stdlib_decoder(content: bytes, kind: str) -> np.ndarray:
             float(x.mean()),
             float(x.std()),
         ]
-    elif head[:2] in (b"P5", b"P6"):
-        img = decode_netpbm(content)
+    elif head[:2] in (b"P5", b"P6") or head[:8] == b"\x89PNG\r\n\x1a\n":
+        img = (
+            decode_png(content)
+            if head[:8] == b"\x89PNG\r\n\x1a\n"
+            else decode_netpbm(content)
+        )
         chans = (
             img.reshape(-1, 3).mean(axis=0)
             if img.ndim == 3

@@ -285,9 +285,9 @@ def test_stdlib_decoder_real_wav_and_ppm(spark):
         assert np.allclose(rows[mid]["features"], expect, atol=1e-6)
     assert rows[1]["features"][0] == 1.0 and rows[2]["features"][0] == 2.0
 
-    # compressed codecs still gate
+    # remaining compressed codecs still gate (PNG is now real — JPEG isn't)
     with pytest.raises(NotImplementedError):
-        stdlib_decoder(b"\x89PNG\r\n\x1a\n....", "image")
+        stdlib_decoder(b"\xff\xd8\xff\xe0....JFIF", "image")
 
 
 def test_media_decoders_property_based():
@@ -347,3 +347,166 @@ def test_media_decoders_property_based():
 
     check_netpbm()
     check_wav()
+
+
+def _encode_png(img, ctype, filters):
+    """Pure-python PNG ENCODER (test-side reference, independent of the
+    decoder under test): applies the requested RFC 2083 filter type per
+    scanline, deflates, and wraps in chunks — so a bit-exact round-trip
+    proves every unfilter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    nch = 1 if img.ndim == 2 else img.shape[2]
+    flat = img.reshape(h, w * nch).astype(np.int32)
+    stride = w * nch
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    raster = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        f = filters[y % len(filters)]
+        raster.append(f)
+        for i in range(stride):
+            left = int(cur[i - nch]) if i >= nch else 0
+            up = int(prev[i])
+            ul = int(prev[i - nch]) if i >= nch else 0
+            x = int(cur[i])
+            if f == 0:
+                enc = x
+            elif f == 1:
+                enc = x - left
+            elif f == 2:
+                enc = x - up
+            elif f == 3:
+                enc = x - ((left + up) >> 1)
+            else:
+                enc = x - paeth(left, up, ul)
+            raster.append(enc & 255)
+        prev = cur
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_round_trips_all_filters():
+    """E13: decode_png must invert every filter type bit-exactly, for
+    grayscale, RGB, and RGBA (alpha dropped)."""
+    import numpy as np
+
+    from fiveg_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(7)
+    # >= 5 rows so the filter cycle [0,1,2,3,4] covers every type
+    gray = rng.integers(0, 256, size=(7, 5), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(5, 3, 4), dtype=np.uint8)
+
+    assert np.array_equal(
+        decode_png(_encode_png(gray, 0, [0, 1, 2, 3, 4])), gray
+    )
+    assert np.array_equal(decode_png(_encode_png(rgb, 2, [4, 3, 2, 1, 0])), rgb)
+    assert np.array_equal(
+        decode_png(_encode_png(rgba, 6, [1, 4, 3, 2, 0])), rgba[:, :, :3]
+    )
+
+    # palette (ctype 3): indices resolve through PLTE
+    import struct
+    import zlib
+
+    idx = rng.integers(0, 4, size=(5, 6), dtype=np.uint8)
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    raster = bytearray()
+    for y in range(5):
+        raster.append(0)
+        raster += bytes(idx[y])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raster)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), plte[idx])
+
+
+def test_png_decode_gates_and_features(spark):
+    """Unsupported PNG shapes stay honestly gated; a real PNG flows
+    through the distributed mapInPandas feature extractor."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fiveg_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_png,
+        extract_features,
+        stdlib_decoder,
+    )
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    png = _encode_png(img, 2, [0])
+
+    # 16-bit depth → gated
+    bad = bytearray(png)
+    ihdr_off = 8 + 8  # sig + len/type
+    bad[ihdr_off + 8] = 16  # depth byte of IHDR payload
+    with _pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(bytes(bad))
+    # interlaced → gated
+    bad = bytearray(png)
+    bad[ihdr_off + 12] = 1
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        decode_png(bytes(bad))
+
+    # feature vector: marker 2.0, w/h scaled, 3 channels, exact mean
+    vec = stdlib_decoder(png, "image")
+    assert vec.shape == (FEATURE_DIM,)
+    assert vec[0] == 2.0 and vec[3] == 3.0
+    assert abs(vec[4] - img.mean() / 255.0) < 1e-6
+
+    media = spark.createDataFrame(
+        [(1, "image", "png", bytearray(png), None)],
+        "media_id LONG, kind STRING, format STRING, content BINARY, "
+        "meta STRUCT<width INT, height INT, duration_ms INT, sample_rate INT>",
+    )
+    feats = extract_features(media, decoder=stdlib_decoder).collect()
+    assert len(feats) == 1
+    got = np.array(feats[0]["features"], dtype=np.float32)
+    assert np.allclose(got, vec, atol=1e-7)
