@@ -129,21 +129,27 @@ def _ln_bwd(dy, cache):
     return dx, dg, db
 
 
-def _grn_fwd(x, w, name):
-    """x: (..., d_in) → (..., units).  Same math as ml/model.py:_grn."""
+def _grn_fwd(x, w, name, mask=None):
+    """x: (..., d_in) → (..., units).  Same math as ml/model.py:_grn.
+
+    ``mask`` is an inverted-dropout mask applied to the ELU activation
+    (reference GRN: Dropout between elu_dense and linear_dense,
+    train.py:140-142); None = inference-mode identity."""
     has_skip = f"{name}.skip_W" in w
     skip = x @ w[f"{name}.skip_W"] + w[f"{name}.skip_b"] if has_skip else x
     a = x @ w[f"{name}.elu_W"] + w[f"{name}.elu_b"]
     v1 = _elu(a)
+    if mask is not None:
+        v1 = v1 * mask  # post-mask activation feeds lin_W fwd AND grad
     v2 = v1 @ w[f"{name}.lin_W"] + w[f"{name}.lin_b"]
     gi = x @ w[f"{name}.gate_W"] + w[f"{name}.gate_b"]
     s = _sigmoid(gi)
     out, ln_cache = _ln_fwd(skip + v2 * s, w[f"{name}.ln_g"], w[f"{name}.ln_b"])
-    return out, (x, a, v1, v2, s, has_skip, ln_cache)
+    return out, (x, a, v1, v2, s, has_skip, ln_cache, mask)
 
 
 def _grn_bwd(dout, cache, w, name, grads):
-    x, a, v1, v2, s, has_skip, ln_cache = cache
+    x, a, v1, v2, s, has_skip, ln_cache, mask = cache
     d_in = x.shape[-1]
     units = v2.shape[-1]
     dpre, dg, db = _ln_bwd(dout, ln_cache)
@@ -157,6 +163,8 @@ def _grn_bwd(dout, cache, w, name, grads):
     grads[f"{name}.lin_W"] = v1.reshape(-1, units).T @ dv2.reshape(-1, units)
     grads[f"{name}.lin_b"] = dv2.reshape(-1, units).sum(axis=0)
     dv1 = dv2 @ w[f"{name}.lin_W"].T
+    if mask is not None:
+        dv1 = dv1 * mask  # chain through the dropout scaling
     da = dv1 * np.where(a > 0, 1.0, np.exp(np.minimum(a, 0.0)))
     grads[f"{name}.elu_W"] = x2.T @ da.reshape(-1, units)
     grads[f"{name}.elu_b"] = da.reshape(-1, units).sum(axis=0)
@@ -283,20 +291,51 @@ def _mha_bwd(dy, cache, w, dims: Dims, grads):
     return dx
 
 
-def forward(X, w, dims: Dims):
-    """(B, T, k) → (B, k); returns (pred, caches) for backward."""
-    g1, c_g1 = _grn_fwd(X, w, "grn1")
-    h1, c_r1 = _gru_fwd(g1, w, "gru1")
-    h2, c_r2 = _gru_fwd(h1, w, "gru2")
+def make_dropout_masks(
+    rng: np.random.Generator,
+    dims: Dims,
+    B: int,
+    T_: int,
+    dtype=np.float32,
+    p_grn: float = 0.1,
+    p_gru: float = 0.2,
+):
+    """Inverted-dropout masks, one set per optimization step, matching
+    the reference's sites and rates (train.py:154-163): 0.1 inside each
+    GRN (after the ELU dense), 0.2 on each GRU's input — Keras GRU
+    input dropout shares one mask across timesteps, hence the (B, 1, d)
+    shapes.  Inverted scaling (÷ keep-prob) keeps activations unbiased
+    so inference needs no rescale."""
+
+    def keep(p, shape):
+        return (rng.random(shape) >= p).astype(dtype) / dtype(1.0 - p)
+
+    return {
+        "grn1": keep(p_grn, (B, T_, dims.d1)),
+        "gru1_in": keep(p_gru, (B, 1, dims.d1)),
+        "gru2_in": keep(p_gru, (B, 1, dims.u1)),
+        "grn2": keep(p_grn, (B, dims.d2)),
+    }
+
+
+def forward(X, w, dims: Dims, masks=None):
+    """(B, T, k) → (B, k); returns (pred, caches) for backward.
+    ``masks`` (from make_dropout_masks) enables training-mode dropout;
+    None = deterministic inference forward."""
+    g1, c_g1 = _grn_fwd(X, w, "grn1", mask=masks and masks.get("grn1"))
+    g1_in = g1 * masks["gru1_in"] if masks else g1
+    h1, c_r1 = _gru_fwd(g1_in, w, "gru1")
+    h1_in = h1 * masks["gru2_in"] if masks else h1
+    h2, c_r2 = _gru_fwd(h1_in, w, "gru2")
     m, c_m = _mha_fwd(h2, w, dims)
     pooled = m.mean(axis=1)
-    g2, c_g2 = _grn_fwd(pooled, w, "grn2")
+    g2, c_g2 = _grn_fwd(pooled, w, "grn2", mask=masks and masks.get("grn2"))
     pred = g2 @ w["head_W"] + w["head_b"]
-    return pred, (c_g1, c_r1, c_r2, c_m, c_g2, m.shape[1], g2)
+    return pred, (c_g1, c_r1, c_r2, c_m, c_g2, m.shape[1], g2, masks)
 
 
 def backward(dpred, caches, w, dims: Dims):
-    c_g1, c_r1, c_r2, c_m, c_g2, T_, g2 = caches
+    c_g1, c_r1, c_r2, c_m, c_g2, T_, g2, masks = caches
     grads: dict[str, np.ndarray] = {}
     grads["head_W"] = g2.T @ dpred
     grads["head_b"] = dpred.sum(axis=0)
@@ -304,8 +343,10 @@ def backward(dpred, caches, w, dims: Dims):
     dpool = _grn_bwd(dg2, c_g2, w, "grn2", grads)
     dm = np.repeat(dpool[:, None, :], T_, axis=1) / T_
     dh2 = _mha_bwd(dm, c_m, w, dims, grads)
-    dh1 = _gru_bwd(dh2, c_r2, w, "gru2", grads)
-    dg1 = _gru_bwd(dh1, c_r1, w, "gru1", grads)
+    dh1_in = _gru_bwd(dh2, c_r2, w, "gru2", grads)
+    dh1 = dh1_in * masks["gru2_in"] if masks else dh1_in
+    dg1_in = _gru_bwd(dh1, c_r1, w, "gru1", grads)
+    dg1 = dg1_in * masks["gru1_in"] if masks else dg1_in
     dX = _grn_bwd(dg1, c_g1, w, "grn1", grads)
     return grads, dX
 
@@ -341,6 +382,40 @@ def adam_step(w, grads, m, v, t, lr=1e-3, b1=0.9, b2=0.999, eps=1e-7):
         ).astype(w[key].dtype)
 
 
+class ReduceLROnPlateau:
+    """Keras-semantics LR schedule (reference train.py:246): after
+    ``patience`` epochs without improvement of the monitored loss,
+    multiply the LR by ``factor``, floored at ``min_lr``; the wait
+    counter resets on every improvement and every reduction."""
+
+    def __init__(
+        self,
+        lr: float,
+        patience: int = 5,
+        factor: float = 0.5,
+        min_lr: float = 1e-6,
+    ):
+        self.lr = lr
+        self.patience = patience
+        self.factor = factor
+        self.min_lr = min_lr
+        self._best = np.inf
+        self._wait = 0
+
+    def step(self, monitored: float) -> float:
+        """Record this epoch's monitored loss; return the LR to use for
+        the NEXT step."""
+        if monitored < self._best - 1e-12:
+            self._best = monitored
+            self._wait = 0
+        else:
+            self._wait += 1
+            if self._wait >= self.patience and self.lr > self.min_lr:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self._wait = 0
+        return self.lr
+
+
 def fit(
     X,
     Y,
@@ -352,6 +427,10 @@ def fit(
     dtype=np.float32,
     X_val=None,
     Y_val=None,
+    dropout: bool = False,
+    plateau_patience: int = 5,
+    plateau_factor: float = 0.5,
+    min_lr: float = 1e-6,
 ):
     """Full-batch Adam on Huber loss; returns (weights, per-epoch losses).
     Full-batch is the right call here: the per-slice frame is a few
@@ -360,26 +439,44 @@ def fit(
 
     With a validation split, keeps the BEST-val-loss epoch's weights
     (early stopping, as the reference's fit(validation_data=...) +
-    restore_best_weights, train.py:176-196)."""
+    restore_best_weights, train.py:176-196).
+
+    ``dropout=True`` turns on the reference's regularization (0.1 in
+    the GRNs, 0.2 on GRU inputs; fresh inverted masks each epoch;
+    validation/inference forward stays mask-free).  The LR follows
+    ReduceLROnPlateau semantics (reference train.py:246: patience 5,
+    factor 0.5, min_lr 1e-6) on the monitored loss — validation loss
+    when a split is given, else training loss."""
     X = np.asarray(X, dtype=dtype)
     Y = np.asarray(Y, dtype=dtype)
     w = init_weights(dims, seed=seed, dtype=dtype)
+    mask_rng = np.random.default_rng(seed + 1)
     m, v = adam_init(w)
     losses = []
     best_val = np.inf
     best_w = None
+    sched = ReduceLROnPlateau(lr, plateau_patience, plateau_factor, min_lr)
+    cur_lr = lr
     for epoch in range(1, epochs + 1):
-        pred, caches = forward(X, w, dims)
+        masks = (
+            make_dropout_masks(mask_rng, dims, X.shape[0], X.shape[1], dtype)
+            if dropout
+            else None
+        )
+        pred, caches = forward(X, w, dims, masks=masks)
         loss, dpred = huber_loss_grad(pred, Y, delta)
         grads, _ = backward(dpred.astype(dtype), caches, w, dims)
-        adam_step(w, grads, m, v, epoch, lr=lr)
+        adam_step(w, grads, m, v, epoch, lr=cur_lr)
         losses.append(loss)
+        monitored = loss
         if X_val is not None and len(X_val):
             vp, _ = forward(np.asarray(X_val, dtype=dtype), w, dims)
             vl, _ = huber_loss_grad(vp, np.asarray(Y_val, dtype=dtype), delta)
+            monitored = vl
             if vl < best_val:
                 best_val = vl
                 best_w = {k: a.copy() for k, a in w.items()}
+        cur_lr = sched.step(monitored)
     return (best_w if best_w is not None else w), losses
 
 
@@ -401,12 +498,16 @@ def train_residual_models(
     epochs: int = 30,
     lr: float = 2e-3,
     seed: int = 42,
+    dropout: bool = False,
 ) -> DataFrame:
     """Per-slice Adam fit via applyInPandas on the train split.
 
     One group = one slice's full (tiny) training frame; weights return as
     rows, with the loss curve under the pseudo-param ``__loss__`` so the
-    caller can assert convergence without a second pass."""
+    caller can assert convergence without a second pass.  ``dropout``
+    enables the reference's regularization (off by default: at these
+    per-slice sample sizes the noise hurts more than the
+    regularization helps — flip it on for bigger corpora)."""
 
     def fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
         slice_name = pdf["slice"].iloc[0]
@@ -446,6 +547,7 @@ def train_residual_models(
             seed=seed,
             X_val=None if X_val is None else (X_val - mu) / sd,
             Y_val=None if Y_val is None else (Y_val - mu) / sd,
+            dropout=dropout,
         )
         rows = [
             {

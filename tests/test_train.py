@@ -131,3 +131,94 @@ def test_weight_save_load_round_trip(spark, tmp_path):
     ra = sorted((r["slice"], r["window_start"], tuple(r["resid_pred"])) for r in a.collect())
     rb = sorted((r["slice"], r["window_start"], tuple(r["resid_pred"])) for r in b.collect())
     assert ra == rb
+
+
+def test_gradients_match_finite_differences_with_dropout():
+    """The analytic gradient must stay exact THROUGH the dropout masks:
+    fix one mask set and run the same FD check — if fwd applies a mask
+    the bwd doesn't chain (or vice versa), this fails loudly."""
+    from fiveg_spark.ml.train import make_dropout_masks
+
+    rng = np.random.default_rng(13)
+    B, T = 3, 6
+    X = rng.normal(size=(B, T, TINY.k)).astype(np.float64)
+    Y = rng.normal(scale=1.5, size=(B, TINY.k)).astype(np.float64)
+    w = init_weights(TINY, seed=3, dtype=np.float64)
+    masks = make_dropout_masks(
+        np.random.default_rng(99), TINY, B, T, dtype=np.float64
+    )
+
+    def loss_at(w):
+        pred, _ = forward(X, w, TINY, masks=masks)
+        return huber_loss_grad(pred, Y, delta=0.35)[0]
+
+    pred, caches = forward(X, w, TINY, masks=masks)
+    _, dpred = huber_loss_grad(pred, Y, delta=0.35)
+    grads, _ = backward(dpred, caches, w, TINY)
+
+    assert set(grads) == set(w)
+    eps = 1e-6
+    for name, g in grads.items():
+        flat = w[name].reshape(-1)
+        gflat = np.asarray(g, dtype=np.float64).reshape(-1)
+        idxs = rng.choice(flat.size, size=min(4, flat.size), replace=False)
+        for i in idxs:
+            orig = flat[i]
+            flat[i] = orig + eps
+            up = loss_at(w)
+            flat[i] = orig - eps
+            dn = loss_at(w)
+            flat[i] = orig
+            num = (up - dn) / (2 * eps)
+            err = abs(num - gflat[i]) / max(1e-8, abs(num) + abs(gflat[i]))
+            assert err < 1e-5, f"{name}[{i}]: analytic {gflat[i]:.3e} vs numeric {num:.3e}"
+
+
+def test_dropout_masks_are_inverted_and_sites_match_reference():
+    from fiveg_spark.ml.train import make_dropout_masks
+
+    masks = make_dropout_masks(
+        np.random.default_rng(0), TINY, 64, 12, dtype=np.float32
+    )
+    assert set(masks) == {"grn1", "gru1_in", "gru2_in", "grn2"}
+    # GRU input masks are shared across timesteps (Keras semantics)
+    assert masks["gru1_in"].shape == (64, 1, TINY.d1)
+    assert masks["gru2_in"].shape == (64, 1, TINY.u1)
+    # inverted scaling: surviving entries are 1/(1-p), so the mean ≈ 1
+    for name, p in (("grn1", 0.1), ("gru1_in", 0.2), ("gru2_in", 0.2), ("grn2", 0.1)):
+        m = masks[name]
+        vals = set(np.unique(np.round(m, 6)))
+        assert vals <= {0.0, np.float32(round(1 / (1 - p), 6))}, name
+        assert abs(m.mean() - 1.0) < 0.05, name
+
+
+def test_reduce_lr_on_plateau_halves_and_floors():
+    from fiveg_spark.ml.train import ReduceLROnPlateau
+
+    sched = ReduceLROnPlateau(lr=1e-3, patience=5, factor=0.5, min_lr=1e-6)
+    # improving losses: LR untouched
+    for loss in (1.0, 0.9, 0.8):
+        assert sched.step(loss) == 1e-3
+    # plateau: 4 stalled epochs keep the LR, the 5th halves it
+    for _ in range(4):
+        assert sched.step(0.8) == 1e-3
+    assert sched.step(0.8) == 5e-4
+    # wait resets after a reduction — another 5 stalls, another halving
+    for _ in range(4):
+        assert sched.step(0.8) == 5e-4
+    assert sched.step(0.8) == 2.5e-4
+    # floors at min_lr
+    for _ in range(200):
+        lr = sched.step(0.8)
+    assert lr == pytest.approx(1e-6)
+
+
+def test_fit_with_dropout_still_converges():
+    rng = np.random.default_rng(21)
+    B, T = 48, 12
+    X = rng.normal(size=(B, T, TINY.k)).astype(np.float32)
+    Y = X[:, -3:, :].mean(axis=1) + 0.05 * rng.normal(size=(B, TINY.k)).astype(
+        np.float32
+    )
+    _, losses = fit(X, Y, TINY, epochs=60, lr=5e-3, seed=5, dropout=True)
+    assert losses[-1] < 0.7 * losses[0], f"no convergence: {losses[0]} -> {losses[-1]}"
