@@ -29,6 +29,9 @@ HEADLINE = (
     "sessionize",
     "minhash_lsh_pairs",
     "knn_bruteforce",
+    # corpus-scan text path (r4 verdict): one shingle-explode-heavy
+    # query so the LLM-data pipeline is perf-tracked like the KPI path
+    "boilerplate_ngrams",
 )
 
 

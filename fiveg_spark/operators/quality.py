@@ -53,6 +53,14 @@ def _dq_checks_sql(d: str) -> str:
 def _window_suite_sql(d: str) -> str:
     # the remaining window-function family over the daily order series:
     # percent_rank / cume_dist / nth value via min-over-frame / range frame
+    #
+    # Scale note: the OVER () clauses are unpartitioned BY DESIGN — the
+    # semantics are global ranks across days.  That is safe here because
+    # they run on the `daily` AGGREGATE (one row per day: bounded at
+    # ~365×years rows however big the fact table gets); the distributed
+    # heavy lifting is the orders scan + groupBy(day) shuffle before it.
+    # Spark's "No Partition Defined for Window" warning refers to this
+    # intentionally tiny single-partition frame.
     return f"""
     WITH daily AS (
       SELECT

@@ -92,6 +92,11 @@ def _q6_sql(d: str) -> str:
 def _order_priority_sql(d: str) -> str:
     # Order-priority-count style (semi-join shape): orders that have at
     # least one lineitem shipped after the order date.
+    # NOTE: intentionally registered ALONGSIDE tpch_deep._q4_sql
+    # ("q4_priority_count") — same Q4 EXISTS shape, DIFFERENT date
+    # window (H1-1997 here vs Q3-1997 there): this one exercises the
+    # core-suite 6-month window, the deep-suite twin the canonical
+    # 3-month spec window.
     return f"""
     SELECT
       o.o_orderpriority,

@@ -53,6 +53,9 @@ def _q4_sql(d: str) -> str:
     # Q4: order-priority count over orders having at least one late line
     # (EXISTS correlated on the outer order; "late" = shipped after the
     # order date since the driver schema has no commitdate).
+    # NOTE: tpch.q4_order_priority is the same shape over a 6-month
+    # window; this is the canonical 3-month spec window — both stay
+    # registered deliberately (documented twin, not an accident).
     return f"""
     SELECT o.o_orderpriority, {cnt("count(*)", "order_count")}
     FROM orders o
@@ -176,11 +179,14 @@ def _q10_sql(d: str) -> str:
 
 def _q11_sql(d: str) -> str:
     # Q11 shape: per-part value with a HAVING threshold from a global
-    # scalar subquery (fraction of total inventory value).  The sums are
-    # exact-integer quantities times stored doubles; the 0.2% threshold
-    # sits far from any individual part's value at every SF, so the
-    # cross-engine summation-order noise (~1e-9 relative) cannot flip a
-    # row across the boundary.
+    # scalar subquery.  The spec's fraction-of-TOTAL threshold is
+    # SF-dependent (each part's share shrinks as 1/n_parts — at sf0.01
+    # it certified on an empty result), so the threshold is relative to
+    # the MEAN part value instead: 1.4× mean selects the top ~2-4% of
+    # parts at every SF (p90 ≈ 1.27×, p99 ≈ 1.53× on this corpus).
+    # The sums are exact-integer quantities times stored doubles;
+    # cross-engine summation-order noise (~1e-9 relative) cannot
+    # realistically land a part inside a 1e-9 window of the boundary.
     return f"""
     WITH part_value AS (
       SELECT l.l_partkey, sum(l.l_quantity * p.p_retailprice) AS val
@@ -190,7 +196,7 @@ def _q11_sql(d: str) -> str:
     )
     SELECT {cnt("l_partkey", "l_partkey")}, {dbl("val", "part_value")}
     FROM part_value
-    WHERE val > (SELECT sum(val) * 0.002 FROM part_value)
+    WHERE val > (SELECT sum(val) / count(*) * 1.4 FROM part_value)
     """
 
 
