@@ -17,9 +17,12 @@ fit.  At 100 TB the hourly frame is already reduced (≤ thousands of
 rows per key), so the Python stage is microscopic next to the events
 scan feeding it.
 
-Rows-only contract surface (iterative recursion isn't SQL-expressible);
-the strong check is the pytest equivalence against a pure-Python
-recursion on the same series.
+Contract surface: D21 (plain Holt) certifies VALUE-LEVEL against a
+DuckDB oracle that replays the same recursion as a ``list_reduce`` fold
+(see ``holt_oracle_sql``); D22 (Holt-Winters) stays rows-only — its
+state carries a 24-slot seasonal vector whose per-step single-slot
+update makes the fold-parity brittle — with the pytest equivalence
+against the pure-Python recursion as the strong check for both.
 """
 
 from __future__ import annotations
@@ -63,6 +66,13 @@ def holt_fit(y, alpha: float = ALPHA, beta: float = BETA):
     return level, trend, abs_err_sum / max(n_err, 1)
 
 
+def _r4(x: float) -> float:
+    """The repo-wide float discipline (see plans/registry.py:dbl): a
+    +1e-9 nudge before the 4-decimal round so decimal-tie inputs can't
+    round differently across engines, `+ 0.0` to erase IEEE -0.0."""
+    return round(x + 1e-9, 4) + 0.0
+
+
 def _holt_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.sort_values("window_start")
     y = pdf["throughput"].to_numpy()
@@ -74,10 +84,10 @@ def _holt_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             {
                 "slice": pdf["slice"].iloc[0],
                 "n_hours": len(y),
-                "level": round(level, 4),
-                "trend": round(trend, 4),
-                "one_step_mae": round(mae, 4),
-                **{f"fc_h{h}": round(level + h * trend, 4) for h in range(1, H_STEPS + 1)},
+                "level": _r4(level),
+                "trend": _r4(trend),
+                "one_step_mae": _r4(mae),
+                **{f"fc_h{h}": _r4(level + h * trend) for h in range(1, H_STEPS + 1)},
             }
         ]
     )
@@ -94,6 +104,80 @@ def holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_holt_kernel, schema=_SCHEMA)
         .orderBy("slice")
     )
+
+
+def holt_oracle_sql() -> str:
+    """DuckDB oracle for D21: the SAME coupled recursion as a RECURSIVE
+    CTE stepping t → t+1 per slice.  Bit-parity design: the input series
+    (`throughput_bps`) is already rounded to 4 decimals identically in
+    both engines, the update expressions mirror ``holt_fit``'s
+    parenthesization exactly, and the smoothing constants are emitted
+    via repr() so e.g. (1 − β) is the SAME double both sides (1.0-0.3
+    differs from the literal 0.7 by one ulp).  This upgrades the Holt
+    surface from rows-only to value-level driver certification —
+    iterative ≠ un-oracle-able when the oracle engine has recursion.
+
+    Two performance/correctness notes from building this:
+    - ``series`` MUST be ``AS MATERIALIZED``: the recursive step
+      references it every iteration, and without the hint DuckDB
+      re-inlines the whole events-scan+window pipeline per step
+      (0.7 s → 76 s at sf0.01).
+    - a ``list_reduce`` fold over a struct accumulator is NOT a usable
+      substitute: DuckDB 1.0 updates the struct fields IN PLACE in
+      field order, so a later field's expression reads the current
+      step's already-written values (verified: trend/err silently
+      computed from the new level) — semantics too fragile to certify
+      against."""
+    from fiveg_spark.operators.timeseries import _hourly_cte
+
+    a, oma = repr(ALPHA), repr(1.0 - ALPHA)
+    b, omb = repr(BETA), repr(1.0 - BETA)
+    # new_level spelled out twice (SQL can't self-reference a projected
+    # column) — identical double expression, identical result
+    nl = f"({a} * s.y + {oma} * (r.level + r.trend))"
+    return f"""
+    {_hourly_cte("duckdb")},
+    series AS MATERIALIZED (
+      SELECT slice, h, throughput_bps AS y,
+             row_number() OVER (PARTITION BY slice ORDER BY h) AS t
+      FROM hourly
+    ),
+    holt AS (
+      WITH RECURSIVE rec(slice, t, level, trend, abs_err_sum, n_err) AS (
+        SELECT s1.slice, CAST(2 AS BIGINT),
+               {a} * s2.y + {oma} * (s1.y + (s2.y - s1.y)),
+               {b} * (({a} * s2.y + {oma} * (s1.y + (s2.y - s1.y))) - s1.y)
+                 + {omb} * (s2.y - s1.y),
+               abs(s2.y - (s1.y + (s2.y - s1.y))), CAST(1 AS BIGINT)
+        FROM series s1 JOIN series s2
+          ON s2.slice = s1.slice AND s1.t = 1 AND s2.t = 2
+        UNION ALL
+        SELECT r.slice, r.t + 1,
+               {nl},
+               {b} * ({nl} - r.level) + {omb} * r.trend,
+               r.abs_err_sum + abs(s.y - (r.level + r.trend)),
+               r.n_err + 1
+        FROM rec r JOIN series s ON s.slice = r.slice AND s.t = r.t + 1
+      )
+      SELECT * FROM rec
+    ),
+    final AS (
+      SELECT h.* FROM holt h
+      JOIN (SELECT slice, max(t) AS mt FROM holt GROUP BY slice) last
+        ON last.slice = h.slice AND h.t = last.mt
+    )
+    SELECT
+      slice,
+      t AS n_hours,
+      round(level + 1e-9, 4) + 0.0 AS level,
+      round(trend + 1e-9, 4) + 0.0 AS trend,
+      round(abs_err_sum / n_err + 1e-9, 4) + 0.0 AS one_step_mae,
+      round(level + 1 * trend + 1e-9, 4) + 0.0 AS fc_h1,
+      round(level + 2 * trend + 1e-9, 4) + 0.0 AS fc_h2,
+      round(level + 3 * trend + 1e-9, 4) + 0.0 AS fc_h3
+    FROM final
+    ORDER BY slice
+    """
 
 
 # ---- Holt-Winters additive seasonal (SURVEY §2 D22) ----

@@ -88,9 +88,17 @@ def _train_eval(spark, sf_dir):
     return hybrid_train_eval(spark, sf_dir)
 
 
+def _holt_oracle() -> str:
+    from fiveg_spark.ml.holt import holt_oracle_sql
+
+    return holt_oracle_sql()
+
+
 QUERIES = [
     Query("var_ols_coeffs", var.var_ols_coeffs, None),
-    Query("holt_forecast", _holt, None),
+    # value-level oracle: DuckDB replays the SAME coupled recursion as a
+    # RECURSIVE CTE (iterative ≠ un-oracle-able — see holt_oracle_sql)
+    Query("holt_forecast", _holt, _holt_oracle()),
     Query("holt_winters_forecast", _holt_winters, None),
     Query("huber_var_coeffs", _huber_coeffs, None),
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
