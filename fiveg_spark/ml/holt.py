@@ -17,12 +17,13 @@ fit.  At 100 TB the hourly frame is already reduced (≤ thousands of
 rows per key), so the Python stage is microscopic next to the events
 scan feeding it.
 
-Contract surface: D21 (plain Holt) certifies VALUE-LEVEL against a
-DuckDB oracle that replays the same recursion as a ``list_reduce`` fold
-(see ``holt_oracle_sql``); D22 (Holt-Winters) stays rows-only — its
-state carries a 24-slot seasonal vector whose per-step single-slot
-update makes the fold-parity brittle — with the pytest equivalence
-against the pure-Python recursion as the strong check for both.
+Contract surface: BOTH queries certify VALUE-LEVEL against DuckDB
+oracles that replay the same recursions as RECURSIVE CTEs —
+Holt-Winters carries its 24-slot seasonal vector as a LIST column
+updated one slot per step (see ``holt_oracle_sql`` /
+``holt_winters_oracle_sql`` for the bit-parity rules); the pytest
+equivalence against the pure-Python recursion stays as the
+independent local check.
 """
 
 from __future__ import annotations
@@ -248,7 +249,7 @@ def _hw_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     _, _, holt_mae = holt_fit(y)
     n = len(y)
     fc = {
-        f"fc_h{h}": round(level + h * trend + seasonals[(n + h - 1) % SEASON], 4)
+        f"fc_h{h}": _r4(level + h * trend + seasonals[(n + h - 1) % SEASON])
         for h in range(1, H_STEPS + 1)
     }
     return pd.DataFrame(
@@ -256,14 +257,122 @@ def _hw_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
             {
                 "slice": pdf["slice"].iloc[0],
                 "n_hours": n,
-                "level": round(level, 4),
-                "trend": round(trend, 4),
-                "one_step_mae": round(mae, 4),
-                "holt_mae": round(holt_mae, 4),
+                "level": _r4(level),
+                "trend": _r4(trend),
+                "one_step_mae": _r4(mae),
+                "holt_mae": _r4(holt_mae),
                 **fc,
             }
         ]
     )
+
+
+def holt_winters_oracle_sql() -> str:
+    """DuckDB oracle for D22: BOTH recursions (additive Holt-Winters
+    with its 24-slot seasonal LIST carried as a recursive-CTE column,
+    plus plain Holt for the in-row `holt_mae` comparison) replayed in
+    one statement.  Same bit-parity rules as ``holt_oracle_sql``
+    (materialized series, mirrored parenthesization, repr() constants);
+    the seasonal init replays the trend-adjusted two-season
+    initialization with ordered ``list_reduce`` sums (scalar
+    accumulator — safe; struct accumulators are not, see
+    holt_oracle_sql) and the per-step single-slot seasonal update is an
+    index-lambda ``list_transform``."""
+    from fiveg_spark.operators.timeseries import _hourly_cte
+
+    m = SEASON
+    a, oma = repr(ALPHA), repr(1.0 - ALPHA)
+    b, omb = repr(BETA), repr(1.0 - BETA)
+    g, omg = repr(GAMMA), repr(1.0 - GAMMA)
+    mid = repr((m - 1) / 2.0)
+    last = repr((m - 1) - (m - 1) / 2.0)
+    sp = f"r.seasonals[(r.t % {m}) + 1]"
+    nl = f"({a} * (s.y - {sp}) + {oma} * (r.level + r.trend))"
+    nlh = f"({a} * s.y + {oma} * (r.level + r.trend))"
+    return f"""
+    {_hourly_cte("duckdb")},
+    series AS MATERIALIZED (
+      SELECT slice, h, throughput_bps AS y,
+             row_number() OVER (PARTITION BY slice ORDER BY h) AS t
+      FROM hourly
+    ),
+    lists AS MATERIALIZED (
+      SELECT slice, list(y ORDER BY h) AS ys, count(*) AS n
+      FROM series GROUP BY slice HAVING count(*) >= {2 * m}
+    ),
+    init AS MATERIALIZED (
+      SELECT slice, n,
+        list_reduce(ys[1:{m}], (p, q) -> p + q) / {m} AS mean1,
+        list_reduce(ys[{m + 1}:{2 * m}], (p, q) -> p + q) / {m} AS mean2,
+        ys
+      FROM lists
+    ),
+    base AS (
+      SELECT slice, n, CAST({m} AS BIGINT) AS t,
+        mean1 + {last} * ((mean2 - mean1) / {m}) AS level,
+        (mean2 - mean1) / {m} AS trend,
+        list_transform(ys[1:{m}], (v, j) ->
+          v - (mean1 + ((j - 1) - {mid}) * ((mean2 - mean1) / {m}))) AS seasonals,
+        CAST(0 AS DOUBLE) AS err, CAST(0 AS BIGINT) AS ne
+      FROM init
+    ),
+    hw AS (
+      WITH RECURSIVE rec(slice, n, t, level, trend, seasonals, err, ne) AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT r.slice, r.n, r.t + 1,
+          {nl},
+          {b} * ({nl} - r.level) + {omb} * r.trend,
+          list_transform(r.seasonals, (v, j) -> CASE WHEN j = (r.t % {m}) + 1
+            THEN {g} * (s.y - {nl}) + {omg} * {sp} ELSE v END),
+          r.err + abs(s.y - (r.level + r.trend + {sp})),
+          r.ne + 1
+        FROM rec r JOIN series s ON s.slice = r.slice AND s.t = r.t + 1
+      )
+      SELECT * FROM rec
+    ),
+    hw_final AS (
+      SELECT w.* FROM hw w
+      JOIN (SELECT slice, max(t) AS mt FROM hw GROUP BY slice) z
+        ON z.slice = w.slice AND w.t = z.mt
+    ),
+    holt AS (
+      WITH RECURSIVE rec(slice, t, level, trend, abs_err_sum, n_err) AS (
+        SELECT s1.slice, CAST(2 AS BIGINT),
+               {a} * s2.y + {oma} * (s1.y + (s2.y - s1.y)),
+               {b} * (({a} * s2.y + {oma} * (s1.y + (s2.y - s1.y))) - s1.y)
+                 + {omb} * (s2.y - s1.y),
+               abs(s2.y - (s1.y + (s2.y - s1.y))), CAST(1 AS BIGINT)
+        FROM series s1 JOIN series s2
+          ON s2.slice = s1.slice AND s1.t = 1 AND s2.t = 2
+        WHERE s1.slice IN (SELECT slice FROM lists)
+        UNION ALL
+        SELECT r.slice, r.t + 1, {nlh},
+               {b} * ({nlh} - r.level) + {omb} * r.trend,
+               r.abs_err_sum + abs(s.y - (r.level + r.trend)),
+               r.n_err + 1
+        FROM rec r JOIN series s ON s.slice = r.slice AND s.t = r.t + 1
+      )
+      SELECT * FROM rec
+    ),
+    holt_final AS (
+      SELECT p.* FROM holt p
+      JOIN (SELECT slice, max(t) AS mt FROM holt GROUP BY slice) z
+        ON z.slice = p.slice AND p.t = z.mt
+    )
+    SELECT
+      w.slice,
+      w.t AS n_hours,
+      round(w.level + 1e-9, 4) + 0.0 AS level,
+      round(w.trend + 1e-9, 4) + 0.0 AS trend,
+      round(w.err / w.ne + 1e-9, 4) + 0.0 AS one_step_mae,
+      round(p.abs_err_sum / p.n_err + 1e-9, 4) + 0.0 AS holt_mae,
+      round(w.level + 1 * w.trend + w.seasonals[((w.n + 1 - 1) % {m}) + 1] + 1e-9, 4) + 0.0 AS fc_h1,
+      round(w.level + 2 * w.trend + w.seasonals[((w.n + 2 - 1) % {m}) + 1] + 1e-9, 4) + 0.0 AS fc_h2,
+      round(w.level + 3 * w.trend + w.seasonals[((w.n + 3 - 1) % {m}) + 1] + 1e-9, 4) + 0.0 AS fc_h3
+    FROM hw_final w JOIN holt_final p ON p.slice = w.slice
+    ORDER BY w.slice
+    """
 
 
 def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -94,12 +94,19 @@ def _holt_oracle() -> str:
     return holt_oracle_sql()
 
 
+def _hw_oracle() -> str:
+    from fiveg_spark.ml.holt import holt_winters_oracle_sql
+
+    return holt_winters_oracle_sql()
+
+
 QUERIES = [
     Query("var_ols_coeffs", var.var_ols_coeffs, None),
-    # value-level oracle: DuckDB replays the SAME coupled recursion as a
-    # RECURSIVE CTE (iterative ≠ un-oracle-able — see holt_oracle_sql)
+    # value-level oracles: DuckDB replays the SAME recursions as
+    # RECURSIVE CTEs (iterative ≠ un-oracle-able — see holt_oracle_sql;
+    # Holt-Winters carries its seasonal vector as a LIST column)
     Query("holt_forecast", _holt, _holt_oracle()),
-    Query("holt_winters_forecast", _holt_winters, None),
+    Query("holt_winters_forecast", _holt_winters, _hw_oracle()),
     Query("huber_var_coeffs", _huber_coeffs, None),
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
     Query("gru_forward", _run_gru_forward, None),
