@@ -53,3 +53,17 @@ def test_pq_recall_and_exact_rerank_scores(spark):
     for r in approx_rows:
         if r["vec_id"] in brute_scores:
             assert abs(r["cosine"] - brute_scores[r["vec_id"]]) < 1e-9
+
+
+def test_ann_recall_matrix_all_methods_pass(spark):
+    """E45: the certified recall matrix — every method returns k rows
+    and clears the recall floor on the test corpus."""
+    from tests import conftest as c
+
+    from fiveg_spark.operators.ann_recall import K, ann_recall_matrix
+
+    rows = {r["method"]: r for r in ann_recall_matrix(spark, c.SF_DIR).collect()}
+    assert set(rows) == {"ivf", "lsh", "mllib_brp", "pq"}
+    for m, r in rows.items():
+        assert r["k"] == K and r["n_returned"] == K, (m, dict(r.asDict()))
+        assert r["recall_ok"], m
