@@ -54,3 +54,21 @@ def test_khop_bfs_properties(spark):
     # node exists at hop k-1
     hops = set(by_node.values())
     assert hops == set(range(max(hops) + 1))
+
+
+def test_iterative_graph_edges_materialize_once(spark):
+    """Regression (ADVICE r4): khop/label-propagation used a lazy
+    .cache() unpersisted before any action, so the final plan re-ran
+    the 5-table edge join once per reference.  With the eager
+    localCheckpoint the returned plan must read the materialized RDD —
+    no parquet re-scan of the edge-building tables survives."""
+    import tests.conftest as c
+
+    from fiveg_spark.operators.ts_advanced import QUERIES as TSQ
+
+    for name in ("khop_distances", "label_propagation"):
+        q = {x.name: x for x in TSQ}[name]
+        df = q.run(spark, c.SF_DIR)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "lineitem" not in plan, f"{name}: edge join re-inlined\n{plan[:500]}"
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
