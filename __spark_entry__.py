@@ -107,8 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def slot(item: tuple[str, Callable]) -> int:
         name = item[0]
-        if name == "kpi36":
-            return 0  # flagship stays slot 1
+        if name == "kpi36" and name not in _DRIVER_CERTIFIED:
+            return 0  # flagship leads until its first certification
         if name not in oracles:
             return 3  # rows-only: can never hash-match, out of the window
         return 2 if name in _DRIVER_CERTIFIED else 1
