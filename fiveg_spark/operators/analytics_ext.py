@@ -15,7 +15,7 @@ window/join plans on ~#days × #types rows).
 from __future__ import annotations
 
 from fiveg_spark.operators.kpi import flows_cte
-from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, pct, sql_backed
+from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, materialized_backed, pct, sql_backed
 
 # Day-level value series per event_type; measure rounded so every
 # downstream window sees identical inputs in both engines.
@@ -65,28 +65,29 @@ def _cube_sql(d: str) -> str:
     """
 
 
-def _set_ops_sql(d: str) -> str:
+def _set_ops_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C28: INTERSECT / EXCEPT cohort arithmetic on year-active customers
-    # (lowers to distinct + semi/anti hash joins; no full materialization).
-    def year_cte(name: str, y: int) -> str:
-        return f"""{name} AS (
+    # (lowers to distinct + semi/anti hash joins).  The two year sets are
+    # each referenced by three set-op branches — materialized_backed so
+    # Spark scans orders twice total, not six times.
+    def year_sql(y: int) -> str:
+        return f"""
       SELECT DISTINCT o_custkey FROM orders
       WHERE o_orderdate >= TIMESTAMP '{y}-01-01'
         AND o_orderdate < TIMESTAMP '{y + 1}-01-01'
-    )"""
+    """
 
-    return f"""
-    WITH {year_cte("y97", 1997)},
-    {year_cte("y98", 1998)}
+    tail = f"""
     SELECT 'retained' AS cohort, {cnt("count(*)", "n_customers")}
-    FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98) t
+    FROM (SELECT o_custkey FROM _mz_so_y97 INTERSECT SELECT o_custkey FROM _mz_so_y98) t
     UNION ALL
     SELECT 'churned' AS cohort, {cnt("count(*)", "n_customers")}
-    FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98) t
+    FROM (SELECT o_custkey FROM _mz_so_y97 EXCEPT SELECT o_custkey FROM _mz_so_y98) t
     UNION ALL
     SELECT 'new' AS cohort, {cnt("count(*)", "n_customers")}
-    FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97) t
+    FROM (SELECT o_custkey FROM _mz_so_y98 EXCEPT SELECT o_custkey FROM _mz_so_y97) t
     """
+    return [("_mz_so_y97", year_sql(1997)), ("_mz_so_y98", year_sql(1998))], tail
 
 
 def _ewma_sql(d: str) -> str:
@@ -239,29 +240,32 @@ def _winsorized_stats_sql(d: str) -> str:
     """
 
 
-def _mad_outliers_sql(d: str) -> str:
+def _mad_outliers_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C36 — median absolute deviation (MAD) robust outlier counts per
     # event_type: |x - median| > 3 * 1.4826 * MAD.  Double exact-median
     # pass (value median, then deviation median) — the holistic-agg
     # stress test; thresholds rounded before comparison (parity rule).
+    # The deviation frame feeds BOTH the MAD aggregation and the outlier
+    # count — materialized_backed so Spark computes it once instead of
+    # re-running the events scan + median join per reference.
     med_v = pct("value", 0.5, d)
     med_dev = pct("abs_dev", 0.5, d)
-    return f"""
-    WITH med AS (
+    med_sql = f"""
       SELECT event_type, round({med_v} + 1e-9, 4) + 0.0 AS m
       FROM events GROUP BY event_type
-    ),
-    devs AS (
+    """
+    devs_sql = """
       SELECT
         e.event_type,
         e.value,
         m.m,
         abs(e.value - m.m) AS abs_dev
-      FROM events e JOIN med m ON e.event_type = m.event_type
-    ),
-    mad AS (
+      FROM events e JOIN _mz_mad_med m ON e.event_type = m.event_type
+    """
+    tail = f"""
+    WITH mad AS (
       SELECT event_type, round({med_dev} + 1e-9, 4) + 0.0 AS mad_val
-      FROM devs GROUP BY event_type
+      FROM _mz_mad_devs GROUP BY event_type
     )
     SELECT
       d.event_type,
@@ -269,9 +273,10 @@ def _mad_outliers_sql(d: str) -> str:
       {dbl("min(md.mad_val)", "mad")},
       {cnt("count(*)", "n")},
       {cnt("sum(CASE WHEN d.abs_dev > round(3 * 1.4826 * md.mad_val + 1e-9, 4) + 0.0 THEN 1 ELSE 0 END)", "n_outliers")}
-    FROM devs d JOIN mad md ON d.event_type = md.event_type
+    FROM _mz_mad_devs d JOIN mad md ON d.event_type = md.event_type
     GROUP BY d.event_type
     """
+    return [("_mz_mad_med", med_sql), ("_mz_mad_devs", devs_sql)], tail
 
 
 def _percent_of_total_sql(d: str) -> str:
@@ -385,9 +390,9 @@ QUERIES = [
     ),
     sql_backed("unpivot_slice_stats", _unpivot_sql, ("events",)),
     sql_backed("winsorized_stats", _winsorized_stats_sql, ("events",)),
-    sql_backed("mad_outliers", _mad_outliers_sql, ("events",)),
+    materialized_backed("mad_outliers", _mad_outliers_parts, ("events",)),
     sql_backed("cube_event_volume", _cube_sql, ("events",)),
-    sql_backed("set_ops_cohorts", _set_ops_sql, ("orders",)),
+    materialized_backed("set_ops_cohorts", _set_ops_parts, ("orders",)),
     sql_backed("ewma_throughput", _ewma_sql, ("events",)),
     sql_backed("zscore_anomalies", _zscore_sql, ("events",)),
     sql_backed("daily_modal_type", _mode_sql, ("events",)),

@@ -90,7 +90,10 @@ def ann_lsh(
     """Top-k by cosine among LSH candidates of the query vector."""
     emb = load_table(spark, "embeddings", sf_dir)
     planes_bc = spark.sparkContext.broadcast(hyperplanes())
-    buckets = bucketize(emb, planes_bc)
+    # localCheckpoint: the probe side derives from buckets, so without
+    # materialization the hash pipeline (scan + Arrow hyperplane batch)
+    # re-executes for BOTH sides of the self-join (advisor repeated-scan)
+    buckets = bucketize(emb, planes_bc).localCheckpoint()
 
     # Rename the probe side before the self-join: q_buckets derives from
     # buckets, so an unrenamed `table == table` resolves to one attribute

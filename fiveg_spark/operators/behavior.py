@@ -9,7 +9,7 @@ join on raw rows.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import cnt, dbl, epoch, sql_backed
+from fiveg_spark.plans.registry import cnt, dbl, epoch, materialized_backed, sql_backed
 
 
 def _scd2_runs_sql(d: str) -> str:
@@ -68,7 +68,7 @@ def _scd2_runs_sql(d: str) -> str:
     """
 
 
-def _cooccurrence_sql(d: str) -> str:
+def _cooccurrence_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C48 — market-basket lift between event types: a basket is one
     # (user, day); types co-occur when both appear in a basket.
     # distinct-reduce to (user, day, type) FIRST (≤ |types| rows per
@@ -76,18 +76,22 @@ def _cooccurrence_sql(d: str) -> str:
     # P(ab)/(P(a)·P(b)) over N baskets.  The self-join fanout per
     # basket is bounded by |types|² (~tens), independent of event
     # volume — the reduce is where 100 TB becomes GBs.
-    return f"""
-    WITH basket_items AS (
+    # materialized_backed: the reduced frame feeds FIVE references
+    # (n_baskets, type_counts, both self-join sides); inlined CTEs
+    # would re-run the events distinct per reference, forfeiting
+    # exactly the reduce the design is built on.
+    items_sql = """
       SELECT DISTINCT user_id, date_trunc('day', ts) AS day, event_type
       FROM events
-    ),
-    n_baskets AS (
+    """
+    tail = f"""
+    WITH n_baskets AS (
       SELECT CAST(count(DISTINCT CAST(user_id AS STRING) || '#' || CAST(day AS STRING)) AS DOUBLE) AS nb
-      FROM basket_items
+      FROM _mz_bl_items
     ),
     type_counts AS (
       SELECT event_type, CAST(count(*) AS DOUBLE) AS c
-      FROM basket_items
+      FROM _mz_bl_items
       GROUP BY event_type
     ),
     pair_counts AS (
@@ -95,8 +99,8 @@ def _cooccurrence_sql(d: str) -> str:
         a.event_type AS type_a,
         b.event_type AS type_b,
         CAST(count(*) AS DOUBLE) AS c_ab
-      FROM basket_items a
-      JOIN basket_items b
+      FROM _mz_bl_items a
+      JOIN _mz_bl_items b
         ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
       GROUP BY a.event_type, b.event_type
     )
@@ -113,6 +117,7 @@ def _cooccurrence_sql(d: str) -> str:
     CROSS JOIN n_baskets nb
     ORDER BY type_a, type_b
     """
+    return [("_mz_bl_items", items_sql)], tail
 
 
 def _kaplan_meier_sql(d: str) -> str:
@@ -249,7 +254,7 @@ def _rfm_segments_sql(d: str) -> str:
 
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
-    sql_backed("event_cooccurrence_lift", _cooccurrence_sql, ("events",)),
+    materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
     sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
     sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),
     sql_backed("rfm_segments", _rfm_segments_sql, ("events",)),

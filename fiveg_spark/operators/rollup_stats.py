@@ -63,13 +63,21 @@ def _hist_quantile_sql(d: str) -> str:
         ON w.cum >= t.p * w.n AND (w.cum - w.c) < t.p * w.n
       GROUP BY t.p
     ),
+    -- all three exact percentiles from ONE events aggregation (a
+    -- UNION-ALL-per-percentile re-scans events per branch under
+    -- Spark's CTE inlining), unpivoted via the targets frame
+    exact_wide AS (
+      SELECT
+        {pct}({cast_v}, 0.5) AS q50,
+        {pct}({cast_v}, 0.9) AS q90,
+        {pct}({cast_v}, 0.99) AS q99
+      FROM events
+    ),
     exact AS (
       SELECT
-        CAST(0.5 AS DOUBLE) AS p, {pct}({cast_v}, 0.5) AS q_exact FROM events
-      UNION ALL
-      SELECT CAST(0.9 AS DOUBLE), {pct}({cast_v}, 0.9) FROM events
-      UNION ALL
-      SELECT CAST(0.99 AS DOUBLE), {pct}({cast_v}, 0.99) FROM events
+        CAST(t.p AS DOUBLE) AS p,
+        CASE t.p WHEN 0.5 THEN w.q50 WHEN 0.9 THEN w.q90 ELSE w.q99 END AS q_exact
+      FROM targets t CROSS JOIN exact_wide w
     )
     SELECT
       CAST(e.p AS DOUBLE) AS p,

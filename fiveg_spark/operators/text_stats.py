@@ -23,7 +23,7 @@ Both are pure SQL in both engines — no Python in the plan.
 from __future__ import annotations
 
 from fiveg_spark.operators.text import _tok
-from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import materialized_backed, cnt, dbl, sql_backed
 
 
 def _pairs_expr(d: str) -> str:
@@ -44,9 +44,12 @@ def _pairs_expr(d: str) -> str:
     )
 
 
-def _bpe_pair_stats_sql(d: str) -> str:
+def _bpe_pair_stats_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # PMI = ln( p(a,b) / (p(a) p(b)) ) with pair probability over total
     # adjacent-pair events and unigram probabilities over total tokens.
+    # materialized_backed: the unigram frame is referenced THREE times
+    # (left join side, right join side, total) and the pair frame twice
+    # — inlined CTEs re-ran the corpus explode per reference (5 scans).
     explode = "explode" if d == "spark" else "unnest"
     tok_explode = (
         f"SELECT {explode}({_tok(d)}) AS term FROM documents"
@@ -60,20 +63,20 @@ def _bpe_pair_stats_sql(d: str) -> str:
     )
     split_left = "split_part(pair, ' ', 1)"
     split_right = "split_part(pair, ' ', 2)"
-    return f"""
-    WITH toks AS ({tok_explode}),
-    uni AS (
+    uni_sql = f"""
+      WITH toks AS ({tok_explode})
       SELECT term, count(*) AS c FROM toks GROUP BY term
-    ),
-    tot AS (
-      SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
-    ),
-    pairs AS ({pair_explode}),
-    pc AS (
+    """
+    pc_sql = f"""
+      WITH pairs AS ({pair_explode})
       SELECT pair, count(*) AS pair_c FROM pairs GROUP BY pair
+    """
+    tail = f"""
+    WITH tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS t FROM _mz_bpe_uni
     ),
     ptot AS (
-      SELECT CAST(sum(pair_c) AS DOUBLE) AS n FROM pc
+      SELECT CAST(sum(pair_c) AS DOUBLE) AS n FROM _mz_bpe_pc
     )
     SELECT
       pc.pair,
@@ -81,13 +84,14 @@ def _bpe_pair_stats_sql(d: str) -> str:
       {cnt("la.c", "left_count")},
       {cnt("ra.c", "right_count")},
       {dbl("ln((pc.pair_c * tot.t * tot.t) / (ptot.n * la.c * ra.c))", "pmi")}
-    FROM pc
-    JOIN uni la ON la.term = {split_left}
-    JOIN uni ra ON ra.term = {split_right}
+    FROM _mz_bpe_pc pc
+    JOIN _mz_bpe_uni la ON la.term = {split_left}
+    JOIN _mz_bpe_uni ra ON ra.term = {split_right}
     CROSS JOIN tot CROSS JOIN ptot
     ORDER BY pair_count DESC, pc.pair
     LIMIT 50
     """
+    return [("_mz_bpe_uni", uni_sql), ("_mz_bpe_pc", pc_sql)], tail
 
 
 def _vocab_growth_sql(d: str) -> str:
@@ -231,7 +235,7 @@ def _bigram_ppl_sql(d: str) -> str:
 
 
 QUERIES = [
-    sql_backed("bpe_pair_stats", _bpe_pair_stats_sql, ("documents",)),
+    materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
     sql_backed("unigram_ppl", _unigram_ppl_sql, ("documents",)),
     sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),

@@ -22,6 +22,7 @@ from fiveg_spark.plans.registry import (
     dbl,
     epoch,
     json_int,
+    materialized_backed,
     pct,
     sql_backed,
 )
@@ -169,9 +170,12 @@ def _train_split_sql(d: str) -> str:
     """
 
 
-def _robust_scaler_sql(d: str) -> str:
+def _robust_scaler_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D4 — RobustScaler fit: median + IQR per (slice, feature), computed
     # on the train split only (first 70%), mirroring scaler.fit(train).
+    # materialized_backed: the four per-feature UNION branches each
+    # reference the train split — inlined CTEs re-ran the events
+    # aggregation + split window per branch (4 scans).
     def block(feature: str, col: str) -> str:
         return f"""
     SELECT
@@ -179,20 +183,20 @@ def _robust_scaler_sql(d: str) -> str:
       '{feature}' AS feature,
       {dbl(pct(col, 0.5, d), "center")},
       {dbl(f"{pct(col, 0.75, d)} - {pct(col, 0.25, d)}", "iqr")}
-    FROM train_rows
+    FROM _mz_rs_train
     GROUP BY slice"""
 
-    return f"""
+    train_sql = f"""
     {_hourly_cte(d)},
     numbered AS (
       SELECT *,
         row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
         count(*) OVER (PARTITION BY slice) AS n
       FROM hourly
-    ),
-    train_rows AS (
-      SELECT * FROM numbered WHERE rn <= CAST(floor(0.7 * n) AS BIGINT)
     )
+    SELECT * FROM numbered WHERE rn <= CAST(floor(0.7 * n) AS BIGINT)
+    """
+    tail = f"""
     {block("throughput", "throughput_bps")}
     UNION ALL
     {block("packets", "total_packets")}
@@ -201,6 +205,7 @@ def _robust_scaler_sql(d: str) -> str:
     UNION ALL
     {block("latency", "latency")}
     """
+    return [("_mz_rs_train", train_sql)], tail
 
 
 def _var_lag_sql(d: str) -> str:
@@ -546,7 +551,7 @@ QUERIES = [
     sql_backed("resample_gapfill", _resample_gapfill_sql, ("events",)),
     sql_backed("ffill_features", _ffill_sql, ("events",)),
     sql_backed("train_split_bounds", _train_split_sql, ("events",)),
-    sql_backed("robust_scaler_params", _robust_scaler_sql, ("events",)),
+    materialized_backed("robust_scaler_params", _robust_scaler_parts, ("events",)),
     sql_backed("var_lag_features", _var_lag_sql, ("events",)),
     sql_backed("eval_metrics", _eval_metrics_sql, ("events",)),
     sql_backed("window_entropy", _window_entropy_sql, ("events",)),

@@ -65,6 +65,41 @@ def sql_backed(
     return Query(name=name, run=run, oracle=sql_fn("duckdb"))
 
 
+def materialized_backed(
+    name: str,
+    parts_fn: Callable[[str], tuple[list[tuple[str, str]], str]],
+    tables: tuple[str, ...],
+) -> Query:
+    """sql_backed variant for queries whose tail references a derived
+    frame 3+ times.  Spark inlines CTEs, so a shared WITH body re-runs
+    its whole scan+compute pipeline per reference (the advisor's
+    repeated-scan rule; at 100 TB the re-run IS the query cost) — while
+    DuckDB materializes CTEs and doesn't care.
+
+    ``parts_fn(dialect) -> (ctes, tail)`` where ctes is an ordered list
+    of (relation_name, sql) and tail references those names.  On Spark,
+    each cte materializes ONCE via eager localCheckpoint and registers
+    as a temp view (use globally-unique ``_mz_``-prefixed names); the
+    oracle folds everything back into one WITH chain (a tail that opens
+    with its own WITH merges into it)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, tables, sf_dir)
+        ctes, tail = parts_fn("spark")
+        for rel, sql in ctes:
+            spark.sql(sql).localCheckpoint().createOrReplaceTempView(rel)
+        return spark.sql(tail)
+
+    ctes, tail = parts_fn("duckdb")
+    with_clause = ",\n".join(f"{rel} AS ({sql})" for rel, sql in ctes)
+    stripped = tail.lstrip()
+    if stripped[:5].upper() == "WITH ":
+        oracle = f"WITH {with_clause},\n{stripped[5:]}"
+    else:
+        oracle = f"WITH {with_clause}\n{tail}"
+    return Query(name=name, run=run, oracle=oracle)
+
+
 # ---- shared snippet helpers (identical rounding discipline everywhere) ----
 
 NUDGE = "1e-9"  # see operators/kpi.py:_dbl for why

@@ -84,3 +84,50 @@ def test_detects_repeated_scan(spark):
 
     for sql in (_minhash_lsh_sql("spark"), _ngram_jaccard_sql("spark")):
         assert "repeated-scan" not in _rules(lint_plan(spark.sql(sql)))
+
+
+def test_advisor_sweep_no_errors_no_triple_scans(spark):
+    """Structural gate over the whole contract surface: no query plan
+    may carry an ERROR-level advisor finding (CartesianProduct,
+    row-at-a-time Python UDF), and none may re-scan the same file 3+
+    times (the CTE-inlining disease — fixed for minhash in r3 and for
+    triangle/pagerank/khop in r5; this pins all of them at once).
+
+    Model-fitting queries (k-means/MLlib fits run at plan-BUILD time)
+    are excluded to keep the sweep fast; their plans are covered by
+    their own tests.
+    """
+    import __spark_entry__ as contract
+    from tests.conftest import SF_DIR
+
+    from fiveg_spark.plans.advisor import lint_plan
+
+    skip_build = {
+        # build cost (driver-side fit / training), not plan risk:
+        "ann_ivf_topk", "ann_pq_topk", "ann_recall_matrix",
+        "embedding_dedup_ivf", "semdedup_summary", "hybrid_train_eval",
+        "hybrid_forecast_eval", "mllib_ann_topk", "mllib_linear_baseline",
+        "mllib_minhash_pairs", "pca_explained_variance",
+        "isotonic_calibration", "var_ols_coeffs", "huber_var_coeffs",
+        "gru_forward", "holt_forecast", "holt_winters_forecast",
+    }
+    import re
+
+    errors, heavy_rescans = [], []
+    for name, fn in contract.queries().items():
+        if name in skip_build:
+            continue
+        findings = lint_plan(fn(spark, SF_DIR))
+        errors.extend((name, f.rule) for f in findings if f.severity == "error")
+        for f in findings:
+            if f.rule != "repeated-scan":
+                continue
+            n = int(re.match(r"(\d+) FileScans", f.detail).group(1))
+            # 3 scans of one file is usually a legitimate spec shape
+            # (Q21's triple lineitem, self-join + degree pass, ...);
+            # 4+ is the CTE-inlining disease (r3 minhash read the corpus
+            # 8x; r5 caught triangle/pagerank at 5x) — hard-fail it.
+            if n >= 4:
+                heavy_rescans.append((name, n))
+    assert errors == [], f"error-level plan findings: {errors}"
+    assert heavy_rescans == [], f"4+ scans of one file: {heavy_rescans}"
