@@ -65,6 +65,16 @@ def sql_backed(
     return Query(name=name, run=run, oracle=sql_fn("duckdb"))
 
 
+def run_parts(spark: SparkSession, parts_fn) -> DataFrame:
+    """Execute a materialized_backed parts query against whatever views
+    are currently registered (tests point the base tables at synthetic
+    frames first)."""
+    ctes, tail = parts_fn("spark")
+    for rel, sql in ctes:
+        spark.sql(sql).localCheckpoint().createOrReplaceTempView(rel)
+    return spark.sql(tail)
+
+
 def materialized_backed(
     name: str,
     parts_fn: Callable[[str], tuple[list[tuple[str, str]], str]],
@@ -85,10 +95,7 @@ def materialized_backed(
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_views(spark, tables, sf_dir)
-        ctes, tail = parts_fn("spark")
-        for rel, sql in ctes:
-            spark.sql(sql).localCheckpoint().createOrReplaceTempView(rel)
-        return spark.sql(tail)
+        return run_parts(spark, parts_fn)
 
     ctes, tail = parts_fn("duckdb")
     with_clause = ",\n".join(f"{rel} AS ({sql})" for rel, sql in ctes)

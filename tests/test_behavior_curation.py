@@ -59,7 +59,9 @@ def test_cooccurrence_lift_hand_computed(spark):
         (6, t0 + dt.timedelta(hours=3), "A", 1, 1.0, "{}"),
     ]
     _events_view(spark, rows)
-    got = spark.sql(bh._cooccurrence_sql("spark")).collect()
+    from fiveg_spark.plans.registry import run_parts
+
+    got = run_parts(spark, bh._cooccurrence_parts).collect()
     assert len(got) == 1
     r = got[0].asDict()
     # N=4 baskets, c_A=3, c_B=3, c_AB=2 -> lift = 2*4/(3*3)

@@ -27,7 +27,9 @@ def test_bpe_pairs_count_and_pmi(spark):
             (2, "solo", "en", "s", 0),  # <2 tokens -> no pairs, no crash
         ],
     )
-    rows = {r["pair"]: r.asDict() for r in spark.sql(ts._bpe_pair_stats_sql("spark")).collect()}
+    from fiveg_spark.plans.registry import run_parts
+
+    rows = {r["pair"]: r.asDict() for r in run_parts(spark, ts._bpe_pair_stats_parts).collect()}
     assert rows["a b"]["pair_count"] == 3
     assert rows["a b"]["left_count"] == 3  # unigram a appears 3x
     assert rows["a b"]["right_count"] == 3
