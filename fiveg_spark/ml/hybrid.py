@@ -80,11 +80,17 @@ def residual_pipeline(
     on the train split → per-row residuals → sliding residual sequences.
     Returns (resid, sequences, scaler_params)."""
     scaled, params = robust_scale(feature_frame(spark, sf_dir))
-    design = lag_design(scaled, p=p)
+    # localCheckpoint both shared frames: design feeds the Gram solve
+    # AND the residual scorer, resid feeds the sequence window AND the
+    # var_pred join downstream — without materialization each reference
+    # re-runs the events aggregation + scaling pipeline (advisor
+    # repeated-scan). The hourly frame is tiny (~2k rows/slice), so the
+    # checkpoint is effectively free.
+    design = lag_design(scaled, p=p).localCheckpoint()
     coeffs = solve_coefficients(
         normal_equations(design.filter(F.col("split") == "train"))
     )
-    resid = residual_frame(design, spark.sparkContext.broadcast(coeffs))
+    resid = residual_frame(design, spark.sparkContext.broadcast(coeffs)).localCheckpoint()
 
     seq_expr = (
         f"collect_list(resid) OVER (PARTITION BY slice ORDER BY window_start "
