@@ -510,3 +510,33 @@ def test_png_decode_gates_and_features(spark):
     assert len(feats) == 1
     got = np.array(feats[0]["features"], dtype=np.float32)
     assert np.allclose(got, vec, atol=1e-7)
+
+
+def test_png_decode_property_based():
+    """Property: decode_png inverts the test-side encoder bit-exactly on
+    random images — any size, any color type, any per-row filter mix
+    (hypothesis drives the sampling, same style as the WAV/netpbm
+    property test above)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fiveg_spark.operators.multimodal import decode_png
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 12),
+        ctype=st.sampled_from([0, 2, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    )
+    def check(h, w, ctype, seed, filters):
+        rng = np.random.default_rng(seed)
+        shape = {0: (h, w), 2: (h, w, 3), 6: (h, w, 4)}[ctype]
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_png(_encode_png(img, ctype, filters))
+        want = img[:, :, :3] if ctype == 6 else img
+        assert np.array_equal(out, want), (h, w, ctype, filters)
+
+    check()
