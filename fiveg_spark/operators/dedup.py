@@ -114,7 +114,11 @@ def _minhash_lsh_sql(d: str) -> str:
     #   → groupBy (band, sig) collecting the bucket (1 shuffle)
     #   → pair explode inside the bucket (map-only; LSH buckets are tiny
     #     by construction, so the quadratic stays bucket-local)
-    #   → pair agg for count(DISTINCT band) (1 shuffle on the tiny pairs)
+    #   → pair agg counting bands (1 shuffle on the tiny pairs; a plain
+    #     count(*) — each doc holds exactly ONE signature per band, so a
+    #     pair can land in at most one bucket per band and the rows are
+    #     already band-distinct; a count(DISTINCT band) here cost an
+    #     extra dedup aggregate + exchange for nothing)
     # DuckDB oracle keeps the join formulation (it materializes CTEs, so
     # correctness-side cost is irrelevant); results are identical.
     mh_aggs = ",\n        ".join(
@@ -149,7 +153,7 @@ def _minhash_lsh_sql(d: str) -> str:
         SELECT
           a.doc_id AS doc_a,
           b.doc_id AS doc_b,
-          {cnt("count(DISTINCT a.band)", "n_bands")}
+          {cnt("count(*)", "n_bands")}
         FROM bands a
         JOIN bands b
           ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
@@ -184,7 +188,7 @@ def _minhash_lsh_sql(d: str) -> str:
     SELECT
       doc_a,
       doc_b,
-      {cnt("count(DISTINCT band)", "n_bands")}
+      {cnt("count(*)", "n_bands")}
     FROM pairs
     GROUP BY doc_a, doc_b
     """
