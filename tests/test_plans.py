@@ -168,3 +168,28 @@ def test_driver_certified_set_is_current():
         cwd="/root/repo",
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_materialized_backed_oracle_merges_with_chains(spark, duck):
+    """The helper folds run-side materialized CTEs back into ONE DuckDB
+    WITH chain — including when the tail opens with its own WITH (the
+    merge must not emit `WITH a AS (...) WITH b AS (...)`)."""
+    from fiveg_spark.plans.registry import materialized_backed
+
+    def parts_plain(d):
+        return [("_mz_t_base", "SELECT 1 AS x UNION ALL SELECT 2")], (
+            "SELECT CAST(sum(x) AS BIGINT) AS s FROM _mz_t_base"
+        )
+
+    def parts_with(d):
+        return [("_mz_t_base2", "SELECT 3 AS x UNION ALL SELECT 4")], (
+            "WITH doubled AS (SELECT x * 2 AS y FROM _mz_t_base2) "
+            "SELECT CAST(sum(y) AS BIGINT) AS s FROM doubled"
+        )
+
+    q1 = materialized_backed("t_plain", parts_plain, ())
+    q2 = materialized_backed("t_with", parts_with, ())
+    assert duck.execute(q1.oracle).fetchall() == [(3,)]
+    assert duck.execute(q2.oracle).fetchall() == [(14,)]
+    assert [r["s"] for r in q1.run(spark, "unused").collect()] == [3]
+    assert [r["s"] for r in q2.run(spark, "unused").collect()] == [14]
