@@ -32,7 +32,7 @@ broadcast; at 100 TB the corpus side stays map-local.
 from __future__ import annotations
 
 from fiveg_spark.operators.text import _marker_count, _tok
-from fiveg_spark.plans.registry import arr_len, cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import arr_len, cnt, dbl, materialized_backed, sql_backed
 
 BOILERPLATE_DF = 5  # 3-gram in >= this many docs = boilerplate
 
@@ -369,6 +369,61 @@ def _boilerplate_ngrams_sql(d: str) -> str:
     """
 
 
+def _contamination_matrix_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E47 — cross-source n-gram contamination matrix: for every source
+    # pair, the distinct-3-gram overlap (shared count, directional
+    # containment, Jaccard).  This is the corpus-level companion to
+    # per-doc decontamination (E24): a high containment of source A in
+    # source B means A is largely recycled from B (mirror sites, scraped
+    # re-posts, benchmark leakage between dumps).
+    #
+    # Scale: the corpus scan reduces FIRST to the DISTINCT (source,
+    # n-gram) frame — vocab-sized, not corpus-sized; the self-join keys
+    # on the n-gram (high-cardinality) and each gram fans out at most
+    # |sources|² (a handful), so there is no skew amplification.  The
+    # frame is referenced three times (join left/right + totals), hence
+    # materialized_backed — inlined CTEs would re-run the explode per
+    # reference.  The pair frame comes from crossing the tiny per-source
+    # totals so zero-overlap pairs still appear.
+    src_ng = f"""
+      WITH {_ngram_cte(d)}
+      SELECT DISTINCT source, ng FROM ngrams
+    """
+    tail = f"""
+    WITH totals AS (
+      SELECT source, count(*) AS n FROM _mz_contam_ng GROUP BY source
+    ),
+    pairs AS (
+      SELECT
+        ta.source AS source_a,
+        tb.source AS source_b,
+        ta.n AS na,
+        tb.n AS nb
+      FROM totals ta CROSS JOIN totals tb
+      WHERE ta.source < tb.source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS c
+      FROM _mz_contam_ng a
+      JOIN _mz_contam_ng b ON a.ng = b.ng AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT
+      p.source_a,
+      p.source_b,
+      {cnt("p.na", "ngrams_a")},
+      {cnt("p.nb", "ngrams_b")},
+      {cnt("coalesce(s.c, 0)", "shared_ngrams")},
+      {dbl("coalesce(s.c, 0) / CAST(p.na AS DOUBLE)", "contain_a_in_b")},
+      {dbl("coalesce(s.c, 0) / CAST(p.nb AS DOUBLE)", "contain_b_in_a")},
+      {dbl("coalesce(s.c, 0) / CAST(p.na + p.nb - coalesce(s.c, 0) AS DOUBLE)", "jaccard")}
+    FROM pairs p
+    LEFT JOIN shared s ON s.source_a = p.source_a AND s.source_b = p.source_b
+    ORDER BY p.source_a, p.source_b
+    """
+    return [("_mz_contam_ng", src_ng)], tail
+
+
 QUERIES = [
     sql_backed("boilerplate_ngrams", _boilerplate_ngrams_sql, ("documents",)),
     sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
@@ -378,4 +433,10 @@ QUERIES = [
     sql_backed("gopher_quality", _gopher_quality_sql, ("documents",)),
     sql_backed("repeated_ngrams", _repeated_ngrams_sql, ("documents",)),
     sql_backed("decontamination", _decontamination_sql, ("documents",)),
+    # registered mid-round-5 after the certification window froze: stays
+    # behind the 50 never-certified slots until CORRECTNESS_r05 lands
+    materialized_backed(
+        "contamination_matrix", _contamination_matrix_parts, ("documents",),
+        deferred=True,
+    ),
 ]

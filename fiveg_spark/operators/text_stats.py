@@ -234,9 +234,74 @@ def _bigram_ppl_sql(d: str) -> str:
     """
 
 
+def _zipf_slope_sql(d: str) -> str:
+    # E46 — Zipf rank-frequency slope per source: OLS fit of ln(count)
+    # on ln(rank) over the top-100 terms (natural text ≈ -1; a corpus
+    # whose slope drifts toward 0 is template/boilerplate-heavy, one
+    # drifting steeper is dominated by a few tokens — a standard corpus
+    # health check next to Heaps' law, E31).  The hapax tail is excluded
+    # (rank <= 100) because its frequency plateau flattens the fit.
+    #
+    # Scale: the (source, term) hash-agg is the corpus scan; the rank
+    # window runs over the VOCAB-sized per-source frame (≪ corpus), and
+    # the OLS reduces via the same Σx/Σy/Σxy partial sums as C44 (exact
+    # decomposable aggregates, map-side partials).  Deterministic rank
+    # tiebreak on the term text keeps the top-100 set engine-identical.
+    explode = (
+        f"SELECT source, explode({_tok(d)}) AS term FROM documents"
+        if d == "spark"
+        else f"SELECT source, unnest({_tok(d)}) AS term FROM documents"
+    )
+    fit = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    return f"""
+    WITH toks AS ({explode}),
+    per_term AS (
+      SELECT source, term, count(*) AS c FROM toks GROUP BY source, term
+    ),
+    ranked AS (
+      SELECT
+        source,
+        c,
+        row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS rnk
+      FROM per_term
+    ),
+    pts AS (
+      SELECT
+        source,
+        ln(CAST(rnk AS DOUBLE)) AS x,
+        ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked
+      WHERE rnk <= 100
+    ),
+    sums AS (
+      SELECT
+        source,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(x) AS sx,
+        sum(y) AS sy,
+        sum(x * y) AS sxy,
+        sum(x * x) AS sxx,
+        sum(y * y) AS syy
+      FROM pts
+      GROUP BY source
+    )
+    SELECT
+      source,
+      {cnt("n", "n_terms")},
+      {dbl(fit, "zipf_slope")},
+      {dbl(f"(sy - ({fit}) * sx) / n", "intercept")},
+      {dbl("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", "r2")}
+    FROM sums
+    ORDER BY source
+    """
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
     sql_backed("unigram_ppl", _unigram_ppl_sql, ("documents",)),
     sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),
+    # registered mid-round-5 after the certification window froze: stays
+    # behind the 50 never-certified slots until CORRECTNESS_r05 lands
+    sql_backed("zipf_slope", _zipf_slope_sql, ("documents",), deferred=True),
 ]

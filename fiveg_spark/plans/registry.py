@@ -24,6 +24,12 @@ class Query:
     name: str
     run: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, None → rows-only check
+    # A query registered mid-round AFTER the certification window was
+    # frozen: it stays oracle-backed (local parity gate covers it) but
+    # sorts behind the frozen never-certified set so it cannot displace
+    # a name from the driver's 50-slot window.  Flip to False (the
+    # default) once the pending CORRECTNESS round lands.
+    deferred: bool = False
 
 
 # session → {(table, sf_dir): loaded DataFrame}.  load_table pays file
@@ -55,6 +61,7 @@ def sql_backed(
     name: str,
     sql_fn: Callable[[str], str],
     tables: tuple[str, ...],
+    deferred: bool = False,
 ) -> Query:
     """Build a Query from a dialect-parameterized SQL template."""
 
@@ -62,7 +69,7 @@ def sql_backed(
         ensure_views(spark, tables, sf_dir)
         return spark.sql(sql_fn("spark"))
 
-    return Query(name=name, run=run, oracle=sql_fn("duckdb"))
+    return Query(name=name, run=run, oracle=sql_fn("duckdb"), deferred=deferred)
 
 
 def run_parts(spark: SparkSession, parts_fn) -> DataFrame:
@@ -79,6 +86,7 @@ def materialized_backed(
     name: str,
     parts_fn: Callable[[str], tuple[list[tuple[str, str]], str]],
     tables: tuple[str, ...],
+    deferred: bool = False,
 ) -> Query:
     """sql_backed variant for queries whose tail references a derived
     frame 3+ times.  Spark inlines CTEs, so a shared WITH body re-runs
@@ -104,7 +112,7 @@ def materialized_backed(
         oracle = f"WITH {with_clause},\n{stripped[5:]}"
     else:
         oracle = f"WITH {with_clause}\n{tail}"
-    return Query(name=name, run=run, oracle=oracle)
+    return Query(name=name, run=run, oracle=oracle, deferred=deferred)
 
 
 # ---- shared snippet helpers (identical rounding discipline everywhere) ----

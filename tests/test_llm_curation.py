@@ -104,3 +104,30 @@ def test_pii_redact_replaces_all_families(spark):
     expected = "mail <EMAIL> or <IP> x <NUM>"
     assert rows[0]["redacted_md5"] == hashlib.md5(expected.encode()).hexdigest()
     assert rows[0]["redacted_len"] == len(expected)
+
+
+def test_contamination_matrix_hand_computed(spark):
+    _docs_view(
+        spark,
+        [
+            (0, "a b c d", "en", "s1", 0),  # grams: "a b c", "b c d"
+            (1, "a b c e", "en", "s2", 0),  # grams: "a b c", "b c e"
+            (2, "x y z", "en", "s3", 0),    # gram:  "x y z" (no overlap)
+        ],
+    )
+    from fiveg_spark.plans.registry import run_parts
+
+    rows = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in run_parts(spark, lc._contamination_matrix_parts).collect()
+    }
+    # complete upper-triangle matrix incl. zero-overlap pairs
+    assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    r12 = rows[("s1", "s2")]
+    assert r12["ngrams_a"] == 2 and r12["ngrams_b"] == 2
+    assert r12["shared_ngrams"] == 1
+    assert r12["contain_a_in_b"] == pytest.approx(0.5, abs=1e-3)
+    assert r12["contain_b_in_a"] == pytest.approx(0.5, abs=1e-3)
+    assert r12["jaccard"] == pytest.approx(1 / 3, abs=1e-3)
+    assert rows[("s1", "s3")]["shared_ngrams"] == 0
+    assert rows[("s1", "s3")]["jaccard"] == pytest.approx(0.0, abs=1e-3)

@@ -56,6 +56,26 @@ def test_vocab_growth_heaps(spark):
     assert rows["s2"]["hapax_frac"] == pytest.approx(1.0, abs=1e-3)
 
 
+def test_zipf_slope_recovers_exact_power_law(spark):
+    # counts 12/6/4/3 = 12/rank for ranks 1..4 -> ln c = ln 12 - 1*ln r:
+    # a perfect Zipf line, so the OLS fit must recover slope -1, r2 = 1.
+    _docs_view(
+        spark,
+        [
+            (0, " ".join(["a"] * 12 + ["b"] * 6 + ["c"] * 4 + ["d"] * 3), "en", "s1", 0),
+            (1, "p p q", "en", "s2", 0),  # 2 terms: fit is exact through 2 pts
+        ],
+    )
+    rows = {r["source"]: r.asDict() for r in spark.sql(ts._zipf_slope_sql("spark")).collect()}
+    assert rows["s1"]["n_terms"] == 4
+    assert rows["s1"]["zipf_slope"] == pytest.approx(-1.0, abs=1e-3)
+    assert rows["s1"]["intercept"] == pytest.approx(math.log(12), abs=1e-3)
+    assert rows["s1"]["r2"] == pytest.approx(1.0, abs=1e-3)
+    # two points: slope = (ln1 - ln2)/(ln2 - ln1) with c = 2,1 -> -1 exactly
+    assert rows["s2"]["n_terms"] == 2
+    assert rows["s2"]["zipf_slope"] == pytest.approx(-1.0, abs=1e-3)
+
+
 def test_unigram_ppl_hand_computed(spark):
     _docs_view(
         spark,
