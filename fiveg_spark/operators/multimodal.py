@@ -8,10 +8,11 @@ decode/transform with bounded batch sizes.
 
 The decode kernel is pluggable.  ``stdlib_decoder`` REALLY decodes the
 formats stdlib+numpy can handle — PCM WAV audio, binary netpbm images,
-and PNG (zlib inflate + the five RFC 2083 scanline filters), with a
+PNG (zlib inflate + the five RFC 2083 scanline filters), and baseline
+JPEG (T.81 Huffman + dequant + IDCT, any chroma sampling), with a
 pure-numpy nearest-neighbour resize — while the remaining compressed
-codecs (JPEG/MP3/MP4) need libraries absent from this environment and
-stay gated behind ``codec_decoder``'s NotImplementedError naming the
+codecs (MP3/MP4, progressive JPEG) need libraries absent from this
+environment and stay gated behind NotImplementedError naming the
 dependency.  ``deterministic_fake_decoder`` remains for exact-value
 plumbing tests.  Swapping decoders changes ONE function — none of the
 distributed plumbing.
@@ -74,13 +75,13 @@ def deterministic_fake_decoder(content: bytes, kind: str) -> np.ndarray:
 
 def codec_decoder(content: bytes, kind: str) -> np.ndarray:  # pragma: no cover
     """Compressed-codec decode path — requires media libraries absent
-    from this env (JPEG/MP3/MP4; PNG decodes for REAL via
-    ``decode_png``).  Uncompressed formats decode via ``stdlib_decoder``
-    below."""
+    from this env (MP3/MP4; PNG and baseline JPEG decode for REAL via
+    ``decode_png``/``decode_jpeg``).  Uncompressed formats decode via
+    ``stdlib_decoder`` below."""
     raise NotImplementedError(
-        "compressed media decode needs PIL (image) / soundfile (audio) / "
-        "av (video); install one and plug it in here — the Spark plumbing "
-        "is decoder-agnostic"
+        "compressed media decode needs soundfile (audio) / av (video); "
+        "install one and plug it in here — the Spark plumbing is "
+        "decoder-agnostic"
     )
 
 
@@ -188,6 +189,242 @@ def decode_png(content: bytes) -> np.ndarray:
     return px
 
 
+# JPEG (ITU-T T.81) baseline support, stdlib+numpy only — the zigzag
+# scan order (natural index of the k-th zigzag coefficient) and the
+# 8-point DCT-III basis are public-spec constants.
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+
+def _jpeg_dct_mat() -> np.ndarray:
+    """Orthonormal 8-point DCT basis M[u, x]: spatial = Mᵀ·F·M,
+    F = M·spatial·Mᵀ (T.81 A.3.3 with the c(u) normalization folded in)."""
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+class _JpegBits:
+    """MSB-first bit reader over an entropy-coded segment (stuffed 0x00
+    bytes already removed by the caller)."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data exhausted")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit, self.pos = 0, self.pos + 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_huff_table(bits: bytes, values: bytes) -> dict[tuple[int, int], int]:
+    """Canonical Huffman (T.81 C.2): {(code_length, code) -> symbol}."""
+    table: dict[tuple[int, int], int] = {}
+    code = k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(reader: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid JPEG huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t magnitude bits to the signed value."""
+    if t == 0:
+        return 0
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Real baseline JPEG (SOF0/SOF1) decode, stdlib+numpy only (no
+    PIL): marker walk → DQT/DHT tables → Huffman-decoded MCUs (byte
+    destuffing, DRI/RSTn restart handling, any h×v sampling incl. 4:2:0)
+    → dequantize in zigzag order → orthonormal IDCT → nearest-neighbour
+    chroma upsample → JFIF YCbCr→RGB.  Returns (h, w) uint8 grayscale or
+    (h, w, 3) uint8 RGB like ``decode_png``/``decode_netpbm``.
+
+    Progressive (SOF2), arithmetic coding, hierarchical modes, and
+    16-bit quant tables raise NotImplementedError — honestly gated, same
+    policy as the MP3/MP4 codec gate."""
+    import struct
+
+    if content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}  # (class, id)
+    frame = None  # (h, w, [(comp_id, hs, vs, tq), ...])
+    restart_interval = 0
+    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, dc_id, ac_id)
+    segments: list[bytes] = []
+    pos = 2
+    while pos + 2 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = content[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            continue
+        (seg_len,) = struct.unpack(">H", content[pos : pos + 2])
+        seg = content[pos + 2 : pos + seg_len]
+        pos += seg_len
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq:
+                    raise NotImplementedError("16-bit JPEG quant table")
+                qt[tq] = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8).astype(
+                    np.float64
+                )
+                i += 65
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec}")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq_ = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 15, tq_))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG (progressive/arithmetic/hierarchical)")
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = seg[i + 1 : i + 17]
+                nvals = sum(bits)
+                huff[(tc, th)] = _jpeg_huff_table(bits, seg[i + 17 : i + 17 + nvals])
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS → entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            comp_ids = [c[0] for c in frame[2]]
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                scan_comps.append((comp_ids.index(cs), tt >> 4, tt & 15))
+            ecs = bytearray()
+            while pos < len(content):
+                b = content[pos]
+                if b != 0xFF:
+                    ecs.append(b)
+                    pos += 1
+                    continue
+                nxt = content[pos + 1]
+                if nxt == 0x00:  # stuffed byte
+                    ecs.append(0xFF)
+                    pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart: new segment, reset preds
+                    segments.append(bytes(ecs))
+                    ecs = bytearray()
+                    pos += 2
+                else:
+                    break  # real marker (EOI)
+            segments.append(bytes(ecs))
+        # all other markers (APPn, COM) skipped
+    if frame is None or not segments:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    h, w, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    planes = [
+        np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), dtype=np.float64) for c in comps
+    ]
+    m = _jpeg_dct_mat()
+    preds = [0] * len(comps)
+    reader = _JpegBits(segments[0])
+    seg_idx = 0
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            reader = _JpegBits(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for comp_idx, dc_id, ac_id in scan_comps:
+            _cid, hs, vs, tq_ = comps[comp_idx]
+            qtab = qt[tq_]
+            for by in range(vs):
+                for bx in range(hs):
+                    t = _jpeg_huff_decode(reader, huff[(0, dc_id)])
+                    preds[comp_idx] += _jpeg_extend(reader.read_bits(t), t)
+                    zz = np.zeros(64, dtype=np.float64)
+                    zz[0] = preds[comp_idx] * qtab[0]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(reader, huff[(1, ac_id)])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        zz[k] = _jpeg_extend(reader.read_bits(s), s) * qtab[k]
+                        k += 1
+                    coeffs = np.zeros(64, dtype=np.float64)
+                    coeffs[_JPEG_ZIGZAG] = zz
+                    block = m.T @ coeffs.reshape(8, 8) @ m + 128.0
+                    y0 = (my * vs + by) * 8
+                    x0 = (mx * hs + bx) * 8
+                    planes[comp_idx][y0 : y0 + 8, x0 : x0 + 8] = block
+    full_h, full_w = mcuy * max_v * 8, mcux * max_h * 8
+    out_planes = []
+    for (ci, (_cid, hs, vs, _tq)), plane in zip(enumerate(comps), planes):
+        if hs != max_h or vs != max_v:
+            plane = resize_nn(plane, full_h, full_w)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_wav(content: bytes) -> tuple[np.ndarray, int]:
     """Real PCM WAV decode, stdlib-only: (mono float64 samples in [-1, 1],
     sample_rate)."""
@@ -248,9 +485,10 @@ def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def stdlib_decoder(content: bytes, kind: str) -> np.ndarray:
     """REAL decode for the formats stdlib/numpy can handle — PCM WAV,
-    binary netpbm (P5/P6), and PNG (zlib inflate + unfilter) — emitting
-    an interpretable FEATURE_DIM vector; the remaining compressed codecs
-    (JPEG/MP3/MP4) still route to ``codec_decoder``.
+    binary netpbm (P5/P6), PNG (zlib inflate + unfilter), and baseline
+    JPEG (Huffman + IDCT) — emitting an interpretable FEATURE_DIM
+    vector; the remaining compressed codecs (MP3/MP4) still route to
+    ``codec_decoder``.
 
     Layout (zero-padded):
       audio: [1, duration_s, sr/48000, rms, peak, zero-crossing rate,
@@ -272,12 +510,17 @@ def stdlib_decoder(content: bytes, kind: str) -> np.ndarray:
             float(x.mean()),
             float(x.std()),
         ]
-    elif head[:2] in (b"P5", b"P6") or head[:8] == b"\x89PNG\r\n\x1a\n":
-        img = (
-            decode_png(content)
-            if head[:8] == b"\x89PNG\r\n\x1a\n"
-            else decode_netpbm(content)
-        )
+    elif (
+        head[:2] in (b"P5", b"P6")
+        or head[:8] == b"\x89PNG\r\n\x1a\n"
+        or head[:3] == b"\xff\xd8\xff"
+    ):
+        if head[:8] == b"\x89PNG\r\n\x1a\n":
+            img = decode_png(content)
+        elif head[:3] == b"\xff\xd8\xff":
+            img = decode_jpeg(content)
+        else:
+            img = decode_netpbm(content)
         chans = (
             img.reshape(-1, 3).mean(axis=0)
             if img.ndim == 3

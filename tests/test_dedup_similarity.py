@@ -285,9 +285,10 @@ def test_stdlib_decoder_real_wav_and_ppm(spark):
         assert np.allclose(rows[mid]["features"], expect, atol=1e-6)
     assert rows[1]["features"][0] == 1.0 and rows[2]["features"][0] == 2.0
 
-    # remaining compressed codecs still gate (PNG is now real — JPEG isn't)
+    # remaining compressed codecs still gate (PNG and baseline JPEG are
+    # now real — MP4 isn't)
     with pytest.raises(NotImplementedError):
-        stdlib_decoder(b"\xff\xd8\xff\xe0....JFIF", "image")
+        stdlib_decoder(b"\x00\x00\x00\x18ftypmp42", "video")
 
 
 def test_media_decoders_property_based():
@@ -538,5 +539,359 @@ def test_png_decode_property_based():
         out = decode_png(_encode_png(img, ctype, filters))
         want = img[:, :, :3] if ctype == 6 else img
         assert np.array_equal(out, want), (h, w, ctype, filters)
+
+    check()
+
+
+def test_incremental_dedup_planted_duplicates(spark):
+    # old snapshot = doc_id % 3 != 2 (ids 0,1,3,4); new batch = ids 2,5,8,11
+    from fiveg_spark.operators import dedup as dd
+
+    rows = [
+        (0, "dup one", "en", "s", 0),     # old copy of id 2's content
+        (1, "old only", "en", "s", 0),
+        (3, "old other", "en", "s", 0),
+        (4, "old third", "en", "s", 0),
+        (2, "dup one", "en", "s", 0),     # new, matches old -> dup_vs_existing
+        (5, "fresh", "en", "s", 0),       # new, first of its hash -> ingested
+        (8, "fresh", "en", "s", 0),       # new, repeat within batch -> dup_within_batch
+        (11, "unique", "en", "s", 0),     # new, unseen -> ingested
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    out = {r["source"]: r.asDict() for r in spark.sql(dd._incremental_dedup_sql("spark")).collect()}
+    r = out["s"]
+    assert r["n_new_docs"] == 4
+    assert r["n_dup_vs_existing"] == 1
+    assert r["n_dup_within_batch"] == 1
+    assert r["n_ingested"] == 2
+    assert r["drop_rate"] == pytest.approx(0.5, abs=1e-3)
+
+
+def _jpeg_tables():
+    """Canonical fixed-length Huffman tables for the test encoder: DC
+    symbols 0..11 at code length 4, the 162 standard AC symbols at code
+    length 8 — a valid (complete-prefix) Huffman code that keeps the
+    encoder trivial while exercising the decoder's canonical builder."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_bits = [0] * 16
+    dc_bits[3] = len(dc_syms)  # all length 4
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # all length 8
+    dc_map = {sym: (4, i) for i, sym in enumerate(dc_syms)}
+    ac_map = {sym: (8, i) for i, sym in enumerate(ac_syms)}
+    return (bytes(dc_bits), bytes(dc_syms)), (bytes(ac_bits), bytes(ac_syms)), dc_map, ac_map
+
+
+class _JpegBW:
+    """MSB-first bit writer with 0xFF byte stuffing and 1-padding."""
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, val, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)
+
+
+def _rgb_to_ycbcr(img):
+    import numpy as np
+
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ],
+        axis=-1,
+    )
+
+
+def _pad_edge(plane, mult):
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _encode_jpeg(img, subsample=False, quant=1, restart_interval=0):
+    """Pure-python baseline JPEG ENCODER (test-side reference,
+    independent of the decoder under test): orthonormal FDCT, flat quant
+    tables, fixed-length canonical Huffman tables emitted via DHT,
+    optional 4:2:0 subsampling and DRI/RSTn restarts."""
+    import struct
+
+    import numpy as np
+
+    from fiveg_spark.operators.multimodal import _JPEG_ZIGZAG, _jpeg_dct_mat
+
+    m = _jpeg_dct_mat()
+    (dc_bits, dc_vals), (ac_bits, ac_vals), dc_map, ac_map = _jpeg_tables()
+    gray = img.ndim == 2
+
+    if gray:
+        comps = [(_pad_edge(img.astype(np.float64), 8), 1, 1, 0)]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        if subsample:
+            y = _pad_edge(ycc[:, :, 0], 16)
+            cb_full = _pad_edge(ycc[:, :, 1], 16)
+            cr_full = _pad_edge(ycc[:, :, 2], 16)
+            cb = cb_full.reshape(cb_full.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            cr = cr_full.reshape(cr_full.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+            comps = [(y, 2, 2, 0), (cb, 1, 1, 1), (cr, 1, 1, 1)]
+        else:
+            comps = [
+                (_pad_edge(ycc[:, :, 0], 8), 1, 1, 0),
+                (_pad_edge(ycc[:, :, 1], 8), 1, 1, 1),
+                (_pad_edge(ycc[:, :, 2], 8), 1, 1, 1),
+            ]
+
+    h, w = img.shape[:2]
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    qtab = np.full(64, float(quant))
+
+    def enc_block(bw, block, pred):
+        f = m @ (block - 128.0) @ m.T
+        zz = np.round(f.flatten()[_JPEG_ZIGZAG] / qtab).astype(int)
+        diff = int(zz[0]) - pred
+        s = int(abs(diff)).bit_length()
+        ln, code = dc_map[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        run, k = 0, 1
+        while k <= last:
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run >= 16:
+                ln, code = ac_map[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            ln, code = ac_map[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run, k = 0, k + 1
+        if last < 63:
+            ln, code = ac_map[0x00]
+            bw.write(code, ln)
+        return int(zz[0])
+
+    body = bytearray()
+    bw = _JpegBW()
+    preds = [0] * len(comps)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw.flush()
+            body += bw.out
+            body += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            bw = _JpegBW()
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, (plane, hs, vs, _tq) in enumerate(comps):
+            for by in range(vs):
+                for bx in range(hs):
+                    y0, x0 = (my * vs + by) * 8, (mx * hs + bx) * 8
+                    preds[ci] = enc_block(
+                        bw, plane[y0 : y0 + 8, x0 : x0 + 8], preds[ci]
+                    )
+    bw.flush()
+    body += bw.out
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes(int(quant) for _ in range(64))
+    out += seg(0xDB, bytes([0x00]) + zz_q)  # table 0
+    out += seg(0xDB, bytes([0x01]) + zz_q)  # table 1 (chroma)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for ci, (_p, hs, vs, tq) in enumerate(comps):
+        sof += bytes([ci + 1, (hs << 4) | vs, tq])
+    out += seg(0xC0, sof)
+    for table_id in (0, 1):
+        out += seg(0xC4, bytes([0x00 | table_id]) + dc_bits + dc_vals)
+        out += seg(0xC4, bytes([0x10 | table_id]) + ac_bits + ac_vals)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(comps)])
+    for ci, (_p, _hs, _vs, tq) in enumerate(comps):
+        sos += bytes([ci + 1, (tq << 4) | tq])  # huff ids follow quant ids
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_decode_round_trips():
+    """E13: baseline JPEG decode recovers the image within DCT rounding
+    error — grayscale, RGB 4:4:4, odd (non multiple-of-8) dims."""
+    import numpy as np
+
+    from fiveg_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    out = decode_jpeg(_encode_jpeg(gray))
+    assert out.shape == gray.shape
+    assert np.max(np.abs(out.astype(int) - gray.astype(int))) <= 4
+
+    odd = rng.integers(0, 256, size=(13, 11), dtype=np.uint8)
+    out = decode_jpeg(_encode_jpeg(odd))
+    assert out.shape == odd.shape
+    assert np.max(np.abs(out.astype(int) - odd.astype(int))) <= 4
+
+    rgb = rng.integers(0, 256, size=(16, 8, 3), dtype=np.uint8)
+    out = decode_jpeg(_encode_jpeg(rgb))
+    assert out.shape == rgb.shape
+    # FDCT round + quantize round + two color conversions
+    assert np.max(np.abs(out.astype(int) - rgb.astype(int))) <= 6
+    assert np.mean(np.abs(out.astype(float) - rgb.astype(float))) <= 2.0
+
+
+def test_jpeg_decode_420_and_restarts():
+    """4:2:0 chroma subsampling (vs an independently computed reference
+    reconstruction) and DRI/RSTn restart-marker handling."""
+    import numpy as np
+
+    from fiveg_spark.operators.multimodal import decode_jpeg, resize_nn
+
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, size=(24, 18, 3), dtype=np.uint8)
+    out = decode_jpeg(_encode_jpeg(rgb, subsample=True))
+    assert out.shape == rgb.shape
+
+    # reference: same subsample -> nearest-upsample -> inverse transform
+    ycc = _rgb_to_ycbcr(rgb)
+    h, w = rgb.shape[:2]
+    cbf, crf = _pad_edge(ycc[:, :, 1], 16), _pad_edge(ycc[:, :, 2], 16)
+    cb = cbf.reshape(cbf.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+    cr = crf.reshape(crf.shape[0] // 2, 2, -1, 2).mean(axis=(1, 3))
+    cb_up = resize_nn(cb, cbf.shape[0], cbf.shape[1])[:h, :w] - 128.0
+    cr_up = resize_nn(cr, crf.shape[0], crf.shape[1])[:h, :w] - 128.0
+    y = ycc[:, :, 0]
+    ref = np.clip(
+        np.round(
+            np.stack(
+                [
+                    y + 1.402 * cr_up,
+                    y - 0.344136 * cb_up - 0.714136 * cr_up,
+                    y + 1.772 * cb_up,
+                ],
+                axis=-1,
+            )
+        ),
+        0,
+        255,
+    )
+    assert np.max(np.abs(out.astype(float) - ref)) <= 6
+
+    # restart markers: identical output with and without DRI
+    gray = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    plain = decode_jpeg(_encode_jpeg(gray))
+    with_rst = decode_jpeg(_encode_jpeg(gray, restart_interval=2))
+    assert np.array_equal(plain, with_rst)
+
+
+def test_jpeg_gates_and_feature_routing(spark):
+    """Non-baseline JPEG stays honestly gated; a real JPEG flows through
+    the distributed mapInPandas feature extractor."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fiveg_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_jpeg,
+        extract_features,
+        stdlib_decoder,
+    )
+
+    # progressive (SOF2) -> NotImplementedError naming the gate
+    sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    prog = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">H", len(sof2) + 2) + sof2
+    with _pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+    rng = np.random.default_rng(13)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    blob = _encode_jpeg(rgb)
+    vec = stdlib_decoder(blob, "image")
+    assert vec[0] == 2.0  # image family
+    assert vec[1] == _pytest.approx(16 / 4096.0)
+    assert vec[3] == 3.0  # channels
+
+    df = spark.createDataFrame(
+        [(1, "image", "jpg", bytearray(blob), (16, 16, None, None))],
+        "media_id BIGINT, kind STRING, format STRING, content BINARY, "
+        "meta STRUCT<width INT, height INT, duration_ms INT, sample_rate INT>",
+    )
+    rows = extract_features(df, decoder=stdlib_decoder).collect()
+    assert len(rows) == 1 and len(rows[0]["features"]) == FEATURE_DIM
+    assert rows[0]["features"][0] == 2.0
+
+
+def test_jpeg_decode_property_based():
+    """Property: decode_jpeg recovers random images within DCT rounding
+    tolerance for any size, grayscale or RGB, 4:4:4 or 4:2:0, with or
+    without restart markers (hypothesis drives the sampling, same style
+    as the PNG property test above)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fiveg_spark.operators.multimodal import decode_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        mode=st.sampled_from(["gray", "rgb", "rgb420"]),
+        seed=st.integers(0, 2**31 - 1),
+        rst=st.sampled_from([0, 1, 3]),
+    )
+    def check(h, w, mode, seed, rst):
+        rng = np.random.default_rng(seed)
+        if mode == "gray":
+            img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        else:
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_jpeg(
+            _encode_jpeg(img, subsample=(mode == "rgb420"), restart_interval=rst)
+        )
+        assert out.shape == img.shape, (h, w, mode)
+        if mode != "rgb420":  # 4:2:0 loses chroma by design
+            assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 6, (
+                h, w, mode, seed,
+            )
 
     check()
