@@ -223,10 +223,58 @@ def _table_profile_sql(d: str) -> str:
     """
 
 
+def _benford_digits_sql(d: str) -> str:
+    # C63 — Benford first-digit screen over order totals: fabricated or
+    # truncated numeric columns drift from the log10(1 + 1/d) first-
+    # digit law, so per-digit observed-vs-expected deviation (and the
+    # summed chi-square statistic, repeated on every row) is a standard
+    # forensic data-quality check next to the rule-based dq_checks.
+    # First digit = x / 10^floor(log10(x)) — pure arithmetic, portable.
+    #
+    # Scale: one scan, one 9-group hash-agg; the chi2 window runs over
+    # the 9-row aggregate.  Digit-9 edge: float log10 can land exactly
+    # on the next decade for x just under a power of 10, flooring the
+    # ratio to 10 — LEAST-clamp to 9.
+    return f"""
+    WITH digits AS (
+      SELECT
+        LEAST(CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS INT), 9) AS digit
+      FROM orders
+      WHERE o_totalprice > 0
+    ),
+    counted AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ),
+    scored AS (
+      SELECT
+        digit,
+        n,
+        sum(n) OVER () AS total,
+        log10(1.0 + 1.0 / digit) AS expected
+      FROM counted
+    )
+    SELECT
+      CAST(digit AS INT) AS digit,
+      {cnt("n", "n_orders")},
+      {dbl("n / CAST(total AS DOUBLE)", "observed_frac")},
+      {dbl("expected", "expected_frac")},
+      {dbl("abs(n / CAST(total AS DOUBLE) - expected)", "abs_dev")},
+      {dbl(
+        "sum(power(n / CAST(total AS DOUBLE) - expected, 2) / expected) OVER ()",
+        "chi2_stat",
+      )}
+    FROM scored
+    ORDER BY digit
+    """
+
+
 QUERIES = [
     sql_backed("table_profile", _table_profile_sql, ("events",)),
     sql_backed("dq_checks", _dq_checks_sql, ("events", "orders", "customer", "lineitem")),
     sql_backed("window_functions_suite", _window_suite_sql, ("orders",)),
     sql_backed("interval_join_stats", _interval_join_sql, ("orders", "events")),
     sql_backed("interval_join_binned", _interval_join_binned_sql, ("orders", "events")),
+    # registered mid-round-5 after the certification window froze: stays
+    # behind the 50 never-certified slots until CORRECTNESS_r05 lands
+    sql_backed("benford_digits", _benford_digits_sql, ("orders",), deferred=True),
 ]

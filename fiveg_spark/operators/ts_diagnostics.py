@@ -20,7 +20,7 @@ in both engines, so CUSUM is bit-stable; `corr` accumulation noise is
 from __future__ import annotations
 
 from fiveg_spark.operators.timeseries import _hourly_cte
-from fiveg_spark.plans.registry import cnt, dbl, pct, sql_backed
+from fiveg_spark.plans.registry import cnt, dbl, epoch, materialized_backed, pct, sql_backed
 
 
 def _acf_sql(d: str) -> str:
@@ -202,6 +202,71 @@ def _changepoint_sql(d: str) -> str:
     """
 
 
+def _iat_exponential_fit_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D24 — exponential goodness-of-fit for inter-arrival times: a
+    # Poisson-process arrival model (the queueing-theory default for
+    # packet/event streams, cf. the reference's IAT KPI family) implies
+    # exponential IATs.  Fit lambda = 1/mean per event_type, then a
+    # BINNED Kolmogorov-Smirnov distance on the fixed grid
+    # t_j = j*mean/5 (j = 1..20): with that grid the exponential CDF at
+    # t_j is the CONSTANT 1 - exp(-j/5), so the whole test is 20
+    # conditional sums — no global per-type sort, no empirical-CDF rank
+    # window (the textbook KS needs one; at 100 TB a 5-partition sort is
+    # the skew the repo bans, the binned variant is one hash-agg).
+    #
+    # materialized_backed: the IAT frame feeds BOTH the mean fit and the
+    # binned CDF; inlined it would run the (user, type) lag window
+    # twice.
+    iat_sql = f"""
+      WITH seq AS (
+        SELECT
+          event_type,
+          {epoch('ts', d)} AS t,
+          lag({epoch('ts', d)}) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+          ) AS prev_t
+        FROM events
+      )
+      SELECT event_type, t - prev_t AS iat
+      FROM seq
+      WHERE prev_t IS NOT NULL
+    """
+    emp = ",\n      ".join(
+        f"sum(CASE WHEN i.iat <= {j} * m.mean_iat / 5.0 THEN 1.0 ELSE 0.0 END) / m.n AS f{j}"
+        for j in range(1, 21)
+    )
+    ks = ", ".join(f"abs(f{j} - (1.0 - exp(-{j} / 5.0)))" for j in range(1, 21))
+    tail = f"""
+    WITH means AS (
+      SELECT
+        event_type,
+        avg(iat) AS mean_iat,
+        CAST(count(*) AS DOUBLE) AS n
+      FROM _mz_iat_frame
+      GROUP BY event_type
+    ),
+    cdf AS (
+      SELECT
+        i.event_type,
+        m.mean_iat,
+        m.n,
+        {emp}
+      FROM _mz_iat_frame i
+      JOIN means m ON i.event_type = m.event_type
+      GROUP BY i.event_type, m.mean_iat, m.n
+    )
+    SELECT
+      event_type,
+      {cnt("n", "n_iats")},
+      {dbl("mean_iat", "mean_iat_s")},
+      {dbl("1.0 / mean_iat", "lambda_hz")},
+      {dbl(f"GREATEST({ks})", "ks_binned")}
+    FROM cdf
+    ORDER BY event_type
+    """
+    return [("_mz_iat_frame", iat_sql)], tail
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("cusum_drift", _cusum_sql, ("events",)),
@@ -209,4 +274,10 @@ QUERIES = [
     sql_backed("seasonal_profile", _seasonal_profile_sql, ("events",)),
     sql_backed("rolling_median_throughput", _rolling_median_sql, ("events",)),
     sql_backed("best_changepoint", _changepoint_sql, ("events",)),
+    # registered mid-round-5 after the certification window froze: stays
+    # behind the 50 never-certified slots until CORRECTNESS_r05 lands
+    materialized_backed(
+        "iat_exponential_fit", _iat_exponential_fit_parts, ("events",),
+        deferred=True,
+    ),
 ]

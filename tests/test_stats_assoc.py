@@ -115,3 +115,52 @@ def test_doc_chunks_boundaries(spark):
         (1, 0, 0, 10, 10),
         (2, 0, 0, 256, 256),
     ]
+
+
+def test_benford_digits_hand_computed(spark):
+    import math
+
+    from fiveg_spark.operators import quality as q
+
+    totals = [1.5, 10.0, 25.0, 999.0, 0.0, 2.0, 100.0]  # 0 excluded
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(totals)], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("orders")
+    rows = {r["digit"]: r.asDict() for r in spark.sql(q._benford_digits_sql("spark")).collect()}
+    # digits: 1,1,2,9,-,2,1 -> 1:3, 2:2, 9:1 of 6
+    assert set(rows) == {1, 2, 9}
+    assert rows[1]["n_orders"] == 3
+    assert rows[2]["n_orders"] == 2
+    assert rows[9]["n_orders"] == 1
+    assert rows[1]["observed_frac"] == pytest.approx(0.5, abs=1e-3)
+    assert rows[1]["expected_frac"] == pytest.approx(math.log10(2), abs=1e-3)
+    chi2 = sum(
+        (rows[d]["n_orders"] / 6.0 - math.log10(1 + 1 / d)) ** 2 / math.log10(1 + 1 / d)
+        for d in (1, 2, 9)
+    )
+    assert rows[1]["chi2_stat"] == pytest.approx(chi2, abs=2e-3)
+
+
+def test_iat_exponential_fit_hand_computed(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators import ts_diagnostics as td
+    from fiveg_spark.plans.registry import run_parts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), "click", 7, 1.0, "{}") for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT, value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+    out = {r["event_type"]: r.asDict() for r in run_parts(spark, td._iat_exponential_fit_parts).collect()}
+    r = out["click"]
+    # IATs all exactly 1 s -> mean 1, lambda 1; empirical CDF jumps 0->1
+    # at grid j=5, so KS = max(|0 - (1-e^-0.8)|, |1 - (1-e^-1)|)
+    assert r["n_iats"] == 4
+    assert r["mean_iat_s"] == pytest.approx(1.0, abs=1e-3)
+    assert r["lambda_hz"] == pytest.approx(1.0, abs=1e-3)
+    assert r["ks_binned"] == pytest.approx(1.0 - math.exp(-0.8), abs=1e-3)
