@@ -274,7 +274,18 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
     Progressive (SOF2), arithmetic coding, hierarchical modes, and
     16-bit quant tables raise NotImplementedError — honestly gated, same
-    policy as the MP3/MP4 codec gate."""
+    policy as the MP3/MP4 codec gate.  Any malformed/truncated stream
+    raises ValueError (never hangs, never leaks an index error — media
+    blobs at scale are untrusted bytes)."""
+    import struct
+
+    try:
+        return _decode_jpeg_inner(content)
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_inner(content: bytes) -> np.ndarray:
     import struct
 
     if content[:2] != b"\xff\xd8":

@@ -895,3 +895,37 @@ def test_jpeg_decode_property_based():
             )
 
     check()
+
+
+def test_jpeg_decode_rejects_malformed_cleanly():
+    """Untrusted-bytes contract: any corrupted/truncated JPEG raises
+    ValueError or NotImplementedError — never an index/key leak, never a
+    hang (media blobs at scale are untrusted input)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fiveg_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(21)
+    good = _encode_jpeg(rng.integers(0, 256, size=(8, 8), dtype=np.uint8))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        cut=st.integers(3, len(good) - 1),
+        flip_at=st.integers(2, len(good) - 1),
+        flip_to=st.integers(0, 255),
+    )
+    def check(cut, flip_at, flip_to):
+        try:
+            decode_jpeg(good[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        corrupted = good[:flip_at] + bytes([flip_to]) + good[flip_at + 1 :]
+        try:
+            out = decode_jpeg(corrupted)
+            assert out.shape == (8, 8)  # survivable corruption must still decode sanely
+        except (ValueError, NotImplementedError):
+            pass
+
+    check()
