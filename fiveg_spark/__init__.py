@@ -10,4 +10,4 @@ columns).  See SURVEY.md for the operator inventory.
 from fiveg_spark.session import get_spark
 
 __all__ = ["get_spark"]
-__version__ = "0.1.0"
+__version__ = "0.5.0"

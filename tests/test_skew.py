@@ -48,3 +48,47 @@ def test_salt_actually_spreads_hot_key(spark):
     assert len(spread) == 8  # hot key present in every salt bucket
     counts = [r["count"] for r in spread]
     assert max(counts) < 2 * min(counts)  # roughly even
+
+
+def test_aqe_skew_join_fires_on_hot_key(spark):
+    """SURVEY §3 claims AQE skew-join handles residual hot keys the
+    salting utility doesn't cover — pin that the session config actually
+    fires: a 90%-hot-key shuffle join must come back with
+    SortMergeJoin(skew=true) + a skewed AQEShuffleRead in the FINAL
+    adaptive plan (thresholds lowered so a test-sized frame qualifies)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload-payload-payload-"), F.col("id").cast("string")).alias("pay"),
+        )
+        small = spark.range(0, 20_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = big.join(small, "k")
+        n = j.count()
+        jj = big.join(small, "k")
+        jj.collect()
+        plan = jj._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "skew=true" in plan, "AQE did not mark the skewed join"
+        assert "skewed" in plan, "no skewed AQEShuffleRead in final plan"
+        # correctness unaffected: every big row with k < 20000 matches once
+        assert n == 200_000 - (200_000 // 10) + len(range(0, 20_000, 10))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
