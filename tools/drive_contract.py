@@ -7,7 +7,10 @@ names), and order-insensitive value comparison (columns sorted by name,
 rows sorted by all columns, floats compared exactly after both engines'
 own rounding).
 
-Usage:  python tools/drive_contract.py [sf_dir] [query ...]
+Usage:  python tools/drive_contract.py [--window] [sf_dir] [query ...]
+
+``--window`` restricts to the first 50 queries() entries — exactly the
+set the driver's 50-slot certification run will sample.
 """
 
 from __future__ import annotations
@@ -52,8 +55,10 @@ def compare(name: str, pdf, odf) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, ".")
     import __spark_entry__ as contract
@@ -86,6 +91,8 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = contract.queries(), contract.oracle_sql()
+    if window_only:  # exactly what the driver's 50-slot run will sample
+        only = set(list(qs)[:50])
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
