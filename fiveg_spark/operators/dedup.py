@@ -416,6 +416,35 @@ def _incremental_dedup_sql(d: str) -> str:
     """
 
 
+def _incremental_minhash_sql(d: str) -> str:
+    # E50 — incremental NEAR-dup (the MinHash sibling of E49's exact
+    # pass): each new dump is LSH-checked against the accumulated
+    # corpus before ingestion (the cross-dump near-dedup step of
+    # CCNet/RefinedWeb-style pipelines).  Reuses the whole single-scan
+    # E2 candidate pipeline verbatim — same split convention as E49
+    # (doc_id % 3 = 2 is the new batch) — then classifies each candidate
+    # pair: vs_existing (drop the new doc) or within_batch (keeper =
+    # min doc_id); old-old pairs were a PRIOR snapshot's problem and are
+    # excluded.  At scale the old side's signatures come from a stored
+    # signature table instead of a rescan; the pair shape is identical.
+    return f"""
+    WITH cand AS ({_minhash_lsh_sql(d)})
+    SELECT
+      doc_a,
+      doc_b,
+      n_bands,
+      CASE
+        WHEN doc_a % 3 = 2 AND doc_b % 3 = 2 THEN 'within_batch'
+        ELSE 'vs_existing'
+      END AS verdict,
+      {cnt("CASE WHEN doc_a % 3 = 2 AND doc_b % 3 = 2 THEN doc_b "
+           "WHEN doc_a % 3 = 2 THEN doc_a ELSE doc_b END", "drop_doc_id")}
+    FROM cand
+    WHERE doc_a % 3 = 2 OR doc_b % 3 = 2
+    ORDER BY doc_a, doc_b
+    """
+
+
 QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
     sql_backed("edit_distance_pairs", _edit_distance_sql, ("documents",)),
@@ -425,4 +454,8 @@ QUERIES = [
     # registered mid-round-5 after the certification window froze: stays
     # behind the 50 never-certified slots until CORRECTNESS_r05 lands
     sql_backed("incremental_dedup", _incremental_dedup_sql, ("documents",), deferred=True),
+    sql_backed(
+        "incremental_minhash_pairs", _incremental_minhash_sql, ("documents",),
+        deferred=True,
+    ),
 ]

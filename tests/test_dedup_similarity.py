@@ -929,3 +929,33 @@ def test_jpeg_decode_rejects_malformed_cleanly():
             pass
 
     check()
+
+
+def test_incremental_minhash_classifies_planted_near_dups(spark):
+    # same old/new convention as incremental_dedup: new batch = id % 3 == 2
+    from fiveg_spark.operators import dedup as dd
+
+    a = "the quick brown fox jumps over the lazy dog again and again tonight"
+    b = "distributed query engines shuffle partition and aggregate data frames"
+    c = "completely different third text about streaming watermark state stores"
+    rows = [
+        (1, a, "en", "s", 0),   # old
+        (2, a, "en", "s", 0),   # new, copy of old 1 -> vs_existing, drop 2
+        (5, b, "en", "s", 0),   # new
+        (8, b, "en", "s", 0),   # new, copy of new 5 -> within_batch, drop 8
+        (3, c, "en", "s", 0),   # old
+        (4, c, "en", "s", 0),   # old, old-old pair must be EXCLUDED
+        (11, "totally unique sentence with no duplicate partner anywhere", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    out = {
+        (r["doc_a"], r["doc_b"]): r.asDict()
+        for r in spark.sql(dd._incremental_minhash_sql("spark")).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)]["verdict"] == "vs_existing"
+    assert out[(1, 2)]["drop_doc_id"] == 2
+    assert (5, 8) in out and out[(5, 8)]["verdict"] == "within_batch"
+    assert out[(5, 8)]["drop_doc_id"] == 8
+    assert (3, 4) not in out  # old-old: a prior snapshot's problem
