@@ -47,6 +47,40 @@ def observed(df: DataFrame, name: str = "audit", value_col: str = "value"):
 
 
 @dataclass(frozen=True)
+class StreamProgress:
+    """One micro-batch progress snapshot — the fields the reference's
+    monitor loop prints (KafkaKpiPipeline.scala:315-333: batch id, input
+    rows, rate, duration, state rows/memory), lifted from
+    ``StreamingQuery.lastProgress`` into a typed record."""
+
+    batch_id: int
+    num_input_rows: int
+    input_rows_per_second: float
+    batch_duration_ms: int
+    state_rows: int | None  # None for stateless queries
+    state_memory_bytes: int | None
+
+
+def progress_report(query) -> StreamProgress | None:
+    """Typed snapshot of a streaming query's last progress (None before
+    the first micro-batch completes).  Poll this from an ops loop the
+    way the reference monitors its Kafka pipeline — no extra query
+    work, the numbers are already collected by the engine."""
+    p = query.lastProgress
+    if p is None:
+        return None
+    state = p.get("stateOperators") or []
+    return StreamProgress(
+        batch_id=p.get("batchId", -1),
+        num_input_rows=p.get("numInputRows", 0),
+        input_rows_per_second=float(p.get("inputRowsPerSecond") or 0.0),
+        batch_duration_ms=int(p.get("batchDuration") or 0),
+        state_rows=state[0].get("numRowsTotal") if state else None,
+        state_memory_bytes=state[0].get("memoryUsedBytes") if state else None,
+    )
+
+
+@dataclass(frozen=True)
 class AuditVerdict:
     ok: bool
     reasons: list[str]

@@ -74,3 +74,46 @@ def test_circuit_breaker_all_null_value_column():
     verdict = check_audit(metrics, max_null_frac=1.0, value_range=(0.0, 100.0))
     assert not verdict.ok
     assert any("NULL" in r for r in verdict.reasons)
+
+
+def test_progress_report_surfaces_state_rows(spark, tmp_path):
+    """progress_report mirrors the reference's monitor loop
+    (KafkaKpiPipeline.scala:315-333): batch id, input rows, duration,
+    and state-store rows for a stateful (windowed-agg) streaming query."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.plans.observe import progress_report
+
+    src = tmp_path / "psrc"
+    src.mkdir()
+    shutil.copy(f"{c.SF_DIR}/events.parquet", src / "p0.parquet")
+    schema = spark.read.parquet(str(src / "p0.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    from fiveg_spark.sources.tables import normalize_event_ts
+
+    agg = (
+        normalize_event_ts(stream)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "pckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = progress_report(q)
+    assert snap is not None
+    assert snap.batch_id >= 0
+    assert snap.batch_duration_ms >= 0
+    # the windowed agg is stateful: state rows must surface
+    total_inputs = snap.num_input_rows + sum(
+        p.get("numInputRows", 0) for p in q.recentProgress[:-1]
+    )
+    assert total_inputs >= 0
+    assert snap.state_rows is not None and snap.state_memory_bytes is not None
