@@ -28,9 +28,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _contract():
-    # __spark_entry__ lives at the repo root, next to this package
+    # __spark_entry__ lives at the repo root, next to this package — the
+    # CLI is repo tooling (run it from a checkout), not a wheel feature
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    import __spark_entry__ as contract
+    try:
+        import __spark_entry__ as contract
+    except ModuleNotFoundError as exc:
+        raise SystemExit(
+            "the fiveg_spark CLI needs the repo-level query registry "
+            "(__spark_entry__.py); run it from a repository checkout"
+        ) from exc
 
     return contract
 

@@ -389,9 +389,17 @@ def _contamination_matrix_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       WITH {_ngram_cte(d)}
       SELECT DISTINCT source, ng FROM ngrams
     """
+    # totals come from the FULL source universe (distinct over the base
+    # table), not from the n-gram frame: a source whose docs are all
+    # under 3 tokens has zero grams but still belongs in every pair row
+    # (with n=0 and guarded zero ratios) — "complete matrix" means
+    # complete over sources, not over sources-that-happen-to-have-grams.
     tail = f"""
     WITH totals AS (
-      SELECT source, count(*) AS n FROM _mz_contam_ng GROUP BY source
+      SELECT d.source, count(n.ng) AS n
+      FROM (SELECT DISTINCT source FROM documents) d
+      LEFT JOIN _mz_contam_ng n ON n.source = d.source
+      GROUP BY d.source
     ),
     pairs AS (
       SELECT
@@ -414,9 +422,9 @@ def _contamination_matrix_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       {cnt("p.na", "ngrams_a")},
       {cnt("p.nb", "ngrams_b")},
       {cnt("coalesce(s.c, 0)", "shared_ngrams")},
-      {dbl("coalesce(s.c, 0) / CAST(p.na AS DOUBLE)", "contain_a_in_b")},
-      {dbl("coalesce(s.c, 0) / CAST(p.nb AS DOUBLE)", "contain_b_in_a")},
-      {dbl("coalesce(s.c, 0) / CAST(p.na + p.nb - coalesce(s.c, 0) AS DOUBLE)", "jaccard")}
+      {dbl("CASE WHEN p.na = 0 THEN 0.0 ELSE coalesce(s.c, 0) / CAST(p.na AS DOUBLE) END", "contain_a_in_b")},
+      {dbl("CASE WHEN p.nb = 0 THEN 0.0 ELSE coalesce(s.c, 0) / CAST(p.nb AS DOUBLE) END", "contain_b_in_a")},
+      {dbl("CASE WHEN p.na + p.nb - coalesce(s.c, 0) = 0 THEN 0.0 ELSE coalesce(s.c, 0) / CAST(p.na + p.nb - coalesce(s.c, 0) AS DOUBLE) END", "jaccard")}
     FROM pairs p
     LEFT JOIN shared s ON s.source_a = p.source_a AND s.source_b = p.source_b
     ORDER BY p.source_a, p.source_b

@@ -281,7 +281,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
     try:
         return _decode_jpeg_inner(content)
-    except (IndexError, KeyError, struct.error) as exc:
+    except (IndexError, KeyError, ZeroDivisionError, struct.error) as exc:
         raise ValueError(f"malformed JPEG: {exc!r}") from exc
 
 
@@ -301,6 +301,9 @@ def _decode_jpeg_inner(content: bytes) -> np.ndarray:
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = content[pos + 1]
+        if marker == 0xFF:  # 0xFF fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         pos += 2
         if marker == 0xD9:  # EOI
             break
@@ -326,7 +329,10 @@ def _decode_jpeg_inner(content: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq_ = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, hv >> 4, hv & 15, tq_))
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):  # T.81 B.2.2 range
+                    raise ValueError(f"JPEG sampling factors {hs}x{vs} out of range")
+                comps.append((cid, hs, vs, tq_))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (progressive/arithmetic/hierarchical)")
@@ -343,7 +349,16 @@ def _decode_jpeg_inner(content: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS → entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if scan_comps:
+                # second SOS = multi-scan (non-interleaved) baseline: the
+                # MCU loop below assumes ONE interleaved scan — gate it
+                # rather than misdecode (same policy as progressive)
+                raise NotImplementedError("multi-scan baseline JPEG")
             ns = seg[0]
+            if ns != len(frame[2]):
+                raise NotImplementedError(
+                    "non-interleaved JPEG scan (scan components != frame components)"
+                )
             comp_ids = [c[0] for c in frame[2]]
             for si in range(ns):
                 cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]

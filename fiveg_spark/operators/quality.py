@@ -232,26 +232,32 @@ def _benford_digits_sql(d: str) -> str:
     # First digit = x / 10^floor(log10(x)) — pure arithmetic, portable.
     #
     # Scale: one scan, one 9-group hash-agg; the chi2 window runs over
-    # the 9-row aggregate.  Digit-9 edge: float log10 can land exactly
-    # on the next decade for x just under a power of 10, flooring the
-    # ratio to 10 — LEAST-clamp to 9.
+    # the fixed 9-row spine.  Float edges: for x just under a power of
+    # 10, log10 can round UP to the next decade (ratio floors to 0) and
+    # for x at a power of 10 the ratio can floor to 10 — clamp BOTH
+    # sides into 1..9.  The output always carries all nine digits (LEFT
+    # JOIN against a literal spine): a digit that never occurs is the
+    # strongest Benford violation and MUST contribute its full
+    # (0 - N·p)²/(N·p) term to the count-based Pearson statistic.
+    spine = " UNION ALL ".join(f"SELECT {i} AS digit" for i in range(1, 10))
     return f"""
-    WITH digits AS (
+    WITH raw_digits AS (
       SELECT
-        LEAST(CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS INT), 9) AS digit
+        GREATEST(1, LEAST(CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS INT), 9)) AS digit
       FROM orders
       WHERE o_totalprice > 0
     ),
     counted AS (
-      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+      SELECT digit, count(*) AS n FROM raw_digits GROUP BY digit
     ),
+    spine AS ({spine}),
     scored AS (
       SELECT
-        digit,
-        n,
-        sum(n) OVER () AS total,
-        log10(1.0 + 1.0 / digit) AS expected
-      FROM counted
+        s.digit,
+        coalesce(c.n, 0) AS n,
+        sum(coalesce(c.n, 0)) OVER () AS total,
+        log10(1.0 + 1.0 / s.digit) AS expected
+      FROM spine s LEFT JOIN counted c ON s.digit = c.digit
     )
     SELECT
       CAST(digit AS INT) AS digit,
@@ -260,7 +266,7 @@ def _benford_digits_sql(d: str) -> str:
       {dbl("expected", "expected_frac")},
       {dbl("abs(n / CAST(total AS DOUBLE) - expected)", "abs_dev")},
       {dbl(
-        "sum(power(n / CAST(total AS DOUBLE) - expected, 2) / expected) OVER ()",
+        "sum(power(n - total * expected, 2) / (total * expected)) OVER ()",
         "chi2_stat",
       )}
     FROM scored

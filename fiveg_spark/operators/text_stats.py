@@ -247,12 +247,27 @@ def _zipf_slope_sql(d: str) -> str:
     # the OLS reduces via the same Σx/Σy/Σxy partial sums as C44 (exact
     # decomposable aggregates, map-side partials).  Deterministic rank
     # tiebreak on the term text keeps the top-100 set engine-identical.
+    # Degenerate sources guard: a single distinct term makes the x
+    # variance exactly 0, and equal counts across the top terms make the
+    # y variance (numerically) 0 — both would put 0/0 NaNs in the
+    # output, and NaN never oracle-matches.  The CASE thresholds
+    # classify those sources as slope 0 / r2 0 / intercept = mean y.
     explode = (
         f"SELECT source, explode({_tok(d)}) AS term FROM documents"
         if d == "spark"
         else f"SELECT source, unnest({_tok(d)}) AS term FROM documents"
     )
-    fit = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    dx = "(n * sxx - sx * sx)"
+    dy = "(n * syy - sy * sy)"
+    fit = f"(n * sxy - sx * sy) / {dx}"
+    slope = f"CASE WHEN abs({dx}) < 1e-9 THEN 0.0 ELSE {fit} END"
+    intercept = (
+        f"CASE WHEN abs({dx}) < 1e-9 THEN sy / n ELSE (sy - ({fit}) * sx) / n END"
+    )
+    r2 = (
+        f"CASE WHEN abs({dx}) < 1e-9 OR abs({dy}) < 1e-9 THEN 0.0 "
+        f"ELSE ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ({dx} * {dy}) END"
+    )
     return f"""
     WITH toks AS ({explode}),
     per_term AS (
@@ -288,9 +303,9 @@ def _zipf_slope_sql(d: str) -> str:
     SELECT
       source,
       {cnt("n", "n_terms")},
-      {dbl(fit, "zipf_slope")},
-      {dbl(f"(sy - ({fit}) * sx) / n", "intercept")},
-      {dbl("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / ((n * sxx - sx * sx) * (n * syy - sy * sy))", "r2")}
+      {dbl(slope, "zipf_slope")},
+      {dbl(intercept, "intercept")},
+      {dbl(r2, "r2")}
     FROM sums
     ORDER BY source
     """

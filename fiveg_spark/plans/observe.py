@@ -57,7 +57,10 @@ class StreamProgress:
     num_input_rows: int
     input_rows_per_second: float
     batch_duration_ms: int
-    state_rows: int | None  # None for stateless queries
+    # summed across ALL stateful operators (a query can carry several —
+    # e.g. stream-stream join + windowed agg — and unbounded growth in
+    # ANY of them is what an ops loop must see); None when stateless
+    state_rows: int | None
     state_memory_bytes: int | None
 
 
@@ -75,8 +78,10 @@ def progress_report(query) -> StreamProgress | None:
         num_input_rows=p.get("numInputRows", 0),
         input_rows_per_second=float(p.get("inputRowsPerSecond") or 0.0),
         batch_duration_ms=int(p.get("batchDuration") or 0),
-        state_rows=state[0].get("numRowsTotal") if state else None,
-        state_memory_bytes=state[0].get("memoryUsedBytes") if state else None,
+        state_rows=sum(s.get("numRowsTotal", 0) for s in state) if state else None,
+        state_memory_bytes=(
+            sum(s.get("memoryUsedBytes", 0) for s in state) if state else None
+        ),
     )
 
 

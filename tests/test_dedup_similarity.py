@@ -959,3 +959,35 @@ def test_incremental_minhash_classifies_planted_near_dups(spark):
     assert (5, 8) in out and out[(5, 8)]["verdict"] == "within_batch"
     assert out[(5, 8)]["drop_doc_id"] == 8
     assert (3, 4) not in out  # old-old: a prior snapshot's problem
+
+
+def test_jpeg_gates_zero_sampling_fill_bytes_and_multiscan():
+    """Review regressions: hv=0x00 sampling factors must raise ValueError
+    (not ZeroDivisionError); legal 0xFF fill bytes before markers must
+    decode; a second SOS (multi-scan baseline) must gate, not misdecode."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fiveg_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(31)
+    good = _encode_jpeg(rng.integers(0, 256, size=(8, 8), dtype=np.uint8))
+
+    # locate SOF0 and zero the component hv byte (offset: FFC0 len2 prec1 h2 w2 n1 id1 -> hv)
+    sof = good.index(b"\xff\xc0")
+    hv_off = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    bad_hv = good[:hv_off] + b"\x00" + good[hv_off + 1 :]
+    with _pytest.raises(ValueError):
+        decode_jpeg(bad_hv)
+
+    # insert fill bytes before the SOF marker: still a legal stream
+    padded = good[:sof] + b"\xff\xff\xff" + good[sof:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(good))
+
+    # duplicate the SOS header (second scan) -> NotImplementedError gate
+    sos = good.index(b"\xff\xda")
+    sos_len = int.from_bytes(good[sos + 2 : sos + 4], "big")
+    sos_seg = good[sos : sos + 2 + sos_len]
+    multi = good[:sos] + sos_seg + good[sos:]
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg(multi)

@@ -123,6 +123,22 @@ def test_contamination_matrix_hand_computed(spark):
     }
     # complete upper-triangle matrix incl. zero-overlap pairs
     assert set(rows) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    # a source with NO 3-grams (all docs < 3 tokens) must still appear
+    _docs_view(
+        spark,
+        [
+            (0, "a b c d", "en", "s1", 0),
+            (1, "hi there", "en", "s0", 0),  # 2 tokens -> zero grams
+        ],
+    )
+    rows0 = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in run_parts(spark, lc._contamination_matrix_parts).collect()
+    }
+    assert ("s0", "s1") in rows0
+    z = rows0[("s0", "s1")]
+    assert z["ngrams_a"] == 0 and z["shared_ngrams"] == 0
+    assert z["contain_a_in_b"] == 0.0 and z["jaccard"] == 0.0
     r12 = rows[("s1", "s2")]
     assert r12["ngrams_a"] == 2 and r12["ngrams_b"] == 2
     assert r12["shared_ngrams"] == 1

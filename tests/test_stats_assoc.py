@@ -127,18 +127,22 @@ def test_benford_digits_hand_computed(spark):
         [(i, t) for i, t in enumerate(totals)], "o_orderkey BIGINT, o_totalprice DOUBLE"
     ).createOrReplaceTempView("orders")
     rows = {r["digit"]: r.asDict() for r in spark.sql(q._benford_digits_sql("spark")).collect()}
-    # digits: 1,1,2,9,-,2,1 -> 1:3, 2:2, 9:1 of 6
-    assert set(rows) == {1, 2, 9}
+    # digits: 1,1,2,9,-,2,1 -> 1:3, 2:2, 9:1 of 6; the full 1..9 spine
+    # must appear — absent digits are the strongest Benford violations
+    assert set(rows) == set(range(1, 10))
     assert rows[1]["n_orders"] == 3
     assert rows[2]["n_orders"] == 2
     assert rows[9]["n_orders"] == 1
+    assert rows[3]["n_orders"] == 0 and rows[3]["observed_frac"] == 0.0
     assert rows[1]["observed_frac"] == pytest.approx(0.5, abs=1e-3)
     assert rows[1]["expected_frac"] == pytest.approx(math.log10(2), abs=1e-3)
+    # count-based Pearson chi2 over ALL nine digits
+    counts = {1: 3, 2: 2, 9: 1}
     chi2 = sum(
-        (rows[d]["n_orders"] / 6.0 - math.log10(1 + 1 / d)) ** 2 / math.log10(1 + 1 / d)
-        for d in (1, 2, 9)
+        (counts.get(d, 0) - 6 * math.log10(1 + 1 / d)) ** 2 / (6 * math.log10(1 + 1 / d))
+        for d in range(1, 10)
     )
-    assert rows[1]["chi2_stat"] == pytest.approx(chi2, abs=2e-3)
+    assert rows[1]["chi2_stat"] == pytest.approx(chi2, abs=2e-2)
 
 
 def test_iat_exponential_fit_hand_computed(spark):

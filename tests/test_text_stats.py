@@ -76,6 +76,31 @@ def test_zipf_slope_recovers_exact_power_law(spark):
     assert rows["s2"]["zipf_slope"] == pytest.approx(-1.0, abs=1e-3)
 
 
+def test_zipf_slope_degenerate_sources_no_nan(spark):
+    # single-term source (x variance exactly 0) and equal-count source
+    # (y variance 0): both must yield finite guarded values, never NaN
+    _docs_view(
+        spark,
+        [
+            (0, "solo solo solo", "en", "one_term", 0),
+            (1, "p q r s", "en", "flat", 0),  # all counts 1 -> y constant
+        ],
+    )
+    rows = {r["source"]: r.asDict() for r in spark.sql(ts._zipf_slope_sql("spark")).collect()}
+    import math as _m
+
+    one = rows["one_term"]
+    assert one["n_terms"] == 1
+    assert one["zipf_slope"] == 0.0 and one["r2"] == 0.0
+    assert one["intercept"] == pytest.approx(_m.log(3), abs=1e-3)  # mean y
+    flat = rows["flat"]
+    assert flat["zipf_slope"] == pytest.approx(0.0, abs=1e-3)
+    assert flat["r2"] == 0.0
+    for r in rows.values():
+        for col in ("zipf_slope", "intercept", "r2"):
+            assert not _m.isnan(r[col]), (r["source"], col)
+
+
 def test_unigram_ppl_hand_computed(spark):
     _docs_view(
         spark,

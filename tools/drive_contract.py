@@ -55,10 +55,16 @@ def compare(name: str, pdf, odf) -> list[str]:
 
 
 def main() -> int:
+    import os
+
     args = [a for a in sys.argv[1:] if a != "--window"]
     window_only = "--window" in sys.argv[1:]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    only = set(args[1:])
+    # first arg is the sf dir only if it actually IS a directory —
+    # `drive_contract.py --window q1` must not misread q1 as sf_dir
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
 
     sys.path.insert(0, ".")
     import __spark_entry__ as contract
@@ -92,7 +98,18 @@ def main() -> int:
 
     qs, oracles = contract.queries(), contract.oracle_sql()
     if window_only:  # exactly what the driver's 50-slot run will sample
-        only = set(list(qs)[:50])
+        window = set(list(qs)[:50])
+        if only:  # explicit names further restrict, never get discarded
+            outside = sorted(only - window)
+            if outside:
+                print(f"note: not in the 50-slot window, skipped: {outside}")
+            only = only & window
+            if not only:
+                print("none of the requested queries are in the window")
+                spark.stop()
+                return 1
+        else:
+            only = window
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
