@@ -34,6 +34,8 @@ def _contract():
     try:
         import __spark_entry__ as contract
     except ModuleNotFoundError as exc:
+        if exc.name != "__spark_entry__":
+            raise  # a real missing dependency (pyspark, numpy, ...)
         raise SystemExit(
             "the fiveg_spark CLI needs the repo-level query registry "
             "(__spark_entry__.py); run it from a repository checkout"

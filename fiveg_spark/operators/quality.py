@@ -239,13 +239,22 @@ def _benford_digits_sql(d: str) -> str:
     # JOIN against a literal spine): a digit that never occurs is the
     # strongest Benford violation and MUST contribute its full
     # (0 - N·p)²/(N·p) term to the count-based Pearson statistic.
+    # Empty-input guards live INSIDE the window sum for chi2: the
+    # per-row term is evaluated for the frame regardless of any outer
+    # CASE branch, and total = 0 would divide by zero under ANSI mode.
     spine = " UNION ALL ".join(f"SELECT {i} AS digit" for i in range(1, 10))
     return f"""
-    WITH raw_digits AS (
+    WITH ratio_digits AS (
       SELECT
-        GREATEST(1, LEAST(CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS INT), 9)) AS digit
+        CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice)))) AS INT) AS d0
       FROM orders
       WHERE o_totalprice > 0
+    ),
+    raw_digits AS (
+      -- d0 < 1 only happens when log10 rounded UP at x just under a
+      -- power of 10 — such a value's true first digit is always 9
+      SELECT CASE WHEN d0 < 1 THEN 9 ELSE LEAST(d0, 9) END AS digit
+      FROM ratio_digits
     ),
     counted AS (
       SELECT digit, count(*) AS n FROM raw_digits GROUP BY digit
@@ -262,11 +271,12 @@ def _benford_digits_sql(d: str) -> str:
     SELECT
       CAST(digit AS INT) AS digit,
       {cnt("n", "n_orders")},
-      {dbl("n / CAST(total AS DOUBLE)", "observed_frac")},
+      {dbl("CASE WHEN total = 0 THEN 0.0 ELSE n / CAST(total AS DOUBLE) END", "observed_frac")},
       {dbl("expected", "expected_frac")},
-      {dbl("abs(n / CAST(total AS DOUBLE) - expected)", "abs_dev")},
+      {dbl("CASE WHEN total = 0 THEN 0.0 ELSE abs(n / CAST(total AS DOUBLE) - expected) END", "abs_dev")},
       {dbl(
-        "sum(power(n - total * expected, 2) / (total * expected)) OVER ()",
+        "sum(CASE WHEN total = 0 THEN 0.0 "
+        "ELSE power(n - total * expected, 2) / (total * expected) END) OVER ()",
         "chi2_stat",
       )}
     FROM scored

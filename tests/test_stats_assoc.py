@@ -145,6 +145,29 @@ def test_benford_digits_hand_computed(spark):
     assert rows[1]["chi2_stat"] == pytest.approx(chi2, abs=2e-2)
 
 
+def test_benford_digits_edge_cases(spark):
+    from fiveg_spark.operators import quality as q
+
+    # float edge: the double just below 10^3 — log10 rounds UP to 3, the
+    # ratio floors to 0, and the true first digit is 9 (not a clamp to 1)
+    spark.createDataFrame(
+        [(0, 999.9999999999999), (1, 500.0)], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("orders")
+    rows = {r["digit"]: r.asDict() for r in spark.sql(q._benford_digits_sql("spark")).collect()}
+    assert rows[9]["n_orders"] == 1
+    assert rows[5]["n_orders"] == 1
+    assert rows[1]["n_orders"] == 0
+
+    # empty / all-non-positive input: 9 zero rows, no division error
+    spark.createDataFrame(
+        [(0, 0.0), (1, -5.0)], "o_orderkey BIGINT, o_totalprice DOUBLE"
+    ).createOrReplaceTempView("orders")
+    rows = spark.sql(q._benford_digits_sql("spark")).collect()
+    assert len(rows) == 9
+    assert all(r["n_orders"] == 0 and r["observed_frac"] == 0.0 for r in rows)
+    assert all(r["chi2_stat"] == 0.0 for r in rows)
+
+
 def test_iat_exponential_fit_hand_computed(spark):
     import datetime as dt
     import math

@@ -59,9 +59,13 @@ def main() -> int:
 
     args = [a for a in sys.argv[1:] if a != "--window"]
     window_only = "--window" in sys.argv[1:]
-    # first arg is the sf dir only if it actually IS a directory —
-    # `drive_contract.py --window q1` must not misread q1 as sf_dir
-    if args and os.path.isdir(args[0]):
+    # a path-looking first arg is the sf dir (and must exist — a typo'd
+    # dir must fail loudly, not silently verify the default dataset);
+    # a name-looking first arg is a query filter
+    if args and (os.sep in args[0] or args[0].startswith(".")):
+        if not os.path.isdir(args[0]):
+            print(f"sf dir does not exist: {args[0]}")
+            return 2
         sf_dir, only = args[0], set(args[1:])
     else:
         sf_dir, only = "/root/testdata/sf0.01", set(args)
@@ -97,6 +101,11 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = contract.queries(), contract.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:  # typo'd names must fail loudly, not print ALL OK
+        print(f"unknown queries: {unknown}")
+        spark.stop()
+        return 2
     if window_only:  # exactly what the driver's 50-slot run will sample
         window = set(list(qs)[:50])
         if only:  # explicit names further restrict, never get discarded
