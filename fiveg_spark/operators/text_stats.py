@@ -112,7 +112,11 @@ def _vocab_growth_sql(d: str) -> str:
       {cnt("sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)", "hapax_terms")},
       {dbl("CAST(count(*) AS DOUBLE) / sum(c)", "type_token_ratio")},
       {dbl("sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / count(*)", "hapax_frac")},
-      {dbl("ln(CAST(count(*) AS DOUBLE)) / ln(CAST(sum(c) AS DOUBLE))", "heaps_exponent")}
+      {dbl(
+        "CASE WHEN sum(c) <= 1 THEN 0.0 "
+        "ELSE ln(CAST(count(*) AS DOUBLE)) / ln(CAST(sum(c) AS DOUBLE)) END",
+        "heaps_exponent",
+      )}
     FROM per_term
     GROUP BY source
     ORDER BY source

@@ -1,0 +1,155 @@
+"""Property-based ENGINE parity: hypothesis-generated corpora, not the
+fixed testdata, through both engines with the driver's comparator.
+
+The fixed-SF oracle gate proves agreement on ONE data distribution; the
+degenerate shapes it never contains (single-term sources, equal-count
+vocabularies, empty/short texts, float-edge prices, empty tables) are
+exactly where 0/0, NaN-vs-NULL, and clamp bugs hide — two such bugs
+survived to review in round 5 (zipf NaN, benford digit-0).  This gate
+feeds those shapes in on purpose, forever.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from fiveg_spark.operators.dedup import _incremental_dedup_sql
+from fiveg_spark.operators.llm_curation import (
+    _gopher_quality_sql,
+    _mixture_weights_sql,
+)
+from fiveg_spark.operators.quality import _benford_digits_sql
+from fiveg_spark.operators.text import _text_quality_sql
+from fiveg_spark.operators.text_stats import (
+    _unigram_ppl_sql,
+    _vocab_growth_sql,
+    _zipf_slope_sql,
+)
+from tests.test_oracle_parity import _rows
+
+# small alphabet -> high collision probability -> duplicate/degenerate
+# sources are common, not rare
+_WORDS = ["a", "bb", "the", "data", "spark", "x"]
+
+_DOC_SQL = {
+    "zipf_slope": _zipf_slope_sql,
+    "vocab_growth": _vocab_growth_sql,
+    "text_quality": _text_quality_sql,
+    "incremental_dedup": _incremental_dedup_sql,
+    "unigram_ppl": _unigram_ppl_sql,
+    "gopher_quality": _gopher_quality_sql,
+    "mixture_weights": _mixture_weights_sql,
+}
+
+_DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+
+def _assert_parity(spark, pdf: pd.DataFrame, view: str, schema: str, sql_fn, name):
+    sdf = spark.createDataFrame(pdf, schema) if len(pdf) else spark.createDataFrame([], schema)
+    sdf.createOrReplaceTempView(view)
+    got = spark.sql(sql_fn("spark"))
+    spark_rows = _rows(got.columns, got.collect())
+
+    con = duckdb.connect()
+    try:
+        con.register(view, pdf)
+        res = con.execute(sql_fn("duckdb"))
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = _rows(duck_cols, res.fetchall())
+    finally:
+        con.close()
+
+    assert sorted(got.columns) == sorted(duck_cols), name
+    assert spark_rows == duck_rows, f"{name}: engines disagree on generated input"
+
+
+@pytest.mark.parametrize("name", sorted(_DOC_SQL))
+def test_document_queries_on_random_corpora(spark, name):
+    sql_fn = _DOC_SQL[name]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+                st.sampled_from(["s1", "s2"]),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(docs):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(len(docs)), dtype="int64"),
+                "text": [" ".join(words) for words, _src in docs],
+                "lang": ["en"] * len(docs),
+                "source": [src for _words, src in docs],
+                "n_chars": pd.Series(
+                    [len(" ".join(w)) for w, _ in docs], dtype="int64"
+                ),
+            }
+        )
+        _assert_parity(spark, pdf, "documents", _DOC_SCHEMA, sql_fn, name)
+
+    check()
+
+
+def test_benford_on_random_prices(spark):
+    edge_prices = [
+        999.9999999999999,  # log10 rounds UP -> true digit 9
+        1.0,
+        10.0,
+        100.0,
+        0.0,  # excluded by the > 0 filter
+        -3.5,  # excluded
+        1e-7,
+        9.999999999999998,
+        123.456,
+    ]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        prices=st.lists(
+            st.one_of(
+                st.sampled_from(edge_prices),
+                st.floats(
+                    min_value=1e-6,
+                    max_value=1e6,
+                    allow_nan=False,
+                    allow_infinity=False,
+                ),
+            ),
+            min_size=0,
+            max_size=12,
+        )
+    )
+    def check(prices):
+        pdf = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(range(len(prices)), dtype="int64"),
+                "o_totalprice": pd.Series(prices, dtype="float64"),
+            }
+        )
+        _assert_parity(
+            spark,
+            pdf,
+            "orders",
+            "o_orderkey BIGINT, o_totalprice DOUBLE",
+            _benford_digits_sql,
+            "benford_digits",
+        )
+
+    check()
