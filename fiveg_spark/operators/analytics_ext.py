@@ -125,9 +125,13 @@ def _zscore_sql(d: str) -> str:
     # from Σx, Σx² (explicit formula — engine-identical, see §4 rules);
     # the |z|>2 filter runs on the ROUNDED z so both engines apply an
     # identical predicate to an identical value.
+    # n = 1 guard: (n - 1) = 0 divides by zero under ANSI; a single
+    # observation has z = 0 by definition (v = mean), so the CASE keeps
+    # the expression total without changing any multi-row result
     z = (
         "round((v - s1 / n) /"
-        " sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 1e-12))"
+        " sqrt(greatest(CASE WHEN n <= 1 THEN 0.0"
+        " ELSE (s2 - s1 * s1 / n) / (n - 1) END, 1e-12))"
         f" + {NUDGE}, 4)"
     )
     return f"""

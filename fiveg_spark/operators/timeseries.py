@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from fiveg_spark.operators.kpi import flows_cte
 from fiveg_spark.plans.registry import (
+    corr_safe,
     Query,
     cnt,
     dbl,
@@ -442,17 +443,19 @@ def _event_type_mix_sql(d: str) -> str:
 
 def _feature_correlations_sql(d: str) -> str:
     # D11 — sample Pearson correlations between the hourly KPI features
-    # (the multivariate structure VAR exploits); corr() is sample-based
-    # in both engines.
+    # (the multivariate structure VAR exploits); corr_safe because the
+    # native corr() raises under ANSI on constant series (degenerate
+    # hours are real at small windows) — identical values elsewhere
+    # after the 4-decimal rounding.
     return f"""
     {_hourly_cte(d)}
     SELECT
       slice,
-      {dbl("corr(throughput_bps, total_packets)", "corr_tp_pkts")},
-      {dbl("corr(throughput_bps, jitter)", "corr_tp_jitter")},
-      {dbl("corr(throughput_bps, latency)", "corr_tp_latency")},
-      {dbl("corr(jitter, latency)", "corr_jitter_latency")},
-      {dbl("corr(congestion, latency)", "corr_cong_latency")}
+      {dbl(corr_safe("throughput_bps", "total_packets"), "corr_tp_pkts")},
+      {dbl(corr_safe("throughput_bps", "jitter"), "corr_tp_jitter")},
+      {dbl(corr_safe("throughput_bps", "latency"), "corr_tp_latency")},
+      {dbl(corr_safe("jitter", "latency"), "corr_jitter_latency")},
+      {dbl(corr_safe("congestion", "latency"), "corr_cong_latency")}
     FROM hourly
     GROUP BY slice
     """

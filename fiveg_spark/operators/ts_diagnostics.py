@@ -20,7 +20,15 @@ in both engines, so CUSUM is bit-stable; `corr` accumulation noise is
 from __future__ import annotations
 
 from fiveg_spark.operators.timeseries import _hourly_cte
-from fiveg_spark.plans.registry import cnt, dbl, epoch, materialized_backed, pct, sql_backed
+from fiveg_spark.plans.registry import (
+    cnt,
+    corr_safe,
+    dbl,
+    epoch,
+    materialized_backed,
+    pct,
+    sql_backed,
+)
 
 
 def _acf_sql(d: str) -> str:
@@ -40,9 +48,9 @@ def _acf_sql(d: str) -> str:
     SELECT
       slice,
       {cnt("count(*)", "n_hours")},
-      {dbl("corr(v, v1)", "acf_lag1")},
-      {dbl("corr(v, v3)", "acf_lag3")},
-      {dbl("corr(v, v24)", "acf_lag24")}
+      {dbl(corr_safe("v", "v1"), "acf_lag1")},
+      {dbl(corr_safe("v", "v3"), "acf_lag3")},
+      {dbl(corr_safe("v", "v24"), "acf_lag24")}
     FROM lagged
     GROUP BY slice
     """

@@ -129,6 +129,30 @@ def cnt(expr: str, alias: str) -> str:
     return f"CAST({expr} AS BIGINT) AS {alias}"
 
 
+def corr_safe(x: str, y: str) -> str:
+    """Sample correlation from decomposable sums, total on degenerate
+    input: the native ``corr`` raises DIVIDE_BY_ZERO under Spark's
+    default ANSI mode when either series is constant (and yields
+    NULL/NaN inconsistently across engines), so constant/empty series
+    here return 0.0 instead.  NULL pairs are excluded like the native
+    aggregate.  Same text in both dialects; the ulp-level difference vs
+    the engine's one-pass co-moment algorithm dies in the 4-decimal
+    rounding every query applies."""
+    both = f"({x} IS NOT NULL AND {y} IS NOT NULL)"
+    n = f"sum(CASE WHEN {both} THEN 1.0 ELSE 0.0 END)"
+    sx = f"sum(CASE WHEN {both} THEN {x} ELSE 0.0 END)"
+    sy = f"sum(CASE WHEN {both} THEN {y} ELSE 0.0 END)"
+    sxx = f"sum(CASE WHEN {both} THEN {x} * {x} ELSE 0.0 END)"
+    syy = f"sum(CASE WHEN {both} THEN {y} * {y} ELSE 0.0 END)"
+    sxy = f"sum(CASE WHEN {both} THEN {x} * {y} ELSE 0.0 END)"
+    dx = f"({n} * {sxx} - {sx} * {sx})"
+    dy = f"({n} * {syy} - {sy} * {sy})"
+    return (
+        f"CASE WHEN {dx} <= 1e-12 OR {dy} <= 1e-12 THEN 0.0 "
+        f"ELSE ({n} * {sxy} - {sx} * {sy}) / sqrt({dx} * {dy}) END"
+    )
+
+
 def pct(col: str, p: float, dialect: str) -> str:
     """Exact interpolated percentile in both engines."""
     if dialect == "spark":

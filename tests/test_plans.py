@@ -221,3 +221,31 @@ def test_deferred_queries_stay_out_of_certification_window():
     assert not (window & deferred), (
         f"deferred queries displaced frozen window names: {window & deferred}"
     )
+
+
+def test_corr_safe_matches_numpy_and_handles_degenerate(spark):
+    import numpy as np
+
+    from fiveg_spark.plans.registry import corr_safe
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(10, 3, 40)
+    y = 0.6 * x + rng.normal(0, 2, 40)
+    rows = [(float(a), float(b)) for a, b in zip(x, y)]
+    spark.createDataFrame(rows, "x DOUBLE, y DOUBLE").createOrReplaceTempView("cs_t")
+    got = spark.sql(f"SELECT {corr_safe('x', 'y')} AS c FROM cs_t").collect()[0]["c"]
+    assert abs(got - np.corrcoef(x, y)[0, 1]) < 1e-9
+
+    # constant series: native corr() raises under ANSI; corr_safe -> 0.0
+    spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x DOUBLE, y DOUBLE"
+    ).createOrReplaceTempView("cs_t")
+    got = spark.sql(f"SELECT {corr_safe('x', 'y')} AS c FROM cs_t").collect()[0]["c"]
+    assert got == 0.0
+
+    # NULL pairs excluded like the native aggregate
+    spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, None), (4.0, 8.0)], "x DOUBLE, y DOUBLE"
+    ).createOrReplaceTempView("cs_t")
+    got = spark.sql(f"SELECT {corr_safe('x', 'y')} AS c FROM cs_t").collect()[0]["c"]
+    assert abs(got - 1.0) < 1e-9

@@ -153,3 +153,70 @@ def test_benford_on_random_prices(spark):
         )
 
     check()
+
+
+def _events_pdf(rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return pd.DataFrame(
+        {
+            "event_id": pd.Series(range(len(rows)), dtype="int64"),
+            "ts": pd.Series(
+                [base + dt.timedelta(hours=h, minutes=m) for h, m, *_ in rows],
+                dtype="datetime64[us]",
+            ),
+            "user_id": pd.Series([u for _h, _m, u, *_ in rows], dtype="int64"),
+            "event_type": [t for *_x, t, _v in rows],
+            "value": pd.Series([v for *_x, v in rows], dtype="float64"),
+            "props": ['{"k": 1}'] * len(rows),
+        }
+    )
+
+
+_EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _event_sql_fns():
+    from fiveg_spark.operators.analytics_ext import _zscore_sql
+    from fiveg_spark.operators.timeseries import _window_entropy_sql
+    from fiveg_spark.operators.ts_diagnostics import _acf_sql
+
+    return {
+        "zscore_anomalies": _zscore_sql,
+        "window_entropy": _window_entropy_sql,
+        "acf_throughput": _acf_sql,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_event_sql_fns()))
+def test_event_queries_on_random_streams(spark, name):
+    sql_fn = _event_sql_fns()[name]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 72),            # hour offset
+                st.integers(0, 59),            # minute
+                st.integers(0, 3),             # user_id
+                st.sampled_from(["view", "click"]),
+                # tiny value alphabet -> constant per-type series are
+                # COMMON, triggering zero-variance std/corr paths
+                st.sampled_from([1.0, 2.5, 7.25]),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def check(rows):
+        _assert_parity(spark, _events_pdf(rows), "events", _EVENTS_SCHEMA, sql_fn, name)
+
+    check()
