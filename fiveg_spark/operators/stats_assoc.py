@@ -20,6 +20,23 @@ from fiveg_spark.operators.timeseries import _hourly_cte
 from fiveg_spark.plans.registry import cnt, dbl, epoch, sql_backed
 
 
+# Guarded OLS fit pieces over Σ sums named (n, sx, sy, sxx, syy, sxy):
+# a single-hour slice has x variance EXACTLY 0 (division by zero under
+# ANSI) and a constant-throughput slice zeroes the y variance (0/0 NaN
+# in r²) — degenerate fits report slope 0 / intercept = mean y / r² 0.
+_OLS_DX = "(n * sxx - sx * sx)"
+_OLS_DY = "(n * syy - sy * sy)"
+_OLS_FIT = f"(n * sxy - sx * sy) / {_OLS_DX}"
+_OLS_SLOPE = f"CASE WHEN abs({_OLS_DX}) < 1e-9 THEN 0.0 ELSE {_OLS_FIT} END"
+_OLS_INTERCEPT = (
+    f"CASE WHEN abs({_OLS_DX}) < 1e-9 THEN sy / n ELSE (sy - ({_OLS_FIT}) * sx) / n END"
+)
+_OLS_R2 = (
+    f"CASE WHEN abs({_OLS_DX}) < 1e-9 OR abs({_OLS_DY}) < 1e-9 THEN 0.0 "
+    f"ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) / ({_OLS_DX} * {_OLS_DY}) END"
+)
+
+
 def _ols_trend_sql(d: str) -> str:
     # C44 — per-slice OLS trend of hourly throughput: slope (bps/hour),
     # intercept, and r².  Closed-form from Σx, Σy, Σxy, Σx², Σy² — the
@@ -49,12 +66,9 @@ def _ols_trend_sql(d: str) -> str:
     SELECT
       slice,
       {cnt("n", "n_hours")},
-      {dbl("(n * sxy - sx * sy) / (n * sxx - sx * sx)", "slope_bps_per_hour")},
-      {dbl("(sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n", "intercept_bps")},
-      {dbl(
-        "(n * sxy - sx * sy) * (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy))",
-        "r2",
-      )}
+      {dbl(_OLS_SLOPE, "slope_bps_per_hour")},
+      {dbl(_OLS_INTERCEPT, "intercept_bps")},
+      {dbl(_OLS_R2, "r2")}
     FROM sums
     ORDER BY slice
     """
@@ -107,6 +121,9 @@ def _assoc_sql(d: str) -> str:
     # cells absent): an O=0 cell contributes E to χ², and Σ_all E = N,
     # so the missing mass is N − Σ_observed E — closed form, no dense
     # type×band cross join.  Zero cells contribute 0 to MI (p·ln p → 0).
+    # Cramér's V guard: a 1-type or 1-band grid has min(r−1, c−1) = 0 —
+    # V is undefined (no association possible), report 0 instead of
+    # dividing by zero under ANSI.
     return f"""
     WITH grid AS (
       SELECT
@@ -137,9 +154,11 @@ def _assoc_sql(d: str) -> str:
       )},
       {cnt("(count(DISTINCT event_type) - 1) * (count(DISTINCT band) - 1)", "dof")},
       {dbl(
+        "CASE WHEN least(count(DISTINCT event_type) - 1, count(DISTINCT band) - 1) = 0 "
+        "THEN 0.0 ELSE "
         "sqrt((sum((o - r_tot * c_tot / n) * (o - r_tot * c_tot / n) / (r_tot * c_tot / n)) "
         "+ (max(n) - sum(r_tot * c_tot / n))) "
-        "/ (max(n) * least(count(DISTINCT event_type) - 1, count(DISTINCT band) - 1)))",
+        "/ (max(n) * least(count(DISTINCT event_type) - 1, count(DISTINCT band) - 1))) END",
         "cramers_v",
       )},
       {dbl("sum((o / n) * ln(o * n / (r_tot * c_tot)))", "mutual_info_nats")}

@@ -182,13 +182,20 @@ _EVENTS_SCHEMA = (
 
 def _event_sql_fns():
     from fiveg_spark.operators.analytics_ext import _zscore_sql
-    from fiveg_spark.operators.timeseries import _window_entropy_sql
+    from fiveg_spark.operators.stats_assoc import _assoc_sql, _ols_trend_sql
+    from fiveg_spark.operators.timeseries import (
+        _feature_correlations_sql,
+        _window_entropy_sql,
+    )
     from fiveg_spark.operators.ts_diagnostics import _acf_sql
 
     return {
         "zscore_anomalies": _zscore_sql,
         "window_entropy": _window_entropy_sql,
         "acf_throughput": _acf_sql,
+        "ols_trend_per_slice": _ols_trend_sql,
+        "event_time_association": _assoc_sql,
+        "feature_correlations": _feature_correlations_sql,
     }
 
 
