@@ -189,6 +189,15 @@ def _event_sql_fns():
     )
     from fiveg_spark.operators.ts_diagnostics import _acf_sql
 
+    from fiveg_spark.operators.analytics_ext import _mode_sql
+    from fiveg_spark.operators.behavior import _transition_matrix_sql
+    from fiveg_spark.operators.rollup_stats import _concurrency_sql
+    from fiveg_spark.operators.timeseries import (
+        _cohort_retention_sql,
+        _funnel_sql,
+        _time_to_convert_sql,
+    )
+
     return {
         "zscore_anomalies": _zscore_sql,
         "window_entropy": _window_entropy_sql,
@@ -196,6 +205,13 @@ def _event_sql_fns():
         "ols_trend_per_slice": _ols_trend_sql,
         "event_time_association": _assoc_sql,
         "feature_correlations": _feature_correlations_sql,
+        # behavior block: tie-handling + window logic on tiny streams
+        "transition_matrix": _transition_matrix_sql,
+        "cohort_retention": _cohort_retention_sql,
+        "funnel_stages": _funnel_sql,
+        "time_to_convert": _time_to_convert_sql,
+        "daily_modal_type": _mode_sql,
+        "concurrency_profile": _concurrency_sql,
     }
 
 
@@ -212,9 +228,10 @@ def test_event_queries_on_random_streams(spark, name):
         rows=st.lists(
             st.tuples(
                 st.integers(0, 72),            # hour offset
-                st.integers(0, 59),            # minute
+                st.sampled_from([0, 30]),      # minute: coarse -> frequent
+                                               # EXACT-timestamp ties
                 st.integers(0, 3),             # user_id
-                st.sampled_from(["view", "click"]),
+                st.sampled_from(["view", "click", "purchase"]),
                 # tiny value alphabet -> constant per-type series are
                 # COMMON, triggering zero-variance std/corr paths
                 st.sampled_from([1.0, 2.5, 7.25]),
