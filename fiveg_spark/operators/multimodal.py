@@ -333,6 +333,13 @@ def _decode_jpeg_inner(content: bytes) -> np.ndarray:
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):  # T.81 B.2.2 range
                     raise ValueError(f"JPEG sampling factors {hs}x{vs} out of range")
                 comps.append((cid, hs, vs, tq_))
+            if ncomp == 1:
+                # T.81 A.2.2: a single-component scan is NON-interleaved —
+                # one data unit per MCU, declared sampling factors ignored
+                # (libjpeg does the same).  Without this a grayscale file
+                # declaring 2x2 factors would decode in 2x2-MCU order:
+                # silently garbled, or 'entropy data exhausted'.
+                comps = [(cid, 1, 1, tq_) for cid, _hs, _vs, tq_ in comps]
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-baseline JPEG (progressive/arithmetic/hierarchical)")

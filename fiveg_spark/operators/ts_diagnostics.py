@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from fiveg_spark.operators.timeseries import _hourly_cte
 from fiveg_spark.plans.registry import (
+    NUDGE,
     cnt,
     corr_safe,
     dbl,
@@ -239,8 +240,12 @@ def _iat_exponential_fit_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       FROM seq
       WHERE prev_t IS NOT NULL
     """
+    # + NUDGE: an IAT landing exactly on a grid point (all-equal IATs put
+    # iat == mean on the j=5 boundary) must bin identically in both
+    # engines even when their avg() differs by one ulp.
     emp = ",\n      ".join(
-        f"sum(CASE WHEN i.iat <= {j} * m.mean_iat / 5.0 THEN 1.0 ELSE 0.0 END) / m.n AS f{j}"
+        f"sum(CASE WHEN i.iat <= {j} * m.mean_iat / 5.0 + {NUDGE} "
+        f"THEN 1.0 ELSE 0.0 END) / m.n AS f{j}"
         for j in range(1, 21)
     )
     ks = ", ".join(f"abs(f{j} - (1.0 - exp(-{j} / 5.0)))" for j in range(1, 21))
@@ -267,7 +272,8 @@ def _iat_exponential_fit_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       event_type,
       {cnt("n", "n_iats")},
       {dbl("mean_iat", "mean_iat_s")},
-      {dbl("1.0 / mean_iat", "lambda_hz")},
+      {dbl("CASE WHEN mean_iat <= 0 THEN 0.0 ELSE 1.0 / mean_iat END",
+           "lambda_hz")},
       {dbl(f"GREATEST({ks})", "ks_binned")}
     FROM cdf
     ORDER BY event_type
@@ -282,10 +288,7 @@ QUERIES = [
     sql_backed("seasonal_profile", _seasonal_profile_sql, ("events",)),
     sql_backed("rolling_median_throughput", _rolling_median_sql, ("events",)),
     sql_backed("best_changepoint", _changepoint_sql, ("events",)),
-    # registered mid-round-5 after the certification window froze: stays
-    # behind the 50 never-certified slots until CORRECTNESS_r05 lands
     materialized_backed(
         "iat_exponential_fit", _iat_exponential_fit_parts, ("events",),
-        deferred=True,
     ),
 ]

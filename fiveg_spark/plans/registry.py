@@ -147,8 +147,14 @@ def corr_safe(x: str, y: str) -> str:
     sxy = f"sum(CASE WHEN {both} THEN {x} * {y} ELSE 0.0 END)"
     dx = f"({n} * {sxx} - {sx} * {sx})"
     dy = f"({n} * {syy} - {sy} * {sy})"
+    # Degenerate cutoff is RELATIVE to the series' magnitude (n*sxx
+    # scales with n^2 and the data's square): an absolute 1e-12 would
+    # let a near-constant series land on opposite sides of the
+    # threshold in Spark vs DuckDB from summation-order ulps alone.
+    tx = f"1e-12 * greatest({n} * {sxx}, 1e-300)"
+    ty = f"1e-12 * greatest({n} * {syy}, 1e-300)"
     return (
-        f"CASE WHEN {dx} <= 1e-12 OR {dy} <= 1e-12 THEN 0.0 "
+        f"CASE WHEN {dx} <= {tx} OR {dy} <= {ty} THEN 0.0 "
         f"ELSE ({n} * {sxy} - {sx} * {sy}) / sqrt({dx} * {dy}) END"
     )
 

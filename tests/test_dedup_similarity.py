@@ -821,6 +821,25 @@ def test_jpeg_decode_420_and_restarts():
     assert np.array_equal(plain, with_rst)
 
 
+def test_jpeg_single_component_ignores_sampling_factors():
+    """T.81 A.2.2: a single-component scan is non-interleaved, so
+    declared sampling factors are ignored (libjpeg behavior).  A
+    grayscale file patched to declare 2x2 factors in SOF must decode
+    byte-identically to the unpatched one, not in 2x2-MCU order."""
+    import numpy as np
+
+    from fiveg_spark.operators.multimodal import decode_jpeg
+
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, size=(24, 16), dtype=np.uint8)
+    data = bytearray(_encode_jpeg(gray))
+    sof = data.index(b"\xff\xc0")
+    hv = sof + 2 + 2 + 1 + 2 + 2 + 1 + 1  # marker,len,prec,h,w,ncomp,cid
+    assert data[hv] == 0x11
+    data[hv] = 0x22  # declare 2x2 sampling on the sole component
+    assert np.array_equal(decode_jpeg(bytes(data)), decode_jpeg(_encode_jpeg(gray)))
+
+
 def test_jpeg_gates_and_feature_routing(spark):
     """Non-baseline JPEG stays honestly gated; a real JPEG flows through
     the distributed mapInPandas feature extractor."""

@@ -215,6 +215,73 @@ def _event_sql_fns():
     }
 
 
+def _assert_parity_parts(spark, pdf, view, schema, parts_fn, name):
+    """Parity for materialized_backed queries: materialize each named
+    part as a temp view in BOTH engines, then compare the tail."""
+    sdf = spark.createDataFrame(pdf, schema) if len(pdf) else spark.createDataFrame([], schema)
+    sdf.createOrReplaceTempView(view)
+    parts, tail = parts_fn("spark")
+    for vname, vsql in parts:
+        spark.sql(vsql).createOrReplaceTempView(vname)
+    got = spark.sql(tail)
+    spark_rows = _rows(got.columns, got.collect())
+
+    con = duckdb.connect()
+    try:
+        con.register(view, pdf)
+        d_parts, d_tail = parts_fn("duckdb")
+        for vname, vsql in d_parts:
+            con.execute(f"CREATE TEMP VIEW {vname} AS {vsql}")
+        res = con.execute(d_tail)
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = _rows(duck_cols, res.fetchall())
+    finally:
+        con.close()
+
+    assert sorted(got.columns) == sorted(duck_cols), name
+    assert spark_rows == duck_rows, f"{name}: engines disagree on generated input"
+
+
+def _event_parts_fns():
+    from fiveg_spark.operators.ts_diagnostics import _iat_exponential_fit_parts
+
+    return {
+        # tied timestamps per (user, type) -> zero IATs -> mean_iat = 0:
+        # the lambda_hz guard and the grid-point NUDGE both exercise here
+        "iat_exponential_fit": _iat_exponential_fit_parts,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_event_parts_fns()))
+def test_event_parts_queries_on_random_streams(spark, name):
+    parts_fn = _event_parts_fns()[name]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 72),
+                st.sampled_from([0, 30]),  # coarse minutes -> exact ties
+                st.integers(0, 3),
+                st.sampled_from(["view", "click", "purchase"]),
+                st.sampled_from([1.0, 2.5, 7.25]),
+            ),
+            min_size=1,
+            max_size=15,
+        )
+    )
+    def check(rows):
+        _assert_parity_parts(
+            spark, _events_pdf(rows), "events", _EVENTS_SCHEMA, parts_fn, name
+        )
+
+    check()
+
+
 @pytest.mark.parametrize("name", sorted(_event_sql_fns()))
 def test_event_queries_on_random_streams(spark, name):
     sql_fn = _event_sql_fns()[name]
