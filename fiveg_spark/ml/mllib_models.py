@@ -253,5 +253,7 @@ QUERIES = [
     # SQL + the recall invariant the hashed pipeline guarantees (see
     # mllib_minhash_certified); raw pair list stays pytest-pinned.
     Query("mllib_minhash_pairs", mllib_minhash_certified, _mllib_minhash_oracle()),
-    Query("mllib_ann_topk", mllib_ann_topk, None),
+    # BRP ANN contract surface moved to ann_recall.py (mllib_ann_recall):
+    # the driver certifies the recall row; the raw top-k stays
+    # pytest-pinned (tests/test_mllib.py).
 ]

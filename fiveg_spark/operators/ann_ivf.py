@@ -160,8 +160,8 @@ def ann_ivf(
     )
 
 
-QUERIES = [
-    # rows-only: iterative k-means fit is not SQL-expressible
-    # (strong check = recall-vs-bruteforce + argmin-parity pytest)
-    Query("ann_ivf_topk", ann_ivf, None),
-]
+# contract surface moved to ann_recall.py (ann_ivf_recall): the
+# iterative k-means fit is not SQL-expressible, so the driver certifies
+# the recall row; the top-k stays pinned by the recall-vs-bruteforce +
+# argmin-parity pytests.
+QUERIES: list[Query] = []

@@ -175,8 +175,8 @@ def ann_pq(
     )
 
 
-QUERIES = [
-    # rows-only: iterative k-means codebook fit is not SQL-expressible
-    # (strong check = encoding-parity + recall pytest)
-    Query("ann_pq_topk", ann_pq, None),
-]
+# contract surface moved to ann_recall.py (ann_pq_recall): the
+# iterative k-means codebook fit is not SQL-expressible, so the driver
+# certifies the recall row; the top-k stays pinned by the
+# encoding-parity + recall pytests.
+QUERIES: list[Query] = []

@@ -1,14 +1,18 @@
-"""Driver-certified ANN recall matrix (SURVEY §2 E45).
+"""Driver-certified ANN recall: per-method rows + the full matrix
+(SURVEY §2 E45; certifies the E7 LSH → E20 IVF → E38 PQ → D12 MLlib
+BRP ladder).
 
-The ANN ladder (E7 LSH → E20 IVF → E38 PQ → D12 MLlib BRP) returns
-approximate top-k lists that no SQL oracle can reproduce — those
-queries stay rows-only, pinned by recall-vs-bruteforce pytests at
-sf0.001.  This query lifts that evidence to DRIVER scale: it runs
-every ANN method AND the exact brute-force top-k in one plan, computes
-each method's recall against the exact id set, and emits one row per
-method with the tolerance-boolean the driver can hash-certify
-(the approx_variants pattern: Spark checks ITS OWN approximation, the
-oracle states the invariant).
+The ANN ladder returns approximate top-k lists that no SQL oracle can
+reproduce — the raw top-k surfaces stay pinned by recall-vs-bruteforce
+pytests at sf0.001.  These queries lift that evidence to DRIVER scale:
+each runs an ANN method AND the exact brute-force top-k in one plan,
+computes recall against the exact id set, and emits a row with the
+tolerance-boolean the driver can hash-certify (the approx_variants
+pattern: Spark checks ITS OWN approximation, the oracle states the
+invariant).  ``ann_recall_matrix`` covers all four methods in one
+plan; the ``ann_*_recall`` twins give each method its own driver hash
+stamp so a single method regressing is attributable from CORRECTNESS
+alone.
 
 recall_ok threshold = 0.5, the same bound the pytests enforce; measured
 recalls on this corpus are 0.6-1.0 across methods and scale factors, so
@@ -26,44 +30,75 @@ K = 10
 RECALL_FLOOR = 0.5
 
 
-def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fiveg_spark.ml.mllib_models import QUERIES as _MLLIB_QUERIES
+def _methods():
+    from fiveg_spark.ml.mllib_models import mllib_ann_topk
     from fiveg_spark.operators.ann_ivf import ann_ivf
     from fiveg_spark.operators.ann_lsh import ann_lsh
     from fiveg_spark.operators.ann_pq import ann_pq
+
+    return {
+        "ivf": ann_ivf,
+        "lsh": ann_lsh,
+        "mllib_brp": mllib_ann_topk,
+        "pq": ann_pq,
+    }
+
+
+def _exact_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fiveg_spark.operators.similarity import _knn_sql
     from fiveg_spark.plans.registry import ensure_views
 
     ensure_views(spark, ("embeddings",), sf_dir)
-    exact = spark.sql(_knn_sql("spark")).select("vec_id")
+    return spark.sql(_knn_sql("spark")).select("vec_id")
 
-    mllib_ann = next(q.run for q in _MLLIB_QUERIES if q.name == "mllib_ann_topk")
-    methods = {
-        "ivf": ann_ivf,
-        "lsh": ann_lsh,
-        "mllib_brp": mllib_ann,
-        "pq": ann_pq,
-    }
-    summaries = []
-    for name, fn in methods.items():
-        approx = fn(spark, sf_dir).select("vec_id")
-        hits = approx.join(F.broadcast(exact), "vec_id")
-        summaries.append(
-            approx.agg(
-                F.lit(name).alias("method"),
-                F.lit(K).cast("long").alias("k"),
-                F.count("*").alias("n_returned"),
-            ).crossJoin(hits.agg(F.count("*").alias("n_hits")))
+
+def _recall_row(spark: SparkSession, sf_dir: str, name: str, fn, exact: DataFrame) -> DataFrame:
+    """One certification row for one ANN method: recall of its top-k id
+    set vs the exact brute-force set (broadcast: k rows)."""
+    approx = fn(spark, sf_dir).select("vec_id")
+    hits = approx.join(F.broadcast(exact), "vec_id")
+    return (
+        approx.agg(
+            F.lit(name).alias("method"),
+            F.lit(K).cast("long").alias("k"),
+            F.count("*").alias("n_returned"),
         )
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "method",
+            "k",
+            "n_returned",
+            (F.col("n_hits") / F.col("k") >= RECALL_FLOOR).alias("recall_ok"),
+        )
+    )
+
+
+def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _exact_topk_ids(spark, sf_dir)
+    summaries = [
+        _recall_row(spark, sf_dir, name, fn, exact)
+        for name, fn in _methods().items()
+    ]
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)
-    return out.select(
-        "method",
-        "k",
-        "n_returned",
-        (F.col("n_hits") / F.col("k") >= RECALL_FLOOR).alias("recall_ok"),
-    ).orderBy("method")
+    return out.orderBy("method")
+
+
+def _method_query(method: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        exact = _exact_topk_ids(spark, sf_dir)
+        return _recall_row(spark, sf_dir, method, _methods()[method], exact)
+
+    return run
+
+
+def _row_oracle(method: str) -> str:
+    return f"""
+    SELECT * FROM (VALUES
+      ('{method}', CAST({K} AS BIGINT), CAST({K} AS BIGINT), TRUE)
+    ) AS t(method, k, n_returned, recall_ok)
+    """
 
 
 _ANN_RECALL_ORACLE = f"""
@@ -78,4 +113,16 @@ ORDER BY method
 
 QUERIES = [
     Query("ann_recall_matrix", ann_recall_matrix, _ANN_RECALL_ORACLE),
+    # per-method driver stamps (round-6 conversion of the rows-only
+    # ann_*_topk / mllib_ann_topk registrations; raw top-k surfaces stay
+    # pytest-pinned).  deferred=True: registered mid-round 6.
+    Query("ann_lsh_recall", _method_query("lsh"), _row_oracle("lsh"), deferred=True),
+    Query("ann_ivf_recall", _method_query("ivf"), _row_oracle("ivf"), deferred=True),
+    Query("ann_pq_recall", _method_query("pq"), _row_oracle("pq"), deferred=True),
+    Query(
+        "mllib_ann_recall",
+        _method_query("mllib_brp"),
+        _row_oracle("mllib_brp"),
+        deferred=True,
+    ),
 ]

@@ -104,9 +104,10 @@ def test_advisor_sweep_no_errors_no_triple_scans(spark):
 
     skip_build = {
         # build cost (driver-side fit / training), not plan risk:
-        "ann_ivf_topk", "ann_pq_topk", "ann_recall_matrix",
+        "ann_ivf_recall", "ann_pq_recall", "ann_lsh_recall",
+        "mllib_ann_recall", "ann_recall_matrix",
         "embedding_dedup_ivf", "semdedup_summary", "hybrid_train_eval",
-        "hybrid_forecast_eval", "mllib_ann_topk", "mllib_linear_baseline",
+        "hybrid_forecast_eval", "mllib_linear_baseline",
         "mllib_minhash_pairs", "pca_explained_variance",
         "isotonic_calibration", "var_ols_coeffs", "huber_var_coeffs",
         "gru_forward", "holt_forecast", "holt_winters_forecast",

@@ -58,7 +58,13 @@ def test_no_cartesian_product_anywhere(spark):
     broadcast side on purpose; an unconstrained cartesian is always a
     scale bug.)  Skips rows-only queries whose physical plan needs
     Python-side fitting to build (they assert their own shapes)."""
-    skip = {"ann_ivf_topk", "mllib_linear_baseline"}  # KMeans/LR fit at plan-build time
+    # KMeans/BRP/LR fit at plan-build time
+    skip = {
+        "ann_ivf_recall",
+        "ann_pq_recall",
+        "mllib_ann_recall",
+        "mllib_linear_baseline",
+    }
     offenders = []
     for name, fn in QUERIES.items():
         if name in skip:
