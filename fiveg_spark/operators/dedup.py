@@ -21,7 +21,14 @@ Scale shape (100 TB corpus):
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import Query, cnt, dbl, split_ws, sql_backed
+from fiveg_spark.plans.registry import (
+    Query,
+    cnt,
+    dbl,
+    materialized_backed,
+    split_ws,
+    sql_backed,
+)
 
 N_HASHES = 8  # 4 bands x 2 rows
 N_BANDS = 4
@@ -416,6 +423,105 @@ def _incremental_dedup_sql(d: str) -> str:
     """
 
 
+SPAN_K = 5  # duplicated-run unit: 5 consecutive tokens
+
+
+def _substring_dedup_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E51 — EXACT SUBSTRING dedup (Lee et al. 2022, "Deduplicating
+    # Training Data Makes Language Models Better", §4.1 ExactSubstr):
+    # document-level MinHash (E2) keeps one copy of near-identical DOCS;
+    # this pass removes duplicated SPANS inside otherwise-unique docs
+    # (boilerplate headers, licence blocks, quoted passages).  The paper
+    # builds a corpus suffix array; the distributed shape here is the
+    # equivalent span-unit formulation: a SPAN_K-token window duplicated
+    # anywhere in the corpus (>= 2 occurrences, same rule) marks every
+    # token it covers for removal, and maximal duplicated runs emerge as
+    # unions of overlapping duplicated windows — no suffix array, just
+    # one hash-agg + one join, both on high-cardinality keys.
+    #
+    # Reference scope: extends repeated_ngrams (llm_curation.py — the
+    # *diagnostic* that finds duplicated passages) into the operator
+    # that actually removes them.  Per doc: token counts before/after,
+    # the removed fraction, and the md5 of the CLEANED text, so the
+    # contract certifies the reconstruction, not just the counts.
+    #
+    # Scale: positions is map-only explode (one corpus scan,
+    # materialized because both the span census and the join-back read
+    # it); dup_spans is one hash-agg on the span string; the mark-back
+    # is one join on the same key; run-coverage is a per-doc window.
+    # The final per-doc rebuild sorts only within a doc's own tokens.
+    toks = split_ws("lower(text)", d)
+    if d == "spark":
+        hint = f"/*+ REPARTITION({_parallelism()}, doc_id) */ "
+        idx = "explode(sequence(1, size(t))) AS i"
+        token = "element_at(t, CAST(i AS INT))"
+        span = (
+            f"CASE WHEN i <= size(t) - {SPAN_K - 1} "
+            f"THEN array_join(slice(t, CAST(i AS INT), {SPAN_K}), ' ') END"
+        )
+        guard = "size(t) >= 1"
+        clean = (
+            "md5(array_join(transform(filter(array_sort("
+            "collect_list(struct(pos, token, cov))), x -> x.cov = 0), "
+            "x -> x.token), ' '))"
+        )
+    else:
+        hint = ""
+        idx = "unnest(generate_series(1, len(t))) AS i"
+        token = "t[i]"
+        span = (
+            f"CASE WHEN i <= len(t) - {SPAN_K - 1} "
+            f"THEN array_to_string(t[i:i + {SPAN_K - 1}], ' ') END"
+        )
+        guard = "len(t) >= 1"
+        clean = (
+            "md5(coalesce(string_agg(CASE WHEN cov = 0 THEN token END, "
+            "' ' ORDER BY pos), ''))"
+        )
+    positions_sql = f"""
+      WITH toks AS (
+        SELECT {hint}doc_id, {toks} AS t FROM documents
+      ),
+      idxd AS (
+        SELECT doc_id, t, {idx} FROM toks WHERE {guard}
+      )
+      SELECT doc_id, i AS pos, {token} AS token, {span} AS span
+      FROM idxd
+    """
+    tail = f"""
+    WITH dup_spans AS (
+      SELECT span FROM _mz_substr_positions
+      WHERE span IS NOT NULL
+      GROUP BY span
+      HAVING count(*) >= 2
+    ),
+    marked AS (
+      SELECT p.doc_id, p.pos, p.token,
+             CASE WHEN ds.span IS NOT NULL THEN 1 ELSE 0 END AS dup_start
+      FROM _mz_substr_positions p
+      LEFT JOIN dup_spans ds ON p.span = ds.span
+    ),
+    covered AS (
+      SELECT doc_id, pos, token,
+        max(dup_start) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN {SPAN_K - 1} PRECEDING AND CURRENT ROW
+        ) AS cov
+      FROM marked
+    )
+    SELECT
+      doc_id,
+      {cnt("count(*)", "n_tokens")},
+      {cnt("sum(cov)", "n_dup_tokens")},
+      {dbl("avg(cov)", "dup_fraction")},
+      {clean} AS clean_hash
+    FROM covered
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+    return [("_mz_substr_positions", positions_sql)], tail
+
+
 def _incremental_minhash_sql(d: str) -> str:
     # E50 — incremental NEAR-dup (the MinHash sibling of E49's exact
     # pass): each new dump is LSH-checked against the accumulated
@@ -451,11 +557,13 @@ QUERIES = [
     sql_backed("minhash_lsh_pairs", _minhash_lsh_sql, ("documents",)),
     sql_backed("edit_distance_candidates", _edit_distance_candidates_sql, ("documents",)),
     sql_backed("ngram_jaccard_pairs", _ngram_jaccard_sql, ("documents",)),
-    # registered mid-round-5 after the certification window froze: stays
-    # behind the 50 never-certified slots until CORRECTNESS_r05 lands
-    sql_backed("incremental_dedup", _incremental_dedup_sql, ("documents",), deferred=True),
+    sql_backed("incremental_dedup", _incremental_dedup_sql, ("documents",)),
     sql_backed(
         "incremental_minhash_pairs", _incremental_minhash_sql, ("documents",),
+    ),
+    # registered mid-round 6: sorts behind the frozen window
+    materialized_backed(
+        "substring_dedup", _substring_dedup_parts, ("documents",),
         deferred=True,
     ),
 ]

@@ -67,11 +67,11 @@ def _pii_scan_sql(d: str) -> str:
     """
 
 
-def _gopher_quality_sql(d: str) -> str:
-    # Per-document Gopher-style rules, aggregated to per-source pass
-    # rates.  Mean word length and top-token dominance are rounded
-    # BEFORE the rule comparison so flags derive from parity-identical
-    # values in both engines.
+def _gopher_rules_cte(d: str) -> str:
+    # Per-document Gopher-style rule flags (shared by gopher_quality and
+    # domain_mixture_weights).  Mean word length and top-token dominance
+    # are rounded BEFORE the rule comparison so flags derive from
+    # parity-identical values in both engines.
     toks = _tok(d)
     if d == "spark":
         exploded = f"SELECT doc_id, source, explode({toks}) AS term FROM documents"
@@ -106,12 +106,19 @@ def _gopher_quality_sql(d: str) -> str:
     rules AS (
       SELECT
         b.source,
+        b.n_words,
         CASE WHEN b.n_words BETWEEN 25 AND 100000 THEN 1 ELSE 0 END AS r_wordcount,
         CASE WHEN s.mean_wl BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS r_meanwordlen,
         CASE WHEN b.stop_ct >= 2 THEN 1 ELSE 0 END AS r_stopwords,
         CASE WHEN s.top1_frac <= 0.2 THEN 1 ELSE 0 END AS r_dominance
       FROM base b JOIN doc_stats s ON b.doc_id = s.doc_id
-    )
+    )"""
+
+
+def _gopher_quality_sql(d: str) -> str:
+    # Gopher rule flags aggregated to per-source pass rates.
+    return f"""
+    {_gopher_rules_cte(d)}
     SELECT
       source,
       {cnt("count(*)", "n_docs")},
@@ -123,6 +130,61 @@ def _gopher_quality_sql(d: str) -> str:
       {dbl("avg(r_wordcount * r_meanwordlen * r_stopwords * r_dominance)", "pass_rate")}
     FROM rules
     GROUP BY source
+    """
+
+
+def _domain_reweight_sql(d: str) -> str:
+    # E52 — domain-mixing reweighter: the operator a curation run ENDS
+    # on.  DoReMi (Xie et al. 2023) learns per-domain weights from a
+    # proxy model; the widely-deployed static variant (Gopher §A2 /
+    # LLaMA-style) mixes by size x measured quality with a temperature.
+    # Composes gopher_quality (per-doc rule flags -> per-source quality
+    # rate) with the mixture_weights temperature rule:
+    #
+    #   w_src ∝ (tokens_src * (0.1 + 0.9 * quality_src))^0.7
+    #
+    # The 0.1 floor keeps a zero-quality domain present (DoReMi never
+    # zeroes a domain; total exclusion is the curation funnel's job),
+    # the 0.7 exponent is the same temperature mixture_weights uses.
+    # Quality rate and the scaled weight are rounded before the share
+    # division so both engines divide identical doubles; the share
+    # itself guards the all-empty-corpus edge (sum of weights = 0).
+    #
+    # Scale: rides the one exploded scan inside _gopher_rules_cte; the
+    # reweight itself is a per-source aggregate (a handful of rows) and
+    # two window sums over them.
+    return f"""
+    {_gopher_rules_cte(d)},
+    per_source AS (
+      SELECT
+        source,
+        count(*) AS n_docs,
+        CAST(sum(n_words) AS DOUBLE) AS n_tokens,
+        round(avg(r_wordcount * r_meanwordlen * r_stopwords * r_dominance)
+              + 1e-9, 6) AS q_rate
+      FROM rules
+      GROUP BY source
+    ),
+    scaled AS (
+      SELECT
+        source,
+        n_docs,
+        n_tokens,
+        q_rate,
+        round(power(n_tokens * (0.1 + 0.9 * q_rate), 0.7) + 1e-9, 6) AS w_raw
+      FROM per_source
+    )
+    SELECT
+      source,
+      {cnt("n_docs", "n_docs")},
+      {cnt("n_tokens", "n_tokens")},
+      {dbl("q_rate", "quality_rate")},
+      {dbl("CASE WHEN sum(n_tokens) OVER () <= 0 THEN 1.0 / count(*) OVER () "
+           "ELSE n_tokens / sum(n_tokens) OVER () END", "natural_share")},
+      {dbl("CASE WHEN sum(w_raw) OVER () <= 0 THEN 1.0 / count(*) OVER () "
+           "ELSE w_raw / sum(w_raw) OVER () END", "domain_weight")}
+    FROM scaled
+    ORDER BY source
     """
 
 
@@ -441,10 +503,12 @@ QUERIES = [
     sql_backed("gopher_quality", _gopher_quality_sql, ("documents",)),
     sql_backed("repeated_ngrams", _repeated_ngrams_sql, ("documents",)),
     sql_backed("decontamination", _decontamination_sql, ("documents",)),
-    # registered mid-round-5 after the certification window froze: stays
-    # behind the 50 never-certified slots until CORRECTNESS_r05 lands
     materialized_backed(
         "contamination_matrix", _contamination_matrix_parts, ("documents",),
+    ),
+    # registered mid-round 6: sorts behind the frozen window
+    sql_backed(
+        "domain_mixture_weights", _domain_reweight_sql, ("documents",),
         deferred=True,
     ),
 ]

@@ -292,5 +292,5 @@ QUERIES = [
     sql_backed("interval_join_binned", _interval_join_binned_sql, ("orders", "events")),
     # registered mid-round-5 after the certification window froze: stays
     # behind the 50 never-certified slots until CORRECTNESS_r05 lands
-    sql_backed("benford_digits", _benford_digits_sql, ("orders",), deferred=True),
+    sql_backed("benford_digits", _benford_digits_sql, ("orders",)),
 ]

@@ -322,5 +322,5 @@ QUERIES = [
     sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),
     # registered mid-round-5 after the certification window froze: stays
     # behind the 50 never-certified slots until CORRECTNESS_r05 lands
-    sql_backed("zipf_slope", _zipf_slope_sql, ("documents",), deferred=True),
+    sql_backed("zipf_slope", _zipf_slope_sql, ("documents",)),
 ]

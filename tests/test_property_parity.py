@@ -19,6 +19,7 @@ from hypothesis import strategies as st
 
 from fiveg_spark.operators.dedup import _incremental_dedup_sql
 from fiveg_spark.operators.llm_curation import (
+    _domain_reweight_sql,
     _gopher_quality_sql,
     _mixture_weights_sql,
 )
@@ -43,6 +44,7 @@ _DOC_SQL = {
     "unigram_ppl": _unigram_ppl_sql,
     "gopher_quality": _gopher_quality_sql,
     "mixture_weights": _mixture_weights_sql,
+    "domain_mixture_weights": _domain_reweight_sql,
 }
 
 _DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
@@ -240,6 +242,53 @@ def _assert_parity_parts(spark, pdf, view, schema, parts_fn, name):
 
     assert sorted(got.columns) == sorted(duck_cols), name
     assert spark_rows == duck_rows, f"{name}: engines disagree on generated input"
+
+
+def _doc_parts_fns():
+    from fiveg_spark.operators.dedup import _substring_dedup_parts
+
+    return {
+        # short docs (< SPAN_K tokens), whole-corpus duplicates, and
+        # single-word vocab collisions all land here; clean_hash pins
+        # the full token-level reconstruction across engines
+        "substring_dedup": _substring_dedup_parts,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_doc_parts_fns()))
+def test_document_parts_queries_on_random_corpora(spark, name):
+    parts_fn = _doc_parts_fns()[name]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.lists(st.sampled_from(_WORDS), min_size=1, max_size=8),
+                st.sampled_from(["s1", "s2"]),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(docs):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(len(docs)), dtype="int64"),
+                "text": [" ".join(words) for words, _src in docs],
+                "lang": ["en"] * len(docs),
+                "source": [src for _words, src in docs],
+                "n_chars": pd.Series(
+                    [len(" ".join(w)) for w, _ in docs], dtype="int64"
+                ),
+            }
+        )
+        _assert_parity_parts(spark, pdf, "documents", _DOC_SCHEMA, parts_fn, name)
+
+    check()
 
 
 def _event_parts_fns():
