@@ -1,0 +1,564 @@
+"""Driver-certifiable invariant rows for the iterative-ML block
+(SURVEY §2 D6/D8/D9/D12/D15/D17/D18/D19).
+
+These fits (normal-equation VAR, IRLS Huber, MLlib LR/PCA/isotonic,
+GRU forward, Adam-trained hybrid) are not SQL-reproducible, so their
+raw surfaces were rows-only.  Each query here lifts the pytest-level
+evidence to DRIVER scale the same way the ANN family did
+(operators/ann_recall.py): run the real distributed fit on the real
+data, then emit the mathematical invariants the fit GUARANTEES as
+tolerance booleans, alongside data-dependent row counts the oracle
+recomputes independently from the events/embeddings tables.  The
+oracle states the invariant; Spark proves its own fit satisfies it.
+
+Invariants certified (all are theorems about the exact optimum, with
+float tolerances):
+- VAR OLS:    XᵀX·B = XᵀY (normal equations), and fitted SSE ≤
+              intercept-only SSE per equation (nested-model bound).
+- Huber IRLS: ∇L ≈ 0 at the converged β (fixed point), and
+              L(β_huber) ≤ L(β_ols) (β_huber minimizes L).
+- MLlib LR:   0 ≤ train R² ≤ 1 and RMSE ≤ stddev_pop(y) (intercept
+              model is nested in the fit).
+- PCA:        explained-variance ratios ∈ [0,1], non-increasing,
+              Σ ≤ 1; the PC1 ratio re-derived DISTRIBUTED as
+              var(PC1 scores)/Σ var(dims) (trace identity).
+- Isotonic:   knots non-decreasing, MSE(calibrated) ≤ MSE(raw)
+              (identity is monotone), pooled mean preserved (PAVA).
+- GRU:        distributed mapInPandas forward ≡ driver-side forward
+              on a bounded deterministic sample; all outputs finite.
+- Hybrid:     eval frame has the exact test-split shape, forecasts
+              clipped at 0, errors finite; training loss decreases.
+
+The row counts (n_obs, n_pairs, n_sequences, …) are the strong part
+of the oracle: DuckDB re-derives them from the raw events table via
+the same hourly/split arithmetic the feature pipeline certifies
+elsewhere (sequence_counts), so a partitioning or split bug upstream
+of any fit breaks the hash match even if every boolean is TRUE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiveg_spark.ml.features import FEATURES, feature_frame, robust_scale
+from fiveg_spark.operators.timeseries import _hourly_cte
+from fiveg_spark.plans.registry import Query
+
+P_LAGS = 3
+N_TERMS = len(FEATURES) * P_LAGS + 1  # intercept + k*p lag terms
+GRU_SAMPLE = 64
+
+
+def _counted_cte() -> str:
+    return f"""{_hourly_cte("duckdb")},
+    counted AS (SELECT slice, count(*) AS n FROM hourly GROUP BY slice)"""
+
+
+# --------------------------------------------------------------------------
+# D6: VAR normal-equation fit
+# --------------------------------------------------------------------------
+
+
+def var_ols_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.ml.var import collect_gram, lag_design, normal_equations
+
+    scaled, _ = robust_scale(feature_frame(spark, sf_dir))
+    design = lag_design(scaled, p=P_LAGS).filter(F.col("split") == "train").persist()
+    try:
+        gram = collect_gram(normal_equations(design))
+        k = len(FEATURES)
+        ystats = (
+            design.groupBy("slice")
+            .agg(
+                F.count("*").alias("n"),
+                F.array(
+                    *[F.sum(F.element_at("y", f + 1)) for f in range(k)]
+                ).alias("sy"),
+                F.array(
+                    *[
+                        F.sum(F.element_at("y", f + 1) * F.element_at("y", f + 1))
+                        for f in range(k)
+                    ]
+                ).alias("syy"),
+            )
+            .collect()
+        )
+    finally:
+        design.unpersist()
+    rows = []
+    for r in sorted(ystats, key=lambda r: r["slice"]):
+        xtx, xty = gram[r["slice"]]
+        B = np.linalg.solve(xtx + 1e-9 * np.eye(xtx.shape[0]), xty)
+        resid = float(np.abs(xtx @ B - xty).max())
+        normal_ok = resid <= 1e-6 * max(1.0, float(np.abs(xty).max()))
+        beats = True
+        for f in range(k):
+            sse_fit = (
+                r["syy"][f]
+                - 2.0 * float(B[:, f] @ xty[:, f])
+                + float(B[:, f] @ xtx @ B[:, f])
+            )
+            sse_mean = r["syy"][f] - r["sy"][f] ** 2 / r["n"]
+            if sse_fit > sse_mean + 1e-6 * max(1.0, abs(sse_mean)):
+                beats = False
+        rows.append((r["slice"], r["n"], xtx.shape[0], bool(normal_ok), beats))
+    return spark.createDataFrame(
+        rows,
+        "slice string, n_obs long, n_terms long, "
+        "normal_eq_ok boolean, beats_mean_ok boolean",
+    )
+
+
+_VAR_CERT_ORACLE = f"""
+{_counted_cte()}
+SELECT
+  slice,
+  CAST(greatest(CAST(floor(0.7 * n) AS BIGINT) - {P_LAGS}, 0) AS BIGINT) AS n_obs,
+  CAST({N_TERMS} AS BIGINT) AS n_terms,
+  TRUE AS normal_eq_ok,
+  TRUE AS beats_mean_ok
+FROM counted
+ORDER BY slice
+"""
+
+
+# --------------------------------------------------------------------------
+# D18: Huber IRLS
+# --------------------------------------------------------------------------
+
+
+def _huber_cert_kernel(bh, bo, delta):
+    """Partial (n, gradient vector at β_huber, Huber losses at both β)
+    per (Arrow batch, slice) — summed downstream, so the invariant is
+    evaluated on the FULL distributed design, not a sample."""
+
+    def kernel(batches):
+        for pdf in batches:
+            for slice_name, g in pdf.groupby("slice"):
+                X = np.asarray(list(g["x"]), dtype=np.float64)
+                y = np.asarray(g["y_t"], dtype=np.float64)
+
+                def huber_loss(beta):
+                    r = y - X @ beta
+                    a = np.abs(r)
+                    return float(
+                        np.where(a <= delta, 0.5 * r * r, delta * (a - 0.5 * delta)).sum()
+                    )
+
+                r = y - X @ bh[slice_name]
+                psi = np.where(np.abs(r) <= delta, r, delta * np.sign(r))
+                yield pd.DataFrame(
+                    {
+                        "slice": [slice_name],
+                        "n": [len(y)],
+                        "grad": [(X.T @ psi).tolist()],
+                        "loss_hub": [huber_loss(bh[slice_name])],
+                        "loss_ols": [huber_loss(bo[slice_name])],
+                    }
+                )
+
+    return kernel
+
+
+def huber_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.ml.huber import DELTA, huber_fit, scalar_design
+
+    design = scalar_design(spark, sf_dir, p=P_LAGS).persist()
+    try:
+        # run IRLS to its fixed point (early-stop): the gradient
+        # invariant certifies the CONVERGED optimum, not round 6
+        hub = huber_fit(design, iters=40, tol=1e-9)
+        ols = huber_fit(design, iters=1)  # unit weights = plain OLS
+        m = N_TERMS
+        partials = design.select("slice", "x", "y_t").mapInPandas(
+            _huber_cert_kernel(hub, ols, DELTA),
+            schema=(
+                "slice string, n long, grad array<double>, "
+                "loss_hub double, loss_ols double"
+            ),
+        )
+        agg = (
+            partials.groupBy("slice")
+            .agg(
+                F.sum("n").alias("n"),
+                F.array(
+                    *[F.sum(F.element_at("grad", t + 1)) for t in range(m)]
+                ).alias("grad"),
+                F.sum("loss_hub").alias("loss_hub"),
+                F.sum("loss_ols").alias("loss_ols"),
+            )
+            .collect()
+        )
+    finally:
+        design.unpersist()
+    rows = []
+    for r in sorted(agg, key=lambda r: r["slice"]):
+        gmax = max(abs(v) for v in r["grad"])
+        rows.append(
+            (
+                r["slice"],
+                r["n"],
+                bool(gmax <= 1e-3 * r["n"]),
+                bool(r["loss_hub"] <= r["loss_ols"] + 1e-6 * r["n"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "slice string, n_obs long, grad_ok boolean, loss_le_ols boolean"
+    )
+
+
+_HUBER_CERT_ORACLE = f"""
+{_counted_cte()}
+SELECT
+  slice,
+  CAST(greatest(CAST(floor(0.7 * n) AS BIGINT) - {P_LAGS}, 0) AS BIGINT) AS n_obs,
+  TRUE AS grad_ok,
+  TRUE AS loss_le_ols
+FROM counted
+ORDER BY slice
+"""
+
+
+# --------------------------------------------------------------------------
+# D12: MLlib LinearRegression AR baseline
+# --------------------------------------------------------------------------
+
+
+def linear_baseline_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from fiveg_spark.operators.timeseries import _var_lag_sql
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("events",), sf_dir)
+    lagged = spark.sql(_var_lag_sql("spark"))
+    pipeline = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["y_l1", "y_l2", "y_l3"], outputCol="raw"),
+            StandardScaler(inputCol="raw", outputCol="features"),
+            LinearRegression(
+                featuresCol="features", labelCol="y", solver="normal", regParam=0.0
+            ),
+        ]
+    )
+    rows = []
+    for slice_name in ("eMBB", "URLLC", "mMTC"):
+        part = lagged.filter(F.col("slice") == slice_name)
+        model = pipeline.fit(part)
+        lr = model.stages[-1]
+        stats = part.agg(
+            F.count("*").alias("n"), F.stddev_pop("y").alias("sd")
+        ).head()
+        r2 = float(lr.summary.r2)
+        rmse = float(lr.summary.rootMeanSquaredError)
+        sd = float(stats["sd"] or 0.0)
+        rows.append(
+            (
+                slice_name,
+                stats["n"],
+                int(lr.numFeatures),
+                bool(-1e-9 <= r2 <= 1.0 + 1e-9),
+                bool(rmse <= sd + 1e-6 * max(1.0, sd)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "slice string, n_rows long, n_features long, r2_ok boolean, rmse_le_sd boolean",
+    )
+
+
+_LINEAR_CERT_ORACLE = f"""
+{_counted_cte()}
+SELECT
+  slice,
+  CAST(greatest(n - {P_LAGS}, 0) AS BIGINT) AS n_rows,
+  CAST({P_LAGS} AS BIGINT) AS n_features,
+  TRUE AS r2_ok,
+  TRUE AS rmse_le_sd
+FROM counted
+ORDER BY slice
+"""
+
+
+# --------------------------------------------------------------------------
+# D15: MLlib PCA
+# --------------------------------------------------------------------------
+
+
+def pca_cert(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from fiveg_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>"))
+    )
+    dim = len(emb.select("embedding").head()[0])
+    model = PCA(k=k, inputCol="features", outputCol="pc").fit(emb)
+    ratios = [float(v) for v in model.explainedVariance]
+    monotone_ok = all(ratios[i] >= ratios[i + 1] - 1e-9 for i in range(k - 1))
+    bounded_ok = all(-1e-9 <= r <= 1.0 + 1e-9 for r in ratios) and sum(ratios) <= 1.0 + 1e-6
+    stats = (
+        model.transform(emb)
+        .select(
+            vector_to_array("pc").alias("p"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.var_samp(F.element_at("p", 1)).alias("v1"),
+            *[
+                F.var_samp(F.element_at("e", d + 1)).alias(f"vd{d}")
+                for d in range(dim)
+            ],
+        )
+        .head()
+    )
+    total = sum(stats[f"vd{d}"] for d in range(dim))
+    pc1_ratio_ok = bool(abs(stats["v1"] / total - ratios[0]) <= 1e-4)
+    return spark.createDataFrame(
+        [(k, stats["n"], monotone_ok, bounded_ok, pc1_ratio_ok)],
+        "k long, n_vectors long, ratios_monotone_ok boolean, "
+        "ratios_bounded_ok boolean, pc1_ratio_ok boolean",
+    )
+
+
+_PCA_CERT_ORACLE = """
+SELECT
+  CAST(4 AS BIGINT) AS k,
+  CAST(count(*) AS BIGINT) AS n_vectors,
+  TRUE AS ratios_monotone_ok,
+  TRUE AS ratios_bounded_ok,
+  TRUE AS pc1_ratio_ok
+FROM embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# D19: MLlib isotonic (PAVA) calibration
+# --------------------------------------------------------------------------
+
+
+def isotonic_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.ml.mllib_models import _isotonic_fit
+
+    model, scored = _isotonic_fit(spark, sf_dir)
+    preds = [float(p) for p in model.predictions]
+    monotone_ok = all(preds[i] <= preds[i + 1] + 1e-9 for i in range(len(preds) - 1))
+    agg = scored.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pow(F.col("actual") - F.col("fc"), 2)).alias("sse_raw"),
+        F.sum(F.pow(F.col("actual") - F.col("prediction"), 2)).alias("sse_cal"),
+        F.sum("actual").alias("sa"),
+        F.sum("prediction").alias("sp"),
+    ).head()
+    mse_improves = bool(
+        agg["sse_cal"] <= agg["sse_raw"] + 1e-6 * max(1.0, agg["sse_raw"])
+    )
+    mean_preserved = bool(
+        abs(agg["sa"] - agg["sp"]) <= 1e-6 * max(1.0, abs(agg["sa"]))
+    )
+    return spark.createDataFrame(
+        [(agg["n"], monotone_ok, mse_improves, mean_preserved)],
+        "n_pairs long, monotone_ok boolean, mse_improves boolean, "
+        "mean_preserved boolean",
+    )
+
+
+_ISOTONIC_CERT_ORACLE = f"""
+{_counted_cte()}
+SELECT
+  CAST(sum(greatest(n - 24, 0)) AS BIGINT) AS n_pairs,
+  TRUE AS monotone_ok,
+  TRUE AS mse_improves,
+  TRUE AS mean_preserved
+FROM counted
+"""
+
+
+# --------------------------------------------------------------------------
+# D8: GRU/GRN/MHA distributed forward
+# --------------------------------------------------------------------------
+
+
+def gru_forward_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.ml.model import DTYPE, forward, init_weights, predict_residuals
+    from fiveg_spark.ml.sequences import sliding_sequences
+
+    scaled, _ = robust_scale(feature_frame(spark, sf_dir))
+    seqs = sliding_sequences(scaled).persist()
+    try:
+        w = init_weights()
+        preds = predict_residuals(seqs, spark.sparkContext.broadcast(w))
+        finite = preds.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.exists("resid_pred", lambda v: F.isnan(v) | v.isNull()), 1
+                ).otherwise(0)
+            ).alias("bad"),
+        ).head()
+        # bounded deterministic sample: the distributed Arrow-batch
+        # forward must reproduce the driver-side forward bit-for-bit
+        # (same numpy code, same f32 dtype) on the SAME rows
+        sample = (
+            seqs.orderBy("slice", "window_start")
+            .limit(GRU_SAMPLE)
+            .select("slice", "window_start", "seq")
+            .collect()
+        )
+        dist = {
+            (r["slice"], r["window_start"]): r["resid_pred"]
+            for r in preds.orderBy("slice", "window_start")
+            .limit(GRU_SAMPLE)
+            .select("slice", "window_start", "resid_pred")
+            .collect()
+        }
+        max_diff = 0.0
+        for r in sample:
+            X = np.stack([np.asarray(step, dtype=DTYPE) for step in r["seq"]])[None]
+            local = forward(X, w)[0].astype(np.float64)
+            got = np.asarray(dist[(r["slice"], r["window_start"])])
+            max_diff = max(max_diff, float(np.abs(local - got).max()))
+    finally:
+        seqs.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                finite["n"],
+                len(sample),
+                bool(max_diff <= 1e-5),
+                bool(finite["bad"] == 0),
+            )
+        ],
+        "n_sequences long, n_checked long, forward_matches boolean, "
+        "all_finite boolean",
+    )
+
+
+def _gru_cert_oracle() -> str:
+    from fiveg_spark.ml.sequences import WINDOW
+
+    return f"""
+    {_counted_cte()}
+    SELECT
+      CAST(sum(greatest(n - {WINDOW}, 0)) AS BIGINT) AS n_sequences,
+      CAST(least({GRU_SAMPLE}, sum(greatest(n - {WINDOW}, 0))) AS BIGINT) AS n_checked,
+      TRUE AS forward_matches,
+      TRUE AS all_finite
+    FROM counted
+    """
+
+
+# --------------------------------------------------------------------------
+# D9: hybrid forecast eval shape
+# --------------------------------------------------------------------------
+
+
+def hybrid_forecast_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.ml.hybrid import hybrid_forecast
+
+    long = hybrid_forecast(spark, sf_dir)
+    return (
+        long.groupBy("slice", "feature")
+        .agg(
+            F.count("*").alias("n"),
+            (F.min("yhat") >= -1e-9).alias("yhat_nonneg_ok"),
+            (
+                F.sum(
+                    F.when(
+                        F.isnan("yhat") | F.isnan("y") | F.col("yhat").isNull(), 1
+                    ).otherwise(0)
+                )
+                == 0
+            ).alias("err_finite_ok"),
+        )
+        .orderBy("slice", "feature")
+    )
+
+
+def _hybrid_forecast_cert_oracle() -> str:
+    feats = ", ".join(f"('{f}')" for f in FEATURES)
+    return f"""
+    {_counted_cte()},
+    feats(feature) AS (VALUES {feats})
+    SELECT
+      c.slice,
+      f.feature,
+      CAST(c.n - CAST(floor(0.85 * c.n) AS BIGINT) AS BIGINT) AS n,
+      TRUE AS yhat_nonneg_ok,
+      TRUE AS err_finite_ok
+    FROM counted c CROSS JOIN feats f
+    ORDER BY c.slice, f.feature
+    """
+
+
+# --------------------------------------------------------------------------
+# D17: hybrid training
+# --------------------------------------------------------------------------
+
+
+def hybrid_train_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.ml.train import hybrid_train_eval
+
+    df = hybrid_train_eval(spark, sf_dir)
+    return (
+        df.filter(F.col("slice") != "ALL")
+        .select(
+            "slice",
+            F.col("n_test").cast("long").alias("n_test"),
+            (F.col("loss_last") <= F.col("loss_first") + 1e-9).alias(
+                "loss_decreased"
+            ),
+            (
+                ~F.isnan("rmse_hybrid")
+                & ~F.isnan("rmse_var")
+                & (F.col("rmse_hybrid") >= 0)
+            ).alias("rmse_finite_ok"),
+        )
+        .orderBy("slice")
+    )
+
+
+_HYBRID_TRAIN_CERT_ORACLE = f"""
+{_counted_cte()}
+SELECT
+  slice,
+  CAST(n - CAST(floor(0.85 * n) AS BIGINT) AS BIGINT) AS n_test,
+  TRUE AS loss_decreased,
+  TRUE AS rmse_finite_ok
+FROM counted
+ORDER BY slice
+"""
+
+
+QUERIES = [
+    # conversions of the former rows-only registrations (round 6); raw
+    # coefficient/top-k surfaces remain available as functions and stay
+    # pytest-pinned to independent numpy implementations.
+    Query("var_ols_cert", var_ols_cert, _VAR_CERT_ORACLE, deferred=True),
+    Query("huber_cert", huber_cert, _HUBER_CERT_ORACLE, deferred=True),
+    Query(
+        "linear_baseline_cert", linear_baseline_cert, _LINEAR_CERT_ORACLE,
+        deferred=True,
+    ),
+    Query("pca_cert", pca_cert, _PCA_CERT_ORACLE, deferred=True),
+    Query("isotonic_cert", isotonic_cert, _ISOTONIC_CERT_ORACLE, deferred=True),
+    Query("gru_forward_cert", gru_forward_cert, _gru_cert_oracle(), deferred=True),
+    Query(
+        "hybrid_forecast_cert",
+        hybrid_forecast_cert,
+        _hybrid_forecast_cert_oracle(),
+        deferred=True,
+    ),
+    Query(
+        "hybrid_train_cert", hybrid_train_cert, _HYBRID_TRAIN_CERT_ORACLE,
+        deferred=True,
+    ),
+]

@@ -98,17 +98,28 @@ def _solve(partials: DataFrame) -> dict[str, np.ndarray]:
 
 
 def huber_fit(
-    design: DataFrame, delta: float = DELTA, iters: int = ITERS
+    design: DataFrame,
+    delta: float = DELTA,
+    iters: int = ITERS,
+    tol: float | None = None,
 ) -> dict[str, np.ndarray]:
     """IRLS over a (slice, x: array, y_t: double) design frame.
-    Returns {slice: β} (m-vector, intercept first)."""
+    Returns {slice: β} (m-vector, intercept first).  With ``tol`` set,
+    stops early once no coefficient moves more than tol between rounds
+    (the IRLS fixed point — each extra round is a full distributed
+    pass, so certification callers run to convergence while the
+    fixed-round surface stays cheap and deterministic)."""
     design = design.select("slice", "x", "y_t")
     betas: dict[str, np.ndarray] | None = None
     for _ in range(iters):
         partials = design.mapInPandas(
             _weighted_partials(betas, delta), schema=_PARTIAL_SCHEMA
         )
+        prev = betas
         betas = _solve(partials)
+        if tol is not None and prev is not None and set(prev) == set(betas):
+            if max(float(np.max(np.abs(betas[s] - prev[s]))) for s in betas) <= tol:
+                break
     assert betas is not None
     return betas
 

@@ -200,14 +200,10 @@ def pca_explained_variance(spark: SparkSession, sf_dir: str, k: int = 4) -> Data
     return spark.createDataFrame(rows, "component int, explained_variance double")
 
 
-def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D19 — monotone calibration of the 24 h seasonal-naive forecast:
-    MLlib IsotonicRegression (distributed pool-adjacent-violators) maps
-    raw forecast → calibrated forecast, the post-hoc correction layer a
-    quantile forecaster ships with (systematic over/under-forecast by
-    level is exactly what a monotone map repairs).  Returns the fitted
-    step function (one row per boundary) + before/after MAE so the
-    contract row shows whether calibration helped."""
+def _isotonic_fit(spark: SparkSession, sf_dir: str):
+    """Fit the monotone calibration map (shared by the rows surface and
+    ml/certify.isotonic_cert).  Returns (model, scored) where scored
+    carries (fc, actual, prediction)."""
     from pyspark.ml.regression import IsotonicRegression
 
     from fiveg_spark.operators.timeseries import _hourly_cte
@@ -226,7 +222,18 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = IsotonicRegression(
         featuresCol="features", labelCol="actual", isotonic=True
     ).fit(vec)
-    scored = model.transform(vec)
+    return model, model.transform(vec)
+
+
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19 — monotone calibration of the 24 h seasonal-naive forecast:
+    MLlib IsotonicRegression (distributed pool-adjacent-violators) maps
+    raw forecast → calibrated forecast, the post-hoc correction layer a
+    quantile forecaster ships with (systematic over/under-forecast by
+    level is exactly what a monotone map repairs).  Returns the fitted
+    step function (one row per boundary) + before/after MAE so the
+    contract row shows whether calibration helped."""
+    model, scored = _isotonic_fit(spark, sf_dir)
     mae = scored.agg(
         F.round(F.avg(F.abs(F.col("actual") - F.col("fc"))), 4).alias("mae_raw"),
         F.round(F.avg(F.abs(F.col("actual") - F.col("prediction"))), 4).alias(
@@ -246,9 +253,11 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = [
-    Query("mllib_linear_baseline", linear_baseline, None),
-    Query("isotonic_calibration", isotonic_calibration, None),
-    Query("pca_explained_variance", pca_explained_variance, None),
+    # mllib_linear_baseline / isotonic_calibration /
+    # pca_explained_variance contract surfaces moved to ml/certify.py
+    # (linear_baseline_cert / isotonic_cert / pca_cert): the driver
+    # certifies invariant rows; the raw functions remain pytest-pinned.
+    #
     # tolerance-boolean oracle: exact-pair anchor from the shared Jaccard
     # SQL + the recall invariant the hashed pipeline guarantees (see
     # mllib_minhash_certified); raw pair list stays pytest-pinned.

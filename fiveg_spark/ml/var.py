@@ -99,17 +99,14 @@ def normal_equations(design: DataFrame) -> DataFrame:
     )
 
 
-def solve_coefficients(gram: DataFrame) -> dict[str, np.ndarray]:
-    """Driver-side m×m solve per slice (the only collect: m²·slices cells).
-
-    Returns {slice: B} with B shape (m, k): column f holds the regression
-    coefficients for feature f's equation (intercept first).
-    """
+def collect_gram(gram: DataFrame) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Driver-side materialization of the summed Gram cells per slice
+    (the only collect: m²·slices cells).  Returns {slice: (XᵀX, XᵀY)}."""
     rows = gram.collect()
-    out: dict[str, np.ndarray] = {}
     by_slice: dict[str, list] = {}
     for r in rows:
         by_slice.setdefault(r["slice"], []).append(r)
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for slice_name, cells in by_slice.items():
         m = max(c["i"] for c in cells) + 1
         xtx = np.zeros((m, m))
@@ -118,8 +115,20 @@ def solve_coefficients(gram: DataFrame) -> dict[str, np.ndarray]:
             xtx[c["i"], c["j"]] = c["xtx"]
             if c["j"] == 0:
                 xty[c["i"]] = c["xty"]
+        out[slice_name] = (xtx, xty)
+    return out
+
+
+def solve_coefficients(gram: DataFrame) -> dict[str, np.ndarray]:
+    """Driver-side m×m solve per slice.
+
+    Returns {slice: B} with B shape (m, k): column f holds the regression
+    coefficients for feature f's equation (intercept first).
+    """
+    out: dict[str, np.ndarray] = {}
+    for slice_name, (xtx, xty) in collect_gram(gram).items():
         out[slice_name] = np.linalg.solve(
-            xtx + 1e-9 * np.eye(m), xty
+            xtx + 1e-9 * np.eye(xtx.shape[0]), xty
         )  # ridge epsilon guards rank-deficient constant features
     return out
 

@@ -311,6 +311,11 @@ def _edit_distance_sql(d: str) -> str:
     # embedding_dedup_ivf / semdedup (cluster-bounded blocks) or the
     # minhash/simhash candidate generators, then run levenshtein on the
     # surviving candidates only.
+    #
+    # The trailing unbounded ORDER BY exists only for oracle determinism
+    # in the sf0.01 contract; a 100 TB caller should consume the
+    # UNSORTED pair frame (drop the sort, or it becomes a global
+    # range-exchange over every pair).
     return f"""
     WITH pre AS (
       SELECT
@@ -533,6 +538,8 @@ def _incremental_minhash_sql(d: str) -> str:
     # min doc_id); old-old pairs were a PRIOR snapshot's problem and are
     # excluded.  At scale the old side's signatures come from a stored
     # signature table instead of a rescan; the pair shape is identical.
+    # Trailing ORDER BY is oracle-determinism only — consume the
+    # unsorted frame at scale (same note as edit_distance_pairs).
     return f"""
     WITH cand AS ({_minhash_lsh_sql(d)})
     SELECT

@@ -106,11 +106,11 @@ def test_advisor_sweep_no_errors_no_triple_scans(spark):
         # build cost (driver-side fit / training), not plan risk:
         "ann_ivf_recall", "ann_pq_recall", "ann_lsh_recall",
         "mllib_ann_recall", "ann_recall_matrix",
-        "embedding_dedup_ivf", "semdedup_summary", "hybrid_train_eval",
-        "hybrid_forecast_eval", "mllib_linear_baseline",
-        "mllib_minhash_pairs", "pca_explained_variance",
-        "isotonic_calibration", "var_ols_coeffs", "huber_var_coeffs",
-        "gru_forward", "holt_forecast", "holt_winters_forecast",
+        "embedding_dedup_ivf", "semdedup_summary", "hybrid_train_cert",
+        "hybrid_forecast_cert", "linear_baseline_cert",
+        "mllib_minhash_pairs", "pca_cert",
+        "isotonic_cert", "var_ols_cert", "huber_cert",
+        "gru_forward_cert", "holt_forecast", "holt_winters_forecast",
     }
     import re
 

@@ -58,12 +58,18 @@ def test_no_cartesian_product_anywhere(spark):
     broadcast side on purpose; an unconstrained cartesian is always a
     scale bug.)  Skips rows-only queries whose physical plan needs
     Python-side fitting to build (they assert their own shapes)."""
-    # KMeans/BRP/LR fit at plan-build time
+    # iterative fits / training / bounded collects at plan-build time
     skip = {
         "ann_ivf_recall",
         "ann_pq_recall",
         "mllib_ann_recall",
-        "mllib_linear_baseline",
+        "var_ols_cert",
+        "huber_cert",
+        "linear_baseline_cert",
+        "pca_cert",
+        "isotonic_cert",
+        "gru_forward_cert",
+        "hybrid_train_cert",
     }
     offenders = []
     for name, fn in QUERIES.items():
