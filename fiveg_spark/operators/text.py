@@ -173,10 +173,52 @@ def _tfidf_sql(d: str) -> str:
     """
 
 
+def _rx_all(d: str, x: str, pat: str, rep: str) -> str:
+    """regexp_replace over ALL matches in both engines (Spark replaces
+    globally by default; DuckDB needs the 'g' flag)."""
+    if d == "spark":
+        return f"regexp_replace({x}, '{pat}', '{rep}')"
+    return f"regexp_replace({x}, '{pat}', '{rep}', 'g')"
+
+
+def _text_normalize_sql(d: str) -> str:
+    # E53 — the C4/CCNet-style normalization pass that FRONTS a curation
+    # pipeline (before content-hash dedup, before shingling): collapse
+    # whitespace runs (incl. tabs — char class, no backslash escapes so
+    # Java regex and RE2 agree), trim edges, and flag what changed.
+    # Emits the md5 of the normalized text so the contract certifies the
+    # byte-level reconstruction, plus changed/empty flags a funnel can
+    # aggregate.  Map-only: one scan, no shuffle at any scale.
+    ws = "[ \t][ \t]*"  # run of spaces/tabs (POSIX-portable, no \s)
+    clean = f"trim({_rx_all(d, 'text', ws, ' ')})"
+    return f"""
+    WITH cleaned AS (
+      SELECT
+        doc_id,
+        source,
+        text,
+        {clean} AS clean_text
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      source,
+      {cnt("length(text)", "n_chars_raw")},
+      {cnt("length(clean_text)", "n_chars_clean")},
+      CASE WHEN clean_text = text THEN FALSE ELSE TRUE END AS changed,
+      CASE WHEN length(clean_text) = 0 THEN TRUE ELSE FALSE END AS empty_after,
+      md5(clean_text) AS clean_hash
+    FROM cleaned
+    ORDER BY doc_id
+    """
+
+
 QUERIES = [
     sql_backed("tfidf_top_terms", _tfidf_sql, ("documents",)),
     sql_backed("lang_id", _lang_id_sql, ("documents",)),
     sql_backed("text_quality", _text_quality_sql, ("documents",)),
     sql_backed("token_counts", _token_counts_sql, ("documents",)),
     sql_backed("doc_fingerprint", _doc_fingerprint_sql, ("documents",)),
+    # registered mid-round 6: sorts behind the frozen window
+    sql_backed("text_normalize", _text_normalize_sql, ("documents",), deferred=True),
 ]

@@ -1,0 +1,57 @@
+"""ml/certify.py — the invariant rows must actually hold at test SF.
+
+The oracle side (DuckDB recomputing the n_* counts from raw events) is
+exercised by drive_contract / the driver; here we pin the Spark side:
+every boolean column TRUE and the counts self-consistent.  Only the
+cheap certs run per-suite — the training cert is covered by
+test_train.py (same code path) and by the driver window.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_var_ols_cert_invariants(spark):
+    from fiveg_spark.ml.certify import N_TERMS, var_ols_cert
+
+    rows = _rows(var_ols_cert(spark, SF_DIR))
+    assert len(rows) == 3
+    for r in rows:
+        assert r["n_terms"] == N_TERMS
+        assert r["n_obs"] > N_TERMS  # overdetermined system
+        assert r["normal_eq_ok"] and r["beats_mean_ok"], r
+
+
+def test_huber_cert_invariants(spark):
+    from fiveg_spark.ml.certify import huber_cert
+
+    rows = _rows(huber_cert(spark, SF_DIR))
+    assert len(rows) == 3
+    for r in rows:
+        assert r["grad_ok"] and r["loss_le_ols"], r
+
+
+def test_isotonic_and_pca_cert_invariants(spark):
+    from fiveg_spark.ml.certify import isotonic_cert, pca_cert
+
+    (iso,) = _rows(isotonic_cert(spark, SF_DIR))
+    assert iso["n_pairs"] > 0
+    assert iso["monotone_ok"] and iso["mse_improves"] and iso["mean_preserved"]
+
+    (pca,) = _rows(pca_cert(spark, SF_DIR))
+    assert pca["k"] == 4 and pca["n_vectors"] > 0
+    assert pca["ratios_monotone_ok"] and pca["ratios_bounded_ok"]
+    assert pca["pc1_ratio_ok"]
+
+
+def test_gru_forward_cert_invariants(spark):
+    from fiveg_spark.ml.certify import GRU_SAMPLE, gru_forward_cert
+
+    (r,) = _rows(gru_forward_cert(spark, SF_DIR))
+    assert r["n_checked"] == min(GRU_SAMPLE, r["n_sequences"])
+    assert r["forward_matches"] and r["all_finite"], r
