@@ -23,7 +23,7 @@ Both are pure SQL in both engines — no Python in the plan.
 from __future__ import annotations
 
 from fiveg_spark.operators.text import _tok
-from fiveg_spark.plans.registry import materialized_backed, cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import materialized_backed, cnt, dbl, pct, sql_backed
 
 
 def _pairs_expr(d: str) -> str:
@@ -315,12 +315,87 @@ def _zipf_slope_sql(d: str) -> str:
     """
 
 
+def _ppl_buckets_sql(d: str) -> str:
+    # E54 — CCNet head/middle/tail perplexity split (Wenzek et al. 2020
+    # §4.3): bucket each source's documents by per-doc LM perplexity
+    # terciles — 'head' (lowest-ppl third) is the quality slice CCNet
+    # keeps, 'tail' the noise candidate pool.  Reuses the unigram-NLL
+    # scoring pipeline (E33) up to per_doc, then one per-source quantile
+    # agg + a broadcast-size join back.  Boundaries are ROUNDED before
+    # the comparison (and nudged) so both engines bucket identical
+    # doubles; avg_nll itself is already on the 4-decimal grid.
+    # Scale: corpus scan + vocab broadcast (E33's shape) + a per-source
+    # tercile over the per-doc frame (source count is small, the agg is
+    # a few rows) — nothing quadratic, no global sort.
+    explode = (
+        f"SELECT doc_id, source, explode({_tok(d)}) AS term FROM documents"
+        if d == "spark"
+        else f"SELECT doc_id, source, unnest({_tok(d)}) AS term FROM documents"
+    )
+    third, two_thirds = 1.0 / 3.0, 2.0 / 3.0
+    return f"""
+    WITH toks AS ({explode}),
+    uni AS (
+      SELECT term, count(*) AS c FROM toks GROUP BY term
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
+    ),
+    scored AS (
+      SELECT
+        toks.doc_id,
+        toks.source,
+        -ln(uni.c / tot.t) AS nll
+      FROM toks JOIN uni ON toks.term = uni.term CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT
+        doc_id,
+        source,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        round(avg(nll) + 1e-9, 4) + 0.0 AS avg_nll
+      FROM scored
+      GROUP BY doc_id, source
+    ),
+    bounds AS (
+      SELECT
+        source,
+        round({pct("avg_nll", third, d)} + 1e-9, 4) AS q33,
+        round({pct("avg_nll", two_thirds, d)} + 1e-9, 4) AS q66
+      FROM per_doc
+      GROUP BY source
+    ),
+    bucketed AS (
+      SELECT
+        p.source,
+        p.n_tokens,
+        CASE WHEN p.avg_nll <= b.q33 + 1e-9 THEN 'head'
+             WHEN p.avg_nll <= b.q66 + 1e-9 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM per_doc p JOIN bounds b ON p.source = b.source
+    )
+    SELECT
+      source,
+      bucket,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(n_tokens)", "n_tokens")},
+      {dbl(
+        "CASE WHEN sum(sum(n_tokens)) OVER (PARTITION BY source) <= 0 THEN 0.0 "
+        "ELSE sum(n_tokens) / CAST(sum(sum(n_tokens)) OVER (PARTITION BY source) AS DOUBLE) END",
+        "token_share",
+      )}
+    FROM bucketed
+    GROUP BY source, bucket
+    ORDER BY source, bucket
+    """
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
     sql_backed("unigram_ppl", _unigram_ppl_sql, ("documents",)),
     sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),
-    # registered mid-round-5 after the certification window froze: stays
-    # behind the 50 never-certified slots until CORRECTNESS_r05 lands
     sql_backed("zipf_slope", _zipf_slope_sql, ("documents",)),
+    # registered mid-round 6: sorts behind the frozen window
+    sql_backed("ppl_buckets", _ppl_buckets_sql, ("documents",), deferred=True),
 ]

@@ -26,6 +26,7 @@ from fiveg_spark.operators.llm_curation import (
 from fiveg_spark.operators.quality import _benford_digits_sql
 from fiveg_spark.operators.text import _text_normalize_sql, _text_quality_sql
 from fiveg_spark.operators.text_stats import (
+    _ppl_buckets_sql,
     _unigram_ppl_sql,
     _vocab_growth_sql,
     _zipf_slope_sql,
@@ -46,6 +47,7 @@ _DOC_SQL = {
     "mixture_weights": _mixture_weights_sql,
     "domain_mixture_weights": _domain_reweight_sql,
     "text_normalize": _text_normalize_sql,
+    "ppl_buckets": _ppl_buckets_sql,
 }
 
 _DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
