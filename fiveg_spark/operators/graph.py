@@ -149,6 +149,68 @@ def _dedup_clusters_oracle() -> str:
     """
 
 
+def cluster_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E55 — count-based downweighting ("soft dedup"): instead of
+    dropping near-duplicates, give every document the sampling weight
+    1 / |its near-dup cluster|, so each distinct content unit
+    contributes equal expected mass to training (the alternative to
+    hard dedup several pretraining pipelines use; singletons keep
+    weight 1).  Extends E15's transitive closure with the join-back to
+    the full corpus — at 100 TB the comps/sizes side is bounded by the
+    (LSH-pruned) near-dup population, a small fraction of the corpus,
+    and broadcasts."""
+    from fiveg_spark.sources.tables import load_table
+
+    ensure_views(spark, ("documents",), sf_dir)
+    pairs = spark.sql(_ngram_jaccard_sql("spark")).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comps.groupBy("component").agg(F.count("*").alias("n"))
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    return (
+        docs.join(comps, docs["doc_id"] == comps["node"], "left")
+        .join(sizes, "component", "left")
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster_root"),
+            F.coalesce(F.col("n"), F.lit(1)).cast("long").alias("cluster_size"),
+            (
+                F.round(
+                    1.0 / F.coalesce(F.col("n"), F.lit(1)).cast("double") + 1e-9, 4
+                )
+                + 0.0
+            ).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cluster_weights_oracle() -> str:
+    return f"""
+    {_dedup_clusters_oracle().lstrip().removeprefix("WITH ").rsplit("SELECT", 1)[0]}
+    , csizes AS (
+      SELECT component, count(*) AS n FROM comp GROUP BY component
+    )
+    SELECT
+      CAST(d.doc_id AS BIGINT) AS doc_id,
+      CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_root,
+      CAST(coalesce(s.n, 1) AS BIGINT) AS cluster_size,
+      round(1.0 / coalesce(s.n, 1) + 1e-9, 4) + 0.0 AS weight
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.node
+    LEFT JOIN csizes s ON c.component = s.component
+    ORDER BY d.doc_id
+    """
+
+
 QUERIES = [
     Query("dedup_clusters", dedup_clusters, "WITH RECURSIVE " + _dedup_clusters_oracle().lstrip().removeprefix("WITH ")),
+    # registered mid-round 6: sorts behind the frozen window
+    Query(
+        "cluster_weights",
+        cluster_weights,
+        "WITH RECURSIVE " + _cluster_weights_oracle().lstrip().removeprefix("WITH "),
+        deferred=True,
+    ),
 ]
