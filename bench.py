@@ -32,6 +32,9 @@ HEADLINE = (
     # corpus-scan text path (r4 verdict): one shingle-explode-heavy
     # query so the LLM-data pipeline is perf-tracked like the KPI path
     "boilerplate_ngrams",
+    # span-level dedup (r6): positions explode + span census + join-back
+    # + per-doc reconstruction — the heaviest new text shape
+    "substring_dedup",
 )
 
 

@@ -17,7 +17,13 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from fiveg_spark.operators.dedup import _incremental_dedup_sql
+from fiveg_spark.operators.dedup import (
+    _dedup_exact_sql,
+    _incremental_dedup_sql,
+    _incremental_minhash_sql,
+    _minhash_lsh_sql,
+    _ngram_jaccard_sql,
+)
 from fiveg_spark.operators.llm_curation import (
     _domain_reweight_sql,
     _gopher_quality_sql,
@@ -48,6 +54,12 @@ _DOC_SQL = {
     "domain_mixture_weights": _domain_reweight_sql,
     "text_normalize": _text_normalize_sql,
     "ppl_buckets": _ppl_buckets_sql,
+    # dedup family: tiny-vocab corpora make collisions and ties the
+    # common case, exactly where bucketing/tiebreak bugs live
+    "dedup_exact": _dedup_exact_sql,
+    "minhash_lsh_pairs": _minhash_lsh_sql,
+    "ngram_jaccard_pairs": _ngram_jaccard_sql,
+    "incremental_minhash_pairs": _incremental_minhash_sql,
 }
 
 _DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
@@ -249,12 +261,14 @@ def _assert_parity_parts(spark, pdf, view, schema, parts_fn, name):
 
 def _doc_parts_fns():
     from fiveg_spark.operators.dedup import _substring_dedup_parts
+    from fiveg_spark.operators.llm_curation import _contamination_matrix_parts
 
     return {
         # short docs (< SPAN_K tokens), whole-corpus duplicates, and
         # single-word vocab collisions all land here; clean_hash pins
         # the full token-level reconstruction across engines
         "substring_dedup": _substring_dedup_parts,
+        "contamination_matrix": _contamination_matrix_parts,
     }
 
 
