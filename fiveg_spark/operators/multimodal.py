@@ -10,12 +10,18 @@ The decode kernel is pluggable.  ``stdlib_decoder`` REALLY decodes the
 formats stdlib+numpy can handle — PCM WAV audio, binary netpbm images,
 PNG (zlib inflate + the five RFC 2083 scanline filters), and baseline
 JPEG (T.81 Huffman + dequant + IDCT, any chroma sampling), with a
-pure-numpy nearest-neighbour resize — while the remaining compressed
-codecs (MP3/MP4, progressive JPEG) need libraries absent from this
-environment and stay gated behind NotImplementedError naming the
-dependency.  ``deterministic_fake_decoder`` remains for exact-value
-plumbing tests.  Swapping decoders changes ONE function — none of the
-distributed plumbing.
+pure-numpy nearest-neighbour resize.  MP4 containers demux for REAL
+(``probe_mp4``: ISO BMFF box walk — brand, duration, track table,
+dimensions, codec fourcc, sample/keyframe counts) and MP3 streams
+parse for REAL (``probe_mp3``: Layer III frame-header walk — sample
+rate, bitrate, frame count, duration) — that metadata layer is what
+corpus filtering/sizing/sampling actually consumes.  Only SAMPLE-level
+decode of the compressed codecs (MP3 PCM, MP4 pixels, progressive
+JPEG) needs libraries absent from this environment and stays gated
+behind NotImplementedError naming the dependency.
+``deterministic_fake_decoder`` remains for exact-value plumbing tests.
+Swapping decoders changes ONE function — none of the distributed
+plumbing.
 """
 
 from __future__ import annotations
@@ -74,15 +80,178 @@ def deterministic_fake_decoder(content: bytes, kind: str) -> np.ndarray:
 
 
 def codec_decoder(content: bytes, kind: str) -> np.ndarray:  # pragma: no cover
-    """Compressed-codec decode path — requires media libraries absent
-    from this env (MP3/MP4; PNG and baseline JPEG decode for REAL via
-    ``decode_png``/``decode_jpeg``).  Uncompressed formats decode via
-    ``stdlib_decoder`` below."""
+    """SAMPLE-level decode of compressed codecs — requires media
+    libraries absent from this env (MP3 audio samples need soundfile;
+    MP4 video pixels need av).  Everything above the codec layer is
+    real here: PNG and baseline JPEG decode fully via
+    ``decode_png``/``decode_jpeg``, MP4 containers demux via
+    ``probe_mp4`` (ISO BMFF box walk: brand, duration, track table,
+    dimensions, sample/keyframe counts), and MP3 streams parse via
+    ``probe_mp3`` (frame-header walk: bitrate, sample rate, frame
+    count, duration)."""
     raise NotImplementedError(
-        "compressed media decode needs soundfile (audio) / av (video); "
-        "install one and plug it in here — the Spark plumbing is "
-        "decoder-agnostic"
+        "compressed media SAMPLE decode needs soundfile (audio) / av "
+        "(video); install one and plug it in here — the Spark plumbing "
+        "and the container/frame-header probes are library-free"
     )
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate (type, payload_start, box_end) over ISO BMFF boxes in
+    data[start:end] (ISO/IEC 14496-12 §4.2; 64-bit largesize and
+    size==0 'to end of file' both handled)."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(data[i : i + 4], "big")
+        typ = data[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            size = int.from_bytes(data[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError(f"malformed MP4 box {typ!r} at {i}")
+        yield typ, i + hdr, i + size
+        i += size
+
+
+def probe_mp4(content: bytes) -> dict:
+    """REAL MP4/ISO-BMFF container demux, stdlib-only: brand, movie
+    duration, and per-track (handler, codec fourcc, width/height,
+    sample count, keyframe count, track duration).  This is the
+    metadata layer a corpus pipeline filters/sizes/samples on; pixel
+    decode of the contained codec stays gated in ``codec_decoder``."""
+    info: dict = {"brand": None, "duration_ms": None, "tracks": []}
+    for typ, a, b in _mp4_boxes(content, 0, len(content)):
+        if typ == b"ftyp":
+            info["brand"] = content[a : a + 4].decode("ascii", "replace")
+        elif typ == b"moov":
+            for t2, c, d in _mp4_boxes(content, a, b):
+                if t2 == b"mvhd":
+                    ver = content[c]
+                    if ver == 1:
+                        ts = int.from_bytes(content[c + 20 : c + 24], "big")
+                        dur = int.from_bytes(content[c + 24 : c + 32], "big")
+                    else:
+                        ts = int.from_bytes(content[c + 12 : c + 16], "big")
+                        dur = int.from_bytes(content[c + 16 : c + 20], "big")
+                    if ts:
+                        info["duration_ms"] = int(dur * 1000 / ts)
+                elif t2 == b"trak":
+                    info["tracks"].append(_mp4_track(content, c, d))
+    if info["brand"] is None and not info["tracks"]:
+        raise ValueError("no ftyp/moov box: not an MP4")
+    return info
+
+
+def _mp4_track(data: bytes, start: int, end: int) -> dict:
+    trk: dict = {
+        "handler": None,
+        "codec": None,
+        "width": None,
+        "height": None,
+        "n_samples": 0,
+        "n_keyframes": None,
+        "duration_ms": None,
+    }
+    for typ, a, b in _mp4_boxes(data, start, end):
+        if typ == b"tkhd":
+            ver = data[a]
+            off = a + (88 if ver == 1 else 76)
+            # 16.16 fixed-point presentation dimensions
+            trk["width"] = int.from_bytes(data[off : off + 4], "big") >> 16
+            trk["height"] = int.from_bytes(data[off + 4 : off + 8], "big") >> 16
+        elif typ == b"mdia":
+            for t2, c, d in _mp4_boxes(data, a, b):
+                if t2 == b"mdhd":
+                    ver = data[c]
+                    if ver == 1:
+                        ts = int.from_bytes(data[c + 20 : c + 24], "big")
+                        dur = int.from_bytes(data[c + 24 : c + 32], "big")
+                    else:
+                        ts = int.from_bytes(data[c + 12 : c + 16], "big")
+                        dur = int.from_bytes(data[c + 16 : c + 20], "big")
+                    if ts:
+                        trk["duration_ms"] = int(dur * 1000 / ts)
+                elif t2 == b"hdlr":
+                    trk["handler"] = data[c + 8 : c + 12].decode("ascii", "replace")
+                elif t2 == b"minf":
+                    for t3, e, f in _mp4_boxes(data, c, d):
+                        if t3 == b"stbl":
+                            _mp4_stbl(data, e, f, trk)
+    return trk
+
+
+def _mp4_stbl(data: bytes, start: int, end: int, trk: dict) -> None:
+    for typ, a, _b in _mp4_boxes(data, start, end):
+        if typ == b"stsd":
+            if int.from_bytes(data[a + 4 : a + 8], "big") >= 1:
+                trk["codec"] = data[a + 12 : a + 16].decode("ascii", "replace")
+        elif typ == b"stsz":
+            trk["n_samples"] = int.from_bytes(data[a + 8 : a + 12], "big")
+        elif typ == b"stss":
+            trk["n_keyframes"] = int.from_bytes(data[a + 4 : a + 8], "big")
+
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def probe_mp3(content: bytes) -> dict:
+    """REAL MP3 stream parse, stdlib-only: walks Layer III frame headers
+    (ISO 11172-3 / 13818-3) past any ID3v2 tag and returns sample rate,
+    mean bitrate, frame count, and duration.  Audio SAMPLE decode
+    (Huffman + IMDCT + synthesis filterbank) stays gated in
+    ``codec_decoder``."""
+    i = 0
+    if content[:3] == b"ID3":
+        syncsafe = content[6:10]
+        i = 10 + (
+            (syncsafe[0] << 21) | (syncsafe[1] << 14) | (syncsafe[2] << 7) | syncsafe[3]
+        )
+    n_frames = 0
+    samples = 0
+    sr_out = None
+    kbps_sum = 0
+    while i + 4 <= len(content):
+        h = content[i : i + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            if n_frames:
+                break  # trailing junk / tag after last frame
+            i += 1
+            continue
+        version = (h[1] >> 3) & 3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5, 1=reserved
+        layer = (h[1] >> 1) & 3  # 1 = Layer III
+        if version == 1 or layer != 1:
+            raise NotImplementedError("only MPEG Layer III framing supported")
+        br_idx = h[2] >> 4
+        sr_idx = (h[2] >> 2) & 3
+        pad = (h[2] >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format/invalid MP3 frame header")
+        kbps = (_MP3_BITRATES_V1L3 if version == 3 else _MP3_BITRATES_V2L3)[br_idx]
+        sr = _MP3_SR[version][sr_idx]
+        spf = 1152 if version == 3 else 576  # samples per Layer III frame
+        frame_len = (spf // 8) * kbps * 1000 // sr + pad
+        if frame_len <= 4 or i + frame_len > len(content):
+            break  # truncated final frame
+        n_frames += 1
+        samples += spf
+        kbps_sum += kbps
+        sr_out = sr
+        i += frame_len
+    if not n_frames:
+        raise ValueError("no MP3 frames found")
+    return {
+        "sample_rate": sr_out,
+        "n_frames": n_frames,
+        "duration_ms": int(samples * 1000 / sr_out),
+        "bitrate_kbps": kbps_sum / n_frames,
+    }
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -523,14 +692,54 @@ def stdlib_decoder(content: bytes, kind: str) -> np.ndarray:
     vector; the remaining compressed codecs (MP3/MP4) still route to
     ``codec_decoder``.
 
+    MP4 containers and MP3 streams extract REAL metadata features via
+    the stdlib probes (``probe_mp4``/``probe_mp3``) — the layer corpus
+    filtering/sizing/sampling actually uses; only their SAMPLE decode
+    routes to the gated ``codec_decoder``.
+
     Layout (zero-padded):
       audio: [1, duration_s, sr/48000, rms, peak, zero-crossing rate,
               mean, std]
       image: [2, w/4096, h/4096, channels, mean/255, std/255,
               r/255, g/255, b/255]  (gray repeats the mean)
+      video (mp4): [3, duration_s, w/4096, h/4096, n_tracks, has_video,
+              has_audio, n_samples/1e4, keyframe_ratio]
+      audio (mp3): [4, duration_s, sr/48000, bitrate/320, n_frames/1e4]
     """
     head = content[:12]
-    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+    if head[4:8] == b"ftyp":
+        info = probe_mp4(content)
+        vids = [t for t in info["tracks"] if t["handler"] == "vide"]
+        v = vids[0] if vids else None
+        n_samp = sum(t["n_samples"] for t in info["tracks"])
+        keyr = (
+            (v["n_keyframes"] / v["n_samples"])
+            if v and v["n_keyframes"] is not None and v["n_samples"]
+            else 0.0
+        )
+        vec = [
+            3.0,
+            (info["duration_ms"] or 0) / 1000.0,
+            (v["width"] if v else 0) / 4096.0,
+            (v["height"] if v else 0) / 4096.0,
+            float(len(info["tracks"])),
+            1.0 if vids else 0.0,
+            1.0 if any(t["handler"] == "soun" for t in info["tracks"]) else 0.0,
+            n_samp / 1e4,
+            keyr,
+        ]
+    elif head[:3] == b"ID3" or (
+        len(content) >= 2 and content[0] == 0xFF and (content[1] & 0xE0) == 0xE0
+    ):
+        m = probe_mp3(content)
+        vec = [
+            4.0,
+            m["duration_ms"] / 1000.0,
+            m["sample_rate"] / 48000.0,
+            m["bitrate_kbps"] / 320.0,
+            m["n_frames"] / 1e4,
+        ]
+    elif head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         x, sr = decode_wav(content)
         zcr = float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0
         vec = [

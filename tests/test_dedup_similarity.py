@@ -285,9 +285,10 @@ def test_stdlib_decoder_real_wav_and_ppm(spark):
         assert np.allclose(rows[mid]["features"], expect, atol=1e-6)
     assert rows[1]["features"][0] == 1.0 and rows[2]["features"][0] == 2.0
 
-    # remaining compressed codecs still gate (PNG and baseline JPEG are
-    # now real — MP4 isn't)
-    with pytest.raises(NotImplementedError):
+    # MP4 containers now demux for real (see test_mp4_container_probe_
+    # and_routing); a truncated box table is a malformed-input error,
+    # not a codec gate
+    with pytest.raises(ValueError):
         stdlib_decoder(b"\x00\x00\x00\x18ftypmp42", "video")
 
 
@@ -1010,3 +1011,120 @@ def test_jpeg_gates_zero_sampling_fill_bytes_and_multiscan():
     multi = good[:sos] + sos_seg + good[sos:]
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_jpeg(multi)
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", len(payload) + 8) + typ + payload
+
+
+def _build_mp4(w=640, h=360, dur_ms=2500, n_samples=75, n_keyframes=3):
+    """Minimal ISO BMFF file (test-side builder, independent of the
+    probe under test): ftyp + moov{mvhd, trak{tkhd, mdia{mdhd, hdlr,
+    minf{stbl{stsd, stsz, stss}}}}}."""
+    import struct
+
+    ts = 1000
+    mvhd = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_ms) + bytes(80)
+    tkhd = (
+        bytes(4)
+        + bytes(8)
+        + struct.pack(">I", 1)
+        + bytes(4)
+        + struct.pack(">I", dur_ms)
+        + bytes(8)
+        + bytes(8)
+        + bytes(36)
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    mdhd = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_ms) + bytes(4)
+    hdlr = bytes(8) + b"vide" + bytes(12)
+    stsd = bytes(4) + struct.pack(">I", 1) + struct.pack(">I", 16) + b"avc1" + bytes(8)
+    stsz = bytes(4) + struct.pack(">II", 0, n_samples)
+    stss = bytes(4) + struct.pack(">I", n_keyframes) + bytes(4 * n_keyframes)
+    stbl = _box(b"stbl", _box(b"stsd", stsd) + _box(b"stsz", stsz) + _box(b"stss", stss))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    ftyp = _box(b"ftyp", b"isom" + bytes(4) + b"isomavc1")
+    return ftyp + moov
+
+
+def _build_mp3(n_frames=5, kbps=128, sr=44100, with_id3=True):
+    """Minimal MPEG1 Layer III stream: ID3v2 tag + n valid frame
+    headers with correct frame lengths (silent payload)."""
+    frames = b""
+    for _ in range(n_frames):
+        # MPEG1 (11), Layer III (01), no CRC (1) -> 0xFB; 128 kbps idx=9,
+        # 44100 idx=0, no padding
+        hdr = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2) | 0, 0])
+        flen = 144 * kbps * 1000 // sr
+        frames += hdr + bytes(flen - 4)
+    if not with_id3:
+        return frames
+    tag_body = bytes(17)
+    size = len(tag_body)
+    syncsafe = bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return b"ID3" + bytes([4, 0, 0]) + syncsafe + tag_body + frames
+
+
+def test_mp4_container_probe_and_routing():
+    """E13: real ISO-BMFF demux — brand, duration, track geometry,
+    sample/keyframe counts — and the stdlib_decoder video vector."""
+    import pytest as _pytest
+
+    from fiveg_spark.operators.multimodal import probe_mp4, stdlib_decoder
+
+    blob = _build_mp4(w=640, h=360, dur_ms=2500, n_samples=75, n_keyframes=3)
+    info = probe_mp4(blob)
+    assert info["brand"] == "isom"
+    assert info["duration_ms"] == 2500
+    (trk,) = info["tracks"]
+    assert trk["handler"] == "vide" and trk["codec"] == "avc1"
+    assert (trk["width"], trk["height"]) == (640, 360)
+    assert trk["n_samples"] == 75 and trk["n_keyframes"] == 3
+    assert trk["duration_ms"] == 2500
+
+    vec = stdlib_decoder(blob, "video")
+    assert vec[0] == 3.0
+    assert vec[1] == _pytest.approx(2.5)
+    assert vec[2] == _pytest.approx(640 / 4096.0)
+    assert vec[4] == 1.0 and vec[5] == 1.0  # one track, has video
+    assert vec[8] == _pytest.approx(3 / 75)
+
+    with _pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\x00\x08free")  # no ftyp/moov
+    with _pytest.raises(ValueError):
+        probe_mp4(b"\x00\x00\xff\xffftypisom")  # size overruns buffer
+
+
+def test_mp3_frame_probe_and_routing():
+    """E13: real Layer III frame-header walk — frame count, duration,
+    bitrate — with and without a leading ID3v2 tag; sample decode stays
+    gated."""
+    import pytest as _pytest
+
+    from fiveg_spark.operators.multimodal import codec_decoder, probe_mp3, stdlib_decoder
+
+    blob = _build_mp3(n_frames=5, kbps=128, sr=44100)
+    m = probe_mp3(blob)
+    assert m["n_frames"] == 5
+    assert m["sample_rate"] == 44100
+    assert m["bitrate_kbps"] == 128
+    assert m["duration_ms"] == int(5 * 1152 * 1000 / 44100)
+
+    bare = _build_mp3(n_frames=2, with_id3=False)
+    assert probe_mp3(bare)["n_frames"] == 2
+
+    vec = stdlib_decoder(blob, "audio")
+    assert vec[0] == 4.0
+    assert vec[3] == _pytest.approx(128 / 320.0)
+
+    with _pytest.raises(ValueError):
+        probe_mp3(b"ID3" + bytes([4, 0, 0, 0, 0, 0, 0]) + bytes(32))  # no frames
+    with _pytest.raises(NotImplementedError):
+        codec_decoder(bare, "audio")  # sample decode still gated
