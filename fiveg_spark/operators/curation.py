@@ -185,10 +185,54 @@ def _weighted_sample_sql(d: str) -> str:
     """
 
 
+N_SHARDS = 16
+
+
+def _training_order_sql(d: str) -> str:
+    # E56 — deterministic shuffle + shard assignment: the dataset-writer
+    # step between curation and training.  Training wants documents in a
+    # pseudo-random order decorrelated from ingestion order, and wants
+    # that order REPRODUCIBLE across re-runs — so the permutation key is
+    # a keyed hash (md5, engine-exact), not an RNG.  The shard is the
+    # first hex nibble of the key (uniform over N_SHARDS=16); the
+    # within-shard position is a rank over the key.
+    #
+    # Scale: shard assignment is map-only; the within-shard rank is a
+    # PER-SHARD sort — exactly the sortWithinPartitions a real sharded
+    # dataset writer pays (each shard is one output file, written in
+    # key order), never a global sort.  At 100 TB: repartition(shard)
+    # then sortWithinPartitions(key) — the window below expresses the
+    # same thing declaratively, partitioned on the shard key.
+    key = _doc_hash("order-v1")
+    shard = (
+        f"CAST(position(substring({key}, 1, 1) IN '0123456789abcdef') - 1 AS BIGINT)"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT
+        doc_id,
+        source,
+        {key} AS shuffle_key,
+        {shard} AS shard
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      source,
+      shard,
+      {cnt("row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id)",
+           "pos_in_shard")}
+    FROM keyed
+    ORDER BY shard, pos_in_shard
+    """
+
+
 QUERIES = [
     sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
     sql_backed("weighted_sample", _weighted_sample_sql, ("documents",)),
     sql_backed("per_source_topk_sample", _topk_sample_sql, ("documents",)),
     sql_backed("hash_split", _hash_split_sql, ("documents",)),
     sql_backed("curation_funnel", _curation_sql, ("documents",)),
+    # registered mid-round 6: sorts behind the frozen window
+    sql_backed("training_order", _training_order_sql, ("documents",), deferred=True),
 ]
