@@ -315,7 +315,7 @@ def _zipf_slope_sql(d: str) -> str:
     """
 
 
-def _ppl_buckets_sql(d: str) -> str:
+def _ppl_buckets_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E54 — CCNet head/middle/tail perplexity split (Wenzek et al. 2020
     # §4.3): bucket each source's documents by per-doc LM perplexity
     # terciles — 'head' (lowest-ppl third) is the quality slice CCNet
@@ -324,31 +324,31 @@ def _ppl_buckets_sql(d: str) -> str:
     # agg + a broadcast-size join back.  Boundaries are ROUNDED before
     # the comparison (and nudged) so both engines bucket identical
     # doubles; avg_nll itself is already on the 4-decimal grid.
-    # Scale: corpus scan + vocab broadcast (E33's shape) + a per-source
-    # tercile over the per-doc frame (source count is small, the agg is
-    # a few rows) — nothing quadratic, no global sort.
+    #
+    # materialized_backed, twice over: the exploded token frame feeds
+    # BOTH the vocab count and the scoring join, and the per-doc frame
+    # feeds BOTH the tercile agg and the bucket join — inlined, Spark
+    # re-ran the corpus scan 6× (plan-audited r6); materialized it
+    # scans documents ONCE.
     explode = (
         f"SELECT doc_id, source, explode({_tok(d)}) AS term FROM documents"
         if d == "spark"
         else f"SELECT doc_id, source, unnest({_tok(d)}) AS term FROM documents"
     )
-    third, two_thirds = 1.0 / 3.0, 2.0 / 3.0
-    return f"""
-    WITH toks AS ({explode}),
-    uni AS (
-      SELECT term, count(*) AS c FROM toks GROUP BY term
-    ),
-    tot AS (
-      SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
-    ),
-    scored AS (
-      SELECT
-        toks.doc_id,
-        toks.source,
-        -ln(uni.c / tot.t) AS nll
-      FROM toks JOIN uni ON toks.term = uni.term CROSS JOIN tot
-    ),
-    per_doc AS (
+    perdoc_sql = f"""
+      WITH uni AS (
+        SELECT term, count(*) AS c FROM _mz_ppl_toks GROUP BY term
+      ),
+      tot AS (
+        SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
+      ),
+      scored AS (
+        SELECT
+          k.doc_id,
+          k.source,
+          -ln(uni.c / tot.t) AS nll
+        FROM _mz_ppl_toks k JOIN uni ON k.term = uni.term CROSS JOIN tot
+      )
       SELECT
         doc_id,
         source,
@@ -356,13 +356,15 @@ def _ppl_buckets_sql(d: str) -> str:
         round(avg(nll) + 1e-9, 4) + 0.0 AS avg_nll
       FROM scored
       GROUP BY doc_id, source
-    ),
-    bounds AS (
+    """
+    third, two_thirds = 1.0 / 3.0, 2.0 / 3.0
+    tail = f"""
+    WITH bounds AS (
       SELECT
         source,
         round({pct("avg_nll", third, d)} + 1e-9, 4) AS q33,
         round({pct("avg_nll", two_thirds, d)} + 1e-9, 4) AS q66
-      FROM per_doc
+      FROM _mz_ppl_perdoc
       GROUP BY source
     ),
     bucketed AS (
@@ -372,7 +374,7 @@ def _ppl_buckets_sql(d: str) -> str:
         CASE WHEN p.avg_nll <= b.q33 + 1e-9 THEN 'head'
              WHEN p.avg_nll <= b.q66 + 1e-9 THEN 'middle'
              ELSE 'tail' END AS bucket
-      FROM per_doc p JOIN bounds b ON p.source = b.source
+      FROM _mz_ppl_perdoc p JOIN bounds b ON p.source = b.source
     )
     SELECT
       source,
@@ -388,6 +390,7 @@ def _ppl_buckets_sql(d: str) -> str:
     GROUP BY source, bucket
     ORDER BY source, bucket
     """
+    return [("_mz_ppl_toks", explode), ("_mz_ppl_perdoc", perdoc_sql)], tail
 
 
 QUERIES = [
@@ -397,5 +400,5 @@ QUERIES = [
     sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),
     sql_backed("zipf_slope", _zipf_slope_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window
-    sql_backed("ppl_buckets", _ppl_buckets_sql, ("documents",), deferred=True),
+    materialized_backed("ppl_buckets", _ppl_buckets_parts, ("documents",), deferred=True),
 ]

@@ -32,7 +32,7 @@ from fiveg_spark.operators.llm_curation import (
 from fiveg_spark.operators.quality import _benford_digits_sql
 from fiveg_spark.operators.text import _text_normalize_sql, _text_quality_sql
 from fiveg_spark.operators.text_stats import (
-    _ppl_buckets_sql,
+    _ppl_buckets_parts,
     _unigram_ppl_sql,
     _vocab_growth_sql,
     _zipf_slope_sql,
@@ -53,7 +53,6 @@ _DOC_SQL = {
     "mixture_weights": _mixture_weights_sql,
     "domain_mixture_weights": _domain_reweight_sql,
     "text_normalize": _text_normalize_sql,
-    "ppl_buckets": _ppl_buckets_sql,
     # dedup family: tiny-vocab corpora make collisions and ties the
     # common case, exactly where bucketing/tiebreak bugs live
     "dedup_exact": _dedup_exact_sql,
@@ -269,6 +268,7 @@ def _doc_parts_fns():
         # the full token-level reconstruction across engines
         "substring_dedup": _substring_dedup_parts,
         "contamination_matrix": _contamination_matrix_parts,
+        "ppl_buckets": _ppl_buckets_parts,
     }
 
 
