@@ -350,14 +350,20 @@ def _edit_distance_sql(d: str) -> str:
     """
 
 
-def _edit_distance_candidates_sql(d: str) -> str:
+def _edit_distance_candidates_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E43 — the SCALE path for edit-distance near-dup: run the O(m·n) DP
     # only on pairs that SURVIVED MinHash candidate generation (~linear
     # candidate count), not on a blocked quadratic pair space.  Composes
     # the one-scan minhash query as a subquery, then two point joins on
     # unique doc_id fetch the prefixes to compare — the "verify survivors
     # exactly" stage every production near-dup pipeline ends with.
-    return f"""
+    #
+    # materialized_backed (r6 plan audit): the prefix projection is
+    # joined TWICE (a-side, b-side) — inlined, each join re-read the
+    # full text column; the 80-char prefix frame materializes once, so
+    # the corpus text is scanned once here + once inside minhash.
+    prefix_sql = "SELECT doc_id, substr(text, 1, 80) AS prefix FROM documents"
+    tail = f"""
     SELECT
       doc_a,
       doc_b,
@@ -369,14 +375,15 @@ def _edit_distance_candidates_sql(d: str) -> str:
         mp.doc_a,
         mp.doc_b,
         mp.n_bands,
-        levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS dist,
-        length(substr(a.text, 1, 80)) AS la,
-        length(substr(b.text, 1, 80)) AS lb
+        levenshtein(a.prefix, b.prefix) AS dist,
+        length(a.prefix) AS la,
+        length(b.prefix) AS lb
       FROM ({_minhash_lsh_sql(d)}) mp
-      JOIN documents a ON mp.doc_a = a.doc_id
-      JOIN documents b ON mp.doc_b = b.doc_id
+      JOIN _mz_edc_prefix a ON mp.doc_a = a.doc_id
+      JOIN _mz_edc_prefix b ON mp.doc_b = b.doc_id
     ) scored
     """
+    return [("_mz_edc_prefix", prefix_sql)], tail
 
 
 def _incremental_dedup_sql(d: str) -> str:
@@ -562,7 +569,7 @@ QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
     sql_backed("edit_distance_pairs", _edit_distance_sql, ("documents",)),
     sql_backed("minhash_lsh_pairs", _minhash_lsh_sql, ("documents",)),
-    sql_backed("edit_distance_candidates", _edit_distance_candidates_sql, ("documents",)),
+    materialized_backed("edit_distance_candidates", _edit_distance_candidates_parts, ("documents",)),
     sql_backed("ngram_jaccard_pairs", _ngram_jaccard_sql, ("documents",)),
     sql_backed("incremental_dedup", _incremental_dedup_sql, ("documents",)),
     sql_backed(

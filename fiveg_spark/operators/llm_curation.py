@@ -241,19 +241,26 @@ def _repeated_ngrams_sql(d: str) -> str:
     """
 
 
-def _decontamination_sql(d: str) -> str:
+def _decontamination_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # Benchmark = every 10th document (stand-in for a held-out eval
     # suite).  A corpus doc is contaminated when >= 80% of its distinct
     # 3-grams appear anywhere in the benchmark set.  The benchmark
     # n-gram set is DISTINCT-reduced before the join (broadcast side at
     # scale).  Output: the 50 most-contaminated docs, deterministic.
-    return f"""
-    WITH {_ngram_cte(d)},
-    bench_ng AS (
-      SELECT DISTINCT ng FROM ngrams WHERE doc_id % 10 = 0
+    #
+    # materialized_backed (r6 plan audit): the n-gram frame feeds the
+    # benchmark set AND the corpus side — inlined, Spark scanned the
+    # corpus 3×; the distinct (doc_id, ng) frame materializes once.
+    ngrams_sql = f"""
+      WITH {_ngram_cte(d)}
+      SELECT DISTINCT doc_id, ng FROM ngrams
+    """
+    tail = f"""
+    WITH bench_ng AS (
+      SELECT DISTINCT ng FROM _mz_decon_ngrams WHERE doc_id % 10 = 0
     ),
     corpus AS (
-      SELECT DISTINCT doc_id, ng FROM ngrams WHERE doc_id % 10 <> 0
+      SELECT doc_id, ng FROM _mz_decon_ngrams WHERE doc_id % 10 <> 0
     ),
     totals AS (
       SELECT doc_id, count(*) AS n_ngrams FROM corpus GROUP BY doc_id
@@ -281,6 +288,7 @@ def _decontamination_sql(d: str) -> str:
     ORDER BY frac DESC, doc_id
     LIMIT 50
     """
+    return [("_mz_decon_ngrams", ngrams_sql)], tail
 
 
 def _pii_redact_sql(d: str) -> str:
@@ -502,7 +510,7 @@ QUERIES = [
     sql_backed("mixture_weights", _mixture_weights_sql, ("documents",)),
     sql_backed("gopher_quality", _gopher_quality_sql, ("documents",)),
     sql_backed("repeated_ngrams", _repeated_ngrams_sql, ("documents",)),
-    sql_backed("decontamination", _decontamination_sql, ("documents",)),
+    materialized_backed("decontamination", _decontamination_parts, ("documents",)),
     materialized_backed(
         "contamination_matrix", _contamination_matrix_parts, ("documents",),
     ),

@@ -15,7 +15,7 @@ interval×interval join.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import materialized_backed, cnt, dbl, sql_backed
 
 BIN_W = 10.0
 N_BINS = 60  # values clamp into [0, 600)
@@ -196,7 +196,7 @@ def _countmin_sql(d: str) -> str:
 KMV_K = 16
 
 
-def _kmv_sql(d: str) -> str:
+def _kmv_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C56 — KMV (k-minimum-values) distinct sketch, entirely in SQL so
     # the oracle checks build, MERGE, and estimates exactly.  Per day:
     # keep the k smallest md5-hash fractions of user_id (a k-row
@@ -217,40 +217,45 @@ def _kmv_sql(d: str) -> str:
     )
     frac = f"(({digits}) / 4294967296.0)"
     k = KMV_K
-    return f"""
-    WITH day_users AS (
-      SELECT DISTINCT
-        CAST(CAST(ts AS DATE) AS STRING) AS day,
-        user_id
-      FROM events
-    ),
-    hashed AS (
-      SELECT day, user_id, {frac} AS frac FROM day_users
-    ),
-    ranked AS (
-      SELECT
-        day,
-        frac,
-        row_number() OVER (PARTITION BY day ORDER BY frac, user_id) AS rn,
-        count(*) OVER (PARTITION BY day) AS n_day
-      FROM hashed
-    ),
-    day_sketch AS (
+    # materialized_backed (r6 plan audit): day_sketch feeds BOTH the
+    # per-day rows and the merged global row — inlined, Spark re-ran
+    # the events scan per reference (3 scans); the k-rows-per-day
+    # sketch materializes once.  The global exact witness keeps its own
+    # (inherent) scan.
+    sketch_sql = f"""
+      WITH day_users AS (
+        SELECT DISTINCT
+          CAST(CAST(ts AS DATE) AS STRING) AS day,
+          user_id
+        FROM events
+      ),
+      hashed AS (
+        SELECT day, user_id, {frac} AS frac FROM day_users
+      ),
+      ranked AS (
+        SELECT
+          day,
+          frac,
+          row_number() OVER (PARTITION BY day ORDER BY frac, user_id) AS rn,
+          count(*) OVER (PARTITION BY day) AS n_day
+        FROM hashed
+      )
       SELECT day, frac, rn, n_day FROM ranked WHERE rn <= {k}
-    ),
-    day_rows AS (
+    """
+    tail = f"""
+    WITH day_rows AS (
       SELECT
         day AS grain,
         CASE WHEN max(n_day) >= {k}
              THEN ({k} - 1) / max(CASE WHEN rn = {k} THEN frac END)
              ELSE CAST(max(n_day) AS DOUBLE) END AS est,
         CAST(max(n_day) AS BIGINT) AS exact_distinct
-      FROM day_sketch
+      FROM _mz_kmv_day_sketch
       GROUP BY day
     ),
     merged_ranked AS (
       SELECT frac, row_number() OVER (ORDER BY frac) AS rn
-      FROM (SELECT DISTINCT frac FROM day_sketch) u
+      FROM (SELECT DISTINCT frac FROM _mz_kmv_day_sketch) u
     ),
     global_exact AS (
       SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
@@ -278,11 +283,12 @@ def _kmv_sql(d: str) -> str:
     FROM unioned
     ORDER BY grain
     """
+    return [("_mz_kmv_day_sketch", sketch_sql)], tail
 
 
 QUERIES = [
     sql_backed("histogram_quantile_rollup", _hist_quantile_sql, ("events",)),
     sql_backed("concurrency_profile", _concurrency_sql, ("events",)),
     sql_backed("countmin_estimates", _countmin_sql, ("documents",)),
-    sql_backed("kmv_distinct_rollup", _kmv_sql, ("events",)),
+    materialized_backed("kmv_distinct_rollup", _kmv_parts, ("events",)),
 ]

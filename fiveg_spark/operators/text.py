@@ -11,7 +11,15 @@ word-soup); the BPE-ish regex tokenizer shows the regexp path.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import Query, arr_len, cnt, dbl, split_ws, sql_backed
+from fiveg_spark.plans.registry import (
+    Query,
+    arr_len,
+    cnt,
+    dbl,
+    materialized_backed,
+    split_ws,
+    sql_backed,
+)
 
 # Marker stopwords per language: deterministic scoring material that
 # exists in the synthetic corpus vocabulary.
@@ -127,24 +135,32 @@ def _doc_fingerprint_sql(d: str) -> str:
     """
 
 
-def _tfidf_sql(d: str) -> str:
+def _tfidf_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E14 — TF-IDF top-3 terms per document: explode tokens, tf per
     # (doc, term), df per term, smoothed idf, rank window per doc.
     # The df side is a tiny term dictionary -> broadcast at scale.
+    #
+    # materialized_backed (r6 plan audit): the exploded term frame fed
+    # BOTH tf and df — inlined, Spark scanned the corpus 3×.  The tf
+    # frame is materialized once; df derives from it EXACTLY (tf is
+    # already distinct per (doc, term), so count(*) per term over tf ==
+    # count(DISTINCT doc_id) over raw terms).  The n_docs count-star
+    # scan remains: it must include zero-token docs, and a count-only
+    # parquet scan reads footers, not data.
     toks = _tok(d)
     if d == "spark":
         exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
     else:
         exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
-    return f"""
-    WITH terms AS (
-      {exploded}
-    ),
-    tf AS (
+    tf_sql = f"""
+      WITH terms AS (
+        {exploded}
+      )
       SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
-    ),
-    df AS (
-      SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    """
+    tail = f"""
+    WITH df AS (
+      SELECT term, count(*) AS df FROM _mz_tfidf_tf GROUP BY term
     ),
     n AS (
       SELECT count(*) AS n_docs FROM documents
@@ -154,7 +170,7 @@ def _tfidf_sql(d: str) -> str:
         tf.doc_id,
         tf.term,
         round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1e-9, 4) + 0.0 AS score
-      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      FROM _mz_tfidf_tf tf JOIN df ON tf.term = df.term CROSS JOIN n
     ),
     ranked AS (
       SELECT *,
@@ -171,6 +187,7 @@ def _tfidf_sql(d: str) -> str:
     FROM ranked
     WHERE rnk <= 3
     """
+    return [("_mz_tfidf_tf", tf_sql)], tail
 
 
 def _rx_all(d: str, x: str, pat: str, rep: str) -> str:
@@ -214,7 +231,7 @@ def _text_normalize_sql(d: str) -> str:
 
 
 QUERIES = [
-    sql_backed("tfidf_top_terms", _tfidf_sql, ("documents",)),
+    materialized_backed("tfidf_top_terms", _tfidf_parts, ("documents",)),
     sql_backed("lang_id", _lang_id_sql, ("documents",)),
     sql_backed("text_quality", _text_quality_sql, ("documents",)),
     sql_backed("token_counts", _token_counts_sql, ("documents",)),

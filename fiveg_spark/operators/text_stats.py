@@ -123,7 +123,7 @@ def _vocab_growth_sql(d: str) -> str:
     """
 
 
-def _unigram_ppl_sql(d: str) -> str:
+def _unigram_ppl_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # Unigram-LM perplexity proxy: score each doc by the mean negative
     # log-probability of its tokens under the corpus unigram model —
     # the cheap stand-in for the KenLM perplexity filter of CCNet
@@ -133,25 +133,28 @@ def _unigram_ppl_sql(d: str) -> str:
     # avg: at 100 TB the vocab side is ≪ the corpus and broadcasts.
     # ppl derives from the ROUNDED mean NLL so both engines exponentiate
     # the identical double.
+    #
+    # materialized_backed (r6 plan audit): the exploded token frame
+    # feeds BOTH the vocab count and the scoring join — inlined, Spark
+    # scanned the corpus 3×; materialized it scans ONCE.
     explode = (
         f"SELECT doc_id, source, explode({_tok(d)}) AS term FROM documents"
         if d == "spark"
         else f"SELECT doc_id, source, unnest({_tok(d)}) AS term FROM documents"
     )
-    return f"""
-    WITH toks AS ({explode}),
-    uni AS (
-      SELECT term, count(*) AS c FROM toks GROUP BY term
+    tail = f"""
+    WITH uni AS (
+      SELECT term, count(*) AS c FROM _mz_uppl_toks GROUP BY term
     ),
     tot AS (
       SELECT CAST(sum(c) AS DOUBLE) AS t FROM uni
     ),
     scored AS (
       SELECT
-        toks.doc_id,
-        toks.source,
+        k.doc_id,
+        k.source,
         -ln(uni.c / tot.t) AS nll
-      FROM toks JOIN uni ON toks.term = uni.term CROSS JOIN tot
+      FROM _mz_uppl_toks k JOIN uni ON k.term = uni.term CROSS JOIN tot
     ),
     per_doc AS (
       SELECT
@@ -172,6 +175,7 @@ def _unigram_ppl_sql(d: str) -> str:
     ORDER BY avg_nll DESC, doc_id
     LIMIT 100
     """
+    return [("_mz_uppl_toks", explode)], tail
 
 
 def _bigram_ppl_sql(d: str) -> str:
@@ -396,7 +400,7 @@ def _ppl_buckets_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
-    sql_backed("unigram_ppl", _unigram_ppl_sql, ("documents",)),
+    materialized_backed("unigram_ppl", _unigram_ppl_parts, ("documents",)),
     sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),
     sql_backed("zipf_slope", _zipf_slope_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window

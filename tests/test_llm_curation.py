@@ -78,7 +78,12 @@ def test_decontamination_flags_benchmark_copy(spark):
             (2, "totally different text with no overlap at all", "en", "s", 0),
         ],
     )
-    rows = {r["doc_id"]: r.asDict() for r in spark.sql(lc._decontamination_sql("spark")).collect()}
+    from fiveg_spark.plans.registry import run_parts
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in run_parts(spark, lc._decontamination_parts).collect()
+    }
     assert rows[1]["overlap_frac"] == pytest.approx(1.0)
     assert rows[1]["contaminated"] == 1
     assert rows[2]["n_shared_ngrams"] == 0

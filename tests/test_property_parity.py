@@ -33,7 +33,7 @@ from fiveg_spark.operators.quality import _benford_digits_sql
 from fiveg_spark.operators.text import _text_normalize_sql, _text_quality_sql
 from fiveg_spark.operators.text_stats import (
     _ppl_buckets_parts,
-    _unigram_ppl_sql,
+    _unigram_ppl_parts,
     _vocab_growth_sql,
     _zipf_slope_sql,
 )
@@ -48,7 +48,6 @@ _DOC_SQL = {
     "vocab_growth": _vocab_growth_sql,
     "text_quality": _text_quality_sql,
     "incremental_dedup": _incremental_dedup_sql,
-    "unigram_ppl": _unigram_ppl_sql,
     "gopher_quality": _gopher_quality_sql,
     "mixture_weights": _mixture_weights_sql,
     "domain_mixture_weights": _domain_reweight_sql,
@@ -269,6 +268,7 @@ def _doc_parts_fns():
         "substring_dedup": _substring_dedup_parts,
         "contamination_matrix": _contamination_matrix_parts,
         "ppl_buckets": _ppl_buckets_parts,
+        "unigram_ppl": _unigram_ppl_parts,
     }
 
 

@@ -109,7 +109,12 @@ def test_unigram_ppl_hand_computed(spark):
             (1, "c", "en", "s", 0),
         ],
     )
-    rows = {r["doc_id"]: r.asDict() for r in spark.sql(ts._unigram_ppl_sql("spark")).collect()}
+    from fiveg_spark.plans.registry import run_parts
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in run_parts(spark, ts._unigram_ppl_parts).collect()
+    }
     # T=4: p(a)=1/2, p(b)=1/4, p(c)=1/4
     nll0 = -(math.log(0.5) * 2 + math.log(0.25)) / 3
     nll1 = -math.log(0.25)
