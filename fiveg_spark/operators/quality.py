@@ -16,7 +16,62 @@ from fiveg_spark.plans.registry import cnt, dbl, sql_backed
 
 
 def _dq_checks_sql(d: str) -> str:
-    # one scan per table, union of rule results
+    # Rules sharing a table compute in ONE scan of it.  Spark unpivots
+    # the per-table aggregate row with stack() (a UNION of per-rule
+    # SELECTs would re-inline the aggregate and re-scan per rule — the
+    # r6 plan audit measured 2 scans per table on that shape); DuckDB
+    # keeps the straightforward UNION (it materializes CTEs, so the
+    # oracle-side shape is cost-irrelevant).  The lineitem orphan join
+    # preserves cardinality (o_orderkey unique), so the negative-qty
+    # rule rides the same joined scan with an identical n_rows.
+    if d == "spark":
+        return """
+        WITH ev AS (
+          SELECT
+            sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS v_null,
+            sum(CASE WHEN value < 0 OR value > 1e6 THEN 1 ELSE 0 END) AS v_range,
+            count(*) AS n
+          FROM events
+        ),
+        li AS (
+          SELECT
+            sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v_orphan,
+            sum(CASE WHEN l.l_quantity <= 0 THEN 1 ELSE 0 END) AS v_neg,
+            count(*) AS n
+          FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        oc AS (
+          SELECT
+            sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS v,
+            count(*) AS n
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        cu AS (
+          SELECT count(*) - count(DISTINCT c_custkey) AS v, count(*) AS n
+          FROM customer
+        )
+        SELECT rule, CAST(violations AS BIGINT) AS violations,
+               CAST(n_rows AS BIGINT) AS n_rows
+        FROM (
+          SELECT stack(2,
+            'events_null_props', v_null,
+            'events_value_range', v_range) AS (rule, violations),
+            n AS n_rows
+          FROM ev
+          UNION ALL
+          SELECT stack(2,
+            'lineitem_orphan_order', v_orphan,
+            'lineitem_negative_qty', v_neg) AS (rule, violations),
+            n AS n_rows
+          FROM li
+          UNION ALL
+          SELECT 'orders_orphan_customer' AS rule, v AS violations, n AS n_rows
+          FROM oc
+          UNION ALL
+          SELECT 'customer_dup_key' AS rule, v AS violations, n AS n_rows
+          FROM cu
+        ) unpivoted
+        """
     return f"""
     SELECT 'events_null_props' AS rule,
       {cnt("sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)", "violations")},
