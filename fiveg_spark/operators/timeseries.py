@@ -464,14 +464,19 @@ def _feature_correlations_sql(d: str) -> str:
 def _value_histogram_sql(d: str) -> str:
     # C17 — fixed-width histogram via portable bucket arithmetic
     # (no width_bucket: DuckDB lacks it; floor arithmetic is identical).
+    # Bin width is guarded for the all-equal-values column (hi == lo):
+    # unguarded, Spark raises DIVIDE_BY_ZERO under ANSI while DuckDB
+    # returns inf — caught by the property-parity gate (r6); everything
+    # lands in bucket 0 instead.
     nbins = 20
+    width = f"CASE WHEN b.hi <= b.lo THEN 1.0 ELSE (b.hi - b.lo) / {nbins}.0 END"
     return f"""
     WITH bounds AS (
       SELECT min(value) AS lo, max(value) AS hi FROM events
     ),
     bucketed AS (
       SELECT
-        CAST(least(floor((e.value - b.lo) / ((b.hi - b.lo) / {nbins}.0)), {nbins - 1}) AS INT) AS bucket,
+        CAST(least(floor((e.value - b.lo) / ({width})), {nbins - 1}) AS INT) AS bucket,
         e.value,
         b.lo, b.hi
       FROM events e CROSS JOIN bounds b

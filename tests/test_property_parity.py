@@ -213,6 +213,20 @@ def _event_sql_fns():
         _time_to_convert_sql,
     )
 
+    from fiveg_spark.operators.flows import (
+        _flow_iat_stats_sql,
+        _idle_periods_sql,
+        _sessionize_sql,
+        _top_flows_sql,
+    )
+    from fiveg_spark.operators.timeseries import (
+        _event_type_mix_sql,
+        _resample_gapfill_sql,
+        _value_histogram_sql,
+        _value_percentiles_sql,
+    )
+    from fiveg_spark.operators.ts_advanced import _hopping_window_sql
+
     return {
         "zscore_anomalies": _zscore_sql,
         "window_entropy": _window_entropy_sql,
@@ -227,6 +241,17 @@ def _event_sql_fns():
         "time_to_convert": _time_to_convert_sql,
         "daily_modal_type": _mode_sql,
         "concurrency_profile": _concurrency_sql,
+        # windowing/bucketing family: tied timestamps + tiny-alphabet
+        # values exercise bin edges, gap-fill bounds, and rank ties
+        "value_histogram": _value_histogram_sql,
+        "value_percentiles": _value_percentiles_sql,
+        "event_type_mix": _event_type_mix_sql,
+        "resample_gapfill": _resample_gapfill_sql,
+        "hopping_window_volume": _hopping_window_sql,
+        "flow_iat_stats": _flow_iat_stats_sql,
+        "idle_periods": _idle_periods_sql,
+        "top_flows": _top_flows_sql,
+        "sessionize": _sessionize_sql,
     }
 
 
