@@ -60,6 +60,51 @@ _DOC_SQL = {
     "incremental_minhash_pairs": _incremental_minhash_sql,
 }
 
+
+def _more_doc_sql_fns():
+    from fiveg_spark.operators.curation import (
+        _curation_sql,
+        _hash_split_sql,
+        _stratified_sample_sql,
+        _topk_sample_sql,
+        _training_order_sql,
+        _weighted_sample_sql,
+    )
+    from fiveg_spark.operators.llm_curation import (
+        _boilerplate_ngrams_sql,
+        _pii_redact_sql,
+        _pii_scan_sql,
+        _repeated_ngrams_sql,
+        _sequence_packing_sql,
+    )
+    from fiveg_spark.operators.text import (
+        _doc_fingerprint_sql,
+        _lang_id_sql,
+        _token_counts_sql,
+    )
+    from fiveg_spark.operators.text_stats import _bigram_ppl_sql
+
+    return {
+        "boilerplate_ngrams": _boilerplate_ngrams_sql,
+        "repeated_ngrams": _repeated_ngrams_sql,
+        "bigram_ppl": _bigram_ppl_sql,
+        "lang_id": _lang_id_sql,
+        "token_counts": _token_counts_sql,
+        "doc_fingerprint": _doc_fingerprint_sql,
+        "pii_scan": _pii_scan_sql,
+        "pii_redact": _pii_redact_sql,
+        "sequence_packing": _sequence_packing_sql,
+        "stratified_sample": _stratified_sample_sql,
+        "hash_split": _hash_split_sql,
+        "weighted_sample": _weighted_sample_sql,
+        "per_source_topk_sample": _topk_sample_sql,
+        "curation_funnel": _curation_sql,
+        "training_order": _training_order_sql,
+    }
+
+
+_DOC_SQL.update(_more_doc_sql_fns())
+
 _DOC_SCHEMA = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 
 
@@ -252,6 +297,48 @@ def _event_sql_fns():
         "idle_periods": _idle_periods_sql,
         "top_flows": _top_flows_sql,
         "sessionize": _sessionize_sql,
+        **_hourly_family_sql_fns(),
+    }
+
+
+def _hourly_family_sql_fns():
+    # the hourly-frame time-series family: tiny random streams produce
+    # near-empty hourly series — window frames, lag chains, and split
+    # arithmetic all run at their boundary conditions
+    from fiveg_spark.operators.timeseries import (
+        _eval_metrics_sql,
+        _ffill_sql,
+        _moving_avg_sql,
+        _pinball_eval_sql,
+        _train_split_sql,
+    )
+    from fiveg_spark.operators.ts_advanced import (
+        _hampel_sql,
+        _rolling_origin_cv_sql,
+        _seasonal_decomposition_sql,
+    )
+    from fiveg_spark.operators.ts_diagnostics import (
+        _changepoint_sql,
+        _cusum_sql,
+        _rolling_median_sql,
+        _seasonal_naive_sql,
+        _seasonal_profile_sql,
+    )
+
+    return {
+        "moving_avg_throughput": _moving_avg_sql,
+        "ffill_features": _ffill_sql,
+        "train_split_bounds": _train_split_sql,
+        "eval_metrics": _eval_metrics_sql,
+        "pinball_eval": _pinball_eval_sql,
+        "seasonal_decomposition": _seasonal_decomposition_sql,
+        "hampel_outliers": _hampel_sql,
+        "rolling_origin_cv": _rolling_origin_cv_sql,
+        "cusum_drift": _cusum_sql,
+        "seasonal_naive_eval": _seasonal_naive_sql,
+        "seasonal_profile": _seasonal_profile_sql,
+        "rolling_median_throughput": _rolling_median_sql,
+        "best_changepoint": _changepoint_sql,
     }
 
 
