@@ -507,7 +507,11 @@ def _hybrid_forecast_cert_oracle() -> str:
 def hybrid_train_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fiveg_spark.ml.train import hybrid_train_eval
 
-    df = hybrid_train_eval(spark, sf_dir)
+    # 25 epochs: the certified invariants (loss decrease, finite RMSE,
+    # test-split shape) hold from the first epochs on; the full-length
+    # schedule stays on the raw surface + tests/test_train.py.  Keeps
+    # the certification window's most expensive query ~2.5x cheaper.
+    df = hybrid_train_eval(spark, sf_dir, epochs=25)
     return (
         df.filter(F.col("slice") != "ALL")
         .select(
