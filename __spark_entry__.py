@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from fiveg_spark.ml import certify as _ml_cert
+from fiveg_spark.operators import tdigest as _tdigest
 from fiveg_spark.ml import mllib_models as _mllib
 from fiveg_spark.ml import queries as _ml
 from fiveg_spark.operators import ann_lsh as _ann
@@ -47,7 +48,7 @@ from fiveg_spark.operators import behavior as _behavior
 from fiveg_spark.operators import rollup_stats as _rollup_stats
 from fiveg_spark.operators import semdedup as _semdedup
 
-_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _ml_cert, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _ann_recall, _graph)
+_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _tdigest, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _ml_cert, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _ann_recall, _graph)
 
 
 def entry(spark: SparkSession) -> DataFrame:
