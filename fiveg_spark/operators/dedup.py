@@ -435,6 +435,48 @@ def _incremental_dedup_sql(d: str) -> str:
     """
 
 
+MINHASH_RECALL_FLOOR = 0.6  # see _minhash_recall_parts
+
+
+def _minhash_recall_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E57 — dedup-quality certification row (the dedup analog of the
+    # ANN recall matrix, E45): recall of the MinHash-LSH candidate set
+    # against the EXACT Jaccard >= 0.5 ground truth (E3's posting-list
+    # pipeline).  Unlike the ANN family, BOTH sides here are shared
+    # two-dialect SQL, so every column — pair counts, hits, the recall
+    # itself — is value-certified against DuckDB, not just bounded by
+    # a boolean.  Theory floor: with 4 bands x 2 rows a pair at
+    # exactly J = 0.5 is a candidate with p = 1-(1-0.25)^4 ~ 0.68, and
+    # real near-dups (J -> 1) approach 1; measured recall on the
+    # testdata is 1.0, so a drop below 0.6 is a real pipeline break,
+    # not sketch variance.
+    #
+    # materialized_backed: both pair pipelines are corpus-scan-heavy
+    # and each is referenced twice in the tail (own count + hit join).
+    tail = f"""
+    WITH e AS (SELECT count(*) AS n FROM _mz_mhr_exact),
+    c AS (SELECT count(*) AS n FROM _mz_mhr_cand),
+    h AS (
+      SELECT count(*) AS n
+      FROM _mz_mhr_exact x
+      JOIN _mz_mhr_cand m ON x.doc_a = m.doc_a AND x.doc_b = m.doc_b
+    )
+    SELECT
+      {cnt("e.n", "n_exact_pairs")},
+      {cnt("c.n", "n_candidate_pairs")},
+      {cnt("h.n", "n_hits")},
+      {dbl("CASE WHEN e.n = 0 THEN 1.0 ELSE h.n / CAST(e.n AS DOUBLE) END",
+           "recall")},
+      CASE WHEN e.n = 0 THEN TRUE
+           ELSE h.n / CAST(e.n AS DOUBLE) >= {MINHASH_RECALL_FLOOR} END AS recall_ok
+    FROM e CROSS JOIN c CROSS JOIN h
+    """
+    return [
+        ("_mz_mhr_exact", _ngram_jaccard_sql(d)),
+        ("_mz_mhr_cand", _minhash_lsh_sql(d)),
+    ], tail
+
+
 SPAN_K = 5  # duplicated-run unit: 5 consecutive tokens
 
 
@@ -578,6 +620,10 @@ QUERIES = [
     # registered mid-round 6: sorts behind the frozen window
     materialized_backed(
         "substring_dedup", _substring_dedup_parts, ("documents",),
+        deferred=True,
+    ),
+    materialized_backed(
+        "minhash_recall_vs_exact", _minhash_recall_parts, ("documents",),
         deferred=True,
     ),
 ]

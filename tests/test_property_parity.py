@@ -370,7 +370,10 @@ def _assert_parity_parts(spark, pdf, view, schema, parts_fn, name):
 
 
 def _doc_parts_fns():
-    from fiveg_spark.operators.dedup import _substring_dedup_parts
+    from fiveg_spark.operators.dedup import (
+        _minhash_recall_parts,
+        _substring_dedup_parts,
+    )
     from fiveg_spark.operators.llm_curation import _contamination_matrix_parts
 
     return {
@@ -380,6 +383,7 @@ def _doc_parts_fns():
         "substring_dedup": _substring_dedup_parts,
         "contamination_matrix": _contamination_matrix_parts,
         "ppl_buckets": _ppl_buckets_parts,
+        "minhash_recall_vs_exact": _minhash_recall_parts,
         "unigram_ppl": _unigram_ppl_parts,
     }
 
