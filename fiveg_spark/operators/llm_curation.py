@@ -502,6 +502,108 @@ def _contamination_matrix_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_contam_ng", src_ng)], tail
 
 
+DSIR_BUCKETS = 256  # 2 hex nibbles of md5(feature)
+DSIR_TARGET = "src0"  # stand-in for the curated target corpus
+_HEX = "'0123456789abcdef'"
+
+
+def _dsir_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E58 — DSIR-style importance reweighting (Xie et al. 2023, "Data
+    # Selection for Language Models via Importance Resampling"): score
+    # every raw document by how target-like it is under two bag-of-
+    # hashed-ngrams unigram models,
+    #
+    #   log w(doc) = Σ_b c_b(doc) · (ln p_target[b] − ln p_raw[b]),
+    #
+    # with features = unigrams ∪ bigrams hashed into DSIR_BUCKETS
+    # buckets and Laplace 0.5 smoothing.  The target distribution is
+    # the DSIR_TARGET source (in a real run: the curated high-quality
+    # corpus); raw is the whole corpus.  Reported per source: the mean/
+    # max PER-FEATURE log weight (length-normalized so long docs don't
+    # dominate) and how many docs score target-like (rounded weight
+    # > 0 — rounding BEFORE the comparison so both engines test an
+    # identical double, the repo's boundary discipline).
+    #
+    # Hash bucket = first two hex nibbles of md5(feature), via the
+    # engine-portable position-in-hex-alphabet trick (same as E56's
+    # shard key) — md5 hex is bit-identical across Spark and DuckDB, so
+    # the models match exactly.
+    #
+    # Scale: ONE corpus scan builds the (doc, source, bucket, count)
+    # frame (map-only explode → one hash-agg); it is referenced three
+    # times (target model, raw model, per-doc scoring join), hence
+    # materialized_backed.  Both models are ≤ DSIR_BUCKETS rows —
+    # broadcast joins at any corpus size; scoring is one agg keyed by
+    # unique doc_id (no skew).
+    toks = _tok(d)
+    if d == "spark":
+        feats = (
+            "explode(concat(t, filter(transform(sequence(1, size(t)), "
+            "i -> CASE WHEN i < size(t) THEN concat(element_at(t, i), ' ', "
+            "element_at(t, i + 1)) END), x -> x IS NOT NULL)))"
+        )
+    else:
+        feats = (
+            "unnest(list_concat(t, list_filter(list_transform("
+            "generate_series(1, len(t)), i -> CASE WHEN i < len(t) THEN "
+            "concat(t[i], ' ', t[i + 1]) END), x -> x IS NOT NULL)))"
+        )
+    bucket = (
+        f"(position(substring(md5(feat), 1, 1) IN {_HEX}) - 1) * 16"
+        f" + position(substring(md5(feat), 2, 1) IN {_HEX}) - 1"
+    )
+    fb = f"""
+      SELECT doc_id, source, {bucket} AS bucket, count(*) AS c
+      FROM (
+        SELECT doc_id, source, {feats} AS feat
+        FROM (SELECT doc_id, source, {toks} AS t FROM documents) base
+      ) featd
+      GROUP BY doc_id, source, {bucket}
+    """
+    half_b = f"{DSIR_BUCKETS / 2.0}"  # 0.5 smoothing x DSIR_BUCKETS
+    tail = f"""
+    WITH tgt AS (
+      SELECT bucket, sum(c) AS ct FROM _mz_dsir_fb
+      WHERE source = '{DSIR_TARGET}' GROUP BY bucket
+    ),
+    rawm AS (
+      SELECT bucket, sum(c) AS cr FROM _mz_dsir_fb GROUP BY bucket
+    ),
+    tot AS (
+      SELECT
+        coalesce((SELECT sum(ct) FROM tgt), 0) AS nt,
+        coalesce((SELECT sum(cr) FROM rawm), 0) AS nr
+    ),
+    llr AS (
+      SELECT
+        r.bucket,
+        ln((coalesce(t.ct, 0) + 0.5) / (tot.nt + {half_b}))
+          - ln((r.cr + 0.5) / (tot.nr + {half_b})) AS llr
+      FROM rawm r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot
+    ),
+    docw AS (
+      SELECT
+        f.doc_id,
+        f.source,
+        sum(f.c) AS n_feats,
+        round(sum(f.c * l.llr) / sum(f.c) + 1e-9, 4) + 0.0 AS lw_pt
+      FROM _mz_dsir_fb f JOIN llr l ON f.bucket = l.bucket
+      GROUP BY f.doc_id, f.source
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(n_feats)", "n_feats")},
+      {dbl("avg(lw_pt)", "avg_log_importance_pf")},
+      {dbl("max(lw_pt)", "max_log_importance_pf")},
+      {cnt("sum(CASE WHEN lw_pt > 0 THEN 1 ELSE 0 END)", "n_target_like")}
+    FROM docw
+    GROUP BY source
+    ORDER BY source
+    """
+    return [("_mz_dsir_fb", fb)], tail
+
+
 QUERIES = [
     sql_backed("boilerplate_ngrams", _boilerplate_ngrams_sql, ("documents",)),
     sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
@@ -518,5 +620,8 @@ QUERIES = [
     sql_backed(
         "domain_mixture_weights", _domain_reweight_sql, ("documents",),
         deferred=True,
+    ),
+    materialized_backed(
+        "dsir_importance", _dsir_parts, ("documents",), deferred=True,
     ),
 ]

@@ -152,3 +152,36 @@ def test_contamination_matrix_hand_computed(spark):
     assert r12["jaccard"] == pytest.approx(1 / 3, abs=1e-3)
     assert rows[("s1", "s3")]["shared_ngrams"] == 0
     assert rows[("s1", "s3")]["jaccard"] == pytest.approx(0.0, abs=1e-3)
+
+
+def test_dsir_scores_target_like_docs_higher(spark):
+    # target source src0 talks about "spark data query"; src1 recycles
+    # the same phrasing (target-like), src2 is disjoint vocabulary.
+    tgt = "spark data query spark data query plan table scan"
+    _docs_view(
+        spark,
+        [
+            (0, tgt, "en", "src0", 0),
+            (1, tgt + " join agg", "en", "src0", 0),
+            (2, "spark data query plan table scan merge", "en", "src1", 0),
+            (3, "zebra yak xylophone walrus violin umbrella", "en", "src2", 0),
+        ],
+    )
+    from fiveg_spark.plans.registry import run_parts
+
+    rows = {
+        r["source"]: r.asDict()
+        for r in run_parts(spark, lc._dsir_parts).collect()
+    }
+    assert set(rows) == {"src0", "src1", "src2"}
+    # the target's own docs and the recycled source must score strictly
+    # above the disjoint-vocabulary source, and the disjoint source must
+    # look less-than-raw-typical (negative log ratio)
+    assert rows["src0"]["avg_log_importance_pf"] > rows["src2"]["avg_log_importance_pf"]
+    assert rows["src1"]["avg_log_importance_pf"] > rows["src2"]["avg_log_importance_pf"]
+    assert rows["src2"]["avg_log_importance_pf"] < 0.0
+    # the absolute >0 threshold only separates once the corpus dwarfs
+    # the Laplace smoothing mass (0.5 x 256 buckets); on a 4-doc corpus
+    # every score is pulled below zero, so only the RELATIVE claims
+    # above plus the never-target-like disjoint source are asserted
+    assert rows["src2"]["n_target_like"] == 0

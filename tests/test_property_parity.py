@@ -374,7 +374,10 @@ def _doc_parts_fns():
         _minhash_recall_parts,
         _substring_dedup_parts,
     )
-    from fiveg_spark.operators.llm_curation import _contamination_matrix_parts
+    from fiveg_spark.operators.llm_curation import (
+        _contamination_matrix_parts,
+        _dsir_parts,
+    )
 
     return {
         # short docs (< SPAN_K tokens), whole-corpus duplicates, and
@@ -385,6 +388,8 @@ def _doc_parts_fns():
         "ppl_buckets": _ppl_buckets_parts,
         "minhash_recall_vs_exact": _minhash_recall_parts,
         "unigram_ppl": _unigram_ppl_parts,
+        # log-ratio model math + missing-target-source degenerate case
+        "dsir_importance": _dsir_parts,
     }
 
 
