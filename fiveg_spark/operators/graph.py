@@ -204,6 +204,127 @@ def _cluster_weights_oracle() -> str:
     """
 
 
+def _doc_quality_sql(d: str) -> str:
+    """Per-doc rounded quality key shared by the Spark path and the
+    oracle — the SAME score text_quality (E9) reports, rounded to 4
+    decimals BEFORE it becomes an ordering key so both engines rank
+    identical doubles (the repo's boundary discipline)."""
+    from fiveg_spark.operators.text import _marker_count, _tok
+    from fiveg_spark.plans.registry import arr_len
+
+    n_toks = arr_len(_tok(d), d)
+    stop = _marker_count(d, ("the", "a", "of", "and"))
+    qs = (
+        "CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END"
+        " * (1.0 - n_stopwords / CAST(n_tokens AS DOUBLE))"
+    )
+    return f"""
+    SELECT doc_id, source, round({qs} + 1e-9, 4) + 0.0 AS q
+    FROM (
+      SELECT
+        doc_id,
+        source,
+        CAST({n_toks} AS BIGINT) AS n_tokens,
+        CAST({stop} AS BIGINT) AS n_stopwords
+      FROM documents
+    ) m
+    """
+
+
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E59 — canonical-document selection: the KEEP decision that
+    follows clustering.  Hard dedup usually keeps the min-id doc;
+    production curation keeps the HIGHEST-QUALITY member of each
+    near-dup cluster (quality = the E9 score), tie-broken by doc_id.
+    Reports per source: doc/cluster/dropped counts, the kept quality
+    mass, and an md5 over the kept doc_id list (the strongest possible
+    certification — the oracle must select the exact same documents).
+
+    Scale: the components frame is bounded by the LSH-pruned near-dup
+    population (a small fraction of the corpus) and broadcasts into the
+    corpus-side left join; the argmax is one window partitioned by
+    cluster_id — high-cardinality key, no skew.  Quality is map-only
+    arithmetic on token counts (integer inputs → bit-identical doubles
+    in both engines; rounded anyway before ordering)."""
+    ensure_views(spark, ("documents",), sf_dir)
+    from pyspark.sql import Window
+
+    pairs = spark.sql(_ngram_jaccard_sql("spark")).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    docs = spark.sql(_doc_quality_sql("spark"))
+    labeled = docs.join(comps, docs["doc_id"] == comps["node"], "left").select(
+        "doc_id",
+        "source",
+        "q",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = labeled.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("rk") == 1, F.col("q")).otherwise(0.0))
+                    + 1e-9,
+                    4,
+                )
+                + 0.0
+            ).alias("kept_quality_sum"),
+            F.expr(
+                "md5(concat_ws(',', transform(sort_array("
+                "collect_list(CASE WHEN rk = 1 THEN doc_id END)), "
+                "x -> cast(x AS string))))"
+            ).alias("kept_ids_hash"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_representatives_oracle() -> str:
+    prefix = (
+        _dedup_clusters_oracle().lstrip().removeprefix("WITH ").rsplit("SELECT", 1)[0]
+    )
+    return f"""
+    {prefix}
+    , qual AS ({_doc_quality_sql("duckdb")}),
+    labeled AS (
+      SELECT
+        qual.doc_id,
+        qual.source,
+        qual.q,
+        coalesce(c.component, qual.doc_id) AS cluster_id
+      FROM qual LEFT JOIN comp c ON qual.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT
+        *,
+        row_number() OVER (
+          PARTITION BY cluster_id ORDER BY q DESC, doc_id
+        ) AS rk
+      FROM labeled
+    )
+    SELECT
+      source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+      CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      round(sum(CASE WHEN rk = 1 THEN q ELSE 0.0 END) + 1e-9, 4) + 0.0
+        AS kept_quality_sum,
+      md5(string_agg(
+        CASE WHEN rk = 1 THEN CAST(doc_id AS VARCHAR) END, ','
+        ORDER BY doc_id)) AS kept_ids_hash
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     Query("dedup_clusters", dedup_clusters, "WITH RECURSIVE " + _dedup_clusters_oracle().lstrip().removeprefix("WITH ")),
     # registered mid-round 6: sorts behind the frozen window
@@ -211,6 +332,13 @@ QUERIES = [
         "cluster_weights",
         cluster_weights,
         "WITH RECURSIVE " + _cluster_weights_oracle().lstrip().removeprefix("WITH "),
+        deferred=True,
+    ),
+    Query(
+        "dedup_representatives",
+        dedup_representatives,
+        "WITH RECURSIVE "
+        + _dedup_representatives_oracle().lstrip().removeprefix("WITH "),
         deferred=True,
     ),
 ]

@@ -72,3 +72,66 @@ def test_iterative_graph_edges_materialize_once(spark):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "lineitem" not in plan, f"{name}: edge join re-inlined\n{plan[:500]}"
         assert "ExistingRDD" in plan or "LogicalRDD" in plan, name
+
+
+def test_dedup_representatives_keeps_best_quality(spark):
+    # Two near-dup docs in one (lang, source) block: doc 0 is SHORT
+    # (8 tokens -> quality factor 0.5), doc 1 repeats the same 8-token
+    # base up to 20 tokens (factor 1.0) so its distinct-shingle set is
+    # the base set plus the two wrap shingles: Jaccard = 6/8 = 0.75.
+    # The keeper must be doc 1 — the HIGHER quality member, not the
+    # min id — plus an untouched singleton.
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, base, "en", "s1", 0),
+        (1, " ".join([base, base, "alpha beta gamma delta"]), "en", "s1", 0),
+        (2, "totally unrelated words nothing shared here at all", "en", "s1", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.createOrReplaceTempView("documents")
+    import hashlib
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.operators.dedup import _ngram_jaccard_sql
+    from fiveg_spark.operators.graph import _doc_quality_sql, connected_components
+
+    # the operator pipeline is driven on the synthetic VIEW directly
+    # (the registered query's run() would re-point the view at parquet)
+    pairs = spark.sql(_ngram_jaccard_sql("spark")).select("doc_a", "doc_b")
+    got = {r["doc_a"]: r["doc_b"] for r in pairs.collect()}
+    assert got == {0: 1}  # the planted pair is a candidate
+
+    q = {r["doc_id"]: r["q"] for r in spark.sql(_doc_quality_sql("spark")).collect()}
+    assert q[1] > q[0]  # the 20-token doc outscores the short one
+
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    docs = spark.sql(_doc_quality_sql("spark"))
+    labeled = docs.join(comps, docs["doc_id"] == comps["node"], "left").select(
+        "doc_id",
+        "source",
+        "q",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.asc("doc_id"))
+    ranked = labeled.withColumn("rk", F.row_number().over(w))
+    kept = [r["doc_id"] for r in ranked.filter("rk = 1").collect()]
+    assert sorted(kept) == [1, 2]  # doc 1 kept over doc 0; singleton kept
+
+    agg = (
+        ranked.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias("n_dropped"),
+            F.expr(
+                "md5(concat_ws(\',\', transform(sort_array("
+                "collect_list(CASE WHEN rk = 1 THEN doc_id END)), "
+                "x -> cast(x AS string))))"
+            ).alias("kept_ids_hash"),
+        )
+        .collect()
+    )
+    assert agg[0]["n_dropped"] == 1
+    assert agg[0]["kept_ids_hash"] == hashlib.md5(b"1,2").hexdigest()
