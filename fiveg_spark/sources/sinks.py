@@ -155,3 +155,53 @@ def streaming_parquet_sink(
         .partitionBy(*partition_by)
         .outputMode(output_mode)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "order-v1",
+    mode: str = "overwrite",
+) -> None:
+    """Training-shard writer: the PHYSICAL counterpart of the certified
+    `training_order` query (operators/curation.py — same md5 key, same
+    first-nibble shard rule).  Documents land in ``n_shards`` parquet
+    shard directories, each holding ONE file whose row order is the
+    deterministic keyed-hash permutation — so a training job streaming
+    shard files front-to-back reads a reproducible pseudo-random order,
+    decorrelated from ingestion order, identical across re-runs (hash,
+    not RNG).
+
+    Scale shape: `repartition(n_shards, shard)` CO-LOCATES each shard
+    into exactly one task (hash partitioning may merge two shards into
+    one task but can never split one), so `partitionBy(shard)` emits
+    exactly one file per shard; the sort is `sortWithinPartitions` —
+    per-task, never a global sort exchange.  At 100 TB raise n_shards
+    so a shard fits an executor's write buffer; the plan shape is
+    unchanged (one shuffle keyed on the shard, uniform by construction
+    since the key is a cryptographic-hash prefix).
+
+    ``n_shards`` must be a power of two ≤ 65536: the shard is the TOP
+    log2(n_shards) bits of the first four key nibbles, so at 16 shards
+    it reduces to exactly the first-nibble rule `training_order`
+    certifies, and larger counts refine the same prefix ordering
+    (shard boundaries nest — re-sharding a dataset upward never moves
+    a doc across an old shard boundary)."""
+    from pyspark.sql import functions as F
+
+    if n_shards & (n_shards - 1) or not 0 < n_shards <= 65536:
+        raise ValueError(f"n_shards must be a power of two <= 65536: {n_shards}")
+    key = F.expr(
+        f"substring(md5(concat('{salt}#', CAST({key_col} AS STRING))), 1, 8)"
+    )
+    prefix = F.conv(F.substring(key, 1, 4), 16, 10).cast("int")
+    shard = (prefix / (65536 // n_shards)).cast("int")
+    out = (
+        df.withColumn("shuffle_key", key)
+        .withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key")
+    )
+    out.write.mode(mode).partitionBy("shard").parquet(path)

@@ -402,3 +402,56 @@ def test_kafka_wire_round_trip_drives_streaming_kpi(spark, tmp_path):
         assert r["RST_Count"] == e["RST_Count"]
         assert abs(r["Throughput_bps"] - e["Throughput_bps"]) < 1e-6
         assert abs(r["Avg_IAT"] - e["Avg_IAT"]) < 1e-9
+
+
+def test_training_shard_writer(spark, tmp_path):
+    import glob
+    import os
+
+    from fiveg_spark.sources.sinks import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, n_shards=16)
+
+    shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+    assert len(shard_dirs) == 16  # 500 docs -> every nibble populated
+    for d in shard_dirs:
+        files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+        assert len(files) == 1  # co-located: ONE sorted file per shard
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+
+    # within each shard file the rows are in shuffle_key order
+    import pyarrow.parquet as pq
+
+    for d in shard_dirs:
+        f = glob.glob(os.path.join(d, "*.parquet"))[0]
+        keys = pq.read_table(f, columns=["shuffle_key"])["shuffle_key"].to_pylist()
+        assert keys == sorted(keys)
+
+    # shard assignment matches the certified training_order query rule
+    # (first md5 nibble) at n_shards=16
+    import __spark_entry__ as entry
+
+    q = entry.queries()["training_order"]
+    expect = {
+        r["doc_id"]: r["shard"] for r in q(spark, SF_DIR).collect()
+    }
+    got = {r["doc_id"]: int(r["shard"]) for r in back.collect()}
+    assert got == expect
+
+    # reproducible: a second run yields the identical per-shard row order
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(docs, out2, n_shards=16)
+    for s in range(16):
+        a = spark.read.parquet(os.path.join(out, f"shard={s}"))
+        b = spark.read.parquet(os.path.join(out2, f"shard={s}"))
+        assert [r["doc_id"] for r in a.collect()] == [
+            r["doc_id"] for r in b.collect()
+        ]
+
+    # power-of-two guard
+    with pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "bad"), n_shards=12)
