@@ -449,7 +449,11 @@ def _minhash_recall_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # exactly J = 0.5 is a candidate with p = 1-(1-0.25)^4 ~ 0.68, and
     # real near-dups (J -> 1) approach 1; measured recall on the
     # testdata is 1.0, so a drop below 0.6 is a real pipeline break,
-    # not sketch variance.
+    # not sketch variance.  Precision rides along value-certified but
+    # has NO floor boolean: sub-threshold pairs may legitimately
+    # collide into a band (that's what the downstream exact-Jaccard
+    # verify pass is for), so any floor would pin sketch luck, not a
+    # contract.
     #
     # materialized_backed: both pair pipelines are corpus-scan-heavy
     # and each is referenced twice in the tail (own count + hit join).
@@ -467,6 +471,8 @@ def _minhash_recall_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       {cnt("h.n", "n_hits")},
       {dbl("CASE WHEN e.n = 0 THEN 1.0 ELSE h.n / CAST(e.n AS DOUBLE) END",
            "recall")},
+      {dbl("CASE WHEN c.n = 0 THEN 1.0 ELSE h.n / CAST(c.n AS DOUBLE) END",
+           "precision")},
       CASE WHEN e.n = 0 THEN TRUE
            ELSE h.n / CAST(e.n AS DOUBLE) >= {MINHASH_RECALL_FLOOR} END AS recall_ok
     FROM e CROSS JOIN c CROSS JOIN h
