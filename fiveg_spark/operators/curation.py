@@ -227,6 +227,88 @@ def _training_order_sql(d: str) -> str:
     """
 
 
+def _ids_hash(expr: str, d: str) -> str:
+    """md5 over the comma-joined ascending id list — the strongest
+    per-group certification (the oracle must produce the exact same id
+    SET).  Engine-specific construction, identical result; the empty
+    group is pinned to md5('') in both (DuckDB's string_agg of zero
+    rows is NULL, Spark's collect_list is [])."""
+    if d == "spark":
+        return (
+            f"md5(concat_ws(',', transform(sort_array(collect_list({expr})), "
+            "x -> cast(x AS string))))"
+        )
+    return (
+        f"md5(coalesce(string_agg(CAST({expr} AS VARCHAR), ',' "
+        f"ORDER BY {expr}), ''))"
+    )
+
+
+def _snapshot_diff_sql(d: str) -> str:
+    # E60 — dataset snapshot diff: the versioning audit between two
+    # corpus snapshots (what a Delta/Iceberg table diff reports, built
+    # from plain parquet + content hashes).  Synthetic SF-invariant
+    # snapshot rule: docs with doc_id % 5 = 0 were ADDED after v0 (not
+    # in old), doc_id % 11 = 0 were REMOVED in v1 (not in new), and
+    # doc_id % 7 = 0 had their content EDITED between versions (old
+    # content hash differs).  Per source: membership counts, the four
+    # diff classes, churn rate, and an md5 over the exact changed-doc
+    # id list (the oracle must classify identical documents).
+    #
+    # Scale shape: both snapshots derive from one table, so the diff
+    # folds into ONE map-only scan + one per-source rollup — no
+    # self-join (the incremental_dedup discipline: the stored-snapshot
+    # side of the real full-outer join collapses into the frame).  With
+    # two physical snapshot directories this becomes a full-outer join
+    # on doc_id — high-cardinality unique key, no skew — and the class
+    # logic below is unchanged.
+    return f"""
+    WITH flagged AS (
+      SELECT
+        doc_id,
+        source,
+        CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS in_old,
+        CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END AS in_new,
+        CASE WHEN doc_id % 7 = 0 THEN md5(concat(lower(text), '#v0'))
+             ELSE md5(lower(text)) END AS old_h,
+        md5(lower(text)) AS new_h
+      FROM documents
+    ),
+    classed AS (
+      SELECT
+        doc_id,
+        source,
+        in_old,
+        in_new,
+        CASE
+          WHEN in_old = 0 AND in_new = 1 THEN 'added'
+          WHEN in_old = 1 AND in_new = 0 THEN 'removed'
+          WHEN in_old = 0 AND in_new = 0 THEN 'absent'
+          WHEN old_h <> new_h THEN 'changed'
+          ELSE 'unchanged'
+        END AS status
+      FROM flagged
+    )
+    SELECT
+      source,
+      {cnt("sum(in_old)", "n_old")},
+      {cnt("sum(in_new)", "n_new")},
+      {cnt("sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)", "n_added")},
+      {cnt("sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)", "n_removed")},
+      {cnt("sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)", "n_changed")},
+      {cnt("sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)", "n_unchanged")},
+      {dbl(
+        "(sum(CASE WHEN status IN ('added', 'removed', 'changed') THEN 1.0 "
+        "ELSE 0.0 END)) / greatest(sum(in_old), 1)",
+        "churn_rate",
+      )},
+      {_ids_hash("CASE WHEN status = 'changed' THEN doc_id END", d)} AS changed_ids_hash
+    FROM classed
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
     sql_backed("weighted_sample", _weighted_sample_sql, ("documents",)),
@@ -235,4 +317,5 @@ QUERIES = [
     sql_backed("curation_funnel", _curation_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window
     sql_backed("training_order", _training_order_sql, ("documents",), deferred=True),
+    sql_backed("snapshot_diff", _snapshot_diff_sql, ("documents",), deferred=True),
 ]

@@ -69,3 +69,30 @@ def test_topk_sample_matches_python_md5(spark, duck):
     assert row["sample_id_sum"] == sum(expected_ids)
     assert row["sample_id_min"] == expected_ids[0]
     assert row["sample_id_max"] == expected_ids[-1]
+
+
+def test_snapshot_diff_classes_are_exhaustive_and_correct(spark):
+    from fiveg_spark.operators.curation import _snapshot_diff_sql
+
+    rows = [
+        # doc_id 0: %5=0 AND %7=0 AND %11=0 -> in neither snapshot (absent)
+        (0, "zero doc", "en", "s1", 0),
+        (5, "added later", "en", "s1", 0),     # %5=0 -> added
+        (11, "removed in v1", "en", "s1", 0),  # %11=0 -> removed
+        (7, "edited text", "en", "s1", 0),     # %7=0 -> changed
+        (1, "stable text", "en", "s1", 0),     # unchanged
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.createOrReplaceTempView("documents")
+    got = {r["source"]: r.asDict() for r in spark.sql(_snapshot_diff_sql("spark")).collect()}
+    s = got["s1"]
+    assert s["n_old"] == 3 and s["n_new"] == 3
+    assert s["n_added"] == 1 and s["n_removed"] == 1
+    assert s["n_changed"] == 1 and s["n_unchanged"] == 1
+    # churn = (1+1+1)/3
+    assert abs(s["churn_rate"] - 1.0) < 1e-3
+    import hashlib
+
+    assert s["changed_ids_hash"] == hashlib.md5(b"7").hexdigest()

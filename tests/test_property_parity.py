@@ -65,6 +65,7 @@ def _more_doc_sql_fns():
     from fiveg_spark.operators.curation import (
         _curation_sql,
         _hash_split_sql,
+        _snapshot_diff_sql,
         _stratified_sample_sql,
         _topk_sample_sql,
         _training_order_sql,
@@ -100,6 +101,8 @@ def _more_doc_sql_fns():
         "per_source_topk_sample": _topk_sample_sql,
         "curation_funnel": _curation_sql,
         "training_order": _training_order_sql,
+        # empty-group string_agg vs collect_list id-hash + churn ratio
+        "snapshot_diff": _snapshot_diff_sql,
     }
 
 
