@@ -88,10 +88,22 @@ def _train_eval(spark, sf_dir):
     return hybrid_train_eval(spark, sf_dir)
 
 
+def _kalman(spark, sf_dir):
+    from fiveg_spark.ml.kalman import kalman_level
+
+    return kalman_level(spark, sf_dir)
+
+
 def _holt_oracle() -> str:
     from fiveg_spark.ml.holt import holt_oracle_sql
 
     return holt_oracle_sql()
+
+
+def _kalman_oracle() -> str:
+    from fiveg_spark.ml.kalman import kalman_oracle_sql
+
+    return kalman_oracle_sql()
 
 
 def _hw_oracle() -> str:
@@ -106,6 +118,7 @@ QUERIES = [
     # Holt-Winters carries its seasonal vector as a LIST column)
     Query("holt_forecast", _holt, _holt_oracle()),
     Query("holt_winters_forecast", _holt_winters, _hw_oracle()),
+    Query("kalman_level", _kalman, _kalman_oracle(), deferred=True),
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
     # the former rows-only surfaces (var_ols_coeffs, huber_var_coeffs,
     # gru_forward, hybrid_forecast_eval, hybrid_train_eval) now certify

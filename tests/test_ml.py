@@ -186,3 +186,51 @@ def test_holt_winters_matches_reference_and_beats_holt_on_seasonal(spark):
         assert abs(r["one_step_mae"] - round(mae_ref, 4)) < 1e-9
         h1 = lv + tr + seas[len(series) % SEASON]
         assert abs(r["fc_h1"] - round(h1, 4)) < 1e-9
+
+
+def test_kalman_spark_matches_python_recursion(spark):
+    """D25: the distributed applyInPandas Kalman filter must equal the
+    pure recursion on the collected series, slice by slice."""
+    from fiveg_spark.ml.features import feature_frame
+    from fiveg_spark.ml.kalman import kalman_fit, kalman_level
+
+    got = {r["slice"]: r for r in kalman_level(spark, SF_DIR).collect()}
+    frame = (
+        feature_frame(spark, SF_DIR)
+        .select("slice", "window_start", "throughput")
+        .toPandas()
+        .sort_values(["slice", "window_start"])
+    )
+    for s, grp in frame.groupby("slice"):
+        x, p, k, mae, _ = kalman_fit(grp["throughput"].to_numpy())
+        r = got[s]
+        assert r["n_hours"] == len(grp)
+        assert abs(r["level"] - round(x, 4)) < 1e-9
+        assert abs(r["p_var"] - round(p, 4)) < 1e-9
+        assert abs(r["gain"] - round(k, 4)) < 1e-9
+        assert abs(r["one_step_mae"] - round(mae, 4)) < 1e-9
+
+
+def test_kalman_gain_converges_to_riccati_steady_state():
+    """On any long series the adaptive gain must converge to the
+    closed-form Riccati fixed point, and the filtered level of a
+    constant series must converge to that constant."""
+    import numpy as np
+
+    from fiveg_spark.ml.kalman import kalman_fit, steady_state_gain
+
+    y = np.full(200, 42.0)
+    x, p, k, mae, n = kalman_fit(y)
+    assert n == 199
+    assert abs(k - steady_state_gain()) < 1e-9  # converged
+    assert abs(x - 42.0) < 1e-9
+    assert mae < 1e-9
+
+    # noisy constant: level estimate lands near the truth, and the
+    # filter smooths (one-step MAE below the raw noise scale)
+    rng = np.random.default_rng(7)
+    noisy = 42.0 + rng.normal(0.0, 1.0, 500)
+    x2, _, k2, mae2, _ = kalman_fit(noisy)
+    assert abs(x2 - 42.0) < 0.5
+    assert abs(k2 - steady_state_gain()) < 1e-9
+    assert mae2 < 1.5  # ~E|N(0,1)+filter error|, far below 3-sigma
