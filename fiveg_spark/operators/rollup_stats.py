@@ -286,9 +286,131 @@ def _kmv_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_kmv_day_sketch", sketch_sql)], tail
 
 
+KMV_SETOP_K = 64  # set-op sketches need lower variance than C56's k=16
+
+
+def _kmv_set_ops_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C65 — KMV SET-OPERATION estimation (Beyer et al. 2007, "On
+    # Synopses for Distinct-Value Estimation Under Multiset
+    # Operations"): for every event_type pair, estimate |A∪B|, |A∩B|
+    # and Jaccard from the per-type k-min sketches ALONE.  The k
+    # smallest of S_A ∪ S_B is exactly the k-min sketch of A∪B, and a
+    # union-sketch member that belongs to A necessarily appears in S_A
+    # (k-smallest of the union ⊆ k-smallest of its own set), so
+    #   ρ̂ = |U_k ∩ S_A ∩ S_B| / k,   |A∩B| ≈ ρ̂ · est(|A∪B|).
+    # This is the "how many users do BOTH X and Y" question answered
+    # from k·|types| sketch rows with no pair-wise rescan — the
+    # cross-set companion to C56's temporal rollup.
+    #
+    # Certification: exact witnesses ride in-row (computed from the
+    # SAME materialized distinct frame, so the whole query still scans
+    # events once) plus theorem-level tolerance booleans — the additive
+    # ε|A∪B| intersection bound and a 3σ-padded Jaccard band at k=64.
+    # All estimate VALUES also hash-certify; the booleans witness
+    # truth, the values witness engine parity.
+    #
+    # Scale: the distinct (type, user) frame materializes once (one
+    # shuffle); sketches are a per-type window rank over it (types are
+    # few → tiny); every later stage touches only sketch/pair rows
+    # (≤ k·|types|²), i.e. broadcast-sized at any corpus size.  The
+    # exact witness self-join keys on user_id — high-cardinality.
+    k = KMV_SETOP_K
+    h8 = "substring(md5(concat('kmvso#', CAST(user_id AS STRING))), 1, 8)"
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring({h8}, {i}, 1)) - 1) * {16 ** (8 - i)}.0"
+        for i in range(1, 9)
+    )
+    frac = f"(({digits}) / 4294967296.0)"
+    tu = """
+      SELECT DISTINCT event_type, user_id FROM events
+    """
+    sketch = f"""
+      SELECT event_type, frac, n_type FROM (
+        SELECT
+          event_type,
+          {frac} AS frac,
+          row_number() OVER (PARTITION BY event_type ORDER BY {frac}, user_id) AS rn,
+          count(*) OVER (PARTITION BY event_type) AS n_type
+        FROM _mz_kmvso_tu
+      ) r WHERE rn <= {k}
+    """
+    tail = f"""
+    WITH types AS (
+      SELECT event_type, max(n_type) AS n FROM _mz_kmvso_sketch GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, a.n AS na, b.event_type AS tb, b.n AS nb
+      FROM types a JOIN types b ON a.event_type < b.event_type
+    ),
+    exact_inter AS (
+      SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS ni
+      FROM _mz_kmvso_tu a
+      JOIN _mz_kmvso_tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    ),
+    union_rows AS (
+      SELECT
+        p.ta,
+        p.tb,
+        s.frac,
+        max(CASE WHEN s.event_type = p.ta THEN 1 ELSE 0 END) AS in_a,
+        max(CASE WHEN s.event_type = p.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN _mz_kmvso_sketch s ON s.event_type IN (p.ta, p.tb)
+      GROUP BY p.ta, p.tb, s.frac
+    ),
+    union_k AS (
+      SELECT * FROM (
+        SELECT
+          ta, tb, frac, in_a, in_b,
+          row_number() OVER (PARTITION BY ta, tb ORDER BY frac) AS rn
+        FROM union_rows
+      ) r WHERE rn <= {k}
+    ),
+    est AS (
+      SELECT
+        ta,
+        tb,
+        count(*) AS k_used,
+        CASE WHEN count(*) >= {k}
+             THEN ({k} - 1) / max(CASE WHEN rn = {k} THEN frac END)
+             ELSE CAST(count(*) AS DOUBLE) END AS est_union,
+        sum(in_a * in_b) AS k_inter
+      FROM union_k
+      GROUP BY ta, tb
+    )
+    SELECT
+      p.ta AS type_a,
+      p.tb AS type_b,
+      {cnt("p.na + p.nb - coalesce(x.ni, 0)", "exact_union")},
+      {cnt("coalesce(x.ni, 0)", "exact_inter")},
+      {dbl("e.est_union", "est_union")},
+      {dbl("e.k_inter / CAST(e.k_used AS DOUBLE) * e.est_union", "est_inter")},
+      {dbl("e.k_inter / CAST(e.k_used AS DOUBLE)", "est_jaccard")},
+      (abs(e.est_union - (p.na + p.nb - coalesce(x.ni, 0)))
+         <= 0.4 * (p.na + p.nb - coalesce(x.ni, 0)) + 1.0) AS union_ok,
+      (abs(e.k_inter / CAST(e.k_used AS DOUBLE) * e.est_union
+           - coalesce(x.ni, 0))
+         <= 0.3 * (p.na + p.nb - coalesce(x.ni, 0)) + 1.0) AS inter_ok,
+      (abs(e.k_inter / CAST(e.k_used AS DOUBLE)
+           - coalesce(x.ni, 0) / CAST(p.na + p.nb - coalesce(x.ni, 0) AS DOUBLE))
+         <= 0.25) AS jaccard_ok
+    FROM pairs p
+    JOIN est e ON e.ta = p.ta AND e.tb = p.tb
+    LEFT JOIN exact_inter x ON x.ta = p.ta AND x.tb = p.tb
+    ORDER BY p.ta, p.tb
+    """
+    return [("_mz_kmvso_tu", tu), ("_mz_kmvso_sketch", sketch)], tail
+
+
 QUERIES = [
     sql_backed("histogram_quantile_rollup", _hist_quantile_sql, ("events",)),
     sql_backed("concurrency_profile", _concurrency_sql, ("events",)),
     sql_backed("countmin_estimates", _countmin_sql, ("documents",)),
     materialized_backed("kmv_distinct_rollup", _kmv_parts, ("events",)),
+    # registered mid-round 6: sorts behind the frozen window
+    materialized_backed(
+        "kmv_set_ops", _kmv_set_ops_parts, ("events",), deferred=True,
+    ),
 ]

@@ -433,12 +433,16 @@ def test_document_parts_queries_on_random_corpora(spark, name):
 
 
 def _event_parts_fns():
+    from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
     from fiveg_spark.operators.ts_diagnostics import _iat_exponential_fit_parts
 
     return {
         # tied timestamps per (user, type) -> zero IATs -> mean_iat = 0:
         # the lambda_hz guard and the grid-point NUDGE both exercise here
         "iat_exponential_fit": _iat_exponential_fit_parts,
+        # tiny user alphabet -> full-overlap and singleton-type pairs;
+        # under-k sketches take the exact-fallback branch everywhere
+        "kmv_set_ops": _kmv_set_ops_parts,
     }
 
 

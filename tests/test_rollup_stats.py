@@ -64,3 +64,35 @@ def test_concurrency_sweep_hand_built(spark):
     }
     assert got[10] == 3
     assert got[12] == 1
+
+
+def test_kmv_set_ops_discriminates_planted_overlaps(spark):
+    # A: users 0..99; B: users 50..149 (|A∩B|=50, |A∪B|=150, J=1/3);
+    # C: users 200..299 (disjoint from both).  k=64 sketches must
+    # estimate within the in-row bounds AND discriminate the planted
+    # structure: J(A,B) well above 0, J(A,C)=J(B,C)=0 exactly (no
+    # shared hash can enter both sketches).
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for typ, lo, hi in (("A", 0, 100), ("B", 50, 150), ("C", 200, 300)):
+        for u in range(lo, hi):
+            rows.append((eid, t0, typ, u, 1.0, "{}"))
+            eid += 1
+    _events_view(spark, rows)
+    from fiveg_spark.plans.registry import run_parts
+
+    got = {
+        (r["type_a"], r["type_b"]): r.asDict()
+        for r in run_parts(spark, rs._kmv_set_ops_parts).collect()
+    }
+    assert set(got) == {("A", "B"), ("A", "C"), ("B", "C")}
+    ab = got[("A", "B")]
+    assert ab["exact_union"] == 150 and ab["exact_inter"] == 50
+    assert ab["union_ok"] and ab["inter_ok"] and ab["jaccard_ok"]
+    assert ab["est_jaccard"] > 0.15  # clearly nonzero
+    for pair in (("A", "C"), ("B", "C")):
+        r = got[pair]
+        assert r["exact_inter"] == 0
+        assert r["est_jaccard"] == 0.0  # disjoint sets share no hashes
+        assert r["union_ok"] and r["inter_ok"] and r["jaccard_ok"]
