@@ -309,6 +309,46 @@ def _snapshot_diff_sql(d: str) -> str:
     """
 
 
+def _quality_prune_sql(d: str) -> str:
+    # E61 — adaptive quality pruning: keep each source's TOP quality
+    # quartile (per-source p75 cutoff), the data-driven alternative to
+    # curation_funnel's fixed thresholds — sources are pruned against
+    # their OWN quality distribution, so a uniformly-mediocre source
+    # still contributes its best quarter instead of being wiped out (or
+    # waved through) by a global bar.  Quality = the E9 score, rounded
+    # to 4 decimals BEFORE both the percentile and the comparison so
+    # the keep set is decided on identical doubles in both engines.
+    # Ties AT the cutoff are kept (>=) — deterministic, and with heavy
+    # ties the kept fraction exceeds 25% by exactly the tied mass.
+    #
+    # Scale: one corpus scan; the per-source cutoff is a tiny aggregate
+    # broadcast back (window-free formulation: a grouped subquery join,
+    # which AQE plans as a broadcast at any corpus size since there are
+    # |sources| rows).
+    from fiveg_spark.operators.graph import _doc_quality_sql
+    from fiveg_spark.plans.registry import pct
+
+    return f"""
+    WITH qual AS ({_doc_quality_sql(d)}),
+    cutoffs AS (
+      SELECT source, round({pct("q", 0.75, d)} + 1e-9, 4) + 0.0 AS cutoff
+      FROM qual GROUP BY source
+    )
+    SELECT
+      qual.source,
+      {cnt("count(*)", "n_docs")},
+      {dbl("max(c.cutoff)", "quality_cutoff")},
+      {cnt("sum(CASE WHEN qual.q >= c.cutoff THEN 1 ELSE 0 END)", "n_kept")},
+      {dbl("sum(CASE WHEN qual.q >= c.cutoff THEN 1.0 ELSE 0.0 END) / count(*)",
+           "kept_rate")},
+      {_ids_hash("CASE WHEN qual.q >= c.cutoff THEN qual.doc_id END", d)}
+        AS kept_ids_hash
+    FROM qual JOIN cutoffs c ON c.source = qual.source
+    GROUP BY qual.source
+    ORDER BY qual.source
+    """
+
+
 QUERIES = [
     sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
     sql_backed("weighted_sample", _weighted_sample_sql, ("documents",)),
@@ -318,4 +358,5 @@ QUERIES = [
     # registered mid-round 6: sorts behind the frozen window
     sql_backed("training_order", _training_order_sql, ("documents",), deferred=True),
     sql_backed("snapshot_diff", _snapshot_diff_sql, ("documents",), deferred=True),
+    sql_backed("quality_prune", _quality_prune_sql, ("documents",), deferred=True),
 ]

@@ -96,3 +96,36 @@ def test_snapshot_diff_classes_are_exhaustive_and_correct(spark):
     import hashlib
 
     assert s["changed_ids_hash"] == hashlib.md5(b"7").hexdigest()
+
+
+def test_quality_prune_keeps_per_source_top_quartile(spark):
+    from fiveg_spark.operators.curation import _quality_prune_sql
+
+    # source s1: four docs with strictly increasing quality (varying
+    # stopword ratio at fixed 20+ token length); p75 cutoff keeps the
+    # best one (plus any tie).  source s2: uniform quality -> cutoff
+    # equals every score -> ALL kept (tie-at-cutoff rule).
+    def doc(n_stop, n_plain):
+        return " ".join(["the"] * n_stop + ["word"] * n_plain)
+
+    rows = [
+        (0, doc(12, 8), "en", "s1", 0),   # stopword-heavy -> lowest q
+        (1, doc(8, 12), "en", "s1", 0),
+        (2, doc(4, 16), "en", "s1", 0),
+        (3, doc(0, 20), "en", "s1", 0),   # cleanest -> highest q
+        (4, doc(5, 15), "en", "s2", 0),
+        (5, doc(5, 15), "en", "s2", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.createOrReplaceTempView("documents")
+    got = {r["source"]: r.asDict() for r in spark.sql(_quality_prune_sql("spark")).collect()}
+    import hashlib
+
+    s1 = got["s1"]
+    assert s1["n_docs"] == 4 and s1["n_kept"] == 1
+    assert s1["kept_ids_hash"] == hashlib.md5(b"3").hexdigest()
+    s2 = got["s2"]
+    assert s2["n_kept"] == 2  # uniform source: everything ties the cutoff
+    assert abs(s2["kept_rate"] - 1.0) < 1e-9

@@ -65,6 +65,7 @@ def _more_doc_sql_fns():
     from fiveg_spark.operators.curation import (
         _curation_sql,
         _hash_split_sql,
+        _quality_prune_sql,
         _snapshot_diff_sql,
         _stratified_sample_sql,
         _topk_sample_sql,
@@ -101,6 +102,8 @@ def _more_doc_sql_fns():
         "per_source_topk_sample": _topk_sample_sql,
         "curation_funnel": _curation_sql,
         "training_order": _training_order_sql,
+        # interpolated-percentile cutoff + tie-at-cutoff keep sets
+        "quality_prune": _quality_prune_sql,
         # empty-group string_agg vs collect_list id-hash + churn ratio
         "snapshot_diff": _snapshot_diff_sql,
     }
