@@ -67,6 +67,60 @@ def _pii_scan_sql(d: str) -> str:
     """
 
 
+def _luhn_valid(c: str, d: str) -> str:
+    """Luhn mod-10 checksum over a 16-digit candidate string ``c`` —
+    checksum VALIDATION is what separates a real PAN detector from a
+    16-digit regex (phone+zip concatenations, order ids, and timestamps
+    all match the regex; ~10% of random digit runs pass Luhn).  Pure
+    array-HOF arithmetic: position i from the LEFT of a 16-digit run is
+    doubled when (17 - i) is even (i.e. every second digit from the
+    right), digits > 9 after doubling subtract 9, valid iff the sum is
+    divisible by 10.  Identical arithmetic text in both engines modulo
+    the list-HOF spelling."""
+    digit = f"(ascii(substring({c}, i, 1)) - 48)"
+    term = (
+        f"CASE WHEN (17 - i) % 2 = 0 THEN "
+        f"CASE WHEN 2 * {digit} > 9 THEN 2 * {digit} - 9 ELSE 2 * {digit} END "
+        f"ELSE {digit} END"
+    )
+    if d == "spark":
+        total = f"aggregate(transform(sequence(1, 16), i -> {term}), 0, (a, x) -> a + x)"
+    else:
+        total = f"list_sum(list_transform(generate_series(1, 16), i -> {term}))"
+    return f"({total}) % 10 = 0"
+
+
+def _pii_luhn_sql(d: str) -> str:
+    # E62 — Luhn-validated card-number scan: candidate = any contiguous
+    # 16-digit run (the regex the plain pii_scan would use), validated
+    # by checksum so the per-source report separates "digits that LOOK
+    # like a card" from "digits that ARE a syntactically-valid card".
+    # The synthetic corpus contains no digit runs, so (like pii_scan)
+    # the all-zero rows here are engine-parity evidence and the pytest
+    # proves detection on literal frames with known valid/invalid PANs.
+    #
+    # Scale: map-only explode of per-doc candidate lists (usually
+    # empty) + one per-source rollup; the checksum is a 16-step array
+    # fold inside codegen, no Python.
+    cands = "regexp_extract_all(text, '[0-9]{16}', 0)"  # group 0 explicit, both engines
+    if d == "spark":
+        n_valid = f"size(filter({cands}, c -> {_luhn_valid('c', d)}))"
+    else:
+        n_valid = f"len(list_filter({cands}, c -> {_luhn_valid('c', d)}))"
+    n_cand = arr_len(cands, d)
+    return f"""
+    SELECT
+      source,
+      {cnt("count(*)", "docs_scanned")},
+      {cnt(f"sum({n_cand})", "n_candidates")},
+      {cnt(f"sum({n_valid})", "n_luhn_valid")},
+      {cnt(f"sum(CASE WHEN {n_valid} > 0 THEN 1 ELSE 0 END)", "docs_with_valid_pan")}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 def _gopher_rules_cte(d: str) -> str:
     # Per-document Gopher-style rule flags (shared by gopher_quality and
     # domain_mixture_weights).  Mean word length and top-token dominance
@@ -624,4 +678,5 @@ QUERIES = [
     materialized_backed(
         "dsir_importance", _dsir_parts, ("documents",), deferred=True,
     ),
+    sql_backed("pii_luhn", _pii_luhn_sql, ("documents",), deferred=True),
 ]

@@ -185,3 +185,24 @@ def test_dsir_scores_target_like_docs_higher(spark):
     # every score is pulled below zero, so only the RELATIVE claims
     # above plus the never-target-like disjoint source are asserted
     assert rows["src2"]["n_target_like"] == 0
+
+
+def test_luhn_separates_valid_from_invalid_pans(spark):
+    # 4532015112830366 is Luhn-valid; flipping its last digit is not.
+    # A 16-digit timestamp-ish run that happens to fail Luhn stays a
+    # candidate but never a valid PAN.
+    _docs_view(
+        spark,
+        [
+            (0, "card 4532015112830366 on file", "en", "s1", 0),
+            (1, "typo 4532015112830367 rejected", "en", "s1", 0),
+            (2, "ts 2024010112000000 logged", "en", "s2", 0),
+            (3, "no digits at all", "en", "s2", 0),
+        ],
+    )
+    rows = {r["source"]: r.asDict() for r in spark.sql(lc._pii_luhn_sql("spark")).collect()}
+    assert rows["s1"]["n_candidates"] == 2
+    assert rows["s1"]["n_luhn_valid"] == 1
+    assert rows["s1"]["docs_with_valid_pan"] == 1
+    assert rows["s2"]["n_candidates"] == 1  # timestamp run matches the regex
+    assert rows["s2"]["n_luhn_valid"] == 0  # ...but fails the checksum

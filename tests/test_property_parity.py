@@ -74,6 +74,7 @@ def _more_doc_sql_fns():
     )
     from fiveg_spark.operators.llm_curation import (
         _boilerplate_ngrams_sql,
+        _pii_luhn_sql,
         _pii_redact_sql,
         _pii_scan_sql,
         _repeated_ngrams_sql,
@@ -94,6 +95,7 @@ def _more_doc_sql_fns():
         "token_counts": _token_counts_sql,
         "doc_fingerprint": _doc_fingerprint_sql,
         "pii_scan": _pii_scan_sql,
+        "pii_luhn": _pii_luhn_sql,
         "pii_redact": _pii_redact_sql,
         "sequence_packing": _sequence_packing_sql,
         "stratified_sample": _stratified_sample_sql,
