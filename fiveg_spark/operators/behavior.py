@@ -252,10 +252,78 @@ def _rfm_segments_sql(d: str) -> str:
     """
 
 
+def _attribution_sql(d: str) -> str:
+    # C66 — multi-touch conversion attribution: credit each 'purchase'
+    # back to the view/click/signup touches since the user's previous
+    # purchase, under the three standard models (first-touch,
+    # last-touch, linear).  The marketing-analytics workhorse every
+    # event warehouse ends up implementing; reported per channel
+    # (= touch event_type) so the models' disagreement is visible in
+    # one frame.
+    #
+    # Shape: ONE ordered window pass per user assigns every touch its
+    # conversion group (running purchase count: a touch with p
+    # purchases at-or-before it converts at purchase p+1); an equi-join
+    # on (user, group) against the purchase rows attaches conversion
+    # existence; two more windows over the tiny touch frame rank
+    # first/last per conversion.  Every window and the join share the
+    # user_id-rooted key — one shuffle family, high-cardinality, no
+    # fact x fact explosion (touch rows join their OWN user's next
+    # purchase only).  Credits are exact rationals rounded at 4
+    # decimals; ties inside a conversion break by (ts, event_id).
+    ep = epoch("ts", d)
+    return f"""
+    WITH ordered AS (
+      SELECT
+        user_id,
+        event_id,
+        event_type,
+        {ep} AS ts_s,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_cnt
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, event_id, event_type, ts_s, p_cnt AS grp
+      FROM ordered
+      WHERE event_type IN ('view', 'click', 'signup')
+    ),
+    conversions AS (
+      SELECT user_id, p_cnt AS grp
+      FROM ordered WHERE event_type = 'purchase'
+    ),
+    credited AS (
+      SELECT
+        t.event_type AS channel,
+        row_number() OVER (PARTITION BY t.user_id, t.grp
+                           ORDER BY t.ts_s, t.event_id) AS rk_first,
+        row_number() OVER (PARTITION BY t.user_id, t.grp
+                           ORDER BY t.ts_s DESC, t.event_id DESC) AS rk_last,
+        count(*) OVER (PARTITION BY t.user_id, t.grp) AS n_in_conv
+      FROM touches t
+      JOIN conversions c ON c.user_id = t.user_id AND c.grp = t.grp + 1
+    )
+    SELECT
+      channel,
+      {cnt("count(*)", "n_credited_touches")},
+      {dbl("sum(CASE WHEN rk_first = 1 THEN 1.0 ELSE 0.0 END)",
+           "first_touch_credit")},
+      {dbl("sum(CASE WHEN rk_last = 1 THEN 1.0 ELSE 0.0 END)",
+           "last_touch_credit")},
+      {dbl("sum(1.0 / n_in_conv)", "linear_credit")}
+    FROM credited
+    GROUP BY channel
+    ORDER BY channel
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
     sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
     sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),
     sql_backed("rfm_segments", _rfm_segments_sql, ("events",)),
+    # registered mid-round 6: sorts behind the frozen window
+    sql_backed("attribution_credit", _attribution_sql, ("events",), deferred=True),
 ]

@@ -145,3 +145,42 @@ def test_semdedup_summary_accounts_all_vectors(spark):
     assert total == n
     for r in out:
         assert r["n_dropped"] <= r["n_vectors"]
+
+
+def test_attribution_models_on_planted_journey(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.behavior import _attribution_sql
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, minute, user, typ):
+        return (i, t0 + dt.timedelta(minutes=minute), user, typ, 1.0, "{}")
+
+    rows = [
+        # user 1: view -> click -> purchase  (conv 1: first=view, last=click)
+        ev(0, 0, 1, "view"),
+        ev(1, 1, 1, "click"),
+        ev(2, 2, 1, "purchase"),
+        # ...then click -> purchase          (conv 2: first=last=click)
+        ev(3, 3, 1, "click"),
+        ev(4, 4, 1, "purchase"),
+        # user 2: view -> view, NO purchase  -> zero credit anywhere
+        ev(5, 0, 2, "view"),
+        ev(6, 1, 2, "view"),
+        # user 3: orphan purchase with no touches -> credits nothing
+        ev(7, 0, 3, "purchase"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+    got = {r["channel"]: r.asDict() for r in spark.sql(_attribution_sql("spark")).collect()}
+    assert set(got) == {"view", "click"}  # user 2's unconverted views drop out
+    v, c = got["view"], got["click"]
+    assert v["first_touch_credit"] == 1.0 and v["last_touch_credit"] == 0.0
+    assert c["first_touch_credit"] == 1.0 and c["last_touch_credit"] == 2.0
+    # linear: conv1 view 0.5 + click 0.5; conv2 click 1.0
+    assert abs(v["linear_credit"] - 0.5) < 1e-9
+    assert abs(c["linear_credit"] - 1.5) < 1e-9
+    assert v["n_credited_touches"] == 1 and c["n_credited_touches"] == 2
