@@ -239,6 +239,96 @@ ORDER BY exact_count DESC, term
 """
 
 
+WAU_DAYS = 7  # trailing window width (the WAU / L7-actives metric)
+
+
+def hll_sliding_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C67 — trailing 7-day distinct actives per (event_type, day) from
+    the DAILY sketch rows alone: the continuous-aggregate pattern.  A
+    naive WAU query rescans 7 days of facts per anchor day (each fact
+    row read 7 times); here each day's users are sketched ONCE and
+    every trailing window is a union of ≤ 7 sketch rows — the rollup
+    table IS the input, new days append incrementally, and the fact
+    table is never re-read (the C32 contract extended from disjoint
+    grains to OVERLAPPING windows, which no GROUP BY rollup can serve).
+
+    Scale: daily sketches are |types|·|days| rows; the membership
+    explode multiplies only those (×7), never facts.  The exact
+    witness below pays one inherent second scan at contract time; a
+    production rollup would maintain it incrementally or skip it.
+    """
+    events = load_table(spark, "events", sf_dir)
+    day_idx = (F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000).cast("long")
+    daily = (
+        events.withColumn("d", day_idx)
+        .groupBy("event_type", "d")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n"))
+    )
+    anchors = daily.select("event_type", F.col("d").alias("w"))
+    member = daily.withColumn(
+        "w", F.explode(F.expr(f"transform(sequence(0, {WAU_DAYS - 1}), i -> d + i)"))
+    ).join(anchors, ["event_type", "w"], "left_semi")
+    merged = member.groupBy("event_type", "w").agg(
+        F.count("*").alias("n_days_present"),
+        F.sum("n").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    )
+    exact = (
+        events.withColumn("d", day_idx)
+        .withColumn(
+            "w",
+            F.explode(F.expr(f"transform(sequence(0, {WAU_DAYS - 1}), i -> d + i)")),
+        )
+        .join(anchors, ["event_type", "w"], "left_semi")
+        .groupBy("event_type", "w")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        merged.join(exact, ["event_type", "w"])
+        .select(
+            "event_type",
+            F.col("w").cast("long").alias("window_day"),
+            F.col("n_days_present").cast("long").alias("n_days_present"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("exact_users").cast("long").alias("exact_users"),
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.1 * F.col("exact_users")
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type", "window_day")
+    )
+
+
+_HLL_SLIDING_ORACLE = f"""
+WITH ev AS (
+  SELECT
+    event_type,
+    CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT) AS d,
+    user_id
+  FROM events
+),
+anchors AS (SELECT DISTINCT event_type, d AS w FROM ev),
+member AS (
+  SELECT e.event_type, e.d, e.d + g.i AS w, e.user_id
+  FROM ev e
+  CROSS JOIN (SELECT unnest(generate_series(0, {WAU_DAYS - 1})) AS i) g
+)
+SELECT
+  m.event_type,
+  m.w AS window_day,
+  CAST(count(DISTINCT m.d) AS BIGINT) AS n_days_present,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT m.user_id) AS BIGINT) AS exact_users,
+  CAST(abs(approx_count_distinct(m.user_id) - count(DISTINCT m.user_id))
+       <= 0.1 * count(DISTINCT m.user_id) AS BOOLEAN) AS hll_ok
+FROM member m
+JOIN anchors a ON a.event_type = m.event_type AND a.w = m.w
+GROUP BY m.event_type, m.w
+ORDER BY m.event_type, window_day
+"""
+
+
 QUERIES = [
     # tolerance-boolean oracle (the approx_variants pattern): exact
     # anchors hash-compared, each engine bounds ITS OWN sketch in-row.
@@ -246,4 +336,9 @@ QUERIES = [
     # exact top-k anchor + in-row Misra-Gries bound booleans; the raw
     # estimate-ordered diagnostic surface stays pytest-pinned.
     Query("heavy_hitters", heavy_hitters_certified, _HEAVY_HITTERS_ORACLE),
+    # registered mid-round 6: sorts behind the frozen window
+    Query(
+        "hll_sliding_actives", hll_sliding_actives, _HLL_SLIDING_ORACLE,
+        deferred=True,
+    ),
 ]

@@ -96,3 +96,41 @@ def test_kmv_set_ops_discriminates_planted_overlaps(spark):
         assert r["exact_inter"] == 0
         assert r["est_jaccard"] == 0.0  # disjoint sets share no hashes
         assert r["union_ok"] and r["inter_ok"] and r["jaccard_ok"]
+
+
+def test_hll_sliding_actives_window_semantics(spark, tmp_path):
+    # users rotate daily: day d has users {d, d+1}.  The trailing-7-day
+    # actives at day d must be |union of {i, i+1} for i in d-6..d| =
+    # 8 for full windows, and partial early windows shrink accordingly.
+    import pandas as pd
+
+    rows = []
+    eid = 0
+    for d in range(10):
+        for u in (d, d + 1):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + d), "click", u, 1.0, "{}")
+            )
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "event_type", "user_id", "value", "props"]
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    from fiveg_spark.operators.sketches import hll_sliding_actives
+
+    got = {
+        r["window_day"]: r.asDict()
+        for r in hll_sliding_actives(spark, str(tmp_path)).collect()
+    }
+    days = sorted(got)
+    assert len(days) == 10
+    first, last = got[days[0]], got[days[-1]]
+    assert first["n_days_present"] == 1 and first["exact_users"] == 2
+    assert last["n_days_present"] == 7
+    # union of {3..9} x {d, d+1} = users 3..10 -> 8 distinct
+    assert last["exact_users"] == 8
+    assert all(r["hll_ok"] for r in got.values())
+    mid = got[days[6]]  # first FULL window: days 0..6 -> users 0..7
+    assert mid["n_days_present"] == 7 and mid["exact_users"] == 8
