@@ -210,9 +210,88 @@ def _doc_chunks_sql(d: str) -> str:
     """
 
 
+def _evt_tail_sql(d: str) -> str:
+    # C68 — extreme-value tail fit: peaks-over-threshold GPD (the
+    # standard EVT recipe for "how bad is the 1-in-1000 event" when the
+    # empirical tail runs out of data).  Per event_type: threshold u =
+    # p90 of value, exceedances e = value − u fit to a Generalized
+    # Pareto by METHOD OF MOMENTS (Hosking & Wallis 1987):
+    #
+    #   ξ = ½(1 − m²/v),   σ = ½m(1 + m²/v)      (m, v = mean/var of e)
+    #
+    # and the p=0.001 return level  x_p = u + σ/ξ·((p/ζ_u)^−ξ − 1)
+    # with the exponential (ξ→0) limit  u + σ·ln(ζ_u/p);  ζ_u = tail
+    # mass.  Engine-parity discipline: m, v, ξ, σ are each ROUNDED
+    # before any branch or downstream use, so both engines take the
+    # same ξ=0 branch and exponentiate identical doubles; the variance
+    # guard is RELATIVE (corr_safe's rule) so constant exceedances
+    # degrade to the exponential fit instead of dividing by ~0.
+    #
+    # Scale: one scan — the p90 thresholds are a tiny per-type
+    # aggregate joined back (broadcast), moments are decomposable sums.
+    from fiveg_spark.plans.registry import pct
+
+    guard = "1e-12 * greatest(m * m, 1e-300)"
+    xi_raw = "0.5 * (1.0 - m * m / v)"
+    sg_raw = "0.5 * m * (1.0 + m * m / v)"
+    p = "0.001"
+    return f"""
+    WITH thr AS (
+      SELECT event_type, round({pct("value", 0.90, d)} + 1e-9, 4) + 0.0 AS u,
+             count(*) AS n_total
+      FROM events GROUP BY event_type
+    ),
+    exceed AS (
+      SELECT e.event_type, t.u, t.n_total, e.value - t.u AS ex
+      FROM events e JOIN thr t ON t.event_type = e.event_type
+      WHERE e.value > t.u
+    ),
+    mom AS (
+      SELECT
+        event_type,
+        max(u) AS u,
+        max(n_total) AS n_total,
+        count(*) AS n_exceed,
+        round(avg(ex) + 1e-9, 4) + 0.0 AS m,
+        round(CASE WHEN count(*) < 2 THEN 0.0
+                   ELSE (sum(ex * ex) - count(*) * avg(ex) * avg(ex))
+                        / (count(*) - 1) END + 1e-9, 4) + 0.0 AS v
+      FROM exceed
+      GROUP BY event_type
+    ),
+    fit AS (
+      SELECT
+        event_type, u, n_total, n_exceed, m, v,
+        round(CASE WHEN v <= {guard} THEN 0.0 ELSE {xi_raw} END + 1e-9, 4)
+          + 0.0 AS xi,
+        round(CASE WHEN v <= {guard} THEN m ELSE {sg_raw} END + 1e-9, 4)
+          + 0.0 AS sigma,
+        round(CAST(n_exceed AS DOUBLE) / n_total + 1e-9, 6) + 0.0 AS zeta
+      FROM mom
+    )
+    SELECT
+      event_type,
+      {dbl("u", "threshold_p90")},
+      {cnt("n_exceed", "n_exceed")},
+      {dbl("m", "mean_excess")},
+      {dbl("xi", "xi_shape")},
+      {dbl("sigma", "sigma_scale")},
+      {dbl(
+        f"CASE WHEN xi = 0.0 THEN u + sigma * ln(zeta / {p}) "
+        f"ELSE u + sigma / xi * (power({p} / zeta, -xi) - 1.0) END",
+        "return_level_p001",
+      )}
+    FROM fit
+    WHERE n_exceed >= 2
+    ORDER BY event_type
+    """
+
+
 QUERIES = [
     sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
     sql_backed("gini_token_concentration", _gini_sql, ("documents",)),
     sql_backed("event_time_association", _assoc_sql, ("events",)),
     sql_backed("doc_chunks", _doc_chunks_sql, ("documents",)),
+    # registered mid-round 6: sorts behind the frozen window
+    sql_backed("evt_tail_fit", _evt_tail_sql, ("events",), deferred=True),
 ]

@@ -250,7 +250,11 @@ _EVENTS_SCHEMA = (
 
 def _event_sql_fns():
     from fiveg_spark.operators.analytics_ext import _zscore_sql
-    from fiveg_spark.operators.stats_assoc import _assoc_sql, _ols_trend_sql
+    from fiveg_spark.operators.stats_assoc import (
+        _assoc_sql,
+        _evt_tail_sql,
+        _ols_trend_sql,
+    )
     from fiveg_spark.operators.timeseries import (
         _feature_correlations_sql,
         _window_entropy_sql,
@@ -288,6 +292,9 @@ def _event_sql_fns():
         "window_entropy": _window_entropy_sql,
         "acf_throughput": _acf_sql,
         "ols_trend_per_slice": _ols_trend_sql,
+        # m^2/v ratio + xi-branch + power(): tiny tied-value corpora
+        # hit the relative variance guard and the exponential branch
+        "evt_tail_fit": _evt_tail_sql,
         "event_time_association": _assoc_sql,
         "feature_correlations": _feature_correlations_sql,
         # behavior block: tie-handling + window logic on tiny streams

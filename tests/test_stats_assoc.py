@@ -191,3 +191,40 @@ def test_iat_exponential_fit_hand_computed(spark):
     assert r["mean_iat_s"] == pytest.approx(1.0, abs=1e-3)
     assert r["lambda_hz"] == pytest.approx(1.0, abs=1e-3)
     assert r["ks_binned"] == pytest.approx(1.0 - math.exp(-0.8), abs=1e-3)
+
+
+def test_evt_tail_fit_recovers_known_distributions(spark):
+    """MoM GPD on planted tails: exponential exceedances (true xi=0)
+    must fit |xi| near 0 with sigma near the scale; a bounded-uniform
+    tail (true xi=-1) must fit clearly negative xi.  The p=0.001 return
+    level must sit above the threshold for the heavy branch."""
+    import datetime as dt
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 'exp' type: body uniform[0,10] (90%), tail u + Exp(scale=2.0)
+    for v in rng.uniform(0, 10, 1800):
+        rows.append((eid, t0, 1, "exp", float(v), "{}")); eid += 1
+    for v in 10.0 + rng.exponential(2.0, 200):
+        rows.append((eid, t0, 1, "exp", float(v), "{}")); eid += 1
+    # 'uni' type: all uniform[0,10] -> exceedances over p90 are
+    # uniform[0, 1] -> GPD with xi = -1, sigma = b = 1
+    for v in rng.uniform(0, 10, 2000):
+        rows.append((eid, t0, 1, "uni", float(v), "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+    from fiveg_spark.operators.stats_assoc import _evt_tail_sql
+
+    got = {r["event_type"]: r.asDict() for r in spark.sql(_evt_tail_sql("spark")).collect()}
+    e, u = got["exp"], got["uni"]
+    assert abs(e["xi_shape"]) < 0.25          # true 0
+    assert 1.2 < e["sigma_scale"] < 3.0       # true 2.0
+    assert e["return_level_p001"] > e["threshold_p90"]
+    assert u["xi_shape"] < -0.5               # true -1: bounded tail
+    assert u["return_level_p001"] <= 11.5     # bounded near the endpoint
