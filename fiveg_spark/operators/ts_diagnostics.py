@@ -281,6 +281,138 @@ def _iat_exponential_fit_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_iat_frame", iat_sql)], tail
 
 
+def _psi_sql(d: str) -> str:
+    # D27 — Population Stability Index, the production model-monitoring
+    # drift score: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between a
+    # reference window (first half of each slice's hourly series by
+    # time — the "training era") and the current window (second half).
+    # Convention: PSI < 0.1 stable, 0.1–0.2 watch, > 0.2 drifted.
+    #
+    # Determinism/parity: the time split is the rounded median hour;
+    # bin edges are the rounded reference min/max cut into 10 equal
+    # widths (degenerate zero-width range → single-bin, PSI = 0 — the
+    # value_histogram guard); shares are floored at 1e-4 (standard PSI
+    # practice so empty bins don't blow up ln) and ROUNDED before the
+    # log so both engines take ln of identical doubles.
+    #
+    # Scale: rides the one reduced hourly frame; bins/shares are tiny
+    # per-slice aggregates.
+    return f"""
+    {_hourly_cte(d)},
+    cut AS (
+      SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
+      FROM hourly GROUP BY slice
+    ),
+    tagged AS (
+      SELECT hy.slice, hy.throughput_bps AS v,
+             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
+      FROM hourly hy JOIN cut c ON c.slice = hy.slice
+    ),
+    edges AS (
+      SELECT slice,
+             round(min(CASE WHEN era = 'ref' THEN v END) + {NUDGE}, 4) + 0.0 AS lo,
+             round(max(CASE WHEN era = 'ref' THEN v END) + {NUDGE}, 4) + 0.0 AS hi
+      FROM tagged GROUP BY slice
+    ),
+    binned AS (
+      SELECT t.slice, t.era,
+             CASE WHEN e.hi - e.lo <= 0 THEN 0
+                  ELSE least(9, greatest(0,
+                    CAST(floor((t.v - e.lo) / ((e.hi - e.lo) / 10.0)) AS INT)))
+             END AS bin
+      FROM tagged t JOIN edges e ON e.slice = t.slice
+    ),
+    grid AS (
+      SELECT slice, era, bin
+      FROM (SELECT DISTINCT slice FROM binned) s
+      CROSS JOIN (SELECT 'ref' AS era UNION ALL SELECT 'cur') e
+      CROSS JOIN (
+        SELECT 0 AS bin UNION ALL SELECT 1 UNION ALL SELECT 2
+        UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
+        UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8
+        UNION ALL SELECT 9
+      ) b
+    ),
+    shares AS (
+      SELECT
+        g.slice, g.bin,
+        round(greatest(
+          sum(CASE WHEN b.era = 'ref' THEN 1.0 ELSE 0.0 END)
+            / greatest(max(tot.n_ref), 1), 0.0001) + {NUDGE}, 6) + 0.0 AS p,
+        round(greatest(
+          sum(CASE WHEN b.era = 'cur' THEN 1.0 ELSE 0.0 END)
+            / greatest(max(tot.n_cur), 1), 0.0001) + {NUDGE}, 6) + 0.0 AS q
+      FROM grid g
+      LEFT JOIN binned b ON b.slice = g.slice AND b.era = g.era AND b.bin = g.bin
+      JOIN (
+        SELECT slice,
+               sum(CASE WHEN era = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               sum(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM tagged GROUP BY slice
+      ) tot ON tot.slice = g.slice
+      GROUP BY g.slice, g.bin
+    )
+    SELECT
+      slice,
+      {dbl("sum((p - q) * ln(p / q))", "psi")},
+      CAST(round(sum((p - q) * ln(p / q)) + {NUDGE}, 4) > 0.2 AS BOOLEAN)
+        AS drifted
+    FROM shares
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+def _conformal_sql(d: str) -> str:
+    # D26 — split-conformal prediction intervals around the seasonal-
+    # naive forecaster: calibrate the |residual| q90 on the VALIDATION
+    # third of each slice's series, then measure EMPIRICAL coverage of
+    # ŷ ± q90 on the held-out TEST third.  Distribution-free marginal
+    # coverage ≈ 90% by the conformal guarantee (finite-sample: at
+    # least ⌈0.9(n+1)⌉/(n+1)); a test coverage far below nominal means
+    # the series drifted between val and test eras — this row is the
+    # model-monitoring companion to pinball_eval's quantile loss.
+    #
+    # Splits reuse D3's ordered 70/15/15 rule (row_number over the
+    # hourly frame); the radius is rounded before the coverage
+    # comparison so both engines test identical doubles.
+    return f"""
+    {_hourly_cte(d)},
+    lagged AS (
+      SELECT
+        slice, h, throughput_bps AS v,
+        lag(throughput_bps, 24) OVER (PARTITION BY slice ORDER BY h) AS pred,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n
+      FROM hourly
+    ),
+    split AS (
+      SELECT *,
+             CASE WHEN rn <= floor(0.7 * n) THEN 'train'
+                  WHEN rn <= floor(0.85 * n) THEN 'val'
+                  ELSE 'test' END AS part
+      FROM lagged WHERE pred IS NOT NULL
+    ),
+    radius AS (
+      SELECT slice,
+             round({pct("abs(v - pred)", 0.9, d)} + {NUDGE}, 4) + 0.0 AS q90,
+             count(*) AS n_val
+      FROM split WHERE part = 'val' GROUP BY slice
+    )
+    SELECT
+      s.slice,
+      {cnt("max(r.n_val)", "n_val")},
+      {cnt("count(*)", "n_test")},
+      {dbl("max(r.q90)", "interval_radius")},
+      {dbl("avg(CASE WHEN abs(s.v - s.pred) <= r.q90 THEN 1.0 ELSE 0.0 END)",
+           "test_coverage")}
+    FROM split s JOIN radius r ON r.slice = s.slice
+    WHERE s.part = 'test'
+    GROUP BY s.slice
+    ORDER BY s.slice
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("cusum_drift", _cusum_sql, ("events",)),
@@ -291,4 +423,7 @@ QUERIES = [
     materialized_backed(
         "iat_exponential_fit", _iat_exponential_fit_parts, ("events",),
     ),
+    # registered mid-round 6: sorts behind the frozen window
+    sql_backed("feature_drift_psi", _psi_sql, ("events",), deferred=True),
+    sql_backed("conformal_intervals", _conformal_sql, ("events",), deferred=True),
 ]

@@ -338,7 +338,9 @@ def _hourly_family_sql_fns():
     )
     from fiveg_spark.operators.ts_diagnostics import (
         _changepoint_sql,
+        _conformal_sql,
         _cusum_sql,
+        _psi_sql,
         _rolling_median_sql,
         _seasonal_naive_sql,
         _seasonal_profile_sql,
@@ -358,6 +360,10 @@ def _hourly_family_sql_fns():
         "seasonal_profile": _seasonal_profile_sql,
         "rolling_median_throughput": _rolling_median_sql,
         "best_changepoint": _changepoint_sql,
+        # ln(p/q) with share floors + degenerate single-bin ranges;
+        # conformal: near-empty val/test splits after the lag-24 cut
+        "feature_drift_psi": _psi_sql,
+        "conformal_intervals": _conformal_sql,
     }
 
 

@@ -228,3 +228,57 @@ def test_evt_tail_fit_recovers_known_distributions(spark):
     assert e["return_level_p001"] > e["threshold_p90"]
     assert u["xi_shape"] < -0.5               # true -1: bounded tail
     assert u["return_level_p001"] <= 11.5     # bounded near the endpoint
+
+
+def _hourly_events_view(spark, per_slice_values):
+    """One event per (slice-as-user? no) — build events so the hourly
+    frame reduces to the given per-slice value sequences (value summed
+    per hour drives throughput)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for slice_user, seq in per_slice_values.items():
+        for i, v in enumerate(seq):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=i), slice_user, "view", float(v), "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+
+
+def test_psi_flags_planted_level_shift(spark):
+    """A series whose second half jumps to a disjoint value range must
+    produce a large PSI; a flat series must produce (floor-level) ~0."""
+    from fiveg_spark.operators.ts_diagnostics import _psi_sql
+
+    # ref half must span a real range (a constant ref era hits the
+    # degenerate single-bin guard and PSI is pinned ~0 by design)
+    shifted = [10.0 + i for i in range(48)] + [1000.0 + i for i in range(48)]
+    flat = [10.0 + (i % 48) for i in range(96)]  # same distribution both eras
+    _hourly_events_view(spark, {1: shifted, 2: flat})
+    got = {r["slice"]: r.asDict() for r in spark.sql(_psi_sql("spark")).collect()}
+    slices = sorted(got)
+    drifted = [got[s] for s in slices if got[s]["drifted"]]
+    stable = [got[s] for s in slices if not got[s]["drifted"]]
+    assert len(drifted) == 1 and len(stable) == 1
+    assert drifted[0]["psi"] > 1.0     # disjoint ranges -> huge PSI
+    assert stable[0]["psi"] < 0.1
+
+
+def test_conformal_intervals_cover_on_stationary_series(spark):
+    """A noiseless 24-periodic series: seasonal-naive residuals are 0,
+    so the q90 radius is 0 and test coverage is exactly 1.0."""
+    from fiveg_spark.operators.ts_diagnostics import _conformal_sql
+
+    periodic = [float(10 + (i % 24)) for i in range(24 * 10)]
+    _hourly_events_view(spark, {1: periodic})
+    rows = spark.sql(_conformal_sql("spark")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["interval_radius"] == 0.0
+    assert r["test_coverage"] == 1.0
+    assert r["n_val"] > 0 and r["n_test"] > 0
