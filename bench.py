@@ -35,6 +35,10 @@ HEADLINE = (
     # span-level dedup (r6): positions explode + span census + join-back
     # + per-doc reconstruction — the heaviest new text shape
     "substring_dedup",
+    # importance reweighting (r6 second wave): unigram+bigram explode,
+    # hashed-model build + broadcast join-back — the curation pipeline's
+    # scoring shape, perf-tracked alongside the dedup/text paths
+    "dsir_importance",
 )
 
 

@@ -259,11 +259,15 @@ def hll_sliding_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, "events", sf_dir)
     day_idx = (F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000).cast("long")
+    # materialize-once: the sketch frame feeds anchors, the membership
+    # explode, AND the semi-join — inlined, Spark re-ran the events
+    # scan per reference (the sweep gate measured 4 corpus scans; with
+    # the checkpoint it is 1 sketch build + the inherent exact witness)
     daily = (
         events.withColumn("d", day_idx)
         .groupBy("event_type", "d")
         .agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n"))
-    )
+    ).localCheckpoint()
     anchors = daily.select("event_type", F.col("d").alias("w"))
     member = daily.withColumn(
         "w", F.explode(F.expr(f"transform(sequence(0, {WAU_DAYS - 1}), i -> d + i)"))

@@ -281,7 +281,7 @@ def _iat_exponential_fit_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_iat_frame", iat_sql)], tail
 
 
-def _psi_sql(d: str) -> str:
+def _psi_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D27 — Population Stability Index, the production model-monitoring
     # drift score: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between a
     # reference window (first half of each slice's hourly series by
@@ -295,24 +295,41 @@ def _psi_sql(d: str) -> str:
     # practice so empty bins don't blow up ln) and ROUNDED before the
     # log so both engines take ln of identical doubles.
     #
-    # Scale: rides the one reduced hourly frame; bins/shares are tiny
-    # per-slice aggregates.
-    return f"""
-    {_hourly_cte(d)},
-    cut AS (
-      SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
-      FROM hourly GROUP BY slice
-    ),
-    tagged AS (
+    # Scale: the era-tagged hourly frame MATERIALIZES once
+    # (materialized_backed — the tail references it through four CTE
+    # layers, and Spark's CTE inlining would re-run the events scan per
+    # reference: the sweep gate measured 10 rescans of the inlined
+    # form); bins/shares are tiny per-slice aggregates over it.  Every
+    # tail CTE is referenced exactly ONCE — a twice-referenced CTE in
+    # this shape trips a Spark 4.1 InlineCTE/DeduplicateRelations
+    # INTERNAL_ERROR (UnresolvedAttribute.exprId) on temp-view-backed
+    # inputs, so the grid's slice universe reads the materialized view,
+    # not the binned CTE.
+    hourly_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
+      SELECT slice, h, throughput_bps FROM hourly
+    """
+    tagged_sql = f"""
+      WITH cut AS (
+        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
+        FROM _mz_psi_hourly GROUP BY slice
+      )
       SELECT hy.slice, hy.throughput_bps AS v,
              CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
-      FROM hourly hy JOIN cut c ON c.slice = hy.slice
-    ),
-    edges AS (
+      FROM _mz_psi_hourly hy JOIN cut c ON c.slice = hy.slice
+    """
+    if d == "spark":
+        eras = "SELECT explode(array('ref', 'cur')) AS era"
+        bins = "SELECT explode(sequence(0, 9)) AS bin"
+    else:
+        eras = "SELECT unnest(['ref', 'cur']) AS era"
+        bins = "SELECT unnest(generate_series(0, 9)) AS bin"
+    tail = f"""
+    WITH edges AS (
       SELECT slice,
              round(min(CASE WHEN era = 'ref' THEN v END) + {NUDGE}, 4) + 0.0 AS lo,
              round(max(CASE WHEN era = 'ref' THEN v END) + {NUDGE}, 4) + 0.0 AS hi
-      FROM tagged GROUP BY slice
+      FROM _mz_psi_tagged GROUP BY slice
     ),
     binned AS (
       SELECT t.slice, t.era,
@@ -320,18 +337,13 @@ def _psi_sql(d: str) -> str:
                   ELSE least(9, greatest(0,
                     CAST(floor((t.v - e.lo) / ((e.hi - e.lo) / 10.0)) AS INT)))
              END AS bin
-      FROM tagged t JOIN edges e ON e.slice = t.slice
+      FROM _mz_psi_tagged t JOIN edges e ON e.slice = t.slice
     ),
     grid AS (
       SELECT slice, era, bin
-      FROM (SELECT DISTINCT slice FROM binned) s
-      CROSS JOIN (SELECT 'ref' AS era UNION ALL SELECT 'cur') e
-      CROSS JOIN (
-        SELECT 0 AS bin UNION ALL SELECT 1 UNION ALL SELECT 2
-        UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
-        UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8
-        UNION ALL SELECT 9
-      ) b
+      FROM (SELECT DISTINCT slice FROM _mz_psi_tagged) s
+      CROSS JOIN ({eras}) e
+      CROSS JOIN ({bins}) b
     ),
     shares AS (
       SELECT
@@ -348,19 +360,31 @@ def _psi_sql(d: str) -> str:
         SELECT slice,
                sum(CASE WHEN era = 'ref' THEN 1 ELSE 0 END) AS n_ref,
                sum(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS n_cur
-        FROM tagged GROUP BY slice
+        FROM _mz_psi_tagged GROUP BY slice
       ) tot ON tot.slice = g.slice
       GROUP BY g.slice, g.bin
     )
     SELECT
-      slice,
-      {dbl("sum((p - q) * ln(p / q))", "psi")},
-      CAST(round(sum((p - q) * ln(p / q)) + {NUDGE}, 4) > 0.2 AS BOOLEAN)
-        AS drifted
-    FROM shares
-    GROUP BY slice
-    ORDER BY slice
+      sh.slice,
+      {dbl("CASE WHEN t.n_ref = 0 OR t.n_cur = 0 THEN 0.0 "
+           "ELSE sum((p - q) * ln(p / q)) END", "psi")},
+      CAST(CASE WHEN t.n_ref = 0 OR t.n_cur = 0 THEN FALSE
+                ELSE round(sum((p - q) * ln(p / q)) + {NUDGE}, 4) > 0.2
+           END AS BOOLEAN) AS drifted
+    FROM shares sh
+    JOIN (
+      SELECT slice,
+             sum(CASE WHEN era = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM _mz_psi_tagged GROUP BY slice
+    ) t ON t.slice = sh.slice
+    GROUP BY sh.slice, t.n_ref, t.n_cur
+    ORDER BY sh.slice
     """
+    return [
+        ("_mz_psi_hourly", hourly_sql),
+        ("_mz_psi_tagged", tagged_sql),
+    ], tail
 
 
 def _conformal_sql(d: str) -> str:
@@ -424,6 +448,8 @@ QUERIES = [
         "iat_exponential_fit", _iat_exponential_fit_parts, ("events",),
     ),
     # registered mid-round 6: sorts behind the frozen window
-    sql_backed("feature_drift_psi", _psi_sql, ("events",), deferred=True),
+    materialized_backed(
+        "feature_drift_psi", _psi_parts, ("events",), deferred=True,
+    ),
     sql_backed("conformal_intervals", _conformal_sql, ("events",), deferred=True),
 ]

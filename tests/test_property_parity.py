@@ -340,7 +340,6 @@ def _hourly_family_sql_fns():
         _changepoint_sql,
         _conformal_sql,
         _cusum_sql,
-        _psi_sql,
         _rolling_median_sql,
         _seasonal_naive_sql,
         _seasonal_profile_sql,
@@ -360,9 +359,7 @@ def _hourly_family_sql_fns():
         "seasonal_profile": _seasonal_profile_sql,
         "rolling_median_throughput": _rolling_median_sql,
         "best_changepoint": _changepoint_sql,
-        # ln(p/q) with share floors + degenerate single-bin ranges;
         # conformal: near-empty val/test splits after the lag-24 cut
-        "feature_drift_psi": _psi_sql,
         "conformal_intervals": _conformal_sql,
     }
 
@@ -374,7 +371,12 @@ def _assert_parity_parts(spark, pdf, view, schema, parts_fn, name):
     sdf.createOrReplaceTempView(view)
     parts, tail = parts_fn("spark")
     for vname, vsql in parts:
-        spark.sql(vsql).createOrReplaceTempView(vname)
+        # localCheckpoint like the production run_parts: parts exist to
+        # be MATERIALIZED (plain nested views re-inline the whole chain
+        # per tail reference, which both defeats the point and trips a
+        # Spark 4.1 InlineCTE/DeduplicateRelations INTERNAL_ERROR on
+        # multiply-referenced view stacks)
+        spark.sql(vsql).localCheckpoint().createOrReplaceTempView(vname)
     got = spark.sql(tail)
     spark_rows = _rows(got.columns, got.collect())
 
@@ -456,9 +458,14 @@ def test_document_parts_queries_on_random_corpora(spark, name):
 
 def _event_parts_fns():
     from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
-    from fiveg_spark.operators.ts_diagnostics import _iat_exponential_fit_parts
+    from fiveg_spark.operators.ts_diagnostics import (
+        _iat_exponential_fit_parts,
+        _psi_parts,
+    )
 
     return {
+        # ln(p/q) with share floors + degenerate single-bin ranges
+        "feature_drift_psi": _psi_parts,
         # tied timestamps per (user, type) -> zero IATs -> mean_iat = 0:
         # the lambda_hz guard and the grid-point NUDGE both exercise here
         "iat_exponential_fit": _iat_exponential_fit_parts,

@@ -253,14 +253,15 @@ def _hourly_events_view(spark, per_slice_values):
 def test_psi_flags_planted_level_shift(spark):
     """A series whose second half jumps to a disjoint value range must
     produce a large PSI; a flat series must produce (floor-level) ~0."""
-    from fiveg_spark.operators.ts_diagnostics import _psi_sql
+    from fiveg_spark.operators.ts_diagnostics import _psi_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # ref half must span a real range (a constant ref era hits the
     # degenerate single-bin guard and PSI is pinned ~0 by design)
     shifted = [10.0 + i for i in range(48)] + [1000.0 + i for i in range(48)]
     flat = [10.0 + (i % 48) for i in range(96)]  # same distribution both eras
     _hourly_events_view(spark, {1: shifted, 2: flat})
-    got = {r["slice"]: r.asDict() for r in spark.sql(_psi_sql("spark")).collect()}
+    got = {r["slice"]: r.asDict() for r in run_parts(spark, _psi_parts).collect()}
     slices = sorted(got)
     drifted = [got[s] for s in slices if got[s]["drifted"]]
     stable = [got[s] for s in slices if not got[s]["drifted"]]
