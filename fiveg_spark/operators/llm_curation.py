@@ -606,11 +606,22 @@ def _dsir_parts(d: str) -> tuple[list[tuple[str, str]], str]:
         f"(position(substring(md5(feat), 1, 1) IN {_HEX}) - 1) * 16"
         f" + position(substring(md5(feat), 2, 1) IN {_HEX}) - 1"
     )
+    # REPARTITION before the explode+md5 amplification (~2 features per
+    # input token, each md5-hashed): scan parallelism follows input
+    # BYTES, so without the hint a few-row-group corpus hashes on a
+    # couple of cores (the _shingles_body rule; explicit count because
+    # AQE coalesces a count-less hint back down by bytes)
+    if d == "spark":
+        from fiveg_spark.session import default_shuffle_partitions
+
+        hint = f"/*+ REPARTITION({default_shuffle_partitions()}, doc_id) */ "
+    else:
+        hint = ""
     fb = f"""
       SELECT doc_id, source, {bucket} AS bucket, count(*) AS c
       FROM (
         SELECT doc_id, source, {feats} AS feat
-        FROM (SELECT doc_id, source, {toks} AS t FROM documents) base
+        FROM (SELECT {hint}doc_id, source, {toks} AS t FROM documents) base
       ) featd
       GROUP BY doc_id, source, {bucket}
     """
