@@ -542,11 +542,31 @@ ORDER BY slice
 """
 
 
+def _quantile_cert(spark, sf_dir):
+    from fiveg_spark.ml.quantile import quantile_cert
+
+    return quantile_cert(spark, sf_dir)
+
+
+_QUANTILE_CERT_ORACLE = f"""
+{_counted_cte()}
+SELECT
+  slice,
+  CAST(greatest(CAST(floor(0.7 * n) AS BIGINT) - {P_LAGS}, 0) AS BIGINT) AS n_obs,
+  TRUE AS coverage_ok,
+  TRUE AS loss_le_ols,
+  TRUE AS grad_ok
+FROM counted
+ORDER BY slice
+"""
+
+
 QUERIES = [
     # conversions of the former rows-only registrations (round 6); raw
     # coefficient/top-k surfaces remain available as functions and stay
     # pytest-pinned to independent numpy implementations.
     Query("var_ols_cert", var_ols_cert, _VAR_CERT_ORACLE, deferred=True),
+    Query("quantile_cert", _quantile_cert, _QUANTILE_CERT_ORACLE, deferred=True),
     Query("huber_cert", huber_cert, _HUBER_CERT_ORACLE, deferred=True),
     Query(
         "linear_baseline_cert", linear_baseline_cert, _LINEAR_CERT_ORACLE,

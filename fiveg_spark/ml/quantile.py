@@ -1,0 +1,193 @@
+"""Distributed quantile regression via IRLS (SURVEY §2 D28).
+
+The conditional-quantile companion to the Huber fit (ml/huber.py) and
+the model-side counterpart of the pinball EVALUATION row (D16): instead
+of scoring a forecaster's quantile loss, fit the τ-quantile linear
+model itself by minimizing the pinball loss
+
+    ρ_τ(r) = r·(τ − 1[r < 0]),   r = y − xβ.
+
+IRLS formulation: ρ_τ(r) = w(r)·r²/2 with w(r) = 2·(τ·1[r>0] +
+(1−τ)·1[r≤0]) / max(|r|, ε), so each round solves weighted normal
+equations exactly like the Huber loop — the previous β broadcasts,
+each Arrow batch emits its m×m partial XᵀWX/XᵀWy, and ONLY those
+partials shuffle (the ml/var.py layout; ε-smoothing is the standard
+IRLS regularization for the kink at r = 0).
+
+Certification (the huber_cert pattern — theorem-level invariants over
+the REAL distributed fit + oracle-recomputed counts):
+- coverage: at the optimum ~τ of the residuals lie at or below the
+  fitted line (the defining property of a quantile fit),
+- pinball dominance: the τ-fit beats plain OLS on the pinball loss it
+  minimizes,
+- smoothed-gradient: ‖Σ x_i·ψ_ε(r_i)‖∞ ≈ 0 at the ε-smoothed optimum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiveg_spark.ml.huber import _PARTIAL_SCHEMA, _solve, scalar_design
+
+TAU = 0.9
+EPS = 1e-6
+ITERS = 30
+
+
+def _qr_weight_kernel(betas: dict[str, np.ndarray] | None, tau: float, eps: float):
+    """mapInPandas kernel: one partial weighted Gram per (batch, slice)
+    with pinball IRLS weights; betas=None → unit weights (OLS start)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            for slice_name, g in pdf.groupby("slice"):
+                X = np.asarray(list(g["x"]), dtype=np.float64)
+                y = np.asarray(g["y_t"], dtype=np.float64)
+                if betas is None or slice_name not in betas:
+                    w = np.ones(len(y))
+                else:
+                    r = y - X @ betas[slice_name]
+                    side = np.where(r > 0, tau, 1.0 - tau)
+                    w = side / np.maximum(np.abs(r), eps)
+                Xw = X * w[:, None]
+                xwx = X.T @ Xw
+                xwy = Xw.T @ y
+                m = xwx.shape[0]
+                ii, jj = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+                yield pd.DataFrame(
+                    {
+                        "slice": slice_name,
+                        "i": ii.ravel().astype(np.int32),
+                        "j": jj.ravel().astype(np.int32),
+                        "xwx": xwx.ravel(),
+                        "xwy": [
+                            xwy[i] if j == 0 else 0.0
+                            for i, j in zip(ii.ravel(), jj.ravel())
+                        ],
+                    }
+                )
+
+    return kernel
+
+
+def quantile_fit(
+    design: DataFrame,
+    tau: float = TAU,
+    iters: int = ITERS,
+    eps: float = EPS,
+    tol: float | None = 1e-9,
+) -> dict[str, np.ndarray]:
+    """IRLS over a (slice, x: array, y_t: double) design frame;
+    returns {slice: β}.  Early-stops at the IRLS fixed point."""
+    design = design.select("slice", "x", "y_t")
+    betas: dict[str, np.ndarray] | None = None
+    for _ in range(iters):
+        partials = design.mapInPandas(
+            _qr_weight_kernel(betas, tau, eps), schema=_PARTIAL_SCHEMA
+        )
+        prev = betas
+        betas = _solve(partials)
+        if tol is not None and prev is not None and set(prev) == set(betas):
+            moved = max(
+                float(np.max(np.abs(betas[s] - prev[s]))) for s in betas
+            )
+            if moved <= tol:
+                break
+    return betas
+
+
+def _qr_cert_kernel(bq, bo, tau, eps):
+    """Partials for the certification row: n, below-count, pinball
+    losses at both β, and the ε-smoothed gradient at β_qr."""
+
+    def kernel(batches):
+        for pdf in batches:
+            for slice_name, g in pdf.groupby("slice"):
+                X = np.asarray(list(g["x"]), dtype=np.float64)
+                y = np.asarray(g["y_t"], dtype=np.float64)
+                r = y - X @ bq[slice_name]
+                ro = y - X @ bo[slice_name]
+
+                def pinball(res):
+                    return float(
+                        np.sum(res * (tau - (res < 0).astype(np.float64)))
+                    )
+
+                psi = tau - (r < 0).astype(np.float64)
+                # smoothed ψ inside the ε-kink: w·r with the IRLS weight
+                near = np.abs(r) <= eps
+                psi[near] = (
+                    np.where(r[near] > 0, tau, 1.0 - tau) * r[near] / eps
+                )
+                grad = X.T @ psi
+                yield pd.DataFrame(
+                    {
+                        "slice": [slice_name],
+                        "n": [len(y)],
+                        "n_below": [int(np.sum(r <= 0))],
+                        "loss_qr": [pinball(r)],
+                        "loss_ols": [pinball(ro)],
+                        "grad": [grad.tolist()],
+                    }
+                )
+
+    return kernel
+
+
+def quantile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D28 certification row: real distributed τ=0.9 fit, then in-row
+    coverage / pinball-dominance / smoothed-gradient booleans."""
+    from fiveg_spark.ml.certify import N_TERMS, P_LAGS
+
+    design = scalar_design(spark, sf_dir, p=P_LAGS).persist()
+    try:
+        qr = quantile_fit(design)
+        from fiveg_spark.ml.huber import huber_fit
+
+        ols = huber_fit(design, iters=1)  # unit weights = plain OLS
+        m = N_TERMS
+        partials = design.select("slice", "x", "y_t").mapInPandas(
+            _qr_cert_kernel(qr, ols, TAU, EPS),
+            schema=(
+                "slice string, n long, n_below long, "
+                "loss_qr double, loss_ols double, grad array<double>"
+            ),
+        )
+        agg = (
+            partials.groupBy("slice")
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("n_below").alias("n_below"),
+                F.sum("loss_qr").alias("loss_qr"),
+                F.sum("loss_ols").alias("loss_ols"),
+                F.array(
+                    *[F.sum(F.element_at("grad", t + 1)) for t in range(m)]
+                ).alias("grad"),
+            )
+            .collect()
+        )
+    finally:
+        design.unpersist()
+    rows = []
+    for r in sorted(agg, key=lambda x: x["slice"]):
+        share_below = r["n_below"] / r["n"]
+        gmax = max(abs(v) for v in r["grad"])
+        rows.append(
+            (
+                r["slice"],
+                r["n"],
+                # quantile property: ±5% slack plus the m/n interpolation
+                # wiggle (finite-sample exactness is only to ~m points)
+                bool(abs(share_below - TAU) <= 0.05 + N_TERMS / r["n"]),
+                bool(r["loss_qr"] <= r["loss_ols"] + 1e-6 * r["n"]),
+                bool(gmax <= 1e-2 * r["n"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "slice string, n_obs long, coverage_ok boolean, "
+        "loss_le_ols boolean, grad_ok boolean",
+    )

@@ -54,3 +54,34 @@ def test_huber_resists_planted_outliers(spark):
     assert abs(ols[1] - 2.0) > 0.05 or abs(ols[0]) > 0.5  # OLS got pulled
     assert abs(hub[1] - 2.0) < 0.05
     assert abs(hub[0]) < 0.3
+
+
+def test_quantile_fit_recovers_empirical_quantile(spark):
+    """Intercept-only design: the pinball minimizer IS the empirical
+    tau-quantile.  The distributed IRLS must land on it (within the
+    epsilon-smoothing wiggle), and coverage must sit at ~tau."""
+    import numpy as np
+
+    from fiveg_spark.ml.quantile import quantile_fit
+
+    rng = np.random.default_rng(3)
+    y = rng.exponential(5.0, 400)  # skewed: mean far from q90
+    rows = [("s", [1.0], float(v)) for v in y]
+    design = spark.createDataFrame(
+        rows, "slice string, x array<double>, y_t double"
+    )
+    betas = quantile_fit(design, tau=0.9, iters=60, eps=1e-8)
+    q90_hat = betas["s"][0]
+    q90_true = float(np.quantile(y, 0.9))
+    # IRLS epsilon-smoothing + interpolation: land within the gap
+    # between adjacent order statistics around q90
+    ys = np.sort(y)
+    gap = ys[int(0.92 * len(y))] - ys[int(0.88 * len(y))]
+    assert abs(q90_hat - q90_true) <= gap + 1e-6
+    cover = float(np.mean(y <= q90_hat))
+    assert abs(cover - 0.9) <= 0.02
+
+    # tau=0.5 must land on the median, below the q90 fit
+    b50 = quantile_fit(design, tau=0.5, iters=60, eps=1e-8)
+    assert b50["s"][0] < q90_hat
+    assert abs(b50["s"][0] - float(np.median(y))) <= gap + 1e-6
