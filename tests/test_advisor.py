@@ -109,7 +109,7 @@ def test_advisor_sweep_no_errors_no_triple_scans(spark):
         "embedding_dedup_ivf", "semdedup_summary", "hybrid_train_cert",
         "hybrid_forecast_cert", "linear_baseline_cert",
         "mllib_minhash_pairs", "pca_cert",
-        "isotonic_cert", "var_ols_cert", "huber_cert",
+        "isotonic_cert", "var_ols_cert", "huber_cert", "quantile_cert",
         "gru_forward_cert", "holt_forecast", "holt_winters_forecast",
     }
     import re
