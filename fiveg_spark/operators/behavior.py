@@ -252,7 +252,7 @@ def _rfm_segments_sql(d: str) -> str:
     """
 
 
-def _attribution_sql(d: str) -> str:
+def _attribution_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C66 — multi-touch conversion attribution: credit each 'purchase'
     # back to the view/click/signup touches since the user's previous
     # purchase, under the three standard models (first-touch,
@@ -271,9 +271,13 @@ def _attribution_sql(d: str) -> str:
     # fact x fact explosion (touch rows join their OWN user's next
     # purchase only).  Credits are exact rationals rounded at 4
     # decimals; ties inside a conversion break by (ts, event_id).
+    #
+    # materialized_backed: the windowed frame feeds BOTH the touch and
+    # the conversion side — inlined, Spark re-ran the events scan and
+    # the running-count window per reference (plan-asserted n_scans==1
+    # with the checkpoint).
     ep = epoch("ts", d)
-    return f"""
-    WITH ordered AS (
+    ordered = f"""
       SELECT
         user_id,
         event_id,
@@ -283,15 +287,16 @@ def _attribution_sql(d: str) -> str:
           OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_cnt
       FROM events
-    ),
-    touches AS (
+    """
+    tail = f"""
+    WITH touches AS (
       SELECT user_id, event_id, event_type, ts_s, p_cnt AS grp
-      FROM ordered
+      FROM _mz_attr_ordered
       WHERE event_type IN ('view', 'click', 'signup')
     ),
     conversions AS (
       SELECT user_id, p_cnt AS grp
-      FROM ordered WHERE event_type = 'purchase'
+      FROM _mz_attr_ordered WHERE event_type = 'purchase'
     ),
     credited AS (
       SELECT
@@ -316,6 +321,7 @@ def _attribution_sql(d: str) -> str:
     GROUP BY channel
     ORDER BY channel
     """
+    return [("_mz_attr_ordered", ordered)], tail
 
 
 QUERIES = [
@@ -325,5 +331,7 @@ QUERIES = [
     sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),
     sql_backed("rfm_segments", _rfm_segments_sql, ("events",)),
     # registered mid-round 6: sorts behind the frozen window
-    sql_backed("attribution_credit", _attribution_sql, ("events",), deferred=True),
+    materialized_backed(
+        "attribution_credit", _attribution_parts, ("events",), deferred=True,
+    ),
 ]

@@ -150,7 +150,8 @@ def test_semdedup_summary_accounts_all_vectors(spark):
 def test_attribution_models_on_planted_journey(spark):
     import datetime as dt
 
-    from fiveg_spark.operators.behavior import _attribution_sql
+    from fiveg_spark.operators.behavior import _attribution_parts
+    from fiveg_spark.plans.registry import run_parts
 
     t0 = dt.datetime(2024, 1, 1)
 
@@ -175,7 +176,7 @@ def test_attribution_models_on_planted_journey(spark):
         rows,
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
     ).createOrReplaceTempView("events")
-    got = {r["channel"]: r.asDict() for r in spark.sql(_attribution_sql("spark")).collect()}
+    got = {r["channel"]: r.asDict() for r in run_parts(spark, _attribution_parts).collect()}
     assert set(got) == {"view", "click"}  # user 2's unconverted views drop out
     v, c = got["view"], got["click"]
     assert v["first_touch_credit"] == 1.0 and v["last_touch_credit"] == 0.0

@@ -261,3 +261,34 @@ def test_corr_safe_matches_numpy_and_handles_degenerate(spark):
     ).createOrReplaceTempView("cs_t")
     got = spark.sql(f"SELECT {corr_safe('x', 'y')} AS c FROM cs_t").collect()[0]["c"]
     assert abs(got - 1.0) < 1e-9
+
+
+def test_round6_wave2_plan_shapes(spark):
+    """Scale-shape pins for the round-6 second-wave operators:
+    - attribution_credit: every window/join keys on user_id, so the
+      whole query is ONE shuffle family (a handful of exchanges over
+      the same key + the final rollup), zero Python, one events scan;
+    - evt_tail_fit: the per-type threshold frame joins back without a
+      second fact scan per branch (2 scans: thresholds + exceedances),
+      zero Python;
+    - quality_prune: cutoffs broadcast back onto the corpus scan.
+    """
+    # attribution is materialized_backed: the windowed events frame
+    # checkpoints ONCE, so the tail plan reads the in-memory RDD —
+    # ZERO FileScans (the corpus scan lives in the single part build)
+    facts = plan_facts(QUERIES["attribution_credit"](spark, SF_DIR), execute=True)
+    assert facts.n_scans == 0, f"attribution: {facts.n_scans} scans"
+    assert facts.python_ops == 0
+    assert facts.n_exchanges <= 6, f"attribution: {facts.n_exchanges} exchanges"
+
+    facts = plan_facts(QUERIES["evt_tail_fit"](spark, SF_DIR), execute=True)
+    assert facts.n_scans <= 2, f"evt: {facts.n_scans} scans"
+    assert facts.python_ops == 0
+
+    facts = plan_facts(QUERIES["quality_prune"](spark, SF_DIR), execute=True)
+    assert facts.n_scans <= 2, f"quality_prune: {facts.n_scans} scans"
+    assert facts.python_ops == 0
+
+    facts = plan_facts(QUERIES["snapshot_diff"](spark, SF_DIR), execute=True)
+    assert facts.n_scans == 1, f"snapshot_diff: {facts.n_scans} scans"
+    assert facts.python_ops == 0

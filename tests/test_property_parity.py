@@ -262,10 +262,7 @@ def _event_sql_fns():
     from fiveg_spark.operators.ts_diagnostics import _acf_sql
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
-    from fiveg_spark.operators.behavior import (
-        _attribution_sql,
-        _transition_matrix_sql,
-    )
+    from fiveg_spark.operators.behavior import _transition_matrix_sql
     from fiveg_spark.operators.rollup_stats import _concurrency_sql
     from fiveg_spark.operators.timeseries import (
         _cohort_retention_sql,
@@ -299,7 +296,6 @@ def _event_sql_fns():
         "feature_correlations": _feature_correlations_sql,
         # behavior block: tie-handling + window logic on tiny streams
         "transition_matrix": _transition_matrix_sql,
-        "attribution_credit": _attribution_sql,
         "cohort_retention": _cohort_retention_sql,
         "funnel_stages": _funnel_sql,
         "time_to_convert": _time_to_convert_sql,
@@ -457,6 +453,7 @@ def test_document_parts_queries_on_random_corpora(spark, name):
 
 
 def _event_parts_fns():
+    from fiveg_spark.operators.behavior import _attribution_parts
     from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _iat_exponential_fit_parts,
@@ -464,6 +461,8 @@ def _event_parts_fns():
     )
 
     return {
+        # tie-heavy journeys: simultaneous touch/purchase timestamps
+        "attribution_credit": _attribution_parts,
         # ln(p/q) with share floors + degenerate single-bin ranges
         "feature_drift_psi": _psi_parts,
         # tied timestamps per (user, type) -> zero IATs -> mean_iat = 0:
