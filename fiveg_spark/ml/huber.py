@@ -75,7 +75,7 @@ def _weighted_partials(betas: dict[str, np.ndarray] | None, delta: float):
     return kernel
 
 
-def _solve(partials: DataFrame) -> dict[str, np.ndarray]:
+def _solve(partials: DataFrame, ridge: float = 1e-9) -> dict[str, np.ndarray]:
     rows = (
         partials.groupBy("slice", "i", "j")
         .agg(F.sum("xwx").alias("xwx"), F.sum("xwy").alias("xwy"))
@@ -93,7 +93,7 @@ def _solve(partials: DataFrame) -> dict[str, np.ndarray]:
             xwx[c["i"], c["j"]] = c["xwx"]
             if c["j"] == 0:
                 xwy[c["i"]] = c["xwy"]
-        out[slice_name] = np.linalg.solve(xwx + 1e-9 * np.eye(m), xwy)
+        out[slice_name] = np.linalg.solve(xwx + ridge * np.eye(m), xwy)
     return out
 
 
