@@ -165,3 +165,22 @@ def ann_ivf(
 # the recall row; the top-k stays pinned by the recall-vs-bruteforce +
 # argmin-parity pytests.
 QUERIES: list[Query] = []
+
+
+def save_centroids(spark: SparkSession, centroids: np.ndarray, path: str) -> None:
+    """Persist fitted IVF centroids as parquet (list_id, vector) — the
+    index half a SERVING deployment reloads instead of refitting: the
+    k-means fit samples the corpus (expensive at 100 TB), the centroids
+    are N_LISTS × dim doubles (KBs).  Pairs with ml/train.py's D23
+    weight persistence: every fitted artifact in the engine round-trips
+    through the lake, bit-exact."""
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    spark.createDataFrame(rows, "list_id int, centroid array<double>").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    """Reload persisted centroids in list_id order, bit-exact."""
+    rows = spark.read.parquet(path).orderBy("list_id").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)

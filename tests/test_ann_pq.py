@@ -67,3 +67,32 @@ def test_ann_recall_matrix_all_methods_pass(spark):
     for m, r in rows.items():
         assert r["k"] == K and r["n_returned"] == K, (m, dict(r.asDict()))
         assert r["recall_ok"], m
+
+
+def test_ivf_centroids_round_trip_bit_exact(spark, tmp_path):
+    """D23-style persistence for the IVF index: save/load centroids and
+    prove the reloaded index assigns every vector to the same list."""
+    import numpy as np
+
+    from fiveg_spark.operators.ann_ivf import (
+        assign_lists,
+        fit_centroids,
+        load_centroids,
+        save_centroids,
+    )
+    from fiveg_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    cents = fit_centroids(spark, emb)
+    path = str(tmp_path / "ivf_centroids")
+    save_centroids(spark, cents, path)
+    back = load_centroids(spark, path)
+    assert back.shape == cents.shape
+    assert np.array_equal(back, cents)  # bit-exact round trip
+
+    bc1 = spark.sparkContext.broadcast(cents)
+    bc2 = spark.sparkContext.broadcast(back)
+    a1 = {r["vec_id"]: r["list_id"] for r in assign_lists(emb, bc1).collect()}
+    a2 = {r["vec_id"]: r["list_id"] for r in assign_lists(emb, bc2).collect()}
+    assert a1 == a2
