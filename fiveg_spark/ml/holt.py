@@ -390,3 +390,144 @@ def holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(_hw_kernel, schema=_HW_SCHEMA)
         .orderBy("slice")
     )
+
+
+# ---- Holt grid search (SURVEY §2 D29) ----
+
+GRID_A = (0.2, 0.5, 0.8)
+GRID_B = (0.1, 0.3, 0.5)
+
+_GRID_SCHEMA = T.StructType(
+    [
+        T.StructField("slice", T.StringType()),
+        T.StructField("alpha", T.DoubleType()),
+        T.StructField("beta", T.DoubleType()),
+        T.StructField("n_hours", T.LongType()),
+        T.StructField("one_step_mae", T.DoubleType()),
+        T.StructField("is_best", T.BooleanType()),
+    ]
+)
+
+
+def _holt_grid_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("window_start")
+    y = pdf["throughput"].to_numpy()
+    if len(y) < 2:
+        return pd.DataFrame(columns=[f.name for f in _GRID_SCHEMA.fields])
+    rows = []
+    for a in GRID_A:
+        for b in GRID_B:
+            _, _, mae = holt_fit(y, alpha=a, beta=b)
+            rows.append(
+                {
+                    "slice": pdf["slice"].iloc[0],
+                    "alpha": a,
+                    "beta": b,
+                    "n_hours": len(y),
+                    "one_step_mae": _r4(mae),
+                }
+            )
+    out = pd.DataFrame(rows)
+    # argmin on the ROUNDED mae (both engines rank identical doubles),
+    # ties broken by (alpha, beta)
+    best = out.sort_values(["one_step_mae", "alpha", "beta"]).iloc[0]
+    out["is_best"] = (out["alpha"] == best["alpha"]) & (
+        out["beta"] == best["beta"]
+    )
+    return out
+
+
+def holt_grid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D29 — smoothing-constant model selection, the sweep a real
+    forecasting deployment runs before trusting Holt defaults: the
+    full 3×3 (α, β) grid evaluated per slice in ONE applyInPandas pass
+    (the hourly frame is tiny, the grid loop is driver-free), every
+    grid cell's one-step MAE VALUE-certified against a DuckDB
+    RECURSIVE CTE that carries (α, β) as recursion-state columns — one
+    recursion replays all 9 combos per slice (the base case CROSS
+    JOINs the grid), so the oracle certifies the entire sweep, not
+    just the winner.  ``is_best`` flags the argmin on rounded MAE."""
+    from fiveg_spark.ml.features import feature_frame
+
+    frame = feature_frame(spark, sf_dir).select("slice", "window_start", "throughput")
+    return (
+        frame.groupBy("slice")
+        .applyInPandas(_holt_grid_kernel, schema=_GRID_SCHEMA)
+        .orderBy("slice", "alpha", "beta")
+    )
+
+
+def holt_grid_oracle_sql() -> str:
+    """Parameterized twin of holt_oracle_sql: (α, β) ride in the
+    recursion state, seeded by CROSS JOIN against the literal grid.
+    1 − α is computed IN-ENGINE from the same double on both sides
+    (unlike the fixed-constant oracle, which needed repr(1−α) — here
+    both engines evaluate 1.0 − a at runtime, bit-identically)."""
+    from fiveg_spark.operators.timeseries import _hourly_cte
+
+    grid_vals = ", ".join(
+        f"({a!r}, {b!r})" for a in GRID_A for b in GRID_B
+    )
+    # base-case level spelled out (SQL can't self-reference projections)
+    l0 = "(g.a * s2.y + (1.0 - g.a) * (s1.y + (s2.y - s1.y)))"
+    nl = "(r.a * s.y + (1.0 - r.a) * (r.level + r.trend))"
+    return f"""
+    {_hourly_cte("duckdb")},
+    series AS MATERIALIZED (
+      SELECT slice, h, throughput_bps AS y,
+             row_number() OVER (PARTITION BY slice ORDER BY h) AS t
+      FROM hourly
+    ),
+    fits AS (
+      WITH RECURSIVE grid(a, b) AS (
+        SELECT * FROM (VALUES {grid_vals}) v(a, b)
+      ),
+      rec(slice, a, b, t, level, trend, abs_err_sum, n_err) AS (
+        SELECT s1.slice, g.a, g.b, CAST(2 AS BIGINT),
+               {l0},
+               g.b * ({l0} - s1.y) + (1.0 - g.b) * (s2.y - s1.y),
+               abs(s2.y - (s1.y + (s2.y - s1.y))), CAST(1 AS BIGINT)
+        FROM series s1
+        JOIN series s2 ON s2.slice = s1.slice AND s1.t = 1 AND s2.t = 2
+        CROSS JOIN grid g
+        UNION ALL
+        SELECT r.slice, r.a, r.b, r.t + 1,
+               {nl},
+               r.b * ({nl} - r.level) + (1.0 - r.b) * r.trend,
+               r.abs_err_sum + abs(s.y - (r.level + r.trend)),
+               r.n_err + 1
+        FROM rec r JOIN series s ON s.slice = r.slice AND s.t = r.t + 1
+      )
+      SELECT * FROM rec
+    ),
+    final AS (
+      SELECT f.* FROM fits f
+      JOIN (SELECT slice, a, b, max(t) AS mt FROM fits GROUP BY slice, a, b) last
+        ON last.slice = f.slice AND last.a = f.a AND last.b = f.b
+       AND f.t = last.mt
+    ),
+    scored AS (
+      SELECT
+        slice,
+        a AS alpha,
+        b AS beta,
+        t AS n_hours,
+        round(abs_err_sum / n_err + 1e-9, 4) + 0.0 AS one_step_mae
+      FROM final
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY slice ORDER BY one_step_mae, alpha, beta
+        ) AS rk
+      FROM scored
+    )
+    SELECT
+      slice, alpha, beta, n_hours, one_step_mae,
+      CAST(max(CASE WHEN rk = 1 THEN alpha END) OVER (PARTITION BY slice)
+             = alpha
+           AND max(CASE WHEN rk = 1 THEN beta END) OVER (PARTITION BY slice)
+             = beta AS BOOLEAN) AS is_best
+    FROM ranked
+    ORDER BY slice, alpha, beta
+    """

@@ -106,6 +106,18 @@ def _kalman_oracle() -> str:
     return kalman_oracle_sql()
 
 
+def _holt_grid(spark, sf_dir):
+    from fiveg_spark.ml.holt import holt_grid_search
+
+    return holt_grid_search(spark, sf_dir)
+
+
+def _holt_grid_oracle() -> str:
+    from fiveg_spark.ml.holt import holt_grid_oracle_sql
+
+    return holt_grid_oracle_sql()
+
+
 def _hw_oracle() -> str:
     from fiveg_spark.ml.holt import holt_winters_oracle_sql
 
@@ -119,6 +131,7 @@ QUERIES = [
     Query("holt_forecast", _holt, _holt_oracle()),
     Query("holt_winters_forecast", _holt_winters, _hw_oracle()),
     Query("kalman_level", _kalman, _kalman_oracle(), deferred=True),
+    Query("holt_grid_search", _holt_grid, _holt_grid_oracle(), deferred=True),
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
     # the former rows-only surfaces (var_ols_coeffs, huber_var_coeffs,
     # gru_forward, hybrid_forecast_eval, hybrid_train_eval) now certify

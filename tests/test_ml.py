@@ -234,3 +234,22 @@ def test_kalman_gain_converges_to_riccati_steady_state():
     assert abs(x2 - 42.0) < 0.5
     assert abs(k2 - steady_state_gain()) < 1e-9
     assert mae2 < 1.5  # ~E|N(0,1)+filter error|, far below 3-sigma
+
+
+def test_holt_grid_search_selects_best_combo(spark):
+    from fiveg_spark.ml.holt import ALPHA, BETA, holt_grid_search
+
+    rows = holt_grid_search(spark, SF_DIR).collect()
+    by_slice = {}
+    for r in rows:
+        by_slice.setdefault(r["slice"], []).append(r)
+    assert all(len(v) == 9 for v in by_slice.values())  # full 3x3 grid
+    for s, grp in by_slice.items():
+        best = [r for r in grp if r["is_best"]]
+        assert len(best) == 1, s  # exactly one winner per slice
+        default = [
+            r for r in grp if r["alpha"] == ALPHA and r["beta"] == BETA
+        ]
+        assert len(default) == 1  # the certified D21 combo is in-grid
+        # the selected combo never loses to the default
+        assert best[0]["one_step_mae"] <= default[0]["one_step_mae"] + 1e-9
