@@ -480,7 +480,10 @@ def holt_grid_oracle_sql() -> str:
     ),
     fits AS (
       WITH RECURSIVE grid(a, b) AS (
-        SELECT * FROM (VALUES {grid_vals}) v(a, b)
+        -- DuckDB types bare VALUES literals as DECIMAL; the recursion
+        -- and the output schema must run on DOUBLE like the kernel
+        SELECT CAST(a AS DOUBLE), CAST(b AS DOUBLE)
+        FROM (VALUES {grid_vals}) v(a, b)
       ),
       rec(slice, a, b, t, level, trend, abs_err_sum, n_err) AS (
         SELECT s1.slice, g.a, g.b, CAST(2 AS BIGINT),
