@@ -565,24 +565,21 @@ QUERIES = [
     # conversions of the former rows-only registrations (round 6); raw
     # coefficient/top-k surfaces remain available as functions and stay
     # pytest-pinned to independent numpy implementations.
-    Query("var_ols_cert", var_ols_cert, _VAR_CERT_ORACLE, deferred=True),
-    Query("quantile_cert", _quantile_cert, _QUANTILE_CERT_ORACLE, deferred=True),
-    Query("huber_cert", huber_cert, _HUBER_CERT_ORACLE, deferred=True),
+    Query("var_ols_cert", var_ols_cert, _VAR_CERT_ORACLE),
+    Query("quantile_cert", _quantile_cert, _QUANTILE_CERT_ORACLE),
+    Query("huber_cert", huber_cert, _HUBER_CERT_ORACLE),
     Query(
         "linear_baseline_cert", linear_baseline_cert, _LINEAR_CERT_ORACLE,
-        deferred=True,
     ),
-    Query("pca_cert", pca_cert, _PCA_CERT_ORACLE, deferred=True),
-    Query("isotonic_cert", isotonic_cert, _ISOTONIC_CERT_ORACLE, deferred=True),
-    Query("gru_forward_cert", gru_forward_cert, _gru_cert_oracle(), deferred=True),
+    Query("pca_cert", pca_cert, _PCA_CERT_ORACLE),
+    Query("isotonic_cert", isotonic_cert, _ISOTONIC_CERT_ORACLE),
+    Query("gru_forward_cert", gru_forward_cert, _gru_cert_oracle()),
     Query(
         "hybrid_forecast_cert",
         hybrid_forecast_cert,
         _hybrid_forecast_cert_oracle(),
-        deferred=True,
     ),
     Query(
         "hybrid_train_cert", hybrid_train_cert, _HYBRID_TRAIN_CERT_ORACLE,
-        deferred=True,
     ),
 ]

@@ -130,8 +130,8 @@ QUERIES = [
     # Holt-Winters carries its seasonal vector as a LIST column)
     Query("holt_forecast", _holt, _holt_oracle()),
     Query("holt_winters_forecast", _holt_winters, _hw_oracle()),
-    Query("kalman_level", _kalman, _kalman_oracle(), deferred=True),
-    Query("holt_grid_search", _holt_grid, _holt_grid_oracle(), deferred=True),
+    Query("kalman_level", _kalman, _kalman_oracle()),
+    Query("holt_grid_search", _holt_grid, _holt_grid_oracle()),
     Query("sequence_counts", _run_sequence_counts, _SEQUENCE_COUNTS_ORACLE),
     # the former rows-only surfaces (var_ols_coeffs, huber_var_coeffs,
     # gru_forward, hybrid_forecast_eval, hybrid_train_eval) now certify

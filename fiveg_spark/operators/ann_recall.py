@@ -115,14 +115,13 @@ QUERIES = [
     Query("ann_recall_matrix", ann_recall_matrix, _ANN_RECALL_ORACLE),
     # per-method driver stamps (round-6 conversion of the rows-only
     # ann_*_topk / mllib_ann_topk registrations; raw top-k surfaces stay
-    # pytest-pinned).  deferred=True: registered mid-round 6.
-    Query("ann_lsh_recall", _method_query("lsh"), _row_oracle("lsh"), deferred=True),
-    Query("ann_ivf_recall", _method_query("ivf"), _row_oracle("ivf"), deferred=True),
-    Query("ann_pq_recall", _method_query("pq"), _row_oracle("pq"), deferred=True),
+    # pytest-pinned).  Registered mid-round 6, certified r6.
+    Query("ann_lsh_recall", _method_query("lsh"), _row_oracle("lsh")),
+    Query("ann_ivf_recall", _method_query("ivf"), _row_oracle("ivf")),
+    Query("ann_pq_recall", _method_query("pq"), _row_oracle("pq")),
     Query(
         "mllib_ann_recall",
         _method_query("mllib_brp"),
         _row_oracle("mllib_brp"),
-        deferred=True,
     ),
 ]

@@ -332,6 +332,6 @@ QUERIES = [
     sql_backed("rfm_segments", _rfm_segments_sql, ("events",)),
     # registered mid-round 6: sorts behind the frozen window
     materialized_backed(
-        "attribution_credit", _attribution_parts, ("events",), deferred=True,
+        "attribution_credit", _attribution_parts, ("events",),
     ),
 ]

@@ -356,7 +356,7 @@ QUERIES = [
     sql_backed("hash_split", _hash_split_sql, ("documents",)),
     sql_backed("curation_funnel", _curation_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window
-    sql_backed("training_order", _training_order_sql, ("documents",), deferred=True),
-    sql_backed("snapshot_diff", _snapshot_diff_sql, ("documents",), deferred=True),
-    sql_backed("quality_prune", _quality_prune_sql, ("documents",), deferred=True),
+    sql_backed("training_order", _training_order_sql, ("documents",)),
+    sql_backed("snapshot_diff", _snapshot_diff_sql, ("documents",)),
+    sql_backed("quality_prune", _quality_prune_sql, ("documents",)),
 ]

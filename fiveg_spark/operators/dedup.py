@@ -626,10 +626,8 @@ QUERIES = [
     # registered mid-round 6: sorts behind the frozen window
     materialized_backed(
         "substring_dedup", _substring_dedup_parts, ("documents",),
-        deferred=True,
     ),
     materialized_backed(
         "minhash_recall_vs_exact", _minhash_recall_parts, ("documents",),
-        deferred=True,
     ),
 ]

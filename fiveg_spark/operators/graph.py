@@ -332,13 +332,11 @@ QUERIES = [
         "cluster_weights",
         cluster_weights,
         "WITH RECURSIVE " + _cluster_weights_oracle().lstrip().removeprefix("WITH "),
-        deferred=True,
     ),
     Query(
         "dedup_representatives",
         dedup_representatives,
         "WITH RECURSIVE "
         + _dedup_representatives_oracle().lstrip().removeprefix("WITH "),
-        deferred=True,
     ),
 ]

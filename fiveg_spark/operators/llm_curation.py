@@ -684,10 +684,9 @@ QUERIES = [
     # registered mid-round 6: sorts behind the frozen window
     sql_backed(
         "domain_mixture_weights", _domain_reweight_sql, ("documents",),
-        deferred=True,
     ),
     materialized_backed(
-        "dsir_importance", _dsir_parts, ("documents",), deferred=True,
+        "dsir_importance", _dsir_parts, ("documents",),
     ),
-    sql_backed("pii_luhn", _pii_luhn_sql, ("documents",), deferred=True),
+    sql_backed("pii_luhn", _pii_luhn_sql, ("documents",)),
 ]

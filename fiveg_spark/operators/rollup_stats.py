@@ -411,6 +411,6 @@ QUERIES = [
     materialized_backed("kmv_distinct_rollup", _kmv_parts, ("events",)),
     # registered mid-round 6: sorts behind the frozen window
     materialized_backed(
-        "kmv_set_ops", _kmv_set_ops_parts, ("events",), deferred=True,
+        "kmv_set_ops", _kmv_set_ops_parts, ("events",),
     ),
 ]

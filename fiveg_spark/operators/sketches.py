@@ -343,6 +343,5 @@ QUERIES = [
     # registered mid-round 6: sorts behind the frozen window
     Query(
         "hll_sliding_actives", hll_sliding_actives, _HLL_SLIDING_ORACLE,
-        deferred=True,
     ),
 ]

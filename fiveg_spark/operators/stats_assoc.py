@@ -293,5 +293,5 @@ QUERIES = [
     sql_backed("event_time_association", _assoc_sql, ("events",)),
     sql_backed("doc_chunks", _doc_chunks_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window
-    sql_backed("evt_tail_fit", _evt_tail_sql, ("events",), deferred=True),
+    sql_backed("evt_tail_fit", _evt_tail_sql, ("events",)),
 ]

@@ -237,5 +237,5 @@ QUERIES = [
     sql_backed("token_counts", _token_counts_sql, ("documents",)),
     sql_backed("doc_fingerprint", _doc_fingerprint_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window
-    sql_backed("text_normalize", _text_normalize_sql, ("documents",), deferred=True),
+    sql_backed("text_normalize", _text_normalize_sql, ("documents",)),
 ]

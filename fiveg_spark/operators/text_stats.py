@@ -404,5 +404,5 @@ QUERIES = [
     sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),
     sql_backed("zipf_slope", _zipf_slope_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window
-    materialized_backed("ppl_buckets", _ppl_buckets_parts, ("documents",), deferred=True),
+    materialized_backed("ppl_buckets", _ppl_buckets_parts, ("documents",)),
 ]

@@ -449,7 +449,7 @@ QUERIES = [
     ),
     # registered mid-round 6: sorts behind the frozen window
     materialized_backed(
-        "feature_drift_psi", _psi_parts, ("events",), deferred=True,
+        "feature_drift_psi", _psi_parts, ("events",),
     ),
-    sql_backed("conformal_intervals", _conformal_sql, ("events",), deferred=True),
+    sql_backed("conformal_intervals", _conformal_sql, ("events",)),
 ]
