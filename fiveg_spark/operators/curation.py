@@ -202,7 +202,10 @@ def _training_order_sql(d: str) -> str:
     # dataset writer pays (each shard is one output file, written in
     # key order), never a global sort.  At 100 TB: repartition(shard)
     # then sortWithinPartitions(key) — the window below expresses the
-    # same thing declaratively, partitioned on the shard key.
+    # same thing declaratively, partitioned on the shard key.  The
+    # trailing global ORDER BY is oracle-determinism only; a 100 TB
+    # caller (and A16's write_training_shards) consumes the per-shard
+    # frame unsorted across shards.
     key = _doc_hash("order-v1")
     shard = (
         f"CAST(position(substring({key}, 1, 1) IN '0123456789abcdef') - 1 AS BIGINT)"

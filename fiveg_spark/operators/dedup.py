@@ -510,6 +510,8 @@ def _substring_dedup_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # it); dup_spans is one hash-agg on the span string; the mark-back
     # is one join on the same key; run-coverage is a per-doc window.
     # The final per-doc rebuild sorts only within a doc's own tokens.
+    # The trailing ORDER BY doc_id is oracle-determinism only — a
+    # 100 TB caller consumes the unsorted per-doc frame.
     toks = split_ws("lower(text)", d)
     if d == "spark":
         hint = f"/*+ REPARTITION({_parallelism()}, doc_id) */ "

@@ -205,7 +205,9 @@ def _text_normalize_sql(d: str) -> str:
     # Java regex and RE2 agree), trim edges, and flag what changed.
     # Emits the md5 of the normalized text so the contract certifies the
     # byte-level reconstruction, plus changed/empty flags a funnel can
-    # aggregate.  Map-only: one scan, no shuffle at any scale.
+    # aggregate.  Map-only: one scan, no shuffle at any scale — the
+    # trailing ORDER BY doc_id is oracle-determinism only; at scale
+    # consume the unsorted map-only frame.
     ws = "[ \t][ \t]*"  # run of spaces/tabs (POSIX-portable, no \s)
     clean = f"trim({_rx_all(d, 'text', ws, ' ')})"
     return f"""
