@@ -401,6 +401,7 @@ def _doc_parts_fns():
         _contamination_matrix_parts,
         _dsir_parts,
     )
+    from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
 
     return {
         # short docs (< SPAN_K tokens), whole-corpus duplicates, and
@@ -413,6 +414,10 @@ def _doc_parts_fns():
         "unigram_ppl": _unigram_ppl_parts,
         # log-ratio model math + missing-target-source degenerate case
         "dsir_importance": _dsir_parts,
+        # under-k sketches (theta = 1.0 exact fallback), shingle-free
+        # short docs, single-source corpora (no pairs -> 0 rows), and
+        # est/theta ratio math
+        "theta_sketch_overlap": _theta_overlap_parts,
     }
 
 

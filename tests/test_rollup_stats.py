@@ -98,6 +98,49 @@ def test_kmv_set_ops_discriminates_planted_overlaps(spark):
         assert r["union_ok"] and r["inter_ok"] and r["jaccard_ok"]
 
 
+def test_theta_sketch_overlap_discriminates_planted_overlaps(spark):
+    # Token ranges make shingle sets exactly controllable: a doc of
+    # tokens w_lo..w_hi contributes 3-gram shingles starting at
+    # lo..hi-2.  s1 covers tokens 0..399, s2 covers 200..599 (planted
+    # ~50% overlap, both > THETA_K distinct shingles so the ESTIMATION
+    # branch runs, not the under-k exact fallback), s3 covers
+    # 1000..1399 (disjoint).
+    def doc_text(lo, hi):
+        return " ".join(f"w{i}" for i in range(lo, hi))
+
+    rows = []
+    did = 0
+    for src, lo, hi in (("s1", 0, 400), ("s2", 200, 600), ("s3", 1000, 1400)):
+        # split each range into 4 docs with 2-token seams so the shingle
+        # set is exactly the per-doc union (seam shingles are absent)
+        step = (hi - lo) // 4
+        for j in range(4):
+            text = doc_text(lo + j * step, lo + (j + 1) * step)
+            rows.append((did, text, "en", src, len(text)))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    from fiveg_spark.plans.registry import run_parts
+
+    got = {
+        (r["source_a"], r["source_b"]): r.asDict()
+        for r in run_parts(spark, rs._theta_overlap_parts).collect()
+    }
+    assert set(got) == {("s1", "s2"), ("s1", "s3"), ("s2", "s3")}
+    ab = got[("s1", "s2")]
+    # each source: 4 docs x (100-token chunk -> 98 shingles) = 392;
+    # s1 n s2 = chunk-level shared shingles of tokens 200..399 = 196
+    assert ab["exact_inter"] == 196 and ab["exact_union"] == 2 * 392 - 196
+    assert ab["union_ok"] and ab["inter_ok"] and ab["jaccard_ok"]
+    assert ab["est_jaccard"] > 0.1  # clearly nonzero
+    for pair in (("s1", "s3"), ("s2", "s3")):
+        r = got[pair]
+        assert r["exact_inter"] == 0
+        assert r["est_inter"] == 0.0  # disjoint sets share no hashes
+        assert r["union_ok"] and r["inter_ok"] and r["jaccard_ok"]
+
+
 def test_hll_sliding_actives_window_semantics(spark, tmp_path):
     # users rotate daily: day d has users {d, d+1}.  The trailing-7-day
     # actives at day d must be |union of {i, i+1} for i in d-6..d| =
