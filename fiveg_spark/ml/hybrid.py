@@ -103,9 +103,17 @@ def residual_pipeline(
 
 
 def hybrid_forecast(
-    spark: SparkSession, sf_dir: str, p: int = 3, window: int = 60
+    spark: SparkSession,
+    sf_dir: str,
+    p: int = 3,
+    window: int = 60,
+    splits: tuple[str, ...] = ("test",),
 ) -> DataFrame:
-    """Long-form test-split forecast: (slice, window_start, feature, yhat, y)."""
+    """Long-form forecast: (slice, window_start, split, feature, yhat, y).
+
+    ``splits`` picks which eras survive — ("test",) is the eval default;
+    the conformal calibrator takes ("val", "test") so the radius fits on
+    val and coverage measures on test."""
     resid, sequences, params = residual_pipeline(spark, sf_dir, p=p, window=window)
     preds = predict_residuals(sequences, spark.sparkContext.broadcast(init_weights()))
 
@@ -115,10 +123,11 @@ def hybrid_forecast(
             resid.select("slice", "window_start", "var_pred"),
             ["slice", "window_start"],
         )
-        .filter(F.col("split") == "test")
+        .filter(F.col("split").isin(*splits))
         .select(
             "slice",
             "window_start",
+            "split",
             F.expr("zip_with(var_pred, resid_pred, (a, b) -> a + b)").alias("yhat_scaled"),
             F.expr("zip_with(var_pred, target, (a, b) -> a + b)").alias("y_scaled"),
         )
@@ -134,6 +143,7 @@ def hybrid_forecast(
     inv = composed.join(F.broadcast(params), "slice").select(
         "slice",
         "window_start",
+        "split",
         "yhat_scaled",
         "y_scaled",
         centers.alias("centers"),
@@ -142,6 +152,7 @@ def hybrid_forecast(
     long = inv.select(
         "slice",
         "window_start",
+        "split",
         F.posexplode(F.col("yhat_scaled")).alias("idx", "yhat_s"),
         "y_scaled",
         "centers",
@@ -149,6 +160,7 @@ def hybrid_forecast(
     ).select(
         "slice",
         "window_start",
+        "split",
         F.element_at(
             F.array(*[F.lit(f) for f in FEATURES]), F.col("idx") + 1
         ).alias("feature"),

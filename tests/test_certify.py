@@ -55,3 +55,42 @@ def test_gru_forward_cert_invariants(spark):
     (r,) = _rows(gru_forward_cert(spark, SF_DIR))
     assert r["n_checked"] == min(GRU_SAMPLE, r["n_sequences"])
     assert r["forward_matches"] and r["all_finite"], r
+
+
+def test_hybrid_conformal_cert_invariants_and_coverage(spark):
+    # Booleans must hold (theorem side) AND the raw test-era coverage —
+    # which the contract row intentionally doesn't carry — should land
+    # near the 90% nominal level when val and test eras are exchangeable
+    # enough; allow generous drift slack on the tiny test corpus.
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.ml.certify import hybrid_conformal_cert
+    from fiveg_spark.ml.hybrid import hybrid_forecast
+
+    rows = _rows(hybrid_conformal_cert(spark, SF_DIR))
+    assert len(rows) == 21  # 3 slices x 7 features
+    for r in rows:
+        assert r["radius_nonneg_ok"] and r["val_coverage_ok"], r
+        assert r["test_coverage_in_range"], r
+        assert r["n_val"] > 0 and r["n_test"] > 0
+
+    # raw-surface coverage check (same pipeline the cert consumes)
+    long = hybrid_forecast(spark, SF_DIR, splits=("val", "test"))
+    err = long.withColumn("abs_err", F.abs(F.col("y") - F.col("yhat")))
+    q = (
+        err.filter(F.col("split") == "val")
+        .groupBy("slice", "feature")
+        .agg(F.expr("percentile(abs_err, 0.9)").alias("r90"))
+    )
+    cov = (
+        err.filter(F.col("split") == "test")
+        .join(q, ["slice", "feature"])
+        .groupBy("slice", "feature")
+        .agg(
+            F.avg(
+                F.when(F.col("abs_err") <= F.col("r90"), 1.0).otherwise(0.0)
+            ).alias("cov")
+        )
+    )
+    covs = [r["cov"] for r in cov.collect()]
+    assert sum(covs) / len(covs) > 0.6  # mean coverage near nominal
