@@ -39,6 +39,7 @@ from fiveg_spark.operators import sketches as _sketches
 from fiveg_spark.operators import ann_ivf as _ann_ivf
 from fiveg_spark.operators import ann_pq as _ann_pq
 from fiveg_spark.operators import ann_recall as _ann_recall
+from fiveg_spark.operators import ann_retrieval as _ann_retrieval
 from fiveg_spark.operators import ts_diagnostics as _ts_diag
 from fiveg_spark.operators import ts_advanced as _ts_adv
 from fiveg_spark.operators import llm_curation as _llm_cur
@@ -48,7 +49,7 @@ from fiveg_spark.operators import behavior as _behavior
 from fiveg_spark.operators import rollup_stats as _rollup_stats
 from fiveg_spark.operators import semdedup as _semdedup
 
-_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _tdigest, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _ml_cert, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _ann_recall, _graph)
+_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _tdigest, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _ml_cert, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _ann_recall, _ann_retrieval, _graph)
 
 
 def entry(spark: SparkSession) -> DataFrame:

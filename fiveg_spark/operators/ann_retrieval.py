@@ -1,0 +1,256 @@
+"""Cross-table retrieval ANN: query frame × corpus frame (SURVEY §2 E63).
+
+Every other ANN surface in the engine (ann_lsh/ann_ivf/ann_pq,
+ann_recall.py) self-joins `embeddings` around ONE query vector picked
+driver-side.  The production shape — RAG retrieval, dedup-against-
+reference-corpus, nearest-exemplar labeling — is a QUERY SET against a
+CORPUS, with the probe side fully distributed:
+
+  - `ivf_retrieve`: centroids fit on the corpus (sampled k-means,
+    broadcast); corpus vectors index map-only into their nearest list;
+    QUERIES assign map-only to their ``n_probe`` nearest lists with the
+    same multi-assign kernel (no driver-side per-query argsort — the
+    single-query path's driver probe step becomes a mapInPandas);
+    candidates are the list-equijoin of the two assignments, exact
+    cosine re-rank per query, window top-k.  Scan fraction per query
+    stays ~n_probe/k_lists of the corpus at any scale.
+  - `pq_retrieve`: codebooks fit on a corpus sample; corpus encodes to
+    M codes map-only; the BROADCAST query matrix builds per-query ADC
+    lookup tables INSIDE the scoring UDF, each Arrow batch emits only
+    its per-query top-t ADC candidates (map-side prune — the full
+    (n_q × corpus) distance matrix never materializes), a window takes
+    the global ADC top-t per query, and exact cosine re-ranks the
+    survivors.
+
+Contract query `ann_retrieval_recall` plants the query table (lowest
+QUERY_N vec_ids) against the rest of the corpus, runs BOTH methods and
+the exact per-query brute-force top-k in one plan, and emits one
+pooled-recall certification row per method (E45 pattern: Spark checks
+its own approximation, the oracle states the invariant).  Reference
+scope: extends the reference's single-vector similarity queries to the
+query-set retrieval join its pipeline (train.py inference loop) would
+need at serving time.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fiveg_spark.plans.registry import Query
+from fiveg_spark.sources.tables import load_table
+
+K = 10
+QUERY_N = 8  # planted query set: the QUERY_N smallest vec_ids
+RECALL_FLOOR = 0.5
+ADC_SHORTLIST = 4 * K
+
+_COS = (
+    "aggregate(zip_with(CAST(ce AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>),"
+    " (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    " / (sqrt(aggregate(CAST(ce AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x))"
+    " * sqrt(aggregate(CAST(qe AS ARRAY<DOUBLE>), 0D, (acc, x) -> acc + x * x))"
+    " + 1e-12)"
+)
+
+
+def _rerank_topk(pairs: DataFrame, queries: DataFrame, corpus: DataFrame,
+                 k: int) -> DataFrame:
+    """Exact-cosine re-rank of (query_id, vec_id) candidate pairs; window
+    top-k per query.  The query frame is broadcast (the retrieval shape
+    assumes a corpus-dominated join)."""
+    scored = (
+        pairs.join(corpus.select("vec_id", F.col("embedding").alias("ce")),
+                   "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("qe"),
+                )
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.expr(f"CAST(round({_COS} + 1e-9, 4) + 0.0 AS DOUBLE)").alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def ivf_retrieve(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = K,
+    n_probe: int | None = None,
+) -> DataFrame:
+    """Per-query IVF top-k: (query_id, vec_id, cosine, rank)."""
+    from fiveg_spark.operators.ann_ivf import (
+        N_PROBE,
+        assign_lists,
+        assign_lists_multi,
+        fit_centroids,
+    )
+
+    centroids_bc = spark.sparkContext.broadcast(fit_centroids(spark, corpus))
+    corpus_lists = assign_lists(corpus, centroids_bc).select("vec_id", "list_id")
+    probe = (
+        assign_lists_multi(queries, centroids_bc, n_assign=n_probe or N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "list_id")
+    )
+    # queries are few and each expands to n_probe list rows — broadcast
+    # the probe side so the corpus index never shuffles
+    pairs = corpus_lists.join(F.broadcast(probe), "list_id").select(
+        "query_id", "vec_id"
+    )
+    return _rerank_topk(pairs, queries, corpus, k)
+
+
+def pq_retrieve(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = K,
+) -> DataFrame:
+    """Per-query PQ/ADC top-k: (query_id, vec_id, cosine, rank)."""
+    from fiveg_spark.operators.ann_pq import (
+        M_SUBSPACES,
+        _normalize,
+        encode,
+        fit_codebooks,
+    )
+
+    sample = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in corpus.select("embedding").limit(2000).collect()
+        ]
+    )
+    codebooks = fit_codebooks(sample)
+    cb_bc = spark.sparkContext.broadcast(codebooks)
+    codes = encode(corpus, cb_bc)
+
+    qrows = queries.select("vec_id", "embedding").collect()
+    qids = np.asarray([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = _normalize(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    )
+    q_bc = spark.sparkContext.broadcast((qids, Q))
+    shortlist = ADC_SHORTLIST
+
+    def score(batches):
+        CB = cb_bc.value  # (M, kc, sub_dim)
+        ids, Qm = q_bc.value  # (nq,), (nq, dim)
+        # per-query LUTs once per task: (nq, M, kc)
+        q_subs = np.array_split(Qm, M_SUBSPACES, axis=1)
+        luts = np.stack(
+            [
+                ((CB[m][None, :, :] - q_subs[m][:, None, :]) ** 2).sum(axis=2)
+                for m in range(M_SUBSPACES)
+            ],
+            axis=1,
+        )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].values)  # (n, M)
+            D = np.zeros((len(ids), len(C)))
+            for m in range(M_SUBSPACES):
+                D += luts[:, m, C[:, m]]
+            # map-side prune: only each query's per-batch shortlist leaves
+            t = min(shortlist, len(C))
+            top = np.argpartition(D, t - 1, axis=1)[:, :t]  # (nq, t)
+            vid = pdf["vec_id"].values
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, t),
+                    "vec_id": vid[top.reshape(-1)],
+                    "adc_d2": np.take_along_axis(D, top, axis=1).reshape(-1),
+                }
+            )
+
+    cand = codes.mapInPandas(
+        score, schema="query_id LONG, vec_id LONG, adc_d2 DOUBLE"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    pairs = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    return _rerank_topk(pairs, queries, corpus, k)
+
+
+def _exact_retrieve(queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Brute-force per-query top-k (the recall baseline): broadcast the
+    query frame over one full corpus scan."""
+    pairs = corpus.crossJoin(
+        F.broadcast(queries.select(F.col("vec_id").alias("query_id")))
+    ).select("query_id", "vec_id")
+    return _rerank_topk(pairs, queries, corpus, k)
+
+
+def ann_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pooled certification row per retrieval method."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    # plant the split: lowest QUERY_N vec_ids are the query table (ids
+    # are 0-based and contiguous in the testdata embeddings)
+    queries = emb.filter(F.col("vec_id") < QUERY_N).localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") >= QUERY_N).localCheckpoint()
+    exact = _exact_retrieve(queries, corpus, K).select("query_id", "vec_id")
+
+    rows = []
+    for method, fn in (("ivf", ivf_retrieve), ("pq", pq_retrieve)):
+        approx = fn(spark, queries, corpus, K).select("query_id", "vec_id")
+        hits = approx.join(exact, ["query_id", "vec_id"])
+        rows.append(
+            approx.agg(
+                F.lit(method).alias("method"),
+                F.lit(QUERY_N).cast("long").alias("n_queries"),
+                F.lit(K).cast("long").alias("k"),
+                F.count("*").alias("n_returned"),
+            )
+            .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+            .select(
+                "method",
+                "n_queries",
+                "k",
+                "n_returned",
+                (
+                    F.col("n_hits") / F.lit(float(QUERY_N * K))
+                    >= RECALL_FLOOR
+                ).alias("recall_ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+_RETRIEVAL_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('ivf', CAST({QUERY_N} AS BIGINT), CAST({K} AS BIGINT),
+   CAST({QUERY_N * K} AS BIGINT), TRUE),
+  ('pq', CAST({QUERY_N} AS BIGINT), CAST({K} AS BIGINT),
+   CAST({QUERY_N * K} AS BIGINT), TRUE)
+) AS t(method, n_queries, k, n_returned, recall_ok)
+ORDER BY method
+"""
+
+QUERIES = [
+    Query("ann_retrieval_recall", ann_retrieval_recall, _RETRIEVAL_ORACLE),
+]

@@ -96,3 +96,35 @@ def test_ivf_centroids_round_trip_bit_exact(spark, tmp_path):
     a1 = {r["vec_id"]: r["list_id"] for r in assign_lists(emb, bc1).collect()}
     a2 = {r["vec_id"]: r["list_id"] for r in assign_lists(emb, bc2).collect()}
     assert a1 == a2
+
+
+def test_cross_table_retrieval_per_query_recall(spark):
+    # The pooled contract row hides per-query variance; here every
+    # planted query must return exactly k ranked rows and the per-query
+    # recall distribution must clear the floor on average by a margin.
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.operators.ann_retrieval import (
+        K,
+        QUERY_N,
+        _exact_retrieve,
+        ivf_retrieve,
+        pq_retrieve,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < QUERY_N).localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") >= QUERY_N).localCheckpoint()
+    exact = _exact_retrieve(queries, corpus, K).select("query_id", "vec_id")
+
+    for fn in (ivf_retrieve, pq_retrieve):
+        approx = fn(spark, queries, corpus, K)
+        per_q = {
+            r["query_id"]: r["n"]
+            for r in approx.groupBy("query_id")
+            .agg(F.count("*").alias("n"), F.max("rank").alias("max_rank"))
+            .collect()
+        }
+        assert len(per_q) == QUERY_N and all(v == K for v in per_q.values())
+        hits = approx.join(exact, ["query_id", "vec_id"]).count()
+        assert hits / (QUERY_N * K) >= 0.6, fn.__name__
