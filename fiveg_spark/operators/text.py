@@ -190,6 +190,106 @@ def _tfidf_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_tfidf_tf", tf_sql)], tail
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 5
+# planted keyword queries over the synthetic ops vocabulary — the
+# retrieval shape (query set x corpus) on the LEXICAL side, pairing with
+# ann_retrieval's embedding side
+BM25_QUERIES = (
+    ("q_stream", ("spark", "stream", "window")),
+    ("q_orders", ("customer", "order", "value")),
+    ("q_joins", ("hash", "join", "table")),
+)
+
+
+def _bm25_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E64 — BM25 ranked retrieval (Robertson & Zaragoza 2009, the
+    # Okapi/Lucene formulation with the nonnegative idf): score every
+    # document against a planted keyword-query set, top-k per query.
+    # This is the lexical retrieval operator a RAG/dedup pipeline runs
+    # next to the embedding ANN path (ann_retrieval.py) — hybrid
+    # retrieval fuses both (rrf_fusion is already certified).
+    #
+    #   score(q, d) = sum_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    #   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    #
+    # Scale: ONE corpus scan builds the (doc, term, tf) frame
+    # (materialized — doc lengths, document frequencies and scoring all
+    # derive from it); the query-term dictionary is a literal VALUES
+    # frame and df joins are broadcast-tiny; scoring touches only rows
+    # whose term appears in a query (filter BEFORE the join fan-out);
+    # ranking is a per-query window over <= |matched docs| rows.  Final
+    # scores round (NUDGE discipline) BEFORE the rank so both engines
+    # order identically, doc_id tiebreak.
+    toks = _tok(d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
+    else:
+        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
+    tf_sql = f"""
+      WITH terms AS (
+        {exploded}
+      )
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    """
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
+    tail = f"""
+    WITH qterms AS (
+      SELECT * FROM (VALUES {qvals}) AS t(query_id, term)
+    ),
+    doclen AS (
+      SELECT doc_id, sum(tf) AS dl FROM _mz_bm25_tf GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+    ),
+    df AS (
+      SELECT tf.term, count(*) AS df
+      FROM _mz_bm25_tf tf
+      WHERE tf.term IN (SELECT term FROM qterms)
+      GROUP BY tf.term
+    ),
+    scored AS (
+      SELECT
+        q.query_id,
+        tf.doc_id,
+        count(*) AS n_terms_matched,
+        round(sum(
+          ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf * ({BM25_K1} + 1.0)
+          / (tf.tf + {BM25_K1}
+             * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+        ) + 1e-9, 4) + 0.0 AS score
+      FROM _mz_bm25_tf tf
+      JOIN qterms q ON q.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN doclen l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS rnk
+      FROM scored
+    )
+    SELECT
+      query_id,
+      {cnt("rnk", "rnk")},
+      {cnt("doc_id", "doc_id")},
+      {cnt("n_terms_matched", "n_terms_matched")},
+      CAST(score AS DOUBLE) AS bm25
+    FROM ranked
+    WHERE rnk <= {BM25_TOPK}
+    ORDER BY query_id, rnk
+    """
+    return [("_mz_bm25_tf", tf_sql)], tail
+
+
 def _rx_all(d: str, x: str, pat: str, rep: str) -> str:
     """regexp_replace over ALL matches in both engines (Spark replaces
     globally by default; DuckDB needs the 'g' flag)."""
@@ -240,4 +340,6 @@ QUERIES = [
     sql_backed("doc_fingerprint", _doc_fingerprint_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window
     sql_backed("text_normalize", _text_normalize_sql, ("documents",)),
+    # new r7, non-deferred
+    materialized_backed("bm25_retrieval", _bm25_parts, ("documents",)),
 ]

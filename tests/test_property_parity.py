@@ -402,6 +402,7 @@ def _doc_parts_fns():
         _dsir_parts,
     )
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
+    from fiveg_spark.operators.text import _bm25_parts
 
     return {
         # short docs (< SPAN_K tokens), whole-corpus duplicates, and
@@ -418,6 +419,10 @@ def _doc_parts_fns():
         # short docs, single-source corpora (no pairs -> 0 rows), and
         # est/theta ratio math
         "theta_sketch_overlap": _theta_overlap_parts,
+        # idf ln-ratio + dl/avgdl ratio math; corpora with no query-term
+        # hits (0 rows) and all-identical docs (rank ties -> doc_id
+        # tiebreak on the rounded score) land here
+        "bm25_retrieval": _bm25_parts,
     }
 
 

@@ -123,3 +123,30 @@ def test_unigram_ppl_hand_computed(spark):
     assert rows[1]["ppl"] == pytest.approx(4.0, abs=1e-3)
     # rare-token doc is MORE surprising than common-token doc
     assert rows[1]["avg_nll"] > rows[0]["avg_nll"]
+
+
+def test_bm25_ranks_full_matches_above_partial_and_rare_terms_higher(spark):
+    from fiveg_spark.operators.text import BM25_TOPK, _bm25_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # doc 0 holds all three q_stream terms, doc 1 two, doc 2 one; docs
+    # 3-9 are query-free filler that shapes idf (every query term stays
+    # rare) without entering any ranking
+    rows = [
+        (0, "spark stream window runs fine", "en", "s1", 29),
+        (1, "spark stream only here", "en", "s1", 22),
+        (2, "spark alone in this doc", "en", "s1", 23),
+    ] + [
+        (3 + i, "filler words padding text body", "en", "s2", 30)
+        for i in range(7)
+    ]
+    _docs_view(spark, rows)
+    got = [
+        r.asDict()
+        for r in run_parts(spark, _bm25_parts).collect()
+        if r["query_id"] == "q_stream"
+    ]
+    assert [r["doc_id"] for r in got[:3]] == [0, 1, 2]
+    assert [r["n_terms_matched"] for r in got[:3]] == [3, 2, 1]
+    assert got[0]["bm25"] > got[1]["bm25"] > got[2]["bm25"] > 0
+    assert len(got) <= BM25_TOPK
