@@ -295,6 +295,114 @@ def _ngram_jaccard_sql(d: str) -> str:
     """
 
 
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def _containment_sql(d: str) -> str:
+    # E65 — ASYMMETRIC containment near-dup detection (Broder 1997's
+    # containment coefficient): C(A,B) = |A∩B| / |A| over 3-gram sets.
+    # Symmetric Jaccard (E3) misses the near-SUPERSET class entirely —
+    # a doc quoted whole inside a 10× larger doc has J ≈ 0.1 but
+    # C(small, big) ≈ 1.0; this is the "document swallowed a licence
+    # block / full quotation" shape Lee et al. 2022 flag between doc-
+    # level and span-level dedup.  Emits both directions, the Jaccard
+    # for contrast, and a keep-rule direction tag (the SMALLER doc is
+    # the contained one and the usual removal candidate).
+    #
+    # Scale shape: identical one-scan posting-list plan as E3 (shingle
+    # census with the block key from the scan, pair explode inside a
+    # shingle's posting list, pair agg) — only the final metric differs,
+    # so the no-rescan property is inherited.  All ratios are exact
+    # integer-over-integer doubles, identical across engines, so the
+    # threshold compares raw values.  Trailing ORDER BY is oracle-
+    # determinism only — consume the unsorted pair frame at scale.
+    thr = CONTAINMENT_THRESHOLD
+    if d == "duckdb":
+        body = f"""
+        {_shingles_cte(d)},
+        blocked AS (
+          SELECT s.doc_id, doc.lang, doc.source, s.shingle
+          FROM shingles s JOIN documents doc ON s.doc_id = doc.doc_id
+        ),
+        sizes AS (
+          SELECT doc_id, lang, source, count(*) AS n_sh
+          FROM blocked GROUP BY doc_id, lang, source
+        ),
+        inter AS (
+          SELECT
+            a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM blocked a
+          JOIN blocked b
+            ON a.lang = b.lang AND a.source = b.source
+           AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        paired AS (
+          SELECT i.doc_a, i.doc_b, i.n_common,
+                 sa.n_sh AS n_a, sb.n_sh AS n_b
+          FROM inter i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+        )"""
+    else:
+        toks = split_ws("lower(text)", d)
+        body = f"""
+        WITH toks AS (
+          SELECT /*+ REPARTITION({_parallelism()}, doc_id) */ doc_id, lang, source, {toks} AS t FROM documents
+        ),
+        shingles AS (
+          SELECT DISTINCT doc_id, lang, source, shingle FROM (
+            SELECT doc_id, lang, source,
+              explode(transform(sequence(1, size(t) - 2),
+                i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
+                            element_at(t, i + 2)))) AS shingle
+            FROM toks WHERE size(t) >= 3
+          ) exploded
+        ),
+        sized AS (
+          SELECT doc_id, lang, source, shingle,
+            count(*) OVER (PARTITION BY doc_id) AS n_sh
+          FROM shingles
+        ),
+        buckets AS (
+          SELECT lang, source, shingle,
+            sort_array(collect_list(named_struct('doc_id', doc_id, 'n_sh', n_sh))) AS docs
+          FROM sized
+          GROUP BY lang, source, shingle
+          HAVING count(*) > 1
+        ),
+        pair_hits AS (
+          SELECT p.a.doc_id AS doc_a, p.a.n_sh AS n_a,
+                 p.b.doc_id AS doc_b, p.b.n_sh AS n_b
+          FROM buckets
+          LATERAL VIEW explode(flatten(transform(docs, (x, i) ->
+            transform(slice(docs, i + 2, size(docs)), y ->
+              named_struct('a', x, 'b', y))))) t AS p
+        ),
+        paired AS (
+          SELECT doc_a, doc_b, n_a, n_b, count(*) AS n_common
+          FROM pair_hits
+          GROUP BY doc_a, doc_b, n_a, n_b
+        )"""
+    return f"""
+    {body}
+    SELECT
+      doc_a,
+      doc_b,
+      {cnt("n_common", "n_common")},
+      {dbl("n_common / CAST(n_a AS DOUBLE)", "containment_a")},
+      {dbl("n_common / CAST(n_b AS DOUBLE)", "containment_b")},
+      {dbl("n_common / CAST(n_a + n_b - n_common AS DOUBLE)", "jaccard")},
+      CASE WHEN n_common / CAST(n_a AS DOUBLE)
+              >= n_common / CAST(n_b AS DOUBLE)
+           THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+    FROM paired
+    WHERE greatest(n_common / CAST(n_a AS DOUBLE),
+                   n_common / CAST(n_b AS DOUBLE)) >= {thr}
+    ORDER BY doc_a, doc_b
+    """
+
+
 def _edit_distance_sql(d: str) -> str:
     # E28 — edit-distance near-dup on document PREFIXES with length-band
     # blocking: candidate pairs must sit in the same (lang, source)
@@ -632,4 +740,6 @@ QUERIES = [
     materialized_backed(
         "minhash_recall_vs_exact", _minhash_recall_parts, ("documents",),
     ),
+    # new r7, non-deferred
+    sql_backed("containment_pairs", _containment_sql, ("documents",)),
 ]

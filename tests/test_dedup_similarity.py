@@ -1128,3 +1128,29 @@ def test_mp3_frame_probe_and_routing():
         probe_mp3(b"ID3" + bytes([4, 0, 0, 0, 0, 0, 0]) + bytes(32))  # no frames
     with _pytest.raises(NotImplementedError):
         codec_decoder(bare, "audio")  # sample decode still gated
+
+
+def test_containment_catches_superset_pairs_jaccard_misses(spark):
+    # doc 0 is swallowed whole by doc 1 (plus 8x filler): Jaccard is low
+    # (~0.1, under the 0.3 gate) but containment(small in big) == 1.0 —
+    # the near-superset class E3 structurally cannot flag.  doc 2 shares
+    # nothing.
+    from fiveg_spark.operators.dedup import _containment_sql
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"pad{i} pad{i + 1} pad{i + 2}" for i in range(0, 90, 3))
+    rows = [
+        (0, small, "en", "s1", len(small)),
+        (1, small + " " + filler, "en", "s1", len(small) + len(filler)),
+        (2, "omega psi chi phi upsilon tau", "en", "s1", 29),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = {(r["doc_a"], r["doc_b"]): r.asDict()
+           for r in spark.sql(_containment_sql("spark")).collect()}
+    assert set(got) == {(0, 1)}
+    pair = got[(0, 1)]
+    assert pair["containment_a"] == 1.0  # every small-doc shingle is in big
+    assert pair["jaccard"] < 0.3  # below the E3 gate: Jaccard misses this
+    assert pair["direction"] == "a_in_b"
