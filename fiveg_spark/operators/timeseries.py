@@ -552,7 +552,62 @@ def _variant_props_sql(d: str) -> str:
     """
 
 
+def _twap_sql(d: str) -> str:
+    # C70 — TIME-WEIGHTED average value per (event_type, day): each
+    # reading holds (LOCF) from its timestamp until the next reading of
+    # the same type, the last one until midnight — the TimescaleDB
+    # `time_weight('LOCF')` continuous-aggregate semantic that a plain
+    # avg() silently gets wrong whenever sampling is irregular (a
+    # 23-hour-stale reading counts once, same as a back-to-back burst).
+    # Emits the plain average next to the TWAP and their gap, so the
+    # irregular-sampling bias is visible per group.
+    #
+    # Determinism: interval weights come from the exact integer-derived
+    # epoch helper (bit-identical doubles both engines); ties in ts
+    # break on event_id for the lead() order; readings with NULL value
+    # are not observations and are excluded up front.
+    #
+    # Scale: one scan, one (event_type, day)-keyed window family —
+    # partition-local lead, then the same-keyed agg reuses the shuffle.
+    return f"""
+    WITH readings AS (
+      SELECT
+        event_type,
+        date_trunc('day', ts) AS day_ts,
+        {epoch("ts", d)} AS t,
+        value AS v,
+        event_id
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    weighted AS (
+      SELECT
+        event_type,
+        day_ts,
+        v,
+        coalesce(
+          lead(t) OVER (
+            PARTITION BY event_type, day_ts ORDER BY t, event_id
+          ),
+          {epoch("day_ts", d)} + 86400.0
+        ) - t AS w
+      FROM readings
+    )
+    SELECT
+      event_type,
+      CAST(day_ts AS DATE) AS day,
+      {cnt("count(*)", "n_readings")},
+      {dbl("sum(v * w) / sum(w)", "twap")},
+      {dbl("avg(v)", "plain_avg")},
+      {dbl("sum(v * w) / sum(w) - avg(v)", "sampling_bias")}
+    FROM weighted
+    GROUP BY event_type, CAST(day_ts AS DATE)
+    ORDER BY event_type, day
+    """
+
+
 QUERIES = [
+    sql_backed("twap_value_daily", _twap_sql, ("events",)),
     sql_backed("variant_props_stats", _variant_props_sql, ("events",)),
     sql_backed("feature_vectors", _feature_vectors_sql, ("events",)),
     sql_backed("moving_avg_throughput", _moving_avg_sql, ("events",)),

@@ -387,6 +387,96 @@ def _psi_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ], tail
 
 
+KS_ALPHA_COEFF = 1.358  # c(alpha) at alpha = 0.05, two-sample KS
+
+
+def _ks_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D31 — two-sample Kolmogorov-Smirnov drift test per slice: the
+    # RANK-based twin of D27's PSI over the same ref/cur era split
+    # (median-hour cut of the hourly throughput series).  PSI needs bin
+    # edges and floors; KS is binning-free — D = sup_x |F_ref − F_cur|
+    # with the classical alpha=0.05 rejection bound
+    # c(alpha)·sqrt((n_ref+n_cur)/(n_ref·n_cur)).  A drift monitor runs
+    # both: PSI localizes WHERE mass moved, KS detects ANY distribution
+    # change with a proper test.
+    #
+    # The sup evaluates at sample points only (ECDFs are step
+    # functions): cumulative era counts via a RANGE window on v (peers
+    # included, so ties contribute their full mass on both sides —
+    # WHICH row of a tie evaluates is irrelevant, every tie-peer row
+    # sees the same post-tie cumulative counts).  All ECDF values are
+    # integer-over-integer doubles — bit-identical across engines, so
+    # D and the rejection compare raw.
+    #
+    # Scale: the era-tagged hourly frame materializes once (PSI's
+    # materialize-once rule — the tail reads it for totals AND the
+    # window); the window is per-slice over the tiny hourly frame, and
+    # at 100 TB the same plan holds on any per-key series that fits a
+    # partition (the hourly rollup is ~9k rows/slice/year).
+    hourly_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
+      SELECT slice, h, throughput_bps FROM hourly
+    """
+    tagged_sql = f"""
+      WITH cut AS (
+        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
+        FROM _mz_ks_hourly GROUP BY slice
+      )
+      SELECT hy.slice, hy.throughput_bps AS v,
+             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
+      FROM _mz_ks_hourly hy JOIN cut c ON c.slice = hy.slice
+    """
+    tail = f"""
+    WITH tot AS (
+      SELECT slice,
+             sum(CASE WHEN era = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM _mz_ks_tagged GROUP BY slice
+    ),
+    cum AS (
+      SELECT slice,
+        sum(CASE WHEN era = 'ref' THEN 1.0 ELSE 0.0 END) OVER (
+          PARTITION BY slice ORDER BY v
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS c_ref,
+        sum(CASE WHEN era = 'cur' THEN 1.0 ELSE 0.0 END) OVER (
+          PARTITION BY slice ORDER BY v
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS c_cur
+      FROM _mz_ks_tagged
+    ),
+    stat AS (
+      SELECT c.slice,
+             max(abs(c.c_ref / t.n_ref - c.c_cur / t.n_cur)) AS d_stat
+      FROM cum c JOIN tot t ON t.slice = c.slice
+      WHERE t.n_ref > 0 AND t.n_cur > 0
+      GROUP BY c.slice
+    )
+    SELECT
+      t.slice,
+      {cnt("t.n_ref", "n_ref")},
+      {cnt("t.n_cur", "n_cur")},
+      {dbl("coalesce(s.d_stat, 0.0)", "ks_d")},
+      {dbl(
+          f"CASE WHEN t.n_ref > 0 AND t.n_cur > 0 THEN {KS_ALPHA_COEFF}"
+          " * sqrt((t.n_ref + t.n_cur) / (CAST(t.n_ref AS DOUBLE) * t.n_cur))"
+          " ELSE 0.0 END",
+          "d_crit",
+      )},
+      CAST(CASE WHEN t.n_ref = 0 OR t.n_cur = 0 THEN FALSE
+                ELSE s.d_stat > {KS_ALPHA_COEFF}
+                  * sqrt((t.n_ref + t.n_cur)
+                         / (CAST(t.n_ref AS DOUBLE) * t.n_cur))
+           END AS BOOLEAN) AS drifted
+    FROM tot t LEFT JOIN stat s ON s.slice = t.slice
+    ORDER BY t.slice
+    """
+    return [
+        ("_mz_ks_hourly", hourly_sql),
+        ("_mz_ks_tagged", tagged_sql),
+    ], tail
+
+
 def _conformal_sql(d: str) -> str:
     # D26 — split-conformal prediction intervals around the seasonal-
     # naive forecaster: calibrate the |residual| q90 on the VALIDATION
@@ -452,4 +542,6 @@ QUERIES = [
         "feature_drift_psi", _psi_parts, ("events",),
     ),
     sql_backed("conformal_intervals", _conformal_sql, ("events",)),
+    # new r7, non-deferred
+    materialized_backed("ks_two_sample", _ks_parts, ("events",)),
 ]

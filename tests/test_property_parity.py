@@ -284,9 +284,14 @@ def _event_sql_fns():
     )
     from fiveg_spark.operators.ts_advanced import _hopping_window_sql
 
+    from fiveg_spark.operators.timeseries import _twap_sql
+
     return {
         "zscore_anomalies": _zscore_sql,
         "window_entropy": _window_entropy_sql,
+        # LOCF interval weights: exact-tie timestamps -> zero-width
+        # intervals, single-reading days -> full-day weight
+        "twap_value_daily": _twap_sql,
         "acf_throughput": _acf_sql,
         "ols_trend_per_slice": _ols_trend_sql,
         # m^2/v ratio + xi-branch + power(): tiny tied-value corpora
@@ -467,6 +472,7 @@ def _event_parts_fns():
     from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _iat_exponential_fit_parts,
+        _ks_parts,
         _psi_parts,
     )
 
@@ -481,6 +487,9 @@ def _event_parts_fns():
         # tiny user alphabet -> full-overlap and singleton-type pairs;
         # under-k sketches take the exact-fallback branch everywhere
         "kmv_set_ops": _kmv_set_ops_parts,
+        # ECDF RANGE-window tie mass + empty-era guard (all rows on one
+        # side of the median cut)
+        "ks_two_sample": _ks_parts,
     }
 
 

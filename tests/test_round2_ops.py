@@ -102,3 +102,59 @@ def test_skew_profile_consistency(spark):
     assert (pdf["p99_key_rows"] >= pdf["p50_key_rows"] - 1e-9).all()
     # event_type has 5 keys → each ~20%: strong "skew" by share ratio
     assert pdf.loc["event_type", "n_keys"] == 5
+
+
+def _events_from(spark, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT,"
+        " value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+
+
+def test_twap_weights_by_holding_time_not_sample_count(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.timeseries import _twap_sql
+
+    # value 100 holds 00:00->23:00 (23h), then a burst of 10s at 23:00
+    # and 23:30 (0.5h each): plain avg = 40, TWAP = (100*23 + 10*1)/24
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (0, t0, "gauge", 1, 100.0, "{}"),
+        (1, t0 + dt.timedelta(hours=23), "gauge", 1, 10.0, "{}"),
+        (2, t0 + dt.timedelta(hours=23, minutes=30), "gauge", 1, 10.0, "{}"),
+    ]
+    _events_from(spark, rows)
+    (r,) = spark.sql(_twap_sql("spark")).collect()
+    assert r["n_readings"] == 3
+    assert r["plain_avg"] == 40.0
+    assert abs(r["twap"] - (100 * 23 + 10 * 1) / 24) < 1e-6
+    assert r["sampling_bias"] > 50  # the stale reading dominates time
+
+
+def test_ks_two_sample_detects_planted_shift_and_stays_quiet_on_stationary(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _ks_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # flows_cte maps user_id%3 -> slice and value -> pkt_len: user 1
+    # (URLLC) steps its hourly bytes up 20x in the second era, user 0
+    # (eMBB) stays flat
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        shifted = 2000.0 if h >= 24 else 100.0
+        for uid, ln in ((1, shifted), (0, 500.0)):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h), "view", uid, ln, "{}")
+            )
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict() for r in run_parts(spark, _ks_parts).collect()}
+    assert got["URLLC"]["drifted"] is True
+    assert got["URLLC"]["ks_d"] > got["URLLC"]["d_crit"]
+    assert got["eMBB"]["drifted"] is False
+    assert got["eMBB"]["ks_d"] <= got["eMBB"]["d_crit"]
