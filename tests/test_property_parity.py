@@ -282,7 +282,10 @@ def _event_sql_fns():
         _value_histogram_sql,
         _value_percentiles_sql,
     )
-    from fiveg_spark.operators.ts_advanced import _hopping_window_sql
+    from fiveg_spark.operators.ts_advanced import (
+        _dominant_period_sql,
+        _hopping_window_sql,
+    )
 
     from fiveg_spark.operators.timeseries import _twap_sql
 
@@ -292,6 +295,9 @@ def _event_sql_fns():
         # LOCF interval weights: exact-tie timestamps -> zero-width
         # intervals, single-reading days -> full-day weight
         "twap_value_daily": _twap_sql,
+        # cos/sin + ss>0 guard: constant series (ss = 0) and 1-row
+        # series land here; rank ties resolve on rounded scores
+        "dominant_period": _dominant_period_sql,
         "acf_throughput": _acf_sql,
         "ols_trend_per_slice": _ols_trend_sql,
         # m^2/v ratio + xi-branch + power(): tiny tied-value corpora

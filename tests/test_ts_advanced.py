@@ -130,3 +130,39 @@ def test_time_to_convert_literal(spark):
     assert r["p50_delay_s"] == pytest.approx(60.0, abs=1e-3)
     assert r["min_delay_s"] == pytest.approx(30.0, abs=1e-3)
     assert r["max_delay_s"] == pytest.approx(90.0, abs=1e-3)
+
+
+def test_dominant_period_recovers_planted_daily_cycle(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators.ts_advanced import _dominant_period_sql
+
+    # user 0 -> eMBB slice; hourly bytes follow a pure 24-hour sinusoid
+    # over 96 hours (4 whole cycles): period 24 must rank first with
+    # near-total explained variance, off-harmonics near zero
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (
+            h,
+            t0 + dt.timedelta(hours=h),
+            "view",
+            0,
+            1000.0 + 400.0 * math.sin(2 * math.pi * h / 24.0),
+            "{}",
+        )
+        for h in range(96)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT,"
+        " value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+    got = [r.asDict() for r in spark.sql(_dominant_period_sql("spark")).collect()]
+    assert len(got) == 4 and all(r["slice"] == "eMBB" for r in got)
+    top = next(r for r in got if r["rank"] == 1)
+    assert top["period_hours"] == 24
+    assert top["power_share"] > 0.95
+    for r in got:
+        if r["period_hours"] in (6, 12):
+            assert r["power_share"] < 0.05, r
