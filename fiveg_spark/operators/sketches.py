@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fiveg_spark.plans.registry import Query
+from fiveg_spark.plans.registry import Query, materialized_backed
 from fiveg_spark.sources.tables import load_table
 
 
@@ -333,6 +333,132 @@ ORDER BY m.event_type, window_day
 """
 
 
+BLOOM_M = 4096  # bits
+BLOOM_K = 3  # hash functions
+_BLOOM_ABSENT = tuple(range(-1, -21, -1))  # ids guaranteed off-corpus
+
+
+def _bloom_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C71 — Bloom-filter membership sketch entirely in SQL (Bloom 1970;
+    # Swamidass & Baldi 2007 for the fill-ratio cardinality estimate):
+    # the sketch family's MEMBERSHIP member next to HLL (cardinality),
+    # Misra-Gries (frequency), KMV/theta (set ops) and Count-Min (point
+    # counts).  Per event_type the filter is the DISTINCT (type, bit)
+    # row set from BLOOM_K md5-derived bucket positions per user — the
+    # distributed representation a deployment would compact to a bitmap
+    # with bit_or; rows merge upward with plain DISTINCT, zero rescan.
+    #
+    # Certified claims: (a) NO FALSE NEGATIVES — a true member's k bits
+    # are all present BY CONSTRUCTION, so the boolean is a theorem over
+    # a planted probe set (present sample + guaranteed-absent negative
+    # ids); (b) the measured false-positive count on absent probes is
+    # hash-deterministic and value-certifies; (c) the Swamidass-Baldi
+    # estimate n̂ = −(m/k)·ln(1 − X/m) lands within tolerance of the
+    # exact distinct count carried in-row.
+    #
+    # Scale: ONE events scan builds the distinct (type, user) frame
+    # (materialized: bits, probes, membership witnesses and exact counts
+    # all derive from it); everything downstream is |types|·m bits and
+    # |types|·|probes| rows — broadcast-sized at any corpus.
+    def bucket(expr: str, j: str) -> str:
+        h8 = (
+            f"substring(md5(concat('bf', CAST({j} AS STRING), '#',"
+            f" CAST({expr} AS STRING))), 1, 8)"
+        )
+        digits = " + ".join(
+            f"CAST(instr('0123456789abcdef', substring({h8}, {i}, 1)) - 1 AS BIGINT)"
+            f" * CAST({16 ** (8 - i)} AS BIGINT)"
+            for i in range(1, 9)
+        )
+        return f"(({digits}) % {BLOOM_M})"
+
+    if d == "spark":
+        js = "SELECT explode(array(0, 1, 2)) AS j"
+    else:
+        js = "SELECT unnest([0, 1, 2]) AS j"
+    absent = ", ".join(f"({i})" for i in _BLOOM_ABSENT)
+    tu = "SELECT DISTINCT event_type, user_id FROM events"
+    tail = f"""
+    WITH bits AS (
+      SELECT DISTINCT event_type, {bucket("t.user_id", "j.j")} AS bit
+      FROM _mz_bloom_tu t CROSS JOIN ({js}) j
+    ),
+    probes AS (
+      SELECT DISTINCT user_id AS probe_id FROM _mz_bloom_tu
+      WHERE user_id % 10 = 0
+      UNION ALL
+      SELECT * FROM (VALUES {absent}) AS a(probe_id)
+    ),
+    typed AS (
+      SELECT ty.event_type, p.probe_id
+      FROM (SELECT DISTINCT event_type FROM _mz_bloom_tu) ty
+      CROSS JOIN probes p
+    ),
+    claims AS (
+      SELECT
+        tp.event_type,
+        tp.probe_id,
+        sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM (
+        SELECT t.event_type, t.probe_id, {bucket("t.probe_id", "j.j")} AS bit
+        FROM typed t CROSS JOIN ({js}) j
+      ) tp
+      LEFT JOIN bits b
+        ON b.event_type = tp.event_type AND b.bit = tp.bit
+      GROUP BY tp.event_type, tp.probe_id
+    ),
+    truth AS (
+      SELECT
+        c.event_type,
+        c.probe_id,
+        c.n_hit = {BLOOM_K} AS claimed,
+        m.user_id IS NOT NULL AS is_member
+      FROM claims c
+      LEFT JOIN _mz_bloom_tu m
+        ON m.event_type = c.event_type AND m.user_id = c.probe_id
+    ),
+    per_type AS (
+      SELECT
+        event_type,
+        count(*) AS n_probes,
+        sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS n_members,
+        sum(CASE WHEN claimed THEN 1 ELSE 0 END) AS n_claimed,
+        sum(CASE WHEN claimed AND NOT is_member THEN 1 ELSE 0 END) AS fp,
+        min(CASE WHEN is_member AND NOT claimed THEN 0 ELSE 1 END) AS no_fn
+      FROM truth GROUP BY event_type
+    ),
+    fill AS (
+      SELECT b.event_type, count(*) AS x,
+             max(n.n_exact) AS n_exact
+      FROM bits b
+      JOIN (
+        SELECT event_type, count(*) AS n_exact
+        FROM _mz_bloom_tu GROUP BY event_type
+      ) n ON n.event_type = b.event_type
+      GROUP BY b.event_type
+    )
+    SELECT
+      f.event_type,
+      CAST(f.n_exact AS BIGINT) AS n_exact,
+      CAST(f.x AS BIGINT) AS bits_set,
+      CAST(round(-(CAST({BLOOM_M} AS DOUBLE) / {BLOOM_K})
+                 * ln(1.0 - f.x / CAST({BLOOM_M} AS DOUBLE)) + 1e-9, 4) + 0.0
+           AS DOUBLE) AS est_distinct,
+      CAST(p.n_probes AS BIGINT) AS n_probes,
+      CAST(p.n_members AS BIGINT) AS n_members,
+      CAST(p.n_claimed AS BIGINT) AS n_claimed,
+      CAST(p.fp AS BIGINT) AS fp_count,
+      CAST(p.no_fn = 1 AS BOOLEAN) AS no_false_negatives,
+      (abs(-(CAST({BLOOM_M} AS DOUBLE) / {BLOOM_K})
+           * ln(1.0 - f.x / CAST({BLOOM_M} AS DOUBLE))
+           - f.n_exact) <= 0.25 * f.n_exact + 2.0) AS est_ok
+    FROM fill f
+    JOIN per_type p ON p.event_type = f.event_type
+    ORDER BY f.event_type
+    """
+    return [("_mz_bloom_tu", tu)], tail
+
+
 QUERIES = [
     # tolerance-boolean oracle (the approx_variants pattern): exact
     # anchors hash-compared, each engine bounds ITS OWN sketch in-row.
@@ -344,4 +470,6 @@ QUERIES = [
     Query(
         "hll_sliding_actives", hll_sliding_actives, _HLL_SLIDING_ORACLE,
     ),
+    # new r7, non-deferred
+    materialized_backed("bloom_membership", _bloom_parts, ("events",)),
 ]

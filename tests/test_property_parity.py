@@ -476,6 +476,7 @@ def test_document_parts_queries_on_random_corpora(spark, name):
 def _event_parts_fns():
     from fiveg_spark.operators.behavior import _attribution_parts
     from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
+    from fiveg_spark.operators.sketches import _bloom_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _iat_exponential_fit_parts,
         _ks_parts,
@@ -496,6 +497,9 @@ def _event_parts_fns():
         # ECDF RANGE-window tie mass + empty-era guard (all rows on one
         # side of the median cut)
         "ks_two_sample": _ks_parts,
+        # fill-ratio ln() + modulo hashing on negative probe ids; tiny
+        # streams keep every type under-filled
+        "bloom_membership": _bloom_parts,
     }
 
 

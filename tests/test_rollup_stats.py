@@ -177,3 +177,30 @@ def test_hll_sliding_actives_window_semantics(spark, tmp_path):
     assert all(r["hll_ok"] for r in got.values())
     mid = got[days[6]]  # first FULL window: days 0..6 -> users 0..7
     assert mid["n_days_present"] == 7 and mid["exact_users"] == 8
+
+
+def test_bloom_membership_no_false_negatives_and_estimate(spark):
+    # two types with disjoint user ranges: every present probe must be
+    # claimed (no-FN theorem), absent negative ids almost surely are
+    # not, and the fill-ratio estimate tracks the exact count.
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for typ, lo, hi in (("A", 0, 200), ("B", 500, 520)):
+        for u in range(lo, hi):
+            rows.append((eid, t0, typ, u, 1.0, "{}"))
+            eid += 1
+    _events_view(spark, rows)
+    from fiveg_spark.plans.registry import run_parts
+    from fiveg_spark.operators.sketches import _bloom_parts
+
+    got = {r["event_type"]: r.asDict()
+           for r in run_parts(spark, _bloom_parts).collect()}
+    assert set(got) == {"A", "B"}
+    for r in got.values():
+        assert r["no_false_negatives"] and r["est_ok"], r
+        assert r["n_claimed"] >= r["n_members"]
+    assert got["A"]["n_exact"] == 200 and got["B"]["n_exact"] == 20
+    # probes from A's range are absent in B's filter: with 20·3 bits in
+    # 4096 the per-probe FP chance is ~3e-6, so zero FPs expected
+    assert got["B"]["fp_count"] == 0
