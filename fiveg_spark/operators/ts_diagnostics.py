@@ -477,6 +477,99 @@ def _ks_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ], tail
 
 
+def _mw_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D33 — tie-corrected Mann-Whitney U rank-sum test per slice, over
+    # the same ref/cur era split as D27 (PSI) and D31 (KS).  The three
+    # are the standard drift triptych: PSI localizes WHERE mass moved,
+    # KS detects ANY distribution change, Mann-Whitney tests the
+    # LOCATION shift specifically (more power against a pure level
+    # change, immune to variance-only changes that trip KS).
+    #
+    #   U = R_ref − n_ref(n_ref+1)/2,  with midrank ties
+    #   z = (U − n_ref·n_cur/2) / sqrt(n_ref·n_cur/12 · ((n+1) − T))
+    #   T = Σ(t³−t) / (n(n−1))            (tie correction)
+    #
+    # Midranks come from pure integer window arithmetic (cumulative
+    # RANGE count minus the peer count, plus (t+1)/2), so U is exact
+    # and engine-identical; only the final z divides/sqrts, with the
+    # all-tied degenerate (variance 0) guarded to z = 0.
+    #
+    # Scale: the era-tagged hourly frame materializes once (PSI rule);
+    # ranks are per-slice windows over the tiny hourly rollup; the tie
+    # census groups by (slice, value).
+    hourly_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
+      SELECT slice, h, throughput_bps FROM hourly
+    """
+    tagged_sql = f"""
+      WITH cut AS (
+        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
+        FROM _mz_mw_hourly GROUP BY slice
+      )
+      SELECT hy.slice, hy.throughput_bps AS v,
+             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
+      FROM _mz_mw_hourly hy JOIN cut c ON c.slice = hy.slice
+    """
+    tail = f"""
+    WITH ranked AS (
+      SELECT slice, era,
+        sum(1.0) OVER (
+          PARTITION BY slice ORDER BY v
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+        - count(*) OVER (PARTITION BY slice, v)
+        + (count(*) OVER (PARTITION BY slice, v) + 1.0) / 2.0 AS midrank
+      FROM _mz_mw_tagged
+    ),
+    sums AS (
+      SELECT slice,
+        sum(CASE WHEN era = 'ref' THEN midrank ELSE 0.0 END) AS r_ref,
+        sum(CASE WHEN era = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+        sum(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM ranked GROUP BY slice
+    ),
+    ties AS (
+      SELECT slice, sum(t * t * t - t) AS tie_cubes
+      FROM (
+        SELECT slice, v, CAST(count(*) AS DOUBLE) AS t
+        FROM _mz_mw_tagged GROUP BY slice, v
+      ) g GROUP BY slice
+    ),
+    stat AS (
+      SELECT
+        s.slice, s.n_ref, s.n_cur,
+        s.r_ref - s.n_ref * (s.n_ref + 1.0) / 2.0 AS u_stat,
+        CASE WHEN s.n_ref + s.n_cur >= 2
+             THEN s.n_ref * s.n_cur / 12.0
+                  * ((s.n_ref + s.n_cur + 1.0)
+                     - t.tie_cubes / ((s.n_ref + s.n_cur)
+                                      * (s.n_ref + s.n_cur - 1.0)))
+             ELSE 0.0 END AS var_u
+      FROM sums s JOIN ties t ON t.slice = s.slice
+    )
+    SELECT
+      slice,
+      {cnt("n_ref", "n_ref")},
+      {cnt("n_cur", "n_cur")},
+      {dbl("u_stat", "u_stat")},
+      {dbl(
+          "CASE WHEN var_u > 0 AND n_ref > 0 AND n_cur > 0 "
+          "THEN (u_stat - n_ref * n_cur / 2.0) / sqrt(var_u) "
+          "ELSE 0.0 END",
+          "z_score",
+      )},
+      CAST(CASE WHEN var_u > 0 AND n_ref > 0 AND n_cur > 0
+                THEN abs((u_stat - n_ref * n_cur / 2.0) / sqrt(var_u)) > 1.96
+                ELSE FALSE END AS BOOLEAN) AS shifted
+    FROM stat
+    ORDER BY slice
+    """
+    return [
+        ("_mz_mw_hourly", hourly_sql),
+        ("_mz_mw_tagged", tagged_sql),
+    ], tail
+
+
 def _conformal_sql(d: str) -> str:
     # D26 — split-conformal prediction intervals around the seasonal-
     # naive forecaster: calibrate the |residual| q90 on the VALIDATION
@@ -544,4 +637,5 @@ QUERIES = [
     sql_backed("conformal_intervals", _conformal_sql, ("events",)),
     # new r7, non-deferred
     materialized_backed("ks_two_sample", _ks_parts, ("events",)),
+    materialized_backed("mann_whitney_shift", _mw_parts, ("events",)),
 ]

@@ -480,6 +480,7 @@ def _event_parts_fns():
     from fiveg_spark.operators.ts_diagnostics import (
         _iat_exponential_fit_parts,
         _ks_parts,
+        _mw_parts,
         _psi_parts,
     )
 
@@ -500,6 +501,8 @@ def _event_parts_fns():
         # fill-ratio ln() + modulo hashing on negative probe ids; tiny
         # streams keep every type under-filled
         "bloom_membership": _bloom_parts,
+        # midrank tie arithmetic + the all-tied var_u = 0 -> z = 0 guard
+        "mann_whitney_shift": _mw_parts,
     }
 
 

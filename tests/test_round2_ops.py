@@ -158,3 +158,42 @@ def test_ks_two_sample_detects_planted_shift_and_stays_quiet_on_stationary(spark
     assert got["URLLC"]["ks_d"] > got["URLLC"]["d_crit"]
     assert got["eMBB"]["drifted"] is False
     assert got["eMBB"]["ks_d"] <= got["eMBB"]["d_crit"]
+
+
+def test_mann_whitney_detects_level_shift_scipy_parity(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _mw_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # URLLC (user 1) steps up mid-series; eMBB (user 0) stays flat with
+    # heavy ties (constant value -> var_u = 0 -> z = 0 guard)
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(48):
+        up = 900.0 + h if h >= 24 else 100.0 + h
+        for uid, ln in ((1, up), (0, 500.0)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, ln, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict() for r in run_parts(spark, _mw_parts).collect()}
+    assert got["URLLC"]["shifted"] is True
+    assert abs(got["URLLC"]["z_score"]) > 3
+    # all-tied slice: tie correction zeroes the variance -> guarded z=0
+    assert got["eMBB"]["z_score"] == 0.0 and got["eMBB"]["shifted"] is False
+
+    # numeric cross-check on the shifted slice vs scipy's normal-approx
+    # U test (same midrank + tie-correction formulas)
+    try:
+        from scipy.stats import mannwhitneyu
+    except ImportError:
+        return
+    import numpy as np
+
+    ref = np.array([100.0 + h for h in range(24)])
+    cur = np.array([900.0 + h for h in range(24, 48)])
+    res = mannwhitneyu(ref, cur, alternative="two-sided", method="asymptotic")
+    # our z uses U_ref; scipy reports U for x: same magnitude
+    expected_u = res.statistic
+    assert abs(got["URLLC"]["u_stat"] - expected_u) < 1e-6
