@@ -606,7 +606,67 @@ def _twap_sql(d: str) -> str:
     """
 
 
+def _quantile_transform_sql(d: str) -> str:
+    # D34 — empirical quantile (rank) transform per slice, the
+    # QuantileTransformer preprocessing step next to D4's RobustScaler:
+    # every hourly value maps to its midrank ECDF position under the
+    # TRAIN era's distribution (D3's ordered 70/15/15 split), so
+    # val/test transform through the SAME fitted map — leakage-free by
+    # construction, and heavy-tailed features become uniform [0,1]
+    # inputs for the downstream nets.
+    #
+    # The "fit" never materializes: interleaving every row with the
+    # train distribution per slice and ordering by value, the RANGE
+    # cumulative count of train rows ≤ v IS the fitted ECDF lookup —
+    # one window family, no as-of join, no per-row subquery.  Midrank
+    # tie handling keeps q exact integer arithmetic; out-of-range test
+    # values clip to [0, 1] naturally.
+    return f"""
+    {_hourly_cte(d)},
+    numbered AS (
+      SELECT slice, h, throughput_bps AS v,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n
+      FROM hourly
+    ),
+    tagged AS (
+      SELECT slice, h, v,
+        CASE WHEN rn <= floor(0.7 * n) THEN 'train'
+             WHEN rn <= floor(0.85 * n) THEN 'val'
+             ELSE 'test' END AS part
+      FROM numbered
+    ),
+    ranked AS (
+      SELECT slice, h, v, part,
+        sum(CASE WHEN part = 'train' THEN 1.0 ELSE 0.0 END) OVER (
+          PARTITION BY slice ORDER BY v
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS train_le,
+        sum(CASE WHEN part = 'train' THEN 1.0 ELSE 0.0 END) OVER (
+          PARTITION BY slice, v
+        ) AS train_eq,
+        sum(CASE WHEN part = 'train' THEN 1.0 ELSE 0.0 END) OVER (
+          PARTITION BY slice
+        ) AS n_train
+      FROM tagged
+    )
+    SELECT
+      slice,
+      h AS window_start,
+      part,
+      {dbl("v", "value")},
+      {dbl(
+          "CASE WHEN n_train > 0 "
+          "THEN (train_le - 0.5 * train_eq) / n_train ELSE 0.5 END",
+          "q_train",
+      )}
+    FROM ranked
+    ORDER BY slice, window_start
+    """
+
+
 QUERIES = [
+    sql_backed("quantile_transform", _quantile_transform_sql, ("events",)),
     sql_backed("twap_value_daily", _twap_sql, ("events",)),
     sql_backed("variant_props_stats", _variant_props_sql, ("events",)),
     sql_backed("feature_vectors", _feature_vectors_sql, ("events",)),

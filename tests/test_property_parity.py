@@ -287,7 +287,10 @@ def _event_sql_fns():
         _hopping_window_sql,
     )
 
-    from fiveg_spark.operators.timeseries import _twap_sql
+    from fiveg_spark.operators.timeseries import (
+        _quantile_transform_sql,
+        _twap_sql,
+    )
 
     return {
         "zscore_anomalies": _zscore_sql,
@@ -298,6 +301,9 @@ def _event_sql_fns():
         # cos/sin + ss>0 guard: constant series (ss = 0) and 1-row
         # series land here; rank ties resolve on rounded scores
         "dominant_period": _dominant_period_sql,
+        # midrank ECDF ratios + the n_train = 0 guard (series shorter
+        # than the split floor leave the train era empty)
+        "quantile_transform": _quantile_transform_sql,
         "acf_throughput": _acf_sql,
         "ols_trend_per_slice": _ols_trend_sql,
         # m^2/v ratio + xi-branch + power(): tiny tied-value corpora

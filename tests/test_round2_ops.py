@@ -197,3 +197,29 @@ def test_mann_whitney_detects_level_shift_scipy_parity(spark):
     # our z uses U_ref; scipy reports U for x: same magnitude
     expected_u = res.statistic
     assert abs(got["URLLC"]["u_stat"] - expected_u) < 1e-6
+
+
+def test_quantile_transform_uniformizes_train_and_clips_test(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.timeseries import _quantile_transform_sql
+
+    # user 0 only -> one slice; 100 hours of strictly increasing values,
+    # so the train era (first 70) maps to exact midranks and the test
+    # era (beyond the train max) clips to 1.0
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (h, t0 + dt.timedelta(hours=h), "view", 0, 100.0 + h, "{}")
+        for h in range(100)
+    ]
+    _events_from(spark, rows)
+    got = [r.asDict() for r in spark.sql(_quantile_transform_sql("spark")).collect()]
+    train = [r for r in got if r["part"] == "train"]
+    test = [r for r in got if r["part"] == "test"]
+    assert len(train) == 70 and len(test) == 15
+    # strictly increasing distinct values: q of the k-th train row is
+    # (k - 0.5)/70, so the mean is exactly 0.5
+    qs = sorted(r["q_train"] for r in train)
+    assert abs(sum(qs) / len(qs) - 0.5) < 1e-6
+    assert qs[0] == round(0.5 / 70 + 1e-9, 4)
+    assert all(r["q_train"] == 1.0 for r in test)  # beyond train max
