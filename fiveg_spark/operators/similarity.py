@@ -38,6 +38,78 @@ def _cos(d: str, a: str, b: str) -> str:
     return f"({dot} / ({na} * {nb} + 1e-12))"
 
 
+TRUNC_DIMS = (8, 16, 32)  # evaluated prefixes of the 64-dim embeddings
+TRUNC_SAMPLE = 50  # pair sample: vec_id < 50 -> 1225 pairs
+
+
+def _slice(d: str, a: str, n: int) -> str:
+    if d == "spark":
+        return f"slice(CAST({a} AS ARRAY<DOUBLE>), 1, {n})"
+    return f"list_slice(CAST({a} AS DOUBLE[]), 1, {n})"
+
+
+def _truncation_eval_sql(d: str) -> str:
+    # E66 — embedding TRUNCATION quality eval (the Matryoshka/MRL
+    # deployment question: how much retrieval/dedup fidelity survives
+    # keeping only the first d dimensions?).  Per candidate prefix dim:
+    # cosine error stats over a deterministic pair sample, plus the
+    # DECISION-level metric that actually matters to the dedup pipeline
+    # — the fraction of pairs where the truncated embedding makes the
+    # SAME duplicate call (cos > threshold) as the full vector.  An
+    # operator run before shrinking the E5/E20 index to a prefix.
+    #
+    # Determinism: both cosines round (NUDGE) BEFORE the threshold
+    # agreement so engines compare identical doubles; error stats are
+    # IEEE-identical raw arithmetic rounded at the edge.
+    #
+    # Scale: the pair frame is a bounded sample (TRUNC_SAMPLE rows each
+    # side, filter pushed to the scan) — the eval cost is O(sample²·
+    # |dims|) regardless of corpus size; production would sample ids by
+    # hash instead of prefix, same shape.
+    if d == "spark":
+        dims = "SELECT explode(array{}) AS dim".format(TRUNC_DIMS)
+    else:
+        dims = "SELECT unnest([{}]) AS dim".format(
+            ", ".join(str(x) for x in TRUNC_DIMS)
+        )
+    cos_full = _cos(d, "p.ea", "p.eb")
+    # truncated cosine per dim: built per candidate dim via CASE so the
+    # slice length stays a literal (both engines fold it)
+    trunc_cases = " ".join(
+        f"WHEN {n} THEN ({_cos(d, _slice(d, 'p.ea', n), _slice(d, 'p.eb', n))})"
+        for n in TRUNC_DIMS
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < {TRUNC_SAMPLE} AND b.vec_id < {TRUNC_SAMPLE}
+    ),
+    scored AS (
+      SELECT
+        dm.dim,
+        round({cos_full} + 1e-9, 4) + 0.0 AS cf,
+        round(CASE dm.dim {trunc_cases} END + 1e-9, 4) + 0.0 AS ct
+      FROM pairs p CROSS JOIN ({dims}) dm
+    )
+    SELECT
+      {cnt("dim", "dim")},
+      {cnt("count(*)", "n_pairs")},
+      {dbl("avg(abs(ct - cf))", "mean_abs_err")},
+      {dbl("max(abs(ct - cf))", "max_abs_err")},
+      {dbl(
+          f"avg(CASE WHEN (ct > {COSINE_DUP_THRESHOLD}) = "
+          f"(cf > {COSINE_DUP_THRESHOLD}) THEN 1.0 ELSE 0.0 END)",
+          "dup_decision_agreement",
+      )}
+    FROM scored
+    GROUP BY dim
+    ORDER BY dim
+    """
+
+
 def _knn_sql(d: str) -> str:
     # E6: exact top-k against the query vector (vec_id = 0).  At scale the
     # query side is a broadcast and the scan is embarrassingly parallel;
@@ -277,6 +349,8 @@ def _rrf_sql(d: str) -> str:
 
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
+    # new r7, non-deferred
+    sql_backed("embedding_truncation_eval", _truncation_eval_sql, ("embeddings",)),
     sql_backed("rrf_fusion", _rrf_sql, ("embeddings",)),
     sql_backed("embedding_quantization", _quantization_sql, ("embeddings",)),
     sql_backed("embedding_dedup_pairs", _embedding_dedup_sql, ("embeddings",)),

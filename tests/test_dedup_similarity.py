@@ -1154,3 +1154,21 @@ def test_containment_catches_superset_pairs_jaccard_misses(spark):
     assert pair["containment_a"] == 1.0  # every small-doc shingle is in big
     assert pair["jaccard"] < 0.3  # below the E3 gate: Jaccard misses this
     assert pair["direction"] == "a_in_b"
+
+
+def test_embedding_truncation_eval_improves_with_dim(spark):
+    from fiveg_spark.operators.similarity import _truncation_eval_sql
+    from fiveg_spark.plans.registry import ensure_views
+    from tests.conftest import SF_DIR
+
+    ensure_views(spark, ("embeddings",), SF_DIR)
+    rows = {r["dim"]: r.asDict()
+            for r in spark.sql(_truncation_eval_sql("spark")).collect()}
+    assert sorted(rows) == [8, 16, 32]
+    # longer prefixes must approximate the full cosine better and agree
+    # more often on the duplicate decision
+    assert rows[8]["mean_abs_err"] > rows[16]["mean_abs_err"] > rows[32]["mean_abs_err"]
+    assert rows[8]["dup_decision_agreement"] <= rows[16]["dup_decision_agreement"] <= rows[32]["dup_decision_agreement"]
+    for r in rows.values():
+        assert 0.0 <= r["dup_decision_agreement"] <= 1.0
+        assert r["n_pairs"] == 1225
