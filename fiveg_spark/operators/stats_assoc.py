@@ -287,7 +287,74 @@ def _evt_tail_sql(d: str) -> str:
     """
 
 
+def _jackknife_sql(d: str) -> str:
+    # C72 — delete-one-BLOCK jackknife confidence interval for a
+    # ratio-of-sums metric (Efron 1981; the block variant is the
+    # standard error machinery for ratio metrics at data-warehouse
+    # scale, where the iid bootstrap would need a resampling pass the
+    # fact table can't afford): metric = mean value per event_type as
+    # sum(value)/count, blocks = days.  Leave-one-day-out replicates
+    #   R_(i) = (S − s_i) / (N − n_i),
+    #   se² = (B − 1) · var_pop(R_(i)),
+    # which is robust to within-day correlation that the naive
+    # sd/sqrt(n) interval ignores — the honest CI for clustered events.
+    #
+    # Scale: ONE fact scan builds the per-(type, day) partials; every
+    # later stage is |types|·|days| arithmetic.  Emitted se/CI values
+    # hash-certify exactly (ratio arithmetic on identical doubles;
+    # var_pop's summation-order noise is absorbed by the edge rounding).
+    # Single-day types have no replicates -> se pinned 0 with a flag.
+    return f"""
+    WITH daily AS (
+      SELECT
+        event_type,
+        date_trunc('day', ts) AS day,
+        sum(value) AS s,
+        count(*) AS n
+      FROM events
+      WHERE value IS NOT NULL
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    tot AS (
+      SELECT event_type, sum(s) AS st, sum(n) AS nt, count(*) AS b
+      FROM daily GROUP BY event_type
+    ),
+    loo AS (
+      SELECT
+        d.event_type,
+        t.b,
+        t.st / t.nt AS ratio,
+        (t.st - d.s) / (t.nt - d.n) AS r_i
+      FROM daily d
+      JOIN tot t ON t.event_type = d.event_type
+      WHERE t.nt > d.n
+    ),
+    jk AS (
+      SELECT
+        event_type,
+        max(b) AS b,
+        max(ratio) AS ratio,
+        CASE WHEN count(*) >= 2
+             THEN sqrt((max(b) - 1.0) * var_pop(r_i))
+             ELSE 0.0 END AS se
+      FROM loo GROUP BY event_type
+    )
+    SELECT
+      t.event_type,
+      {cnt("t.b", "n_days")},
+      {cnt("t.nt", "n_events")},
+      {dbl("t.st / t.nt", "ratio")},
+      {dbl("coalesce(j.se, 0.0)", "jk_se")},
+      {dbl("t.st / t.nt - 1.96 * coalesce(j.se, 0.0)", "ci_lo")},
+      {dbl("t.st / t.nt + 1.96 * coalesce(j.se, 0.0)", "ci_hi")},
+      CAST(t.b >= 2 AND j.se IS NOT NULL AS BOOLEAN) AS se_defined
+    FROM tot t LEFT JOIN jk j ON j.event_type = t.event_type
+    ORDER BY t.event_type
+    """
+
+
 QUERIES = [
+    sql_backed("jackknife_ratio_ci", _jackknife_sql, ("events",)),
     sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
     sql_backed("gini_token_concentration", _gini_sql, ("documents",)),
     sql_backed("event_time_association", _assoc_sql, ("events",)),

@@ -253,6 +253,7 @@ def _event_sql_fns():
     from fiveg_spark.operators.stats_assoc import (
         _assoc_sql,
         _evt_tail_sql,
+        _jackknife_sql,
         _ols_trend_sql,
     )
     from fiveg_spark.operators.timeseries import (
@@ -304,6 +305,8 @@ def _event_sql_fns():
         # midrank ECDF ratios + the n_train = 0 guard (series shorter
         # than the split floor leave the train era empty)
         "quantile_transform": _quantile_transform_sql,
+        # leave-one-out ratio arithmetic + single-block se degenerate
+        "jackknife_ratio_ci": _jackknife_sql,
         "acf_throughput": _acf_sql,
         "ols_trend_per_slice": _ols_trend_sql,
         # m^2/v ratio + xi-branch + power(): tiny tied-value corpora

@@ -283,3 +283,41 @@ def test_conformal_intervals_cover_on_stationary_series(spark):
     assert r["interval_radius"] == 0.0
     assert r["test_coverage"] == 1.0
     assert r["n_val"] > 0 and r["n_test"] > 0
+
+
+def test_jackknife_ratio_ci_covers_and_degenerates(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.stats_assoc import _jackknife_sql
+
+    # type A: 10 days with per-day means wobbling around 50 -> se > 0
+    # and the CI brackets the pooled ratio; type B: single day -> no
+    # replicates, se pinned 0 and flagged undefined
+    rows = []
+    eid = 0
+    for day in range(10):
+        for i in range(20):
+            v = 50.0 + (day - 4.5) * 2.0 + (i % 3)
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + day), "A", i, v, "{}")
+            )
+            eid += 1
+    for i in range(20):
+        rows.append((eid, dt.datetime(2024, 1, 1), "B", i, 7.0, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT,"
+        " value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+    got = {r["event_type"]: r.asDict()
+           for r in spark.sql(_jackknife_sql("spark")).collect()}
+    a = got["A"]
+    assert a["n_days"] == 10 and a["se_defined"]
+    assert a["jk_se"] > 0
+    assert a["ci_lo"] < a["ratio"] < a["ci_hi"]
+    # day means span 41..60: the CI must sit inside that envelope
+    assert 41 < a["ci_lo"] and a["ci_hi"] < 60
+    b = got["B"]
+    assert b["n_days"] == 1 and not b["se_defined"]
+    assert b["jk_se"] == 0.0 and b["ci_lo"] == b["ratio"] == b["ci_hi"] == 7.0
