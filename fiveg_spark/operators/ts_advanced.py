@@ -368,6 +368,142 @@ def _triangle_tail(edges_rel: str, tris_rel: str) -> str:
     """
 
 
+K_CORE = 6  # strong-trade graph core numbers span 1..10: 6 cuts mid-shell
+KCORE_ITERS = 8
+KCORE_W_QUANTILE = 0.6  # edge keeps if its lineitem count >= this quantile
+
+# weighted trade graph restricted to STRONG edges (volume >= the 60th
+# percentile): the raw nation graph is a uniform near-clique (every
+# node shares the same core number — nothing to decompose); the strong
+# subgraph has genuine shell structure at every SF
+_KCORE_PAIRS_SQL = """
+      SELECT
+        least(cn.n_name, sn.n_name) AS a,
+        greatest(cn.n_name, sn.n_name) AS b,
+        count(*) AS w
+      FROM customer c
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+      GROUP BY least(cn.n_name, sn.n_name), greatest(cn.n_name, sn.n_name)
+"""
+
+
+def _kcore_edges_from(pairs_rel: str, d: str) -> str:
+    """Strong-edge filter over an ALREADY-BUILT weighted pair relation
+    (the Spark run materializes it once; the oracle marks it
+    MATERIALIZED) — the fact join never runs twice."""
+    from fiveg_spark.plans.registry import pct
+
+    q = pct("w", KCORE_W_QUANTILE, d)
+    return f"""
+      SELECT a, b FROM {pairs_rel} w CROSS JOIN (
+        SELECT round({q} + 1e-9, 4) + 0.0 AS med FROM {pairs_rel}
+      ) m
+      WHERE w.w >= m.med
+    """
+
+
+def _kcore_oracle() -> str:
+    # chained fixed-iteration peel (the C34 PageRank precedent: a fixed
+    # number of rounds run IDENTICALLY on both engines): s_{i+1} = nodes
+    # of s_i whose degree within s_i is >= k.  Every CTE is MATERIALIZED
+    # — each d_i references s_{i-1} TWICE, so DuckDB's default inlining
+    # doubles the plan per round (measured: 2 minutes for 8 rounds on a
+    # 25-node graph; materialized: milliseconds).
+    ctes = [
+        f"pairs AS MATERIALIZED ({_KCORE_PAIRS_SQL})",
+        f"edges AS MATERIALIZED ({_kcore_edges_from('pairs', 'duckdb')})",
+        "sym AS MATERIALIZED "
+        "(SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges)",
+        "s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym)",
+    ]
+    for i in range(1, KCORE_ITERS + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+              SELECT s.a AS node, count(*) AS c
+              FROM sym s
+              JOIN s{i - 1} x ON s.a = x.node
+              JOIN s{i - 1} y ON s.b = y.node
+              GROUP BY s.a
+            )"""
+        )
+        ctes.append(
+            f"s{i} AS MATERIALIZED "
+            f"(SELECT node FROM d{i} WHERE c >= {K_CORE})"
+        )
+    t = KCORE_ITERS
+    joined = ",\n".join(ctes)
+    return f"""
+    WITH {joined},
+    final_deg AS (
+      SELECT s.a AS node, count(*) AS c
+      FROM sym s
+      JOIN s{t} x ON s.a = x.node
+      JOIN s{t} y ON s.b = y.node
+      GROUP BY s.a
+    )
+    SELECT node AS nation, CAST(c AS BIGINT) AS core_degree
+    FROM final_deg
+    ORDER BY nation
+    """
+
+
+def _kcore_run(spark, sf_dir):
+    # C73 — k-core decomposition of the nation trade graph (Seidman
+    # 1983; Batagelj-Zaversnik peel): iteratively remove nodes whose
+    # degree within the survivors is < k — the densely-interconnected
+    # trading bloc that simple degree thresholds overstate (a hub whose
+    # neighbours all vanish vanishes too).  Spark runs the peel as a
+    # driver loop over a CHECKPOINTED symmetric edge list (each round:
+    # two semi-joins + one count agg, shuffle bounded by the edge list,
+    # the C53/E15 iterative discipline); the oracle replays the same
+    # fixed-round peel as chained CTEs.  At 100 TB-scale graphs the
+    # loop's per-round cost is one edge-list pass — the standard
+    # distributed k-core shape.
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(
+        spark, ("customer", "nation", "orders", "lineitem", "supplier"), sf_dir
+    )
+    spark.sql(_KCORE_PAIRS_SQL).localCheckpoint().createOrReplaceTempView(
+        "_kcore_pairs"
+    )
+    edges = spark.sql(_kcore_edges_from("_kcore_pairs", "spark"))
+    sym = (
+        edges.selectExpr("a", "b")
+        .union(edges.selectExpr("b AS a", "a AS b"))
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    for _ in range(KCORE_ITERS):
+        deg = (
+            sym.join(nodes.withColumnRenamed("node", "a"), "a")
+            .join(nodes.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.count("*").alias("c"))
+        )
+        nodes = (
+            deg.filter(F.col("c") >= K_CORE)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint()
+        )
+    final = (
+        sym.join(nodes.withColumnRenamed("node", "a"), "a")
+        .join(nodes.withColumnRenamed("node", "b"), "b")
+        .groupBy("a")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("a").alias("nation"), "core_degree")
+        .orderBy("nation")
+    )
+    return final
+
+
 def _triangle_count_sql(d: str) -> str:
     return f"""
     WITH edges_raw AS ({_TRIANGLE_EDGES_SQL}),
@@ -663,4 +799,6 @@ QUERIES = [
     # WITH RECURSIVE vs DuckDB recursion; cross-checks the C53 loop
     sql_backed("khop_recursive", _khop_sql,
                ("customer", "nation", "orders", "lineitem", "supplier")),
+    # new r7, non-deferred
+    Query("kcore_trade_bloc", _kcore_run, _kcore_oracle()),
 ]

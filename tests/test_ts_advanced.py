@@ -166,3 +166,43 @@ def test_dominant_period_recovers_planted_daily_cycle(spark):
     for r in got:
         if r["period_hours"] in (6, 12):
             assert r["power_share"] < 0.05, r
+
+
+def test_kcore_matches_pure_python_peel(spark):
+    from collections import defaultdict
+
+    from fiveg_spark.operators.ts_advanced import (
+        K_CORE,
+        _kcore_edges_from,
+        _kcore_run,
+        _KCORE_PAIRS_SQL,
+    )
+    from fiveg_spark.plans.registry import ensure_views
+    from tests.conftest import SF_DIR
+
+    got = {r["nation"]: r["core_degree"] for r in _kcore_run(spark, SF_DIR).collect()}
+
+    # independent reference: full (non-truncated) peel in plain Python
+    # over the same strong-edge graph
+    ensure_views(
+        spark, ("customer", "nation", "orders", "lineitem", "supplier"), SF_DIR
+    )
+    spark.sql(_KCORE_PAIRS_SQL).createOrReplaceTempView("_kc_test_pairs")
+    edges = spark.sql(_kcore_edges_from("_kc_test_pairs", "spark")).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r["a"]].add(r["b"])
+        adj[r["b"]].add(r["a"])
+    live = {n: set(v) for n, v in adj.items()}
+    while True:
+        drop = [n for n, nb in live.items() if len(nb) < K_CORE]
+        if not drop:
+            break
+        for n in drop:
+            for m in live[n]:
+                live[m].discard(n)
+            del live[n]
+    assert set(got) == set(live)
+    for n, deg in got.items():
+        assert deg == len(live[n])
+        assert deg >= K_CORE
