@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from fiveg_spark.operators.kpi import flows_cte
 from fiveg_spark.operators.timeseries import _hourly_cte
-from fiveg_spark.plans.registry import Query, cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, epoch, sql_backed
 
 
 def _hopping_window_sql(d: str) -> str:
@@ -710,6 +710,78 @@ def _lp_run(spark, sf_dir):
     return labels.select("node", F.col("lbl").alias("community")).orderBy("node")
 
 
+CCF_MAX_LAG = 6  # hours each direction
+
+
+def _ccf_sql(d: str) -> str:
+    # D35 — cross-correlation function between slice PAIRS at hourly
+    # lags ±CCF_MAX_LAG: the lead-lag discovery companion to D13's ACF
+    # ("does URLLC load lead eMBB by two hours?") — the diagnostic that
+    # justifies including cross-slice lag features in the VAR design
+    # (D5 currently lags each series against itself only).
+    #
+    # Correlation is corr_safe (native corr banned: ANSI div-by-zero on
+    # constant eras); the lag join keys on exact integer-derived epoch
+    # seconds (engine-identical doubles), so pairs align bit-exactly.
+    # A rank window marks each pair's strongest |lag| on ROUNDED scores.
+    #
+    # Scale: the hourly frame is tiny (one agg shuffle); the lag
+    # alignment is |lags| self-joins of that rollup keyed on (pair,
+    # epoch) — never on facts.
+    from fiveg_spark.plans.registry import corr_safe
+
+    if d == "spark":
+        lags = (
+            f"SELECT explode(sequence({-CCF_MAX_LAG}, {CCF_MAX_LAG})) AS lag"
+        )
+    else:
+        lags = (
+            f"SELECT unnest(generate_series({-CCF_MAX_LAG}, {CCF_MAX_LAG}))"
+            " AS lag"
+        )
+    return f"""
+    {_hourly_cte(d)},
+    series AS (
+      SELECT slice, {epoch("h", d)} AS t, throughput_bps AS v FROM hourly
+    ),
+    pairs AS (
+      SELECT a.slice AS sa, b.slice AS sb
+      FROM (SELECT DISTINCT slice FROM series) a
+      JOIN (SELECT DISTINCT slice FROM series) b ON a.slice < b.slice
+    ),
+    aligned AS (
+      SELECT
+        p.sa, p.sb, lg.lag,
+        x.v AS va, y.v AS vb
+      FROM pairs p
+      CROSS JOIN ({lags}) lg
+      JOIN series x ON x.slice = p.sa
+      JOIN series y ON y.slice = p.sb AND y.t = x.t + lg.lag * 3600.0
+    ),
+    scored AS (
+      SELECT
+        sa, sb, lag,
+        count(*) AS n,
+        round({corr_safe("va", "vb")} + {NUDGE}, 4) + 0.0 AS ccf
+      FROM aligned
+      GROUP BY sa, sb, lag
+    )
+    SELECT
+      sa AS slice_a,
+      sb AS slice_b,
+      {cnt("lag", "lag_hours")},
+      {cnt("n", "n_aligned")},
+      CAST(ccf AS DOUBLE) AS ccf,
+      {cnt(
+          "row_number() OVER (PARTITION BY sa, sb "
+          "ORDER BY abs(ccf) DESC, lag)",
+          "strength_rank",
+      )}
+    FROM scored
+    ORDER BY slice_a, slice_b, lag_hours
+    """
+
+
 SPECTRAL_PERIODS = (6, 12, 24, 48)  # candidate cycles, hours
 
 
@@ -801,4 +873,5 @@ QUERIES = [
                ("customer", "nation", "orders", "lineitem", "supplier")),
     # new r7, non-deferred
     Query("kcore_trade_bloc", _kcore_run, _kcore_oracle()),
+    sql_backed("cross_correlation", _ccf_sql, ("events",)),
 ]

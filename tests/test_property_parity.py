@@ -284,6 +284,7 @@ def _event_sql_fns():
         _value_percentiles_sql,
     )
     from fiveg_spark.operators.ts_advanced import (
+        _ccf_sql,
         _dominant_period_sql,
         _hopping_window_sql,
     )
@@ -307,6 +308,9 @@ def _event_sql_fns():
         "quantile_transform": _quantile_transform_sql,
         # leave-one-out ratio arithmetic + single-block se degenerate
         "jackknife_ratio_ci": _jackknife_sql,
+        # corr_safe on constant/misaligned eras; single-slice corpora
+        # produce zero pairs
+        "cross_correlation": _ccf_sql,
         "acf_throughput": _acf_sql,
         "ols_trend_per_slice": _ols_trend_sql,
         # m^2/v ratio + xi-branch + power(): tiny tied-value corpora

@@ -206,3 +206,37 @@ def test_kcore_matches_pure_python_peel(spark):
     for n, deg in got.items():
         assert deg == len(live[n])
         assert deg >= K_CORE
+
+
+def test_ccf_recovers_planted_lead_lag(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators.ts_advanced import _ccf_sql
+
+    # eMBB (user 0) is a sinusoid; URLLC (user 1) is the SAME sinusoid
+    # delayed by 2 hours.  Pair order is lexicographic (URLLC < eMBB,
+    # ASCII uppercase-first), so slice_a is the FOLLOWER: the aligned
+    # join matches slice_b at t + lag, and b leads a by 2 -> peak at
+    # lag = -2.
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(96):
+        base = 1000.0 + 400.0 * math.sin(2 * math.pi * h / 24.0)
+        lagged = 1000.0 + 400.0 * math.sin(2 * math.pi * (h - 2) / 24.0)
+        rows.append((eid, t0 + dt.timedelta(hours=h), "view", 0, base, "{}"))
+        eid += 1
+        rows.append((eid, t0 + dt.timedelta(hours=h), "view", 1, lagged, "{}"))
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT,"
+        " value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+    got = [r.asDict() for r in spark.sql(_ccf_sql("spark")).collect()]
+    assert len(got) == 13  # one pair, lags -6..6
+    top = next(r for r in got if r["strength_rank"] == 1)
+    assert (top["slice_a"], top["slice_b"]) == ("URLLC", "eMBB")
+    assert top["lag_hours"] == -2
+    assert top["ccf"] > 0.99
