@@ -212,6 +212,74 @@ def _transition_matrix_sql(d: str) -> str:
     """
 
 
+def _entropy_rate_sql(d: str) -> str:
+    # C74 — Markov entropy rate of the event-type process (Cover &
+    # Thomas ch. 4): per prev_type the conditional entropy
+    # H(next|prev) = −Σ p(next|prev)·ln p(next|prev), plus the chain's
+    # entropy RATE Σ π(prev)·H(next|prev) (π = empirical transition
+    # mass) and the zeroth-order marginal entropy for contrast — the
+    # gap between them is exactly how much behavioral predictability
+    # the C54 transition model captures (0 gap = memoryless stream).
+    # Every 'ALL' row rides in the same frame via a UNION of two tiny
+    # aggregates over the |types|² transition counts.
+    #
+    # Determinism: probabilities are integer-count ratios (exact
+    # engine-identical doubles); ln applies to those and sums over
+    # ≤|types| terms — the edge rounding absorbs summation-order ulps.
+    #
+    # Scale: identical single-shuffle shape as C54 (per-user window →
+    # one hash-agg); everything after is |types|²-row arithmetic.
+    return f"""
+    WITH ordered AS (
+      SELECT
+        event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM ordered
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    probs AS (
+      SELECT
+        prev_type,
+        n,
+        CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
+      FROM trans
+    ),
+    cond AS (
+      SELECT prev_type, sum(n) AS n_from, -sum(p * ln(p)) AS h
+      FROM probs
+      GROUP BY prev_type
+    ),
+    total AS (SELECT sum(n) AS nt FROM trans),
+    marg AS (
+      SELECT -sum((CAST(m.n AS DOUBLE) / t.nt) * ln(CAST(m.n AS DOUBLE) / t.nt)) AS h0
+      FROM (SELECT next_type, sum(n) AS n FROM trans GROUP BY next_type) m
+      CROSS JOIN total t
+    )
+    SELECT
+      prev_type,
+      {cnt("n_from", "n_transitions")},
+      {dbl("h", "h_cond_nats")},
+      {dbl("0.0", "h_marginal_nats")}
+    FROM cond
+    UNION ALL
+    SELECT
+      'ALL' AS prev_type,
+      {cnt("t.nt", "n_transitions")},
+      {dbl(
+          "(SELECT sum(c.n_from * c.h) FROM cond c) / t.nt",
+          "h_cond_nats",
+      )},
+      {dbl("m.h0", "h_marginal_nats")}
+    FROM total t CROSS JOIN marg m
+    ORDER BY prev_type
+    """
+
+
 def _rfm_segments_sql(d: str) -> str:
     # C55 — RFM segmentation: per-user recency/frequency/monetary, each
     # ntile(5)-banded (deterministic tiebreak on user_id; ntile gives
@@ -334,4 +402,6 @@ QUERIES = [
     materialized_backed(
         "attribution_credit", _attribution_parts, ("events",),
     ),
+    # new r7, non-deferred
+    sql_backed("sequence_entropy_rate", _entropy_rate_sql, ("events",)),
 ]

@@ -263,7 +263,10 @@ def _event_sql_fns():
     from fiveg_spark.operators.ts_diagnostics import _acf_sql
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
-    from fiveg_spark.operators.behavior import _transition_matrix_sql
+    from fiveg_spark.operators.behavior import (
+        _entropy_rate_sql,
+        _transition_matrix_sql,
+    )
     from fiveg_spark.operators.rollup_stats import _concurrency_sql
     from fiveg_spark.operators.timeseries import (
         _cohort_retention_sql,
@@ -320,6 +323,9 @@ def _event_sql_fns():
         "feature_correlations": _feature_correlations_sql,
         # behavior block: tie-handling + window logic on tiny streams
         "transition_matrix": _transition_matrix_sql,
+        # p·ln(p) sums over integer ratios; single-transition and
+        # single-type streams hit the deterministic h=0 rows
+        "sequence_entropy_rate": _entropy_rate_sql,
         "cohort_retention": _cohort_retention_sql,
         "funnel_stages": _funnel_sql,
         "time_to_convert": _time_to_convert_sql,

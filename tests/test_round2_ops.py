@@ -223,3 +223,40 @@ def test_quantile_transform_uniformizes_train_and_clips_test(spark):
     assert abs(sum(qs) / len(qs) - 0.5) < 1e-6
     assert qs[0] == round(0.5 / 70 + 1e-9, 4)
     assert all(r["q_train"] == 1.0 for r in test)  # beyond train max
+
+
+def test_entropy_rate_deterministic_vs_random_chains(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators.behavior import _entropy_rate_sql
+
+    # user 0: deterministic cycle a->b->a->b (H(next|prev) = 0);
+    # user 1: from 'c' the next event alternates c/d evenly over time
+    # -> H(next|'c') = ln 2
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for i in range(40):
+        rows.append((eid, t0 + dt.timedelta(minutes=i), "a" if i % 2 == 0 else "b", 0, 1.0, "{}"))
+        eid += 1
+    seq = []
+    for i in range(40):
+        seq.append("c")
+        seq.append("c" if i % 2 == 0 else "d")
+    for i, typ in enumerate(seq):
+        rows.append((eid, t0 + dt.timedelta(minutes=i), typ, 1, 1.0, "{}"))
+        eid += 1
+    _events_from(spark, rows)
+    got = {r["prev_type"]: r.asDict()
+           for r in spark.sql(_entropy_rate_sql("spark")).collect()}
+    assert got["a"]["h_cond_nats"] == 0.0  # always -> b
+    assert got["b"]["h_cond_nats"] == 0.0  # always -> a
+    # from 'c': roughly half the transitions go c, half d (edge effects
+    # from the alternating construction skew the split slightly)
+    assert abs(got["c"]["h_cond_nats"] - math.log(2)) < 0.1
+    all_row = got["ALL"]
+    assert 0.0 < all_row["h_cond_nats"] < all_row["h_marginal_nats"] + 1e-9
+    assert all_row["n_transitions"] == sum(
+        v["n_transitions"] for k, v in got.items() if k != "ALL"
+    )
