@@ -570,6 +570,61 @@ def _mw_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ], tail
 
 
+THEILSEN_MAX_LAG = 168  # pair horizon, hours (one week)
+
+
+def _theilsen_sql(d: str) -> str:
+    # D36 — Theil-Sen robust trend per slice (Theil 1950; Sen 1968):
+    # slope = median of pairwise slopes (v_j−v_i)/(t_j−t_i), the
+    # 29%-breakdown-point complement to C44's least-squares trend —
+    # one wild outlier hour moves OLS arbitrarily and Theil-Sen not at
+    # all.  Intercept = median(v − slope·t), the standard companion.
+    #
+    # Scale: the full pair set is O(n²) in the series length; pairs are
+    # BOUNDED to a THEILSEN_MAX_LAG-hour horizon (the estimator over
+    # banded pairs keeps the breakdown property; Sen's original works
+    # over any symmetric pair scheme), making the shape O(n·lag) on the
+    # hourly ROLLUP — which grows with calendar time, not data volume.
+    # The banded self-join keys on slice + an epoch-hour band.
+    #
+    # Determinism: t and v are exact engine-identical doubles; slopes
+    # are their IEEE ratios; the median interpolates identically (pct
+    # helper) and rounds before the intercept computation so both
+    # engines subtract the same slope.
+    return f"""
+    {_hourly_cte(d)},
+    series AS (
+      SELECT slice, {epoch("h", d)} / 3600.0 AS th, throughput_bps AS v
+      FROM hourly
+    ),
+    slopes AS (
+      SELECT
+        a.slice,
+        (b.v - a.v) / (b.th - a.th) AS s
+      FROM series a
+      JOIN series b
+        ON b.slice = a.slice
+       AND b.th > a.th
+       AND b.th <= a.th + {THEILSEN_MAX_LAG}
+    ),
+    fit AS (
+      SELECT slice,
+             count(*) AS n_pairs,
+             round({pct("s", 0.5, d)} + {NUDGE}, 4) + 0.0 AS slope
+      FROM slopes GROUP BY slice
+    )
+    SELECT
+      f.slice,
+      {cnt("f.n_pairs", "n_pairs")},
+      CAST(f.slope AS DOUBLE) AS slope_per_hour,
+      {dbl(pct("sr.v - f.slope * sr.th", 0.5, d), "intercept")}
+    FROM fit f
+    JOIN series sr ON sr.slice = f.slice
+    GROUP BY f.slice, f.n_pairs, f.slope
+    ORDER BY f.slice
+    """
+
+
 def _conformal_sql(d: str) -> str:
     # D26 — split-conformal prediction intervals around the seasonal-
     # naive forecaster: calibrate the |residual| q90 on the VALIDATION
@@ -638,4 +693,5 @@ QUERIES = [
     # new r7, non-deferred
     materialized_backed("ks_two_sample", _ks_parts, ("events",)),
     materialized_backed("mann_whitney_shift", _mw_parts, ("events",)),
+    sql_backed("theilsen_trend", _theilsen_sql, ("events",)),
 ]

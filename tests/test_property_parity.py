@@ -260,7 +260,7 @@ def _event_sql_fns():
         _feature_correlations_sql,
         _window_entropy_sql,
     )
-    from fiveg_spark.operators.ts_diagnostics import _acf_sql
+    from fiveg_spark.operators.ts_diagnostics import _acf_sql, _theilsen_sql
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
     from fiveg_spark.operators.behavior import (
@@ -326,6 +326,9 @@ def _event_sql_fns():
         # p·ln(p) sums over integer ratios; single-transition and
         # single-type streams hit the deterministic h=0 rows
         "sequence_entropy_rate": _entropy_rate_sql,
+        # pairwise-slope ratios on tied timestamps (1-row series ->
+        # zero pairs -> no fit row)
+        "theilsen_trend": _theilsen_sql,
         "cohort_retention": _cohort_retention_sql,
         "funnel_stages": _funnel_sql,
         "time_to_convert": _time_to_convert_sql,

@@ -260,3 +260,24 @@ def test_entropy_rate_deterministic_vs_random_chains(spark):
     assert all_row["n_transitions"] == sum(
         v["n_transitions"] for k, v in got.items() if k != "ALL"
     )
+
+
+def test_theilsen_ignores_outliers_ols_cannot(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _theilsen_sql
+
+    # clean linear trend of +3 per hour in value (x8 in throughput_bps,
+    # the hourly rollup's unit), with two absurd outlier hours: the
+    # median-of-slopes fit must recover ~24 bps/hour regardless
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in range(72):
+        v = 100.0 + 3.0 * h
+        if h in (20, 45):
+            v = 1e6
+        rows.append((h, t0 + dt.timedelta(hours=h), "view", 0, v, "{}"))
+    _events_from(spark, rows)
+    (r,) = spark.sql(_theilsen_sql("spark")).collect()
+    assert abs(r["slope_per_hour"] - 24.0) < 0.05
+    assert r["n_pairs"] == 72 * 71 // 2  # all pairs inside the 168h band
