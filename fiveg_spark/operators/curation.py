@@ -30,6 +30,80 @@ def _doc_hash(salt: str) -> str:
     return f"substring(md5(concat('{salt}#', CAST(doc_id AS STRING))), 1, 8)"
 
 
+DUP_AUDIT_RATE = 0.3
+
+
+def _dup_audit_sql(d: str) -> str:
+    # E67 — duplicate-rate AUDIT BY SAMPLING: estimate the corpus
+    # content-duplicate rate from a fraction of the data — the 100 TB
+    # question ("how duplicated is this crawl?") answered without the
+    # full-corpus distinct.  The operator certifies the DESIGN insight:
+    # sampling must key on the CONTENT HASH (all copies of a document
+    # land in or out of the sample TOGETHER — within-sample dup rate is
+    # then unbiased for the corpus rate), while the naive row/doc_id
+    # sample splits duplicate groups and biases the estimate LOW (a
+    # pair is only seen if both copies survive, prob p² vs p).  Both
+    # estimators emit side by side with the exact witness, so the bias
+    # is visible in the certified row itself.
+    #
+    # All values are md5-deterministic integer ratios — hash-certified
+    # exactly, no tolerance machinery; the in-row boolean states the
+    # group estimator landed within 0.15 + 2/sqrt(n_sample) of truth.
+    #
+    # Scale: ONE scan; every aggregate is a conditional count over the
+    # same hashed frame.  At 100 TB only the group-sampled stratum
+    # would be MATERIALIZED (frac pushdown on a persisted hash column);
+    # the exact witness is contract-scale-only.
+    thr = _thr(DUP_AUDIT_RATE)
+    g_in = (
+        f"CASE WHEN substring(md5(concat('dupg#', ch)), 1, 8) < '{thr}' "
+        "THEN 1 ELSE 0 END"
+    )
+    r_in = f"CASE WHEN {_doc_hash('dupr')} < '{thr}' THEN 1 ELSE 0 END"
+    return f"""
+    WITH flagged AS (
+      SELECT
+        doc_id,
+        md5(lower(text)) AS ch
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, ch, {g_in} AS g_in, {r_in} AS r_in FROM flagged
+    ),
+    agg AS (
+      SELECT
+        count(*) AS n_docs,
+        count(DISTINCT ch) AS n_distinct,
+        sum(g_in) AS n_g,
+        count(DISTINCT CASE WHEN g_in = 1 THEN ch END) AS n_g_distinct,
+        sum(r_in) AS n_r,
+        count(DISTINCT CASE WHEN r_in = 1 THEN ch END) AS n_r_distinct
+      FROM marked
+    )
+    SELECT
+      {cnt("n_docs", "n_docs")},
+      {dbl("1.0 - CAST(n_distinct AS DOUBLE) / n_docs", "dup_rate_exact")},
+      {cnt("n_g", "n_group_sample")},
+      {dbl(
+          "CASE WHEN n_g > 0 THEN 1.0 - CAST(n_g_distinct AS DOUBLE) / n_g "
+          "ELSE 0.0 END",
+          "dup_rate_group_est",
+      )},
+      {cnt("n_r", "n_row_sample")},
+      {dbl(
+          "CASE WHEN n_r > 0 THEN 1.0 - CAST(n_r_distinct AS DOUBLE) / n_r "
+          "ELSE 0.0 END",
+          "dup_rate_row_est",
+      )},
+      (abs(CASE WHEN n_g > 0 THEN 1.0 - CAST(n_g_distinct AS DOUBLE) / n_g
+                ELSE 0.0 END
+           - (1.0 - CAST(n_distinct AS DOUBLE) / n_docs))
+         <= 0.15 + 2.0 / sqrt(CAST(greatest(n_g, 1) AS DOUBLE)))
+        AS group_est_ok
+    FROM agg
+    """
+
+
 def _stratified_sample_sql(d: str) -> str:
     # E17: per-source keyed-hash sampling at configured rates.
     values = ",\n      ".join(
@@ -362,4 +436,6 @@ QUERIES = [
     sql_backed("training_order", _training_order_sql, ("documents",)),
     sql_backed("snapshot_diff", _snapshot_diff_sql, ("documents",)),
     sql_backed("quality_prune", _quality_prune_sql, ("documents",)),
+    # new r7, non-deferred
+    sql_backed("dup_rate_sample_audit", _dup_audit_sql, ("documents",)),
 ]

@@ -129,3 +129,31 @@ def test_quality_prune_keeps_per_source_top_quartile(spark):
     s2 = got["s2"]
     assert s2["n_kept"] == 2  # uniform source: everything ties the cutoff
     assert abs(s2["kept_rate"] - 1.0) < 1e-9
+
+
+def test_dup_audit_group_sampling_unbiased_row_sampling_low(spark):
+    # 100 distinct docs, 50 of them duplicated 3x -> 200 docs total,
+    # exact dup rate = (200-100)/200 = 0.5.  The content-hash sample
+    # keeps whole duplicate groups (estimator lands near 0.5); the
+    # doc_id sample splits groups and must come in LOW.
+    from fiveg_spark.operators.curation import _dup_audit_sql
+
+    rows = []
+    did = 0
+    for i in range(50):  # unique docs
+        rows.append((did, f"unique text number {i}", "en", "s1", 20))
+        did += 1
+    for i in range(50):  # each duplicated 3x
+        for _ in range(3):
+            rows.append((did, f"duplicated text number {i}", "en", "s1", 24))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    (r,) = spark.sql(_dup_audit_sql("spark")).collect()
+    assert r["n_docs"] == 200
+    assert abs(r["dup_rate_exact"] - 0.5) < 1e-9
+    assert r["group_est_ok"]
+    assert abs(r["dup_rate_group_est"] - 0.5) < 0.2
+    # row sampling splits groups: biased LOW on this corpus
+    assert r["dup_rate_row_est"] < r["dup_rate_group_est"]

@@ -64,6 +64,7 @@ _DOC_SQL = {
 def _more_doc_sql_fns():
     from fiveg_spark.operators.curation import (
         _curation_sql,
+        _dup_audit_sql,
         _hash_split_sql,
         _quality_prune_sql,
         _snapshot_diff_sql,
@@ -108,6 +109,8 @@ def _more_doc_sql_fns():
         "quality_prune": _quality_prune_sql,
         # empty-group string_agg vs collect_list id-hash + churn ratio
         "snapshot_diff": _snapshot_diff_sql,
+        # empty-sample guards + count-distinct-over-CASE ratios
+        "dup_rate_sample_audit": _dup_audit_sql,
     }
 
 
