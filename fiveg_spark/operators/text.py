@@ -203,6 +203,56 @@ BM25_QUERIES = (
 )
 
 
+def _bm25_ranked_ctes(rel: str) -> str:
+    """Shared CTE chain from a materialized (doc, term, tf) relation to
+    the per-query BM25 ranking (qterms → doclen/stats/df → scored →
+    ranked) — used by the retrieval query (E64) and the ranking-quality
+    eval (E68), guaranteeing both score identically."""
+    qvals = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
+    return f"""qterms AS (
+      SELECT * FROM (VALUES {qvals}) AS t(query_id, term)
+    ),
+    doclen AS (
+      SELECT doc_id, sum(tf) AS dl FROM {rel} GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+    ),
+    df AS (
+      SELECT tf.term, count(*) AS df
+      FROM {rel} tf
+      WHERE tf.term IN (SELECT term FROM qterms)
+      GROUP BY tf.term
+    ),
+    scored AS (
+      SELECT
+        q.query_id,
+        tf.doc_id,
+        count(*) AS n_terms_matched,
+        round(sum(
+          ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+          * tf.tf * ({BM25_K1} + 1.0)
+          / (tf.tf + {BM25_K1}
+             * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
+        ) + 1e-9, 4) + 0.0 AS score
+      FROM {rel} tf
+      JOIN qterms q ON q.term = tf.term
+      JOIN df ON df.term = tf.term
+      JOIN doclen l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY q.query_id, tf.doc_id
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, doc_id
+        ) AS rnk
+      FROM scored
+    )"""
+
+
 def _bm25_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E64 — BM25 ranked retrieval (Robertson & Zaragoza 2009, the
     # Okapi/Lucene formulation with the nonnegative idf): score every
@@ -233,50 +283,8 @@ def _bm25_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       )
       SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
     """
-    qvals = ", ".join(
-        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
-    )
     tail = f"""
-    WITH qterms AS (
-      SELECT * FROM (VALUES {qvals}) AS t(query_id, term)
-    ),
-    doclen AS (
-      SELECT doc_id, sum(tf) AS dl FROM _mz_bm25_tf GROUP BY doc_id
-    ),
-    stats AS (
-      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
-    ),
-    df AS (
-      SELECT tf.term, count(*) AS df
-      FROM _mz_bm25_tf tf
-      WHERE tf.term IN (SELECT term FROM qterms)
-      GROUP BY tf.term
-    ),
-    scored AS (
-      SELECT
-        q.query_id,
-        tf.doc_id,
-        count(*) AS n_terms_matched,
-        round(sum(
-          ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-          * tf.tf * ({BM25_K1} + 1.0)
-          / (tf.tf + {BM25_K1}
-             * (1.0 - {BM25_B} + {BM25_B} * l.dl / s.avgdl))
-        ) + 1e-9, 4) + 0.0 AS score
-      FROM _mz_bm25_tf tf
-      JOIN qterms q ON q.term = tf.term
-      JOIN df ON df.term = tf.term
-      JOIN doclen l ON l.doc_id = tf.doc_id
-      CROSS JOIN stats s
-      GROUP BY q.query_id, tf.doc_id
-    ),
-    ranked AS (
-      SELECT *,
-        row_number() OVER (
-          PARTITION BY query_id ORDER BY score DESC, doc_id
-        ) AS rnk
-      FROM scored
-    )
+    WITH {_bm25_ranked_ctes("_mz_bm25_tf")}
     SELECT
       query_id,
       {cnt("rnk", "rnk")},
@@ -288,6 +296,78 @@ def _bm25_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ORDER BY query_id, rnk
     """
     return [("_mz_bm25_tf", tf_sql)], tail
+
+
+def _retrieval_eval_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E68 — rank-quality eval of the BM25 ranking (MRR + nDCG@k,
+    # Järvelin & Kekäläinen 2002): graded relevance = n_terms_matched
+    # (a doc matching all query terms IS more relevant to a keyword
+    # query than a one-term hit — an exact, label-free ground truth the
+    # oracle can recompute), so the eval asks whether the SCORE-based
+    # ordering respects the set-overlap ordering.  nDCG gains are
+    # 2^rel − 1 with log2 discounts; MRR counts a doc relevant when it
+    # matches >= 2 terms.  This is the eval harness a retrieval stack
+    # runs per index build — and because it shares the E64 CTE chain
+    # verbatim, a scoring regression breaks BOTH certified rows.
+    #
+    # Scale: same one-scan shape as E64; the eval tail is arithmetic
+    # over |queries|·|candidates| rows.
+    toks = _tok(d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
+    else:
+        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
+    tf_sql = f"""
+      WITH terms AS (
+        {exploded}
+      )
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    """
+    log2 = "ln(2.0)"
+    gain = "(power(2.0, n_terms_matched) - 1.0)"
+    tail = f"""
+    WITH {_bm25_ranked_ctes("_mz_releval_tf")},
+    topk AS (
+      SELECT * FROM ranked WHERE rnk <= {BM25_TOPK}
+    ),
+    dcg AS (
+      SELECT query_id,
+             sum({gain} / (ln(rnk + 1.0) / {log2})) AS dcg,
+             count(*) AS n_ret,
+             min(CASE WHEN n_terms_matched >= 2 THEN rnk END) AS first_rel
+      FROM topk GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id, n_terms_matched,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY n_terms_matched DESC, doc_id
+             ) AS irnk
+      FROM ranked
+    ),
+    idcg AS (
+      SELECT query_id,
+             sum({gain} / (ln(irnk + 1.0) / {log2})) AS idcg
+      FROM ideal WHERE irnk <= {BM25_TOPK} GROUP BY query_id
+    )
+    SELECT
+      d.query_id,
+      {cnt("d.n_ret", "n_returned")},
+      {dbl(
+          "CASE WHEN d.first_rel IS NOT NULL "
+          "THEN 1.0 / d.first_rel ELSE 0.0 END",
+          "mrr",
+      )},
+      {dbl("d.dcg", "dcg")},
+      {dbl("i.idcg", "idcg")},
+      {dbl(
+          "CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END",
+          "ndcg",
+      )}
+    FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+    ORDER BY d.query_id
+    """
+    return [("_mz_releval_tf", tf_sql)], tail
 
 
 def _rx_all(d: str, x: str, pat: str, rep: str) -> str:
@@ -342,4 +422,7 @@ QUERIES = [
     sql_backed("text_normalize", _text_normalize_sql, ("documents",)),
     # new r7, non-deferred
     materialized_backed("bm25_retrieval", _bm25_parts, ("documents",)),
+    materialized_backed(
+        "retrieval_eval_lexical", _retrieval_eval_parts, ("documents",),
+    ),
 ]

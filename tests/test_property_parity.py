@@ -438,7 +438,7 @@ def _doc_parts_fns():
         _dsir_parts,
     )
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
-    from fiveg_spark.operators.text import _bm25_parts
+    from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
 
     return {
         # short docs (< SPAN_K tokens), whole-corpus duplicates, and
@@ -459,6 +459,8 @@ def _doc_parts_fns():
         # hits (0 rows) and all-identical docs (rank ties -> doc_id
         # tiebreak on the rounded score) land here
         "bm25_retrieval": _bm25_parts,
+        # 2^rel gains + log2 discounts + idcg=0 guard on no-hit corpora
+        "retrieval_eval_lexical": _retrieval_eval_parts,
     }
 
 

@@ -150,3 +150,27 @@ def test_bm25_ranks_full_matches_above_partial_and_rare_terms_higher(spark):
     assert [r["n_terms_matched"] for r in got[:3]] == [3, 2, 1]
     assert got[0]["bm25"] > got[1]["bm25"] > got[2]["bm25"] > 0
     assert len(got) <= BM25_TOPK
+
+
+def test_retrieval_eval_perfect_ranking_gets_ndcg_1(spark):
+    from fiveg_spark.operators.text import _retrieval_eval_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # q_stream docs: BM25 ranks the 3-term match above 2-term above
+    # 1-term (idf-uniform filler), which IS the ideal overlap ordering
+    # -> nDCG = 1.0 and MRR = 1.0 (first hit matches >= 2 terms)
+    rows = [
+        (0, "spark stream window runs fine", "en", "s1", 29),
+        (1, "spark stream only here", "en", "s1", 22),
+        (2, "spark alone in this doc", "en", "s1", 23),
+    ] + [
+        (3 + i, "filler words padding text body", "en", "s2", 30)
+        for i in range(7)
+    ]
+    _docs_view(spark, rows)
+    got = {r["query_id"]: r.asDict()
+           for r in run_parts(spark, _retrieval_eval_parts).collect()}
+    q = got["q_stream"]
+    assert q["ndcg"] == 1.0
+    assert q["mrr"] == 1.0
+    assert q["dcg"] == q["idcg"] > 0
