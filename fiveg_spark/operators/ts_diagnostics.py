@@ -675,6 +675,81 @@ def _conformal_sql(d: str) -> str:
     """
 
 
+CONFORMAL_ALPHAS = (0.8, 0.9, 0.95)
+
+
+def _conformal_sweep_sql(d: str) -> str:
+    # D37 — the D26 split-conformal machinery swept over MULTIPLE
+    # nominal levels in one pass: a production consumer rarely wants a
+    # single 90% band — the (80/90/95) ladder shows how fast intervals
+    # widen in the tail, and a test-era coverage that degrades with
+    # alpha localizes WHERE the residual distribution drifted (bulk vs
+    # tail).  The val-era radii compute as three literal-percentile agg
+    # columns in ONE aggregate (Spark's percentile needs a foldable p),
+    # then unpivot to (slice, alpha, radius) rows — the C38 stack ↔
+    # UNION dual — and one broadcast join measures all coverages in a
+    # single test-era pass.
+    alphas = CONFORMAL_ALPHAS
+    qcols = ", ".join(
+        f"round({pct('abs(v - pred)', a, d)} + {NUDGE}, 4) + 0.0 AS q{int(a * 100)}"
+        for a in alphas
+    )
+    if d == "spark":
+        unpivot = (
+            "SELECT slice, n_val, s.alpha AS alpha, s.q AS radius FROM radii "
+            "LATERAL VIEW explode(array("
+            + ", ".join(
+                f"named_struct('alpha', CAST({a} AS DOUBLE), 'q', q{int(a * 100)})"
+                for a in alphas
+            )
+            + ")) t AS s"
+        )
+    else:
+        unpivot = " UNION ALL ".join(
+            f"SELECT slice, n_val, CAST({a} AS DOUBLE) AS alpha,"
+            f" q{int(a * 100)} AS radius FROM radii"
+            for a in alphas
+        )
+    return f"""
+    {_hourly_cte(d)},
+    lagged AS (
+      SELECT
+        slice, h, throughput_bps AS v,
+        lag(throughput_bps, 24) OVER (PARTITION BY slice ORDER BY h) AS pred,
+        row_number() OVER (PARTITION BY slice ORDER BY h) AS rn,
+        count(*) OVER (PARTITION BY slice) AS n
+      FROM hourly
+    ),
+    split AS (
+      SELECT *,
+             CASE WHEN rn <= floor(0.7 * n) THEN 'train'
+                  WHEN rn <= floor(0.85 * n) THEN 'val'
+                  ELSE 'test' END AS part
+      FROM lagged WHERE pred IS NOT NULL
+    ),
+    radii AS (
+      SELECT slice, count(*) AS n_val, {qcols}
+      FROM split WHERE part = 'val' GROUP BY slice
+    ),
+    rlong AS (
+      {unpivot}
+    )
+    SELECT
+      s.slice,
+      {dbl("max(r.alpha)", "alpha")},
+      {cnt("max(r.n_val)", "n_val")},
+      {cnt("count(*)", "n_test")},
+      {dbl("max(r.radius)", "interval_radius")},
+      {dbl("avg(CASE WHEN abs(s.v - s.pred) <= r.radius THEN 1.0 ELSE 0.0 END)",
+           "test_coverage")}
+    FROM split s
+    JOIN rlong r ON r.slice = s.slice
+    WHERE s.part = 'test'
+    GROUP BY s.slice, r.alpha
+    ORDER BY s.slice, alpha
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("cusum_drift", _cusum_sql, ("events",)),
@@ -694,4 +769,5 @@ QUERIES = [
     materialized_backed("ks_two_sample", _ks_parts, ("events",)),
     materialized_backed("mann_whitney_shift", _mw_parts, ("events",)),
     sql_backed("theilsen_trend", _theilsen_sql, ("events",)),
+    sql_backed("conformal_alpha_sweep", _conformal_sweep_sql, ("events",)),
 ]

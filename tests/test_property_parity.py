@@ -263,7 +263,11 @@ def _event_sql_fns():
         _feature_correlations_sql,
         _window_entropy_sql,
     )
-    from fiveg_spark.operators.ts_diagnostics import _acf_sql, _theilsen_sql
+    from fiveg_spark.operators.ts_diagnostics import (
+        _acf_sql,
+        _conformal_sweep_sql,
+        _theilsen_sql,
+    )
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
     from fiveg_spark.operators.behavior import (
@@ -332,6 +336,9 @@ def _event_sql_fns():
         # pairwise-slope ratios on tied timestamps (1-row series ->
         # zero pairs -> no fit row)
         "theilsen_trend": _theilsen_sql,
+        # percentile-column unpivot (stack vs UNION dual) + short
+        # series with empty val/test eras
+        "conformal_alpha_sweep": _conformal_sweep_sql,
         "cohort_retention": _cohort_retention_sql,
         "funnel_stages": _funnel_sql,
         "time_to_convert": _time_to_convert_sql,

@@ -281,3 +281,23 @@ def test_theilsen_ignores_outliers_ols_cannot(spark):
     (r,) = spark.sql(_theilsen_sql("spark")).collect()
     assert abs(r["slope_per_hour"] - 24.0) < 0.05
     assert r["n_pairs"] == 72 * 71 // 2  # all pairs inside the 168h band
+
+
+def test_conformal_sweep_radii_and_coverage_monotone(spark):
+    from fiveg_spark.operators.ts_diagnostics import _conformal_sweep_sql
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("events",), SF_DIR)
+    rows = [r.asDict() for r in spark.sql(_conformal_sweep_sql("spark")).collect()]
+    by_slice = {}
+    for r in rows:
+        by_slice.setdefault(r["slice"], []).append(r)
+    assert all(len(v) == 3 for v in by_slice.values())
+    for v in by_slice.values():
+        v.sort(key=lambda r: r["alpha"])
+        radii = [r["interval_radius"] for r in v]
+        covs = [r["test_coverage"] for r in v]
+        # wider nominal level -> wider interval -> no less coverage
+        assert radii == sorted(radii)
+        assert covs == sorted(covs)
+        assert all(0.0 <= c <= 1.0 for c in covs)
