@@ -14,7 +14,7 @@ a rank window partitioned by the group key (never a global sort).
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import NUDGE, cnt, dbl, sql_backed
 
 
 def _q13_order_counts_sql(d: str) -> str:
@@ -212,7 +212,56 @@ def _lateral_topk_sql(d: str) -> str:
     """
 
 
+def _hhi_sql(d: str) -> str:
+    # C75 — Herfindahl-Hirschman supply-concentration index per part
+    # brand: supplier shares of shipped quantity squared and summed —
+    # the standard market-concentration metric (DOJ/FTC horizontal
+    # merger guidelines use 0.15/0.25 cutoffs on the 0-1 scale), here
+    # answering "which brands depend on few suppliers" from the fact
+    # table.  Share arithmetic is ratio-of-sums (engine-identical); the
+    # concentration class branches on the ROUNDED hhi (round-before-
+    # branch discipline).
+    #
+    # Scale: one lineitem scan joined to the broadcast part dim, one
+    # (brand, supplier) agg, then a |brands|·|suppliers|-row rollup —
+    # the shuffles are the same family as q14's.
+    return f"""
+    WITH shipped AS (
+      SELECT p.p_brand, l.l_suppkey, sum(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, l.l_suppkey
+    ),
+    shares AS (
+      SELECT
+        p_brand,
+        qty / sum(qty) OVER (PARTITION BY p_brand) AS share
+      FROM shipped
+    ),
+    hhi AS (
+      SELECT
+        p_brand,
+        count(*) AS n_suppliers,
+        round(sum(share * share) + {NUDGE}, 4) + 0.0 AS h,
+        round(max(share) + {NUDGE}, 4) + 0.0 AS top_share
+      FROM shares
+      GROUP BY p_brand
+    )
+    SELECT
+      p_brand,
+      {cnt("n_suppliers", "n_suppliers")},
+      CAST(h AS DOUBLE) AS hhi,
+      CAST(top_share AS DOUBLE) AS top_share,
+      CASE WHEN h > 0.25 THEN 'concentrated'
+           WHEN h > 0.15 THEN 'moderate'
+           ELSE 'unconcentrated' END AS market_class
+    FROM hhi
+    ORDER BY p_brand
+    """
+
+
 QUERIES = [
+    sql_backed("supply_concentration_hhi", _hhi_sql, ("lineitem", "part")),
     sql_backed("lateral_topk", _lateral_topk_sql, ("customer", "orders")),
     sql_backed("full_outer_daily", _full_outer_daily_sql, ("orders", "events")),
     sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),

@@ -116,3 +116,28 @@ def test_table_profile_stats_correct(spark, duck):
     assert df.loc["value", "min_v"] == round(float(truth["mn"]) + 1e-9, 4)
     assert df.loc["value", "max_v"] == round(float(truth["mx"]) + 1e-9, 4)
     assert df.loc["event_type", ["min_v", "max_v", "mean_v"]].isna().all()
+
+
+def test_hhi_bounds_and_planted_monopoly(spark):
+    from fiveg_spark.operators.relational_ext import _hhi_sql
+
+    # brand M: one supplier ships everything (HHI = 1, concentrated);
+    # brand E: four equal suppliers (HHI = 0.25, boundary -> moderate)
+    li = []
+    for i in range(8):
+        li.append((i, 100 + (i % 1), 1, 10.0))  # partkey 100 -> brand M, supplier 1
+    for i in range(8, 16):
+        li.append((i, 200, 1 + (i % 4), 5.0))  # partkey 200 -> brand E, suppliers 1-4
+    spark.createDataFrame(
+        li, "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE"
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(100, "Brand#M"), (200, "Brand#E")], "p_partkey BIGINT, p_brand STRING"
+    ).createOrReplaceTempView("part")
+    got = {r["p_brand"]: r.asDict() for r in spark.sql(_hhi_sql("spark")).collect()}
+    m, e = got["Brand#M"], got["Brand#E"]
+    assert m["hhi"] == 1.0 and m["n_suppliers"] == 1
+    assert m["market_class"] == "concentrated"
+    assert e["hhi"] == 0.25 and e["n_suppliers"] == 4
+    assert e["market_class"] == "moderate"  # 0.25 is not > 0.25
+    assert e["top_share"] == 0.25
