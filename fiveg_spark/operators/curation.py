@@ -30,6 +30,86 @@ def _doc_hash(salt: str) -> str:
     return f"substring(md5(concat('{salt}#', CAST(doc_id AS STRING))), 1, 8)"
 
 
+def _quality_dup_calibration_sql(d: str) -> str:
+    # E69 — calibration of the heuristic quality score against ACTUAL
+    # duplicate membership: the corpus supplies its own label (a doc is
+    # "duplicated" when its content hash appears more than once — E1's
+    # ground truth), so the reliability-curve question every heuristic
+    # filter must answer — "does a low score actually predict the junk
+    # class?" — is computable exactly, label-free, in one scan.  Docs
+    # bucket by quality score against BROADCAST percentile boundaries
+    # (a global ntile would push the whole corpus through one window
+    # partition — the single-partition-sort smell; boundary-compare is
+    # map-only and scale-free, at the cost of tie-heavy buckets being
+    # unequal-sized, which the n_docs column makes visible); each
+    # bucket reports its duplicate rate and lift over the base rate.
+    #
+    # Scale: one scan computes hash + score; the dup flag is a count
+    # window keyed on the content hash (high cardinality); boundaries
+    # are one tiny agg broadcast back.
+    from fiveg_spark.operators.text import _marker_count, _tok
+    from fiveg_spark.plans.registry import arr_len, pct
+
+    toks = _tok(d)
+    n_toks = arr_len(toks, d)
+    stop = _marker_count(d, ("the", "a", "of", "and"))
+    return f"""
+    WITH m AS (
+      SELECT
+        doc_id,
+        md5(lower(text)) AS ch,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST({n_toks} AS BIGINT) AS n_tokens,
+        CAST({stop} AS BIGINT) AS n_stopwords
+      FROM documents
+    ),
+    scored AS (
+      SELECT
+        doc_id,
+        ch,
+        round(CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END
+              * (1.0 - n_stopwords / CAST(n_tokens AS DOUBLE)) + 1e-9, 6) + 0.0
+          AS q
+      FROM m
+      WHERE n_tokens > 0
+    ),
+    bounds AS (
+      SELECT {", ".join(
+          f"round({pct('q', i / 10.0, d)} + 1e-9, 6) + 0.0 AS b{i}"
+          for i in range(1, 10)
+      )}
+      FROM scored
+    ),
+    labeled AS (
+      SELECT
+        s.doc_id,
+        s.q,
+        CASE WHEN count(*) OVER (PARTITION BY s.ch) > 1 THEN 1 ELSE 0 END
+          AS is_dup,
+        1 {" ".join(f"+ (CASE WHEN s.q > b.b{i} THEN 1 ELSE 0 END)"
+                    for i in range(1, 10))} AS decile
+      FROM scored s CROSS JOIN bounds b
+    ),
+    base AS (
+      SELECT avg(CAST(is_dup AS DOUBLE)) AS base_rate FROM labeled
+    )
+    SELECT
+      {cnt("l.decile", "quality_decile")},
+      {cnt("count(*)", "n_docs")},
+      {dbl("avg(l.q)", "avg_quality")},
+      {dbl("avg(CAST(l.is_dup AS DOUBLE))", "dup_rate")},
+      {dbl(
+          "CASE WHEN max(b.base_rate) > 0 "
+          "THEN avg(CAST(l.is_dup AS DOUBLE)) / max(b.base_rate) "
+          "ELSE 0.0 END",
+          "lift_vs_base",
+      )}
+    FROM labeled l CROSS JOIN base b
+    GROUP BY l.decile
+    ORDER BY quality_decile
+    """
+
+
 DUP_AUDIT_RATE = 0.3
 
 
@@ -438,4 +518,7 @@ QUERIES = [
     sql_backed("quality_prune", _quality_prune_sql, ("documents",)),
     # new r7, non-deferred
     sql_backed("dup_rate_sample_audit", _dup_audit_sql, ("documents",)),
+    sql_backed(
+        "quality_dup_calibration", _quality_dup_calibration_sql, ("documents",),
+    ),
 ]

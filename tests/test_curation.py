@@ -157,3 +157,33 @@ def test_dup_audit_group_sampling_unbiased_row_sampling_low(spark):
     assert abs(r["dup_rate_group_est"] - 0.5) < 0.2
     # row sampling splits groups: biased LOW on this corpus
     assert r["dup_rate_row_est"] < r["dup_rate_group_est"]
+
+
+def test_quality_dup_calibration_planted_low_quality_dups(spark):
+    # duplicated docs are stopword-soup (low quality score); unique docs
+    # are clean: the low-quality buckets must carry all the lift
+    from fiveg_spark.operators.curation import _quality_dup_calibration_sql
+
+    rows = []
+    did = 0
+    junk = " ".join(["the a of and"] * 8)  # stopword-heavy -> low score
+    for i in range(30):  # duplicated junk, 2 copies each
+        for _ in range(2):
+            rows.append((did, junk, "en", "s1", len(junk)))
+            did += 1
+    for i in range(60):  # unique clean docs
+        text = " ".join(f"token{i}w{j}" for j in range(30))
+        rows.append((did, text, "en", "s1", len(text)))
+        did += 1
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = [r.asDict()
+           for r in spark.sql(_quality_dup_calibration_sql("spark")).collect()]
+    assert sum(r["n_docs"] for r in got) == 120
+    lows = [r for r in got if r["avg_quality"] < 0.3]
+    highs = [r for r in got if r["avg_quality"] > 0.7]
+    assert lows and highs
+    assert all(r["dup_rate"] == 1.0 for r in lows)  # junk is all dups
+    assert all(r["dup_rate"] == 0.0 for r in highs)
+    assert all(r["lift_vs_base"] > 1.5 for r in lows)

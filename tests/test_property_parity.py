@@ -65,6 +65,7 @@ def _more_doc_sql_fns():
     from fiveg_spark.operators.curation import (
         _curation_sql,
         _dup_audit_sql,
+        _quality_dup_calibration_sql,
         _hash_split_sql,
         _quality_prune_sql,
         _snapshot_diff_sql,
@@ -111,6 +112,9 @@ def _more_doc_sql_fns():
         "snapshot_diff": _snapshot_diff_sql,
         # empty-sample guards + count-distinct-over-CASE ratios
         "dup_rate_sample_audit": _dup_audit_sql,
+        # percentile boundary ties (all-equal scores collapse buckets)
+        # + zero-base-rate lift guard
+        "quality_dup_calibration": _quality_dup_calibration_sql,
     }
 
 
