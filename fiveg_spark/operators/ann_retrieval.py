@@ -34,6 +34,8 @@ need at serving time.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -251,6 +253,65 @@ SELECT * FROM (VALUES
 ORDER BY method
 """
 
+NDCG_FLOOR = 0.5
+
+
+def ann_retrieval_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-AWARE certification rows (the E68 lexical eval's embedding
+    twin): recall treats the top-k as a set — a method that returns the
+    right ids in the wrong order scores the same.  nDCG with binary
+    relevance (membership in the exact top-k) and log2 rank discounts
+    penalizes misordering; per method the MEAN nDCG over the planted
+    query set must clear NDCG_FLOOR.  Values are model-dependent, so
+    the row carries counts + the tolerance boolean (E45 pattern)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < QUERY_N).localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") >= QUERY_N).localCheckpoint()
+    exact = _exact_retrieve(queries, corpus, K).select(
+        "query_id", "vec_id", F.lit(1.0).alias("rel")
+    )
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, K + 1))
+
+    rows = []
+    for method, fn in (("ivf", ivf_retrieve), ("pq", pq_retrieve)):
+        approx = fn(spark, queries, corpus, K)
+        ndcg = (
+            approx.join(exact, ["query_id", "vec_id"], "left")
+            .withColumn(
+                "gain",
+                F.coalesce(F.col("rel"), F.lit(0.0))
+                / (F.log(F.col("rank") + 1.0) / math.log(2.0)),
+            )
+            .groupBy("query_id")
+            .agg((F.sum("gain") / F.lit(idcg)).alias("ndcg"))
+        )
+        rows.append(
+            ndcg.agg(
+                F.lit(method).alias("method"),
+                F.lit(QUERY_N).cast("long").alias("n_queries"),
+                F.lit(K).cast("long").alias("k"),
+                (F.avg("ndcg") >= NDCG_FLOOR).alias("ndcg_ok"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("method")
+
+
+_RANK_QUALITY_ORACLE = f"""
+SELECT * FROM (VALUES
+  ('ivf', CAST({QUERY_N} AS BIGINT), CAST({K} AS BIGINT), TRUE),
+  ('pq', CAST({QUERY_N} AS BIGINT), CAST({K} AS BIGINT), TRUE)
+) AS t(method, n_queries, k, ndcg_ok)
+ORDER BY method
+"""
+
 QUERIES = [
     Query("ann_retrieval_recall", ann_retrieval_recall, _RETRIEVAL_ORACLE),
+    Query(
+        "ann_retrieval_rank_quality",
+        ann_retrieval_rank_quality,
+        _RANK_QUALITY_ORACLE,
+    ),
 ]

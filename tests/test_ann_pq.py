@@ -128,3 +128,44 @@ def test_cross_table_retrieval_per_query_recall(spark):
         assert len(per_q) == QUERY_N and all(v == K for v in per_q.values())
         hits = approx.join(exact, ["query_id", "vec_id"]).count()
         assert hits / (QUERY_N * K) >= 0.6, fn.__name__
+
+
+def test_retrieval_rank_quality_mean_ndcg_above_floor(spark):
+    # raw nDCG values (the cert row only carries the boolean): both
+    # methods should order the exact set well, not just recover it
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.operators.ann_retrieval import (
+        K,
+        QUERY_N,
+        _exact_retrieve,
+        ivf_retrieve,
+        pq_retrieve,
+    )
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    queries = emb.filter(F.col("vec_id") < QUERY_N).localCheckpoint()
+    corpus = emb.filter(F.col("vec_id") >= QUERY_N).localCheckpoint()
+    exact = _exact_retrieve(queries, corpus, K).select(
+        "query_id", "vec_id", F.lit(1.0).alias("rel")
+    )
+    idcg = sum(1.0 / math.log2(r + 1) for r in range(1, K + 1))
+    for fn in (ivf_retrieve, pq_retrieve):
+        ndcgs = (
+            fn(spark, queries, corpus, K)
+            .join(exact, ["query_id", "vec_id"], "left")
+            .withColumn(
+                "g",
+                F.coalesce(F.col("rel"), F.lit(0.0))
+                / (F.log(F.col("rank") + 1.0) / math.log(2.0)),
+            )
+            .groupBy("query_id")
+            .agg((F.sum("g") / F.lit(idcg)).alias("ndcg"))
+            .collect()
+        )
+        vals = [r["ndcg"] for r in ndcgs]
+        assert len(vals) == QUERY_N
+        assert sum(vals) / len(vals) >= 0.55, fn.__name__
+        assert all(0.0 <= v <= 1.0 + 1e-9 for v in vals)
