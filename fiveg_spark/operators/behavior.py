@@ -212,7 +212,7 @@ def _transition_matrix_sql(d: str) -> str:
     """
 
 
-def _entropy_rate_sql(d: str) -> str:
+def _entropy_rate_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C74 — Markov entropy rate of the event-type process (Cover &
     # Thomas ch. 4): per prev_type the conditional entropy
     # H(next|prev) = −Σ p(next|prev)·ln p(next|prev), plus the chain's
@@ -228,36 +228,40 @@ def _entropy_rate_sql(d: str) -> str:
     # ≤|types| terms — the edge rounding absorbs summation-order ulps.
     #
     # Scale: identical single-shuffle shape as C54 (per-user window →
-    # one hash-agg); everything after is |types|²-row arithmetic.
-    return f"""
-    WITH ordered AS (
-      SELECT
-        event_type,
-        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-      FROM events
-    ),
-    trans AS (
+    # one hash-agg) — the TRANSITION frame materializes once (the tail
+    # reads it for probs, totals and the marginal; inlined, the advisor
+    # sweep measured 5 events rescans), and everything after is
+    # |types|²-row arithmetic.
+    trans_sql = f"""
+      WITH ordered AS (
+        SELECT
+          event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+      )
       SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
       FROM ordered
       WHERE prev_type IS NOT NULL
       GROUP BY prev_type, event_type
-    ),
-    probs AS (
+    """
+    tail = f"""
+    WITH probs AS (
       SELECT
         prev_type,
         n,
         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type) AS p
-      FROM trans
+      FROM _mz_entropy_trans
     ),
     cond AS (
       SELECT prev_type, sum(n) AS n_from, -sum(p * ln(p)) AS h
       FROM probs
       GROUP BY prev_type
     ),
-    total AS (SELECT sum(n) AS nt FROM trans),
+    total AS (SELECT sum(n) AS nt FROM _mz_entropy_trans),
     marg AS (
       SELECT -sum((CAST(m.n AS DOUBLE) / t.nt) * ln(CAST(m.n AS DOUBLE) / t.nt)) AS h0
-      FROM (SELECT next_type, sum(n) AS n FROM trans GROUP BY next_type) m
+      FROM (SELECT next_type, sum(n) AS n
+            FROM _mz_entropy_trans GROUP BY next_type) m
       CROSS JOIN total t
     )
     SELECT
@@ -278,6 +282,7 @@ def _entropy_rate_sql(d: str) -> str:
     FROM total t CROSS JOIN marg m
     ORDER BY prev_type
     """
+    return [("_mz_entropy_trans", trans_sql)], tail
 
 
 def _rfm_segments_sql(d: str) -> str:
@@ -403,5 +408,5 @@ QUERIES = [
         "attribution_credit", _attribution_parts, ("events",),
     ),
     # new r7, non-deferred
-    sql_backed("sequence_entropy_rate", _entropy_rate_sql, ("events",)),
+    materialized_backed("sequence_entropy_rate", _entropy_rate_parts, ("events",)),
 ]

@@ -15,7 +15,13 @@ string for floor(r · 16⁸); P(prefix < thr) = r to within 2⁻³².
 from __future__ import annotations
 
 from fiveg_spark.operators.text import _marker_count, _tok
-from fiveg_spark.plans.registry import arr_len, cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import (
+    arr_len,
+    cnt,
+    dbl,
+    materialized_backed,
+    sql_backed,
+)
 
 # Per-source sampling rates: the "data mixing" knob (down-weight
 # over-represented sources).  Even sources keep 75%, odd keep 30%.
@@ -30,7 +36,7 @@ def _doc_hash(salt: str) -> str:
     return f"substring(md5(concat('{salt}#', CAST(doc_id AS STRING))), 1, 8)"
 
 
-def _quality_dup_calibration_sql(d: str) -> str:
+def _quality_dup_calibration_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E69 — calibration of the heuristic quality score against ACTUAL
     # duplicate membership: the corpus supplies its own label (a doc is
     # "duplicated" when its content hash appears more than once — E1's
@@ -44,26 +50,26 @@ def _quality_dup_calibration_sql(d: str) -> str:
     # unequal-sized, which the n_docs column makes visible); each
     # bucket reports its duplicate rate and lift over the base rate.
     #
-    # Scale: one scan computes hash + score; the dup flag is a count
-    # window keyed on the content hash (high cardinality); boundaries
-    # are one tiny agg broadcast back.
+    # Scale: one scan computes hash + score into a frame MATERIALIZED
+    # once (bounds + labeling both read it — inlined, the advisor sweep
+    # measured 4 corpus rescans); the dup flag is a count window keyed
+    # on the content hash (high cardinality); boundaries are one tiny
+    # agg broadcast back.
     from fiveg_spark.operators.text import _marker_count, _tok
     from fiveg_spark.plans.registry import arr_len, pct
 
     toks = _tok(d)
     n_toks = arr_len(toks, d)
     stop = _marker_count(d, ("the", "a", "of", "and"))
-    return f"""
-    WITH m AS (
-      SELECT
-        doc_id,
-        md5(lower(text)) AS ch,
-        CAST(length(text) AS BIGINT) AS n_chars,
-        CAST({n_toks} AS BIGINT) AS n_tokens,
-        CAST({stop} AS BIGINT) AS n_stopwords
-      FROM documents
-    ),
-    scored AS (
+    scored_sql = f"""
+      WITH m AS (
+        SELECT
+          doc_id,
+          md5(lower(text)) AS ch,
+          CAST({n_toks} AS BIGINT) AS n_tokens,
+          CAST({stop} AS BIGINT) AS n_stopwords
+        FROM documents
+      )
       SELECT
         doc_id,
         ch,
@@ -72,13 +78,14 @@ def _quality_dup_calibration_sql(d: str) -> str:
           AS q
       FROM m
       WHERE n_tokens > 0
-    ),
-    bounds AS (
+    """
+    tail = f"""
+    WITH bounds AS (
       SELECT {", ".join(
           f"round({pct('q', i / 10.0, d)} + 1e-9, 6) + 0.0 AS b{i}"
           for i in range(1, 10)
       )}
-      FROM scored
+      FROM _mz_qdc_scored
     ),
     labeled AS (
       SELECT
@@ -88,7 +95,7 @@ def _quality_dup_calibration_sql(d: str) -> str:
           AS is_dup,
         1 {" ".join(f"+ (CASE WHEN s.q > b.b{i} THEN 1 ELSE 0 END)"
                     for i in range(1, 10))} AS decile
-      FROM scored s CROSS JOIN bounds b
+      FROM _mz_qdc_scored s CROSS JOIN bounds b
     ),
     base AS (
       SELECT avg(CAST(is_dup AS DOUBLE)) AS base_rate FROM labeled
@@ -108,6 +115,7 @@ def _quality_dup_calibration_sql(d: str) -> str:
     GROUP BY l.decile
     ORDER BY quality_decile
     """
+    return [("_mz_qdc_scored", scored_sql)], tail
 
 
 DUP_AUDIT_RATE = 0.3
@@ -518,7 +526,7 @@ QUERIES = [
     sql_backed("quality_prune", _quality_prune_sql, ("documents",)),
     # new r7, non-deferred
     sql_backed("dup_rate_sample_audit", _dup_audit_sql, ("documents",)),
-    sql_backed(
-        "quality_dup_calibration", _quality_dup_calibration_sql, ("documents",),
+    materialized_backed(
+        "quality_dup_calibration", _quality_dup_calibration_parts, ("documents",),
     ),
 ]

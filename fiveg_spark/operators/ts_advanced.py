@@ -31,7 +31,15 @@ from __future__ import annotations
 
 from fiveg_spark.operators.kpi import flows_cte
 from fiveg_spark.operators.timeseries import _hourly_cte
-from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, epoch, sql_backed
+from fiveg_spark.plans.registry import (
+    NUDGE,
+    Query,
+    cnt,
+    dbl,
+    epoch,
+    materialized_backed,
+    sql_backed,
+)
 
 
 def _hopping_window_sql(d: str) -> str:
@@ -713,7 +721,7 @@ def _lp_run(spark, sf_dir):
 CCF_MAX_LAG = 6  # hours each direction
 
 
-def _ccf_sql(d: str) -> str:
+def _ccf_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D35 — cross-correlation function between slice PAIRS at hourly
     # lags ±CCF_MAX_LAG: the lead-lag discovery companion to D13's ACF
     # ("does URLLC load lead eMBB by two hours?") — the diagnostic that
@@ -725,8 +733,10 @@ def _ccf_sql(d: str) -> str:
     # seconds (engine-identical doubles), so pairs align bit-exactly.
     # A rank window marks each pair's strongest |lag| on ROUNDED scores.
     #
-    # Scale: the hourly frame is tiny (one agg shuffle); the lag
-    # alignment is |lags| self-joins of that rollup keyed on (pair,
+    # Scale: the hourly SERIES frame materializes ONCE (the advisor
+    # sweep measured the inlined form rescanning events 4× — pairs
+    # reads it twice and the alignment twice more); the lag alignment
+    # is |lags| self-joins of that checkpointed rollup keyed on (pair,
     # epoch) — never on facts.
     from fiveg_spark.plans.registry import corr_safe
 
@@ -739,15 +749,16 @@ def _ccf_sql(d: str) -> str:
             f"SELECT unnest(generate_series({-CCF_MAX_LAG}, {CCF_MAX_LAG}))"
             " AS lag"
         )
-    return f"""
-    {_hourly_cte(d)},
-    series AS (
+    series_sql = f"""
+      {_hourly_cte(d)}
       SELECT slice, {epoch("h", d)} AS t, throughput_bps AS v FROM hourly
-    ),
-    pairs AS (
+    """
+    tail = f"""
+    WITH pairs AS (
       SELECT a.slice AS sa, b.slice AS sb
-      FROM (SELECT DISTINCT slice FROM series) a
-      JOIN (SELECT DISTINCT slice FROM series) b ON a.slice < b.slice
+      FROM (SELECT DISTINCT slice FROM _mz_ccf_series) a
+      JOIN (SELECT DISTINCT slice FROM _mz_ccf_series) b
+        ON a.slice < b.slice
     ),
     aligned AS (
       SELECT
@@ -755,8 +766,9 @@ def _ccf_sql(d: str) -> str:
         x.v AS va, y.v AS vb
       FROM pairs p
       CROSS JOIN ({lags}) lg
-      JOIN series x ON x.slice = p.sa
-      JOIN series y ON y.slice = p.sb AND y.t = x.t + lg.lag * 3600.0
+      JOIN _mz_ccf_series x ON x.slice = p.sa
+      JOIN _mz_ccf_series y
+        ON y.slice = p.sb AND y.t = x.t + lg.lag * 3600.0
     ),
     scored AS (
       SELECT
@@ -780,6 +792,7 @@ def _ccf_sql(d: str) -> str:
     FROM scored
     ORDER BY slice_a, slice_b, lag_hours
     """
+    return [("_mz_ccf_series", series_sql)], tail
 
 
 SPECTRAL_PERIODS = (6, 12, 24, 48)  # candidate cycles, hours
@@ -873,5 +886,5 @@ QUERIES = [
                ("customer", "nation", "orders", "lineitem", "supplier")),
     # new r7, non-deferred
     Query("kcore_trade_bloc", _kcore_run, _kcore_oracle()),
-    sql_backed("cross_correlation", _ccf_sql, ("events",)),
+    materialized_backed("cross_correlation", _ccf_parts, ("events",)),
 ]

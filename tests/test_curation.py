@@ -162,7 +162,8 @@ def test_dup_audit_group_sampling_unbiased_row_sampling_low(spark):
 def test_quality_dup_calibration_planted_low_quality_dups(spark):
     # duplicated docs are stopword-soup (low quality score); unique docs
     # are clean: the low-quality buckets must carry all the lift
-    from fiveg_spark.operators.curation import _quality_dup_calibration_sql
+    from fiveg_spark.operators.curation import _quality_dup_calibration_parts
+    from fiveg_spark.plans.registry import run_parts
 
     rows = []
     did = 0
@@ -179,7 +180,7 @@ def test_quality_dup_calibration_planted_low_quality_dups(spark):
         rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     ).createOrReplaceTempView("documents")
     got = [r.asDict()
-           for r in spark.sql(_quality_dup_calibration_sql("spark")).collect()]
+           for r in run_parts(spark, _quality_dup_calibration_parts).collect()]
     assert sum(r["n_docs"] for r in got) == 120
     lows = [r for r in got if r["avg_quality"] < 0.3]
     highs = [r for r in got if r["avg_quality"] > 0.7]

@@ -65,7 +65,6 @@ def _more_doc_sql_fns():
     from fiveg_spark.operators.curation import (
         _curation_sql,
         _dup_audit_sql,
-        _quality_dup_calibration_sql,
         _hash_split_sql,
         _quality_prune_sql,
         _snapshot_diff_sql,
@@ -112,9 +111,7 @@ def _more_doc_sql_fns():
         "snapshot_diff": _snapshot_diff_sql,
         # empty-sample guards + count-distinct-over-CASE ratios
         "dup_rate_sample_audit": _dup_audit_sql,
-        # percentile boundary ties (all-equal scores collapse buckets)
-        # + zero-base-rate lift guard
-        "quality_dup_calibration": _quality_dup_calibration_sql,
+
     }
 
 
@@ -274,10 +271,7 @@ def _event_sql_fns():
     )
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
-    from fiveg_spark.operators.behavior import (
-        _entropy_rate_sql,
-        _transition_matrix_sql,
-    )
+    from fiveg_spark.operators.behavior import _transition_matrix_sql
     from fiveg_spark.operators.rollup_stats import _concurrency_sql
     from fiveg_spark.operators.timeseries import (
         _cohort_retention_sql,
@@ -298,7 +292,6 @@ def _event_sql_fns():
         _value_percentiles_sql,
     )
     from fiveg_spark.operators.ts_advanced import (
-        _ccf_sql,
         _dominant_period_sql,
         _hopping_window_sql,
     )
@@ -322,9 +315,7 @@ def _event_sql_fns():
         "quantile_transform": _quantile_transform_sql,
         # leave-one-out ratio arithmetic + single-block se degenerate
         "jackknife_ratio_ci": _jackknife_sql,
-        # corr_safe on constant/misaligned eras; single-slice corpora
-        # produce zero pairs
-        "cross_correlation": _ccf_sql,
+
         "acf_throughput": _acf_sql,
         "ols_trend_per_slice": _ols_trend_sql,
         # m^2/v ratio + xi-branch + power(): tiny tied-value corpora
@@ -334,9 +325,6 @@ def _event_sql_fns():
         "feature_correlations": _feature_correlations_sql,
         # behavior block: tie-handling + window logic on tiny streams
         "transition_matrix": _transition_matrix_sql,
-        # p·ln(p) sums over integer ratios; single-transition and
-        # single-type streams hit the deterministic h=0 rows
-        "sequence_entropy_rate": _entropy_rate_sql,
         # pairwise-slope ratios on tied timestamps (1-row series ->
         # zero pairs -> no fit row)
         "theilsen_trend": _theilsen_sql,
@@ -448,6 +436,7 @@ def _doc_parts_fns():
         _contamination_matrix_parts,
         _dsir_parts,
     )
+    from fiveg_spark.operators.curation import _quality_dup_calibration_parts
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
     from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
 
@@ -470,6 +459,9 @@ def _doc_parts_fns():
         # hits (0 rows) and all-identical docs (rank ties -> doc_id
         # tiebreak on the rounded score) land here
         "bm25_retrieval": _bm25_parts,
+        # percentile boundary ties (all-equal scores collapse buckets)
+        # + zero-base-rate lift guard
+        "quality_dup_calibration": _quality_dup_calibration_parts,
         # 2^rel gains + log2 discounts + idcg=0 guard on no-hit corpora
         "retrieval_eval_lexical": _retrieval_eval_parts,
     }
@@ -515,6 +507,8 @@ def _event_parts_fns():
     from fiveg_spark.operators.behavior import _attribution_parts
     from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
     from fiveg_spark.operators.sketches import _bloom_parts
+    from fiveg_spark.operators.behavior import _entropy_rate_parts
+    from fiveg_spark.operators.ts_advanced import _ccf_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _iat_exponential_fit_parts,
         _ks_parts,
@@ -541,6 +535,12 @@ def _event_parts_fns():
         "bloom_membership": _bloom_parts,
         # midrank tie arithmetic + the all-tied var_u = 0 -> z = 0 guard
         "mann_whitney_shift": _mw_parts,
+        # corr_safe on constant/misaligned eras; single-slice corpora
+        # produce zero pairs
+        "cross_correlation": _ccf_parts,
+        # p·ln(p) sums over integer ratios; single-transition and
+        # single-type streams hit the deterministic h=0 rows
+        "sequence_entropy_rate": _entropy_rate_parts,
     }
 
 

@@ -229,7 +229,8 @@ def test_entropy_rate_deterministic_vs_random_chains(spark):
     import datetime as dt
     import math
 
-    from fiveg_spark.operators.behavior import _entropy_rate_sql
+    from fiveg_spark.operators.behavior import _entropy_rate_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # user 0: deterministic cycle a->b->a->b (H(next|prev) = 0);
     # user 1: from 'c' the next event alternates c/d evenly over time
@@ -249,7 +250,7 @@ def test_entropy_rate_deterministic_vs_random_chains(spark):
         eid += 1
     _events_from(spark, rows)
     got = {r["prev_type"]: r.asDict()
-           for r in spark.sql(_entropy_rate_sql("spark")).collect()}
+           for r in run_parts(spark, _entropy_rate_parts).collect()}
     assert got["a"]["h_cond_nats"] == 0.0  # always -> b
     assert got["b"]["h_cond_nats"] == 0.0  # always -> a
     # from 'c': roughly half the transitions go c, half d (edge effects

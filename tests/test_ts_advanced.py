@@ -212,7 +212,8 @@ def test_ccf_recovers_planted_lead_lag(spark):
     import datetime as dt
     import math
 
-    from fiveg_spark.operators.ts_advanced import _ccf_sql
+    from fiveg_spark.operators.ts_advanced import _ccf_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # eMBB (user 0) is a sinusoid; URLLC (user 1) is the SAME sinusoid
     # delayed by 2 hours.  Pair order is lexicographic (URLLC < eMBB,
@@ -234,7 +235,7 @@ def test_ccf_recovers_planted_lead_lag(spark):
         "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT,"
         " value DOUBLE, props STRING",
     ).createOrReplaceTempView("events")
-    got = [r.asDict() for r in spark.sql(_ccf_sql("spark")).collect()]
+    got = [r.asDict() for r in run_parts(spark, _ccf_parts).collect()]
     assert len(got) == 13  # one pair, lags -6..6
     top = next(r for r in got if r["strength_rank"] == 1)
     assert (top["slice_a"], top["slice_b"]) == ("URLLC", "eMBB")
