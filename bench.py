@@ -39,6 +39,11 @@ HEADLINE = (
     # hashed-model build + broadcast join-back — the curation pipeline's
     # scoring shape, perf-tracked alongside the dedup/text paths
     "dsir_importance",
+    # r7 additions: the lexical-retrieval shape (full tf materialize +
+    # broadcast query-term scoring) and the sketch-overlap shape
+    # (shingle explode + distinct + per-source rank windows)
+    "bm25_retrieval",
+    "theta_sketch_overlap",
 )
 
 
