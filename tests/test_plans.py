@@ -292,3 +292,25 @@ def test_round6_wave2_plan_shapes(spark):
     facts = plan_facts(QUERIES["snapshot_diff"](spark, SF_DIR), execute=True)
     assert facts.n_scans == 1, f"snapshot_diff: {facts.n_scans} scans"
     assert facts.python_ops == 0
+
+
+def test_r7_text_shapes_scan_pins(spark):
+    """Plan pins for the round-7 heavy text/sketch shapes:
+    - containment_pairs inherits E3's one-scan posting-list plan;
+    - bm25_retrieval / theta_sketch_overlap / retrieval_eval_lexical
+      are materialized_backed: the corpus scan lives in the part build,
+      so the TAIL plan reads checkpointed RDDs — zero FileScans;
+    - dup_rate_sample_audit is one scan with conditional aggregates.
+    All zero-Python."""
+    facts = plan_facts(QUERIES["containment_pairs"](spark, SF_DIR), execute=True)
+    assert facts.n_scans == 1, f"containment: {facts.n_scans} scans"
+    assert facts.python_ops == 0
+
+    for name in ("bm25_retrieval", "theta_sketch_overlap", "retrieval_eval_lexical"):
+        facts = plan_facts(QUERIES[name](spark, SF_DIR), execute=True)
+        assert facts.n_scans == 0, f"{name}: {facts.n_scans} tail scans"
+        assert facts.python_ops == 0, name
+
+    facts = plan_facts(QUERIES["dup_rate_sample_audit"](spark, SF_DIR), execute=True)
+    assert facts.n_scans == 1, f"dup_audit: {facts.n_scans} scans"
+    assert facts.python_ops == 0
