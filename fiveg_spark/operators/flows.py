@@ -260,7 +260,77 @@ def _salted_agg_sql(d: str) -> str:
     """
 
 
+SLO_TARGET = 0.9  # objective: 90% of packets under the IAT bound
+SLI_IAT_BOUND_S = 0.5  # a packet is "good" when its IAT <= 500 ms
+BURN_WINDOW_H = 6  # trailing burn-rate window
+FAST_BURN = 6.0  # alert threshold (SRE fast-burn convention, scaled)
+
+
+def _slo_burn_sql(d: str) -> str:
+    # B19 — SLO compliance + error-budget burn rate per slice-hour (the
+    # SRE monitoring arithmetic — Beyer et al. 2018 ch. 5 — applied to
+    # the 5G KPI stream the reference computes raw aggregates for): the
+    # SLI is the fraction of packets meeting the IAT bound; the burn
+    # rate is (1 − SLI_trailing) / (1 − SLO) over a trailing window —
+    # burn 1.0 spends the budget exactly at period end, FAST_BURN
+    # drains it in hours and pages.  This is the alerting layer that
+    # turns kpi36's measurements into decisions.
+    #
+    # The trailing window is ROWS-based over the hourly rollup
+    # (contiguous in this corpus; a gap-tolerant deployment would
+    # RANGE on epoch seconds — same plan family).  good/total counts
+    # are integers → SLI and burn are engine-identical ratios; the
+    # alert compares the ROUNDED burn.
+    #
+    # Scale: one fact scan → hourly (slice, good, total) agg, then a
+    # bounded window on the tiny rollup.
+    return f"""
+    {flows_cte(d)},
+    hourly AS (
+      SELECT
+        slice,
+        date_trunc('hour', ts) AS h,
+        CAST(count(*) AS BIGINT) AS total,
+        CAST(sum(CASE WHEN iat <= {SLI_IAT_BOUND_S} THEN 1 ELSE 0 END) AS BIGINT)
+          AS good
+      FROM flows
+      GROUP BY slice, date_trunc('hour', ts)
+    ),
+    burn_win AS (
+      SELECT
+        slice,
+        h,
+        total,
+        good,
+        sum(total) OVER (
+          PARTITION BY slice ORDER BY h
+          ROWS BETWEEN {BURN_WINDOW_H - 1} PRECEDING AND CURRENT ROW
+        ) AS t_total,
+        sum(good) OVER (
+          PARTITION BY slice ORDER BY h
+          ROWS BETWEEN {BURN_WINDOW_H - 1} PRECEDING AND CURRENT ROW
+        ) AS t_good
+      FROM hourly
+    )
+    SELECT
+      slice,
+      h,
+      {cnt("total", "n_packets")},
+      {dbl("good / CAST(total AS DOUBLE)", "sli")},
+      {dbl(
+          f"(1.0 - t_good / CAST(t_total AS DOUBLE)) / (1.0 - {SLO_TARGET})",
+          "burn_rate",
+      )},
+      CAST(round((1.0 - t_good / CAST(t_total AS DOUBLE))
+                 / (1.0 - {SLO_TARGET}) + 1e-9, 4) > {FAST_BURN}
+        AS BOOLEAN) AS fast_burn_alert
+    FROM burn_win
+    ORDER BY slice, h
+    """
+
+
 QUERIES = [
+    sql_backed("slo_burn_rate", _slo_burn_sql, ("events",)),
     sql_backed("approx_variants", _approx_variants_sql, ("events",)),
     Query("session_window_native", _session_window_native, _session_window_oracle()),
     sql_backed("flow_iat_stats", _flow_iat_stats_sql, ("events",)),

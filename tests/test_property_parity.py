@@ -283,6 +283,7 @@ def _event_sql_fns():
         _flow_iat_stats_sql,
         _idle_periods_sql,
         _sessionize_sql,
+        _slo_burn_sql,
         _top_flows_sql,
     )
     from fiveg_spark.operators.timeseries import (
@@ -345,6 +346,9 @@ def _event_sql_fns():
         "hopping_window_volume": _hopping_window_sql,
         "flow_iat_stats": _flow_iat_stats_sql,
         "idle_periods": _idle_periods_sql,
+        # integer good/total ratios + trailing ROWS window on sparse
+        # single-packet hours (first-packet iat = 0 counts good)
+        "slo_burn_rate": _slo_burn_sql,
         "top_flows": _top_flows_sql,
         "sessionize": _sessionize_sql,
         **_hourly_family_sql_fns(),

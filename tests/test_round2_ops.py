@@ -302,3 +302,41 @@ def test_conformal_sweep_radii_and_coverage_monotone(spark):
         assert radii == sorted(radii)
         assert covs == sorted(covs)
         assert all(0.0 <= c <= 1.0 for c in covs)
+
+
+def test_slo_burn_rate_planted_outage(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.flows import (
+        FAST_BURN,
+        _slo_burn_sql,
+    )
+
+    # user 0 (eMBB): packets every 2 min (all IATs <= 0.5s fail? no:
+    # 120s > 0.5 -> all BAD).  Build instead: bursts of back-to-back
+    # packets (iat ~0 -> good) in healthy hours; in outage hours the
+    # flow sends only sparse packets (iat > 0.5 -> bad).
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(24):
+        if h < 18:  # healthy: 20 packets 0.1s apart
+            for i in range(20):
+                rows.append((eid, t0 + dt.timedelta(hours=h, milliseconds=100 * i),
+                             "view", 0, 100.0, "{}"))
+                eid += 1
+        else:  # outage: 20 sparse packets, 60s apart -> iat 60s
+            for i in range(20):
+                rows.append((eid, t0 + dt.timedelta(hours=h, seconds=60 * i),
+                             "view", 0, 100.0, "{}"))
+                eid += 1
+    _events_from(spark, rows)
+    got = sorted(
+        (r["h"], r.asDict()) for r in spark.sql(_slo_burn_sql("spark")).collect()
+    )
+    healthy = [d for _, d in got[:18]]
+    outage = [d for _, d in got[20:]]  # windows fully inside the outage tail
+    assert all(h["sli"] > 0.9 for h in healthy)
+    assert all(not h["fast_burn_alert"] for h in healthy[:12])
+    assert all(o["sli"] < 0.1 for o in outage)
+    assert any(o["fast_burn_alert"] for o in outage)
+    assert all(o["burn_rate"] > FAST_BURN / 2 for o in outage)
