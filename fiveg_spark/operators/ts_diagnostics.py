@@ -19,6 +19,7 @@ in both engines, so CUSUM is bit-stable; `corr` accumulation noise is
 
 from __future__ import annotations
 
+from fiveg_spark.operators.kpi import flows_cte
 from fiveg_spark.operators.timeseries import _hourly_cte
 from fiveg_spark.plans.registry import (
     NUDGE,
@@ -750,6 +751,242 @@ def _conformal_sweep_sql(d: str) -> str:
     """
 
 
+def _iat_burstiness_sql(d: str) -> str:
+    # D38 — burstiness + memory of the packet arrival process per
+    # slice (Goh & Barabási 2008): B = (σ−μ)/(σ+μ) of the inter-arrival
+    # times (−1 = perfectly periodic, 0 = Poisson, →1 = heavy-tailed
+    # bursts) and the memory coefficient M = corr(iat_i, iat_{i+1})
+    # over flow-consecutive pairs.  Together they place the traffic in
+    # the (B, M) plane that separates human-driven bursts from
+    # machine-periodic telemetry — the arrival-process characterization
+    # D24's exponential GOF test assumes away.  The reference's KPI
+    # window (KafkaKpiPipeline.scala:99-175) reports mean/std of IAT;
+    # this is the dimensionless summary of the same moments.
+    #
+    # Parity: μ and σ come from explicit Σ/Σ² (population) so both
+    # engines divide identical sums; B's ratio and corr_safe both die
+    # in the 4-decimal rounding.  First-packet rows (iat coalesced to
+    # 0 by IAT_EXPR) are not arrivals and are excluded.
+    #
+    # Scale: one fact scan; the lag window runs per (slice, flow) —
+    # the same partitioning the flows CTE already established — and
+    # the final agg is 3 rows.
+    return f"""
+    {flows_cte(d)},
+    arrivals AS (
+      SELECT
+        slice,
+        iat,
+        lag(iat) OVER (
+          PARTITION BY slice, flow_id ORDER BY ts_sec, event_id
+        ) AS prev_iat
+      FROM flows
+      WHERE iat > 0
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_arrivals")},
+      {dbl("avg(iat)", "mean_iat")},
+      {dbl("sqrt(avg(iat * iat) - avg(iat) * avg(iat))", "std_iat")},
+      {dbl(
+          "CASE WHEN avg(iat) + sqrt(avg(iat * iat) - avg(iat) * avg(iat)) > 0"
+          " THEN (sqrt(avg(iat * iat) - avg(iat) * avg(iat)) - avg(iat))"
+          " / (sqrt(avg(iat * iat) - avg(iat) * avg(iat)) + avg(iat))"
+          " ELSE 0.0 END",
+          "burstiness",
+      )},
+      {dbl(corr_safe("iat", "prev_iat"), "memory_coeff")}
+    FROM arrivals
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+PH_DELTA_FRAC = 0.05  # drift allowance, fraction of per-slice std
+PH_LAMBDA_FRAC = 3.0  # alarm threshold, multiples of per-slice std
+
+
+def _page_hinkley_sql(d: str) -> str:
+    # D39 — Page-Hinkley drift test per slice on the hourly series
+    # (Page 1954; the sequential-analysis sibling of D20's CUSUM): the
+    # running statistic accumulates deviations from the RUNNING mean
+    # (x̄_i = mean of the first i observations) with a drift allowance
+    # whose SIGN mirrors per direction: the increase detector walks
+    # m⁺_t = Σ(x_i − x̄_i − δ) and alarms on m⁺_t − min_{s≤t} m⁺_s,
+    # the decrease detector walks m⁻_t = Σ(x_i − x̄_i + δ) and alarms
+    # on max_{s≤t} m⁻_s − m⁻_t (a single shared δ sign would bias one
+    # side into a linear-in-t false alarm on stationary input).  Unlike
+    # the fixed-reference CUSUM, the running-mean recentering makes PH
+    # robust to an unknown baseline — the form streaming drift
+    # detectors (MOA, river) ship.
+    #
+    # δ = {PH_DELTA_FRAC}·σ and λ = {PH_LAMBDA_FRAC}·σ scale with each
+    # slice's own variability (σ = population std of the whole series).
+    # Parity: the hourly inputs are pre-rounded doubles; running
+    # mean/sum/min/max evaluate in identical frame order both engines;
+    # σ enters δ via explicit Σ/Σ² sums, and the alarm booleans compare
+    # the ROUNDED PH stats against the ROUNDED λ (the seasonal-
+    # decomposition flag discipline) so ulp noise cannot flip a flag.
+    #
+    # Scale: one fact scan → hourly rollup; every window below runs
+    # per-slice on the tiny series frame.
+    return f"""
+    {_hourly_cte(d)},
+    sigma AS (
+      SELECT
+        slice,
+        sqrt(avg(throughput_bps * throughput_bps)
+             - avg(throughput_bps) * avg(throughput_bps)) AS sd
+      FROM hourly GROUP BY slice
+    ),
+    terms AS (
+      SELECT
+        hy.slice,
+        hy.h,
+        sg.sd,
+        hy.throughput_bps
+          - avg(hy.throughput_bps) OVER (
+              PARTITION BY hy.slice ORDER BY hy.h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS centered
+      FROM hourly hy JOIN sigma sg ON sg.slice = hy.slice
+    ),
+    walk AS (
+      SELECT
+        slice,
+        h,
+        sd,
+        sum(centered - {PH_DELTA_FRAC} * sd) OVER (
+          PARTITION BY slice ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS m_up,
+        sum(centered + {PH_DELTA_FRAC} * sd) OVER (
+          PARTITION BY slice ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS m_down
+      FROM terms
+    ),
+    running AS (
+      SELECT
+        slice,
+        sd,
+        m_up
+          - min(m_up) OVER (
+              PARTITION BY slice ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS ph_up,
+        max(m_down) OVER (
+          PARTITION BY slice ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - m_down AS ph_down
+      FROM walk
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_hours")},
+      {dbl("max(ph_up)", "ph_up_max")},
+      {dbl("max(ph_down)", "ph_down_max")},
+      {dbl(f"max({PH_LAMBDA_FRAC} * sd)", "threshold")},
+      CAST(max(CASE WHEN round(ph_up + {NUDGE}, 4)
+                      > round({PH_LAMBDA_FRAC} * sd + {NUDGE}, 4)
+               THEN 1 ELSE 0 END) AS INT) AS drift_up,
+      CAST(max(CASE WHEN round(ph_down + {NUDGE}, 4)
+                      > round({PH_LAMBDA_FRAC} * sd + {NUDGE}, 4)
+               THEN 1 ELSE 0 END) AS INT) AS drift_down
+    FROM running
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+CVM_CRIT_05 = 0.461  # limiting 5% point of the two-sample ω² statistic
+
+
+def _cvm_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D40 — two-sample Cramér–von Mises drift test per slice over the
+    # SAME ref/cur era split as D27 (PSI), D31 (KS) and D33 (Mann-
+    # Whitney), completing the drift quartet: KS reads only the single
+    # worst ECDF gap, CvM integrates the SQUARED gap over the whole
+    # distribution — more power against many-small-differences drift
+    # (Anderson 1962).  T = (n·m/N²)·Σ_{pooled z}[F_ref(z) − F_cur(z)]²
+    # summed over all N pooled observations with multiplicity, against
+    # the limiting 5% point 0.461.
+    #
+    # Parity: ECDF values are integer-over-integer doubles (RANGE
+    # window includes tie peers, so every tie row sees identical
+    # post-tie counts — same argument as D31); the Σ of squares is the
+    # only cross-engine float accumulation and the verdict compares
+    # the ROUNDED statistic.
+    #
+    # Scale: identical physique to D31 — the era-tagged hourly frame
+    # materializes once, the window runs per-slice on the rollup.
+    hourly_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
+      SELECT slice, h, throughput_bps FROM hourly
+    """
+    tagged_sql = f"""
+      WITH cut AS (
+        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
+        FROM _mz_cvm_hourly GROUP BY slice
+      )
+      SELECT hy.slice, hy.throughput_bps AS v,
+             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
+      FROM _mz_cvm_hourly hy JOIN cut c ON c.slice = hy.slice
+    """
+    tail = f"""
+    WITH tot AS (
+      SELECT slice,
+             sum(CASE WHEN era = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN era = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM _mz_cvm_tagged GROUP BY slice
+    ),
+    cum AS (
+      SELECT slice,
+        sum(CASE WHEN era = 'ref' THEN 1.0 ELSE 0.0 END) OVER (
+          PARTITION BY slice ORDER BY v
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS c_ref,
+        sum(CASE WHEN era = 'cur' THEN 1.0 ELSE 0.0 END) OVER (
+          PARTITION BY slice ORDER BY v
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS c_cur
+      FROM _mz_cvm_tagged
+    ),
+    stat AS (
+      SELECT c.slice,
+             t.n_ref,
+             t.n_cur,
+             sum(
+               (c.c_ref / t.n_ref - c.c_cur / t.n_cur)
+               * (c.c_ref / t.n_ref - c.c_cur / t.n_cur)
+             ) AS gap_sq_sum
+      FROM cum c JOIN tot t ON t.slice = c.slice
+      WHERE t.n_ref > 0 AND t.n_cur > 0
+      GROUP BY c.slice, t.n_ref, t.n_cur
+    )
+    SELECT
+      slice,
+      {cnt("n_ref", "n_ref")},
+      {cnt("n_cur", "n_cur")},
+      {dbl(
+          "CAST(n_ref AS DOUBLE) * n_cur"
+          " / ((n_ref + n_cur) * CAST(n_ref + n_cur AS DOUBLE))"
+          " * gap_sq_sum",
+          "cvm_stat",
+      )},
+      CAST(round(CAST(n_ref AS DOUBLE) * n_cur
+                 / ((n_ref + n_cur) * CAST(n_ref + n_cur AS DOUBLE))
+                 * gap_sq_sum + {NUDGE}, 4)
+           > {CVM_CRIT_05} AS BOOLEAN) AS drifted
+    FROM stat
+    ORDER BY slice
+    """
+    return [
+        ("_mz_cvm_hourly", hourly_sql),
+        ("_mz_cvm_tagged", tagged_sql),
+    ], tail
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("cusum_drift", _cusum_sql, ("events",)),
@@ -770,4 +1007,8 @@ QUERIES = [
     materialized_backed("mann_whitney_shift", _mw_parts, ("events",)),
     sql_backed("theilsen_trend", _theilsen_sql, ("events",)),
     sql_backed("conformal_alpha_sweep", _conformal_sweep_sql, ("events",)),
+    # new r7 (second wave), non-deferred
+    sql_backed("iat_burstiness", _iat_burstiness_sql, ("events",)),
+    sql_backed("page_hinkley_drift", _page_hinkley_sql, ("events",)),
+    materialized_backed("cramer_von_mises", _cvm_parts, ("events",)),
 ]

@@ -267,6 +267,8 @@ def _event_sql_fns():
     from fiveg_spark.operators.ts_diagnostics import (
         _acf_sql,
         _conformal_sweep_sql,
+        _iat_burstiness_sql,
+        _page_hinkley_sql,
         _theilsen_sql,
     )
 
@@ -329,6 +331,12 @@ def _event_sql_fns():
         # pairwise-slope ratios on tied timestamps (1-row series ->
         # zero pairs -> no fit row)
         "theilsen_trend": _theilsen_sql,
+        # (σ−μ)/(σ+μ) ratio with the σ+μ=0 guard (all-tied IATs) and
+        # corr_safe over flow-lagged pairs
+        "iat_burstiness": _iat_burstiness_sql,
+        # running-mean recursion + rounded-threshold alarm flags;
+        # constant series give sd = 0 -> thresholds collapse to 0
+        "page_hinkley_drift": _page_hinkley_sql,
         # percentile-column unpivot (stack vs UNION dual) + short
         # series with empty val/test eras
         "conformal_alpha_sweep": _conformal_sweep_sql,
@@ -514,6 +522,7 @@ def _event_parts_fns():
     from fiveg_spark.operators.behavior import _entropy_rate_parts
     from fiveg_spark.operators.ts_advanced import _ccf_parts
     from fiveg_spark.operators.ts_diagnostics import (
+        _cvm_parts,
         _iat_exponential_fit_parts,
         _ks_parts,
         _mw_parts,
@@ -534,6 +543,9 @@ def _event_parts_fns():
         # ECDF RANGE-window tie mass + empty-era guard (all rows on one
         # side of the median cut)
         "ks_two_sample": _ks_parts,
+        # squared-gap ECDF integral: same tie/empty-era classes as KS
+        # plus the ratio normalization n·m/N²
+        "cramer_von_mises": _cvm_parts,
         # fill-ratio ln() + modulo hashing on negative probe ids; tiny
         # streams keep every type under-filled
         "bloom_membership": _bloom_parts,

@@ -340,3 +340,91 @@ def test_slo_burn_rate_planted_outage(spark):
     assert all(o["sli"] < 0.1 for o in outage)
     assert any(o["fast_burn_alert"] for o in outage)
     assert all(o["burn_rate"] > FAST_BURN / 2 for o in outage)
+
+
+def test_iat_burstiness_separates_periodic_from_bursty(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _iat_burstiness_sql
+
+    # user 0 (eMBB): metronome — every IAT exactly 60s -> sigma = 0 ->
+    # B = -1, memory guarded to 0 (constant series).  user 1 (URLLC):
+    # bursts of 1s spacing separated by 1000s silences -> sigma > mu ->
+    # B > 0, and consecutive IATs alternate within-burst/gap regimes.
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for i in range(60):
+        rows.append((eid, t0 + dt.timedelta(seconds=60 * i), "view", 0, 100.0, "{}"))
+        eid += 1
+    t = t0
+    for burst in range(6):
+        for i in range(10):
+            rows.append((eid, t, "view", 1, 100.0, "{}"))
+            eid += 1
+            t += dt.timedelta(seconds=1)
+        t += dt.timedelta(seconds=1000)
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in spark.sql(_iat_burstiness_sql("spark")).collect()}
+    assert got["eMBB"]["burstiness"] == -1.0
+    assert got["eMBB"]["memory_coeff"] == 0.0
+    assert got["URLLC"]["burstiness"] > 0.5
+    assert got["URLLC"]["std_iat"] > got["URLLC"]["mean_iat"]
+
+
+def test_page_hinkley_flags_shift_direction_and_stays_quiet(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _page_hinkley_sql
+
+    # URLLC (user 1) steps UP mid-series -> drift_up only; mMTC (user 2)
+    # steps DOWN -> drift_down only; eMBB (user 0) stays flat with mild
+    # alternation -> both quiet (the running-mean recentering plus the
+    # direction-mirrored delta keeps stationary PH near zero).
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(96):
+        up = 2000.0 if h >= 48 else 100.0
+        down = 100.0 if h >= 48 else 2000.0
+        flat = 500.0 + (h % 2)
+        for uid, v in ((1, up), (2, down), (0, flat)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, v, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in spark.sql(_page_hinkley_sql("spark")).collect()}
+    assert got["URLLC"]["drift_up"] == 1 and got["URLLC"]["drift_down"] == 0
+    assert got["mMTC"]["drift_down"] == 1 and got["mMTC"]["drift_up"] == 0
+    assert got["eMBB"]["drift_up"] == 0 and got["eMBB"]["drift_down"] == 0
+    assert got["URLLC"]["ph_up_max"] > got["URLLC"]["threshold"]
+
+
+def test_cramer_von_mises_detects_planted_shift_and_stays_quiet(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _cvm_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # same planted scenario as the KS test: URLLC steps its hourly bytes
+    # up 20x in the second era, eMBB stays flat
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        shifted = 2000.0 if h >= 24 else 100.0
+        for uid, ln in ((1, shifted), (0, 500.0)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, ln, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict() for r in run_parts(spark, _cvm_parts).collect()}
+    assert got["URLLC"]["drifted"] is True
+    assert got["URLLC"]["cvm_stat"] > 0.461
+    assert got["eMBB"]["drifted"] is False
+    # scipy cross-check of the statistic on the planted halves
+    try:
+        from scipy.stats import cramervonmises_2samp
+    except ImportError:
+        return
+    ref = [100.0 * 8] * 24
+    cur = [2000.0 * 8] * 24
+    res = cramervonmises_2samp(ref, cur, method="asymptotic")
+    assert abs(got["URLLC"]["cvm_stat"] - res.statistic) < 0.05
