@@ -12,7 +12,7 @@ analytics shapes.  All shared-text SQL, oracle-checked.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import cnt, dbl, epoch, sql_backed
 
 
 def _dq_checks_sql(d: str) -> str:
@@ -339,8 +339,72 @@ def _benford_digits_sql(d: str) -> str:
     """
 
 
+def _partition_completeness_sql(d: str) -> str:
+    # C76 — partition completeness / freshness monitor per (event_type,
+    # day): the data-ops check a 100 TB ingestion runs on every landed
+    # partition BEFORE downstream jobs consume it — how many hour
+    # buckets actually arrived vs the day's observed span, and the
+    # longest silent gap inside the span.  A completeness below 1.0
+    # with a large max_gap means a backfill hole, not a late start
+    # (late start/early stop shrink the span instead).  Complements
+    # C42's table_profile (column-level) with the PARTITION-level
+    # wholeness question, and C22's backfill operator consumes exactly
+    # this frame to decide which (type, day) cells to re-run.
+    #
+    # Parity: hour buckets and gaps are exact integer-derived epoch
+    # arithmetic — identical doubles both engines; no float aggregation
+    # beyond integer ratios.
+    #
+    # Scale: one scan pre-aggregated to (type, day, hour) — the gap
+    # window and the day rollup both run on that tiny frame, keyed by
+    # the same (type, day) so the shuffle is reused.
+    return f"""
+    WITH hourly AS (
+      SELECT
+        event_type,
+        date_trunc('day', ts) AS day_ts,
+        date_trunc('hour', ts) AS h,
+        count(*) AS n
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts), date_trunc('hour', ts)
+    ),
+    gapped AS (
+      SELECT
+        event_type,
+        day_ts,
+        h,
+        n,
+        ({epoch("h", d)}
+         - {epoch("lag(h) OVER (PARTITION BY event_type, day_ts ORDER BY h)", d)}
+        ) / 3600.0 AS gap_h
+      FROM hourly
+    )
+    SELECT
+      event_type,
+      CAST(day_ts AS DATE) AS day,
+      {cnt("sum(n)", "n_events")},
+      {cnt("count(*)", "hours_active")},
+      {cnt(
+          f"({epoch('max(h)', d)} - {epoch('min(h)', d)}) / 3600.0 + 1",
+          "span_hours",
+      )},
+      {dbl(
+          f"count(*) / (({epoch('max(h)', d)} - {epoch('min(h)', d)}) / 3600.0 + 1)",
+          "completeness",
+      )},
+      {dbl("coalesce(max(gap_h), 1.0)", "max_gap_hours")},
+      CAST(count(*)
+           < ({epoch("max(h)", d)} - {epoch("min(h)", d)}) / 3600.0 + 1
+           AS BOOLEAN) AS has_holes
+    FROM gapped
+    GROUP BY event_type, day_ts
+    ORDER BY event_type, day
+    """
+
+
 QUERIES = [
     sql_backed("table_profile", _table_profile_sql, ("events",)),
+    sql_backed("partition_completeness", _partition_completeness_sql, ("events",)),
     sql_backed("dq_checks", _dq_checks_sql, ("events", "orders", "customer", "lineitem")),
     sql_backed("window_functions_suite", _window_suite_sql, ("orders",)),
     sql_backed("interval_join_stats", _interval_join_sql, ("orders", "events")),

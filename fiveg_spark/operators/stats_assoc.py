@@ -353,7 +353,70 @@ def _jackknife_sql(d: str) -> str:
     """
 
 
+ANOVA_F_CRIT = 3.0  # F(df1=2, df2→∞) at alpha = 0.05
+
+
+def _anova_sql(d: str) -> str:
+    # C77 — one-way ANOVA across slices on the hourly throughput
+    # series: do the slice means differ beyond within-slice noise?
+    # The omnibus companion to D33's pairwise Mann-Whitney — MW tests
+    # ONE pair's location, ANOVA tests ALL groups in one F statistic
+    # and eta² reports the effect size (share of variance explained by
+    # slice membership), the go/no-go evidence for slice-conditioned
+    # models (per-slice VAR vs pooled, ref train.py fits per-slice).
+    #
+    #   SSB = Σ n_i (m_i − m̄)²,  SSW = Σ (Σx² − (Σx)²/n_i),
+    #   F = (SSB/(k−1)) / (SSW/(N−k)),  η² = SSB / (SSB + SSW)
+    #
+    # Decomposable Σ/Σ² sums per group → one grouped agg on the hourly
+    # rollup + one 1-row reduction; degenerate guards: k < 2 or
+    # N ≤ k or SSW = 0 report F = 0 / not significant.  The verdict
+    # compares the ROUNDED F against F_crit(2, ∞) = {ANOVA_F_CRIT}.
+    return f"""
+    {_hourly_cte(d)},
+    grp AS (
+      SELECT
+        slice,
+        count(*) AS n_i,
+        sum(throughput_bps) AS s_i,
+        sum(throughput_bps * throughput_bps) AS ss_i
+      FROM hourly
+      GROUP BY slice
+    ),
+    grand AS (
+      SELECT sum(s_i) / sum(n_i) AS gm FROM grp
+    ),
+    tot AS (
+      SELECT
+        count(*) AS k,
+        sum(g.n_i) AS n,
+        sum(g.ss_i - g.s_i * g.s_i / g.n_i) AS ssw,
+        sum(g.n_i * (g.s_i / g.n_i - gr.gm) * (g.s_i / g.n_i - gr.gm)) AS ssb
+      FROM grp g CROSS JOIN grand gr
+    )
+    SELECT
+      {cnt("k", "k_groups")},
+      {cnt("n", "n_hours")},
+      {dbl("ssb", "ss_between")},
+      {dbl("ssw", "ss_within")},
+      {dbl(
+          "CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN 0.0"
+          " ELSE (ssb / (k - 1)) / (ssw / (n - k)) END",
+          "f_stat",
+      )},
+      {dbl(
+          "CASE WHEN ssb + ssw <= 0 THEN 0.0 ELSE ssb / (ssb + ssw) END",
+          "eta_sq",
+      )},
+      CAST(CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN FALSE
+                ELSE round((ssb / (k - 1)) / (ssw / (n - k)) + 1e-9, 4)
+                     > {ANOVA_F_CRIT} END AS BOOLEAN) AS significant
+    FROM tot
+    """
+
+
 QUERIES = [
+    sql_backed("anova_slice_means", _anova_sql, ("events",)),
     sql_backed("jackknife_ratio_ci", _jackknife_sql, ("events",)),
     sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
     sql_backed("gini_token_concentration", _gini_sql, ("documents",)),

@@ -868,6 +868,122 @@ def _dominant_period_sql(d: str) -> str:
     """
 
 
+HC_MAX_HOPS = 3  # truncated-horizon harmonic centrality (dense graph)
+
+_HC_EDGES_SQL = """
+        SELECT DISTINCT cn.n_name AS src, sn.n_name AS dst
+        FROM customer c
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE cn.n_name <> sn.n_name
+"""
+
+
+def _harmonic_run(spark, sf_dir):
+    """C78 — harmonic centrality of every nation in the directed trade
+    graph (Marchiori & Latora 2000; Boldi & Vigna 2014 argue it over
+    closeness for disconnected graphs): HC(u) = Σ_{v≠u} 1/d(u,v) with
+    1/∞ = 0, normalized by N−1.  Generalizes C53's single-source BFS to
+    ALL sources by carrying (root, node) state through the same bounded
+    frontier loop: per round one equi-join of the deduped pair frontier
+    against the once-materialized edge set + an anti-join on seen pairs
+    — at most HC_MAX_HOPS rounds (the trade graph's diameter is 1-2; a
+    truncated horizon is the standard large-graph variant since exact
+    all-pairs BFS is the textbook non-scalable shape).  State is
+    |nations|² pairs max — broadcast-small at every round even on a
+    100 TB fact table, because the edge frame collapses to ≤|nations|²
+    rows before any iteration begins.
+
+    Oracle: a genuinely RECURSIVE CTE over the same edge set with
+    UNION-distinct level dedup — cross-ALGORITHM agreement like C53."""
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("customer", "nation", "orders", "lineitem", "supplier"), sf_dir)
+    edges = spark.sql(_HC_EDGES_SQL).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_total = nodes.count()
+    seen = nodes.select(
+        F.col("node").alias("root"), F.col("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = seen
+    for k in range(1, HC_MAX_HOPS + 1):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("root", F.col("dst").alias("node"))
+            .distinct()
+            .join(seen.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(k))
+            .localCheckpoint()
+        )
+        if not frontier.take(1):
+            break
+        seen = seen.unionByName(frontier).localCheckpoint()
+    return (
+        seen.filter(F.col("dist") > 0)
+        .groupBy("root")
+        .agg(
+            F.count("*").cast("long").alias("n_reachable"),
+            F.round(F.sum(1.0 / F.col("dist")) + 1e-9, 4).alias("harmonic_sum"),
+            F.round(F.sum(1.0 / F.col("dist")) / (n_total - 1) + 1e-9, 4).alias(
+                "harmonic_centrality"
+            ),
+        )
+        .select(
+            F.col("root").alias("nation"),
+            "n_reachable",
+            (F.col("harmonic_sum") + 0.0).alias("harmonic_sum"),
+            (F.col("harmonic_centrality") + 0.0).alias("harmonic_centrality"),
+        )
+        .orderBy("nation")
+    )
+
+
+def _harmonic_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges AS ({_HC_EDGES_SQL}),
+    nodes AS (
+      -- explicit DISTINCT: inside a WITH RECURSIVE chain DuckDB runs
+      -- this CTE's bare UNION through the recursive-union operator,
+      -- which does NOT collapse the two branches (measured 480 rows
+      -- from 25 nations; same family as the AS MATERIALIZED landmine)
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+      ) u
+    ),
+    reach(root, node, dist) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION
+      SELECT r.root, e.dst, r.dist + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.dist < {HC_MAX_HOPS}
+    ),
+    dmin AS (
+      SELECT root, node, min(dist) AS dd
+      FROM reach GROUP BY root, node HAVING min(dist) > 0
+    ),
+    n_tot AS (SELECT count(*) AS n FROM nodes)
+    SELECT
+      dm.root AS nation,
+      CAST(count(*) AS BIGINT) AS n_reachable,
+      round(sum(1.0 / dm.dd) + 1e-9, 4) + 0.0 AS harmonic_sum,
+      round(sum(1.0 / dm.dd) / (max(nt.n) - 1) + 1e-9, 4) + 0.0
+        AS harmonic_centrality
+    FROM dmin dm CROSS JOIN n_tot nt
+    GROUP BY dm.root
+    ORDER BY nation
+    """
+
+
 QUERIES = [
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
     sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
@@ -887,4 +1003,6 @@ QUERIES = [
     # new r7, non-deferred
     Query("kcore_trade_bloc", _kcore_run, _kcore_oracle()),
     materialized_backed("cross_correlation", _ccf_parts, ("events",)),
+    # new r7 (second wave), non-deferred
+    Query("harmonic_centrality", _harmonic_run, _harmonic_oracle()),
 ]

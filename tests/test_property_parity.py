@@ -254,7 +254,9 @@ _EVENTS_SCHEMA = (
 
 def _event_sql_fns():
     from fiveg_spark.operators.analytics_ext import _zscore_sql
+    from fiveg_spark.operators.quality import _partition_completeness_sql
     from fiveg_spark.operators.stats_assoc import (
+        _anova_sql,
         _assoc_sql,
         _evt_tail_sql,
         _jackknife_sql,
@@ -337,6 +339,12 @@ def _event_sql_fns():
         # running-mean recursion + rounded-threshold alarm flags;
         # constant series give sd = 0 -> thresholds collapse to 0
         "page_hinkley_drift": _page_hinkley_sql,
+        # SSB/SSW ratio guards: single-slice (k<2), one-hour-per-slice
+        # (n<=k) and zero-within-variance corpora all land here
+        "anova_slice_means": _anova_sql,
+        # span/gap integer-epoch arithmetic; single-hour days give
+        # span 1 with the coalesced max_gap = 1.0 branch
+        "partition_completeness": _partition_completeness_sql,
         # percentile-column unpivot (stack vs UNION dual) + short
         # series with empty val/test eras
         "conformal_alpha_sweep": _conformal_sweep_sql,

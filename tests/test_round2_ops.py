@@ -428,3 +428,58 @@ def test_cramer_von_mises_detects_planted_shift_and_stays_quiet(spark):
     cur = [2000.0 * 8] * 24
     res = cramervonmises_2samp(ref, cur, method="asymptotic")
     assert abs(got["URLLC"]["cvm_stat"] - res.statistic) < 0.05
+
+
+def test_partition_completeness_flags_backfill_holes(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.quality import _partition_completeness_sql
+
+    # day 1: hours 0-5 and 10-12 active -> 9 active of a 13h span, max
+    # gap 5h, has_holes.  day 2: hours 0-11 dense -> completeness 1.0.
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in list(range(6)) + list(range(10, 13)):
+        rows.append((eid, t0 + dt.timedelta(hours=h), "view", 1, 1.0, "{}"))
+        eid += 1
+    for h in range(12):
+        rows.append((eid, t0 + dt.timedelta(days=1, hours=h), "view", 1, 1.0, "{}"))
+        eid += 1
+    _events_from(spark, rows)
+    got = {r["day"].isoformat(): r.asDict()
+           for r in spark.sql(_partition_completeness_sql("spark")).collect()}
+    d1, d2 = got["2024-03-01"], got["2024-03-02"]
+    assert d1["hours_active"] == 9 and d1["span_hours"] == 13
+    assert abs(d1["completeness"] - 9 / 13) < 1e-3
+    assert d1["max_gap_hours"] == 5.0 and d1["has_holes"] is True
+    assert d2["completeness"] == 1.0 and d2["has_holes"] is False
+    assert d2["max_gap_hours"] == 1.0
+
+
+def test_anova_separated_means_significant_identical_not(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.stats_assoc import _anova_sql
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def run(offsets):
+        rows, eid = [], 0
+        for h in range(48):
+            for uid in (0, 1, 2):
+                v = offsets[uid] + (h % 5) * 10.0  # within-group noise
+                rows.append(
+                    (eid, t0 + dt.timedelta(hours=h), "view", uid, v, "{}")
+                )
+                eid += 1
+        _events_from(spark, rows)
+        (r,) = spark.sql(_anova_sql("spark")).collect()
+        return r.asDict()
+
+    apart = run({0: 100.0, 1: 5000.0, 2: 20000.0})
+    assert apart["k_groups"] == 3 and apart["significant"] is True
+    assert apart["f_stat"] > 100 and apart["eta_sq"] > 0.9
+
+    same = run({0: 100.0, 1: 100.0, 2: 100.0})
+    assert same["significant"] is False
+    assert same["eta_sq"] < 0.05

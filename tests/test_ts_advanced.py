@@ -241,3 +241,48 @@ def test_ccf_recovers_planted_lead_lag(spark):
     assert (top["slice_a"], top["slice_b"]) == ("URLLC", "eMBB")
     assert top["lag_hours"] == -2
     assert top["ccf"] > 0.99
+
+
+def test_harmonic_centrality_matches_pure_python_bfs(spark):
+    from collections import defaultdict, deque
+
+    from fiveg_spark.operators.ts_advanced import (
+        HC_MAX_HOPS,
+        _HC_EDGES_SQL,
+        _harmonic_run,
+    )
+    from fiveg_spark.plans.registry import ensure_views
+    from tests.conftest import SF_DIR
+
+    got = {r["nation"]: r.asDict() for r in _harmonic_run(spark, SF_DIR).collect()}
+
+    # independent reference: truncated-horizon BFS in plain Python over
+    # the same directed edge set
+    ensure_views(
+        spark, ("customer", "nation", "orders", "lineitem", "supplier"), SF_DIR
+    )
+    adj = defaultdict(set)
+    nodes = set()
+    for r in spark.sql(_HC_EDGES_SQL).collect():
+        adj[r["src"]].add(r["dst"])
+        nodes.update((r["src"], r["dst"]))
+    for root in nodes:
+        dist = {root: 0}
+        q = deque([root])
+        while q:
+            u = q.popleft()
+            if dist[u] >= HC_MAX_HOPS:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        del dist[root]
+        hsum = sum(1.0 / d for d in dist.values())
+        if not dist:
+            assert root not in got
+            continue
+        row = got[root]
+        assert row["n_reachable"] == len(dist)
+        assert abs(row["harmonic_sum"] - hsum) < 1e-3
+        assert abs(row["harmonic_centrality"] - hsum / (len(nodes) - 1)) < 1e-3
