@@ -868,6 +868,247 @@ def _dominant_period_sql(d: str) -> str:
     """
 
 
+def _spectral_entropy_sql(d: str) -> str:
+    # D41 — normalized spectral entropy over the D32 candidate-period
+    # power spectrum (Inouye 1991; the 'forecastability' feature in
+    # tsfeatures/catch22): H = −Σ p·ln p / ln K over the normalized
+    # power shares at the SPECTRAL_PERIODS projections.  H → 0 means
+    # one period owns the variance (seasonal, forecastable); H → 1
+    # means the spectrum is flat (noise-like) — the one-number summary
+    # a model-selection sweep reads before paying for Holt-Winters.
+    # Shares normalize over the ROUNDED per-period powers (identical
+    # 4-dp inputs both engines → identical ratios; ln ulps die in the
+    # final rounding).  Zero total power (constant series) reports
+    # H = 0 with zero top share.
+    #
+    # Scale: same physique as D32 — one scan, |series|×|periods|
+    # grouped projection, entropy over K=4 rows per slice.
+    if d == "spark":
+        periods = "SELECT explode(array{}) AS period".format(SPECTRAL_PERIODS)
+    else:
+        periods = "SELECT unnest([{}]) AS period".format(
+            ", ".join(str(p) for p in SPECTRAL_PERIODS)
+        )
+    k = len(SPECTRAL_PERIODS)
+    return f"""
+    {_hourly_cte(d)},
+    indexed AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        CAST(row_number() OVER (PARTITION BY slice ORDER BY h) - 1 AS DOUBLE) AS t,
+        avg(throughput_bps) OVER (PARTITION BY slice) AS vbar,
+        count(*) OVER (PARTITION BY slice) AS n
+      FROM hourly
+    ),
+    proj AS (
+      SELECT
+        i.slice,
+        p.period,
+        sum((i.v - i.vbar) * cos(2.0 * pi() * i.t / p.period)) AS a,
+        sum((i.v - i.vbar) * sin(2.0 * pi() * i.t / p.period)) AS b,
+        max(i.n) AS n
+      FROM indexed i CROSS JOIN ({periods}) p
+      GROUP BY i.slice, p.period
+    ),
+    powered AS (
+      SELECT
+        slice,
+        period,
+        n,
+        round((a * a + b * b) / n + {NUDGE}, 4) + 0.0 AS pw
+      FROM proj
+    ),
+    tot AS (
+      SELECT slice, max(n) AS n, sum(pw) AS pw_total, max(pw) AS pw_max
+      FROM powered GROUP BY slice
+    ),
+    shares AS (
+      SELECT
+        p.slice,
+        max(t.n) AS n,
+        max(t.pw_total) AS pw_total,
+        max(t.pw_max) AS pw_max,
+        sum(CASE WHEN p.pw > 0 AND t.pw_total > 0
+                 THEN -(p.pw / t.pw_total) * ln(p.pw / t.pw_total)
+                 ELSE 0.0 END) AS h_raw
+      FROM powered p JOIN tot t ON t.slice = p.slice
+      GROUP BY p.slice
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {dbl(f"CASE WHEN pw_total > 0 THEN h_raw / ln({k}.0) ELSE 0.0 END",
+           "spectral_entropy")},
+      {dbl("CASE WHEN pw_total > 0 THEN pw_max / pw_total ELSE 0.0 END",
+           "top_period_share")}
+    FROM shares
+    ORDER BY slice
+    """
+
+
+def _seasonal_strength_sql(d: str) -> str:
+    # D42 — seasonal strength per slice (Hyndman's tsfeatures measure,
+    # FPP3 §4.3, on the B11 classical additive decomposition):
+    # F_s = max(0, 1 − Var(residual)/Var(value)) — the share of
+    # variance the hour-of-day profile explains, with the profile's
+    # peak-to-trough amplitude alongside.  This is the scalar deciding
+    # whether the D21→D22 Holt → Holt-Winters upgrade pays: F_s near 0
+    # says the period-24 seasonal state is dead weight.
+    #
+    # Parity: seasonal means round before residuals form (B11's
+    # discipline), variances come from explicit Σ/Σ² over identical
+    # rounded inputs, and the max(0, ·) clamp works on the rounded
+    # ratio so both engines clamp the same double.
+    #
+    # Scale: one scan → hourly rollup; the hour-of-day window and the
+    # per-slice agg both run on the tiny series frame.
+    return f"""
+    {_hourly_cte(d)},
+    seasonal AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        round(avg(throughput_bps) OVER (PARTITION BY slice, hour(h)) + {NUDGE}, 4)
+          + 0.0 AS seas
+      FROM hourly
+    ),
+    resid AS (
+      SELECT slice, v, seas, round(v - seas, 4) AS r FROM seasonal
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_hours")},
+      {dbl("avg(v * v) - avg(v) * avg(v)", "var_total")},
+      {dbl("avg(r * r) - avg(r) * avg(r)", "var_resid")},
+      {dbl(
+          "greatest(0.0, CASE WHEN avg(v * v) - avg(v) * avg(v) > 0"
+          " THEN round(1.0 - (avg(r * r) - avg(r) * avg(r))"
+          " / (avg(v * v) - avg(v) * avg(v)) + {NUDGE}, 4)"
+          " ELSE 0.0 END)".format(NUDGE=NUDGE),
+          "seasonal_strength",
+      )},
+      {dbl("max(seas) - min(seas)", "seasonal_amplitude")}
+    FROM resid
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+HURST_SIZES = (8, 16, 32)  # dyadic R/S block sizes, hours
+
+
+def _hurst_sql(d: str) -> str:
+    # D43 — Hurst exponent per slice via rescaled-range (R/S) analysis
+    # (Hurst 1951; Mandelbrot & Wallis 1969): at block sizes
+    # {HURST_SIZES}, R/S = (max−min of within-block cumulative
+    # deviations) / block σ, and H is the log-log OLS slope of the
+    # mean R/S against block size.  H ≈ 0.5 is memoryless, H > 0.5
+    # long-range persistent (bursty networks classically ≈ 0.7-0.9 —
+    # the self-similar-traffic literature, Leland et al. 1994), H < 0.5
+    # anti-persistent/mean-reverting.  The long-memory companion to
+    # D38's short-range memory coefficient.
+    #
+    # Parity: block stats from explicit Σ/Σ² over pre-rounded hourly
+    # values; cumulative deviations evaluate in identical frame order;
+    # mean R/S rounds BEFORE ln so both engines regress identical
+    # points; complete blocks only (a ragged tail block would make the
+    # estimate depend on series length mod size).
+    #
+    # Scale: one scan → hourly rollup; the |sizes|× expansion and all
+    # windows run on the tiny per-slice series.
+    if d == "spark":
+        sizes = "SELECT explode(array{}) AS sz".format(HURST_SIZES)
+    else:
+        sizes = "SELECT unnest([{}]) AS sz".format(
+            ", ".join(str(s) for s in HURST_SIZES)
+        )
+    return f"""
+    {_hourly_cte(d)},
+    indexed AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        row_number() OVER (PARTITION BY slice ORDER BY h) - 1 AS rn
+      FROM hourly
+    ),
+    blocked AS (
+      SELECT
+        i.slice,
+        s.sz,
+        CAST(floor(i.rn / s.sz) AS BIGINT) AS blk,
+        i.rn,
+        i.v,
+        count(*) OVER (PARTITION BY i.slice, s.sz, CAST(floor(i.rn / s.sz) AS BIGINT)) AS blk_n,
+        avg(i.v) OVER (PARTITION BY i.slice, s.sz, CAST(floor(i.rn / s.sz) AS BIGINT)) AS blk_mean
+      FROM indexed i CROSS JOIN ({sizes}) s
+    ),
+    complete AS (
+      SELECT * FROM blocked WHERE blk_n = sz
+    ),
+    walked AS (
+      SELECT
+        slice,
+        sz,
+        blk,
+        v,
+        blk_mean,
+        sum(v - blk_mean) OVER (
+          PARTITION BY slice, sz, blk ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS cum_dev
+      FROM complete
+    ),
+    block_rs AS (
+      SELECT
+        slice,
+        sz,
+        blk,
+        max(cum_dev) - min(cum_dev) AS r_range,
+        sqrt(avg(v * v) - avg(v) * avg(v)) AS s_dev
+      FROM walked
+      GROUP BY slice, sz, blk
+    ),
+    size_rs AS (
+      SELECT
+        slice,
+        sz,
+        count(*) AS n_blocks,
+        round(avg(CASE WHEN s_dev > 0 THEN r_range / s_dev END) + {NUDGE}, 4)
+          + 0.0 AS avg_rs
+      FROM block_rs
+      GROUP BY slice, sz
+    ),
+    fit AS (
+      SELECT
+        slice,
+        count(*) AS n_pts,
+        sum(ln(CAST(sz AS DOUBLE))) AS sx,
+        sum(ln(avg_rs)) AS sy,
+        sum(ln(CAST(sz AS DOUBLE)) * ln(CAST(sz AS DOUBLE))) AS sxx,
+        sum(ln(CAST(sz AS DOUBLE)) * ln(avg_rs)) AS sxy
+      FROM size_rs
+      WHERE avg_rs > 0
+      GROUP BY slice
+    )
+    SELECT
+      sr.slice,
+      {cnt("sr.sz", "block_size")},
+      {cnt("sr.n_blocks", "n_blocks")},
+      CAST(sr.avg_rs AS DOUBLE) AS avg_rs,
+      {dbl(
+          "CASE WHEN f.n_pts >= 2"
+          " AND f.n_pts * f.sxx - f.sx * f.sx > 1e-12"
+          " THEN (f.n_pts * f.sxy - f.sx * f.sy)"
+          " / (f.n_pts * f.sxx - f.sx * f.sx)"
+          " ELSE 0.5 END",
+          "hurst",
+      )}
+    FROM size_rs sr JOIN fit f ON f.slice = sr.slice
+    ORDER BY sr.slice, block_size
+    """
+
+
 HC_MAX_HOPS = 3  # truncated-horizon harmonic centrality (dense graph)
 
 _HC_EDGES_SQL = """
@@ -1005,4 +1246,7 @@ QUERIES = [
     materialized_backed("cross_correlation", _ccf_parts, ("events",)),
     # new r7 (second wave), non-deferred
     Query("harmonic_centrality", _harmonic_run, _harmonic_oracle()),
+    sql_backed("spectral_entropy", _spectral_entropy_sql, ("events",)),
+    sql_backed("seasonal_strength", _seasonal_strength_sql, ("events",)),
+    sql_backed("hurst_exponent", _hurst_sql, ("events",)),
 ]

@@ -299,6 +299,9 @@ def _event_sql_fns():
     from fiveg_spark.operators.ts_advanced import (
         _dominant_period_sql,
         _hopping_window_sql,
+        _hurst_sql,
+        _seasonal_strength_sql,
+        _spectral_entropy_sql,
     )
 
     from fiveg_spark.operators.timeseries import (
@@ -315,6 +318,15 @@ def _event_sql_fns():
         # cos/sin + ss>0 guard: constant series (ss = 0) and 1-row
         # series land here; rank ties resolve on rounded scores
         "dominant_period": _dominant_period_sql,
+        # p·ln p over rounded power shares; zero-total-power (constant
+        # series) takes the H = 0 branch
+        "spectral_entropy": _spectral_entropy_sql,
+        # var ratio clamp on rounded values; zero-variance series take
+        # the 0.0 branch
+        "seasonal_strength": _seasonal_strength_sql,
+        # tiny streams have NO complete R/S block at any size -> empty
+        # fit (0 rows) and the n_pts < 2 fallback to H = 0.5
+        "hurst_exponent": _hurst_sql,
         # midrank ECDF ratios + the n_train = 0 guard (series shorter
         # than the split floor leave the train era empty)
         "quantile_transform": _quantile_transform_sql,
