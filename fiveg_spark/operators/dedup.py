@@ -22,6 +22,7 @@ Scale shape (100 TB corpus):
 from __future__ import annotations
 
 from fiveg_spark.plans.registry import (
+    NUDGE,
     Query,
     cnt,
     dbl,
@@ -591,6 +592,104 @@ def _minhash_recall_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ], tail
 
 
+BAND_CONFIGS = ((8, 1), (4, 2), (2, 4))  # (bands, rows/band) over 8 lanes
+SCURVE_SLACK = 0.3  # measured-vs-theory tolerance (8 correlated lanes)
+
+
+def _band_curve_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E71 — the MinHash-LSH PARAMETER curve, measured (Leskovec-
+    # Rajaraman-Ullman ch.3 S-curve): from ONE signature frame, emit
+    # candidate recall/precision against the exact-Jaccard ground truth
+    # at every (bands b × rows r) partition of the 8 lanes — (8,1)
+    # loose, (4,2) production (E2's config), (2,4) strict — next to the
+    # THEORY capture probability E[1−(1−J^r)^b] averaged over the true
+    # pairs.  This is the tuning table an engineer reads before picking
+    # b×r for a new corpus; E57 certifies the one shipped config, this
+    # certifies the whole trade-off sweep, and the theory column makes
+    # the S-curve's collapse from loose to strict VISIBLE (recall
+    # monotonically non-increasing in r) — all value-certified, since
+    # both sides are shared two-dialect SQL.
+    #
+    # One corpus scan builds signatures (the E2 shape: min() needs no
+    # DISTINCT, one partial-agged shuffle); one more builds the exact
+    # ground truth (inherent — it IS the certification witness).  Every
+    # per-config banding re-reads only the materialized ≤|docs|-row
+    # signature frame, never the corpus; candidate joins are
+    # band-bucket-local exactly like E2.
+    mh_aggs = ",\n        ".join(
+        f"min(substring(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    sigs_sql = f"""
+    {_shingles_body(d, distinct=False)},
+    hashed AS (
+      SELECT doc_id,
+        md5(concat(shingle, '#0')) AS h0,
+        md5(concat(shingle, '#1')) AS h1
+      FROM shingles
+    )
+    SELECT doc_id, {mh_aggs}
+    FROM hashed
+    GROUP BY doc_id
+    """
+    config_ctes, config_rows = [], []
+    for b, r in BAND_CONFIGS:
+        bands = "\n      UNION ALL\n      ".join(
+            "SELECT doc_id, {band} AS band, {sig} AS sig FROM _mz_bcv_sigs".format(
+                band=band,
+                sig="concat({})".format(
+                    ", ".join(f"mh{band * r + j}" for j in range(r))
+                ),
+            )
+            for band in range(b)
+        )
+        config_ctes.append(f"""
+    bands_{b}_{r} AS (
+      {bands}
+    ),
+    cand_{b}_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, bb.doc_id AS doc_b
+      FROM bands_{b}_{r} a
+      JOIN bands_{b}_{r} bb
+        ON a.band = bb.band AND a.sig = bb.sig AND a.doc_id < bb.doc_id
+    ),
+    stat_{b}_{r} AS (
+      SELECT
+        (SELECT count(*) FROM cand_{b}_{r}) AS n_cand,
+        (SELECT count(*) FROM _mz_bcv_exact) AS n_exact,
+        (SELECT count(*) FROM _mz_bcv_exact x
+           JOIN cand_{b}_{r} c ON c.doc_a = x.doc_a AND c.doc_b = x.doc_b
+        ) AS n_hits,
+        (SELECT coalesce(avg(1.0 - power(1.0 - power(jaccard, {r}), {b})), 1.0)
+           FROM _mz_bcv_exact) AS expected_recall
+    )""")
+        config_rows.append(f"""
+    SELECT
+      {cnt(str(b), "n_bands")},
+      {cnt(str(r), "rows_per_band")},
+      {cnt("n_exact", "n_exact_pairs")},
+      {cnt("n_cand", "n_candidate_pairs")},
+      {cnt("n_hits", "n_hits")},
+      {dbl("CASE WHEN n_exact = 0 THEN 1.0 ELSE n_hits / CAST(n_exact AS DOUBLE) END",
+           "recall")},
+      {dbl("CASE WHEN n_cand = 0 THEN 1.0 ELSE n_hits / CAST(n_cand AS DOUBLE) END",
+           "precision")},
+      {dbl("expected_recall", "expected_recall")},
+      CAST(round(CASE WHEN n_exact = 0 THEN 1.0
+                      ELSE n_hits / CAST(n_exact AS DOUBLE) END + {NUDGE}, 4)
+           >= round(expected_recall + {NUDGE}, 4) - {SCURVE_SLACK}
+           AS BOOLEAN) AS scurve_ok
+    FROM stat_{b}_{r}""")
+    tail = "WITH " + ",".join(config_ctes).lstrip().removeprefix(",") + (
+        "\n    UNION ALL".join(config_rows)
+        + "\n    ORDER BY rows_per_band"
+    )
+    return [
+        ("_mz_bcv_sigs", sigs_sql),
+        ("_mz_bcv_exact", _ngram_jaccard_sql(d)),
+    ], tail
+
+
 SPAN_K = 5  # duplicated-run unit: 5 consecutive tokens
 
 
@@ -742,4 +841,6 @@ QUERIES = [
     ),
     # new r7, non-deferred
     sql_backed("containment_pairs", _containment_sql, ("documents",)),
+    # new r7 (second wave), non-deferred
+    materialized_backed("minhash_band_curve", _band_curve_parts, ("documents",)),
 ]

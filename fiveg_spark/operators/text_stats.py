@@ -22,6 +22,7 @@ Both are pure SQL in both engines — no Python in the plan.
 
 from __future__ import annotations
 
+from fiveg_spark.operators.dedup import _shingles_cte
 from fiveg_spark.operators.text import _tok
 from fiveg_spark.plans.registry import materialized_backed, cnt, dbl, pct, sql_backed
 
@@ -397,8 +398,51 @@ def _ppl_buckets_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_ppl_toks", explode), ("_mz_ppl_perdoc", perdoc_sql)], tail
 
 
+def _ngram_novelty_sql(d: str) -> str:
+    # E70 — per-document n-gram novelty: the fraction of a doc's
+    # DISTINCT 3-gram shingles that appear in NO other document, plus
+    # the mean document frequency of its shingles (duplication
+    # pressure).  The document-level complement of E42's corpus-level
+    # boilerplate list: E42 asks "which n-grams are everywhere", this
+    # asks "how much of THIS doc is template" — the score a curation
+    # pass thresholds to drop near-template documents that exact/
+    # near-dup (E1/E2) misses because no single pair is similar enough.
+    # (Same family as the novelty term in Gopher rule filtering and
+    # RefinedWeb's line-level dedup motivation.)
+    #
+    # One corpus scan: doc frequency comes from a count window OVER the
+    # distinct (doc, shingle) frame — a df-side groupBy+join-back would
+    # re-run the shingle pipeline per reference (the advisor's
+    # repeated-scan rule).  Docs under 3 tokens have no shingles and
+    # are absent by construction.
+    #
+    # Scale: shingle cardinality is high and unskewed (hash-agg /
+    # window on the shingle key); the window is a second shuffle on
+    # shingle after the distinct — both partial-agg friendly.
+    return f"""
+    {_shingles_cte(d)},
+    tagged AS (
+      SELECT
+        doc_id,
+        shingle,
+        count(*) OVER (PARTITION BY shingle) AS df
+      FROM shingles
+    )
+    SELECT
+      doc_id,
+      {cnt("count(*)", "n_shingles")},
+      {cnt("sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)", "n_unique")},
+      {dbl("sum(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END) / count(*)", "novelty")},
+      {dbl("avg(df)", "avg_df")}
+    FROM tagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
+    sql_backed("ngram_novelty", _ngram_novelty_sql, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
     materialized_backed("unigram_ppl", _unigram_ppl_parts, ("documents",)),
     sql_backed("bigram_ppl", _bigram_ppl_sql, ("documents",)),

@@ -1172,3 +1172,33 @@ def test_embedding_truncation_eval_improves_with_dim(spark):
     for r in rows.values():
         assert 0.0 <= r["dup_decision_agreement"] <= 1.0
         assert r["n_pairs"] == 1225
+
+
+def test_band_curve_configs_nest_and_recall_theory_holds(spark):
+    from fiveg_spark.operators.dedup import _band_curve_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # two exact duplicates (J = 1 -> candidate at EVERY config) among
+    # unrelated docs; candidate sets must nest loose >= strict
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 0),
+        (2, "one two three four five six seven eight nine", "en", "s", 0),
+        (3, "red orange yellow green blue indigo violet shades", "en", "s", 0),
+        (4, "north south east west compass points directions map", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    pdf = run_parts(spark, _band_curve_parts).toPandas().sort_values("rows_per_band")
+    assert len(pdf) == 3
+    # the J = 1 pair is caught by every config
+    assert (pdf["recall"] == 1.0).all()
+    assert (pdf["n_hits"] >= 1).all()
+    # (b, r) candidate sets nest: any r-row band match implies a match
+    # in every coarser config -> candidate counts non-increasing in r
+    cands = pdf["n_candidate_pairs"].tolist()
+    assert cands[0] >= cands[1] >= cands[2]
+    # theory column: expected recall for a J = 1 pair is exactly 1
+    assert (pdf["expected_recall"] >= 0.99).all()
+    assert pdf["scurve_ok"].all()

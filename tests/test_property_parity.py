@@ -86,7 +86,10 @@ def _more_doc_sql_fns():
         _lang_id_sql,
         _token_counts_sql,
     )
-    from fiveg_spark.operators.text_stats import _bigram_ppl_sql
+    from fiveg_spark.operators.text_stats import (
+        _bigram_ppl_sql,
+        _ngram_novelty_sql,
+    )
 
     return {
         "boilerplate_ngrams": _boilerplate_ngrams_sql,
@@ -111,7 +114,9 @@ def _more_doc_sql_fns():
         "snapshot_diff": _snapshot_diff_sql,
         # empty-sample guards + count-distinct-over-CASE ratios
         "dup_rate_sample_audit": _dup_audit_sql,
-
+        # df-window ratios; under-3-token docs vanish, single-doc
+        # corpora are all-unique (novelty = 1)
+        "ngram_novelty": _ngram_novelty_sql,
     }
 
 
@@ -461,6 +466,7 @@ def _assert_parity_parts(spark, pdf, view, schema, parts_fn, name):
 
 def _doc_parts_fns():
     from fiveg_spark.operators.dedup import (
+        _band_curve_parts,
         _minhash_recall_parts,
         _substring_dedup_parts,
     )
@@ -480,6 +486,9 @@ def _doc_parts_fns():
         "contamination_matrix": _contamination_matrix_parts,
         "ppl_buckets": _ppl_buckets_parts,
         "minhash_recall_vs_exact": _minhash_recall_parts,
+        # S-curve power() math + empty ground-truth (expected = 1.0
+        # coalesce) and empty-candidate branches per config
+        "minhash_band_curve": _band_curve_parts,
         "unigram_ppl": _unigram_ppl_parts,
         # log-ratio model math + missing-target-source degenerate case
         "dsir_importance": _dsir_parts,

@@ -174,3 +174,25 @@ def test_retrieval_eval_perfect_ranking_gets_ndcg_1(spark):
     assert q["ndcg"] == 1.0
     assert q["mrr"] == 1.0
     assert q["dcg"] == q["idcg"] > 0
+
+
+def test_ngram_novelty_separates_template_from_unique(spark):
+    # docs 0/1 share the SAME template text -> every shingle has df = 2
+    # -> novelty 0, avg_df 2.  doc 2 is wholly original -> novelty 1.
+    # doc 3 has < 3 tokens -> no shingles -> absent.
+    _docs_view(
+        spark,
+        [
+            (0, "the quick brown fox jumps over the lazy dog", "en", "s", 0),
+            (1, "the quick brown fox jumps over the lazy dog", "en", "s", 0),
+            (2, "entirely original content with unique wording here", "en", "s", 0),
+            (3, "too short", "en", "s", 0),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict()
+           for r in spark.sql(ts._ngram_novelty_sql("spark")).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["novelty"] == 0.0 and got[0]["avg_df"] == 2.0
+    assert got[1]["novelty"] == 0.0
+    assert got[2]["novelty"] == 1.0 and got[2]["avg_df"] == 1.0
+    assert got[2]["n_unique"] == got[2]["n_shingles"]
