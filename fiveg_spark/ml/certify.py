@@ -681,6 +681,124 @@ ORDER BY slice
 """
 
 
+# --------------------------------------------------------------------------
+# D44: ridge regression on the VAR design (closed-form, regularization path)
+# --------------------------------------------------------------------------
+
+RIDGE_LAMBDAS = (0.1, 1.0, 10.0)
+
+
+def ridge_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D44 — ridge regression over the D6 VAR lag design at a λ ladder
+    (Hoerl & Kennard 1970): B_λ = (XᵀX + λI)⁻¹XᵀY from the SAME
+    distributed Gram matrices D6 already certifies (zero extra scans —
+    the regularization path is pure driver-side linear algebra on the
+    collected k·p+1-square sums, the whole point of the Gram
+    formulation at 100 TB).  Full-matrix penalty (intercept included),
+    so every invariant below is an exact theorem of the computed
+    objective J_λ(B) = SSE(B) + λ‖B‖²_F:
+
+    - solve_ok:     ‖(XᵀX+λI)B_λ − XᵀY‖∞ ≈ 0 (the defining equations)
+    - shrink_ok:    ‖B_λ‖_F non-increasing in λ and ≤ ‖B_ols‖_F
+                    (standard ridge shrinkage monotonicity)
+    - objective_ok: J_λ(B_λ) ≤ J_λ(B_ols) (B_λ minimizes J_λ)
+    - sse_order_ok: SSE(B_λ) ≥ SSE(B_ols) (OLS minimizes raw SSE)
+
+    The oracle recomputes n_obs per slice from raw events (the strong
+    data-dependent half, as for D6) and states the theorems as TRUE."""
+    from fiveg_spark.ml.var import collect_gram, lag_design, normal_equations
+
+    scaled, _ = robust_scale(feature_frame(spark, sf_dir))
+    design = lag_design(scaled, p=P_LAGS).filter(F.col("split") == "train").persist()
+    try:
+        gram = collect_gram(normal_equations(design))
+        k = len(FEATURES)
+        ystats = (
+            design.groupBy("slice")
+            .agg(
+                F.count("*").alias("n"),
+                F.array(
+                    *[
+                        F.sum(F.element_at("y", f + 1) * F.element_at("y", f + 1))
+                        for f in range(k)
+                    ]
+                ).alias("syy"),
+            )
+            .collect()
+        )
+    finally:
+        design.unpersist()
+
+    def sse_total(xtx, xty, syy, B):
+        return float(
+            sum(
+                syy[f] - 2.0 * float(B[:, f] @ xty[:, f])
+                + float(B[:, f] @ xtx @ B[:, f])
+                for f in range(B.shape[1])
+            )
+        )
+
+    rows = []
+    for r in sorted(ystats, key=lambda rr: rr["slice"]):
+        xtx, xty = gram[r["slice"]]
+        eye = np.eye(xtx.shape[0])
+        b_ols = np.linalg.solve(xtx + 1e-9 * eye, xty)
+        sse_ols = sse_total(xtx, xty, r["syy"], b_ols)
+        norm_ols = float(np.sum(b_ols * b_ols))
+        prev_norm = norm_ols
+        for lam in RIDGE_LAMBDAS:
+            b_lam = np.linalg.solve(xtx + lam * eye, xty)
+            resid = float(np.abs((xtx + lam * eye) @ b_lam - xty).max())
+            solve_ok = resid <= 1e-6 * max(1.0, float(np.abs(xty).max()))
+            norm_lam = float(np.sum(b_lam * b_lam))
+            shrink_ok = norm_lam <= prev_norm + 1e-9 * max(1.0, prev_norm)
+            sse_lam = sse_total(xtx, xty, r["syy"], b_lam)
+            tol = 1e-6 * max(1.0, abs(sse_ols))
+            objective_ok = (sse_lam + lam * norm_lam
+                            <= sse_ols + lam * norm_ols + tol)
+            sse_order_ok = sse_lam >= sse_ols - tol
+            prev_norm = norm_lam
+            rows.append(
+                (
+                    r["slice"],
+                    float(lam),
+                    r["n"],
+                    xtx.shape[0],
+                    bool(solve_ok),
+                    bool(shrink_ok),
+                    bool(objective_ok),
+                    bool(sse_order_ok),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "slice string, lambda double, n_obs long, n_terms long, "
+        "solve_ok boolean, shrink_ok boolean, objective_ok boolean, "
+        "sse_order_ok boolean",
+    )
+
+
+_RIDGE_CERT_ORACLE = f"""
+{_counted_cte()},
+lambdas AS (
+  SELECT unnest([{", ".join(f"CAST({lam} AS DOUBLE)" for lam in RIDGE_LAMBDAS)}])
+    AS lam
+)
+SELECT
+  c.slice,
+  l.lam AS lambda,
+  CAST(greatest(CAST(floor(0.7 * c.n) AS BIGINT) - {P_LAGS}, 0) AS BIGINT)
+    AS n_obs,
+  CAST({N_TERMS} AS BIGINT) AS n_terms,
+  TRUE AS solve_ok,
+  TRUE AS shrink_ok,
+  TRUE AS objective_ok,
+  TRUE AS sse_order_ok
+FROM counted c CROSS JOIN lambdas l
+ORDER BY slice, lambda
+"""
+
+
 QUERIES = [
     # conversions of the former rows-only registrations (round 6); raw
     # coefficient/top-k surfaces remain available as functions and stay
@@ -709,4 +827,6 @@ QUERIES = [
         hybrid_conformal_cert,
         _hybrid_conformal_oracle(),
     ),
+    # new r7 (second wave), non-deferred
+    Query("ridge_cert", ridge_cert, _RIDGE_CERT_ORACLE),
 ]

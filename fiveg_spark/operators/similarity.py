@@ -12,7 +12,15 @@ the shared round-with-nudge discipline.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import Query, cnt, dbl, sql_backed
+from fiveg_spark.operators.text import _bm25_ranked_ctes, _tok
+from fiveg_spark.plans.registry import (
+    NUDGE,
+    Query,
+    cnt,
+    dbl,
+    materialized_backed,
+    sql_backed,
+)
 
 COSINE_DUP_THRESHOLD = 0.30  # synthetic embeddings: p99 within-label ≈ 0.295
 DEDUP_N_PROBE = 6  # lists each vector indexes into for dedup blocking (of N_LISTS=16)
@@ -347,8 +355,115 @@ def _rrf_sql(d: str) -> str:
     """
 
 
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_POOL = 20  # per-modality candidate pool depth
+HYBRID_TOPK = 5
+
+
+def _hybrid_fusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E72 — hybrid lexical+dense retrieval fusion (Cormack et al. 2009
+    # RRF; the two-tower production shape every RAG stack ships): for
+    # each planted keyword query, the LEXICAL ranking is E64's BM25
+    # chain verbatim (shared CTEs — a scoring regression breaks both
+    # certified rows), the DENSE ranking is query-by-example cosine
+    # seeded with the BM25 top-1 document's embedding (pseudo-relevance
+    # feedback: keyword queries have no embedding, their best lexical
+    # hit does), and the fused list is RRF over the two top-{RRF_POOL}
+    # pools: score = Σ 1/({RRF_K}+rank), absent-modality ranks
+    # contribute 0 (the standard convention).  E40 certifies RRF rank
+    # arithmetic on synthetic ranks; this runs the REAL two-modality
+    # pipeline end-to-end.
+    #
+    # Scale: one corpus scan builds the tf frame (materialized); the
+    # dense side is |queries|×|corpus| with the 3-row query-vector
+    # frame broadcast — the exact-scoring shape for small query sets
+    # (a large query set swaps in ann_retrieval's IVF probe path);
+    # fusion is a FULL OUTER join of two ≤|queries|·{RRF_POOL} pools.
+    # RRF scores round (NUDGE) before the fused rank; doc_id tiebreak.
+    toks = _tok(d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
+    else:
+        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
+    tf_sql = f"""
+      WITH terms AS (
+        {exploded}
+      )
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    """
+    cos = _cos(d, "q.qemb", "e.embedding")
+    tail = f"""
+    WITH {_bm25_ranked_ctes("_mz_hyb_tf")},
+    lex AS (
+      SELECT query_id, doc_id, rnk AS rank_lex
+      FROM ranked WHERE rnk <= {RRF_POOL}
+    ),
+    seed AS (
+      SELECT query_id, doc_id AS seed_doc FROM ranked WHERE rnk = 1
+    ),
+    qvec AS (
+      SELECT s.query_id, e.embedding AS qemb
+      FROM seed s JOIN embeddings e ON e.vec_id = s.seed_doc
+    ),
+    dense_scored AS (
+      SELECT
+        q.query_id,
+        e.vec_id AS doc_id,
+        round({cos} + {NUDGE}, 4) + 0.0 AS cosine
+      FROM qvec q CROSS JOIN embeddings e
+    ),
+    dense AS (
+      SELECT query_id, doc_id, rank_dense FROM (
+        SELECT *,
+          row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, doc_id
+          ) AS rank_dense
+        FROM dense_scored
+      ) t WHERE rank_dense <= {RRF_POOL}
+    ),
+    fused AS (
+      SELECT
+        coalesce(l.query_id, dn.query_id) AS query_id,
+        coalesce(l.doc_id, dn.doc_id) AS doc_id,
+        coalesce(l.rank_lex, 0) AS rank_lex,
+        coalesce(dn.rank_dense, 0) AS rank_dense,
+        round(
+          CASE WHEN l.rank_lex IS NULL THEN 0.0
+               ELSE 1.0 / ({RRF_K} + l.rank_lex) END
+          + CASE WHEN dn.rank_dense IS NULL THEN 0.0
+                 ELSE 1.0 / ({RRF_K} + dn.rank_dense) END
+          + {NUDGE}, 4) + 0.0 AS rrf_score
+      FROM lex l
+      FULL OUTER JOIN dense dn
+        ON dn.query_id = l.query_id AND dn.doc_id = l.doc_id
+    )
+    SELECT
+      query_id,
+      {cnt("fr", "rnk")},
+      {cnt("doc_id", "doc_id")},
+      CAST(rrf_score AS DOUBLE) AS rrf_score,
+      {cnt("rank_lex", "rank_lex")},
+      {cnt("rank_dense", "rank_dense")},
+      CAST(rank_lex > 0 AND rank_dense > 0 AS BOOLEAN) AS in_both
+    FROM (
+      SELECT *,
+        row_number() OVER (
+          PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+        ) AS fr
+      FROM fused
+    ) f
+    WHERE fr <= {HYBRID_TOPK}
+    ORDER BY query_id, rnk
+    """
+    return [("_mz_hyb_tf", tf_sql)], tail
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
+    materialized_backed(
+        "hybrid_retrieval_fusion", _hybrid_fusion_parts,
+        ("documents", "embeddings"),
+    ),
     # new r7, non-deferred
     sql_backed("embedding_truncation_eval", _truncation_eval_sql, ("embeddings",)),
     sql_backed("rrf_fusion", _rrf_sql, ("embeddings",)),

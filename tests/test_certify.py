@@ -94,3 +94,35 @@ def test_hybrid_conformal_cert_invariants_and_coverage(spark):
     )
     covs = [r["cov"] for r in cov.collect()]
     assert sum(covs) / len(covs) > 0.6  # mean coverage near nominal
+
+
+def test_ridge_cert_invariants_and_augmented_lstsq_parity(spark):
+    import numpy as np
+
+    from fiveg_spark.ml.certify import P_LAGS, RIDGE_LAMBDAS, ridge_cert
+    from fiveg_spark.ml.features import feature_frame, robust_scale
+    from fiveg_spark.ml.var import collect_gram, lag_design, normal_equations
+    from pyspark.sql import functions as F
+
+    rows = _rows(ridge_cert(spark, SF_DIR))
+    assert len(rows) == 3 * len(RIDGE_LAMBDAS)
+    for r in rows:
+        assert r["solve_ok"] and r["shrink_ok"], r
+        assert r["objective_ok"] and r["sse_order_ok"], r
+
+    # independent algorithm: ridge via AUGMENTED least squares
+    # [X; sqrt(lam) I] — lstsq, not a Gram solve — must agree with the
+    # certified Gram-path coefficients
+    scaled, _ = robust_scale(feature_frame(spark, SF_DIR))
+    design = lag_design(scaled, p=P_LAGS).filter(F.col("split") == "train")
+    gram = collect_gram(normal_equations(design))
+    one = design.filter(F.col("slice") == sorted(gram)[0])
+    X = np.array([r["x"] for r in one.select("x").collect()], dtype=float)
+    Y = np.array([r["y"] for r in one.select("y").collect()], dtype=float)
+    xtx, xty = gram[sorted(gram)[0]]
+    lam = RIDGE_LAMBDAS[1]
+    b_gram = np.linalg.solve(xtx + lam * np.eye(xtx.shape[0]), xty)
+    Xa = np.vstack([X, np.sqrt(lam) * np.eye(X.shape[1])])
+    Ya = np.vstack([Y, np.zeros((X.shape[1], Y.shape[1]))])
+    b_aug, *_ = np.linalg.lstsq(Xa, Ya, rcond=None)
+    assert np.abs(b_gram - b_aug).max() < 1e-6

@@ -196,3 +196,49 @@ def test_ngram_novelty_separates_template_from_unique(spark):
     assert got[1]["novelty"] == 0.0
     assert got[2]["novelty"] == 1.0 and got[2]["avg_df"] == 1.0
     assert got[2]["n_unique"] == got[2]["n_shingles"]
+
+
+def test_hybrid_fusion_merges_lexical_and_dense_rankings(spark):
+    from fiveg_spark.operators.similarity import _hybrid_fusion_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # doc 0 is q_stream's lexical winner; doc 5 never matches a query
+    # term but its embedding is nearly doc 0's -> it must enter the
+    # fused list through the dense modality alone (rank_lex = 0)
+    rows = [
+        (0, "spark stream window runs fine", "en", "s1", 29),
+        (1, "spark stream only here", "en", "s1", 22),
+        (2, "spark alone in this doc", "en", "s1", 23),
+    ] + [
+        (3 + i, "filler words padding text body", "en", "s2", 30)
+        for i in range(7)
+    ]
+    _docs_view(spark, rows)
+    import math
+
+    embs = []
+    for i in range(10):
+        if i == 0:
+            v = [1.0, 0.0, 0.0, 0.0]
+        elif i == 5:
+            v = [0.99, 0.141, 0.0, 0.0]  # cosine ~0.99 with doc 0
+        else:
+            a = 2.0 + i
+            v = [0.0, 0.0, math.cos(a), math.sin(a)]  # orthogonal to doc 0
+        embs.append((i, v, i % 3))
+    spark.createDataFrame(
+        embs, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    got = [
+        r.asDict()
+        for r in run_parts(spark, _hybrid_fusion_parts).collect()
+        if r["query_id"] == "q_stream"
+    ]
+    assert got[0]["doc_id"] == 0
+    assert got[0]["in_both"] is True
+    assert got[0]["rank_lex"] == 1 and got[0]["rank_dense"] == 1
+    dense_only = next(r for r in got if r["doc_id"] == 5)
+    assert dense_only["rank_lex"] == 0 and dense_only["rank_dense"] == 2
+    assert abs(dense_only["rrf_score"] - 1.0 / 62.0) < 1e-3
+    scores = [r["rrf_score"] for r in got]
+    assert scores == sorted(scores, reverse=True)
