@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from fiveg_spark.operators.kpi import flows_cte
 from fiveg_spark.plans.registry import (
+    NUDGE,
     corr_safe,
     Query,
     cnt,
@@ -665,8 +666,194 @@ def _quantile_transform_sql(d: str) -> str:
     """
 
 
+WILSON_Z = 1.96  # 95% two-sided
+
+
+def _funnel_ci_sql(d: str) -> str:
+    # C80 — Wilson score confidence intervals on the C24 funnel's
+    # stage-conversion rates (Wilson 1927; the interval Agresti & Coull
+    # recommend over the naive Wald, which collapses at p near 0/1 and
+    # small n — exactly where funnel tails live).  A conversion-rate
+    # movement is only a finding if the intervals separate; this row
+    # is what turns the funnel counts into decisions.
+    #
+    #   center = (p̂ + z²/2n) / (1 + z²/n)
+    #   half   = z·sqrt(p̂(1−p̂)/n + z²/4n²) / (1 + z²/n)
+    #
+    # The stage counts compute ONCE (C24's single user-keyed shuffle);
+    # the three transitions unpivot via the C38 stack ↔ UNION dual.
+    # Zero-denominator transitions report rate 0 with a [0, 1] interval
+    # (no information).  All ratio math rounds at the end.
+    z2 = f"({WILSON_Z} * {WILSON_Z})"
+    if d == "spark":
+        unpivot = """
+      SELECT s.sf AS stage_from, s.st AS stage_to,
+             s.nf AS n_from, s.nt AS n_to
+      FROM counts
+      LATERAL VIEW explode(array(
+        named_struct('sf', 'view', 'st', 'click',
+                     'nf', reached_view, 'nt', reached_click),
+        named_struct('sf', 'click', 'st', 'purchase',
+                     'nf', reached_click, 'nt', reached_purchase),
+        named_struct('sf', 'view', 'st', 'purchase',
+                     'nf', reached_view, 'nt', reached_purchase)
+      )) t AS s
+        """
+    else:
+        unpivot = """
+      SELECT 'view' AS stage_from, 'click' AS stage_to,
+             reached_view AS n_from, reached_click AS n_to FROM counts
+      UNION ALL
+      SELECT 'click', 'purchase', reached_click, reached_purchase FROM counts
+      UNION ALL
+      SELECT 'view', 'purchase', reached_view, reached_purchase FROM counts
+        """
+    p = "(n_to / CAST(n_from AS DOUBLE))"
+    denom = f"(1.0 + {z2} / n_from)"
+    center = f"(({p} + {z2} / (2.0 * n_from)) / {denom})"
+    half = (
+        f"({WILSON_Z} * sqrt({p} * (1.0 - {p}) / n_from"
+        f" + {z2} / (4.0 * n_from * n_from)) / {denom})"
+    )
+    return f"""
+    WITH stages AS (
+      SELECT
+        user_id,
+        min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    ),
+    counts AS (
+      SELECT
+        sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS reached_view,
+        sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+            THEN 1 ELSE 0 END) AS reached_click,
+        sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                 AND t_purchase > t_click THEN 1 ELSE 0 END) AS reached_purchase
+      FROM stages
+    ),
+    transitions AS (
+      {unpivot}
+    )
+    SELECT
+      stage_from,
+      stage_to,
+      {cnt("n_from", "n_from")},
+      {cnt("n_to", "n_to")},
+      {dbl(f"CASE WHEN n_from > 0 THEN {p} ELSE 0.0 END", "rate")},
+      {dbl(f"CASE WHEN n_from > 0 THEN {center} - {half} ELSE 0.0 END",
+           "ci_lo")},
+      {dbl(f"CASE WHEN n_from > 0 THEN {center} + {half} ELSE 1.0 END",
+           "ci_hi")}
+    FROM transitions
+    ORDER BY stage_from, stage_to
+    """
+
+
+def _retention_halflife_sql(d: str) -> str:
+    # C81 — pooled retention curve + exponential half-life (the
+    # growth-accounting summary read off C23's cohort grid): weekly
+    # pooled retention r(w) = Σ_cohorts active(c, w) / Σ cohort_size
+    # over cohorts OLD ENOUGH to observe week w (right-censoring guard
+    # — without it the newest cohorts drag late weeks to zero), then
+    # a log-linear fit ln r ~ w on weeks ≥ 1 gives the decay rate and
+    # half-life = ln 2 / −slope.  One number that says "half the users
+    # are gone after N weeks" — the summary every retention dashboard
+    # quotes.
+    #
+    # Parity: retention rounds BEFORE ln (the PSI discipline); the fit
+    # runs over ≤ |weeks| points with explicit Σ sums; slope ≥ 0 or
+    # < 2 usable points report half-life 0 (no decay measurable).
+    if d == "spark":
+        ddiff = "date_diff(day, first_day)"
+        obs = "date_diff(gm.max_day, f.first_day)"
+    else:
+        ddiff = "date_diff('day', first_day, day)"
+        obs = "date_diff('day', f.first_day, gm.max_day)"
+    return f"""
+    WITH activity AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    ),
+    firsts AS (
+      SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id
+    ),
+    gmax AS (SELECT max(day) AS max_day FROM activity),
+    cohort_sizes AS (
+      SELECT f.first_day,
+             count(*) AS cohort_size,
+             CAST(floor({obs} / 7.0) AS INT) AS max_week
+      FROM firsts f CROSS JOIN gmax gm
+      GROUP BY f.first_day, CAST(floor({obs} / 7.0) AS INT)
+    ),
+    offsets AS (
+      SELECT
+        f.first_day,
+        CAST(floor({ddiff} / 7.0) AS INT) AS week_offset,
+        a.user_id
+      FROM activity a JOIN firsts f ON a.user_id = f.user_id
+    ),
+    cells AS (
+      SELECT first_day, week_offset, count(DISTINCT user_id) AS active
+      FROM offsets GROUP BY first_day, week_offset
+    ),
+    pooled AS (
+      SELECT
+        cs.max_week,
+        w.week_offset,
+        sum(cs.cohort_size) AS base,
+        sum(coalesce(ce.active, 0)) AS active
+      FROM cohort_sizes cs
+      JOIN (SELECT DISTINCT week_offset FROM cells) w
+        ON w.week_offset <= cs.max_week
+      LEFT JOIN cells ce
+        ON ce.first_day = cs.first_day AND ce.week_offset = w.week_offset
+      GROUP BY cs.max_week, w.week_offset
+    ),
+    curve AS (
+      SELECT
+        week_offset,
+        sum(base) AS base,
+        sum(active) AS active,
+        round(sum(active) / CAST(sum(base) AS DOUBLE) + {NUDGE}, 4) + 0.0 AS r
+      FROM pooled
+      GROUP BY week_offset
+    ),
+    fit AS (
+      SELECT
+        count(*) AS npt,
+        sum(CAST(week_offset AS DOUBLE)) AS sx,
+        sum(ln(r)) AS sy,
+        sum(CAST(week_offset AS DOUBLE) * week_offset) AS sxx,
+        sum(CAST(week_offset AS DOUBLE) * ln(r)) AS sxy
+      FROM curve
+      WHERE week_offset >= 1 AND r > 0
+    )
+    SELECT
+      {cnt("c.week_offset", "week_offset")},
+      {cnt("c.base", "pooled_base")},
+      {cnt("c.active", "pooled_active")},
+      CAST(c.r AS DOUBLE) AS retention,
+      {dbl(
+          "CASE WHEN f.npt >= 2 AND f.npt * f.sxx - f.sx * f.sx > 1e-12"
+          " AND (f.npt * f.sxy - f.sx * f.sy) < 0"
+          " THEN ln(2.0) * (f.npt * f.sxx - f.sx * f.sx)"
+          " / -(f.npt * f.sxy - f.sx * f.sy)"
+          " ELSE 0.0 END",
+          "halflife_weeks",
+      )}
+    FROM curve c CROSS JOIN fit f
+    ORDER BY week_offset
+    """
+
+
 QUERIES = [
     sql_backed("quantile_transform", _quantile_transform_sql, ("events",)),
+    sql_backed("funnel_conversion_ci", _funnel_ci_sql, ("events",)),
+    sql_backed("retention_halflife", _retention_halflife_sql, ("events",)),
     sql_backed("twap_value_daily", _twap_sql, ("events",)),
     sql_backed("variant_props_stats", _variant_props_sql, ("events",)),
     sql_backed("feature_vectors", _feature_vectors_sql, ("events",)),

@@ -987,8 +987,81 @@ def _cvm_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ], tail
 
 
+LB_LAGS = 6
+LB_CRIT_05 = 12.592  # chi-square 5% point at 6 df
+
+
+def _ljung_box_sql(d: str) -> str:
+    # D45 — Ljung-Box portmanteau whiteness test per slice (Ljung & Box
+    # 1978): Q = n(n+2)·Σ_{k=1..m} ρ_k²/(n−k) against χ²(m) — the
+    # omnibus "is there ANY autocorrelation" test that justifies (or
+    # kills) fitting VAR/Holt at all, where D13's ACF reads single
+    # lags.  ρ_k is the CLASSICAL autocorrelation (lag products over
+    # the series' own centered sum of squares — one shared denominator,
+    # not the pairwise-complete corr estimate), so Q matches the
+    # textbook statistic exactly.
+    #
+    # Parity: v̄ and ss ride as per-slice window aggregates (identical
+    # rounded hourly inputs), each ρ_k is a ratio of such sums, and the
+    # verdict compares the ROUNDED Q against the fixed χ²(6) 5% point.
+    # Degenerate guards: n ≤ m+1 or ss = 0 report Q = 0 / white.
+    #
+    # Scale: one scan → hourly rollup; the lag chain and the final agg
+    # run per-slice on the tiny series frame.
+    lags = ", ".join(
+        f"lag(throughput_bps, {k}) OVER (PARTITION BY slice ORDER BY h) AS v{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    rho_terms = ", ".join(
+        f"sum(CASE WHEN v{k} IS NOT NULL THEN (v - vbar) * (v{k} - vbar) "
+        f"ELSE 0.0 END) AS c{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    q_sum = " + ".join(
+        f"(c{k} / ss) * (c{k} / ss) / (n - {k})" for k in range(1, LB_LAGS + 1)
+    )
+    return f"""
+    {_hourly_cte(d)},
+    base AS (
+      SELECT
+        slice,
+        h,
+        throughput_bps AS v,
+        avg(throughput_bps) OVER (PARTITION BY slice) AS vbar,
+        count(*) OVER (PARTITION BY slice) AS n,
+        {lags}
+      FROM hourly
+    ),
+    sums AS (
+      SELECT
+        slice,
+        max(n) AS n,
+        sum((v - vbar) * (v - vbar)) AS ss,
+        {rho_terms}
+      FROM base
+      GROUP BY slice
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {dbl("CASE WHEN ss > 0 THEN c1 / ss ELSE 0.0 END", "rho1")},
+      {dbl(
+          f"CASE WHEN n > {LB_LAGS + 1} AND ss > 0"
+          f" THEN n * (n + 2.0) * ({q_sum}) ELSE 0.0 END",
+          "q_stat",
+      )},
+      CAST({LB_CRIT_05} AS DOUBLE) AS lb_crit,
+      CAST(CASE WHEN n <= {LB_LAGS + 1} OR ss <= 0 THEN FALSE
+                ELSE round(n * (n + 2.0) * ({q_sum}) + {NUDGE}, 4)
+                     > {LB_CRIT_05} END AS BOOLEAN) AS autocorrelated
+    FROM sums
+    ORDER BY slice
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
+    sql_backed("ljung_box", _ljung_box_sql, ("events",)),
     sql_backed("cusum_drift", _cusum_sql, ("events",)),
     sql_backed("seasonal_naive_eval", _seasonal_naive_sql, ("events",)),
     sql_backed("seasonal_profile", _seasonal_profile_sql, ("events",)),

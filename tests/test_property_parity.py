@@ -275,8 +275,13 @@ def _event_sql_fns():
         _acf_sql,
         _conformal_sweep_sql,
         _iat_burstiness_sql,
+        _ljung_box_sql,
         _page_hinkley_sql,
         _theilsen_sql,
+    )
+    from fiveg_spark.operators.timeseries import (
+        _funnel_ci_sql,
+        _retention_halflife_sql,
     )
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
@@ -367,6 +372,15 @@ def _event_sql_fns():
         "conformal_alpha_sweep": _conformal_sweep_sql,
         "cohort_retention": _cohort_retention_sql,
         "funnel_stages": _funnel_sql,
+        # rho ratios over a shared ss denominator + the n<=m+1 / ss=0
+        # guards (tiny and constant series land here)
+        "ljung_box": _ljung_box_sql,
+        # Wilson sqrt/ratio math at p = 0 and p = 1 boundaries and the
+        # n_from = 0 no-information branch
+        "funnel_conversion_ci": _funnel_ci_sql,
+        # round-before-ln retention + censoring join; single-week
+        # corpora leave < 2 fit points -> halflife 0
+        "retention_halflife": _retention_halflife_sql,
         "time_to_convert": _time_to_convert_sql,
         "daily_modal_type": _mode_sql,
         "concurrency_profile": _concurrency_sql,

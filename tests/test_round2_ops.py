@@ -483,3 +483,101 @@ def test_anova_separated_means_significant_identical_not(spark):
     same = run({0: 100.0, 1: 100.0, 2: 100.0})
     assert same["significant"] is False
     assert same["eta_sq"] < 0.05
+
+
+def test_ljung_box_flags_sinusoid_not_noise_scipy_parity(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators.ts_diagnostics import _ljung_box_sql
+
+    # eMBB (user 0): strong 24h sinusoid -> massive Q; URLLC (user 1):
+    # deterministic white noise (fractional shader hash) -> Q below the
+    # chi2 threshold
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(120):
+        season = 1000.0 + 500.0 * math.sin(2 * math.pi * h / 24.0)
+        noise = 1000.0 + 500.0 * (math.sin(h * 12.9898) * 43758.5453 % 1.0)
+        for uid, v in ((0, season), (1, noise)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, v, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in spark.sql(_ljung_box_sql("spark")).collect()}
+    assert got["eMBB"]["autocorrelated"] is True
+    assert got["eMBB"]["q_stat"] > 100
+    assert got["URLLC"]["autocorrelated"] is False
+
+    # numeric cross-check vs statsmodels-free manual LB on the raw series
+    try:
+        import numpy as np
+    except ImportError:
+        return
+    v = np.array([8 * (1000.0 + 500.0 * math.sin(2 * math.pi * h / 24.0))
+                  for h in range(120)])
+    c = v - v.mean()
+    ss = float((c * c).sum())
+    n = len(v)
+    q = n * (n + 2) * sum(
+        (float((c[k:] * c[:-k]).sum()) / ss) ** 2 / (n - k)
+        for k in range(1, 7)
+    )
+    assert abs(got["eMBB"]["q_stat"] - q) < 0.05 * q
+
+
+def test_funnel_ci_brackets_rate_and_matches_wilson_formula(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators.timeseries import _funnel_ci_sql
+
+    # 100 users view; 40 click after; 10 purchase after clicking
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for u in range(100):
+        rows.append((eid, t0, "view", u, 1.0, "{}")); eid += 1
+        if u < 40:
+            rows.append((eid, t0 + dt.timedelta(minutes=1), "click", u, 1.0, "{}")); eid += 1
+        if u < 10:
+            rows.append((eid, t0 + dt.timedelta(minutes=2), "purchase", u, 1.0, "{}")); eid += 1
+    _events_from(spark, rows)
+    got = {(r["stage_from"], r["stage_to"]): r.asDict()
+           for r in spark.sql(_funnel_ci_sql("spark")).collect()}
+    vc = got[("view", "click")]
+    assert vc["n_from"] == 100 and vc["n_to"] == 40
+    assert abs(vc["rate"] - 0.4) < 1e-9
+    assert vc["ci_lo"] < 0.4 < vc["ci_hi"]
+    # closed-form Wilson at z=1.96, n=100, p=0.4
+    z, n, p = 1.96, 100, 0.4
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    assert abs(vc["ci_lo"] - (center - half)) < 1e-3
+    assert abs(vc["ci_hi"] - (center + half)) < 1e-3
+    cp = got[("click", "purchase")]
+    assert cp["n_from"] == 40 and cp["n_to"] == 10
+
+
+def test_retention_halflife_recovers_planted_decay(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.timeseries import _retention_halflife_sql
+
+    # one cohort of 64 users, geometric halving each week: week w keeps
+    # 64/2^w users -> r(w) = 2^-w -> half-life exactly 1 week
+    t0 = dt.datetime(2024, 3, 4)
+    rows, eid = [], 0
+    for w in range(5):
+        for u in range(64 >> w):
+            rows.append(
+                (eid, t0 + dt.timedelta(weeks=w), "view", u, 1.0, "{}")
+            )
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["week_offset"]: r.asDict()
+           for r in spark.sql(_retention_halflife_sql("spark")).collect()}
+    assert got[0]["retention"] == 1.0
+    assert abs(got[1]["retention"] - 0.5) < 1e-9
+    assert abs(got[4]["retention"] - 0.0625) < 1e-9
+    assert abs(got[1]["halflife_weeks"] - 1.0) < 0.01
