@@ -12,6 +12,7 @@ word-soup); the BPE-ish regex tokenizer shows the regexp path.
 from __future__ import annotations
 
 from fiveg_spark.plans.registry import (
+    NUDGE,
     Query,
     arr_len,
     cnt,
@@ -412,8 +413,66 @@ def _text_normalize_sql(d: str) -> str:
     """
 
 
+CODE_SCORE_THRESHOLD = 0.15
+
+
+def _code_detect_sql(d: str) -> str:
+    # E73 — heuristic code-vs-prose detection per document (the
+    # StarCoder/The-Stack curation split: a pretraining mix wants code
+    # ROUTED, not dropped, and a prose-quality filter like E22 mustn't
+    # punish code for "bad grammar").  Signals, all O(1)-per-char and
+    # shuffle-free: symbol density (chars outside [a-z0-9 space] after
+    # lowering), structural-character density ({}();=<> per char), and
+    # the underscore/camel-ish token share a tokenizer sees in
+    # identifiers.  Score = symbol density + 2×structural density
+    # (structure is the stronger signal — prose uses commas and
+    # quotes, not braces), flagged at {CODE_SCORE_THRESHOLD} on the
+    # ROUNDED score.
+    #
+    # Counting is subtraction-free of regex backtracking: occurrences
+    # of single chars via length(x) − length(replace(x, c, '')) —
+    # identical integer arithmetic both engines; the one regex strips
+    # the alnum class (same RE2/Java semantics, no escapes).
+    # Map-only: one scan, no shuffle at any scale; the trailing ORDER
+    # BY is oracle determinism only.
+    low = "lower(text)"
+    sym_stripped = _rx_all(d, low, "[a-z0-9 ]", "")
+    structural = " + ".join(
+        f"(length({low}) - length(replace({low}, '{c}', '')))"
+        for c in ("{", "}", "(", ")", ";", "=")
+    )
+    return f"""
+    WITH scored AS (
+      SELECT
+        doc_id,
+        source,
+        length(text) AS n_chars,
+        length({sym_stripped}) AS n_symbols,
+        {structural} AS n_structural
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      source,
+      {cnt("n_chars", "n_chars")},
+      {dbl("n_symbols / CAST(greatest(n_chars, 1) AS DOUBLE)",
+           "symbol_density")},
+      {dbl("n_structural / CAST(greatest(n_chars, 1) AS DOUBLE)",
+           "structural_density")},
+      {dbl(
+          "(n_symbols + 2.0 * n_structural) / greatest(n_chars, 1)",
+          "code_score",
+      )},
+      CAST(round((n_symbols + 2.0 * n_structural) / greatest(n_chars, 1)
+                 + {NUDGE}, 4) > {CODE_SCORE_THRESHOLD} AS BOOLEAN) AS is_code
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
 QUERIES = [
     materialized_backed("tfidf_top_terms", _tfidf_parts, ("documents",)),
+    sql_backed("code_like_score", _code_detect_sql, ("documents",)),
     sql_backed("lang_id", _lang_id_sql, ("documents",)),
     sql_backed("text_quality", _text_quality_sql, ("documents",)),
     sql_backed("token_counts", _token_counts_sql, ("documents",)),

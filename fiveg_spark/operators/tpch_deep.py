@@ -27,7 +27,43 @@ exactly-integer boundary cannot flip between engines.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import NUDGE, cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import NUDGE, cnt, dbl, epoch, pct, sql_backed
+
+
+def _ship_latency_sql(d: str) -> str:
+    # C82 — order→ship latency distribution per order priority (the
+    # operational SLA question TPC-H Q4 only counts violations of):
+    # per o_orderpriority, the full latency percentile ladder
+    # (p50/p90/p99/max) plus the share of lines shipping within 30
+    # days.  Latency in whole days from the exact integer-microsecond
+    # epochs (bit-identical doubles both engines).
+    #
+    # Scale: the one big-big join in this file's family — lineitem ⋈
+    # orders on orderkey (AQE-coalesced shuffle join; bucketed layout
+    # A15 serves the recurring case), then a 5-group aggregate.
+    lat = f"(({epoch('l.l_shipdate', d)} - {epoch('o.o_orderdate', d)}) / 86400.0)"
+    # CAST the indicator: a bare 1.0 literal is DECIMAL in Spark, and
+    # avg(DECIMAL) HALF_UP-rounds at an intermediate scale (578/1149
+    # became 0.50305 -> 0.5031 vs DuckDB's 0.5030)
+    within_share = dbl(
+        f"avg(CASE WHEN {lat} <= 30.0 THEN CAST(1 AS DOUBLE)"
+        " ELSE CAST(0 AS DOUBLE) END)",
+        "within_30d_share",
+    )
+    return f"""
+    SELECT
+      o.o_orderpriority AS priority,
+      {cnt("count(*)", "n_lines")},
+      {dbl(f"avg({lat})", "avg_days")},
+      {dbl(pct(lat, 0.5, d), "p50_days")},
+      {dbl(pct(lat, 0.9, d), "p90_days")},
+      {dbl(pct(lat, 0.99, d), "p99_days")},
+      {dbl(f"max({lat})", "max_days")},
+      {within_share}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -372,6 +408,7 @@ def _q22_sql(d: str) -> str:
 
 
 QUERIES = [
+    sql_backed("order_ship_latency", _ship_latency_sql, ("orders", "lineitem")),
     sql_backed("q2_min_cost_part", _q2_sql, ("part",)),
     sql_backed("q4_priority_count", _q4_sql, ("orders", "lineitem")),
     sql_backed("q12_priority_class", _q12_sql, ("orders", "lineitem")),

@@ -38,6 +38,7 @@ from fiveg_spark.plans.registry import (
     dbl,
     epoch,
     materialized_backed,
+    pct,
     sql_backed,
 )
 
@@ -1225,8 +1226,144 @@ def _harmonic_oracle() -> str:
     """
 
 
+def _reciprocity_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C83 — per-nation degree + reciprocity of the directed trade graph
+    # (Garlaschelli & Loffredo 2004: reciprocity separates mutual-trade
+    # partnerships from one-way supply flows — the directional question
+    # C34's PageRank and C78's harmonic centrality both average away):
+    # out/in degree, the count of out-edges whose REVERSE edge exists,
+    # and the per-node reciprocity share, plus the graph-level share on
+    # every row for context.
+    #
+    # materialized_backed: the 5-table edge derivation is referenced
+    # three times (self-join + both degree sides) — inlined, Spark
+    # would run the heavy join thrice; materialized it runs ONCE and
+    # the reciprocity self-join is |edges|² bucket-local on ≤|nations|²
+    # rows.  Integer-ratio math only.
+    tail = f"""
+    WITH recips AS (
+      SELECT
+        a.src,
+        a.dst,
+        CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+      FROM _mz_recip_edges a
+      LEFT JOIN _mz_recip_edges b ON b.src = a.dst AND b.dst = a.src
+    ),
+    outd AS (
+      SELECT src AS nation, count(*) AS out_degree, sum(recip) AS n_recip
+      FROM recips GROUP BY src
+    ),
+    ind AS (
+      SELECT dst AS nation, count(*) AS in_degree
+      FROM _mz_recip_edges GROUP BY dst
+    ),
+    overall AS (
+      SELECT sum(recip) / CAST(count(*) AS DOUBLE) AS graph_reciprocity
+      FROM recips
+    )
+    SELECT
+      coalesce(o.nation, i.nation) AS nation,
+      {cnt("coalesce(o.out_degree, 0)", "out_degree")},
+      {cnt("coalesce(i.in_degree, 0)", "in_degree")},
+      {cnt("coalesce(o.n_recip, 0)", "n_reciprocal")},
+      {dbl(
+          "CASE WHEN coalesce(o.out_degree, 0) > 0"
+          " THEN o.n_recip / CAST(o.out_degree AS DOUBLE) ELSE 0.0 END",
+          "reciprocity",
+      )},
+      {dbl("ov.graph_reciprocity", "graph_reciprocity")}
+    FROM outd o
+    FULL OUTER JOIN ind i ON i.nation = o.nation
+    CROSS JOIN overall ov
+    ORDER BY nation
+    """
+    return [("_mz_recip_edges", _HC_EDGES_SQL)], tail
+
+
+def _anomaly_consensus_sql(d: str) -> str:
+    # D46 — detector-ensemble anomaly consensus per (slice, hour): the
+    # three certified single-detector views (C30 z-score, C36 MAD, B11
+    # seasonal-residual z) VOTE, and only hours with ≥ 1 vote emit —
+    # consensus ≥ 2 is the page, a single vote is the FYI.  Ensemble
+    # voting is the standard production answer to each detector's
+    # blind spot (z misses under heavy tails where MAD fires; a diurnal
+    # spike is normal to the seasonal detector but anomalous to both
+    # globals).
+    #
+    # Parity: every statistic rounds before its threshold compare (the
+    # B11 flag discipline), medians interpolate via the pct helper,
+    # zero-spread guards (sd/MAD/resid-sd = 0) suppress that detector's
+    # vote.  One scan → hourly rollup; all three detectors are windows
+    # or grouped stats on the same tiny per-slice frame.
+    z = "(v - mean_v) / nullif(sd_v, 0.0)"
+    mz = "0.6745 * (v - med_v) / nullif(mad_v, 0.0)"
+    rz = "(r - mean_r) / nullif(sd_r, 0.0)"
+    return f"""
+    {_hourly_cte(d)},
+    seasonal AS (
+      SELECT
+        slice,
+        h,
+        throughput_bps AS v,
+        round(avg(throughput_bps) OVER (PARTITION BY slice, hour(h)) + {NUDGE}, 4)
+          + 0.0 AS seas
+      FROM hourly
+    ),
+    resid AS (
+      SELECT slice, h, v, round(v - seas, 4) AS r FROM seasonal
+    ),
+    med AS (
+      SELECT slice, round({pct("v", 0.5, d)} + {NUDGE}, 4) + 0.0 AS med_v
+      FROM resid GROUP BY slice
+    ),
+    mad AS (
+      SELECT r.slice,
+             round({pct("abs(r.v - m.med_v)", 0.5, d)} + {NUDGE}, 4) + 0.0 AS mad_v
+      FROM resid r JOIN med m ON m.slice = r.slice
+      GROUP BY r.slice
+    ),
+    stats AS (
+      SELECT slice,
+             avg(v) AS mean_v,
+             sqrt(avg(v * v) - avg(v) * avg(v)) AS sd_v,
+             avg(r) AS mean_r,
+             sqrt(avg(r * r) - avg(r) * avg(r)) AS sd_r
+      FROM resid GROUP BY slice
+    ),
+    voted AS (
+      SELECT
+        re.slice,
+        re.h,
+        re.v,
+        CASE WHEN st.sd_v > 0
+             AND abs(round({z} + {NUDGE}, 4)) > 3.0 THEN 1 ELSE 0 END AS vote_z,
+        CASE WHEN md.mad_v > 0
+             AND abs(round({mz} + {NUDGE}, 4)) > 3.5 THEN 1 ELSE 0 END AS vote_mad,
+        CASE WHEN st.sd_r > 0
+             AND abs(round({rz} + {NUDGE}, 4)) > 3.0 THEN 1 ELSE 0 END AS vote_seasonal
+      FROM resid re
+      JOIN stats st ON st.slice = re.slice
+      JOIN med me ON me.slice = re.slice
+      JOIN mad md ON md.slice = re.slice
+    )
+    SELECT
+      slice,
+      h AS window_start,
+      CAST(v AS DOUBLE) AS throughput_bps,
+      CAST(vote_z AS INT) AS vote_z,
+      CAST(vote_mad AS INT) AS vote_mad,
+      CAST(vote_seasonal AS INT) AS vote_seasonal,
+      CAST(vote_z + vote_mad + vote_seasonal AS INT) AS votes,
+      CAST(vote_z + vote_mad + vote_seasonal >= 2 AS BOOLEAN) AS consensus
+    FROM voted
+    WHERE vote_z + vote_mad + vote_seasonal >= 1
+    ORDER BY slice, window_start
+    """
+
+
 QUERIES = [
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
+    sql_backed("anomaly_consensus", _anomaly_consensus_sql, ("events",)),
     sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
     sql_backed("hampel_outliers", _hampel_sql, ("events",)),
     # Spark run = materialize-once split (advisor repeated-scan fix);
@@ -1246,6 +1383,10 @@ QUERIES = [
     materialized_backed("cross_correlation", _ccf_parts, ("events",)),
     # new r7 (second wave), non-deferred
     Query("harmonic_centrality", _harmonic_run, _harmonic_oracle()),
+    materialized_backed(
+        "graph_reciprocity", _reciprocity_parts,
+        ("customer", "nation", "orders", "lineitem", "supplier"),
+    ),
     sql_backed("spectral_entropy", _spectral_entropy_sql, ("events",)),
     sql_backed("seasonal_strength", _seasonal_strength_sql, ("events",)),
     sql_backed("hurst_exponent", _hurst_sql, ("events",)),

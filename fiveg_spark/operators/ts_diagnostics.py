@@ -1059,9 +1059,88 @@ def _ljung_box_sql(d: str) -> str:
     """
 
 
+def _welch_sql(d: str) -> str:
+    # D47 — Welch's unequal-variance t-test per slice: weekday vs
+    # weekend hourly throughput (Welch 1947).  Completes the
+    # two-sample family — D31/D40 test DISTRIBUTION, D33 tests
+    # location nonparametrically, Welch is the parametric location
+    # test with its own variance per group (the plain pooled t is
+    # wrong whenever weekend traffic has different variance, which is
+    # the norm).  df via Welch-Satterthwaite; significance at the
+    # normal-approx 1.96 on the ROUNDED |t| (df is ~hundreds on any
+    # real series; the exact t quantile differs in the 3rd decimal).
+    #
+    # Calendar split: dayofweek is engine-identical on the same
+    # timestamps (Sunday=1 convention in both Spark and DuckDB's
+    # dayofweek? no — DuckDB dayofweek is 0=Sunday; use ISO weekday
+    # via a shared expression instead).
+    # epoch day 0 = 1970-01-01 = Thursday; +3 makes Monday 0, so the
+    # weekend is {5, 6} = {Saturday, Sunday}
+    iso = (
+        "((CAST(floor({e} / 86400.0) AS BIGINT) + 3) % 7)"
+    ).format(e=epoch("h", d))
+    return f"""
+    {_hourly_cte(d)},
+    tagged AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        CASE WHEN {iso} >= 5 THEN 1 ELSE 0 END AS is_weekend
+      FROM hourly
+    ),
+    grp AS (
+      SELECT
+        slice,
+        sum(CASE WHEN is_weekend = 0 THEN 1.0 ELSE 0.0 END) AS n1,
+        sum(CASE WHEN is_weekend = 0 THEN v ELSE 0.0 END) AS s1,
+        sum(CASE WHEN is_weekend = 0 THEN v * v ELSE 0.0 END) AS ss1,
+        sum(CASE WHEN is_weekend = 1 THEN 1.0 ELSE 0.0 END) AS n2,
+        sum(CASE WHEN is_weekend = 1 THEN v ELSE 0.0 END) AS s2,
+        sum(CASE WHEN is_weekend = 1 THEN v * v ELSE 0.0 END) AS ss2
+      FROM tagged
+      GROUP BY slice
+    ),
+    derived AS (
+      SELECT
+        slice, n1, n2,
+        s1 / n1 AS m1,
+        s2 / n2 AS m2,
+        (ss1 - s1 * s1 / n1) / (n1 - 1.0) AS var1,
+        (ss2 - s2 * s2 / n2) / (n2 - 1.0) AS var2
+      FROM grp
+      WHERE n1 >= 2 AND n2 >= 2
+    )
+    SELECT
+      slice,
+      {cnt("n1", "n_weekday")},
+      {cnt("n2", "n_weekend")},
+      {dbl("m1", "mean_weekday")},
+      {dbl("m2", "mean_weekend")},
+      {dbl(
+          "CASE WHEN var1 / n1 + var2 / n2 > 0"
+          " THEN (m1 - m2) / sqrt(var1 / n1 + var2 / n2) ELSE 0.0 END",
+          "t_stat",
+      )},
+      {dbl(
+          "CASE WHEN var1 > 0 OR var2 > 0"
+          " THEN power(var1 / n1 + var2 / n2, 2)"
+          " / (power(var1 / n1, 2) / (n1 - 1.0)"
+          "    + power(var2 / n2, 2) / (n2 - 1.0)) ELSE 0.0 END",
+          "welch_df",
+      )},
+      CAST(CASE WHEN var1 / n1 + var2 / n2 <= 0 THEN FALSE
+                ELSE abs(round((m1 - m2) / sqrt(var1 / n1 + var2 / n2)
+                               + {NUDGE}, 4)) > 1.96 END AS BOOLEAN)
+        AS significant
+    FROM derived
+    ORDER BY slice
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("ljung_box", _ljung_box_sql, ("events",)),
+    sql_backed("welch_weekend_contrast", _welch_sql, ("events",)),
     sql_backed("cusum_drift", _cusum_sql, ("events",)),
     sql_backed("seasonal_naive_eval", _seasonal_naive_sql, ("events",)),
     sql_backed("seasonal_profile", _seasonal_profile_sql, ("events",)),

@@ -82,6 +82,7 @@ def _more_doc_sql_fns():
         _sequence_packing_sql,
     )
     from fiveg_spark.operators.text import (
+        _code_detect_sql,
         _doc_fingerprint_sql,
         _lang_id_sql,
         _token_counts_sql,
@@ -117,6 +118,9 @@ def _more_doc_sql_fns():
         # df-window ratios; under-3-token docs vanish, single-doc
         # corpora are all-unique (novelty = 1)
         "ngram_novelty": _ngram_novelty_sql,
+        # char-count subtraction arithmetic + the empty-doc
+        # greatest(n,1) guard and rounded-threshold flag
+        "code_like_score": _code_detect_sql,
     }
 
 
@@ -271,6 +275,7 @@ def _event_sql_fns():
         _feature_correlations_sql,
         _window_entropy_sql,
     )
+    from fiveg_spark.operators.ts_advanced import _anomaly_consensus_sql
     from fiveg_spark.operators.ts_diagnostics import (
         _acf_sql,
         _conformal_sweep_sql,
@@ -278,6 +283,7 @@ def _event_sql_fns():
         _ljung_box_sql,
         _page_hinkley_sql,
         _theilsen_sql,
+        _welch_sql,
     )
     from fiveg_spark.operators.timeseries import (
         _funnel_ci_sql,
@@ -375,6 +381,12 @@ def _event_sql_fns():
         # rho ratios over a shared ss denominator + the n<=m+1 / ss=0
         # guards (tiny and constant series land here)
         "ljung_box": _ljung_box_sql,
+        # Welch ratio/sqrt math + the n<2-per-era row drop and the
+        # zero-variance t=0/df=0 guards
+        "welch_weekend_contrast": _welch_sql,
+        # three rounded-threshold votes; constant series suppress all
+        # detectors (zero-spread guards) -> zero rows
+        "anomaly_consensus": _anomaly_consensus_sql,
         # Wilson sqrt/ratio math at p = 0 and p = 1 boundaries and the
         # n_from = 0 no-information branch
         "funnel_conversion_ci": _funnel_ci_sql,

@@ -581,3 +581,137 @@ def test_retention_halflife_recovers_planted_decay(spark):
     assert abs(got[1]["retention"] - 0.5) < 1e-9
     assert abs(got[4]["retention"] - 0.0625) < 1e-9
     assert abs(got[1]["halflife_weeks"] - 1.0) < 0.01
+
+
+def test_order_ship_latency_percentiles_exact(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.tpch_deep import _ship_latency_sql
+
+    t0 = dt.datetime(2024, 1, 1)
+    orders = [(i, 0, "O", 10.0, t0, "1-URGENT") for i in range(10)]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).createOrReplaceTempView("orders")
+    # one line per order, latencies 10, 20, ..., 100 days
+    lines = [
+        (i, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         t0 + dt.timedelta(days=10 * (i + 1)))
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        lines,
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,"
+        " l_linestatus STRING, l_shipdate TIMESTAMP",
+    ).createOrReplaceTempView("lineitem")
+    (r,) = spark.sql(_ship_latency_sql("spark")).collect()
+    assert r["n_lines"] == 10 and r["avg_days"] == 55.0
+    assert r["p50_days"] == 55.0  # interpolated between 50 and 60
+    assert r["max_days"] == 100.0
+    assert abs(r["within_30d_share"] - 0.3) < 1e-9  # 10/20/30 qualify
+
+
+def test_graph_reciprocity_matches_pure_python(spark):
+    from fiveg_spark.operators.ts_advanced import _HC_EDGES_SQL, _reciprocity_parts
+    from fiveg_spark.plans.registry import ensure_views, run_parts
+    from tests.conftest import SF_DIR
+
+    ensure_views(
+        spark, ("customer", "nation", "orders", "lineitem", "supplier"), SF_DIR
+    )
+    got = {r["nation"]: r.asDict()
+           for r in run_parts(spark, _reciprocity_parts).collect()}
+    edges = {(r["src"], r["dst"]) for r in spark.sql(_HC_EDGES_SQL).collect()}
+    n_recip_total = sum(1 for (a, b) in edges if (b, a) in edges)
+    for (a, _b) in edges:
+        out_d = sum(1 for (x, _y) in edges if x == a)
+        in_d = sum(1 for (_x, y) in edges if y == a)
+        n_rec = sum(1 for (x, y) in edges if x == a and (y, x) in edges)
+        assert got[a]["out_degree"] == out_d
+        assert got[a]["in_degree"] == in_d
+        assert got[a]["n_reciprocal"] == n_rec
+        assert abs(got[a]["graph_reciprocity"]
+                   - round(n_recip_total / len(edges), 4)) < 1e-3
+
+
+def test_anomaly_consensus_votes_on_planted_spike(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators.ts_advanced import _anomaly_consensus_sql
+
+    # eMBB: gentle sinusoid with ONE 20x spike at hour 50 -> all three
+    # detectors vote (global z, MAD, seasonal residual); no other hour
+    # should reach consensus.  URLLC: constant -> zero rows (all
+    # zero-spread guards suppress).
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h in range(96):
+        v = 1000.0 + 50.0 * math.sin(2 * math.pi * h / 24.0)
+        if h == 50:
+            v = 20000.0
+        for uid, val in ((0, v), (1, 500.0)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, val, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = [r.asDict() for r in spark.sql(_anomaly_consensus_sql("spark")).collect()]
+    assert all(r["slice"] == "eMBB" for r in got)
+    spike = [r for r in got if r["window_start"].hour == 2
+             and r["window_start"].day == 3]
+    consensus_rows = [r for r in got if r["consensus"]]
+    assert len(consensus_rows) == 1
+    assert consensus_rows[0]["votes"] == 3
+    assert consensus_rows[0]["vote_z"] == 1
+    assert consensus_rows[0]["vote_mad"] == 1
+    assert consensus_rows[0]["vote_seasonal"] == 1
+
+
+def test_welch_contrast_flags_weekend_shift(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _welch_sql
+
+    # 2024-03-04 is a Monday; 3 full weeks of hourly data.  URLLC
+    # (user 1) triples its weekend level; eMBB (user 0) is flat with
+    # mild noise -> insignificant.
+    t0 = dt.datetime(2024, 3, 4)
+    rows, eid = [], 0
+    for h in range(24 * 21):
+        day = (h // 24) % 7
+        weekend = day >= 5
+        shifted = (3000.0 if weekend else 1000.0) + (h % 3)
+        flat = 500.0 + (h % 3)
+        for uid, v in ((1, shifted), (0, flat)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, v, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict() for r in spark.sql(_welch_sql("spark")).collect()}
+    assert got["URLLC"]["n_weekday"] == 15 * 24
+    assert got["URLLC"]["n_weekend"] == 6 * 24
+    assert got["URLLC"]["significant"] is True
+    assert got["URLLC"]["mean_weekend"] > got["URLLC"]["mean_weekday"] * 2
+    assert got["eMBB"]["significant"] is False
+
+
+def test_code_like_score_separates_code_from_prose(spark):
+    from fiveg_spark.operators.text import _code_detect_sql
+
+    rows = [
+        (0, "def f(x): return {x: g(x)}; y = f(1);", "en", "s", 0),
+        (1, "the quick brown fox jumps over the lazy dog again", "en", "s", 0),
+        (2, "", "en", "s", 0),  # empty: guard path, not code
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = {r["doc_id"]: r.asDict()
+           for r in spark.sql(_code_detect_sql("spark")).collect()}
+    assert got[0]["is_code"] is True
+    assert got[0]["structural_density"] > 0.1
+    assert got[1]["is_code"] is False
+    assert got[1]["code_score"] < 0.05
+    assert got[2]["is_code"] is False and got[2]["code_score"] == 0.0
