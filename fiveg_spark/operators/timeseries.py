@@ -752,7 +752,7 @@ def _funnel_ci_sql(d: str) -> str:
     """
 
 
-def _retention_halflife_sql(d: str) -> str:
+def _retention_halflife_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C81 — pooled retention curve + exponential half-life (the
     # growth-accounting summary read off C23's cohort grid): weekly
     # pooled retention r(w) = Σ_cohorts active(c, w) / Σ cohort_size
@@ -766,70 +766,77 @@ def _retention_halflife_sql(d: str) -> str:
     # Parity: retention rounds BEFORE ln (the PSI discipline); the fit
     # runs over ≤ |weeks| points with explicit Σ sums; slope ≥ 0 or
     # < 2 usable points report half-life 0 (no decay measurable).
+    #
+    # materialized_backed: the cohort lattice references the per-user
+    # activity frame from FIVE downstream relations (firsts, gmax,
+    # offsets twice, and the curve is read by both the fit and the
+    # final select) — inlined, Spark re-ran the events scan 12×.  The
+    # activity/firsts/cells chain now materializes once; everything
+    # after the first frame touches only tiny derived relations.
     if d == "spark":
         ddiff = "date_diff(day, first_day)"
         obs = "date_diff(gm.max_day, f.first_day)"
     else:
         ddiff = "date_diff('day', first_day, day)"
         obs = "date_diff('day', f.first_day, gm.max_day)"
-    return f"""
-    WITH activity AS (
-      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
-      FROM events
-      GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
-    ),
-    firsts AS (
-      SELECT user_id, min(day) AS first_day FROM activity GROUP BY user_id
-    ),
-    gmax AS (SELECT max(day) AS max_day FROM activity),
-    cohort_sizes AS (
-      SELECT f.first_day,
-             count(*) AS cohort_size,
-             CAST(floor({obs} / 7.0) AS INT) AS max_week
-      FROM firsts f CROSS JOIN gmax gm
-      GROUP BY f.first_day, CAST(floor({obs} / 7.0) AS INT)
-    ),
-    offsets AS (
+    activity_sql = """
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+    GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)
+    """
+    firsts_sql = """
+    SELECT user_id, min(day) AS first_day FROM _mz_rh_activity GROUP BY user_id
+    """
+    cohorts_sql = f"""
+    WITH gmax AS (SELECT max(day) AS max_day FROM _mz_rh_activity)
+    SELECT f.first_day,
+           count(*) AS cohort_size,
+           CAST(floor({obs} / 7.0) AS INT) AS max_week
+    FROM _mz_rh_firsts f CROSS JOIN gmax gm
+    GROUP BY f.first_day, CAST(floor({obs} / 7.0) AS INT)
+    """
+    cells_sql = f"""
+    WITH offsets AS (
       SELECT
         f.first_day,
         CAST(floor({ddiff} / 7.0) AS INT) AS week_offset,
         a.user_id
-      FROM activity a JOIN firsts f ON a.user_id = f.user_id
-    ),
-    cells AS (
-      SELECT first_day, week_offset, count(DISTINCT user_id) AS active
-      FROM offsets GROUP BY first_day, week_offset
-    ),
-    pooled AS (
+      FROM _mz_rh_activity a JOIN _mz_rh_firsts f ON a.user_id = f.user_id
+    )
+    SELECT first_day, week_offset, count(DISTINCT user_id) AS active
+    FROM offsets GROUP BY first_day, week_offset
+    """
+    curve_sql = f"""
+    WITH pooled AS (
       SELECT
         cs.max_week,
         w.week_offset,
         sum(cs.cohort_size) AS base,
         sum(coalesce(ce.active, 0)) AS active
-      FROM cohort_sizes cs
-      JOIN (SELECT DISTINCT week_offset FROM cells) w
+      FROM _mz_rh_cohorts cs
+      JOIN (SELECT DISTINCT week_offset FROM _mz_rh_cells) w
         ON w.week_offset <= cs.max_week
-      LEFT JOIN cells ce
+      LEFT JOIN _mz_rh_cells ce
         ON ce.first_day = cs.first_day AND ce.week_offset = w.week_offset
       GROUP BY cs.max_week, w.week_offset
-    ),
-    curve AS (
-      SELECT
-        week_offset,
-        sum(base) AS base,
-        sum(active) AS active,
-        round(sum(active) / CAST(sum(base) AS DOUBLE) + {NUDGE}, 4) + 0.0 AS r
-      FROM pooled
-      GROUP BY week_offset
-    ),
-    fit AS (
+    )
+    SELECT
+      week_offset,
+      sum(base) AS base,
+      sum(active) AS active,
+      round(sum(active) / CAST(sum(base) AS DOUBLE) + {NUDGE}, 4) + 0.0 AS r
+    FROM pooled
+    GROUP BY week_offset
+    """
+    tail = f"""
+    WITH fit AS (
       SELECT
         count(*) AS npt,
         sum(CAST(week_offset AS DOUBLE)) AS sx,
         sum(ln(r)) AS sy,
         sum(CAST(week_offset AS DOUBLE) * week_offset) AS sxx,
         sum(CAST(week_offset AS DOUBLE) * ln(r)) AS sxy
-      FROM curve
+      FROM _mz_rh_curve
       WHERE week_offset >= 1 AND r > 0
     )
     SELECT
@@ -845,15 +852,25 @@ def _retention_halflife_sql(d: str) -> str:
           " ELSE 0.0 END",
           "halflife_weeks",
       )}
-    FROM curve c CROSS JOIN fit f
+    FROM _mz_rh_curve c CROSS JOIN fit f
     ORDER BY week_offset
     """
+    return (
+        [
+            ("_mz_rh_activity", activity_sql),
+            ("_mz_rh_firsts", firsts_sql),
+            ("_mz_rh_cohorts", cohorts_sql),
+            ("_mz_rh_cells", cells_sql),
+            ("_mz_rh_curve", curve_sql),
+        ],
+        tail,
+    )
 
 
 QUERIES = [
     sql_backed("quantile_transform", _quantile_transform_sql, ("events",)),
     sql_backed("funnel_conversion_ci", _funnel_ci_sql, ("events",)),
-    sql_backed("retention_halflife", _retention_halflife_sql, ("events",)),
+    materialized_backed("retention_halflife", _retention_halflife_parts, ("events",)),
     sql_backed("twap_value_daily", _twap_sql, ("events",)),
     sql_backed("variant_props_stats", _variant_props_sql, ("events",)),
     sql_backed("feature_vectors", _feature_vectors_sql, ("events",)),

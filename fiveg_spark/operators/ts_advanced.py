@@ -1280,7 +1280,7 @@ def _reciprocity_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_recip_edges", _HC_EDGES_SQL)], tail
 
 
-def _anomaly_consensus_sql(d: str) -> str:
+def _anomaly_consensus_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D46 — detector-ensemble anomaly consensus per (slice, hour): the
     # three certified single-detector views (C30 z-score, C36 MAD, B11
     # seasonal-residual z) VOTE, and only hours with ≥ 1 vote emit —
@@ -1295,10 +1295,16 @@ def _anomaly_consensus_sql(d: str) -> str:
     # zero-spread guards (sd/MAD/resid-sd = 0) suppress that detector's
     # vote.  One scan → hourly rollup; all three detectors are windows
     # or grouped stats on the same tiny per-slice frame.
+    #
+    # materialized_backed: the residual frame feeds FOUR downstream
+    # relations (median, MAD, global stats, and the vote join) —
+    # inlined, Spark re-ran the events scan + hourly rollup 5×.  The
+    # residual frame (and the per-slice median it shares with the MAD
+    # and the vote) now materialize once.
     z = "(v - mean_v) / nullif(sd_v, 0.0)"
     mz = "0.6745 * (v - med_v) / nullif(mad_v, 0.0)"
     rz = "(r - mean_r) / nullif(sd_r, 0.0)"
-    return f"""
+    resid_sql = f"""
     {_hourly_cte(d)},
     seasonal AS (
       SELECT
@@ -1308,18 +1314,18 @@ def _anomaly_consensus_sql(d: str) -> str:
         round(avg(throughput_bps) OVER (PARTITION BY slice, hour(h)) + {NUDGE}, 4)
           + 0.0 AS seas
       FROM hourly
-    ),
-    resid AS (
-      SELECT slice, h, v, round(v - seas, 4) AS r FROM seasonal
-    ),
-    med AS (
-      SELECT slice, round({pct("v", 0.5, d)} + {NUDGE}, 4) + 0.0 AS med_v
-      FROM resid GROUP BY slice
-    ),
-    mad AS (
+    )
+    SELECT slice, h, v, round(v - seas, 4) AS r FROM seasonal
+    """
+    med_sql = f"""
+    SELECT slice, round({pct("v", 0.5, d)} + {NUDGE}, 4) + 0.0 AS med_v
+    FROM _mz_ac_resid GROUP BY slice
+    """
+    tail = f"""
+    WITH mad AS (
       SELECT r.slice,
              round({pct("abs(r.v - m.med_v)", 0.5, d)} + {NUDGE}, 4) + 0.0 AS mad_v
-      FROM resid r JOIN med m ON m.slice = r.slice
+      FROM _mz_ac_resid r JOIN _mz_ac_med m ON m.slice = r.slice
       GROUP BY r.slice
     ),
     stats AS (
@@ -1328,7 +1334,7 @@ def _anomaly_consensus_sql(d: str) -> str:
              sqrt(avg(v * v) - avg(v) * avg(v)) AS sd_v,
              avg(r) AS mean_r,
              sqrt(avg(r * r) - avg(r) * avg(r)) AS sd_r
-      FROM resid GROUP BY slice
+      FROM _mz_ac_resid GROUP BY slice
     ),
     voted AS (
       SELECT
@@ -1341,9 +1347,9 @@ def _anomaly_consensus_sql(d: str) -> str:
              AND abs(round({mz} + {NUDGE}, 4)) > 3.5 THEN 1 ELSE 0 END AS vote_mad,
         CASE WHEN st.sd_r > 0
              AND abs(round({rz} + {NUDGE}, 4)) > 3.0 THEN 1 ELSE 0 END AS vote_seasonal
-      FROM resid re
+      FROM _mz_ac_resid re
       JOIN stats st ON st.slice = re.slice
-      JOIN med me ON me.slice = re.slice
+      JOIN _mz_ac_med me ON me.slice = re.slice
       JOIN mad md ON md.slice = re.slice
     )
     SELECT
@@ -1359,11 +1365,12 @@ def _anomaly_consensus_sql(d: str) -> str:
     WHERE vote_z + vote_mad + vote_seasonal >= 1
     ORDER BY slice, window_start
     """
+    return [("_mz_ac_resid", resid_sql), ("_mz_ac_med", med_sql)], tail
 
 
 QUERIES = [
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
-    sql_backed("anomaly_consensus", _anomaly_consensus_sql, ("events",)),
+    materialized_backed("anomaly_consensus", _anomaly_consensus_parts, ("events",)),
     sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
     sql_backed("hampel_outliers", _hampel_sql, ("events",)),
     # Spark run = materialize-once split (advisor repeated-scan fix);

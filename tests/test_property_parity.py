@@ -275,7 +275,6 @@ def _event_sql_fns():
         _feature_correlations_sql,
         _window_entropy_sql,
     )
-    from fiveg_spark.operators.ts_advanced import _anomaly_consensus_sql
     from fiveg_spark.operators.ts_diagnostics import (
         _acf_sql,
         _conformal_sweep_sql,
@@ -287,7 +286,6 @@ def _event_sql_fns():
     )
     from fiveg_spark.operators.timeseries import (
         _funnel_ci_sql,
-        _retention_halflife_sql,
     )
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
@@ -384,15 +382,9 @@ def _event_sql_fns():
         # Welch ratio/sqrt math + the n<2-per-era row drop and the
         # zero-variance t=0/df=0 guards
         "welch_weekend_contrast": _welch_sql,
-        # three rounded-threshold votes; constant series suppress all
-        # detectors (zero-spread guards) -> zero rows
-        "anomaly_consensus": _anomaly_consensus_sql,
         # Wilson sqrt/ratio math at p = 0 and p = 1 boundaries and the
         # n_from = 0 no-information branch
         "funnel_conversion_ci": _funnel_ci_sql,
-        # round-before-ln retention + censoring join; single-week
-        # corpora leave < 2 fit points -> halflife 0
-        "retention_halflife": _retention_halflife_sql,
         "time_to_convert": _time_to_convert_sql,
         "daily_modal_type": _mode_sql,
         "concurrency_profile": _concurrency_sql,
@@ -575,7 +567,8 @@ def _event_parts_fns():
     from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
     from fiveg_spark.operators.sketches import _bloom_parts
     from fiveg_spark.operators.behavior import _entropy_rate_parts
-    from fiveg_spark.operators.ts_advanced import _ccf_parts
+    from fiveg_spark.operators.timeseries import _retention_halflife_parts
+    from fiveg_spark.operators.ts_advanced import _anomaly_consensus_parts, _ccf_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _cvm_parts,
         _iat_exponential_fit_parts,
@@ -587,6 +580,12 @@ def _event_parts_fns():
     return {
         # tie-heavy journeys: simultaneous touch/purchase timestamps
         "attribution_credit": _attribution_parts,
+        # three rounded-threshold votes; constant series suppress all
+        # detectors (zero-spread guards) -> zero rows
+        "anomaly_consensus": _anomaly_consensus_parts,
+        # round-before-ln retention + censoring join; single-week
+        # corpora leave < 2 fit points -> halflife 0
+        "retention_halflife": _retention_halflife_parts,
         # ln(p/q) with share floors + degenerate single-bin ranges
         "feature_drift_psi": _psi_parts,
         # tied timestamps per (user, type) -> zero IATs -> mean_iat = 0:

@@ -562,7 +562,8 @@ def test_funnel_ci_brackets_rate_and_matches_wilson_formula(spark):
 def test_retention_halflife_recovers_planted_decay(spark):
     import datetime as dt
 
-    from fiveg_spark.operators.timeseries import _retention_halflife_sql
+    from fiveg_spark.operators.timeseries import _retention_halflife_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # one cohort of 64 users, geometric halving each week: week w keeps
     # 64/2^w users -> r(w) = 2^-w -> half-life exactly 1 week
@@ -576,7 +577,7 @@ def test_retention_halflife_recovers_planted_decay(spark):
             eid += 1
     _events_from(spark, rows)
     got = {r["week_offset"]: r.asDict()
-           for r in spark.sql(_retention_halflife_sql("spark")).collect()}
+           for r in run_parts(spark, _retention_halflife_parts).collect()}
     assert got[0]["retention"] == 1.0
     assert abs(got[1]["retention"] - 0.5) < 1e-9
     assert abs(got[4]["retention"] - 0.0625) < 1e-9
@@ -642,7 +643,8 @@ def test_anomaly_consensus_votes_on_planted_spike(spark):
     import datetime as dt
     import math
 
-    from fiveg_spark.operators.ts_advanced import _anomaly_consensus_sql
+    from fiveg_spark.operators.ts_advanced import _anomaly_consensus_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # eMBB: gentle sinusoid with ONE 20x spike at hour 50 -> all three
     # detectors vote (global z, MAD, seasonal residual); no other hour
@@ -658,7 +660,7 @@ def test_anomaly_consensus_votes_on_planted_spike(spark):
             rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, val, "{}"))
             eid += 1
     _events_from(spark, rows)
-    got = [r.asDict() for r in spark.sql(_anomaly_consensus_sql("spark")).collect()]
+    got = [r.asDict() for r in run_parts(spark, _anomaly_consensus_parts).collect()]
     assert all(r["slice"] == "eMBB" for r in got)
     spike = [r for r in got if r["window_start"].hour == 2
              and r["window_start"].day == 3]
