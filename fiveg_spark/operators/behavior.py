@@ -397,6 +397,76 @@ def _attribution_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_attr_ordered", ordered)], tail
 
 
+def _session_paths_sql(d: str) -> str:
+    # C84 — top within-session event-type trigram paths (the journey-
+    # mining rung above C54's memoryless pairs: "view>view>purchase"
+    # vs "view>purchase>view" are different funnels even though their
+    # transition matrices match).  Sessionize per user on a 30-min gap
+    # (the C6 cumsum construction on user_id instead of flow_id), then
+    # two leads INSIDE the session emit each trigram, one hash-agg
+    # counts them, and the top 15 paths ship with their share of all
+    # trigrams.
+    #
+    # Scale: one events scan; the gap flag, cumsum, and both leads all
+    # ride ONE user_id-partitioned sort (Catalyst collapses the window
+    # chain — same key, same order), the trigram agg is the only other
+    # shuffle, and the output is ≤|types|³ rows.  Deterministic: ties
+    # inside a session break on event_id; the top-15 cut orders by
+    # (n DESC, path).
+    return f"""
+    WITH flagged AS (
+      SELECT
+        user_id,
+        ts,
+        event_id,
+        event_type,
+        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR {epoch("ts", d)}
+                  - {epoch("lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)", d)}
+                  > 1800.0
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT *,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM flagged
+    ),
+    steps AS (
+      SELECT
+        event_type AS e1,
+        lead(event_type, 1) OVER (PARTITION BY user_id, session_idx
+                                  ORDER BY ts, event_id) AS e2,
+        lead(event_type, 2) OVER (PARTITION BY user_id, session_idx
+                                  ORDER BY ts, event_id) AS e3
+      FROM sess
+    ),
+    paths AS (
+      SELECT concat(e1, '>', e2, '>', e3) AS path, count(*) AS n
+      FROM steps
+      WHERE e3 IS NOT NULL
+      GROUP BY concat(e1, '>', e2, '>', e3)
+    ),
+    ranked AS (
+      SELECT
+        path,
+        n,
+        sum(n) OVER () AS total,
+        row_number() OVER (ORDER BY n DESC, path) AS rk
+      FROM paths
+    )
+    SELECT
+      CAST(rk AS INT) AS rank,
+      path,
+      {cnt("n", "n_sessions_path")},
+      {dbl("n / CAST(total AS DOUBLE)", "share")}
+    FROM ranked
+    WHERE rk <= 15
+    ORDER BY rank
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
@@ -409,4 +479,7 @@ QUERIES = [
     ),
     # new r7, non-deferred
     materialized_backed("sequence_entropy_rate", _entropy_rate_parts, ("events",)),
+    # new r7 third wave, non-deferred (claims one of the window's 5
+    # free slots — 45 never-certified + these keep the 50 exact)
+    sql_backed("session_paths", _session_paths_sql, ("events",)),
 ]

@@ -458,6 +458,139 @@ def _hybrid_fusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_hyb_tf", tf_sql)], tail
 
 
+IF_K = 8  # frozen-index stand-in: the 8 earliest vectors seed the clusters
+
+
+def _index_freshness_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D48 — vector-index freshness audit (the maintenance question an
+    # aging ANN index must answer: how far have the data drifted from
+    # the frozen centroids, and how many vectors would a re-fit move?).
+    # Frozen index = the IF_K earliest vectors by vec_id (a
+    # deterministic stand-in the oracle can recompute; the production
+    # path runs the SAME SQL with the E20 persisted-centroid parquet
+    # registered as the seed view).  One Lloyd step: assign all vectors
+    # to their nearest seed by cosine, recompute per-cluster means,
+    # then re-assign against the fresh means — per cluster this reports
+    # the centroid drift 1 − cos(seed, new_mean) and the fraction of
+    # members a re-fit would move.  Rebuild triggers (e.g. drift > 0.1
+    # or moved_frac > 0.3) read straight off the row.
+    #
+    # Scale: ONE embeddings scan builds the exploded (vec, dim, value)
+    # frame; every cosine after that is a pos-join + hash-agg on it —
+    # |vecs|·k·d intermediate rows, the same asymptotics as one IVF
+    # assignment pass; the seed/centroid sides are k·d rows (broadcast
+    # at any corpus size).  Norms fall out of the same group (Σv² within
+    # a (vec, seed) group IS the vector norm²), so nothing rescans.
+    # Parity: cosines round (NUDGE, 4 dp) BEFORE both argmax rankings,
+    # ties break on cluster id; drift/fractions round via dbl.
+    if d == "spark":
+        exp = (
+            "SELECT vec_id, pos0 + 1 AS pos, v FROM (SELECT vec_id, "
+            "posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos0, v) "
+            "FROM embeddings) e"
+        )
+    else:
+        exp = (
+            "SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos, "
+            "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+        )
+    seed_exp = (
+        f"SELECT vec_id AS seed_id, pos, v AS sv FROM _mz_if_exp "
+        f"WHERE vec_id IN (SELECT vec_id FROM "
+        f"(SELECT DISTINCT vec_id FROM _mz_if_exp ORDER BY vec_id LIMIT {IF_K}) s)"
+    )
+    assign_sql = f"""
+    WITH pair AS (
+      SELECT
+        e.vec_id,
+        se.seed_id,
+        sum(e.v * se.sv) AS dot,
+        sum(e.v * e.v) AS nv2,
+        sum(se.sv * se.sv) AS ns2
+      FROM _mz_if_exp e
+      JOIN ({seed_exp}) se ON se.pos = e.pos
+      GROUP BY e.vec_id, se.seed_id
+    ),
+    scored AS (
+      SELECT
+        vec_id,
+        seed_id,
+        round(dot / (sqrt(nv2) * sqrt(ns2) + 1e-12) + {NUDGE}, 4) + 0.0 AS cos_old,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY round(dot / (sqrt(nv2) * sqrt(ns2) + 1e-12)
+                                          + {NUDGE}, 4) DESC, seed_id) AS rk
+      FROM pair
+    )
+    SELECT vec_id, seed_id AS cluster_id, cos_old FROM scored WHERE rk = 1
+    """
+    newcent_sql = """
+    SELECT a.cluster_id, e.pos, avg(e.v) AS mv
+    FROM _mz_if_exp e
+    JOIN _mz_if_assign a ON a.vec_id = e.vec_id
+    GROUP BY a.cluster_id, e.pos
+    """
+    tail = f"""
+    WITH drift AS (
+      SELECT
+        nc.cluster_id,
+        sum(nc.mv * se.sv) AS dot,
+        sum(nc.mv * nc.mv) AS nm2,
+        sum(se.sv * se.sv) AS ns2
+      FROM _mz_if_newcent nc
+      JOIN ({seed_exp}) se ON se.seed_id = nc.cluster_id AND se.pos = nc.pos
+      GROUP BY nc.cluster_id
+    ),
+    repair AS (
+      SELECT
+        e.vec_id,
+        nc.cluster_id,
+        sum(e.v * nc.mv) AS dot,
+        sum(e.v * e.v) AS nv2,
+        sum(nc.mv * nc.mv) AS nm2
+      FROM _mz_if_exp e
+      JOIN _mz_if_newcent nc ON nc.pos = e.pos
+      GROUP BY e.vec_id, nc.cluster_id
+    ),
+    rescored AS (
+      SELECT
+        vec_id,
+        cluster_id,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY round(dot / (sqrt(nv2) * sqrt(nm2) + 1e-12)
+                                          + {NUDGE}, 4) DESC, cluster_id) AS rk
+      FROM repair
+    ),
+    moved AS (
+      SELECT
+        a.cluster_id,
+        count(*) AS n_assigned,
+        sum(CASE WHEN r.cluster_id <> a.cluster_id THEN 1 ELSE 0 END) AS n_moved,
+        avg(a.cos_old) AS mean_cos_old
+      FROM _mz_if_assign a
+      JOIN rescored r ON r.vec_id = a.vec_id AND r.rk = 1
+      GROUP BY a.cluster_id
+    )
+    SELECT
+      {cnt("m.cluster_id", "cluster_id")},
+      {cnt("m.n_assigned", "n_assigned")},
+      {cnt("m.n_moved", "n_moved")},
+      {dbl("m.n_moved / CAST(m.n_assigned AS DOUBLE)", "moved_frac")},
+      {dbl("m.mean_cos_old", "mean_member_cos")},
+      {dbl("1.0 - d.dot / (sqrt(d.nm2) * sqrt(d.ns2) + 1e-12)", "centroid_drift")}
+    FROM moved m
+    JOIN drift d ON d.cluster_id = m.cluster_id
+    ORDER BY cluster_id
+    """
+    return (
+        [
+            ("_mz_if_exp", exp),
+            ("_mz_if_assign", assign_sql),
+            ("_mz_if_newcent", newcent_sql),
+        ],
+        tail,
+    )
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
     materialized_backed(
@@ -466,6 +599,8 @@ QUERIES = [
     ),
     # new r7, non-deferred
     sql_backed("embedding_truncation_eval", _truncation_eval_sql, ("embeddings",)),
+    # new r7 third wave, non-deferred (window slot 50 of 50)
+    materialized_backed("index_freshness_audit", _index_freshness_parts, ("embeddings",)),
     sql_backed("rrf_fusion", _rrf_sql, ("embeddings",)),
     sql_backed("embedding_quantization", _quantization_sql, ("embeddings",)),
     sql_backed("embedding_dedup_pairs", _embedding_dedup_sql, ("embeddings",)),

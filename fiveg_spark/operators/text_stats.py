@@ -24,7 +24,14 @@ from __future__ import annotations
 
 from fiveg_spark.operators.dedup import _shingles_cte
 from fiveg_spark.operators.text import _tok
-from fiveg_spark.plans.registry import materialized_backed, cnt, dbl, pct, sql_backed
+from fiveg_spark.plans.registry import (
+    NUDGE,
+    cnt,
+    dbl,
+    materialized_backed,
+    pct,
+    sql_backed,
+)
 
 
 def _pairs_expr(d: str) -> str:
@@ -440,6 +447,154 @@ def _ngram_novelty_sql(d: str) -> str:
     """
 
 
+_SW_PROFILE = (
+    "the", "a", "fast", "slow", "data", "part",
+    "batch", "stream", "window", "filter", "join", "merge",
+)
+
+
+def _stopword_divergence_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E75 — per-source stopword-profile KL divergence vs the corpus
+    # (the CCNet/C4 style-drift screen: function-word distributions are
+    # topic-invariant, so a source whose profile diverges from the
+    # corpus is a different REGISTER — machine text, templates, another
+    # language — even when content words look fine; cf. Mosteller &
+    # Wallace's function-word authorship argument).  Profile = the 12
+    # language-marker stopwords (text.py _MARKERS, the corpus's fixed
+    # function-word inventory); KL(p_source || p_corpus) in nats with
+    # the D27 PSI parity discipline: shares floored at 1e-4 and rounded
+    # to 6 dp BEFORE ln so both engines take logs of identical doubles.
+    # Each source also reports its most divergent word (max p·ln(p/q),
+    # ties break on word).
+    #
+    # materialized_backed: the (source, word) count frame is referenced
+    # by the per-source totals, the corpus totals, and the share grid —
+    # inlined, Spark would re-run the corpus explode 4×.  ONE corpus
+    # scan builds it; everything downstream is ≤|sources|·12 rows.
+    inlist = ", ".join(f"'{w}'" for w in _SW_PROFILE)
+    if d == "spark":
+        words = "SELECT explode(array({})) AS word".format(
+            ", ".join(f"'{w}'" for w in _SW_PROFILE)
+        )
+        tok = "explode({})".format(_tok(d))
+    else:
+        words = "SELECT unnest([{}]) AS word".format(
+            ", ".join(f"'{w}'" for w in _SW_PROFILE)
+        )
+        tok = "unnest({})".format(_tok(d))
+    counts_sql = f"""
+    SELECT source, token AS word, count(*) AS n
+    FROM (SELECT source, {tok} AS token FROM documents) t
+    WHERE token IN ({inlist})
+    GROUP BY source, token
+    """
+    tail = f"""
+    WITH srcs AS (
+      SELECT source, sum(n) AS src_total FROM _mz_sw_counts GROUP BY source
+    ),
+    corpus AS (
+      SELECT word, sum(n) AS corpus_n FROM _mz_sw_counts GROUP BY word
+    ),
+    corpus_total AS (SELECT sum(n) AS corpus_total FROM _mz_sw_counts),
+    grid AS (
+      SELECT s.source, s.src_total, w.word
+      FROM srcs s CROSS JOIN ({words}) w
+    ),
+    shares AS (
+      SELECT
+        g.source,
+        g.word,
+        round(greatest(coalesce(c.n, 0) / CAST(g.src_total AS DOUBLE), 0.0001)
+              + {NUDGE}, 6) + 0.0 AS p,
+        round(greatest(coalesce(co.corpus_n, 0) / CAST(ct.corpus_total AS DOUBLE),
+              0.0001) + {NUDGE}, 6) + 0.0 AS q
+      FROM grid g
+      LEFT JOIN _mz_sw_counts c ON c.source = g.source AND c.word = g.word
+      LEFT JOIN corpus co ON co.word = g.word
+      CROSS JOIN corpus_total ct
+    ),
+    contribs AS (
+      SELECT
+        source,
+        word,
+        p * ln(p / q) AS contrib,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY p * ln(p / q) DESC, word) AS rk
+      FROM shares
+    )
+    SELECT
+      c.source,
+      {cnt("s.src_total", "n_stop_tokens")},
+      {dbl("sum(c.contrib)", "kl_divergence")},
+      max(CASE WHEN c.rk = 1 THEN c.word END) AS top_word,
+      {dbl("max(CASE WHEN c.rk = 1 THEN c.contrib END)", "top_contrib")}
+    FROM contribs c
+    JOIN srcs s ON s.source = c.source
+    GROUP BY c.source, s.src_total
+    ORDER BY c.source
+    """
+    return [("_mz_sw_counts", counts_sql)], tail
+
+
+def _token_fertility_sql(d: str) -> str:
+    # E76 — tokenizer-economics profile per source: chars-per-token
+    # (the "fertility" a tokenizer pays per word — gibberish and
+    # unsegmented text push it up), tokens-per-doc, and the within-doc
+    # 3-gram compression ratio (distinct/total shingles — the map-only
+    # repetition proxy: boilerplate-heavy docs compress well BEFORE any
+    # cross-doc machinery like E42/E70 runs).  The triage row a mixing
+    # pass (E26/E52) reads to price a source's token budget.
+    #
+    # Scale: entirely MAP-ONLY per doc (array HOFs — distinct shingles
+    # via array_distinct, never an explode), one corpus scan, one
+    # hash-agg on source.  Zero-token and under-3-token docs take the
+    # greatest()/CASE guards.
+    toks = _tok(d)
+    if d == "spark":
+        nsh = "greatest(size(t) - 2, 0)"
+        ndsh = (
+            "CASE WHEN size(t) >= 3 THEN size(array_distinct("
+            "transform(sequence(1, size(t) - 2), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', "
+            "element_at(t, i + 2))))) ELSE 0 END"
+        )
+        ntok = "size(t)"
+    else:
+        nsh = "greatest(len(t) - 2, 0)"
+        ndsh = (
+            "CASE WHEN len(t) >= 3 THEN len(list_distinct("
+            "list_transform(generate_series(1, len(t) - 2), "
+            "i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))) ELSE 0 END"
+        )
+        ntok = "len(t)"
+    return f"""
+    WITH per_doc AS (
+      SELECT
+        source,
+        n_chars,
+        {ntok} AS n_tokens,
+        {nsh} AS n_shingles,
+        {ndsh} AS n_distinct_shingles
+      FROM (SELECT source, n_chars, {toks} AS t FROM documents) x
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(n_tokens)", "total_tokens")},
+      {dbl("sum(n_chars) / CAST(greatest(sum(n_tokens), 1) AS DOUBLE)",
+           "chars_per_token")},
+      {dbl("sum(n_tokens) / CAST(count(*) AS DOUBLE)", "tokens_per_doc")},
+      {dbl(
+          "CASE WHEN sum(n_shingles) = 0 THEN 1.0 "
+          "ELSE sum(n_distinct_shingles) / CAST(sum(n_shingles) AS DOUBLE) END",
+          "shingle_compression",
+      )}
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     sql_backed("ngram_novelty", _ngram_novelty_sql, ("documents",)),
@@ -449,4 +604,9 @@ QUERIES = [
     sql_backed("zipf_slope", _zipf_slope_sql, ("documents",)),
     # registered mid-round 6: sorts behind the frozen window
     materialized_backed("ppl_buckets", _ppl_buckets_parts, ("documents",)),
+    # new r7 third wave, non-deferred (window slots 48-49 of 50)
+    materialized_backed(
+        "stopword_divergence", _stopword_divergence_parts, ("documents",),
+    ),
+    sql_backed("token_fertility", _token_fertility_sql, ("documents",)),
 ]

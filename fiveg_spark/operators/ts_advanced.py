@@ -1280,6 +1280,53 @@ def _reciprocity_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_recip_edges", _HC_EDGES_SQL)], tail
 
 
+def _assortativity_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C85 — directed degree assortativity of the trade graph (Newman
+    # 2003 "Mixing patterns in networks": the four (out/in)×(out/in)
+    # degree correlations over edges).  Positive out-in assortativity =
+    # big exporters sell to big importers (hub-to-hub concentration,
+    # a skew-risk signal for the C57 diagnostic); negative = hub-spoke.
+    # Complements C83's reciprocity (same edge frame, orthogonal
+    # question: WHO you trade with vs whether they trade back).
+    #
+    # materialized_backed: the edge set is referenced by both degree
+    # aggs and the edge-level join — materialized once, everything
+    # downstream is ≤|nations|² rows.  Correlations are corr_safe
+    # (native corr is ANSI-fragile and banned); the excess-degree
+    # convention (degree minus the edge itself) is folded in by using
+    # the raw degree on BOTH ends — the shift cancels in Pearson r.
+    from fiveg_spark.plans.registry import corr_safe
+
+    tail = f"""
+    WITH outd AS (
+      SELECT src AS nation, count(*) AS od FROM _mz_da_edges GROUP BY src
+    ),
+    ind AS (
+      SELECT dst AS nation, count(*) AS idg FROM _mz_da_edges GROUP BY dst
+    ),
+    decorated AS (
+      SELECT
+        CAST(coalesce(so.od, 0) AS DOUBLE) AS src_out,
+        CAST(coalesce(si.idg, 0) AS DOUBLE) AS src_in,
+        CAST(coalesce(do_.od, 0) AS DOUBLE) AS dst_out,
+        CAST(coalesce(di.idg, 0) AS DOUBLE) AS dst_in
+      FROM _mz_da_edges e
+      LEFT JOIN outd so ON so.nation = e.src
+      LEFT JOIN ind si ON si.nation = e.src
+      LEFT JOIN outd do_ ON do_.nation = e.dst
+      LEFT JOIN ind di ON di.nation = e.dst
+    )
+    SELECT
+      {cnt("count(*)", "n_edges")},
+      {dbl(corr_safe("src_out", "dst_in"), "r_out_in")},
+      {dbl(corr_safe("src_out", "dst_out"), "r_out_out")},
+      {dbl(corr_safe("src_in", "dst_in"), "r_in_in")},
+      {dbl(corr_safe("src_in", "dst_out"), "r_in_out")}
+    FROM decorated
+    """
+    return [("_mz_da_edges", _HC_EDGES_SQL)], tail
+
+
 def _anomaly_consensus_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D46 — detector-ensemble anomaly consensus per (slice, hour): the
     # three certified single-detector views (C30 z-score, C36 MAD, B11
@@ -1392,6 +1439,11 @@ QUERIES = [
     Query("harmonic_centrality", _harmonic_run, _harmonic_oracle()),
     materialized_backed(
         "graph_reciprocity", _reciprocity_parts,
+        ("customer", "nation", "orders", "lineitem", "supplier"),
+    ),
+    # new r7 third wave, non-deferred (window slot 47 of 50)
+    materialized_backed(
+        "degree_assortativity", _assortativity_parts,
         ("customer", "nation", "orders", "lineitem", "supplier"),
     ),
     sql_backed("spectral_entropy", _spectral_entropy_sql, ("events",)),

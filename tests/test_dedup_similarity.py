@@ -1202,3 +1202,60 @@ def test_band_curve_configs_nest_and_recall_theory_holds(spark):
     # theory column: expected recall for a J = 1 pair is exactly 1
     assert (pdf["expected_recall"] >= 0.99).all()
     assert pdf["scurve_ok"].all()
+
+
+def test_index_freshness_tight_clusters_stable_drifted_member_moves(spark):
+    from fiveg_spark.operators.similarity import IF_K, _index_freshness_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # seeds = the IF_K earliest vec_ids = the 8 unit basis vectors.
+    # Cluster 0 gets tight members (tiny same-direction noise) -> new
+    # mean stays on the seed axis: zero moves, near-zero drift.
+    # Cluster 2's members all sit at the (0.6*e1 + 0.8*e2) direction:
+    # they still seed-assign to 2 (cos .8 > .6) but drag its re-fit
+    # mean off the e2 axis -> centroid_drift ~0.12.  Cluster 1 holds
+    # two tight members plus the straddler p = .71*e1 + .70*e2, which
+    # seeds assign to 1 (cos .71 > .70) but whose re-fit home is the
+    # shifted cluster-2 mean (cos ~.95 vs ~.83) -> exactly one move.
+    def e(i, scale=1.0):
+        v = [0.0] * 8
+        v[i] = scale
+        return v
+
+    rows = [(i, e(i), 0) for i in range(IF_K)]
+    vid = IF_K
+    for _ in range(3):
+        v = e(0, 0.999)
+        v[4] = 0.001
+        rows.append((vid, v, 0))
+        vid += 1
+    for _ in range(3):
+        v = [0.0] * 8
+        v[1], v[2] = 0.6, 0.8
+        rows.append((vid, v, 0))
+        vid += 1
+    for _ in range(2):
+        rows.append((vid, e(1, 0.999), 0))
+        vid += 1
+    p = [0.0] * 8
+    p[1], p[2] = 0.71, 0.70
+    rows.append((vid, p, 0))
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+
+    got = {r["cluster_id"]: r.asDict()
+           for r in run_parts(spark, _index_freshness_parts).collect()}
+    assert set(got) == set(range(IF_K))
+    assert got[0]["n_assigned"] == 4  # seed + 3 tight members
+    assert got[0]["n_moved"] == 0 and got[0]["centroid_drift"] < 0.01
+    assert got[1]["n_assigned"] == 4  # seed + 2 tight + straddler p
+    assert got[1]["n_moved"] == 1 and got[1]["moved_frac"] == 0.25
+    assert got[2]["n_assigned"] == 4  # seed + 3 shifted members
+    assert got[2]["n_moved"] == 0
+    assert got[2]["centroid_drift"] > 0.1  # the aged cluster
+    assert got[2]["centroid_drift"] > got[0]["centroid_drift"]
+    # untouched singleton clusters: the seed is its own mean
+    for cl in (3, 4, 5, 6, 7):
+        assert got[cl]["n_assigned"] == 1 and got[cl]["n_moved"] == 0
+        assert got[cl]["centroid_drift"] < 1e-6

@@ -90,6 +90,7 @@ def _more_doc_sql_fns():
     from fiveg_spark.operators.text_stats import (
         _bigram_ppl_sql,
         _ngram_novelty_sql,
+        _token_fertility_sql,
     )
 
     return {
@@ -121,6 +122,10 @@ def _more_doc_sql_fns():
         # char-count subtraction arithmetic + the empty-doc
         # greatest(n,1) guard and rounded-threshold flag
         "code_like_score": _code_detect_sql,
+        # chars/token + shingle-compression ratios: zero-token docs hit
+        # the greatest() guard, under-3-token docs the CASE 0 branch,
+        # shingle-free sources the compression = 1.0 convention
+        "token_fertility": _token_fertility_sql,
     }
 
 
@@ -289,7 +294,7 @@ def _event_sql_fns():
     )
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
-    from fiveg_spark.operators.behavior import _transition_matrix_sql
+    from fiveg_spark.operators.behavior import _session_paths_sql, _transition_matrix_sql
     from fiveg_spark.operators.rollup_stats import _concurrency_sql
     from fiveg_spark.operators.timeseries import (
         _cohort_retention_sql,
@@ -402,6 +407,10 @@ def _event_sql_fns():
         "slo_burn_rate": _slo_burn_sql,
         "top_flows": _top_flows_sql,
         "sessionize": _sessionize_sql,
+        # trigram-path mining: tied timestamps inside a session break
+        # on event_id; under-3-event sessions emit nothing (lead NULL
+        # guard) -> empty frames on most tiny streams
+        "session_paths": _session_paths_sql,
         **_hourly_family_sql_fns(),
     }
 
@@ -495,6 +504,7 @@ def _doc_parts_fns():
     from fiveg_spark.operators.curation import _quality_dup_calibration_parts
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
     from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
+    from fiveg_spark.operators.text_stats import _stopword_divergence_parts
 
     return {
         # short docs (< SPAN_K tokens), whole-corpus duplicates, and
@@ -508,6 +518,10 @@ def _doc_parts_fns():
         # coalesce) and empty-candidate branches per config
         "minhash_band_curve": _band_curve_parts,
         "unigram_ppl": _unigram_ppl_parts,
+        # floored+rounded-before-ln KL shares (PSI discipline); tiny
+        # corpora leave most profile words at the 1e-4 floor on both
+        # sides (contrib ~0), sources with zero profile tokens vanish
+        "stopword_divergence": _stopword_divergence_parts,
         # log-ratio model math + missing-target-source degenerate case
         "dsir_importance": _dsir_parts,
         # under-k sketches (theta = 1.0 exact fallback), shingle-free

@@ -717,3 +717,64 @@ def test_code_like_score_separates_code_from_prose(spark):
     assert got[1]["is_code"] is False
     assert got[1]["code_score"] < 0.05
     assert got[2]["is_code"] is False and got[2]["code_score"] == 0.0
+
+
+def test_session_paths_mines_dominant_trigram_and_respects_gaps(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.behavior import _session_paths_sql
+
+    t0 = dt.datetime(2024, 3, 1, 10, 0, 0)
+    rows, eid = [], 0
+    # 5 users each run the checkout journey view>view>purchase in one
+    # tight session (1-min steps)
+    for u in range(5):
+        for i, et in enumerate(("view", "view", "purchase")):
+            rows.append((eid, t0 + dt.timedelta(minutes=i), et, u, 1.0, "{}"))
+            eid += 1
+    # one user runs a different journey once
+    for i, et in enumerate(("view", "click", "view")):
+        rows.append((eid, t0 + dt.timedelta(minutes=i), et, 9, 1.0, "{}"))
+        eid += 1
+    # a user whose 4 events split 2+2 across a 2-hour gap: two 2-event
+    # sessions -> NO trigram may bridge the gap
+    for i in range(4):
+        ts = t0 + dt.timedelta(minutes=i) + (
+            dt.timedelta(hours=2) if i >= 2 else dt.timedelta()
+        )
+        rows.append((eid, ts, "view", 8, 1.0, "{}"))
+        eid += 1
+    _events_from(spark, rows)
+    got = [r.asDict() for r in spark.sql(_session_paths_sql("spark")).collect()]
+    assert got[0]["rank"] == 1
+    assert got[0]["path"] == "view>view>purchase"
+    assert got[0]["n_sessions_path"] == 5
+    assert got[0]["share"] == round(5.0 / 6.0, 4)  # dbl() ships 4 dp
+    assert {r["path"] for r in got} == {"view>view>purchase", "view>click>view"}
+
+
+def test_degree_assortativity_star_negative_cycle_degenerate(spark):
+    from fiveg_spark.operators.ts_advanced import _assortativity_parts
+
+    tail = _assortativity_parts("spark")[1]
+
+    def run_edges(edges):
+        spark.createDataFrame(
+            edges, "src STRING, dst STRING"
+        ).createOrReplaceTempView("_mz_da_edges")
+        (r,) = spark.sql(tail).collect()
+        return r.asDict()
+
+    # mixed star: hub sends to a,b and receives from c,d -> every edge
+    # pairs (src_out, dst_in) as (2,1) or (1,2) -> r_out_in = -1
+    star = run_edges(
+        [("h", "a"), ("h", "b"), ("c", "h"), ("d", "h")]
+    )
+    assert star["n_edges"] == 4
+    assert abs(star["r_out_in"] + 1.0) < 1e-6
+    # 3-cycle: every degree is 1 -> zero variance -> corr_safe's
+    # degenerate-0 convention on all four mixing correlations
+    cyc = run_edges([("a", "b"), ("b", "c"), ("c", "a")])
+    assert cyc["n_edges"] == 3
+    for k in ("r_out_in", "r_out_out", "r_in_in", "r_in_out"):
+        assert cyc[k] == 0.0

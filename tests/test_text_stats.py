@@ -242,3 +242,66 @@ def test_hybrid_fusion_merges_lexical_and_dense_rankings(spark):
     assert abs(dense_only["rrf_score"] - 1.0 / 62.0) < 1e-3
     scores = [r["rrf_score"] for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_stopword_divergence_pins_planted_register_drift(spark):
+    from fiveg_spark.operators.text_stats import (
+        _SW_PROFILE,
+        _stopword_divergence_parts,
+    )
+    from fiveg_spark.plans.registry import run_parts
+
+    # source "drift" speaks only 'the' (a degenerate function-word
+    # register); source "base" uses the whole 12-word profile evenly.
+    base_text = " ".join(_SW_PROFILE)
+    _docs_view(
+        spark,
+        [(i, "the the the the the", "en", "drift", 19) for i in range(4)]
+        + [(10 + i, base_text, "en", "base", len(base_text)) for i in range(10)],
+    )
+    got = {r["source"]: r.asDict()
+           for r in run_parts(spark, _stopword_divergence_parts).collect()}
+
+    # replicate the exact PSI-discipline arithmetic: floor 1e-4,
+    # round 6 dp, THEN ln
+    drift_total, base_total = 4 * 5, 10 * 12
+    corpus_total = drift_total + base_total
+    corpus = {w: 10 for w in _SW_PROFILE}
+    corpus["the"] += drift_total
+
+    def share(n, total):
+        return round(max(n / total, 1e-4), 6)
+
+    kl_drift = sum(
+        share(drift_total if w == "the" else 0, drift_total)
+        * math.log(share(drift_total if w == "the" else 0, drift_total)
+                   / share(corpus[w], corpus_total))
+        for w in _SW_PROFILE
+    )
+    assert got["drift"]["n_stop_tokens"] == drift_total
+    assert abs(got["drift"]["kl_divergence"] - round(kl_drift, 4)) < 1e-3
+    assert got["drift"]["top_word"] == "the"
+    assert got["drift"]["kl_divergence"] > 3 * got["base"]["kl_divergence"]
+
+
+def test_token_fertility_pins_repeated_shingle_compression(spark):
+    # "x x x x x": 5 tokens, 3 shingles, 1 distinct -> compression 1/3
+    # = 1/(n-2); the 2-token doc has no shingles -> convention 1.0
+    _docs_view(
+        spark,
+        [
+            (0, "x x x x x", "en", "rep", 9),
+            (1, "a b", "en", "tiny", 3),
+        ],
+    )
+    got = {r["source"]: r.asDict()
+           for r in spark.sql(ts._token_fertility_sql("spark")).collect()}
+    rep = got["rep"]
+    assert rep["n_docs"] == 1 and rep["total_tokens"] == 5
+    assert abs(rep["shingle_compression"] - 1.0 / 3.0) < 1e-4
+    assert abs(rep["chars_per_token"] - 9.0 / 5.0) < 1e-9
+    assert rep["tokens_per_doc"] == 5.0
+    tiny = got["tiny"]
+    assert tiny["total_tokens"] == 2
+    assert tiny["shingle_compression"] == 1.0
+    assert tiny["chars_per_token"] == 1.5
