@@ -509,6 +509,73 @@ def _value_percentiles_sql(d: str) -> str:
     """
 
 
+def _trending_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C86 -- windowed top-k "trending" detector (the rank-shift screen
+    # every ops dashboard runs: which event types are surging TODAY
+    # relative to their trailing week?).  Anchor = the newest day in
+    # the data; current window = that day, baseline = the prior 7
+    # days.  Per type: current count, baseline daily average (floored
+    # at 1 event/week so brand-new types get a finite, maximal lift
+    # instead of a div-by-zero), lift ratio, ranks in both windows and
+    # the rank gain, plus a trending flag on the ROUNDED lift (PSI
+    # discipline: both engines compare identical 4-dp doubles).
+    #
+    # Scale: materialized_backed -- the (type, day) rollup is ONE
+    # events scan; the anchor max and both conditional sums read the
+    # <=|types|*|days| rollup, so inlining would rescan the corpus
+    # but the part build never does.  Everything downstream is
+    # |types| rows; the rank windows are single-partition by design
+    # on a frame that small.
+    daily = f"""
+    SELECT
+      event_type,
+      CAST(floor({epoch("ts", d)} / 86400.0) AS BIGINT) AS day_idx,
+      count(*) AS n
+    FROM events
+    GROUP BY event_type, CAST(floor({epoch("ts", d)} / 86400.0) AS BIGINT)
+    """
+    lift = "n_current / greatest(n_baseline / 7.0, 1.0 / 7.0)"
+    tail = f"""
+    WITH anchor AS (SELECT max(day_idx) AS a FROM _mz_trend_daily),
+    counts AS (
+      SELECT
+        t.event_type,
+        sum(CASE WHEN t.day_idx = an.a THEN t.n ELSE 0 END) AS n_current,
+        sum(CASE WHEN t.day_idx >= an.a - 7 AND t.day_idx < an.a
+                 THEN t.n ELSE 0 END) AS n_baseline
+      FROM _mz_trend_daily t CROSS JOIN anchor an
+      GROUP BY t.event_type
+    ),
+    windowed AS (
+      SELECT * FROM counts WHERE n_current + n_baseline > 0
+    ),
+    ranked AS (
+      SELECT
+        event_type,
+        n_current,
+        n_baseline,
+        row_number() OVER (ORDER BY n_current DESC, event_type)
+          AS rank_current,
+        row_number() OVER (ORDER BY n_baseline DESC, event_type)
+          AS rank_baseline
+      FROM windowed
+    )
+    SELECT
+      event_type,
+      {cnt("n_current", "n_current")},
+      {cnt("n_baseline", "n_baseline")},
+      {dbl("n_baseline / 7.0", "baseline_daily_avg")},
+      {dbl(lift, "lift")},
+      CAST(rank_current AS INT) AS rank_current,
+      CAST(rank_baseline - rank_current AS INT) AS rank_gain,
+      round({lift} + {NUDGE}, 4) >= 1.5 AS trending
+    FROM ranked
+    ORDER BY event_type
+    """
+    return [("_mz_trend_daily", daily)], tail
+
+
+
 def _json_props_sql(d: str) -> str:
     # A4 — schema-on-read JSON prop extraction + agg.
     k = json_int("props", "k", d)
@@ -891,4 +958,10 @@ QUERIES = [
     sql_backed("event_type_mix", _event_type_mix_sql, ("events",)),
     sql_backed("value_percentiles", _value_percentiles_sql, ("events",)),
     sql_backed("json_props_stats", _json_props_sql, ("events",)),
+    # new r7 third wave, registered AFTER the window filled:
+    # deferred sorts it behind the 50 never-certified names
+    # (certifies in round 8)
+    materialized_backed(
+        "trending_types", _trending_parts, ("events",), deferred=True,
+    ),
 ]

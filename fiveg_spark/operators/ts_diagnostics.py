@@ -33,6 +33,75 @@ from fiveg_spark.plans.registry import (
 )
 
 
+def _calendar_outlier_sql(d: str) -> str:
+    # C87 -- calendar-outlier day screen (the "holiday effect" the
+    # round-7 backlog named: a day whose volume breaks its own
+    # weekday's pattern is a holiday, an outage, or a data hole --
+    # the D46 consensus votes on VALUES, this votes on the calendar).
+    # Per day: volume vs the LEAVE-ONE-OUT mean of the SAME weekday
+    # across the rest of the series (LOO so a single huge day cannot
+    # dilute its own expectation), ratio on the shared 4-dp rounding,
+    # outlier when the rounded ratio falls outside [0.5, 2.0].
+    # Weekday via the shared integer-epoch arithmetic (epoch day 0 =
+    # Thursday, +3 => 0 = Monday -- the D47 landmine).
+    #
+    # Scale: one events scan pre-agged to <=|days| rows; the LOO mean
+    # is two windows over the dow partition of that tiny rollup --
+    # nothing after the first hash-agg touches facts.  Under-2-sample
+    # weekdays report the 0.0 no-information convention and never flag.
+    day_idx = f"CAST(floor({epoch('ts', d)} / 86400.0) AS BIGINT)"
+    if d == "spark":
+        day_date = "date_add(DATE '1970-01-01', CAST(day_idx AS INT))"
+    else:
+        day_date = "DATE '1970-01-01' + CAST(day_idx AS INT)"
+    # the LOO mean is NULL-guarded (not condition-guarded) because
+    # ANSI Spark evaluates CASE subexpressions eagerly inside codegen:
+    # `dow_n >= 2 AND f(ratio)` still computes ratio when dow_n = 1
+    # and dies on /0 — dividing by a NULL loo instead yields NULL on
+    # both engines (the parity gate caught this live)
+    return f"""
+    WITH daily AS (
+      SELECT {day_idx} AS day_idx, count(*) AS n
+      FROM events
+      GROUP BY {day_idx}
+    ),
+    stats AS (
+      SELECT
+        day_idx,
+        CAST((day_idx + 3) % 7 AS INT) AS dow,
+        n,
+        sum(n) OVER (PARTITION BY (day_idx + 3) % 7) AS dow_sum,
+        count(*) OVER (PARTITION BY (day_idx + 3) % 7) AS dow_n
+      FROM daily
+    ),
+    guarded AS (
+      SELECT
+        day_idx,
+        dow,
+        n,
+        dow_n,
+        CASE WHEN dow_n >= 2
+             THEN (dow_sum - n) / CAST(dow_n - 1 AS DOUBLE) END AS loo
+      FROM stats
+    )
+    SELECT
+      {day_date} AS day,
+      dow,
+      {cnt("n", "n_events")},
+      {cnt("dow_n", "n_same_dow")},
+      {dbl("loo", "loo_dow_mean")},
+      {dbl("n / loo", "volume_ratio")},
+      coalesce(
+        round(n / loo + {NUDGE}, 4) <= 0.5
+        OR round(n / loo + {NUDGE}, 4) >= 2.0,
+        FALSE
+      ) AS is_outlier
+    FROM guarded
+    ORDER BY day_idx
+    """
+
+
+
 def _acf_sql(d: str) -> str:
     # Lag-1 / lag-3 / lag-24 sample autocorrelation per slice: the
     # order-selection evidence for VAR(p) (ref train.py:214 fits p=3).
@@ -1163,4 +1232,11 @@ QUERIES = [
     sql_backed("iat_burstiness", _iat_burstiness_sql, ("events",)),
     sql_backed("page_hinkley_drift", _page_hinkley_sql, ("events",)),
     materialized_backed("cramer_von_mises", _cvm_parts, ("events",)),
+    # new r7 third wave, registered AFTER the window filled:
+    # deferred sorts it behind the 50 never-certified names
+    # (certifies in round 8)
+    sql_backed(
+        "calendar_outlier_days", _calendar_outlier_sql, ("events",),
+        deferred=True,
+    ),
 ]

@@ -314,3 +314,32 @@ def test_r7_text_shapes_scan_pins(spark):
     facts = plan_facts(QUERIES["dup_rate_sample_audit"](spark, SF_DIR), execute=True)
     assert facts.n_scans == 1, f"dup_audit: {facts.n_scans} scans"
     assert facts.python_ops == 0
+
+
+def test_r7_wave3_plan_shapes(spark):
+    """Plan pins for the round-7 third-wave queries:
+    - session_paths: one events scan; the gap flag, cumsum, and both
+      leads collapse onto ONE user_id-partitioned sort;
+    - token_fertility: one corpus scan, map-only per doc (array HOFs,
+      no explode) + one hash-agg;
+    - stopword_divergence / degree_assortativity /
+      index_freshness_audit are materialized_backed: the corpus/edge/
+      exploded-embedding scan lives in the part build, so the TAIL
+      reads checkpointed RDDs — zero FileScans.
+    All zero-Python."""
+    facts = plan_facts(QUERIES["session_paths"](spark, SF_DIR), execute=True)
+    assert facts.n_scans == 1, f"session_paths: {facts.n_scans} scans"
+    assert facts.python_ops == 0
+
+    facts = plan_facts(QUERIES["token_fertility"](spark, SF_DIR), execute=True)
+    assert facts.n_scans == 1, f"token_fertility: {facts.n_scans} scans"
+    assert facts.python_ops == 0
+
+    for name in (
+        "stopword_divergence",
+        "degree_assortativity",
+        "index_freshness_audit",
+    ):
+        facts = plan_facts(QUERIES[name](spark, SF_DIR), execute=True)
+        assert facts.n_scans == 0, f"{name}: {facts.n_scans} tail scans"
+        assert facts.python_ops == 0, name

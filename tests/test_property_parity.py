@@ -282,6 +282,7 @@ def _event_sql_fns():
     )
     from fiveg_spark.operators.ts_diagnostics import (
         _acf_sql,
+        _calendar_outlier_sql,
         _conformal_sweep_sql,
         _iat_burstiness_sql,
         _ljung_box_sql,
@@ -411,6 +412,9 @@ def _event_sql_fns():
         # on event_id; under-3-event sessions emit nothing (lead NULL
         # guard) -> empty frames on most tiny streams
         "session_paths": _session_paths_sql,
+        # LOO weekday-mean ratio: single-sample weekdays hit the
+        # dow_n >= 2 null guard, rounded ratio at the 0.5/2.0 edges
+        "calendar_outlier_days": _calendar_outlier_sql,
         **_hourly_family_sql_fns(),
     }
 
@@ -581,7 +585,10 @@ def _event_parts_fns():
     from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
     from fiveg_spark.operators.sketches import _bloom_parts
     from fiveg_spark.operators.behavior import _entropy_rate_parts
-    from fiveg_spark.operators.timeseries import _retention_halflife_parts
+    from fiveg_spark.operators.timeseries import (
+        _retention_halflife_parts,
+        _trending_parts,
+    )
     from fiveg_spark.operators.ts_advanced import _anomaly_consensus_parts, _ccf_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _cvm_parts,
@@ -625,6 +632,10 @@ def _event_parts_fns():
         # p·ln(p) sums over integer ratios; single-transition and
         # single-type streams hit the deterministic h=0 rows
         "sequence_entropy_rate": _entropy_rate_parts,
+        # lift ratio with the 1-event/week baseline floor; single-day
+        # streams put everything in the current window (baseline 0 ->
+        # floored lift), rounded-threshold trending flag
+        "trending_types": _trending_parts,
     }
 
 

@@ -778,3 +778,98 @@ def test_degree_assortativity_star_negative_cycle_degenerate(spark):
     assert cyc["n_edges"] == 3
     for k in ("r_out_in", "r_out_out", "r_in_in", "r_in_out"):
         assert cyc[k] == 0.0
+
+
+def test_trending_types_lift_ranks_and_new_type_floor(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.timeseries import _trending_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    t0 = dt.datetime(2024, 3, 4)
+    rows, eid = [], 0
+
+    def add(day, typ, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, minutes=i), typ, 0, 1.0, "{}")
+            )
+            eid += 1
+
+    # 7 baseline days (0..6) + anchor day 7
+    for day in range(7):
+        add(day, "view", 10)      # steady: lift 1.0
+        add(day, "purchase", 2)   # surges 10x on the anchor
+    add(7, "view", 10)
+    add(7, "purchase", 20)
+    add(7, "launch", 3)           # brand-new type: floored baseline
+    _events_from(spark, rows)
+    got = {r["event_type"]: r.asDict()
+           for r in run_parts(spark, _trending_parts).collect()}
+
+    v = got["view"]
+    assert v["n_current"] == 10 and v["n_baseline"] == 70
+    assert v["lift"] == 1.0 and v["trending"] is False
+    p = got["purchase"]
+    assert p["n_current"] == 20 and p["n_baseline"] == 14
+    assert p["lift"] == 10.0 and p["trending"] is True
+    assert p["rank_gain"] == 1  # was #2 on baseline, #1 now
+    n = got["launch"]
+    assert n["n_baseline"] == 0
+    assert n["lift"] == 21.0  # 3 / (1/7): the 1-event/week floor
+    assert n["trending"] is True
+
+
+def test_calendar_outliers_flag_spiked_monday_only(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _calendar_outlier_sql
+
+    # 5 full weeks from a Monday, 10 events/day, except Monday #3
+    # (day 14) at 40.  Its LOO Monday mean is exactly 10 -> ratio 4.0
+    # -> outlier; a normal Monday's LOO mean is (80-10)/4 = 17.5 ->
+    # ratio 0.5714 -> NOT outlier (just above the 0.5 edge).
+    t0 = dt.datetime(2024, 3, 4, 12)
+    rows, eid = [], 0
+    for day in range(35):
+        n = 40 if day == 14 else 10
+        for i in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, minutes=i), "view", 0, 1.0, "{}")
+            )
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["day"].isoformat(): r.asDict()
+           for r in spark.sql(_calendar_outlier_sql("spark")).collect()}
+    assert len(got) == 35
+    spike = got["2024-03-18"]
+    assert spike["dow"] == 0 and spike["n_events"] == 40
+    assert spike["loo_dow_mean"] == 10.0 and spike["volume_ratio"] == 4.0
+    assert spike["is_outlier"] is True
+    normal = got["2024-03-04"]
+    assert normal["loo_dow_mean"] == 17.5
+    assert abs(normal["volume_ratio"] - 0.5714) < 1e-9
+    assert normal["is_outlier"] is False
+    assert sum(1 for r in got.values() if r["is_outlier"]) == 1
+
+
+def test_calendar_outliers_under_two_samples_never_flag(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _calendar_outlier_sql
+
+    t0 = dt.datetime(2024, 3, 4, 12)
+    rows = [
+        (d * 10 + i, t0 + dt.timedelta(days=d, minutes=i), "view", 0, 1.0, "{}")
+        for d in range(3)
+        for i in range(5 if d < 2 else 50)
+    ]
+    _events_from(spark, rows)
+    got = [r.asDict() for r in spark.sql(_calendar_outlier_sql("spark")).collect()]
+    assert len(got) == 3
+    for r in got:
+        assert r["n_same_dow"] == 1
+        # dbl() ships the no-information NULL as 0.0 (shared convention)
+        assert r["loo_dow_mean"] == 0.0 and r["volume_ratio"] == 0.0
+        assert r["is_outlier"] is False
