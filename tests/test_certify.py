@@ -126,3 +126,61 @@ def test_ridge_cert_invariants_and_augmented_lstsq_parity(spark):
     Ya = np.vstack([Y, np.zeros((X.shape[1], Y.shape[1]))])
     b_aug, *_ = np.linalg.lstsq(Xa, Ya, rcond=None)
     assert np.abs(b_gram - b_aug).max() < 1e-6
+
+
+def test_var_order_cert_theorems_and_residual_parity(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.ml.certify import (
+        ORDER_CANDIDATES,
+        P_LAGS,
+        _order_criteria,
+        select_var_order,
+        var_order_cert,
+    )
+    from fiveg_spark.ml.features import FEATURES, feature_frame, robust_scale
+    from fiveg_spark.ml.var import lag_design
+
+    rows = _rows(var_order_cert(spark, SF_DIR))
+    assert len(rows) == 3 * len(ORDER_CANDIDATES)
+    k = len(FEATURES)
+    for r in rows:
+        assert r["sse_decreases_ok"] and r["logdet_decreases_ok"], r
+        assert r["order_relation_ok"], r
+        assert r["n_params"] == k * (k * r["p"] + 1)
+
+    # the selection surface agrees with an argmin over criteria
+    # recomputed by the shared helper, and respects the BIC <= AIC
+    # penalty-ordering theorem at these sample sizes
+    crits = _order_criteria(spark, SF_DIR)
+    sel = select_var_order(spark, SF_DIR)
+    assert set(sel) == set(crits)
+    for s, picks in sel.items():
+        _n, c = crits[s]
+        assert picks["aic"] == min(ORDER_CANDIDATES, key=lambda p: (c[p][0], p))
+        assert picks["bic"] == min(ORDER_CANDIDATES, key=lambda p: (c[p][1], p))
+        assert picks["bic"] <= picks["aic"]
+
+    # independent algorithm: EXPLICIT residuals via lstsq on the
+    # truncated design columns — ln|R'R/n| must match the Gram-identity
+    # logdet (E = Y'Y - (X'Y)'B) the cert computes, per candidate order
+    scaled, _ = robust_scale(feature_frame(spark, SF_DIR))
+    design = lag_design(scaled, p=P_LAGS).filter(F.col("split") == "train")
+    s0 = sorted(crits)[0]
+    one = design.filter(F.col("slice") == s0)
+    X = np.array([r["x"] for r in one.select("x").collect()], dtype=float)
+    Y = np.array([r["y"] for r in one.select("y").collect()], dtype=float)
+    n = len(X)
+    assert n == crits[s0][0]
+    for p in ORDER_CANDIDATES:
+        m_terms = k * p + 1
+        B, *_ = np.linalg.lstsq(X[:, :m_terms], Y, rcond=None)
+        R = Y - X[:, :m_terms] @ B
+        E = R.T @ R
+        sign, logdet = np.linalg.slogdet(E / n + 1e-12 * np.eye(k))
+        assert sign > 0
+        _aic, _bic, _sse, cert_logdet, m_params = crits[s0][1][p]
+        assert abs(cert_logdet - logdet) < 1e-6, (p, cert_logdet, logdet)
+        aic_ref = logdet + 2.0 * m_params / n
+        assert abs(crits[s0][1][p][0] - aic_ref) < 1e-6
