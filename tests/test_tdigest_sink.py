@@ -145,3 +145,36 @@ def test_tdigest_sink_streaming_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert read_daily_quantiles(spark, path).collect()[0]["n_events"] == 900
+
+
+def test_period_drift_from_digests_flags_shift_not_stationary(spark, tmp_path):
+    from fiveg_spark.streaming.tdigest_sink import period_drift
+
+    path = str(tmp_path / "digests")
+    sink = foreach_batch_tdigest(path)
+    # period A = Jan 1-2, period B = Jan 3-4.  "lat" shifts up by 500
+    # between periods (KS ~0.5); "cpu" is identically distributed.
+    bid = 0
+    for day in (1, 2, 3, 4):
+        lat = [float(i + (500 if day >= 3 else 0)) for i in range(1000)]
+        cpu = [float(i % 100) for i in range(1000)]
+        sink(_batch(spark, day, "lat", lat, eid0=day * 10000), bid)
+        bid += 1
+        sink(_batch(spark, day, "cpu", cpu, eid0=day * 10000 + 5000), bid)
+        bid += 1
+
+    got = {
+        r["event_type"]: r.asDict()
+        for r in period_drift(
+            spark, path, ("2024-01-01", "2024-01-02"), ("2024-01-03", "2024-01-04")
+        ).collect()
+    }
+    lat = got["lat"]
+    assert lat["n_a"] == 2000 and lat["n_b"] == 2000
+    assert abs(lat["ks_distance"] - 0.5) < 0.05
+    assert abs(lat["p50_shift"] - 500.0) < 25.0
+    assert lat["drifted"] is True
+    cpu = got["cpu"]
+    assert cpu["ks_distance"] < 0.05
+    assert abs(cpu["p50_shift"]) < 5.0
+    assert cpu["drifted"] is False
