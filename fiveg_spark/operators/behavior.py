@@ -9,7 +9,7 @@ join on raw rows.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import cnt, dbl, epoch, materialized_backed, sql_backed
+from fiveg_spark.plans.registry import cnt, dbl, epoch, materialized_backed, pct, sql_backed
 
 
 def _scd2_runs_sql(d: str) -> str:
@@ -397,24 +397,13 @@ def _attribution_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_attr_ordered", ordered)], tail
 
 
-def _session_paths_sql(d: str) -> str:
-    # C84 — top within-session event-type trigram paths (the journey-
-    # mining rung above C54's memoryless pairs: "view>view>purchase"
-    # vs "view>purchase>view" are different funnels even though their
-    # transition matrices match).  Sessionize per user on a 30-min gap
-    # (the C6 cumsum construction on user_id instead of flow_id), then
-    # two leads INSIDE the session emit each trigram, one hash-agg
-    # counts them, and the top 15 paths ship with their share of all
-    # trigrams.
-    #
-    # Scale: one events scan; the gap flag, cumsum, and both leads all
-    # ride ONE user_id-partitioned sort (Catalyst collapses the window
-    # chain — same key, same order), the trigram agg is the only other
-    # shuffle, and the output is ≤|types|³ rows.  Deterministic: ties
-    # inside a session break on event_id; the top-15 cut orders by
-    # (n DESC, path).
-    return f"""
-    WITH flagged AS (
+def _session_ctes(d: str) -> str:
+    # Shared per-user 30-min-gap sessionization (the C6 cumsum
+    # construction on user_id) — C84's trigram mining and C88's
+    # inter-session statistics read the SAME construction, so a
+    # sessionization change moves both certified rows together.
+    # The gap flag and the cumsum ride one user_id-partitioned sort.
+    return f"""flagged AS (
       SELECT
         user_id,
         ts,
@@ -432,7 +421,26 @@ def _session_paths_sql(d: str) -> str:
         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
       FROM flagged
-    ),
+    )"""
+
+
+def _session_paths_sql(d: str) -> str:
+    # C84 — top within-session event-type trigram paths (the journey-
+    # mining rung above C54's memoryless pairs: "view>view>purchase"
+    # vs "view>purchase>view" are different funnels even though their
+    # transition matrices match).  Sessionize per user on a 30-min gap
+    # (shared _session_ctes), then two leads INSIDE the session emit
+    # each trigram, one hash-agg counts them, and the top 15 paths
+    # ship with their share of all trigrams.
+    #
+    # Scale: one events scan; the gap flag, cumsum, and both leads all
+    # ride ONE user_id-partitioned sort (Catalyst collapses the window
+    # chain — same key, same order), the trigram agg is the only other
+    # shuffle, and the output is ≤|types|³ rows.  Deterministic: ties
+    # inside a session break on event_id; the top-15 cut orders by
+    # (n DESC, path).
+    return f"""
+    WITH {_session_ctes(d)},
     steps AS (
       SELECT
         event_type AS e1,
@@ -467,6 +475,68 @@ def _session_paths_sql(d: str) -> str:
     """
 
 
+
+def _session_stats_sql(d: str) -> str:
+    # C88 — per-user inter-session statistics (the engagement-rhythm
+    # rollup next to C84's journey mining: how often users return and
+    # how long they stay — the retention mechanism C23/C81 only see
+    # the weekly shadow of).  Shares _session_ctes VERBATIM, so a
+    # sessionization change moves both certified rows together.
+    # Per session: event count + exact integer-epoch start/end; per
+    # user: session count, mean events/session, mean duration, mean
+    # gap between consecutive sessions (NULL for single-session users
+    # — both engines' avg skips them); globally: the user-distribution
+    # ladder (means + medians) and the single-session share (the
+    # bounce-rate analogue; indicator CAST to DOUBLE — the C82
+    # DECIMAL-literal landmine).
+    #
+    # Scale: one events scan; sessionize + per-session agg + the gap
+    # lag all key on user_id (one shuffle family), per_user is
+    # ≤|users| rows and the final global agg is one row.
+    e = epoch("ts", d)
+    return f"""
+    WITH {_session_ctes(d)},
+    per_session AS (
+      SELECT
+        user_id,
+        session_idx,
+        count(*) AS n_events,
+        min({e}) AS s_start,
+        max({e}) AS s_end
+      FROM sess
+      GROUP BY user_id, session_idx
+    ),
+    gapped AS (
+      SELECT *,
+        lag(s_end) OVER (PARTITION BY user_id
+                         ORDER BY s_start, session_idx) AS prev_end
+      FROM per_session
+    ),
+    per_user AS (
+      SELECT
+        user_id,
+        count(*) AS n_sessions,
+        avg(CAST(n_events AS DOUBLE)) AS avg_events,
+        avg(s_end - s_start) AS avg_duration_s,
+        avg(s_start - prev_end) AS avg_gap_s
+      FROM gapped
+      GROUP BY user_id
+    )
+    SELECT
+      {cnt("count(*)", "n_users")},
+      {cnt("sum(n_sessions)", "n_sessions")},
+      {dbl("avg(CAST(n_sessions AS DOUBLE))", "avg_sessions_per_user")},
+      {dbl(pct("CAST(n_sessions AS DOUBLE)", 0.5, d), "p50_sessions_per_user")},
+      {dbl("avg(avg_events)", "mean_events_per_session")},
+      {dbl("avg(avg_duration_s)", "mean_session_duration_s")},
+      {dbl(pct("avg_duration_s", 0.5, d), "p50_user_duration_s")},
+      {dbl("avg(avg_gap_s)", "mean_intersession_gap_s")},
+      {dbl("avg(CASE WHEN n_sessions = 1 THEN CAST(1.0 AS DOUBLE) "
+           "ELSE CAST(0.0 AS DOUBLE) END)", "share_single_session")}
+    FROM per_user
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
@@ -482,4 +552,8 @@ QUERIES = [
     # new r7 third wave, non-deferred (claims one of the window's 5
     # free slots — 45 never-certified + these keep the 50 exact)
     sql_backed("session_paths", _session_paths_sql, ("events",)),
+    # new r7 third wave, registered AFTER the window filled:
+    # deferred sorts it behind the 50 never-certified names
+    # (certifies in round 8)
+    sql_backed("session_stats", _session_stats_sql, ("events",), deferred=True),
 ]

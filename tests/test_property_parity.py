@@ -295,7 +295,11 @@ def _event_sql_fns():
     )
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
-    from fiveg_spark.operators.behavior import _session_paths_sql, _transition_matrix_sql
+    from fiveg_spark.operators.behavior import (
+        _session_paths_sql,
+        _session_stats_sql,
+        _transition_matrix_sql,
+    )
     from fiveg_spark.operators.rollup_stats import _concurrency_sql
     from fiveg_spark.operators.timeseries import (
         _cohort_retention_sql,
@@ -412,6 +416,11 @@ def _event_sql_fns():
         # on event_id; under-3-event sessions emit nothing (lead NULL
         # guard) -> empty frames on most tiny streams
         "session_paths": _session_paths_sql,
+        # per-user duration/gap averages + medians: single-session
+        # users contribute NULL gaps (avg-skip parity), all-single
+        # corpora hit the global NULL -> 0.0 convention, DECIMAL
+        # indicator landmine on the single-session share
+        "session_stats": _session_stats_sql,
         # LOO weekday-mean ratio: single-sample weekdays hit the
         # dow_n >= 2 null guard, rounded ratio at the 0.5/2.0 edges
         "calendar_outlier_days": _calendar_outlier_sql,

@@ -873,3 +873,34 @@ def test_calendar_outliers_under_two_samples_never_flag(spark):
         # dbl() ships the no-information NULL as 0.0 (shared convention)
         assert r["loo_dow_mean"] == 0.0 and r["volume_ratio"] == 0.0
         assert r["is_outlier"] is False
+
+
+def test_session_stats_pins_planted_rhythm(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.behavior import _session_stats_sql
+
+    t0 = dt.datetime(2024, 3, 1, 9)
+    rows = [
+        # user 0: session 1 = 3 events over 10 min, then a 3h break,
+        # session 2 = 2 events over 5 min
+        (0, t0, "view", 0, 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=5), "view", 0, 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=10), "view", 0, 1.0, "{}"),
+        (3, t0 + dt.timedelta(hours=3), "view", 0, 1.0, "{}"),
+        (4, t0 + dt.timedelta(hours=3, minutes=5), "view", 0, 1.0, "{}"),
+        # user 1: a single one-event session (NULL gap, zero duration)
+        (5, t0, "view", 1, 1.0, "{}"),
+    ]
+    _events_from(spark, rows)
+    (r,) = spark.sql(_session_stats_sql("spark")).collect()
+    assert r["n_users"] == 2 and r["n_sessions"] == 3
+    assert r["avg_sessions_per_user"] == 1.5
+    assert r["p50_sessions_per_user"] == 1.5  # midpoint of {1, 2}
+    # user 0 sessions: 600 s and 300 s -> mean 450; user 1: 0
+    assert r["mean_session_duration_s"] == 225.0
+    # only user 0 has a gap: session2 start (3h) - session1 end (10m)
+    assert r["mean_intersession_gap_s"] == (3 * 3600 - 600.0)
+    assert r["share_single_session"] == 0.5
+    # events per session: user 0 mean (3+2)/2 = 2.5, user 1 = 1
+    assert r["mean_events_per_session"] == 1.75
