@@ -1206,6 +1206,112 @@ def _welch_sql(d: str) -> str:
     """
 
 
+
+SEASONAL_ROUTE_MIN = 0.6  # F_s above this: the period-24 state pays
+
+
+def _model_router_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D50 — evidence-gated forecast-model router per slice: the
+    # composite decision the diagnostics exist FOR.  D45's Ljung-Box
+    # whiteness and D42's seasonal strength re-derive here over ONE
+    # shared hourly frame and gate the standard ladder:
+    #
+    #   not autocorrelated        -> 'mean'        (white noise: any
+    #                                dynamic model fits nothing)
+    #   autocorrelated + seasonal -> 'holt_winters' (D22: the period-24
+    #                                state earns its keep, F_s >= 0.6)
+    #   autocorrelated, aseasonal -> 'var'          (D6/D49: dynamics
+    #                                without a calendar)
+    #
+    # This is the router a production NWDAF forecaster runs nightly
+    # per slice before refitting — evidence columns ship alongside the
+    # verdict so the call is auditable, and every verdict compares
+    # ROUNDED statistics against fixed critical points (identical
+    # 4-dp doubles both engines; the D45/D42 parity discipline).
+    #
+    # materialized_backed: the hourly frame feeds BOTH statistic
+    # families (lag chain + hour-of-day profile) — inlined, Spark
+    # would run the events scan + rollup twice.  Everything downstream
+    # of the one materialized rollup is per-slice windows on a tiny
+    # series frame.  Degenerate guards: n <= LB_LAGS+1 or zero
+    # centered SS -> white -> 'mean'; zero total variance -> F_s = 0.
+    hourly_sql = f"""
+    {_hourly_cte(d)}
+    SELECT slice, h, throughput_bps AS v FROM hourly
+    """
+    lags = ", ".join(
+        f"lag(v, {k}) OVER (PARTITION BY slice ORDER BY h) AS v{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    rho_terms = ", ".join(
+        f"sum(CASE WHEN v{k} IS NOT NULL THEN (v - vbar) * (v{k} - vbar) "
+        f"ELSE 0.0 END) AS c{k}"
+        for k in range(1, LB_LAGS + 1)
+    )
+    q_sum = " + ".join(
+        f"(c{k} / ss) * (c{k} / ss) / (n - {k})" for k in range(1, LB_LAGS + 1)
+    )
+    q_round = (
+        f"CASE WHEN n <= {LB_LAGS + 1} OR ss <= 0 THEN 0.0 "
+        f"ELSE round(n * (n + 2.0) * ({q_sum}) + {NUDGE}, 4) END"
+    )
+    fs_round = (
+        "CASE WHEN var_total > 0 THEN greatest(0.0, "
+        f"round(1.0 - var_resid / var_total + {NUDGE}, 4)) ELSE 0.0 END"
+    )
+    tail = f"""
+    WITH base AS (
+      SELECT
+        slice,
+        h,
+        v,
+        avg(v) OVER (PARTITION BY slice) AS vbar,
+        count(*) OVER (PARTITION BY slice) AS n,
+        round(avg(v) OVER (PARTITION BY slice, hour(h)) + {NUDGE}, 4)
+          + 0.0 AS seas,
+        {lags}
+      FROM _mz_router_hourly
+    ),
+    withr AS (
+      SELECT *, round(v - seas, 4) AS r FROM base
+    ),
+    sums AS (
+      SELECT
+        slice,
+        max(n) AS n,
+        sum((v - vbar) * (v - vbar)) AS ss,
+        avg(v * v) - avg(v) * avg(v) AS var_total,
+        avg(r * r) - avg(r) * avg(r) AS var_resid,
+        {rho_terms}
+      FROM withr
+      GROUP BY slice
+    ),
+    scored AS (
+      SELECT
+        slice,
+        n,
+        {q_round} AS q_round,
+        {fs_round} AS fs_round
+      FROM sums
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {dbl("q_round", "lb_q")},
+      CAST(q_round > {LB_CRIT_05} AS BOOLEAN) AS autocorrelated,
+      {dbl("fs_round", "seasonal_strength")},
+      CAST(fs_round >= {SEASONAL_ROUTE_MIN} AS BOOLEAN) AS is_seasonal,
+      CASE
+        WHEN q_round <= {LB_CRIT_05} THEN 'mean'
+        WHEN fs_round >= {SEASONAL_ROUTE_MIN} THEN 'holt_winters'
+        ELSE 'var'
+      END AS recommended_model
+    FROM scored
+    ORDER BY slice
+    """
+    return [("_mz_router_hourly", hourly_sql)], tail
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("ljung_box", _ljung_box_sql, ("events",)),
@@ -1238,5 +1344,8 @@ QUERIES = [
     sql_backed(
         "calendar_outlier_days", _calendar_outlier_sql, ("events",),
         deferred=True,
+    ),
+    materialized_backed(
+        "model_router", _model_router_parts, ("events",), deferred=True,
     ),
 ]

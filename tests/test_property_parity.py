@@ -603,6 +603,7 @@ def _event_parts_fns():
         _cvm_parts,
         _iat_exponential_fit_parts,
         _ks_parts,
+        _model_router_parts,
         _mw_parts,
         _psi_parts,
     )
@@ -645,6 +646,10 @@ def _event_parts_fns():
         # streams put everything in the current window (baseline 0 ->
         # floored lift), rounded-threshold trending flag
         "trending_types": _trending_parts,
+        # rounded Q / F_s thresholds; tiny streams hit the n <= m+1
+        # and zero-SS white guards (-> 'mean') and the zero-variance
+        # F_s = 0 branch
+        "model_router": _model_router_parts,
     }
 
 

@@ -904,3 +904,40 @@ def test_session_stats_pins_planted_rhythm(spark):
     assert r["share_single_session"] == 0.5
     # events per session: user 0 mean (3+2)/2 = 2.5, user 1 = 1
     assert r["mean_events_per_session"] == 1.75
+
+
+def test_model_router_routes_all_three_ladder_rungs(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators.ts_diagnostics import _model_router_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # eMBB (user 0): strong 24h sinusoid -> autocorrelated + seasonal
+    # -> holt_winters.  URLLC (user 1): smooth aperiodic ramp ->
+    # autocorrelated, aseasonal -> var.  mMTC (user 2): deterministic
+    # shader-hash white noise -> mean.
+    t0 = dt.datetime(2024, 3, 4)
+    rows, eid = [], 0
+    for h in range(240):
+        season = 1000.0 + 500.0 * math.sin(2 * math.pi * h / 24.0)
+        ramp = 100.0 + 10.0 * h
+        noise = 1000.0 + 500.0 * (math.sin(h * 12.9898) * 43758.5453 % 1.0)
+        for uid, v in ((0, season), (1, ramp), (2, noise)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, v, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in run_parts(spark, _model_router_parts).collect()}
+
+    assert got["eMBB"]["autocorrelated"] is True
+    assert got["eMBB"]["is_seasonal"] is True
+    assert got["eMBB"]["seasonal_strength"] > 0.9
+    assert got["eMBB"]["recommended_model"] == "holt_winters"
+
+    assert got["URLLC"]["autocorrelated"] is True
+    assert got["URLLC"]["is_seasonal"] is False
+    assert got["URLLC"]["recommended_model"] == "var"
+
+    assert got["mMTC"]["autocorrelated"] is False
+    assert got["mMTC"]["recommended_model"] == "mean"
