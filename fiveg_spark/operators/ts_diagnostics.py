@@ -1207,6 +1207,89 @@ def _welch_sql(d: str) -> str:
 
 
 
+
+def _diebold_mariano_sql(d: str) -> str:
+    # D51 -- Diebold-Mariano equal-predictive-accuracy test per slice
+    # (Diebold & Mariano 1995): naive (y_{t-1}) vs seasonal-naive
+    # (y_{t-24}) one-step forecasts under squared loss.  D13's
+    # seasonal-naive RMSE floor says how good that baseline is; DM
+    # says whether it is SIGNIFICANTLY better than the even cheaper
+    # naive -- the difference decides if the period-24 state is worth
+    # carrying at all (the D50 router's seasonal gate, tested formally
+    # on out-of-sample-style losses instead of in-sample variance).
+    # d_t = e_naive^2 - e_seasonal^2; at horizon 1 the DM statistic is
+    # mean(d) / sqrt(var(d)/n) ~ N(0,1); positive = seasonal-naive
+    # better.  Verdict on the ROUNDED |DM| vs 1.96.
+    #
+    # Parity: hourly measures are pre-rounded, losses are exact
+    # squares of identical doubles, var from sum/sum-of-squares over
+    # them; zero-variance d (identical forecasters) takes the DM = 0
+    # guard, as do under-2-observation slices.
+    #
+    # Scale: one scan -> hourly rollup; both lag forecasts ride the
+    # SAME slice-partitioned sort, then one per-slice agg.
+    return f"""
+    {_hourly_cte(d)},
+    fc AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        lag(throughput_bps, 1) OVER (PARTITION BY slice ORDER BY h) AS f_naive,
+        lag(throughput_bps, 24) OVER (PARTITION BY slice ORDER BY h) AS f_seas
+      FROM hourly
+    ),
+    losses AS (
+      SELECT
+        slice,
+        (v - f_naive) * (v - f_naive)
+          - (v - f_seas) * (v - f_seas) AS d_t
+      FROM fc
+      WHERE f_naive IS NOT NULL AND f_seas IS NOT NULL
+    ),
+    sums AS (
+      SELECT
+        slice,
+        count(*) AS n,
+        avg(d_t) AS dbar,
+        avg(d_t * d_t) - avg(d_t) * avg(d_t) AS var_d
+      FROM losses
+      GROUP BY slice
+    ),
+    scored AS (
+      SELECT
+        slice,
+        n,
+        dbar,
+        var_d,
+        CASE
+          WHEN n >= 2 AND var_d > 0
+            THEN round(dbar / sqrt(var_d / n) + {NUDGE}, 4)
+          WHEN n >= 2 AND round(dbar + {NUDGE}, 4) <> 0.0
+            -- zero-variance, nonzero differential: one forecaster is
+            -- better at EVERY step by the same margin — conclusive,
+            -- not a tie; signed sentinel stands in for the divergent
+            -- statistic
+            THEN CASE WHEN dbar > 0 THEN 1000000.0 ELSE -1000000.0 END
+          ELSE 0.0
+        END AS dm_round
+      FROM sums
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_obs")},
+      {dbl("dbar", "mean_loss_diff")},
+      {dbl("dm_round", "dm_stat")},
+      CAST(abs(dm_round) > 1.96 AS BOOLEAN) AS significant,
+      CASE
+        WHEN abs(dm_round) <= 1.96 THEN 'tie'
+        WHEN dm_round > 0 THEN 'seasonal_naive'
+        ELSE 'naive'
+      END AS better_model
+    FROM scored
+    ORDER BY slice
+    """
+
+
 SEASONAL_ROUTE_MIN = 0.6  # F_s above this: the period-24 state pays
 
 
@@ -1347,5 +1430,8 @@ QUERIES = [
     ),
     materialized_backed(
         "model_router", _model_router_parts, ("events",), deferred=True,
+    ),
+    sql_backed(
+        "diebold_mariano", _diebold_mariano_sql, ("events",), deferred=True,
     ),
 ]

@@ -284,6 +284,7 @@ def _event_sql_fns():
         _acf_sql,
         _calendar_outlier_sql,
         _conformal_sweep_sql,
+        _diebold_mariano_sql,
         _iat_burstiness_sql,
         _ljung_box_sql,
         _page_hinkley_sql,
@@ -424,6 +425,10 @@ def _event_sql_fns():
         # LOO weekday-mean ratio: single-sample weekdays hit the
         # dow_n >= 2 null guard, rounded ratio at the 0.5/2.0 edges
         "calendar_outlier_days": _calendar_outlier_sql,
+        # loss-differential ratios: under-25-hour series drop every
+        # row (both lags null), constant differentials hit the
+        # zero-variance sentinel branch, near-zero dbar the tie guard
+        "diebold_mariano": _diebold_mariano_sql,
         **_hourly_family_sql_fns(),
     }
 

@@ -941,3 +941,36 @@ def test_model_router_routes_all_three_ladder_rungs(spark):
 
     assert got["mMTC"]["autocorrelated"] is False
     assert got["mMTC"]["recommended_model"] == "mean"
+
+
+def test_diebold_mariano_prefers_the_right_forecaster(spark):
+    import datetime as dt
+    import math
+
+    from fiveg_spark.operators.ts_diagnostics import _diebold_mariano_sql
+
+    # eMBB (user 0): strong 24h sinusoid + small jitter -> the
+    # seasonal-naive (lag 24) forecast is near-perfect while naive
+    # (lag 1) pays the slope each step -> DM strongly positive.
+    # URLLC (user 1): slow smooth ramp -> lag-1 error (10 per step) is
+    # far below lag-24 error (240) -> DM strongly negative.
+    t0 = dt.datetime(2024, 3, 4)
+    rows, eid = [], 0
+    for h in range(240):
+        season = 1000.0 + 500.0 * math.sin(2 * math.pi * h / 24.0) + (h % 3)
+        ramp = 100.0 + 10.0 * h
+        for uid, v in ((0, season), (1, ramp)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, v, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in spark.sql(_diebold_mariano_sql("spark")).collect()}
+
+    e = got["eMBB"]
+    assert e["n_obs"] == 240 - 24
+    assert e["significant"] is True and e["better_model"] == "seasonal_naive"
+    assert e["dm_stat"] > 1.96 and e["mean_loss_diff"] > 0
+
+    u = got["URLLC"]
+    assert u["significant"] is True and u["better_model"] == "naive"
+    assert u["dm_stat"] < -1.96 and u["mean_loss_diff"] < 0
