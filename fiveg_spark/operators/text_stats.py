@@ -595,6 +595,69 @@ def _token_fertility_sql(d: str) -> str:
     """
 
 
+
+VOCAB_K = 256  # frozen vocabulary size for the OOV screen
+
+
+def _oov_rate_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E77 -- per-source out-of-vocabulary rate against a frozen top-K
+    # corpus vocabulary (the tokenizer-health screen every pretraining
+    # mix runs: a source whose tokens fall outside the vocabulary that
+    # serves everyone else is gibberish, another language, or a domain
+    # the tokenizer will shred into bytes -- the fertility cost E76
+    # prices shows up HERE first).  Vocabulary = the VOCAB_K most
+    # frequent corpus tokens (ties on term for determinism); per
+    # source: token-level OOV rate (occurrence mass outside vocab) and
+    # type-level OOV rate (distinct-term coverage), which separate
+    # "rare words used often" from "long tail of junk types".
+    #
+    # materialized_backed: the exploded token frame feeds the global
+    # term counts AND the per-source join -- inlined, Spark would run
+    # the corpus explode twice; materialized it scans ONCE, and the
+    # K-row vocabulary broadcasts at any corpus size.
+    explode = (
+        f"SELECT source, explode({_tok(d)}) AS term FROM documents"
+        if d == "spark"
+        else f"SELECT source, unnest({_tok(d)}) AS term FROM documents"
+    )
+    tail = f"""
+    WITH counts AS (
+      SELECT term, count(*) AS c FROM _mz_oov_toks GROUP BY term
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, row_number() OVER (ORDER BY c DESC, term) AS rk
+        FROM counts
+      ) ranked
+      WHERE rk <= {VOCAB_K}
+    ),
+    per_source AS (
+      SELECT
+        t.source,
+        count(*) AS n_tokens,
+        sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+        count(DISTINCT t.term) AS n_types,
+        count(DISTINCT CASE WHEN v.term IS NULL THEN t.term END)
+          AS n_oov_types
+      FROM _mz_oov_toks t
+      LEFT JOIN vocab v ON v.term = t.term
+      GROUP BY t.source
+    )
+    SELECT
+      source,
+      {cnt("n_tokens", "n_tokens")},
+      {cnt("n_oov", "n_oov")},
+      {dbl("n_oov / CAST(greatest(n_tokens, 1) AS DOUBLE)", "oov_token_rate")},
+      {cnt("n_types", "n_types")},
+      {cnt("n_oov_types", "n_oov_types")},
+      {dbl("n_oov_types / CAST(greatest(n_types, 1) AS DOUBLE)",
+           "oov_type_rate")}
+    FROM per_source
+    ORDER BY source
+    """
+    return [("_mz_oov_toks", explode)], tail
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     sql_backed("ngram_novelty", _ngram_novelty_sql, ("documents",)),
@@ -609,4 +672,8 @@ QUERIES = [
         "stopword_divergence", _stopword_divergence_parts, ("documents",),
     ),
     sql_backed("token_fertility", _token_fertility_sql, ("documents",)),
+    # new r7 third wave, registered AFTER the window filled:
+    # deferred sorts it behind the 50 never-certified names
+    # (certifies in round 8)
+    materialized_backed("oov_rate", _oov_rate_parts, ("documents",), deferred=True),
 ]

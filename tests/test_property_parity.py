@@ -522,7 +522,10 @@ def _doc_parts_fns():
     from fiveg_spark.operators.curation import _quality_dup_calibration_parts
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
     from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
-    from fiveg_spark.operators.text_stats import _stopword_divergence_parts
+    from fiveg_spark.operators.text_stats import (
+        _oov_rate_parts,
+        _stopword_divergence_parts,
+    )
 
     return {
         # short docs (< SPAN_K tokens), whole-corpus duplicates, and
@@ -540,6 +543,10 @@ def _doc_parts_fns():
         # corpora leave most profile words at the 1e-4 floor on both
         # sides (contrib ~0), sources with zero profile tokens vanish
         "stopword_divergence": _stopword_divergence_parts,
+        # OOV ratios with greatest() floors; tiny corpora keep every
+        # type in-vocab (rates pinned 0.0), empty-token docs vanish
+        # from the exploded frame
+        "oov_rate": _oov_rate_parts,
         # log-ratio model math + missing-target-source degenerate case
         "dsir_importance": _dsir_parts,
         # under-k sketches (theta = 1.0 exact fallback), shingle-free

@@ -305,3 +305,36 @@ def test_token_fertility_pins_repeated_shingle_compression(spark):
     assert tiny["total_tokens"] == 2
     assert tiny["shingle_compression"] == 1.0
     assert tiny["chars_per_token"] == 1.5
+
+
+def test_oov_rate_separates_junk_source_from_common_speech(spark):
+    from fiveg_spark.operators.text_stats import VOCAB_K, _oov_rate_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # "common": 30 docs drawn from a tiny shared vocabulary -> its 8
+    # types win the frequency race into the vocab, OOV rate 0.
+    # "junk": 320 singleton gibberish types; only 256-8 = 248 fit the
+    # top-K vocabulary (singleton ties break alphabetically), so
+    # exactly 320-248 types — and the same number of tokens — are OOV.
+    common_text = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, common_text, "en", "common", len(common_text))
+            for i in range(30)]
+    junk_docs, toks_per = 40, 8
+    for j in range(junk_docs):
+        text = " ".join(f"zzq{j:03d}x{t}" for t in range(toks_per))
+        rows.append((100 + j, text, "en", "junk", len(text)))
+    _docs_view(spark, rows)
+    got = {r["source"]: r.asDict()
+           for r in run_parts(spark, _oov_rate_parts).collect()}
+
+    common = got["common"]
+    assert common["oov_token_rate"] == 0.0 and common["n_oov"] == 0
+    assert common["n_types"] == 8  # 'the' repeats
+
+    junk = got["junk"]
+    n_junk_types = junk_docs * toks_per
+    assert n_junk_types > VOCAB_K  # the test must overflow the vocab
+    expected_oov = n_junk_types - (VOCAB_K - 8)
+    assert junk["n_tokens"] == junk["n_types"] == n_junk_types
+    assert junk["n_oov"] == junk["n_oov_types"] == expected_oov
+    assert junk["oov_token_rate"] == round(expected_oov / n_junk_types, 4)
