@@ -591,6 +591,84 @@ def _index_freshness_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     )
 
 
+
+def _anisotropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E78 — embedding anisotropy: the EXACT mean pairwise cosine per
+    # label and corpus-wide (Ethayarajh 2019 — anisotropic spaces
+    # squeeze every vector into a cone, so cosine similarity loses
+    # contrast; the representation-quality number to check BEFORE
+    # trusting any cosine-based dedup/ANN threshold above).  The whole
+    # point is the identity: over unit vectors,
+    #   Σ_{i≠j} cos(v_i, v_j) = ‖Σ v̂_i‖² − n,
+    # so the ALL-PAIRS statistic needs NO pair join — one normalize,
+    # one per-(label, dim) sum, and a d-length reduction.  At 100 TB
+    # that is two hash-aggs where the naive formulation is an n²
+    # cartesian nobody can run.
+    #
+    # materialized_backed: the exploded (vec, dim, value) frame feeds
+    # the norm agg and the normalized re-read — inlined, Spark would
+    # scan embeddings twice.  Zero-norm vectors drop (no unit vector
+    # exists), under-2-vector labels report the 0.0 no-information
+    # convention.  Output: per-label rows + the 'ALL' corpus row from
+    # the same sums (a UNION of two aggs over the tiny per-dim frame).
+    if d == "spark":
+        exp = (
+            "SELECT vec_id, label, pos0 AS pos, v FROM (SELECT vec_id, "
+            "label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos0, v) "
+            "FROM embeddings) e"
+        )
+    else:
+        exp = (
+            "SELECT vec_id, label, "
+            "unnest(generate_series(1, len(embedding))) AS pos, "
+            "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+        )
+    mean_cos = (
+        "CASE WHEN n >= 2 THEN (ss - n) / (CAST(n AS DOUBLE) * (n - 1)) "
+        "ELSE 0.0 END"
+    )
+    tail = f"""
+    WITH nrm AS (
+      SELECT vec_id, sqrt(sum(v * v)) AS n2
+      FROM _mz_aniso_exp
+      GROUP BY vec_id
+    ),
+    unit AS (
+      SELECT e.vec_id, e.label, e.pos, e.v / n.n2 AS u
+      FROM _mz_aniso_exp e
+      JOIN nrm n ON n.vec_id = e.vec_id
+      WHERE n.n2 > 0
+    ),
+    dim_sums AS (
+      SELECT CAST(label AS STRING) AS grp, pos, sum(u) AS s,
+             count(DISTINCT vec_id) AS n_part
+      FROM unit
+      GROUP BY label, pos
+    ),
+    grouped AS (
+      SELECT grp, sum(s * s) AS ss, max(n_part) AS n
+      FROM dim_sums
+      GROUP BY grp
+      UNION ALL
+      SELECT 'ALL' AS grp, sum(ts * ts) AS ss, max(tn) AS n
+      FROM (
+        SELECT pos, sum(s) AS ts, sum(n_part) AS tn
+        FROM dim_sums
+        GROUP BY pos
+      ) total
+    )
+    SELECT
+      grp AS label_group,
+      {cnt("n", "n_vectors")},
+      {dbl(mean_cos, "mean_pairwise_cos")},
+      {dbl("CASE WHEN n >= 1 THEN sqrt(ss) / n ELSE 0.0 END",
+           "mean_vector_norm")}
+    FROM grouped
+    ORDER BY label_group
+    """
+    return [("_mz_aniso_exp", exp)], tail
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
     materialized_backed(
@@ -611,4 +689,11 @@ QUERIES = [
     # as a hash mismatch, not a silent quality drop.
     Query("embedding_dedup_ivf", embedding_dedup_ivf, _embedding_dedup_sql("duckdb")),
     sql_backed("label_centroids", _label_centroids_sql, ("embeddings",)),
+    # new r7 third wave, registered AFTER the window filled:
+    # deferred sorts it behind the 50 never-certified names
+    # (certifies in round 8)
+    materialized_backed(
+        "embedding_anisotropy", _anisotropy_parts, ("embeddings",),
+        deferred=True,
+    ),
 ]

@@ -1259,3 +1259,40 @@ def test_index_freshness_tight_clusters_stable_drifted_member_moves(spark):
     for cl in (3, 4, 5, 6, 7):
         assert got[cl]["n_assigned"] == 1 and got[cl]["n_moved"] == 0
         assert got[cl]["centroid_drift"] < 1e-6
+
+
+def test_embedding_anisotropy_exact_identity_on_planted_geometries(spark):
+    from fiveg_spark.operators.similarity import _anisotropy_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    # label 0: four IDENTICAL vectors -> mean pairwise cos 1.0, the
+    # cone norm 1.0.  label 1: four orthonormal basis vectors ->
+    # sum-norm^2 = n -> mean cos exactly 0.  label 2: an antipodal
+    # pair -> mean cos -1.  A zero vector rides along and must drop
+    # (no unit vector exists), not poison the sums.
+    rows = []
+    vid = 0
+    for _ in range(4):
+        rows.append((vid, [0.6, 0.8, 0.0, 0.0], 0)); vid += 1
+    for i in range(4):
+        v = [0.0] * 4
+        v[i] = 1.0
+        rows.append((vid, v, 1)); vid += 1
+    rows.append((vid, [0.0, 0.0, 1.0, 0.0], 2)); vid += 1
+    rows.append((vid, [0.0, 0.0, -1.0, 0.0], 2)); vid += 1
+    rows.append((vid, [0.0, 0.0, 0.0, 0.0], 2)); vid += 1  # zero-norm
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    got = {r["label_group"]: r.asDict()
+           for r in run_parts(spark, _anisotropy_parts).collect()}
+
+    assert got["0"]["n_vectors"] == 4
+    assert got["0"]["mean_pairwise_cos"] == 1.0
+    assert got["0"]["mean_vector_norm"] == 1.0
+    assert got["1"]["mean_pairwise_cos"] == 0.0
+    assert got["2"]["n_vectors"] == 2  # zero vector dropped
+    assert got["2"]["mean_pairwise_cos"] == -1.0
+    assert got["2"]["mean_vector_norm"] == 0.0
+    # the ALL row pools the same dim sums: n = 10 surviving vectors
+    assert got["ALL"]["n_vectors"] == 10
