@@ -455,3 +455,68 @@ def test_training_shard_writer(spark, tmp_path):
     # power-of-two guard
     with pytest.raises(ValueError):
         write_training_shards(docs, str(tmp_path / "bad"), n_shards=12)
+
+
+def test_read_evolved_conforms_versions_and_quarantines_conflicts(
+    spark, tmp_path
+):
+    from pyspark.sql import types as T
+
+    from fiveg_spark.sources.evolution import (
+        classify_files,
+        conform,
+        read_evolved,
+    )
+
+    path = str(tmp_path / "evolved")
+    # v1: original schema — int id, float value, no source column
+    spark.createDataFrame(
+        [(1, 1.5), (2, 2.5)], "event_id INT, value FLOAT"
+    ).coalesce(1).write.mode("append").parquet(path)
+    # v2: widened value, added source + an extra column the target
+    # never adopted
+    spark.createDataFrame(
+        [(3, 3.5, "s3", "junk")],
+        "event_id INT, value DOUBLE, source STRING, debug STRING",
+    ).coalesce(1).write.mode("append").parquet(path)
+    # v3: a producer broke value's type outright
+    spark.createDataFrame(
+        [(4, "oops")], "event_id INT, value STRING"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    target = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    groups, bad = classify_files(path, target)
+    assert len(bad) == 1  # only the string-typed value file
+    assert len(groups) == 2  # v1 and v2 schema versions
+
+    df, quarantined = read_evolved(spark, path, target)
+    assert quarantined == bad
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "double", "string",
+    ]
+    rows = {r["event_id"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {1, 2, 3}  # v3's row quarantined, not dropped silently
+    assert rows[1]["value"] == 1.5 and rows[1]["source"] is None
+    assert rows[3]["source"] == "s3" and "debug" not in df.columns
+
+    # conform alone: target ordering + typed NULLs on a live frame
+    small = spark.createDataFrame([(9,)], "event_id INT")
+    out = conform(small, target)
+    assert out.columns == ["event_id", "value", "source"]
+    assert out.collect()[0]["value"] is None
+
+    # an all-quarantined directory still reads as an empty, correctly
+    # typed frame
+    solo = str(tmp_path / "allbad")
+    spark.createDataFrame(
+        [(4, "oops")], "event_id INT, value STRING"
+    ).coalesce(1).write.mode("append").parquet(solo)
+    empty, bad2 = read_evolved(spark, solo, target)
+    assert empty.count() == 0 and len(bad2) == 1
+    assert empty.schema == target
