@@ -1290,6 +1290,96 @@ def _diebold_mariano_sql(d: str) -> str:
     """
 
 
+
+def _mann_kendall_sql(d: str) -> str:
+    # D52 -- Mann-Kendall monotone-trend test per slice (Mann 1945;
+    # Kendall 1975): S = sum of sign(v_j - v_i) over ordered pairs,
+    # tie-corrected variance, continuity-corrected z ~ N(0,1).  The
+    # SIGNIFICANCE companion to D36's Theil-Sen slope (the standard
+    # pairing in every hydrology/telemetry trend suite): Theil-Sen
+    # says HOW steep, MK says whether a monotone trend exists at all,
+    # nonparametrically -- no normality or linearity assumed, where
+    # C44's OLS t-test needs both.
+    #
+    # Scale: the full pair set is the TEXTBOOK statistic -- O(n^2) in
+    # the SERIES length on the tiny hourly rollup (n ~ 720/month per
+    # slice => ~260k sign pairs, trivially), bounded by calendar time,
+    # never data volume; a multi-year series switches to seasonal-MK
+    # blocks (per-month S summed -- same SQL per block).  Ties in the
+    # rounded hourly measure get the textbook t(t-1)(2t+5) variance
+    # correction.  Verdict on the ROUNDED |z| vs 1.96.
+    return f"""
+    {_hourly_cte(d)},
+    series AS (
+      SELECT slice, {epoch("h", d)} AS th, throughput_bps AS v
+      FROM hourly
+    ),
+    s_stat AS (
+      SELECT
+        a.slice,
+        sum(CASE WHEN b.v > a.v THEN 1
+                 WHEN b.v < a.v THEN -1 ELSE 0 END) AS s,
+        count(*) AS n_pairs
+      FROM series a
+      JOIN series b ON b.slice = a.slice AND b.th > a.th
+      GROUP BY a.slice
+    ),
+    ties AS (
+      SELECT slice,
+             sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS tie_term
+      FROM (
+        SELECT slice, v, CAST(count(*) AS DOUBLE) AS t
+        FROM series GROUP BY slice, v
+      ) grouped
+      WHERE t > 1
+      GROUP BY slice
+    ),
+    counts AS (
+      SELECT slice, CAST(count(*) AS DOUBLE) AS n FROM series GROUP BY slice
+    ),
+    scored AS (
+      SELECT
+        c.slice,
+        c.n,
+        st.s,
+        st.n_pairs,
+        (c.n * (c.n - 1.0) * (2.0 * c.n + 5.0)
+          - coalesce(t.tie_term, 0.0)) / 18.0 AS var_s
+      FROM counts c
+      JOIN s_stat st ON st.slice = c.slice
+      LEFT JOIN ties t ON t.slice = c.slice
+    ),
+    zed AS (
+      SELECT
+        slice,
+        n,
+        s,
+        n_pairs,
+        CASE
+          WHEN var_s <= 0 THEN 0.0
+          WHEN s > 0 THEN round((s - 1.0) / sqrt(var_s) + {NUDGE}, 4)
+          WHEN s < 0 THEN round((s + 1.0) / sqrt(var_s) + {NUDGE}, 4)
+          ELSE 0.0
+        END AS z_round
+      FROM scored
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {cnt("s", "s_stat")},
+      {cnt("n_pairs", "n_pairs")},
+      {dbl("z_round", "z_score")},
+      CAST(abs(z_round) > 1.96 AS BOOLEAN) AS significant,
+      CASE
+        WHEN abs(z_round) <= 1.96 THEN 'none'
+        WHEN z_round > 0 THEN 'increasing'
+        ELSE 'decreasing'
+      END AS trend
+    FROM zed
+    ORDER BY slice
+    """
+
+
 SEASONAL_ROUTE_MIN = 0.6  # F_s above this: the period-24 state pays
 
 
@@ -1433,5 +1523,8 @@ QUERIES = [
     ),
     sql_backed(
         "diebold_mariano", _diebold_mariano_sql, ("events",), deferred=True,
+    ),
+    sql_backed(
+        "mann_kendall_trend", _mann_kendall_sql, ("events",), deferred=True,
     ),
 ]

@@ -285,6 +285,7 @@ def _event_sql_fns():
         _calendar_outlier_sql,
         _conformal_sweep_sql,
         _diebold_mariano_sql,
+        _mann_kendall_sql,
         _iat_burstiness_sql,
         _ljung_box_sql,
         _page_hinkley_sql,
@@ -429,6 +430,10 @@ def _event_sql_fns():
         # row (both lags null), constant differentials hit the
         # zero-variance sentinel branch, near-zero dbar the tie guard
         "diebold_mariano": _diebold_mariano_sql,
+        # sign-pair sums + tie-corrected variance: constant series
+        # (all ties) hit the var_s <= 0 guard, single-hour slices the
+        # empty-pair branch, continuity correction at tiny |S|
+        "mann_kendall_trend": _mann_kendall_sql,
         **_hourly_family_sql_fns(),
     }
 

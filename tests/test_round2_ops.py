@@ -974,3 +974,41 @@ def test_diebold_mariano_prefers_the_right_forecaster(spark):
     u = got["URLLC"]
     assert u["significant"] is True and u["better_model"] == "naive"
     assert u["dm_stat"] < -1.96 and u["mean_loss_diff"] < 0
+
+
+def test_mann_kendall_scipy_free_cross_check_and_trend_tags(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.ts_diagnostics import _mann_kendall_sql
+
+    # eMBB (user 0): strictly increasing ramp -> S = n(n-1)/2, z >> 2,
+    # 'increasing'.  URLLC (user 1): strictly decreasing.  mMTC
+    # (user 2): constant -> all ties -> var_s = 0 guard -> 'none'.
+    t0 = dt.datetime(2024, 3, 4)
+    rows, eid = [], 0
+    n_hours = 72
+    for h in range(n_hours):
+        for uid, v in ((0, 100.0 + h), (1, 5000.0 - h), (2, 777.0)):
+            rows.append((eid, t0 + dt.timedelta(hours=h), "view", uid, v, "{}"))
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in spark.sql(_mann_kendall_sql("spark")).collect()}
+
+    n = n_hours
+    full_s = n * (n - 1) // 2
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0
+    expected_z = (full_s - 1) / var_s**0.5
+
+    up = got["eMBB"]
+    assert up["s_stat"] == full_s and up["n_pairs"] == full_s
+    assert abs(up["z_score"] - round(expected_z + 1e-9, 4)) < 1e-9
+    assert up["significant"] is True and up["trend"] == "increasing"
+
+    down = got["URLLC"]
+    assert down["s_stat"] == -full_s
+    assert down["trend"] == "decreasing" and down["significant"] is True
+
+    flat = got["mMTC"]
+    assert flat["s_stat"] == 0 and flat["z_score"] == 0.0
+    assert flat["trend"] == "none" and flat["significant"] is False
