@@ -1291,7 +1291,7 @@ def _diebold_mariano_sql(d: str) -> str:
 
 
 
-def _mann_kendall_sql(d: str) -> str:
+def _mann_kendall_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D52 -- Mann-Kendall monotone-trend test per slice (Mann 1945;
     # Kendall 1975): S = sum of sign(v_j - v_i) over ordered pairs,
     # tie-corrected variance, continuity-corrected z ~ N(0,1).  The
@@ -1308,20 +1308,25 @@ def _mann_kendall_sql(d: str) -> str:
     # blocks (per-month S summed -- same SQL per block).  Ties in the
     # rounded hourly measure get the textbook t(t-1)(2t+5) variance
     # correction.  Verdict on the ROUNDED |z| vs 1.96.
-    return f"""
-    {_hourly_cte(d)},
-    series AS (
-      SELECT slice, {epoch("h", d)} AS th, throughput_bps AS v
-      FROM hourly
-    ),
-    s_stat AS (
+    #
+    # materialized_backed: the series frame is referenced THREE times
+    # (both self-join sides + tie/count rollups) -- inlined, Spark
+    # re-ran the events scan 3x (measured); materialized it scans
+    # ONCE and the tail works the tiny rollup.
+    series_sql = f"""
+    {_hourly_cte(d)}
+    SELECT slice, {epoch("h", d)} AS th, throughput_bps AS v
+    FROM hourly
+    """
+    tail = f"""
+    WITH s_stat AS (
       SELECT
         a.slice,
         sum(CASE WHEN b.v > a.v THEN 1
                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS s,
         count(*) AS n_pairs
-      FROM series a
-      JOIN series b ON b.slice = a.slice AND b.th > a.th
+      FROM _mz_mk_series a
+      JOIN _mz_mk_series b ON b.slice = a.slice AND b.th > a.th
       GROUP BY a.slice
     ),
     ties AS (
@@ -1329,13 +1334,13 @@ def _mann_kendall_sql(d: str) -> str:
              sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS tie_term
       FROM (
         SELECT slice, v, CAST(count(*) AS DOUBLE) AS t
-        FROM series GROUP BY slice, v
+        FROM _mz_mk_series GROUP BY slice, v
       ) grouped
       WHERE t > 1
       GROUP BY slice
     ),
     counts AS (
-      SELECT slice, CAST(count(*) AS DOUBLE) AS n FROM series GROUP BY slice
+      SELECT slice, CAST(count(*) AS DOUBLE) AS n FROM _mz_mk_series GROUP BY slice
     ),
     scored AS (
       SELECT
@@ -1378,6 +1383,7 @@ def _mann_kendall_sql(d: str) -> str:
     FROM zed
     ORDER BY slice
     """
+    return [("_mz_mk_series", series_sql)], tail
 
 
 SEASONAL_ROUTE_MIN = 0.6  # F_s above this: the period-24 state pays
@@ -1524,7 +1530,7 @@ QUERIES = [
     sql_backed(
         "diebold_mariano", _diebold_mariano_sql, ("events",), deferred=True,
     ),
-    sql_backed(
-        "mann_kendall_trend", _mann_kendall_sql, ("events",), deferred=True,
+    materialized_backed(
+        "mann_kendall_trend", _mann_kendall_parts, ("events",), deferred=True,
     ),
 ]

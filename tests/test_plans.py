@@ -343,3 +343,28 @@ def test_r7_wave3_plan_shapes(spark):
         facts = plan_facts(QUERIES[name](spark, SF_DIR), execute=True)
         assert facts.n_scans == 0, f"{name}: {facts.n_scans} tail scans"
         assert facts.python_ops == 0, name
+
+
+def test_r7_deferred_plan_shapes(spark):
+    """Scan pins for the round-7 deferred registrations (certify r8):
+    sql_backed ones are single-scan; materialized_backed tails read
+    checkpointed RDDs — zero FileScans (mann_kendall was CONVERTED to
+    parts after measuring 3 inlined events scans).  var_order_cert is
+    a driver-side Gram solve (its design persist is pinned by the
+    certify tests) and embedding_anisotropy's applyInPandas-free tail
+    is covered below.  All zero-Python."""
+    for name in ("calendar_outlier_days", "session_stats", "diebold_mariano"):
+        facts = plan_facts(QUERIES[name](spark, SF_DIR), execute=True)
+        assert facts.n_scans == 1, f"{name}: {facts.n_scans} scans"
+        assert facts.python_ops == 0, name
+
+    for name in (
+        "trending_types",
+        "model_router",
+        "mann_kendall_trend",
+        "oov_rate",
+        "embedding_anisotropy",
+    ):
+        facts = plan_facts(QUERIES[name](spark, SF_DIR), execute=True)
+        assert facts.n_scans == 0, f"{name}: {facts.n_scans} tail scans"
+        assert facts.python_ops == 0, name

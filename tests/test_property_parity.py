@@ -285,7 +285,6 @@ def _event_sql_fns():
         _calendar_outlier_sql,
         _conformal_sweep_sql,
         _diebold_mariano_sql,
-        _mann_kendall_sql,
         _iat_burstiness_sql,
         _ljung_box_sql,
         _page_hinkley_sql,
@@ -430,10 +429,6 @@ def _event_sql_fns():
         # row (both lags null), constant differentials hit the
         # zero-variance sentinel branch, near-zero dbar the tie guard
         "diebold_mariano": _diebold_mariano_sql,
-        # sign-pair sums + tie-corrected variance: constant series
-        # (all ties) hit the var_s <= 0 guard, single-hour slices the
-        # empty-pair branch, continuity correction at tiny |S|
-        "mann_kendall_trend": _mann_kendall_sql,
         **_hourly_family_sql_fns(),
     }
 
@@ -620,6 +615,7 @@ def _event_parts_fns():
         _cvm_parts,
         _iat_exponential_fit_parts,
         _ks_parts,
+        _mann_kendall_parts,
         _model_router_parts,
         _mw_parts,
         _psi_parts,
@@ -667,6 +663,10 @@ def _event_parts_fns():
         # and zero-SS white guards (-> 'mean') and the zero-variance
         # F_s = 0 branch
         "model_router": _model_router_parts,
+        # sign-pair sums + tie-corrected variance: constant series
+        # (all ties) hit the var_s <= 0 guard, single-hour slices the
+        # empty-pair branch, continuity correction at tiny |S|
+        "mann_kendall_trend": _mann_kendall_parts,
     }
 
 

@@ -979,7 +979,8 @@ def test_diebold_mariano_prefers_the_right_forecaster(spark):
 def test_mann_kendall_scipy_free_cross_check_and_trend_tags(spark):
     import datetime as dt
 
-    from fiveg_spark.operators.ts_diagnostics import _mann_kendall_sql
+    from fiveg_spark.operators.ts_diagnostics import _mann_kendall_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # eMBB (user 0): strictly increasing ramp -> S = n(n-1)/2, z >> 2,
     # 'increasing'.  URLLC (user 1): strictly decreasing.  mMTC
@@ -993,7 +994,7 @@ def test_mann_kendall_scipy_free_cross_check_and_trend_tags(spark):
             eid += 1
     _events_from(spark, rows)
     got = {r["slice"]: r.asDict()
-           for r in spark.sql(_mann_kendall_sql("spark")).collect()}
+           for r in run_parts(spark, _mann_kendall_parts).collect()}
 
     n = n_hours
     full_s = n * (n - 1) // 2
