@@ -368,3 +368,40 @@ def test_r7_deferred_plan_shapes(spark):
         facts = plan_facts(QUERIES[name](spark, SF_DIR), execute=True)
         assert facts.n_scans == 0, f"{name}: {facts.n_scans} tail scans"
         assert facts.python_ops == 0, name
+
+
+def test_table_health_flags_small_file_sprawl(spark, tmp_path):
+    from fiveg_spark.plans.table_health import audit_table
+
+    # sprawl: 40 one-row files (the per-task-append antipattern)
+    sprawl = str(tmp_path / "sprawl")
+    for i in range(40):
+        spark.createDataFrame([(i, float(i))], "id LONG, v DOUBLE").coalesce(
+            1
+        ).write.mode("append").parquet(sprawl)
+    h = audit_table(sprawl)
+    assert h.n_files == 40 and h.total_rows == 40
+    assert h.small_file_count_share == 1.0
+    assert h.recommend_compaction is True
+    assert h.avg_rows_per_file == 1.0
+
+    # the fix: same rows compacted to one file -> healthy
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(sprawl).coalesce(1).write.parquet(compacted)
+    h2 = audit_table(compacted)
+    assert h2.n_files == 1 and h2.total_rows == 40
+    assert h2.recommend_compaction is False
+
+    # partitioned skew: one partition 20x the other
+    skewed = str(tmp_path / "skewed")
+    spark.createDataFrame(
+        [(i, "big" if i < 200 else "tiny") for i in range(210)],
+        "id LONG, part STRING",
+    ).write.partitionBy("part").parquet(skewed)
+    h3 = audit_table(skewed)
+    assert h3.partition_count == 2
+    assert h3.partition_byte_skew >= 1.0
+
+    # empty dir: total, not a crash
+    h4 = audit_table(str(tmp_path / "nothing"))
+    assert h4.n_files == 0 and h4.recommend_compaction is False
