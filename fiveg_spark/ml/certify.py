@@ -957,6 +957,155 @@ ORDER BY slice, p
 """
 
 
+# --------------------------------------------------------------------------
+# D53: pairwise Granger causality between slices
+# --------------------------------------------------------------------------
+
+GRANGER_P = 3
+
+
+def _granger_rows(spark: SparkSession, sf_dir: str) -> list:
+    """D53 — pairwise Granger causality between slice throughput series
+    (Granger 1969): does slice x's past improve the forecast of slice
+    y beyond y's own lags?  The inter-slice question the reference's
+    VAR family implies but never tests — cross-correlation (D35) finds
+    lead-lag ASSOCIATION, Granger is the predictive-improvement test a
+    capacity planner acts on (x Granger-causes y => watch x to
+    provision y).
+
+    Design: the hourly throughput pivot restricted to hours where ALL
+    slices report (inner grid — a bounded |hours|×|slices| frame that
+    grows with calendar time, never data volume), lags over the row
+    index of that grid.  Per ordered pair: restricted OLS y_t ~
+    (1, y_{t-1..p}) vs unrestricted + x_{t-1..p}, F = ((SSE_r −
+    SSE_u)/p) / (SSE_u/(n − 2p − 1)), verdict at the F(3, large)
+    5%% point 2.605.  The regressions are numpy lstsq on the collected
+    grid — the collect is the tiny series pivot (the ml/var doctrine:
+    driver-side linear algebra on calendar-bounded frames), at 100 TB
+    the pivot still has one row per hour.
+
+    Cert rows carry ONLY the nested-OLS theorems (SSE_u ≤ SSE_r,
+    F ≥ 0) plus the oracle-recomputed common-grid size (the cert
+    doctrine: the oracle cannot refit, so estimates stay off the
+    hashed row); the F matrix and verdicts ship as the
+    `granger_matrix` consumer surface, pytest-pinned on planted
+    leader/follower series where causality is one-directional."""
+    from fiveg_spark.plans.registry import ensure_views
+
+    if sf_dir is not None:  # None: score an already-registered view
+        ensure_views(spark, ("events",), sf_dir)
+    pivot = spark.sql(
+        f"""
+        {_hourly_cte("spark")},
+        grid AS (
+          SELECT h, slice, throughput_bps AS v FROM hourly
+        ),
+        complete AS (
+          SELECT h FROM grid GROUP BY h
+          HAVING count(DISTINCT slice) = (SELECT count(DISTINCT slice) FROM grid)
+        )
+        SELECT g.h, g.slice, g.v
+        FROM grid g JOIN complete c ON c.h = g.h
+        ORDER BY g.h, g.slice
+        """
+    ).collect()  # bounded: hours x slices rows, calendar-sized
+    series: dict[str, list[float]] = {}
+    hours: list = []
+    for r in pivot:
+        if not hours or hours[-1] != r["h"]:
+            hours.append(r["h"])
+        series.setdefault(r["slice"], []).append(float(r["v"]))
+    slices = sorted(series)
+    p = GRANGER_P
+    rows = []
+    for x in slices:
+        for y in slices:
+            if x == y:
+                continue
+            ys = np.asarray(series[y])
+            xs = np.asarray(series[x])
+            n_grid = len(ys)
+            n = n_grid - p
+            if n < 2 * p + 2:
+                continue
+            Y = ys[p:]
+            own = np.column_stack(
+                [np.ones(n)] + [ys[p - k : n_grid - k] for k in range(1, p + 1)]
+            )
+            cross = np.column_stack(
+                [own] + [xs[p - k : n_grid - k] for k in range(1, p + 1)]
+            )
+            br, *_ = np.linalg.lstsq(own, Y, rcond=None)
+            bu, *_ = np.linalg.lstsq(cross, Y, rcond=None)
+            sse_r = float(np.sum((Y - own @ br) ** 2))
+            sse_u = float(np.sum((Y - cross @ bu) ** 2))
+            df2 = n - 2 * p - 1
+            f_stat = (
+                ((sse_r - sse_u) / p) / (sse_u / df2) if sse_u > 0 else 0.0
+            )
+            f_round = round(f_stat + 1e-9, 4)
+            tol = 1e-6 * max(1.0, sse_r)
+            rows.append(
+                (
+                    x,
+                    y,
+                    n_grid,
+                    n,
+                    bool(sse_u <= sse_r + tol),
+                    bool(f_round >= 0.0),
+                    float(f_round),
+                    bool(f_round > 2.605),  # F(3, inf) 5% point
+                )
+            )
+    return rows
+
+
+def granger_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _granger_rows(spark, sf_dir)
+    return spark.createDataFrame(
+        [r[:6] for r in rows],
+        "cause string, effect string, n_grid long, n_obs long, "
+        "nested_sse_ok boolean, f_nonneg_ok boolean",
+    )
+
+
+def granger_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer surface: the full F matrix with verdicts (the columns
+    the hash-compared cert row cannot carry)."""
+    rows = _granger_rows(spark, sf_dir)
+    return spark.createDataFrame(
+        rows,
+        "cause string, effect string, n_grid long, n_obs long, "
+        "nested_sse_ok boolean, f_nonneg_ok boolean, f_stat double, "
+        "granger_causes boolean",
+    )
+
+
+_GRANGER_ORACLE = f"""
+{_hourly_cte("duckdb")},
+grid AS (SELECT h, slice FROM hourly),
+complete AS (
+  SELECT h FROM grid GROUP BY h
+  HAVING count(DISTINCT slice) = (SELECT count(DISTINCT slice) FROM grid)
+),
+n_common AS (SELECT CAST(count(*) AS BIGINT) AS n_grid FROM complete),
+slices AS (SELECT DISTINCT slice FROM grid)
+SELECT
+  a.slice AS cause,
+  b.slice AS effect,
+  nc.n_grid,
+  CAST(nc.n_grid - {GRANGER_P} AS BIGINT) AS n_obs,
+  TRUE AS nested_sse_ok,
+  TRUE AS f_nonneg_ok
+FROM slices a
+CROSS JOIN slices b
+CROSS JOIN n_common nc
+WHERE a.slice <> b.slice
+  AND nc.n_grid - {GRANGER_P} >= 2 * {GRANGER_P} + 2
+ORDER BY cause, effect
+"""
+
+
 QUERIES = [
     # conversions of the former rows-only registrations (round 6); raw
     # coefficient/top-k surfaces remain available as functions and stay
@@ -991,4 +1140,5 @@ QUERIES = [
     # deferred sorts it behind the 50 never-certified names
     # (certifies in round 8)
     Query("var_order_cert", var_order_cert, _VAR_ORDER_ORACLE, deferred=True),
+    Query("granger_cert", granger_cert, _GRANGER_ORACLE, deferred=True),
 ]

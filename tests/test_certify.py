@@ -184,3 +184,50 @@ def test_var_order_cert_theorems_and_residual_parity(spark):
         assert abs(cert_logdet - logdet) < 1e-6, (p, cert_logdet, logdet)
         aic_ref = logdet + 2.0 * m_params / n
         assert abs(crits[s0][1][p][0] - aic_ref) < 1e-6
+
+
+def test_granger_matrix_finds_planted_one_directional_causality(spark):
+    import datetime as dt
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from fiveg_spark.ml.certify import granger_cert, granger_matrix
+
+    # eMBB (user 0) is an unpredictable driver (shader-hash noise);
+    # URLLC (user 1) follows it at lag 2; mMTC (user 2) is independent
+    # noise.  Granger must find eMBB -> URLLC and nothing back (an
+    # iid driver's own future is unpredictable from any past).
+    t0 = dt.datetime(2024, 3, 4)
+    drv = [1000.0 + 500.0 * (math.sin(h * 12.9898) * 43758.5453 % 1.0)
+           for h in range(260)]
+    ind = [800.0 + 400.0 * (math.sin(h * 7.1234) * 9631.477 % 1.0)
+           for h in range(260)]
+    rows, eid = [], 0
+    for h in range(4, 260):
+        follower = 0.9 * drv[h - 2] + 50.0 + (h % 2)
+        for uid, v in ((0, drv[h]), (1, follower), (2, ind[h])):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h), "view", uid, v, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, event_type STRING, user_id BIGINT,"
+        " value DOUBLE, props STRING",
+    ).createOrReplaceTempView("events")
+
+    got = {(r["cause"], r["effect"]): r.asDict()
+           for r in granger_matrix(spark, None).collect()}
+    assert len(got) == 6
+    for r in got.values():
+        assert r["nested_sse_ok"] and r["f_nonneg_ok"]
+
+    fwd = got[("eMBB", "URLLC")]
+    assert fwd["granger_causes"] is True and fwd["f_stat"] > 50
+    back = got[("URLLC", "eMBB")]
+    assert back["granger_causes"] is False
+
+    # the cert surface is the same rows minus the unhashable F columns
+    cert = granger_cert(spark, None).columns
+    assert "f_stat" not in cert and "granger_causes" not in cert
