@@ -822,6 +822,74 @@ def _incremental_minhash_sql(d: str) -> str:
     """
 
 
+
+def _dup_pressure_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E79 -- per-source near-duplication pressure (the "which source is
+    # parasitic" rollup a mixing pass reads next to E26/E52: a source
+    # whose docs near-duplicate OTHER sources adds no new information
+    # at full weight, and one that near-duplicates ITSELF is template
+    # sprawl E42/E70 score at doc level).  Reuses E2's banded MinHash
+    # candidate chain VERBATIM as the materialized pair frame -- a
+    # signature/banding change moves this certified row and E2's
+    # together -- then splits each doc's near-dup exposure into
+    # WITHIN-source and CROSS-source shares.
+    #
+    # Scale: two scans total -- the E2 one-scan pair chain plus one
+    # column-pruned (doc_id, source) projection -- then everything is
+    # pair-frame-sized; the tail reads only materialized frames.
+    docs_sql = "SELECT doc_id, source FROM documents"
+    tail = f"""
+    WITH sided AS (
+      SELECT c.doc_a, c.doc_b, da.source AS src_a, db.source AS src_b
+      FROM _mz_dp_pairs c
+      JOIN _mz_dp_docs da ON da.doc_id = c.doc_a
+      JOIN _mz_dp_docs db ON db.doc_id = c.doc_b
+    ),
+    touch AS (
+      SELECT doc_a AS doc_id, src_a AS source,
+             CASE WHEN src_a = src_b THEN 1 ELSE 0 END AS w_flag,
+             CASE WHEN src_a <> src_b THEN 1 ELSE 0 END AS x_flag
+      FROM sided
+      UNION ALL
+      SELECT doc_b AS doc_id, src_b AS source,
+             CASE WHEN src_a = src_b THEN 1 ELSE 0 END AS w_flag,
+             CASE WHEN src_a <> src_b THEN 1 ELSE 0 END AS x_flag
+      FROM sided
+    ),
+    perdoc AS (
+      SELECT doc_id, source, max(w_flag) AS w, max(x_flag) AS x
+      FROM touch
+      GROUP BY doc_id, source
+    ),
+    base AS (
+      SELECT source, count(*) AS n_docs FROM _mz_dp_docs GROUP BY source
+    ),
+    rolled AS (
+      SELECT source, count(*) AS n_near_dup,
+             sum(w) AS n_within, sum(x) AS n_cross
+      FROM perdoc
+      GROUP BY source
+    )
+    SELECT
+      b.source,
+      {cnt("b.n_docs", "n_docs")},
+      {cnt("coalesce(r.n_near_dup, 0)", "n_near_dup_docs")},
+      {dbl("coalesce(r.n_near_dup, 0) / CAST(b.n_docs AS DOUBLE)",
+           "near_dup_rate")},
+      {cnt("coalesce(r.n_within, 0)", "n_within_source")},
+      {cnt("coalesce(r.n_cross, 0)", "n_cross_source")},
+      {dbl("coalesce(r.n_cross, 0) / CAST(b.n_docs AS DOUBLE)",
+           "cross_source_rate")}
+    FROM base b
+    LEFT JOIN rolled r ON r.source = b.source
+    ORDER BY b.source
+    """
+    return [
+        ("_mz_dp_pairs", _minhash_lsh_sql(d)),
+        ("_mz_dp_docs", docs_sql),
+    ], tail
+
+
 QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
     sql_backed("edit_distance_pairs", _edit_distance_sql, ("documents",)),
@@ -843,4 +911,11 @@ QUERIES = [
     sql_backed("containment_pairs", _containment_sql, ("documents",)),
     # new r7 (second wave), non-deferred
     materialized_backed("minhash_band_curve", _band_curve_parts, ("documents",)),
+    # new r7 third wave, registered AFTER the window filled:
+    # deferred sorts it behind the 50 never-certified names
+    # (certifies in round 8)
+    materialized_backed(
+        "dup_pressure_by_source", _dup_pressure_parts, ("documents",),
+        deferred=True,
+    ),
 ]

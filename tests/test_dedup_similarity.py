@@ -1296,3 +1296,39 @@ def test_embedding_anisotropy_exact_identity_on_planted_geometries(spark):
     assert got["2"]["mean_vector_norm"] == 0.0
     # the ALL row pools the same dim sums: n = 10 surviving vectors
     assert got["ALL"]["n_vectors"] == 10
+
+
+def test_dup_pressure_splits_within_and_cross_source(spark):
+    from fiveg_spark.operators.dedup import _dup_pressure_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        # "mirror" republishes source "orig" verbatim: cross-source
+        (0, base, "en", "orig", len(base)),
+        (1, base, "en", "mirror", len(base)),
+        # "template" near-duplicates ITSELF twice: within-source
+        (2, base + " extra", "en", "template", len(base) + 6),
+        (3, base + " extra", "en", "template", len(base) + 6),
+        # "clean" shares nothing
+        (4, "completely different content with unique wording here today",
+         "en", "clean", 60),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = {r["source"]: r.asDict()
+           for r in run_parts(spark, _dup_pressure_parts).collect()}
+
+    # identical texts across sources: cross flags on both sides.  NB
+    # docs 2/3 also collide with 0/1 via shared shingles, so template
+    # sees cross pressure too — the exact-match cross pair is the pin.
+    assert got["orig"]["n_near_dup_docs"] == 1
+    assert got["orig"]["n_cross_source"] == 1
+    assert got["mirror"]["cross_source_rate"] == 1.0
+    tpl = got["template"]
+    assert tpl["n_docs"] == 2 and tpl["n_within_source"] == 2
+    assert tpl["near_dup_rate"] == 1.0
+    clean = got["clean"]
+    assert clean["n_near_dup_docs"] == 0
+    assert clean["near_dup_rate"] == 0.0 and clean["cross_source_rate"] == 0.0

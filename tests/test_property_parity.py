@@ -520,6 +520,7 @@ def _doc_parts_fns():
         _dsir_parts,
     )
     from fiveg_spark.operators.curation import _quality_dup_calibration_parts
+    from fiveg_spark.operators.dedup import _dup_pressure_parts
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
     from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
     from fiveg_spark.operators.text_stats import (
@@ -539,6 +540,10 @@ def _doc_parts_fns():
         # coalesce) and empty-candidate branches per config
         "minhash_band_curve": _band_curve_parts,
         "unigram_ppl": _unigram_ppl_parts,
+        # pair-frame rollup ratios: duplicate-free corpora keep every
+        # source at the coalesce(0) zero rates, whole-corpus clones
+        # exercise both within/cross flags on the same doc
+        "dup_pressure_by_source": _dup_pressure_parts,
         # floored+rounded-before-ln KL shares (PSI discipline); tiny
         # corpora leave most profile words at the 1e-4 floor on both
         # sides (contrib ~0), sources with zero profile tokens vanish
