@@ -196,6 +196,162 @@ def _mp4_stbl(data: bytes, start: int, end: int, trk: dict) -> None:
             trk["n_keyframes"] = int.from_bytes(data[a + 4 : a + 8], "big")
 
 
+
+def _mp4_video_tables(content: bytes) -> dict:
+    """Raw sample tables for the first VIDEO track: sizes (stsz),
+    1-based keyframe sample numbers (stss), sample-to-chunk runs
+    (stsc), and chunk offsets (stco/co64)."""
+    out: dict = {"sizes": None, "uniform": 0, "keyframes": None,
+                 "stsc": None, "chunk_offsets": None, "n_samples": 0}
+    for typ, a, b in _mp4_boxes(content, 0, len(content)):
+        if typ != b"moov":
+            continue
+        for t2, c, d in _mp4_boxes(content, a, b):
+            if t2 != b"trak":
+                continue
+            handler = None
+            stbl_span = None
+            for t3, e, f in _mp4_boxes(content, c, d):
+                if t3 == b"mdia":
+                    for t4, g, h in _mp4_boxes(content, e, f):
+                        if t4 == b"hdlr":
+                            handler = content[g + 8 : g + 12]
+                        elif t4 == b"minf":
+                            for t5, i, j in _mp4_boxes(content, g, h):
+                                if t5 == b"stbl":
+                                    stbl_span = (i, j)
+            if handler != b"vide" or stbl_span is None:
+                continue
+            i, j = stbl_span
+            for t5, g, _h in _mp4_boxes(content, i, j):
+                if t5 == b"stsz":
+                    uniform = int.from_bytes(content[g + 4 : g + 8], "big")
+                    n = int.from_bytes(content[g + 8 : g + 12], "big")
+                    out["n_samples"] = n
+                    out["uniform"] = uniform
+                    if uniform == 0:
+                        out["sizes"] = [
+                            int.from_bytes(
+                                content[g + 12 + 4 * k : g + 16 + 4 * k], "big"
+                            )
+                            for k in range(n)
+                        ]
+                elif t5 == b"stss":
+                    n = int.from_bytes(content[g + 4 : g + 8], "big")
+                    out["keyframes"] = [
+                        int.from_bytes(
+                            content[g + 8 + 4 * k : g + 12 + 4 * k], "big"
+                        )
+                        for k in range(n)
+                    ]
+                elif t5 == b"stsc":
+                    n = int.from_bytes(content[g + 4 : g + 8], "big")
+                    out["stsc"] = [
+                        (
+                            int.from_bytes(content[g + 8 + 12 * k : g + 12 + 12 * k], "big"),
+                            int.from_bytes(content[g + 12 + 12 * k : g + 16 + 12 * k], "big"),
+                        )
+                        for k in range(n)
+                    ]
+                elif t5 in (b"stco", b"co64"):
+                    width = 4 if t5 == b"stco" else 8
+                    n = int.from_bytes(content[g + 4 : g + 8], "big")
+                    out["chunk_offsets"] = [
+                        int.from_bytes(
+                            content[g + 8 + width * k : g + 8 + width * (k + 1)],
+                            "big",
+                        )
+                        for k in range(n)
+                    ]
+            return out
+    return out
+
+
+def frame_sample_plan(content: bytes, k: int) -> list[dict]:
+    """Deterministic k-frame sampling plan for an MP4's video track —
+    the byte ranges a production decoder range-reads, computed from
+    the container's own index (the whole point of ISO-BMFF: sampling
+    frames never touches the codec stream).  Prefers KEYFRAMES (stss)
+    — the only samples decodable without their predecessors — taking
+    k evenly spaced ones (all samples when no stss: every sample is
+    sync, e.g. MJPEG).  Per pick: 1-based sample_idx, is_keyframe,
+    and (offset, size) from the standard stsc/stco/stsz walk — None
+    offsets when the container ships no chunk index (fragmented MP4;
+    production reads the moof run boxes the same way).  Pixel decode
+    of the picked ranges stays gated in ``codec_decoder``."""
+    t = _mp4_video_tables(content)
+    n = t["n_samples"]
+    if n == 0 or k <= 0:
+        return []
+    pool = t["keyframes"] if t["keyframes"] else list(range(1, n + 1))
+    pool = [s for s in pool if 1 <= s <= n]
+    if not pool:
+        return []
+    k = min(k, len(pool))
+    # evenly spaced picks, endpoints included (k=1 takes the first)
+    picks = sorted(
+        {pool[(i * (len(pool) - 1)) // max(k - 1, 1)] for i in range(k)}
+    )
+    sizes = t["sizes"] if t["sizes"] is not None else [t["uniform"]] * n
+    offsets: list = [None] * n
+    if t["chunk_offsets"] and t["stsc"]:
+        runs = t["stsc"]
+        n_chunks = len(t["chunk_offsets"])
+        sample = 0
+        for ri, (first_chunk, per_chunk) in enumerate(runs):
+            last_chunk = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+            )
+            for chunk in range(first_chunk, last_chunk + 1):
+                pos = t["chunk_offsets"][chunk - 1]
+                for _ in range(per_chunk):
+                    if sample >= n:
+                        break
+                    offsets[sample] = pos
+                    pos += sizes[sample]
+                    sample += 1
+    keyset = set(t["keyframes"] or ())
+    return [
+        {
+            "sample_idx": s,
+            "is_keyframe": bool(not keyset or s in keyset),
+            "offset": offsets[s - 1],
+            "size": sizes[s - 1],
+        }
+        for s in picks
+    ]
+
+
+_FRAME_PLAN_SCHEMA = (
+    "path string, sample_idx int, is_keyframe boolean,"
+    " offset long, size long"
+)
+
+
+def sample_frames(df, k: int):
+    """Spark surface: (path, content) binary frames -> one row per
+    planned frame (mapInPandas, Arrow-batched; the content column
+    never leaves the executor)."""
+    import pandas as pd
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                for p in frame_sample_plan(bytes(r["content"]), k):
+                    rows.append(
+                        (r["path"], p["sample_idx"], p["is_keyframe"],
+                         p["offset"], p["size"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "sample_idx", "is_keyframe", "offset", "size"],
+            )
+
+    return df.select("path", "content").mapInPandas(
+        plan, schema=_FRAME_PLAN_SCHEMA
+    )
+
 _MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 _MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 _MP3_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}

@@ -1332,3 +1332,72 @@ def test_dup_pressure_splits_within_and_cross_source(spark):
     clean = got["clean"]
     assert clean["n_near_dup_docs"] == 0
     assert clean["near_dup_rate"] == 0.0 and clean["cross_source_rate"] == 0.0
+
+
+def _build_mp4_indexed():
+    """MP4 with FULL sample tables: 6 samples sized 10..60, two chunks
+    of 3 at offsets 1000/2000 (stsc run), keyframes {1, 4}."""
+    import struct
+
+    sizes = [10, 20, 30, 40, 50, 60]
+    ts, dur_ms, w, h = 1000, 600, 64, 48
+    mvhd = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_ms) + bytes(80)
+    tkhd = (
+        bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", dur_ms) + bytes(8) + bytes(8) + bytes(36)
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    mdhd = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_ms) + bytes(4)
+    hdlr = bytes(8) + b"vide" + bytes(12)
+    stsd = bytes(4) + struct.pack(">I", 1) + struct.pack(">I", 16) + b"avc1" + bytes(8)
+    stsz = bytes(4) + struct.pack(">II", 0, len(sizes)) + b"".join(
+        struct.pack(">I", s) for s in sizes
+    )
+    stss = bytes(4) + struct.pack(">I", 2) + struct.pack(">II", 1, 4)
+    stsc = bytes(4) + struct.pack(">I", 1) + struct.pack(">III", 1, 3, 1)
+    stco = bytes(4) + struct.pack(">I", 2) + struct.pack(">II", 1000, 2000)
+    stbl = _box(
+        b"stbl",
+        _box(b"stsd", stsd) + _box(b"stsz", stsz) + _box(b"stss", stss)
+        + _box(b"stsc", stsc) + _box(b"stco", stco),
+    )
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", _box(b"mdhd", mdhd) + _box(b"hdlr", hdlr) + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom" + bytes(4) + b"isomavc1") + moov
+
+
+def test_frame_sample_plan_reads_container_index(spark):
+    from fiveg_spark.operators.multimodal import frame_sample_plan, sample_frames
+
+    content = _build_mp4_indexed()
+    # k=2 over keyframes {1,4}: exact byte ranges from the stsc/stco/
+    # stsz walk (chunk 1 @1000 holds s1-s3, chunk 2 @2000 holds s4-s6)
+    plan = frame_sample_plan(content, 2)
+    assert [(p["sample_idx"], p["offset"], p["size"]) for p in plan] == [
+        (1, 1000, 10),
+        (4, 2000, 40),
+    ]
+    assert all(p["is_keyframe"] for p in plan)
+    # k beyond the keyframe count clamps to the pool
+    assert len(frame_sample_plan(content, 10)) == 2
+
+    # the legacy builder ships no stco/stsc: indices still plan, byte
+    # ranges honestly None (fragmented-MP4 class)
+    bare = _build_mp4(n_samples=5, n_keyframes=0)
+    plan2 = frame_sample_plan(bare, 3)
+    assert [p["sample_idx"] for p in plan2] == [1, 3, 5]
+    assert all(p["offset"] is None for p in plan2)
+    assert all(p["is_keyframe"] for p in plan2)  # no stss: all sync
+
+    # Spark surface: one row per planned frame, content stays executor-side
+    df = spark.createDataFrame(
+        [("a.mp4", bytearray(content)), ("b.mp4", bytearray(bare))],
+        "path string, content binary",
+    )
+    rows = {(r["path"], r["sample_idx"]): r.asDict()
+            for r in sample_frames(df, 2).collect()}
+    assert rows[("a.mp4", 1)]["offset"] == 1000
+    assert rows[("a.mp4", 4)]["size"] == 40
+    assert ("b.mp4", 1) in rows and rows[("b.mp4", 1)]["offset"] is None
