@@ -941,6 +941,86 @@ def stdlib_decoder(content: bytes, kind: str) -> np.ndarray:
     return out
 
 
+
+def decode_image(content: bytes, kind: str = "image") -> np.ndarray:
+    """Raw PIXEL decode router over the stdlib decoders (netpbm / PNG /
+    baseline JPEG by magic bytes) — the input side of resize/thumbnail
+    work, where ``stdlib_decoder`` emits summary features instead."""
+    if content[:2] in (b"P5", b"P6"):
+        return decode_netpbm(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        return decode_jpeg(content)
+    raise ValueError("not a decodable still image")
+
+
+_RESIZE_SCHEMA = (
+    "media_id long, in_height int, in_width int, out_height int,"
+    " out_width int, channels int, pixels array<int>"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    out_h: int,
+    out_w: int,
+    decoder: Callable[[bytes, str], np.ndarray] = None,
+    batch_rows: int = 64,
+) -> DataFrame:
+    """binary image column → fixed-size pixel grids (the thumbnail /
+    input-normalization step every vision-pretraining pipeline runs
+    between decode and featurize).  Decode uses the REAL stdlib
+    decoders by default (PNG / netpbm / baseline JPEG); resampling is
+    the pure-numpy nearest-neighbour kernel (``resize_nn``).  Output
+    rows carry the original and target geometry plus the row-major
+    uint8 pixel array — small by construction (out_h·out_w·C ints),
+    so the frame stays shuffle-friendly however large the inputs.
+    Arrow-batched mapInPandas with an inner ``batch_rows`` bound keeps
+    executor memory flat (the extract_features discipline); undecodable
+    blobs drop with their media_id preserved in the error channel a
+    production caller would union (here: simply absent, the A6
+    quarantine doctrine applied row-wise).
+    """
+    use_decoder = decoder or decode_image
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_rows):
+                part = pdf.iloc[lo : lo + batch_rows]
+                rows = []
+                for media_id, content, kind in zip(
+                    part["media_id"], part["content"], part["kind"]
+                ):
+                    try:
+                        img = use_decoder(bytes(content), kind)
+                    except (ValueError, NotImplementedError):
+                        continue  # quarantine class: skip, never crash
+                    if img.ndim == 1:
+                        continue  # audio/features: not an image
+                    small = resize_nn(img, out_h, out_w)
+                    ch = 1 if small.ndim == 2 else small.shape[2]
+                    rows.append(
+                        (
+                            int(media_id),
+                            int(img.shape[0]),
+                            int(img.shape[1]),
+                            out_h,
+                            out_w,
+                            ch,
+                            [int(v) for v in np.asarray(small).reshape(-1)],
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "in_height", "in_width",
+                        "out_height", "out_width", "channels", "pixels",
+                    ],
+                )
+
+    return media.mapInPandas(work, schema=_RESIZE_SCHEMA)
+
 def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes, str], np.ndarray] = deterministic_fake_decoder,

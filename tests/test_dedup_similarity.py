@@ -1401,3 +1401,31 @@ def test_frame_sample_plan_reads_container_index(spark):
     assert rows[("a.mp4", 1)]["offset"] == 1000
     assert rows[("a.mp4", 4)]["size"] == 40
     assert ("b.mp4", 1) in rows and rows[("b.mp4", 1)]["offset"] is None
+
+
+def test_resize_images_surface_decodes_and_downsamples(spark):
+    from fiveg_spark.operators.multimodal import resize_images
+
+    # 4x2 P6 with a left-black / right-white split: 2x2 nearest-
+    # neighbour picks one pixel per quadrant deterministically
+    pixels = bytes([0, 0, 0] * 2 + [255, 255, 255] * 2) * 2
+    ppm = b"P6\n4 2\n255\n" + pixels
+    rows = [
+        (1, "image", "ppm", bytearray(ppm), None),
+        (2, "image", "bin", bytearray(b"not an image"), None),  # quarantined
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, format string, content binary,"
+        " meta struct<width:int,height:int,duration_ms:int,sample_rate:int>",
+    )
+    got = resize_images(df, 2, 2).collect()
+    assert len(got) == 1  # the junk blob dropped, not crashed
+    r = got[0].asDict()
+    assert (r["in_height"], r["in_width"]) == (2, 4)
+    assert (r["out_height"], r["out_width"], r["channels"]) == (2, 2, 3)
+    px = r["pixels"]
+    assert len(px) == 2 * 2 * 3
+    # left column black, right column white in BOTH output rows
+    assert px[0:3] == [0, 0, 0] and px[3:6] == [255, 255, 255]
+    assert px[6:9] == [0, 0, 0] and px[9:12] == [255, 255, 255]
