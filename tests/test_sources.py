@@ -520,3 +520,60 @@ def test_read_evolved_conforms_versions_and_quarantines_conflicts(
     empty, bad2 = read_evolved(spark, solo, target)
     assert empty.count() == 0 and len(bad2) == 1
     assert empty.schema == target
+
+
+def test_manifest_write_verify_and_tamper_detection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.sources.manifest import (
+        build_manifest,
+        load_verified,
+        verify_manifest,
+        write_with_manifest,
+    )
+
+    path = str(tmp_path / "table")
+    df = spark.range(0, 500).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 7).cast("double").alias("value"),
+    )
+    m = write_with_manifest(df, path)
+    assert m["n_rows"] == 500 and m["n_files"] >= 1
+    # footer statistics carry the value range
+    assert m["column_ranges"]["event_id"] == [0, 499]
+    assert m["column_ranges"]["value"] == [0.0, 6.0]
+
+    ok, reason = verify_manifest(path)
+    assert ok, reason
+    assert load_verified(spark, path).count() == 500
+
+    # tamper 1: a foreign file lands in the directory
+    foreign = None
+    spark.range(1).select(F.col("id").alias("event_id"),
+                          F.lit(1.0).alias("value")) \
+        .coalesce(1).write.mode("append").parquet(path)
+    ok, reason = verify_manifest(path)
+    assert not ok and "foreign" in reason
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_verified(spark, path)
+
+    # tamper 2: rewriting the data without re-stamping fails closed
+    path2 = str(tmp_path / "t2")
+    write_with_manifest(df, path2)
+    import os
+
+    victim = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(path2)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.remove(victim)
+    ok, reason = verify_manifest(path2)
+    assert not ok and "missing" in reason
+
+    # re-stamping after a legitimate rewrite heals it
+    m2 = write_with_manifest(df, path2)
+    assert verify_manifest(path2)[0] and m2["n_rows"] == 500
