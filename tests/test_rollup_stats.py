@@ -204,3 +204,46 @@ def test_bloom_membership_no_false_negatives_and_estimate(spark):
     # probes from A's range are absent in B's filter: with 20·3 bits in
     # 4096 the per-probe FP chance is ~3e-6, so zero FPs expected
     assert got["B"]["fp_count"] == 0
+
+
+def test_littles_law_two_paths_agree_and_invalids_drop(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.rollup_stats import _littles_law_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def day(n):
+        return t0 + dt.timedelta(days=n)
+
+    orders = [
+        (1, day(0)),   # ships day 10: sojourn 10d
+        (2, day(1)),   # ships day 5:  sojourn 4d
+        (3, day(2)),   # ships day 2:  zero-length -> invalid, dropped
+        (4, day(3)),   # ships day 1:  inverted -> invalid, dropped
+    ]
+    spark.createDataFrame(
+        [(k, 0, "O", 1.0, d, "1-URGENT") for k, d in orders],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).createOrReplaceTempView("orders")
+    ships = {1: day(10), 2: day(5), 3: day(2), 4: day(1)}
+    spark.createDataFrame(
+        [(k, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", s)
+         for k, s in ships.items()],
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INT, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag STRING,"
+        " l_linestatus STRING, l_shipdate TIMESTAMP",
+    ).createOrReplaceTempView("lineitem")
+
+    (r,) = run_parts(spark, _littles_law_parts).collect()
+    assert r["n_orders"] == 2 and r["n_invalid_intervals"] == 2
+    assert r["span_days"] == 10.0
+    # lambda = 2/10, W = (10+4)/2 = 7 -> L = 1.4 from the sojourn sum
+    assert r["lambda_per_day"] == 0.2 and r["w_days"] == 7.0
+    assert r["l_direct"] == 1.4
+    # sweep integral: WIP 1 on [0,1), 2 on [1,5), 1 on [5,10) -> 14/10
+    assert r["l_sweep"] == 1.4
+    assert r["littles_law_ok"] is True
