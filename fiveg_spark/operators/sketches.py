@@ -338,6 +338,22 @@ BLOOM_K = 3  # hash functions
 _BLOOM_ABSENT = tuple(range(-1, -21, -1))  # ids guaranteed off-corpus
 
 
+def bloom_bucket_expr(expr: str, j: str) -> str:
+    """Shared md5 bucket position (dialect-identical integer digit
+    arithmetic) — C71's batch sketch and B23's streaming sink derive
+    bits from THIS one builder, so their stores interoperate."""
+    h8 = (
+        f"substring(md5(concat('bf', CAST({j} AS STRING), '#',"
+        f" CAST({expr} AS STRING))), 1, 8)"
+    )
+    digits = " + ".join(
+        f"CAST(instr('0123456789abcdef', substring({h8}, {i}, 1)) - 1 AS BIGINT)"
+        f" * CAST({16 ** (8 - i)} AS BIGINT)"
+        for i in range(1, 9)
+    )
+    return f"(({digits}) % {BLOOM_M})"
+
+
 def _bloom_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C71 — Bloom-filter membership sketch entirely in SQL (Bloom 1970;
     # Swamidass & Baldi 2007 for the fill-ratio cardinality estimate):
@@ -360,17 +376,7 @@ def _bloom_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # (materialized: bits, probes, membership witnesses and exact counts
     # all derive from it); everything downstream is |types|·m bits and
     # |types|·|probes| rows — broadcast-sized at any corpus.
-    def bucket(expr: str, j: str) -> str:
-        h8 = (
-            f"substring(md5(concat('bf', CAST({j} AS STRING), '#',"
-            f" CAST({expr} AS STRING))), 1, 8)"
-        )
-        digits = " + ".join(
-            f"CAST(instr('0123456789abcdef', substring({h8}, {i}, 1)) - 1 AS BIGINT)"
-            f" * CAST({16 ** (8 - i)} AS BIGINT)"
-            for i in range(1, 9)
-        )
-        return f"(({digits}) % {BLOOM_M})"
+    bucket = bloom_bucket_expr
 
     if d == "spark":
         js = "SELECT explode(array(0, 1, 2)) AS j"
