@@ -537,6 +537,87 @@ def _session_stats_sql(d: str) -> str:
     """
 
 
+
+def _growth_accounting_sql(d: str) -> str:
+    # C90 -- weekly growth accounting (the new/retained/resurrected/
+    # churned ledger -- the standard decomposition every growth team
+    # reads before quoting an "active users" move; C23's cohort grid
+    # shows WHERE retention decays, this shows WHAT composed each
+    # week's total).  Calendar weeks via the shared integer-epoch
+    # arithmetic (epoch day 0 = Thursday, +3 => Monday-start weeks --
+    # the D47 landmine).  Per (user, active week):
+    #   new          first active week
+    #   retained     also active the immediately previous week
+    #   resurrected  seen before, but skipped >= 1 week
+    # churned_w = active_{w-1} - retained_w (users who did not carry
+    # over), with the missing-week guard: a calendar week absent from
+    # the rollup contributes zero actives, not the previous ROW's.
+    # The ledger identity active = new + retained + resurrected is
+    # exact BY CONSTRUCTION and ships as a certified boolean; the
+    # quick ratio (new+resurrected)/churned reports 0 on churn-free
+    # weeks (the dbl convention).
+    #
+    # Scale: one events scan -> distinct (user, week) -> one user-
+    # partitioned lag -> <=|weeks| rollup + one week-ordered lag.
+    week = f"CAST(floor((floor({epoch('ts', d)} / 86400.0) + 3) / 7.0) AS BIGINT)"
+    return f"""
+    WITH uw AS (
+      SELECT DISTINCT user_id, {week} AS week_idx
+      FROM events
+    ),
+    classed AS (
+      SELECT
+        user_id,
+        week_idx,
+        min(week_idx) OVER (PARTITION BY user_id) AS first_week,
+        lag(week_idx) OVER (PARTITION BY user_id ORDER BY week_idx)
+          AS prev_active
+      FROM uw
+    ),
+    weekly AS (
+      SELECT
+        week_idx,
+        count(*) AS active,
+        sum(CASE WHEN week_idx = first_week THEN 1 ELSE 0 END) AS new_users,
+        sum(CASE WHEN week_idx > first_week
+                  AND prev_active = week_idx - 1 THEN 1 ELSE 0 END)
+          AS retained,
+        sum(CASE WHEN week_idx > first_week
+                  AND prev_active < week_idx - 1 THEN 1 ELSE 0 END)
+          AS resurrected
+      FROM classed
+      GROUP BY week_idx
+    ),
+    ledger AS (
+      SELECT
+        week_idx,
+        active,
+        new_users,
+        retained,
+        resurrected,
+        CASE WHEN lag(week_idx) OVER (ORDER BY week_idx) = week_idx - 1
+             THEN lag(active) OVER (ORDER BY week_idx) - retained
+             ELSE 0 END AS churned
+      FROM weekly
+    )
+    SELECT
+      {cnt("week_idx", "week_idx")},
+      {cnt("active", "active_users")},
+      {cnt("new_users", "new_users")},
+      {cnt("retained", "retained")},
+      {cnt("resurrected", "resurrected")},
+      {cnt("churned", "churned")},
+      active = new_users + retained + resurrected AS ledger_ok,
+      {dbl(
+          "CASE WHEN churned > 0"
+          " THEN (new_users + resurrected) / CAST(churned AS DOUBLE) END",
+          "quick_ratio",
+      )}
+    FROM ledger
+    ORDER BY week_idx
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
@@ -556,4 +637,7 @@ QUERIES = [
     # deferred sorts it behind the 50 never-certified names
     # (certifies in round 8)
     sql_backed("session_stats", _session_stats_sql, ("events",), deferred=True),
+    sql_backed(
+        "growth_accounting", _growth_accounting_sql, ("events",), deferred=True,
+    ),
 ]

@@ -297,6 +297,7 @@ def _event_sql_fns():
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
     from fiveg_spark.operators.behavior import (
+        _growth_accounting_sql,
         _session_paths_sql,
         _session_stats_sql,
         _transition_matrix_sql,
@@ -422,6 +423,10 @@ def _event_sql_fns():
         # corpora hit the global NULL -> 0.0 convention, DECIMAL
         # indicator landmine on the single-session share
         "session_stats": _session_stats_sql,
+        # ledger identity + quick-ratio: churn-free weeks hit the
+        # NULL -> 0.0 convention, single-week streams have no lag row,
+        # calendar gaps exercise the missing-week churn guard
+        "growth_accounting": _growth_accounting_sql,
         # LOO weekday-mean ratio: single-sample weekdays hit the
         # dow_n >= 2 null guard, rounded ratio at the 0.5/2.0 edges
         "calendar_outlier_days": _calendar_outlier_sql,

@@ -1013,3 +1013,39 @@ def test_mann_kendall_scipy_free_cross_check_and_trend_tags(spark):
     flat = got["mMTC"]
     assert flat["s_stat"] == 0 and flat["z_score"] == 0.0
     assert flat["trend"] == "none" and flat["significant"] is False
+
+
+def test_growth_accounting_ledger_on_planted_lifecycle(spark):
+    import datetime as dt
+
+    from fiveg_spark.operators.behavior import _growth_accounting_sql
+
+    # Monday-anchored weeks.  Users: A active wk 0,1,2 (new, then
+    # retained twice); B active wk 0 then RESURRECTS wk 2; C active
+    # wk 0 only (churns at wk 1); D joins wk 1 and churns at wk 2.
+    t0 = dt.datetime(2024, 3, 4, 10)
+    plan = {"A": (0, 1, 2), "B": (0, 2), "C": (0,), "D": (1,)}
+    uid = {"A": 0, "B": 1, "C": 2, "D": 3}
+    rows, eid = [], 0
+    for name, weeks in plan.items():
+        for w in weeks:
+            rows.append(
+                (eid, t0 + dt.timedelta(weeks=w), "view", uid[name], 1.0, "{}")
+            )
+            eid += 1
+    _events_from(spark, rows)
+    got = {r["week_idx"] - min(rr["week_idx"] for rr in _g): r.asDict()
+           for _g in [spark.sql(_growth_accounting_sql("spark")).collect()]
+           for r in _g}
+
+    w0, w1, w2 = got[0], got[1], got[2]
+    assert (w0["active_users"], w0["new_users"]) == (3, 3)
+    assert w0["churned"] == 0
+    assert (w1["active_users"], w1["new_users"], w1["retained"]) == (2, 1, 1)
+    assert w1["churned"] == 2  # B and C dropped off week 0's actives
+    assert (w2["active_users"], w2["retained"], w2["resurrected"]) == (2, 1, 1)
+    assert w2["churned"] == 1  # D
+    assert all(r["ledger_ok"] for r in got.values())
+    # quick ratio wk2: (0 new + 1 resurrected) / 1 churned = 1.0
+    assert w2["quick_ratio"] == 1.0
+    assert w0["quick_ratio"] == 0.0  # churn-free week: the 0.0 convention
