@@ -823,6 +823,70 @@ def _incremental_minhash_sql(d: str) -> str:
 
 
 
+
+def _dup_spectrum_sql(d: str) -> str:
+    # E80 -- the duplication SPECTRUM: the cluster-SIZE distribution of
+    # E1's exact content-hash groups (same md5(lower(text)) convention,
+    # so the spectrum describes exactly the clusters E1 deduplicates).
+    # The curation question E1's flat keep-list can't answer: is
+    # duplication a few mega-clusters (one boilerplate page copied
+    # everywhere -- cheap to kill, huge token savings) or a long tail
+    # of pairs (pair-level machinery required)?  Per cluster size:
+    # number of clusters, docs carried, share of the corpus, and the
+    # REDUNDANT share (docs beyond each cluster's keeper -- what E1
+    # would remove); plus the log-log size-frequency slope (the
+    # Zipf-of-duplication exponent, E46's discipline: <3 distinct
+    # sizes reports 0).
+    #
+    # Scale: one corpus scan -> hash groupBy -> <=|distinct sizes|
+    # rows; every later stage is histogram-sized.  Rounding before ln
+    # (PSI discipline) keeps both engines' regression inputs identical.
+    return f"""
+    WITH clusters AS (
+      SELECT md5(lower(text)) AS h, count(*) AS sz
+      FROM documents
+      GROUP BY md5(lower(text))
+    ),
+    hist AS (
+      SELECT sz, count(*) AS n_clusters, sum(sz) AS n_docs
+      FROM clusters
+      GROUP BY sz
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS total_docs FROM hist
+    ),
+    fit AS (
+      SELECT
+        count(*) AS k,
+        avg(lx) AS mx,
+        avg(ly) AS my,
+        sum(lx * ly) AS sxy,
+        sum(lx * lx) AS sxx
+      FROM (
+        SELECT
+          round(ln(CAST(sz AS DOUBLE)) + {NUDGE}, 6) + 0.0 AS lx,
+          round(ln(CAST(n_clusters AS DOUBLE)) + {NUDGE}, 6) + 0.0 AS ly
+        FROM hist
+      ) pts
+    )
+    SELECT
+      {cnt("h.sz", "cluster_size")},
+      {cnt("h.n_clusters", "n_clusters")},
+      {cnt("h.n_docs", "n_docs")},
+      {dbl("h.n_docs / CAST(t.total_docs AS DOUBLE)", "corpus_share")},
+      {dbl("(h.n_docs - h.n_clusters) / CAST(t.total_docs AS DOUBLE)",
+           "redundant_share")},
+      {dbl(
+          "CASE WHEN f.k >= 3 AND f.sxx - f.k * f.mx * f.mx > 0"
+          " THEN (f.sxy - f.k * f.mx * f.my)"
+          " / (f.sxx - f.k * f.mx * f.mx) ELSE 0.0 END",
+          "spectrum_slope",
+      )}
+    FROM hist h CROSS JOIN tot t CROSS JOIN fit f
+    ORDER BY h.sz
+    """
+
+
 def _dup_pressure_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E79 -- per-source near-duplication pressure (the "which source is
     # parasitic" rollup a mixing pass reads next to E26/E52: a source
@@ -918,4 +982,6 @@ QUERIES = [
         "dup_pressure_by_source", _dup_pressure_parts, ("documents",),
         deferred=True,
     ),
+    sql_backed("dup_cluster_spectrum", _dup_spectrum_sql, ("documents",),
+               deferred=True),
 ]

@@ -1429,3 +1429,40 @@ def test_resize_images_surface_decodes_and_downsamples(spark):
     # left column black, right column white in BOTH output rows
     assert px[0:3] == [0, 0, 0] and px[3:6] == [255, 255, 255]
     assert px[6:9] == [0, 0, 0] and px[9:12] == [255, 255, 255]
+
+
+def test_dup_spectrum_histogram_shares_and_slope(spark):
+    import numpy as np
+
+    from fiveg_spark.operators.dedup import _dup_spectrum_sql
+
+    # 8 singletons, two pairs, one 4-cluster -> 16 docs
+    rows, did = [], 0
+    for i in range(8):
+        rows.append((did, f"unique document number {i} here", "en", "s", 0))
+        did += 1
+    for i in range(2):
+        for _ in range(2):
+            rows.append((did, f"paired text {i}", "en", "s", 0)); did += 1
+    for _ in range(4):
+        rows.append((did, "the big boilerplate block", "en", "s", 0)); did += 1
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("documents")
+    got = {r["cluster_size"]: r.asDict()
+           for r in spark.sql(_dup_spectrum_sql("spark")).collect()}
+
+    assert got[1]["n_clusters"] == 8 and got[1]["n_docs"] == 8
+    assert got[2]["n_clusters"] == 2 and got[2]["n_docs"] == 4
+    assert got[4]["n_clusters"] == 1 and got[4]["n_docs"] == 4
+    assert got[1]["corpus_share"] == 0.5
+    assert got[1]["redundant_share"] == 0.0  # singletons carry no waste
+    assert got[2]["redundant_share"] == 0.125  # (4-2)/16
+    assert got[4]["redundant_share"] == 0.1875  # (4-1)/16
+
+    # slope matches an independent numpy fit on the same rounded points
+    lx = np.round(np.log([1.0, 2.0, 4.0]) + 1e-9, 6)
+    ly = np.round(np.log([8.0, 2.0, 1.0]) + 1e-9, 6)
+    slope = np.polyfit(lx, ly, 1)[0]
+    assert abs(got[1]["spectrum_slope"] - round(slope, 4)) < 2e-4
+    assert got[1]["spectrum_slope"] < -1.0  # steep: tail-dominated corpus

@@ -87,6 +87,7 @@ def _more_doc_sql_fns():
         _lang_id_sql,
         _token_counts_sql,
     )
+    from fiveg_spark.operators.dedup import _dup_spectrum_sql
     from fiveg_spark.operators.text_stats import (
         _bigram_ppl_sql,
         _ngram_novelty_sql,
@@ -126,6 +127,10 @@ def _more_doc_sql_fns():
         # the greatest() guard, under-3-token docs the CASE 0 branch,
         # shingle-free sources the compression = 1.0 convention
         "token_fertility": _token_fertility_sql,
+        # histogram shares + log-log regression: duplicate-free tiny
+        # corpora give ONE spectrum point (k < 3 -> slope 0), whole-
+        # corpus clones give a single non-1 size class
+        "dup_cluster_spectrum": _dup_spectrum_sql,
     }
 
 
