@@ -807,9 +807,22 @@ ORDER BY slice, lambda
 ORDER_CANDIDATES = (1, 2, 3)
 
 
+_ORDER_CACHE: dict = {}
+
+
 def _order_criteria(spark: SparkSession, sf_dir: str):
     """One fit, shared by the cert rows and the selection surface:
-    per slice -> (n, {p: (aic, bic, sse, logdet, m_params)})."""
+    per slice -> (n, {p: (aic, bic, sse, logdet, m_params)}).
+
+    Memoized per (session, sf_dir): var_order_cert followed by
+    select_var_order — the documented pairing — must not pay the
+    feature scan + lag design + Gram collect twice for identical
+    results (the r7 self-review measured exactly that).  The testdata
+    directories are immutable; a caller recomputing over mutated data
+    clears _ORDER_CACHE explicitly."""
+    key = (id(spark), sf_dir)
+    if key in _ORDER_CACHE:
+        return _ORDER_CACHE[key]
     from fiveg_spark.ml.var import collect_gram, lag_design, normal_equations
 
     scaled, _ = robust_scale(feature_frame(spark, sf_dir))
@@ -859,6 +872,7 @@ def _order_criteria(spark: SparkSession, sf_dir: str):
             bic = logdet + np.log(max(n, 2)) * m_params / max(n, 1)
             crits[p] = (aic, bic, sse, logdet, m_params)
         out[r["slice"]] = (n, crits)
+    _ORDER_CACHE[key] = out
     return out
 
 

@@ -430,8 +430,10 @@ def _session_paths_sql(d: str) -> str:
     # vs "view>purchase>view" are different funnels even though their
     # transition matrices match).  Sessionize per user on a 30-min gap
     # (shared _session_ctes), then two leads INSIDE the session emit
-    # each trigram, one hash-agg counts them, and the top 15 paths
-    # ship with their share of all trigrams.
+    # each trigram, one hash-agg counts OCCURRENCES (a 10-event
+    # session contributes 8 trigram rows — the column is
+    # n_occurrences, NOT a session count), and the top 15 paths ship
+    # with their share of all trigrams.
     #
     # Scale: one events scan; the gap flag, cumsum, and both leads all
     # ride ONE user_id-partitioned sort (Catalyst collapses the window
@@ -467,7 +469,7 @@ def _session_paths_sql(d: str) -> str:
     SELECT
       CAST(rk AS INT) AS rank,
       path,
-      {cnt("n", "n_sessions_path")},
+      {cnt("n", "n_occurrences")},
       {dbl("n / CAST(total AS DOUBLE)", "share")}
     FROM ranked
     WHERE rk <= 15
@@ -550,8 +552,11 @@ def _growth_accounting_sql(d: str) -> str:
     #   retained     also active the immediately previous week
     #   resurrected  seen before, but skipped >= 1 week
     # churned_w = active_{w-1} - retained_w (users who did not carry
-    # over), with the missing-week guard: a calendar week absent from
-    # the rollup contributes zero actives, not the previous ROW's.
+    # over).  The ledger runs over a COMPLETE calendar-week spine
+    # (min..max active week): a week with zero activity still emits a
+    # row, because that is exactly the week the whole previous cohort
+    # churned -- a rollup over active weeks only would report the
+    # worst churn event in NO row (caught by the r7 self-review).
     # The ledger identity active = new + retained + resurrected is
     # exact BY CONSTRUCTION and ships as a certified boolean; the
     # quick ratio (new+resurrected)/churned reports 0 on churn-free
@@ -560,6 +565,14 @@ def _growth_accounting_sql(d: str) -> str:
     # Scale: one events scan -> distinct (user, week) -> one user-
     # partitioned lag -> <=|weeks| rollup + one week-ordered lag.
     week = f"CAST(floor((floor({epoch('ts', d)} / 86400.0) + 3) / 7.0) AS BIGINT)"
+    if d == "spark":
+        spine = ("SELECT explode(sequence(w0, w1)) AS week_idx "
+                 "FROM (SELECT min(week_idx) AS w0, max(week_idx) AS w1 "
+                 "FROM weekly) b")
+    else:
+        spine = ("SELECT unnest(generate_series(w0, w1)) AS week_idx "
+                 "FROM (SELECT min(week_idx) AS w0, max(week_idx) AS w1 "
+                 "FROM weekly) b")
     return f"""
     WITH uw AS (
       SELECT DISTINCT user_id, {week} AS week_idx
@@ -588,6 +601,17 @@ def _growth_accounting_sql(d: str) -> str:
       FROM classed
       GROUP BY week_idx
     ),
+    spine AS ({spine}),
+    full_weeks AS (
+      SELECT
+        s.week_idx,
+        coalesce(w.active, 0) AS active,
+        coalesce(w.new_users, 0) AS new_users,
+        coalesce(w.retained, 0) AS retained,
+        coalesce(w.resurrected, 0) AS resurrected
+      FROM spine s
+      LEFT JOIN weekly w ON w.week_idx = s.week_idx
+    ),
     ledger AS (
       SELECT
         week_idx,
@@ -595,10 +619,10 @@ def _growth_accounting_sql(d: str) -> str:
         new_users,
         retained,
         resurrected,
-        CASE WHEN lag(week_idx) OVER (ORDER BY week_idx) = week_idx - 1
-             THEN lag(active) OVER (ORDER BY week_idx) - retained
-             ELSE 0 END AS churned
-      FROM weekly
+        coalesce(
+          lag(active) OVER (ORDER BY week_idx) - retained, 0
+        ) AS churned
+      FROM full_weeks
     )
     SELECT
       {cnt("week_idx", "week_idx")},

@@ -302,7 +302,11 @@ def frame_sample_plan(content: bytes, k: int) -> list[dict]:
             last_chunk = (
                 runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
             )
-            for chunk in range(first_chunk, last_chunk + 1):
+            # corrupt stsc entries can point past the real chunk list
+            # (truncated stco): clamp instead of IndexError-ing the
+            # whole mapInPandas stage on one bad container
+            last_chunk = min(last_chunk, n_chunks)
+            for chunk in range(max(first_chunk, 1), last_chunk + 1):
                 pos = t["chunk_offsets"][chunk - 1]
                 for _ in range(per_chunk):
                     if sample >= n:
@@ -989,12 +993,24 @@ def resize_images(
             for lo in range(0, len(pdf), batch_rows):
                 part = pdf.iloc[lo : lo + batch_rows]
                 rows = []
+                import struct as _struct
+                import zlib as _zlib
+
                 for media_id, content, kind in zip(
                     part["media_id"], part["content"], part["kind"]
                 ):
                     try:
                         img = use_decoder(bytes(content), kind)
-                    except (ValueError, NotImplementedError):
+                    except (
+                        ValueError,
+                        NotImplementedError,
+                        # decode_png lets inflate/unpack errors escape
+                        # raw (decode_jpeg wraps them): a truncated
+                        # IDAT must quarantine, not kill the stage
+                        _zlib.error,
+                        _struct.error,
+                        IndexError,
+                    ):
                         continue  # quarantine class: skip, never crash
                     if img.ndim == 1:
                         continue  # audio/features: not an image

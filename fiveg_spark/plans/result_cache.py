@@ -17,9 +17,13 @@ must miss).  The key here is semantic and snapshot-aware:
 
 A hit reads ONLY the cached parquet (no fact access — pytest asserts
 the returned frame's input files all live under the cache dir); a miss
-computes once and persists via write-to-temp + atomic ``os.replace``
-so concurrent writers can race safely (one wins the rename, both
-results are identical by construction).
+computes once and persists via a PER-WRITER temp dir + atomic
+``os.replace`` — racing writers each own a private temp (a shared
+temp name would let writer B rmtree writer A's just-finished output
+mid-rename and install a half-written entry forever), the first
+rename wins, the loser detects the installed entry and discards its
+copy; identical results by construction either way.  Crashed-writer
+temp leftovers are bounded garbage that ``evict`` sweeps.
 
 This composes with the rest of the repo's artifact doctrine (E20's
 persisted IVF centroids, A17's postings index): derived data is a
@@ -33,6 +37,7 @@ from __future__ import annotations
 import hashlib
 import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -82,12 +87,13 @@ def cached(spark: SparkSession, df: DataFrame, store: str) -> DataFrame:
     if os.path.isdir(path):
         os.utime(path)  # LRU touch for evict()
         return spark.read.parquet(path)
-    tmp = path + ".inprogress"
-    shutil.rmtree(tmp, ignore_errors=True)  # stale crash leftover
+    # per-writer temp: racing writers must never share a temp name
+    tmp = f"{path}.{uuid.uuid4().hex}.inprogress"
     df.write.mode("overwrite").parquet(tmp)
     try:
-        os.replace(tmp, path)  # atomic: one concurrent writer wins
+        os.replace(tmp, path)  # atomic: first rename installs
     except OSError:
+        # a concurrent writer installed the entry first: discard ours
         shutil.rmtree(tmp, ignore_errors=True)
         if not os.path.isdir(path):
             raise
@@ -103,12 +109,17 @@ def evict(store: str, keep: int) -> int:
     the number evicted."""
     if not os.path.isdir(store):
         return 0
-    entries = [
-        (os.path.getmtime(os.path.join(store, name)), name)
-        for name in os.listdir(store)
-        if os.path.isdir(os.path.join(store, name))
-        and not name.endswith(".inprogress")
-    ]
+    entries = []
+    for name in os.listdir(store):
+        full = os.path.join(store, name)
+        if not os.path.isdir(full):
+            continue
+        if name.endswith(".inprogress"):
+            # crashed-writer leftover: sweep it (active writers hold
+            # fresh temps only for the duration of one job)
+            shutil.rmtree(full, ignore_errors=True)
+            continue
+        entries.append((os.path.getmtime(full), name))
     entries.sort(reverse=True)
     victims = entries[keep:]
     for _, name in victims:

@@ -54,17 +54,28 @@ def _file_entries(path: str) -> list[dict]:
 
 
 def _schema_fingerprint(path: str) -> str:
+    """md5 over the SORTED SET of per-file schema signatures — every
+    file contributes (a first-file-only fingerprint would miss drift
+    confined to later files, and os.walk's directory order is not
+    deterministic across filesystems)."""
     import pyarrow.parquet as pq
 
+    sigs = set()
     for root, _dirs, files in os.walk(path):
-        for name in sorted(files):
+        for name in files:
             if name.endswith(".parquet"):
                 schema = pq.read_schema(os.path.join(root, name))
-                sig = ",".join(
-                    f"{f.name}:{f.type}" for f in sorted(schema, key=lambda f: f.name)
+                sigs.add(
+                    ",".join(
+                        f"{f.name}:{f.type}"
+                        for f in sorted(schema, key=lambda f: f.name)
+                    )
                 )
-                return hashlib.md5(sig.encode()).hexdigest()
-    return hashlib.md5(b"").hexdigest()
+    h = hashlib.md5()
+    for sig in sorted(sigs):
+        h.update(sig.encode())
+        h.update(b";")
+    return h.hexdigest()
 
 
 def _column_ranges(path: str) -> dict:

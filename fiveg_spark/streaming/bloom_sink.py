@@ -32,20 +32,13 @@ cardinality estimate read bits only, never the stream.
 
 from __future__ import annotations
 
-import math
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fiveg_spark.operators.sketches import BLOOM_K, BLOOM_M, bloom_bucket_expr
-
-
-def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
+from fiveg_spark.streaming.store_guard import is_replay
 
 
 def _bits_frame(df: DataFrame) -> DataFrame:
@@ -67,15 +60,8 @@ def foreach_batch_bloom(path: str) -> Callable[[DataFrame, int], None]:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if _has_parquet(path):
-            top = (
-                spark.read.parquet(path)
-                .agg(F.max("batch_id").alias("m"))
-                .head()["m"]
-            )
-            if top is not None and batch_id <= top:
-                return  # replayed batch: write saved (union is
-                # idempotent regardless)
+        if is_replay(spark, path, batch_id):
+            return  # replayed batch: already appended
         _bits_frame(batch_df).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         ).write.mode("append").parquet(path)

@@ -28,11 +28,12 @@ cardinality, never by stream length.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from fiveg_spark.streaming.store_guard import has_parquet as _has_parquet
 
 K_SLACK = 0.5  # reference-sigma slack per step (detects >~1-sigma shifts)
 H_DECISION = 4.0  # decision interval
@@ -55,11 +56,6 @@ def fit_reference_stats(
         r[key_col]: (float(r["mu"]), max(float(r["sd"]), 1e-9)) for r in rows
     }
 
-
-def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
 
 
 def foreach_batch_cusum(

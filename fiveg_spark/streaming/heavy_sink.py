@@ -39,11 +39,12 @@ the summary stays KBs — the asymmetry that makes the family work.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from fiveg_spark.streaming.store_guard import has_parquet as _has_parquet
 from pyspark.sql.window import Window
 
 HH_M = 16  # per-batch candidates kept per event_type
@@ -53,11 +54,6 @@ _STORE_SCHEMA = (
     " kind STRING, batch_id BIGINT"
 )
 
-
-def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
 
 
 def foreach_batch_heavy(path: str, m: int = HH_M) -> Callable[[DataFrame, int], None]:

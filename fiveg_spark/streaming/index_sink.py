@@ -31,7 +31,6 @@ one append of |batch| posting rows; reads touch postings only.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 import numpy as np
@@ -39,13 +38,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fiveg_spark.streaming.store_guard import is_replay
+
 _POSTING_SCHEMA = "vec_id long, label int, list_id int, cos double"
-
-
-def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
 
 
 def _assign_with_cos(emb: DataFrame, centroids_bc) -> DataFrame:
@@ -87,14 +82,8 @@ def foreach_batch_index(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if _has_parquet(path):
-            top = (
-                spark.read.parquet(path)
-                .agg(F.max("batch_id").alias("m"))
-                .head()["m"]
-            )
-            if top is not None and batch_id <= top:
-                return  # replayed batch: already appended
+        if is_replay(spark, path, batch_id):
+            return  # replayed batch: already appended
         if "bc" not in state:
             from fiveg_spark.operators.ann_ivf import load_centroids
 

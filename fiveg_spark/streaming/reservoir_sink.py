@@ -34,19 +34,14 @@ zero fact access.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fiveg_spark.streaming.store_guard import is_replay
+
 DEFAULT_K = 100
-
-
-def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
 
 
 def _bottom_k(df: DataFrame, k: int) -> DataFrame:
@@ -68,14 +63,8 @@ def foreach_batch_reservoir(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if _has_parquet(path):
-            top = (
-                spark.read.parquet(path)
-                .agg(F.max("batch_id").alias("m"))
-                .head()["m"]
-            )
-            if top is not None and batch_id <= top:
-                return  # replayed batch: already appended
+        if is_replay(spark, path, batch_id):
+            return  # replayed batch: already appended
         candidates = _bottom_k(
             batch_df.withColumn(
                 "priority", F.xxhash64(F.col("event_id").cast("string"))

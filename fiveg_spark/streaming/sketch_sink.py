@@ -29,17 +29,13 @@ point of the family.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fiveg_spark.streaming.store_guard import has_parquet as _has_parquet
 
-def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
 
 
 def foreach_batch_sketch(path: str) -> Callable[[DataFrame, int], None]:

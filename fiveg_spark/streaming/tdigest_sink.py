@@ -36,12 +36,13 @@ rows only; reads group centroid rows (tiny) and never touch facts.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from fiveg_spark.streaming.store_guard import is_replay
 
 from fiveg_spark.operators.tdigest import tdigest_compress, tdigest_quantile
 
@@ -49,12 +50,6 @@ _PARTIAL_SCHEMA = (
     "event_type string, day timestamp, centroid_id int,"
     " mean double, weight double, n long"
 )
-
-
-def _has_parquet(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for _, _, fs in os.walk(path) for f in fs
-    )
 
 
 def _compress_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -94,14 +89,8 @@ def foreach_batch_tdigest(path: str) -> Callable[[DataFrame, int], None]:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        if _has_parquet(path):
-            top = (
-                spark.read.parquet(path)
-                .agg(F.max("batch_id").alias("m"))
-                .head()["m"]
-            )
-            if top is not None and batch_id <= top:
-                return  # replayed batch: already appended
+        if is_replay(spark, path, batch_id):
+            return  # replayed batch: already appended
         partial = (
             batch_df.select(
                 "event_type",

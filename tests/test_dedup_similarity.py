@@ -1466,3 +1466,45 @@ def test_dup_spectrum_histogram_shares_and_slope(spark):
     slope = np.polyfit(lx, ly, 1)[0]
     assert abs(got[1]["spectrum_slope"] - round(slope, 4)) < 2e-4
     assert got[1]["spectrum_slope"] < -1.0  # steep: tail-dominated corpus
+
+
+def test_resize_and_frame_plan_survive_corrupt_inputs(spark):
+    import struct
+
+    from fiveg_spark.operators.multimodal import (
+        frame_sample_plan,
+        resize_images,
+    )
+
+    # truncated-IDAT PNG: valid signature + IHDR, garbage deflate body
+    # -> zlib.error inside decode_png must quarantine, not crash
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    import zlib as _z
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr))
+        + struct.pack(">I", 5) + b"IDAT" + b"junk!"
+        + struct.pack(">I", 0)
+        + struct.pack(">I", 0) + b"IEND" + struct.pack(">I", 0)
+    )
+    df = spark.createDataFrame(
+        [(1, "image", "png", bytearray(png), None)],
+        "media_id long, kind string, format string, content binary,"
+        " meta struct<width:int,height:int,duration_ms:int,sample_rate:int>",
+    )
+    assert resize_images(df, 2, 2).count() == 0  # quarantined, no crash
+
+    # stsc still describes two chunks' worth of samples, but stco is
+    # truncated to ONE chunk offset: the clamp must keep planning
+    # instead of IndexError-ing
+    base = _build_mp4_indexed()
+    corrupt = base.replace(
+        struct.pack(">I", 2) + struct.pack(">II", 1000, 2000),
+        struct.pack(">I", 1) + struct.pack(">I", 1000) + bytes(4),
+    )
+    plan = frame_sample_plan(corrupt, 2)
+    assert [p["sample_idx"] for p in plan] == [1, 4]
+    assert plan[0]["offset"] == 1000
+    assert plan[1]["offset"] is None  # chunk 2 gone: honest None

@@ -96,14 +96,17 @@ def test_cache_recovers_from_crashed_writer_leftover(spark, tmp_path):
     store = str(tmp_path / "cache")
     _write_events(spark, src, 100)
     df = _agg(spark, src)
-    # a crashed writer left a stale temp dir under the same key
-    stale = os.path.join(store, fingerprint(df) + ".inprogress")
+    # a crashed writer left a stale per-writer temp dir for this key:
+    # it must not block the entry, and evict() sweeps it
+    stale = os.path.join(store, fingerprint(df) + ".dead0.inprogress")
     os.makedirs(stale)
     open(os.path.join(stale, "junk"), "w").write("x")
 
     out = cached(spark, df, store)
     assert sum(r["n"] for r in out.collect()) == 100
-    assert not os.path.isdir(stale)
+    assert os.path.isdir(stale)  # untouched by the writer...
+    evict(store, keep=10)
+    assert not os.path.isdir(stale)  # ...swept by maintenance
 
 
 def test_evict_keeps_most_recently_used(spark, tmp_path):

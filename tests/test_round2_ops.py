@@ -748,7 +748,7 @@ def test_session_paths_mines_dominant_trigram_and_respects_gaps(spark):
     got = [r.asDict() for r in spark.sql(_session_paths_sql("spark")).collect()]
     assert got[0]["rank"] == 1
     assert got[0]["path"] == "view>view>purchase"
-    assert got[0]["n_sessions_path"] == 5
+    assert got[0]["n_occurrences"] == 5
     assert got[0]["share"] == round(5.0 / 6.0, 4)  # dbl() ships 4 dp
     assert {r["path"] for r in got} == {"view>view>purchase", "view>click>view"}
 
@@ -1024,8 +1024,10 @@ def test_growth_accounting_ledger_on_planted_lifecycle(spark):
     # retained twice); B active wk 0 then RESURRECTS wk 2; C active
     # wk 0 only (churns at wk 1); D joins wk 1 and churns at wk 2.
     t0 = dt.datetime(2024, 3, 4, 10)
-    plan = {"A": (0, 1, 2), "B": (0, 2), "C": (0,), "D": (1,)}
-    uid = {"A": 0, "B": 1, "C": 2, "D": 3}
+    # E is active week 4 only: week 3 is a ZERO-ACTIVITY calendar week
+    # whose churn (everyone from week 2) must still be reported
+    plan = {"A": (0, 1, 2), "B": (0, 2), "C": (0,), "D": (1,), "E": (4,)}
+    uid = {"A": 0, "B": 1, "C": 2, "D": 3, "E": 4}
     rows, eid = [], 0
     for name, weeks in plan.items():
         for w in weeks:
@@ -1049,3 +1051,10 @@ def test_growth_accounting_ledger_on_planted_lifecycle(spark):
     # quick ratio wk2: (0 new + 1 resurrected) / 1 churned = 1.0
     assert w2["quick_ratio"] == 1.0
     assert w0["quick_ratio"] == 0.0  # churn-free week: the 0.0 convention
+
+    # the zero-activity week 3 EMITS, carrying week 2's full churn;
+    # week 4 restarts from zero with no phantom churn
+    w3, w4 = got[3], got[4]
+    assert w3["active_users"] == 0 and w3["churned"] == 2
+    assert w3["ledger_ok"]
+    assert (w4["active_users"], w4["new_users"], w4["churned"]) == (1, 1, 0)

@@ -577,3 +577,31 @@ def test_manifest_write_verify_and_tamper_detection(spark, tmp_path):
     # re-stamping after a legitimate rewrite heals it
     m2 = write_with_manifest(df, path2)
     assert verify_manifest(path2)[0] and m2["n_rows"] == 500
+
+
+def test_manifest_schema_fingerprint_covers_every_file(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.sources.manifest import verify_manifest, write_with_manifest
+
+    path = str(tmp_path / "table")
+    write_with_manifest(
+        spark.range(5).select(F.col("id").alias("a")), path
+    )
+    # a schema-drifted file lands LATER in the listing: the
+    # fingerprint must see it (first-file-only hashing would not)
+    spark.range(3).select(
+        F.col("id").alias("a"), F.lit("x").alias("b")
+    ).coalesce(1).write.mode("append").parquet(path)
+    ok, reason = verify_manifest(path)
+    assert not ok
+    # either check may fire first; both are legitimate detections
+    assert reason == "schema changed" or "foreign" in reason
+    # but specifically: the schema fingerprints must differ
+    from fiveg_spark.sources.manifest import _schema_fingerprint, build_manifest
+
+    import json, os
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        stamped = json.load(fh)
+    assert _schema_fingerprint(path) != stamped["schema_md5"]
