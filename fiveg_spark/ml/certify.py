@@ -580,9 +580,13 @@ def hybrid_conformal_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_val", F.count("*").over(Window.partitionBy("slice", "feature"))
         )
     )
+    # EXACT integer rank: ceil(0.9(n+1)) = (9(n+1)+9) div 10 — the
+    # float product 0.9*(n+1) lands at 18.000000000000004 for n = 19
+    # and ceils one rank too high (r7 self-review); integer arithmetic
+    # has no such boundary
+    k_rank = F.floor((9 * (F.col("n_val") + 1) + 9) / F.lit(10))
     radius = val.filter(
-        F.col("rk")
-        == F.least(F.ceil(0.9 * (F.col("n_val") + 1)), F.col("n_val"))
+        F.col("rk") == F.least(k_rank, F.col("n_val"))
     ).select(
         "slice",
         "feature",
@@ -617,7 +621,8 @@ def hybrid_conformal_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.max("n_below_val")
                 >= F.least(
-                    F.ceil(0.9 * (F.max("n_val") + 1)), F.max("n_val")
+                    F.floor((9 * (F.max("n_val") + 1) + 9) / F.lit(10)),
+                    F.max("n_val"),
                 )
             ).alias("val_coverage_ok"),
             (

@@ -12,7 +12,7 @@ the shared round-with-nudge discipline.
 
 from __future__ import annotations
 
-from fiveg_spark.operators.text import _bm25_ranked_ctes, _tok
+from fiveg_spark.operators.text import _bm25_ranked_ctes, _tok, _tf_frame_sql
 from fiveg_spark.plans.registry import (
     NUDGE,
     Query,
@@ -380,17 +380,7 @@ def _hybrid_fusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # (a large query set swaps in ann_retrieval's IVF probe path);
     # fusion is a FULL OUTER join of two ≤|queries|·{RRF_POOL} pools.
     # RRF scores round (NUDGE) before the fused rank; doc_id tiebreak.
-    toks = _tok(d)
-    if d == "spark":
-        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
-    else:
-        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
-    tf_sql = f"""
-      WITH terms AS (
-        {exploded}
-      )
-      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
-    """
+    tf_sql = _tf_frame_sql(d)
     cos = _cos(d, "q.qemb", "e.embedding")
     tail = f"""
     WITH {_bm25_ranked_ctes("_mz_hyb_tf")},

@@ -148,17 +148,7 @@ def _tfidf_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # count(DISTINCT doc_id) over raw terms).  The n_docs count-star
     # scan remains: it must include zero-token docs, and a count-only
     # parquet scan reads footers, not data.
-    toks = _tok(d)
-    if d == "spark":
-        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
-    else:
-        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
-    tf_sql = f"""
-      WITH terms AS (
-        {exploded}
-      )
-      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
-    """
+    tf_sql = _tf_frame_sql(d)
     tail = f"""
     WITH df AS (
       SELECT term, count(*) AS df FROM _mz_tfidf_tf GROUP BY term
@@ -254,6 +244,25 @@ def _bm25_ranked_ctes(rel: str) -> str:
     )"""
 
 
+def _tf_frame_sql(d: str) -> str:
+    """The (doc_id, term, tf) frame every BM25-family query
+    materializes — ONE tokenize-and-count definition (shared with the
+    A17 postings writer's semantics: _tok, no trim) so a tokenization
+    change moves every certified retrieval row together instead of
+    desynchronizing three copies (r7 self-review)."""
+    toks = _tok(d)
+    if d == "spark":
+        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
+    else:
+        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
+    return f"""
+      WITH terms AS (
+        {exploded}
+      )
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    """
+
+
 def _bm25_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E64 — BM25 ranked retrieval (Robertson & Zaragoza 2009, the
     # Okapi/Lucene formulation with the nonnegative idf): score every
@@ -273,17 +282,7 @@ def _bm25_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # ranking is a per-query window over <= |matched docs| rows.  Final
     # scores round (NUDGE discipline) BEFORE the rank so both engines
     # order identically, doc_id tiebreak.
-    toks = _tok(d)
-    if d == "spark":
-        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
-    else:
-        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
-    tf_sql = f"""
-      WITH terms AS (
-        {exploded}
-      )
-      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
-    """
+    tf_sql = _tf_frame_sql(d)
     tail = f"""
     WITH {_bm25_ranked_ctes("_mz_bm25_tf")}
     SELECT
@@ -313,17 +312,7 @@ def _retrieval_eval_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     #
     # Scale: same one-scan shape as E64; the eval tail is arithmetic
     # over |queries|·|candidates| rows.
-    toks = _tok(d)
-    if d == "spark":
-        exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
-    else:
-        exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"
-    tf_sql = f"""
-      WITH terms AS (
-        {exploded}
-      )
-      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
-    """
+    tf_sql = _tf_frame_sql(d)
     log2 = "ln(2.0)"
     gain = "(power(2.0, n_terms_matched) - 1.0)"
     tail = f"""

@@ -799,6 +799,45 @@ def _ccf_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 SPECTRAL_PERIODS = (6, 12, 24, 48)  # candidate cycles, hours
 
 
+def _spectral_proj_ctes(d: str, with_ss: bool = False) -> str:
+    """The indexed + Goertzel-projection CTE pair SHARED by D32
+    (dominant period) and D41 (spectral entropy): one spectrum
+    definition, so a change to the candidate periods, centering, or
+    projection moves both certified rows together instead of
+    desynchronizing two near-verbatim copies (r7 self-review).
+    ``with_ss`` adds the centered sum of squares D32's R² needs."""
+    if d == "spark":
+        periods = "SELECT explode(array{}) AS period".format(SPECTRAL_PERIODS)
+    else:
+        periods = "SELECT unnest([{}]) AS period".format(
+            ", ".join(str(p) for p in SPECTRAL_PERIODS)
+        )
+    ss_col = (
+        ",\n        sum((i.v - i.vbar) * (i.v - i.vbar)) AS ss"
+        if with_ss
+        else ""
+    )
+    return f"""indexed AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        CAST(row_number() OVER (PARTITION BY slice ORDER BY h) - 1 AS DOUBLE) AS t,
+        avg(throughput_bps) OVER (PARTITION BY slice) AS vbar,
+        count(*) OVER (PARTITION BY slice) AS n
+      FROM hourly
+    ),
+    proj AS (
+      SELECT
+        i.slice,
+        p.period,
+        sum((i.v - i.vbar) * cos(2.0 * pi() * i.t / p.period)) AS a,
+        sum((i.v - i.vbar) * sin(2.0 * pi() * i.t / p.period)) AS b,
+        max(i.n) AS n{ss_col}
+      FROM indexed i CROSS JOIN ({periods}) p
+      GROUP BY i.slice, p.period
+    )"""
+
+
 def _dominant_period_sql(d: str) -> str:
     # D32 — dominant-period detection via single-frequency DFT power
     # (the Goertzel projection a seasonality-aware forecaster runs
@@ -819,34 +858,9 @@ def _dominant_period_sql(d: str) -> str:
     # Scale: one scan; vbar/n ride as window aggregates on the indexed
     # frame so nothing is referenced twice; the projection is one
     # grouped agg over |series|×|periods| rows, keyed by slice.
-    if d == "spark":
-        periods = "SELECT explode(array{}) AS period".format(SPECTRAL_PERIODS)
-    else:
-        periods = "SELECT unnest([{}]) AS period".format(
-            ", ".join(str(p) for p in SPECTRAL_PERIODS)
-        )
     return f"""
     {_hourly_cte(d)},
-    indexed AS (
-      SELECT
-        slice,
-        throughput_bps AS v,
-        CAST(row_number() OVER (PARTITION BY slice ORDER BY h) - 1 AS DOUBLE) AS t,
-        avg(throughput_bps) OVER (PARTITION BY slice) AS vbar,
-        count(*) OVER (PARTITION BY slice) AS n
-      FROM hourly
-    ),
-    proj AS (
-      SELECT
-        i.slice,
-        p.period,
-        sum((i.v - i.vbar) * cos(2.0 * pi() * i.t / p.period)) AS a,
-        sum((i.v - i.vbar) * sin(2.0 * pi() * i.t / p.period)) AS b,
-        max(i.n) AS n,
-        sum((i.v - i.vbar) * (i.v - i.vbar)) AS ss
-      FROM indexed i CROSS JOIN ({periods}) p
-      GROUP BY i.slice, p.period
-    ),
+    {_spectral_proj_ctes(d, with_ss=True)},
     scored AS (
       SELECT
         slice,
@@ -884,34 +898,10 @@ def _spectral_entropy_sql(d: str) -> str:
     #
     # Scale: same physique as D32 — one scan, |series|×|periods|
     # grouped projection, entropy over K=4 rows per slice.
-    if d == "spark":
-        periods = "SELECT explode(array{}) AS period".format(SPECTRAL_PERIODS)
-    else:
-        periods = "SELECT unnest([{}]) AS period".format(
-            ", ".join(str(p) for p in SPECTRAL_PERIODS)
-        )
     k = len(SPECTRAL_PERIODS)
     return f"""
     {_hourly_cte(d)},
-    indexed AS (
-      SELECT
-        slice,
-        throughput_bps AS v,
-        CAST(row_number() OVER (PARTITION BY slice ORDER BY h) - 1 AS DOUBLE) AS t,
-        avg(throughput_bps) OVER (PARTITION BY slice) AS vbar,
-        count(*) OVER (PARTITION BY slice) AS n
-      FROM hourly
-    ),
-    proj AS (
-      SELECT
-        i.slice,
-        p.period,
-        sum((i.v - i.vbar) * cos(2.0 * pi() * i.t / p.period)) AS a,
-        sum((i.v - i.vbar) * sin(2.0 * pi() * i.t / p.period)) AS b,
-        max(i.n) AS n
-      FROM indexed i CROSS JOIN ({periods}) p
-      GROUP BY i.slice, p.period
-    ),
+    {_spectral_proj_ctes(d)},
     powered AS (
       SELECT
         slice,

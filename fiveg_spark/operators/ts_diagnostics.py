@@ -351,6 +351,33 @@ def _iat_exponential_fit_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_iat_frame", iat_sql)], tail
 
 
+def _era_split_parts(d: str, prefix: str) -> list[tuple[str, str]]:
+    """Shared materialized ref/cur era split at the per-slice MEDIAN
+    hour — the drift quartet (D27 PSI, D31 KS, D33 Mann-Whitney, D40
+    Cramer-von Mises) must test the SAME split or their verdicts stop
+    being comparable; factoring the cut rule here makes that invariant
+    structural instead of a four-way copy-paste (r7 self-review).
+    Returns the two parts [(_mz_{prefix}_hourly, …), (_mz_{prefix}_
+    tagged, …)] every member materializes first."""
+    hourly_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
+      SELECT slice, h, throughput_bps FROM hourly
+    """
+    tagged_sql = f"""
+      WITH cut AS (
+        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
+        FROM _mz_{prefix}_hourly GROUP BY slice
+      )
+      SELECT hy.slice, hy.throughput_bps AS v,
+             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
+      FROM _mz_{prefix}_hourly hy JOIN cut c ON c.slice = hy.slice
+    """
+    return [
+        (f"_mz_{prefix}_hourly", hourly_sql),
+        (f"_mz_{prefix}_tagged", tagged_sql),
+    ]
+
+
 def _psi_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D27 — Population Stability Index, the production model-monitoring
     # drift score: PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) between a
@@ -375,19 +402,7 @@ def _psi_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # INTERNAL_ERROR (UnresolvedAttribute.exprId) on temp-view-backed
     # inputs, so the grid's slice universe reads the materialized view,
     # not the binned CTE.
-    hourly_sql = f"""
-      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
-      SELECT slice, h, throughput_bps FROM hourly
-    """
-    tagged_sql = f"""
-      WITH cut AS (
-        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
-        FROM _mz_psi_hourly GROUP BY slice
-      )
-      SELECT hy.slice, hy.throughput_bps AS v,
-             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
-      FROM _mz_psi_hourly hy JOIN cut c ON c.slice = hy.slice
-    """
+    era_parts = _era_split_parts(d, "psi")
     if d == "spark":
         eras = "SELECT explode(array('ref', 'cur')) AS era"
         bins = "SELECT explode(sequence(0, 9)) AS bin"
@@ -451,10 +466,7 @@ def _psi_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     GROUP BY sh.slice, t.n_ref, t.n_cur
     ORDER BY sh.slice
     """
-    return [
-        ("_mz_psi_hourly", hourly_sql),
-        ("_mz_psi_tagged", tagged_sql),
-    ], tail
+    return era_parts, tail
 
 
 KS_ALPHA_COEFF = 1.358  # c(alpha) at alpha = 0.05, two-sample KS
@@ -483,19 +495,7 @@ def _ks_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # window); the window is per-slice over the tiny hourly frame, and
     # at 100 TB the same plan holds on any per-key series that fits a
     # partition (the hourly rollup is ~9k rows/slice/year).
-    hourly_sql = f"""
-      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
-      SELECT slice, h, throughput_bps FROM hourly
-    """
-    tagged_sql = f"""
-      WITH cut AS (
-        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
-        FROM _mz_ks_hourly GROUP BY slice
-      )
-      SELECT hy.slice, hy.throughput_bps AS v,
-             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
-      FROM _mz_ks_hourly hy JOIN cut c ON c.slice = hy.slice
-    """
+    era_parts = _era_split_parts(d, "ks")
     tail = f"""
     WITH tot AS (
       SELECT slice,
@@ -541,10 +541,7 @@ def _ks_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     FROM tot t LEFT JOIN stat s ON s.slice = t.slice
     ORDER BY t.slice
     """
-    return [
-        ("_mz_ks_hourly", hourly_sql),
-        ("_mz_ks_tagged", tagged_sql),
-    ], tail
+    return era_parts, tail
 
 
 def _mw_parts(d: str) -> tuple[list[tuple[str, str]], str]:
@@ -567,19 +564,7 @@ def _mw_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # Scale: the era-tagged hourly frame materializes once (PSI rule);
     # ranks are per-slice windows over the tiny hourly rollup; the tie
     # census groups by (slice, value).
-    hourly_sql = f"""
-      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
-      SELECT slice, h, throughput_bps FROM hourly
-    """
-    tagged_sql = f"""
-      WITH cut AS (
-        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
-        FROM _mz_mw_hourly GROUP BY slice
-      )
-      SELECT hy.slice, hy.throughput_bps AS v,
-             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
-      FROM _mz_mw_hourly hy JOIN cut c ON c.slice = hy.slice
-    """
+    era_parts = _era_split_parts(d, "mw")
     tail = f"""
     WITH ranked AS (
       SELECT slice, era,
@@ -634,10 +619,7 @@ def _mw_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     FROM stat
     ORDER BY slice
     """
-    return [
-        ("_mz_mw_hourly", hourly_sql),
-        ("_mz_mw_tagged", tagged_sql),
-    ], tail
+    return era_parts, tail
 
 
 THEILSEN_MAX_LAG = 168  # pair horizon, hours (one week)
@@ -989,19 +971,7 @@ def _cvm_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     #
     # Scale: identical physique to D31 — the era-tagged hourly frame
     # materializes once, the window runs per-slice on the rollup.
-    hourly_sql = f"""
-      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
-      SELECT slice, h, throughput_bps FROM hourly
-    """
-    tagged_sql = f"""
-      WITH cut AS (
-        SELECT slice, round({pct(epoch("h", d), 0.5, d)} + {NUDGE}, 4) + 0.0 AS h_med
-        FROM _mz_cvm_hourly GROUP BY slice
-      )
-      SELECT hy.slice, hy.throughput_bps AS v,
-             CASE WHEN {epoch("hy.h", d)} <= c.h_med THEN 'ref' ELSE 'cur' END AS era
-      FROM _mz_cvm_hourly hy JOIN cut c ON c.slice = hy.slice
-    """
+    era_parts = _era_split_parts(d, "cvm")
     tail = f"""
     WITH tot AS (
       SELECT slice,
@@ -1050,10 +1020,7 @@ def _cvm_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     FROM stat
     ORDER BY slice
     """
-    return [
-        ("_mz_cvm_hourly", hourly_sql),
-        ("_mz_cvm_tagged", tagged_sql),
-    ], tail
+    return era_parts, tail
 
 
 LB_LAGS = 6

@@ -30,9 +30,13 @@ from pyspark.sql import functions as F
 def write_postings(spark: SparkSession, docs: DataFrame, path: str,
                    n_files: int = 4) -> None:
     """Build the postings artifact from a documents frame."""
+    # tokenization must match the certified BM25 chain EXACTLY
+    # (text._tok = split(lower(text), ' +'), NO trim): a trim here
+    # changed dl/avgdl on edge-whitespace docs and silently broke the
+    # row-for-row index-vs-scan parity contract (r7 self-review)
     tf = (
         docs.select(
-            "doc_id", F.explode(F.split(F.trim(F.lower("text")), " +")).alias("term")
+            "doc_id", F.explode(F.split(F.lower("text"), " +")).alias("term")
         )
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))

@@ -88,3 +88,49 @@ def test_cusum_streaming_end_to_end(spark, tmp_path):
     assert metrics and all(r["key"] == "a" for r in metrics)
     # a +2-sigma batch of 8 rows has z ~ 5.7: immediate alarm
     assert any(r["alarm"] for r in metrics)
+
+
+def test_cusum_state_compaction_bounds_store_and_keeps_watermark(
+    spark, tmp_path
+):
+    import datetime as dt
+
+    from fiveg_spark.streaming.cusum_monitor import (
+        compact_state,
+        fit_reference_stats,
+        foreach_batch_cusum,
+    )
+
+    def _batch(vals):
+        t = dt.datetime(2024, 1, 1)
+        return spark.createDataFrame(
+            [(i, t, "k1", float(v)) for i, v in enumerate(vals)],
+            "event_id BIGINT, ts TIMESTAMP, key STRING, value DOUBLE",
+        )
+
+    ref = fit_reference_stats(_batch([10.0, 11.0, 9.0, 10.0] * 5), "key", "value")
+    path = str(tmp_path / "cusum")
+    sink = foreach_batch_cusum(path, ref, "key", "value")
+    for b in range(6):
+        sink(_batch([10.0 + (b % 2) * 0.2] * 8), b)
+    state_dir = f"{path}/state"
+    assert spark.read.parquet(state_dir).count() == 6  # append-only
+
+    before = (
+        spark.read.parquet(state_dir)
+        .orderBy("batch_id", ascending=False)
+        .head()
+        .asDict()
+    )
+    compact_state(spark, path)
+    rows = spark.read.parquet(state_dir).collect()
+    assert len(rows) == 1  # one key -> one current row
+    assert rows[0]["s_pos"] == before["s_pos"]
+    assert rows[0]["batch_id"] == 5  # watermark survived
+
+    # replaying batch 5 after compaction is still a no-op...
+    sink(_batch([99.0] * 8), 5)
+    assert spark.read.parquet(state_dir).count() == 1
+    # ...and a genuinely new batch continues the recursion
+    sink(_batch([10.1] * 8), 6)
+    assert spark.read.parquet(state_dir).count() == 2

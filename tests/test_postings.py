@@ -43,3 +43,30 @@ def test_postings_lists_are_docid_sorted_and_df_consistent(spark, tmp_path):
         ids = [p["doc_id"] for p in r["postings"]]
         assert ids == sorted(ids)
         assert r["df"] == len(ids)
+
+
+def test_index_parity_survives_edge_whitespace_docs(spark, tmp_path):
+    """Regression (r7 self-review): write_postings used to F.trim()
+    where the certified chain does not, so a doc with leading or
+    trailing whitespace shifted dl/avgdl between the two paths and
+    broke row-for-row parity.  Plant exactly that corpus."""
+    from pyspark.sql import functions as F
+
+    from fiveg_spark.operators.text import BM25_QUERIES, _bm25_parts
+    from fiveg_spark.plans.registry import run_parts
+
+    rows = [
+        (0, " spark join shuffle ", "en", "s", 20),   # edge whitespace
+        (1, "spark join window functions", "en", "s", 27),
+        (2, "filter merge stream batch", "en", "s", 25),
+    ] + [(3 + i, "filler body text padding words", "en", "s2", 30)
+         for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    )
+    df.createOrReplaceTempView("documents")
+    path = str(tmp_path / "idx")
+    write_postings(spark, df, path)
+    want = [tuple(r) for r in run_parts(spark, _bm25_parts).collect()]
+    got = [tuple(r) for r in bm25_from_postings(spark, path, BM25_QUERIES).collect()]
+    assert got == want
