@@ -1158,6 +1158,6 @@ QUERIES = [
     # new r7 third wave, registered AFTER the window filled:
     # deferred sorts it behind the 50 never-certified names
     # (certifies in round 8)
-    Query("var_order_cert", var_order_cert, _VAR_ORDER_ORACLE, deferred=True),
-    Query("granger_cert", granger_cert, _GRANGER_ORACLE, deferred=True),
+    Query("var_order_cert", var_order_cert, _VAR_ORDER_ORACLE),
+    Query("granger_cert", granger_cert, _GRANGER_ORACLE),
 ]

@@ -660,8 +660,8 @@ QUERIES = [
     # new r7 third wave, registered AFTER the window filled:
     # deferred sorts it behind the 50 never-certified names
     # (certifies in round 8)
-    sql_backed("session_stats", _session_stats_sql, ("events",), deferred=True),
+    sql_backed("session_stats", _session_stats_sql, ("events",)),
     sql_backed(
-        "growth_accounting", _growth_accounting_sql, ("events",), deferred=True,
+        "growth_accounting", _growth_accounting_sql, ("events",),
     ),
 ]

@@ -980,8 +980,7 @@ QUERIES = [
     # (certifies in round 8)
     materialized_backed(
         "dup_pressure_by_source", _dup_pressure_parts, ("documents",),
-        deferred=True,
+
     ),
-    sql_backed("dup_cluster_spectrum", _dup_spectrum_sql, ("documents",),
-               deferred=True),
+    sql_backed("dup_cluster_spectrum", _dup_spectrum_sql, ("documents",)),
 ]

@@ -675,6 +675,6 @@ QUERIES = [
     # (certifies in round 8)
     materialized_backed(
         "littles_law_orders", _littles_law_parts, ("orders", "lineitem"),
-        deferred=True,
+
     ),
 ]

@@ -684,6 +684,6 @@ QUERIES = [
     # (certifies in round 8)
     materialized_backed(
         "embedding_anisotropy", _anisotropy_parts, ("embeddings",),
-        deferred=True,
+
     ),
 ]

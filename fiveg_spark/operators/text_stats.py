@@ -675,5 +675,5 @@ QUERIES = [
     # new r7 third wave, registered AFTER the window filled:
     # deferred sorts it behind the 50 never-certified names
     # (certifies in round 8)
-    materialized_backed("oov_rate", _oov_rate_parts, ("documents",), deferred=True),
+    materialized_backed("oov_rate", _oov_rate_parts, ("documents",)),
 ]

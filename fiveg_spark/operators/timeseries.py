@@ -962,6 +962,6 @@ QUERIES = [
     # deferred sorts it behind the 50 never-certified names
     # (certifies in round 8)
     materialized_backed(
-        "trending_types", _trending_parts, ("events",), deferred=True,
+        "trending_types", _trending_parts, ("events",),
     ),
 ]

@@ -1489,15 +1489,15 @@ QUERIES = [
     # (certifies in round 8)
     sql_backed(
         "calendar_outlier_days", _calendar_outlier_sql, ("events",),
-        deferred=True,
+
     ),
     materialized_backed(
-        "model_router", _model_router_parts, ("events",), deferred=True,
+        "model_router", _model_router_parts, ("events",),
     ),
     sql_backed(
-        "diebold_mariano", _diebold_mariano_sql, ("events",), deferred=True,
+        "diebold_mariano", _diebold_mariano_sql, ("events",),
     ),
     materialized_backed(
-        "mann_kendall_trend", _mann_kendall_parts, ("events",), deferred=True,
+        "mann_kendall_trend", _mann_kendall_parts, ("events",),
     ),
 ]
