@@ -47,11 +47,18 @@ def _parallelism() -> int:
     return default_shuffle_partitions()
 
 
-def _shingles_body(d: str, distinct: bool) -> str:
-    """3-token shingles built MAP-ONLY with array HOFs (index lambda over
-    the token array, then one explode) — no window sort until the
-    consumer aggregates.  Both index functions are 1-based and both
-    ranges are guarded (Spark's sequence(1, 0) counts DOWN).
+def shingled_scan(d: str, cols: str = "doc_id", distinct: bool = False) -> str:
+    """THE 3-token-shingle definition — one SELECT producing
+    ({cols}, shingle) from documents, map-only, both dialects.  Every
+    shingle consumer (E2 minhash, E3 Jaccard, E65 containment, C69 theta
+    overlap) MUST build from here: the r7 postings-vs-BM25 tokenizer
+    split showed what happens when a derived artifact re-states the
+    tokenize/shingle chain by hand.
+
+    Shingles are built MAP-ONLY with array HOFs (index lambda over the
+    token array, then one explode) — no window sort until the consumer
+    aggregates.  Both index functions are 1-based and both ranges are
+    guarded (Spark's sequence(1, 0) counts DOWN).
 
     The Spark branch REPARTITIONs the raw docs by doc_id before the
     shingle/hash pipeline: the scan's parallelism follows INPUT bytes
@@ -78,14 +85,20 @@ def _shingles_body(d: str, distinct: bool) -> str:
         )
         pred = "len(t) >= 3"
         hint = ""
+    colnames = [c.strip() for c in cols.split(",")]
+    scan_cols = cols if "doc_id" in colnames else f"doc_id, {cols}"
     kw = "DISTINCT " if distinct else ""
-    return f"""WITH toks AS (
-      SELECT {hint}doc_id, {toks} AS t FROM documents
-    ),
-    shingles AS (
-      SELECT {kw}doc_id, shingle FROM (
-        SELECT doc_id, {sh} AS shingle FROM toks WHERE {pred}
-      ) exploded
+    return f"""SELECT {kw}{cols}, shingle FROM (
+        SELECT {cols}, {sh} AS shingle
+        FROM (SELECT {hint}{scan_cols}, {toks} AS t FROM documents) toks
+        WHERE {pred}
+      ) exploded"""
+
+
+def _shingles_body(d: str, distinct: bool) -> str:
+    """`WITH shingles AS (doc_id, shingle)` prefix over shingled_scan."""
+    return f"""WITH shingles AS (
+      {shingled_scan(d, "doc_id", distinct)}
     )"""
 
 
@@ -202,65 +215,55 @@ def _minhash_lsh_sql(d: str) -> str:
     """
 
 
-def _ngram_jaccard_sql(d: str) -> str:
-    # E3: exact Jaccard over 3-gram sets, blocked by (lang, source).
-    #
-    # SCALE SHAPE (the r3 judge verified the old blocked-CTE self-join
-    # plan rescanned documents 8×; this shape scans it ONCE):
-    #   scan (doc_id, lang, source, text) → distinct shingles carrying the
-    #   block key from the scan (no join back to documents)
-    #   → per-doc set size via a window on doc_id (1 shuffle)
-    #   → groupBy (lang, source, shingle) collecting (doc_id, n_sh)
-    #     (1 shuffle) → pair explode inside the posting list (map-only)
-    #   → pair agg counting common shingles (1 shuffle on pairs).
-    # The quadratic lives only inside a single shingle's posting list —
-    # the same pair space the self-join enumerated, without rescans.  At
-    # 100 TB the residual risk is a stop-shingle shared by millions of
-    # docs; production curation drops super-common shingles first (cf.
-    # the df cap in text.py tfidf), which bounds the posting lists.
-    # DuckDB oracle keeps the join formulation (materialized CTEs).
+def _blocked_pairs_body(d: str) -> str:
+    """Shared (lang, source)-blocked shingle-overlap pair chain — the
+    WITH-prefix ending in `paired(doc_a, doc_b, n_a, n_b, n_common)`,
+    consumed by E3 Jaccard and E65 containment (one chain, two metrics:
+    a banding/tokenizer change moves both certified rows together).
+
+    SCALE SHAPE (the r3 judge verified the old blocked-CTE self-join
+    plan rescanned documents 8×; this shape scans it ONCE):
+      scan (doc_id, lang, source, text) → distinct shingles carrying the
+      block key from the scan (no join back to documents)
+      → per-doc set size via a window on doc_id (1 shuffle)
+      → groupBy (lang, source, shingle) collecting (doc_id, n_sh)
+        (1 shuffle) → pair explode inside the posting list (map-only)
+      → pair agg counting common shingles (1 shuffle on pairs).
+    The quadratic lives only inside a single shingle's posting list —
+    the same pair space the self-join enumerated, without rescans.  At
+    100 TB the residual risk is a stop-shingle shared by millions of
+    docs; production curation drops super-common shingles first (cf.
+    the df cap in text.py tfidf), which bounds the posting lists.
+    DuckDB oracle keeps the join formulation (`AS MATERIALIZED` pins the
+    thrice-referenced shingle frame — DuckDB inlines heuristically)."""
     if d == "duckdb":
         return f"""
-        {_shingles_cte(d)},
-        blocked AS (
-          SELECT s.doc_id, doc.lang, doc.source, s.shingle
-          FROM shingles s JOIN documents doc ON s.doc_id = doc.doc_id
+        WITH shingles AS MATERIALIZED (
+          {shingled_scan(d, "doc_id, lang, source", distinct=True)}
         ),
         sizes AS (
-          SELECT doc_id, lang, source, count(*) AS n_sh
-          FROM blocked GROUP BY doc_id, lang, source
+          SELECT doc_id, count(*) AS n_sh
+          FROM shingles GROUP BY doc_id
         ),
         inter AS (
           SELECT
             a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          FROM blocked a
-          JOIN blocked b
+          FROM shingles a
+          JOIN shingles b
             ON a.lang = b.lang AND a.source = b.source
            AND a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT
-          i.doc_a,
-          i.doc_b,
-          {dbl("i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE)", "jaccard")}
-        FROM inter i
-        JOIN sizes sa ON i.doc_a = sa.doc_id
-        JOIN sizes sb ON i.doc_b = sb.doc_id
-        WHERE i.n_common / CAST(sa.n_sh + sb.n_sh - i.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
-        """
-    toks = split_ws("lower(text)", d)
+        ),
+        paired AS (
+          SELECT i.doc_a, i.doc_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+                 i.n_common
+          FROM inter i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+        )"""
     return f"""
-    WITH toks AS (
-      SELECT /*+ REPARTITION({_parallelism()}, doc_id) */ doc_id, lang, source, {toks} AS t FROM documents
-    ),
-    shingles AS (
-      SELECT DISTINCT doc_id, lang, source, shingle FROM (
-        SELECT doc_id, lang, source,
-          explode(transform(sequence(1, size(t) - 2),
-            i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
-                        element_at(t, i + 2)))) AS shingle
-        FROM toks WHERE size(t) >= 3
-      ) exploded
+    WITH shingles AS (
+      {shingled_scan(d, "doc_id, lang, source", distinct=True)}
     ),
     sized AS (
       SELECT doc_id, lang, source, shingle,
@@ -282,16 +285,23 @@ def _ngram_jaccard_sql(d: str) -> str:
         transform(slice(docs, i + 2, size(docs)), y ->
           named_struct('a', x, 'b', y))))) t AS p
     ),
-    inter AS (
+    paired AS (
       SELECT doc_a, doc_b, n_a, n_b, count(*) AS n_common
       FROM pair_hits
       GROUP BY doc_a, doc_b, n_a, n_b
-    )
+    )"""
+
+
+def _ngram_jaccard_sql(d: str) -> str:
+    # E3: exact Jaccard over 3-gram sets, blocked by (lang, source).
+    # Chain shape + scale notes: _blocked_pairs_body.
+    return f"""
+    {_blocked_pairs_body(d)}
     SELECT
       doc_a,
       doc_b,
       {dbl("n_common / CAST(n_a + n_b - n_common AS DOUBLE)", "jaccard")}
-    FROM inter
+    FROM paired
     WHERE n_common / CAST(n_a + n_b - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
     """
 
@@ -310,83 +320,16 @@ def _containment_sql(d: str) -> str:
     # for contrast, and a keep-rule direction tag (the SMALLER doc is
     # the contained one and the usual removal candidate).
     #
-    # Scale shape: identical one-scan posting-list plan as E3 (shingle
-    # census with the block key from the scan, pair explode inside a
-    # shingle's posting list, pair agg) — only the final metric differs,
-    # so the no-rescan property is inherited.  All ratios are exact
-    # integer-over-integer doubles, identical across engines, so the
-    # threshold compares raw values.  Trailing ORDER BY is oracle-
-    # determinism only — consume the unsorted pair frame at scale.
+    # Scale shape: SHARES E3's one-scan posting-list chain verbatim
+    # (_blocked_pairs_body) — only the final metric differs, so the
+    # no-rescan property is inherited and a chain change moves both
+    # certified rows together.  All ratios are exact integer-over-
+    # integer doubles, identical across engines, so the threshold
+    # compares raw values.  Trailing ORDER BY is oracle-determinism
+    # only — consume the unsorted pair frame at scale.
     thr = CONTAINMENT_THRESHOLD
-    if d == "duckdb":
-        body = f"""
-        {_shingles_cte(d)},
-        blocked AS (
-          SELECT s.doc_id, doc.lang, doc.source, s.shingle
-          FROM shingles s JOIN documents doc ON s.doc_id = doc.doc_id
-        ),
-        sizes AS (
-          SELECT doc_id, lang, source, count(*) AS n_sh
-          FROM blocked GROUP BY doc_id, lang, source
-        ),
-        inter AS (
-          SELECT
-            a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          FROM blocked a
-          JOIN blocked b
-            ON a.lang = b.lang AND a.source = b.source
-           AND a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id
-        ),
-        paired AS (
-          SELECT i.doc_a, i.doc_b, i.n_common,
-                 sa.n_sh AS n_a, sb.n_sh AS n_b
-          FROM inter i
-          JOIN sizes sa ON i.doc_a = sa.doc_id
-          JOIN sizes sb ON i.doc_b = sb.doc_id
-        )"""
-    else:
-        toks = split_ws("lower(text)", d)
-        body = f"""
-        WITH toks AS (
-          SELECT /*+ REPARTITION({_parallelism()}, doc_id) */ doc_id, lang, source, {toks} AS t FROM documents
-        ),
-        shingles AS (
-          SELECT DISTINCT doc_id, lang, source, shingle FROM (
-            SELECT doc_id, lang, source,
-              explode(transform(sequence(1, size(t) - 2),
-                i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
-                            element_at(t, i + 2)))) AS shingle
-            FROM toks WHERE size(t) >= 3
-          ) exploded
-        ),
-        sized AS (
-          SELECT doc_id, lang, source, shingle,
-            count(*) OVER (PARTITION BY doc_id) AS n_sh
-          FROM shingles
-        ),
-        buckets AS (
-          SELECT lang, source, shingle,
-            sort_array(collect_list(named_struct('doc_id', doc_id, 'n_sh', n_sh))) AS docs
-          FROM sized
-          GROUP BY lang, source, shingle
-          HAVING count(*) > 1
-        ),
-        pair_hits AS (
-          SELECT p.a.doc_id AS doc_a, p.a.n_sh AS n_a,
-                 p.b.doc_id AS doc_b, p.b.n_sh AS n_b
-          FROM buckets
-          LATERAL VIEW explode(flatten(transform(docs, (x, i) ->
-            transform(slice(docs, i + 2, size(docs)), y ->
-              named_struct('a', x, 'b', y))))) t AS p
-        ),
-        paired AS (
-          SELECT doc_a, doc_b, n_a, n_b, count(*) AS n_common
-          FROM pair_hits
-          GROUP BY doc_a, doc_b, n_a, n_b
-        )"""
     return f"""
-    {body}
+    {_blocked_pairs_body(d)}
     SELECT
       doc_a,
       doc_b,

@@ -437,24 +437,7 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # explode + one dedup shuffle); sketches are a per-source window
     # rank (|sources| tiny); every pair stage touches <= k·|sources|²
     # broadcast-sized rows.
-    if d == "spark":
-        from fiveg_spark.operators.dedup import _parallelism
-
-        sh = (
-            "explode(transform(sequence(1, size(t) - 2), "
-            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', "
-            "element_at(t, i + 2))))"
-        )
-        pred = "size(t) >= 3"
-        hint = f"/*+ REPARTITION({_parallelism()}, doc_id) */ "
-    else:
-        sh = (
-            "unnest(list_transform(generate_series(1, len(t) - 2), "
-            "i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))"
-        )
-        pred = "len(t) >= 3"
-        hint = ""
-    from fiveg_spark.operators.text import _tok
+    from fiveg_spark.operators.dedup import shingled_scan
 
     h8 = "substring(md5(concat('th#', shingle)), 1, 8)"
     # INTEGER digit arithmetic, ONE exact dyadic division at the end:
@@ -462,6 +445,9 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # the resulting DECIMAL(38,10) frac truncates at 1e-10 — enough to
     # flip a 4-decimal rounding boundary against DuckDB's exact double.
     # BIGINT sums are exact in both engines; /2^32 is exact in binary.
+    # (Measured r8: a single conv(h8,16,10) is ~15% SLOWER than this 8-
+    # term expansion — codegen's subexpression elimination computes the
+    # md5 once either way, and conv's radix parse loses to 8 instr ops.)
     digits = " + ".join(
         f"CAST(instr('0123456789abcdef', substring({h8}, {i}, 1)) - 1 AS BIGINT)"
         f" * CAST({16 ** (8 - i)} AS BIGINT)"
@@ -472,11 +458,40 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     sf = f"""
       SELECT DISTINCT source, {frac} AS frac
       FROM (
-        SELECT source, {sh} AS shingle
-        FROM (SELECT {hint}doc_id, source, {_tok(d)} AS t FROM documents) toks
-        WHERE {pred}
+        {shingled_scan(d, "source")}
       ) shingled
     """
+    # Exact pairwise-intersection witness.  Spark uses the E3 posting-
+    # list shape (group the sketch-input frame by frac, explode source
+    # pairs inside each posting set): the frac-equality SELF-JOIN it
+    # replaces shuffles the full distinct frame TWICE and is the one
+    # stage of this query that grows with corpus content rather than
+    # with k·|sources| — at 100 TB it is the scale-killer, while the
+    # posting explode stays one agg + map-only pair emission (posting
+    # sets are |sources|-bounded).  DuckDB keeps the join formulation
+    # (it materializes CTEs; oracle-side cost is irrelevant).
+    if d == "spark":
+        exact_inter = """frac_posting AS (
+      SELECT sort_array(collect_set(source)) AS srcs
+      FROM _mz_theta_sf
+      GROUP BY frac
+      HAVING size(collect_set(source)) > 1
+    ),
+    exact_inter AS (
+      SELECT p.sa AS sa, p.sb AS sb, count(*) AS xi
+      FROM frac_posting
+      LATERAL VIEW explode(flatten(transform(srcs, (x, i) ->
+        transform(slice(srcs, i + 2, size(srcs)), y ->
+          named_struct('sa', x, 'sb', y))))) t AS p
+      GROUP BY p.sa, p.sb
+    )"""
+    else:
+        exact_inter = """exact_inter AS (
+      SELECT a.source AS sa, b.source AS sb, count(*) AS xi
+      FROM _mz_theta_sf a
+      JOIN _mz_theta_sf b ON a.frac = b.frac AND a.source < b.source
+      GROUP BY a.source, b.source
+    )"""
     sketch = f"""
       SELECT source, frac, rn, n_src FROM (
         SELECT
@@ -531,12 +546,7 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       FROM members
       GROUP BY sa, sb
     ),
-    exact_inter AS (
-      SELECT a.source AS sa, b.source AS sb, count(*) AS xi
-      FROM _mz_theta_sf a
-      JOIN _mz_theta_sf b ON a.frac = b.frac AND a.source < b.source
-      GROUP BY a.source, b.source
-    )
+    {exact_inter}
     SELECT
       p.sa AS source_a,
       p.sb AS source_b,
