@@ -14,8 +14,14 @@ string for floor(r · 16⁸); P(prefix < thr) = r to within 2⁻³².
 
 from __future__ import annotations
 
-from fiveg_spark.operators.text import _marker_count, _tok
+from fiveg_spark.operators.text import (
+    QUALITY_SCORE_RAW,
+    _marker_count,
+    _tok,
+    quality_m_cte,
+)
 from fiveg_spark.plans.registry import (
+    NUDGE,
     arr_len,
     cnt,
     dbl,
@@ -514,8 +520,57 @@ def _quality_prune_sql(d: str) -> str:
     """
 
 
+def _quality_trend_sql(d: str) -> str:
+    # E82 — per-source quality TREND over snapshot history (E60's time
+    # axis: snapshot_diff compares two versions pairwise; curation also
+    # needs drift-over-versions — "is src7's quality decaying as the
+    # crawl grows?").  Synthetic SF-invariant history in the E60 style:
+    # four cumulative snapshots, doc ∈ v_k iff doc_id % 4 < k (v1 ⊂ v2
+    # ⊂ v3 ⊂ v4 = full corpus — the monotone-growth shape of a real
+    # crawl).  Quality is E9's score via the SHARED metric frame
+    # (text.quality_m_cte / QUALITY_SCORE_RAW — a metric change moves
+    # E9 and this row together).  Per source: per-version mean quality
+    # (per-doc scores rounded first, the PSI discipline), the 4-point
+    # OLS slope (closed form: Σ(v-2.5)·q_v / 5), the v1→v4 delta, and
+    # a trend class at ±0.005 slope.
+    #
+    # Scale: ONE scan — versions are conditional aggregates (CASE sums
+    # on doc_id % 4), not an explode; output is |sources| rows.  With
+    # real physical snapshots this becomes one scan per snapshot
+    # partition feeding the same per-source rollup.
+    score = f"round({QUALITY_SCORE_RAW} + {NUDGE}, 4) + 0.0"
+
+    def qv(v: int) -> str:
+        return (
+            f"(sum(CASE WHEN doc_id % 4 < {v} THEN {score} END)"
+            f" / sum(CASE WHEN doc_id % 4 < {v} THEN CAST(1.0 AS DOUBLE) END))"
+        )
+
+    q1, q2, q3, q4 = (f"round({qv(v)} + {NUDGE}, 4)" for v in (1, 2, 3, 4))
+    slope = f"((-1.5) * {q1} + (-0.5) * {q2} + 0.5 * {q3} + 1.5 * {q4}) / 5.0"
+    return f"""
+    WITH {quality_m_cte(d)}
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs_latest")},
+      {cnt("sum(CASE WHEN doc_id % 4 < 1 THEN 1 ELSE 0 END)", "n_docs_v1")},
+      {dbl(q1, "q_v1")},
+      {dbl(q2, "q_v2")},
+      {dbl(q3, "q_v3")},
+      {dbl(q4, "q_v4")},
+      {dbl(slope, "quality_slope")},
+      {dbl(f"{q4} - {q1}", "quality_delta")},
+      CASE WHEN {slope} > 0.005 THEN 'improving'
+           WHEN {slope} < -0.005 THEN 'degrading'
+           ELSE 'flat' END AS trend
+    FROM m
+    GROUP BY source
+    """
+
+
 QUERIES = [
     sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
+    sql_backed("quality_trend_by_source", _quality_trend_sql, ("documents",)),
     sql_backed("weighted_sample", _weighted_sample_sql, ("documents",)),
     sql_backed("per_source_topk_sample", _topk_sample_sql, ("documents",)),
     sql_backed("hash_split", _hash_split_sql, ("documents",)),

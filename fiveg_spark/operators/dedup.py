@@ -897,8 +897,86 @@ def _dup_pressure_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ], tail
 
 
+LINE_TOKENS = 10  # pseudo-line width: non-overlapping 10-token blocks
+MIN_LINE_TOKENS = 5  # shorter tail blocks are never dedup candidates
+
+
+def _line_dedup_sql(d: str) -> str:
+    # E81 — LINE-level dedup census (the RefinedWeb rule, Penedo et al.
+    # 2023: remove lines duplicated across documents; the one dedup
+    # granularity between E51's overlapping 5-token spans and E1's
+    # whole documents).  The synthetic corpus has no newline structure,
+    # so a "line" is a NON-overlapping {LINE_TOKENS}-token block (the
+    # same fixture-synthesis move the PCAP tests make for bytes); tail
+    # blocks under {MIN_LINE_TOKENS} tokens are never candidates
+    # (RefinedWeb ignores short lines).  Keep-rule: the occurrence with
+    # the smallest (doc_id, pos) survives, every other occurrence of
+    # that exact line is removed — per doc this reports lines removed,
+    # tokens removed, and the removed-token fraction a curation pass
+    # would reclaim.
+    #
+    # Scale: one scan → map-only block explode (~n_tokens/{LINE_TOKENS}
+    # rows/doc) → hash-agg by line (map-side combine shrinks hot
+    # boilerplate lines — deliberately NOT a window over line_text,
+    # whose hot-key partition would serialize on the one line shared by
+    # millions of docs) → join back (AQE splits the skewed probe side)
+    # → per-doc agg.  (doc_id, pos) packs into one BIGINT so min()
+    # replaces a struct min (engine-portable).
+    L = LINE_TOKENS
+    if d == "spark":
+        n = "size(t)"
+        idx = f"explode(sequence(0, CAST(ceil(size(t) / {L}.0) AS INT) - 1))"
+        line = f"concat_ws(' ', slice(t, i * {L} + 1, {L}))"
+    else:
+        n = "len(t)"
+        idx = f"unnest(generate_series(0, CAST(ceil(len(t) / {L}.0) AS INT) - 1))"
+        line = f"array_to_string(list_slice(t, i * {L} + 1, least(len(t), (i + 1) * {L})), ' ')"
+    toks = split_ws("lower(text)", d)
+    return f"""
+    WITH occ AS (
+      SELECT doc_id, i AS pos,
+        {line} AS line_text,
+        least({L}, {n} - i * {L}) AS n_line_tokens,
+        {n} AS n_tokens
+      FROM (
+        SELECT doc_id, t, {idx} AS i
+        FROM (SELECT doc_id, {toks} AS t FROM documents) raw
+        WHERE {n} >= 1
+      ) blocks
+    ),
+    line_stats AS (
+      SELECT line_text,
+        min(doc_id * 1000000 + pos) AS first_key,
+        count(*) AS n_occ
+      FROM occ
+      WHERE n_line_tokens >= {MIN_LINE_TOKENS}
+      GROUP BY line_text
+    ),
+    flagged AS (
+      SELECT o.doc_id, o.n_tokens, o.n_line_tokens,
+        CASE WHEN s.n_occ > 1
+              AND o.doc_id * 1000000 + o.pos <> s.first_key
+             THEN 1 ELSE 0 END AS removed
+      FROM occ o
+      LEFT JOIN line_stats s
+        ON s.line_text = o.line_text AND o.n_line_tokens >= {MIN_LINE_TOKENS}
+    )
+    SELECT
+      doc_id,
+      {cnt("count(*)", "n_lines")},
+      {cnt("max(n_tokens)", "n_tokens")},
+      {cnt("sum(removed)", "n_removed_lines")},
+      {cnt("sum(removed * n_line_tokens)", "removed_tokens")},
+      {dbl("sum(removed * n_line_tokens) / CAST(max(n_tokens) AS DOUBLE)",
+           "removed_frac")}
+    FROM flagged
+    GROUP BY doc_id
+    """
+
+
 QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
+    sql_backed("line_dedup", _line_dedup_sql, ("documents",)),
     sql_backed("edit_distance_pairs", _edit_distance_sql, ("documents",)),
     sql_backed("minhash_lsh_pairs", _minhash_lsh_sql, ("documents",)),
     materialized_backed("edit_distance_candidates", _edit_distance_candidates_parts, ("documents",)),

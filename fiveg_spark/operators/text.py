@@ -69,12 +69,15 @@ def _lang_id_sql(d: str) -> str:
     """
 
 
-def _text_quality_sql(d: str) -> str:
+def quality_m_cte(d: str) -> str:
+    """THE E9 per-doc quality-metric frame — `m(doc_id, lang, source,
+    n_chars, n_tokens, n_stopwords)`, one scan.  Shared by E9 and the
+    E82 snapshot-trend monitor so a metric change moves both certified
+    rows together (the r7 tokenizer-split lesson)."""
     toks = _tok(d)
     n_toks = arr_len(toks, d)
     stop = _marker_count(d, ("the", "a", "of", "and"))
-    return f"""
-    WITH m AS (
+    return f"""m AS (
       SELECT
         doc_id,
         lang,
@@ -83,7 +86,19 @@ def _text_quality_sql(d: str) -> str:
         CAST({n_toks} AS BIGINT) AS n_tokens,
         CAST({stop} AS BIGINT) AS n_stopwords
       FROM documents
-    )
+    )"""
+
+
+# E9's scalar score over quality_m_cte columns (raw, unrounded).
+QUALITY_SCORE_RAW = (
+    "CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END"
+    " * (1.0 - n_stopwords / CAST(n_tokens AS DOUBLE))"
+)
+
+
+def _text_quality_sql(d: str) -> str:
+    return f"""
+    WITH {quality_m_cte(d)}
     SELECT
       doc_id,
       lang,
@@ -92,11 +107,7 @@ def _text_quality_sql(d: str) -> str:
       n_tokens,
       {dbl("(n_chars - n_tokens + 1) / CAST(n_tokens AS DOUBLE)", "avg_token_len")},
       {dbl("n_stopwords / CAST(n_tokens AS DOUBLE)", "stopword_ratio")},
-      {dbl(
-        "CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 1.0 ELSE 0.5 END"
-        " * (1.0 - n_stopwords / CAST(n_tokens AS DOUBLE))",
-        "quality_score",
-      )}
+      {dbl(QUALITY_SCORE_RAW, "quality_score")}
     FROM m
     """
 

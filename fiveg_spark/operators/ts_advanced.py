@@ -1405,8 +1405,99 @@ def _anomaly_consensus_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_ac_resid", resid_sql), ("_mz_ac_med", med_sql)], tail
 
 
+def _transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D54 — pairwise TRANSFER ENTROPY between slice throughput series
+    # (Schreiber 2000): the directed-information sibling of D53's
+    # Granger screen and D35's symmetric CCF.  Granger detects LINEAR
+    # lagged influence; TE is model-free — it reads any predictive
+    # coupling, including the nonlinear kind a VAR design (ref
+    # train.py's multivariate framing) would miss.  Series are
+    # binarized at the per-slice median (above/below load state) and
+    #   TE(X→Y) = Σ p(y⁺,y,x)·log₂[ p(y⁺|y,x) / p(y⁺|y) ]
+    # over consecutive-hour triples (y⁺ at t+1h, y and x at t).  Rows
+    # per ORDERED pair: triple count, te_bits, the conditional entropy
+    # H(Y⁺|Y) (TE's ceiling), and te_share = TE/H (0 on deterministic
+    # or constant targets — the dbl convention).
+    #
+    # Engine parity: counts are exact integers; each pair sums ≤ 8
+    # log terms of exact-integer ratios (sum-order drift far below the
+    # 4-decimal rounding).  H(Y⁺|Y) rides the SAME per-(x,y,y⁺) cell
+    # frame via c3/c_ypy reweighting — Σ (c3/n)·log(c_ypy/c_y) ≡
+    # Σ_{y,y⁺} (c_ypy/n)·log(c_ypy/c_y) — so no second aggregation
+    # granularity is needed.
+    #
+    # Scale: the hourly series materializes ONCE (the D35 discipline);
+    # binarization joins the |slices|-row median frame back; triples
+    # are |slices|²·|hours| rows via epoch-equi joins of the tiny
+    # materialized series; every entropy stage is ≤ 8·|slices|² rows.
+    series_sql = f"""
+      {_hourly_cte(d)},
+      ser AS (
+        SELECT slice, {epoch("h", d)} AS t, throughput_bps AS v FROM hourly
+      ),
+      med AS (
+        SELECT slice, {pct("v", 0.5, d)} AS med FROM ser GROUP BY slice
+      )
+      SELECT s.slice, s.t,
+        CASE WHEN s.v > m.med THEN 1 ELSE 0 END AS b
+      FROM ser s JOIN med m ON m.slice = s.slice
+    """
+    log2 = "ln(2.0)"
+    tail = f"""
+    WITH triples AS (
+      SELECT
+        x.slice AS src, y.slice AS dst,
+        x.b AS xb, y.b AS yb, yp.b AS ypb
+      FROM _mz_te_series x
+      JOIN _mz_te_series y  ON y.t = x.t AND y.slice <> x.slice
+      JOIN _mz_te_series yp ON yp.slice = y.slice AND yp.t = x.t + 3600.0
+    ),
+    c3 AS (
+      SELECT src, dst, xb, yb, ypb, count(*) AS c
+      FROM triples
+      GROUP BY src, dst, xb, yb, ypb
+    ),
+    marg AS (
+      SELECT
+        src, dst, c,
+        sum(c) OVER (PARTITION BY src, dst) AS n,
+        sum(c) OVER (PARTITION BY src, dst, xb, yb) AS c_yx,
+        sum(c) OVER (PARTITION BY src, dst, yb, ypb) AS c_ypy,
+        sum(c) OVER (PARTITION BY src, dst, yb) AS c_y
+      FROM c3
+    ),
+    scored AS (
+      SELECT
+        src, dst,
+        sum(c) AS n_triples,
+        sum((c / CAST(n AS DOUBLE))
+            * ln((c * c_y) / (CAST(c_yx AS DOUBLE) * c_ypy)) / {log2})
+          AS te_bits,
+        -sum((c / CAST(n AS DOUBLE))
+             * ln(c_ypy / CAST(c_y AS DOUBLE)) / {log2})
+          AS h_cond_bits
+      FROM marg
+      GROUP BY src, dst
+    )
+    SELECT
+      src AS slice_src,
+      dst AS slice_dst,
+      {cnt("n_triples", "n_triples")},
+      {dbl("te_bits", "te_bits")},
+      {dbl("h_cond_bits", "h_cond_bits")},
+      {dbl(
+          "CASE WHEN h_cond_bits > 1e-12 THEN te_bits / h_cond_bits END",
+          "te_share",
+      )}
+    FROM scored
+    ORDER BY src, dst
+    """
+    return [("_mz_te_series", series_sql)], tail
+
+
 QUERIES = [
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
+    materialized_backed("transfer_entropy", _transfer_entropy_parts, ("events",)),
     materialized_backed("anomaly_consensus", _anomaly_consensus_parts, ("events",)),
     sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
     sql_backed("hampel_outliers", _hampel_sql, ("events",)),

@@ -87,7 +87,8 @@ def _more_doc_sql_fns():
         _lang_id_sql,
         _token_counts_sql,
     )
-    from fiveg_spark.operators.dedup import _dup_spectrum_sql
+    from fiveg_spark.operators.curation import _quality_trend_sql
+    from fiveg_spark.operators.dedup import _dup_spectrum_sql, _line_dedup_sql
     from fiveg_spark.operators.text_stats import (
         _bigram_ppl_sql,
         _ngram_novelty_sql,
@@ -131,6 +132,14 @@ def _more_doc_sql_fns():
         # corpora give ONE spectrum point (k < 3 -> slope 0), whole-
         # corpus clones give a single non-1 size class
         "dup_cluster_spectrum": _dup_spectrum_sql,
+        # removed-token ratio + ceil-block arithmetic: under-10-token
+        # docs are a single short line (never a dedup candidate),
+        # identical tiny docs exercise the (doc_id,pos) keeper packing
+        "line_dedup": _line_dedup_sql,
+        # per-version conditional means: sparse sources can be EMPTY in
+        # early snapshots (NULL q_v -> dbl 0.0) and the 4-point slope
+        # runs on whatever versions exist
+        "quality_trend_by_source": _quality_trend_sql,
     }
 
 
@@ -625,7 +634,11 @@ def _event_parts_fns():
         _retention_halflife_parts,
         _trending_parts,
     )
-    from fiveg_spark.operators.ts_advanced import _anomaly_consensus_parts, _ccf_parts
+    from fiveg_spark.operators.ts_advanced import (
+        _anomaly_consensus_parts,
+        _ccf_parts,
+        _transfer_entropy_parts,
+    )
     from fiveg_spark.operators.ts_diagnostics import (
         _cvm_parts,
         _iat_exponential_fit_parts,
@@ -667,6 +680,10 @@ def _event_parts_fns():
         # corr_safe on constant/misaligned eras; single-slice corpora
         # produce zero pairs
         "cross_correlation": _ccf_parts,
+        # log₂ sums of exact-integer cell ratios: constant series put
+        # everything in one cell (TE = H = 0 -> te_share guard), gap
+        # hours drop triples, single-slice streams emit zero pairs
+        "transfer_entropy": _transfer_entropy_parts,
         # p·ln(p) sums over integer ratios; single-transition and
         # single-type streams hit the deterministic h=0 rows
         "sequence_entropy_rate": _entropy_rate_parts,
