@@ -14,7 +14,7 @@ a rank window partitioned by the group key (never a global sort).
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import NUDGE, cnt, dbl, sql_backed
+from fiveg_spark.plans.registry import NUDGE, cnt, dbl, epoch, pct, sql_backed
 
 
 def _q13_order_counts_sql(d: str) -> str:
@@ -260,8 +260,252 @@ def _hhi_sql(d: str) -> str:
     """
 
 
+def _trade_balance_sql(d: str) -> str:
+    # C96 — per-nation trade balance over the star: export revenue
+    # (lineitems supplied FROM the nation) vs import revenue (lineitems
+    # ordered BY the nation's customers), net balance, and each
+    # nation's share of world trade.  The macro rollup of the C83/C85
+    # edge-level trade graph — same revenue convention
+    # (extendedprice·(1−discount)), aggregated to the nation ledger.
+    #
+    # Scale: two independent fact aggregations (each one shuffle keyed
+    # by a nation key after a broadcast dim join), merged on the tiny
+    # nation table — never a fact×fact join.
+    rev = "l_extendedprice * (1.0 - l_discount)"
+    return f"""
+    WITH exports AS (
+      SELECT s.s_nationkey AS nk, sum({rev}) AS v
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey
+    ),
+    imports AS (
+      SELECT c.c_nationkey AS nk, sum({rev}) AS v
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    ),
+    ledger AS (
+      SELECT
+        n.n_name AS nation,
+        coalesce(e.v, 0.0) AS exp_v,
+        coalesce(i.v, 0.0) AS imp_v
+      FROM nation n
+      LEFT JOIN exports e ON e.nk = n.n_nationkey
+      LEFT JOIN imports i ON i.nk = n.n_nationkey
+    )
+    SELECT
+      nation,
+      {dbl("exp_v", "export_revenue")},
+      {dbl("imp_v", "import_revenue")},
+      {dbl("exp_v - imp_v", "trade_balance")},
+      {dbl("(exp_v + imp_v) / nullif(sum(exp_v + imp_v) OVER (), 0.0)",
+           "world_trade_share")}
+    FROM ledger
+    ORDER BY nation
+    """
+
+
+def _abc_classes_sql(d: str) -> str:
+    # C94 — ABC/Pareto revenue classification per market segment:
+    # customers ranked by lifetime order value inside their segment,
+    # class A = the head until 80% cumulative revenue, B until 95%,
+    # C the tail.  The inventory-management classic, and the query
+    # shape behind every "top customers drive X% of revenue" claim.
+    #
+    # Engine parity: per-customer revenue is rounded to 4 dp BEFORE
+    # ranking/cumulating (hash-agg sum order differs across engines;
+    # rounded inputs + a fully deterministic (revenue, custkey) order
+    # make the running sum bit-identical — the running sum itself adds
+    # in window order on both engines).  Scale: one orders shuffle by
+    # custkey, one segment-partitioned rank window (|customers| rows),
+    # then a |segments|·3 rollup.
+    return f"""
+    WITH per_cust AS (
+      SELECT
+        c.c_mktsegment AS segment,
+        c.c_custkey AS ck,
+        round(sum(o.o_totalprice) + {NUDGE}, 4) AS rev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    cum AS (
+      SELECT
+        segment, rev,
+        sum(rev) OVER (PARTITION BY segment ORDER BY rev DESC, ck
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          / nullif(sum(rev) OVER (PARTITION BY segment), 0.0) AS cum_share
+      FROM per_cust
+    ),
+    classed AS (
+      SELECT
+        segment, rev,
+        CASE WHEN round(cum_share + {NUDGE}, 4) <= 0.80 THEN 'A'
+             WHEN round(cum_share + {NUDGE}, 4) <= 0.95 THEN 'B'
+             ELSE 'C' END AS abc_class
+      FROM cum
+    )
+    SELECT
+      segment,
+      abc_class,
+      {cnt("count(*)", "n_customers")},
+      {dbl("sum(rev)", "class_revenue")},
+      {dbl("sum(rev) / nullif(sum(sum(rev)) OVER (PARTITION BY segment), 0.0)",
+           "revenue_share")},
+      {dbl("count(*) / CAST(sum(count(*)) OVER (PARTITION BY segment) AS DOUBLE)",
+           "customer_share")}
+    FROM classed
+    GROUP BY segment, abc_class
+    ORDER BY segment, abc_class
+    """
+
+
+BACKLOG_CUTOFF = "TIMESTAMP '1998-01-01'"
+
+
+def _backlog_aging_sql(d: str) -> str:
+    # C97 — point-in-time order-backlog aging: orders placed before the
+    # cutoff whose LAST shipment lands after it (still open at the
+    # snapshot instant), bucketed by age and priority.  The WIP
+    # snapshot a fulfilment dashboard shows — C89's Little's-law audit
+    # proves the time-AVERAGE WIP; this is the instantaneous ledger at
+    # one cutoff with the aging detail.
+    #
+    # Scale: the per-order last-ship frame is one lineitem shuffle on
+    # l_orderkey; the bucket rollup is ≤ 4·|priorities| rows.
+    cut = f"{epoch(BACKLOG_CUTOFF, d)}"
+    age = f"(({cut} - {epoch('o.o_orderdate', d)}) / 86400.0)"
+    return f"""
+    WITH last_ship AS (
+      SELECT l_orderkey, max({epoch("l_shipdate", d)}) AS t_last
+      FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    open_orders AS (
+      SELECT
+        o.o_orderpriority AS priority,
+        o.o_totalprice AS value,
+        CASE WHEN {age} <= 30 THEN 'a_0_30d'
+             WHEN {age} <= 90 THEN 'b_31_90d'
+             WHEN {age} <= 365 THEN 'c_91_365d'
+             ELSE 'd_over_1y' END AS age_bucket
+      FROM orders o
+      JOIN last_ship s ON s.l_orderkey = o.o_orderkey
+      WHERE {epoch("o.o_orderdate", d)} < {cut} AND s.t_last >= {cut}
+    )
+    SELECT
+      age_bucket,
+      priority,
+      {cnt("count(*)", "n_open_orders")},
+      {dbl("sum(value)", "backlog_value")},
+      {dbl("count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)",
+           "backlog_share")}
+    FROM open_orders
+    GROUP BY age_bucket, priority
+    ORDER BY age_bucket, priority
+    """
+
+
+def _repeat_purchase_sql(d: str) -> str:
+    # C102 — repeat-purchase rhythm per market segment: order-to-order
+    # gaps per customer (lag over order dates), rolled to the segment
+    # ladder — repeat share, gap means/medians/p90 — the commerce twin
+    # of C88's event-session rhythm, on the orders table.
+    #
+    # Scale: one orders shuffle by custkey (lag window + per-customer
+    # agg share it), per-segment rollup is 5 rows.
+    e = epoch("o_orderdate", d)
+    return f"""
+    WITH gapped AS (
+      SELECT
+        o.o_custkey,
+        ({e} - lag({e}) OVER (PARTITION BY o.o_custkey
+                              ORDER BY {e}, o.o_orderkey)) / 86400.0
+          AS gap_days
+      FROM orders o
+    ),
+    per_cust AS (
+      SELECT
+        o_custkey,
+        count(*) AS n_orders,
+        avg(gap_days) AS mean_gap
+      FROM gapped
+      GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT c.c_mktsegment AS segment, p.n_orders, p.mean_gap
+      FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+    )
+    SELECT
+      segment,
+      {cnt("count(*)", "n_buyers")},
+      {cnt("sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)", "n_repeat_buyers")},
+      {dbl("sum(CASE WHEN n_orders >= 2 THEN 1.0 ELSE 0.0 END) / count(*)",
+           "repeat_share")},
+      {dbl("avg(CAST(n_orders AS DOUBLE))", "avg_orders_per_buyer")},
+      {dbl("avg(mean_gap)", "mean_interorder_gap_days")},
+      {dbl(pct("mean_gap", 0.5, d), "p50_interorder_gap_days")},
+      {dbl(pct("mean_gap", 0.9, d), "p90_interorder_gap_days")}
+    FROM seg
+    GROUP BY segment
+    ORDER BY segment
+    """
+
+
+def _returnflag_shift_sql(d: str) -> str:
+    # C104 — return-flag mix shift by ship quarter: per-quarter
+    # composition of l_returnflag vs the all-time mix, with the
+    # chi-square drift contribution per cell (the categorical twin of
+    # D27's PSI over numeric features — "did returns spike in Q3?").
+    #
+    # Engine parity: counts are exact integers; expected counts are
+    # integer-over-integer ratios.  Scale: one fact scan → one
+    # (quarter, flag) hash-agg; everything after runs on ≤ |quarters|·3
+    # rows (window marginals, no joins).
+    q = f"CAST(floor(({epoch('l_shipdate', d)} / 86400.0) / 91.3125) AS BIGINT)"
+    return f"""
+    WITH cells AS (
+      SELECT {q} AS quarter_idx, l_returnflag AS flag, count(*) AS obs
+      FROM lineitem
+      GROUP BY {q}, l_returnflag
+    ),
+    marg AS (
+      SELECT
+        quarter_idx, flag, obs,
+        sum(obs) OVER (PARTITION BY quarter_idx) AS q_total,
+        sum(obs) OVER (PARTITION BY flag) AS f_total,
+        sum(obs) OVER () AS n
+      FROM cells
+    )
+    SELECT
+      quarter_idx,
+      flag,
+      {cnt("obs", "n_items")},
+      {dbl("obs / CAST(q_total AS DOUBLE)", "quarter_share")},
+      {dbl("f_total / CAST(n AS DOUBLE)", "overall_share")},
+      {dbl("q_total * (f_total / CAST(n AS DOUBLE))", "expected")},
+      {dbl(
+          "(obs - q_total * (f_total / CAST(n AS DOUBLE)))"
+          " * (obs - q_total * (f_total / CAST(n AS DOUBLE)))"
+          " / (q_total * (f_total / CAST(n AS DOUBLE)))",
+          "chi2_contribution",
+      )}
+    FROM marg
+    ORDER BY quarter_idx, flag
+    """
+
+
 QUERIES = [
     sql_backed("supply_concentration_hhi", _hhi_sql, ("lineitem", "part")),
+    sql_backed("nation_trade_balance", _trade_balance_sql,
+               ("lineitem", "supplier", "orders", "customer", "nation")),
+    sql_backed("abc_pareto_classes", _abc_classes_sql, ("customer", "orders")),
+    sql_backed("backlog_aging_buckets", _backlog_aging_sql,
+               ("orders", "lineitem")),
+    sql_backed("repeat_purchase_interval", _repeat_purchase_sql,
+               ("orders", "customer")),
+    sql_backed("returnflag_quarter_shift", _returnflag_shift_sql,
+               ("lineitem",)),
     sql_backed("lateral_topk", _lateral_topk_sql, ("customer", "orders")),
     sql_backed("full_outer_daily", _full_outer_daily_sql, ("orders", "events")),
     sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),

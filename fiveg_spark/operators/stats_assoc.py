@@ -415,8 +415,52 @@ def _anova_sql(d: str) -> str:
     """
 
 
+def _elasticity_sql(d: str) -> str:
+    # C103 — discount→quantity elasticity screen per part type: the
+    # closed-form OLS of l_quantity on l_discount (does discounting
+    # move volume, and for which product family?) plus r² — the
+    # pricing-team association readout next to C44's temporal trend.
+    # Same partial-sums shape as C44 (map-side Σx/Σy/Σxy partials, one
+    # |types|-row reduce — the distributed-regression layout); x is the
+    # raw discount (11 exact literals, engine-identical), y the integer
+    # quantity, so the sums stay far from precision loss.  Mean
+    # quantities at zero/max discount ride alongside as the model-free
+    # contrast witness.
+    return f"""
+    WITH xy AS (
+      SELECT
+        p.p_type AS part_type,
+        l.l_discount AS x,
+        CAST(l.l_quantity AS DOUBLE) AS y
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    sums AS (
+      SELECT
+        part_type,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(x) AS sx, sum(y) AS sy,
+        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy,
+        avg(CASE WHEN x = 0.0 THEN y END) AS qty_at_zero,
+        avg(CASE WHEN x >= 0.09 THEN y END) AS qty_at_max
+      FROM xy
+      GROUP BY part_type
+    )
+    SELECT
+      part_type,
+      {cnt("n", "n_lineitems")},
+      {dbl(_OLS_SLOPE, "qty_per_discount_unit")},
+      {dbl(_OLS_INTERCEPT, "qty_at_no_discount_fit")},
+      {dbl(_OLS_R2, "r2")},
+      {dbl("qty_at_zero", "qty_at_zero_mean")},
+      {dbl("qty_at_max", "qty_at_max_mean")}
+    FROM sums
+    ORDER BY part_type
+    """
+
+
 QUERIES = [
     sql_backed("anova_slice_means", _anova_sql, ("events",)),
+    sql_backed("discount_qty_elasticity", _elasticity_sql, ("lineitem", "part")),
     sql_backed("jackknife_ratio_ci", _jackknife_sql, ("events",)),
     sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
     sql_backed("gini_token_concentration", _gini_sql, ("documents",)),
