@@ -642,8 +642,185 @@ def _growth_accounting_sql(d: str) -> str:
     """
 
 
+def _stickiness_sql(d: str) -> str:
+    # C91 — DAU/WAU/MAU stickiness per day: exact trailing-window
+    # active-user counts (WAU = 7 d, MAU = 28 d) and the stickiness
+    # ratios every growth dashboard quotes (DAU/MAU ≈ "days used per
+    # month").  C90's ledger decomposes week-over-week flows; this is
+    # the level series those flows move.  EXACT at contract scale: each
+    # (user, active day) marker fans out to the trailing windows it
+    # keeps alive (map-only explode ×7/×28), then one distinct count
+    # per day — the bounded-fanout trick that turns a sliding distinct
+    # into a hash-agg.  At 100 TB the 28× marker fanout is real but
+    # map-side and shuffle-compacted by the distinct's partial agg;
+    # C67's sliding-HLL is the sketch path when even that is too much.
+    # Days ride a calendar spine of the observed span, so a zero-DAU
+    # day still reports its WAU/MAU (the r7 ledger lesson).
+    day = f"CAST(floor({epoch('ts', d)} / 86400.0) AS BIGINT)"
+    if d == "spark":
+        off7, off28 = "explode(sequence(0, 6))", "explode(sequence(0, 27))"
+        spine = "SELECT explode(sequence(d0, d1)) AS day_idx FROM bounds"
+    else:
+        off7, off28 = ("unnest(generate_series(0, 6))",
+                       "unnest(generate_series(0, 27))")
+        spine = "SELECT unnest(generate_series(d0, d1)) AS day_idx FROM bounds"
+    return f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, {day} AS day_idx FROM events
+    ),
+    bounds AS (
+      SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM ud
+    ),
+    spine AS ({spine}),
+    dau AS (
+      SELECT day_idx, count(*) AS n FROM ud GROUP BY day_idx
+    ),
+    wau AS (
+      SELECT day_idx, count(DISTINCT user_id) AS n FROM (
+        SELECT user_id, day_idx + o AS day_idx
+        FROM (SELECT user_id, day_idx, {off7} AS o FROM ud) f
+      ) m GROUP BY day_idx
+    ),
+    mau AS (
+      SELECT day_idx, count(DISTINCT user_id) AS n FROM (
+        SELECT user_id, day_idx + o AS day_idx
+        FROM (SELECT user_id, day_idx, {off28} AS o FROM ud) f
+      ) m GROUP BY day_idx
+    )
+    SELECT
+      {cnt("s.day_idx", "day_idx")},
+      {cnt("coalesce(dau.n, 0)", "dau")},
+      {cnt("coalesce(wau.n, 0)", "wau")},
+      {cnt("coalesce(mau.n, 0)", "mau")},
+      {dbl("coalesce(dau.n, 0) / CAST(nullif(wau.n, 0) AS DOUBLE)", "dau_wau")},
+      {dbl("coalesce(dau.n, 0) / CAST(nullif(mau.n, 0) AS DOUBLE)", "dau_mau")},
+      {dbl("coalesce(wau.n, 0) / CAST(nullif(mau.n, 0) AS DOUBLE)", "wau_mau")}
+    FROM spine s
+    LEFT JOIN dau ON dau.day_idx = s.day_idx
+    LEFT JOIN wau ON wau.day_idx = s.day_idx
+    LEFT JOIN mau ON mau.day_idx = s.day_idx
+    ORDER BY s.day_idx
+    """
+
+
+def _markov_stationarity_sql(d: str) -> str:
+    # C92 — transition-matrix STATIONARITY test: C54's first-order
+    # chain fitted on the first and second half of the stream (split at
+    # the global median event instant) and compared cell-by-cell with
+    # the two-sample chi-square on pooled expectations.  A chain that
+    # fails here has a drifting behavior process — C54's single matrix
+    # (and C74's entropy rate) average two different regimes and
+    # predict neither.  Transitions keep C54's (user ORDER BY ts,
+    # event_id) window VERBATIM and take their era from the FROM
+    # event; the era cut uses the interpolated median epoch compared
+    # on exact integer-derived seconds.
+    #
+    # Scale: one events scan; the era cut is a broadcast scalar, the
+    # per-user lag window is the only fact shuffle, and every chi-
+    # square stage runs on 2·|types|² cells.
+    e = epoch("ts", d)
+    return f"""
+    WITH cut AS (
+      SELECT {pct(e, 0.5, d)} AS t_med FROM events
+    ),
+    ordered AS (
+      SELECT
+        event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type,
+        CASE WHEN lag({e}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  <= (SELECT t_med FROM cut)
+             THEN 'h1' ELSE 'h2' END AS era
+      FROM events
+    ),
+    cells AS (
+      SELECT prev_type, event_type AS next_type, era, count(*) AS c
+      FROM ordered
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type, era
+    ),
+    marg AS (
+      SELECT
+        prev_type, next_type, era, c,
+        sum(c) OVER (PARTITION BY prev_type, era) AS row_total,
+        sum(c) OVER (PARTITION BY prev_type, next_type) AS cell_pool,
+        sum(c) OVER (PARTITION BY prev_type) AS row_pool
+      FROM cells
+    )
+    SELECT
+      prev_type,
+      next_type,
+      era,
+      {cnt("c", "n_transitions")},
+      {dbl("c / CAST(row_total AS DOUBLE)", "p_era")},
+      {dbl("cell_pool / CAST(row_pool AS DOUBLE)", "p_pooled")},
+      {dbl(
+          "(c - row_total * (cell_pool / CAST(row_pool AS DOUBLE)))"
+          " * (c - row_total * (cell_pool / CAST(row_pool AS DOUBLE)))"
+          " / (row_total * (cell_pool / CAST(row_pool AS DOUBLE)))",
+          "chi2_contribution",
+      )}
+    FROM marg
+    ORDER BY prev_type, next_type, era
+    """
+
+
+def _lorenz_sql(d: str) -> str:
+    # C93 — Lorenz curve + Gini of per-user activity: users ranked by
+    # event count ascending, bucketed into population deciles, with
+    # each decile's share and the cumulative share (the Lorenz points
+    # behind every "top 10% of users generate X%" claim) and the exact
+    # rank-formula Gini (C45's formula, population = users instead of
+    # docs) repeated per row for the certified single-number readout.
+    # Deciles come from the deterministic (count, user_id) rank — NOT
+    # ntile ties — so both engines bucket identically.
+    #
+    # Scale: one events scan → per-user counts (one shuffle); ranking
+    # windows run on |users| rows.
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, count(*) AS n_events
+      FROM events
+      GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT
+        user_id,
+        CAST(n_events AS DOUBLE) AS x,
+        CAST(row_number() OVER (ORDER BY n_events, user_id) AS DOUBLE) AS i,
+        CAST(count(*) OVER () AS DOUBLE) AS n
+      FROM per_user
+    ),
+    deciled AS (
+      SELECT *,
+        CAST(ceil(i * 10.0 / n) AS BIGINT) AS decile
+      FROM ranked
+    )
+    SELECT
+      decile,
+      {cnt("count(*)", "n_users")},
+      {dbl("sum(x) / sum(sum(x)) OVER ()", "events_share")},
+      {dbl("sum(sum(x)) OVER (ORDER BY decile"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+           " / sum(sum(x)) OVER ()", "cum_events_share")},
+      {dbl("2.0 * max(si_x) / (max(n) * max(sx)) - (max(n) + 1.0) / max(n)",
+           "gini")}
+    FROM (
+      SELECT *,
+        sum(i * x) OVER () AS si_x,
+        sum(x) OVER () AS sx
+      FROM deciled
+    ) g
+    GROUP BY decile
+    ORDER BY decile
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
+    sql_backed("stickiness_ratio", _stickiness_sql, ("events",)),
+    sql_backed("markov_stationarity", _markov_stationarity_sql, ("events",)),
+    sql_backed("lorenz_curve_users", _lorenz_sql, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
     sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
     sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),

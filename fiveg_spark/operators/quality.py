@@ -402,8 +402,67 @@ def _partition_completeness_sql(d: str) -> str:
     """
 
 
+def _dq_trend_sql(d: str) -> str:
+    # C100 — data-quality TREND per ingest day: C20's constraint pass
+    # has one global scorecard; this is its time axis — the per-day
+    # null/invalid/duplicate/coverage ledger an on-call reads to see
+    # WHEN quality broke, on a calendar-day spine so a fully-silent day
+    # reports a row of zeros (the r7 ledger lesson — the worst ingest
+    # failure is the one that emits nothing).  Checks: NULL values,
+    # non-positive values, duplicate event_ids (count − distinct),
+    # hour-of-day coverage, and props-JSON parse success (the A4
+    # extraction, kpi.json_k_expr — THE shared parser).
+    #
+    # Scale: one events scan → per-day hash-agg (count-distincts key on
+    # (day, id)/(day, hour) — bounded per day); spine join is |days|.
+    from fiveg_spark.operators.kpi import json_k_expr
+
+    day = f"CAST(floor({epoch('ts', d)} / 86400.0) AS BIGINT)"
+    if d == "spark":
+        spine = "SELECT explode(sequence(d0, d1)) AS day_idx FROM bounds"
+    else:
+        spine = "SELECT unnest(generate_series(d0, d1)) AS day_idx FROM bounds"
+    return f"""
+    WITH daily AS (
+      SELECT
+        {day} AS day_idx,
+        count(*) AS n_events,
+        sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+        sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS n_nonpositive_value,
+        count(*) - count(DISTINCT event_id) AS n_dup_event_ids,
+        count(DISTINCT CAST(floor({epoch('ts', d)} / 3600.0) AS BIGINT))
+          AS hours_covered,
+        sum(CASE WHEN {json_k_expr(d)} IS NULL THEN 1 ELSE 0 END)
+          AS n_props_parse_fail
+      FROM events
+      GROUP BY {day}
+    ),
+    bounds AS (
+      SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM daily
+    ),
+    spine AS ({spine})
+    SELECT
+      {cnt("s.day_idx", "day_idx")},
+      {cnt("coalesce(dd.n_events, 0)", "n_events")},
+      {cnt("coalesce(dd.n_null_value, 0)", "n_null_value")},
+      {cnt("coalesce(dd.n_nonpositive_value, 0)", "n_nonpositive_value")},
+      {cnt("coalesce(dd.n_dup_event_ids, 0)", "n_dup_event_ids")},
+      {cnt("coalesce(dd.hours_covered, 0)", "hours_covered")},
+      {dbl("coalesce(dd.hours_covered, 0) / 24.0", "hour_coverage_ratio")},
+      {dbl(
+          "1.0 - coalesce(dd.n_props_parse_fail, 0)"
+          " / CAST(nullif(coalesce(dd.n_events, 0), 0) AS DOUBLE)",
+          "props_parse_ok_ratio",
+      )}
+    FROM spine s
+    LEFT JOIN daily dd ON dd.day_idx = s.day_idx
+    ORDER BY s.day_idx
+    """
+
+
 QUERIES = [
     sql_backed("table_profile", _table_profile_sql, ("events",)),
+    sql_backed("dq_trend_daily", _dq_trend_sql, ("events",)),
     sql_backed("partition_completeness", _partition_completeness_sql, ("events",)),
     sql_backed("dq_checks", _dq_checks_sql, ("events", "orders", "customer", "lineitem")),
     sql_backed("window_functions_suite", _window_suite_sql, ("orders",)),

@@ -1458,8 +1458,247 @@ def _model_router_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_router_hourly", hourly_sql)], tail
 
 
+def _poisson_dispersion_sql(d: str) -> str:
+    # D55 — index-of-dispersion (Fisher) overdispersion screen per
+    # slice: variance/mean of hourly PACKET COUNTS (a Poisson arrival
+    # process has D = 1; D >> 1 means bursty/clustered arrivals, the
+    # count-domain complement of D38's IAT burstiness and D24's
+    # exponential-fit check).  Chi-square form (n−1)·D with a 3σ normal
+    # band on D — the quick "is this arrival process Poisson at all"
+    # gate before any queueing-model claim (cf. C89).  Hours inside
+    # each slice's OWN active span with zero packets count as zeros via
+    # a per-slice calendar spine (the r7 growth-accounting lesson: the
+    # burstiest hour is the silent one; an active-hours-only rollup
+    # can't see it).
+    #
+    # Scale: one events scan → (slice, hour) counts; the spine join and
+    # moment rollup run on ≤ |slices|·|hours| rows.
+    if d == "spark":
+        spine = ("SELECT slice, explode(sequence(0, CAST(span_h AS INT))) AS hi, h0"
+                 " FROM bounds")
+    else:
+        spine = ("SELECT slice, unnest(generate_series(0, CAST(span_h AS INT))) AS hi, h0"
+                 " FROM bounds")
+    e = epoch("h", d)
+    return f"""
+    {_hourly_cte(d)},
+    bounds AS (
+      SELECT slice, min({e}) AS h0,
+             (max({e}) - min({e})) / 3600.0 AS span_h
+      FROM hourly GROUP BY slice
+    ),
+    spine AS ({spine}),
+    counts AS (
+      SELECT sp.slice,
+             coalesce(hr.total_packets, 0) AS n_pkts
+      FROM spine sp
+      LEFT JOIN hourly hr
+        ON hr.slice = sp.slice AND {epoch("hr.h", d)} = sp.h0 + sp.hi * 3600.0
+    ),
+    moments AS (
+      SELECT
+        slice,
+        CAST(count(*) AS DOUBLE) AS n,
+        avg(CAST(n_pkts AS DOUBLE)) AS mu,
+        var_samp(CAST(n_pkts AS DOUBLE)) AS v
+      FROM counts
+      GROUP BY slice
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {dbl("mu", "mean_hourly_packets")},
+      {dbl("v", "var_hourly_packets")},
+      {dbl("v / nullif(mu, 0.0)", "dispersion_index")},
+      {dbl("(n - 1.0) * v / nullif(mu, 0.0)", "chi2_stat")},
+      (round(v / nullif(mu, 0.0) + {NUDGE}, 4)
+         > 1.0 + 3.0 * sqrt(2.0 / (n - 1.0))) AS overdispersed
+    FROM moments
+    WHERE n >= 2
+    ORDER BY slice
+    """
+
+
+def _jarque_bera_sql(d: str) -> str:
+    # D57 — Jarque-Bera normality test per slice on the hourly
+    # throughput residuals (v − slice mean): JB = n/6·(S² + (K−3)²/4)
+    # against the χ²₂ 95% cut (5.99).  The formal gate behind B3's raw
+    # skew/kurt readouts — z-score anomaly thresholds (C30) and CUSUM
+    # variance assumptions (B18) are only calibrated when this passes.
+    # Parity: the slice mean is rounded to 4 dp BEFORE residuals, so
+    # every residual is the difference of two engine-identical doubles
+    # and the power sums diverge only by addition order (≪ 4 dp).
+    # Centering BEFORE the power sums is also the numerics: raw
+    # E[x⁴]-based central-moment algebra at throughput magnitudes
+    # (1e6⁴ = 1e24) would cancel past double precision.
+    #
+    # Scale: one events scan → hourly frame; mean join + moment rollup
+    # on the tiny series frame.
+    return f"""
+    {_hourly_cte(d)},
+    mu AS (
+      SELECT slice, round(avg(throughput_bps) + {NUDGE}, 4) AS m
+      FROM hourly GROUP BY slice
+    ),
+    resid AS (
+      SELECT h.slice, h.throughput_bps - mu.m AS r
+      FROM hourly h JOIN mu ON mu.slice = h.slice
+    ),
+    moments AS (
+      SELECT
+        slice,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(r * r) AS s2,
+        sum(r * r * r) AS s3,
+        sum(r * r * r * r) AS s4
+      FROM resid
+      GROUP BY slice
+    ),
+    stats AS (
+      SELECT
+        slice, n,
+        CASE WHEN s2 > 0 THEN (s3 / n) / power(s2 / n, 1.5) ELSE 0.0 END AS skew,
+        CASE WHEN s2 > 0 THEN (s4 / n) / power(s2 / n, 2.0) ELSE 0.0 END AS kurt
+      FROM moments
+      WHERE n >= 4
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {dbl("skew", "skewness")},
+      {dbl("kurt", "kurtosis")},
+      {dbl("n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)",
+           "jb_stat")},
+      (round(n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+             + {NUDGE}, 4) > 5.99) AS non_normal
+    FROM stats
+    ORDER BY slice
+    """
+
+
+def _runs_test_sql(d: str) -> str:
+    # D58 — Wald-Wolfowitz runs test per slice: is the hour-ordered
+    # sign sequence (throughput above/below the slice MEDIAN) random,
+    # or does it trend/oscillate?  z = (R − E[R]) / σ_R with
+    # E[R] = 1 + 2·n₁·n₀/n, σ²_R = 2n₁n₀(2n₁n₀−n) / (n²(n−1)).
+    # Too FEW runs = regime persistence (the D52 Mann-Kendall shape,
+    # detected nonparametrically); too MANY = oscillation faster than
+    # hourly (aliasing — sampling is too coarse).  Complements D45's
+    # autocorrelation-based whiteness with a distribution-free check.
+    # Parity: the median is interpolated identically on both engines
+    # and compared against 4-dp-rounded values; runs/counts are exact
+    # integers.
+    #
+    # Scale: one events scan → hourly frame → per-slice lag window on
+    # the tiny series.
+    return f"""
+    {_hourly_cte(d)},
+    med AS (
+      SELECT slice, {pct("throughput_bps", 0.5, d)} AS m
+      FROM hourly GROUP BY slice
+    ),
+    signed AS (
+      SELECT h.slice,
+        CASE WHEN h.throughput_bps > med.m THEN 1 ELSE 0 END AS s,
+        lag(CASE WHEN h.throughput_bps > med.m THEN 1 ELSE 0 END)
+          OVER (PARTITION BY h.slice ORDER BY h.h) AS prev_s
+      FROM hourly h JOIN med ON med.slice = h.slice
+    ),
+    rolled AS (
+      SELECT
+        slice,
+        CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(s) AS DOUBLE) AS n1,
+        CAST(count(*) - sum(s) AS DOUBLE) AS n0,
+        CAST(1 + sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                          THEN 1 ELSE 0 END) AS DOUBLE) AS runs
+      FROM signed
+      GROUP BY slice
+      HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT
+        slice, n, n1, n0, runs,
+        1.0 + 2.0 * n1 * n0 / n AS e_runs,
+        2.0 * n1 * n0 * (2.0 * n1 * n0 - n) / (n * n * (n - 1.0)) AS var_runs
+      FROM rolled
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {cnt("runs", "n_runs")},
+      {dbl("e_runs", "expected_runs")},
+      {dbl(
+          "CASE WHEN var_runs > 1e-12 THEN (runs - e_runs) / sqrt(var_runs) END",
+          "z_stat",
+      )},
+      (abs(CASE WHEN var_runs > 1e-12
+                THEN round((runs - e_runs) / sqrt(var_runs) + {NUDGE}, 4)
+                ELSE 0.0 END) > 1.96) AS non_random
+    FROM scored
+    ORDER BY slice
+    """
+
+
+def _kl_weekly_mix_sql(d: str) -> str:
+    # D59 — weekly event-type mix drift: KL(week ‖ all-time) per
+    # calendar week, in nats — the categorical-composition drift
+    # monitor over TIME (E75 runs the same math over sources; D27's
+    # PSI covers numeric features).  Monday-start weeks via the shared
+    # +3-day epoch arithmetic (the D47 landmine).  E75's parity
+    # discipline verbatim: shares floored at 1e-4 and rounded to 6 dp
+    # BEFORE ln, so both engines take logs of identical doubles.  Each
+    # week also reports its most divergent type (max p·ln(p/q), ties
+    # on type name).
+    #
+    # Scale: one events scan → (week, type) hash-agg; window marginals
+    # and the KL rollup run on |weeks|·|types| rows.
+    week = f"CAST(floor((floor({epoch('ts', d)} / 86400.0) + 3) / 7.0) AS BIGINT)"
+    p = "round(greatest(c / CAST(w_total AS DOUBLE), 1e-4) + 1e-12, 6)"
+    q = "round(greatest(t_total / CAST(n AS DOUBLE), 1e-4) + 1e-12, 6)"
+    return f"""
+    WITH cells AS (
+      SELECT {week} AS week_idx, event_type, count(*) AS c
+      FROM events
+      GROUP BY {week}, event_type
+    ),
+    marg AS (
+      SELECT
+        week_idx, event_type, c,
+        sum(c) OVER (PARTITION BY week_idx) AS w_total,
+        sum(c) OVER (PARTITION BY event_type) AS t_total,
+        sum(c) OVER () AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT
+        week_idx, event_type, c, w_total,
+        round({p} * ln({p} / {q}) + {NUDGE}, 6) AS kl_term
+      FROM marg
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY week_idx
+                           ORDER BY kl_term DESC, event_type) AS rk
+      FROM contrib
+    )
+    SELECT
+      {cnt("week_idx", "week_idx")},
+      {cnt("max(w_total)", "n_events")},
+      {dbl("sum(kl_term)", "kl_nats")},
+      max(CASE WHEN rk = 1 THEN event_type END) AS most_divergent_type
+    FROM ranked
+    GROUP BY week_idx
+    ORDER BY week_idx
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
+    sql_backed("poisson_dispersion", _poisson_dispersion_sql, ("events",)),
+    sql_backed("jarque_bera", _jarque_bera_sql, ("events",)),
+    sql_backed("runs_test", _runs_test_sql, ("events",)),
+    sql_backed("kl_weekly_mix", _kl_weekly_mix_sql, ("events",)),
     sql_backed("ljung_box", _ljung_box_sql, ("events",)),
     sql_backed("welch_weekend_contrast", _welch_sql, ("events",)),
     sql_backed("cusum_drift", _cusum_sql, ("events",)),

@@ -282,7 +282,21 @@ _EVENTS_SCHEMA = (
 
 def _event_sql_fns():
     from fiveg_spark.operators.analytics_ext import _zscore_sql
-    from fiveg_spark.operators.quality import _partition_completeness_sql
+    from fiveg_spark.operators.behavior import (
+        _lorenz_sql,
+        _markov_stationarity_sql,
+        _stickiness_sql,
+    )
+    from fiveg_spark.operators.quality import (
+        _dq_trend_sql,
+        _partition_completeness_sql,
+    )
+    from fiveg_spark.operators.ts_diagnostics import (
+        _jarque_bera_sql,
+        _kl_weekly_mix_sql,
+        _poisson_dispersion_sql,
+        _runs_test_sql,
+    )
     from fiveg_spark.operators.stats_assoc import (
         _anova_sql,
         _assoc_sql,
@@ -352,6 +366,28 @@ def _event_sql_fns():
     return {
         "zscore_anomalies": _zscore_sql,
         "window_entropy": _window_entropy_sql,
+        # var/mean ratio with the nullif(mu,0) guard: all-zero-count
+        # spines and single-hour slices (n<2 filtered) live here
+        "poisson_dispersion": _poisson_dispersion_sql,
+        # centered power sums: constant series hit the s2>0 guards,
+        # n<4 slices are filtered
+        "jarque_bera": _jarque_bera_sql,
+        # run-count variance guard: constant series (n1 or n0 = 0)
+        # give var_runs = 0 -> NULL z -> dbl 0.0
+        "runs_test": _runs_test_sql,
+        # floored/rounded shares before ln (E75 discipline); single-
+        # type streams give KL = 0 with the type as top
+        "kl_weekly_mix": _kl_weekly_mix_sql,
+        # trailing-window fanout + nullif(mau,0) ratios on sparse days
+        "stickiness_ratio": _stickiness_sql,
+        # pooled-expectation chi-square cells; single-era streams (all
+        # events at one instant) put every transition in h1
+        "markov_stationarity": _markov_stationarity_sql,
+        # decile bucketing on deterministic ranks + rank-formula gini;
+        # single-user streams give one decile with share 1.0
+        "lorenz_curve_users": _lorenz_sql,
+        # calendar-spine zeros + nullif parse ratio on silent days
+        "dq_trend_daily": _dq_trend_sql,
         # LOCF interval weights: exact-tie timestamps -> zero-width
         # intervals, single-reading days -> full-day weight
         "twap_value_daily": _twap_sql,
