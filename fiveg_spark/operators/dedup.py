@@ -24,6 +24,7 @@ from __future__ import annotations
 from fiveg_spark.plans.registry import (
     NUDGE,
     Query,
+    arr_len,
     cnt,
     dbl,
     materialized_backed,
@@ -974,9 +975,63 @@ def _line_dedup_sql(d: str) -> str:
     """
 
 
+def _survivorship_sql(d: str) -> str:
+    # E86 — exact-dedup SURVIVORSHIP by source: who wins when E1's
+    # keep-rule (keeper = min doc_id per content-hash cluster) runs —
+    # per source: docs kept/removed, tokens reclaimed, and the CROSS-
+    # SOURCE loss (docs whose surviving copy lives in ANOTHER source).
+    # The attribution question behind E79's dup-pressure rates: a
+    # source that mostly loses cross-source contributes little unique
+    # content, and its E26 mixture weight is overstating it.  Same
+    # md5(lower(text)) key and min-doc_id rule as E1/E80 — a keep-rule
+    # change moves all three certified rows together.
+    #
+    # Scale: one scan → hash groupBy (E1's shape) → join back on the
+    # high-cardinality hash → per-source rollup.
+    toks = split_ws("lower(text)", d)
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source, md5(lower(text)) AS h,
+             {arr_len("t", d)} AS n_tokens
+      FROM (SELECT doc_id, source, {toks} AS t, text FROM documents) raw
+    ),
+    clusters AS (
+      SELECT h, min(doc_id) AS keeper, count(*) AS sz
+      FROM docs GROUP BY h
+    ),
+    keeper_src AS (
+      SELECT c.h, c.keeper, c.sz, k.source AS keeper_source
+      FROM clusters c JOIN docs k ON k.doc_id = c.keeper
+    ),
+    flagged AS (
+      SELECT
+        o.source, o.n_tokens,
+        CASE WHEN o.doc_id = s.keeper THEN 1 ELSE 0 END AS kept,
+        CASE WHEN o.doc_id <> s.keeper AND o.source <> s.keeper_source
+             THEN 1 ELSE 0 END AS lost_cross
+      FROM docs o JOIN keeper_src s ON s.h = o.h
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(kept)", "n_kept")},
+      {cnt("count(*) - sum(kept)", "n_removed")},
+      {dbl("(count(*) - sum(kept)) / CAST(count(*) AS DOUBLE)",
+           "removal_rate")},
+      {cnt("sum((1 - kept) * n_tokens)", "tokens_removed")},
+      {cnt("sum(lost_cross)", "n_lost_cross_source")},
+      {dbl("sum(CAST(lost_cross AS DOUBLE)) / count(*)",
+           "cross_source_loss_rate")}
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
     sql_backed("line_dedup", _line_dedup_sql, ("documents",)),
+    sql_backed("dedup_survivorship_by_source", _survivorship_sql, ("documents",)),
     sql_backed("edit_distance_pairs", _edit_distance_sql, ("documents",)),
     sql_backed("minhash_lsh_pairs", _minhash_lsh_sql, ("documents",)),
     materialized_backed("edit_distance_candidates", _edit_distance_candidates_parts, ("documents",)),

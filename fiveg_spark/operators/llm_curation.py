@@ -674,9 +674,47 @@ def _dsir_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_dsir_fb", fb)], tail
 
 
+def _pii_density_sql(d: str) -> str:
+    # E84 — PII DENSITY per source, normalized per 1k whitespace
+    # tokens: E21's raw hit counts can't rank sources of different
+    # sizes (a 10× bigger source has 10× the hits at the SAME risk);
+    # redaction planning (E29) and source-level quarantine decisions
+    # need the rate.  Same _PATTERNS inventory as E21/E29 — a pattern
+    # change moves all three certified rows together.  The synthetic
+    # corpus is digit-free, so most densities are exact zeros —
+    # engine-parity evidence here; tests/test_llm_curation.py plants
+    # real PII for behavior.
+    #
+    # Scale: one scan, one per-source hash-agg (regexp counts are
+    # map-side scalar work).
+    toks = arr_len(_tok(d), d)
+    densities = ",\n      ".join(
+        dbl(
+            f"1000.0 * sum({_pat_hits(d, pat)})"
+            f" / CAST(nullif(sum({toks}), 0) AS DOUBLE)",
+            f"{name}_per_1k",
+        )
+        for name, pat in _PATTERNS.items()
+    )
+    total = " + ".join(f"sum({_pat_hits(d, pat)})" for pat in _PATTERNS.values())
+    return f"""
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt(f"sum({toks})", "ws_tokens")},
+      {densities},
+      {dbl(f"1000.0 * ({total}) / CAST(nullif(sum({toks}), 0) AS DOUBLE)",
+           "total_per_1k")}
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     sql_backed("boilerplate_ngrams", _boilerplate_ngrams_sql, ("documents",)),
     sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
+    sql_backed("pii_density_by_source", _pii_density_sql, ("documents",)),
     sql_backed("pii_redact", _pii_redact_sql, ("documents",)),
     sql_backed("sequence_packing", _sequence_packing_sql, ("documents",)),
     sql_backed("mixture_weights", _mixture_weights_sql, ("documents",)),

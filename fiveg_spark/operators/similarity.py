@@ -659,8 +659,141 @@ def _anisotropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_aniso_exp", exp)], tail
 
 
+def _outlier_docs_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E88 — per-label centroid-distance outliers: every vector's
+    # euclidean distance to its OWN label centroid, z-scored within the
+    # label, flagged at |z| > 2.5 — the mislabeled/contaminated-vector
+    # screen a labeled embedding corpus runs before E12's centroids are
+    # trusted (one mislabeled cluster member drags the centroid E34's
+    # SemDeDup then prunes against).  Shares E12's per-(label, dim)
+    # centroid convention (same avg, same explode layout).
+    #
+    # Parity: centroids are rounded to 4 dp before distances (so the
+    # squared-difference sums run on engine-identical inputs);
+    # distances and z-scores round at the usual 4 dp.
+    #
+    # Scale: the exploded (label, dim) shuffle builds |labels|·d
+    # centroid rows (broadcast-sized); the distance pass re-joins them
+    # to the exploded vectors on (label, dim) — at 1e9 vectors the
+    # centroid frame broadcasts and the distance is a map-side
+    # zip_with; the SQL join form here is the oracle-parity layout of
+    # the same plan.
+    if d == "spark":
+        exploded = (
+            "SELECT vec_id, label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) "
+            "AS (pos0, v) FROM embeddings"
+        )
+        pos = "pos0 + 1"
+    else:
+        exploded = (
+            "SELECT vec_id, label, unnest(generate_series(1, len(embedding))) "
+            "AS pos0, unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+        )
+        pos = "pos0"
+    ex_sql = f"""
+      SELECT vec_id, label, CAST({pos} AS INT) AS dim, v
+      FROM ({exploded}) e
+    """
+    tail = f"""
+    WITH cent AS (
+      SELECT label, dim, round(avg(v) + {NUDGE}, 4) AS c
+      FROM _mz_eo_dims
+      GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT
+        e.vec_id, e.label,
+        round(sqrt(sum((e.v - c.c) * (e.v - c.c))) + {NUDGE}, 4) AS dist
+      FROM _mz_eo_dims e
+      JOIN cent c ON c.label = e.label AND c.dim = e.dim
+      GROUP BY e.vec_id, e.label
+    ),
+    stats AS (
+      SELECT
+        label,
+        round(avg(dist) + {NUDGE}, 4) AS mu,
+        round(coalesce(stddev_samp(dist), 0.0) + {NUDGE}, 4) AS sd
+      FROM dist GROUP BY label
+    )
+    SELECT
+      d.vec_id,
+      d.label,
+      {dbl("d.dist", "centroid_dist")},
+      {dbl("CASE WHEN s.sd > 1e-9 THEN (d.dist - s.mu) / s.sd END", "z_score")},
+      (CASE WHEN s.sd > 1e-9
+            THEN abs(round((d.dist - s.mu) / s.sd + {NUDGE}, 4)) > 2.5
+            ELSE FALSE END) AS is_outlier
+    FROM dist d JOIN stats s ON s.label = d.label
+    ORDER BY d.vec_id
+    """
+    return [("_mz_eo_dims", ex_sql)], tail
+
+
+KNN_CONSISTENCY_K = 5  # neighbors per probe
+KNN_PROBE_MOD = 10  # probes = vec_id % 10 = 0 (a 10% deterministic panel)
+
+
+def _knn_consistency_sql(d: str) -> str:
+    # E89 — kNN LABEL CONSISTENCY: for a deterministic 10% probe panel
+    # (vec_id % {KNN_PROBE_MOD} = 0), the top-{KNN_CONSISTENCY_K}
+    # cosine neighbors' label agreement, rolled per label — the
+    # labeled-corpus quality audit behind every "embeddings separate
+    # the classes" claim, and the ground-truth side of what E45's
+    # recall matrix measures for ANN indexes.  Neighbor ranking on
+    # (rounded cosine DESC, vec_id) — the E6 determinism rule.
+    #
+    # Scale: probe panel × corpus brute scoring (the E6 broadcast
+    # layout: panel broadcasts, corpus scan is embarrassingly
+    # parallel); per-probe top-k is a rank window partitioned by probe
+    # (never global).  At 1e9 vectors the panel rides E20's IVF probes
+    # instead — this exact form is the calibration baseline.
+    cos = _cos(d, "q.embedding", "e.embedding")
+    k = KNN_CONSISTENCY_K
+    return f"""
+    WITH scored AS (
+      SELECT
+        q.vec_id AS probe_id,
+        q.label AS probe_label,
+        e.vec_id AS nbr_id,
+        e.label AS nbr_label,
+        round({cos} + {NUDGE}, 4) AS cosine
+      FROM embeddings q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id % {KNN_PROBE_MOD} = 0
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY probe_id
+                           ORDER BY cosine DESC, nbr_id) AS rk
+      FROM scored
+    ),
+    per_probe AS (
+      SELECT
+        probe_id,
+        probe_label,
+        avg(CASE WHEN nbr_label = probe_label THEN 1.0 ELSE 0.0 END) AS purity,
+        max(CASE WHEN rk = 1 AND nbr_label = probe_label
+                 THEN 1 ELSE 0 END) AS top1_match
+      FROM ranked
+      WHERE rk <= {k}
+      GROUP BY probe_id, probe_label
+    )
+    SELECT
+      probe_label AS label,
+      {cnt("count(*)", "n_probes")},
+      {dbl("avg(purity)", "mean_purity")},
+      {dbl("avg(CAST(top1_match AS DOUBLE))", "top1_accuracy")},
+      {dbl("min(purity)", "min_purity")}
+    FROM per_probe
+    GROUP BY probe_label
+    ORDER BY probe_label
+    """
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
+    materialized_backed("embedding_outlier_docs", _outlier_docs_parts, ("embeddings",)),
+    sql_backed("knn_label_consistency", _knn_consistency_sql, ("embeddings",)),
     materialized_backed(
         "hybrid_retrieval_fusion", _hybrid_fusion_parts,
         ("documents", "embeddings"),

@@ -44,12 +44,14 @@ def _marker_count(d: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({_tok(d)}, x -> x IN ({inlist})))"
 
 
-def _lang_id_sql(d: str) -> str:
+def _lang_scored_cte(d: str) -> str:
+    """THE E8 classifier frame — `scored(doc_id, lang, score_en,
+    score_es, score_de)`, one scan.  Shared by E8 and the E85 confusion
+    matrix so a marker change moves both certified rows together."""
     en = _marker_count(d, _MARKERS["en"])
     es = _marker_count(d, _MARKERS["es"])
     de = _marker_count(d, _MARKERS["de"])
-    return f"""
-    WITH scored AS (
+    return f"""scored AS (
       SELECT
         doc_id,
         lang,
@@ -57,15 +59,57 @@ def _lang_id_sql(d: str) -> str:
         CAST({es} AS INT) AS score_es,
         CAST({de} AS INT) AS score_de
       FROM documents
-    )
+    )"""
+
+
+# E8's argmax decision over _lang_scored_cte columns (ties: en > es > de).
+LANG_PRED_CASE = (
+    "CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en' "
+    "WHEN score_es >= score_de THEN 'es' ELSE 'de' END"
+)
+
+
+def _lang_id_sql(d: str) -> str:
+    return f"""
+    WITH {_lang_scored_cte(d)}
     SELECT
       doc_id,
       lang,
       score_en, score_es, score_de,
-      CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
-           WHEN score_es >= score_de THEN 'es'
-           ELSE 'de' END AS predicted
+      {LANG_PRED_CASE} AS predicted
     FROM scored
+    """
+
+
+def _lang_confusion_sql(d: str) -> str:
+    # E85 — language-ID CONFUSION MATRIX: E8's n-gram classifier scored
+    # against the corpus labels, per (true, predicted) cell with row-
+    # normalized recall and the classifier's share of the cell — the
+    # eval every curation pipeline runs before trusting a lang filter
+    # (a filter that misroutes 'es' docs to 'de' silently biases the
+    # mixture E26 computes).  Shares E8's scored frame + argmax
+    # VERBATIM (_lang_scored_cte / LANG_PRED_CASE).
+    #
+    # Scale: one scan → |langs|² hash-agg cells.
+    return f"""
+    WITH {_lang_scored_cte(d)},
+    cells AS (
+      SELECT lang AS true_lang, {LANG_PRED_CASE} AS predicted_lang,
+             count(*) AS c
+      FROM scored
+      GROUP BY lang, {LANG_PRED_CASE}
+    )
+    SELECT
+      true_lang,
+      predicted_lang,
+      {cnt("c", "n_docs")},
+      {dbl("c / CAST(sum(c) OVER (PARTITION BY true_lang) AS DOUBLE)",
+           "row_recall")},
+      {dbl("c / CAST(sum(c) OVER (PARTITION BY predicted_lang) AS DOUBLE)",
+           "col_precision")},
+      (true_lang = predicted_lang) AS correct
+    FROM cells
+    ORDER BY true_lang, predicted_lang
     """
 
 
@@ -474,6 +518,7 @@ QUERIES = [
     materialized_backed("tfidf_top_terms", _tfidf_parts, ("documents",)),
     sql_backed("code_like_score", _code_detect_sql, ("documents",)),
     sql_backed("lang_id", _lang_id_sql, ("documents",)),
+    sql_backed("lang_confusion_matrix", _lang_confusion_sql, ("documents",)),
     sql_backed("text_quality", _text_quality_sql, ("documents",)),
     sql_backed("token_counts", _token_counts_sql, ("documents",)),
     sql_backed("doc_fingerprint", _doc_fingerprint_sql, ("documents",)),

@@ -26,6 +26,7 @@ from fiveg_spark.operators.dedup import _shingles_cte
 from fiveg_spark.operators.text import _tok
 from fiveg_spark.plans.registry import (
     NUDGE,
+    arr_len,
     cnt,
     dbl,
     materialized_backed,
@@ -658,8 +659,123 @@ def _oov_rate_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_oov_toks", explode)], tail
 
 
+def _vocab_jaccard_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E87 — exact pairwise VOCABULARY overlap between sources: distinct-
+    # token Jaccard + asymmetric containment for every source pair.
+    # The exact token-level twin of C69's theta-sketch shingle
+    # estimates: C69 answers "how much CONTENT do A and B share" by
+    # sketch at any scale; this answers "how much VOCABULARY" exactly —
+    # the lexical-register overlap that drives tokenizer/mixture
+    # decisions (two sources with near-disjoint vocabularies shouldn't
+    # share a BPE budget).  Posting-list shape end-to-end: the distinct
+    # (source, token) frame materializes once, pair counts come from
+    # exploding each token's source set (E3's trick — never a frame
+    # self-join), sizes from one hash-agg.
+    #
+    # Scale: one scan → distinct shuffle → posting explode bounded by
+    # |sources| per token; output |sources|²/2 rows.
+    toks = _tok(d)
+    if d == "spark":
+        st_sql = f"""
+          SELECT DISTINCT source, token
+          FROM (SELECT source, explode({toks}) AS token FROM documents) x
+          WHERE token <> ''
+        """
+        pair_explode = """
+      SELECT p.sa AS sa, p.sb AS sb, count(*) AS n_common
+      FROM (
+        SELECT sort_array(collect_set(source)) AS srcs
+        FROM _mz_vj_st
+        GROUP BY token
+        HAVING size(collect_set(source)) > 1
+      ) posting
+      LATERAL VIEW explode(flatten(transform(srcs, (x, i) ->
+        transform(slice(srcs, i + 2, size(srcs)), y ->
+          named_struct('sa', x, 'sb', y))))) t AS p
+      GROUP BY p.sa, p.sb
+        """
+    else:
+        st_sql = f"""
+          SELECT DISTINCT source, token
+          FROM (SELECT source, unnest({toks}) AS token FROM documents) x
+          WHERE token <> ''
+        """
+        pair_explode = """
+      SELECT a.source AS sa, b.source AS sb, count(*) AS n_common
+      FROM _mz_vj_st a
+      JOIN _mz_vj_st b ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+        """
+    tail = f"""
+    WITH sizes AS (
+      SELECT source, count(*) AS n_vocab FROM _mz_vj_st GROUP BY source
+    ),
+    inter AS ({pair_explode})
+    SELECT
+      i.sa AS source_a,
+      i.sb AS source_b,
+      {cnt("sa.n_vocab", "vocab_a")},
+      {cnt("sb.n_vocab", "vocab_b")},
+      {cnt("i.n_common", "n_common")},
+      {dbl("i.n_common / CAST(sa.n_vocab + sb.n_vocab - i.n_common AS DOUBLE)",
+           "vocab_jaccard")},
+      {dbl("i.n_common / CAST(sa.n_vocab AS DOUBLE)", "containment_a")},
+      {dbl("i.n_common / CAST(sb.n_vocab AS DOUBLE)", "containment_b")}
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.sa
+    JOIN sizes sb ON sb.source = i.sb
+    ORDER BY i.sa, i.sb
+    """
+    return [("_mz_vj_st", st_sql)], tail
+
+
+def _lognormal_fit_sql(d: str) -> str:
+    # E95 — lognormal fit of per-doc token counts per source: μ̂/σ̂ of
+    # ln(tokens), the implied lognormal mean exp(μ̂ + σ̂²/2), and its
+    # ratio to the ACTUAL mean as the in-row goodness witness (≈1 when
+    # the lognormal family fits — document lengths famously do; a
+    # ratio far from 1 flags a truncated or multi-modal length regime
+    # that breaks E25's packing-efficiency assumptions).  ln() runs on
+    # exact integer token counts (engine-identical), the D40 rounding
+    # discipline everywhere else.
+    #
+    # Scale: one scan, one per-source hash-agg.
+    toks = arr_len(_tok(d), d)
+    return f"""
+    WITH lens AS (
+      SELECT source, CAST({toks} AS DOUBLE) AS n
+      FROM documents
+      WHERE {toks} >= 1
+    ),
+    fit AS (
+      SELECT
+        source,
+        CAST(count(*) AS DOUBLE) AS k,
+        avg(ln(n)) AS mu,
+        coalesce(var_samp(ln(n)), 0.0) AS s2,
+        avg(n) AS actual_mean
+      FROM lens
+      GROUP BY source
+    )
+    SELECT
+      source,
+      {cnt("k", "n_docs")},
+      {dbl("mu", "log_mean")},
+      {dbl("sqrt(s2)", "log_std")},
+      {dbl("exp(mu + s2 / 2.0)", "implied_mean")},
+      {dbl("actual_mean", "actual_mean")},
+      {dbl("exp(mu + s2 / 2.0) / actual_mean", "implied_over_actual")},
+      (abs(round(exp(mu + s2 / 2.0) / actual_mean + {NUDGE}, 4) - 1.0)
+         <= 0.25) AS lognormal_plausible
+    FROM fit
+    ORDER BY source
+    """
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
+    materialized_backed("vocab_jaccard_matrix", _vocab_jaccard_parts, ("documents",)),
+    sql_backed("lognormal_length_fit", _lognormal_fit_sql, ("documents",)),
     sql_backed("ngram_novelty", _ngram_novelty_sql, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),
     materialized_backed("unigram_ppl", _unigram_ppl_parts, ("documents",)),

@@ -88,7 +88,14 @@ def _more_doc_sql_fns():
         _token_counts_sql,
     )
     from fiveg_spark.operators.curation import _quality_trend_sql
-    from fiveg_spark.operators.dedup import _dup_spectrum_sql, _line_dedup_sql
+    from fiveg_spark.operators.dedup import (
+        _dup_spectrum_sql,
+        _line_dedup_sql,
+        _survivorship_sql,
+    )
+    from fiveg_spark.operators.llm_curation import _pii_density_sql
+    from fiveg_spark.operators.text import _lang_confusion_sql
+    from fiveg_spark.operators.text_stats import _lognormal_fit_sql
     from fiveg_spark.operators.text_stats import (
         _bigram_ppl_sql,
         _ngram_novelty_sql,
@@ -140,6 +147,20 @@ def _more_doc_sql_fns():
         # early snapshots (NULL q_v -> dbl 0.0) and the 4-point slope
         # runs on whatever versions exist
         "quality_trend_by_source": _quality_trend_sql,
+        # keeper-rule joins: duplicate-free corpora keep everything
+        # (rates 0), whole-corpus clones lose all but one doc with the
+        # cross-source split deciding where
+        "dedup_survivorship_by_source": _survivorship_sql,
+        # per-1k nullif ratios: zero-token sources hit the NULL->0.0
+        # convention, digit-free corpora pin densities at exact 0
+        "pii_density_by_source": _pii_density_sql,
+        # row/col-normalized cells: single-lang corpora give a 1-cell
+        # matrix with recall = precision = 1.0
+        "lang_confusion_matrix": _lang_confusion_sql,
+        # ln/exp moment math: single-doc sources (var_samp NULL ->
+        # coalesce 0) make implied = geometric = actual only when
+        # counts are equal; the >= 1-token filter drops empty docs
+        "lognormal_length_fit": _lognormal_fit_sql,
     }
 
 
@@ -581,9 +602,13 @@ def _doc_parts_fns():
     from fiveg_spark.operators.text_stats import (
         _oov_rate_parts,
         _stopword_divergence_parts,
+        _vocab_jaccard_parts,
     )
 
     return {
+        # posting-explode pair math: single-source corpora emit zero
+        # pairs, identical sources give jaccard = containment = 1.0
+        "vocab_jaccard_matrix": _vocab_jaccard_parts,
         # short docs (< SPAN_K tokens), whole-corpus duplicates, and
         # single-word vocab collisions all land here; clean_hash pins
         # the full token-level reconstruction across engines
