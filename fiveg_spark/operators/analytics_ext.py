@@ -15,7 +15,7 @@ window/join plans on ~#days × #types rows).
 from __future__ import annotations
 
 from fiveg_spark.operators.kpi import flows_cte
-from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, materialized_backed, pct, sql_backed
+from fiveg_spark.plans.registry import NUDGE, Query, cnt, dbl, epoch, materialized_backed, pct, sql_backed
 
 # Day-level value series per event_type; measure rounded so every
 # downstream window sees identical inputs in both engines.
@@ -384,8 +384,46 @@ def _skew_profile_sql(d: str) -> str:
     """
 
 
+def _load_imbalance_sql(d: str) -> str:
+    # C106 — hourly LOAD-IMBALANCE profile: C57's skew diagnostic has
+    # no time axis; this tracks the per-hour distribution of per-user
+    # row counts (the hot-key pressure a streaming shuffle actually
+    # sees hour by hour): coefficient of variation, top-user share,
+    # and a p99/median ratio — the three numbers that decide WHEN a
+    # partition-key choice melts, not just whether.
+    #
+    # Scale: one scan → (hour, user) hash-agg → per-hour rollup on the
+    # tiny key-count frame.
+    hr = f"CAST(floor({epoch('ts', d)} / 3600.0) AS BIGINT)"
+    p50 = pct("CAST(c AS DOUBLE)", 0.5, d)
+    p99 = pct("CAST(c AS DOUBLE)", 0.99, d)
+    return f"""
+    WITH per_key AS (
+      SELECT {hr} AS hour_idx, user_id, count(*) AS c
+      FROM events
+      GROUP BY {hr}, user_id
+    )
+    SELECT
+      hour_idx,
+      {cnt("count(*)", "n_active_users")},
+      {cnt("sum(c)", "n_events")},
+      {cnt("max(c)", "max_user_rows")},
+      {dbl("CAST(max(c) AS DOUBLE) / sum(c)", "top_user_share")},
+      {dbl(
+          "coalesce(stddev_samp(CAST(c AS DOUBLE)), 0.0)"
+          " / nullif(avg(CAST(c AS DOUBLE)), 0.0)",
+          "load_cv",
+      )},
+      {dbl(f"{p99} / nullif({p50}, 0.0)", "p99_over_median")}
+    FROM per_key
+    GROUP BY hour_idx
+    ORDER BY hour_idx
+    """
+
+
 QUERIES = [
     sql_backed("skew_profile", _skew_profile_sql, ("events",)),
+    sql_backed("hourly_load_imbalance", _load_imbalance_sql, ("events",)),
     sql_backed("grouping_sets_mix", _grouping_sets_sql, ("lineitem",)),
     sql_backed(
         "percent_of_total",

@@ -729,6 +729,77 @@ def _outlier_docs_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_eo_dims", ex_sql)], tail
 
 
+def _rank_agreement_sql(d: str) -> str:
+    # E92 — cosine-vs-euclidean RANK agreement per probe: the Spearman
+    # ρ between the two metrics' full neighbor rankings, plus top-1
+    # agreement — the calibration measurement behind E40's RRF fusion
+    # (fusing two rankings only adds information when they DISAGREE
+    # somewhere; ρ ≈ 1 means one metric is redundant) and behind every
+    # "which metric should the ANN index use" decision.  For unit-norm
+    # vectors the two orders coincide exactly; ρ < 1 here measures how
+    # far the corpus is from that regime (cf. E16's norm spread).
+    # ‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b rides the SAME dot-product kernels
+    # as cosine — identical float32→double casts, engine-identical.
+    # Rankings order on (rounded score, vec_id) — the E6 rule.
+    #
+    # Scale: probe panel × corpus (the E6 broadcast layout); rank
+    # windows partition per probe, never globally.
+    cos = _cos(d, "q.embedding", "e.embedding")
+    if d == "spark":
+        def dot(a: str, b: str) -> str:
+            return (
+                f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+                f"CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), 0D, "
+                f"(acc, x) -> acc + x)"
+            )
+    else:
+        def dot(a: str, b: str) -> str:
+            return (
+                f"list_dot_product(CAST({a} AS DOUBLE[]), "
+                f"CAST({b} AS DOUBLE[]))"
+            )
+    euc = (
+        f"sqrt(greatest({dot('q.embedding', 'q.embedding')}"
+        f" + {dot('e.embedding', 'e.embedding')}"
+        f" - 2.0 * {dot('q.embedding', 'e.embedding')}, 0.0))"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT
+        q.vec_id AS probe_id,
+        e.vec_id AS nbr_id,
+        round({cos} + {NUDGE}, 4) AS cosine,
+        round({euc} + {NUDGE}, 4) AS euclid
+      FROM embeddings q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+      WHERE q.vec_id % {KNN_PROBE_MOD} = 0
+    ),
+    ranked AS (
+      SELECT probe_id,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, nbr_id) AS DOUBLE)
+          AS r_cos,
+        CAST(row_number() OVER (PARTITION BY probe_id
+                                ORDER BY euclid, nbr_id) AS DOUBLE)
+          AS r_euc
+      FROM scored
+    )
+    SELECT
+      probe_id,
+      {cnt("count(*)", "n_ranked")},
+      {dbl(
+          "1.0 - 6.0 * sum((r_cos - r_euc) * (r_cos - r_euc))"
+          " / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0))",
+          "spearman_rho",
+      )},
+      (sum(CASE WHEN r_cos = 1 AND r_euc = 1 THEN 1 ELSE 0 END) = 1)
+        AS top1_agree
+    FROM ranked
+    GROUP BY probe_id
+    ORDER BY probe_id
+    """
+
+
 KNN_CONSISTENCY_K = 5  # neighbors per probe
 KNN_PROBE_MOD = 10  # probes = vec_id % 10 = 0 (a 10% deterministic panel)
 
@@ -794,6 +865,7 @@ QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
     materialized_backed("embedding_outlier_docs", _outlier_docs_parts, ("embeddings",)),
     sql_backed("knn_label_consistency", _knn_consistency_sql, ("embeddings",)),
+    sql_backed("metric_rank_agreement", _rank_agreement_sql, ("embeddings",)),
     materialized_backed(
         "hybrid_retrieval_fusion", _hybrid_fusion_parts,
         ("documents", "embeddings"),

@@ -17,7 +17,7 @@ second pass over raw data.
 from __future__ import annotations
 
 from fiveg_spark.operators.timeseries import _hourly_cte
-from fiveg_spark.plans.registry import cnt, dbl, epoch, sql_backed
+from fiveg_spark.plans.registry import NUDGE, cnt, dbl, epoch, sql_backed
 
 
 # Guarded OLS fit pieces over Σ sums named (n, sx, sy, sxx, syy, sxy):
@@ -166,14 +166,11 @@ def _assoc_sql(d: str) -> str:
     """
 
 
-def _doc_chunks_sql(d: str) -> str:
-    # E35 — RAG/pretraining chunker: fixed 256-token windows with
-    # 64-token overlap (stride 192).  Chunk COUNT per doc is closed-form
-    # (no loop): 1 + ceil(max(0, n−256)/192); boundaries come from one
-    # sequence-explode — map-only, no shuffle at all until the final
-    # ORDER BY (which production writes skip).  The last chunk clips to
-    # the doc end; a short tail (< 64 tokens beyond overlap) still gets
-    # its own chunk iff it extends past the previous window.
+def _chunk_frame_cte(d: str) -> str:
+    """THE E35 chunk-geometry frame — `chunks(doc_id, n_tokens,
+    chunk_idx)` under the fixed 256-token/192-stride rule, shared by
+    E35's emitter and E91's reconciliation audit (one geometry, two
+    certified rows)."""
     from fiveg_spark.operators.text import _tok
     from fiveg_spark.plans.registry import arr_len
 
@@ -182,8 +179,7 @@ def _doc_chunks_sql(d: str) -> str:
         if d == "spark"
         else "unnest(generate_series(0, n_chunks - 1))"
     )
-    return f"""
-    WITH doc_tokens AS (
+    return f"""doc_tokens AS (
       SELECT doc_id, CAST({arr_len(_tok(d), d)} AS BIGINT) AS n_tokens
       FROM documents
     ),
@@ -198,7 +194,19 @@ def _doc_chunks_sql(d: str) -> str:
     chunks AS (
       SELECT doc_id, n_tokens, {gen} AS chunk_idx
       FROM counted
-    )
+    )"""
+
+
+def _doc_chunks_sql(d: str) -> str:
+    # E35 — RAG/pretraining chunker: fixed 256-token windows with
+    # 64-token overlap (stride 192).  Chunk COUNT per doc is closed-form
+    # (no loop): 1 + ceil(max(0, n−256)/192); boundaries come from one
+    # sequence-explode — map-only, no shuffle at all until the final
+    # ORDER BY (which production writes skip).  The last chunk clips to
+    # the doc end; a short tail (< 64 tokens beyond overlap) still gets
+    # its own chunk iff it extends past the previous window.
+    return f"""
+    WITH {_chunk_frame_cte(d)}
     SELECT
       doc_id,
       chunk_idx,
@@ -458,9 +466,113 @@ def _elasticity_sql(d: str) -> str:
     """
 
 
+def _chunk_audit_sql(d: str) -> str:
+    # E91 — chunker RECONCILIATION audit: per doc, E35's emitted
+    # geometry re-derived and certified against three identities —
+    # coverage (min start = 0 and max end = n_tokens: no token left
+    # out), contiguity (every chunk starts inside its predecessor:
+    # no gap), and the token-conservation equation Σ widths = n_tokens
+    # + overlap.  The pre-flight a training-data pipeline runs before
+    # paying GPU time on chunks: a chunker that drops or double-counts
+    # tokens poisons loss accounting silently.  Shares E35's geometry
+    # frame VERBATIM (_chunk_frame_cte — one geometry, two certified
+    # rows).
+    #
+    # Scale: map-only explode + one per-doc agg (doc_id shuffle).
+    return f"""
+    WITH {_chunk_frame_cte(d)},
+    widths AS (
+      SELECT
+        doc_id, n_tokens, chunk_idx,
+        chunk_idx * 192 AS start_tok,
+        least(chunk_idx * 192 + 256, n_tokens) AS end_tok,
+        lag(least(chunk_idx * 192 + 256, n_tokens))
+          OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS prev_end
+      FROM chunks
+    )
+    SELECT
+      doc_id,
+      {cnt("max(n_tokens)", "n_tokens")},
+      {cnt("count(*)", "n_chunks")},
+      {cnt("sum(end_tok - start_tok)", "total_chunk_tokens")},
+      {cnt("sum(end_tok - start_tok) - max(n_tokens)", "overlap_tokens")},
+      {dbl(
+          "(sum(end_tok - start_tok) - max(n_tokens))"
+          " / CAST(sum(end_tok - start_tok) AS DOUBLE)",
+          "overlap_ratio",
+      )},
+      (min(start_tok) = 0 AND max(end_tok) = max(n_tokens)) AS covered_ok,
+      (sum(CASE WHEN prev_end IS NOT NULL AND start_tok > prev_end
+                THEN 1 ELSE 0 END) = 0) AS contiguous_ok
+    FROM widths
+    GROUP BY doc_id
+    """
+
+
+def _lead_time_trend_sql(d: str) -> str:
+    # C105 — supplier lead-time TREND per supplier nation: monthly mean
+    # order→ship latency (C82's latency convention) regressed on the
+    # month index with the shared closed-form OLS — the "is this
+    # nation's supply chain getting slower" screen that turns C82's
+    # static distribution into a direction.  y is the 4-dp-rounded
+    # monthly mean (parity discipline), x months since each nation's
+    # first month.
+    #
+    # Scale: one lineitem⋈orders⋈supplier⋈nation pass (broadcast
+    # dims) → (nation, month) rollup → |nations| regression rows.
+    lat = f"(({epoch('l.l_shipdate', d)} - {epoch('o.o_orderdate', d)}) / 86400.0)"
+    month = f"CAST(floor({epoch('o.o_orderdate', d)} / 86400.0 / 30.4375) AS BIGINT)"
+    return f"""
+    WITH monthly AS (
+      SELECT
+        n.n_name AS nation,
+        {month} AS month_idx,
+        round(avg({lat}) + {NUDGE}, 4) AS mean_lat,
+        count(*) AS n_items
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name, {month}
+    ),
+    xy AS (
+      SELECT
+        nation,
+        CAST(month_idx - min(month_idx) OVER (PARTITION BY nation) AS DOUBLE)
+          AS x,
+        mean_lat AS y,
+        n_items
+      FROM monthly
+    ),
+    sums AS (
+      SELECT
+        nation,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(n_items) AS total_items,
+        sum(x) AS sx, sum(y) AS sy,
+        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy
+      GROUP BY nation
+    )
+    SELECT
+      nation,
+      {cnt("n", "n_months")},
+      {cnt("total_items", "n_lineitems")},
+      {dbl("sy / n", "mean_monthly_latency_days")},
+      {dbl(_OLS_SLOPE, "latency_trend_days_per_month")},
+      {dbl(_OLS_R2, "r2")},
+      (round({_OLS_SLOPE} + {NUDGE}, 4) > 0.05) AS degrading
+    FROM sums
+    ORDER BY nation
+    """
+
+
 QUERIES = [
     sql_backed("anova_slice_means", _anova_sql, ("events",)),
     sql_backed("discount_qty_elasticity", _elasticity_sql, ("lineitem", "part")),
+    sql_backed("chunk_overlap_audit", _chunk_audit_sql, ("documents",)),
+    sql_backed("supplier_lead_time_trend", _lead_time_trend_sql,
+               ("lineitem", "orders", "supplier", "nation")),
     sql_backed("jackknife_ratio_ci", _jackknife_sql, ("events",)),
     sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
     sql_backed("gini_token_concentration", _gini_sql, ("documents",)),

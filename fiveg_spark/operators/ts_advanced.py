@@ -1405,6 +1405,135 @@ def _anomaly_consensus_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_ac_resid", resid_sql), ("_mz_ac_med", med_sql)], tail
 
 
+def _edge_jaccard_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C98 — neighborhood-overlap LINK PREDICTION screen on the
+    # undirected trade graph: for every nation pair with ≥1 common
+    # neighbor, the neighbor-set Jaccard and the Adamic-Adar score
+    # (Σ 1/ln deg(w) over common neighbors w — rare intermediaries
+    # weigh more).  The edge-level structural-similarity companion to
+    # C58's communities: two nations with high overlap but NO direct
+    # edge are the predicted next trade link.  Shares C58's symmetric
+    # edge derivation (_lp_edges_sql) — one edge convention across the
+    # graph family.
+    #
+    # Scale: the 5-table edge build materializes once; pair counts
+    # come from exploding each hub's neighbor list (posting-list shape,
+    # bounded by degree ≤ |nations|) — never an edge-frame self-join;
+    # Adamic-Adar rides the same explode (deg(hub) = posting size).
+    edges_sql = _lp_edges_sql()
+    if d == "spark":
+        inter = """
+      SELECT p.sa AS sa, p.sb AS sb,
+             count(*) AS n_common,
+             sum(1.0 / ln(CAST(deg_w AS DOUBLE))) AS adamic_adar
+      FROM (
+        SELECT sort_array(collect_set(a)) AS nbrs, count(DISTINCT a) AS deg_w
+        FROM _mz_ej_edges
+        GROUP BY b
+        HAVING count(DISTINCT a) > 1
+      ) posting
+      LATERAL VIEW explode(flatten(transform(nbrs, (x, i) ->
+        transform(slice(nbrs, i + 2, size(nbrs)), y ->
+          named_struct('sa', x, 'sb', y))))) t AS p
+      GROUP BY p.sa, p.sb
+        """
+    else:
+        inter = """
+      SELECT x.a AS sa, y.a AS sb,
+             count(*) AS n_common,
+             sum(1.0 / ln(CAST(g.deg_w AS DOUBLE))) AS adamic_adar
+      FROM _mz_ej_edges x
+      JOIN _mz_ej_edges y ON y.b = x.b AND x.a < y.a
+      JOIN (SELECT b, count(DISTINCT a) AS deg_w
+            FROM _mz_ej_edges GROUP BY b) g ON g.b = x.b
+      GROUP BY x.a, y.a
+        """
+    tail = f"""
+    WITH deg AS (
+      SELECT a AS node, count(*) AS degree FROM _mz_ej_edges GROUP BY a
+    ),
+    inter AS ({inter}),
+    direct AS (
+      SELECT a, b FROM _mz_ej_edges
+    )
+    SELECT
+      i.sa AS nation_a,
+      i.sb AS nation_b,
+      {cnt("da.degree", "degree_a")},
+      {cnt("db.degree", "degree_b")},
+      {cnt("i.n_common", "n_common_neighbors")},
+      {dbl("i.n_common / CAST(da.degree + db.degree - i.n_common AS DOUBLE)",
+           "neighbor_jaccard")},
+      {dbl("i.adamic_adar", "adamic_adar")},
+      (dd.a IS NOT NULL) AS edge_exists
+    FROM inter i
+    JOIN deg da ON da.node = i.sa
+    JOIN deg db ON db.node = i.sb
+    LEFT JOIN direct dd ON dd.a = i.sa AND dd.b = i.sb
+    ORDER BY i.sa, i.sb
+    """
+    return [("_mz_ej_edges", edges_sql)], tail
+
+
+def _graph_density_sql(d: str) -> str:
+    # C99 — regional subgraph density of the directed trade graph:
+    # per region, the within-region node/edge counts, density
+    # edges/(n·(n−1)), and the share of each region's total out-trade
+    # that stays INSIDE the region (trade introversion) — the
+    # meso-scale readout between C83's per-node degrees and C73's
+    # global k-core.  Shares the C78 directed edge derivation
+    # (_HC_EDGES_SQL text, both engines).
+    #
+    # Scale: one 5-table edge build (the heavy join) + broadcast
+    # nation→region maps; every rollup is ≤ |regions| rows.
+    return f"""
+    WITH edges AS ({_HC_EDGES_SQL}),
+    nr AS (
+      SELECT n.n_name AS nation, r.r_name AS region
+      FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    tagged AS (
+      SELECT
+        sr.region AS src_region,
+        dr.region AS dst_region
+      FROM edges e
+      JOIN nr sr ON sr.nation = e.src
+      JOIN nr dr ON dr.nation = e.dst
+    ),
+    nodes AS (
+      SELECT region, count(*) AS n_nations FROM nr GROUP BY region
+    ),
+    within AS (
+      SELECT src_region AS region, count(*) AS n_within
+      FROM tagged WHERE src_region = dst_region GROUP BY src_region
+    ),
+    outbound AS (
+      SELECT src_region AS region, count(*) AS n_out_total
+      FROM tagged GROUP BY src_region
+    )
+    SELECT
+      n.region,
+      {cnt("n.n_nations", "n_nations")},
+      {cnt("coalesce(w.n_within, 0)", "n_within_edges")},
+      {cnt("coalesce(o.n_out_total, 0)", "n_total_out_edges")},
+      {dbl(
+          "CASE WHEN n.n_nations > 1 THEN coalesce(w.n_within, 0)"
+          " / (CAST(n.n_nations AS DOUBLE) * (n.n_nations - 1.0))"
+          " ELSE 0.0 END",
+          "density",
+      )},
+      {dbl(
+          "coalesce(w.n_within, 0)"
+          " / CAST(nullif(coalesce(o.n_out_total, 0), 0) AS DOUBLE)",
+          "introversion",
+      )}
+    FROM nodes n
+    LEFT JOIN within w ON w.region = n.region
+    LEFT JOIN outbound o ON o.region = n.region
+    ORDER BY n.region
+    """
+
+
 def _transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D54 — pairwise TRANSFER ENTROPY between slice throughput series
     # (Schreiber 2000): the directed-information sibling of D53's
@@ -1498,6 +1627,14 @@ def _transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 QUERIES = [
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
     materialized_backed("transfer_entropy", _transfer_entropy_parts, ("events",)),
+    materialized_backed(
+        "edge_jaccard_similarity", _edge_jaccard_parts,
+        ("customer", "nation", "orders", "lineitem", "supplier"),
+    ),
+    sql_backed(
+        "graph_density_by_region", _graph_density_sql,
+        ("customer", "nation", "region", "orders", "lineitem", "supplier"),
+    ),
     materialized_backed("anomaly_consensus", _anomaly_consensus_parts, ("events",)),
     sql_backed("hopping_window_volume", _hopping_window_sql, ("events",)),
     sql_backed("hampel_outliers", _hampel_sql, ("events",)),

@@ -1693,8 +1693,143 @@ def _kl_weekly_mix_sql(d: str) -> str:
     """
 
 
+def _theils_u_sql(d: str) -> str:
+    # D56 — forecast BIAS + Theil's U per slice for the 24-hour
+    # seasonal-naive forecaster: D13's seasonal_naive_eval reports only
+    # RMSE/MAE (magnitude); this adds the SIGN (mean error / mean
+    # percentage error — a forecaster can have small RMSE and still
+    # bleed systematically) and Theil's U₂ = RMSE(seasonal) /
+    # RMSE(random-walk), the unit-free "does seasonality beat simply
+    # repeating the last hour" verdict (U < 1 = yes).  Evaluated only
+    # on hours where BOTH predictors exist, so the ratio compares like
+    # with like.
+    #
+    # Scale: one events scan → hourly frame → two lag windows on the
+    # tiny series; rollup is |slices| rows.
+    return f"""
+    {_hourly_cte(d)},
+    lagged AS (
+      SELECT
+        slice,
+        throughput_bps AS v,
+        lag(throughput_bps, 24) OVER (PARTITION BY slice ORDER BY h) AS s24,
+        lag(throughput_bps, 1) OVER (PARTITION BY slice ORDER BY h) AS n1
+      FROM hourly
+    ),
+    scored AS (
+      SELECT * FROM lagged WHERE s24 IS NOT NULL AND n1 IS NOT NULL
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_eval")},
+      {dbl("avg(v - s24)", "mean_error")},
+      {dbl("avg((v - s24) / nullif(v, 0.0)) * 100.0", "mpe_pct")},
+      {dbl("avg(abs(v - s24) / nullif(abs(v), 0.0)) * 100.0", "mape_pct")},
+      {dbl("sqrt(avg((v - s24) * (v - s24)))", "rmse_seasonal")},
+      {dbl("sqrt(avg((v - n1) * (v - n1)))", "rmse_naive1")},
+      {dbl(
+          "sqrt(avg((v - s24) * (v - s24)))"
+          " / nullif(sqrt(avg((v - n1) * (v - n1))), 0.0)",
+          "theils_u2",
+      )},
+      (round(sqrt(avg((v - s24) * (v - s24)))
+             / nullif(sqrt(avg((v - n1) * (v - n1))), 0.0) + {NUDGE}, 4)
+         < 1.0) AS seasonal_beats_naive
+    FROM scored
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+def _wilcoxon_sql(d: str) -> str:
+    # D60 — Wilcoxon SIGNED-RANK weekday-vs-weekend contrast per slice:
+    # the PAIRED nonparametric twin of D47's (unpaired) Welch test —
+    # pairing on hour-of-day removes the diurnal variance Welch must
+    # absorb, so a genuine weekend effect shows with far fewer hours.
+    # Pairs: per (slice, hour-of-day), mean weekday vs mean weekend
+    # throughput (both 4-dp-rounded; ≤ 24 pairs/slice); zero
+    # differences drop (the standard Wilcoxon convention), |d| gets
+    # D33's exact midrank window arithmetic, and
+    #   z = (W₊ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    # with the all-tied variance-0 degenerate guarded to z = 0.
+    #
+    # Scale: one events scan → hourly frame → 24-row pair frame per
+    # slice; every window runs on ≤ 24·|slices| rows.
+    wd = f"((floor({epoch('h', d)} / 86400.0) + 3) % 7)"  # 0 = Monday
+    return f"""
+    {_hourly_cte(d)},
+    paired AS (
+      SELECT
+        slice,
+        hour(h) AS hod,
+        round(avg(CASE WHEN {wd} <= 4 THEN throughput_bps END) + {NUDGE}, 4)
+          AS v_wd,
+        round(avg(CASE WHEN {wd} >= 5 THEN throughput_bps END) + {NUDGE}, 4)
+          AS v_we
+      FROM hourly
+      GROUP BY slice, hour(h)
+    ),
+    diffs AS (
+      SELECT slice, hod,
+        v_wd - v_we AS diff,
+        abs(v_wd - v_we) AS ad
+      FROM paired
+      WHERE v_wd IS NOT NULL AND v_we IS NOT NULL AND v_wd <> v_we
+    ),
+    ranked AS (
+      SELECT slice, diff, ad,
+        sum(1.0) OVER (
+          PARTITION BY slice ORDER BY ad
+          RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+        - count(*) OVER (PARTITION BY slice, ad)
+        + (count(*) OVER (PARTITION BY slice, ad) + 1.0) / 2.0 AS midrank
+      FROM diffs
+    ),
+    ties AS (
+      SELECT slice, sum(t * t * t - t) AS tie_cubes
+      FROM (
+        SELECT slice, ad, CAST(count(*) AS DOUBLE) AS t
+        FROM diffs GROUP BY slice, ad
+      ) g GROUP BY slice
+    ),
+    stat AS (
+      SELECT
+        r.slice,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(CASE WHEN r.diff > 0 THEN r.midrank ELSE 0.0 END) AS w_plus,
+        max(t.tie_cubes) AS tie_cubes
+      FROM ranked r JOIN ties t ON t.slice = r.slice
+      GROUP BY r.slice
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_pairs")},
+      {dbl("w_plus", "w_plus")},
+      {dbl("n * (n + 1.0) / 4.0", "expected_w")},
+      {dbl(
+          "CASE WHEN n * (n + 1.0) * (2.0 * n + 1.0) / 24.0"
+          " - tie_cubes / 48.0 > 1e-12"
+          " THEN (w_plus - n * (n + 1.0) / 4.0)"
+          " / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0 - tie_cubes / 48.0)"
+          " END",
+          "z_stat",
+      )},
+      (abs(CASE WHEN n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                     - tie_cubes / 48.0 > 1e-12
+                THEN round((w_plus - n * (n + 1.0) / 4.0)
+                     / sqrt(n * (n + 1.0) * (2.0 * n + 1.0) / 24.0
+                            - tie_cubes / 48.0) + {NUDGE}, 4)
+                ELSE 0.0 END) > 1.96) AS weekend_effect
+    FROM stat
+    ORDER BY slice
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
+    sql_backed("theils_u_eval", _theils_u_sql, ("events",)),
+    sql_backed("wilcoxon_signed_rank", _wilcoxon_sql, ("events",)),
     sql_backed("poisson_dispersion", _poisson_dispersion_sql, ("events",)),
     sql_backed("jarque_bera", _jarque_bera_sql, ("events",)),
     sql_backed("runs_test", _runs_test_sql, ("events",)),

@@ -94,6 +94,7 @@ def _more_doc_sql_fns():
         _survivorship_sql,
     )
     from fiveg_spark.operators.llm_curation import _pii_density_sql
+    from fiveg_spark.operators.stats_assoc import _chunk_audit_sql
     from fiveg_spark.operators.text import _lang_confusion_sql
     from fiveg_spark.operators.text_stats import _lognormal_fit_sql
     from fiveg_spark.operators.text_stats import (
@@ -161,6 +162,10 @@ def _more_doc_sql_fns():
         # coalesce 0) make implied = geometric = actual only when
         # counts are equal; the >= 1-token filter drops empty docs
         "lognormal_length_fit": _lognormal_fit_sql,
+        # chunk-geometry identities: empty docs give one zero-width
+        # chunk (overlap ratio 0/0 -> NULL -> dbl 0.0), sub-256-token
+        # docs a single exact-cover chunk
+        "chunk_overlap_audit": _chunk_audit_sql,
     }
 
 
@@ -312,11 +317,14 @@ def _event_sql_fns():
         _dq_trend_sql,
         _partition_completeness_sql,
     )
+    from fiveg_spark.operators.analytics_ext import _load_imbalance_sql
     from fiveg_spark.operators.ts_diagnostics import (
         _jarque_bera_sql,
         _kl_weekly_mix_sql,
         _poisson_dispersion_sql,
         _runs_test_sql,
+        _theils_u_sql,
+        _wilcoxon_sql,
     )
     from fiveg_spark.operators.stats_assoc import (
         _anova_sql,
@@ -409,6 +417,15 @@ def _event_sql_fns():
         "lorenz_curve_users": _lorenz_sql,
         # calendar-spine zeros + nullif parse ratio on silent days
         "dq_trend_daily": _dq_trend_sql,
+        # MPE/MAPE nullif(v,0) guards + the RMSE-ratio nullif; series
+        # shorter than 25 hours have no seasonal pred -> zero rows
+        "theils_u_eval": _theils_u_sql,
+        # paired midranks + tie-corrected variance: all-equal pairs
+        # drop (d = 0), single-pair slices hit tiny-n variance math
+        "wilcoxon_signed_rank": _wilcoxon_sql,
+        # cv/p99-ratio nullif guards; single-user hours give cv 0 and
+        # top share 1.0
+        "hourly_load_imbalance": _load_imbalance_sql,
         # LOCF interval weights: exact-tie timestamps -> zero-width
         # intervals, single-reading days -> full-day weight
         "twap_value_daily": _twap_sql,
