@@ -642,6 +642,75 @@ def _growth_accounting_sql(d: str) -> str:
     """
 
 
+def _migration_sql(d: str) -> str:
+    # C95 — RFM-tier MIGRATION matrix: C55's segmentation run
+    # independently on the stream's first and second half (split at
+    # the median event instant, C92's era convention), tiers from the
+    # summed R+F+M quintile score (champion ≤ 5 … hibernating ≥ 14,
+    # the standard collapse of the 125-cell cube), then the user-level
+    # transition matrix INCLUDING 'absent' rows — who leveled up, who
+    # decayed, who vanished.  C55 is a snapshot; retention work reads
+    # the FLOW between snapshots.  Banding is per-era ntile with the
+    # C55 tiebreaks, so each era's quintiles are deterministic.
+    #
+    # Scale: one events scan → per-(era, user) rollup; ntile windows
+    # run per era over |users| rows (the C55 note: percent_rank over a
+    # range-partitioned sort at 1e9 users); the matrix is ≤ 36 cells.
+    e = epoch("ts", d)
+    tier = (
+        "CASE WHEN score <= 5 THEN 'a_champion'"
+        " WHEN score <= 8 THEN 'b_loyal'"
+        " WHEN score <= 11 THEN 'c_regular'"
+        " WHEN score <= 14 THEN 'd_at_risk'"
+        " ELSE 'e_hibernating' END"
+    )
+    return f"""
+    WITH cut AS (
+      SELECT {pct(e, 0.5, d)} AS t_med FROM events
+    ),
+    per_user_era AS (
+      SELECT
+        user_id,
+        CASE WHEN {e} <= (SELECT t_med FROM cut) THEN 'h1' ELSE 'h2' END AS era,
+        max({e}) AS last_seen_s,
+        count(*) AS freq,
+        sum(value) AS monetary
+      FROM events
+      GROUP BY user_id, CASE WHEN {e} <= (SELECT t_med FROM cut)
+                             THEN 'h1' ELSE 'h2' END
+    ),
+    scored AS (
+      SELECT
+        user_id, era,
+        ntile(5) OVER (PARTITION BY era ORDER BY last_seen_s DESC, user_id)
+          + ntile(5) OVER (PARTITION BY era ORDER BY freq DESC, user_id)
+          + ntile(5) OVER (PARTITION BY era ORDER BY monetary DESC, user_id)
+          AS score
+      FROM per_user_era
+    ),
+    tiers AS (
+      SELECT user_id, era, {tier} AS tier FROM scored
+    ),
+    matrix AS (
+      SELECT
+        coalesce(a.tier, 'x_absent') AS tier_h1,
+        coalesce(b.tier, 'x_absent') AS tier_h2
+      FROM (SELECT user_id, tier FROM tiers WHERE era = 'h1') a
+      FULL OUTER JOIN (SELECT user_id, tier FROM tiers WHERE era = 'h2') b
+        ON b.user_id = a.user_id
+    )
+    SELECT
+      tier_h1,
+      tier_h2,
+      {cnt("count(*)", "n_users")},
+      {dbl("count(*) / CAST(sum(count(*)) OVER (PARTITION BY tier_h1) AS DOUBLE)",
+           "row_share")}
+    FROM matrix
+    GROUP BY tier_h1, tier_h2
+    ORDER BY tier_h1, tier_h2
+    """
+
+
 def _stickiness_sql(d: str) -> str:
     # C91 — DAU/WAU/MAU stickiness per day: exact trailing-window
     # active-user counts (WAU = 7 d, MAU = 28 d) and the stickiness
@@ -821,6 +890,7 @@ QUERIES = [
     sql_backed("stickiness_ratio", _stickiness_sql, ("events",)),
     sql_backed("markov_stationarity", _markov_stationarity_sql, ("events",)),
     sql_backed("lorenz_curve_users", _lorenz_sql, ("events",)),
+    sql_backed("customer_migration_matrix", _migration_sql, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
     sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
     sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),

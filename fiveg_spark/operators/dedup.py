@@ -120,6 +120,36 @@ def _dedup_exact_sql(d: str) -> str:
     """
 
 
+def _minhash_sig_prefix(d: str) -> str:
+    """THE E2 signature build — WITH-prefix ending in
+    `minhashes(doc_id, mh0..mh7)`: 2 md5s per shingle occurrence split
+    into four 32-bit hex lanes each → 8 independent minhash lanes
+    (lexicographic min on a hex substring ≡ numeric min on that lane).
+    No DISTINCT before the agg: min() is duplicate-insensitive, so
+    signatures come from ONE partial-aggregated shuffle on doc_id.
+    Shared by E2's banding chain and E83's estimator calibration — a
+    signature change moves both certified rows together."""
+    mh_aggs = ",\n        ".join(
+        f"min(substring(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}"
+        for i in range(N_HASHES)
+    )
+    return f"""
+    {_shingles_body(d, distinct=False)},
+    hashed AS (
+      SELECT doc_id,
+        md5(concat(shingle, '#0')) AS h0,
+        md5(concat(shingle, '#1')) AS h1
+      FROM shingles
+    ),
+    minhashes AS (
+      SELECT
+        doc_id,
+        {mh_aggs}
+      FROM hashed
+      GROUP BY doc_id
+    )"""
+
+
 def _minhash_lsh_sql(d: str) -> str:
     # E2: md5-minhash signatures → banded LSH → candidate pairs.
     # Hashing cost: 2 md5s per shingle occurrence, split into four 32-bit
@@ -143,25 +173,7 @@ def _minhash_lsh_sql(d: str) -> str:
     #     extra dedup aggregate + exchange for nothing)
     # DuckDB oracle keeps the join formulation (it materializes CTEs, so
     # correctness-side cost is irrelevant); results are identical.
-    mh_aggs = ",\n        ".join(
-        f"min(substring(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}"
-        for i in range(N_HASHES)
-    )
-    prefix = f"""
-    {_shingles_body(d, distinct=False)},
-    hashed AS (
-      SELECT doc_id,
-        md5(concat(shingle, '#0')) AS h0,
-        md5(concat(shingle, '#1')) AS h1
-      FROM shingles
-    ),
-    minhashes AS (
-      SELECT
-        doc_id,
-        {mh_aggs}
-      FROM hashed
-      GROUP BY doc_id
-    )"""
+    prefix = _minhash_sig_prefix(d)
     if d == "duckdb":
         band_selects = "\n      UNION ALL\n      ".join(
             f"SELECT doc_id, {b} AS band, mh{2 * b} AS sig0, mh{2 * b + 1} AS sig1 FROM minhashes"
@@ -1028,10 +1040,88 @@ def _survivorship_sql(d: str) -> str:
     """
 
 
+def _minhash_estimate_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E83 — per-pair MinHash-estimator CALIBRATION: for every E2
+    # candidate pair, the lane-agreement Jaccard estimate (matching
+    # lanes / 8 — the unbiased MinHash estimator, Broder 1997) against
+    # the EXACT Jaccard, with the binomial 3σ + discretization
+    # tolerance as the in-row theorem witness.  E57 certifies the
+    # candidate SET's recall; this certifies the ESTIMATOR'S values —
+    # the number a dedup pipeline actually thresholds on when it skips
+    # the exact verification pass at scale.  Signatures come from E2's
+    # shared build (_minhash_sig_prefix), shingle sets from the shared
+    # scan — signature or shingle changes move E2/E83 together.
+    #
+    # Scale: the candidate frame is LSH-sized (tiny); both signature
+    # and shingle joins key on doc_id restricted to candidates, so no
+    # stage touches more than |candidates| · |doc shingles| rows.
+    lanes = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    sig_sql = f"{_minhash_sig_prefix(d)} SELECT * FROM minhashes"
+    sh_sql = f"{_shingles_body(d, distinct=True)} SELECT doc_id, shingle FROM shingles"
+    est = f"(n_lane_match / {N_HASHES}.0)"
+    exact = "(n_common / CAST(n_a + n_b - n_common AS DOUBLE))"
+    tol = (
+        f"(3.0 * sqrt({exact} * (1.0 - {exact}) / {N_HASHES}.0)"
+        f" + 1.0 / {2 * N_HASHES}.0)"
+    )
+    tail = f"""
+    WITH lanes AS (
+      SELECT p.doc_a, p.doc_b, p.n_bands,
+        {lanes} AS n_lane_match
+      FROM _mz_mje_pairs p
+      JOIN _mz_mje_sig a ON a.doc_id = p.doc_a
+      JOIN _mz_mje_sig b ON b.doc_id = p.doc_b
+    ),
+    sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM _mz_mje_sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_common
+      FROM _mz_mje_pairs p
+      JOIN _mz_mje_sh sa ON sa.doc_id = p.doc_a
+      JOIN _mz_mje_sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    joined AS (
+      SELECT
+        l.doc_a, l.doc_b, l.n_bands, l.n_lane_match,
+        coalesce(i.n_common, 0) AS n_common,
+        za.n_sh AS n_a, zb.n_sh AS n_b
+      FROM lanes l
+      LEFT JOIN inter i ON i.doc_a = l.doc_a AND i.doc_b = l.doc_b
+      JOIN sizes za ON za.doc_id = l.doc_a
+      JOIN sizes zb ON zb.doc_id = l.doc_b
+    )
+    SELECT
+      doc_a,
+      doc_b,
+      {cnt("n_bands", "n_bands")},
+      {cnt("n_lane_match", "n_lane_match")},
+      {dbl(est, "est_jaccard")},
+      {dbl(exact, "exact_jaccard")},
+      {dbl(f"abs({est} - {exact})", "abs_err")},
+      (round(abs({est} - {exact}) + {NUDGE}, 4)
+         <= round({tol} + {NUDGE}, 4)) AS calibration_ok
+    FROM joined
+    ORDER BY doc_a, doc_b
+    """
+    return [
+        ("_mz_mje_pairs", _minhash_lsh_sql(d)),
+        ("_mz_mje_sig", sig_sql),
+        ("_mz_mje_sh", sh_sql),
+    ], tail
+
+
 QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
     sql_backed("line_dedup", _line_dedup_sql, ("documents",)),
     sql_backed("dedup_survivorship_by_source", _survivorship_sql, ("documents",)),
+    materialized_backed(
+        "minhash_jaccard_estimate", _minhash_estimate_parts, ("documents",),
+    ),
     sql_backed("edit_distance_pairs", _edit_distance_sql, ("documents",)),
     sql_backed("minhash_lsh_pairs", _minhash_lsh_sql, ("documents",)),
     materialized_backed("edit_distance_candidates", _edit_distance_candidates_parts, ("documents",)),

@@ -729,6 +729,58 @@ def _vocab_jaccard_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_vj_st", st_sql)], tail
 
 
+COVERAGE_KS = (10, 25, 100, 1000)
+
+
+def _coverage_curve_sql(d: str) -> str:
+    # E93 — head-COVERAGE curve per source: the share of total token
+    # mass covered by the top-k most frequent types, at a fixed k
+    # ladder.  The cumulative companion to E46's Zipf slope — slope
+    # says how fast the tail decays, this says what a k-entry
+    # vocabulary/BPE budget actually BUYS per source (the tokenizer-
+    # sizing readout next to E76's fertility).  Under-k vocabularies
+    # report coverage 1.0 (the whole source is covered).  Ranks break
+    # ties on (count DESC, token) — deterministic in both engines.
+    #
+    # Scale: one explode-agg to (source, token) counts (the heavy
+    # shuffle), one per-source rank window over the vocab frame, and a
+    # |sources|·|ladder| rollup.
+    toks = _tok(d)
+    unn = "explode" if d == "spark" else "unnest"
+    cov = ",\n      ".join(
+        dbl(
+            f"max(CASE WHEN rk <= {k} THEN cum_share END)",
+            f"coverage_top{k}",
+        )
+        for k in COVERAGE_KS
+    )
+    return f"""
+    WITH tf AS (
+      SELECT source, token, count(*) AS c
+      FROM (SELECT source, {unn}({toks}) AS token FROM documents) x
+      WHERE token <> ''
+      GROUP BY source, token
+    ),
+    ranked AS (
+      SELECT
+        source, c,
+        row_number() OVER (PARTITION BY source ORDER BY c DESC, token) AS rk,
+        sum(c) OVER (PARTITION BY source ORDER BY c DESC, token
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS cum_share
+      FROM tf
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "vocab_size")},
+      {cnt("sum(c)", "total_tokens")},
+      {cov}
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 def _lognormal_fit_sql(d: str) -> str:
     # E95 — lognormal fit of per-doc token counts per source: μ̂/σ̂ of
     # ln(tokens), the implied lognormal mean exp(μ̂ + σ̂²/2), and its
@@ -775,6 +827,7 @@ def _lognormal_fit_sql(d: str) -> str:
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     materialized_backed("vocab_jaccard_matrix", _vocab_jaccard_parts, ("documents",)),
+    sql_backed("ngram_coverage_curve", _coverage_curve_sql, ("documents",)),
     sql_backed("lognormal_length_fit", _lognormal_fit_sql, ("documents",)),
     sql_backed("ngram_novelty", _ngram_novelty_sql, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),

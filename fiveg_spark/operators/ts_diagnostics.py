@@ -1519,6 +1519,22 @@ def _poisson_dispersion_sql(d: str) -> str:
     """
 
 
+def _resid_ctes(d: str) -> str:
+    """Shared mean-centered hourly residual frame over `hourly` —
+    `resid(slice, h, r)` with the slice mean rounded to 4 dp BEFORE
+    differencing, so residuals are differences of engine-identical
+    doubles.  Consumed by D57 (Jarque-Bera) and D61 (ARCH LM): one
+    residual convention, two certified rows."""
+    return f"""mu AS (
+      SELECT slice, round(avg(throughput_bps) + {NUDGE}, 4) AS m
+      FROM hourly GROUP BY slice
+    ),
+    resid AS (
+      SELECT h.slice, h.h AS h, h.throughput_bps - mu.m AS r
+      FROM hourly h JOIN mu ON mu.slice = h.slice
+    )"""
+
+
 def _jarque_bera_sql(d: str) -> str:
     # D57 — Jarque-Bera normality test per slice on the hourly
     # throughput residuals (v − slice mean): JB = n/6·(S² + (K−3)²/4)
@@ -1536,14 +1552,7 @@ def _jarque_bera_sql(d: str) -> str:
     # on the tiny series frame.
     return f"""
     {_hourly_cte(d)},
-    mu AS (
-      SELECT slice, round(avg(throughput_bps) + {NUDGE}, 4) AS m
-      FROM hourly GROUP BY slice
-    ),
-    resid AS (
-      SELECT h.slice, h.throughput_bps - mu.m AS r
-      FROM hourly h JOIN mu ON mu.slice = h.slice
-    ),
+    {_resid_ctes(d)},
     moments AS (
       SELECT
         slice,
@@ -1826,9 +1835,60 @@ def _wilcoxon_sql(d: str) -> str:
     """
 
 
+def _arch_lm_sql(d: str) -> str:
+    # D61 — Engle's ARCH LM test per slice (Engle 1982, lag-1 form):
+    # regress the squared mean residual on its own lag; LM = n·R²
+    # against χ²₁ (3.84 at 5%).  Volatility CLUSTERING is invisible to
+    # every level diagnostic in this file — D45 whitens the MEAN, this
+    # whitens the VARIANCE — and it is exactly what breaks the constant-
+    # variance assumption under B18's CUSUM and C30's z thresholds.
+    # Shares D57's residual convention VERBATIM (_resid_ctes) and C44's
+    # guarded closed-form R² (stats_assoc._OLS_R2 over the same sums
+    # naming).
+    #
+    # Scale: one events scan → hourly frame → one lag window per slice
+    # on the tiny series; the regression is a |slices|-row reduce.
+    from fiveg_spark.operators.stats_assoc import _OLS_R2, _OLS_SLOPE
+
+    return f"""
+    {_hourly_cte(d)},
+    {_resid_ctes(d)},
+    sq AS (
+      SELECT slice, h, r * r AS r2 FROM resid
+    ),
+    lagged AS (
+      SELECT slice,
+        r2 AS y,
+        lag(r2) OVER (PARTITION BY slice ORDER BY h) AS x
+      FROM sq
+    ),
+    sums AS (
+      SELECT
+        slice,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(x) AS sx, sum(y) AS sy,
+        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM lagged
+      WHERE x IS NOT NULL
+      GROUP BY slice
+      HAVING count(*) >= 3
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_obs")},
+      {dbl(_OLS_SLOPE, "arch_slope")},
+      {dbl(_OLS_R2, "r2")},
+      {dbl(f"n * ({_OLS_R2})", "lm_stat")},
+      (round(n * ({_OLS_R2}) + {NUDGE}, 4) > 3.84) AS arch_present
+    FROM sums
+    ORDER BY slice
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("theils_u_eval", _theils_u_sql, ("events",)),
+    sql_backed("arch_lm_test", _arch_lm_sql, ("events",)),
     sql_backed("wilcoxon_signed_rank", _wilcoxon_sql, ("events",)),
     sql_backed("poisson_dispersion", _poisson_dispersion_sql, ("events",)),
     sql_backed("jarque_bera", _jarque_bera_sql, ("events",)),

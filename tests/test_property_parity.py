@@ -95,6 +95,7 @@ def _more_doc_sql_fns():
     )
     from fiveg_spark.operators.llm_curation import _pii_density_sql
     from fiveg_spark.operators.stats_assoc import _chunk_audit_sql
+    from fiveg_spark.operators.text_stats import _coverage_curve_sql
     from fiveg_spark.operators.text import _lang_confusion_sql
     from fiveg_spark.operators.text_stats import _lognormal_fit_sql
     from fiveg_spark.operators.text_stats import (
@@ -166,6 +167,10 @@ def _more_doc_sql_fns():
         # chunk (overlap ratio 0/0 -> NULL -> dbl 0.0), sub-256-token
         # docs a single exact-cover chunk
         "chunk_overlap_audit": _chunk_audit_sql,
+        # running-share ranks: under-k vocabularies pin every ladder
+        # point at 1.0, tie-heavy tiny vocabs exercise the (c, token)
+        # rank determinism
+        "ngram_coverage_curve": _coverage_curve_sql,
     }
 
 
@@ -311,6 +316,7 @@ def _event_sql_fns():
     from fiveg_spark.operators.behavior import (
         _lorenz_sql,
         _markov_stationarity_sql,
+        _migration_sql,
         _stickiness_sql,
     )
     from fiveg_spark.operators.quality import (
@@ -326,6 +332,7 @@ def _event_sql_fns():
         _theils_u_sql,
         _wilcoxon_sql,
     )
+    from fiveg_spark.operators.ts_diagnostics import _arch_lm_sql
     from fiveg_spark.operators.stats_assoc import (
         _anova_sql,
         _assoc_sql,
@@ -420,6 +427,12 @@ def _event_sql_fns():
         # MPE/MAPE nullif(v,0) guards + the RMSE-ratio nullif; series
         # shorter than 25 hours have no seasonal pred -> zero rows
         "theils_u_eval": _theils_u_sql,
+        # n*R2 over guarded OLS sums; constant residuals hit the
+        # zero-variance branches, <3-point slices are filtered
+        "arch_lm_test": _arch_lm_sql,
+        # per-era ntile + FULL OUTER absent rows; single-instant
+        # streams put every user in h1 with h2 all-absent
+        "customer_migration_matrix": _migration_sql,
         # paired midranks + tie-corrected variance: all-equal pairs
         # drop (d = 0), single-pair slices hit tiny-n variance math
         "wilcoxon_signed_rank": _wilcoxon_sql,
