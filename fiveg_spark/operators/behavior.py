@@ -642,7 +642,7 @@ def _growth_accounting_sql(d: str) -> str:
     """
 
 
-def _migration_sql(d: str) -> str:
+def _migration_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C95 — RFM-tier MIGRATION matrix: C55's segmentation run
     # independently on the stream's first and second half (split at
     # the median event instant, C92's era convention), tiers from the
@@ -652,6 +652,14 @@ def _migration_sql(d: str) -> str:
     # decayed, who vanished.  C55 is a snapshot; retention work reads
     # the FLOW between snapshots.  Banding is per-era ntile with the
     # C55 tiebreaks, so each era's quintiles are deterministic.
+    #
+    # materialized_backed (r8 advisor catch): the tier frame feeds
+    # BOTH sides of the FULL OUTER matrix — inlined, Spark re-ran the
+    # whole events chain per side (8 scans measured); materialized it
+    # scans events twice total (median + tagging, inherent) and the
+    # matrix joins |users|-row views.  The era CASE is computed in a
+    # tagging pre-projection so the median scalar subquery is
+    # referenced ONCE, not once per textual copy.
     #
     # Scale: one events scan → per-(era, user) rollup; ntile windows
     # run per era over |users| rows (the C55 note: percent_rank over a
@@ -664,20 +672,27 @@ def _migration_sql(d: str) -> str:
         " WHEN score <= 14 THEN 'd_at_risk'"
         " ELSE 'e_hibernating' END"
     )
-    return f"""
+    tiers_sql = f"""
     WITH cut AS (
       SELECT {pct(e, 0.5, d)} AS t_med FROM events
+    ),
+    tagged AS (
+      SELECT
+        user_id,
+        CASE WHEN {e} <= (SELECT t_med FROM cut) THEN 'h1' ELSE 'h2' END AS era,
+        {e} AS es,
+        value
+      FROM events
     ),
     per_user_era AS (
       SELECT
         user_id,
-        CASE WHEN {e} <= (SELECT t_med FROM cut) THEN 'h1' ELSE 'h2' END AS era,
-        max({e}) AS last_seen_s,
+        era,
+        max(es) AS last_seen_s,
         count(*) AS freq,
         sum(value) AS monetary
-      FROM events
-      GROUP BY user_id, CASE WHEN {e} <= (SELECT t_med FROM cut)
-                             THEN 'h1' ELSE 'h2' END
+      FROM tagged
+      GROUP BY user_id, era
     ),
     scored AS (
       SELECT
@@ -687,16 +702,16 @@ def _migration_sql(d: str) -> str:
           + ntile(5) OVER (PARTITION BY era ORDER BY monetary DESC, user_id)
           AS score
       FROM per_user_era
-    ),
-    tiers AS (
-      SELECT user_id, era, {tier} AS tier FROM scored
-    ),
-    matrix AS (
+    )
+    SELECT user_id, era, {tier} AS tier FROM scored
+    """
+    tail = f"""
+    WITH matrix AS (
       SELECT
         coalesce(a.tier, 'x_absent') AS tier_h1,
         coalesce(b.tier, 'x_absent') AS tier_h2
-      FROM (SELECT user_id, tier FROM tiers WHERE era = 'h1') a
-      FULL OUTER JOIN (SELECT user_id, tier FROM tiers WHERE era = 'h2') b
+      FROM (SELECT user_id, tier FROM _mz_cm_tiers WHERE era = 'h1') a
+      FULL OUTER JOIN (SELECT user_id, tier FROM _mz_cm_tiers WHERE era = 'h2') b
         ON b.user_id = a.user_id
     )
     SELECT
@@ -709,9 +724,10 @@ def _migration_sql(d: str) -> str:
     GROUP BY tier_h1, tier_h2
     ORDER BY tier_h1, tier_h2
     """
+    return [("_mz_cm_tiers", tiers_sql)], tail
 
 
-def _stickiness_sql(d: str) -> str:
+def _stickiness_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C91 — DAU/WAU/MAU stickiness per day: exact trailing-window
     # active-user counts (WAU = 7 d, MAU = 28 d) and the stickiness
     # ratios every growth dashboard quotes (DAU/MAU ≈ "days used per
@@ -725,6 +741,9 @@ def _stickiness_sql(d: str) -> str:
     # C67's sliding-HLL is the sketch path when even that is too much.
     # Days ride a calendar spine of the observed span, so a zero-DAU
     # day still reports its WAU/MAU (the r7 ledger lesson).
+    # materialized_backed (r8 advisor catch): the distinct (user, day)
+    # frame feeds DAU, WAU, MAU and the bounds — inlined, Spark ran
+    # the events distinct four times; materialized it scans once.
     day = f"CAST(floor({epoch('ts', d)} / 86400.0) AS BIGINT)"
     if d == "spark":
         off7, off28 = "explode(sequence(0, 6))", "explode(sequence(0, 27))"
@@ -733,27 +752,27 @@ def _stickiness_sql(d: str) -> str:
         off7, off28 = ("unnest(generate_series(0, 6))",
                        "unnest(generate_series(0, 27))")
         spine = "SELECT unnest(generate_series(d0, d1)) AS day_idx FROM bounds"
-    return f"""
-    WITH ud AS (
+    ud_sql = f"""
       SELECT DISTINCT user_id, {day} AS day_idx FROM events
-    ),
-    bounds AS (
-      SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM ud
+    """
+    tail = f"""
+    WITH bounds AS (
+      SELECT min(day_idx) AS d0, max(day_idx) AS d1 FROM _mz_st_ud
     ),
     spine AS ({spine}),
     dau AS (
-      SELECT day_idx, count(*) AS n FROM ud GROUP BY day_idx
+      SELECT day_idx, count(*) AS n FROM _mz_st_ud GROUP BY day_idx
     ),
     wau AS (
       SELECT day_idx, count(DISTINCT user_id) AS n FROM (
         SELECT user_id, day_idx + o AS day_idx
-        FROM (SELECT user_id, day_idx, {off7} AS o FROM ud) f
+        FROM (SELECT user_id, day_idx, {off7} AS o FROM _mz_st_ud) f
       ) m GROUP BY day_idx
     ),
     mau AS (
       SELECT day_idx, count(DISTINCT user_id) AS n FROM (
         SELECT user_id, day_idx + o AS day_idx
-        FROM (SELECT user_id, day_idx, {off28} AS o FROM ud) f
+        FROM (SELECT user_id, day_idx, {off28} AS o FROM _mz_st_ud) f
       ) m GROUP BY day_idx
     )
     SELECT
@@ -770,6 +789,7 @@ def _stickiness_sql(d: str) -> str:
     LEFT JOIN mau ON mau.day_idx = s.day_idx
     ORDER BY s.day_idx
     """
+    return [("_mz_st_ud", ud_sql)], tail
 
 
 def _markov_stationarity_sql(d: str) -> str:
@@ -887,10 +907,10 @@ def _lorenz_sql(d: str) -> str:
 
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
-    sql_backed("stickiness_ratio", _stickiness_sql, ("events",)),
+    materialized_backed("stickiness_ratio", _stickiness_parts, ("events",)),
     sql_backed("markov_stationarity", _markov_stationarity_sql, ("events",)),
     sql_backed("lorenz_curve_users", _lorenz_sql, ("events",)),
-    sql_backed("customer_migration_matrix", _migration_sql, ("events",)),
+    materialized_backed("customer_migration_matrix", _migration_parts, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
     sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
     sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),

@@ -1475,7 +1475,7 @@ def _edge_jaccard_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_ej_edges", edges_sql)], tail
 
 
-def _graph_density_sql(d: str) -> str:
+def _graph_density_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C99 — regional subgraph density of the directed trade graph:
     # per region, the within-region node/edge counts, density
     # edges/(n·(n−1)), and the share of each region's total out-trade
@@ -1484,32 +1484,37 @@ def _graph_density_sql(d: str) -> str:
     # global k-core.  Shares the C78 directed edge derivation
     # (_HC_EDGES_SQL text, both engines).
     #
-    # Scale: one 5-table edge build (the heavy join) + broadcast
-    # nation→region maps; every rollup is ≤ |regions| rows.
-    return f"""
-    WITH edges AS ({_HC_EDGES_SQL}),
-    nr AS (
-      SELECT n.n_name AS nation, r.r_name AS region
-      FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
-    ),
-    tagged AS (
+    # materialized_backed (r8 advisor catch): the region-tagged edge
+    # frame feeds both the within and outbound rollups — inlined,
+    # Spark re-ran the 5-table edge join per reference; materialized,
+    # the heavy join runs ONCE and the rollups read ≤|edges| rows.
+    # The nation→region map is a broadcast-sized dim join.
+    tagged_sql = f"""
+      WITH edges AS ({_HC_EDGES_SQL}),
+      nr AS (
+        SELECT n.n_name AS nation, r.r_name AS region
+        FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+      )
       SELECT
         sr.region AS src_region,
         dr.region AS dst_region
       FROM edges e
       JOIN nr sr ON sr.nation = e.src
       JOIN nr dr ON dr.nation = e.dst
-    ),
-    nodes AS (
-      SELECT region, count(*) AS n_nations FROM nr GROUP BY region
+    """
+    tail = f"""
+    WITH nodes AS (
+      SELECT r.r_name AS region, count(*) AS n_nations
+      FROM nation n JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name
     ),
     within AS (
       SELECT src_region AS region, count(*) AS n_within
-      FROM tagged WHERE src_region = dst_region GROUP BY src_region
+      FROM _mz_gd_tagged WHERE src_region = dst_region GROUP BY src_region
     ),
     outbound AS (
       SELECT src_region AS region, count(*) AS n_out_total
-      FROM tagged GROUP BY src_region
+      FROM _mz_gd_tagged GROUP BY src_region
     )
     SELECT
       n.region,
@@ -1532,6 +1537,7 @@ def _graph_density_sql(d: str) -> str:
     LEFT JOIN outbound o ON o.region = n.region
     ORDER BY n.region
     """
+    return [("_mz_gd_tagged", tagged_sql)], tail
 
 
 def _transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
@@ -1631,8 +1637,8 @@ QUERIES = [
         "edge_jaccard_similarity", _edge_jaccard_parts,
         ("customer", "nation", "orders", "lineitem", "supplier"),
     ),
-    sql_backed(
-        "graph_density_by_region", _graph_density_sql,
+    materialized_backed(
+        "graph_density_by_region", _graph_density_parts,
         ("customer", "nation", "region", "orders", "lineitem", "supplier"),
     ),
     materialized_backed("anomaly_consensus", _anomaly_consensus_parts, ("events",)),

@@ -316,8 +316,6 @@ def _event_sql_fns():
     from fiveg_spark.operators.behavior import (
         _lorenz_sql,
         _markov_stationarity_sql,
-        _migration_sql,
-        _stickiness_sql,
     )
     from fiveg_spark.operators.quality import (
         _dq_trend_sql,
@@ -414,8 +412,6 @@ def _event_sql_fns():
         # floored/rounded shares before ln (E75 discipline); single-
         # type streams give KL = 0 with the type as top
         "kl_weekly_mix": _kl_weekly_mix_sql,
-        # trailing-window fanout + nullif(mau,0) ratios on sparse days
-        "stickiness_ratio": _stickiness_sql,
         # pooled-expectation chi-square cells; single-era streams (all
         # events at one instant) put every transition in h1
         "markov_stationarity": _markov_stationarity_sql,
@@ -430,9 +426,6 @@ def _event_sql_fns():
         # n*R2 over guarded OLS sums; constant residuals hit the
         # zero-variance branches, <3-point slices are filtered
         "arch_lm_test": _arch_lm_sql,
-        # per-era ntile + FULL OUTER absent rows; single-instant
-        # streams put every user in h1 with h2 all-absent
-        "customer_migration_matrix": _migration_sql,
         # paired midranks + tie-corrected variance: all-equal pairs
         # drop (d = 0), single-pair slices hit tiny-n variance math
         "wilcoxon_signed_rank": _wilcoxon_sql,
@@ -717,7 +710,11 @@ def test_document_parts_queries_on_random_corpora(spark, name):
 
 
 def _event_parts_fns():
-    from fiveg_spark.operators.behavior import _attribution_parts
+    from fiveg_spark.operators.behavior import (
+        _attribution_parts,
+        _migration_parts,
+        _stickiness_parts,
+    )
     from fiveg_spark.operators.rollup_stats import _kmv_set_ops_parts
     from fiveg_spark.operators.sketches import _bloom_parts
     from fiveg_spark.operators.behavior import _entropy_rate_parts
@@ -743,6 +740,11 @@ def _event_parts_fns():
     return {
         # tie-heavy journeys: simultaneous touch/purchase timestamps
         "attribution_credit": _attribution_parts,
+        # trailing-window fanout + nullif(mau,0) ratios on sparse days
+        "stickiness_ratio": _stickiness_parts,
+        # per-era ntile + FULL OUTER absent rows; single-instant
+        # streams put every user in h1 with h2 all-absent
+        "customer_migration_matrix": _migration_parts,
         # three rounded-threshold votes; constant series suppress all
         # detectors (zero-spread guards) -> zero rows
         "anomaly_consensus": _anomaly_consensus_parts,
