@@ -792,7 +792,7 @@ def _stickiness_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_st_ud", ud_sql)], tail
 
 
-def _markov_stationarity_sql(d: str) -> str:
+def _markov_stationarity_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C92 — transition-matrix STATIONARITY test: C54's first-order
     # chain fitted on the first and second half of the stream (split at
     # the global median event instant) and compared cell-by-cell with
@@ -802,13 +802,17 @@ def _markov_stationarity_sql(d: str) -> str:
     # predict neither.  Transitions keep C54's (user ORDER BY ts,
     # event_id) window VERBATIM and take their era from the FROM
     # event; the era cut uses the interpolated median epoch compared
-    # on exact integer-derived seconds.
+    # on exact integer-derived seconds.  The cell grid is DENSE over
+    # (observed pair) × {h1, h2} (r8 review catch): a transition that
+    # VANISHES in one era — the strongest non-stationarity signal — is
+    # an O=0 cell whose (0−E)²/E = E mass a sparse grid silently
+    # drops; empty-era rows guard to contribution 0.
     #
     # Scale: one events scan; the era cut is a broadcast scalar, the
     # per-user lag window is the only fact shuffle, and every chi-
     # square stage runs on 2·|types|² cells.
     e = epoch("ts", d)
-    return f"""
+    cells_sql = f"""
     WITH cut AS (
       SELECT {pct(e, 0.5, d)} AS t_med FROM events
     ),
@@ -821,37 +825,52 @@ def _markov_stationarity_sql(d: str) -> str:
                   <= (SELECT t_med FROM cut)
              THEN 'h1' ELSE 'h2' END AS era
       FROM events
+    )
+    SELECT prev_type, event_type AS next_type, era, count(*) AS c
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type, era
+    """
+    tail = f"""
+    WITH pool AS (
+      SELECT prev_type, next_type, sum(c) AS cell_pool
+      FROM _mz_ms_cells GROUP BY prev_type, next_type
     ),
-    cells AS (
-      SELECT prev_type, event_type AS next_type, era, count(*) AS c
-      FROM ordered
-      WHERE prev_type IS NOT NULL
-      GROUP BY prev_type, event_type, era
+    dense AS (
+      SELECT p.prev_type, p.next_type, e.era,
+             coalesce(c.c, 0) AS c, p.cell_pool
+      FROM pool p
+      CROSS JOIN (SELECT 'h1' AS era UNION ALL SELECT 'h2') e
+      LEFT JOIN _mz_ms_cells c
+        ON c.prev_type = p.prev_type AND c.next_type = p.next_type
+       AND c.era = e.era
     ),
     marg AS (
       SELECT
-        prev_type, next_type, era, c,
+        prev_type, next_type, era, c, cell_pool,
         sum(c) OVER (PARTITION BY prev_type, era) AS row_total,
-        sum(c) OVER (PARTITION BY prev_type, next_type) AS cell_pool,
         sum(c) OVER (PARTITION BY prev_type) AS row_pool
-      FROM cells
+      FROM dense
     )
     SELECT
       prev_type,
       next_type,
       era,
       {cnt("c", "n_transitions")},
-      {dbl("c / CAST(row_total AS DOUBLE)", "p_era")},
+      {dbl("c / CAST(nullif(row_total, 0) AS DOUBLE)", "p_era")},
       {dbl("cell_pool / CAST(row_pool AS DOUBLE)", "p_pooled")},
       {dbl(
-          "(c - row_total * (cell_pool / CAST(row_pool AS DOUBLE)))"
+          "CASE WHEN row_total > 0 THEN"
+          " (c - row_total * (cell_pool / CAST(row_pool AS DOUBLE)))"
           " * (c - row_total * (cell_pool / CAST(row_pool AS DOUBLE)))"
-          " / (row_total * (cell_pool / CAST(row_pool AS DOUBLE)))",
+          " / (row_total * (cell_pool / CAST(row_pool AS DOUBLE)))"
+          " ELSE 0.0 END",
           "chi2_contribution",
       )}
     FROM marg
     ORDER BY prev_type, next_type, era
     """
+    return [("_mz_ms_cells", cells_sql)], tail
 
 
 def _lorenz_sql(d: str) -> str:
@@ -908,7 +927,7 @@ def _lorenz_sql(d: str) -> str:
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     materialized_backed("stickiness_ratio", _stickiness_parts, ("events",)),
-    sql_backed("markov_stationarity", _markov_stationarity_sql, ("events",)),
+    materialized_backed("markov_stationarity", _markov_stationarity_parts, ("events",)),
     sql_backed("lorenz_curve_users", _lorenz_sql, ("events",)),
     materialized_backed("customer_migration_matrix", _migration_parts, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),

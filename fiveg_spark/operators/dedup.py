@@ -173,14 +173,22 @@ def _minhash_lsh_sql(d: str) -> str:
     #     extra dedup aggregate + exchange for nothing)
     # DuckDB oracle keeps the join formulation (it materializes CTEs, so
     # correctness-side cost is irrelevant); results are identical.
-    prefix = _minhash_sig_prefix(d)
+    return f"{_minhash_sig_prefix(d)},\n{_banding_pairs_from(d, 'minhashes')}"
+
+
+def _banding_pairs_from(d: str, rel: str) -> str:
+    """E2's banding → bucket → candidate-pair chain reading signatures
+    from ``rel`` — a WITH-continuation (`bands AS …  SELECT …`).
+    Parameterized so E83's calibration reads the ALREADY-materialized
+    signature view instead of re-running the whole signature build (the
+    r8 review catch — the duplicate chain doubled the dominant md5
+    cost)."""
     if d == "duckdb":
         band_selects = "\n      UNION ALL\n      ".join(
-            f"SELECT doc_id, {b} AS band, mh{2 * b} AS sig0, mh{2 * b + 1} AS sig1 FROM minhashes"
+            f"SELECT doc_id, {b} AS band, mh{2 * b} AS sig0, mh{2 * b + 1} AS sig1 FROM {rel}"
             for b in range(N_BANDS)
         )
         return f"""
-        {prefix},
         bands AS (
           {band_selects}
         )
@@ -199,10 +207,9 @@ def _minhash_lsh_sql(d: str) -> str:
         for b in range(N_BANDS)
     )
     return f"""
-    {prefix},
     bands AS (
       SELECT doc_id, b.band AS band, b.sig0 AS sig0, b.sig1 AS sig1
-      FROM minhashes
+      FROM {rel}
       LATERAL VIEW explode(array(
         {band_structs})) t AS b
     ),
@@ -928,6 +935,12 @@ def _line_dedup_sql(d: str) -> str:
     # tokens removed, and the removed-token fraction a curation pass
     # would reclaim.
     #
+    # (doc_id, pos) packs as doc_id·10⁹ + pos — exact while pos < 10⁹
+    # (a 10-BILLION-token document; no real corpus has one) and
+    # doc_id < 9.2×10⁹ (BIGINT headroom); both bounds hold at any
+    # plausible scale and the r8 review moved the multiplier up from
+    # 10⁶, where a 10M-token doc could mis-rank the keeper.
+    #
     # Scale: one scan → map-only block explode (~n_tokens/{LINE_TOKENS}
     # rows/doc) → hash-agg by line (map-side combine shrinks hot
     # boilerplate lines — deliberately NOT a window over line_text,
@@ -959,7 +972,7 @@ def _line_dedup_sql(d: str) -> str:
     ),
     line_stats AS (
       SELECT line_text,
-        min(doc_id * 1000000 + pos) AS first_key,
+        min(doc_id * 1000000000 + pos) AS first_key,
         count(*) AS n_occ
       FROM occ
       WHERE n_line_tokens >= {MIN_LINE_TOKENS}
@@ -968,7 +981,7 @@ def _line_dedup_sql(d: str) -> str:
     flagged AS (
       SELECT o.doc_id, o.n_tokens, o.n_line_tokens,
         CASE WHEN s.n_occ > 1
-              AND o.doc_id * 1000000 + o.pos <> s.first_key
+              AND o.doc_id * 1000000000 + o.pos <> s.first_key
              THEN 1 ELSE 0 END AS removed
       FROM occ o
       LEFT JOIN line_stats s
@@ -1052,9 +1065,12 @@ def _minhash_estimate_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # shared build (_minhash_sig_prefix), shingle sets from the shared
     # scan — signature or shingle changes move E2/E83 together.
     #
-    # Scale: the candidate frame is LSH-sized (tiny); both signature
-    # and shingle joins key on doc_id restricted to candidates, so no
-    # stage touches more than |candidates| · |doc shingles| rows.
+    # Scale: the signature frame materializes ONCE and the candidate
+    # part re-reads it through the shared banding chain (r8 review
+    # catch — pairs previously re-ran the whole signature build,
+    # doubling the dominant md5 cost); the candidate frame is
+    # LSH-sized (tiny); signature and shingle joins key on doc_id
+    # restricted to candidates.
     lanes = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
         for i in range(N_HASHES)
@@ -1109,8 +1125,8 @@ def _minhash_estimate_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ORDER BY doc_a, doc_b
     """
     return [
-        ("_mz_mje_pairs", _minhash_lsh_sql(d)),
         ("_mz_mje_sig", sig_sql),
+        ("_mz_mje_pairs", f"WITH {_banding_pairs_from(d, '_mz_mje_sig')}"),
         ("_mz_mje_sh", sh_sql),
     ], tail
 

@@ -14,7 +14,7 @@ a rank window partitioned by the group key (never a global sort).
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import NUDGE, cnt, dbl, epoch, pct, sql_backed
+from fiveg_spark.plans.registry import NUDGE, cnt, dbl, epoch, materialized_backed, pct, sql_backed
 
 
 def _q13_order_counts_sql(d: str) -> str:
@@ -410,10 +410,16 @@ def _repeat_purchase_sql(d: str) -> str:
     # C102 — repeat-purchase rhythm per market segment: order-to-order
     # gaps per customer (lag over order dates), rolled to the segment
     # ladder — repeat share, gap means/medians/p90 — the commerce twin
-    # of C88's event-session rhythm, on the orders table.
+    # of C88's event-session rhythm, on the orders table.  All gap
+    # statistics run over the RAW gap distribution (r8 review catch: a
+    # draft took percentiles of per-customer MEAN gaps, a materially
+    # different — flattened — distribution than the aliases promised,
+    # and names freeze at certification).  Buyer-grain stats ride the
+    # SAME pass: a customer has a non-NULL gap iff they have ≥ 2
+    # orders, so repeat counts are conditional count-distincts.
     #
-    # Scale: one orders shuffle by custkey (lag window + per-customer
-    # agg share it), per-segment rollup is 5 rows.
+    # Scale: one orders shuffle by custkey (the lag window), one
+    # broadcast-dim customer join, one per-segment rollup of 5 rows.
     e = epoch("o_orderdate", d)
     return f"""
     WITH gapped AS (
@@ -424,50 +430,56 @@ def _repeat_purchase_sql(d: str) -> str:
           AS gap_days
       FROM orders o
     ),
-    per_cust AS (
-      SELECT
-        o_custkey,
-        count(*) AS n_orders,
-        avg(gap_days) AS mean_gap
-      FROM gapped
-      GROUP BY o_custkey
-    ),
     seg AS (
-      SELECT c.c_mktsegment AS segment, p.n_orders, p.mean_gap
-      FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+      SELECT c.c_mktsegment AS segment, g.o_custkey, g.gap_days
+      FROM gapped g JOIN customer c ON c.c_custkey = g.o_custkey
     )
     SELECT
       segment,
-      {cnt("count(*)", "n_buyers")},
-      {cnt("sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)", "n_repeat_buyers")},
-      {dbl("sum(CASE WHEN n_orders >= 2 THEN 1.0 ELSE 0.0 END) / count(*)",
-           "repeat_share")},
-      {dbl("avg(CAST(n_orders AS DOUBLE))", "avg_orders_per_buyer")},
-      {dbl("avg(mean_gap)", "mean_interorder_gap_days")},
-      {dbl(pct("mean_gap", 0.5, d), "p50_interorder_gap_days")},
-      {dbl(pct("mean_gap", 0.9, d), "p90_interorder_gap_days")}
+      {cnt("count(DISTINCT o_custkey)", "n_buyers")},
+      {cnt("count(DISTINCT CASE WHEN gap_days IS NOT NULL"
+           " THEN o_custkey END)", "n_repeat_buyers")},
+      {dbl("count(DISTINCT CASE WHEN gap_days IS NOT NULL"
+           " THEN o_custkey END)"
+           " / CAST(count(DISTINCT o_custkey) AS DOUBLE)", "repeat_share")},
+      {dbl("count(*) / CAST(count(DISTINCT o_custkey) AS DOUBLE)",
+           "avg_orders_per_buyer")},
+      {dbl("avg(gap_days)", "mean_interorder_gap_days")},
+      {dbl(pct("gap_days", 0.5, d), "p50_interorder_gap_days")},
+      {dbl(pct("gap_days", 0.9, d), "p90_interorder_gap_days")}
     FROM seg
     GROUP BY segment
     ORDER BY segment
     """
 
 
-def _returnflag_shift_sql(d: str) -> str:
+def _returnflag_shift_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C104 — return-flag mix shift by ship quarter: per-quarter
     # composition of l_returnflag vs the all-time mix, with the
     # chi-square drift contribution per cell (the categorical twin of
     # D27's PSI over numeric features — "did returns spike in Q3?").
     #
     # Engine parity: counts are exact integers; expected counts are
-    # integer-over-integer ratios.  Scale: one fact scan → one
-    # (quarter, flag) hash-agg; everything after runs on ≤ |quarters|·3
-    # rows (window marginals, no joins).
+    # integer-over-integer ratios.  The grid is DENSE over observed
+    # quarters × observed flags (r8 review catch): a flag that
+    # VANISHES in a quarter — returns stopping entirely, the exact
+    # shift this query exists to catch — is an O=0 cell whose
+    # (0−E)²/E = E contribution a sparse grid silently drops.
+    # Scale: one fact scan → one (quarter, flag) hash-agg; the dense
+    # cross join and window marginals run on ≤ |quarters|·|flags| rows.
     q = f"CAST(floor(({epoch('l_shipdate', d)} / 86400.0) / 91.3125) AS BIGINT)"
-    return f"""
-    WITH cells AS (
+    cells_sql = f"""
       SELECT {q} AS quarter_idx, l_returnflag AS flag, count(*) AS obs
       FROM lineitem
       GROUP BY {q}, l_returnflag
+    """
+    tail = f"""
+    WITH dense AS (
+      SELECT qq.quarter_idx, ff.flag, coalesce(c.obs, 0) AS obs
+      FROM (SELECT DISTINCT quarter_idx FROM _mz_rf_cells) qq
+      CROSS JOIN (SELECT DISTINCT flag FROM _mz_rf_cells) ff
+      LEFT JOIN _mz_rf_cells c
+        ON c.quarter_idx = qq.quarter_idx AND c.flag = ff.flag
     ),
     marg AS (
       SELECT
@@ -475,24 +487,27 @@ def _returnflag_shift_sql(d: str) -> str:
         sum(obs) OVER (PARTITION BY quarter_idx) AS q_total,
         sum(obs) OVER (PARTITION BY flag) AS f_total,
         sum(obs) OVER () AS n
-      FROM cells
+      FROM dense
     )
     SELECT
       quarter_idx,
       flag,
       {cnt("obs", "n_items")},
-      {dbl("obs / CAST(q_total AS DOUBLE)", "quarter_share")},
+      {dbl("obs / CAST(nullif(q_total, 0) AS DOUBLE)", "quarter_share")},
       {dbl("f_total / CAST(n AS DOUBLE)", "overall_share")},
       {dbl("q_total * (f_total / CAST(n AS DOUBLE))", "expected")},
       {dbl(
-          "(obs - q_total * (f_total / CAST(n AS DOUBLE)))"
+          "CASE WHEN q_total > 0 AND f_total > 0 THEN"
+          " (obs - q_total * (f_total / CAST(n AS DOUBLE)))"
           " * (obs - q_total * (f_total / CAST(n AS DOUBLE)))"
-          " / (q_total * (f_total / CAST(n AS DOUBLE)))",
+          " / (q_total * (f_total / CAST(n AS DOUBLE)))"
+          " ELSE 0.0 END",
           "chi2_contribution",
       )}
     FROM marg
     ORDER BY quarter_idx, flag
     """
+    return [("_mz_rf_cells", cells_sql)], tail
 
 
 QUERIES = [
@@ -504,8 +519,8 @@ QUERIES = [
                ("orders", "lineitem")),
     sql_backed("repeat_purchase_interval", _repeat_purchase_sql,
                ("orders", "customer")),
-    sql_backed("returnflag_quarter_shift", _returnflag_shift_sql,
-               ("lineitem",)),
+    materialized_backed("returnflag_quarter_shift", _returnflag_shift_parts,
+                        ("lineitem",)),
     sql_backed("lateral_topk", _lateral_topk_sql, ("customer", "orders")),
     sql_backed("full_outer_daily", _full_outer_daily_sql, ("orders", "events")),
     sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),

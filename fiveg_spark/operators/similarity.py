@@ -789,7 +789,8 @@ def _rank_agreement_sql(d: str) -> str:
       {cnt("count(*)", "n_ranked")},
       {dbl(
           "1.0 - 6.0 * sum((r_cos - r_euc) * (r_cos - r_euc))"
-          " / (count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0))",
+          " / nullif(count(*) * (CAST(count(*) AS DOUBLE) * count(*) - 1.0),"
+          " 0.0)",
           "spearman_rho",
       )},
       (sum(CASE WHEN r_cos = 1 AND r_euc = 1 THEN 1 ELSE 0 END) = 1)

@@ -313,10 +313,7 @@ _EVENTS_SCHEMA = (
 
 def _event_sql_fns():
     from fiveg_spark.operators.analytics_ext import _zscore_sql
-    from fiveg_spark.operators.behavior import (
-        _lorenz_sql,
-        _markov_stationarity_sql,
-    )
+    from fiveg_spark.operators.behavior import _lorenz_sql
     from fiveg_spark.operators.quality import (
         _dq_trend_sql,
         _partition_completeness_sql,
@@ -412,9 +409,6 @@ def _event_sql_fns():
         # floored/rounded shares before ln (E75 discipline); single-
         # type streams give KL = 0 with the type as top
         "kl_weekly_mix": _kl_weekly_mix_sql,
-        # pooled-expectation chi-square cells; single-era streams (all
-        # events at one instant) put every transition in h1
-        "markov_stationarity": _markov_stationarity_sql,
         # decile bucketing on deterministic ranks + rank-formula gini;
         # single-user streams give one decile with share 1.0
         "lorenz_curve_users": _lorenz_sql,
@@ -619,7 +613,10 @@ def _doc_parts_fns():
         _dsir_parts,
     )
     from fiveg_spark.operators.curation import _quality_dup_calibration_parts
-    from fiveg_spark.operators.dedup import _dup_pressure_parts
+    from fiveg_spark.operators.dedup import (
+        _dup_pressure_parts,
+        _minhash_estimate_parts,
+    )
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
     from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
     from fiveg_spark.operators.text_stats import (
@@ -639,6 +636,10 @@ def _doc_parts_fns():
         "contamination_matrix": _contamination_matrix_parts,
         "ppl_buckets": _ppl_buckets_parts,
         "minhash_recall_vs_exact": _minhash_recall_parts,
+        # est/exact/3-sigma tolerance math: duplicate-heavy tiny
+        # corpora make every candidate exact-J 1.0 (est must agree),
+        # shingle-free docs never reach the candidate frame
+        "minhash_jaccard_estimate": _minhash_estimate_parts,
         # S-curve power() math + empty ground-truth (expected = 1.0
         # coalesce) and empty-candidate branches per config
         "minhash_band_curve": _band_curve_parts,
@@ -712,6 +713,7 @@ def test_document_parts_queries_on_random_corpora(spark, name):
 def _event_parts_fns():
     from fiveg_spark.operators.behavior import (
         _attribution_parts,
+        _markov_stationarity_parts,
         _migration_parts,
         _stickiness_parts,
     )
@@ -745,6 +747,10 @@ def _event_parts_fns():
         # per-era ntile + FULL OUTER absent rows; single-instant
         # streams put every user in h1 with h2 all-absent
         "customer_migration_matrix": _migration_parts,
+        # pooled-expectation chi-square over the DENSE era grid;
+        # single-era streams (all events at one instant) put every
+        # transition in h1 with h2 rows at the contribution-0 guard
+        "markov_stationarity": _markov_stationarity_parts,
         # three rounded-threshold votes; constant series suppress all
         # detectors (zero-spread guards) -> zero rows
         "anomaly_consensus": _anomaly_consensus_parts,
