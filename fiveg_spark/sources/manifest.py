@@ -119,16 +119,23 @@ def build_manifest(path: str) -> dict:
     }
 
 
-def write_with_manifest(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
-    """Write parquet and stamp the directory with its manifest;
-    returns the manifest dict."""
-    df.write.mode(mode).parquet(path)
+def stamp_manifest(path: str) -> dict:
+    """(Re-)derive and atomically install the manifest for an existing
+    directory — the stamp step shared by write_with_manifest and the
+    A22 compaction re-stamp."""
     manifest = build_manifest(path)
     tmp = os.path.join(path, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, sort_keys=True)
     os.replace(tmp, os.path.join(path, MANIFEST_NAME))
     return manifest
+
+
+def write_with_manifest(df: DataFrame, path: str, mode: str = "overwrite") -> dict:
+    """Write parquet and stamp the directory with its manifest;
+    returns the manifest dict."""
+    df.write.mode(mode).parquet(path)
+    return stamp_manifest(path)
 
 
 def verify_manifest(path: str) -> tuple[bool, str]:
