@@ -568,9 +568,60 @@ def _quality_trend_sql(d: str) -> str:
     """
 
 
+def _frontier_sql(d: str) -> str:
+    # E96 — quality×length PARETO FRONTIER per source: docs not
+    # dominated by any longer-AND-better doc — the "long AND high
+    # quality" shortlist a context-extension data mix hunts for (long
+    # docs are scarce; long good docs are the scarce-squared resource
+    # E25's packing wants first).  Skyline via one window: a doc is on
+    # the frontier iff its rounded E9 score (shared QUALITY_SCORE_RAW)
+    # exceeds the running max score over docs with STRICTLY more
+    # tokens (RANGE ... 1 PRECEDING on the tokens-DESC order — exact
+    # strict-dominance semantics, ties don't dominate each other).
+    #
+    # Scale: one scan → per-source window on the per-doc frame.
+    score = f"round({QUALITY_SCORE_RAW} + {NUDGE}, 4) + 0.0"
+    return f"""
+    WITH {quality_m_cte(d)},
+    scored AS (
+      SELECT source, doc_id, n_tokens, {score} AS q FROM m
+    ),
+    sky AS (
+      SELECT *,
+        max(q) OVER (
+          PARTITION BY source ORDER BY n_tokens DESC
+          RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS best_longer
+      FROM scored
+    ),
+    flagged AS (
+      SELECT source, n_tokens, q,
+        CASE WHEN best_longer IS NULL OR q > best_longer
+             THEN 1 ELSE 0 END AS on_frontier
+      FROM sky
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(on_frontier)", "n_frontier")},
+      {dbl("sum(CAST(on_frontier AS DOUBLE)) / count(*)", "frontier_share")},
+      {dbl("max(q)", "max_quality")},
+      {cnt("max(n_tokens)", "max_tokens")},
+      {cnt("max(CASE WHEN on_frontier = 1 THEN n_tokens END)",
+           "longest_frontier_doc_tokens")}
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
     sql_backed("quality_trend_by_source", _quality_trend_sql, ("documents",)),
+    # r8 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r9)
+    sql_backed("quality_length_frontier", _frontier_sql, ("documents",),
+               deferred=True),
     sql_backed("weighted_sample", _weighted_sample_sql, ("documents",)),
     sql_backed("per_source_topk_sample", _topk_sample_sql, ("documents",)),
     sql_backed("hash_split", _hash_split_sql, ("documents",)),

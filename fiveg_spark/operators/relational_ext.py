@@ -360,6 +360,36 @@ def _abc_classes_sql(d: str) -> str:
     """
 
 
+def _revenue_waterfall_sql(d: str) -> str:
+    # C108 — revenue WATERFALL per ship year: the gross → −discount →
+    # net → +tax → charged bridge (TPC-H Q1's aggregate family
+    # re-shaped as the finance-reporting decomposition), with each
+    # step's share of gross — the reconciliation row a revenue
+    # dashboard shows before any drill-down.  One scan, conditional
+    # sums only; the in-row identity net = gross − discount_amt ships
+    # as a certified boolean (Q1-style amounts recomputed two ways).
+    yr = f"CAST(floor({epoch('l_shipdate', d)} / 86400.0 / 365.25) + 1970 AS BIGINT)"
+    return f"""
+    SELECT
+      {cnt(yr, "ship_year")},
+      {cnt("count(*)", "n_lineitems")},
+      {dbl("sum(l_extendedprice)", "gross")},
+      {dbl("sum(l_extendedprice * l_discount)", "discount_amt")},
+      {dbl("sum(l_extendedprice * (1.0 - l_discount))", "net")},
+      {dbl("sum(l_extendedprice * (1.0 - l_discount) * l_tax)", "tax_amt")},
+      {dbl("sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax))",
+           "charged")},
+      {dbl("sum(l_extendedprice * l_discount) / nullif(sum(l_extendedprice), 0.0)",
+           "discount_share")},
+      (abs(round(sum(l_extendedprice) - sum(l_extendedprice * l_discount)
+                 - sum(l_extendedprice * (1.0 - l_discount)) + {NUDGE}, 2))
+         <= 0.01) AS bridge_ok
+    FROM lineitem
+    GROUP BY {yr}
+    ORDER BY ship_year
+    """
+
+
 BACKLOG_CUTOFF = "TIMESTAMP '1998-01-01'"
 
 
@@ -521,6 +551,10 @@ QUERIES = [
                ("orders", "customer")),
     materialized_backed("returnflag_quarter_shift", _returnflag_shift_parts,
                         ("lineitem",)),
+    # r8 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r9)
+    sql_backed("revenue_waterfall", _revenue_waterfall_sql, ("lineitem",),
+               deferred=True),
     sql_backed("lateral_topk", _lateral_topk_sql, ("customer", "orders")),
     sql_backed("full_outer_daily", _full_outer_daily_sql, ("orders", "events")),
     sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),

@@ -729,6 +729,45 @@ def _vocab_jaccard_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_vj_st", st_sql)], tail
 
 
+def _hapax_sql(d: str) -> str:
+    # E97 — hapax legomena profile per source: the share of VOCABULARY
+    # seen exactly once (and exactly twice — dis legomena) plus the
+    # token-mass share those singletons carry.  The lexical-richness
+    # reading between E31's Heaps growth and E46's Zipf slope: a
+    # natural corpus runs ~40-60% hapax TYPES at tiny token mass;
+    # near-zero hapax share means templated/boilerplate text, an
+    # exploding one means OCR noise or gibberish (the E77 OOV signal
+    # at the source's own scale).
+    #
+    # Scale: one explode-agg to (source, token) counts, one per-source
+    # rollup of the vocab frame.
+    toks = _tok(d)
+    unn = "explode" if d == "spark" else "unnest"
+    return f"""
+    WITH tf AS (
+      SELECT source, token, count(*) AS c
+      FROM (SELECT source, {unn}({toks}) AS token FROM documents) x
+      WHERE token <> ''
+      GROUP BY source, token
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "vocab_size")},
+      {cnt("sum(c)", "total_tokens")},
+      {cnt("sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)", "n_hapax")},
+      {cnt("sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)", "n_dis")},
+      {dbl("sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / count(*)",
+           "hapax_type_share")},
+      {dbl("sum(CASE WHEN c = 2 THEN 1.0 ELSE 0.0 END) / count(*)",
+           "dis_type_share")},
+      {dbl("sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END)"
+           " / CAST(sum(c) AS DOUBLE)", "hapax_token_share")}
+    FROM tf
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 COVERAGE_KS = (10, 25, 100, 1000)
 
 
@@ -828,6 +867,9 @@ QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     materialized_backed("vocab_jaccard_matrix", _vocab_jaccard_parts, ("documents",)),
     sql_backed("ngram_coverage_curve", _coverage_curve_sql, ("documents",)),
+    # r8 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r9)
+    sql_backed("hapax_ratio", _hapax_sql, ("documents",), deferred=True),
     sql_backed("lognormal_length_fit", _lognormal_fit_sql, ("documents",)),
     sql_backed("ngram_novelty", _ngram_novelty_sql, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),

@@ -934,8 +934,70 @@ def _retention_halflife_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     )
 
 
+def _peak_to_mean_sql(d: str) -> str:
+    # C107 — peak-to-mean ratio per (slice, day): the capacity-planning
+    # number between C50's instantaneous peak concurrency and the
+    # hourly mean series — provisioning for the mean melts at the peak,
+    # provisioning for the peak wastes (PMR − 1)/PMR of the fleet.
+    # Per slice: mean/max daily PMR, the p90 PMR (the planning
+    # percentile), and the modal busiest hour-of-day (deterministic
+    # count-rank, the C31 rule — never engine-native mode()).
+    #
+    # Scale: one events scan → hourly frame → per-(slice, day) rollup
+    # → |slices| rows.
+    return f"""
+    {_hourly_cte(d)},
+    ranked AS (
+      SELECT
+        slice,
+        CAST(floor({epoch("h", d)} / 86400.0) AS BIGINT) AS day_idx,
+        throughput_bps,
+        hour(h) AS hod,
+        row_number() OVER (
+          PARTITION BY slice, CAST(floor({epoch("h", d)} / 86400.0) AS BIGINT)
+          ORDER BY round(throughput_bps + {NUDGE}, 4) DESC, hour(h)
+        ) AS rk
+      FROM hourly
+    ),
+    daily AS (
+      SELECT
+        slice,
+        day_idx,
+        round(max(throughput_bps) / nullif(avg(throughput_bps), 0.0)
+              + {NUDGE}, 4) AS pmr,
+        max(CASE WHEN rk = 1 THEN hod END) AS peak_hour
+      FROM ranked
+      GROUP BY slice, day_idx
+    ),
+    modal AS (
+      SELECT slice, peak_hour, count(*) AS n,
+        row_number() OVER (PARTITION BY slice
+                           ORDER BY count(*) DESC, peak_hour) AS rk
+      FROM daily
+      GROUP BY slice, peak_hour
+    )
+    SELECT
+      dd.slice,
+      {cnt("count(*)", "n_days")},
+      {dbl("avg(dd.pmr)", "mean_pmr")},
+      {dbl("max(dd.pmr)", "max_pmr")},
+      {dbl(pct("dd.pmr", 0.9, d), "p90_pmr")},
+      {cnt("max(m.peak_hour)", "modal_peak_hour")},
+      {dbl("avg(1.0 - 1.0 / nullif(dd.pmr, 0.0))", "mean_headroom_waste")}
+    FROM daily dd
+    JOIN (SELECT slice, peak_hour FROM modal WHERE rk = 1) m
+      ON m.slice = dd.slice
+    GROUP BY dd.slice
+    ORDER BY dd.slice
+    """
+
+
 QUERIES = [
     sql_backed("quantile_transform", _quantile_transform_sql, ("events",)),
+    # r8 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r9)
+    sql_backed("peak_to_mean_daily", _peak_to_mean_sql, ("events",),
+               deferred=True),
     sql_backed("funnel_conversion_ci", _funnel_ci_sql, ("events",)),
     materialized_backed("retention_halflife", _retention_halflife_parts, ("events",)),
     sql_backed("twap_value_daily", _twap_sql, ("events",)),

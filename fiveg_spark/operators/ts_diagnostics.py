@@ -1885,10 +1885,217 @@ def _arch_lm_sql(d: str) -> str:
     """
 
 
+def _seasonal_mk_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D62 — SEASONAL Mann-Kendall per slice (Hirsch & Slack 1984, the
+    # independence form): D52's S and tie-corrected variance computed
+    # WITHIN each hour-of-day season and summed — the trend test that
+    # stays valid under the strong diurnal cycle D42 measures, where
+    # plain MK reads the cycle itself as pair mass.  Per slice:
+    # S_total = Σ_g S_g, Var_total = Σ_g Var_g, continuity-corrected
+    # z, verdict at 1.96 with direction tags.
+    #
+    # Scale: the seasonal pair set is O(Σ n_g²) on the tiny hourly
+    # rollup (24 blocks of ~30 points/month) — far SMALLER than D52's
+    # full pair set; materialized (the D52 rule: three references).
+    series_sql = f"""
+    {_hourly_cte(d)}
+    SELECT slice, hour(h) AS season, {epoch("h", d)} AS th,
+           throughput_bps AS v
+    FROM hourly
+    """
+    tail = f"""
+    WITH s_stat AS (
+      SELECT
+        a.slice,
+        sum(CASE WHEN b.v > a.v THEN 1
+                 WHEN b.v < a.v THEN -1 ELSE 0 END) AS s,
+        count(*) AS n_pairs
+      FROM _mz_smk_series a
+      JOIN _mz_smk_series b
+        ON b.slice = a.slice AND b.season = a.season AND b.th > a.th
+      GROUP BY a.slice
+    ),
+    per_season AS (
+      SELECT slice, season, CAST(count(*) AS DOUBLE) AS n_g
+      FROM _mz_smk_series GROUP BY slice, season
+    ),
+    tie_terms AS (
+      SELECT slice, season,
+             sum(t * (t - 1.0) * (2.0 * t + 5.0)) AS tie_term
+      FROM (
+        SELECT slice, season, v, CAST(count(*) AS DOUBLE) AS t
+        FROM _mz_smk_series GROUP BY slice, season, v
+      ) g
+      WHERE t > 1
+      GROUP BY slice, season
+    ),
+    var_stat AS (
+      SELECT
+        p.slice,
+        sum((p.n_g * (p.n_g - 1.0) * (2.0 * p.n_g + 5.0)
+             - coalesce(t.tie_term, 0.0)) / 18.0) AS var_s,
+        sum(p.n_g) AS n
+      FROM per_season p
+      LEFT JOIN tie_terms t ON t.slice = p.slice AND t.season = p.season
+      GROUP BY p.slice
+    ),
+    scored AS (
+      SELECT
+        v.slice, v.n, v.var_s, s.s, s.n_pairs,
+        CASE WHEN v.var_s > 1e-12 THEN
+          CASE WHEN s.s > 0 THEN (s.s - 1.0) / sqrt(v.var_s)
+               WHEN s.s < 0 THEN (s.s + 1.0) / sqrt(v.var_s)
+               ELSE 0.0 END
+        ELSE 0.0 END AS z
+      FROM var_stat v JOIN s_stat s ON s.slice = v.slice
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {cnt("n_pairs", "n_seasonal_pairs")},
+      {cnt("s", "s_stat")},
+      {dbl("var_s", "var_s")},
+      {dbl("z", "z_stat")},
+      CASE WHEN abs(round(z + {NUDGE}, 4)) <= 1.96 THEN 'none'
+           WHEN s > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+    FROM scored
+    ORDER BY slice
+    """
+    return [("_mz_smk_series", series_sql)], tail
+
+
+def _pacf_sql(d: str) -> str:
+    # D63 — partial autocorrelation at lags 1-3 per slice via the
+    # Durbin-Levinson recursion UNROLLED (Box & Jenkins ch. 3): the
+    # order-selection evidence D13's raw ACF can't give — ACF at lag 3
+    # can be large purely through lag-1 propagation; PACF(3) is the
+    # lag-3 effect with lags 1-2 partialled out, and the AR(p) cutoff
+    # read directly supports train.py's p=3 choice next to D49's
+    # information criteria.  ρ_k is D45's CLASSICAL autocorrelation
+    # (shared centered-SS denominator); each ρ rounds to 6 dp before
+    # the recursion so both engines run identical rationals through
+    #   φ₁₁=ρ₁;  φ₂₂=(ρ₂−ρ₁²)/(1−ρ₁²);  φ₂₁=ρ₁(1−φ₂₂);
+    #   φ₃₃=(ρ₃−φ₂₁ρ₂−φ₂₂ρ₁)/(1−φ₂₁ρ₁−φ₂₂ρ₂)
+    # with zero-denominator degenerates guarded to 0.  Significance
+    # bands at ±1.96/√n.
+    #
+    # Scale: one scan → hourly → lag windows on the tiny series.
+    lags = ", ".join(
+        f"lag(h.throughput_bps, {k}) OVER (PARTITION BY h.slice ORDER BY h.h)"
+        f" AS v{k}"
+        for k in (1, 2, 3)
+    )
+    rho_terms = ", ".join(
+        f"round(sum(CASE WHEN v{k} IS NOT NULL THEN (v - vbar) * (v{k} - vbar)"
+        f" ELSE 0.0 END) / nullif(sum((v - vbar) * (v - vbar)), 0.0)"
+        f" + {NUDGE}, 6) AS rho{k}"
+        for k in (1, 2, 3)
+    )
+    phi22 = "(CASE WHEN abs(1.0 - rho1 * rho1) > 1e-9 THEN (rho2 - rho1 * rho1) / (1.0 - rho1 * rho1) ELSE 0.0 END)"
+    phi21 = f"(rho1 * (1.0 - {phi22}))"
+    phi33_num = f"(rho3 - {phi21} * rho2 - {phi22} * rho1)"
+    phi33_den = f"(1.0 - {phi21} * rho1 - {phi22} * rho2)"
+    phi33 = (
+        f"(CASE WHEN abs({phi33_den}) > 1e-9 THEN {phi33_num} / {phi33_den}"
+        f" ELSE 0.0 END)"
+    )
+    return f"""
+    {_hourly_cte(d)},
+    mu AS (
+      SELECT slice, round(avg(throughput_bps) + {NUDGE}, 4) AS vbar
+      FROM hourly GROUP BY slice
+    ),
+    lagged AS (
+      SELECT h.slice, h.throughput_bps AS v, mu.vbar, {lags}
+      FROM hourly h JOIN mu ON mu.slice = h.slice
+    ),
+    rhos AS (
+      SELECT slice, CAST(count(*) AS DOUBLE) AS n, {rho_terms}
+      FROM lagged
+      GROUP BY slice
+      HAVING count(*) >= 5
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_hours")},
+      {dbl("rho1", "pacf_lag1")},
+      {dbl(phi22, "pacf_lag2")},
+      {dbl(phi33, "pacf_lag3")},
+      {dbl("1.96 / sqrt(n)", "sig_band")},
+      (abs(round(rho1 + {NUDGE}, 4)) > 1.96 / sqrt(n)) AS lag1_sig,
+      (abs(round({phi22} + {NUDGE}, 4)) > 1.96 / sqrt(n)) AS lag2_sig,
+      (abs(round({phi33} + {NUDGE}, 4)) > 1.96 / sqrt(n)) AS lag3_sig
+    FROM rhos
+    ORDER BY slice
+    """
+
+
+def _quantile_drift_sql(d: str) -> str:
+    # D64 — weekly VALUE-quantile drift per event type: p50/p90/p99 of
+    # value per (type, Monday-start week) against the type's all-time
+    # quantiles, with band-shift ratios and a drift flag when the
+    # weekly p90 leaves ±25% of the reference — the numeric-quantile
+    # drift monitor between D59's categorical KL and D27's binned PSI
+    # (tail quantiles move FIRST under load-pattern change; means and
+    # bins lag).  Weekly and reference quantiles both interpolate
+    # identically (pct()), ratios nullif-guarded.
+    #
+    # Scale: one scan → (type, week) percentile agg (partial-agg
+    # friendly at contract scale; the 100 TB path feeds C64's t-digest
+    # rollup instead — this is the exact form it approximates), then a
+    # broadcast join against the |types|-row reference frame.
+    week = f"CAST(floor((floor({epoch('ts', d)} / 86400.0) + 3) / 7.0) AS BIGINT)"
+    return f"""
+    WITH weekly AS (
+      SELECT
+        event_type,
+        {week} AS week_idx,
+        count(*) AS n_events,
+        {pct("value", 0.5, d)} AS p50,
+        {pct("value", 0.9, d)} AS p90,
+        {pct("value", 0.99, d)} AS p99
+      FROM events
+      GROUP BY event_type, {week}
+    ),
+    ref AS (
+      SELECT
+        event_type,
+        {pct("value", 0.5, d)} AS r50,
+        {pct("value", 0.9, d)} AS r90,
+        {pct("value", 0.99, d)} AS r99
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT
+      w.event_type,
+      {cnt("w.week_idx", "week_idx")},
+      {cnt("w.n_events", "n_events")},
+      {dbl("w.p50", "p50")},
+      {dbl("w.p90", "p90")},
+      {dbl("w.p99", "p99")},
+      {dbl("w.p50 / nullif(r.r50, 0.0)", "p50_ratio")},
+      {dbl("w.p90 / nullif(r.r90, 0.0)", "p90_ratio")},
+      {dbl("w.p99 / nullif(r.r99, 0.0)", "p99_ratio")},
+      (abs(round(w.p90 / nullif(r.r90, 0.0) + {NUDGE}, 4) - 1.0) > 0.25)
+        AS p90_drifted
+    FROM weekly w
+    JOIN ref r ON r.event_type = w.event_type
+    ORDER BY w.event_type, w.week_idx
+    """
+
+
 QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("theils_u_eval", _theils_u_sql, ("events",)),
     sql_backed("arch_lm_test", _arch_lm_sql, ("events",)),
+    # r8 third wave, registered AFTER the window filled: deferred
+    # sorts them behind the 50 never-certified names (certify in r9)
+    materialized_backed(
+        "seasonal_mann_kendall", _seasonal_mk_parts, ("events",), deferred=True,
+    ),
+    sql_backed("pacf_lags", _pacf_sql, ("events",), deferred=True),
+    sql_backed("quantile_band_drift", _quantile_drift_sql, ("events",),
+               deferred=True),
     sql_backed("wilcoxon_signed_rank", _wilcoxon_sql, ("events",)),
     sql_backed("poisson_dispersion", _poisson_dispersion_sql, ("events",)),
     sql_backed("jarque_bera", _jarque_bera_sql, ("events",)),

@@ -87,7 +87,7 @@ def _more_doc_sql_fns():
         _lang_id_sql,
         _token_counts_sql,
     )
-    from fiveg_spark.operators.curation import _quality_trend_sql
+    from fiveg_spark.operators.curation import _frontier_sql, _quality_trend_sql
     from fiveg_spark.operators.dedup import (
         _dup_spectrum_sql,
         _line_dedup_sql,
@@ -95,7 +95,7 @@ def _more_doc_sql_fns():
     )
     from fiveg_spark.operators.llm_curation import _pii_density_sql
     from fiveg_spark.operators.stats_assoc import _chunk_audit_sql
-    from fiveg_spark.operators.text_stats import _coverage_curve_sql
+    from fiveg_spark.operators.text_stats import _coverage_curve_sql, _hapax_sql
     from fiveg_spark.operators.text import _lang_confusion_sql
     from fiveg_spark.operators.text_stats import _lognormal_fit_sql
     from fiveg_spark.operators.text_stats import (
@@ -149,6 +149,10 @@ def _more_doc_sql_fns():
         # early snapshots (NULL q_v -> dbl 0.0) and the 4-point slope
         # runs on whatever versions exist
         "quality_trend_by_source": _quality_trend_sql,
+        # strict-dominance RANGE window: all-same-length sources make
+        # every doc frontier-eligible (no strictly-longer peer), ties
+        # in rounded scores never dominate each other
+        "quality_length_frontier": _frontier_sql,
         # keeper-rule joins: duplicate-free corpora keep everything
         # (rates 0), whole-corpus clones lose all but one doc with the
         # cross-source split deciding where
@@ -171,6 +175,9 @@ def _more_doc_sql_fns():
         # point at 1.0, tie-heavy tiny vocabs exercise the (c, token)
         # rank determinism
         "ngram_coverage_curve": _coverage_curve_sql,
+        # type/token share ratios: single-use-everything tiny corpora
+        # pin hapax_type_share at 1.0, repeated-word ones at 0.0
+        "hapax_ratio": _hapax_sql,
     }
 
 
@@ -327,7 +334,11 @@ def _event_sql_fns():
         _theils_u_sql,
         _wilcoxon_sql,
     )
-    from fiveg_spark.operators.ts_diagnostics import _arch_lm_sql
+    from fiveg_spark.operators.ts_diagnostics import (
+        _arch_lm_sql,
+        _pacf_sql,
+        _quantile_drift_sql,
+    )
     from fiveg_spark.operators.stats_assoc import (
         _anova_sql,
         _assoc_sql,
@@ -337,6 +348,7 @@ def _event_sql_fns():
     )
     from fiveg_spark.operators.timeseries import (
         _feature_correlations_sql,
+        _peak_to_mean_sql,
         _window_entropy_sql,
     )
     from fiveg_spark.operators.ts_diagnostics import (
@@ -397,6 +409,9 @@ def _event_sql_fns():
     return {
         "zscore_anomalies": _zscore_sql,
         "window_entropy": _window_entropy_sql,
+        # max/avg ratio with nullif + deterministic peak-hour rank;
+        # single-hour days give pmr exactly 1.0
+        "peak_to_mean_daily": _peak_to_mean_sql,
         # var/mean ratio with the nullif(mu,0) guard: all-zero-count
         # spines and single-hour slices (n<2 filtered) live here
         "poisson_dispersion": _poisson_dispersion_sql,
@@ -420,6 +435,12 @@ def _event_sql_fns():
         # n*R2 over guarded OLS sums; constant residuals hit the
         # zero-variance branches, <3-point slices are filtered
         "arch_lm_test": _arch_lm_sql,
+        # Durbin-Levinson ratio recursion on rounded rhos: constant
+        # series hit every denominator guard, <5-hour slices filter
+        "pacf_lags": _pacf_sql,
+        # weekly-vs-reference percentile ratios with nullif guards;
+        # single-week streams pin every ratio at 1.0
+        "quantile_band_drift": _quantile_drift_sql,
         # paired midranks + tie-corrected variance: all-equal pairs
         # drop (d = 0), single-pair slices hit tiny-n variance math
         "wilcoxon_signed_rank": _wilcoxon_sql,
@@ -724,6 +745,7 @@ def _event_parts_fns():
         _retention_halflife_parts,
         _trending_parts,
     )
+    from fiveg_spark.operators.ts_diagnostics import _seasonal_mk_parts
     from fiveg_spark.operators.ts_advanced import (
         _anomaly_consensus_parts,
         _ccf_parts,
@@ -798,6 +820,10 @@ def _event_parts_fns():
         # (all ties) hit the var_s <= 0 guard, single-hour slices the
         # empty-pair branch, continuity correction at tiny |S|
         "mann_kendall_trend": _mann_kendall_parts,
+        # per-season pair sums: tiny streams leave most hour-of-day
+        # seasons with a single point (zero pairs, variance from the
+        # n_g ladder only), all-tied seasons hit the var guard
+        "seasonal_mann_kendall": _seasonal_mk_parts,
     }
 
 
