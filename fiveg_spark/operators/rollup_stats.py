@@ -455,10 +455,17 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     )
     frac = f"(CAST({digits} AS DOUBLE) / 4294967296.0)"
     k = THETA_K
+    # DISTINCT (source, shingle) BEFORE hashing (r8 measurement: ~12%
+    # faster at sf0.1 — the corpus has ~10× more shingle occurrences
+    # than distinct shingles, and the md5+digit arithmetic is the
+    # dominant cost, so dedup first pays 10× less hash work for one
+    # partial-agg-compacted shuffle of the strings).  The outer
+    # DISTINCT on frac stays: two distinct shingles colliding to one
+    # 32-bit frac must count once in the sketch.
     sf = f"""
       SELECT DISTINCT source, {frac} AS frac
       FROM (
-        {shingled_scan(d, "source")}
+        {shingled_scan(d, "source", distinct=True)}
       ) shingled
     """
     # Exact pairwise-intersection witness.  Spark uses the E3 posting-
