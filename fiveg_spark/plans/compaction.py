@@ -160,6 +160,19 @@ def execute_compaction(
     staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     os.makedirs(staging)
     try:
+        # 0. carry over non-parquet sidecars (the A21 manifest, A23's
+        #    _snapshots history, _SUCCESS markers) — the install swaps
+        #    the whole directory, so anything not copied would vanish
+        for name in os.listdir(path):
+            src = os.path.join(path, name)
+            if os.path.isdir(src):
+                if not any(
+                    f.endswith(".parquet")
+                    for _r, _d, fs in os.walk(src) for f in fs
+                ):
+                    shutil.copytree(src, os.path.join(staging, name))
+            elif not name.endswith(".parquet"):
+                shutil.copy2(src, os.path.join(staging, name))
         # 1. copy untouched files byte-identical, preserving the
         #    partition-directory layout
         for f in plan.untouched:
