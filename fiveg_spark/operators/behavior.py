@@ -873,6 +873,65 @@ def _markov_stationarity_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_ms_cells", cells_sql)], tail
 
 
+def _affinity_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C109 — activity-decile × event-type AFFINITY matrix: lift =
+    # P(type | decile) / P(type) over C93's deterministic population
+    # deciles — do heavy users DO different things, or just more of
+    # the same?  (Lift ≈ 1 everywhere means volume-only segmentation;
+    # a purchase-lift gradient across deciles is the "whales behave
+    # differently" finding every engagement team checks first.)
+    # Deciles use C93's (count, user_id) rank rule — never ntile ties.
+    #
+    # materialized_backed: the (user, type) count frame feeds the
+    # per-user totals, the decile rank, and the cell rollup — inlined,
+    # Spark would rescan events per reference; materialized it scans
+    # once and every later stage works |users|·|types| rows.
+    ut_sql = """
+      SELECT user_id, event_type, count(*) AS c
+      FROM events
+      GROUP BY user_id, event_type
+    """
+    tail = f"""
+    WITH totals AS (
+      SELECT user_id, sum(c) AS n_events
+      FROM _mz_ua_ut GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id,
+        CAST(ceil(CAST(row_number() OVER (ORDER BY n_events, user_id)
+                       AS DOUBLE) * 10.0
+                  / count(*) OVER ()) AS BIGINT) AS decile
+      FROM totals
+    ),
+    cells AS (
+      SELECT r.decile, u.event_type, sum(u.c) AS c
+      FROM _mz_ua_ut u JOIN ranked r ON r.user_id = u.user_id
+      GROUP BY r.decile, u.event_type
+    ),
+    marg AS (
+      SELECT
+        decile, event_type, c,
+        sum(c) OVER (PARTITION BY decile) AS d_total,
+        sum(c) OVER (PARTITION BY event_type) AS t_total,
+        sum(c) OVER () AS n
+      FROM cells
+    )
+    SELECT
+      decile,
+      event_type,
+      {cnt("c", "n_events")},
+      {dbl("c / CAST(d_total AS DOUBLE)", "share_in_decile")},
+      {dbl("t_total / CAST(n AS DOUBLE)", "overall_share")},
+      {dbl(
+          "(c / CAST(d_total AS DOUBLE)) / (t_total / CAST(n AS DOUBLE))",
+          "lift",
+      )}
+    FROM marg
+    ORDER BY decile, event_type
+    """
+    return [("_mz_ua_ut", ut_sql)], tail
+
+
 def _lorenz_sql(d: str) -> str:
     # C93 — Lorenz curve + Gini of per-user activity: users ranked by
     # event count ascending, bucketed into population deciles, with
@@ -930,6 +989,10 @@ QUERIES = [
     materialized_backed("markov_stationarity", _markov_stationarity_parts, ("events",)),
     sql_backed("lorenz_curve_users", _lorenz_sql, ("events",)),
     materialized_backed("customer_migration_matrix", _migration_parts, ("events",)),
+    # r8 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r9)
+    materialized_backed("user_type_affinity", _affinity_parts, ("events",),
+                        deferred=True),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
     sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
     sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),

@@ -992,11 +992,61 @@ def _peak_to_mean_sql(d: str) -> str:
     """
 
 
+def _heatmap_sql(d: str) -> str:
+    # C110 — the weekday × hour LOAD HEATMAP: the 168-cell grid every
+    # ops dashboard opens with, as a certified query — per cell:
+    # volume, mean value, the share of weekly load, and the z-score of
+    # the cell's volume against the grid (rounded inputs, explicit
+    # Σ/Σ² std — the C30 discipline), with the peak cell flagged via
+    # deterministic rank.  Monday-start weekday by the shared +3 epoch
+    # arithmetic (the D47 landmine).
+    #
+    # Scale: one scan → 168-row hash-agg; everything after is window
+    # math on the grid.
+    dow = f"CAST((floor({epoch('ts', d)} / 86400.0) + 3) % 7 AS BIGINT)"
+    hr = f"CAST(floor(({epoch('ts', d)} % 86400.0) / 3600.0) AS BIGINT)"
+    z = (
+        "round((CAST(c AS DOUBLE) - s1 / n)"
+        " / sqrt(greatest(CASE WHEN n <= 1 THEN 0.0"
+        " ELSE (s2 - s1 * s1 / n) / (n - 1) END, 1e-12))"
+        f" + {NUDGE}, 4)"
+    )
+    return f"""
+    WITH cells AS (
+      SELECT {dow} AS weekday, {hr} AS hour_of_day,
+             count(*) AS c,
+             round(avg(value) + {NUDGE}, 4) AS mean_value
+      FROM events
+      GROUP BY {dow}, {hr}
+    ),
+    grid AS (
+      SELECT *,
+        CAST(count(*) OVER () AS DOUBLE) AS n,
+        sum(CAST(c AS DOUBLE)) OVER () AS s1,
+        sum(CAST(c AS DOUBLE) * c) OVER () AS s2,
+        row_number() OVER (ORDER BY c DESC, weekday, hour_of_day) AS rk
+      FROM cells
+    )
+    SELECT
+      weekday,
+      hour_of_day,
+      {cnt("c", "n_events")},
+      {dbl("mean_value", "mean_value")},
+      {dbl("c / s1", "load_share")},
+      {dbl(z, "volume_z")},
+      (rk = 1) AS is_peak_cell
+    FROM grid
+    ORDER BY weekday, hour_of_day
+    """
+
+
 QUERIES = [
     sql_backed("quantile_transform", _quantile_transform_sql, ("events",)),
     # r8 third wave, registered AFTER the window filled: deferred
     # sorts it behind the 50 never-certified names (certifies in r9)
     sql_backed("peak_to_mean_daily", _peak_to_mean_sql, ("events",),
+               deferred=True),
+    sql_backed("weekday_hour_heatmap", _heatmap_sql, ("events",),
                deferred=True),
     sql_backed("funnel_conversion_ci", _funnel_ci_sql, ("events",)),
     materialized_backed("retention_halflife", _retention_halflife_parts, ("events",)),

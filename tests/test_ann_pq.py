@@ -169,3 +169,25 @@ def test_retrieval_rank_quality_mean_ndcg_above_floor(spark):
         assert len(vals) == QUERY_N
         assert sum(vals) / len(vals) >= 0.55, fn.__name__
         assert all(0.0 <= v <= 1.0 + 1e-9 for v in vals)
+
+
+def test_probe_ladder_raw_recalls_monotone_and_final_floor(spark):
+    """E98 raw evidence behind the ann_ivf_probe_ladder cert booleans:
+    hits never decrease as nprobe grows (nested candidate sets) and the
+    full-probe rung recovers at least the E20-certified floor."""
+    from fiveg_spark.operators.ann_recall import (
+        K,
+        PROBE_LADDER,
+        RECALL_FLOOR,
+        probe_ladder_hits,
+    )
+
+    hits = probe_ladder_hits(spark, "/root/testdata/sf0.001")
+    assert [p for p, _h in hits] == list(PROBE_LADDER)
+    values = [h for _p, h in hits]
+    assert values == sorted(values), f"recall not monotone: {values}"
+    assert values[-1] / K >= RECALL_FLOOR, f"full-probe recall {values[-1]}/{K}"
+    # the ladder must actually be a LADDER on this corpus: the first
+    # rung misses something the last rung finds (otherwise the knob
+    # measures nothing)
+    assert values[0] < values[-1]

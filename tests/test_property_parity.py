@@ -348,6 +348,7 @@ def _event_sql_fns():
     )
     from fiveg_spark.operators.timeseries import (
         _feature_correlations_sql,
+        _heatmap_sql,
         _peak_to_mean_sql,
         _window_entropy_sql,
     )
@@ -412,6 +413,9 @@ def _event_sql_fns():
         # max/avg ratio with nullif + deterministic peak-hour rank;
         # single-hour days give pmr exactly 1.0
         "peak_to_mean_daily": _peak_to_mean_sql,
+        # grid z-scores with the n<=1 variance guard + deterministic
+        # peak rank; single-cell streams give z 0 and peak TRUE
+        "weekday_hour_heatmap": _heatmap_sql,
         # var/mean ratio with the nullif(mu,0) guard: all-zero-count
         # spines and single-hour slices (n<2 filtered) live here
         "poisson_dispersion": _poisson_dispersion_sql,
@@ -733,6 +737,7 @@ def test_document_parts_queries_on_random_corpora(spark, name):
 
 def _event_parts_fns():
     from fiveg_spark.operators.behavior import (
+        _affinity_parts,
         _attribution_parts,
         _markov_stationarity_parts,
         _migration_parts,
@@ -773,6 +778,9 @@ def _event_parts_fns():
         # single-era streams (all events at one instant) put every
         # transition in h1 with h2 rows at the contribution-0 guard
         "markov_stationarity": _markov_stationarity_parts,
+        # decile-rank ceil arithmetic + lift ratios; single-user
+        # streams put everything in decile 10 at lift 1.0
+        "user_type_affinity": _affinity_parts,
         # three rounded-threshold votes; constant series suppress all
         # detectors (zero-spread guards) -> zero rows
         "anomaly_consensus": _anomaly_consensus_parts,
