@@ -360,6 +360,51 @@ def _abc_classes_sql(d: str) -> str:
     """
 
 
+def _revenue_gini_sql(d: str) -> str:
+    # C111 — revenue-concentration Gini per market segment (C45's
+    # exact rank formula, population = customers): the single-number
+    # summary behind C94's ABC classes — ABC says WHERE the 80% line
+    # falls, Gini says how unequal the whole distribution is, so the
+    # two together detect a concentration SHIFT even when the class
+    # boundaries stay put.  Per-customer revenue rounds before ranking
+    # (the C94 parity rule); ties contribute identical Σi·x under any
+    # tie order, so the (rev, custkey) rank is deterministic AND
+    # order-insensitive.
+    #
+    # Scale: one orders shuffle by custkey, one segment rank window
+    # over |customers| rows, 5-row rollup.
+    return f"""
+    WITH per_cust AS (
+      SELECT
+        c.c_mktsegment AS segment,
+        c.c_custkey AS ck,
+        round(sum(o.o_totalprice) + {NUDGE}, 4) AS rev
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, c.c_custkey
+    ),
+    ranked AS (
+      SELECT
+        segment, rev,
+        CAST(row_number() OVER (PARTITION BY segment ORDER BY rev, ck)
+             AS DOUBLE) AS i
+      FROM per_cust
+    )
+    SELECT
+      segment,
+      {cnt("count(*)", "n_customers")},
+      {dbl("sum(rev)", "segment_revenue")},
+      {dbl(
+          "2.0 * sum(i * rev) / (count(*) * sum(rev))"
+          " - (count(*) + 1.0) / count(*)",
+          "revenue_gini",
+      )},
+      {dbl("max(rev) / sum(rev)", "top_customer_share")}
+    FROM ranked
+    GROUP BY segment
+    ORDER BY segment
+    """
+
+
 def _revenue_waterfall_sql(d: str) -> str:
     # C108 — revenue WATERFALL per ship year: the gross → −discount →
     # net → +tax → charged bridge (TPC-H Q1's aggregate family
@@ -555,6 +600,8 @@ QUERIES = [
     # sorts it behind the 50 never-certified names (certifies in r9)
     sql_backed("revenue_waterfall", _revenue_waterfall_sql, ("lineitem",),
                deferred=True),
+    sql_backed("revenue_gini_by_segment", _revenue_gini_sql,
+               ("customer", "orders"), deferred=True),
     sql_backed("lateral_topk", _lateral_topk_sql, ("customer", "orders")),
     sql_backed("full_outer_daily", _full_outer_daily_sql, ("orders", "events")),
     sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),

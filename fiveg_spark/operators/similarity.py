@@ -801,6 +801,63 @@ def _rank_agreement_sql(d: str) -> str:
     """
 
 
+def _dim_profile_sql(d: str) -> str:
+    # E100 — per-DIMENSION variance profile + effective dimensionality
+    # of the embedding space: per dim mean/variance (rogue dims — one
+    # coordinate carrying most of the variance — are the usual cause
+    # of the anisotropy E78 measures), the share of total variance,
+    # and the participation ratio PR = (Σλ)²/Σλ² repeated in-row (the
+    # model-free effective-dimension estimate D15's PCA refines with
+    # actual eigenvalues; per-dim variances are the diagonal
+    # approximation).  Explicit Σ/Σ² variance (C30 discipline) over
+    # the exploded (dim, value) frame.
+    #
+    # Scale: one explode (n·d rows, map-only) → one hash-agg on dim →
+    # d-row window math.
+    if d == "spark":
+        exploded = (
+            "SELECT posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos0, v) "
+            "FROM embeddings"
+        )
+        pos = "pos0 + 1"
+    else:
+        exploded = (
+            "SELECT unnest(generate_series(1, len(embedding))) AS pos0, "
+            "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+        )
+        pos = "pos0"
+    return f"""
+    WITH dims AS (
+      SELECT CAST({pos} AS BIGINT) AS dim, v FROM ({exploded}) e
+    ),
+    stats AS (
+      SELECT
+        dim,
+        CAST(count(*) AS DOUBLE) AS n,
+        avg(v) AS mu,
+        round(greatest(CASE WHEN count(*) <= 1 THEN 0.0
+          ELSE (sum(v * v) - sum(v) * sum(v) / count(*)) / (count(*) - 1)
+          END, 0.0) + {NUDGE}, 6) AS var_d
+      FROM dims
+      GROUP BY dim
+    ),
+    pr AS (
+      SELECT *,
+        sum(var_d) OVER () AS s1,
+        sum(var_d * var_d) OVER () AS s2
+      FROM stats
+    )
+    SELECT
+      dim,
+      {dbl("mu", "dim_mean")},
+      {dbl("var_d", "dim_variance")},
+      {dbl("var_d / nullif(s1, 0.0)", "variance_share")},
+      {dbl("s1 * s1 / nullif(s2, 0.0)", "participation_ratio")}
+    FROM pr
+    ORDER BY dim
+    """
+
+
 KNN_CONSISTENCY_K = 5  # neighbors per probe
 KNN_PROBE_MOD = 10  # probes = vec_id % 10 = 0 (a 10% deterministic panel)
 
@@ -892,4 +949,8 @@ QUERIES = [
         "embedding_anisotropy", _anisotropy_parts, ("embeddings",),
 
     ),
+    # r8 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r9)
+    sql_backed("embedding_dim_profile", _dim_profile_sql, ("embeddings",),
+               deferred=True),
 ]

@@ -768,6 +768,54 @@ def _hapax_sql(d: str) -> str:
     """
 
 
+def _token_entropy_sql(d: str) -> str:
+    # E99 — unigram Shannon entropy per source, in bits, plus the
+    # vocab-normalized efficiency H/log₂V (Shannon 1948; the scalar
+    # the E93 coverage LADDER integrates: entropy is the area under
+    # the whole curve, efficiency says how far from uniform the
+    # distribution sits — 1.0 = every type equally likely, natural
+    # text ~0.7-0.8) and the perplexity 2^H (the unigram-LM floor E33
+    # measures against held-out docs, here in closed form over the
+    # training counts themselves).  E75's parity discipline: shares
+    # rounded to 6 dp BEFORE log₂.
+    #
+    # Scale: one explode-agg to (source, token) counts, one |sources|
+    # rollup.
+    toks = _tok(d)
+    unn = "explode" if d == "spark" else "unnest"
+    p = "round(c / CAST(total AS DOUBLE) + 1e-12, 6)"
+    return f"""
+    WITH tf AS (
+      SELECT source, token, count(*) AS c
+      FROM (SELECT source, {unn}({toks}) AS token FROM documents) x
+      WHERE token <> ''
+      GROUP BY source, token
+    ),
+    sized AS (
+      SELECT *, sum(c) OVER (PARTITION BY source) AS total FROM tf
+    ),
+    h AS (
+      SELECT
+        source,
+        CAST(count(*) AS DOUBLE) AS v,
+        max(total) AS total,
+        -sum({p} * ln({p}) / ln(2.0)) AS h_bits
+      FROM sized
+      GROUP BY source
+    )
+    SELECT
+      source,
+      {cnt("v", "vocab_size")},
+      {cnt("total", "total_tokens")},
+      {dbl("h_bits", "entropy_bits")},
+      {dbl("CASE WHEN v > 1 THEN h_bits / (ln(v) / ln(2.0)) ELSE 0.0 END",
+           "efficiency")},
+      {dbl("power(2.0, h_bits)", "unigram_perplexity")}
+    FROM h
+    ORDER BY source
+    """
+
+
 COVERAGE_KS = (10, 25, 100, 1000)
 
 
@@ -870,6 +918,8 @@ QUERIES = [
     # r8 third wave, registered AFTER the window filled: deferred
     # sorts it behind the 50 never-certified names (certifies in r9)
     sql_backed("hapax_ratio", _hapax_sql, ("documents",), deferred=True),
+    sql_backed("token_entropy", _token_entropy_sql, ("documents",),
+               deferred=True),
     sql_backed("lognormal_length_fit", _lognormal_fit_sql, ("documents",)),
     sql_backed("ngram_novelty", _ngram_novelty_sql, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),

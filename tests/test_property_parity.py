@@ -95,7 +95,11 @@ def _more_doc_sql_fns():
     )
     from fiveg_spark.operators.llm_curation import _pii_density_sql
     from fiveg_spark.operators.stats_assoc import _chunk_audit_sql
-    from fiveg_spark.operators.text_stats import _coverage_curve_sql, _hapax_sql
+    from fiveg_spark.operators.text_stats import (
+        _coverage_curve_sql,
+        _hapax_sql,
+        _token_entropy_sql,
+    )
     from fiveg_spark.operators.text import _lang_confusion_sql
     from fiveg_spark.operators.text_stats import _lognormal_fit_sql
     from fiveg_spark.operators.text_stats import (
@@ -178,6 +182,9 @@ def _more_doc_sql_fns():
         # type/token share ratios: single-use-everything tiny corpora
         # pin hapax_type_share at 1.0, repeated-word ones at 0.0
         "hapax_ratio": _hapax_sql,
+        # round-before-log2 shares (E75 discipline): single-type
+        # corpora give H = 0 with the v > 1 efficiency guard
+        "token_entropy": _token_entropy_sql,
     }
 
 
