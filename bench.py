@@ -44,6 +44,11 @@ HEADLINE = (
     # (shingle explode + distinct + per-source rank windows)
     "bm25_retrieval",
     "theta_sketch_overlap",
+    # r8 additions: the RefinedWeb line-dedup shape (block explode +
+    # line hash-agg + skew-safe join-back) and the cross-source vocab
+    # posting-list matrix (distinct token frame + posting pair explode)
+    "line_dedup",
+    "vocab_jaccard_matrix",
 )
 
 
