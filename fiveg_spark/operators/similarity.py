@@ -801,6 +801,95 @@ def _rank_agreement_sql(d: str) -> str:
     """
 
 
+def _label_separation_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E101 — label SEPARATION via E78's sum-vector identity, extended
+    # to the between-class term: for label l with unit-vector sum S_l,
+    #   within_l  = (‖S_l‖² − n_l) / (n_l(n_l−1))          (E78)
+    #   between_l = S_l·(S − S_l) / (n_l(N − n_l))
+    # — the EXACT within/between mean cosines (a silhouette-lite) with
+    # NO pair join: one normalize, one per-(label, dim) sum, d-length
+    # reductions.  E89's kNN purity answers "are neighbors same-
+    # label"; this answers the global version — "are the classes cones
+    # apart AT ALL" — and separation ≈ 0 predicts E89 failing before
+    # any kNN runs.  The scale story is E78's: two hash-aggs where the
+    # naive formulation is an N² cartesian.
+    #
+    # Zero-norm vectors drop; single-vector labels report within 0.0
+    # (no pair exists, the dbl convention); between is guarded for a
+    # single-label corpus (N = n_l).
+    if d == "spark":
+        exp = (
+            "SELECT vec_id, label, pos0 AS pos, v FROM (SELECT vec_id, "
+            "label, posexplode(CAST(embedding AS ARRAY<DOUBLE>)) AS (pos0, v) "
+            "FROM embeddings) e"
+        )
+    else:
+        exp = (
+            "SELECT vec_id, label, "
+            "unnest(generate_series(1, len(embedding))) AS pos, "
+            "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+        )
+    tail = f"""
+    WITH nrm AS (
+      SELECT vec_id, sqrt(sum(v * v)) AS n2
+      FROM _mz_sep_exp
+      GROUP BY vec_id
+    ),
+    unit AS (
+      SELECT e.vec_id, e.label, e.pos, e.v / n.n2 AS u
+      FROM _mz_sep_exp e
+      JOIN nrm n ON n.vec_id = e.vec_id
+      WHERE n.n2 > 0
+    ),
+    dim_sums AS (
+      SELECT label, pos, sum(u) AS s, count(DISTINCT vec_id) AS n_part
+      FROM unit
+      GROUP BY label, pos
+    ),
+    tot AS (
+      SELECT pos, sum(s) AS ts, sum(n_part) AS tn
+      FROM dim_sums GROUP BY pos
+    ),
+    reduced AS (
+      SELECT
+        ds.label,
+        max(ds.n_part) AS n_l,
+        max(t.tn) AS n_all,
+        sum(ds.s * ds.s) AS ss_own,
+        sum(ds.s * (t.ts - ds.s)) AS cross_dot
+      FROM dim_sums ds JOIN tot t ON t.pos = ds.pos
+      GROUP BY ds.label
+    )
+    SELECT
+      label,
+      {cnt("n_l", "n_vectors")},
+      {dbl(
+          "CASE WHEN n_l >= 2 THEN (ss_own - n_l)"
+          " / (CAST(n_l AS DOUBLE) * (n_l - 1)) ELSE 0.0 END",
+          "within_mean_cos",
+      )},
+      {dbl(
+          "CASE WHEN n_all > n_l THEN cross_dot"
+          " / (CAST(n_l AS DOUBLE) * (n_all - n_l)) ELSE 0.0 END",
+          "between_mean_cos",
+      )},
+      {dbl(
+          "CASE WHEN n_l >= 2 AND n_all > n_l THEN"
+          " (ss_own - n_l) / (CAST(n_l AS DOUBLE) * (n_l - 1))"
+          " - cross_dot / (CAST(n_l AS DOUBLE) * (n_all - n_l))"
+          " ELSE 0.0 END",
+          "separation",
+      )},
+      (round(CASE WHEN n_l >= 2 AND n_all > n_l THEN
+          (ss_own - n_l) / (CAST(n_l AS DOUBLE) * (n_l - 1))
+          - cross_dot / (CAST(n_l AS DOUBLE) * (n_all - n_l))
+          ELSE 0.0 END + {NUDGE}, 4) > 0.05) AS separated
+    FROM reduced
+    ORDER BY label
+    """
+    return [("_mz_sep_exp", exp)], tail
+
+
 def _dim_profile_sql(d: str) -> str:
     # E100 — per-DIMENSION variance profile + effective dimensionality
     # of the embedding space: per dim mean/variance (rogue dims — one
@@ -953,4 +1042,8 @@ QUERIES = [
     # sorts it behind the 50 never-certified names (certifies in r9)
     sql_backed("embedding_dim_profile", _dim_profile_sql, ("embeddings",),
                deferred=True),
+    materialized_backed(
+        "embedding_label_separation", _label_separation_parts, ("embeddings",),
+        deferred=True,
+    ),
 ]

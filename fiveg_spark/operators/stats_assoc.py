@@ -509,6 +509,61 @@ def _chunk_audit_sql(d: str) -> str:
     """
 
 
+def _priority_anova_sql(d: str) -> str:
+    # C112 — does o_orderpriority actually move shipping?  One-way
+    # ANOVA of the order→ship latency (C82's convention) across the
+    # five priority classes — C77's F machinery pointed at the ops
+    # question behind C97's backlog buckets: a non-significant F here
+    # means the priority field is decorative and every SLA built on it
+    # is theater.  Per-priority mean rides alongside the grand F so
+    # the direction is readable in-row.
+    #
+    # Scale: one lineitem⋈orders pass (broadcast-able orders columns),
+    # one 5-group Σ/Σ² agg — the distributed-ANOVA layout of C77.
+    lat = f"(({epoch('l.l_shipdate', d)} - {epoch('o.o_orderdate', d)}) / 86400.0)"
+    return f"""
+    WITH obs AS (
+      SELECT o.o_orderpriority AS priority, {lat} AS lat
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    grp AS (
+      SELECT priority,
+        count(*) AS n_i,
+        sum(lat) AS s_i,
+        sum(lat * lat) AS ss_i
+      FROM obs GROUP BY priority
+    ),
+    grand AS (
+      SELECT sum(s_i) / sum(n_i) AS gm FROM grp
+    ),
+    tot AS (
+      SELECT
+        count(*) AS k,
+        sum(g.n_i) AS n,
+        sum(g.ss_i - g.s_i * g.s_i / g.n_i) AS ssw,
+        sum(g.n_i * (g.s_i / g.n_i - gr.gm) * (g.s_i / g.n_i - gr.gm)) AS ssb
+      FROM grp g CROSS JOIN grand gr
+    )
+    SELECT
+      g.priority,
+      {cnt("g.n_i", "n_lineitems")},
+      {dbl("g.s_i / g.n_i", "mean_latency_days")},
+      {dbl("t.ssb", "ss_between")},
+      {dbl("t.ssw", "ss_within")},
+      {dbl(
+          "CASE WHEN t.k < 2 OR t.n <= t.k OR t.ssw <= 0 THEN 0.0"
+          " ELSE (t.ssb / (t.k - 1)) / (t.ssw / (t.n - t.k)) END",
+          "f_stat",
+      )},
+      CAST(CASE WHEN t.k < 2 OR t.n <= t.k OR t.ssw <= 0 THEN FALSE
+                ELSE round((t.ssb / (t.k - 1)) / (t.ssw / (t.n - t.k))
+                           + {NUDGE}, 4) > 2.37 END AS BOOLEAN)
+        AS priority_matters
+    FROM grp g CROSS JOIN tot t
+    ORDER BY g.priority
+    """
+
+
 def _lead_time_trend_sql(d: str) -> str:
     # C105 — supplier lead-time TREND per supplier nation: monthly mean
     # order→ship latency (C82's latency convention) regressed on the
@@ -573,6 +628,10 @@ QUERIES = [
     sql_backed("chunk_overlap_audit", _chunk_audit_sql, ("documents",)),
     sql_backed("supplier_lead_time_trend", _lead_time_trend_sql,
                ("lineitem", "orders", "supplier", "nation")),
+    # r8 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r9)
+    sql_backed("priority_latency_anova", _priority_anova_sql,
+               ("lineitem", "orders"), deferred=True),
     sql_backed("jackknife_ratio_ci", _jackknife_sql, ("events",)),
     sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
     sql_backed("gini_token_concentration", _gini_sql, ("documents",)),
