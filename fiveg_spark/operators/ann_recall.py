@@ -190,11 +190,9 @@ ORDER BY n_probe
 
 QUERIES = [
     Query("ann_recall_matrix", ann_recall_matrix, _ANN_RECALL_ORACLE),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts it behind the 50 never-certified names (certifies in r9)
+    # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
     Query(
         "ann_ivf_probe_ladder", ann_ivf_probe_ladder, _PROBE_LADDER_ORACLE,
-        deferred=True,
     ),
     # per-method driver stamps (round-6 conversion of the rows-only
     # ann_*_topk / mllib_ann_topk registrations; raw top-k surfaces stay

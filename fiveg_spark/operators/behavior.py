@@ -646,7 +646,7 @@ def _migration_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C95 — RFM-tier MIGRATION matrix: C55's segmentation run
     # independently on the stream's first and second half (split at
     # the median event instant, C92's era convention), tiers from the
-    # summed R+F+M quintile score (champion ≤ 5 … hibernating ≥ 14,
+    # summed R+F+M quintile score (champion ≤ 5 … hibernating = 15,
     # the standard collapse of the 125-cell cube), then the user-level
     # transition matrix INCLUDING 'absent' rows — who leveled up, who
     # decayed, who vanished.  C55 is a snapshot; retention work reads
@@ -989,10 +989,8 @@ QUERIES = [
     materialized_backed("markov_stationarity", _markov_stationarity_parts, ("events",)),
     sql_backed("lorenz_curve_users", _lorenz_sql, ("events",)),
     materialized_backed("customer_migration_matrix", _migration_parts, ("events",)),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts it behind the 50 never-certified names (certifies in r9)
-    materialized_backed("user_type_affinity", _affinity_parts, ("events",),
-                        deferred=True),
+    # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
+    materialized_backed("user_type_affinity", _affinity_parts, ("events",)),
     materialized_backed("event_cooccurrence_lift", _cooccurrence_parts, ("events",)),
     sql_backed("kaplan_meier_lifetime", _kaplan_meier_sql, ("events",)),
     sql_backed("transition_matrix", _transition_matrix_sql, ("events",)),

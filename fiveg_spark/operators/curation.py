@@ -618,10 +618,8 @@ def _frontier_sql(d: str) -> str:
 QUERIES = [
     sql_backed("stratified_sample", _stratified_sample_sql, ("documents",)),
     sql_backed("quality_trend_by_source", _quality_trend_sql, ("documents",)),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts it behind the 50 never-certified names (certifies in r9)
-    sql_backed("quality_length_frontier", _frontier_sql, ("documents",),
-               deferred=True),
+    # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
+    sql_backed("quality_length_frontier", _frontier_sql, ("documents",)),
     sql_backed("weighted_sample", _weighted_sample_sql, ("documents",)),
     sql_backed("per_source_topk_sample", _topk_sample_sql, ("documents",)),
     sql_backed("hash_split", _hash_split_sql, ("documents",)),

@@ -413,7 +413,9 @@ def _revenue_waterfall_sql(d: str) -> str:
     # dashboard shows before any drill-down.  One scan, conditional
     # sums only; the in-row identity net = gross − discount_amt ships
     # as a certified boolean (Q1-style amounts recomputed two ways).
-    yr = f"CAST(floor({epoch('l_shipdate', d)} / 86400.0 / 365.25) + 1970 AS BIGINT)"
+    # Calendar year via the engines' own year() — a 365.25-day epoch
+    # bin drifts from the calendar (1998-01-01 would land in 1997).
+    yr = "CAST(year(l_shipdate) AS BIGINT)"
     return f"""
     SELECT
       {cnt(yr, "ship_year")},
@@ -596,12 +598,10 @@ QUERIES = [
                ("orders", "customer")),
     materialized_backed("returnflag_quarter_shift", _returnflag_shift_parts,
                         ("lineitem",)),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts it behind the 50 never-certified names (certifies in r9)
-    sql_backed("revenue_waterfall", _revenue_waterfall_sql, ("lineitem",),
-               deferred=True),
+    # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
+    sql_backed("revenue_waterfall", _revenue_waterfall_sql, ("lineitem",)),
     sql_backed("revenue_gini_by_segment", _revenue_gini_sql,
-               ("customer", "orders"), deferred=True),
+               ("customer", "orders")),
     sql_backed("lateral_topk", _lateral_topk_sql, ("customer", "orders")),
     sql_backed("full_outer_daily", _full_outer_daily_sql, ("orders", "events")),
     sql_backed("q13_order_counts", _q13_order_counts_sql, ("customer", "orders")),

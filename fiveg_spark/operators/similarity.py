@@ -1038,12 +1038,9 @@ QUERIES = [
         "embedding_anisotropy", _anisotropy_parts, ("embeddings",),
 
     ),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts it behind the 50 never-certified names (certifies in r9)
-    sql_backed("embedding_dim_profile", _dim_profile_sql, ("embeddings",),
-               deferred=True),
+    # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
+    sql_backed("embedding_dim_profile", _dim_profile_sql, ("embeddings",)),
     materialized_backed(
         "embedding_label_separation", _label_separation_parts, ("embeddings",),
-        deferred=True,
     ),
 ]

@@ -628,10 +628,9 @@ QUERIES = [
     sql_backed("chunk_overlap_audit", _chunk_audit_sql, ("documents",)),
     sql_backed("supplier_lead_time_trend", _lead_time_trend_sql,
                ("lineitem", "orders", "supplier", "nation")),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts it behind the 50 never-certified names (certifies in r9)
+    # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
     sql_backed("priority_latency_anova", _priority_anova_sql,
-               ("lineitem", "orders"), deferred=True),
+               ("lineitem", "orders")),
     sql_backed("jackknife_ratio_ci", _jackknife_sql, ("events",)),
     sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
     sql_backed("gini_token_concentration", _gini_sql, ("documents",)),

@@ -915,11 +915,9 @@ QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     materialized_backed("vocab_jaccard_matrix", _vocab_jaccard_parts, ("documents",)),
     sql_backed("ngram_coverage_curve", _coverage_curve_sql, ("documents",)),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts it behind the 50 never-certified names (certifies in r9)
-    sql_backed("hapax_ratio", _hapax_sql, ("documents",), deferred=True),
-    sql_backed("token_entropy", _token_entropy_sql, ("documents",),
-               deferred=True),
+    # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
+    sql_backed("hapax_ratio", _hapax_sql, ("documents",)),
+    sql_backed("token_entropy", _token_entropy_sql, ("documents",)),
     sql_backed("lognormal_length_fit", _lognormal_fit_sql, ("documents",)),
     sql_backed("ngram_novelty", _ngram_novelty_sql, ("documents",)),
     sql_backed("vocab_growth", _vocab_growth_sql, ("documents",)),

@@ -1042,12 +1042,9 @@ def _heatmap_sql(d: str) -> str:
 
 QUERIES = [
     sql_backed("quantile_transform", _quantile_transform_sql, ("events",)),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts it behind the 50 never-certified names (certifies in r9)
-    sql_backed("peak_to_mean_daily", _peak_to_mean_sql, ("events",),
-               deferred=True),
-    sql_backed("weekday_hour_heatmap", _heatmap_sql, ("events",),
-               deferred=True),
+    # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
+    sql_backed("peak_to_mean_daily", _peak_to_mean_sql, ("events",)),
+    sql_backed("weekday_hour_heatmap", _heatmap_sql, ("events",)),
     sql_backed("funnel_conversion_ci", _funnel_ci_sql, ("events",)),
     materialized_backed("retention_halflife", _retention_halflife_parts, ("events",)),
     sql_backed("twap_value_daily", _twap_sql, ("events",)),

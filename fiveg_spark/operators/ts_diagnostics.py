@@ -2088,14 +2088,12 @@ QUERIES = [
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("theils_u_eval", _theils_u_sql, ("events",)),
     sql_backed("arch_lm_test", _arch_lm_sql, ("events",)),
-    # r8 third wave, registered AFTER the window filled: deferred
-    # sorts them behind the 50 never-certified names (certify in r9)
+    # r8 third wave; deferred flags dropped at r9 start (standing mechanic)
     materialized_backed(
-        "seasonal_mann_kendall", _seasonal_mk_parts, ("events",), deferred=True,
+        "seasonal_mann_kendall", _seasonal_mk_parts, ("events",),
     ),
-    sql_backed("pacf_lags", _pacf_sql, ("events",), deferred=True),
-    sql_backed("quantile_band_drift", _quantile_drift_sql, ("events",),
-               deferred=True),
+    sql_backed("pacf_lags", _pacf_sql, ("events",)),
+    sql_backed("quantile_band_drift", _quantile_drift_sql, ("events",)),
     sql_backed("wilcoxon_signed_rank", _wilcoxon_sql, ("events",)),
     sql_backed("poisson_dispersion", _poisson_dispersion_sql, ("events",)),
     sql_backed("jarque_bera", _jarque_bera_sql, ("events",)),

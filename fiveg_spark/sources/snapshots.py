@@ -17,14 +17,18 @@ Safety properties (each pytest-pinned):
 - ``read_as_of`` fails CLOSED when a listed file is missing or has
   changed size (a vacuumed/overwritten file cannot silently yield a
   wrong answer — the A21 fail-closed doctrine).
-- ``vacuum`` deletes only files referenced by NO retained version and
-  never touches ``_snapshots``; a file shared by several versions
-  survives until every referencing version is dropped.
-- ``rollback_to`` restores an old version by deleting files ADDED
-  after it — legal only while every file of the target version is
-  still present (verified first), and it commits the restored state
-  as a NEW version (history is append-only; rollback is a new fact,
-  not an erasure — the Delta RESTORE semantics).
+- ``vacuum`` deletes only files referenced by NO retained version AND
+  older than its retention window (an appended-but-not-yet-committed
+  file is invisible to the snapshot log, so age is the only guard —
+  the Delta/Iceberg retention-period rationale); a file shared by
+  several versions survives until every referencing version is
+  dropped.
+- ``rollback_to`` restores an old version by PHYSICALLY deleting files
+  added after it — legal only while every file of the target version
+  is still present (verified first), and it commits the restored
+  state as a NEW version (history of version NUMBERS is append-only,
+  but unlike Delta RESTORE the intermediate versions' data is gone:
+  ``read_as_of`` on them fails closed rather than lying).
 
 Scale: commits and reads are metadata-only (file listing + footer row
 counts, the A20/A21 note: lift onto binaryFile at huge file counts);
@@ -157,19 +161,31 @@ def diff_versions(path: str, v_old: int, v_new: int) -> dict:
     }
 
 
-def vacuum(path: str, keep_versions: int = 2) -> list[str]:
+def vacuum(
+    path: str, keep_versions: int = 2, min_age_hours: float = 24.0
+) -> list[str]:
     """Drop snapshots beyond the newest ``keep_versions`` and delete
     data files referenced by NO retained version.  Returns deleted
-    data-file relpaths."""
+    data-file relpaths.
+
+    Retention window: a data file younger than ``min_age_hours`` is
+    NEVER deleted even when unreferenced — a writer may have appended
+    it but not yet called ``commit_snapshot``, and deleting it would
+    silently lose live in-flight data (the same race Delta/Iceberg
+    VACUUM close with their retention period).  Pass 0.0 only when no
+    concurrent writer can exist (tests, single-process maintenance)."""
+    import time
+
     versions = list_versions(path)
     retained = versions[-keep_versions:] if keep_versions > 0 else []
     referenced: set[str] = set()
     for v in retained:
         referenced.update(e["path"] for e in _load(path, v)["files"])
+    cutoff_ns = int((time.time() - min_age_hours * 3600.0) * 1e9)
     deleted = []
     for f in _data_files(path):
         rel = os.path.relpath(f, path)
-        if rel not in referenced:
+        if rel not in referenced and os.stat(f).st_mtime_ns <= cutoff_ns:
             os.remove(f)
             deleted.append(rel)
     for v in versions:
@@ -179,10 +195,14 @@ def vacuum(path: str, keep_versions: int = 2) -> list[str]:
 
 
 def rollback_to(path: str, version: int) -> int:
-    """Restore the table to ``version`` by deleting files added after
-    it, then commit the restored state as a NEW version (history stays
-    append-only — the Delta RESTORE semantics).  Refuses if any file
-    of the target version is missing or changed."""
+    """Restore the table to ``version`` by PHYSICALLY deleting files
+    added after it, then commit the restored state as a NEW version.
+
+    Version numbers stay append-only, but this is STRICTER than Delta
+    RESTORE: the intermediate versions' extra files are removed, so
+    ``read_as_of`` on them fails closed afterwards (HEAD here is the
+    plain directory, so keeping the files would corrupt head reads).
+    Refuses if any file of the target version is missing or changed."""
     snap = _load(path, version)
     _verify_entries(path, snap)
     keep = {e["path"] for e in snap["files"]}

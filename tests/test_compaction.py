@@ -134,3 +134,35 @@ def test_row_conservation_guard_aborts_without_install(spark, tmp_path):
     # original table untouched
     assert _parquet_files(path) == before_files
     assert len(_collect_ids(spark, path)) == 150
+
+
+def test_failed_install_restores_original_table(spark, tmp_path, monkeypatch):
+    # If the second rename of the atomic install fails, the original
+    # table must be put back at `path` — never left stranded under the
+    # .pre-compact-* recovery name with staging rmtree'd.
+    path = str(tmp_path / "t")
+    _write_small_files(spark, path, n_files=4, rows_per=100)
+    before = _collect_ids(spark, path)
+    plan = plan_compaction(path, target_bytes=1 << 30)
+    assert plan.groups
+
+    real_replace = os.replace
+
+    def failing_replace(src, dst):
+        if dst == path and ".compact-" in src and ".pre-compact-" not in src:
+            raise OSError("simulated crash installing staging")
+        return real_replace(src, dst)
+
+    import fiveg_spark.plans.compaction as comp
+
+    monkeypatch.setattr(comp.os, "replace", failing_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        execute_compaction(spark, plan, restamp_manifest=False)
+    monkeypatch.undo()
+    # table is back in place, byte-for-byte readable, nothing stranded
+    assert _collect_ids(spark, path) == before
+    leftovers = [
+        d for d in os.listdir(tmp_path)
+        if ".pre-compact-" in d or ".compact-" in d
+    ]
+    assert leftovers == []

@@ -141,3 +141,26 @@ def test_compaction_interop(spark, tmp_path):
     # and vacuum retires it cleanly
     vacuum(path, keep_versions=1)
     assert list_versions(path) == [v2]
+
+
+def test_vacuum_retention_spares_uncommitted_appends(spark, tmp_path):
+    # An appended-but-not-yet-committed file is unknown to the snapshot
+    # log; the retention window must spare it (the Delta VACUUM race).
+    path = str(tmp_path / "t")
+    _append(spark, path, 0, 10)
+    commit_snapshot(path)
+    _append(spark, path, 10, 20)  # in-flight: no commit_snapshot yet
+    assert vacuum(path, keep_versions=1) == []  # default 24h retention
+    assert _ids(spark.read.parquet(path)) == list(range(20))
+    v2 = commit_snapshot(path)
+    assert _ids(read_as_of(spark, path, v2)) == list(range(20))
+
+
+def test_vacuum_zero_retention_deletes_unreferenced(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _append(spark, path, 0, 10)
+    commit_snapshot(path)
+    _append(spark, path, 10, 20)  # uncommitted
+    deleted = vacuum(path, keep_versions=1, min_age_hours=0.0)
+    assert len(deleted) >= 1  # explicit opt-out removes the orphan
+    assert _ids(spark.read.parquet(path)) == list(range(10))
