@@ -1,0 +1,142 @@
+"""Watermark-lateness profile over a synthesized disordered arrival
+process (SURVEY §2 B25).
+
+The events fixture is perfectly event-time ordered (SURVEY §7.21), so
+nothing in the corpus exercises the late/out-of-order semantics every
+streaming deployment lives with.  Following the PCAP-bytes and
+line-dedup precedent, the DISORDER is synthesized deterministically
+inside the query: each event gets an arrival timestamp
+
+    arrival = ts + delay,   delay = keyed-hash draw
+
+where ~10% of events are heavy-tail stragglers (exponential, mean
+~120 s — the reconnect/batch-upload shape real event buses show) and
+the rest jitter a few seconds.  Both engines derive the SAME delay
+from md5 digit arithmetic (the E36 weighted-sample recipe), so the
+profile is engine-exact and re-runnable.
+
+The profile answers the question an engineer asks BEFORE picking
+``withWatermark`` (the reference hardcodes 10 s —
+KafkaKpiPipeline.scala:69-80, with no evidence it is safe): per event
+type, how skewed is arrival vs event time, and what share of events
+would a candidate watermark delay DROP?  The watermark is simulated
+the way Structured Streaming maintains it — the max event time seen
+in PRIOR trigger intervals (arrival minutes here) minus the delay —
+via a two-level plan that stays scale-safe:
+
+  1. one scan computes (event, delay, arrival minute)  [materialized]
+  2. per-minute max event time: an agg to <= |minutes| rows — bounded
+     by the time span, NOT the data volume
+  3. running max over that tiny frame (global window on a post-
+     aggregation frame — the documented acceptable shape, allow-listed
+     in the advisor sweep), shifted one minute back = the watermark in
+     force when the minute's arrivals are processed
+  4. broadcast-size join back + one per-type aggregate
+
+Scale: the only window rides <= |arrival minutes| rows; the join-back
+side is the same bounded frame (auto-broadcast); everything else is
+map-side + one hash agg on event_type.
+
+Reference scope: beyond-reference production surface (the reference
+hardcodes its watermark; this measures what it should be).
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import (
+    cnt,
+    dbl,
+    epoch,
+    materialized_backed,
+    pct,
+)
+
+# Candidate watermark delays (seconds) a deployment would consider.
+WATERMARK_LADDER = (60, 300, 900)
+
+# Straggler model: share of events that arrive on the heavy tail, the
+# tail's exponential mean, and the bound on the in-order jitter.
+STRAGGLER_SHARE = 0.10
+TAIL_MEAN_S = 120.0
+JITTER_MAX_S = 5.0
+
+
+def _u(salt: str) -> str:
+    """Uniform-(0,1] double from the first 8 md5 hex digits of the
+    salted event_id — identical digit arithmetic in both engines (the
+    E36 recipe; float-per-digit is certified there)."""
+    h = f"md5(concat('{salt}#', CAST(event_id AS STRING)))"
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1) * {16.0 ** -i!r}"
+        for i in range(1, 9)
+    )
+    return f"({digits} + 1e-10)"
+
+
+def delay_expr() -> str:
+    """Deterministic arrival delay in seconds (dialect-free SQL)."""
+    gate = _u("lategate")
+    tail = _u("latetail")
+    # stragglers: Exp(mean TAIL_MEAN_S) via inverse CDF; rest: bounded
+    # jitter from the same second draw (independent salt from the gate)
+    return (
+        f"CASE WHEN {gate} < {STRAGGLER_SHARE!r} "
+        f"THEN -{TAIL_MEAN_S!r} * ln({tail}) "
+        f"ELSE {JITTER_MAX_S!r} * {tail} END"
+    )
+
+
+def _lateness_profile_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    es = epoch("ts", d)
+    arr_sql = f"""
+      SELECT
+        event_id,
+        event_type,
+        {es} AS es,
+        ({es} + ({delay_expr()})) AS arr,
+        CAST(floor(({es} + ({delay_expr()})) / 60.0) AS BIGINT) AS arr_min
+      FROM events
+    """
+    late_cols = ",\n      ".join(
+        dbl(
+            f"avg(CASE WHEN w.wm_es IS NOT NULL AND a.es < w.wm_es - {w}.0 "
+            "THEN 1.0 ELSE 0.0 END)",
+            f"late_share_{w}s",
+        )
+        for w in WATERMARK_LADDER
+    )
+    tail = f"""
+    WITH minute_max AS (
+      SELECT arr_min, max(es) AS max_es
+      FROM _mz_late_arr
+      GROUP BY arr_min
+    ),
+    wm AS (
+      SELECT
+        arr_min,
+        max(max_es) OVER (
+          ORDER BY arr_min
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ) AS wm_es
+      FROM minute_max
+    )
+    SELECT
+      a.event_type,
+      {cnt("count(*)", "n_events")},
+      {dbl("avg(a.arr - a.es)", "mean_delay_s")},
+      {dbl(pct("a.arr - a.es", 0.95, d), "p95_delay_s")},
+      {dbl("max(a.arr - a.es)", "max_delay_s")},
+      {late_cols}
+    FROM _mz_late_arr a
+    LEFT JOIN wm w ON w.arr_min = a.arr_min
+    GROUP BY a.event_type
+    ORDER BY a.event_type
+    """
+    return [("_mz_late_arr", arr_sql)], tail
+
+
+QUERIES = [
+    materialized_backed(
+        "watermark_lateness_profile", _lateness_profile_parts, ("events",),
+    ),
+]
