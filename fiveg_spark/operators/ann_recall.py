@@ -188,11 +188,114 @@ ORDER BY n_probe
 """
 
 
+RERANK_LADDER = (10, 20, 40, 80)  # ADC shortlist depths; 40 = ann_pq's 4k
+
+
+def rerank_ladder_hits(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]:
+    """(shortlist_depth, exact-top-k hits) per rung — ONE codebook fit
+    + ONE encode + ONE ADC pass; the raw measurement behind
+    ann_pq_rerank_ladder's theorem booleans (pytest pins the values at
+    sf0.001)."""
+    import numpy as np
+
+    from fiveg_spark.operators.ann_pq import (
+        M_SUBSPACES,
+        _normalize,
+        adc_scores,
+        encode,
+        fit_codebooks,
+    )
+    from fiveg_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sample = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.select("embedding").limit(2000).collect()
+        ]
+    )
+    codebooks = fit_codebooks(sample)
+    cb_bc = spark.sparkContext.broadcast(codebooks)
+    codes = encode(emb, cb_bc)
+
+    q = _normalize(
+        np.asarray(
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
+            dtype=np.float64,
+        )[None, :]
+    )[0]
+    q_subs = np.array_split(q, M_SUBSPACES)
+    lut = np.stack(
+        [
+            ((codebooks[m] - q_subs[m][None, :]) ** 2).sum(axis=1)
+            for m in range(M_SUBSPACES)
+        ]
+    )
+    lut_bc = spark.sparkContext.broadcast(lut)
+
+    # deepest shortlist once (TakeOrdered — bounded rows to the driver);
+    # shallower rungs are PREFIXES of it, so the sets nest by
+    # construction and the per-rung hit counts come from one frame
+    deepest = [
+        int(r["vec_id"])
+        for r in adc_scores(codes.filter(F.col("vec_id") != 0), lut_bc)
+        .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+        .limit(RERANK_LADDER[-1])
+        .collect()
+    ]
+    exact = {int(r["vec_id"]) for r in _exact_topk_ids(spark, sf_dir).collect()}
+    return [
+        (s, len(exact.intersection(deepest[:s]))) for s in RERANK_LADDER
+    ]
+
+
+def ann_pq_rerank_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E107 — PQ recall-vs-shortlist ladder (E98's PQ twin: nprobe is
+    IVF's knob, the ADC shortlist depth is PQ's — how many
+    quantized-distance candidates must the exact reranker rescore to
+    recover the true top-k?).  ONE codebook fit + ONE ADC pass serve
+    every rung; shallower shortlists are PREFIXES of the deepest, so
+    the candidate sets NEST and the two E98 theorems carry over: (1)
+    hits are monotone non-decreasing in depth, (2) the deepest rung
+    meets the E38-certified recall floor.  Raw per-rung recalls are
+    fit-dependent and stay OFF the hashed row (the D6 doctrine); the
+    pytest pins them at sf0.001."""
+    hits = [h for _s, h in rerank_ladder_hits(spark, sf_dir)]
+    rows = []
+    prev = -1
+    for s, h in zip(RERANK_LADDER, hits):
+        rows.append(
+            (
+                s,
+                K,
+                bool(h >= prev),
+                bool(s < RERANK_LADDER[-1] or h / K >= RECALL_FLOOR),
+            )
+        )
+        prev = h
+    return spark.createDataFrame(
+        rows, "shortlist BIGINT, k BIGINT, monotone_ok BOOLEAN, floor_ok BOOLEAN"
+    )
+
+
+_RERANK_LADDER_ORACLE = f"""
+SELECT * FROM (VALUES
+  {", ".join(f"(CAST({s} AS BIGINT), CAST({K} AS BIGINT), TRUE, TRUE)"
+             for s in RERANK_LADDER)}
+) AS t(shortlist, k, monotone_ok, floor_ok)
+ORDER BY shortlist
+"""
+
+
 QUERIES = [
     Query("ann_recall_matrix", ann_recall_matrix, _ANN_RECALL_ORACLE),
     # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
     Query(
         "ann_ivf_probe_ladder", ann_ivf_probe_ladder, _PROBE_LADDER_ORACLE,
+    ),
+    # new r9, non-deferred
+    Query(
+        "ann_pq_rerank_ladder", ann_pq_rerank_ladder, _RERANK_LADDER_ORACLE,
     ),
     # per-method driver stamps (round-6 conversion of the rows-only
     # ann_*_topk / mllib_ann_topk registrations; raw top-k surfaces stay

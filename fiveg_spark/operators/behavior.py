@@ -983,6 +983,349 @@ def _lorenz_sql(d: str) -> str:
     """
 
 
+def _semi_markov_sql(d: str) -> str:
+    # C119 — semi-Markov HOLDING times per transition: C54's matrix
+    # answers "where does the process go"; this answers "how long does
+    # it sit first" — mean/median/p90 gap seconds per (prev_type →
+    # next_type) pair, with the share of transitions landing inside
+    # the 30-min session horizon (the _session_ctes gap).  One lag
+    # window on the user_id partition (the C54 shuffle), one
+    # ≤|types|²-row rollup.
+    ep = epoch("ts", d)
+    return f"""
+    WITH steps AS (
+      SELECT
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type,
+        event_type AS next_type,
+        {ep} - lag({ep}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS gap_s
+      FROM events
+    )
+    SELECT
+      prev_type,
+      next_type,
+      {cnt("count(*)", "n_transitions")},
+      {dbl("avg(gap_s)", "mean_gap_s")},
+      {dbl(pct("gap_s", 0.5, d), "p50_gap_s")},
+      {dbl(pct("gap_s", 0.9, d), "p90_gap_s")},
+      {dbl(
+          "avg(CAST(CASE WHEN gap_s <= 1800.0 THEN 1 ELSE 0 END AS DOUBLE))",
+          "within_session_share",
+      )}
+    FROM steps
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """
+
+
+def _dau_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C120 — day-over-day active-user overlap: the Jaccard/retention/
+    # newcomer decomposition of consecutive DAU sets (C91's stickiness
+    # gives the RATIO of actives; this names the churn mechanics —
+    # same count can be the same users or a full replacement).  The
+    # distinct (user, day) frame materializes once; the overlap is a
+    # user+day-shifted self-equi-join of that reduced frame (posting
+    # style, never events×events); dailies are a tiny agg joined back.
+    ep = epoch("ts", d)
+    dau_sql = f"""
+      SELECT DISTINCT user_id, CAST(floor({ep} / 86400.0) AS BIGINT) AS day
+      FROM events
+    """
+    tail = f"""
+    WITH daily AS (
+      SELECT day, count(*) AS n FROM _mz_dau GROUP BY day
+    ),
+    inter AS (
+      SELECT a.day AS day, count(*) AS n_both
+      FROM _mz_dau a
+      JOIN _mz_dau b ON b.user_id = a.user_id AND b.day = a.day + 1
+      GROUP BY a.day
+    )
+    SELECT
+      da.day AS day,
+      {cnt("da.n", "n_active")},
+      {cnt("db.n", "n_active_next")},
+      {cnt("coalesce(i.n_both, 0)", "n_retained")},
+      {dbl(
+          "coalesce(i.n_both, 0)"
+          " / CAST(da.n + db.n - coalesce(i.n_both, 0) AS DOUBLE)",
+          "jaccard",
+      )},
+      {dbl("coalesce(i.n_both, 0) / CAST(da.n AS DOUBLE)", "retention")},
+      {dbl(
+          "(db.n - coalesce(i.n_both, 0)) / CAST(db.n AS DOUBLE)",
+          "newcomer_share",
+      )}
+    FROM daily da
+    JOIN daily db ON db.day = da.day + 1
+    LEFT JOIN inter i ON i.day = da.day
+    ORDER BY day
+    """
+    return [("_mz_dau", dau_sql)], tail
+
+
+def _activity_by_tenure_sql(d: str) -> str:
+    # C121 — activity INTENSITY by tenure week: C23's cohort retention
+    # counts who comes back; this measures how hard they use it once
+    # back (events per active user per tenure week — the engagement
+    # decay curve).  Per-user first day is an agg + join back (the
+    # line-dedup skew recipe: a groupBy-join, not a user window, so
+    # AQE can split a hot user's probe side), then one bounded rollup.
+    ep = epoch("ts", d)
+    return f"""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(floor({ep} / 86400.0) AS BIGINT)) AS day0
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      CAST(floor((CAST(floor({ep} / 86400.0) AS BIGINT) - f.day0) / 7.0)
+           AS BIGINT) AS tenure_week,
+      {cnt("count(DISTINCT e.user_id)", "n_active_users")},
+      {cnt("count(*)", "n_events")},
+      {dbl("count(*) / CAST(count(DISTINCT e.user_id) AS DOUBLE)",
+           "events_per_active_user")},
+      {dbl("avg(e.value)", "mean_value")}
+    FROM events e
+    JOIN first_day f ON f.user_id = e.user_id
+    GROUP BY CAST(floor((CAST(floor({ep} / 86400.0) AS BIGINT) - f.day0) / 7.0)
+                  AS BIGINT)
+    ORDER BY tenure_week
+    """
+
+
+def _session_conversion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C122 — session conversion profile: conversion rate and in-session
+    # time-to-purchase per (entry event type × session-length band) —
+    # the session-GRAIN readout above C84's path mining and beside
+    # C66's touch attribution (C66 credits channels; this asks which
+    # session SHAPES convert).  The sessionized frame reduces to one
+    # row per session in the same pass (min/max/purchase aggregates
+    # over the shared _session_ctes construction), so the profile is a
+    # bounded rollup over ≤|types|·|bands| cells.
+    ep = epoch("ts", d)
+    sess_sql = f"""
+      WITH {_session_ctes(d)},
+      seq AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY user_id, session_idx
+                             ORDER BY ts, event_id) AS rn
+        FROM sess
+      )
+      SELECT
+        user_id,
+        session_idx,
+        max(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+        count(*) AS n_events,
+        min({ep}) AS t_start,
+        min(CASE WHEN event_type = 'purchase' THEN {ep} END) AS t_purchase
+      FROM seq
+      GROUP BY user_id, session_idx
+    """
+    tail = f"""
+    SELECT
+      entry_type,
+      CASE WHEN n_events = 1 THEN 'a_1'
+           WHEN n_events <= 3 THEN 'b_2_3'
+           WHEN n_events <= 10 THEN 'c_4_10'
+           ELSE 'd_over_10' END AS length_band,
+      {cnt("count(*)", "n_sessions")},
+      {dbl("avg(CAST(CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS DOUBLE))",
+           "conversion_rate")},
+      {dbl("avg(t_purchase - t_start)", "mean_s_to_purchase")},
+      {dbl("avg(n_events)", "mean_session_events")}
+    FROM _mz_sess_conv
+    GROUP BY entry_type,
+      CASE WHEN n_events = 1 THEN 'a_1'
+           WHEN n_events <= 3 THEN 'b_2_3'
+           WHEN n_events <= 10 THEN 'c_4_10'
+           ELSE 'd_over_10' END
+    ORDER BY entry_type, length_band
+    """
+    return [("_mz_sess_conv", sess_sql)], tail
+
+
+def _second_session_latency_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C123 — second-session RETURN latency by acquisition type: the
+    # onboarding metric between C81's pooled retention curve and C88's
+    # steady-state gaps — how fast does a NEW user come back for
+    # session 2, split by what their first event was.  The per-session
+    # start frame reduces from the shared sessionization in one pass;
+    # everything downstream is per-user rows.
+    ep = epoch("ts", d)
+    starts_sql = f"""
+      WITH {_session_ctes(d)},
+      seq AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY user_id, session_idx
+                             ORDER BY ts, event_id) AS rn
+        FROM sess
+      )
+      SELECT
+        user_id,
+        session_idx,
+        min({ep}) AS t_start,
+        max(CASE WHEN rn = 1 AND session_idx = 1 THEN event_type END)
+          AS first_type
+      FROM seq
+      WHERE session_idx <= 2
+      GROUP BY user_id, session_idx
+    """
+    lat = "(s2.t_start - s1.t_start) / 3600.0"
+    tail = f"""
+    WITH users AS (
+      SELECT
+        s1.user_id,
+        s1.first_type,
+        {lat} AS latency_h
+      FROM _mz_sess_starts s1
+      LEFT JOIN _mz_sess_starts s2
+        ON s2.user_id = s1.user_id AND s2.session_idx = 2
+      WHERE s1.session_idx = 1
+    )
+    SELECT
+      first_type,
+      {cnt("count(*)", "n_users")},
+      {cnt("count(latency_h)", "n_returned")},
+      {dbl("count(latency_h) / CAST(count(*) AS DOUBLE)", "return_rate")},
+      {dbl(pct("latency_h", 0.5, d), "p50_latency_h")},
+      {dbl(pct("latency_h", 0.9, d), "p90_latency_h")},
+      {dbl("avg(CAST(CASE WHEN latency_h <= 24.0 THEN 1 ELSE 0 END AS DOUBLE))",
+           "within_1d_share")}
+    FROM users
+    GROUP BY first_type
+    ORDER BY first_type
+    """
+    return [("_mz_sess_starts", starts_sql)], tail
+
+
+def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D65 — per-user transfer entropy INTO the aggregate load process
+    # (D54's pairwise slice TE re-grained to the behavioral table, the
+    # r8 verdict backlog item): does knowing THIS user's hourly
+    # activity improve the one-hour-ahead prediction of global load
+    # beyond the load's own history?  TE(U→L) = Σ p(l⁺,l,u)·
+    # log₂[p(l⁺|l,u)/p(l⁺|l)] (Schreiber 2000) with L binarized at the
+    # median hourly count and U = active-this-hour.
+    #
+    # The scale design is the SPARSE-CELL identity (the r8 chi-square
+    # lesson, applied proactively): a dense user×hour spine is
+    # |users|·|hours| rows — a 100 TB killer.  Instead only ACTIVE
+    # (user, hour) rows materialize (that's the data itself); the
+    # inactive-cell counts come in closed form from the global pair
+    # frame: c₀(l,l⁺) = N(l,l⁺) − c₁(l,l⁺), where N is the
+    # ≤4-row aggregate pattern census every user shares.  All counts
+    # are exact integers; each user sums ≤8 log terms.
+    #
+    # Scale: two events scans (hour census + distinct user-hours), the
+    # pair/census frames are |hours|-bounded and broadcast; the only
+    # big frames are user-keyed rollups.
+    ep = epoch("ts", d)
+    hours_sql = f"""
+      SELECT CAST(floor({ep} / 3600.0) AS BIGINT) AS hr, count(*) AS n_ev
+      FROM events
+      GROUP BY CAST(floor({ep} / 3600.0) AS BIGINT)
+    """
+    uh_sql = f"""
+      SELECT DISTINCT user_id, CAST(floor({ep} / 3600.0) AS BIGINT) AS hr
+      FROM events
+    """
+    tail = f"""
+    WITH med AS (
+      SELECT {pct("n_ev", 0.5, d)} AS m FROM _mz_ute_hours
+    ),
+    lab AS (
+      SELECT hr, CASE WHEN n_ev > (SELECT m FROM med) THEN 1 ELSE 0 END AS l
+      FROM _mz_ute_hours
+    ),
+    pairs AS (
+      SELECT a.hr AS hr, a.l AS l, b.l AS lp
+      FROM lab a
+      JOIN lab b ON b.hr = a.hr + 1
+    ),
+    census AS (
+      SELECT l, lp, count(*) AS big_n FROM pairs GROUP BY l, lp
+    ),
+    census_l AS (
+      SELECT l, sum(big_n) AS n_l FROM census GROUP BY l
+    ),
+    n_tot AS (
+      SELECT sum(big_n) AS n FROM census
+    ),
+    c1 AS (
+      SELECT u.user_id, p.l, p.lp, count(*) AS c
+      FROM _mz_ute_uh u
+      JOIN pairs p ON p.hr = u.hr
+      GROUP BY u.user_id, p.l, p.lp
+    ),
+    users AS (
+      SELECT DISTINCT user_id FROM _mz_ute_uh
+    ),
+    dense AS (
+      SELECT
+        us.user_id, ce.l, ce.lp, 1 AS b,
+        coalesce(c1.c, 0) AS c
+      FROM users us
+      CROSS JOIN census ce
+      LEFT JOIN c1 ON c1.user_id = us.user_id
+                  AND c1.l = ce.l AND c1.lp = ce.lp
+      UNION ALL
+      SELECT
+        us.user_id, ce.l, ce.lp, 0 AS b,
+        ce.big_n - coalesce(c1.c, 0) AS c
+      FROM users us
+      CROSS JOIN census ce
+      LEFT JOIN c1 ON c1.user_id = us.user_id
+                  AND c1.l = ce.l AND c1.lp = ce.lp
+    ),
+    cb AS (
+      SELECT user_id, b, l, sum(c) AS c_bl FROM dense GROUP BY user_id, b, l
+    ),
+    terms AS (
+      SELECT
+        de.user_id,
+        CASE WHEN de.c > 0 AND cb.c_bl > 0 THEN
+          (de.c / CAST(nt.n AS DOUBLE)) * log2(
+            (de.c / CAST(cb.c_bl AS DOUBLE))
+            / (ce.big_n / CAST(cl.n_l AS DOUBLE))
+          )
+        ELSE 0.0 END AS term
+      FROM dense de
+      JOIN cb ON cb.user_id = de.user_id AND cb.b = de.b AND cb.l = de.l
+      JOIN census ce ON ce.l = de.l AND ce.lp = de.lp
+      JOIN census_l cl ON cl.l = de.l
+      CROSS JOIN n_tot nt
+    ),
+    hcond AS (
+      SELECT
+        -sum((ce.big_n / CAST(nt.n AS DOUBLE))
+             * log2(ce.big_n / CAST(cl.n_l AS DOUBLE))) AS h_bits
+      FROM census ce
+      JOIN census_l cl ON cl.l = ce.l
+      CROSS JOIN n_tot nt
+    ),
+    te AS (
+      SELECT user_id, sum(term) AS te_bits FROM terms GROUP BY user_id
+    )
+    SELECT
+      t.user_id,
+      {cnt("(SELECT n FROM n_tot)", "n_hour_pairs")},
+      {dbl("t.te_bits", "te_bits")},
+      {dbl("h.h_bits", "cond_entropy_bits")},
+      {dbl(
+          "CASE WHEN h.h_bits > 1e-12 THEN t.te_bits / h.h_bits"
+          " ELSE 0.0 END",
+          "te_share",
+      )}
+    FROM te t
+    CROSS JOIN hcond h
+    ORDER BY t.user_id
+    """
+    return [("_mz_ute_hours", hours_sql), ("_mz_ute_uh", uh_sql)], tail
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     materialized_backed("stickiness_ratio", _stickiness_parts, ("events",)),
@@ -1011,4 +1354,14 @@ QUERIES = [
     sql_backed(
         "growth_accounting", _growth_accounting_sql, ("events",),
     ),
+    # new r9, non-deferred
+    sql_backed("semi_markov_holding_times", _semi_markov_sql, ("events",)),
+    materialized_backed("dau_overlap_jaccard", _dau_overlap_parts, ("events",)),
+    sql_backed("activity_by_tenure", _activity_by_tenure_sql, ("events",)),
+    materialized_backed("session_conversion_profile",
+                        _session_conversion_parts, ("events",)),
+    materialized_backed("second_session_latency",
+                        _second_session_latency_parts, ("events",)),
+    materialized_backed("user_transfer_entropy",
+                        _user_transfer_entropy_parts, ("events",)),
 ]

@@ -99,8 +99,8 @@ def _lateness_profile_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     """
     late_cols = ",\n      ".join(
         dbl(
-            f"avg(CASE WHEN w.wm_es IS NOT NULL AND a.es < w.wm_es - {w}.0 "
-            "THEN 1.0 ELSE 0.0 END)",
+            f"avg(CAST(CASE WHEN w.wm_es IS NOT NULL AND a.es < w.wm_es - {w}.0 "
+            "THEN 1 ELSE 0 END AS DOUBLE))",
             f"late_share_{w}s",
         )
         for w in WATERMARK_LADDER

@@ -12,7 +12,7 @@ analytics shapes.  All shared-text SQL, oracle-checked.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import cnt, dbl, epoch, sql_backed
+from fiveg_spark.plans.registry import cnt, dbl, epoch, pct, sql_backed
 
 
 def _dq_checks_sql(d: str) -> str:
@@ -460,6 +460,149 @@ def _dq_trend_sql(d: str) -> str:
     """
 
 
+def _fk_orphan_audit_sql(d: str) -> str:
+    # C124 — one consolidated referential-integrity audit over EVERY
+    # foreign-key edge of the star schema (C20's dq_checks asserts
+    # per-table rules; this is the cross-table contract): orphan count
+    # + rate per edge, one row each, so a single dashboard cell answers
+    # "can I trust the joins today".  Each edge is a LEFT JOIN + null
+    # count — planned as outer hash joins on the same keys the real
+    # queries use (dims broadcast); counting rides the join, no second
+    # pass.  UNION ALL of six bounded 1-row aggregates.
+    def edge(name: str, child: str, ck: str, parent: str, pk: str) -> str:
+        return f"""
+    SELECT
+      '{name}' AS fk_edge,
+      {cnt("count(*)", "n_child_rows")},
+      {cnt(f"sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)", "n_orphans")},
+      {dbl(
+          f"sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)"
+          " / CAST(count(*) AS DOUBLE)",
+          "orphan_rate",
+      )}
+    FROM {child} c
+    LEFT JOIN {parent} p ON p.{pk} = c.{ck}"""
+
+    edges = "\n    UNION ALL\n".join([
+        edge("lineitem->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+        edge("orders->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey",
+             "nation", "n_nationkey"),
+    ])
+    return f"""
+    SELECT * FROM (
+    {edges}
+    ) audit
+    ORDER BY fk_edge
+    """
+
+
+def _pk_uniqueness_audit_sql(d: str) -> str:
+    # C125 — primary-key uniqueness audit across every table in one
+    # frame: n_rows vs n_distinct keys and the duplicate surplus — the
+    # first thing a pipeline asserts after ingest (a silently-doubled
+    # partition shows up here before it poisons every downstream agg).
+    # Per table: one count-distinct agg (Spark plans partial distinct
+    # map-side); UNION ALL of 1-row frames.
+    def tbl(name: str, key: str) -> str:
+        return f"""
+    SELECT
+      '{name}' AS table_name,
+      {cnt("count(*)", "n_rows")},
+      {cnt(f"count(DISTINCT {key})", "n_keys")},
+      {cnt(f"count(*) - count(DISTINCT {key})", "n_duplicate_rows")},
+      (count(*) = count(DISTINCT {key})) AS unique_ok
+    FROM {name}"""
+
+    parts = "\n    UNION ALL\n".join([
+        tbl("region", "r_regionkey"),
+        tbl("nation", "n_nationkey"),
+        tbl("customer", "c_custkey"),
+        tbl("supplier", "s_suppkey"),
+        tbl("part", "p_partkey"),
+        tbl("orders", "o_orderkey"),
+        tbl("lineitem",
+            "CAST(l_orderkey AS STRING) || '#' || CAST(l_linenumber AS STRING)"
+            if d == "spark" else
+            "CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)"),
+        tbl("events", "event_id"),
+        tbl("documents", "doc_id"),
+        tbl("embeddings", "vec_id"),
+    ])
+    return f"""
+    SELECT * FROM (
+    {parts}
+    ) audit
+    ORDER BY table_name
+    """
+
+
+def _column_stat_drift_sql(d: str) -> str:
+    # C126 — column-statistic drift between the first and second half
+    # of the events table (split at the median timestamp): null rate,
+    # mean, p50, and distinct-rate per column, with the relative shift
+    # — the COLUMN-grain drift monitor between C100's row-grain rule
+    # trend and D27's distribution-grain PSI (a schema-level change
+    # like "value went all-null after the deploy" hits here first).
+    # One scan computes both halves via conditional aggregation; the
+    # median is a scalar subquery on the same scan's frame.
+    ep = epoch("ts", d)
+
+    def half(col: str, agg: str, flip: str) -> str:
+        return f"{agg}(CASE WHEN era = '{flip}' THEN {col} END)"
+
+    def stat_rows(col: str, num: bool) -> str:
+        nullr = lambda h: (
+            f"sum(CASE WHEN era = '{h}' AND {col} IS NULL THEN 1.0 ELSE 0.0 END)"
+            f" / nullif(sum(CASE WHEN era = '{h}' THEN 1.0 ELSE 0.0 END), 0.0)"
+        )
+        meane = (lambda h: half(col, "avg", h)) if num else (
+            lambda h: f"CAST(count(DISTINCT CASE WHEN era = '{h}' THEN {col} END) AS DOUBLE)"
+        )
+        return f"""
+    SELECT
+      '{col}' AS column_name,
+      {dbl(nullr('h1'), "null_rate_h1")},
+      {dbl(nullr('h2'), "null_rate_h2")},
+      {dbl(meane('h1'), "stat_h1")},
+      {dbl(meane('h2'), "stat_h2")},
+      {dbl(
+          f"({meane('h2')} - {meane('h1')})"
+          f" / nullif(abs({meane('h1')}), 0.0)",
+          "rel_shift",
+      )}
+    FROM tagged"""
+
+    rows = "\n    UNION ALL\n".join([
+        stat_rows("value", True),
+        stat_rows("user_id", True),
+        stat_rows("event_type", False),
+    ])
+    return f"""
+    WITH med AS (
+      SELECT {pct(ep, 0.5, d)} AS t_med FROM events
+    ),
+    tagged AS (
+      SELECT
+        value, user_id, event_type,
+        CASE WHEN {ep} <= (SELECT t_med FROM med) THEN 'h1' ELSE 'h2' END
+          AS era
+      FROM events
+    )
+    SELECT * FROM (
+    {rows}
+    ) drift
+    ORDER BY column_name
+    """
+
+
 QUERIES = [
     sql_backed("table_profile", _table_profile_sql, ("events",)),
     sql_backed("dq_trend_daily", _dq_trend_sql, ("events",)),
@@ -471,4 +614,12 @@ QUERIES = [
     # registered mid-round-5 after the certification window froze: stays
     # behind the 50 never-certified slots until CORRECTNESS_r05 lands
     sql_backed("benford_digits", _benford_digits_sql, ("orders",)),
+    # new r9, non-deferred
+    sql_backed("fk_orphan_audit", _fk_orphan_audit_sql,
+               ("lineitem", "orders", "part", "supplier", "customer",
+                "nation")),
+    sql_backed("pk_uniqueness_audit", _pk_uniqueness_audit_sql,
+               ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "documents", "embeddings")),
+    sql_backed("column_stat_drift", _column_stat_drift_sql, ("events",)),
 ]

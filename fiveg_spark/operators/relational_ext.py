@@ -587,6 +587,241 @@ def _returnflag_shift_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_rf_cells", cells_sql)], tail
 
 
+def _yoy_revenue_growth_sql(d: str) -> str:
+    # C113 — year-over-year revenue growth per customer nation: the
+    # first drill a revenue dashboard does after C108's waterfall —
+    # WHERE is the growth.  One lineitem→orders→customer→nation join
+    # chain (dims broadcast), one (nation, year) agg, then the YoY lag
+    # rides a window over the ≤|nations|·|years| rollup — partitioned
+    # by nation, so no global-window funnel.  First-year growth is the
+    # 0.0 no-information convention (dbl coalesces the NULL lag).
+    return f"""
+    WITH nation_year AS (
+      SELECT
+        n.n_name AS nation,
+        CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+        sum(l.l_extendedprice * (1.0 - l.l_discount)) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, CAST(year(l.l_shipdate) AS BIGINT)
+    )
+    SELECT
+      nation,
+      ship_year,
+      {dbl("revenue", "revenue")},
+      {dbl(
+          "(revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY ship_year))"
+          " / nullif(lag(revenue) OVER (PARTITION BY nation ORDER BY ship_year), 0.0)",
+          "yoy_growth",
+      )}
+    FROM nation_year
+    ORDER BY nation, ship_year
+    """
+
+
+def _brand_price_realization_sql(d: str) -> str:
+    # C114 — per-brand price REALIZATION: how much of the catalog price
+    # a brand actually collects (net realized unit price / retail unit
+    # price) plus its discount depth — the pricing-power table merch
+    # reads next to C103's elasticity.  One lineitem→part equi join
+    # (brand+price projected — column pruning keeps the part scan
+    # thin), one |brands|-row agg; realized unit price guards the
+    # quantity denominator per line.
+    return f"""
+    SELECT
+      p.p_brand AS brand,
+      {cnt("count(*)", "n_lineitems")},
+      {dbl("avg(p.p_retailprice)", "avg_retail_price")},
+      {dbl(
+          "avg(l.l_extendedprice * (1.0 - l.l_discount)"
+          " / nullif(l.l_quantity, 0.0))",
+          "avg_realized_unit_price",
+      )},
+      {dbl("avg(l.l_discount)", "avg_discount")},
+      {dbl(
+          "avg(l.l_extendedprice * (1.0 - l.l_discount)"
+          " / nullif(l.l_quantity, 0.0))"
+          " / nullif(avg(p.p_retailprice), 0.0)",
+          "realization_ratio",
+      )}
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+    ORDER BY brand
+    """
+
+
+def _order_linecount_profile_sql(d: str) -> str:
+    # C115 — basket-size profile: the distribution of line counts per
+    # order split by priority (Q13's shape applied to lineitem grain —
+    # the ops question "are rush orders smaller?").  One l_orderkey
+    # agg, one broadcast orders join, one bounded rollup; the share
+    # window partitions by priority over ≤|priorities|·|linecounts|
+    # rows.
+    return f"""
+    WITH per_order AS (
+      SELECT l_orderkey, count(*) AS n_lines
+      FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    cells AS (
+      SELECT o.o_orderpriority AS priority, p.n_lines, count(*) AS n_orders
+      FROM per_order p
+      JOIN orders o ON o.o_orderkey = p.l_orderkey
+      GROUP BY o.o_orderpriority, p.n_lines
+    )
+    SELECT
+      priority,
+      {cnt("n_lines", "n_lines")},
+      {cnt("n_orders", "n_orders")},
+      {dbl(
+          "n_orders / CAST(sum(n_orders) OVER (PARTITION BY priority) AS DOUBLE)",
+          "share_in_priority",
+      )}
+    FROM cells
+    ORDER BY priority, n_lines
+    """
+
+
+def _segment_mix_by_nation_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C116 — market-segment mix per nation with lift and chi-square
+    # contribution vs the global mix (C46's association screen applied
+    # to the customer dimension): the "is this nation's customer base
+    # unusual" cell table.  The (nation, segment) counts materialize
+    # ONCE (segment totals, nation totals, and the grand total all
+    # re-read it — inlined, that's 4 customer scans), every downstream
+    # frame is ≤|nations|·|segments| rows, and the expected-count math
+    # is exact-integer ratios.
+    cells_sql = """
+      SELECT
+        n.n_name AS nation,
+        c.c_mktsegment AS segment,
+        count(*) AS n_cust
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, c.c_mktsegment
+    """
+    tail = f"""
+    WITH seg_tot AS (
+      SELECT segment, sum(n_cust) AS seg_n FROM _mz_segmix GROUP BY segment
+    ),
+    nat_tot AS (
+      SELECT nation, sum(n_cust) AS nat_n FROM _mz_segmix GROUP BY nation
+    ),
+    grand AS (
+      SELECT sum(n_cust) AS n FROM _mz_segmix
+    )
+    SELECT
+      m.nation,
+      m.segment,
+      {cnt("m.n_cust", "n_customers")},
+      {dbl("m.n_cust / CAST(t.nat_n AS DOUBLE)", "share_in_nation")},
+      {dbl(
+          "(m.n_cust / CAST(t.nat_n AS DOUBLE))"
+          " / nullif(s.seg_n / CAST(g.n AS DOUBLE), 0.0)",
+          "lift_vs_global",
+      )},
+      {dbl(
+          "CASE WHEN t.nat_n * s.seg_n > 0 THEN "
+          "power(m.n_cust - t.nat_n * s.seg_n / CAST(g.n AS DOUBLE), 2)"
+          " / (t.nat_n * s.seg_n / CAST(g.n AS DOUBLE)) ELSE 0.0 END",
+          "chi2_contribution",
+      )}
+    FROM _mz_segmix m
+    JOIN nat_tot t ON t.nation = m.nation
+    JOIN seg_tot s ON s.segment = m.segment
+    CROSS JOIN grand g
+    ORDER BY m.nation, m.segment
+    """
+    return [("_mz_segmix", cells_sql)], tail
+
+
+def _brand_basket_pairs_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C117 — market-basket co-occurrence LIFT between part brands
+    # within an order (C48's event-type lift moved to the commerce
+    # grain, where basket analysis actually runs): which brands sell
+    # together beyond chance.  The per-order distinct-brand frame
+    # materializes once; the pair space is the within-order self-join
+    # (orderkey-equi, per-order brand sets are small — never |brands|²
+    # against the fact table) and the output is ≤C(25,2) rows.
+    # P(pair)/P(b1)P(b2) uses order counts as the event space.
+    ob_sql = """
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+    """
+    tail = f"""
+    WITH n_orders AS (
+      SELECT count(DISTINCT okey) AS n FROM _mz_orderbrand
+    ),
+    singles AS (
+      SELECT brand, count(*) AS n_b FROM _mz_orderbrand GROUP BY brand
+    ),
+    pairs AS (
+      SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+      FROM _mz_orderbrand a
+      JOIN _mz_orderbrand b ON b.okey = a.okey AND a.brand < b.brand
+      GROUP BY a.brand, b.brand
+    )
+    SELECT
+      p.brand_a,
+      p.brand_b,
+      {cnt("p.n_ab", "n_baskets_together")},
+      {dbl(
+          "(p.n_ab / CAST(g.n AS DOUBLE)) / nullif("
+          "(sa.n_b / CAST(g.n AS DOUBLE)) * (sb.n_b / CAST(g.n AS DOUBLE)),"
+          " 0.0)",
+          "lift",
+      )}
+    FROM pairs p
+    JOIN singles sa ON sa.brand = p.brand_a
+    JOIN singles sb ON sb.brand = p.brand_b
+    CROSS JOIN n_orders g
+    WHERE p.n_ab >= 5
+    ORDER BY lift DESC, p.brand_a, p.brand_b
+    LIMIT 30
+    """
+    return [("_mz_orderbrand", ob_sql)], tail
+
+
+def _shipment_span_profile_sql(d: str) -> str:
+    # C118 — order shipment-SPAN profile per priority: days between an
+    # order's first and last shipment (C82 measures order→ship
+    # latency; this measures fulfilment FRAGMENTATION — a span of 0
+    # is one consolidated shipment).  One l_orderkey agg carrying
+    # min/max shipdate + line count, one broadcast orders join, one
+    # |priorities|-row rollup with exact percentiles.
+    span = "(t_last - t_first) / 86400.0"
+    return f"""
+    WITH per_order AS (
+      SELECT
+        l_orderkey,
+        count(*) AS n_lines,
+        min({epoch("l_shipdate", d)}) AS t_first,
+        max({epoch("l_shipdate", d)}) AS t_last
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT
+      o.o_orderpriority AS priority,
+      {cnt("count(*)", "n_orders")},
+      {dbl("avg(p.n_lines)", "avg_lines")},
+      {dbl(f"avg({span})", "mean_span_days")},
+      {dbl(f"{pct(span, 0.5, d)}", "p50_span_days")},
+      {dbl(f"{pct(span, 0.9, d)}", "p90_span_days")},
+      {dbl(
+          "avg(CAST(CASE WHEN p.t_last = p.t_first THEN 1 ELSE 0 END AS DOUBLE))",
+          "single_shipment_share",
+      )}
+    FROM per_order p
+    JOIN orders o ON o.o_orderkey = p.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """
+
+
 QUERIES = [
     sql_backed("supply_concentration_hhi", _hhi_sql, ("lineitem", "part")),
     sql_backed("nation_trade_balance", _trade_balance_sql,
@@ -611,4 +846,18 @@ QUERIES = [
     sql_backed("event_type_pivot", _event_type_pivot_sql, ("events",)),
     sql_backed("top_customers_per_nation", _top_customers_per_nation_sql, ("customer", "orders")),
     sql_backed("balance_bands", _balance_bands_sql, ("customer",)),
+    # new r9, non-deferred (no never-certified backlog: sorts into the
+    # window front automatically)
+    sql_backed("yoy_revenue_growth", _yoy_revenue_growth_sql,
+               ("lineitem", "orders", "customer", "nation")),
+    sql_backed("brand_price_realization", _brand_price_realization_sql,
+               ("lineitem", "part")),
+    sql_backed("order_linecount_profile", _order_linecount_profile_sql,
+               ("lineitem", "orders")),
+    materialized_backed("segment_mix_by_nation", _segment_mix_by_nation_parts,
+                        ("customer", "nation")),
+    materialized_backed("brand_basket_pairs", _brand_basket_pairs_parts,
+                        ("lineitem", "part")),
+    sql_backed("shipment_span_profile", _shipment_span_profile_sql,
+               ("lineitem", "orders")),
 ]

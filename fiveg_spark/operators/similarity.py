@@ -1008,6 +1008,64 @@ def _knn_consistency_sql(d: str) -> str:
     """
 
 
+def _label_centroid_matrix_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E106 — pairwise COSINE matrix between label centroids: E101
+    # certifies the scalar separation statistic; this ships the full
+    # confusion GEOMETRY — which label pairs sit close (the pairs a
+    # classifier or an IVF router will confuse first).  The per-
+    # (label, dim) centroid frame reduces in one explode-agg and
+    # materializes once (self-join + norms re-read it); everything
+    # downstream is ≤|labels|·|dims| rows.  Components round to 6 dp
+    # before the products (the E75 parity discipline) so both engines
+    # multiply identical doubles.
+    if d == "spark":
+        exploded = (
+            "SELECT label, posexplode(CAST(embedding AS ARRAY<DOUBLE>))"
+            " AS (pos0, v) FROM embeddings"
+        )
+        pos = "pos0 + 1"
+    else:
+        exploded = (
+            "SELECT label, unnest(generate_series(1, len(embedding))) AS pos0,"
+            " unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+        )
+        pos = "pos0"
+    cent_sql = f"""
+      WITH exploded AS ({exploded})
+      SELECT
+        label,
+        CAST({pos} AS INT) AS dim,
+        round(avg(v), 6) AS c,
+        count(*) AS n_vec
+      FROM exploded
+      GROUP BY label, CAST({pos} AS INT)
+    """
+    tail = f"""
+    WITH norms AS (
+      SELECT label, sqrt(sum(c * c)) AS nrm, max(n_vec) AS n_vec
+      FROM _mz_lcm_cent
+      GROUP BY label
+    ),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+      FROM _mz_lcm_cent a
+      JOIN _mz_lcm_cent b ON b.dim = a.dim AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT
+      {cnt("d.label_a", "label_a")},
+      {cnt("d.label_b", "label_b")},
+      {cnt("na.n_vec", "n_vectors_a")},
+      {cnt("nb.n_vec", "n_vectors_b")},
+      {dbl("d.dot / nullif(na.nrm * nb.nrm, 0.0)", "centroid_cosine")}
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    ORDER BY label_a, label_b
+    """
+    return [("_mz_lcm_cent", cent_sql)], tail
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
     materialized_backed("embedding_outlier_docs", _outlier_docs_parts, ("embeddings",)),
@@ -1042,5 +1100,9 @@ QUERIES = [
     sql_backed("embedding_dim_profile", _dim_profile_sql, ("embeddings",)),
     materialized_backed(
         "embedding_label_separation", _label_separation_parts, ("embeddings",),
+    ),
+    # new r9, non-deferred
+    materialized_backed(
+        "label_centroid_matrix", _label_centroid_matrix_parts, ("embeddings",),
     ),
 ]

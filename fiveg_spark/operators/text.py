@@ -18,6 +18,7 @@ from fiveg_spark.plans.registry import (
     cnt,
     dbl,
     materialized_backed,
+    pct,
     split_ws,
     sql_backed,
 )
@@ -514,6 +515,142 @@ def _code_detect_sql(d: str) -> str:
     """
 
 
+def _sentence_stats_sql(d: str) -> str:
+    # E102 — sentence-grain readability profile per source: sentence
+    # counts (split on [.!?]+ runs), words per sentence, and the
+    # Automated Readability Index 4.71·(chars/words) +
+    # 0.5·(words/sentences) − 21.43 (Senter & Smith 1967 — exactly
+    # computable from counts, unlike syllable-based Flesch) — the
+    # readability screen a curation pass runs next to E9's surface
+    # quality and E22's Gopher rules, which both stop at the word
+    # grain.  Map-only per-doc counts, one |sources| rollup.
+    toks = _tok(d)
+    if d == "spark":
+        sents = ("size(filter(split(text, '[.!?]+'), "
+                 "x -> length(trim(x)) > 0))")
+        words = f"size({toks})"
+    else:
+        sents = ("len(list_filter(string_split_regex(text, '[.!?]+'), "
+                 "x -> length(trim(x)) > 0))")
+        words = f"len({toks})"
+    alnum = f"length({_rx_all(d, 'text', '[^A-Za-z0-9]', '')})"
+    ari = (
+        "4.71 * (alnum / CAST(nullif(words, 0) AS DOUBLE))"
+        " + 0.5 * (words / CAST(nullif(sents, 0) AS DOUBLE)) - 21.43"
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT
+        source,
+        CAST({sents} AS BIGINT) AS sents,
+        CAST({words} AS BIGINT) AS words,
+        CAST({alnum} AS BIGINT) AS alnum
+      FROM documents
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {dbl("avg(sents)", "mean_sentences")},
+      {dbl("avg(words / CAST(nullif(sents, 0) AS DOUBLE))",
+           "mean_words_per_sentence")},
+      {dbl("avg(alnum / CAST(nullif(words, 0) AS DOUBLE))",
+           "mean_chars_per_word")},
+      {dbl(f"avg({ari})", "mean_ari")},
+      {dbl(f"{pct(ari, 0.9, d)}", "p90_ari")}
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def _char_class_profile_sql(d: str) -> str:
+    # E103 — character-CLASS composition per source: digit / uppercase
+    # / whitespace / alpha / symbol shares of the raw byte stream —
+    # the sub-word quality screen (tables and code dumps skew digit+
+    # symbol; shouting spam skews upper) that E9/E22 word-grain rules
+    # can't see.  Each class count is one global regexp_replace
+    # length-difference — map-only, one |sources| rollup.
+    def cls(pat: str) -> str:
+        return f"length(text) - length({_rx_all(d, 'text', pat, '')})"
+
+    return f"""
+    WITH per_doc AS (
+      SELECT
+        source,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST({cls("[0-9]")} AS BIGINT) AS n_digit,
+        CAST({cls("[A-Z]")} AS BIGINT) AS n_upper,
+        CAST({cls("[ ]")} AS BIGINT) AS n_space,
+        CAST({cls("[A-Za-z]")} AS BIGINT) AS n_alpha
+      FROM documents
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(n_chars)", "total_chars")},
+      {dbl("sum(n_digit) / CAST(nullif(sum(n_chars), 0) AS DOUBLE)",
+           "digit_share")},
+      {dbl("sum(n_upper) / CAST(nullif(sum(n_chars), 0) AS DOUBLE)",
+           "upper_share")},
+      {dbl("sum(n_space) / CAST(nullif(sum(n_chars), 0) AS DOUBLE)",
+           "space_share")},
+      {dbl("sum(n_alpha) / CAST(nullif(sum(n_chars), 0) AS DOUBLE)",
+           "alpha_share")},
+      {dbl(
+          "sum(n_chars - n_digit - n_space - n_alpha)"
+          " / CAST(nullif(sum(n_chars), 0) AS DOUBLE)",
+          "symbol_share",
+      )}
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def _url_markup_screen_sql(d: str) -> str:
+    # E104 — web-residue screen per source: share of docs carrying
+    # URLs, HTML-ish tags, or character entities, plus URL density —
+    # the "did the extractor actually strip the boilerplate" audit a
+    # CommonCrawl-style pipeline runs before E53's normalization
+    # (which fixes whitespace, not markup).  Patterns are RE2/Java
+    # common ground; counting is regexp_extract_all length (map-only).
+    if d == "spark":
+        n_urls = "size(regexp_extract_all(text, 'https?://[^ ]+', 0))"
+    else:
+        n_urls = "len(regexp_extract_all(text, 'https?://[^ ]+'))"
+    has_tag = "CASE WHEN text RLIKE '<[a-z][^>]*>' THEN 1 ELSE 0 END" \
+        if d == "spark" else \
+        "CASE WHEN regexp_matches(text, '<[a-z][^>]*>') THEN 1 ELSE 0 END"
+    has_ent = "CASE WHEN text RLIKE '&[a-z]+;' THEN 1 ELSE 0 END" \
+        if d == "spark" else \
+        "CASE WHEN regexp_matches(text, '&[a-z]+;') THEN 1 ELSE 0 END"
+    return f"""
+    WITH per_doc AS (
+      SELECT
+        source,
+        CAST({n_urls} AS BIGINT) AS n_urls,
+        {has_tag} AS has_tag,
+        {has_ent} AS has_entity,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {dbl("avg(CAST(CASE WHEN n_urls > 0 THEN 1 ELSE 0 END AS DOUBLE))",
+           "url_doc_share")},
+      {dbl("avg(CAST(has_tag AS DOUBLE))", "tag_doc_share")},
+      {dbl("avg(CAST(has_entity AS DOUBLE))", "entity_doc_share")},
+      {dbl(
+          "1000.0 * sum(n_urls) / CAST(nullif(sum(n_chars), 0) AS DOUBLE)",
+          "urls_per_1k_chars",
+      )}
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     materialized_backed("tfidf_top_terms", _tfidf_parts, ("documents",)),
     sql_backed("code_like_score", _code_detect_sql, ("documents",)),
@@ -529,4 +666,8 @@ QUERIES = [
     materialized_backed(
         "retrieval_eval_lexical", _retrieval_eval_parts, ("documents",),
     ),
+    # new r9, non-deferred
+    sql_backed("sentence_stats", _sentence_stats_sql, ("documents",)),
+    sql_backed("char_class_profile", _char_class_profile_sql, ("documents",)),
+    sql_backed("url_markup_screen", _url_markup_screen_sql, ("documents",)),
 ]

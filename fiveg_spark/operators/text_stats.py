@@ -911,6 +911,59 @@ def _lognormal_fit_sql(d: str) -> str:
     """
 
 
+def _bigram_entropy_rate_sql(d: str) -> str:
+    # E105 — bigram CONDITIONAL entropy per source, H(next|cur) in bits
+    # (Shannon 1948 §7): E99 scores sources by unigram entropy; this
+    # adds the first-order sequential structure — context_gain =
+    # H(unigram) − H(next|cur) is the information one token of context
+    # buys, the statistic that separates word-soup from real prose at
+    # the same vocabulary.  E44's bigram_ppl evaluates a MODEL per doc;
+    # this is the corpus-level entropy identity over exact counts.
+    # E75's parity discipline: shares rounded to 6 dp before log₂.
+    #
+    # Scale: one pair explode-agg on (source, bigram) — the E30 word-
+    # count shape, partial agg map-side; the conditional total rides a
+    # (source, w1)-partitioned window on the counted frame; rollup to
+    # |sources| rows.
+    pairs = _pairs_expr(d)
+    unn = "explode" if d == "spark" else "unnest"
+    w1 = "split_part(bg, ' ', 1)" if d != "spark" else \
+        "element_at(split(bg, ' '), 1)"
+    p_joint = "round(c / CAST(n_tot AS DOUBLE) + 1e-12, 6)"
+    p_cond = "round(c / CAST(c_w1 AS DOUBLE) + 1e-12, 6)"
+    return f"""
+    WITH tf2 AS (
+      SELECT source, bg, count(*) AS c
+      FROM (SELECT source, {unn}({pairs}) AS bg FROM documents) x
+      GROUP BY source, bg
+    ),
+    sized AS (
+      SELECT
+        source, bg, c,
+        sum(c) OVER (PARTITION BY source) AS n_tot,
+        sum(c) OVER (PARTITION BY source, {w1}) AS c_w1
+      FROM tf2
+    ),
+    h AS (
+      SELECT
+        source,
+        CAST(count(*) AS BIGINT) AS v2,
+        max(n_tot) AS n_bigrams,
+        -sum({p_joint} * ln({p_cond}) / ln(2.0)) AS h_cond
+      FROM sized
+      GROUP BY source
+    )
+    SELECT
+      source,
+      {cnt("n_bigrams", "n_bigrams")},
+      {cnt("v2", "bigram_vocab")},
+      {dbl("h_cond", "cond_entropy_bits")},
+      {dbl("power(2.0, h_cond)", "cond_perplexity")}
+    FROM h
+    ORDER BY source
+    """
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     materialized_backed("vocab_jaccard_matrix", _vocab_jaccard_parts, ("documents",)),
@@ -935,4 +988,6 @@ QUERIES = [
     # deferred sorts it behind the 50 never-certified names
     # (certifies in round 8)
     materialized_backed("oov_rate", _oov_rate_parts, ("documents",)),
+    # new r9, non-deferred
+    sql_backed("bigram_entropy_rate", _bigram_entropy_rate_sql, ("documents",)),
 ]
