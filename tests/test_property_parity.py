@@ -100,8 +100,16 @@ def _more_doc_sql_fns():
         _hapax_sql,
         _token_entropy_sql,
     )
-    from fiveg_spark.operators.text import _lang_confusion_sql
-    from fiveg_spark.operators.text_stats import _lognormal_fit_sql
+    from fiveg_spark.operators.text import (
+        _char_class_profile_sql,
+        _lang_confusion_sql,
+        _sentence_stats_sql,
+        _url_markup_screen_sql,
+    )
+    from fiveg_spark.operators.text_stats import (
+        _bigram_entropy_rate_sql,
+        _lognormal_fit_sql,
+    )
     from fiveg_spark.operators.text_stats import (
         _bigram_ppl_sql,
         _ngram_novelty_sql,
@@ -185,6 +193,17 @@ def _more_doc_sql_fns():
         # round-before-log2 shares (E75 discipline): single-type
         # corpora give H = 0 with the v > 1 efficiency guard
         "token_entropy": _token_entropy_sql,
+        # nullif(words/sents, 0) ARI guards: empty and 1-word docs
+        "sentence_stats": _sentence_stats_sql,
+        # length-difference class counts: all-space and all-symbol
+        # docs pin shares at exact 0/1 via the nullif(total) guard
+        "char_class_profile": _char_class_profile_sql,
+        # regexp flags on tiny texts: no-match corpora give exact 0
+        # shares; per-1k density hits the nullif(chars) guard
+        "url_markup_screen": _url_markup_screen_sql,
+        # round-before-log2 conditional shares: deterministic bigram
+        # chains give H exactly 0 (perplexity 1)
+        "bigram_entropy_rate": _bigram_entropy_rate_sql,
     }
 
 
@@ -376,11 +395,14 @@ def _event_sql_fns():
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
     from fiveg_spark.operators.behavior import (
+        _activity_by_tenure_sql,
         _growth_accounting_sql,
+        _semi_markov_sql,
         _session_paths_sql,
         _session_stats_sql,
         _transition_matrix_sql,
     )
+    from fiveg_spark.operators.quality import _column_stat_drift_sql
     from fiveg_spark.operators.rollup_stats import _concurrency_sql
     from fiveg_spark.operators.timeseries import (
         _cohort_retention_sql,
@@ -426,6 +448,15 @@ def _event_sql_fns():
         # var/mean ratio with the nullif(mu,0) guard: all-zero-count
         # spines and single-hour slices (n<2 filtered) live here
         "poisson_dispersion": _poisson_dispersion_sql,
+        # per-transition gap percentiles: single-event users emit no
+        # transitions; tied timestamps give zero gaps (within-session)
+        "semi_markov_holding_times": _semi_markov_sql,
+        # first-day anchor join: single-instant streams put everything
+        # in tenure week 0 with distinct-count ratios
+        "activity_by_tenure": _activity_by_tenure_sql,
+        # half-split conditional stats: single-instant streams leave
+        # h2 EMPTY (nullif count guards, NULL means -> dbl 0.0)
+        "column_stat_drift": _column_stat_drift_sql,
         # centered power sums: constant series hit the s2>0 guards,
         # n<4 slices are filtered
         "jarque_bera": _jarque_bera_sql,
@@ -763,6 +794,13 @@ def _event_parts_fns():
         _ccf_parts,
         _transfer_entropy_parts,
     )
+    from fiveg_spark.operators.behavior import (
+        _dau_overlap_parts,
+        _second_session_latency_parts,
+        _session_conversion_parts,
+        _user_transfer_entropy_parts,
+    )
+    from fiveg_spark.operators.lateness import _lateness_profile_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _cvm_parts,
         _iat_exponential_fit_parts,
@@ -776,6 +814,22 @@ def _event_parts_fns():
     return {
         # tie-heavy journeys: simultaneous touch/purchase timestamps
         "attribution_credit": _attribution_parts,
+        # day+1 self-join: single-day streams emit ZERO rows; full
+        # churn gives retained 0 with the union denominator
+        "dau_overlap_jaccard": _dau_overlap_parts,
+        # session reduce + band CASE: purchase-free streams pin
+        # conversion 0 with mean_s_to_purchase NULL -> dbl 0.0
+        "session_conversion_profile": _session_conversion_parts,
+        # session-2 LEFT JOIN: single-session users hit the NULL
+        # latency branch (count(latency) = 0, pct over empty -> 0.0)
+        "second_session_latency": _second_session_latency_parts,
+        # sparse-cell TE identity: constant-load streams give a 1-cell
+        # census (H = 0, te_share guard); always-active users give
+        # c0 = 0 everywhere
+        "user_transfer_entropy": _user_transfer_entropy_parts,
+        # hash-delay synthesis + running-max watermark: single-minute
+        # streams have NULL wm everywhere (late shares exactly 0)
+        "watermark_lateness_profile": _lateness_profile_parts,
         # trailing-window fanout + nullif(mau,0) ratios on sparse days
         "stickiness_ratio": _stickiness_parts,
         # per-era ntile + FULL OUTER absent rows; single-instant
@@ -899,5 +953,186 @@ def test_event_queries_on_random_streams(spark, name):
     )
     def check(rows):
         _assert_parity(spark, _events_pdf(rows), "events", _EVENTS_SCHEMA, sql_fn, name)
+
+    check()
+
+
+# ---- multi-table relational queries on random star fragments ----
+
+def _assert_parity_tables(spark, frames: dict, sql_fn, name):
+    """_assert_parity for queries reading several relations: every
+    frame registers as a temp view on the Spark side AND as a DuckDB
+    relation, then the two dialects compare with the driver's rows."""
+    for view, (pdf, schema) in frames.items():
+        sdf = (
+            spark.createDataFrame(pdf, schema)
+            if len(pdf)
+            else spark.createDataFrame([], schema)
+        )
+        sdf.createOrReplaceTempView(view)
+    got = spark.sql(sql_fn("spark"))
+    spark_rows = _rows(got.columns, got.collect())
+
+    con = duckdb.connect()
+    try:
+        for view, (pdf, _schema) in frames.items():
+            con.register(view, pdf)
+        res = con.execute(sql_fn("duckdb"))
+        duck_cols = [d[0] for d in res.description]
+        duck_rows = _rows(duck_cols, res.fetchall())
+    finally:
+        con.close()
+
+    assert sorted(got.columns) == sorted(duck_cols), name
+    assert spark_rows == duck_rows, f"{name}: engines disagree on generated input"
+
+
+def _star_sql_fns():
+    from fiveg_spark.operators.quality import _fk_orphan_audit_sql
+    from fiveg_spark.operators.relational_ext import (
+        _brand_price_realization_sql,
+        _order_linecount_profile_sql,
+        _shipment_span_profile_sql,
+        _yoy_revenue_growth_sql,
+    )
+
+    return {
+        # lag-window growth with nullif(prev, 0): single-year nations
+        # emit the 0.0 no-information first row; zero-revenue years
+        # (all-1.0 discounts) hit the NULL division
+        "yoy_revenue_growth": _yoy_revenue_growth_sql,
+        # per-line nullif(quantity) + ratio-of-avgs: zero-quantity
+        # lines and orphan-brand joins (inner join drops them)
+        "brand_price_realization": _brand_price_realization_sql,
+        # two-level agg + priority-partitioned share window
+        "order_linecount_profile": _order_linecount_profile_sql,
+        # min=max spans (single-shipment orders) pin the share at 1.0
+        "shipment_span_profile": _shipment_span_profile_sql,
+        # LEFT JOIN orphan rates: random small key ranges make both
+        # clean and orphaned edges common
+        "fk_orphan_audit": _fk_orphan_audit_sql,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_star_sql_fns()))
+def test_star_queries_on_random_fragments(spark, name):
+    sql_fn = _star_sql_fns()[name]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        lines=st.lists(
+            st.tuples(
+                st.integers(0, 5),                     # l_orderkey
+                st.integers(0, 3),                     # l_partkey
+                st.sampled_from([0.0, 1.0, 5.0]),      # l_quantity (0 -> guard)
+                st.sampled_from([0.0, 100.0, 9.99]),   # l_extendedprice
+                st.sampled_from([0.0, 0.1, 1.0]),      # l_discount (1 -> zero rev)
+                st.integers(0, 3),                     # ship year offset
+                st.integers(0, 2),                     # l_suppkey
+            ),
+            min_size=1,
+            max_size=14,
+        ),
+        n_orders=st.integers(1, 5),
+    )
+    def check(lines, n_orders):
+        import datetime as dt
+
+        li = pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([l[0] for l in lines], dtype="int64"),
+                "l_partkey": pd.Series([l[1] for l in lines], dtype="int64"),
+                "l_suppkey": pd.Series([l[6] for l in lines], dtype="int64"),
+                "l_linenumber": pd.Series(range(len(lines)), dtype="int32"),
+                "l_quantity": pd.Series([l[2] for l in lines], dtype="float64"),
+                "l_extendedprice": pd.Series([l[3] for l in lines], dtype="float64"),
+                "l_discount": pd.Series([l[4] for l in lines], dtype="float64"),
+                "l_tax": pd.Series([0.05] * len(lines), dtype="float64"),
+                "l_returnflag": ["N"] * len(lines),
+                "l_linestatus": ["O"] * len(lines),
+                "l_shipdate": pd.Series(
+                    [dt.datetime(1995 + l[5], 6, 1 + l[0]) for l in lines],
+                    dtype="datetime64[us]",
+                ),
+            }
+        )
+        orders = pd.DataFrame(
+            {
+                "o_orderkey": pd.Series(range(n_orders), dtype="int64"),
+                "o_custkey": pd.Series(
+                    [k % 3 for k in range(n_orders)], dtype="int64"
+                ),
+                "o_orderstatus": ["O"] * n_orders,
+                "o_totalprice": pd.Series(
+                    [100.0 * (k + 1) for k in range(n_orders)], dtype="float64"
+                ),
+                "o_orderdate": pd.Series(
+                    [dt.datetime(1995, 1, 1 + k) for k in range(n_orders)],
+                    dtype="datetime64[us]",
+                ),
+                "o_orderpriority": [
+                    ("1-URGENT" if k % 2 else "3-MEDIUM") for k in range(n_orders)
+                ],
+            }
+        )
+        customer = pd.DataFrame(
+            {
+                "c_custkey": pd.Series([0, 1, 2], dtype="int64"),
+                "c_name": ["c0", "c1", "c2"],
+                "c_nationkey": pd.Series([0, 0, 1], dtype="int32"),
+                "c_acctbal": pd.Series([10.0, 20.0, 30.0], dtype="float64"),
+                "c_mktsegment": ["BUILDING", "MACHINERY", "BUILDING"],
+            }
+        )
+        nation = pd.DataFrame(
+            {
+                "n_nationkey": pd.Series([0, 1], dtype="int32"),
+                "n_name": ["FRANCE", "KENYA"],
+                "n_regionkey": pd.Series([0, 0], dtype="int32"),
+            }
+        )
+        part = pd.DataFrame(
+            {
+                "p_partkey": pd.Series([0, 1, 2], dtype="int64"),  # key 3 orphans
+                "p_name": ["pa", "pb", "pc"],
+                "p_brand": ["Brand#1", "Brand#2", "Brand#1"],
+                "p_type": ["T1", "T2", "T1"],
+                "p_size": pd.Series([1, 2, 3], dtype="int32"),
+                "p_retailprice": pd.Series([10.0, 0.0, 7.5], dtype="float64"),
+            }
+        )
+        supplier = pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([0, 1], dtype="int64"),  # key 2 orphans
+                "s_name": ["sa", "sb"],
+                "s_nationkey": pd.Series([0, 1], dtype="int32"),
+                "s_acctbal": pd.Series([5.0, 6.0], dtype="float64"),
+            }
+        )
+        frames = {
+            "lineitem": (li, "l_orderkey BIGINT, l_partkey BIGINT, "
+                         "l_suppkey BIGINT, l_linenumber INT, "
+                         "l_quantity DOUBLE, l_extendedprice DOUBLE, "
+                         "l_discount DOUBLE, l_tax DOUBLE, "
+                         "l_returnflag STRING, l_linestatus STRING, "
+                         "l_shipdate TIMESTAMP"),
+            "orders": (orders, "o_orderkey BIGINT, o_custkey BIGINT, "
+                       "o_orderstatus STRING, o_totalprice DOUBLE, "
+                       "o_orderdate TIMESTAMP, o_orderpriority STRING"),
+            "customer": (customer, "c_custkey BIGINT, c_name STRING, "
+                         "c_nationkey INT, c_acctbal DOUBLE, "
+                         "c_mktsegment STRING"),
+            "nation": (nation, "n_nationkey INT, n_name STRING, "
+                       "n_regionkey INT"),
+            "part": (part, "p_partkey BIGINT, p_name STRING, p_brand STRING, "
+                     "p_type STRING, p_size INT, p_retailprice DOUBLE"),
+            "supplier": (supplier, "s_suppkey BIGINT, s_name STRING, "
+                         "s_nationkey INT, s_acctbal DOUBLE"),
+        }
+        _assert_parity_tables(spark, frames, sql_fn, name)
 
     check()

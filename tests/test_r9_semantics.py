@@ -1,0 +1,456 @@
+"""Planted-fixture semantics pins for the round-9 operators: each new
+query's load-bearing branch gets a fixture where the right answer is
+known in closed form, so a green oracle-parity run on data that never
+exercises the branch can't hide a regression.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fiveg_spark.plans.registry import run_parts
+
+_EV_SCHEMA = (
+    "event_id BIGINT, es BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _events_view(spark, rows):
+    """rows: (event_id, epoch_s, user_id, event_type, value)"""
+    spark.createDataFrame(
+        [(*r, "{}") for r in rows],
+        "event_id BIGINT, es BIGINT, user_id BIGINT, event_type STRING, "
+        "value DOUBLE, props STRING",
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(es * 1000000) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).createOrReplaceTempView("events")
+
+
+BASE = 1_700_000_000
+
+
+def test_semi_markov_holding_times_closed_form(spark):
+    from fiveg_spark.operators.behavior import _semi_markov_sql
+
+    # one user: a -> b after 100 s, b -> a after 2000 s (cross-session)
+    _events_view(spark, [
+        (0, BASE, 1, "a", 1.0),
+        (1, BASE + 100, 1, "b", 1.0),
+        (2, BASE + 2100, 1, "a", 1.0),
+    ])
+    got = {(r["prev_type"], r["next_type"]): r.asDict()
+           for r in spark.sql(_semi_markov_sql("spark")).collect()}
+    ab = got[("a", "b")]
+    assert ab["n_transitions"] == 1
+    assert ab["mean_gap_s"] == 100.0
+    assert ab["within_session_share"] == 1.0
+    ba = got[("b", "a")]
+    assert ba["mean_gap_s"] == 2000.0
+    assert ba["within_session_share"] == 0.0
+
+
+def test_dau_overlap_jaccard_closed_form(spark):
+    from fiveg_spark.operators.behavior import _dau_overlap_parts
+
+    # day 0: users {1,2,3}; day 1: users {2,3,4,5} -> inter 2, union 5
+    rows, eid = [], 0
+    for u in (1, 2, 3):
+        rows.append((eid, BASE, u, "a", 1.0)); eid += 1
+    for u in (2, 3, 4, 5):
+        rows.append((eid, BASE + 86400, u, "a", 1.0)); eid += 1
+    _events_view(spark, rows)
+    got = run_parts(spark, _dau_overlap_parts).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["n_active"] == 3 and r["n_active_next"] == 4
+    assert r["n_retained"] == 2
+    assert r["jaccard"] == pytest.approx(2 / 5, abs=1e-4)
+    assert r["retention"] == pytest.approx(2 / 3, abs=1e-4)
+    assert r["newcomer_share"] == pytest.approx(2 / 4, abs=1e-4)
+
+
+def test_activity_by_tenure_anchors_on_first_day(spark):
+    from fiveg_spark.operators.behavior import _activity_by_tenure_sql
+
+    # user 1 starts day 0 (2 events), returns day 7 (week 1, 1 event);
+    # user 2 starts day 7 (1 event) -> week 0 has BOTH users
+    _events_view(spark, [
+        (0, BASE, 1, "a", 2.0),
+        (1, BASE + 10, 1, "a", 4.0),
+        (2, BASE + 7 * 86400, 1, "a", 8.0),
+        (3, BASE + 7 * 86400, 2, "a", 6.0),
+    ])
+    got = {r["tenure_week"]: r.asDict()
+           for r in spark.sql(_activity_by_tenure_sql("spark")).collect()}
+    assert got[0]["n_active_users"] == 2 and got[0]["n_events"] == 3
+    assert got[0]["mean_value"] == pytest.approx(4.0, abs=1e-4)
+    assert got[1]["n_active_users"] == 1 and got[1]["n_events"] == 1
+
+
+def test_session_conversion_profile_bands_and_rate(spark):
+    from fiveg_spark.operators.behavior import _session_conversion_parts
+
+    # user 1: 1-event session (no purchase); user 2: view->purchase
+    # 120 s later (band b_2_3, converted, time-to-purchase 120)
+    _events_view(spark, [
+        (0, BASE, 1, "view", 1.0),
+        (1, BASE, 2, "view", 1.0),
+        (2, BASE + 120, 2, "purchase", 1.0),
+    ])
+    got = {(r["entry_type"], r["length_band"]): r.asDict()
+           for r in run_parts(spark, _session_conversion_parts).collect()}
+    one = got[("view", "a_1")]
+    assert one["n_sessions"] == 1 and one["conversion_rate"] == 0.0
+    two = got[("view", "b_2_3")]
+    assert two["conversion_rate"] == 1.0
+    assert two["mean_s_to_purchase"] == pytest.approx(120.0, abs=1e-4)
+
+
+def test_second_session_latency_return_rate(spark):
+    from fiveg_spark.operators.behavior import _second_session_latency_parts
+
+    # user 1: sessions at t=0 and t=0+3h (returned, 3.0 h latency);
+    # user 2: one session only
+    _events_view(spark, [
+        (0, BASE, 1, "view", 1.0),
+        (1, BASE + 3 * 3600, 1, "view", 1.0),
+        (2, BASE, 2, "click", 1.0),
+    ])
+    got = {r["first_type"]: r.asDict()
+           for r in run_parts(spark, _second_session_latency_parts).collect()}
+    v = got["view"]
+    assert v["n_users"] == 1 and v["n_returned"] == 1
+    assert v["p50_latency_h"] == pytest.approx(3.0, abs=1e-4)
+    assert v["within_1d_share"] == 1.0
+    c = got["click"]
+    assert c["n_returned"] == 0 and c["return_rate"] == 0.0
+
+
+def test_user_transfer_entropy_constant_user_is_zero(spark):
+    from fiveg_spark.operators.behavior import _user_transfer_entropy_parts
+
+    # 6 contiguous hours; user 1 active EVERY hour (b==1 always: the
+    # conditioning adds nothing, TE must be exactly 0); user 2 active
+    # only in the 3 high-load hours.  Load alternates low/high via
+    # event counts 1 vs 3.
+    rows, eid = [], 0
+    for h in range(6):
+        n = 3 if h % 2 else 1
+        for k in range(n):
+            rows.append((eid, BASE + h * 3600 + k, 100 + k, "a", 1.0))
+            eid += 1
+        rows.append((eid, BASE + h * 3600 + 30, 1, "a", 1.0)); eid += 1
+        if h % 2:
+            rows.append((eid, BASE + h * 3600 + 31, 2, "a", 1.0)); eid += 1
+    _events_view(spark, rows)
+    got = {r["user_id"]: r.asDict()
+           for r in run_parts(spark, _user_transfer_entropy_parts).collect()}
+    assert got[1]["n_hour_pairs"] == 5
+    assert got[1]["te_bits"] == 0.0  # b is constant -> no information
+    # TE is bounded by the conditional entropy for every user
+    for r in got.values():
+        assert r["te_bits"] <= r["cond_entropy_bits"] + 1e-9
+        assert r["te_bits"] >= -1e-4  # numerically >= 0
+
+
+def test_user_transfer_entropy_perfect_predictor_saturates(spark):
+    from fiveg_spark.operators.behavior import _user_transfer_entropy_parts
+
+    # Load follows user 9's PREVIOUS-hour activity exactly (active ->
+    # next hour high, inactive -> next hour low), while the load's own
+    # history is useless (sequence alternates irregularly).  TE for
+    # user 9 must equal the full conditional entropy (te_share ~ 1).
+    pattern = [1, 0, 0, 1, 1, 0, 1, 0, 0, 1, 1, 0]  # user-9 activity
+    rows, eid = [], 0
+    for h in range(len(pattern) + 1):
+        # load at hour h mirrors pattern[h-1]
+        high = pattern[h - 1] == 1 if h > 0 else False
+        n = 4 if high else 1
+        for k in range(n):
+            rows.append((eid, BASE + h * 3600 + k, 100 + k, "a", 1.0))
+            eid += 1
+        if h < len(pattern) and pattern[h]:
+            rows.append((eid, BASE + h * 3600 + 40, 9, "a", 1.0)); eid += 1
+    _events_view(spark, rows)
+    got = {r["user_id"]: r.asDict()
+           for r in run_parts(spark, _user_transfer_entropy_parts).collect()}
+    r9 = got[9]
+    assert r9["cond_entropy_bits"] > 0.5  # load history alone can't predict
+    assert r9["te_share"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_yoy_revenue_growth_closed_form(spark):
+    from fiveg_spark.operators.relational_ext import _yoy_revenue_growth_sql
+
+    spark.createDataFrame(
+        [(1, 1, 100.0, 0.0), (2, 1, 150.0, 0.0)],
+        "l_orderkey BIGINT, dummy BIGINT, l_extendedprice DOUBLE, "
+        "l_discount DOUBLE",
+    ).selectExpr(
+        "l_orderkey",
+        "CAST(CASE WHEN l_orderkey = 1 THEN '1995-06-01' ELSE '1996-06-01' END"
+        " AS TIMESTAMP) AS l_shipdate",
+        "l_extendedprice", "l_discount",
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(1, 10), (2, 10)], "o_orderkey BIGINT, o_custkey BIGINT"
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [(10, 3)], "c_custkey BIGINT, c_nationkey INT"
+    ).createOrReplaceTempView("customer")
+    spark.createDataFrame(
+        [(3, "GERMANY")], "n_nationkey INT, n_name STRING"
+    ).createOrReplaceTempView("nation")
+    got = {r["ship_year"]: r.asDict()
+           for r in spark.sql(_yoy_revenue_growth_sql("spark")).collect()}
+    assert got[1995]["yoy_growth"] == 0.0  # first year: no-information 0.0
+    assert got[1996]["yoy_growth"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_fk_orphan_audit_counts_planted_orphan(spark):
+    from fiveg_spark.operators.quality import _fk_orphan_audit_sql
+
+    spark.createDataFrame(
+        [(1, 1, 1, 1), (2, 99, 1, 1)],  # orderkey 99 has no parent
+        "l_orderkey BIGINT, x BIGINT, l_partkey BIGINT, l_suppkey BIGINT",
+    ).selectExpr(
+        "x AS l_orderkey", "l_partkey", "l_suppkey"
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame([(1, 5)], "o_orderkey BIGINT, o_custkey BIGINT") \
+        .createOrReplaceTempView("orders")
+    spark.createDataFrame([(1,)], "p_partkey BIGINT") \
+        .createOrReplaceTempView("part")
+    spark.createDataFrame([(1, 0)], "s_suppkey BIGINT, s_nationkey INT") \
+        .createOrReplaceTempView("supplier")
+    spark.createDataFrame([(5, 0)], "c_custkey BIGINT, c_nationkey INT") \
+        .createOrReplaceTempView("customer")
+    spark.createDataFrame([(0,)], "n_nationkey INT") \
+        .createOrReplaceTempView("nation")
+    got = {r["fk_edge"]: r.asDict()
+           for r in spark.sql(_fk_orphan_audit_sql("spark")).collect()}
+    assert got["lineitem->orders"]["n_orphans"] == 1
+    assert got["lineitem->orders"]["orphan_rate"] == pytest.approx(0.5)
+    assert got["lineitem->part"]["n_orphans"] == 0
+    assert got["orders->customer"]["n_orphans"] == 0
+
+
+def test_pk_uniqueness_audit_flags_planted_duplicate(spark):
+    from fiveg_spark.operators.quality import _pk_uniqueness_audit_sql
+
+    for name, schema, rows in [
+        ("region", "r_regionkey INT", [(0,)]),
+        ("nation", "n_nationkey INT", [(0,)]),
+        ("customer", "c_custkey BIGINT", [(1,)]),
+        ("supplier", "s_suppkey BIGINT", [(1,)]),
+        ("part", "p_partkey BIGINT", [(1,)]),
+        ("orders", "o_orderkey BIGINT", [(1,)]),
+        ("lineitem", "l_orderkey BIGINT, l_linenumber INT",
+         [(1, 1), (1, 2)]),
+        ("events", "event_id BIGINT", [(7,), (7,)]),  # planted dup
+        ("documents", "doc_id BIGINT", [(1,)]),
+        ("embeddings", "vec_id BIGINT", [(1,)]),
+    ]:
+        spark.createDataFrame(rows, schema).createOrReplaceTempView(name)
+    got = {r["table_name"]: r.asDict()
+           for r in spark.sql(_pk_uniqueness_audit_sql("spark")).collect()}
+    assert got["events"]["n_duplicate_rows"] == 1
+    assert got["events"]["unique_ok"] is False
+    assert got["lineitem"]["n_duplicate_rows"] == 0  # composite key unique
+    assert got["lineitem"]["unique_ok"] is True
+
+
+def test_bigram_entropy_rate_deterministic_text_is_zero(spark):
+    from fiveg_spark.operators.text_stats import _bigram_entropy_rate_sql
+
+    # s1: every token deterministically followed by one token -> H=0;
+    # s2: 'a' followed by b/c equally -> H = p(a->*) * 1 bit
+    docs = [
+        (0, "a b " * 20 + "a b", "en", "s1", 0),
+        (1, "a b a c " * 10 + "a b", "en", "s2", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = {r["source"]: r.asDict()
+           for r in spark.sql(_bigram_entropy_rate_sql("spark")).collect()}
+    assert got["s1"]["cond_entropy_bits"] == 0.0
+    assert got["s1"]["cond_perplexity"] == 1.0
+    # s2: 42 tokens -> 41 bigrams; 'a' starts 21 with an 11/10 b/c
+    # split, every other predecessor deterministic:
+    # H = (21/41) * H2(11/21)
+    import math
+
+    h2 = -(11 / 21) * math.log2(11 / 21) - (10 / 21) * math.log2(10 / 21)
+    assert got["s2"]["cond_entropy_bits"] == pytest.approx(
+        21 / 41 * h2, abs=5e-3
+    )
+
+
+def test_sentence_stats_ari_closed_form(spark):
+    from fiveg_spark.operators.text import _sentence_stats_sql
+
+    # 2 sentences, 6 words, 24 alnum chars:
+    # ARI = 4.71*(24/6) + 0.5*(6/2) - 21.43
+    text = "spark runs fast. duck checks results!"
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = spark.sql(_sentence_stats_sql("spark")).collect()[0].asDict()
+    alnum = sum(ch.isalnum() for ch in text)
+    exp = 4.71 * (alnum / 6) + 0.5 * (6 / 2) - 21.43
+    assert got["mean_sentences"] == 2.0
+    assert got["mean_words_per_sentence"] == pytest.approx(3.0, abs=1e-4)
+    assert got["mean_ari"] == pytest.approx(exp, abs=1e-3)
+
+
+def test_char_class_profile_crafted_shares(spark):
+    from fiveg_spark.operators.text import _char_class_profile_sql
+
+    # "Ab1 !" -> 5 chars: 1 upper, 2 alpha, 1 digit, 1 space, 1 symbol
+    spark.createDataFrame(
+        [(0, "Ab1 !", "en", "s", 5)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = spark.sql(_char_class_profile_sql("spark")).collect()[0].asDict()
+    assert got["total_chars"] == 5
+    assert got["digit_share"] == pytest.approx(0.2, abs=1e-4)
+    assert got["upper_share"] == pytest.approx(0.2, abs=1e-4)
+    assert got["alpha_share"] == pytest.approx(0.4, abs=1e-4)
+    assert got["space_share"] == pytest.approx(0.2, abs=1e-4)
+    assert got["symbol_share"] == pytest.approx(0.2, abs=1e-4)
+
+
+def test_url_markup_screen_detects_planted_residue(spark):
+    from fiveg_spark.operators.text import _url_markup_screen_sql
+
+    docs = [
+        (0, "clean prose only here", "en", "s1", 0),
+        (1, "see https://x.io/a and https://y.io/b", "en", "s2", 0),
+        (2, "<div>hello</div> &amp; more", "en", "s2", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = {r["source"]: r.asDict()
+           for r in spark.sql(_url_markup_screen_sql("spark")).collect()}
+    assert got["s1"]["url_doc_share"] == 0.0
+    assert got["s1"]["tag_doc_share"] == 0.0
+    assert got["s2"]["url_doc_share"] == 0.5
+    assert got["s2"]["tag_doc_share"] == 0.5
+    assert got["s2"]["entity_doc_share"] == 0.5
+
+
+def test_label_centroid_matrix_orthogonal_and_identical(spark):
+    from fiveg_spark.operators.similarity import _label_centroid_matrix_parts
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [0.0, 1.0, 0.0, 0.0], 1),  # orthogonal to label 0
+        (3, [2.0, 0.0, 0.0, 0.0], 2),  # same direction as label 0
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    got = {(r["label_a"], r["label_b"]): r.asDict()
+           for r in run_parts(spark, _label_centroid_matrix_parts).collect()}
+    assert got[(0, 1)]["centroid_cosine"] == 0.0
+    assert got[(0, 2)]["centroid_cosine"] == pytest.approx(1.0, abs=1e-4)
+    assert got[(0, 1)]["n_vectors_a"] == 2
+
+
+def test_segment_mix_independent_is_lift_one(spark):
+    from fiveg_spark.operators.relational_ext import _segment_mix_by_nation_parts
+
+    # 2 nations x 2 segments, perfectly proportional counts -> every
+    # cell has lift 1 and chi2 contribution 0
+    cust, ck = [], 0
+    for nk, mult in ((0, 1), (1, 2)):
+        for seg, base in (("A", 10), ("B", 30)):
+            for _ in range(base * mult):
+                cust.append((ck, nk, seg)); ck += 1
+    spark.createDataFrame(
+        cust, "c_custkey BIGINT, c_nationkey INT, c_mktsegment STRING"
+    ).createOrReplaceTempView("customer")
+    spark.createDataFrame(
+        [(0, "FRANCE"), (1, "KENYA")], "n_nationkey INT, n_name STRING"
+    ).createOrReplaceTempView("nation")
+    for r in run_parts(spark, _segment_mix_by_nation_parts).collect():
+        assert r["lift_vs_global"] == pytest.approx(1.0, abs=1e-4)
+        assert r["chi2_contribution"] == 0.0
+
+
+def test_brand_basket_pairs_perfect_cooccurrence_lift(spark):
+    from fiveg_spark.operators.relational_ext import _brand_basket_pairs_parts
+
+    # 10 orders; brands X and Y appear together in 5 (P=.5 each,
+    # P(XY)=.5 -> lift 2); brand Z in all 10 (lift with X = 1)
+    li, pk = [], 0
+    parts = []
+    brand_of = {}
+    for brand in ("X", "Y", "Z"):
+        parts.append((pk, brand)); brand_of[brand] = pk; pk += 1
+    ln = 0
+    for o in range(10):
+        li.append((o, brand_of["Z"], ln)); ln += 1
+        if o < 5:
+            li.append((o, brand_of["X"], ln)); ln += 1
+            li.append((o, brand_of["Y"], ln)); ln += 1
+    spark.createDataFrame(
+        li, "l_orderkey BIGINT, l_partkey BIGINT, l_linenumber INT"
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        parts, "p_partkey BIGINT, p_brand STRING"
+    ).createOrReplaceTempView("part")
+    got = {(r["brand_a"], r["brand_b"]): r.asDict()
+           for r in run_parts(spark, _brand_basket_pairs_parts).collect()}
+    assert got[("X", "Y")]["n_baskets_together"] == 5
+    assert got[("X", "Y")]["lift"] == pytest.approx(2.0, abs=1e-4)
+    assert got[("X", "Z")]["lift"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_column_stat_drift_planted_null_regime(spark):
+    from fiveg_spark.operators.quality import _column_stat_drift_sql
+
+    # h1: values present; h2: value all-NULL -> null_rate_h2 = 1.0
+    rows = [(i, BASE + i, 1, "a", 5.0, "{}") for i in range(10)]
+    rows += [(10 + i, BASE + 10_000 + i, 1, "a", None, "{}")
+             for i in range(10)]
+    spark.createDataFrame(
+        rows, _EV_SCHEMA
+    ).selectExpr(
+        "event_id", "timestamp_micros(es * 1000000) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).createOrReplaceTempView("events")
+    got = {r["column_name"]: r.asDict()
+           for r in spark.sql(_column_stat_drift_sql("spark")).collect()}
+    v = got["value"]
+    assert v["null_rate_h1"] == 0.0
+    assert v["null_rate_h2"] == 1.0
+
+
+def test_pq_rerank_ladder_monotone_and_floor(spark):
+    from fiveg_spark.operators.ann_recall import (
+        RERANK_LADDER,
+        ann_pq_rerank_ladder,
+        rerank_ladder_hits,
+    )
+    from tests.conftest import SF_DIR
+
+    hits = rerank_ladder_hits(spark, SF_DIR)
+    assert [s for s, _ in hits] == list(RERANK_LADDER)
+    vals = [h for _, h in hits]
+    assert vals == sorted(vals)  # nested prefixes -> monotone
+    assert vals[-1] >= 5  # the deepest rung recovers >= the 0.5 floor
+    rows = ann_pq_rerank_ladder(spark, SF_DIR).collect()
+    assert all(r["monotone_ok"] and r["floor_ok"] for r in rows)
