@@ -49,6 +49,7 @@ from fiveg_spark.plans.registry import (
     epoch,
     materialized_backed,
     pct,
+    sql_backed,
 )
 
 # Candidate watermark delays (seconds) a deployment would consider.
@@ -135,8 +136,63 @@ def _lateness_profile_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_late_arr", arr_sql)], tail
 
 
+def _arrival_inversions_sql(d: str) -> str:
+    # B27 — arrival-order INVERSION profile per event type: the share
+    # of consecutive ARRIVALS whose event times step backwards, and
+    # how far back they step — the disorder statistic that complements
+    # the B25 drop shares (two streams can share a late-share yet
+    # differ wildly in adjacent-inversion rate, which is what sorting
+    # and state-store locality actually feel).  Same deterministic
+    # delay synthesis as B25.
+    #
+    # Scale: the lag window partitions by (type, arrival day) — the
+    # one cross-day adjacent pair per type-day is dropped (negligible
+    # by construction, documented) in exchange for partitions bounded
+    # by a day of one type's arrivals instead of a whole type's
+    # history funneling through one task.
+    es = epoch("ts", d)
+    arr = f"({es} + ({delay_expr()}))"
+    back = "(prev_es - es)"
+    return f"""
+    WITH arrivals AS (
+      SELECT
+        event_type,
+        {es} AS es,
+        {arr} AS arr,
+        CAST(floor({arr} / 86400.0) AS BIGINT) AS arr_day
+      FROM events
+    ),
+    stepped AS (
+      SELECT
+        event_type,
+        es,
+        lag(es) OVER (PARTITION BY event_type, arr_day
+                      ORDER BY arr, es) AS prev_es
+      FROM arrivals
+    )
+    SELECT
+      event_type,
+      {cnt("count(prev_es)", "n_adjacent_pairs")},
+      {cnt("sum(CASE WHEN es < prev_es THEN 1 ELSE 0 END)", "n_inversions")},
+      {dbl(
+          "sum(CASE WHEN es < prev_es THEN 1 ELSE 0 END)"
+          " / CAST(nullif(count(prev_es), 0) AS DOUBLE)",
+          "inversion_rate",
+      )},
+      {dbl(f"avg(CASE WHEN es < prev_es THEN {back} END)",
+           "mean_backstep_s")},
+      {dbl(f"max(CASE WHEN es < prev_es THEN {back} ELSE 0.0 END)",
+           "max_backstep_s")}
+    FROM stepped
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
 QUERIES = [
     materialized_backed(
         "watermark_lateness_profile", _lateness_profile_parts, ("events",),
     ),
+    sql_backed("arrival_order_inversions", _arrival_inversions_sql,
+               ("events",)),
 ]

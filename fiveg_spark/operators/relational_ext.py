@@ -822,6 +822,112 @@ def _shipment_span_profile_sql(d: str) -> str:
     """
 
 
+def _revenue_drawdown_sql(d: str) -> str:
+    # C127 — daily-revenue drawdown + volatility per order year: the
+    # finance-desk risk pair (running-peak drawdown, log-return
+    # volatility) applied to the revenue series — C87 flags outlier
+    # DAYS; this measures the path (how deep does revenue sink below
+    # its peak, how noisy is the day-over-day ratio).  One daily agg,
+    # then all windows ride the ≤|days| frame partitioned by year.
+    ret = "ln(rev / nullif(lag(rev) OVER (PARTITION BY yr ORDER BY day), 0.0))"
+    runmax = ("max(rev) OVER (PARTITION BY yr ORDER BY day "
+              "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return f"""
+    WITH daily AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        sum(o_totalprice) AS rev
+      FROM orders
+      GROUP BY CAST(year(o_orderdate) AS BIGINT),
+               CAST(date_trunc('day', o_orderdate) AS DATE)
+    ),
+    pathed AS (
+      SELECT
+        yr,
+        rev,
+        {ret} AS log_ret,
+        ({runmax} - rev) / nullif({runmax}, 0.0) AS drawdown
+      FROM daily
+    )
+    SELECT
+      yr AS order_year,
+      {cnt("count(*)", "n_days")},
+      {dbl("avg(rev)", "mean_daily_revenue")},
+      {dbl("stddev_samp(log_ret)", "log_return_vol")},
+      {dbl("max(drawdown)", "max_drawdown")},
+      {dbl("avg(drawdown)", "mean_drawdown")}
+    FROM pathed
+    GROUP BY yr
+    ORDER BY order_year
+    """
+
+
+SHIP_SLA_DAYS = 60.0
+
+
+def _ship_sla_sql(d: str) -> str:
+    # C128 — monthly ship-SLA attainment per priority: the share of
+    # lineitems shipped within SHIP_SLA_DAYS of the order date, as a
+    # month-over-month TREND (C82 gives the static latency
+    # distribution; an ops review needs the attainment series to see
+    # a fulfilment regression coming).  One lineitem→orders equi join,
+    # one ≤|months|·|priorities| rollup.
+    lat = f"({epoch('l.l_shipdate', d)} - {epoch('o.o_orderdate', d)}) / 86400.0"
+    return f"""
+    SELECT
+      CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+      o.o_orderpriority AS priority,
+      {cnt("count(*)", "n_lineitems")},
+      {dbl(
+          f"avg(CAST(CASE WHEN {lat} <= {SHIP_SLA_DAYS!r} THEN 1 ELSE 0 END"
+          " AS DOUBLE))",
+          "sla_attainment",
+      )},
+      {dbl(f"avg({lat})", "mean_latency_days")},
+      {dbl(pct(lat, 0.9, d), "p90_latency_days")}
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY CAST(date_trunc('month', o.o_orderdate) AS DATE),
+             o.o_orderpriority
+    ORDER BY order_month, priority
+    """
+
+
+def _customer_hhi_yearly_sql(d: str) -> str:
+    # C129 — customer revenue-concentration trend: HHI over customer
+    # shares of each order year's revenue, with the effective customer
+    # count 1/HHI (C75 measures supplier concentration per brand; this
+    # is the demand side over TIME — "are we becoming a two-customer
+    # business").  One (year, customer) agg, then a ≤|years| rollup;
+    # the share denominator is a ratio-of-sums within the rollup
+    # (sum(s²)/sum(s)² — no join back needed).
+    return f"""
+    WITH per_cust AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        o_custkey,
+        sum(o_totalprice) AS s
+      FROM orders
+      GROUP BY CAST(year(o_orderdate) AS BIGINT), o_custkey
+    )
+    SELECT
+      yr AS order_year,
+      {cnt("count(*)", "n_customers")},
+      {dbl("sum(s)", "year_revenue")},
+      {dbl("sum(s * s) / nullif(sum(s) * sum(s), 0.0)", "hhi")},
+      {dbl(
+          "CASE WHEN sum(s * s) > 0.0"
+          " THEN (sum(s) * sum(s)) / sum(s * s) ELSE 0.0 END",
+          "effective_n_customers",
+      )},
+      {dbl("max(s) / nullif(sum(s), 0.0)", "top_customer_share")}
+    FROM per_cust
+    GROUP BY yr
+    ORDER BY order_year
+    """
+
+
 QUERIES = [
     sql_backed("supply_concentration_hhi", _hhi_sql, ("lineitem", "part")),
     sql_backed("nation_trade_balance", _trade_balance_sql,
@@ -860,4 +966,7 @@ QUERIES = [
                         ("lineitem", "part")),
     sql_backed("shipment_span_profile", _shipment_span_profile_sql,
                ("lineitem", "orders")),
+    sql_backed("revenue_drawdown", _revenue_drawdown_sql, ("orders",)),
+    sql_backed("ship_sla_attainment", _ship_sla_sql, ("lineitem", "orders")),
+    sql_backed("customer_hhi_yearly", _customer_hhi_yearly_sql, ("orders",)),
 ]

@@ -1008,6 +1008,62 @@ def _knn_consistency_sql(d: str) -> str:
     """
 
 
+def _component_moments_sql(d: str) -> str:
+    # E109 — per-label COMPONENT moments of the raw embedding values:
+    # mean/std/skewness/kurtosis + min/max/p1/p99 over every scalar in
+    # the label's vectors — the table read before fixing E27's uint8
+    # quantization range (clip points come from p1/p99; a heavy-tailed
+    # kurtosis says per-vector ranges beat a global one) and beside
+    # E100's per-DIMENSION variances (same values, orthogonal grain).
+    # Moments come from power sums in one explode-agg; centrals derive
+    # in closed form with the σ>0 guard.
+    if d == "spark":
+        exploded = ("SELECT label, explode(CAST(embedding AS ARRAY<DOUBLE>))"
+                    " AS v FROM embeddings")
+    else:
+        exploded = ("SELECT label, unnest(CAST(embedding AS DOUBLE[]))"
+                    " AS v FROM embeddings")
+    # central moments from raw power sums (exact algebra, one pass)
+    n = "CAST(count(*) AS DOUBLE)"
+    m = f"sum(v) / {n}"
+    s2 = f"sum(v * v) / {n} - ({m}) * ({m})"
+    m3 = (f"sum(v * v * v) / {n} - 3.0 * ({m}) * (sum(v * v) / {n})"
+          f" + 2.0 * power({m}, 3)")
+    m4 = (f"sum(v * v * v * v) / {n} - 4.0 * ({m}) * (sum(v * v * v) / {n})"
+          f" + 6.0 * power({m}, 2) * (sum(v * v) / {n}) - 3.0 * power({m}, 4)")
+    return f"""
+    WITH sized AS ({exploded})
+    SELECT
+      label,
+      {cnt("count(*)", "n_components")},
+      {dbl(m, "mean_component")},
+      {dbl(f"sqrt(greatest({s2}, 0.0))", "std_component")},
+      {dbl(
+          f"CASE WHEN {s2} > 1e-24 THEN ({m3}) / power({s2}, 1.5)"
+          " ELSE 0.0 END",
+          "skewness",
+      )},
+      {dbl(
+          f"CASE WHEN {s2} > 1e-24 THEN ({m4}) / (({s2}) * ({s2})) - 3.0"
+          " ELSE 0.0 END",
+          "excess_kurtosis",
+      )},
+      {dbl("min(v)", "min_v")},
+      {dbl("max(v)", "max_v")},
+      {dbl(_pct_v(d, 0.01), "p01_v")},
+      {dbl(_pct_v(d, 0.99), "p99_v")}
+    FROM sized
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+def _pct_v(d: str, p: float) -> str:
+    from fiveg_spark.plans.registry import pct
+
+    return pct("v", p, d)
+
+
 def _label_centroid_matrix_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E106 — pairwise COSINE matrix between label centroids: E101
     # certifies the scalar separation statistic; this ships the full
@@ -1105,4 +1161,6 @@ QUERIES = [
     materialized_backed(
         "label_centroid_matrix", _label_centroid_matrix_parts, ("embeddings",),
     ),
+    sql_backed("embedding_component_moments", _component_moments_sql,
+               ("embeddings",)),
 ]

@@ -622,7 +622,39 @@ def _lead_time_trend_sql(d: str) -> str:
     """
 
 
+def _size_price_corr_sql(d: str) -> str:
+    # C130 — size→price association per part type: the catalog-design
+    # screen (does bigger cost more, and how linearly) — correlation
+    # via the shared corr_safe decomposable-sums form (native corr is
+    # banned: ANSI DIVIDE_BY_ZERO on constant series, r5 lesson), plus
+    # the OLS slope in price-per-size-unit.  One |types|-row agg.
+    from fiveg_spark.plans.registry import corr_safe
+
+    corr = corr_safe("CAST(p_size AS DOUBLE)", "p_retailprice")
+    n = "CAST(count(*) AS DOUBLE)"
+    sx = "sum(CAST(p_size AS DOUBLE))"
+    sy = "sum(p_retailprice)"
+    sxx = "sum(CAST(p_size AS DOUBLE) * CAST(p_size AS DOUBLE))"
+    sxy = "sum(CAST(p_size AS DOUBLE) * p_retailprice)"
+    slope = (f"CASE WHEN {n} * {sxx} - {sx} * {sx} > 1e-12 THEN "
+             f"({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx})"
+             " ELSE 0.0 END")
+    return f"""
+    SELECT
+      p_type,
+      {cnt("count(*)", "n_parts")},
+      {dbl("avg(CAST(p_size AS DOUBLE))", "mean_size")},
+      {dbl("avg(p_retailprice)", "mean_price")},
+      {dbl(corr, "size_price_corr")},
+      {dbl(slope, "price_per_size_unit")}
+    FROM part
+    GROUP BY p_type
+    ORDER BY p_type
+    """
+
+
 QUERIES = [
+    sql_backed("size_price_correlation", _size_price_corr_sql, ("part",)),
     sql_backed("anova_slice_means", _anova_sql, ("events",)),
     sql_backed("discount_qty_elasticity", _elasticity_sql, ("lineitem", "part")),
     sql_backed("chunk_overlap_audit", _chunk_audit_sql, ("documents",)),

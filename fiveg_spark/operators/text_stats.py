@@ -964,6 +964,39 @@ def _bigram_entropy_rate_sql(d: str) -> str:
     """
 
 
+TOKEN_LEN_CAP = 12  # lengths above this collapse into one tail bucket
+
+
+def _token_length_histogram_sql(d: str) -> str:
+    # E108 — token-LENGTH histogram per source (the distribution E76's
+    # fertility scalar summarizes: a source can match another's mean
+    # chars/token while hiding a long-identifier tail that a subword
+    # tokenizer will shred): per (source, length-bucket) token share,
+    # lengths above TOKEN_LEN_CAP pooled into the tail bucket.  One
+    # explode-agg (the E30 word-count shape), shares via a window over
+    # the ≤|sources|·(cap+1) rollup.
+    toks = _tok(d)
+    unn = "explode" if d == "spark" else "unnest"
+    blen = f"least(length(token), {TOKEN_LEN_CAP + 1})"
+    return f"""
+    WITH lens AS (
+      SELECT source, CAST({blen} AS BIGINT) AS len_bucket, count(*) AS c
+      FROM (SELECT source, {unn}({toks}) AS token FROM documents) x
+      WHERE token <> ''
+      GROUP BY source, CAST({blen} AS BIGINT)
+    )
+    SELECT
+      source,
+      len_bucket,
+      (len_bucket > {TOKEN_LEN_CAP}) AS is_tail_bucket,
+      {cnt("c", "n_tokens")},
+      {dbl("c / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE)",
+           "share")}
+    FROM lens
+    ORDER BY source, len_bucket
+    """
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     materialized_backed("vocab_jaccard_matrix", _vocab_jaccard_parts, ("documents",)),
@@ -990,4 +1023,6 @@ QUERIES = [
     materialized_backed("oov_rate", _oov_rate_parts, ("documents",)),
     # new r9, non-deferred
     sql_backed("bigram_entropy_rate", _bigram_entropy_rate_sql, ("documents",)),
+    sql_backed("token_length_histogram", _token_length_histogram_sql,
+               ("documents",)),
 ]

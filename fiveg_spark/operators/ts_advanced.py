@@ -1630,7 +1630,79 @@ def _transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_te_series", series_sql)], tail
 
 
+VT_SCALES = (1, 2, 4, 8)  # block sizes in hours
+
+
+def _variance_time_sql(d: str) -> str:
+    # D66 — variance-time curve per slice (the aggregated-variance
+    # plot, Beran 1994 ch. 4): var of m-hour block means vs m on a
+    # log-log scale; slope β estimates long-range dependence with
+    # H = 1 + β/2 — the classic ALTERNATIVE estimator to D43's R/S
+    # Hurst (two estimators agreeing is the evidence; one alone is
+    # folklore).  The hourly series cross-joins a 4-row scale literal
+    # (ONE pass — a UNION per scale would rescan), blocks keep only
+    # full m-hour windows (partial blocks bias the variance), vars
+    # round to 6 dp before ln (the E75 discipline), and the slope is
+    # the OLS closed form over ≤|scales| points.
+    scales = ", ".join(str(m) for m in VT_SCALES)
+    mexp = (f"explode(array({scales}))" if d == "spark"
+            else f"unnest([{scales}])")
+    lv = "ln(round(v, 6))"
+    n = "CAST(count(*) AS DOUBLE)"
+    sx = "sum(ln(CAST(m AS DOUBLE)))"
+    sy = f"sum({lv})"
+    sxx = "sum(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE)))"
+    sxy = f"sum(ln(CAST(m AS DOUBLE)) * {lv})"
+    slope = (f"CASE WHEN {n} >= 2.0 AND {n} * {sxx} - {sx} * {sx} > 1e-12 "
+             f"THEN ({n} * {sxy} - {sx} * {sy})"
+             f" / ({n} * {sxx} - {sx} * {sx}) ELSE 0.0 END")
+    var_cols = ",\n      ".join(
+        dbl(f"max(CASE WHEN m = {m} THEN v END)", f"var_{m}h")
+        for m in VT_SCALES
+    )
+    return f"""
+    {_hourly_cte(d)},
+    idxd AS (
+      SELECT slice,
+        CAST(floor({epoch("h", d)} / 3600.0) AS BIGINT) AS idx,
+        throughput_bps AS tv
+      FROM hourly
+    ),
+    blocks AS (
+      SELECT s.slice, s.m,
+        CAST(floor(s.idx / s.m) AS BIGINT) AS b,
+        avg(s.tv) AS mv,
+        count(*) AS n_in
+      FROM (SELECT i.*, sc.m FROM idxd i
+            CROSS JOIN (SELECT {mexp} AS m) sc) s
+      GROUP BY s.slice, s.m, CAST(floor(s.idx / s.m) AS BIGINT)
+    ),
+    vars_by_scale AS (
+      SELECT slice, m, var_samp(mv) AS v
+      FROM blocks
+      WHERE n_in = m
+      GROUP BY slice, m
+      HAVING count(*) >= 2
+    ),
+    points AS (
+      -- zero/NULL variances never reach ln() (ANSI codegen evaluates
+      -- CASE branches eagerly — guard by exclusion, not by CASE)
+      SELECT slice, m, v FROM vars_by_scale WHERE v > 1e-12
+    )
+    SELECT
+      slice,
+      {var_cols},
+      {dbl(slope, "vt_slope")},
+      {dbl(f"CASE WHEN {n} >= 2.0 THEN 1.0 + ({slope}) / 2.0 ELSE 0.0 END",
+           "hurst_vt")}
+    FROM points
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
 QUERIES = [
+    sql_backed("variance_time_curve", _variance_time_sql, ("events",)),
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
     materialized_backed("transfer_entropy", _transfer_entropy_parts, ("events",)),
     materialized_backed(

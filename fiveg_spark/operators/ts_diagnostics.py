@@ -2084,7 +2084,51 @@ def _quantile_drift_sql(d: str) -> str:
     """
 
 
+def _error_pchart_sql(d: str) -> str:
+    # D67 — p-chart on the daily error-event share (Shewhart attribute
+    # control chart, the SPC classic): daily p̂ against the pooled
+    # baseline p̄ with 3σ binomial limits p̄ ± 3·√(p̄(1−p̄)/nᵢ) — the
+    # error-budget monitor between B19's SLO burn rate (threshold
+    # semantics) and D39's Page-Hinkley (sequential semantics); a
+    # p-chart catches single-day excursions with per-day sample-size-
+    # aware limits.  One daily agg; the baseline is a 1-row aggregate
+    # cross-joined back (broadcast).
+    ep = epoch("ts", d)
+    err = "CAST(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS DOUBLE)"
+    sig = "sqrt(b.pbar * (1.0 - b.pbar) / dd.n)"
+    return f"""
+    WITH daily AS (
+      SELECT
+        CAST(floor({ep} / 86400.0) AS BIGINT) AS day,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum({err}) AS n_err
+      FROM events
+      GROUP BY CAST(floor({ep} / 86400.0) AS BIGINT)
+    ),
+    base AS (
+      SELECT sum(n_err) / sum(n) AS pbar FROM daily
+    )
+    SELECT
+      dd.day,
+      {cnt("dd.n", "n_events")},
+      {cnt("dd.n_err", "n_errors")},
+      {dbl("dd.n_err / dd.n", "p_hat")},
+      {dbl("b.pbar", "p_baseline")},
+      {dbl(f"b.pbar + 3.0 * {sig}", "ucl")},
+      {dbl(f"greatest(b.pbar - 3.0 * {sig}, 0.0)", "lcl")},
+      (round(dd.n_err / dd.n + {NUDGE}, 4)
+         > round(b.pbar + 3.0 * {sig} + {NUDGE}, 4)) AS above_ucl,
+      (round(dd.n_err / dd.n + {NUDGE}, 4)
+         < round(greatest(b.pbar - 3.0 * {sig}, 0.0) + {NUDGE}, 4))
+        AS below_lcl
+    FROM daily dd
+    CROSS JOIN base b
+    ORDER BY dd.day
+    """
+
+
 QUERIES = [
+    sql_backed("error_rate_pchart", _error_pchart_sql, ("events",)),
     sql_backed("acf_throughput", _acf_sql, ("events",)),
     sql_backed("theils_u_eval", _theils_u_sql, ("events",)),
     sql_backed("arch_lm_test", _arch_lm_sql, ("events",)),

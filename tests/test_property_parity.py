@@ -109,6 +109,7 @@ def _more_doc_sql_fns():
     from fiveg_spark.operators.text_stats import (
         _bigram_entropy_rate_sql,
         _lognormal_fit_sql,
+        _token_length_histogram_sql,
     )
     from fiveg_spark.operators.text_stats import (
         _bigram_ppl_sql,
@@ -195,6 +196,8 @@ def _more_doc_sql_fns():
         "token_entropy": _token_entropy_sql,
         # nullif(words/sents, 0) ARI guards: empty and 1-word docs
         "sentence_stats": _sentence_stats_sql,
+        # per-source share window + tail-bucket pooling on tiny vocabs
+        "token_length_histogram": _token_length_histogram_sql,
         # length-difference class counts: all-space and all-symbol
         # docs pin shares at exact 0/1 via the nullif(total) guard
         "char_class_profile": _char_class_profile_sql,
@@ -403,6 +406,9 @@ def _event_sql_fns():
         _transition_matrix_sql,
     )
     from fiveg_spark.operators.quality import _column_stat_drift_sql
+    from fiveg_spark.operators.lateness import _arrival_inversions_sql
+    from fiveg_spark.operators.ts_advanced import _variance_time_sql
+    from fiveg_spark.operators.ts_diagnostics import _error_pchart_sql
     from fiveg_spark.operators.rollup_stats import _concurrency_sql
     from fiveg_spark.operators.timeseries import (
         _cohort_retention_sql,
@@ -457,6 +463,15 @@ def _event_sql_fns():
         # half-split conditional stats: single-instant streams leave
         # h2 EMPTY (nullif count guards, NULL means -> dbl 0.0)
         "column_stat_drift": _column_stat_drift_sql,
+        # hash-delay lag windows: single-arrival type-days emit no
+        # adjacent pairs (nullif(count) guard, empty-avg -> dbl 0.0)
+        "arrival_order_inversions": _arrival_inversions_sql,
+        # full-block filtering + ln over positive variances only:
+        # constant/periodic series drop scale points (n>=2 slope guard)
+        "variance_time_curve": _variance_time_sql,
+        # binomial 3sigma limits with rounded-boolean flags: all-error
+        # and error-free streams pin pbar at 1/0 (sigma 0)
+        "error_rate_pchart": _error_pchart_sql,
         # centered power sums: constant series hit the s2>0 guards,
         # n<4 slices are filtered
         "jarque_bera": _jarque_bera_sql,
@@ -991,7 +1006,10 @@ def _star_sql_fns():
     from fiveg_spark.operators.quality import _fk_orphan_audit_sql
     from fiveg_spark.operators.relational_ext import (
         _brand_price_realization_sql,
+        _customer_hhi_yearly_sql,
         _order_linecount_profile_sql,
+        _revenue_drawdown_sql,
+        _ship_sla_sql,
         _shipment_span_profile_sql,
         _yoy_revenue_growth_sql,
     )
@@ -1011,6 +1029,14 @@ def _star_sql_fns():
         # LEFT JOIN orphan rates: random small key ranges make both
         # clean and orphaned edges common
         "fk_orphan_audit": _fk_orphan_audit_sql,
+        # running-peak drawdown + nullif(lag) log returns: single-day
+        # years have no returns (stddev NULL -> 0.0), zero-revenue
+        # days hit both nullif guards
+        "revenue_drawdown": _revenue_drawdown_sql,
+        # epoch-difference SLA booleans cast through DOUBLE
+        "ship_sla_attainment": _ship_sla_sql,
+        # ratio-of-sums HHI: single-customer years pin hhi at 1.0
+        "customer_hhi_yearly": _customer_hhi_yearly_sql,
     }
 
 
@@ -1134,5 +1160,88 @@ def test_star_queries_on_random_fragments(spark, name):
                          "s_nationkey INT, s_acctbal DOUBLE"),
         }
         _assert_parity_tables(spark, frames, sql_fn, name)
+
+    check()
+
+
+def test_size_price_correlation_on_random_parts(spark):
+    from fiveg_spark.operators.stats_assoc import _size_price_corr_sql
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        parts=st.lists(
+            st.tuples(
+                st.sampled_from(["T1", "T2"]),
+                st.integers(1, 4),
+                # tiny price alphabet -> constant-price types are
+                # common, exercising corr_safe's degenerate cutoff
+                st.sampled_from([0.0, 5.0, 5.0, 12.5]),
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(parts):
+        pdf = pd.DataFrame(
+            {
+                "p_partkey": pd.Series(range(len(parts)), dtype="int64"),
+                "p_name": [f"p{i}" for i in range(len(parts))],
+                "p_brand": ["Brand#1"] * len(parts),
+                "p_type": [t for t, _s, _p in parts],
+                "p_size": pd.Series([s for _t, s, _p in parts], dtype="int32"),
+                "p_retailprice": pd.Series(
+                    [p for _t, _s, p in parts], dtype="float64"
+                ),
+            }
+        )
+        _assert_parity(
+            spark, pdf, "part",
+            "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, "
+            "p_size INT, p_retailprice DOUBLE",
+            _size_price_corr_sql, "size_price_correlation",
+        )
+
+    check()
+
+
+def test_component_moments_on_random_embeddings(spark):
+    from fiveg_spark.operators.similarity import _component_moments_sql
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        vecs=st.lists(
+            st.tuples(
+                st.integers(0, 2),  # label
+                # constant vectors (all one value) are COMMON -> the
+                # sigma=0 skew/kurtosis guards exercise every run
+                st.lists(
+                    st.sampled_from([0.0, 1.0, -2.5]), min_size=4, max_size=4
+                ),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(vecs):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+                "embedding": [[float(x) for x in v] for _l, v in vecs],
+                "label": pd.Series([l for l, _v in vecs], dtype="int32"),
+            }
+        )
+        _assert_parity(
+            spark, pdf, "embeddings",
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            _component_moments_sql, "embedding_component_moments",
+        )
 
     check()

@@ -454,3 +454,204 @@ def test_pq_rerank_ladder_monotone_and_floor(spark):
     assert vals[-1] >= 5  # the deepest rung recovers >= the 0.5 floor
     rows = ann_pq_rerank_ladder(spark, SF_DIR).collect()
     assert all(r["monotone_ok"] and r["floor_ok"] for r in rows)
+
+
+def test_revenue_drawdown_planted_dip(spark):
+    from fiveg_spark.operators.relational_ext import _revenue_drawdown_sql
+
+    # daily revenue 100, 100, 50, 100 -> max drawdown (100-50)/100 = 0.5
+    import datetime as dt
+
+    rows = []
+    for i, rev in enumerate([100.0, 100.0, 50.0, 100.0]):
+        rows.append((i, rev, dt.datetime(1995, 1, 1 + i)))
+    spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_totalprice DOUBLE, o_orderdate TIMESTAMP"
+    ).createOrReplaceTempView("orders")
+    got = spark.sql(_revenue_drawdown_sql("spark")).collect()[0].asDict()
+    assert got["n_days"] == 4
+    assert got["max_drawdown"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_customer_hhi_single_customer_is_one(spark):
+    from fiveg_spark.operators.relational_ext import _customer_hhi_yearly_sql
+
+    import datetime as dt
+
+    spark.createDataFrame(
+        [
+            (0, 1, 100.0, dt.datetime(1995, 3, 1)),
+            (1, 1, 300.0, dt.datetime(1995, 6, 1)),
+            (2, 2, 200.0, dt.datetime(1996, 3, 1)),
+            (3, 3, 200.0, dt.datetime(1996, 6, 1)),
+        ],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderdate TIMESTAMP",
+    ).createOrReplaceTempView("orders")
+    got = {r["order_year"]: r.asDict()
+           for r in spark.sql(_customer_hhi_yearly_sql("spark")).collect()}
+    assert got[1995]["hhi"] == 1.0  # one customer owns the year
+    assert got[1995]["effective_n_customers"] == 1.0
+    assert got[1996]["hhi"] == pytest.approx(0.5, abs=1e-4)  # 50/50 split
+    assert got[1996]["effective_n_customers"] == pytest.approx(2.0, abs=1e-3)
+
+
+def test_ship_sla_attainment_planted_latencies(spark):
+    from fiveg_spark.operators.relational_ext import SHIP_SLA_DAYS, _ship_sla_sql
+
+    import datetime as dt
+
+    od = dt.datetime(1995, 1, 10)
+    spark.createDataFrame(
+        [(1, od, "1-URGENT")],
+        "o_orderkey BIGINT, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [
+            (1, od + dt.timedelta(days=10)),   # in SLA
+            (1, od + dt.timedelta(days=100)),  # out of SLA
+        ],
+        "l_orderkey BIGINT, l_shipdate TIMESTAMP",
+    ).createOrReplaceTempView("lineitem")
+    got = spark.sql(_ship_sla_sql("spark")).collect()[0].asDict()
+    assert SHIP_SLA_DAYS == 60.0
+    assert got["n_lineitems"] == 2
+    assert got["sla_attainment"] == pytest.approx(0.5, abs=1e-4)
+    assert got["mean_latency_days"] == pytest.approx(55.0, abs=1e-4)
+
+
+def test_size_price_correlation_perfect_line(spark):
+    from fiveg_spark.operators.stats_assoc import _size_price_corr_sql
+
+    rows = [(i, f"p{i}", "Brand#1", "T1", i + 1, 2.0 * (i + 1))
+            for i in range(6)]
+    rows += [(10 + i, f"q{i}", "Brand#1", "T2", i + 1, 7.0)
+             for i in range(4)]  # constant price -> corr_safe degenerate 0
+    spark.createDataFrame(
+        rows,
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE",
+    ).createOrReplaceTempView("part")
+    got = {r["p_type"]: r.asDict()
+           for r in spark.sql(_size_price_corr_sql("spark")).collect()}
+    assert got["T1"]["size_price_corr"] == pytest.approx(1.0, abs=1e-4)
+    assert got["T1"]["price_per_size_unit"] == pytest.approx(2.0, abs=1e-4)
+    assert got["T2"]["size_price_corr"] == 0.0
+    assert got["T2"]["price_per_size_unit"] == 0.0
+
+
+def test_error_rate_pchart_flags_planted_spike(spark):
+    from fiveg_spark.operators.ts_diagnostics import _error_pchart_sql
+
+    # 9 quiet days at 1/100 errors, one spike day at 50/100
+    rows, eid = [], 0
+    for day in range(10):
+        n_err = 50 if day == 9 else 1
+        for k in range(100):
+            et = "error" if k < n_err else "view"
+            rows.append((eid, BASE + day * 86400 + k, 1, et, 1.0))
+            eid += 1
+    _events_view(spark, rows)
+    got = {int((r["day"] * 86400 - BASE) / 86400) if False else r["day"]: r.asDict()
+           for r in spark.sql(_error_pchart_sql("spark")).collect()}
+    days = sorted(got)
+    spike, quiet = got[days[-1]], got[days[0]]
+    assert spike["above_ucl"] is True
+    assert quiet["above_ucl"] is False and quiet["below_lcl"] is False
+    assert spike["p_hat"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_variance_time_curve_alternating_drops_even_scales(spark):
+    from fiveg_spark.operators.ts_advanced import _variance_time_sql
+
+    # the flows/slice derivation rides events' json k; craft events so
+    # hourly throughput alternates a,b exactly: m=2 block means are
+    # constant -> var 0 -> the scale point is dropped and the slope
+    # guard (n>=2) kicks in only with the surviving points
+    rows, eid = [], 0
+    for h in range(16):
+        n = 2 if h % 2 else 1  # alternating hourly event count
+        for k in range(n):
+            rows.append((eid, BASE - (BASE % 3600) + h * 3600 + k, 1, "a", 1.0))
+            eid += 1
+    _events_view(spark, rows)
+    df = spark.sql(_variance_time_sql("spark")).collect()
+    assert len(df) >= 1
+    for r in df:
+        rd = r.asDict()
+        # even-scale block means are exactly constant -> var 0 -> point
+        # excluded -> reported as the dbl() 0.0 convention
+        assert rd["var_2h"] == 0.0
+        assert rd["var_1h"] > 0.0
+
+
+def test_token_length_histogram_tail_pooling(spark):
+    from fiveg_spark.operators.text_stats import (
+        TOKEN_LEN_CAP,
+        _token_length_histogram_sql,
+    )
+
+    text = "ab ab " + "x" * 40  # two 2-char tokens + one 40-char token
+    spark.createDataFrame(
+        [(0, text, "en", "s", len(text))],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = {r["len_bucket"]: r.asDict()
+           for r in spark.sql(_token_length_histogram_sql("spark")).collect()}
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["share"] == pytest.approx(2 / 3, abs=1e-4)
+    tail = got[TOKEN_LEN_CAP + 1]
+    assert tail["is_tail_bucket"] is True and tail["n_tokens"] == 1
+
+
+def test_component_moments_constant_vectors_guarded(spark):
+    from fiveg_spark.operators.similarity import _component_moments_sql
+
+    rows = [
+        (0, [3.0, 3.0, 3.0, 3.0], 0),   # constant: sigma 0 -> guards
+        (1, [0.0, 0.0, 0.0, 12.0], 1),  # one outlier component
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    got = {r["label"]: r.asDict()
+           for r in spark.sql(_component_moments_sql("spark")).collect()}
+    c = got[0]
+    assert c["std_component"] == 0.0
+    assert c["skewness"] == 0.0 and c["excess_kurtosis"] == 0.0
+    o = got[1]
+    assert o["mean_component"] == pytest.approx(3.0, abs=1e-4)
+    assert o["skewness"] > 0.5  # right-skewed by the outlier
+    assert o["max_v"] == 12.0
+
+
+def test_arrival_inversions_match_python_simulation(spark):
+    from fiveg_spark.operators.lateness import _arrival_inversions_sql
+    from tests.test_lateness import _delay, _mk_events
+
+    es_by_id = _mk_events(spark, n=300)
+    got = {r["event_type"]: r.asDict()
+           for r in spark.sql(_arrival_inversions_sql("spark")).collect()}
+
+    arr = {i: es + _delay(i) for i, es in es_by_id.items()}
+    import collections
+
+    exp = collections.Counter()
+    pairs = collections.Counter()
+    for etype in ("a", "b"):
+        ids = [i for i in es_by_id if ("a" if i % 2 else "b") == etype]
+        by_day = collections.defaultdict(list)
+        for i in ids:
+            by_day[int(arr[i] // 86400.0)].append(i)
+        for day_ids in by_day.values():
+            day_ids.sort(key=lambda i: (arr[i], es_by_id[i]))
+            for a, b in zip(day_ids, day_ids[1:]):
+                pairs[etype] += 1
+                if es_by_id[b] < es_by_id[a]:
+                    exp[etype] += 1
+    for etype in ("a", "b"):
+        assert got[etype]["n_adjacent_pairs"] == pairs[etype]
+        assert got[etype]["n_inversions"] == exp[etype]
+    # the synthesized disorder actually produces inversions
+    assert sum(exp.values()) > 0
