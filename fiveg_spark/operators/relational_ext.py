@@ -928,7 +928,93 @@ def _customer_hhi_yearly_sql(d: str) -> str:
     """
 
 
+def _brand_loyalty_sql(d: str) -> str:
+    # C131 — brand-loyalty index per market segment: each customer's
+    # purchase-share HHI across brands (1.0 = single-brand loyalist),
+    # averaged per segment with the loyalist share — the demand-side
+    # stickiness readout beside C129's concentration (loyalty is
+    # concentration WITHIN a customer).  Chain joins with dims
+    # broadcast; per-customer HHI is a ratio-of-sums over the
+    # (cust, brand) rollup; customers with < 2 lineitems excluded
+    # (single-purchase "loyalty" is noise).
+    return f"""
+    WITH cust_brand AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey, p.p_brand,
+             count(*) AS n
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY c.c_mktsegment, c.c_custkey, p.p_brand
+    ),
+    per_cust AS (
+      SELECT
+        segment,
+        c_custkey,
+        sum(n) AS n_items,
+        sum(n * n) / (sum(n) * sum(n) * 1.0) AS hhi
+      FROM cust_brand
+      GROUP BY segment, c_custkey
+      HAVING sum(n) >= 2
+    )
+    SELECT
+      segment,
+      {cnt("count(*)", "n_customers")},
+      {dbl("avg(hhi)", "mean_brand_hhi")},
+      {dbl("avg(CAST(CASE WHEN hhi >= 0.999999 THEN 1 ELSE 0 END"
+           " AS DOUBLE))", "single_brand_share")},
+      {dbl("avg(n_items)", "mean_items")}
+    FROM per_cust
+    GROUP BY segment
+    ORDER BY segment
+    """
+
+
+def _priority_mix_yearly_sql(d: str) -> str:
+    # C133 — order-priority mix per year with chi-square drift vs the
+    # pooled mix (C104's returnflag-shift screen moved to the ORDER
+    # dimension: a drifting priority mix silently re-weights every
+    # SLA and staffing model downstream).  One (year, priority) agg;
+    # expected counts from year/priority margins over the bounded
+    # cell frame; exact-integer ratios.
+    return f"""
+    WITH cells AS (
+      SELECT
+        CAST(year(o_orderdate) AS BIGINT) AS yr,
+        o_orderpriority AS priority,
+        count(*) AS c
+      FROM orders
+      GROUP BY CAST(year(o_orderdate) AS BIGINT), o_orderpriority
+    ),
+    marg AS (
+      SELECT
+        yr, priority, c,
+        sum(c) OVER (PARTITION BY yr) AS c_yr,
+        sum(c) OVER (PARTITION BY priority) AS c_pr,
+        sum(c) OVER () AS n
+      FROM cells
+    )
+    SELECT
+      yr AS order_year,
+      priority,
+      {cnt("c", "n_orders")},
+      {dbl("c / CAST(c_yr AS DOUBLE)", "share_in_year")},
+      {dbl("c_pr / CAST(n AS DOUBLE)", "pooled_share")},
+      {dbl(
+          "CASE WHEN c_yr * c_pr > 0 THEN"
+          " power(c - c_yr * (c_pr / CAST(n AS DOUBLE)), 2)"
+          " / (c_yr * (c_pr / CAST(n AS DOUBLE))) ELSE 0.0 END",
+          "chi2_contribution",
+      )}
+    FROM marg
+    ORDER BY order_year, priority
+    """
+
+
 QUERIES = [
+    sql_backed("priority_mix_yearly", _priority_mix_yearly_sql, ("orders",)),
+    sql_backed("brand_loyalty_index", _brand_loyalty_sql,
+               ("lineitem", "orders", "customer", "part")),
     sql_backed("supply_concentration_hhi", _hhi_sql, ("lineitem", "part")),
     sql_backed("nation_trade_balance", _trade_balance_sql,
                ("lineitem", "supplier", "orders", "customer", "nation")),

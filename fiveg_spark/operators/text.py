@@ -651,6 +651,42 @@ def _url_markup_screen_sql(d: str) -> str:
     """
 
 
+def _fingerprint_collision_sql(d: str) -> str:
+    # E110 — fingerprint-collision audit per source: how much
+    # discriminating power does E11's 5-token PREFIX hash keep vs the
+    # full content hash?  distinct-prefix / distinct-full is the
+    # compression a prefix-blocked dedup pass would pay in extra
+    # candidate pairs (a collision factor of 2 doubles the candidate
+    # fan-in).  One scan, per-source distinct counts.
+    toks = _tok(d)
+    if d == "spark":
+        prefix = f"concat_ws(' ', slice({toks}, 1, 5))"
+    else:
+        prefix = f"array_to_string(list_slice({toks}, 1, 5), ' ')"
+    return f"""
+    WITH hashed AS (
+      SELECT
+        source,
+        md5(lower(text)) AS full_hash,
+        md5({prefix}) AS prefix_hash
+      FROM documents
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("count(DISTINCT full_hash)", "n_full_hashes")},
+      {cnt("count(DISTINCT prefix_hash)", "n_prefix_hashes")},
+      {dbl(
+          "count(DISTINCT full_hash)"
+          " / CAST(nullif(count(DISTINCT prefix_hash), 0) AS DOUBLE)",
+          "prefix_collision_factor",
+      )}
+    FROM hashed
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     materialized_backed("tfidf_top_terms", _tfidf_parts, ("documents",)),
     sql_backed("code_like_score", _code_detect_sql, ("documents",)),
@@ -670,4 +706,6 @@ QUERIES = [
     sql_backed("sentence_stats", _sentence_stats_sql, ("documents",)),
     sql_backed("char_class_profile", _char_class_profile_sql, ("documents",)),
     sql_backed("url_markup_screen", _url_markup_screen_sql, ("documents",)),
+    sql_backed("fingerprint_collision_audit", _fingerprint_collision_sql,
+               ("documents",)),
 ]

@@ -31,6 +31,48 @@ from fiveg_spark.plans.registry import (
 
 # Hourly series CTE reused by most queries here (rounded measure so every
 # downstream window sees identical inputs in both engines).
+CONC_TOP_SHARES = (0.01, 0.05, 0.10)
+
+
+def _value_concentration_sql(d: str) -> str:
+    # C132 — value concentration per event type: the share of total
+    # value carried by the top 1/5/10% of events — the whale-tail
+    # summary a capacity/abuse review reads next to C93's full Lorenz
+    # curve (three scalars instead of a curve; computable map-only).
+    # Thresholds are per-type broadcast percentiles compared back
+    # (the E69 boundary-compare recipe — no global ntile, no
+    # single-partition sort); tie-heavy types make the captured mass
+    # approximate from above, which n_top makes visible.
+    thr_cols = ", ".join(
+        f"{pct('value', 1.0 - s, d)} AS thr_{int(s * 100)}"
+        for s in CONC_TOP_SHARES
+    )
+    share_cols = ",\n      ".join(
+        dbl(
+            f"sum(CASE WHEN e.value >= t.thr_{int(s * 100)} THEN e.value"
+            " ELSE 0.0 END) / nullif(sum(e.value), 0.0)",
+            f"top{int(s * 100)}pct_value_share",
+        )
+        for s in CONC_TOP_SHARES
+    )
+    return f"""
+    WITH thr AS (
+      SELECT event_type, {thr_cols}
+      FROM events
+      GROUP BY event_type
+    )
+    SELECT
+      e.event_type,
+      {cnt("count(*)", "n_events")},
+      {dbl("sum(e.value)", "total_value")},
+      {share_cols}
+    FROM events e
+    JOIN thr t ON t.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """
+
+
 def _hourly_cte(d: str) -> str:
     return f"""{flows_cte(d)},
     hourly AS (
@@ -1044,6 +1086,8 @@ QUERIES = [
     sql_backed("quantile_transform", _quantile_transform_sql, ("events",)),
     # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
     sql_backed("peak_to_mean_daily", _peak_to_mean_sql, ("events",)),
+    sql_backed("value_concentration_by_type", _value_concentration_sql,
+               ("events",)),
     sql_backed("weekday_hour_heatmap", _heatmap_sql, ("events",)),
     sql_backed("funnel_conversion_ci", _funnel_ci_sql, ("events",)),
     materialized_backed("retention_halflife", _retention_halflife_parts, ("events",)),

@@ -96,6 +96,7 @@ POST_AGG_GLOBAL_WINDOWS = frozenset({
     "littles_law_orders",       # running WIP over <= |days| rows
     "lorenz_curve_users",       # cum-share over <= |percentile points|
     "oov_rate",                 # rank over the top-K frozen vocabulary
+    "priority_mix_yearly",      # margins over <= |years x priorities| cells
     "rfm_segments",             # quintile cuts over <= |quantile grid|
     "rrf_fusion",               # rank fusion over <= k x |metrics| rows
     "session_paths",            # top-k over <= |distinct trigrams| rows

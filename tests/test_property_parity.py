@@ -102,6 +102,7 @@ def _more_doc_sql_fns():
     )
     from fiveg_spark.operators.text import (
         _char_class_profile_sql,
+        _fingerprint_collision_sql,
         _lang_confusion_sql,
         _sentence_stats_sql,
         _url_markup_screen_sql,
@@ -207,6 +208,9 @@ def _more_doc_sql_fns():
         # round-before-log2 conditional shares: deterministic bigram
         # chains give H exactly 0 (perplexity 1)
         "bigram_entropy_rate": _bigram_entropy_rate_sql,
+        # distinct/distinct ratio with nullif: tiny-vocab corpora make
+        # prefix collisions the common case
+        "fingerprint_collision_audit": _fingerprint_collision_sql,
     }
 
 
@@ -379,6 +383,7 @@ def _event_sql_fns():
         _feature_correlations_sql,
         _heatmap_sql,
         _peak_to_mean_sql,
+        _value_concentration_sql,
         _window_entropy_sql,
     )
     from fiveg_spark.operators.ts_diagnostics import (
@@ -472,6 +477,10 @@ def _event_sql_fns():
         # binomial 3sigma limits with rounded-boolean flags: all-error
         # and error-free streams pin pbar at 1/0 (sigma 0)
         "error_rate_pchart": _error_pchart_sql,
+        # broadcast-percentile boundary compare: tie-heavy tiny value
+        # alphabets make the >= capture approximate from above in both
+        # engines identically; zero-value types hit nullif(sum)
+        "value_concentration_by_type": _value_concentration_sql,
         # centered power sums: constant series hit the s2>0 guards,
         # n<4 slices are filtered
         "jarque_bera": _jarque_bera_sql,
@@ -1005,8 +1014,10 @@ def _assert_parity_tables(spark, frames: dict, sql_fn, name):
 def _star_sql_fns():
     from fiveg_spark.operators.quality import _fk_orphan_audit_sql
     from fiveg_spark.operators.relational_ext import (
+        _brand_loyalty_sql,
         _brand_price_realization_sql,
         _customer_hhi_yearly_sql,
+        _priority_mix_yearly_sql,
         _order_linecount_profile_sql,
         _revenue_drawdown_sql,
         _ship_sla_sql,
@@ -1037,6 +1048,12 @@ def _star_sql_fns():
         "ship_sla_attainment": _ship_sla_sql,
         # ratio-of-sums HHI: single-customer years pin hhi at 1.0
         "customer_hhi_yearly": _customer_hhi_yearly_sql,
+        # margin windows over the bounded cell frame: single-year /
+        # single-priority fragments pin every share at 1.0, chi2 at 0
+        "priority_mix_yearly": _priority_mix_yearly_sql,
+        # per-customer HHI with the >= 2 items floor: single-line
+        # customers drop; whole-fragment single-brand pins hhi 1.0
+        "brand_loyalty_index": _brand_loyalty_sql,
     }
 
 

@@ -655,3 +655,91 @@ def test_arrival_inversions_match_python_simulation(spark):
         assert got[etype]["n_inversions"] == exp[etype]
     # the synthesized disorder actually produces inversions
     assert sum(exp.values()) > 0
+
+
+def test_brand_loyalty_single_brand_customers(spark):
+    from fiveg_spark.operators.relational_ext import _brand_loyalty_sql
+
+    # cust 1: 4 items all brand X (hhi 1, loyalist); cust 2: 2+2 split
+    # (hhi 0.5); cust 3: single item -> excluded by the >= 2 floor
+    li, parts = [], [(0, "X"), (1, "Y")]
+    ln = 0
+    for o, (cust, brands) in enumerate([(1, "XXXX"), (2, "XXYY"), (3, "X")]):
+        for b in brands:
+            li.append((o, 0 if b == "X" else 1, ln)); ln += 1
+    spark.createDataFrame(
+        li, "l_orderkey BIGINT, l_partkey BIGINT, l_linenumber INT"
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "o_orderkey BIGINT, o_custkey BIGINT"
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [(1, "SEG"), (2, "SEG"), (3, "SEG")],
+        "c_custkey BIGINT, c_mktsegment STRING",
+    ).createOrReplaceTempView("customer")
+    spark.createDataFrame(
+        [(p, f"Brand#{b}") for p, b in parts],
+        "p_partkey BIGINT, p_brand STRING",
+    ).createOrReplaceTempView("part")
+    got = spark.sql(_brand_loyalty_sql("spark")).collect()[0].asDict()
+    assert got["n_customers"] == 2  # the single-item customer dropped
+    assert got["mean_brand_hhi"] == pytest.approx(0.75, abs=1e-4)
+    assert got["single_brand_share"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_value_concentration_uniform_values(spark):
+    from fiveg_spark.operators.timeseries import _value_concentration_sql
+
+    # 100 equal-value events: the top-10% threshold equals every value,
+    # so the >= capture takes ALL mass (the documented tie behavior)
+    _events_view(spark, [(i, BASE + i, 1, "a", 1.0) for i in range(100)])
+    got = spark.sql(_value_concentration_sql("spark")).collect()[0].asDict()
+    assert got["top10pct_value_share"] == 1.0
+    # distinct ramp 1..100: top 10% (>= p90) captures the top decile
+    _events_view(spark, [
+        (i, BASE + i, 1, "a", float(i + 1)) for i in range(100)
+    ])
+    got = spark.sql(_value_concentration_sql("spark")).collect()[0].asDict()
+    exp = sum(range(91, 101)) / sum(range(1, 101))
+    assert got["top10pct_value_share"] == pytest.approx(exp, abs=0.02)
+
+
+def test_fingerprint_collision_planted_prefix_dupes(spark):
+    from fiveg_spark.operators.text import _fingerprint_collision_sql
+
+    # two docs share the 5-token prefix but differ after -> 2 full
+    # hashes over 1 prefix hash = collision factor 2
+    docs = [
+        (0, "a b c d e tail one", "en", "s", 0),
+        (1, "a b c d e tail two", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = spark.sql(_fingerprint_collision_sql("spark")).collect()[0].asDict()
+    assert got["n_full_hashes"] == 2
+    assert got["n_prefix_hashes"] == 1
+    assert got["prefix_collision_factor"] == 2.0
+
+
+def test_priority_mix_proportional_has_zero_chi2(spark):
+    from fiveg_spark.operators.relational_ext import _priority_mix_yearly_sql
+
+    import datetime as dt
+
+    rows, ok = [], 0
+    for yr, mult in ((1995, 1), (1996, 3)):
+        for pr, base in (("1-URGENT", 10), ("3-MEDIUM", 20)):
+            for _ in range(base * mult):
+                rows.append((ok, dt.datetime(yr, 6, 1), pr)); ok += 1
+    spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_orderdate TIMESTAMP, "
+        "o_orderpriority STRING",
+    ).createOrReplaceTempView("orders")
+    for r in spark.sql(_priority_mix_yearly_sql("spark")).collect():
+        assert r["chi2_contribution"] == 0.0
+        assert r["share_in_year"] == pytest.approx(
+            r["pooled_share"], abs=1e-4
+        )
