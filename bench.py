@@ -49,6 +49,12 @@ HEADLINE = (
     # posting-list matrix (distinct token frame + posting pair explode)
     "line_dedup",
     "vocab_jaccard_matrix",
+    # r9 additions: the hash-delay watermark simulation (md5 digit
+    # arithmetic per row + bounded running-max join-back) and the
+    # sparse-cell transfer-entropy shape (two event reductions + census
+    # broadcast + per-user log-term rollup)
+    "watermark_lateness_profile",
+    "user_transfer_entropy",
 )
 
 

@@ -1232,56 +1232,64 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       SELECT DISTINCT user_id, CAST(floor({ep} / 3600.0) AS BIGINT) AS hr
       FROM events
     """
-    tail = f"""
-    WITH med AS (
-      SELECT {pct("n_ev", 0.5, d)} AS m FROM _mz_ute_hours
-    ),
-    lab AS (
-      SELECT hr, CASE WHEN n_ev > (SELECT m FROM med) THEN 1 ELSE 0 END AS l
-      FROM _mz_ute_hours
-    ),
-    pairs AS (
+    pairs_sql = f"""
+      WITH med AS (
+        SELECT {pct("n_ev", 0.5, d)} AS m FROM _mz_ute_hours
+      ),
+      lab AS (
+        SELECT hr,
+          CASE WHEN n_ev > (SELECT m FROM med) THEN 1 ELSE 0 END AS l
+        FROM _mz_ute_hours
+      )
       SELECT a.hr AS hr, a.l AS l, b.l AS lp
       FROM lab a
       JOIN lab b ON b.hr = a.hr + 1
-    ),
-    census AS (
-      SELECT l, lp, count(*) AS big_n FROM pairs GROUP BY l, lp
-    ),
-    census_l AS (
-      SELECT l, sum(big_n) AS n_l FROM census GROUP BY l
-    ),
-    n_tot AS (
-      SELECT sum(big_n) AS n FROM census
-    ),
-    c1 AS (
-      SELECT u.user_id, p.l, p.lp, count(*) AS c
-      FROM _mz_ute_uh u
-      JOIN pairs p ON p.hr = u.hr
-      GROUP BY u.user_id, p.l, p.lp
-    ),
-    users AS (
-      SELECT DISTINCT user_id FROM _mz_ute_uh
-    ),
-    dense AS (
+    """
+    census_sql = """
+      SELECT l, lp, count(*) AS big_n FROM _mz_ute_pairs GROUP BY l, lp
+    """
+    # the per-user dense cell grid (b=1 from observed counts, b=0 in
+    # closed form): materialized because cb/terms both consume it —
+    # inlined, the users x census x c1 join chain re-ran per reference
+    # (the plan audit measured 92 exchanges; materialized it's ~15)
+    dense_sql = """
+      WITH c1 AS (
+        SELECT u.user_id, p.l, p.lp, count(*) AS c
+        FROM _mz_ute_uh u
+        JOIN _mz_ute_pairs p ON p.hr = u.hr
+        GROUP BY u.user_id, p.l, p.lp
+      ),
+      users AS (
+        SELECT DISTINCT user_id FROM _mz_ute_uh
+      )
       SELECT
         us.user_id, ce.l, ce.lp, 1 AS b,
-        coalesce(c1.c, 0) AS c
+        coalesce(c1.c, 0) AS c,
+        ce.big_n
       FROM users us
-      CROSS JOIN census ce
+      CROSS JOIN _mz_ute_census ce
       LEFT JOIN c1 ON c1.user_id = us.user_id
                   AND c1.l = ce.l AND c1.lp = ce.lp
       UNION ALL
       SELECT
         us.user_id, ce.l, ce.lp, 0 AS b,
-        ce.big_n - coalesce(c1.c, 0) AS c
+        ce.big_n - coalesce(c1.c, 0) AS c,
+        ce.big_n
       FROM users us
-      CROSS JOIN census ce
+      CROSS JOIN _mz_ute_census ce
       LEFT JOIN c1 ON c1.user_id = us.user_id
                   AND c1.l = ce.l AND c1.lp = ce.lp
+    """
+    tail = f"""
+    WITH census_l AS (
+      SELECT l, sum(big_n) AS n_l FROM _mz_ute_census GROUP BY l
+    ),
+    n_tot AS (
+      SELECT sum(big_n) AS n FROM _mz_ute_census
     ),
     cb AS (
-      SELECT user_id, b, l, sum(c) AS c_bl FROM dense GROUP BY user_id, b, l
+      SELECT user_id, b, l, sum(c) AS c_bl
+      FROM _mz_ute_dense GROUP BY user_id, b, l
     ),
     terms AS (
       SELECT
@@ -1289,12 +1297,11 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
         CASE WHEN de.c > 0 AND cb.c_bl > 0 THEN
           (de.c / CAST(nt.n AS DOUBLE)) * log2(
             (de.c / CAST(cb.c_bl AS DOUBLE))
-            / (ce.big_n / CAST(cl.n_l AS DOUBLE))
+            / (de.big_n / CAST(cl.n_l AS DOUBLE))
           )
         ELSE 0.0 END AS term
-      FROM dense de
+      FROM _mz_ute_dense de
       JOIN cb ON cb.user_id = de.user_id AND cb.b = de.b AND cb.l = de.l
-      JOIN census ce ON ce.l = de.l AND ce.lp = de.lp
       JOIN census_l cl ON cl.l = de.l
       CROSS JOIN n_tot nt
     ),
@@ -1302,7 +1309,7 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       SELECT
         -sum((ce.big_n / CAST(nt.n AS DOUBLE))
              * log2(ce.big_n / CAST(cl.n_l AS DOUBLE))) AS h_bits
-      FROM census ce
+      FROM _mz_ute_census ce
       JOIN census_l cl ON cl.l = ce.l
       CROSS JOIN n_tot nt
     ),
@@ -1323,7 +1330,13 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     CROSS JOIN hcond h
     ORDER BY t.user_id
     """
-    return [("_mz_ute_hours", hours_sql), ("_mz_ute_uh", uh_sql)], tail
+    return [
+        ("_mz_ute_hours", hours_sql),
+        ("_mz_ute_uh", uh_sql),
+        ("_mz_ute_pairs", pairs_sql),
+        ("_mz_ute_census", census_sql),
+        ("_mz_ute_dense", dense_sql),
+    ], tail
 
 
 QUERIES = [

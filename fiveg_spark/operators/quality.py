@@ -12,7 +12,7 @@ analytics shapes.  All shared-text SQL, oracle-checked.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import cnt, dbl, epoch, pct, sql_backed
+from fiveg_spark.plans.registry import cnt, dbl, epoch, materialized_backed, pct, sql_backed
 
 
 def _dq_checks_sql(d: str) -> str:
@@ -544,15 +544,17 @@ def _pk_uniqueness_audit_sql(d: str) -> str:
     """
 
 
-def _column_stat_drift_sql(d: str) -> str:
+def _column_stat_drift_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C126 — column-statistic drift between the first and second half
     # of the events table (split at the median timestamp): null rate,
     # mean, p50, and distinct-rate per column, with the relative shift
     # — the COLUMN-grain drift monitor between C100's row-grain rule
     # trend and D27's distribution-grain PSI (a schema-level change
     # like "value went all-null after the deploy" hits here first).
-    # One scan computes both halves via conditional aggregation; the
-    # median is a scalar subquery on the same scan's frame.
+    # The era-tagged frame materializes ONCE — inlined, the three
+    # per-column UNION branches re-ran the scan+median chain per
+    # reference (the advisor sweep measured 6 FileScans; this is
+    # exactly the CTE-inlining disease the sweep exists to catch).
     ep = epoch("ts", d)
 
     def half(col: str, agg: str, flip: str) -> str:
@@ -578,29 +580,30 @@ def _column_stat_drift_sql(d: str) -> str:
           f" / nullif(abs({meane('h1')}), 0.0)",
           "rel_shift",
       )}
-    FROM tagged"""
+    FROM _mz_csd_tagged"""
 
     rows = "\n    UNION ALL\n".join([
         stat_rows("value", True),
         stat_rows("user_id", True),
         stat_rows("event_type", False),
     ])
-    return f"""
-    WITH med AS (
-      SELECT {pct(ep, 0.5, d)} AS t_med FROM events
-    ),
-    tagged AS (
+    tagged_sql = f"""
+      WITH med AS (
+        SELECT {pct(ep, 0.5, d)} AS t_med FROM events
+      )
       SELECT
         value, user_id, event_type,
         CASE WHEN {ep} <= (SELECT t_med FROM med) THEN 'h1' ELSE 'h2' END
           AS era
       FROM events
-    )
+    """
+    tail = f"""
     SELECT * FROM (
     {rows}
     ) drift
     ORDER BY column_name
     """
+    return [("_mz_csd_tagged", tagged_sql)], tail
 
 
 QUERIES = [
@@ -621,5 +624,6 @@ QUERIES = [
     sql_backed("pk_uniqueness_audit", _pk_uniqueness_audit_sql,
                ("region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings")),
-    sql_backed("column_stat_drift", _column_stat_drift_sql, ("events",)),
+    materialized_backed("column_stat_drift", _column_stat_drift_parts,
+                        ("events",)),
 ]

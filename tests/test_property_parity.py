@@ -410,7 +410,6 @@ def _event_sql_fns():
         _session_stats_sql,
         _transition_matrix_sql,
     )
-    from fiveg_spark.operators.quality import _column_stat_drift_sql
     from fiveg_spark.operators.lateness import _arrival_inversions_sql
     from fiveg_spark.operators.ts_advanced import _variance_time_sql
     from fiveg_spark.operators.ts_diagnostics import _error_pchart_sql
@@ -465,9 +464,6 @@ def _event_sql_fns():
         # first-day anchor join: single-instant streams put everything
         # in tenure week 0 with distinct-count ratios
         "activity_by_tenure": _activity_by_tenure_sql,
-        # half-split conditional stats: single-instant streams leave
-        # h2 EMPTY (nullif count guards, NULL means -> dbl 0.0)
-        "column_stat_drift": _column_stat_drift_sql,
         # hash-delay lag windows: single-arrival type-days emit no
         # adjacent pairs (nullif(count) guard, empty-avg -> dbl 0.0)
         "arrival_order_inversions": _arrival_inversions_sql,
@@ -825,6 +821,7 @@ def _event_parts_fns():
         _user_transfer_entropy_parts,
     )
     from fiveg_spark.operators.lateness import _lateness_profile_parts
+    from fiveg_spark.operators.quality import _column_stat_drift_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _cvm_parts,
         _iat_exponential_fit_parts,
@@ -851,6 +848,9 @@ def _event_parts_fns():
         # census (H = 0, te_share guard); always-active users give
         # c0 = 0 everywhere
         "user_transfer_entropy": _user_transfer_entropy_parts,
+        # half-split conditional stats: single-instant streams leave
+        # h2 EMPTY (nullif count guards, NULL means -> dbl 0.0)
+        "column_stat_drift": _column_stat_drift_parts,
         # hash-delay synthesis + running-max watermark: single-minute
         # streams have NULL wm everywhere (late shares exactly 0)
         "watermark_lateness_profile": _lateness_profile_parts,

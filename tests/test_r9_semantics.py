@@ -420,7 +420,7 @@ def test_brand_basket_pairs_perfect_cooccurrence_lift(spark):
 
 
 def test_column_stat_drift_planted_null_regime(spark):
-    from fiveg_spark.operators.quality import _column_stat_drift_sql
+    from fiveg_spark.operators.quality import _column_stat_drift_parts
 
     # h1: values present; h2: value all-NULL -> null_rate_h2 = 1.0
     rows = [(i, BASE + i, 1, "a", 5.0, "{}") for i in range(10)]
@@ -433,7 +433,7 @@ def test_column_stat_drift_planted_null_regime(spark):
         "user_id", "event_type", "value", "props",
     ).createOrReplaceTempView("events")
     got = {r["column_name"]: r.asDict()
-           for r in spark.sql(_column_stat_drift_sql("spark")).collect()}
+           for r in run_parts(spark, _column_stat_drift_parts).collect()}
     v = got["value"]
     assert v["null_rate_h1"] == 0.0
     assert v["null_rate_h2"] == 1.0
