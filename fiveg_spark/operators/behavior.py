@@ -1339,6 +1339,60 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ], tail
 
 
+
+
+def _user_specialization_sql(d: str) -> str:
+    # C136 — user SPECIALIZATION profile by activity band: the entropy
+    # of each user's event-type mix (0 bits = single-type specialist,
+    # log2|types| = uniform generalist), rolled up per activity band —
+    # the segmentation between C109's decile×type lift grid and C74's
+    # process-level entropy rate (C74 is the corpus's sequence entropy;
+    # this is each USER's repertoire breadth, and whether power users
+    # diversify).  (user, type) agg → per-user entropy with the E75
+    # round-before-log2 discipline → bounded band rollup.
+    p = "round(c / CAST(n_u AS DOUBLE) + 1e-12, 6)"
+    return f"""
+    WITH ut AS (
+      SELECT user_id, event_type, count(*) AS c
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    per_user AS (
+      SELECT
+        user_id,
+        sum(c) AS n_u,
+        count(*) AS n_types
+      FROM ut
+      GROUP BY user_id
+    ),
+    h AS (
+      SELECT
+        u.user_id,
+        p.n_u,
+        -sum({p} * ln({p}) / ln(2.0)) AS h_bits
+      FROM ut u
+      JOIN per_user p ON p.user_id = u.user_id
+      GROUP BY u.user_id, p.n_u
+    )
+    SELECT
+      CASE WHEN n_u <= 10 THEN 'a_light'
+           WHEN n_u <= 100 THEN 'b_regular'
+           ELSE 'c_heavy' END AS activity_band,
+      {cnt("count(*)", "n_users")},
+      {dbl("avg(h_bits)", "mean_entropy_bits")},
+      {dbl(pct("h_bits", 0.5, d), "p50_entropy_bits")},
+      {dbl("avg(CAST(CASE WHEN h_bits < 0.5 THEN 1 ELSE 0 END AS DOUBLE))",
+           "specialist_share")},
+      {dbl("avg(CAST(CASE WHEN h_bits > 1.5 THEN 1 ELSE 0 END AS DOUBLE))",
+           "generalist_share")}
+    FROM h
+    GROUP BY CASE WHEN n_u <= 10 THEN 'a_light'
+                  WHEN n_u <= 100 THEN 'b_regular'
+                  ELSE 'c_heavy' END
+    ORDER BY activity_band
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     materialized_backed("stickiness_ratio", _stickiness_parts, ("events",)),
@@ -1377,4 +1431,8 @@ QUERIES = [
                         _second_session_latency_parts, ("events",)),
     materialized_backed("user_transfer_entropy",
                         _user_transfer_entropy_parts, ("events",)),
+    # r9 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r10)
+    sql_backed("user_specialization", _user_specialization_sql, ("events",),
+               deferred=True),
 ]

@@ -711,7 +711,55 @@ def _pii_density_sql(d: str) -> str:
     """
 
 
+
+
+def _dup_ngram_mass_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E111 — cross-source duplicated n-gram MASS per source: the share
+    # of a source's total 3-gram occurrences whose gram also appears in
+    # ANOTHER source — E47's pair matrix collapsed to the per-source
+    # scalar a mixing pass reads ("how much of this source is recycled
+    # corpus-wide", weighting by occurrence mass, not vocabulary).
+    # Shares E47's _ngram_cte verbatim so the tokenization can't fork
+    # (the r7 postings-vs-BM25 lesson).
+    #
+    # Scale: one explode-agg to the (source, ng, c) frame, materialized
+    # (the per-gram source census and the rollup both read it); the
+    # census is a gram-keyed hash agg — high cardinality, no skew.
+    occ_sql = f"""
+      WITH {_ngram_cte(d)}
+      SELECT source, ng, count(*) AS c FROM ngrams GROUP BY source, ng
+    """
+    tail = f"""
+    WITH ngsrc AS (
+      SELECT ng, count(*) AS n_sources FROM _mz_dnm_occ GROUP BY ng
+    )
+    SELECT
+      o.source,
+      {cnt("sum(o.c)", "n_occurrences")},
+      {cnt("count(*)", "n_distinct_ngrams")},
+      {dbl(
+          "sum(CASE WHEN s.n_sources > 1 THEN o.c ELSE 0 END)"
+          " / CAST(nullif(sum(o.c), 0) AS DOUBLE)",
+          "cross_source_mass_share",
+      )},
+      {dbl(
+          "sum(CASE WHEN s.n_sources > 1 THEN 1 ELSE 0 END)"
+          " / CAST(nullif(count(*), 0) AS DOUBLE)",
+          "cross_source_vocab_share",
+      )}
+    FROM _mz_dnm_occ o
+    JOIN ngsrc s ON s.ng = o.ng
+    GROUP BY o.source
+    ORDER BY o.source
+    """
+    return [("_mz_dnm_occ", occ_sql)], tail
+
+
 QUERIES = [
+    # r9 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r10)
+    materialized_backed("dup_ngram_mass_by_source", _dup_ngram_mass_parts,
+                        ("documents",), deferred=True),
     sql_backed("boilerplate_ngrams", _boilerplate_ngrams_sql, ("documents",)),
     sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
     sql_backed("pii_density_by_source", _pii_density_sql, ("documents",)),

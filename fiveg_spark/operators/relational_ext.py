@@ -1011,6 +1011,83 @@ def _priority_mix_yearly_sql(d: str) -> str:
     """
 
 
+
+
+def _nation_rank_stability_sql(d: str) -> str:
+    # C134 — nation revenue-rank stability year-over-year: exact
+    # Spearman rho between consecutive years' nation revenue rankings
+    # (ranks are unique row_numbers, so the tie-free closed form
+    # 1 − 6Σd²/(n(n²−1)) is exact — no corr needed) plus whether the
+    # top nation changed.  The league-table churn metric a regional
+    # review reads next to C113's growth rates (growth says WHO moved;
+    # this says how much the ORDER moved).  (year, nation) agg, rank
+    # windows partitioned by year over the bounded rollup, year+1
+    # self-join on nation.
+    return f"""
+    WITH nation_year AS (
+      SELECT
+        CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        c.c_nationkey AS nation,
+        sum(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY CAST(year(o.o_orderdate) AS BIGINT), c.c_nationkey
+    ),
+    ranked AS (
+      SELECT yr, nation,
+        row_number() OVER (PARTITION BY yr
+                           ORDER BY round(rev, 4) DESC, nation) AS rk
+      FROM nation_year
+    ),
+    paired AS (
+      SELECT a.yr AS yr, a.rk AS rk_a, b.rk AS rk_b
+      FROM ranked a
+      JOIN ranked b ON b.nation = a.nation AND b.yr = a.yr + 1
+    )
+    SELECT
+      yr AS year_from,
+      {cnt("count(*)", "n_nations")},
+      {dbl(
+          "CASE WHEN count(*) >= 2 THEN"
+          " 1.0 - 6.0 * sum((rk_a - rk_b) * (rk_a - rk_b) * 1.0)"
+          " / (count(*) * (count(*) * count(*) - 1.0))"
+          " ELSE 0.0 END",
+          "spearman_rho",
+      )},
+      (sum(CASE WHEN rk_a = 1 AND rk_b = 1 THEN 1 ELSE 0 END) = 0)
+        AS top_nation_changed
+    FROM paired
+    GROUP BY yr
+    ORDER BY year_from
+    """
+
+
+def _order_status_aging_sql(d: str) -> str:
+    # C135 — order-AGE distribution per status at the corpus horizon
+    # (open orders skewing old = a fulfilment backlog; C97 snapshots a
+    # fixed cutoff, this reads the live horizon): age = days from
+    # orderdate to max(orderdate), exact percentiles per status, share
+    # of each status in the book.  One scan + 1-row horizon broadcast
+    # + |statuses| rollup.
+    age = f"(({epoch('h.mx', d)}) - ({epoch('o.o_orderdate', d)})) / 86400.0"
+    return f"""
+    WITH horizon AS (
+      SELECT max(o_orderdate) AS mx FROM orders
+    )
+    SELECT
+      o.o_orderstatus AS status,
+      {cnt("count(*)", "n_orders")},
+      {dbl(f"avg({age})", "mean_age_days")},
+      {dbl(pct(age, 0.5, d), "p50_age_days")},
+      {dbl(pct(age, 0.9, d), "p90_age_days")},
+      {dbl("avg(o.o_totalprice)", "mean_value")}
+    FROM orders o
+    CROSS JOIN horizon h
+    GROUP BY o.o_orderstatus
+    ORDER BY status
+    """
+
+
 QUERIES = [
     sql_backed("priority_mix_yearly", _priority_mix_yearly_sql, ("orders",)),
     sql_backed("brand_loyalty_index", _brand_loyalty_sql,
@@ -1055,4 +1132,10 @@ QUERIES = [
     sql_backed("revenue_drawdown", _revenue_drawdown_sql, ("orders",)),
     sql_backed("ship_sla_attainment", _ship_sla_sql, ("lineitem", "orders")),
     sql_backed("customer_hhi_yearly", _customer_hhi_yearly_sql, ("orders",)),
+    # r9 third wave, registered AFTER the window filled: deferred
+    # sorts them behind the 50 never-certified names (certify in r10)
+    sql_backed("nation_rank_stability", _nation_rank_stability_sql,
+               ("orders", "customer"), deferred=True),
+    sql_backed("order_status_aging", _order_status_aging_sql, ("orders",),
+               deferred=True),
 ]

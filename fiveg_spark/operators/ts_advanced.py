@@ -35,6 +35,7 @@ from fiveg_spark.plans.registry import (
     NUDGE,
     Query,
     cnt,
+    corr_safe,
     dbl,
     epoch,
     materialized_backed,
@@ -1701,8 +1702,90 @@ def _variance_time_sql(d: str) -> str:
     """
 
 
+DURATION_POINTS = (0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+
+
+def _load_duration_sql(d: str) -> str:
+    # D68 — load-duration curve per slice (the utility-engineering
+    # exceedance curve: load exceeded x% of the time — capacity is
+    # bought at the 1% point, efficiency is judged at the 75% point):
+    # exact hourly-throughput quantiles at a fixed exceedance ladder
+    # plus the peak-to-base ratio.  One hourly agg, one |slices| rollup
+    # of exact percentiles — scale-free after the first shuffle.
+    q_cols = ",\n      ".join(
+        dbl(pct("throughput_bps", 1.0 - p, d), f"exceeded_{int(p * 100):02d}pct")
+        for p in DURATION_POINTS
+    )
+    return f"""
+    {_hourly_cte(d)}
+    SELECT
+      slice,
+      {cnt("count(*)", "n_hours")},
+      {q_cols},
+      {dbl(
+          f"{pct('throughput_bps', 0.99, d)}"
+          f" / nullif({pct('throughput_bps', 0.25, d)}, 0.0)",
+          "peak_to_base_ratio",
+      )}
+    FROM hourly
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+ACF_HALF_MAX_LAG = 24
+
+
+def _acf_half_life_sql(d: str) -> str:
+    # D69 — ACF memory length per slice: the smallest lag whose
+    # autocorrelation falls below 1/e (the "how far back does the past
+    # matter" scalar D13's full ACF table makes the reader eyeball;
+    # feeds D5's lag choice next to D49's information criteria).  All
+    # 24 lag correlations ride ONE self-join of the hourly frame on
+    # shifted epochs (lag literal cross join — no per-lag rescans),
+    # each via the corr_safe decomposable form; the half-life is a
+    # conditional min over the ≤|slices|·24 correlation frame.
+    lags = ", ".join(str(k) for k in range(1, ACF_HALF_MAX_LAG + 1))
+    kexp = (f"explode(array({lags}))" if d == "spark"
+            else f"unnest([{lags}])")
+    corr = corr_safe("a.v", "b.v")
+    return f"""
+    {_hourly_cte(d)},
+    ser AS (
+      SELECT slice, {epoch("h", d)} AS t, throughput_bps AS v FROM hourly
+    ),
+    lagged AS (
+      SELECT a.slice, k.k, {dbl(corr, "rho")}
+      FROM ser a
+      CROSS JOIN (SELECT {kexp} AS k) k
+      JOIN ser b ON b.slice = a.slice AND b.t = a.t + k.k * 3600.0
+      GROUP BY a.slice, k.k
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_lags")},
+      {dbl("max(CASE WHEN k = 1 THEN rho END)", "rho_lag1")},
+      {cnt(
+          f"coalesce(min(CASE WHEN rho < {1.0 / 2.718281828459045!r}"
+          f" THEN k END), {ACF_HALF_MAX_LAG + 1})",
+          "half_life_hours",
+      )},
+      (min(CASE WHEN rho < {1.0 / 2.718281828459045!r} THEN k END)
+         IS NOT NULL) AS decayed_within_window
+    FROM lagged
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
 QUERIES = [
     sql_backed("variance_time_curve", _variance_time_sql, ("events",)),
+    # r9 third wave, registered AFTER the window filled: deferred
+    # sorts them behind the 50 never-certified names (certify in r10)
+    sql_backed("load_duration_curve", _load_duration_sql, ("events",),
+               deferred=True),
+    sql_backed("acf_half_life", _acf_half_life_sql, ("events",),
+               deferred=True),
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
     materialized_backed("transfer_entropy", _transfer_entropy_parts, ("events",)),
     materialized_backed(

@@ -411,7 +411,12 @@ def _event_sql_fns():
         _transition_matrix_sql,
     )
     from fiveg_spark.operators.lateness import _arrival_inversions_sql
-    from fiveg_spark.operators.ts_advanced import _variance_time_sql
+    from fiveg_spark.operators.ts_advanced import (
+        _acf_half_life_sql,
+        _load_duration_sql,
+        _variance_time_sql,
+    )
+    from fiveg_spark.operators.behavior import _user_specialization_sql
     from fiveg_spark.operators.ts_diagnostics import _error_pchart_sql
     from fiveg_spark.operators.rollup_stats import _concurrency_sql
     from fiveg_spark.operators.timeseries import (
@@ -477,6 +482,14 @@ def _event_sql_fns():
         # alphabets make the >= capture approximate from above in both
         # engines identically; zero-value types hit nullif(sum)
         "value_concentration_by_type": _value_concentration_sql,
+        # exceedance-ladder exact percentiles + nullif base ratio
+        "load_duration_curve": _load_duration_sql,
+        # 24 corr_safe lags from one shifted self-join: short/constant
+        # series hit the degenerate-corr cutoff and the coalesce cap
+        "acf_half_life": _acf_half_life_sql,
+        # per-user entropy with round-before-log2: single-type users
+        # pin H = 0 (specialists), tiny streams land in one band
+        "user_specialization": _user_specialization_sql,
         # centered power sums: constant series hit the s2>0 guards,
         # n<4 slices are filtered
         "jarque_bera": _jarque_bera_sql,
@@ -694,6 +707,7 @@ def _doc_parts_fns():
     from fiveg_spark.operators.llm_curation import (
         _contamination_matrix_parts,
         _dsir_parts,
+        _dup_ngram_mass_parts,
     )
     from fiveg_spark.operators.curation import _quality_dup_calibration_parts
     from fiveg_spark.operators.dedup import (
@@ -717,6 +731,10 @@ def _doc_parts_fns():
         # the full token-level reconstruction across engines
         "substring_dedup": _substring_dedup_parts,
         "contamination_matrix": _contamination_matrix_parts,
+        # occurrence-mass vs vocab shares with nullif guards: sub-3-
+        # token docs vanish from the gram frame, single-source corpora
+        # pin both cross shares at exact 0
+        "dup_ngram_mass_by_source": _dup_ngram_mass_parts,
         "ppl_buckets": _ppl_buckets_parts,
         "minhash_recall_vs_exact": _minhash_recall_parts,
         # est/exact/3-sigma tolerance math: duplicate-heavy tiny
@@ -1015,6 +1033,8 @@ def _star_sql_fns():
     from fiveg_spark.operators.quality import _fk_orphan_audit_sql
     from fiveg_spark.operators.relational_ext import (
         _brand_loyalty_sql,
+        _nation_rank_stability_sql,
+        _order_status_aging_sql,
         _brand_price_realization_sql,
         _customer_hhi_yearly_sql,
         _priority_mix_yearly_sql,
@@ -1048,6 +1068,11 @@ def _star_sql_fns():
         "ship_sla_attainment": _ship_sla_sql,
         # ratio-of-sums HHI: single-customer years pin hhi at 1.0
         "customer_hhi_yearly": _customer_hhi_yearly_sql,
+        # tie-free Spearman closed form: single-nation years pin the
+        # n>=2 guard, missing next-year nations drop from the pair
+        "nation_rank_stability": _nation_rank_stability_sql,
+        # horizon broadcast + exact percentiles per status
+        "order_status_aging": _order_status_aging_sql,
         # margin windows over the bounded cell frame: single-year /
         # single-priority fragments pin every share at 1.0, chi2 at 0
         "priority_mix_yearly": _priority_mix_yearly_sql,

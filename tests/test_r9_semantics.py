@@ -743,3 +743,135 @@ def test_priority_mix_proportional_has_zero_chi2(spark):
         assert r["share_in_year"] == pytest.approx(
             r["pooled_share"], abs=1e-4
         )
+
+
+def test_load_duration_curve_monotone_exceedance(spark):
+    from fiveg_spark.operators.ts_advanced import (
+        DURATION_POINTS,
+        _load_duration_sql,
+    )
+
+    _events_view(spark, [
+        (i, BASE + i * 600, 1, "a", 1.0) for i in range(200)
+    ])
+    for r in spark.sql(_load_duration_sql("spark")).collect():
+        rd = r.asDict()
+        vals = [rd[f"exceeded_{int(p * 100):02d}pct"] for p in DURATION_POINTS]
+        # load exceeded 1% of the time >= load exceeded 99% of the time
+        assert vals == sorted(vals, reverse=True), vals
+        assert rd["peak_to_base_ratio"] >= 1.0
+
+
+def test_acf_half_life_ramp_never_decays(spark):
+    from fiveg_spark.operators.ts_advanced import (
+        ACF_HALF_MAX_LAG,
+        _acf_half_life_sql,
+    )
+
+    # hourly event counts ramp 1..48 -> strongly persistent series:
+    # lag-1 rho ~ 1 and the ACF never falls below 1/e inside 24 lags
+    rows, eid = [], 0
+    for h in range(48):
+        for k in range(h + 1):
+            rows.append((eid, BASE - (BASE % 3600) + h * 3600 + k, 1, "a", 1.0))
+            eid += 1
+    _events_view(spark, rows)
+    for r in spark.sql(_acf_half_life_sql("spark")).collect():
+        rd = r.asDict()
+        assert rd["rho_lag1"] > 0.9
+        assert rd["half_life_hours"] == ACF_HALF_MAX_LAG + 1  # capped
+        assert rd["decayed_within_window"] is False
+
+
+def test_nation_rank_stability_identical_and_reversed(spark):
+    from fiveg_spark.operators.relational_ext import _nation_rank_stability_sql
+
+    import datetime as dt
+
+    rows, ok = [], 0
+    # y1995 -> y1996: same ranking (rho 1); y1996 -> y1997: reversed
+    revs = {1995: [300.0, 200.0, 100.0],
+            1996: [30.0, 20.0, 10.0],
+            1997: [1.0, 2.0, 3.0]}
+    for yr, by_nation in revs.items():
+        for nk, rev in enumerate(by_nation):
+            rows.append((ok, 100 + nk, rev, dt.datetime(yr, 6, 1))); ok += 1
+    spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "o_orderdate TIMESTAMP",
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [(100 + nk, nk) for nk in range(3)],
+        "c_custkey BIGINT, c_nationkey INT",
+    ).createOrReplaceTempView("customer")
+    got = {r["year_from"]: r.asDict()
+           for r in spark.sql(_nation_rank_stability_sql("spark")).collect()}
+    assert got[1995]["spearman_rho"] == pytest.approx(1.0, abs=1e-4)
+    assert got[1995]["top_nation_changed"] is False
+    assert got[1996]["spearman_rho"] == pytest.approx(-1.0, abs=1e-4)
+    assert got[1996]["top_nation_changed"] is True
+
+
+def test_order_status_aging_closed_form(spark):
+    from fiveg_spark.operators.relational_ext import _order_status_aging_sql
+
+    import datetime as dt
+
+    mx = dt.datetime(1998, 1, 11)
+    spark.createDataFrame(
+        [
+            (0, "O", 100.0, mx - dt.timedelta(days=10)),
+            (1, "O", 200.0, mx - dt.timedelta(days=20)),
+            (2, "F", 300.0, mx),
+        ],
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, "
+        "o_orderdate TIMESTAMP",
+    ).createOrReplaceTempView("orders")
+    got = {r["status"]: r.asDict()
+           for r in spark.sql(_order_status_aging_sql("spark")).collect()}
+    assert got["O"]["mean_age_days"] == pytest.approx(15.0, abs=1e-4)
+    assert got["F"]["mean_age_days"] == 0.0
+
+
+def test_user_specialization_entropy_bands(spark):
+    from fiveg_spark.operators.behavior import _user_specialization_sql
+
+    rows, eid = [], 0
+    # user 1: 8 events all one type -> H 0 (specialist, light band)
+    for _ in range(8):
+        rows.append((eid, BASE + eid, 1, "a", 1.0)); eid += 1
+    # user 2: 5 events each of 4 types -> H = 2 bits (generalist, regular)
+    for t in ("a", "b", "c", "d"):
+        for _ in range(5):
+            rows.append((eid, BASE + eid, 2, t, 1.0)); eid += 1
+    _events_view(spark, rows)
+    got = {r["activity_band"]: r.asDict()
+           for r in spark.sql(_user_specialization_sql("spark")).collect()}
+    light = got["a_light"]
+    assert light["mean_entropy_bits"] == 0.0
+    assert light["specialist_share"] == 1.0
+    reg = got["b_regular"]
+    assert reg["mean_entropy_bits"] == pytest.approx(2.0, abs=1e-3)
+    assert reg["generalist_share"] == 1.0
+
+
+def test_dup_ngram_mass_planted_cross_source(spark):
+    from fiveg_spark.operators.llm_curation import _dup_ngram_mass_parts
+
+    # s1 doc shares its ONLY 3-gram with s2; s3 is unique
+    docs = [
+        (0, "a b c", "en", "s1", 0),
+        (1, "a b c", "en", "s2", 0),
+        (2, "x y z", "en", "s3", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = {r["source"]: r.asDict()
+           for r in run_parts(spark, _dup_ngram_mass_parts).collect()}
+    assert got["s1"]["cross_source_mass_share"] == 1.0
+    assert got["s2"]["cross_source_mass_share"] == 1.0
+    assert got["s3"]["cross_source_mass_share"] == 0.0
+    assert got["s3"]["cross_source_vocab_share"] == 0.0
