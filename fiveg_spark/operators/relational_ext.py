@@ -1040,9 +1040,23 @@ def _nation_rank_stability_sql(d: str) -> str:
       FROM nation_year
     ),
     paired AS (
-      SELECT a.yr AS yr, a.rk AS rk_a, b.rk AS rk_b
+      SELECT a.yr AS yr, a.rk AS rk_a0, b.rk AS rk_b0
       FROM ranked a
       JOIN ranked b ON b.nation = a.nation AND b.yr = a.yr + 1
+    ),
+    reranked AS (
+      -- ranks must be a 1..n permutation of the COMMON nation set for
+      -- the closed form to be a valid Spearman: a nation present in
+      -- only one year would leave rank gaps and push rho outside
+      -- [-1, 1].  Re-rank both sides within the paired subset (order
+      -- preserved, so full-overlap years are unchanged).
+      SELECT
+        yr,
+        rk_a0,
+        rk_b0,
+        row_number() OVER (PARTITION BY yr ORDER BY rk_a0) AS rk_a,
+        row_number() OVER (PARTITION BY yr ORDER BY rk_b0) AS rk_b
+      FROM paired
     )
     SELECT
       yr AS year_from,
@@ -1054,9 +1068,9 @@ def _nation_rank_stability_sql(d: str) -> str:
           " ELSE 0.0 END",
           "spearman_rho",
       )},
-      (sum(CASE WHEN rk_a = 1 AND rk_b = 1 THEN 1 ELSE 0 END) = 0)
+      (sum(CASE WHEN rk_a0 = 1 AND rk_b0 = 1 THEN 1 ELSE 0 END) = 0)
         AS top_nation_changed
-    FROM paired
+    FROM reranked
     GROUP BY yr
     ORDER BY year_from
     """
