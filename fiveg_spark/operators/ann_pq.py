@@ -116,9 +116,16 @@ def adc_scores(codes_df: DataFrame, lut_bc) -> DataFrame:
     return codes_df.mapInPandas(score, schema="vec_id LONG, adc_d2 DOUBLE")
 
 
-def ann_pq(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+def pq_query_adc(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0
 ) -> DataFrame:
+    """THE shared fit→encode→query-LUT pipeline: sampled codebook fit,
+    corpus encode, ADC scores against the query vector (query row
+    excluded).  ann_pq's rerank and the E107 shortlist ladder BOTH
+    read this, so a sampling/seed/normalization change moves the
+    certified method and its ladder together (the r8 DRY doctrine —
+    a forked copy here would let the ladder silently measure a
+    different index than the E38-certified method)."""
     emb = load_table(spark, "embeddings", sf_dir)
     # sampled codebook fit — at 1e9 vectors this is .sample(1e-4)
     sample = np.stack(
@@ -142,9 +149,15 @@ def ann_pq(
         [((codebooks[m] - q_subs[m][None, :]) ** 2).sum(axis=1) for m in range(M_SUBSPACES)]
     )
     lut_bc = spark.sparkContext.broadcast(lut)
+    return adc_scores(codes.filter(F.col("vec_id") != query_vec_id), lut_bc)
 
+
+def ann_pq(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
     cand = (
-        adc_scores(codes.filter(F.col("vec_id") != query_vec_id), lut_bc)
+        pq_query_adc(spark, sf_dir, query_vec_id)
         .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
         .limit(4 * k)
     )

@@ -196,49 +196,16 @@ def rerank_ladder_hits(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]
     + ONE encode + ONE ADC pass; the raw measurement behind
     ann_pq_rerank_ladder's theorem booleans (pytest pins the values at
     sf0.001)."""
-    import numpy as np
-
-    from fiveg_spark.operators.ann_pq import (
-        M_SUBSPACES,
-        _normalize,
-        adc_scores,
-        encode,
-        fit_codebooks,
-    )
-    from fiveg_spark.sources.tables import load_table
-
-    emb = load_table(spark, "embeddings", sf_dir)
-    sample = np.stack(
-        [
-            np.asarray(r["embedding"], dtype=np.float64)
-            for r in emb.select("embedding").limit(2000).collect()
-        ]
-    )
-    codebooks = fit_codebooks(sample)
-    cb_bc = spark.sparkContext.broadcast(codebooks)
-    codes = encode(emb, cb_bc)
-
-    q = _normalize(
-        np.asarray(
-            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0],
-            dtype=np.float64,
-        )[None, :]
-    )[0]
-    q_subs = np.array_split(q, M_SUBSPACES)
-    lut = np.stack(
-        [
-            ((codebooks[m] - q_subs[m][None, :]) ** 2).sum(axis=1)
-            for m in range(M_SUBSPACES)
-        ]
-    )
-    lut_bc = spark.sparkContext.broadcast(lut)
+    from fiveg_spark.operators.ann_pq import pq_query_adc
 
     # deepest shortlist once (TakeOrdered — bounded rows to the driver);
     # shallower rungs are PREFIXES of it, so the sets nest by
-    # construction and the per-rung hit counts come from one frame
+    # construction and the per-rung hit counts come from one frame.
+    # The fit→encode→LUT pipeline is THE shared pq_query_adc — the
+    # ladder measures exactly the index the E38-certified method runs.
     deepest = [
         int(r["vec_id"])
-        for r in adc_scores(codes.filter(F.col("vec_id") != 0), lut_bc)
+        for r in pq_query_adc(spark, sf_dir, query_vec_id=0)
         .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
         .limit(RERANK_LADDER[-1])
         .collect()

@@ -1360,8 +1360,7 @@ def _user_specialization_sql(d: str) -> str:
     per_user AS (
       SELECT
         user_id,
-        sum(c) AS n_u,
-        count(*) AS n_types
+        sum(c) AS n_u
       FROM ut
       GROUP BY user_id
     ),

@@ -466,9 +466,11 @@ def _fk_orphan_audit_sql(d: str) -> str:
     # per-table rules; this is the cross-table contract): orphan count
     # + rate per edge, one row each, so a single dashboard cell answers
     # "can I trust the joins today".  Each edge is a LEFT JOIN + null
-    # count — planned as outer hash joins on the same keys the real
-    # queries use (dims broadcast); counting rides the join, no second
-    # pass.  UNION ALL of six bounded 1-row aggregates.
+    # count against the DE-DUPLICATED parent key set — joining the raw
+    # parent would fan matched children out under duplicate parent
+    # keys (exactly the doubled-partition scenario this audit family
+    # exists to catch) and understate the orphan rate on the one run
+    # where it matters.  UNION ALL of six bounded 1-row aggregates.
     def edge(name: str, child: str, ck: str, parent: str, pk: str) -> str:
         return f"""
     SELECT
@@ -481,7 +483,7 @@ def _fk_orphan_audit_sql(d: str) -> str:
           "orphan_rate",
       )}
     FROM {child} c
-    LEFT JOIN {parent} p ON p.{pk} = c.{ck}"""
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON p.{pk} = c.{ck}"""
 
     edges = "\n    UNION ALL\n".join([
         edge("lineitem->orders", "lineitem", "l_orderkey",

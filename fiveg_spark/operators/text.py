@@ -573,6 +573,12 @@ def _char_class_profile_sql(d: str) -> str:
     def cls(pat: str) -> str:
         return f"length(text) - length({_rx_all(d, 'text', pat, '')})"
 
+    # whitespace must cover tabs/newlines or clean multi-line prose
+    # leaks into symbol_share; '\t'-style escapes resolve to the same
+    # regex in both engines (Spark unescapes the literal, DuckDB's RE2
+    # interprets the backslash class)
+    n_space_expr = cls("[ \t\r\n]")
+
     return f"""
     WITH per_doc AS (
       SELECT
@@ -580,7 +586,7 @@ def _char_class_profile_sql(d: str) -> str:
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST({cls("[0-9]")} AS BIGINT) AS n_digit,
         CAST({cls("[A-Z]")} AS BIGINT) AS n_upper,
-        CAST({cls("[ ]")} AS BIGINT) AS n_space,
+        CAST({n_space_expr} AS BIGINT) AS n_space,
         CAST({cls("[A-Za-z]")} AS BIGINT) AS n_alpha
       FROM documents
     )

@@ -14,13 +14,17 @@ uses) and `behind = frontier_es − es` is each row's distance behind
 the frontier.  A row with behind > W is exactly a row the engine
 would drop under `withWatermark(W)` — measured live, per batch.
 
-Replay safety: a re-delivered batch_id is a NO-OP (store lookup before
-write, the B15 dedup-sink doctrine), so crash/retry cannot double-count
-lateness.  `compact` collapses history to one summary row per ladder
-rung while PRESERVING the frontier and the high-water batch_id.
-`recommended_watermark` answers the deployment question from store
-rows alone: the smallest candidate W whose pooled late share clears
-the target.
+Replay safety: a batch_id at or below the store's HIGH-WATER mark is
+a NO-OP (the B17-family recipe — a plain seen-set would forget
+replayed ids once `compact` collapses history), so crash/retry or a
+restored-checkpoint replay cannot double-count lateness.  `compact`
+collapses history to one summary row while PRESERVING the frontier
+and the high-water batch_id; the pooled late shares survive exactly,
+while p95_behind_s degrades to the max over batches — a conservative
+UPPER BOUND, which is the safe direction for a "is the watermark
+still safe" readout.  `recommended_watermark` answers the deployment
+question from store rows alone: the smallest candidate W whose pooled
+late share clears the target.
 
 Scale: per batch the work is one aggregate over the batch (map-side
 partials; the frontier is a broadcast scalar); the store grows one row
@@ -60,19 +64,19 @@ def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
-def _frontier_and_seen(
+def _frontier_and_high_water(
     spark: SparkSession, path: str
-) -> tuple[float | None, set[int]]:
+) -> tuple[float | None, int | None]:
     store = _read_store(spark, path)
     if store is None:
-        return None, set()
+        return None, None
     row = store.agg(
         F.max("max_es").alias("f"),
-        F.collect_set("batch_id").alias("ids"),
+        F.max("batch_id").alias("hw"),
     ).head()
     return (
         (float(row["f"]) if row["f"] is not None else None),
-        {int(x) for x in (row["ids"] or [])},
+        (int(row["hw"]) if row["hw"] is not None else None),
     )
 
 
@@ -84,9 +88,11 @@ def foreach_batch_lateness(path: str, ts_col: str = "ts"):
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        frontier, seen = _frontier_and_seen(spark, path)
-        if int(batch_id) in seen:
-            return  # replayed batch: the metrics row already exists
+        frontier, high_water = _frontier_and_high_water(spark, path)
+        if high_water is not None and int(batch_id) <= high_water:
+            # replayed batch (including ids below a compacted
+            # high-water mark): its lateness is already pooled
+            return
 
         es = (F.unix_micros(F.col(ts_col)).cast("double") / 1e6)
         df = batch_df.select(es.alias("es"))
@@ -186,8 +192,12 @@ def recommended_watermark(
 
 def compact(spark: SparkSession, path: str) -> None:
     """Collapse history to ONE summary row preserving the pooled
-    shares, the frontier, and the high-water batch_id (replay guard
-    survives compaction — the B17 doctrine)."""
+    shares, the frontier, and the high-water batch_id (the replay
+    guard is the high-water mark, so it survives compaction — the B17
+    doctrine).  p95_behind_s becomes the MAX over batches: the exact
+    pooled p95 is not reconstructible from per-batch p95s, and an
+    upper bound errs on the safe side for a watermark-safety readout
+    (documented in the module header)."""
     store = _read_store(spark, path)
     if store is None:
         return

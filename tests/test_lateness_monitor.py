@@ -89,8 +89,10 @@ def test_compact_preserves_pooled_shares_and_recommendation(spark, tmp_path):
     for w in WATERMARK_LADDER:
         assert after[w] == pytest.approx(before[w], abs=1e-9)
     assert recommended_watermark(spark, path) == 900
-    # replay guard survives compaction
+    # replay guard survives compaction — at AND below the high-water
+    # mark (a seen-set would have forgotten batch 0's id)
     score(_frame(spark, [BASE + 2000]), 1)
+    score(_frame(spark, [BASE + 2000]), 0)
     assert spark.read.parquet(path).count() == 1
 
 
