@@ -189,10 +189,49 @@ def _arrival_inversions_sql(d: str) -> str:
     """
 
 
+
+
+def _arrival_burstiness_sql(d: str) -> str:
+    # B28 — ARRIVAL-process burstiness per event type: Fano factor
+    # (var/mean) and peak-to-mean of per-minute arrival COUNTS over
+    # the synthesized disordered arrivals — D38 measures EVENT-time
+    # burstiness; the ingest fleet is sized on the ARRIVAL process,
+    # which the straggler tail re-shapes (a Poisson arrival stream has
+    # Fano 1; batching/reconnects push it up).  One minute-grain agg
+    # (bounded by time span), one per-type rollup.
+    es = epoch("ts", d)
+    arr = f"({es} + ({delay_expr()}))"
+    return f"""
+    WITH per_min AS (
+      SELECT
+        event_type,
+        CAST(floor({arr} / 60.0) AS BIGINT) AS arr_min,
+        count(*) AS c
+      FROM events
+      GROUP BY event_type, CAST(floor({arr} / 60.0) AS BIGINT)
+    )
+    SELECT
+      event_type,
+      {cnt("count(*)", "n_active_minutes")},
+      {dbl("avg(c)", "mean_per_minute")},
+      {dbl("var_samp(c) / nullif(avg(c), 0.0)", "fano_factor")},
+      {dbl("max(c) / nullif(avg(c), 0.0)", "peak_to_mean")},
+      (round(var_samp(c) / nullif(avg(c), 0.0) + 1e-9, 4) > 1.5)
+        AS overdispersed
+    FROM per_min
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
 QUERIES = [
     materialized_backed(
         "watermark_lateness_profile", _lateness_profile_parts, ("events",),
     ),
     sql_backed("arrival_order_inversions", _arrival_inversions_sql,
                ("events",)),
+    # r9 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r10)
+    sql_backed("arrival_burstiness", _arrival_burstiness_sql, ("events",),
+               deferred=True),
 ]

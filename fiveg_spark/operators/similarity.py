@@ -1122,6 +1122,70 @@ def _label_centroid_matrix_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_lcm_cent", cent_sql)], tail
 
 
+
+
+def _source_coherence_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E114 — embedding COHERENCE per document source: the exact mean
+    # pairwise cosine within each source via E78's sum-vector identity
+    # (Σ_{i≠j} cos = ‖Σ v̂‖² − n over unit vectors — NO pair join at
+    # any scale), computed over the documents↔embeddings id join.
+    # E78 groups by embedding LABEL; this crosses tables to the
+    # CURATION grain: a source whose vectors barely cohere above the
+    # corpus base rate is a grab-bag (mixture weighting and SemDeDup
+    # both read that), one far above is near-duplicate sprawl.
+    #
+    # materialized_backed: the exploded (vec, source, dim, v) frame
+    # feeds the norm agg and the normalized re-read.
+    if d == "spark":
+        exp = (
+            "SELECT e.vec_id, doc.source, pos0 AS pos, v FROM "
+            "(SELECT vec_id, posexplode(CAST(embedding AS ARRAY<DOUBLE>))"
+            " AS (pos0, v) FROM embeddings) e "
+            "JOIN documents doc ON doc.doc_id = e.vec_id"
+        )
+    else:
+        exp = (
+            "SELECT e.vec_id, doc.source, "
+            "unnest(generate_series(1, len(e.embedding))) AS pos, "
+            "unnest(CAST(e.embedding AS DOUBLE[])) AS v FROM embeddings e "
+            "JOIN documents doc ON doc.doc_id = e.vec_id"
+        )
+    mean_cos = (
+        "CASE WHEN n >= 2 THEN (ss - n) / (CAST(n AS DOUBLE) * (n - 1.0)) "
+        "ELSE 0.0 END"
+    )
+    tail = f"""
+    WITH nrm AS (
+      SELECT vec_id, sqrt(sum(v * v)) AS n2
+      FROM _mz_scoh_exp
+      GROUP BY vec_id
+    ),
+    unit AS (
+      SELECT e.vec_id, e.source, e.pos, e.v / n.n2 AS u
+      FROM _mz_scoh_exp e
+      JOIN nrm n ON n.vec_id = e.vec_id
+      WHERE n.n2 > 0
+    ),
+    dims AS (
+      SELECT source, pos, sum(u) AS su FROM unit GROUP BY source, pos
+    ),
+    sums AS (
+      SELECT source, sum(su * su) AS ss FROM dims GROUP BY source
+    ),
+    counts AS (
+      SELECT source, count(DISTINCT vec_id) AS n FROM unit GROUP BY source
+    )
+    SELECT
+      c.source,
+      {cnt("c.n", "n_vectors")},
+      {dbl(mean_cos, "mean_within_cosine")}
+    FROM counts c
+    JOIN sums s ON s.source = c.source
+    ORDER BY c.source
+    """
+    return [("_mz_scoh_exp", exp)], tail
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
     materialized_backed("embedding_outlier_docs", _outlier_docs_parts, ("embeddings",)),
@@ -1163,4 +1227,8 @@ QUERIES = [
     ),
     sql_backed("embedding_component_moments", _component_moments_sql,
                ("embeddings",)),
+    # r9 third wave, registered AFTER the window filled: deferred
+    # sorts it behind the 50 never-certified names (certifies in r10)
+    materialized_backed("source_embedding_coherence", _source_coherence_parts,
+                        ("documents", "embeddings"), deferred=True),
 ]

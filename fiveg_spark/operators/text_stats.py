@@ -997,6 +997,111 @@ def _token_length_histogram_sql(d: str) -> str:
     """
 
 
+
+
+def _tfidf_source_signature_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E112 — distinctive-term SIGNATURE per source: top-5 terms by
+    # source-level tf-idf (tf = the term's share of the source's mass,
+    # idf over the |sources| universe — E14's doc-grain scoring lifted
+    # to the corpus-audit grain: "what is this source ABOUT, relative
+    # to the others").  The (source, term) count frame materializes
+    # once (term df and the scoring both read it); ranking is a window
+    # partitioned by source over the vocab-sized frame.
+    toks = _tok(d)
+    unn = "explode" if d == "spark" else "unnest"
+    tf_sql = f"""
+      SELECT source, token, count(*) AS c
+      FROM (SELECT source, {unn}({toks}) AS token FROM documents) x
+      WHERE token <> ''
+      GROUP BY source, token
+    """
+    tail = f"""
+    WITH n_src AS (
+      SELECT count(DISTINCT source) AS ns FROM _mz_tsig_tf
+    ),
+    df AS (
+      SELECT token, count(*) AS n_with FROM _mz_tsig_tf GROUP BY token
+    ),
+    mass AS (
+      SELECT source, sum(c) AS total FROM _mz_tsig_tf GROUP BY source
+    ),
+    scored AS (
+      SELECT
+        t.source,
+        t.token,
+        t.c,
+        round((t.c / CAST(m.total AS DOUBLE))
+              * ln((ns.ns + 1.0) / (df.n_with + 1.0)) + 1e-9, 8) AS score
+      FROM _mz_tsig_tf t
+      JOIN mass m ON m.source = t.source
+      JOIN df ON df.token = t.token
+      CROSS JOIN n_src ns
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY score DESC, token) AS rk
+      FROM scored
+    )
+    SELECT
+      source,
+      {cnt("rk", "rank")},
+      token,
+      {cnt("c", "n_occurrences")},
+      {dbl("score * 1000.0", "tfidf_x1000")}
+    FROM ranked
+    WHERE rk <= 5
+    ORDER BY source, rank
+    """
+    return [("_mz_tsig_tf", tf_sql)], tail
+
+
+def _doc_entropy_screen_sql(d: str) -> str:
+    # E113 — per-doc token-entropy screen: E99 scores SOURCES; this
+    # flags the individual near-zero-information documents (log spam,
+    # repeated-word padding — a doc whose unigram entropy is far below
+    # its length's ceiling carries almost no content per token).  One
+    # (doc, token) agg, per-doc entropy with the round-before-log2
+    # discipline, per-source rollup of the low-entropy share at the
+    # 1-bit screen plus the worst offenders' count.
+    toks = _tok(d)
+    unn = "explode" if d == "spark" else "unnest"
+    pr = "round(c / CAST(n_d AS DOUBLE) + 1e-12, 6)"
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, source, token, count(*) AS c
+      FROM (SELECT doc_id, source, {unn}({toks}) AS token FROM documents) x
+      WHERE token <> ''
+      GROUP BY doc_id, source, token
+    ),
+    sized AS (
+      SELECT *, sum(c) OVER (PARTITION BY doc_id) AS n_d FROM tf
+    ),
+    per_doc AS (
+      SELECT
+        doc_id,
+        source,
+        max(n_d) AS n_tokens,
+        -sum({pr} * ln({pr}) / ln(2.0)) AS h_bits
+      FROM sized
+      GROUP BY doc_id, source
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {dbl("avg(h_bits)", "mean_doc_entropy_bits")},
+      {dbl(pct("h_bits", 0.1, d), "p10_doc_entropy_bits")},
+      {dbl(
+          "avg(CAST(CASE WHEN h_bits < 1.0 AND n_tokens >= 10"
+          " THEN 1 ELSE 0 END AS DOUBLE))",
+          "low_entropy_share",
+      )}
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     materialized_backed("bpe_pair_stats", _bpe_pair_stats_parts, ("documents",)),
     materialized_backed("vocab_jaccard_matrix", _vocab_jaccard_parts, ("documents",)),
@@ -1025,4 +1130,11 @@ QUERIES = [
     sql_backed("bigram_entropy_rate", _bigram_entropy_rate_sql, ("documents",)),
     sql_backed("token_length_histogram", _token_length_histogram_sql,
                ("documents",)),
+    # r9 third wave, registered AFTER the window filled: deferred
+    # sorts them behind the 50 never-certified names (certify in r10)
+    materialized_backed("tfidf_source_signature",
+                        _tfidf_source_signature_parts, ("documents",),
+                        deferred=True),
+    sql_backed("doc_entropy_screen", _doc_entropy_screen_sql,
+               ("documents",), deferred=True),
 ]

@@ -1778,6 +1778,77 @@ def _acf_half_life_sql(d: str) -> str:
     """
 
 
+
+
+def _weekly_slice_corr_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D70 — ROLLING weekly correlation between slice pairs (D35's CCF
+    # is one static number per pair; regime changes live in the TIME
+    # AXIS of the relationship — a coupling that breaks mid-corpus
+    # averages into a bland 0.4): hourly-throughput corr_safe per
+    # (pair, ISO-ish week), weeks keyed on epoch/604800 so both
+    # engines bucket identically.  The hourly series materializes once
+    # (both join sides read it); output ≤ |pairs|·|weeks|.
+    corr = corr_safe("a.v", "b.v")
+    ser_sql = f"""
+      {_hourly_cte(d)}
+      SELECT slice, {epoch("h", d)} AS t, throughput_bps AS v FROM hourly
+    """
+    tail = f"""
+    SELECT
+      a.slice AS slice_a,
+      b.slice AS slice_b,
+      CAST(floor(a.t / 604800.0) AS BIGINT) AS week_idx,
+      {cnt("count(*)", "n_hours")},
+      {dbl(corr, "weekly_corr")}
+    FROM _mz_wsc_ser a
+    JOIN _mz_wsc_ser b ON b.t = a.t AND a.slice < b.slice
+    GROUP BY a.slice, b.slice, CAST(floor(a.t / 604800.0) AS BIGINT)
+    HAVING count(*) >= 24
+    ORDER BY slice_a, slice_b, week_idx
+    """
+    return [("_mz_wsc_ser", ser_sql)], tail
+
+
+def _diurnal_amplitude_sql(d: str) -> str:
+    # D71 — diurnal-cycle amplitude TREND per slice: is the daily
+    # swing growing?  Per (slice, day): relative amplitude
+    # (max−min)/mean of hourly throughput; then the C44 OLS closed
+    # form over day index — the seasonal-STRENGTH time axis (D42
+    # scores the cycle once; capacity planning needs its derivative).
+    amp = "(mx - mn) / nullif(mu, 0.0)"
+    n = "CAST(count(*) AS DOUBLE)"
+    sx = "sum(CAST(day_idx AS DOUBLE))"
+    sy = f"sum({amp})"
+    sxx = "sum(CAST(day_idx AS DOUBLE) * CAST(day_idx AS DOUBLE))"
+    sxy = f"sum(CAST(day_idx AS DOUBLE) * ({amp}))"
+    slope = (f"CASE WHEN {n} >= 2.0 AND {n} * {sxx} - {sx} * {sx} > 1e-9 "
+             f"THEN ({n} * {sxy} - {sx} * {sy})"
+             f" / ({n} * {sxx} - {sx} * {sx}) ELSE 0.0 END")
+    return f"""
+    {_hourly_cte(d)},
+    daily AS (
+      SELECT
+        slice,
+        CAST(floor({epoch("h", d)} / 86400.0) AS BIGINT) AS day_idx,
+        max(throughput_bps) AS mx,
+        min(throughput_bps) AS mn,
+        avg(throughput_bps) AS mu
+      FROM hourly
+      GROUP BY slice, CAST(floor({epoch("h", d)} / 86400.0) AS BIGINT)
+      HAVING count(*) >= 12
+    )
+    SELECT
+      slice,
+      {cnt("count(*)", "n_days")},
+      {dbl(f"avg({amp})", "mean_rel_amplitude")},
+      {dbl(slope, "amplitude_trend_per_day")},
+      (round({slope} + {NUDGE}, 4) > 0.0) AS amplitude_growing
+    FROM daily
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
 QUERIES = [
     sql_backed("variance_time_curve", _variance_time_sql, ("events",)),
     # r9 third wave, registered AFTER the window filled: deferred
@@ -1786,6 +1857,10 @@ QUERIES = [
                deferred=True),
     sql_backed("acf_half_life", _acf_half_life_sql, ("events",),
                deferred=True),
+    materialized_backed("weekly_slice_correlation", _weekly_slice_corr_parts,
+                        ("events",), deferred=True),
+    sql_backed("diurnal_amplitude_trend", _diurnal_amplitude_sql,
+               ("events",), deferred=True),
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
     materialized_backed("transfer_entropy", _transfer_entropy_parts, ("events",)),
     materialized_backed(

@@ -109,6 +109,7 @@ def _more_doc_sql_fns():
     )
     from fiveg_spark.operators.text_stats import (
         _bigram_entropy_rate_sql,
+        _doc_entropy_screen_sql,
         _lognormal_fit_sql,
         _token_length_histogram_sql,
     )
@@ -211,6 +212,9 @@ def _more_doc_sql_fns():
         # distinct/distinct ratio with nullif: tiny-vocab corpora make
         # prefix collisions the common case
         "fingerprint_collision_audit": _fingerprint_collision_sql,
+        # per-doc round-before-log2 entropy + the >=10-token screen:
+        # single-word docs pin H = 0 below the length floor
+        "doc_entropy_screen": _doc_entropy_screen_sql,
     }
 
 
@@ -410,9 +414,13 @@ def _event_sql_fns():
         _session_stats_sql,
         _transition_matrix_sql,
     )
-    from fiveg_spark.operators.lateness import _arrival_inversions_sql
+    from fiveg_spark.operators.lateness import (
+        _arrival_burstiness_sql,
+        _arrival_inversions_sql,
+    )
     from fiveg_spark.operators.ts_advanced import (
         _acf_half_life_sql,
+        _diurnal_amplitude_sql,
         _load_duration_sql,
         _variance_time_sql,
     )
@@ -490,6 +498,12 @@ def _event_sql_fns():
         # per-user entropy with round-before-log2: single-type users
         # pin H = 0 (specialists), tiny streams land in one band
         "user_specialization": _user_specialization_sql,
+        # Fano var/mean with nullif: single-arrival minutes everywhere
+        # give var 0 (never overdispersed), 1-minute streams var NULL
+        "arrival_burstiness": _arrival_burstiness_sql,
+        # OLS slope over per-day amplitudes with the >=12-hour day
+        # filter: sparse random streams drop most days (n<2 guard)
+        "diurnal_amplitude_trend": _diurnal_amplitude_sql,
         # centered power sums: constant series hit the s2>0 guards,
         # n<4 slices are filtered
         "jarque_bera": _jarque_bera_sql,
@@ -710,6 +724,7 @@ def _doc_parts_fns():
         _dup_ngram_mass_parts,
     )
     from fiveg_spark.operators.curation import _quality_dup_calibration_parts
+    from fiveg_spark.operators.text_stats import _tfidf_source_signature_parts
     from fiveg_spark.operators.dedup import (
         _dup_pressure_parts,
         _minhash_estimate_parts,
@@ -735,6 +750,10 @@ def _doc_parts_fns():
         # token docs vanish from the gram frame, single-source corpora
         # pin both cross shares at exact 0
         "dup_ngram_mass_by_source": _dup_ngram_mass_parts,
+        # rounded tf-idf rank windows: single-source corpora make idf
+        # constant (score ties break on token), shared-everything
+        # vocabularies crush every score to the same value
+        "tfidf_source_signature": _tfidf_source_signature_parts,
         "ppl_buckets": _ppl_buckets_parts,
         "minhash_recall_vs_exact": _minhash_recall_parts,
         # est/exact/3-sigma tolerance math: duplicate-heavy tiny
@@ -840,6 +859,7 @@ def _event_parts_fns():
     )
     from fiveg_spark.operators.lateness import _lateness_profile_parts
     from fiveg_spark.operators.quality import _column_stat_drift_parts
+    from fiveg_spark.operators.ts_advanced import _weekly_slice_corr_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _cvm_parts,
         _iat_exponential_fit_parts,
@@ -869,6 +889,9 @@ def _event_parts_fns():
         # half-split conditional stats: single-instant streams leave
         # h2 EMPTY (nullif count guards, NULL means -> dbl 0.0)
         "column_stat_drift": _column_stat_drift_parts,
+        # weekly corr_safe over the epoch-keyed self-join: constant
+        # and single-hour weeks hit the degenerate cutoff / n>=24 gate
+        "weekly_slice_correlation": _weekly_slice_corr_parts,
         # hash-delay synthesis + running-max watermark: single-minute
         # streams have NULL wm everywhere (late shares exactly 0)
         "watermark_lateness_profile": _lateness_profile_parts,
@@ -1285,5 +1308,75 @@ def test_component_moments_on_random_embeddings(spark):
             "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
             _component_moments_sql, "embedding_component_moments",
         )
+
+    check()
+
+
+def test_source_coherence_on_random_joined_frames(spark):
+    from fiveg_spark.operators.similarity import _source_coherence_parts
+    from fiveg_spark.plans.registry import run_parts as _rp
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        vecs=st.lists(
+            st.tuples(
+                st.sampled_from(["s1", "s2"]),
+                # zero vectors (dropped by the norm guard) and repeated
+                # directions (cosine exactly 1) are both common
+                st.lists(
+                    st.sampled_from([0.0, 1.0, -1.0]), min_size=3, max_size=3
+                ),
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(vecs):
+        docs = pd.DataFrame(
+            {
+                "doc_id": pd.Series(range(len(vecs)), dtype="int64"),
+                "text": [f"doc {i}" for i in range(len(vecs))],
+                "lang": ["en"] * len(vecs),
+                "source": [s for s, _v in vecs],
+                "n_chars": pd.Series([5] * len(vecs), dtype="int64"),
+            }
+        )
+        emb = pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+                "embedding": [[float(x) for x in v] for _s, v in vecs],
+                "label": pd.Series([0] * len(vecs), dtype="int32"),
+            }
+        )
+        # Spark side
+        spark.createDataFrame(docs, _DOC_SCHEMA).createOrReplaceTempView(
+            "documents"
+        )
+        spark.createDataFrame(
+            emb, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+        ).createOrReplaceTempView("embeddings")
+        got = _rp(spark, _source_coherence_parts)
+        spark_rows = _rows(got.columns, got.collect())
+        # DuckDB side (fold the materialized CTE into one WITH chain)
+        from fiveg_spark.plans.registry import materialized_backed
+
+        oracle = materialized_backed(
+            "_tmp_coh", _source_coherence_parts, ("documents", "embeddings")
+        ).oracle
+        con = duckdb.connect()
+        try:
+            con.register("documents", docs)
+            con.register("embeddings", emb)
+            res = con.execute(oracle)
+            duck_cols = [d0[0] for d0 in res.description]
+            duck_rows = _rows(duck_cols, res.fetchall())
+        finally:
+            con.close()
+        assert sorted(got.columns) == sorted(duck_cols)
+        assert spark_rows == duck_rows
 
     check()

@@ -875,3 +875,128 @@ def test_dup_ngram_mass_planted_cross_source(spark):
     assert got["s2"]["cross_source_mass_share"] == 1.0
     assert got["s3"]["cross_source_mass_share"] == 0.0
     assert got["s3"]["cross_source_vocab_share"] == 0.0
+
+
+def test_tfidf_source_signature_distinctive_terms(spark):
+    from fiveg_spark.operators.text_stats import _tfidf_source_signature_parts
+
+    # 'zebra' appears ONLY in s1 (distinctive); 'the' floods every
+    # source (idf-crushed) -> zebra must outrank 'the' in s1's top-5
+    docs = [
+        (0, "the the the zebra zebra", "en", "s1", 0),
+        (1, "the the the common words here", "en", "s2", 0),
+        (2, "the the other common words", "en", "s3", 0),
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = [r.asDict()
+           for r in run_parts(spark, _tfidf_source_signature_parts).collect()]
+    s1 = [r for r in got if r["source"] == "s1"]
+    assert s1[0]["token"] == "zebra"  # rank 1 = the source-unique term
+
+
+def test_doc_entropy_screen_flags_padding(spark):
+    from fiveg_spark.operators.text_stats import _doc_entropy_screen_sql
+
+    docs = [
+        (0, " ".join(["pad"] * 30), "en", "s1", 0),          # H = 0
+        (1, " ".join(f"w{i}" for i in range(30)), "en", "s2", 0),  # H ~ 4.9
+    ]
+    spark.createDataFrame(
+        docs,
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    got = {r["source"]: r.asDict()
+           for r in spark.sql(_doc_entropy_screen_sql("spark")).collect()}
+    assert got["s1"]["mean_doc_entropy_bits"] == 0.0
+    assert got["s1"]["low_entropy_share"] == 1.0
+    assert got["s2"]["low_entropy_share"] == 0.0
+    assert got["s2"]["mean_doc_entropy_bits"] > 4.0
+
+
+def test_weekly_slice_correlation_proportional_series(spark):
+    from fiveg_spark.operators.ts_advanced import _weekly_slice_corr_parts
+
+    # slice eMBB (user 0) and URLLC (user 1): URLLC's hourly value is
+    # 2x eMBB's varying series -> weekly corr exactly 1 in every week
+    rows, eid = [], 0
+    for h in range(24 * 9):  # spans two 604800 s weeks
+        v = 10.0 + (h % 7) * 3.0
+        rows.append((eid, BASE - (BASE % 3600) + h * 3600, 0, "view", v))
+        eid += 1
+        rows.append((eid, BASE - (BASE % 3600) + h * 3600 + 1, 1, "view", 2 * v))
+        eid += 1
+    _events_view(spark, rows)
+    got = run_parts(spark, _weekly_slice_corr_parts).collect()
+    assert len(got) >= 2  # at least two weeks for the pair
+    for r in got:
+        assert r["weekly_corr"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_diurnal_amplitude_growing_trend(spark):
+    from fiveg_spark.operators.ts_advanced import _diurnal_amplitude_sql
+
+    # daily swing widens linearly: day k hourly values alternate
+    # 100 +/- (5 + 2k) -> relative amplitude grows -> positive slope
+    rows, eid = [], 0
+    for day in range(6):
+        for h in range(24):
+            v = 100.0 + (5.0 + 2.0 * day) * (1 if h % 2 else -1)
+            rows.append(
+                (eid, BASE - (BASE % 86400) + day * 86400 + h * 3600, 0,
+                 "view", v))
+            eid += 1
+    _events_view(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in spark.sql(_diurnal_amplitude_sql("spark")).collect()}
+    r = got["eMBB"]
+    assert r["n_days"] == 6
+    assert r["amplitude_trend_per_day"] > 0.0
+    assert r["amplitude_growing"] is True
+
+
+def test_arrival_burstiness_poisson_vs_batchy(spark):
+    from fiveg_spark.operators.lateness import _arrival_burstiness_sql
+
+    # type 'a': one event per minute (Fano ~ 0, never overdispersed);
+    # delays shift arrivals but one-per-minute stays ~one-per-minute
+    rows, eid = [], 0
+    for m in range(120):
+        rows.append((eid, BASE + m * 60, 1, "a", 1.0)); eid += 1
+    _events_view(spark, rows)
+    got = {r["event_type"]: r.asDict()
+           for r in spark.sql(_arrival_burstiness_sql("spark")).collect()}
+    a = got["a"]
+    assert a["fano_factor"] < 1.0
+    assert a["overdispersed"] is False
+
+
+def test_source_embedding_coherence_identical_vs_orthogonal(spark):
+    from fiveg_spark.operators.similarity import _source_coherence_parts
+
+    docs, vecs = [], []
+    # s1: two identical unit vectors -> mean cosine 1; s2: orthogonal
+    # pair -> 0; s3: single vector -> the n<2 convention 0
+    for i, (src, v) in enumerate([
+        ("s1", [1.0, 0.0, 0.0, 0.0]), ("s1", [2.0, 0.0, 0.0, 0.0]),
+        ("s2", [1.0, 0.0, 0.0, 0.0]), ("s2", [0.0, 3.0, 0.0, 0.0]),
+        ("s3", [0.0, 0.0, 1.0, 0.0]),
+    ]):
+        docs.append((i, f"doc {i}", "en", src, 5))
+        vecs.append((i, v, 0))
+    spark.createDataFrame(
+        docs, "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    spark.createDataFrame(
+        vecs, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    got = {r["source"]: r.asDict()
+           for r in run_parts(spark, _source_coherence_parts).collect()}
+    assert got["s1"]["mean_within_cosine"] == pytest.approx(1.0, abs=1e-4)
+    assert got["s2"]["mean_within_cosine"] == 0.0
+    assert got["s3"]["mean_within_cosine"] == 0.0
