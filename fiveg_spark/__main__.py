@@ -7,11 +7,15 @@ train.py), without writing code.
     python -m fiveg_spark explain <query> [--sf-dir DIR]
     python -m fiveg_spark lint <query> [--sf-dir DIR]
     python -m fiveg_spark bench [--sf-dir DIR]
+    python -m fiveg_spark ledger <out.json> [--sf-dir DIR] [--diff OLD]
 
 ``run`` prints the result as a table (or JSON lines with --json),
 ``explain`` prints the formatted physical plan (the 100 TB sanity
 check: pushed filters, pruned schemas, exchange count), ``lint`` runs
-the plan advisor, ``bench`` delegates to bench.py's headline loop.
+the plan advisor, ``bench`` delegates to bench.py's headline loop,
+``ledger`` fingerprints every registered query's plan shape into a
+JSON artifact and (with --diff) prints the shape regressions vs an
+older ledger (plans/plan_ledger.py).
 
 Session sizing follows the same env knobs as everything else
 (SPARK_GRAFT_CPUS / SPARK_GRAFT_SHUFFLE / SPARK_GRAFT_MASTER).
@@ -64,6 +68,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     p_bench = sub.add_parser("bench", help="run the headline benchmark")
     p_bench.add_argument("--sf-dir", default=None)
 
+    p_ledger = sub.add_parser(
+        "ledger", help="record / diff plan-shape fingerprints"
+    )
+    p_ledger.add_argument("out")
+    p_ledger.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    p_ledger.add_argument("--diff", default=None,
+                          help="older ledger to diff against")
+
     args = parser.parse_args(argv)
     contract = _contract()
 
@@ -77,6 +89,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     queries = contract.queries()
     oracles = contract.oracle_sql()
+
+    if args.cmd == "ledger":
+        from fiveg_spark.plans.plan_ledger import (
+            diff_ledgers,
+            load_ledger,
+            record_ledger,
+        )
+
+        if spark is None:
+            from fiveg_spark.session import get_spark
+
+            spark = get_spark("cli-ledger")
+        ledger = record_ledger(queries, spark, args.sf_dir, args.out)
+        print(f"recorded {len(ledger['queries'])} fingerprints -> {args.out}")
+        if args.diff:
+            findings = diff_ledgers(load_ledger(args.diff), ledger)
+            for f in findings:
+                print(json.dumps(f, sort_keys=True))
+            if not findings:
+                print("no shape changes")
+            return 1 if any(
+                f["kind"] in ("regressed", "broken") for f in findings
+            ) else 0
+        return 0
 
     if args.cmd == "list":
         for name in sorted(queries):

@@ -1,0 +1,149 @@
+"""Plan-shape regression ledger (SURVEY §2 A24): the C52 advisor as a
+DURABLE artifact.  The advisor sweep judges a plan in the moment; this
+records every contract query's physical-plan FINGERPRINT so the next
+round (or the next deploy) can diff shapes instead of re-reading 300
+explain outputs — "theta gained two exchanges since last week" is a
+one-line diff here, and exactly the class of silent regression the r3
+minhash and r9 column_stat_drift incidents were.
+
+A fingerprint is the advisor's scalar facts (exchanges, file scans,
+broadcasts, codegen spans, Python ops, cartesian/global-window flags)
+plus an md5 of the CANONICALIZED plan tree — expression ids (#123),
+plan ids, file paths/sizes/timestamps, and checkpoint RDD names are
+stripped, so the hash is stable across sessions and testdata locations
+and moves ONLY when the plan's structure moves.
+
+Artifact discipline (the A21/r7 rules): per-writer temp name +
+os.replace (no shared .inprogress), JSON sorted-keys so the file
+diffs cleanly in review.
+
+Scale: fingerprinting is plan-text analysis — no query executes; a
+full 300-query ledger costs planning time only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from hashlib import md5
+
+from pyspark.sql import DataFrame
+
+from fiveg_spark.plans.explain import simple_plan
+
+LEDGER_VERSION = 1
+
+
+def canonical_plan(plan: str) -> str:
+    """Strip session/run-dependent tokens from an executed-plan tree."""
+    s = plan
+    s = re.sub(r"#\d+[A-Z]*", "#x", s)          # expression ids
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
+    s = re.sub(r"Location: [^\n]*", "Location: x", s)
+    s = re.sub(r"file:[^\s,\]]+", "file:x", s)
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics(x)", s)
+    s = re.sub(r"ExistingRDD\[[^\]]*\]", "ExistingRDD[x]", s)
+    s = re.sub(r"Scan ExistingRDD[^\n]*", "Scan ExistingRDD x", s)
+    s = re.sub(r"LocalTableScan [^\n]*", "LocalTableScan x", s)
+    s = re.sub(r"0x[0-9a-f]+", "0xX", s)
+    return s
+
+
+def plan_fingerprint(df: DataFrame) -> dict:
+    """Shape scalars + a canonical-plan hash for one DataFrame."""
+    plan = simple_plan(df)
+    canon = canonical_plan(plan)
+    return {
+        "n_exchanges": plan.count("Exchange"),
+        "n_file_scans": len(re.findall(r"FileScan", plan)),
+        "n_broadcasts": plan.count("Broadcast"),
+        "n_codegen_spans": len(re.findall(r"WholeStageCodegen", plan)),
+        "n_python_ops": len(
+            re.findall(r"ArrowEvalPython|MapInPandas|BatchEvalPython", plan)
+        ),
+        "has_cartesian": "CartesianProduct" in plan,
+        "n_sorts": len(re.findall(r"\bSort \[", plan)),
+        "plan_hash": md5(canon.encode()).hexdigest(),
+    }
+
+
+def record_ledger(queries: dict, spark, sf_dir: str, path: str) -> dict:
+    """Fingerprint every (name -> callable(spark, sf_dir) -> DataFrame)
+    and write the ledger atomically.  Returns the ledger dict.  A query
+    that fails to PLAN is recorded with an ``error`` field rather than
+    aborting the ledger (a broken plan is exactly what the diff should
+    surface)."""
+    entries = {}
+    for name in sorted(queries):
+        try:
+            entries[name] = plan_fingerprint(queries[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — recorded, not raised
+            entries[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+    ledger = {"version": LEDGER_VERSION, "sf_dir_basename":
+              os.path.basename(sf_dir.rstrip("/")), "queries": entries}
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(ledger, fh, sort_keys=True, indent=1)
+    os.replace(tmp, path)
+    return ledger
+
+
+def load_ledger(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+# scalar fields where an INCREASE is a shape regression worth a line
+_REGRESSION_FIELDS = (
+    "n_exchanges", "n_file_scans", "n_python_ops", "n_sorts",
+)
+
+
+def diff_ledgers(old: dict, new: dict) -> list[dict]:
+    """Shape changes between two ledgers, worst first.  Each finding:
+    {query, kind, field?, old, new}.  Kinds: 'regressed' (a regression
+    scalar increased or cartesian appeared), 'improved' (decreased),
+    'reshaped' (hash moved with no scalar change — a benign-looking
+    rewrite worth a glance), 'added'/'removed'/'broken'."""
+    out: list[dict] = []
+    oq, nq = old.get("queries", {}), new.get("queries", {})
+    for name in sorted(set(oq) | set(nq)):
+        o, n = oq.get(name), nq.get(name)
+        if o is None:
+            out.append({"query": name, "kind": "added"})
+            continue
+        if n is None:
+            out.append({"query": name, "kind": "removed"})
+            continue
+        if "error" in n:
+            if "error" not in o:
+                out.append({"query": name, "kind": "broken",
+                            "new": n["error"]})
+            continue
+        if "error" in o:
+            out.append({"query": name, "kind": "fixed"})
+            continue
+        scalar_moved = False
+        for f in _REGRESSION_FIELDS:
+            if n[f] > o[f]:
+                out.append({"query": name, "kind": "regressed", "field": f,
+                            "old": o[f], "new": n[f]})
+                scalar_moved = True
+            elif n[f] < o[f]:
+                out.append({"query": name, "kind": "improved", "field": f,
+                            "old": o[f], "new": n[f]})
+                scalar_moved = True
+        if not o["has_cartesian"] and n["has_cartesian"]:
+            out.append({"query": name, "kind": "regressed",
+                        "field": "has_cartesian", "old": False, "new": True})
+            scalar_moved = True
+        if not scalar_moved and n["plan_hash"] != o["plan_hash"]:
+            out.append({"query": name, "kind": "reshaped",
+                        "old": o["plan_hash"][:8], "new": n["plan_hash"][:8]})
+    order = {"broken": 0, "regressed": 1, "removed": 2, "reshaped": 3,
+             "added": 4, "fixed": 5, "improved": 6}
+    return sorted(out, key=lambda x: (order[x["kind"]], x["query"]))

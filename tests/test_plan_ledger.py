@@ -1,0 +1,112 @@
+"""A24 — plan-shape regression ledger (plans/plan_ledger.py).
+
+Covers: fingerprint stability across two plannings of the same query
+(expression-id canonicalization), detection of a genuinely changed
+plan under the same name (regressed scalar + reshaped hash), the
+broken-query path, atomic write/load round-trip, and the diff's
+severity ordering.
+"""
+
+from __future__ import annotations
+
+import tests.conftest as c
+from fiveg_spark.plans.plan_ledger import (
+    diff_ledgers,
+    load_ledger,
+    plan_fingerprint,
+    record_ledger,
+)
+from fiveg_spark.sources.tables import load_table
+
+
+def _agg_query(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("event_type").count()
+
+
+def _join_query(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    agg = ev.groupBy("user_id").count()
+    return ev.join(agg, "user_id").groupBy("event_type").count()
+
+
+def test_fingerprint_stable_across_replans(spark):
+    f1 = plan_fingerprint(_agg_query(spark, c.SF_DIR))
+    f2 = plan_fingerprint(_agg_query(spark, c.SF_DIR))
+    # a fresh analysis assigns new expression ids — canonicalization
+    # must make the hash identical anyway
+    assert f1 == f2
+    assert f1["n_exchanges"] >= 1
+    assert not f1["has_cartesian"]
+
+
+def test_record_diff_roundtrip_and_regression(spark, tmp_path):
+    p_old = str(tmp_path / "ledger_old.json")
+    p_new = str(tmp_path / "ledger_new.json")
+    record_ledger({"q": _agg_query}, spark, c.SF_DIR, p_old)
+    # same plan recorded again: clean diff
+    record_ledger({"q": _agg_query}, spark, c.SF_DIR, p_new)
+    assert diff_ledgers(load_ledger(p_old), load_ledger(p_new)) == []
+    # the query's plan changes shape under the SAME name: the diff
+    # must surface the extra shuffle and scan
+    record_ledger({"q": _join_query}, spark, c.SF_DIR, p_new)
+    findings = diff_ledgers(load_ledger(p_old), load_ledger(p_new))
+    kinds = {(f["kind"], f.get("field")) for f in findings}
+    assert ("regressed", "n_exchanges") in kinds
+    assert ("regressed", "n_file_scans") in kinds
+
+
+def test_added_removed_and_broken(spark, tmp_path):
+    p_old = str(tmp_path / "old.json")
+    p_new = str(tmp_path / "new.json")
+    record_ledger({"a": _agg_query}, spark, c.SF_DIR, p_old)
+
+    def broken(spark, sf_dir):
+        raise RuntimeError("cannot plan")
+
+    record_ledger({"a": broken, "b": _agg_query}, spark, c.SF_DIR, p_new)
+    findings = diff_ledgers(load_ledger(p_old), load_ledger(p_new))
+    assert findings[0]["kind"] == "broken" and findings[0]["query"] == "a"
+    assert {"kind": "added", "query": "b"} in findings
+
+
+def test_reshaped_without_scalar_change(spark):
+    # two semantically different aggs with identical shape scalars but
+    # different trees -> 'reshaped' (hash moved, no scalar finding)
+    def v1(spark, sf_dir):
+        ev = load_table(spark, "events", sf_dir)
+        return ev.groupBy("event_type").count()
+
+    def v2(spark, sf_dir):
+        ev = load_table(spark, "events", sf_dir)
+        return ev.groupBy("user_id").count()
+
+    old = {"version": 1, "queries": {"q": plan_fingerprint(v1(spark, c.SF_DIR))}}
+    new = {"version": 1, "queries": {"q": plan_fingerprint(v2(spark, c.SF_DIR))}}
+    findings = diff_ledgers(old, new)
+    assert [f["kind"] for f in findings] == ["reshaped"]
+
+
+def test_cli_ledger_record_and_diff(spark, tmp_path, capsys, monkeypatch):
+    # the real registry includes queries that FIT models at plan-build
+    # time (the advisor sweep's skip_build list), so the CLI path is
+    # exercised on a small registry; full-registry recording is the
+    # production `python -m fiveg_spark ledger` invocation
+    import __spark_entry__ as contract
+
+    from fiveg_spark.__main__ import main
+
+    monkeypatch.setattr(
+        contract, "queries", lambda: {"agg": _agg_query, "join": _join_query}
+    )
+    out1 = str(tmp_path / "l1.json")
+    out2 = str(tmp_path / "l2.json")
+    rc = main(["ledger", out1, "--sf-dir", c.SF_DIR], spark=spark)
+    assert rc == 0
+    rc = main(["ledger", out2, "--sf-dir", c.SF_DIR, "--diff", out1],
+              spark=spark)
+    assert rc == 0  # same session, same plans -> no regressions
+    led = load_ledger(out2)
+    assert set(led["queries"]) == {"agg", "join"}
+    assert all("plan_hash" in f for f in led["queries"].values())
+    assert "no shape changes" in capsys.readouterr().out
