@@ -1392,6 +1392,57 @@ def _user_specialization_sql(d: str) -> str:
     """
 
 
+
+
+def _order_cadence_sql(d: str) -> str:
+    # C138 — order-cadence REGULARITY per market segment: each repeat
+    # customer's coefficient of variation over inter-order gaps
+    # (CV ≈ 0 = subscription-like clockwork, CV ≈ 1 = Poisson-random,
+    # CV > 1 = bursty), rolled up per segment — C102 reports the
+    # segment's gap SIZES; whether the rhythm is steady is what a
+    # replenishment forecast actually needs.  One orders scan, a
+    # customer-partitioned lag window, per-customer Σ/Σ² reduce, a
+    # bounded segment rollup (≥3 orders so CV has ≥2 gaps).
+    ep = epoch("o.o_orderdate", d)
+    return f"""
+    WITH gaps AS (
+      SELECT
+        c.c_mktsegment AS segment,
+        o.o_custkey,
+        ({ep} - lag({ep}) OVER (PARTITION BY o.o_custkey
+                                ORDER BY o.o_orderdate, o.o_orderkey))
+          / 86400.0 AS gap_d
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    per_cust AS (
+      SELECT
+        segment,
+        o_custkey,
+        count(gap_d) AS n_gaps,
+        avg(gap_d) AS mu,
+        stddev_samp(gap_d) AS sd
+      FROM gaps
+      GROUP BY segment, o_custkey
+      HAVING count(gap_d) >= 2
+    )
+    SELECT
+      segment,
+      {cnt("count(*)", "n_repeat_customers")},
+      {dbl("avg(mu)", "mean_gap_days")},
+      {dbl("avg(sd / nullif(mu, 0.0))", "mean_cadence_cv")},
+      {dbl(pct("sd / nullif(mu, 0.0)", 0.5, d), "p50_cadence_cv")},
+      {dbl(
+          "avg(CAST(CASE WHEN sd / nullif(mu, 0.0) < 0.5"
+          " THEN 1 ELSE 0 END AS DOUBLE))",
+          "clockwork_share",
+      )}
+    FROM per_cust
+    GROUP BY segment
+    ORDER BY segment
+    """
+
+
 QUERIES = [
     sql_backed("scd2_user_history", _scd2_runs_sql, ("events",)),
     materialized_backed("stickiness_ratio", _stickiness_parts, ("events",)),
@@ -1434,4 +1485,6 @@ QUERIES = [
     # sorts it behind the 50 never-certified names (certifies in r10)
     sql_backed("user_specialization", _user_specialization_sql, ("events",),
                deferred=True),
+    sql_backed("order_cadence_regularity", _order_cadence_sql,
+               ("orders", "customer"), deferred=True),
 ]

@@ -19,6 +19,7 @@ from fiveg_spark.plans.registry import (
     cnt,
     dbl,
     materialized_backed,
+    pct,
     sql_backed,
 )
 
@@ -1186,6 +1187,72 @@ def _source_coherence_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_scoh_exp", exp)], tail
 
 
+
+
+def _quant_clip_eval_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E115 — GLOBAL-range uint8 quantization clip eval: the E109→E27
+    # loop closed as a certified row.  E27 quantizes per-vector (each
+    # vector carries its own range); a columnar store wants ONE global
+    # range — and E109's heavy tails say minmax ranges waste the code
+    # space on outliers.  This scores both candidates (raw min/max vs
+    # the p1/p99 clip) on reconstruction error and clipped mass, so
+    # the range choice is a measured decision (the UNCLIPPED mean is
+    # the readable axis: total mean buries the bulk win under the one
+    # huge clip error the strategy deliberately accepts).  Explode once
+    # (materialized — the range agg and the scoring both read it);
+    # ranges broadcast back; the verdict frame is 2 rows.
+    #
+    # Determinism: same half-up floor(+0.5) code as E27; step guarded
+    # for degenerate ranges.
+    if d == "spark":
+        exp = ("SELECT explode(CAST(embedding AS ARRAY<DOUBLE>)) AS v"
+               " FROM embeddings")
+    else:
+        exp = ("SELECT unnest(CAST(embedding AS DOUBLE[])) AS v"
+               " FROM embeddings")
+
+    def row(name: str, lo: str, hi: str) -> str:
+        clip = f"least(greatest(e.v, r.{lo}), r.{hi})"
+        step = f"nullif((r.{hi} - r.{lo}) / 255.0, 0.0)"
+        code = f"floor(({clip} - r.{lo}) / {step} + 0.5)"
+        recon = f"(r.{lo} + {code} * {step})"
+        err = f"abs(e.v - coalesce({recon}, r.{lo}))"
+        inside = f"e.v >= r.{lo} AND e.v <= r.{hi}"
+        return f"""
+    SELECT
+      '{name}' AS strategy,
+      {cnt("count(*)", "n_components")},
+      {dbl(f"avg({err})", "mean_abs_err")},
+      {dbl(f"avg(CASE WHEN {inside} THEN {err} END)",
+           "mean_abs_err_unclipped")},
+      {dbl(f"max({err})", "max_abs_err")},
+      {dbl(
+          f"avg(CAST(CASE WHEN e.v < r.{lo} OR e.v > r.{hi}"
+          " THEN 1 ELSE 0 END AS DOUBLE))",
+          "clipped_share",
+      )}
+    FROM _mz_qce_exp e
+    CROSS JOIN ranges r"""
+
+    tail = f"""
+    WITH ranges AS (
+      SELECT
+        min(v) AS lo_mm,
+        max(v) AS hi_mm,
+        {pct("v", 0.01, d)} AS lo_p,
+        {pct("v", 0.99, d)} AS hi_p
+      FROM _mz_qce_exp
+    )
+    SELECT * FROM (
+    {row("a_minmax", "lo_mm", "hi_mm")}
+    UNION ALL
+    {row("b_p1p99_clip", "lo_p", "hi_p")}
+    ) s
+    ORDER BY strategy
+    """
+    return [("_mz_qce_exp", exp)], tail
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
     materialized_backed("embedding_outlier_docs", _outlier_docs_parts, ("embeddings",)),
@@ -1231,4 +1298,6 @@ QUERIES = [
     # sorts it behind the 50 never-certified names (certifies in r10)
     materialized_backed("source_embedding_coherence", _source_coherence_parts,
                         ("documents", "embeddings"), deferred=True),
+    materialized_backed("quantization_clip_eval", _quant_clip_eval_parts,
+                        ("embeddings",), deferred=True),
 ]

@@ -1849,6 +1849,54 @@ def _diurnal_amplitude_sql(d: str) -> str:
     """
 
 
+
+
+def _reciprocity_by_year_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C137 — trade-graph reciprocity TREND: C83's graph-level
+    # reciprocity per order year (is the network becoming mutual or
+    # one-way — the structural complement of C134's rank churn).  The
+    # per-year directed edge set materializes once from the 5-table
+    # chain; the reverse-edge census is a (year, reversed-pair)
+    # self-equi-join of the ≤|years|·|nations|² frame.
+    edges_sql = """
+      SELECT DISTINCT
+        CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        sn.n_name AS src,
+        cn.n_name AS dst
+      FROM customer c
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE cn.n_name <> sn.n_name
+    """
+    tail = f"""
+    WITH recips AS (
+      SELECT
+        a.yr,
+        CASE WHEN b.src IS NOT NULL THEN 1 ELSE 0 END AS recip
+      FROM _mz_rby_edges a
+      LEFT JOIN _mz_rby_edges b
+        ON b.yr = a.yr AND b.src = a.dst AND b.dst = a.src
+    ),
+    nations AS (
+      SELECT yr, count(DISTINCT src) AS n_src FROM _mz_rby_edges GROUP BY yr
+    )
+    SELECT
+      r.yr AS order_year,
+      {cnt("count(*)", "n_edges")},
+      {cnt("sum(r.recip)", "n_reciprocal")},
+      {dbl("sum(r.recip) / CAST(count(*) AS DOUBLE)", "reciprocity")},
+      {cnt("max(n.n_src)", "n_supplying_nations")}
+    FROM recips r
+    JOIN nations n ON n.yr = r.yr
+    GROUP BY r.yr
+    ORDER BY order_year
+    """
+    return [("_mz_rby_edges", edges_sql)], tail
+
+
 QUERIES = [
     sql_backed("variance_time_curve", _variance_time_sql, ("events",)),
     # r9 third wave, registered AFTER the window filled: deferred
@@ -1861,6 +1909,11 @@ QUERIES = [
                         ("events",), deferred=True),
     sql_backed("diurnal_amplitude_trend", _diurnal_amplitude_sql,
                ("events",), deferred=True),
+    materialized_backed(
+        "reciprocity_by_year", _reciprocity_by_year_parts,
+        ("customer", "nation", "orders", "lineitem", "supplier"),
+        deferred=True,
+    ),
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
     materialized_backed("transfer_entropy", _transfer_entropy_parts, ("events",)),
     materialized_backed(

@@ -1053,6 +1053,7 @@ def _assert_parity_tables(spark, frames: dict, sql_fn, name):
 
 
 def _star_sql_fns():
+    from fiveg_spark.operators.behavior import _order_cadence_sql
     from fiveg_spark.operators.quality import _fk_orphan_audit_sql
     from fiveg_spark.operators.relational_ext import (
         _brand_loyalty_sql,
@@ -1102,6 +1103,9 @@ def _star_sql_fns():
         # per-customer HHI with the >= 2 items floor: single-line
         # customers drop; whole-fragment single-brand pins hhi 1.0
         "brand_loyalty_index": _brand_loyalty_sql,
+        # per-customer CV with the >=2-gaps floor and nullif(mu):
+        # single-order customers drop, tied order dates give zero gaps
+        "order_cadence_regularity": _order_cadence_sql,
     }
 
 
@@ -1371,6 +1375,138 @@ def test_source_coherence_on_random_joined_frames(spark):
         try:
             con.register("documents", docs)
             con.register("embeddings", emb)
+            res = con.execute(oracle)
+            duck_cols = [d0[0] for d0 in res.description]
+            duck_rows = _rows(duck_cols, res.fetchall())
+        finally:
+            con.close()
+        assert sorted(got.columns) == sorted(duck_cols)
+        assert spark_rows == duck_rows
+
+    check()
+
+
+def test_embedding_parts_queries_on_random_vectors(spark):
+    """Parts-based embeddings queries through both engines on random
+    tiny vector sets (constant vectors, repeated directions, zero
+    vectors — the degenerate shapes the guards exist for)."""
+    from fiveg_spark.operators.similarity import _quant_clip_eval_parts
+    from fiveg_spark.plans.registry import materialized_backed
+    from fiveg_spark.plans.registry import run_parts as _rp
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.sampled_from([0.0, 0.25, 1.0, -2.5]), min_size=3, max_size=3
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(vecs):
+        emb = pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+                "embedding": [[float(x) for x in v] for v in vecs],
+                "label": pd.Series([0] * len(vecs), dtype="int32"),
+            }
+        )
+        spark.createDataFrame(
+            emb, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+        ).createOrReplaceTempView("embeddings")
+        got = _rp(spark, _quant_clip_eval_parts)
+        spark_rows = _rows(got.columns, got.collect())
+        oracle = materialized_backed(
+            "_tmp_qce", _quant_clip_eval_parts, ("embeddings",)
+        ).oracle
+        con = duckdb.connect()
+        try:
+            con.register("embeddings", emb)
+            res = con.execute(oracle)
+            duck_cols = [d0[0] for d0 in res.description]
+            duck_rows = _rows(duck_cols, res.fetchall())
+        finally:
+            con.close()
+        assert sorted(got.columns) == sorted(duck_cols)
+        assert spark_rows == duck_rows
+
+    check()
+
+
+def test_reciprocity_by_year_on_random_graphs(spark):
+    from fiveg_spark.operators.ts_advanced import _reciprocity_by_year_parts
+    from fiveg_spark.plans.registry import materialized_backed
+    from fiveg_spark.plans.registry import run_parts as _rp
+
+    import datetime as dt
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        li=st.lists(
+            st.tuples(
+                st.integers(0, 3),  # orderkey (-> custkey -> cust nation)
+                st.integers(0, 2),  # suppkey (-> supp nation)
+                st.integers(0, 1),  # year offset
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    def check(li):
+        nation = pd.DataFrame(
+            {"n_nationkey": pd.Series([0, 1, 2], dtype="int32"),
+             "n_name": ["A", "B", "C"],
+             "n_regionkey": pd.Series([0, 0, 0], dtype="int32")}
+        )
+        customer = pd.DataFrame(
+            {"c_custkey": pd.Series([0, 1, 2, 3], dtype="int64"),
+             "c_nationkey": pd.Series([0, 1, 2, 0], dtype="int32")}
+        )
+        supplier = pd.DataFrame(
+            {"s_suppkey": pd.Series([0, 1, 2], dtype="int64"),
+             "s_nationkey": pd.Series([1, 2, 0], dtype="int32")}
+        )
+        orders = pd.DataFrame(
+            {"o_orderkey": pd.Series(range(8), dtype="int64"),
+             "o_custkey": pd.Series([k % 4 for k in range(8)], dtype="int64"),
+             "o_orderdate": pd.Series(
+                 [dt.datetime(1995 + (k % 2), 6, 1) for k in range(8)],
+                 dtype="datetime64[us]")}
+        )
+        lineitem = pd.DataFrame(
+            {"l_orderkey": pd.Series([x[0] for x in li], dtype="int64"),
+             "l_suppkey": pd.Series([x[1] for x in li], dtype="int64"),
+             "l_linenumber": pd.Series(range(len(li)), dtype="int32")}
+        )
+        frames = {
+            "nation": (nation, "n_nationkey INT, n_name STRING, n_regionkey INT"),
+            "customer": (customer, "c_custkey BIGINT, c_nationkey INT"),
+            "supplier": (supplier, "s_suppkey BIGINT, s_nationkey INT"),
+            "orders": (orders, "o_orderkey BIGINT, o_custkey BIGINT, "
+                       "o_orderdate TIMESTAMP"),
+            "lineitem": (lineitem, "l_orderkey BIGINT, l_suppkey BIGINT, "
+                         "l_linenumber INT"),
+        }
+        for view, (pdf, schema) in frames.items():
+            spark.createDataFrame(pdf, schema).createOrReplaceTempView(view)
+        got = _rp(spark, _reciprocity_by_year_parts)
+        spark_rows = _rows(got.columns, got.collect())
+        oracle = materialized_backed(
+            "_tmp_rby", _reciprocity_by_year_parts, tuple(frames)
+        ).oracle
+        con = duckdb.connect()
+        try:
+            for view, (pdf, _schema) in frames.items():
+                con.register(view, pdf)
             res = con.execute(oracle)
             duck_cols = [d0[0] for d0 in res.description]
             duck_rows = _rows(duck_cols, res.fetchall())

@@ -1000,3 +1000,89 @@ def test_source_embedding_coherence_identical_vs_orthogonal(spark):
     assert got["s1"]["mean_within_cosine"] == pytest.approx(1.0, abs=1e-4)
     assert got["s2"]["mean_within_cosine"] == 0.0
     assert got["s3"]["mean_within_cosine"] == 0.0
+
+
+def test_reciprocity_by_year_planted_graph(spark):
+    from fiveg_spark.operators.ts_advanced import _reciprocity_by_year_parts
+
+    import datetime as dt
+
+    # 1995: A supplies B AND B supplies A (reciprocal) plus A->C one-way
+    # -> 3 edges... wait: edges are (supplier nation -> customer nation):
+    # A->B, B->A, A->C: reciprocity = 2/3
+    nations = [(0, "A"), (1, "B"), (2, "C")]
+    spark.createDataFrame(
+        nations, "n_nationkey INT, n_name STRING"
+    ).createOrReplaceTempView("nation")
+    # customer nation by custkey, supplier nation by suppkey
+    spark.createDataFrame(
+        [(10, 1), (11, 0), (12, 2)], "c_custkey BIGINT, c_nationkey INT"
+    ).createOrReplaceTempView("customer")  # cust 10 in B, 11 in A, 12 in C
+    spark.createDataFrame(
+        [(20, 0), (21, 1)], "s_suppkey BIGINT, s_nationkey INT"
+    ).createOrReplaceTempView("supplier")  # supp 20 in A, 21 in B
+    orders = [(100, 10), (101, 11), (102, 12)]
+    spark.createDataFrame(
+        [(ok, ck, dt.datetime(1995, 6, 1)) for ok, ck in orders],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP",
+    ).createOrReplaceTempView("orders")
+    li = [
+        (100, 20, 1),  # A supplies B
+        (101, 21, 2),  # B supplies A
+        (102, 20, 3),  # A supplies C
+    ]
+    spark.createDataFrame(
+        li, "l_orderkey BIGINT, l_suppkey BIGINT, l_linenumber INT"
+    ).createOrReplaceTempView("lineitem")
+    got = run_parts(spark, _reciprocity_by_year_parts).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["n_edges"] == 3 and r["n_reciprocal"] == 2
+    assert r["reciprocity"] == pytest.approx(2 / 3, abs=1e-4)
+
+
+def test_order_cadence_clockwork_vs_bursty(spark):
+    from fiveg_spark.operators.behavior import _order_cadence_sql
+
+    import datetime as dt
+
+    rows, ok = [], 0
+    # cust 1: orders every 30 days exactly (CV 0, clockwork)
+    for k in range(5):
+        rows.append((ok, 1, dt.datetime(1995, 1, 1) + dt.timedelta(days=30 * k)))
+        ok += 1
+    # cust 2: gaps 1, 1, 118 days (bursty, CV >> 0.5)
+    for dday in (0, 1, 2, 120):
+        rows.append((ok, 2, dt.datetime(1995, 1, 1) + dt.timedelta(days=dday)))
+        ok += 1
+    spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_custkey BIGINT, o_orderdate TIMESTAMP"
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [(1, "SEG"), (2, "SEG")], "c_custkey BIGINT, c_mktsegment STRING"
+    ).createOrReplaceTempView("customer")
+    got = spark.sql(_order_cadence_sql("spark")).collect()[0].asDict()
+    assert got["n_repeat_customers"] == 2
+    assert got["clockwork_share"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_quantization_clip_eval_outlier_tradeoff(spark):
+    from fiveg_spark.operators.similarity import _quant_clip_eval_parts
+
+    # 200 components in [0, 1] + one extreme outlier at 1000: the
+    # minmax range wastes its 255 codes on [0, 1000] (bulk error ~2),
+    # the p1/p99 clip keeps resolution on the bulk but pays the full
+    # clip error on the outlier
+    vecs = [(i, [i / 50.0 % 1.0, (i + 7) / 50.0 % 1.0], 0) for i in range(100)]
+    vecs.append((100, [1000.0, 0.5], 0))
+    spark.createDataFrame(
+        vecs, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+    got = {r["strategy"]: r.asDict()
+           for r in run_parts(spark, _quant_clip_eval_parts).collect()}
+    mm, cl = got["a_minmax"], got["b_p1p99_clip"]
+    assert mm["clipped_share"] == 0.0
+    assert cl["clipped_share"] > 0.0  # the outlier is clipped
+    # the clip keeps 255 codes on the bulk: unclipped error collapses
+    assert cl["mean_abs_err_unclipped"] < mm["mean_abs_err_unclipped"] / 10
+    assert cl["max_abs_err"] > mm["max_abs_err"]  # the outlier pays
