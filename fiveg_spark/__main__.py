@@ -101,10 +101,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from fiveg_spark.session import get_spark
 
             spark = get_spark("cli-ledger")
+        # load the baseline FIRST: recording may overwrite args.diff
+        # (update-in-place is the natural usage for a tracked artifact)
+        old_ledger = load_ledger(args.diff) if args.diff else None
         ledger = record_ledger(queries, spark, args.sf_dir, args.out)
         print(f"recorded {len(ledger['queries'])} fingerprints -> {args.out}")
-        if args.diff:
-            findings = diff_ledgers(load_ledger(args.diff), ledger)
+        if old_ledger is not None:
+            findings = diff_ledgers(old_ledger, ledger)
             for f in findings:
                 print(json.dumps(f, sort_keys=True))
             if not findings:

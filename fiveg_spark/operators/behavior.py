@@ -1433,7 +1433,7 @@ def _order_cadence_sql(d: str) -> str:
       {dbl("avg(sd / nullif(mu, 0.0))", "mean_cadence_cv")},
       {dbl(pct("sd / nullif(mu, 0.0)", 0.5, d), "p50_cadence_cv")},
       {dbl(
-          "avg(CAST(CASE WHEN sd / nullif(mu, 0.0) < 0.5"
+          "avg(CAST(CASE WHEN round(sd / nullif(mu, 0.0) + 1e-9, 4) < 0.5"
           " THEN 1 ELSE 0 END AS DOUBLE))",
           "clockwork_share",
       )}

@@ -216,8 +216,8 @@ def _arrival_burstiness_sql(d: str) -> str:
       {dbl("avg(c)", "mean_per_minute")},
       {dbl("var_samp(c) / nullif(avg(c), 0.0)", "fano_factor")},
       {dbl("max(c) / nullif(avg(c), 0.0)", "peak_to_mean")},
-      (round(var_samp(c) / nullif(avg(c), 0.0) + 1e-9, 4) > 1.5)
-        AS overdispersed
+      coalesce(round(var_samp(c) / nullif(avg(c), 0.0) + 1e-9, 4) > 1.5,
+               FALSE) AS overdispersed
     FROM per_min
     GROUP BY event_type
     ORDER BY event_type

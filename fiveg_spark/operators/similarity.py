@@ -1236,11 +1236,15 @@ def _quant_clip_eval_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
     tail = f"""
     WITH ranges AS (
+      -- percentile INTERPOLATION differs by ulps between engines and
+      -- feeds discontinuous floor(+0.5) code arithmetic: round the
+      -- clip bounds first so both engines quantize identical ranges
+      -- (min/max are bit-identical and need no rounding)
       SELECT
         min(v) AS lo_mm,
         max(v) AS hi_mm,
-        {pct("v", 0.01, d)} AS lo_p,
-        {pct("v", 0.99, d)} AS hi_p
+        round({pct("v", 0.01, d)} + 1e-9, 6) AS lo_p,
+        round({pct("v", 0.99, d)} + 1e-9, 6) AS hi_p
       FROM _mz_qce_exp
     )
     SELECT * FROM (

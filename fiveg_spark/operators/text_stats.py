@@ -1092,8 +1092,8 @@ def _doc_entropy_screen_sql(d: str) -> str:
       {dbl("avg(h_bits)", "mean_doc_entropy_bits")},
       {dbl(pct("h_bits", 0.1, d), "p10_doc_entropy_bits")},
       {dbl(
-          "avg(CAST(CASE WHEN h_bits < 1.0 AND n_tokens >= 10"
-          " THEN 1 ELSE 0 END AS DOUBLE))",
+          "avg(CAST(CASE WHEN round(h_bits + 1e-9, 4) < 1.0"
+          " AND n_tokens >= 10 THEN 1 ELSE 0 END AS DOUBLE))",
           "low_entropy_share",
       )}
     FROM per_doc

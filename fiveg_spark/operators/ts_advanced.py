@@ -39,6 +39,7 @@ from fiveg_spark.plans.registry import (
     dbl,
     epoch,
     materialized_backed,
+    ols_slope,
     pct,
     sql_backed,
 )
@@ -1815,15 +1816,8 @@ def _diurnal_amplitude_sql(d: str) -> str:
     # (max−min)/mean of hourly throughput; then the C44 OLS closed
     # form over day index — the seasonal-STRENGTH time axis (D42
     # scores the cycle once; capacity planning needs its derivative).
-    amp = "(mx - mn) / nullif(mu, 0.0)"
-    n = "CAST(count(*) AS DOUBLE)"
-    sx = "sum(CAST(day_idx AS DOUBLE))"
-    sy = f"sum({amp})"
-    sxx = "sum(CAST(day_idx AS DOUBLE) * CAST(day_idx AS DOUBLE))"
-    sxy = f"sum(CAST(day_idx AS DOUBLE) * ({amp}))"
-    slope = (f"CASE WHEN {n} >= 2.0 AND {n} * {sxx} - {sx} * {sx} > 1e-9 "
-             f"THEN ({n} * {sxy} - {sx} * {sy})"
-             f" / ({n} * {sxx} - {sx} * {sx}) ELSE 0.0 END")
+    amp = "(mx - mn) / mu"
+    slope = ols_slope("CAST(day_idx AS DOUBLE)", amp)
     return f"""
     {_hourly_cte(d)},
     daily AS (
@@ -1835,7 +1829,11 @@ def _diurnal_amplitude_sql(d: str) -> str:
         avg(throughput_bps) AS mu
       FROM hourly
       GROUP BY slice, CAST(floor({epoch("h", d)} / 86400.0) AS BIGINT)
-      HAVING count(*) >= 12
+      -- all-zero days (mu = 0) are EXCLUDED, not NULL-skipped: a NULL
+      -- amplitude would poison the OLS (x-sums count the day, y-sums
+      -- skip it — the r9 review finding), so the day leaves the fit
+      -- entirely and n_days stays consistent with every aggregate
+      HAVING count(*) >= 12 AND avg(throughput_bps) > 0.0
     )
     SELECT
       slice,

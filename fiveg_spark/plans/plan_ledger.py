@@ -35,11 +35,33 @@ from fiveg_spark.plans.explain import simple_plan
 
 LEDGER_VERSION = 1
 
+# Queries whose DataFrame BUILD runs driver-side model fits (k-means /
+# MLlib training / collect-based codebooks) — the advisor sweep skips
+# them for the same reason; recording them is opt-in because a
+# "plan-only" ledger pass must not train models.  Shared with
+# tests/test_advisor.py.
+PLAN_BUILD_EXECUTES = frozenset({
+    "ann_ivf_recall", "ann_pq_recall", "ann_lsh_recall",
+    "mllib_ann_recall", "ann_recall_matrix", "ann_ivf_probe_ladder",
+    "ann_pq_rerank_ladder",
+    "embedding_dedup_ivf", "semdedup_summary", "hybrid_train_cert",
+    "hybrid_forecast_cert", "linear_baseline_cert",
+    "mllib_minhash_pairs", "pca_cert",
+    "isotonic_cert", "var_ols_cert", "huber_cert", "quantile_cert",
+    "gru_forward_cert", "holt_forecast", "holt_winters_forecast",
+})
+
 
 def canonical_plan(plan: str) -> str:
     """Strip session/run-dependent tokens from an executed-plan tree."""
     s = plan
     s = re.sub(r"#\d+[A-Z]*", "#x", s)          # expression ids
+    # partition counts (hashpartitioning(k#x, 200)) move with the
+    # shuffle-partition conf, not the plan's structure — strip them so
+    # a dev-box ledger diffs cleanly against a CI one
+    s = re.sub(r"(hashpartitioning|rangepartitioning|SinglePartition)"
+               r"(\([^)]*?), \d+\)", r"\1\2, N)", s)
+    s = re.sub(r"REPARTITION_BY_NUM\(\d+\)", "REPARTITION_BY_NUM(N)", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
     s = re.sub(r"Location: [^\n]*", "Location: x", s)
@@ -70,14 +92,22 @@ def plan_fingerprint(df: DataFrame) -> dict:
     }
 
 
-def record_ledger(queries: dict, spark, sf_dir: str, path: str) -> dict:
+def record_ledger(
+    queries: dict, spark, sf_dir: str, path: str,
+    include_fits: bool = False,
+) -> dict:
     """Fingerprint every (name -> callable(spark, sf_dir) -> DataFrame)
     and write the ledger atomically.  Returns the ledger dict.  A query
     that fails to PLAN is recorded with an ``error`` field rather than
     aborting the ledger (a broken plan is exactly what the diff should
-    surface)."""
+    surface).  Queries in PLAN_BUILD_EXECUTES are recorded as
+    ``skipped`` unless ``include_fits`` — their builders TRAIN models,
+    so a default ledger pass stays genuinely planning-only."""
     entries = {}
     for name in sorted(queries):
+        if name in PLAN_BUILD_EXECUTES and not include_fits:
+            entries[name] = {"skipped": "model fit at plan build"}
+            continue
         try:
             entries[name] = plan_fingerprint(queries[name](spark, sf_dir))
         except Exception as exc:  # noqa: BLE001 — recorded, not raised
@@ -110,9 +140,16 @@ def diff_ledgers(old: dict, new: dict) -> list[dict]:
     'reshaped' (hash moved with no scalar change — a benign-looking
     rewrite worth a glance), 'added'/'removed'/'broken'."""
     out: list[dict] = []
+    if old.get("sf_dir_basename") != new.get("sf_dir_basename"):
+        out.append({"query": "*", "kind": "regressed",
+                    "field": "sf_dir_basename",
+                    "old": old.get("sf_dir_basename"),
+                    "new": new.get("sf_dir_basename")})
     oq, nq = old.get("queries", {}), new.get("queries", {})
     for name in sorted(set(oq) | set(nq)):
         o, n = oq.get(name), nq.get(name)
+        if (o or {}).get("skipped") or (n or {}).get("skipped"):
+            continue
         if o is None:
             out.append({"query": name, "kind": "added"})
             continue

@@ -159,6 +159,24 @@ def corr_safe(x: str, y: str) -> str:
     )
 
 
+def ols_slope(x: str, y: str) -> str:
+    """OLS slope from decomposable sums with the degenerate guard —
+    the corr_safe discipline for trend fits.  NULL y-values must be
+    excluded by the CALLER's frame (mixing NULL-skipping y-sums with
+    NULL-counting x-sums silently corrupts the fit — the r9 diurnal
+    review finding)."""
+    n = "CAST(count(*) AS DOUBLE)"
+    sx = f"sum({x})"
+    sy = f"sum({y})"
+    sxx = f"sum(({x}) * ({x}))"
+    sxy = f"sum(({x}) * ({y}))"
+    return (
+        f"CASE WHEN {n} >= 2.0 AND {n} * {sxx} - {sx} * {sx} > 1e-9 "
+        f"THEN ({n} * {sxy} - {sx} * {sy}) / ({n} * {sxx} - {sx} * {sx}) "
+        "ELSE 0.0 END"
+    )
+
+
 def pct(col: str, p: float, dialect: str) -> str:
     """Exact interpolated percentile in both engines."""
     if dialect == "spark":

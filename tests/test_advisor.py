@@ -125,16 +125,11 @@ def test_advisor_sweep_no_errors_no_triple_scans(spark):
 
     from fiveg_spark.plans.advisor import lint_plan
 
-    skip_build = {
-        # build cost (driver-side fit / training), not plan risk:
-        "ann_ivf_recall", "ann_pq_recall", "ann_lsh_recall",
-        "mllib_ann_recall", "ann_recall_matrix",
-        "embedding_dedup_ivf", "semdedup_summary", "hybrid_train_cert",
-        "hybrid_forecast_cert", "linear_baseline_cert",
-        "mllib_minhash_pairs", "pca_cert",
-        "isotonic_cert", "var_ols_cert", "huber_cert", "quantile_cert",
-        "gru_forward_cert", "holt_forecast", "holt_winters_forecast",
-    }
+    # build cost (driver-side fit / training), not plan risk — THE
+    # shared set the plan ledger also skips by default
+    from fiveg_spark.plans.plan_ledger import PLAN_BUILD_EXECUTES
+
+    skip_build = PLAN_BUILD_EXECUTES
     import re
 
     errors, heavy_rescans, global_windows = [], [], set()
