@@ -1483,8 +1483,7 @@ QUERIES = [
                         _user_transfer_entropy_parts, ("events",)),
     # r9 third wave, registered AFTER the window filled: deferred
     # sorts it behind the 50 never-certified names (certifies in r10)
-    sql_backed("user_specialization", _user_specialization_sql, ("events",),
-               deferred=True),
+    sql_backed("user_specialization", _user_specialization_sql, ("events",)),
     sql_backed("order_cadence_regularity", _order_cadence_sql,
-               ("orders", "customer"), deferred=True),
+               ("orders", "customer")),
 ]

@@ -232,6 +232,5 @@ QUERIES = [
                ("events",)),
     # r9 third wave, registered AFTER the window filled: deferred
     # sorts it behind the 50 never-certified names (certifies in r10)
-    sql_backed("arrival_burstiness", _arrival_burstiness_sql, ("events",),
-               deferred=True),
+    sql_backed("arrival_burstiness", _arrival_burstiness_sql, ("events",)),
 ]

@@ -759,7 +759,7 @@ QUERIES = [
     # r9 third wave, registered AFTER the window filled: deferred
     # sorts it behind the 50 never-certified names (certifies in r10)
     materialized_backed("dup_ngram_mass_by_source", _dup_ngram_mass_parts,
-                        ("documents",), deferred=True),
+                        ("documents",)),
     sql_backed("boilerplate_ngrams", _boilerplate_ngrams_sql, ("documents",)),
     sql_backed("pii_scan", _pii_scan_sql, ("documents",)),
     sql_backed("pii_density_by_source", _pii_density_sql, ("documents",)),

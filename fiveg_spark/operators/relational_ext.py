@@ -1149,7 +1149,6 @@ QUERIES = [
     # r9 third wave, registered AFTER the window filled: deferred
     # sorts them behind the 50 never-certified names (certify in r10)
     sql_backed("nation_rank_stability", _nation_rank_stability_sql,
-               ("orders", "customer"), deferred=True),
-    sql_backed("order_status_aging", _order_status_aging_sql, ("orders",),
-               deferred=True),
+               ("orders", "customer")),
+    sql_backed("order_status_aging", _order_status_aging_sql, ("orders",)),
 ]

@@ -1301,7 +1301,7 @@ QUERIES = [
     # r9 third wave, registered AFTER the window filled: deferred
     # sorts it behind the 50 never-certified names (certifies in r10)
     materialized_backed("source_embedding_coherence", _source_coherence_parts,
-                        ("documents", "embeddings"), deferred=True),
+                        ("documents", "embeddings")),
     materialized_backed("quantization_clip_eval", _quant_clip_eval_parts,
-                        ("embeddings",), deferred=True),
+                        ("embeddings",)),
 ]

@@ -1133,8 +1133,7 @@ QUERIES = [
     # r9 third wave, registered AFTER the window filled: deferred
     # sorts them behind the 50 never-certified names (certify in r10)
     materialized_backed("tfidf_source_signature",
-                        _tfidf_source_signature_parts, ("documents",),
-                        deferred=True),
+                        _tfidf_source_signature_parts, ("documents",)),
     sql_backed("doc_entropy_screen", _doc_entropy_screen_sql,
-               ("documents",), deferred=True),
+               ("documents",)),
 ]

@@ -1899,18 +1899,15 @@ QUERIES = [
     sql_backed("variance_time_curve", _variance_time_sql, ("events",)),
     # r9 third wave, registered AFTER the window filled: deferred
     # sorts them behind the 50 never-certified names (certify in r10)
-    sql_backed("load_duration_curve", _load_duration_sql, ("events",),
-               deferred=True),
-    sql_backed("acf_half_life", _acf_half_life_sql, ("events",),
-               deferred=True),
+    sql_backed("load_duration_curve", _load_duration_sql, ("events",)),
+    sql_backed("acf_half_life", _acf_half_life_sql, ("events",)),
     materialized_backed("weekly_slice_correlation", _weekly_slice_corr_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
     sql_backed("diurnal_amplitude_trend", _diurnal_amplitude_sql,
-               ("events",), deferred=True),
+               ("events",)),
     materialized_backed(
         "reciprocity_by_year", _reciprocity_by_year_parts,
         ("customer", "nation", "orders", "lineitem", "supplier"),
-        deferred=True,
     ),
     sql_backed("dominant_period", _dominant_period_sql, ("events",)),
     materialized_backed("transfer_entropy", _transfer_entropy_parts, ("events",)),
