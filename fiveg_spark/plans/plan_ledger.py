@@ -17,8 +17,18 @@ Artifact discipline (the A21/r7 rules): per-writer temp name +
 os.replace (no shared .inprogress), JSON sorted-keys so the file
 diffs cleanly in review.
 
-Scale: fingerprinting is plan-text analysis — no query executes; a
-full 300-query ledger costs planning time only.
+Scale: fingerprinting itself is plan-text analysis, and plain
+sql_backed queries cost planning time only.  Two honest exceptions
+execute work during the BUILD of the DataFrame being fingerprinted:
+(1) the PLAN_BUILD_EXECUTES model fits below, which are skipped by
+default, and (2) materialized_backed queries, whose ``run()``
+localCheckpoints their _mz_* CTE stage — those intermediate scans DO
+execute during a ledger pass.  Fingerprinting the un-checkpointed
+composed plan instead would dodge that cost but hash a plan shape the
+contract never runs (and break hash continuity with every prior
+round's ledger), so the executed shape is recorded deliberately; at
+production scale, run the ledger where the CTE-stage cost is
+acceptable or diff against a cached prior ledger.
 """
 
 from __future__ import annotations

@@ -27,8 +27,12 @@ question from store rows alone: the smallest candidate W whose pooled
 late share clears the target.
 
 Scale: per batch the work is one aggregate over the batch (map-side
-partials; the frontier is a broadcast scalar); the store grows one row
-per batch and compacts to O(1).
+partials; the frontier is a broadcast scalar).  The scorer caches the
+(frontier, high-water) pair in its closure — the store is read ONCE on
+the first batch, then the cache advances from each batch's own
+max_es/batch_id, so per-batch driver work stays O(batch) no matter how
+many rows the store has accumulated.  The store grows one row per
+batch and compacts to O(1).
 
 Reference scope: beyond-reference production surface — the reference
 hardcodes a 10 s watermark (KafkaKpiPipeline.scala:69-80); this
@@ -38,6 +42,8 @@ measures, continuously, what the delay should be.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -56,12 +62,23 @@ def _store_schema() -> str:
 
 
 def _read_store(spark: SparkSession, path: str) -> DataFrame | None:
+    """None means "no store yet" — the directory is missing or holds
+    no parquet data files.  A store that EXISTS but cannot be read
+    raises: swallowing the error here would silently bypass the
+    high-water replay guard (the scorer would treat the stream as
+    fresh, re-score replayed batches, and record forced-0.0 first-batch
+    shares), corrupting the pooled statistics.  Failing the batch lets
+    the stream retry once the store is readable again."""
     if not os.path.isdir(path):
         return None
-    try:
-        return spark.read.parquet(path)
-    except Exception:
+    has_parquet = any(
+        f.endswith(".parquet")
+        for _r, _d, fs in os.walk(path)
+        for f in fs
+    )
+    if not has_parquet:
         return None
+    return spark.read.schema(_store_schema()).parquet(path)
 
 
 def _frontier_and_high_water(
@@ -82,13 +99,27 @@ def _frontier_and_high_water(
 
 def foreach_batch_lateness(path: str, ts_col: str = "ts"):
     """Build the foreachBatch scorer over a stream with event-time
-    column ``ts_col``."""
+    column ``ts_col``.
+
+    The (frontier, high-water) pair is cached in the closure: the
+    store is aggregated once on the first scored batch, after which
+    the cache advances from each batch's own max_es/batch_id.  The
+    cache stays valid across ``compact`` runs because compaction
+    preserves exactly those two quantities."""
+
+    cache: dict[str, object] = {"loaded": False}
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        frontier, high_water = _frontier_and_high_water(spark, path)
+        if not cache["loaded"]:
+            cache["frontier"], cache["high_water"] = (
+                _frontier_and_high_water(spark, path)
+            )
+            cache["loaded"] = True
+        frontier = cache["frontier"]
+        high_water = cache["high_water"]
         if high_water is not None and int(batch_id) <= high_water:
             # replayed batch (including ids below a compacted
             # high-water mark): its lateness is already pooled
@@ -137,6 +168,17 @@ def foreach_batch_lateness(path: str, ts_col: str = "ts"):
         spark.createDataFrame([row], _store_schema()).write.mode(
             "append"
         ).parquet(path)
+        # advance the cache only after the append landed — a failed
+        # write leaves the cache consistent with the store, so the
+        # engine's retry of this batch re-scores it correctly
+        max_es = float(aggs["max_es"])
+        cache["frontier"] = (
+            max_es if frontier is None else max(float(frontier), max_es)
+        )
+        cache["high_water"] = (
+            int(batch_id) if high_water is None
+            else max(int(high_water), int(batch_id))
+        )
 
     return score
 
@@ -197,7 +239,13 @@ def compact(spark: SparkSession, path: str) -> None:
     doctrine).  p95_behind_s becomes the MAX over batches: the exact
     pooled p95 is not reconstructible from per-batch p95s, and an
     upper bound errs on the safe side for a watermark-safety readout
-    (documented in the module header)."""
+    (documented in the module header).
+
+    The rewrite is ATOMIC (the A22 staged-install recipe): the summary
+    lands in a staging directory first, then swaps in via os.replace
+    with restore-on-failure — a plain mode('overwrite') would delete
+    the store before writing, and a crash mid-compact would lose the
+    high-water batch_id the replay guard depends on."""
     store = _read_store(spark, path)
     if store is None:
         return
@@ -218,6 +266,21 @@ def compact(spark: SparkSession, path: str) -> None:
         F.max("p95_behind_s").alias("p95_behind_s"),
     ).select(*[f.name for f in spark.createDataFrame([], _store_schema()).schema])
     pdf = summary.toPandas()
-    spark.createDataFrame(pdf, _store_schema()).write.mode(
-        "overwrite"
-    ).parquet(path)
+    staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    try:
+        spark.createDataFrame(pdf, _store_schema()).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        old = f"{path}.pre-compact-{uuid.uuid4().hex[:8]}"
+        os.replace(path, old)
+        try:
+            os.replace(staging, path)
+        except BaseException:
+            os.replace(old, path)  # restore — store is intact again
+            raise
+        shutil.rmtree(old)
+    except BaseException:
+        # the store is known to be in place at `path` here: either it
+        # was never renamed away, or the inner handler restored it
+        shutil.rmtree(staging, ignore_errors=True)
+        raise

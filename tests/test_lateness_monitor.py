@@ -124,3 +124,57 @@ def test_available_now_end_to_end(spark, tmp_path):
     assert rows[1]["frontier_es"] == BASE + 30
     assert rows[1]["late_share_60s"] == 0.0
     assert rows[1]["p95_behind_s"] > 0.0
+
+
+def test_fresh_scorer_after_compact_still_guards_replay(spark, tmp_path):
+    # a restarted stream builds a NEW closure: its cache must load the
+    # compacted store's high-water mark, not treat the stream as fresh
+    path = str(tmp_path / "store")
+    score = foreach_batch_lateness(path)
+    score(_frame(spark, [BASE]), 0)
+    score(_frame(spark, [BASE + 60]), 1)
+    compact(spark, path)
+    restarted = foreach_batch_lateness(path)
+    restarted(_frame(spark, [BASE + 60]), 1)  # replay below high-water
+    assert spark.read.parquet(path).count() == 1
+    restarted(_frame(spark, [BASE + 120]), 2)  # genuinely new batch
+    rows = {r["batch_id"]: r.asDict()
+            for r in spark.read.parquet(path).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["frontier_es"] == BASE + 60  # frontier survived
+
+
+def test_unreadable_store_fails_batch_instead_of_rescoring(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "store")
+    score = foreach_batch_lateness(path)
+    score(_frame(spark, [BASE]), 0)
+    # corrupt the store: a parquet data file that is not parquet
+    victim = next(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    with open(victim, "wb") as fh:
+        fh.write(b"not parquet at all")
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    fresh = foreach_batch_lateness(path)
+    with pytest.raises(Exception):
+        fresh(_frame(spark, [BASE + 60]), 1)
+    # the batch was NOT recorded as a forced-0.0 first batch
+    assert len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    ) == n_files
+
+
+def test_compact_is_atomic_and_leaves_no_leftovers(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "store")
+    score = foreach_batch_lateness(path)
+    score(_frame(spark, [BASE] * 5), 0)
+    score(_frame(spark, [BASE + 60] * 5), 1)
+    compact(spark, path)
+    siblings = os.listdir(str(tmp_path))
+    assert [s for s in siblings if ".compact-" in s or ".pre-compact-" in s] == []
+    assert spark.read.parquet(path).count() == 1
