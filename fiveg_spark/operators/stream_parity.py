@@ -1,0 +1,912 @@
+"""Stream-store parity certifications (SURVEY §2 B29-family): the
+foreachBatch sink stores (B15/B16/B18/B20/B23/B26, A8) certified
+against the DuckDB oracle END-TO-END — replay deterministic event-time
+batches through the REAL sink function, then answer a question from
+the STORE ALONE and prove the answer equals a direct recomputation
+over the raw tables.
+
+Until now the sink family was pytest-verified (stream ≡ batch behavior
+tests) but outside the driver's oracle gate, because a sink's output
+lives in a store directory rather than a DataFrame expression.  These
+queries close that gap: each one
+
+  1. partitions a fact table into deterministic event-time batches
+     (epoch weeks for events, crawl waves ``doc_id % 4`` for
+     documents — at 100 TB these ARE the partition keys a replay
+     harness would iterate, so the per-batch filter is partition
+     pruning, not a rescan);
+  2. feeds the batches IN ORDER to the sink's real ``foreach_batch_*``
+     function (the exact code a checkpointed stream runs), including a
+     REPLAYED batch so the store's high-water/idempotence guard is
+     exercised on the certified path, and a ``compact`` where the sink
+     has one, so merge-on-read over compacted state is certified too;
+  3. reads the store back through the sink's reader and emits a small
+     result frame whose every value the DuckDB oracle recomputes
+     independently from the raw table.
+
+The stores land in a per-run scratch directory and the result frame is
+collected (bounded: |keys| × |batches| rows at most) before the
+scratch is removed — the returned frame owns its rows, never the
+deleted files.
+
+Scale: the replay loop is the certification HARNESS, not the
+production path (that is the checkpointed stream each sink's
+``attach_*`` wires); per batch, every sink here does one bounded
+aggregate + one append, which is the shape that survives 100 TB — see
+each sink module's header for its own scale argument.
+
+Reference scope: beyond-reference production surface (the reference's
+streaming job hardcodes one pipeline, KafkaKpiPipeline.scala:227-300;
+this certifies the reusable sink family around the same foreachBatch
+mechanism).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiveg_spark.operators.sketches import BLOOM_K, BLOOM_M, bloom_bucket_expr
+from fiveg_spark.plans.registry import Query, ensure_views
+
+WEEK_S = 604800  # epoch weeks: 86400 * 7, so a day never spans batches
+
+
+def _scratch() -> str:
+    return tempfile.mkdtemp(prefix="fiveg_stream_parity_")
+
+
+def _week_batches(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, DataFrame]]:
+    """(batch_id, frame) per epoch week of ``events``, in week order.
+    The per-batch filter is the harness's partition pruning: at scale
+    the week IS the partition key, so batch i reads week i's files."""
+    ensure_views(spark, ("events",), sf_dir)
+    ev = spark.sql(
+        "SELECT *, CAST(floor(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0"
+        f" / {WEEK_S}.0) AS BIGINT) AS wk FROM events"
+    )
+    weeks = sorted(
+        r["wk"] for r in ev.select("wk").distinct().collect()
+    )
+    return [
+        (i, ev.filter(F.col("wk") == w).drop("wk"))
+        for i, w in enumerate(weeks)
+    ]
+
+
+def _collected(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
+    """Materialize a bounded result frame so the scratch store can be
+    deleted before returning (the ml/certify tiny-frame doctrine)."""
+    rows = [tuple(r) for r in df.collect()]
+    return spark.createDataFrame(rows, schema)
+
+
+def _store_or_empty(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """A monitor store that never received a scorable batch (e.g. a
+    single-week corpus leaves CUSUM/PSI with no week >= 1) reads as an
+    EMPTY frame, matching the oracle's zero rows — not a read error."""
+    from fiveg_spark.streaming.store_guard import has_parquet
+
+    if not has_parquet(path):
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# B23 — streaming Bloom store vs the exact bit set
+# --------------------------------------------------------------------------
+
+_ABSENT_PROBES = tuple(range(-1, -21, -1))  # ids guaranteed off-corpus
+
+
+def _bloom_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay weeks through foreach_batch_bloom (replaying week 0 once
+    more to hit the watermark guard), compact, then certify: the
+    store's per-type bit count, the false-positive count over 20
+    guaranteed-absent probes, the Swamidass-Baldi estimate, and the
+    exact distinct-user count the estimate targets — every column
+    recomputable by the oracle because the bit positions come from the
+    dialect-portable C71 bucket builder."""
+    from fiveg_spark.streaming import bloom_sink
+
+    store = _scratch()
+    try:
+        batches = _week_batches(spark, sf_dir)
+        sink = bloom_sink.foreach_batch_bloom(store)
+        for i, frame in batches:
+            sink(frame, i)
+        sink(batches[0][1], 0)  # crash/retry replay: high-water no-op
+        bloom_sink.compact(spark, store)
+
+        bits = bloom_sink.read_bits(spark, store)
+        filled = bits.groupBy("event_type").agg(
+            F.count("*").alias("n_bits_set")
+        )
+        types = [r["event_type"] for r in filled.select("event_type").collect()]
+        probes = [(t, int(p)) for t in types for p in _ABSENT_PROBES]
+        fp = (
+            bloom_sink.check_membership(spark, store, probes)
+            .groupBy("event_type")
+            .agg(
+                F.sum(F.col("maybe_present").cast("long")).alias(
+                    "n_absent_fp"
+                )
+            )
+        )
+        est = bloom_sink.estimate_cardinality(spark, store).select(
+            "event_type",
+            F.round(F.col("est_distinct") + 1e-9, 4).alias("est_distinct"),
+        )
+        exact = spark.sql(
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)"
+            " AS n_exact_distinct FROM events GROUP BY event_type"
+        )
+        out = (
+            filled.join(fp, "event_type")
+            .join(est, "event_type")
+            .join(exact, "event_type")
+            .select(
+                "event_type",
+                F.col("n_bits_set").cast("long"),
+                F.col("n_absent_fp").cast("long"),
+                "est_distinct",
+                "n_exact_distinct",
+            )
+            .orderBy("event_type")
+        )
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, n_bits_set LONG, n_absent_fp LONG,"
+            " est_distinct DOUBLE, n_exact_distinct LONG",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _bloom_store_oracle() -> str:
+    js = ", ".join(str(j) for j in range(BLOOM_K))
+    probes = ", ".join(f"({p})" for p in _ABSENT_PROBES)
+    bucket_user = bloom_bucket_expr("e.user_id", "j.j")
+    bucket_probe = bloom_bucket_expr("p.probe_id", "j.j")
+    return f"""
+    WITH js AS (SELECT unnest([{js}]) AS j),
+    bits AS (
+      SELECT DISTINCT e.event_type, {bucket_user} AS bit
+      FROM (SELECT DISTINCT event_type, user_id FROM events) e
+      CROSS JOIN js j
+    ),
+    filled AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_bits_set
+      FROM bits GROUP BY event_type
+    ),
+    probe_bits AS (
+      SELECT t.event_type, p.probe_id, {bucket_probe} AS bit
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest([{probes}]) AS probe_id) p
+      CROSS JOIN js j
+    ),
+    fp AS (
+      SELECT pb.event_type, pb.probe_id,
+             CAST(count(b.bit) AS BIGINT) AS n_hit
+      FROM probe_bits pb
+      LEFT JOIN bits b
+        ON b.event_type = pb.event_type AND b.bit = pb.bit
+      GROUP BY pb.event_type, pb.probe_id
+    ),
+    fp_agg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN n_hit = {BLOOM_K} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_absent_fp
+      FROM fp GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT
+      f.event_type,
+      f.n_bits_set,
+      fa.n_absent_fp,
+      round(-({BLOOM_M}.0 / {BLOOM_K}.0)
+            * ln(1.0 - CAST(f.n_bits_set AS DOUBLE) / {BLOOM_M}.0)
+            + 1e-9, 4) AS est_distinct,
+      x.n_exact_distinct
+    FROM filled f
+    JOIN fp_agg fa ON fa.event_type = f.event_type
+    JOIN exact x ON x.event_type = f.event_type
+    ORDER BY f.event_type
+    """
+
+
+# --------------------------------------------------------------------------
+# B15 — streaming ingestion-dedup store vs the rank-1 acceptance rule
+# --------------------------------------------------------------------------
+
+N_WAVES = 4
+
+
+def _dedup_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay CUMULATIVE crawl waves (wave b re-delivers every doc with
+    doc_id % 4 <= b — a re-crawl always contains the old corpus) through
+    foreach_batch_dedup, then re-deliver the final wave once more (the
+    store-as-state self-healing no-op).  Accepted docs per wave must
+    equal the oracle's closed form: a doc is accepted iff it is the
+    min-doc_id representative of its content hash within the FIRST wave
+    where the hash appears — which for cumulative waves is the hash's
+    global min doc_id, accepted at wave (min_doc_id % 4)."""
+    from fiveg_spark.streaming import dedup_sink
+
+    store = _scratch()
+    try:
+        ensure_views(spark, ("documents",), sf_dir)
+        docs = spark.sql("SELECT doc_id, text, source FROM documents")
+        sink = dedup_sink.foreach_batch_dedup(store)
+        for b in range(N_WAVES):
+            sink(docs.filter(F.col("doc_id") % N_WAVES <= b), b)
+        sink(docs, N_WAVES)  # full re-crawl: every hash present, 0 new
+
+        accepted = spark.read.parquet(store)
+        out = (
+            docs.withColumn("wave", F.col("doc_id") % N_WAVES)
+            .groupBy("wave")
+            .agg(F.count("*").alias("n_wave_docs"))
+            .join(
+                accepted.withColumn("wave", F.col("doc_id") % N_WAVES)
+                .groupBy("wave")
+                .agg(
+                    F.count("*").alias("n_accepted"),
+                    F.countDistinct("h").alias("n_hashes"),
+                ),
+                "wave",
+            )
+            .select(
+                F.col("wave").cast("long"),
+                F.col("n_wave_docs").cast("long"),
+                F.col("n_accepted").cast("long"),
+                F.col("n_hashes").cast("long"),
+            )
+            .orderBy("wave")
+        )
+        return _collected(
+            spark,
+            out,
+            "wave LONG, n_wave_docs LONG, n_accepted LONG, n_hashes LONG",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _dedup_store_oracle() -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, doc_id % {N_WAVES} AS wave, md5(lower(text)) AS h
+      FROM documents
+    ),
+    firsts AS (
+      SELECT h, min(doc_id) AS keeper_id
+      FROM hashed GROUP BY h
+    ),
+    accepted AS (
+      SELECT f.keeper_id % {N_WAVES} AS wave, f.h
+      FROM firsts f
+    )
+    SELECT
+      CAST(w.wave AS BIGINT) AS wave,
+      CAST(count(*) AS BIGINT) AS n_wave_docs,
+      CAST(a.n_accepted AS BIGINT) AS n_accepted,
+      CAST(a.n_hashes AS BIGINT) AS n_hashes
+    FROM hashed w
+    JOIN (
+      SELECT wave, count(*) AS n_accepted, count(DISTINCT h) AS n_hashes
+      FROM accepted GROUP BY wave
+    ) a ON a.wave = w.wave
+    GROUP BY w.wave, a.n_accepted, a.n_hashes
+    ORDER BY w.wave
+    """
+
+
+# --------------------------------------------------------------------------
+# B20 — streaming heavy-hitters store vs the SQL merge of exact partials
+# --------------------------------------------------------------------------
+
+HH_TOPK = 5
+
+
+def _heavy_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay weeks through foreach_batch_heavy (m=16 per-type
+    candidates per batch), replay week 0 (watermark no-op), compact,
+    then read the merged top-5 per type with its uncertainty band.
+    Every column is deterministic (exact per-batch counts, user_id tie
+    break) so the oracle recomputes the whole merge-on-read in SQL —
+    including ``upper_count``, whose slack term sums the per-batch
+    truncation maxima."""
+    from fiveg_spark.streaming import heavy_sink
+
+    store = _scratch()
+    try:
+        batches = _week_batches(spark, sf_dir)
+        sink = heavy_sink.foreach_batch_heavy(store)
+        for i, frame in batches:
+            sink(frame, i)
+        sink(batches[0][1], 0)  # replay guard
+        heavy_sink.compact(spark, store)
+
+        out = heavy_sink.read_heavy_hitters(spark, store, k=HH_TOPK).select(
+            "event_type",
+            "rnk",
+            "user_id",
+            "est_count",
+            "upper_count",
+            "n_total",
+            F.round(F.col("est_share") + 1e-9, 4).alias("est_share"),
+        )
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, rnk LONG, user_id LONG, est_count LONG,"
+            " upper_count LONG, n_total LONG, est_share DOUBLE",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _heavy_store_oracle() -> str:
+    from fiveg_spark.streaming.heavy_sink import HH_M
+
+    return f"""
+    WITH batched AS (
+      SELECT event_type, user_id,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                        / {WEEK_S}.0) AS BIGINT) AS wk
+      FROM events
+    ),
+    counts AS (
+      SELECT wk, event_type, user_id, count(*) AS cnt
+      FROM batched GROUP BY wk, event_type, user_id
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (
+               PARTITION BY wk, event_type
+               ORDER BY cnt DESC, user_id ASC
+             ) AS rk
+      FROM counts
+    ),
+    cand AS (
+      SELECT event_type, user_id, sum(cnt) AS est_count
+      FROM ranked WHERE rk <= {HH_M}
+      GROUP BY event_type, user_id
+    ),
+    meta AS (
+      SELECT event_type,
+             sum(cnt) AS n_total,
+             sum(batch_dropped) AS slack
+      FROM (
+        SELECT wk, event_type, sum(cnt) AS cnt,
+               coalesce(max(CASE WHEN rk > {HH_M} THEN cnt END), 0)
+                 AS batch_dropped
+        FROM ranked GROUP BY wk, event_type
+      ) GROUP BY event_type
+    ),
+    merged AS (
+      SELECT c.event_type, c.user_id, c.est_count, m.n_total, m.slack,
+             row_number() OVER (
+               PARTITION BY c.event_type
+               ORDER BY c.est_count DESC, c.user_id ASC
+             ) AS rnk
+      FROM cand c JOIN meta m ON m.event_type = c.event_type
+    )
+    SELECT
+      event_type,
+      CAST(rnk AS BIGINT) AS rnk,
+      CAST(user_id AS BIGINT) AS user_id,
+      CAST(est_count AS BIGINT) AS est_count,
+      CAST(est_count + slack AS BIGINT) AS upper_count,
+      CAST(n_total AS BIGINT) AS n_total,
+      round(CAST(est_count AS DOUBLE) / CAST(n_total AS DOUBLE)
+            + 1e-9, 4) AS est_share
+    FROM merged
+    WHERE rnk <= {HH_TOPK}
+    ORDER BY event_type, rnk
+    """
+
+
+QUERIES = [
+    Query("stream_bloom_store_parity", _bloom_store_run,
+          _bloom_store_oracle()),
+    Query("stream_dedup_store_parity", _dedup_store_run,
+          _dedup_store_oracle()),
+    Query("stream_heavy_store_parity", _heavy_store_run,
+          _heavy_store_oracle()),
+]
+
+
+# --------------------------------------------------------------------------
+# B26 — streaming lateness-monitor store vs the closed-form frontier SQL
+# --------------------------------------------------------------------------
+
+
+def _lateness_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the B25 synthesized-disorder arrivals in ARRIVAL-week
+    batches through foreach_batch_lateness, compacting mid-stream and
+    restarting the scorer (a fresh closure must reload the compacted
+    frontier/high-water), with one replayed batch (no-op).  The pooled
+    summary must match the oracle's closed form: per batch the frontier
+    is the max event time of all PRIOR arrival weeks, and the pooled
+    late share per ladder rung is the n-weighted mean of per-batch
+    shares (first batch forced 0.0 — no frontier exists yet)."""
+    from fiveg_spark.operators.lateness import delay_expr
+    from fiveg_spark.streaming import lateness_monitor
+
+    store = _scratch()
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        es = "(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0)"
+        arr = spark.sql(
+            f"SELECT ts, CAST(floor(({es} + ({delay_expr()})) / {WEEK_S}.0)"
+            " AS BIGINT) AS arr_wk FROM events"
+        )
+        weeks = sorted(r["arr_wk"] for r in arr.select("arr_wk").distinct().collect())
+        batches = [
+            (i, arr.filter(F.col("arr_wk") == w).select("ts"))
+            for i, w in enumerate(weeks)
+        ]
+        score = lateness_monitor.foreach_batch_lateness(store)
+        for i, frame in batches[:3]:
+            score(frame, i)
+        lateness_monitor.compact(spark, store)
+        restarted = lateness_monitor.foreach_batch_lateness(store)
+        if len(batches) > 2:
+            restarted(batches[2][1], 2)  # replay below high-water: no-op
+        for i, frame in batches[3:]:
+            restarted(frame, i)
+
+        out = lateness_monitor.lateness_summary(spark, store).select(
+            F.col("watermark_s").cast("long"),
+            F.round(F.col("pooled_late_share") + 1e-9, 4).alias(
+                "pooled_late_share"
+            ),
+            F.col("n_rows").cast("long"),
+            F.round(F.col("frontier_es") + 1e-9, 4).alias("frontier_es"),
+            F.col("high_water_batch").cast("long"),
+        )
+        return _collected(
+            spark,
+            out,
+            "watermark_s LONG, pooled_late_share DOUBLE, n_rows LONG,"
+            " frontier_es DOUBLE, high_water_batch LONG",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _lateness_store_oracle() -> str:
+    from fiveg_spark.operators.lateness import WATERMARK_LADDER, delay_expr
+
+    es = "(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0)"
+    rungs = "\n      UNION ALL\n".join(
+        f"      SELECT {w} AS watermark_s" for w in WATERMARK_LADDER
+    )
+    return f"""
+    WITH arr AS (
+      SELECT {es} AS es,
+             CAST(floor(({es} + ({delay_expr()})) / {WEEK_S}.0) AS BIGINT)
+               AS arr_wk
+      FROM events
+    ),
+    wk_ord AS (
+      SELECT arr_wk,
+             max(es) AS mx,
+             row_number() OVER (ORDER BY arr_wk) - 1 AS b
+      FROM arr GROUP BY arr_wk
+    ),
+    fronted AS (
+      SELECT arr_wk, b,
+             max(mx) OVER (
+               ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS frontier
+      FROM wk_ord
+    ),
+    per_batch AS (
+      SELECT f.b,
+             count(*) AS n,
+             {", ".join(
+                 f"avg(CAST(CASE WHEN f.frontier IS NOT NULL"
+                 f" AND a.es < f.frontier - {w}.0 THEN 1 ELSE 0 END"
+                 f" AS DOUBLE)) AS share_{w}"
+                 for w in WATERMARK_LADDER
+             )}
+      FROM arr a JOIN fronted f ON f.arr_wk = a.arr_wk
+      GROUP BY f.b
+    ),
+    pooled AS (
+      SELECT
+        {", ".join(
+            f"sum(share_{w} * n) / sum(CAST(n AS DOUBLE)) AS pooled_{w}"
+            for w in WATERMARK_LADDER
+        )},
+        CAST(sum(n) AS BIGINT) AS n_rows,
+        CAST(max(b) AS BIGINT) AS high_water_batch
+      FROM per_batch
+    ),
+    frontier_all AS (SELECT max(es) AS f FROM arr)
+    SELECT
+      CAST(r.watermark_s AS BIGINT) AS watermark_s,
+      round(CASE {" ".join(
+          f"WHEN r.watermark_s = {w} THEN p.pooled_{w}"
+          for w in WATERMARK_LADDER
+      )} END + 1e-9, 4) AS pooled_late_share,
+      p.n_rows,
+      round(fa.f + 1e-9, 4) AS frontier_es,
+      p.high_water_batch
+    FROM (
+{rungs}
+    ) r CROSS JOIN pooled p CROSS JOIN frontier_all fa
+    ORDER BY r.watermark_s
+    """
+
+
+# --------------------------------------------------------------------------
+# B18 — streaming CUSUM state/metrics store vs a WITH RECURSIVE oracle
+# --------------------------------------------------------------------------
+
+
+def _cusum_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week 0 fits the frozen per-type (mu, sigma) reference; weeks 1-4
+    stream through foreach_batch_cusum (one replayed batch no-op,
+    state compacted at the end).  The metrics store — z, both
+    accumulators, the alarm — must match a WITH RECURSIVE oracle
+    replaying Page's recursion over the per-week means, INCLUDING the
+    post-alarm reset (the recursion carries post-reset state forward
+    but emits the pre-reset values, exactly like the sink)."""
+    from fiveg_spark.streaming import cusum_monitor
+
+    store = _scratch()
+    try:
+        batches = _week_batches(spark, sf_dir)
+        ref = cusum_monitor.fit_reference_stats(
+            batches[0][1], "event_type", "value"
+        )
+        step = cusum_monitor.foreach_batch_cusum(
+            store, ref, "event_type", "value"
+        )
+        for i, frame in batches[1:]:
+            step(frame, i)
+        if len(batches) > 2:
+            step(batches[2][1], 2)  # replay below high-water: no-op
+        from fiveg_spark.streaming.store_guard import has_parquet
+        if has_parquet(f"{store}/state"):
+            cusum_monitor.compact_state(spark, store)
+
+        metrics = _store_or_empty(
+            spark,
+            f"{store}/metrics",
+            "batch_id LONG, key STRING, n_rows LONG, z DOUBLE,"
+            " s_pos DOUBLE, s_neg DOUBLE, alarm BOOLEAN",
+        )
+        out = (
+            metrics
+            .select(
+                F.col("batch_id").cast("long"),
+                F.col("key").alias("event_type"),
+                F.col("n_rows").cast("long"),
+                F.round(F.col("z") + 1e-9, 4).alias("z"),
+                F.round(F.col("s_pos") + 1e-9, 4).alias("s_pos"),
+                F.round(F.col("s_neg") + 1e-9, 4).alias("s_neg"),
+                "alarm",
+            )
+            .orderBy("batch_id", "event_type")
+        )
+        return _collected(
+            spark,
+            out,
+            "batch_id LONG, event_type STRING, n_rows LONG, z DOUBLE,"
+            " s_pos DOUBLE, s_neg DOUBLE, alarm BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _cusum_store_oracle() -> str:
+    from fiveg_spark.streaming.cusum_monitor import H_DECISION, K_SLACK
+
+    return f"""
+    WITH RECURSIVE batched AS (
+      SELECT event_type, value,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                        / {WEEK_S}.0) AS BIGINT) AS wk
+      FROM events
+    ),
+    wk_ord AS (
+      SELECT wk, row_number() OVER (ORDER BY wk) - 1 AS b
+      FROM (SELECT DISTINCT wk FROM batched)
+    ),
+    ref AS (
+      SELECT b.event_type,
+             avg(b.value) AS mu,
+             greatest(coalesce(stddev_samp(b.value), 0.0), 1e-9) AS sd
+      FROM batched b JOIN wk_ord w ON w.wk = b.wk
+      WHERE w.b = 0
+      GROUP BY b.event_type
+    ),
+    zt AS (
+      SELECT w.b, t.event_type, CAST(count(*) AS BIGINT) AS n,
+             (avg(t.value) - r.mu) / r.sd * sqrt(count(*)) AS z
+      FROM batched t
+      JOIN wk_ord w ON w.wk = t.wk
+      JOIN ref r ON r.event_type = t.event_type
+      WHERE w.b >= 1
+      GROUP BY w.b, t.event_type, r.mu, r.sd
+    ),
+    cusum AS (
+      SELECT b, event_type, n, z,
+             greatest(0.0, z - {K_SLACK}) AS s_pos,
+             greatest(0.0, -z - {K_SLACK}) AS s_neg
+      FROM zt WHERE b = 1
+      UNION ALL
+      SELECT z.b, z.event_type, z.n, z.z,
+             greatest(0.0,
+               (CASE WHEN c.s_pos > {H_DECISION} OR c.s_neg > {H_DECISION}
+                     THEN 0.0 ELSE c.s_pos END) + z.z - {K_SLACK}),
+             greatest(0.0,
+               (CASE WHEN c.s_pos > {H_DECISION} OR c.s_neg > {H_DECISION}
+                     THEN 0.0 ELSE c.s_neg END) - z.z - {K_SLACK})
+      FROM zt z JOIN cusum c
+        ON c.event_type = z.event_type AND z.b = c.b + 1
+    )
+    SELECT
+      CAST(b AS BIGINT) AS batch_id,
+      event_type,
+      n AS n_rows,
+      round(z + 1e-9, 4) AS z,
+      round(s_pos + 1e-9, 4) AS s_pos,
+      round(s_neg + 1e-9, 4) AS s_neg,
+      (s_pos > {H_DECISION} OR s_neg > {H_DECISION}) AS alarm
+    FROM cusum
+    ORDER BY batch_id, event_type
+    """
+
+
+# --------------------------------------------------------------------------
+# B16 — streaming PSI drift store vs the closed-form binned oracle
+# --------------------------------------------------------------------------
+
+
+def _psi_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week 0 fits the frozen per-type binned reference; weeks 1-4
+    stream through foreach_batch_psi.  Every stored PSI decomposes into
+    exact integer bin counts and the shared floor/log formula, so the
+    oracle recomputes the full score — including the dense 10-bin
+    iteration where empty bins contribute at the 1e-4 floor."""
+    from fiveg_spark.streaming import drift_monitor
+
+    store = _scratch()
+    try:
+        batches = _week_batches(spark, sf_dir)
+        ref = drift_monitor.fit_reference(
+            batches[0][1], "event_type", "value"
+        )
+        score = drift_monitor.foreach_batch_psi(
+            ref, store, "event_type", "value"
+        )
+        for i, frame in batches[1:]:
+            score(frame, i)
+
+        out = _store_or_empty(
+            spark,
+            store,
+            "batch_id LONG, key STRING, psi DOUBLE, n_rows LONG,"
+            " drifted BOOLEAN",
+        ).select(
+            F.col("batch_id").cast("long"),
+            F.col("key").alias("event_type"),
+            F.round(F.col("psi") + 1e-9, 4).alias("psi"),
+            F.col("n_rows").cast("long"),
+            "drifted",
+        ).orderBy("batch_id", "event_type")
+        return _collected(
+            spark,
+            out,
+            "batch_id LONG, event_type STRING, psi DOUBLE, n_rows LONG,"
+            " drifted BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _psi_store_oracle() -> str:
+    from fiveg_spark.streaming.drift_monitor import FLOOR, N_BINS, PSI_ALERT
+
+    return f"""
+    WITH batched AS (
+      SELECT event_type, value,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0
+                        / {WEEK_S}.0) AS BIGINT) AS wk
+      FROM events
+    ),
+    wk_ord AS (
+      SELECT wk, row_number() OVER (ORDER BY wk) - 1 AS b
+      FROM (SELECT DISTINCT wk FROM batched)
+    ),
+    edges AS (
+      SELECT t.event_type, min(t.value) AS lo, max(t.value) AS hi
+      FROM batched t JOIN wk_ord w ON w.wk = t.wk
+      WHERE w.b = 0
+      GROUP BY t.event_type
+    ),
+    bins AS (SELECT unnest(range({N_BINS})) AS bin),
+    spine AS (
+      SELECT w.b, e.event_type, e.lo, e.hi, bins.bin
+      FROM (SELECT b FROM wk_ord WHERE b >= 1) w
+      CROSS JOIN edges e CROSS JOIN bins
+    ),
+    binned AS (
+      SELECT w.b, t.event_type,
+             CASE WHEN e.hi - e.lo <= 0 THEN 0
+                  ELSE least({N_BINS - 1}, greatest(0,
+                    CAST(floor((t.value - e.lo)
+                               / ((e.hi - e.lo) / {N_BINS})) AS INT)))
+             END AS bin,
+             count(*) AS c
+      FROM batched t
+      JOIN wk_ord w ON w.wk = t.wk
+      JOIN edges e ON e.event_type = t.event_type
+      WHERE w.b >= 1
+      GROUP BY 1, 2, 3
+    ),
+    ref_binned AS (
+      SELECT t.event_type,
+             CASE WHEN e.hi - e.lo <= 0 THEN 0
+                  ELSE least({N_BINS - 1}, greatest(0,
+                    CAST(floor((t.value - e.lo)
+                               / ((e.hi - e.lo) / {N_BINS})) AS INT)))
+             END AS bin,
+             count(*) AS c
+      FROM batched t
+      JOIN wk_ord w ON w.wk = t.wk
+      JOIN edges e ON e.event_type = t.event_type
+      WHERE w.b = 0
+      GROUP BY 1, 2
+    ),
+    ref_tot AS (
+      SELECT event_type, greatest(CAST(sum(c) AS DOUBLE), 1.0) AS tot
+      FROM ref_binned GROUP BY event_type
+    ),
+    bat_tot AS (
+      SELECT b, event_type, greatest(CAST(sum(c) AS DOUBLE), 1.0) AS tot,
+             CAST(sum(c) AS BIGINT) AS n_rows
+      FROM binned GROUP BY b, event_type
+    ),
+    cells AS (
+      SELECT s.b, s.event_type, s.bin,
+             greatest(CAST(coalesce(r.c, 0) AS DOUBLE) / rt.tot, {FLOOR})
+               AS p,
+             greatest(CAST(coalesce(q.c, 0) AS DOUBLE) / bt.tot, {FLOOR})
+               AS q
+      FROM spine s
+      JOIN ref_tot rt ON rt.event_type = s.event_type
+      JOIN bat_tot bt ON bt.event_type = s.event_type AND bt.b = s.b
+      LEFT JOIN ref_binned r
+        ON r.event_type = s.event_type AND r.bin = s.bin
+      LEFT JOIN binned q
+        ON q.event_type = s.event_type AND q.b = s.b AND q.bin = s.bin
+    ),
+    scored AS (
+      SELECT b, event_type, sum((p - q) * ln(p / q)) AS psi
+      FROM cells GROUP BY b, event_type
+    )
+    SELECT
+      CAST(s.b AS BIGINT) AS batch_id,
+      s.event_type,
+      round(s.psi + 1e-9, 4) AS psi,
+      bt.n_rows,
+      s.psi > {PSI_ALERT} AS drifted
+    FROM scored s
+    JOIN bat_tot bt ON bt.event_type = s.event_type AND bt.b = s.b
+    ORDER BY batch_id, s.event_type
+    """
+
+
+# --------------------------------------------------------------------------
+# A8 — foreachBatch upsert store vs the direct weekly aggregation
+# --------------------------------------------------------------------------
+
+CHUNK_S = 6 * 86400  # 6-day chunks: deliberately misaligned with weeks
+
+
+def _upsert_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update-mode emulation over 6-day arrival chunks upserting WEEKLY
+    aggregates: because chunks and weeks are misaligned, most weeks are
+    REVISED by a later chunk, exercising dynamic partition overwrite as
+    a merge (not just write-once).  Chunk c recomputes every week it
+    touches from all data in chunks <= c (exactly what update-mode
+    streaming state would hold), and the engine-replay of the FINAL
+    chunk is re-delivered (idempotent rewrite).  The final store must
+    equal the direct full-data weekly aggregation."""
+    from fiveg_spark.streaming import merge_sink
+
+    store = _scratch()
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        es = "(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0)"
+        ev = spark.sql(
+            f"SELECT event_type, value, user_id,"
+            f" CAST(floor({es} / {WEEK_S}.0) AS BIGINT) AS wk,"
+            f" CAST(floor({es} / {CHUNK_S}.0) AS BIGINT) AS ck"
+            " FROM events"
+        ).localCheckpoint()  # one scan feeds every chunk recompute
+        chunks = sorted(r["ck"] for r in ev.select("ck").distinct().collect())
+        merge = merge_sink.foreach_batch_upsert(
+            store, partition_by=("event_type", "wk")
+        )
+
+        def chunk_frame(i: int) -> DataFrame:
+            c = chunks[i]
+            touched = ev.filter(F.col("ck") == c).select("wk").distinct()
+            return (
+                ev.filter(F.col("ck") <= c)
+                .join(touched, "wk")
+                .groupBy("event_type", "wk")
+                .agg(
+                    F.count("*").alias("n_events"),
+                    F.countDistinct("user_id").alias("n_users"),
+                    F.sum("value").alias("sum_value"),
+                )
+            )
+
+        for i in range(len(chunks)):
+            merge(chunk_frame(i), i)
+        merge(chunk_frame(len(chunks) - 1), len(chunks) - 1)  # replay
+
+        out = spark.read.parquet(store).select(
+            "event_type",
+            F.col("wk").cast("long"),
+            F.col("n_events").cast("long"),
+            F.col("n_users").cast("long"),
+            F.round(F.col("sum_value") + 1e-9, 4).alias("sum_value"),
+        ).orderBy("event_type", "wk")
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, wk LONG, n_events LONG, n_users LONG,"
+            " sum_value DOUBLE",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _upsert_store_oracle() -> str:
+    return f"""
+    SELECT
+      event_type,
+      CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 / {WEEK_S}.0)
+           AS BIGINT) AS wk,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      round(sum(value) + 1e-9, 4) AS sum_value
+    FROM events
+    GROUP BY event_type, wk
+    ORDER BY event_type, wk
+    """
+
+
+QUERIES.extend([
+    Query("stream_lateness_store_parity", _lateness_store_run,
+          _lateness_store_oracle()),
+    Query("stream_cusum_store_parity", _cusum_store_run,
+          _cusum_store_oracle()),
+    Query("stream_psi_store_parity", _psi_store_run,
+          _psi_store_oracle()),
+    Query("stream_upsert_store_parity", _upsert_store_run,
+          _upsert_store_oracle()),
+])

@@ -59,6 +59,13 @@ PLAN_BUILD_EXECUTES = frozenset({
     "mllib_minhash_pairs", "pca_cert",
     "isotonic_cert", "var_ols_cert", "huber_cert", "quantile_cert",
     "gru_forward_cert", "holt_forecast", "holt_winters_forecast",
+    # store-replay certifications: the BUILD runs the sink's whole
+    # foreachBatch replay loop against a scratch store (the point of
+    # the query), so a plan-only pass must skip them
+    "stream_bloom_store_parity", "stream_dedup_store_parity",
+    "stream_heavy_store_parity", "stream_lateness_store_parity",
+    "stream_cusum_store_parity", "stream_psi_store_parity",
+    "stream_upsert_store_parity",
 })
 
 
