@@ -1,0 +1,584 @@
+"""Artifact-surface certifications (SURVEY §2 A-family closers): the
+lakehouse-lite artifacts — snapshot time travel (A23), the semantic
+result cache (A18), the inverted postings index (A17), the idempotent
+daily backfill (C22), small-file compaction (A22), and schema-evolution
+reads (A19) — certified against the DuckDB oracle END-TO-END, the same
+gap-closing move operators/stream_parity.py makes for the sink family.
+
+Each query builds the artifact in a per-run scratch directory with the
+REAL production code path (commit_snapshot/read_as_of, cached,
+write_postings/lookup_terms, backfill, plan_compaction/
+execute_compaction, read_evolved), answers a question THROUGH the
+artifact — a time-travel read, a cache-served read, an index-only
+lookup, a post-rewrite scan — and proves the answer equals a direct
+DuckDB recomputation from the raw tables.  The artifact machinery is
+what's under test; the oracle never sees it.
+
+Results are collected (bounded frames) before the scratch is removed.
+
+Scale: artifact construction here runs at certification SF; the
+artifacts' own 100 TB arguments live in their modules (footer-only
+snapshot commits, canonical-plan cache keys, term-sorted postings with
+row-group pruning, per-partition-dir bin packing, footer-grouped
+evolution reads).
+
+Reference scope: beyond-reference production surface (the reference
+writes bare parquet with no table/versioning layer — train.py:49-56).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fiveg_spark.plans.registry import Query, ensure_views
+
+N_WAVES = 4
+
+
+def _scratch() -> str:
+    return tempfile.mkdtemp(prefix="fiveg_artifacts_")
+
+
+def _collected(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
+    rows = [tuple(r) for r in df.collect()]
+    return spark.createDataFrame(rows, schema)
+
+
+# --------------------------------------------------------------------------
+# A23 — snapshot time travel: every historical version re-readable exactly
+# --------------------------------------------------------------------------
+
+
+def _time_travel_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four cumulative crawl waves (docs with doc_id % 4 == wave) land
+    as appends, each committed as a snapshot version; then EVERY
+    version is read back via read_as_of and aggregated.  Version v must
+    contain exactly the docs with doc_id % 4 < v — byte-growth history
+    reconstructed from footer-level snapshots alone.  rows_added checks
+    diff_versions against the same closed form."""
+    from fiveg_spark.sources import snapshots
+
+    table = _scratch() + "/docs"
+    try:
+        ensure_views(spark, ("documents",), sf_dir)
+        docs = spark.sql(
+            "SELECT doc_id, source, n_chars FROM documents"
+        )
+        versions = []
+        for wave in range(N_WAVES):
+            docs.filter(F.col("doc_id") % N_WAVES == wave).write.mode(
+                "append"
+            ).parquet(table)
+            versions.append(snapshots.commit_snapshot(table))
+
+        rows = []
+        prev_rows = 0
+        for v in versions:
+            agg = snapshots.read_as_of(spark, table, v).agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars"),
+                F.countDistinct("source").alias("srcs"),
+            ).head()
+            added = (
+                int(agg["n"]) - prev_rows
+                if v == versions[0]
+                else snapshots.diff_versions(table, v - 1, v)["rows_added"]
+            )
+            prev_rows = int(agg["n"])
+            rows.append(
+                (int(v), int(agg["n"]), int(agg["chars"]),
+                 int(agg["srcs"]), int(added))
+            )
+        return spark.createDataFrame(
+            rows,
+            "version LONG, n_docs LONG, sum_chars LONG, n_sources LONG,"
+            " rows_added LONG",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+def _time_travel_oracle() -> str:
+    versions = " UNION ALL ".join(
+        f"SELECT {v} AS version" for v in range(1, N_WAVES + 1)
+    )
+    return f"""
+    WITH versions AS ({versions})
+    SELECT
+      CAST(v.version AS BIGINT) AS version,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+      CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+      CAST(sum(CASE WHEN d.doc_id % {N_WAVES} = v.version - 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS rows_added
+    FROM versions v
+    JOIN documents d ON d.doc_id % {N_WAVES} < v.version
+    GROUP BY v.version
+    ORDER BY version
+    """
+
+
+# --------------------------------------------------------------------------
+# A18 — result cache: a cache-SERVED read returns the exact result
+# --------------------------------------------------------------------------
+
+
+def _cache_served_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute daily per-type counts once (miss → the store
+    materializes), rebuild the same logical plan and serve it FROM the
+    cache: is_cached must see the semantic hit, and the served rows —
+    read from cache files only — must equal the direct recomputation.
+    A third, genuinely different plan must MISS (key discrimination on
+    the certified path, not just in pytest)."""
+    from fiveg_spark.plans import result_cache
+
+    store = _scratch()
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+
+        def build() -> DataFrame:
+            return spark.sql(
+                "SELECT event_type,"
+                " CAST(floor(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0"
+                " / 86400.0) AS BIGINT) AS day,"
+                " CAST(count(*) AS BIGINT) AS n_events"
+                " FROM events GROUP BY event_type, day"
+            )
+
+        result_cache.cached(spark, build(), store)  # miss: materializes
+        rebuilt = build()
+        hit = result_cache.is_cached(rebuilt, store)
+        other = spark.sql("SELECT count(*) AS n FROM events")
+        miss_discriminated = not result_cache.is_cached(other, store)
+        served = result_cache.cached(spark, rebuilt, store)
+        out = served.select(
+            "event_type",
+            "day",
+            "n_events",
+            F.lit(bool(hit)).alias("served_from_cache"),
+            F.lit(bool(miss_discriminated)).alias("other_plan_missed"),
+        ).orderBy("event_type", "day")
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, day LONG, n_events LONG,"
+            " served_from_cache BOOLEAN, other_plan_missed BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _cache_served_oracle() -> str:
+    return """
+    SELECT
+      event_type,
+      CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 / 86400.0)
+           AS BIGINT) AS day,
+      CAST(count(*) AS BIGINT) AS n_events,
+      TRUE AS served_from_cache,
+      TRUE AS other_plan_missed
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """
+
+
+# --------------------------------------------------------------------------
+# A17 — postings index: an index-only term lookup equals the corpus scan
+# --------------------------------------------------------------------------
+
+IDX_TOP_TERMS = 3
+
+
+def _postings_lookup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the postings artifact, pick the top-3 terms by document
+    frequency FROM THE INDEX (df desc, term asc — deterministic), and
+    answer per-term statistics from posting rows alone: df, total tf,
+    max tf, and the max-tf document (min doc_id tiebreak).  Global
+    n_docs/avgdl ride along from the stats file.  The oracle re-derives
+    everything from `documents` with the index's exact tokenizer."""
+    from fiveg_spark.sources import postings
+
+    path = _scratch()
+    try:
+        ensure_views(spark, ("documents",), sf_dir)
+        docs = spark.sql("SELECT doc_id, text FROM documents")
+        postings.write_postings(spark, docs, path)
+
+        post = spark.read.parquet(f"{path}/postings")
+        top = [
+            r["term"]
+            for r in post.orderBy(F.desc("df"), F.asc("term"))
+            .limit(IDX_TOP_TERMS)
+            .collect()
+        ]
+        hits = (
+            postings.lookup_terms(spark, path, top)
+            .select("term", "df", F.explode("postings").alias("p"))
+            .select(
+                "term", "df",
+                F.col("p.doc_id").alias("doc_id"),
+                F.col("p.tf").alias("tf"),
+            )
+        )
+        stats = spark.read.parquet(f"{path}/stats").head()
+        from pyspark.sql.window import Window
+
+        # per-term max tf attaches via a window over the (tiny) hit
+        # frame so the champion doc resolves in the same aggregation
+        enriched = hits.withColumn(
+            "mx", F.max("tf").over(Window.partitionBy("term"))
+        )
+        out = (
+            enriched.groupBy("term")
+            .agg(
+                F.first("df").alias("df"),
+                F.sum("tf").alias("total_tf"),
+                F.max("tf").alias("max_tf"),
+                F.min(
+                    F.when(F.col("tf") == F.col("mx"), F.col("doc_id"))
+                ).alias("top_doc_id"),
+            )
+            .select(
+                "term",
+                F.col("df").cast("long"),
+                F.col("total_tf").cast("long"),
+                F.col("max_tf").cast("long"),
+                F.col("top_doc_id").cast("long"),
+                F.lit(int(stats["n_docs"])).alias("n_docs"),
+                F.round(F.lit(float(stats["avgdl"])) + 1e-9, 4).alias(
+                    "avgdl"
+                ),
+            )
+            .orderBy("term")
+        )
+        return _collected(
+            spark,
+            out,
+            "term STRING, df LONG, total_tf LONG, max_tf LONG,"
+            " top_doc_id LONG, n_docs LONG, avgdl DOUBLE",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _postings_lookup_oracle() -> str:
+    return f"""
+    WITH tf AS (
+      SELECT doc_id, t.term, count(*) AS tf
+      FROM documents,
+           unnest(string_split_regex(lower(text), ' +')) AS t(term)
+      GROUP BY doc_id, t.term
+    ),
+    by_term AS (
+      SELECT term, count(*) AS df, sum(tf) AS total_tf, max(tf) AS max_tf
+      FROM tf GROUP BY term
+    ),
+    top AS (
+      SELECT term, df, total_tf, max_tf
+      FROM by_term
+      ORDER BY df DESC, term ASC
+      LIMIT {IDX_TOP_TERMS}
+    ),
+    champions AS (
+      SELECT t.term, min(f.doc_id) AS top_doc_id
+      FROM top t
+      JOIN tf f ON f.term = t.term AND f.tf = t.max_tf
+      GROUP BY t.term
+    ),
+    doclens AS (
+      SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+      FROM doclens
+    )
+    SELECT
+      t.term,
+      CAST(t.df AS BIGINT) AS df,
+      CAST(t.total_tf AS BIGINT) AS total_tf,
+      CAST(t.max_tf AS BIGINT) AS max_tf,
+      CAST(c.top_doc_id AS BIGINT) AS top_doc_id,
+      s.n_docs,
+      round(s.avgdl + 1e-9, 4) AS avgdl
+    FROM top t
+    JOIN champions c ON c.term = t.term
+    CROSS JOIN stats s
+    ORDER BY t.term
+    """
+
+
+QUERIES = [
+    Query("snapshot_time_travel_audit", _time_travel_run,
+          _time_travel_oracle()),
+    Query("result_cache_served", _cache_served_run,
+          _cache_served_oracle()),
+    Query("postings_index_lookup", _postings_lookup_run,
+          _postings_lookup_oracle()),
+]
+
+
+# --------------------------------------------------------------------------
+# C22 — idempotent daily backfill: subset re-run leaves the store exact
+# --------------------------------------------------------------------------
+
+
+def _backfill_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full backfill of the daily 36-KPI store, then a 3-day SUBSET
+    re-run (the scheduler-retry case dynamic partition overwrite
+    exists for): the re-run must rewrite exactly its partitions with
+    identical content, so the store equals the direct kpi36 rollup —
+    no duplicate windows, no lost days."""
+    import datetime
+
+    from fiveg_spark.pipelines import backfill as bf
+
+    store = _scratch() + "/kpi_daily"
+    try:
+        bf.backfill(spark, sf_dir, store)
+        days = sorted(
+            r["day"]
+            for r in spark.read.parquet(store).select("day").distinct().collect()
+        )
+        redo = [d for d in days[1:4] if isinstance(d, datetime.date)]
+        if redo:
+            bf.backfill(spark, sf_dir, store, days=redo)
+
+        out = (
+            spark.read.parquet(store)
+            .groupBy("slice")
+            .agg(
+                F.countDistinct("day").alias("n_days"),
+                F.count("*").alias("n_windows"),
+                F.sum("Total_Packets").alias("total_packets"),
+                F.round(F.sum("Throughput_bps") + 1e-9, 4).alias(
+                    "sum_throughput_bps"
+                ),
+            )
+            .select(
+                "slice",
+                F.col("n_days").cast("long"),
+                F.col("n_windows").cast("long"),
+                F.col("total_packets").cast("long"),
+                "sum_throughput_bps",
+            )
+            .orderBy("slice")
+        )
+        return _collected(
+            spark,
+            out,
+            "slice STRING, n_days LONG, n_windows LONG,"
+            " total_packets LONG, sum_throughput_bps DOUBLE",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _backfill_audit_oracle() -> str:
+    # the same events→packets→flows CTE prefix the certified kpi36
+    # oracle uses, with only the two audited KPI columns recomputed
+    # (their exact kpi_aggregates expressions) at the hourly grain
+    from fiveg_spark.operators.kpi import flows_cte
+
+    return f"""
+    {flows_cte("duckdb")},
+    k AS (
+      SELECT
+        slice,
+        date_trunc('hour', ts) AS window_start,
+        CAST(count(*) AS BIGINT) AS Total_Packets,
+        CAST(round(coalesce(sum(pkt_len) * 8, 0.0) + 1e-9, 4) + 0.0
+             AS DOUBLE) AS Throughput_bps
+      FROM flows
+      GROUP BY slice, date_trunc('hour', ts)
+    )
+    SELECT
+      slice,
+      CAST(count(DISTINCT CAST(window_start AS DATE)) AS BIGINT) AS n_days,
+      CAST(count(*) AS BIGINT) AS n_windows,
+      CAST(sum(Total_Packets) AS BIGINT) AS total_packets,
+      round(sum(Throughput_bps) + 1e-9, 4) AS sum_throughput_bps
+    FROM k
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+# --------------------------------------------------------------------------
+# A22 — compaction: content survives the rewrite byte-for-byte
+# --------------------------------------------------------------------------
+
+
+def _compaction_parity_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment events into a day-partitioned table with 4 small files
+    per partition, compact with the A22 planner/executor, and prove
+    the rewritten table still answers exactly: per event_type counts,
+    distinct days, value sums — plus the structural claim that every
+    partition collapsed to one file (TRUE on both sides)."""
+    from fiveg_spark.plans import compaction
+
+    table = _scratch() + "/events_daily"
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        ev = spark.sql(
+            "SELECT event_type, user_id, value,"
+            " CAST(floor(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0"
+            " / 86400.0) AS BIGINT) AS day"
+            " FROM events"
+        )
+        ev.repartition(4).write.partitionBy("day").parquet(table)
+        files_before = len(compaction._parquet_files(table))
+        plan = compaction.plan_compaction(table)
+        compaction.execute_compaction(spark, plan, restamp_manifest=False)
+        files_after = len(compaction._parquet_files(table))
+        n_days = spark.read.parquet(table).select("day").distinct().count()
+        compacted_ok = bool(
+            files_before > files_after and files_after <= n_days
+        )
+
+        out = (
+            spark.read.parquet(table)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("day").alias("n_days"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+            )
+            .select(
+                "event_type",
+                F.col("n_events").cast("long"),
+                F.col("n_days").cast("long"),
+                F.col("n_users").cast("long"),
+                "sum_value",
+                F.lit(compacted_ok).alias("compacted_to_single_files"),
+            )
+            .orderBy("event_type")
+        )
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, n_events LONG, n_days LONG, n_users LONG,"
+            " sum_value DOUBLE, compacted_to_single_files BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+def _compaction_parity_oracle() -> str:
+    return """
+    SELECT
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+           / 1000000.0 / 86400.0) AS BIGINT)) AS BIGINT) AS n_days,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      round(sum(value) + 1e-9, 4) AS sum_value,
+      TRUE AS compacted_to_single_files
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+# --------------------------------------------------------------------------
+# A19 — schema evolution: three generations + a poisoned file read as one
+# --------------------------------------------------------------------------
+
+
+def _evolution_read_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write three schema generations of the events feed (v1: id+value;
+    v2: adds user_id; v3: value narrowed to FLOAT and event_type added)
+    plus one incompatible file (value as STRING), then read the
+    directory through read_evolved: the merged frame must carry typed
+    NULLs for pre-evolution columns, exact FLOAT→DOUBLE widening for
+    v3 values, and the poisoned file must land in quarantine — never in
+    the frame."""
+    from pyspark.sql import types as T
+
+    from fiveg_spark.sources import evolution
+
+    path = _scratch()
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        ev = spark.sql(
+            "SELECT event_id, user_id, event_type, value,"
+            " event_id % 3 AS gen FROM events"
+        ).localCheckpoint()
+        ev.filter("gen = 0").select("event_id", "value").write.parquet(
+            f"{path}/v1"
+        )
+        ev.filter("gen = 1").select(
+            "event_id", "user_id", "value"
+        ).write.parquet(f"{path}/v2")
+        ev.filter("gen = 2").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("float").alias("value"),
+        ).write.parquet(f"{path}/v3")
+        spark.createDataFrame(
+            [(999_999_999, "not-a-number")], "event_id LONG, value STRING"
+        ).coalesce(1).write.parquet(f"{path}/poison")
+
+        target = T.StructType([
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+        merged, quarantined = evolution.read_evolved(spark, path, target)
+        out = merged.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias(
+                "n_null_user"
+            ),
+            F.sum(F.col("event_type").isNull().cast("long")).alias(
+                "n_null_type"
+            ),
+            F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+        ).select(
+            F.col("n_rows").cast("long"),
+            F.col("n_null_user").cast("long"),
+            F.col("n_null_type").cast("long"),
+            "sum_value",
+            F.lit(len(quarantined)).cast("long").alias("n_quarantined"),
+        )
+        return _collected(
+            spark,
+            out,
+            "n_rows LONG, n_null_user LONG, n_null_type LONG,"
+            " sum_value DOUBLE, n_quarantined LONG",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _evolution_read_oracle() -> str:
+    return """
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_null_user,
+      CAST(sum(CASE WHEN event_id % 3 IN (0, 1) THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_null_type,
+      round(sum(CASE WHEN event_id % 3 = 2
+                     THEN CAST(CAST(value AS REAL) AS DOUBLE)
+                     ELSE value END) + 1e-9, 4) AS sum_value,
+      CAST(1 AS BIGINT) AS n_quarantined
+    FROM events
+    """
+
+
+QUERIES.extend([
+    Query("backfill_partition_audit", _backfill_audit_run,
+          _backfill_audit_oracle()),
+    Query("compaction_content_parity", _compaction_parity_run,
+          _compaction_parity_oracle()),
+    Query("evolution_merged_read", _evolution_read_run,
+          _evolution_read_oracle()),
+])

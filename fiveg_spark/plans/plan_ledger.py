@@ -66,6 +66,12 @@ PLAN_BUILD_EXECUTES = frozenset({
     "stream_heavy_store_parity", "stream_lateness_store_parity",
     "stream_cusum_store_parity", "stream_psi_store_parity",
     "stream_upsert_store_parity",
+    # artifact certifications: the BUILD constructs the artifact
+    # (snapshots, cache store, postings index, backfill store,
+    # compaction rewrite, evolution directory) in a scratch dir
+    "snapshot_time_travel_audit", "result_cache_served",
+    "postings_index_lookup", "backfill_partition_audit",
+    "compaction_content_parity", "evolution_merged_read",
 })
 
 
