@@ -910,3 +910,92 @@ QUERIES.extend([
     Query("stream_upsert_store_parity", _upsert_store_run,
           _upsert_store_oracle()),
 ])
+
+
+# --------------------------------------------------------------------------
+# B21 — streaming t-digest store: exact counts + band-certified estimates
+# --------------------------------------------------------------------------
+
+
+def _tdigest_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay weeks through foreach_batch_tdigest (replay + compact on
+    the certified path), then answer daily quantiles from CENTROID ROWS
+    ONLY.  The C64 certification discipline: the oracle recomputes the
+    exact per-(type, day) row count, while the p50/p95/p99 estimates —
+    which have no DuckDB twin — certify as booleans bounding Spark's
+    own estimates inside exact interpolated percentile BANDS computed
+    on the same data (p50 in [p40, p60], p95 in [p90, max], p99 in
+    [p90, max]); a digest outside its band is a real quality break."""
+    from fiveg_spark.streaming import tdigest_sink
+
+    store = _scratch()
+    try:
+        batches = _week_batches(spark, sf_dir)
+        sink = tdigest_sink.foreach_batch_tdigest(store)
+        for i, frame in batches:
+            sink(frame, i)
+        sink(batches[0][1], 0)  # replay below high-water: no-op
+        tdigest_sink.compact(spark, store)
+
+        merged = tdigest_sink.read_daily_quantiles(spark, store).select(
+            "event_type",
+            F.floor(
+                F.unix_micros("day").cast("double") / 1e6 / 86400.0
+            ).cast("long").alias("day"),
+            "n_events",
+            "est_p50",
+            "est_p95",
+            "est_p99",
+        )
+        exact = spark.sql(
+            "SELECT event_type,"
+            " CAST(floor(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0"
+            " / 86400.0) AS BIGINT) AS day,"
+            " percentile(value, 0.40) AS p40,"
+            " percentile(value, 0.60) AS p60,"
+            " percentile(value, 0.90) AS p90,"
+            " max(value) AS vmax"
+            " FROM events GROUP BY event_type, day"
+        )
+        out = merged.join(exact, ["event_type", "day"]).select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("long"),
+            ((F.col("est_p50") >= F.col("p40"))
+             & (F.col("est_p50") <= F.col("p60"))).alias("p50_in_band"),
+            ((F.col("est_p95") >= F.col("p90"))
+             & (F.col("est_p95") <= F.col("vmax"))).alias("p95_in_band"),
+            ((F.col("est_p99") >= F.col("p90"))
+             & (F.col("est_p99") <= F.col("vmax"))).alias("p99_in_band"),
+        ).orderBy("event_type", "day")
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, day LONG, n_events LONG,"
+            " p50_in_band BOOLEAN, p95_in_band BOOLEAN,"
+            " p99_in_band BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _tdigest_store_oracle() -> str:
+    return """
+    SELECT
+      event_type,
+      CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 / 86400.0)
+           AS BIGINT) AS day,
+      CAST(count(*) AS BIGINT) AS n_events,
+      TRUE AS p50_in_band,
+      TRUE AS p95_in_band,
+      TRUE AS p99_in_band
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """
+
+
+QUERIES.append(
+    Query("stream_tdigest_store_parity", _tdigest_store_run,
+          _tdigest_store_oracle())
+)

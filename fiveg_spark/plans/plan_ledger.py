@@ -65,7 +65,7 @@ PLAN_BUILD_EXECUTES = frozenset({
     "stream_bloom_store_parity", "stream_dedup_store_parity",
     "stream_heavy_store_parity", "stream_lateness_store_parity",
     "stream_cusum_store_parity", "stream_psi_store_parity",
-    "stream_upsert_store_parity",
+    "stream_upsert_store_parity", "stream_tdigest_store_parity",
     # artifact certifications: the BUILD constructs the artifact
     # (snapshots, cache store, postings index, backfill store,
     # compaction rewrite, evolution directory) in a scratch dir
