@@ -1,0 +1,440 @@
+"""Supply-chain & fulfillment analytics over the TPC-H star (SURVEY §2
+C139-C150): the order-book questions a fulfillment team asks that the
+existing C-family doesn't answer — balance↔activity dependence,
+business-day shipping latency, supplier redundancy, position-in-order
+effects, seasonality by nation, header-vs-lines reconciliation, joint
+tax/discount economics, customer lifespan, brand diversity within part
+types, and weekday order mix.
+
+All pure two-dialect SQL (shared text, the registry discipline): one
+scan per base table, bounded rollups, broadcast-size dimension joins —
+nothing here shuffles more than the grouped aggregate itself, so every
+query survives the 100 TB fact tables unchanged.
+
+Reference scope: beyond-reference analytics breadth (the reference has
+no relational layer at all).
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.plans.registry import (
+    cnt,
+    corr_safe,
+    dbl,
+    epoch,
+    pct,
+    sql_backed,
+)
+
+# epoch day 0 = Thursday; +4 makes Sunday = 0, so weekdays are 1..5
+_DOW = "(({d}) + 4) % 7"
+
+
+def _eday(col: str, d: str) -> str:
+    return f"CAST(floor({epoch(col, d)} / 86400.0) AS BIGINT)"
+
+
+def _weekdays_before(day: str) -> str:
+    """Closed-form count of WEEKDAYS among absolute epoch days < day:
+    shift so the week starts on Sunday (k = day + 4), then
+    5 full weeks + the clipped partial-week remainder."""
+    k = f"(({day}) + 4)"
+    return (
+        f"(5 * CAST(floor({k} / 7.0) AS BIGINT)"
+        f" + least(greatest({k} % 7 - 1, 0), 5))"
+    )
+
+
+def _balance_order_corr_sql(d: str) -> str:
+    # C139 — does a customer's account balance move with how often they
+    # order?  Per market segment, the corr_safe dependence between
+    # balance and LIFETIME order count — zero-order customers included
+    # via the outer join (dropping them biases the corr toward active
+    # accounts, the classic survivorship mistake).
+    return f"""
+    WITH per_cust AS (
+      SELECT
+        c.c_mktsegment AS segment,
+        c.c_acctbal AS bal,
+        CAST(count(o.o_orderkey) AS DOUBLE) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+    )
+    SELECT
+      segment,
+      {cnt("count(*)", "n_customers")},
+      {dbl("avg(n_orders)", "mean_orders")},
+      {dbl("avg(CAST(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END AS DOUBLE))",
+           "share_inactive")},
+      {dbl(corr_safe("bal", "n_orders"), "bal_orders_corr")}
+    FROM per_cust
+    GROUP BY segment
+    ORDER BY segment
+    """
+
+
+def _business_days_latency_sql(d: str) -> str:
+    # C140 — order→ship latency in BUSINESS DAYS per priority: calendar
+    # days overstate SLA breaches across weekends, so the ops question
+    # is weekday-counted.  Closed-form prefix arithmetic (no calendar
+    # table, no generator): weekdays in (order_day, ship_day] =
+    # W(ship+1) − W(order+1) with W the weekday-prefix count.
+    od = _eday("o.o_orderdate", d)
+    sd = _eday("l.l_shipdate", d)
+    bdays = (
+        f"({_weekdays_before(f'{sd} + 1')}"
+        f" - {_weekdays_before(f'{od} + 1')})"
+    )
+    return f"""
+    WITH lat AS (
+      SELECT
+        o.o_orderpriority AS priority,
+        CAST({bdays} AS DOUBLE) AS bdays
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT
+      priority,
+      {cnt("count(*)", "n_lines")},
+      {dbl("avg(bdays)", "mean_business_days")},
+      {dbl(pct("bdays", 0.5, d), "p50_business_days")},
+      {dbl(pct("bdays", 0.95, d), "p95_business_days")},
+      {dbl("avg(CAST(CASE WHEN bdays <= 0 THEN 1 ELSE 0 END AS DOUBLE))",
+           "share_same_or_weekend")}
+    FROM lat
+    GROUP BY priority
+    ORDER BY priority
+    """
+
+
+def _suppliers_per_part_sql(d: str) -> str:
+    # C141 — supplier redundancy per part type: how many distinct
+    # suppliers actually shipped each part (the procurement resilience
+    # number).  Part-grain distinct-count rollup, then a bounded
+    # per-type distribution.
+    return f"""
+    WITH sp AS (
+      SELECT l_partkey, count(DISTINCT l_suppkey) AS nsup
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT
+      p.p_type,
+      {cnt("count(*)", "n_parts")},
+      {dbl("avg(CAST(sp.nsup AS DOUBLE))", "mean_suppliers")},
+      {dbl(pct("CAST(sp.nsup AS DOUBLE)", 0.5, d), "p50_suppliers")},
+      {cnt("min(sp.nsup)", "min_suppliers")},
+      {cnt("max(sp.nsup)", "max_suppliers")}
+    FROM sp
+    JOIN part p ON p.p_partkey = sp.l_partkey
+    GROUP BY p.p_type
+    ORDER BY p.p_type
+    """
+
+
+def _linenumber_profile_sql(d: str) -> str:
+    # C142 — position-in-order effects: do later line positions carry
+    # cheaper/smaller/more-discounted items?  Pure map-side bucketing
+    # on a column nothing else in the suite uses.
+    return f"""
+    SELECT
+      CAST(l_linenumber AS BIGINT) AS linenumber,
+      {cnt("count(*)", "n_lines")},
+      {dbl("avg(l_extendedprice)", "mean_price")},
+      {dbl("avg(l_quantity)", "mean_quantity")},
+      {dbl("avg(l_discount)", "mean_discount")},
+      {dbl("sum(l_extendedprice * (1 - l_discount)) / 1e6", "revenue_m")}
+    FROM lineitem
+    GROUP BY l_linenumber
+    ORDER BY linenumber
+    """
+
+
+def _order_seasonality_sql(d: str) -> str:
+    # C143 — order seasonality per customer nation: quarterly share of
+    # order volume + the seasonal amplitude (max−min quarter share).
+    # month() is engine-native in both dialects on TIMESTAMP.
+    q = "CAST(floor((month(o.o_orderdate) - 1) / 3.0) AS BIGINT) + 1"
+    shares = ",\n      ".join(
+        dbl(
+            f"avg(CAST(CASE WHEN {q} = {i} THEN 1 ELSE 0 END AS DOUBLE))",
+            f"q{i}_share",
+        )
+        for i in range(1, 5)
+    )
+    share_exprs = [
+        f"avg(CAST(CASE WHEN {q} = {i} THEN 1 ELSE 0 END AS DOUBLE))"
+        for i in range(1, 5)
+    ]
+    amp = (
+        f"greatest({', '.join(share_exprs)})"
+        f" - least({', '.join(share_exprs)})"
+    )
+    return f"""
+    SELECT
+      n.n_name AS nation,
+      {cnt("count(*)", "n_orders")},
+      {shares},
+      {dbl(amp, "seasonal_amplitude")}
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """
+
+
+def _balance_value_matrix_sql(d: str) -> str:
+    # C144 — balance-quartile × order-value-quartile dependence: the
+    # 4×4 contingency with lift vs independence.  Quartile bounds are
+    # exact global percentiles (one tiny frame, broadcast); margins
+    # come from partitioned windows over the 16-row cell frame.
+    bbound = ", ".join(
+        f"{pct('c_acctbal', p, d)} AS b{i}"
+        for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+    )
+    vbound = ", ".join(
+        f"{pct('o_totalprice', p, d)} AS v{i}"
+        for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+    )
+    bq = (
+        "CASE WHEN c.c_acctbal <= bb.b1 THEN 1"
+        " WHEN c.c_acctbal <= bb.b2 THEN 2"
+        " WHEN c.c_acctbal <= bb.b3 THEN 3 ELSE 4 END"
+    )
+    vq = (
+        "CASE WHEN o.o_totalprice <= vb.v1 THEN 1"
+        " WHEN o.o_totalprice <= vb.v2 THEN 2"
+        " WHEN o.o_totalprice <= vb.v3 THEN 3 ELSE 4 END"
+    )
+    return f"""
+    WITH bb AS (SELECT {bbound} FROM customer),
+    vb AS (SELECT {vbound} FROM orders),
+    cells AS (
+      SELECT
+        CAST({bq} AS BIGINT) AS balance_quartile,
+        CAST({vq} AS BIGINT) AS value_quartile,
+        count(*) AS n
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      CROSS JOIN bb CROSS JOIN vb
+      GROUP BY 1, 2
+    )
+    SELECT
+      balance_quartile,
+      value_quartile,
+      {cnt("n", "n_orders")},
+      {dbl(
+          "CAST(n AS DOUBLE) * sum(n) OVER ()"
+          " / (sum(n) OVER (PARTITION BY balance_quartile)"
+          " * sum(n) OVER (PARTITION BY value_quartile))",
+          "lift",
+      )}
+    FROM cells
+    ORDER BY balance_quartile, value_quartile
+    """
+
+
+def _order_reconciliation_sql(d: str) -> str:
+    # C145 — header-vs-lines reconciliation per order year: the ratio
+    # o_totalprice / Σ extendedprice·(1−disc)·(1+tax) — the cross-table
+    # DQ audit the FK/PK audits (C124/C125) don't cover.  On this
+    # synthetic corpus the header does NOT equal the line sum; the
+    # query MEASURES that drift rather than assuming the TPC-H
+    # invariant.
+    return f"""
+    WITH linesum AS (
+      SELECT
+        l_orderkey,
+        sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS s
+      FROM lineitem
+      GROUP BY l_orderkey
+    ),
+    ratios AS (
+      SELECT
+        CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+        o.o_totalprice / nullif(ls.s, 0.0) AS ratio
+      FROM orders o
+      JOIN linesum ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT
+      order_year,
+      {cnt("count(*)", "n_orders")},
+      {dbl("avg(CAST(CASE WHEN abs(ratio - 1.0) < 0.01 THEN 1 ELSE 0 END"
+           " AS DOUBLE))", "share_reconciled_1pct")},
+      {dbl("avg(ratio)", "mean_ratio")},
+      {dbl(pct("ratio", 0.5, d), "p50_ratio")}
+    FROM ratios
+    GROUP BY order_year
+    ORDER BY order_year
+    """
+
+
+def _tax_discount_joint_sql(d: str) -> str:
+    # C146 — joint tax/discount economics per (returnflag, linestatus):
+    # the effective revenue multiplier (1−d)(1+t), what discounting
+    # gives away, and what tax adds back — one scan, one rollup.
+    mult = "(1 - l_discount) * (1 + l_tax)"
+    return f"""
+    SELECT
+      l_returnflag AS returnflag,
+      l_linestatus AS linestatus,
+      {cnt("count(*)", "n_lines")},
+      {dbl(f"avg({mult})", "mean_multiplier")},
+      {dbl(f"sum(l_extendedprice * ({mult})) / 1e6", "effective_revenue_m")},
+      {dbl("sum(l_extendedprice * l_discount) / 1e6", "discount_giveback_m")},
+      {dbl("sum(l_extendedprice * (1 - l_discount) * l_tax) / 1e6",
+           "tax_collected_m")}
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY returnflag, linestatus
+    """
+
+
+def _order_span_profile_sql(d: str) -> str:
+    # C147 — customer engagement span per segment: lifetime between
+    # first and last order, order count, and the one-shot share (the
+    # retention number RFM recency alone hides).
+    od = _eday("o_orderdate", d)
+    return f"""
+    WITH per_cust AS (
+      SELECT
+        c.c_mktsegment AS segment,
+        count(*) AS n_orders,
+        max({od.replace("o_orderdate", "o.o_orderdate")})
+          - min({od.replace("o_orderdate", "o.o_orderdate")}) AS span_days
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY o.o_custkey, c.c_mktsegment
+    )
+    SELECT
+      segment,
+      {cnt("count(*)", "n_customers")},
+      {dbl("avg(CAST(n_orders AS DOUBLE))", "mean_orders")},
+      {dbl("avg(CAST(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END"
+           " AS DOUBLE))", "share_one_shot")},
+      {dbl("avg(CAST(CASE WHEN n_orders > 1 THEN span_days END"
+           " AS DOUBLE))", "mean_active_span_days")},
+      {dbl(f"avg(CAST(CASE WHEN n_orders > 1 THEN CAST(n_orders AS"
+           f" DOUBLE) / (CAST(span_days AS DOUBLE) / 30.0 + 1.0)"
+           " END AS DOUBLE))", "orders_per_active_month")}
+    FROM per_cust
+    GROUP BY segment
+    ORDER BY segment
+    """
+
+
+def _brand_diversity_sql(d: str) -> str:
+    # C148 — brand diversity within each part type: brand count, the
+    # top brand's revenue share, and the revenue HHI — C75 concentrates
+    # suppliers within brands; this concentrates brands within types.
+    return f"""
+    WITH brand_rev AS (
+      SELECT
+        p.p_type AS ptype,
+        p.p_brand AS brand,
+        sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_type, p.p_brand
+    ),
+    typed AS (
+      SELECT
+        ptype,
+        brand,
+        rev,
+        sum(rev) OVER (PARTITION BY ptype) AS type_rev
+      FROM brand_rev
+    )
+    SELECT
+      ptype AS part_type,
+      {cnt("count(*)", "n_brands")},
+      {dbl("max(rev / type_rev)", "top_brand_share")},
+      {dbl("sum((rev / type_rev) * (rev / type_rev))", "brand_hhi")},
+      {dbl("max(type_rev) / 1e6", "type_revenue_m")}
+    FROM typed
+    GROUP BY ptype
+    ORDER BY part_type
+    """
+
+
+def _supplier_balance_volume_sql(d: str) -> str:
+    # C149 — supplier account balance vs shipped revenue, per supplier
+    # nation: C139's dependence screen on the supply side (zero-volume
+    # suppliers kept via the outer join).
+    return f"""
+    WITH per_supp AS (
+      SELECT
+        s.s_nationkey AS nationkey,
+        s.s_acctbal AS bal,
+        coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0.0) AS rev
+      FROM supplier s
+      LEFT JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_suppkey, s.s_nationkey, s.s_acctbal
+    )
+    SELECT
+      n.n_name AS nation,
+      {cnt("count(*)", "n_suppliers")},
+      {dbl("avg(ps.rev) / 1e6", "mean_revenue_m")},
+      {dbl(corr_safe("ps.bal", "ps.rev"), "bal_revenue_corr")}
+    FROM per_supp ps
+    JOIN nation n ON n.n_nationkey = ps.nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """
+
+
+def _weekday_mix_sql(d: str) -> str:
+    # C150 — order weekday mix per market segment: the calendar rhythm
+    # of demand (weekday shares via the shared +4 Sunday-zero epoch
+    # arithmetic), plus the weekend share — staffing-curve input.
+    dow = _DOW.format(d=_eday("o.o_orderdate", d))
+    shares = ",\n      ".join(
+        dbl(
+            f"avg(CAST(CASE WHEN {dow} = {i} THEN 1 ELSE 0 END"
+            " AS DOUBLE))",
+            f"dow{i}_share",
+        )
+        for i in range(7)
+    )
+    return f"""
+    SELECT
+      c.c_mktsegment AS segment,
+      {cnt("count(*)", "n_orders")},
+      {shares},
+      {dbl(f"avg(CAST(CASE WHEN {dow} IN (0, 6) THEN 1 ELSE 0 END"
+           " AS DOUBLE))", "weekend_share")}
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """
+
+
+QUERIES = [
+    sql_backed("balance_order_correlation", _balance_order_corr_sql,
+               ("customer", "orders")),
+    sql_backed("business_days_ship_latency", _business_days_latency_sql,
+               ("lineitem", "orders")),
+    sql_backed("suppliers_per_part_profile", _suppliers_per_part_sql,
+               ("lineitem", "part")),
+    sql_backed("linenumber_position_profile", _linenumber_profile_sql,
+               ("lineitem",)),
+    sql_backed("nation_order_seasonality", _order_seasonality_sql,
+               ("orders", "customer", "nation")),
+    sql_backed("balance_value_quartile_matrix", _balance_value_matrix_sql,
+               ("orders", "customer")),
+    sql_backed("order_total_reconciliation", _order_reconciliation_sql,
+               ("orders", "lineitem")),
+    sql_backed("tax_discount_joint_multiplier", _tax_discount_joint_sql,
+               ("lineitem",)),
+    sql_backed("customer_order_span_profile", _order_span_profile_sql,
+               ("orders", "customer")),
+    sql_backed("part_type_brand_diversity", _brand_diversity_sql,
+               ("lineitem", "part")),
+    sql_backed("supplier_balance_volume_corr", _supplier_balance_volume_sql,
+               ("supplier", "lineitem", "nation")),
+    sql_backed("order_weekday_mix_by_segment", _weekday_mix_sql,
+               ("orders", "customer")),
+]
