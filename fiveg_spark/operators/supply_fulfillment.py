@@ -350,8 +350,9 @@ def _brand_diversity_sql(d: str) -> str:
     SELECT
       ptype AS part_type,
       {cnt("count(*)", "n_brands")},
-      {dbl("max(rev / type_rev)", "top_brand_share")},
-      {dbl("sum((rev / type_rev) * (rev / type_rev))", "brand_hhi")},
+      {dbl("max(rev / nullif(type_rev, 0.0))", "top_brand_share")},
+      {dbl("sum((rev / nullif(type_rev, 0.0))"
+           " * (rev / nullif(type_rev, 0.0)))", "brand_hhi")},
       {dbl("max(type_rev) / 1e6", "type_revenue_m")}
     FROM typed
     GROUP BY ptype

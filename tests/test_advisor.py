@@ -104,6 +104,7 @@ POST_AGG_GLOBAL_WINDOWS = frozenset({
     "trending_types",           # rank over <= |windows x types| rows
     "user_type_affinity",       # lift grid over <= |deciles x types| rows
     "watermark_lateness_profile",  # running max over <= |arrival minutes|
+    "watermark_drop_value_cost",  # same B25 minute-frontier frame
     "weekday_hour_heatmap",     # load share over <= 168 calendar cells
     "window_functions_suite",   # the window-function DEMO query itself
 })

@@ -29,6 +29,7 @@ from fiveg_spark.operators.llm_curation import (
     _gopher_quality_sql,
     _mixture_weights_sql,
 )
+from fiveg_spark.operators.engagement_ext import _source_lang_mix_sql
 from fiveg_spark.operators.quality import _benford_digits_sql
 from fiveg_spark.operators.text import _text_normalize_sql, _text_quality_sql
 from fiveg_spark.operators.text_stats import (
@@ -52,6 +53,9 @@ _DOC_SQL = {
     "mixture_weights": _mixture_weights_sql,
     "domain_mixture_weights": _domain_reweight_sql,
     "text_normalize": _text_normalize_sql,
+    # dense source x lang spine: single-lang corpora pin every share
+    # at 1.0 and chi2 at 0; the nullif margins guard empty cells
+    "source_lang_mix": _source_lang_mix_sql,
     # dedup family: tiny-vocab corpora make collisions and ties the
     # common case, exactly where bucketing/tiebreak bugs live
     "dedup_exact": _dedup_exact_sql,
@@ -418,6 +422,14 @@ def _event_sql_fns():
         _arrival_burstiness_sql,
         _arrival_inversions_sql,
     )
+    from fiveg_spark.operators.engagement_ext import (
+        _drop_value_cost_sql,
+        _ltv_by_acquisition_sql,
+        _new_vs_returning_sql,
+        _offpeak_contrast_sql,
+        _phase_shift_sql,
+        _session_gap_sensitivity_sql,
+    )
     from fiveg_spark.operators.ts_advanced import (
         _acf_half_life_sql,
         _diurnal_amplitude_sql,
@@ -501,6 +513,22 @@ def _event_sql_fns():
         # Fano var/mean with nullif: single-arrival minutes everywhere
         # give var 0 (never overdispersed), 1-minute streams var NULL
         "arrival_burstiness": _arrival_burstiness_sql,
+        # gap-threshold session curve: nullif(session count) and the
+        # per-user lag window; single-event users are always starts
+        "session_gap_sensitivity": _session_gap_sensitivity_sql,
+        # value-mass drop shares: nullif(sum(value)) hits on all-zero
+        # value streams; one-minute streams have no frontier at all
+        "watermark_drop_value_cost": _drop_value_cost_sql,
+        # NULL-guarded off/peak ratio: single-band streams leave one
+        # avg NULL (dbl coalesces to the 0.0 no-information value)
+        "offpeak_value_contrast": _offpeak_contrast_sql,
+        # first-event attribution + per-user value/event ratios
+        "ltv_by_acquisition_type": _ltv_by_acquisition_sql,
+        # within-user midpoint split: span-zero users are all-early,
+        # making the late avg NULL and the shift ratio guarded
+        "user_phase_value_shift": _phase_shift_sql,
+        # first-day share: single-user streams pin the share at 1.0
+        "daily_new_vs_returning": _new_vs_returning_sql,
         # OLS slope over per-day amplitudes with the >=12-hour day
         # filter: sparse random streams drop most days (n<2 guard)
         "diurnal_amplitude_trend": _diurnal_amplitude_sql,
@@ -1052,8 +1080,39 @@ def _assert_parity_tables(spark, frames: dict, sql_fn, name):
     assert spark_rows == duck_rows, f"{name}: engines disagree on generated input"
 
 
+def _folded_parts(parts_fn):
+    """Fold a materialized_backed parts query into a single-WITH sql_fn
+    for the parity runners (both engines inline; the parity gate tests
+    the shared SQL math, not Spark's materialization)."""
+
+    def sql_fn(d: str) -> str:
+        ctes, tail = parts_fn(d)
+        with_clause = ",\n".join(f"{rel} AS ({sql})" for rel, sql in ctes)
+        stripped = tail.lstrip()
+        if stripped[:5].upper() == "WITH ":
+            return f"WITH {with_clause},\n{stripped[5:]}"
+        return f"WITH {with_clause}\n{tail}"
+
+    return sql_fn
+
+
 def _star_sql_fns():
     from fiveg_spark.operators.behavior import _order_cadence_sql
+    from fiveg_spark.operators.engagement_ext import _partner_turnover_parts
+    from fiveg_spark.operators.supply_fulfillment import (
+        _balance_order_corr_sql,
+        _balance_value_matrix_sql,
+        _brand_diversity_sql,
+        _business_days_latency_sql,
+        _linenumber_profile_sql,
+        _order_reconciliation_sql,
+        _order_seasonality_sql,
+        _order_span_profile_sql,
+        _suppliers_per_part_sql,
+        _supplier_balance_volume_sql,
+        _tax_discount_joint_sql,
+        _weekday_mix_sql,
+    )
     from fiveg_spark.operators.quality import _fk_orphan_audit_sql
     from fiveg_spark.operators.relational_ext import (
         _brand_loyalty_sql,
@@ -1106,6 +1165,39 @@ def _star_sql_fns():
         # per-customer CV with the >=2-gaps floor and nullif(mu):
         # single-order customers drop, tied order dates give zero gaps
         "order_cadence_regularity": _order_cadence_sql,
+        # corr_safe over an outer join: zero-order customers keep a
+        # 0-count row; constant balances hit the degenerate guard
+        "balance_order_correlation": _balance_order_corr_sql,
+        # closed-form weekday-prefix arithmetic incl. negative spans
+        # (ship before order) and weekend-only spans
+        "business_days_ship_latency": _business_days_latency_sql,
+        # distinct-count rollup joined to part; orphan partkeys drop
+        "suppliers_per_part_profile": _suppliers_per_part_sql,
+        "linenumber_position_profile": _linenumber_profile_sql,
+        # conditional quarter shares + greatest/least amplitude
+        "nation_order_seasonality": _order_seasonality_sql,
+        # percentile-bound quartiles + margin-window lift: fragments
+        # with one distinct balance put every bound on one value
+        "balance_value_quartile_matrix": _balance_value_matrix_sql,
+        # header/lines ratio with nullif(linesum): all-1.0-discount
+        # zero-revenue orders hit the guard
+        "order_total_reconciliation": _order_reconciliation_sql,
+        "tax_discount_joint_multiplier": _tax_discount_joint_sql,
+        # span ratios with the n_orders > 1 floor: one-shot-only
+        # segments leave the span avg NULL (coalesced 0.0)
+        "customer_order_span_profile": _order_span_profile_sql,
+        # revenue-share HHI: zero-revenue types hit the share division
+        # only through type_rev > 0 rows (all-zero -> NULL -> 0.0)
+        "part_type_brand_diversity": _brand_diversity_sql,
+        # corr_safe over supplier LEFT JOIN: no-volume suppliers keep
+        # coalesced 0.0 revenue rows
+        "supplier_balance_volume_corr": _supplier_balance_volume_sql,
+        "order_weekday_mix_by_segment": _weekday_mix_sql,
+        # year-over-year partner-set Jaccard: single-year graphs emit
+        # no pairs; identical consecutive years pin jaccard at 1.0
+        # (parts query folded to one WITH chain — the parity gate
+        # checks the MATH; materialization is a Spark-only concern)
+        "trade_partner_turnover": _folded_parts(_partner_turnover_parts),
     }
 
 
@@ -1514,5 +1606,44 @@ def test_reciprocity_by_year_on_random_graphs(spark):
             con.close()
         assert sorted(got.columns) == sorted(duck_cols)
         assert spark_rows == duck_rows
+
+    check()
+
+
+def test_embedding_smoothness_on_random_vectors(spark):
+    from fiveg_spark.operators.engagement_ext import _emb_smoothness_sql
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        vecs=st.lists(
+            st.tuples(
+                st.integers(0, 2),  # label
+                # constant vectors make every step 0; sign flips make
+                # the max-step fold dominate
+                st.lists(
+                    st.sampled_from([0.0, 1.0, -2.5]), min_size=2, max_size=5
+                ),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(vecs):
+        pdf = pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+                "embedding": [[float(x) for x in v] for _l, v in vecs],
+                "label": pd.Series([l for l, _v in vecs], dtype="int32"),
+            }
+        )
+        _assert_parity(
+            spark, pdf, "embeddings",
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            _emb_smoothness_sql, "embedding_smoothness",
+        )
 
     check()
