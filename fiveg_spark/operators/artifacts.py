@@ -582,3 +582,294 @@ QUERIES.extend([
     Query("evolution_merged_read", _evolution_read_run,
           _evolution_read_oracle()),
 ])
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill (deferred=True: registered after the r10 window froze)
+# --------------------------------------------------------------------------
+
+
+def _rollback_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23's ROLLBACK path certified: three committed crawl versions,
+    then rollback_to(2).  Rollback is documented-DESTRUCTIVE (stricter
+    than Delta RESTORE — files added after the target are physically
+    removed so plain directory reads stay correct), so the certified
+    claims are: versions 1/2 and the new head read back exactly their
+    closed forms, the head equals version 2, and read_as_of(3) FAILS
+    CLOSED rather than returning a partial table."""
+    from fiveg_spark.sources import snapshots
+
+    table = _scratch() + "/docs"
+    try:
+        ensure_views(spark, ("documents",), sf_dir)
+        docs = spark.sql("SELECT doc_id, n_chars FROM documents")
+        for wave in range(3):
+            docs.filter(F.col("doc_id") % N_WAVES == wave).write.mode(
+                "append"
+            ).parquet(table)
+            snapshots.commit_snapshot(table)
+        head = snapshots.rollback_to(table, 2)
+        try:
+            snapshots.read_as_of(spark, table, 3)
+            v3_fails_closed = False
+        except FileNotFoundError:
+            v3_fails_closed = True
+
+        rows = []
+        for v in (1, 2, head):
+            agg = snapshots.read_as_of(spark, table, v).agg(
+                F.count("*").alias("n"),
+                F.sum("n_chars").alias("chars"),
+            ).head()
+            rows.append(
+                (int(v), int(agg["n"]), int(agg["chars"]),
+                 bool(v3_fails_closed))
+            )
+        return spark.createDataFrame(
+            rows,
+            "version LONG, n_docs LONG, sum_chars LONG,"
+            " v3_fails_closed BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+def _rollback_audit_oracle() -> str:
+    # versions 1/2 are cumulative waves; version 4 (the rollback head)
+    # re-reads wave <= 1, i.e. version 2's closed form
+    return f"""
+    WITH versions AS (
+      SELECT 1 AS version, 1 AS depth UNION ALL
+      SELECT 2, 2 UNION ALL
+      SELECT 4, 2
+    )
+    SELECT
+      CAST(v.version AS BIGINT) AS version,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+      TRUE AS v3_fails_closed
+    FROM versions v
+    JOIN documents d ON d.doc_id % {N_WAVES} < v.depth
+    GROUP BY v.version
+    ORDER BY version
+    """
+
+
+def _zorder_parity_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9's z-order rewrite certified for CONTENT (the clustering must
+    never change the rows) plus the structural claim that a point
+    predicate on the leading cluster column skips row groups (footer
+    stats only — the reason to z-order at all)."""
+    from fiveg_spark.plans import zorder
+
+    table = _scratch() + "/events_z"
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        ev = spark.sql("SELECT event_id, user_id, event_type, value FROM events")
+        zorder.zorder_write(ev, table, ("user_id", "value"))
+        probe_user = spark.sql(
+            "SELECT min(user_id) AS u FROM events"
+        ).head()["u"]
+        frac = zorder.skipping_fraction(table, "user_id", int(probe_user))
+        skips = bool(frac < 1.0)
+
+        out = (
+            spark.read.parquet(table)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.sum("event_id").alias("id_sum"),
+                F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+            )
+            .select(
+                "event_type",
+                F.col("n_events").cast("long"),
+                F.col("n_users").cast("long"),
+                F.col("id_sum").cast("long"),
+                "sum_value",
+                F.lit(skips).alias("point_lookup_skips"),
+            )
+            .orderBy("event_type")
+        )
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, n_events LONG, n_users LONG, id_sum LONG,"
+            " sum_value DOUBLE, point_lookup_skips BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+def _zorder_parity_oracle() -> str:
+    return """
+    SELECT
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      CAST(sum(event_id) AS BIGINT) AS id_sum,
+      round(sum(value) + 1e-9, 4) AS sum_value,
+      TRUE AS point_lookup_skips
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+def _manifest_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21's write-audit loop certified: write-with-manifest, verify
+    against the filesystem, load THROUGH the verifying reader, and
+    prove the loaded content equals the source — plus the tamper claim:
+    after deleting a data file, verify_manifest must FAIL."""
+    import os
+
+    from fiveg_spark.sources import manifest
+
+    table = _scratch() + "/orders_m"
+    try:
+        ensure_views(spark, ("orders",), sf_dir)
+        orders = spark.sql(
+            "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders"
+        )
+        manifest.write_with_manifest(orders.repartition(4), table)
+        ok, _msg = manifest.verify_manifest(table)
+        loaded = manifest.load_verified(spark, table)
+        agg = loaded.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice") / 1e6 + 1e-9, 4).alias(
+                "total_value_m"
+            ),
+        ).collect()
+        victim = next(
+            os.path.join(table, f)
+            for f in sorted(os.listdir(table))
+            if f.endswith(".parquet")
+        )
+        os.remove(victim)
+        tampered_ok, _msg2 = manifest.verify_manifest(table)
+        rows = [
+            (r["o_orderpriority"], int(r["n_orders"]),
+             float(r["total_value_m"]), bool(ok), bool(not tampered_ok))
+            for r in agg
+        ]
+        return spark.createDataFrame(
+            rows,
+            "priority STRING, n_orders LONG, total_value_m DOUBLE,"
+            " verified BOOLEAN, tamper_detected BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+def _manifest_audit_oracle() -> str:
+    return """
+    SELECT
+      o_orderpriority AS priority,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      round(sum(o_totalprice) / 1e6 + 1e-9, 4) AS total_value_m,
+      TRUE AS verified,
+      TRUE AS tamper_detected
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """
+
+
+def _bucketed_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15's co-located layout certified end-to-end: events and a
+    per-user dimension bucketed IDENTICALLY on user_id, joined through
+    the catalog — the executed plan must read bucketed scans (the
+    shuffle-free marker pytest asserts) AND the join's RESULT must
+    equal the oracle's plain join.  The backlog's bucketed-join demo,
+    promoted to a certified query."""
+    import uuid as _uuid
+
+    from fiveg_spark.plans import bucketing
+
+    run_id = _uuid.uuid4().hex[:8]
+    base = _scratch()
+    t_events = f"bjp_events_{run_id}"
+    t_users = f"bjp_users_{run_id}"
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        ev = spark.sql("SELECT user_id, event_type, value FROM events")
+        users = spark.sql(
+            "SELECT user_id, count(*) AS n_events,"
+            " min(event_type) AS first_type FROM events GROUP BY user_id"
+        )
+        bucketing.write_bucketed(
+            ev, t_events, f"{base}/events", ("user_id",), 8
+        )
+        bucketing.write_bucketed(
+            users, t_users, f"{base}/users", ("user_id",), 8
+        )
+        # disable auto-broadcast so the co-located sort-merge path is
+        # the one exercised (a broadcast join would ignore the buckets
+        # — exactly what happens to small dims at certification SF; at
+        # 100 TB both sides are fact-sized and this IS the default)
+        old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(t_events).join(
+                spark.table(t_users), "user_id"
+            )
+            bucketed = bucketing.is_bucketed_scan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+        out = (
+            joined.groupBy("first_type")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("user_id").alias("n_users"),
+                F.round(F.sum("value") + 1e-9, 4).alias("sum_value"),
+            )
+            .select(
+                "first_type",
+                F.col("n_rows").cast("long"),
+                F.col("n_users").cast("long"),
+                "sum_value",
+                F.lit(bool(bucketed)).alias("bucketed_scan"),
+            )
+            .orderBy("first_type")
+        )
+        return _collected(
+            spark,
+            out,
+            "first_type STRING, n_rows LONG, n_users LONG,"
+            " sum_value DOUBLE, bucketed_scan BOOLEAN",
+        )
+    finally:
+        bucketing.drop_bucketed(spark, t_events, t_users)
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _bucketed_join_oracle() -> str:
+    return """
+    WITH users AS (
+      SELECT user_id, min(event_type) AS first_type
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      u.first_type,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      round(sum(e.value) + 1e-9, 4) AS sum_value,
+      TRUE AS bucketed_scan
+    FROM events e
+    JOIN users u ON u.user_id = e.user_id
+    GROUP BY u.first_type
+    ORDER BY u.first_type
+    """
+
+
+QUERIES.extend([
+    Query("snapshot_rollback_audit", _rollback_audit_run,
+          _rollback_audit_oracle(), deferred=True),
+    Query("zorder_content_parity", _zorder_parity_run,
+          _zorder_parity_oracle(), deferred=True),
+    Query("manifest_integrity_audit", _manifest_audit_run,
+          _manifest_audit_oracle(), deferred=True),
+    Query("bucketed_join_parity", _bucketed_join_run,
+          _bucketed_join_oracle(), deferred=True),
+])

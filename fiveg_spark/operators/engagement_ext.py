@@ -430,3 +430,155 @@ QUERIES = [
         "trade_partner_turnover", _partner_turnover_parts,
         ("lineitem", "orders", "customer", "supplier", "nation")),
 ]
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill (deferred=True: registered after the r10 window froze)
+# --------------------------------------------------------------------------
+
+
+def _hour_entropy_by_band_sql(d: str) -> str:
+    # C159 — diurnal concentration by activity band: per-user Shannon
+    # entropy (nats) of the hour-of-day profile, averaged within
+    # activity quartiles.  Banding uses exact percentile BOUNDS of the
+    # per-user event count (broadcast scalar frame) rather than a
+    # global ntile window — |users| is unbounded at 100 TB and a
+    # single-partition rank would be the bottleneck; the C144 recipe.
+    # C136 asks this question about TYPE mix; this asks it about the
+    # CLOCK (a heavy band with near-uniform hour entropy is automation,
+    # a low-entropy heavy band is a human prime-time audience).
+    es = epoch("ts", d)
+    hour = f"(CAST(floor({es} / 3600.0) AS BIGINT) % 24)"
+    bounds = ", ".join(
+        f"{pct('CAST(n AS DOUBLE)', p, d)} AS b{i}"
+        for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+    )
+    band = (
+        "CASE WHEN CAST(u.n AS DOUBLE) <= b.b1 THEN 1"
+        " WHEN CAST(u.n AS DOUBLE) <= b.b2 THEN 2"
+        " WHEN CAST(u.n AS DOUBLE) <= b.b3 THEN 3 ELSE 4 END"
+    )
+    return f"""
+    WITH per_cell AS (
+      SELECT user_id, {hour} AS hr, count(*) AS c
+      FROM events
+      GROUP BY user_id, {hour}
+    ),
+    per_user_tot AS (
+      SELECT user_id, sum(c) AS n FROM per_cell GROUP BY user_id
+    ),
+    per_user AS (
+      SELECT
+        t.user_id,
+        t.n,
+        sum(-1.0 * (CAST(pc.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+            * ln(CAST(pc.c AS DOUBLE) / CAST(t.n AS DOUBLE)))
+          AS hour_entropy,
+        count(*) AS n_active_hours
+      FROM per_cell pc
+      JOIN per_user_tot t ON t.user_id = pc.user_id
+      GROUP BY t.user_id, t.n
+    ),
+    b AS (SELECT {bounds} FROM per_user_tot)
+    SELECT
+      CAST({band} AS BIGINT) AS activity_band,
+      {cnt("count(*)", "n_users")},
+      {dbl("avg(CAST(u.n AS DOUBLE))", "mean_events")},
+      {dbl("avg(u.hour_entropy)", "mean_hour_entropy")},
+      {dbl("avg(CAST(u.n_active_hours AS DOUBLE))",
+           "mean_active_hours")}
+    FROM per_user u CROSS JOIN b
+    GROUP BY {band}
+    ORDER BY activity_band
+    """
+
+
+def _transition_asymmetry_sql(d: str) -> str:
+    # C160 — directed flow imbalance between event types: from C54's
+    # per-user consecutive-pair counts, the NET flow a→b minus b→a per
+    # unordered pair — a symmetric transition matrix hides whether
+    # "view→purchase" actually dominates "purchase→view".  One lag
+    # window per user, one pair rollup, pairs emitted once (a < b).
+    es = epoch("ts", d)
+    return f"""
+    WITH stepped AS (
+      SELECT
+        user_id,
+        event_type AS cur,
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY {es}, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT
+        least(prev, cur) AS a,
+        greatest(prev, cur) AS b,
+        sum(CASE WHEN prev < cur THEN 1 ELSE 0 END) AS n_ab,
+        sum(CASE WHEN prev > cur THEN 1 ELSE 0 END) AS n_ba
+      FROM stepped
+      WHERE prev IS NOT NULL AND prev <> cur
+      GROUP BY least(prev, cur), greatest(prev, cur)
+    )
+    SELECT
+      a AS type_a,
+      b AS type_b,
+      {cnt("n_ab", "n_ab")},
+      {cnt("n_ba", "n_ba")},
+      {cnt("n_ab - n_ba", "net_flow")},
+      {dbl("abs(CAST(n_ab - n_ba AS DOUBLE))"
+           " / CAST(nullif(n_ab + n_ba, 0) AS DOUBLE)", "asymmetry")}
+    FROM pairs
+    ORDER BY type_a, type_b
+    """
+
+
+def _token_case_profile_sql(d: str) -> str:
+    # E120 — token-casing profile per source: lower/UPPER/Title/mixed
+    # shares of WORD tokens — shouty or randomly-cased corpora survive
+    # E103's char-class screen (letters are letters) but break cased
+    # tokenizers; alphabetic-only tokens keyed by exact class match.
+    toks = (
+        "split(text, ' +')" if d == "spark"
+        else "string_split_regex(text, ' +')"
+    )
+    unnest = (
+        f"LATERAL VIEW explode({toks}) t AS token" if d == "spark"
+        else f", unnest({toks}) AS t(token)"
+    )
+    alpha = "regexp_full_match(token, '[A-Za-z]+')" if d == "duckdb" else (
+        "token RLIKE '^[A-Za-z]+$'"
+    )
+    lower_share = "avg(CAST(CASE WHEN token = lower(token) THEN 1 ELSE 0 END AS DOUBLE))"
+    upper_share = "avg(CAST(CASE WHEN token = upper(token) THEN 1 ELSE 0 END AS DOUBLE))"
+    title = (
+        "avg(CAST(CASE WHEN token <> lower(token) AND token <> upper(token)"
+        " AND substring(token, 1, 1) = upper(substring(token, 1, 1))"
+        " AND substring(token, 2) = lower(substring(token, 2))"
+        " THEN 1 ELSE 0 END AS DOUBLE))"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT source, token
+      FROM documents {unnest}
+      WHERE {alpha}
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_alpha_tokens")},
+      {dbl(lower_share, "lower_share")},
+      {dbl(upper_share, "upper_share")},
+      {dbl(title, "title_share")}
+    FROM tok
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+QUERIES.extend([
+    sql_backed("user_hour_entropy_by_band", _hour_entropy_by_band_sql,
+               ("events",), deferred=True),
+    sql_backed("type_transition_asymmetry", _transition_asymmetry_sql,
+               ("events",), deferred=True),
+    sql_backed("doc_token_case_profile", _token_case_profile_sql,
+               ("documents",), deferred=True),
+])

@@ -999,3 +999,175 @@ QUERIES.append(
     Query("stream_tdigest_store_parity", _tdigest_store_run,
           _tdigest_store_oracle())
 )
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill (deferred=True: registered after the r10 window froze)
+# --------------------------------------------------------------------------
+
+
+def _hll_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 — the streaming HLL sketch store certified with the C21
+    approx-variants discipline: exact per-(type, day) event counts
+    recomputed by the oracle, plus booleans bounding the store's
+    DISTINCT-USER estimates (which have no DuckDB twin) within ±15% of
+    the exact distinct counts carried in-row — replay no-op and compact
+    on the certified path, estimates answered from sketch rows only."""
+    from fiveg_spark.streaming import sketch_sink
+
+    store = _scratch()
+    try:
+        batches = _week_batches(spark, sf_dir)
+        sink = sketch_sink.foreach_batch_sketch(store)
+        for i, frame in batches:
+            sink(frame, i)
+        sink(batches[0][1], 0)  # replay below high-water: no-op
+        sketch_sink.compact(spark, store)
+
+        merged = sketch_sink.read_daily_sketches(spark, store).select(
+            "event_type",
+            F.floor(
+                F.unix_micros("day").cast("double") / 1e6 / 86400.0
+            ).cast("long").alias("day"),
+            "n_events",
+            "est_users",
+        )
+        exact = spark.sql(
+            "SELECT event_type,"
+            " CAST(floor(CAST(unix_micros(ts) AS DOUBLE) / 1000000.0"
+            " / 86400.0) AS BIGINT) AS day,"
+            " CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users"
+            " FROM events GROUP BY event_type, day"
+        )
+        out = merged.join(exact, ["event_type", "day"]).select(
+            "event_type",
+            "day",
+            F.col("n_events").cast("long"),
+            "n_exact_users",
+            (
+                F.abs(F.col("est_users") - F.col("n_exact_users"))
+                <= 0.15 * F.col("n_exact_users")
+            ).alias("est_within_15pct"),
+        ).orderBy("event_type", "day")
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, day LONG, n_events LONG,"
+            " n_exact_users LONG, est_within_15pct BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _hll_store_oracle() -> str:
+    return """
+    SELECT
+      event_type,
+      CAST(floor(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 / 86400.0)
+           AS BIGINT) AS day,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_users,
+      TRUE AS est_within_15pct
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """
+
+
+def _reservoir_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B22 — the streaming bottom-k reservoir certified for its
+    INVARIANTS: the merged PER-TYPE sample holds exactly min(k, n_type)
+    rows, every
+    sampled event exists in the corpus (anti-join emptiness), and the
+    sample is duplicate-free — the hash order itself (xxhash64) has no
+    DuckDB twin, so content certifies by membership, not by value."""
+    from fiveg_spark.streaming import reservoir_sink
+
+    store = _scratch()
+    try:
+        batches = _week_batches(spark, sf_dir)
+        sink = reservoir_sink.foreach_batch_reservoir(store)
+        for i, frame in batches:
+            sink(frame, i)
+        sink(batches[0][1], 0)  # replay below high-water: no-op
+        reservoir_sink.compact(spark, store)
+
+        sample = reservoir_sink.read_sample(spark, store)
+        k = reservoir_sink.DEFAULT_K
+        per_type = sample.groupBy("event_type").agg(
+            F.count("*").alias("n_sample"),
+            F.countDistinct("event_id").alias("n_distinct"),
+        )
+        orphans = (
+            sample.select("event_type", "event_id")
+            .join(
+                spark.sql("SELECT event_type, event_id FROM events"),
+                ["event_type", "event_id"],
+                "left_anti",
+            )
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_orphans"))
+        )
+        totals = spark.sql(
+            "SELECT event_type, count(*) AS n_type FROM events"
+            " GROUP BY event_type"
+        )
+        out = (
+            totals.join(per_type, "event_type", "left")
+            .join(orphans, "event_type", "left")
+            .select(
+                "event_type",
+                F.least(F.lit(k), F.col("n_type")).cast("long").alias(
+                    "expected_k"
+                ),
+                F.coalesce(F.col("n_sample"), F.lit(0)).cast("long").alias(
+                    "n_sample"
+                ),
+                (
+                    F.coalesce(F.col("n_sample"), F.lit(0))
+                    == F.least(F.lit(k), F.col("n_type"))
+                ).alias("size_exact"),
+                (
+                    F.coalesce(F.col("n_distinct"), F.lit(0))
+                    == F.coalesce(F.col("n_sample"), F.lit(0))
+                ).alias("duplicate_free"),
+                (F.coalesce(F.col("n_orphans"), F.lit(0)) == 0).alias(
+                    "all_members_exist"
+                ),
+            )
+            .orderBy("event_type")
+        )
+        return _collected(
+            spark,
+            out,
+            "event_type STRING, expected_k LONG, n_sample LONG,"
+            " size_exact BOOLEAN, duplicate_free BOOLEAN,"
+            " all_members_exist BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
+def _reservoir_store_oracle() -> str:
+    from fiveg_spark.streaming.reservoir_sink import DEFAULT_K
+
+    return f"""
+    SELECT
+      event_type,
+      CAST(least({DEFAULT_K}, count(*)) AS BIGINT) AS expected_k,
+      CAST(least({DEFAULT_K}, count(*)) AS BIGINT) AS n_sample,
+      TRUE AS size_exact,
+      TRUE AS duplicate_free,
+      TRUE AS all_members_exist
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+QUERIES.extend([
+    Query("stream_hll_store_parity", _hll_store_run,
+          _hll_store_oracle(), deferred=True),
+    Query("stream_reservoir_store_parity", _reservoir_store_run,
+          _reservoir_store_oracle(), deferred=True),
+])

@@ -439,3 +439,171 @@ QUERIES = [
     sql_backed("order_weekday_mix_by_segment", _weekday_mix_sql,
                ("orders", "customer")),
 ]
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill (deferred=True: registered after the r10 window froze)
+# --------------------------------------------------------------------------
+
+
+def _discount_depth_sql(d: str) -> str:
+    # C156 — are expensive items discounted MORE?  Per extendedprice
+    # quartile (exact global bounds broadcast): discounted-line share,
+    # mean depth among discounted lines, and the revenue given back —
+    # the pricing-power readout C103's elasticity slope doesn't give.
+    bounds = ", ".join(
+        f"{pct('l_extendedprice', p, d)} AS p{i}"
+        for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+    )
+    quartile = (
+        "CASE WHEN l.l_extendedprice <= b.p1 THEN 1"
+        " WHEN l.l_extendedprice <= b.p2 THEN 2"
+        " WHEN l.l_extendedprice <= b.p3 THEN 3 ELSE 4 END"
+    )
+    return f"""
+    WITH b AS (SELECT {bounds} FROM lineitem)
+    SELECT
+      CAST({quartile} AS BIGINT) AS price_quartile,
+      {cnt("count(*)", "n_lines")},
+      {dbl("avg(CAST(CASE WHEN l.l_discount > 0 THEN 1 ELSE 0 END"
+           " AS DOUBLE))", "discounted_share")},
+      {dbl("avg(CASE WHEN l.l_discount > 0 THEN l.l_discount END)",
+           "mean_depth_discounted")},
+      {dbl("sum(l.l_extendedprice * l.l_discount) / 1e6",
+           "giveback_m")}
+    FROM lineitem l CROSS JOIN b
+    GROUP BY {quartile}
+    ORDER BY price_quartile
+    """
+
+
+def _nation_brand_affinity_sql(d: str) -> str:
+    # C157 — nation × brand affinity over lineitem volume: DENSE
+    # nation/brand spine (the r8 sparse-grid lesson), lift vs
+    # independence and chi-square contribution per cell — where do
+    # brands over/under-index geographically.
+    return f"""
+    WITH cells AS (
+      SELECT n.n_name AS nation, p.p_brand AS brand, count(*) AS n
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY n.n_name, p.p_brand
+    ),
+    spine AS (
+      -- dims come from the BASE dimension tables (tiny, broadcastable)
+      -- rather than re-running the fact rollup per reference; only
+      -- cells that could exist appear, so vanished-cell mass is kept
+      SELECT na.n_name AS nation, br.p_brand AS brand
+      FROM nation na
+      CROSS JOIN (SELECT DISTINCT p_brand FROM part) br
+    ),
+    dense AS (
+      SELECT
+        s.nation,
+        s.brand,
+        CAST(coalesce(c.n, 0) AS DOUBLE) AS n
+      FROM spine s
+      LEFT JOIN cells c ON c.nation = s.nation AND c.brand = s.brand
+    ),
+    margined AS (
+      SELECT
+        nation, brand, n,
+        sum(n) OVER (PARTITION BY nation) AS nation_n,
+        sum(n) OVER (PARTITION BY brand) AS brand_n,
+        sum(n) OVER () AS tot
+      FROM dense
+    )
+    SELECT
+      nation,
+      brand,
+      {cnt("n", "n_lines")},
+      {dbl("n * tot / nullif(nation_n * brand_n, 0.0)", "lift")},
+      {dbl("(n - nation_n * brand_n / tot)"
+           " * (n - nation_n * brand_n / tot)"
+           " / nullif(nation_n * brand_n / tot, 0.0)", "chi2_contrib")}
+    FROM margined
+    ORDER BY nation, brand
+    """
+
+
+def _debtor_contrast_sql(d: str) -> str:
+    # C158 — do customers in the red behave differently?  Per segment:
+    # the negative-balance share and the debtor/creditor contrast on
+    # order rate and mean order value (outer join keeps inactive
+    # customers in the rate).
+    return f"""
+    WITH per_cust AS (
+      SELECT
+        c.c_mktsegment AS segment,
+        CASE WHEN c.c_acctbal < 0 THEN 1 ELSE 0 END AS debtor,
+        count(o.o_orderkey) AS n_orders,
+        avg(o.o_totalprice) AS mean_value
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+    )
+    SELECT
+      segment,
+      {cnt("count(*)", "n_customers")},
+      {dbl("avg(CAST(debtor AS DOUBLE))", "debtor_share")},
+      {dbl("avg(CASE WHEN debtor = 1 THEN CAST(n_orders AS DOUBLE) END)",
+           "debtor_order_rate")},
+      {dbl("avg(CASE WHEN debtor = 0 THEN CAST(n_orders AS DOUBLE) END)",
+           "creditor_order_rate")},
+      {dbl("avg(CASE WHEN debtor = 1 THEN mean_value END)",
+           "debtor_mean_value")},
+      {dbl("avg(CASE WHEN debtor = 0 THEN mean_value END)",
+           "creditor_mean_value")}
+    FROM per_cust
+    GROUP BY segment
+    ORDER BY segment
+    """
+
+
+def _part_name_tokens_sql(d: str) -> str:
+    # E119 — dimension-table text profile: the part-name vocabulary
+    # (TPC-H p_name is a bag of color words).  Distinct tokens, mean
+    # tokens per name, and the top token's share — the text-analysis
+    # toolchain pointed at a dimension table instead of the corpus.
+    toks = (
+        "split(lower(p_name), ' +')" if d == "spark"
+        else "string_split_regex(lower(p_name), ' +')"
+    )
+    unnest = (
+        f"LATERAL VIEW explode({toks}) t AS token" if d == "spark"
+        else f", unnest({toks}) AS t(token)"
+    )
+    return f"""
+    WITH tok AS (
+      SELECT token FROM part {unnest}
+    ),
+    counts AS (
+      SELECT token, count(*) AS c FROM tok GROUP BY token
+    )
+    SELECT
+      {cnt("count(*)", "n_distinct_tokens")},
+      {cnt("sum(c)", "n_tokens")},
+      {cnt("max(c)", "top_token_count")},
+      {dbl("CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)",
+           "top_token_share")},
+      {dbl("CAST(sum(c) AS DOUBLE)"
+           " / (SELECT CAST(count(*) AS DOUBLE) FROM part)",
+           "mean_tokens_per_name")}
+    FROM counts
+    """
+
+
+QUERIES.extend([
+    sql_backed("discount_depth_by_price_quartile", _discount_depth_sql,
+               ("lineitem",), deferred=True),
+    sql_backed("nation_brand_affinity", _nation_brand_affinity_sql,
+               ("lineitem", "orders", "customer", "nation", "part"),
+               deferred=True),
+    sql_backed("debtor_activity_contrast", _debtor_contrast_sql,
+               ("customer", "orders"), deferred=True),
+    sql_backed("part_name_token_stats", _part_name_tokens_sql,
+               ("part",), deferred=True),
+])

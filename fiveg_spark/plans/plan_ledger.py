@@ -72,6 +72,9 @@ PLAN_BUILD_EXECUTES = frozenset({
     "snapshot_time_travel_audit", "result_cache_served",
     "postings_index_lookup", "backfill_partition_audit",
     "compaction_content_parity", "evolution_merged_read",
+    "stream_hll_store_parity", "stream_reservoir_store_parity",
+    "snapshot_rollback_audit", "zorder_content_parity",
+    "manifest_integrity_audit", "bucketed_join_parity",
 })
 
 

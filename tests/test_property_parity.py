@@ -29,7 +29,10 @@ from fiveg_spark.operators.llm_curation import (
     _gopher_quality_sql,
     _mixture_weights_sql,
 )
-from fiveg_spark.operators.engagement_ext import _source_lang_mix_sql
+from fiveg_spark.operators.engagement_ext import (
+    _source_lang_mix_sql,
+    _token_case_profile_sql,
+)
 from fiveg_spark.operators.quality import _benford_digits_sql
 from fiveg_spark.operators.text import _text_normalize_sql, _text_quality_sql
 from fiveg_spark.operators.text_stats import (
@@ -56,6 +59,9 @@ _DOC_SQL = {
     # dense source x lang spine: single-lang corpora pin every share
     # at 1.0 and chi2 at 0; the nullif margins guard empty cells
     "source_lang_mix": _source_lang_mix_sql,
+    # alphabetic-token casing shares: the tiny-word corpus is all
+    # lowercase, pinning lower_share at 1.0 and the rest at 0
+    "doc_token_case_profile": _token_case_profile_sql,
     # dedup family: tiny-vocab corpora make collisions and ties the
     # common case, exactly where bucketing/tiebreak bugs live
     "dedup_exact": _dedup_exact_sql,
@@ -424,11 +430,13 @@ def _event_sql_fns():
     )
     from fiveg_spark.operators.engagement_ext import (
         _drop_value_cost_sql,
+        _hour_entropy_by_band_sql,
         _ltv_by_acquisition_sql,
         _new_vs_returning_sql,
         _offpeak_contrast_sql,
         _phase_shift_sql,
         _session_gap_sensitivity_sql,
+        _transition_asymmetry_sql,
     )
     from fiveg_spark.operators.ts_advanced import (
         _acf_half_life_sql,
@@ -529,6 +537,12 @@ def _event_sql_fns():
         "user_phase_value_shift": _phase_shift_sql,
         # first-day share: single-user streams pin the share at 1.0
         "daily_new_vs_returning": _new_vs_returning_sql,
+        # per-user hour entropy with percentile-bound bands: single-
+        # hour users have entropy exactly 0; ties cluster band bounds
+        "user_hour_entropy_by_band": _hour_entropy_by_band_sql,
+        # net-flow asymmetry with nullif(n_ab + n_ba): self-loops are
+        # excluded, single-type streams emit no pairs at all
+        "type_transition_asymmetry": _transition_asymmetry_sql,
         # OLS slope over per-day amplitudes with the >=12-hour day
         # filter: sparse random streams drop most days (n<2 guard)
         "diurnal_amplitude_trend": _diurnal_amplitude_sql,
@@ -1100,6 +1114,10 @@ def _star_sql_fns():
     from fiveg_spark.operators.behavior import _order_cadence_sql
     from fiveg_spark.operators.engagement_ext import _partner_turnover_parts
     from fiveg_spark.operators.supply_fulfillment import (
+        _debtor_contrast_sql,
+        _discount_depth_sql,
+        _nation_brand_affinity_sql,
+        _part_name_tokens_sql,
         _balance_order_corr_sql,
         _balance_value_matrix_sql,
         _brand_diversity_sql,
@@ -1198,6 +1216,18 @@ def _star_sql_fns():
         # (parts query folded to one WITH chain — the parity gate
         # checks the MATH; materialization is a Spark-only concern)
         "trade_partner_turnover": _folded_parts(_partner_turnover_parts),
+        # percentile-bound price quartiles: constant-price fragments
+        # put every bound on one value; zero-discount corpora leave
+        # the depth avg NULL (coalesced 0.0)
+        "discount_depth_by_price_quartile": _discount_depth_sql,
+        # dense nation x brand spine with nullif margins: single-cell
+        # fragments pin lift at 1.0 and chi2 at 0
+        "nation_brand_affinity": _nation_brand_affinity_sql,
+        # debtor/creditor conditional avgs: all-creditor segments
+        # leave every debtor column NULL (coalesced 0.0)
+        "debtor_activity_contrast": _debtor_contrast_sql,
+        # one-row vocabulary profile with a scalar subquery
+        "part_name_token_stats": _part_name_tokens_sql,
     }
 
 
