@@ -1,0 +1,537 @@
+"""Classical statistical-test battery over the KPI hourly frame and the
+event stream (SURVEY §2 D73-D79): Kruskal-Wallis, Friedman,
+Brown-Forsythe, chi-square GOF, standardized effect sizes, Weibull and
+Gumbel distribution fits.
+
+The existing inference family tests PAIRS (Welch D39, Mann-Whitney D33)
+or single series (Mann-Kendall D48); these close the k-SAMPLE and
+DISTRIBUTION-FIT gaps: "do the k slices differ at all?" (KW = rank
+ANOVA, Friedman = blocked rank ANOVA, Brown-Forsythe = variance
+homogeneity — the assumption check BEFORE trusting anova_slice_means),
+"is load uniform over the clock?" (chi-square GOF), "how big is the
+weekend shift?" (Cohen/Hedges/Glass ladder), and "what law do the
+tails follow?" (Weibull IATs, Gumbel block maxima).
+
+Scale doctrine: every rank window rides the HOURLY rollup (bounded by
+calendar x |slices|, not data volume — the D33 precedent); raw-event
+queries are single-scan decomposable sums; the Weibull fit replaces the
+empirical-CDF rank window with a 9-point exact-percentile ladder (one
+hash-agg) + OLS on the tiny ladder frame.
+
+Reference scope: beyond-reference analytics breadth (the reference's
+train.py consumes the KPI frame without ever validating distributional
+assumptions; these are the checks its VAR/GRU pipeline should run).
+"""
+
+from __future__ import annotations
+
+from fiveg_spark.operators.timeseries import _hourly_cte
+from fiveg_spark.plans.registry import (
+    NUDGE,
+    cnt,
+    dbl,
+    epoch,
+    materialized_backed,
+    ols_slope,
+    pct,
+    sql_backed,
+)
+
+
+def _hourly_part(d: str, prefix: str) -> tuple[str, str]:
+    """Materialized (slice, h, v) hourly frame — the _era_split_parts
+    recipe without the era tag; rank/median consumers reference it 2-3
+    times and Spark would re-run the events scan per reference."""
+    sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
+      SELECT slice, h, throughput_bps AS v FROM hourly
+    """
+    return (f"_mz_{prefix}_hourly", sql)
+
+
+def _kruskal_wallis_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D73 — Kruskal-Wallis rank one-way ANOVA across slices on hourly
+    # throughput (Kruskal & Wallis 1952): the nonparametric companion
+    # to D38 anova_slice_means — valid under non-normal load (the norm
+    # for traffic), immune to monotone transforms.  H = 12/(N(N+1))
+    # Σ R_j²/n_j − 3(N+1), tie-corrected by 1 − Σ(t³−t)/(N³−N);
+    # epsilon² = (H−k+1)/(N−k) is the effect size (Tomczak 2014).
+    #
+    # Midranks are the D33 integer window arithmetic — exact and
+    # engine-identical — but GLOBAL (one ranking across all slices):
+    # the window rides the hourly rollup, ≤ |hours|·|slices| rows
+    # bounded by calendar, allow-listed in POST_AGG_GLOBAL_WINDOWS.
+    parts = [_hourly_part(d, "kw")]
+    tail = f"""
+    WITH ranked AS (
+      SELECT slice,
+        sum(1.0) OVER (
+          ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+        - count(*) OVER (PARTITION BY v)
+        + (count(*) OVER (PARTITION BY v) + 1.0) / 2.0 AS midrank
+      FROM _mz_kw_hourly
+    ),
+    grp AS (
+      SELECT slice, CAST(count(*) AS DOUBLE) AS n_j, sum(midrank) AS r_j
+      FROM ranked GROUP BY slice
+    ),
+    ties AS (
+      SELECT coalesce(sum(t * t * t - t), 0.0) AS tie_cubes
+      FROM (
+        SELECT CAST(count(*) AS DOUBLE) AS t
+        FROM _mz_kw_hourly GROUP BY v
+      ) g
+    ),
+    tot AS (
+      SELECT sum(n_j) AS n, CAST(count(*) AS DOUBLE) AS k,
+             sum(r_j * r_j / n_j) AS s
+      FROM grp
+    ),
+    stat AS (
+      SELECT
+        t.n, t.k,
+        CASE WHEN t.n >= 2.0
+             THEN 12.0 / (t.n * (t.n + 1.0)) * t.s - 3.0 * (t.n + 1.0)
+             ELSE 0.0 END AS h_raw,
+        CASE WHEN t.n >= 2.0
+                  AND 1.0 - x.tie_cubes / (t.n * t.n * t.n - t.n) > 1e-12
+             THEN (12.0 / (t.n * (t.n + 1.0)) * t.s - 3.0 * (t.n + 1.0))
+                  / (1.0 - x.tie_cubes / (t.n * t.n * t.n - t.n))
+             ELSE 0.0 END AS h_stat
+      FROM tot t CROSS JOIN ties x
+    )
+    SELECT
+      g.slice,
+      {cnt("g.n_j", "n_hours")},
+      {dbl("g.r_j / g.n_j", "mean_rank")},
+      {dbl("s.h_raw", "h_raw")},
+      {dbl("s.h_stat", "h_stat")},
+      {cnt("s.k - 1", "dof")},
+      {dbl(
+          "CASE WHEN s.n > s.k "
+          "THEN (s.h_stat - s.k + 1.0) / (s.n - s.k) ELSE 0.0 END",
+          "epsilon_sq",
+      )}
+    FROM grp g CROSS JOIN stat s
+    ORDER BY g.slice
+    """
+    return parts, tail
+
+
+def _friedman_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D74 — Friedman blocked rank test (Friedman 1937, Conover 1999
+    # tie-robust form): each hour is a BLOCK, slices are ranked within
+    # it, so a diurnal load swing that hits every slice equally cancels
+    # out — KW (D73) pools hours and would read shared seasonality as
+    # slice difference; Friedman is the paired design.  Only COMPLETE
+    # blocks (all k slices present) enter, the textbook requirement.
+    #
+    #   A2 = Σ r_ij²,  B2 = (1/n) Σ_j R_j²,
+    #   T  = (k−1)(B2 − nk(k+1)²/4) / (A2 − B2)   ~ χ²_{k−1}
+    #   W  = T / (n(k−1))                         (Kendall's W)
+    #
+    # A2 = B2 has TWO degenerate readings Conover's ratio conflates:
+    # every block all-tied (numerator 0 too → no discrimination, T = 0)
+    # vs PERFECT untied concordance (identical rankings in every block
+    # → the supremum T = n(k−1), W = 1); the CASE below separates them
+    # on the numerator's sign.
+    #
+    # Ranks are per-hour windows (≤ k rows each); the complete-block
+    # census and the rank pass both read the materialized hourly frame.
+    parts = [_hourly_part(d, "fr")]
+    tail = f"""
+    WITH k AS (
+      SELECT CAST(count(DISTINCT slice) AS DOUBLE) AS k FROM _mz_fr_hourly
+    ),
+    complete AS (
+      SELECT h.slice, h.h, h.v
+      FROM _mz_fr_hourly h
+      JOIN (
+        SELECT h FROM _mz_fr_hourly CROSS JOIN k
+        GROUP BY h, k.k HAVING count(*) = k.k
+      ) b ON b.h = h.h
+    ),
+    ranked AS (
+      SELECT slice,
+        sum(1.0) OVER (
+          PARTITION BY h
+          ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        )
+        - count(*) OVER (PARTITION BY h, v)
+        + (count(*) OVER (PARTITION BY h, v) + 1.0) / 2.0 AS midrank
+      FROM complete
+    ),
+    grp AS (
+      SELECT slice, CAST(count(*) AS DOUBLE) AS n_blocks,
+             sum(midrank) AS r_j, sum(midrank * midrank) AS rr_j
+      FROM ranked GROUP BY slice
+    ),
+    tot AS (
+      SELECT max(n_blocks) AS n, CAST(count(*) AS DOUBLE) AS k,
+             sum(rr_j) AS a2, sum(r_j * r_j) AS b2_num
+      FROM grp
+    ),
+    stat AS (
+      SELECT n, k,
+        CASE WHEN n >= 1.0 AND a2 - b2_num / n > 1e-12
+             THEN (k - 1.0)
+                  * (b2_num / n - n * k * (k + 1.0) * (k + 1.0) / 4.0)
+                  / (a2 - b2_num / n)
+             WHEN n >= 1.0
+                  AND b2_num / n - n * k * (k + 1.0) * (k + 1.0) / 4.0
+                      > 1e-12
+             THEN n * (k - 1.0)
+             ELSE 0.0 END AS chi2_f
+      FROM tot
+    )
+    SELECT
+      g.slice,
+      {cnt("g.n_blocks", "n_blocks")},
+      {dbl("g.r_j", "rank_sum")},
+      {dbl("g.r_j / g.n_blocks", "mean_rank")},
+      {dbl("s.chi2_f", "chi2_f")},
+      {cnt("s.k - 1", "dof")},
+      {dbl(
+          "CASE WHEN s.n >= 1.0 AND s.k > 1.0 "
+          "THEN s.chi2_f / (s.n * (s.k - 1.0)) ELSE 0.0 END",
+          "kendall_w",
+      )}
+    FROM grp g CROSS JOIN stat s
+    ORDER BY g.slice
+    """
+    return parts, tail
+
+
+def _levene_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D75 — Brown-Forsythe variance-homogeneity test across slices
+    # (Brown & Forsythe 1974: Levene's test with the MEDIAN center,
+    # robust to heavy tails): the assumption audit BEFORE trusting
+    # D38's pooled-variance ANOVA — unequal slice variances silently
+    # inflate its F.  z_ij = |v_ij − med_j|, then one-way ANOVA on z:
+    #
+    #   F = [(N−k)/(k−1)] · Σ n_j(z̄_j − z̄)² / Σ_ij (z_ij − z̄_j)²
+    #
+    # Medians are exact percentiles per slice (tiny frame) broadcast
+    # back onto the hourly rollup; everything after is decomposable
+    # sums.  The rounded median (era-split discipline) keeps both
+    # engines subtracting the same center.
+    parts = [_hourly_part(d, "lv")]
+    tail = f"""
+    WITH med AS (
+      SELECT slice, round({pct("v", 0.5, d)} + {NUDGE}, 4) + 0.0 AS med
+      FROM _mz_lv_hourly GROUP BY slice
+    ),
+    z AS (
+      SELECT h.slice, abs(h.v - m.med) AS z, m.med
+      FROM _mz_lv_hourly h JOIN med m ON m.slice = h.slice
+    ),
+    grp AS (
+      SELECT slice, CAST(count(*) AS DOUBLE) AS n_j,
+             sum(z) AS s_j, sum(z * z) AS ss_j, max(med) AS med
+      FROM z GROUP BY slice
+    ),
+    tot AS (
+      SELECT sum(n_j) AS n, CAST(count(*) AS DOUBLE) AS k,
+             sum(s_j) AS s,
+             sum(s_j * s_j / n_j) AS sb,
+             sum(ss_j) AS ss
+      FROM grp
+    ),
+    stat AS (
+      SELECT n, k,
+        sb - s * s / n AS between_ss,
+        ss - sb AS within_ss,
+        CASE WHEN k > 1.0 AND n > k AND ss - sb > 1e-12
+             THEN ((n - k) / (k - 1.0)) * (sb - s * s / n) / (ss - sb)
+             ELSE 0.0 END AS f_stat
+      FROM tot
+    )
+    SELECT
+      g.slice,
+      {cnt("g.n_j", "n_hours")},
+      {dbl("g.med", "median_v")},
+      {dbl("g.s_j / g.n_j", "mean_absdev")},
+      {dbl("s.f_stat", "f_stat")},
+      {cnt("s.k - 1", "df_between")},
+      {cnt("s.n - s.k", "df_within")},
+      {dbl("CASE WHEN s.n > 0 THEN s.between_ss / s.n ELSE 0.0 END",
+           "between_ms_per_row")}
+    FROM grp g CROSS JOIN stat s
+    ORDER BY g.slice
+    """
+    return parts, tail
+
+
+def _chisq_hour_uniformity_sql(d: str) -> str:
+    # D76 — chi-square goodness-of-fit of the hour-of-day arrival
+    # profile against the uniform clock, per event type: the formal
+    # test behind the seasonal_profile/weekday_hour_heatmap pictures
+    # ("is this type's diurnal pattern real or sampling noise?").
+    # With E = n/24 the statistic collapses to the single-agg identity
+    # χ² = 24·Σc²/n − n (missing hours contribute E = their (0−E)²/E
+    # automatically), so one scan + one ≤|types|·24 rollup; Cramér's
+    # V-analog sqrt(χ²/(n·23)) normalizes across types of different
+    # volume.  Exact integer counts — zero float drift before the
+    # final divisions.
+    es = epoch("ts", d)
+    hour = f"(CAST(floor({es} / 3600.0) AS BIGINT) % 24)"
+    return f"""
+    WITH cells AS (
+      SELECT event_type, {hour} AS hr, count(*) AS c
+      FROM events
+      GROUP BY event_type, {hour}
+    ),
+    per_type AS (
+      SELECT event_type,
+        CAST(sum(c) AS DOUBLE) AS n,
+        CAST(sum(c * c) AS DOUBLE) AS cc,
+        CAST(count(*) AS BIGINT) AS hours_hit,
+        CAST(max(c) AS DOUBLE) AS peak_c
+      FROM cells GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      {cnt("n", "n_events")},
+      {cnt("hours_hit", "hours_hit")},
+      {dbl("24.0 * cc / n - n", "chi2")},
+      {cnt("23", "dof")},
+      {dbl("CASE WHEN n > 0 THEN sqrt((24.0 * cc / n - n) / (n * 23.0)) "
+           "ELSE 0.0 END", "cramers_v")},
+      {dbl("peak_c / n", "peak_hour_share")},
+      CAST(24.0 * cc / n - n > 35.17 AS BOOLEAN) AS nonuniform
+    FROM per_type
+    ORDER BY event_type
+    """
+    # 35.17 = χ²_{23, 0.95}: the fixed 95% critical value, a constant
+    # comparison on the exact-integer statistic (no p-value machinery).
+
+
+def _effect_size_ladder_sql(d: str) -> str:
+    # D77 — standardized weekend-vs-weekday effect sizes per event
+    # type: D39 (Welch) answers "is there a shift?"; this answers "how
+    # BIG is it?" — the report number that survives sample-size growth
+    # (at 100 TB every t-test is significant; effect sizes are what
+    # still mean something).  Cohen's d (pooled SD), Hedges' g (the
+    # small-sample J correction), Glass's Δ (weekday-SD denominator,
+    # for unequal variances), and the log variance ratio (the
+    # dispersion effect d/g/Δ are blind to).  One scan, decomposable
+    # sums; the variance ratio is rounded before ln (round-before-log
+    # discipline).
+    iso = f"((CAST(floor({epoch('ts', d)} / 86400.0) AS BIGINT) + 3) % 7)"
+    var = (
+        "CASE WHEN {n} >= 2.0 THEN ({ss} - {s} * {s} / {n}) / ({n} - 1.0) "
+        "ELSE 0.0 END"
+    )
+    v1 = var.format(n="n1", s="s1", ss="ss1")
+    v2 = var.format(n="n2", s="s2", ss="ss2")
+    pooled = (
+        f"CASE WHEN n1 + n2 > 2.0 "
+        f"THEN ((n1 - 1.0) * {v1} + (n2 - 1.0) * {v2}) / (n1 + n2 - 2.0) "
+        f"ELSE 0.0 END"
+    )
+    diff = "(s2 / n2 - s1 / n1)"
+    cohens = (
+        f"CASE WHEN n1 >= 2.0 AND n2 >= 2.0 AND {pooled} > 1e-12 "
+        f"THEN {diff} / sqrt({pooled}) ELSE 0.0 END"
+    )
+    hedges_j = "(1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))"
+    return f"""
+    WITH tagged AS (
+      SELECT event_type, value AS v,
+        CASE WHEN {iso} >= 5 THEN 1 ELSE 0 END AS wk
+      FROM events
+    ),
+    grp AS (
+      SELECT event_type,
+        sum(CASE WHEN wk = 0 THEN 1.0 ELSE 0.0 END) AS n1,
+        sum(CASE WHEN wk = 0 THEN v ELSE 0.0 END) AS s1,
+        sum(CASE WHEN wk = 0 THEN v * v ELSE 0.0 END) AS ss1,
+        sum(CASE WHEN wk = 1 THEN 1.0 ELSE 0.0 END) AS n2,
+        sum(CASE WHEN wk = 1 THEN v ELSE 0.0 END) AS s2,
+        sum(CASE WHEN wk = 1 THEN v * v ELSE 0.0 END) AS ss2
+      FROM tagged GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      {cnt("n1", "n_weekday")},
+      {cnt("n2", "n_weekend")},
+      {dbl(f"CASE WHEN n1 > 0 AND n2 > 0 THEN {diff} ELSE 0.0 END",
+           "mean_shift")},
+      {dbl(cohens, "cohens_d")},
+      {dbl(f"CASE WHEN n1 + n2 > 2.25 THEN ({cohens}) * {hedges_j} "
+           "ELSE 0.0 END", "hedges_g")},
+      {dbl(f"CASE WHEN n1 >= 2.0 AND n2 >= 2.0 AND {v1} > 1e-12 "
+           f"THEN {diff} / sqrt({v1}) ELSE 0.0 END", "glass_delta")},
+      {dbl(f"CASE WHEN {v1} > 1e-12 AND {v2} > 1e-12 "
+           f"AND round({v2} / ({v1}) + {NUDGE}, 4) + 0.0 > 0.0 "
+           f"THEN ln(round({v2} / ({v1}) + {NUDGE}, 4) + 0.0) "
+           "ELSE 0.0 END", "log_var_ratio")}
+    FROM grp
+    ORDER BY event_type
+    """
+
+
+WEIBULL_LADDER = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def _weibull_iat_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D78 — Weibull fit of per-user inter-arrival times per event type
+    # (the two-parameter generalization of D24's exponential: shape
+    # k < 1 = bursty/clustered arrivals, k = 1 = Poisson, k > 1 =
+    # regular/pacemaker).  Weibull CDF linearizes as
+    #   ln(−ln(1−p)) = k·ln(q_p) − k·ln(λ),
+    # so OLS over a 9-point EXACT-percentile ladder recovers (k, λ)
+    # without the textbook empirical-CDF rank window — the D24 scale
+    # move: one hash-agg for the ladder, OLS on a ≤|types|·9 frame.
+    #
+    # Both the IAT frame and the ladder materialize: the ladder is
+    # UNPIVOTED via 9 UNION ALL branches, which Spark would otherwise
+    # inline into 9 re-runs of the percentile aggregation.
+    iat_sql = f"""
+      WITH seq AS (
+        SELECT
+          event_type,
+          {epoch("ts", d)} AS t,
+          lag({epoch("ts", d)}) OVER (
+            PARTITION BY user_id, event_type ORDER BY ts, event_id
+          ) AS prev_t
+        FROM events
+      )
+      SELECT event_type, t - prev_t AS iat
+      FROM seq
+      WHERE prev_t IS NOT NULL
+    """
+    quant_cols = ",\n        ".join(
+        f"{dbl(pct('iat', p, d), f'q{i}')}"
+        for i, p in enumerate(WEIBULL_LADDER, start=1)
+    )
+    quants_sql = f"""
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        {quant_cols}
+      FROM _mz_wb_iat
+      GROUP BY event_type
+    """
+    branches = "\n      UNION ALL ".join(
+        f"SELECT event_type, n, {p} AS p, q{i} AS q FROM _mz_wb_quants"
+        for i, p in enumerate(WEIBULL_LADDER, start=1)
+    )
+    # x = ln(q_p) on the 4dp-rounded ladder (round-before-log), y is a
+    # constant per rung — exact in both engines.
+    slope = ols_slope("ln(q)", "ln(-ln(1.0 - p))")
+    tail = f"""
+    WITH ladder AS (
+      {branches}
+    ),
+    pts AS (
+      SELECT event_type, p, q FROM ladder WHERE q > 1e-9
+    ),
+    fit AS (
+      SELECT event_type,
+        CAST(count(*) AS DOUBLE) AS n_pts,
+        {slope} AS k_shape,
+        avg(ln(q)) AS xbar,
+        avg(ln(-ln(1.0 - p))) AS ybar
+      FROM pts GROUP BY event_type
+    )
+    SELECT
+      b.event_type,
+      {cnt("b.n", "n_iat")},
+      {cnt("coalesce(f.n_pts, 0.0)", "n_ladder_points")},
+      {dbl("f.k_shape", "k_shape")},
+      {dbl(
+          "CASE WHEN f.k_shape > 1e-12 "
+          "THEN exp(f.xbar - f.ybar / f.k_shape) ELSE 0.0 END",
+          "lambda_scale",
+      )},
+      {dbl(
+          "CASE WHEN f.k_shape > 1e-12 "
+          "THEN exp(f.xbar - f.ybar / f.k_shape) "
+          "     * exp(ln(ln(2.0)) / f.k_shape) ELSE 0.0 END",
+          "fitted_median_iat",
+      )}
+    FROM _mz_wb_quants b LEFT JOIN fit f ON f.event_type = b.event_type
+    ORDER BY b.event_type
+    """
+    # an all-tied type (every rung filtered) keeps its row with the
+    # guard zeros instead of silently vanishing from the profile
+    return [("_mz_wb_iat", iat_sql), ("_mz_wb_quants", quants_sql)], tail
+
+
+EULER_MASCHERONI = 0.5772156649015329
+
+
+def _gumbel_maxima_sql(d: str) -> str:
+    # D79 — Gumbel fit of daily MAXIMA of hourly throughput per slice
+    # (Fisher-Tippett block-maxima route; the capacity-planning
+    # complement to D29's evt_tail_fit, which fits threshold
+    # EXCEEDANCES): method-of-moments β = s√6/π, μ = m − γβ, then the
+    # T-day return levels μ − β·ln(−ln(1−1/T)) — "the hourly peak you
+    # should provision for per month/year".  Two nested rollups
+    # (hour → day-max → moments), no windows, no joins.
+    #
+    # The sample SD comes from decomposable sums (the Welch/corr_safe
+    # discipline), NOT the native stddev_samp: the engines' one-pass
+    # implementations disagreed by ~4e-3 on 30 daily maxima at sf0.01
+    # — amplified ~2.8x into the return levels, through the 4dp nudge.
+    day = f"CAST(floor({epoch('h', d)} / 86400.0) AS BIGINT)"
+    beta = "CASE WHEN n >= 2.0 THEN sd * 0.7796968012336761 ELSE 0.0 END"
+    mu = f"(m - {EULER_MASCHERONI} * ({beta}))"
+    # Return-level coefficients −ln(−ln(1−1/T)) are inlined as Python
+    # doubles: written as SQL literals, Spark folds `1.0 − 1.0/T` in
+    # DECIMAL (scale-limited) while DuckDB folds in DOUBLE — the
+    # constants came out 1e-5 apart and β amplified the gap ~6x (the
+    # semi_markov decimal-literal landmine, round 9).
+    import math
+
+    c30 = repr(-math.log(-math.log(1.0 - 1.0 / 30.0)))
+    c365 = repr(-math.log(-math.log(1.0 - 1.0 / 365.0)))
+    ret = "({mu} + ({beta}) * {c})"
+    return f"""
+    {_hourly_cte(d)},
+    daily AS (
+      SELECT slice, {day} AS day, max(throughput_bps) AS mx
+      FROM hourly GROUP BY slice, {day}
+    ),
+    sums AS (
+      SELECT slice,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(mx) AS s, sum(mx * mx) AS ss
+      FROM daily GROUP BY slice
+    ),
+    fit AS (
+      SELECT slice, n, s / n AS m,
+        CASE WHEN n >= 2.0 AND ss - s * s / n > 0.0
+             THEN sqrt((ss - s * s / n) / (n - 1.0)) ELSE 0.0 END AS sd
+      FROM sums
+    )
+    SELECT
+      slice,
+      {cnt("n", "n_days")},
+      {dbl("m", "mean_daily_max")},
+      {dbl(beta, "gumbel_beta")},
+      {dbl(mu, "gumbel_mu")},
+      {dbl(ret.format(mu=mu, beta=beta, c=c30), "return_level_30d")},
+      {dbl(ret.format(mu=mu, beta=beta, c=c365), "return_level_365d")}
+    FROM fit
+    ORDER BY slice
+    """
+    # 0.7796968012336761 = √6/π.
+
+
+QUERIES = [
+    materialized_backed("kruskal_wallis_slices", _kruskal_wallis_parts,
+                        ("events",), deferred=True),
+    materialized_backed("friedman_slices", _friedman_parts,
+                        ("events",), deferred=True),
+    materialized_backed("levene_variance_homogeneity", _levene_parts,
+                        ("events",), deferred=True),
+    sql_backed("chisq_hour_uniformity", _chisq_hour_uniformity_sql,
+               ("events",), deferred=True),
+    sql_backed("effect_size_ladder", _effect_size_ladder_sql,
+               ("events",), deferred=True),
+    materialized_backed("weibull_iat_fit", _weibull_iat_parts,
+                        ("events",), deferred=True),
+    sql_backed("gumbel_maxima_fit", _gumbel_maxima_sql,
+               ("events",), deferred=True),
+]

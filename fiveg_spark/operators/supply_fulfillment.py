@@ -18,6 +18,7 @@ no relational layer at all).
 from __future__ import annotations
 
 from fiveg_spark.plans.registry import (
+    NUDGE,
     cnt,
     corr_safe,
     dbl,
@@ -606,4 +607,302 @@ QUERIES.extend([
                ("customer", "orders"), deferred=True),
     sql_backed("part_name_token_stats", _part_name_tokens_sql,
                ("part",), deferred=True),
+])
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill, wave 2 (deferred=True)
+# --------------------------------------------------------------------------
+
+
+def _nrr_sql(d: str) -> str:
+    # C161 — net revenue retention per order year (the SaaS metric on
+    # the order book): of this year's header revenue, how much comes
+    # from customers who ALSO bought last year, as a share of last
+    # year's total — NRR > 1 means the retained base alone out-spends
+    # the whole prior year.  C114's yoy growth can't separate
+    # expansion-from-retained vs acquisition; this does.
+    #
+    # Scale: one (customer, year) header rollup (single shuffle on a
+    # high-cardinality key), a self-join on (customer, year−1) — same
+    # key, co-partitioned — then a ≤|years| rollup; the prior-year
+    # total joins on the tiny per-year frame, no global window.
+    return f"""
+    WITH cy AS (
+      SELECT o_custkey AS c, CAST(year(o_orderdate) AS BIGINT) AS yr,
+             sum(o_totalprice) AS rev
+      FROM orders
+      GROUP BY o_custkey, CAST(year(o_orderdate) AS BIGINT)
+    ),
+    tagged AS (
+      SELECT cur.yr, cur.rev,
+             CASE WHEN prev.c IS NOT NULL THEN 1 ELSE 0 END AS retained
+      FROM cy cur
+      LEFT JOIN cy prev ON prev.c = cur.c AND prev.yr = cur.yr - 1
+    ),
+    per_year AS (
+      SELECT yr,
+        count(*) AS n_cust,
+        sum(retained) AS n_retained,
+        sum(rev) AS total_rev,
+        sum(CASE WHEN retained = 1 THEN rev ELSE 0.0 END) AS retained_rev
+      FROM tagged GROUP BY yr
+    )
+    SELECT
+      cur.yr AS order_year,
+      {cnt("cur.n_cust", "n_customers")},
+      {cnt("cur.n_retained", "n_retained")},
+      {dbl("cur.total_rev", "total_rev")},
+      {dbl("cur.retained_rev", "retained_rev")},
+      {dbl("cur.retained_rev / nullif(prev.total_rev, 0.0)",
+           "net_revenue_retention")},
+      {dbl("CASE WHEN cur.total_rev > 0.0 "
+           "THEN 1.0 - cur.retained_rev / cur.total_rev ELSE 0.0 END",
+           "new_revenue_share")},
+      {dbl("CAST(cur.n_retained AS DOUBLE) / cur.n_cust",
+           "retained_customer_share")}
+    FROM per_year cur
+    LEFT JOIN per_year prev ON prev.yr = cur.yr - 1
+    ORDER BY order_year
+    """
+
+
+SS_Z_LADDER = ((90, 1.2815515655446004), (95, 1.6448536269514722),
+               (99, 2.3263478740408408))  # Φ⁻¹ as Python doubles
+
+
+def _safety_stock_sql(d: str) -> str:
+    # C162 — safety-stock parameters per brand: the inventory-planning
+    # closed form ss = z·sqrt(L̄·σ_d² + d̄²·σ_L²) (demand AND lead-time
+    # uncertainty both guarded against — Silver-Pyke-Peterson ch. 9),
+    # at the 90/95/99 service ladder, plus the z95 reorder point
+    # d̄·L̄ + ss₉₅.  Weekly shipped quantity proxies demand (observed
+    # weeks only, documented), converted to daily via /7 on the mean
+    # and variance (iid-days assumption); lead time = ship − order
+    # epoch days per line.
+    #
+    # Scale: TWO independent fact scans, each one shuffle — the weekly
+    # demand rollup needs only lineitem⨝part (broadcast dim), the
+    # lead-time rollup adds the orders join (orderkey equi-join);
+    # fusing them would force materializing a fact-sized frame.
+    # z constants inlined as Python doubles (the D79 DECIMAL-literal
+    # lesson).
+    wk = f"CAST(floor({_eday('l_shipdate', d)} / 7.0) AS BIGINT)"
+    var = "CASE WHEN {n} >= 2.0 THEN ({ss} - {s} * {s} / {n}) / ({n} - 1.0) ELSE 0.0 END"
+    var_d = var.format(n="dw.n_weeks", s="dw.s_qty", ss="dw.ss_qty")
+    var_l = var.format(n="lt.n_lines", s="lt.s_lead", ss="lt.ss_lead")
+    # daily-demand moments from the weekly rollup
+    dbar = "(dw.s_qty / dw.n_weeks / 7.0)"
+    vard = f"({var_d} / 7.0)"
+    lbar = "(lt.s_lead / lt.n_lines)"
+    ss_term = f"sqrt({lbar} * {vard} + {dbar} * {dbar} * ({var_l}))"
+    ss_cols = ",\n      ".join(
+        dbl(f"CASE WHEN dw.n_weeks >= 2.0 AND lt.n_lines >= 2.0 "
+            f"THEN {z} * {ss_term} ELSE 0.0 END", f"safety_stock_z{lvl}")
+        for lvl, z in SS_Z_LADDER
+    )
+    z95 = SS_Z_LADDER[1][1]
+    return f"""
+    WITH weekly AS (
+      SELECT p.p_brand AS brand, {wk} AS wk, sum(l.l_quantity) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand, {wk}
+    ),
+    dw AS (
+      SELECT brand, CAST(count(*) AS DOUBLE) AS n_weeks,
+             sum(qty) AS s_qty, sum(qty * qty) AS ss_qty
+      FROM weekly GROUP BY brand
+    ),
+    lead AS (
+      SELECT p.p_brand AS brand,
+        CAST({_eday('l.l_shipdate', d)} - {_eday('o.o_orderdate', d)}
+             AS DOUBLE) AS lead_days
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    lt AS (
+      SELECT brand, CAST(count(*) AS DOUBLE) AS n_lines,
+             sum(lead_days) AS s_lead, sum(lead_days * lead_days) AS ss_lead
+      FROM lead GROUP BY brand
+    )
+    SELECT
+      dw.brand,
+      {cnt("dw.n_weeks", "n_weeks")},
+      {cnt("lt.n_lines", "n_lines")},
+      {dbl(dbar, "mean_daily_qty")},
+      {dbl(lbar, "mean_lead_days")},
+      {dbl(f"CASE WHEN lt.n_lines >= 2.0 THEN sqrt({var_l}) ELSE 0.0 END",
+           "sd_lead_days")},
+      {ss_cols},
+      {dbl(f"CASE WHEN dw.n_weeks >= 2.0 AND lt.n_lines >= 2.0 "
+           f"THEN {dbar} * {lbar} + {z95} * {ss_term} ELSE 0.0 END",
+           "reorder_point_z95")}
+    FROM dw JOIN lt ON lt.brand = dw.brand
+    ORDER BY dw.brand
+    """
+
+
+def _bullwhip_sql(d: str) -> str:
+    # C163 — bullwhip variance amplification per brand (Lee et al.
+    # 1997): CV² of monthly ORDERED quantity (order-date axis) over
+    # CV² of monthly SHIPPED quantity (ship-date axis) — ratio > 1
+    # means the order signal upstream is noisier than the physical
+    # flow it drives.  Both month axes live on the SAME joined row, so
+    # GROUPING SETS ((brand, order-month), (brand, ship-month))
+    # produces both monthly series in ONE fact scan (the C26 lattice
+    # trick as a scan-dedup device); CV² from decomposable sums.
+    om = f"CAST(floor({_eday('o.o_orderdate', d)} / 30.0) AS BIGINT)"
+    sm = f"CAST(floor({_eday('l.l_shipdate', d)} / 30.0) AS BIGINT)"
+    cv2 = (
+        "CASE WHEN {n} >= 2.0 AND {s} > 0.0 "
+        "THEN (({ss} - {s} * {s} / {n}) / ({n} - 1.0)) "
+        "     / (({s} / {n}) * ({s} / {n})) "
+        "ELSE 0.0 END"
+    )
+    cv2_o = cv2.format(n="n_o", s="s_o", ss="ss_o")
+    cv2_s = cv2.format(n="n_s", s="s_s", ss="ss_s")
+    return f"""
+    WITH cells AS (
+      SELECT
+        p.p_brand AS brand,
+        {om} AS omonth,
+        {sm} AS smonth,
+        grouping({om}) AS g_o,
+        sum(l.l_quantity) AS qty
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY GROUPING SETS ((p.p_brand, {om}), (p.p_brand, {sm}))
+    ),
+    moments AS (
+      SELECT brand,
+        sum(CASE WHEN g_o = 0 THEN 1.0 ELSE 0.0 END) AS n_o,
+        sum(CASE WHEN g_o = 0 THEN qty ELSE 0.0 END) AS s_o,
+        sum(CASE WHEN g_o = 0 THEN qty * qty ELSE 0.0 END) AS ss_o,
+        sum(CASE WHEN g_o = 1 THEN 1.0 ELSE 0.0 END) AS n_s,
+        sum(CASE WHEN g_o = 1 THEN qty ELSE 0.0 END) AS s_s,
+        sum(CASE WHEN g_o = 1 THEN qty * qty ELSE 0.0 END) AS ss_s
+      FROM cells GROUP BY brand
+    )
+    SELECT
+      brand,
+      {cnt("n_o", "n_order_months")},
+      {cnt("n_s", "n_ship_months")},
+      {dbl(cv2_o, "cv2_orders")},
+      {dbl(cv2_s, "cv2_shipments")},
+      {dbl(f"round({cv2_o} + {NUDGE}, 4) "
+           f"/ nullif(round({cv2_s} + {NUDGE}, 4), 0.0)",
+           "bullwhip_ratio")}
+    FROM moments
+    ORDER BY brand
+    """
+
+
+def _price_dispersion_sql(d: str) -> str:
+    # C164 — law-of-one-price audit: within each part, how much does
+    # the realized unit price vary ACROSS suppliers?  Per-part CV of
+    # per-supplier mean unit price (parts with ≥ 2 suppliers), rolled
+    # up per part type with the share of parts whose dispersion
+    # exceeds 5% — the sourcing-arbitrage readout C141's realization
+    # rate (brand-level mean) can't see.
+    #
+    # Scale: (part, supplier) rollup = one shuffle on a key wider than
+    # the part count; per-part CV on the ≤|parts|·|suppliers-per-part|
+    # frame; broadcast part-dim join; ≤|types| output.
+    return f"""
+    WITH ps AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+        sum(l_extendedprice) / sum(l_quantity) AS unit_price
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+      SELECT pk, CAST(count(*) AS DOUBLE) AS n_supp,
+        sum(unit_price) AS s, sum(unit_price * unit_price) AS ss
+      FROM ps GROUP BY pk
+    ),
+    cv AS (
+      SELECT pk, n_supp,
+        CASE WHEN n_supp >= 2.0 AND s > 0.0
+             THEN round(sqrt(greatest((ss - s * s / n_supp)
+                                      / (n_supp - 1.0), 0.0))
+                        / (s / n_supp) + {NUDGE}, 4) + 0.0
+             ELSE 0.0 END AS cv_price
+      FROM per_part WHERE n_supp >= 2.0
+    )
+    SELECT
+      p.p_type AS part_type,
+      {cnt("count(*)", "n_multi_supplier_parts")},
+      {dbl("avg(c.n_supp)", "avg_suppliers")},
+      {dbl("avg(c.cv_price)", "avg_price_cv")},
+      {dbl(pct("c.cv_price", 0.9, d), "p90_price_cv")},
+      {dbl("max(c.cv_price)", "max_price_cv")},
+      {dbl("avg(CASE WHEN c.cv_price > 0.05 THEN 1.0 ELSE 0.0 END)",
+           "dispersed_share")}
+    FROM cv c JOIN part p ON p.p_partkey = c.pk
+    GROUP BY p.p_type
+    ORDER BY part_type
+    """
+
+
+def _nation_kendall_sql(d: str) -> str:
+    # C165 — Kendall tau-b between nation customer-count rank and
+    # nation revenue rank (the concordance twin of C133's Spearman:
+    # tau-b is pair-exact under ties and more robust to a single rank
+    # outlier).  All pair arithmetic is EXACT integers/doubles on the
+    # ≤|nations| rollup; the pair self-join is ≤|nations|² rows — a
+    # post-agg frame, never the facts.
+    return f"""
+    WITH per_nation AS (
+      SELECT c.c_nationkey AS nk,
+        CAST(count(DISTINCT c.c_custkey) AS DOUBLE) AS n_cust,
+        round(coalesce(sum(o.o_totalprice), 0.0) + {NUDGE}, 4) + 0.0 AS rev
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey
+    ),
+    pairs AS (
+      SELECT
+        CASE WHEN (a.n_cust - b.n_cust) * (a.rev - b.rev) > 0.0
+             THEN 1.0 ELSE 0.0 END AS conc,
+        CASE WHEN (a.n_cust - b.n_cust) * (a.rev - b.rev) < 0.0
+             THEN 1.0 ELSE 0.0 END AS disc,
+        CASE WHEN a.n_cust = b.n_cust THEN 1.0 ELSE 0.0 END AS tie_x,
+        CASE WHEN a.rev = b.rev THEN 1.0 ELSE 0.0 END AS tie_y
+      FROM per_nation a JOIN per_nation b ON a.nk < b.nk
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n0,
+        sum(conc) AS c, sum(disc) AS dd,
+        sum(tie_x) AS tx, sum(tie_y) AS ty
+      FROM pairs
+    )
+    SELECT
+      {cnt("n0", "n_pairs")},
+      {cnt("c", "concordant")},
+      {cnt("dd", "discordant")},
+      {cnt("tx", "tied_on_customers")},
+      {cnt("ty", "tied_on_revenue")},
+      {dbl(
+          "CASE WHEN (n0 - tx) * (n0 - ty) > 0.0 "
+          "THEN (c - dd) / sqrt((n0 - tx) * (n0 - ty)) ELSE 0.0 END",
+          "kendall_tau_b",
+      )}
+    FROM sums
+    """
+
+
+QUERIES.extend([
+    sql_backed("net_revenue_retention", _nrr_sql, ("orders",),
+               deferred=True),
+    sql_backed("safety_stock_parameters", _safety_stock_sql,
+               ("lineitem", "orders", "part"), deferred=True),
+    sql_backed("bullwhip_variance_ratio", _bullwhip_sql,
+               ("lineitem", "orders", "part"), deferred=True),
+    sql_backed("part_price_dispersion", _price_dispersion_sql,
+               ("lineitem", "part"), deferred=True),
+    sql_backed("nation_metric_kendall", _nation_kendall_sql,
+               ("customer", "orders"), deferred=True),
 ])

@@ -1137,3 +1137,127 @@ QUERIES = [
     sql_backed("doc_entropy_screen", _doc_entropy_screen_sql,
                ("documents",)),
 ]
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill, wave 2 (deferred=True)
+# --------------------------------------------------------------------------
+
+
+def _readability_sql(d: str) -> str:
+    # E121 — Flesch reading ease + Flesch-Kincaid grade per source: the
+    # syllable-grain rung E102's ARI deliberately skipped (ARI needs
+    # only chars/words; Flesch needs syllables).  Syllables ≈ vowel-
+    # GROUP count ('[aeiouy]+' runs over the lowered text — the
+    # standard cheap approximation; exact-integer per doc, identical in
+    # both engines), words = whitespace tokens, sentences = [.!?]+
+    # splits with non-blank remainder (the E102 construction).
+    #
+    # Corpus-level scores divide the SUMS (one division per source, no
+    # per-doc ratio noise); easy_share applies the per-doc 60-point
+    # Flesch cut from exact integer counts.  Map-only per doc → one
+    # |sources| rollup.
+    toks = _tok(d)
+    if d == "spark":
+        sents = ("size(filter(split(text, '[.!?]+'), "
+                 "x -> length(trim(x)) > 0))")
+        words = f"size({toks})"
+        syll = "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+    else:
+        sents = ("len(list_filter(string_split_regex(text, '[.!?]+'), "
+                 "x -> length(trim(x)) > 0))")
+        words = f"len({toks})"
+        syll = "len(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+    flesch = (
+        "206.835 - 1.015 * ({w} / CAST(nullif({s}, 0) AS DOUBLE))"
+        " - 84.6 * ({y} / CAST(nullif({w}, 0) AS DOUBLE))"
+    )
+    doc_flesch = flesch.format(w="words", s="sents", y="syll")
+    agg_flesch = flesch.format(w="sum(words)", s="nullif(sum(sents), 0)",
+                               y="sum(syll)")
+    fk = (
+        "0.39 * (sum(words) / CAST(nullif(sum(sents), 0) AS DOUBLE))"
+        " + 11.8 * (sum(syll) / CAST(nullif(sum(words), 0) AS DOUBLE))"
+        " - 15.59"
+    )
+    return f"""
+    WITH per_doc AS (
+      SELECT
+        source,
+        CAST({sents} AS BIGINT) AS sents,
+        CAST({words} AS BIGINT) AS words,
+        CAST({syll} AS BIGINT) AS syll
+      FROM documents
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {dbl("sum(words) / CAST(nullif(count(*), 0) AS DOUBLE)",
+           "words_per_doc")},
+      {dbl("sum(syll) / CAST(nullif(sum(words), 0) AS DOUBLE)",
+           "syllables_per_word")},
+      {dbl("sum(words) / CAST(nullif(sum(sents), 0) AS DOUBLE)",
+           "words_per_sentence")},
+      {dbl(agg_flesch, "flesch_reading_ease")},
+      {dbl(fk, "fk_grade_level")},
+      {dbl(f"avg(CASE WHEN words > 0 AND sents > 0 "
+           f"AND {doc_flesch} >= 60.0 THEN 1.0 ELSE 0.0 END)",
+           "easy_doc_share")}
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+def _yule_k_sql(d: str) -> str:
+    # E122 — Yule's K lexical-concentration characteristic per source
+    # (Yule 1944: K = 10⁴·(Σm²V_m − N)/N², length-invariant where E60's
+    # raw hapax share and E75's entropy both drift with corpus size) +
+    # Simpson's repeat-rate D = Σm(m−1)/(N(N−1)) (the probability two
+    # random tokens coincide) and the vocabulary census they derive
+    # from.  Template-sprawl sources push K up; K is THE classical
+    # authorship/diversity constant missing from the E-family.
+    #
+    # Scale: one token explode → (source, term) hash-agg (the corpus
+    # scan), then a ≤|vocab| frequency-spectrum rollup — all exact
+    # integers until the final ratios.
+    explode = (
+        f"SELECT source, explode({_tok(d)}) AS term FROM documents"
+        if d == "spark"
+        else f"SELECT source, unnest({_tok(d)}) AS term FROM documents"
+    )
+    return f"""
+    WITH tf AS (
+      SELECT source, term, count(*) AS m
+      FROM ({explode}) t
+      GROUP BY source, term
+    ),
+    spectrum AS (
+      SELECT source,
+        CAST(sum(m) AS DOUBLE) AS n,
+        CAST(count(*) AS DOUBLE) AS v,
+        CAST(sum(m * m) AS DOUBLE) AS m2,
+        CAST(sum(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS v1
+      FROM tf GROUP BY source
+    )
+    SELECT
+      source,
+      {cnt("n", "n_tokens")},
+      {cnt("v", "vocab_size")},
+      {dbl("CASE WHEN n > 0.0 THEN 10000.0 * (m2 - n) / (n * n) "
+           "ELSE 0.0 END", "yule_k")},
+      {dbl("CASE WHEN n >= 2.0 THEN (m2 - n) / (n * (n - 1.0)) "
+           "ELSE 0.0 END", "simpson_repeat_rate")},
+      {dbl("CASE WHEN v > 0.0 THEN v1 / v ELSE 0.0 END",
+           "hapax_type_share")}
+    FROM spectrum
+    ORDER BY source
+    """
+
+
+QUERIES.extend([
+    sql_backed("readability_scores", _readability_sql, ("documents",),
+               deferred=True),
+    sql_backed("yule_k_profile", _yule_k_sql, ("documents",),
+               deferred=True),
+])

@@ -93,6 +93,7 @@ POST_AGG_GLOBAL_WINDOWS = frozenset({
     "histogram_quantile_rollup",  # cum-sum over <= |bins| rows
     "kaplan_meier_lifetime",    # product-limit over <= |distinct lifetimes|
     "kmv_distinct_rollup",      # k-th order stat over k rows
+    "kruskal_wallis_slices",    # midranks over <= |hours x slices| rollup
     "littles_law_orders",       # running WIP over <= |days| rows
     "lorenz_curve_users",       # cum-share over <= |percentile points|
     "oov_rate",                 # rank over the top-K frozen vocabulary

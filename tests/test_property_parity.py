@@ -121,7 +121,9 @@ def _more_doc_sql_fns():
         _bigram_entropy_rate_sql,
         _doc_entropy_screen_sql,
         _lognormal_fit_sql,
+        _readability_sql,
         _token_length_histogram_sql,
+        _yule_k_sql,
     )
     from fiveg_spark.operators.text_stats import (
         _bigram_ppl_sql,
@@ -225,6 +227,12 @@ def _more_doc_sql_fns():
         # per-doc round-before-log2 entropy + the >=10-token screen:
         # single-word docs pin H = 0 below the length floor
         "doc_entropy_screen": _doc_entropy_screen_sql,
+        # ratio-of-sums Flesch with nullif(sents/words): the tiny-word
+        # corpus has zero sentence enders (every doc 0-sent -> NULLs)
+        "readability_scores": _readability_sql,
+        # frequency-spectrum ratios: single-use-everything corpora pin
+        # K at 0 (m2 = n) and hapax share at 1.0; n<2 hits the D guard
+        "yule_k_profile": _yule_k_sql,
     }
 
 
@@ -428,6 +436,11 @@ def _event_sql_fns():
         _arrival_burstiness_sql,
         _arrival_inversions_sql,
     )
+    from fiveg_spark.operators.stats_tests import (
+        _chisq_hour_uniformity_sql,
+        _effect_size_ladder_sql,
+        _gumbel_maxima_sql,
+    )
     from fiveg_spark.operators.engagement_ext import (
         _drop_value_cost_sql,
         _hour_entropy_by_band_sql,
@@ -524,6 +537,15 @@ def _event_sql_fns():
         # gap-threshold session curve: nullif(session count) and the
         # per-user lag window; single-event users are always starts
         "session_gap_sensitivity": _session_gap_sensitivity_sql,
+        # single-agg GOF identity 24·Σc²/n − n: single-hour types pin
+        # peak_hour_share at 1.0 and chi2 at 23n (max nonuniformity)
+        "chisq_hour_uniformity": _chisq_hour_uniformity_sql,
+        # weekend-free tiny streams leave n2 = 0 (every effect-size
+        # guard fires); constant values hit the pooled-variance cutoff
+        "effect_size_ladder": _effect_size_ladder_sql,
+        # n<2 day slices pin sd = 0 (β, return levels collapse to the
+        # mean); decomposable-sum SD + Python-inlined ln constants
+        "gumbel_maxima_fit": _gumbel_maxima_sql,
         # value-mass drop shares: nullif(sum(value)) hits on all-zero
         # value streams; one-minute streams have no frontier at all
         "watermark_drop_value_cost": _drop_value_cost_sql,
@@ -911,6 +933,12 @@ def _event_parts_fns():
         _mw_parts,
         _psi_parts,
     )
+    from fiveg_spark.operators.stats_tests import (
+        _friedman_parts,
+        _kruskal_wallis_parts,
+        _levene_parts,
+        _weibull_iat_parts,
+    )
 
     return {
         # tie-heavy journeys: simultaneous touch/purchase timestamps
@@ -974,6 +1002,18 @@ def _event_parts_fns():
         "bloom_membership": _bloom_parts,
         # midrank tie arithmetic + the all-tied var_u = 0 -> z = 0 guard
         "mann_whitney_shift": _mw_parts,
+        # GLOBAL midranks: all-tied hourly frames zero the tie
+        # correction (h_stat 0); single-slice streams give dof 0
+        "kruskal_wallis_slices": _kruskal_wallis_parts,
+        # complete-block census: single-slice streams make every hour
+        # complete (ranks all 1); identical rank patterns hit A2 = B2
+        "friedman_slices": _friedman_parts,
+        # constant slices give within_ss = 0 (F guard); rounded median
+        # centers keep |v − med| identical across engines
+        "levene_variance_homogeneity": _levene_parts,
+        # tied timestamps -> zero IATs -> q <= 1e-9 rungs filtered ->
+        # < 2 ladder points -> slope 0 -> λ/median guards
+        "weibull_iat_fit": _weibull_iat_parts,
         # corr_safe on constant/misaligned eras; single-slice corpora
         # produce zero pairs
         "cross_correlation": _ccf_parts,
@@ -1132,6 +1172,13 @@ def _star_sql_fns():
         _weekday_mix_sql,
     )
     from fiveg_spark.operators.quality import _fk_orphan_audit_sql
+    from fiveg_spark.operators.supply_fulfillment import (
+        _bullwhip_sql,
+        _nation_kendall_sql,
+        _nrr_sql,
+        _price_dispersion_sql,
+        _safety_stock_sql,
+    )
     from fiveg_spark.operators.relational_ext import (
         _brand_loyalty_sql,
         _nation_rank_stability_sql,
@@ -1228,6 +1275,21 @@ def _star_sql_fns():
         "debtor_activity_contrast": _debtor_contrast_sql,
         # one-row vocabulary profile with a scalar subquery
         "part_name_token_stats": _part_name_tokens_sql,
+        # year-1 self-join: single-year fragments leave the prior total
+        # NULL (nrr -> dbl 0.0); zero-revenue years hit both nullifs
+        "net_revenue_retention": _nrr_sql,
+        # n>=2 guards on both moment frames: single-week brands and
+        # single-line lead-time sets zero every z rung
+        "safety_stock_parameters": _safety_stock_sql,
+        # GROUPING SETS dual-axis cells: single-month sides give cv2 0
+        # and the rounded-nullif ratio 0.0; zero-qty months hit s>0
+        "bullwhip_variance_ratio": _bullwhip_sql,
+        # qty>0 filter + n_supp>=2 floor: single-supplier fragments
+        # emit no rows; constant unit prices pin cv at exactly 0
+        "part_price_dispersion": _price_dispersion_sql,
+        # exact-integer pair census on ROUNDED revenue: all-tied
+        # customer counts zero the tau-b denominator
+        "nation_metric_kendall": _nation_kendall_sql,
     }
 
 

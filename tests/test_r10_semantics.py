@@ -1,0 +1,417 @@
+"""Planted-fixture semantics pins for the round-10w2 operators (the
+stats_tests battery): each query's load-bearing branch gets a fixture
+where the right answer is known in closed form — a green oracle-parity
+run on data that never exercises the branch can't hide a regression.
+
+Slice mapping (kpi.packet_projection): user_id % 3 → 0 = eMBB,
+1 = URLLC, 2 = mMTC; hourly throughput_bps = 8 · Σ value per
+(slice, hour) — so one event per hour plants the hourly series
+directly as 8·value.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fiveg_spark.plans.registry import run_parts
+
+_EV_SCHEMA = (
+    "event_id BIGINT, es BIGINT, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _events_view(spark, rows):
+    """rows: (event_id, epoch_s, user_id, event_type, value)"""
+    spark.createDataFrame(
+        [(*r, "{}") for r in rows], _EV_SCHEMA
+    ).selectExpr(
+        "event_id",
+        "timestamp_micros(es * 1000000) AS ts",
+        "user_id", "event_type", "value", "props",
+    ).createOrReplaceTempView("events")
+
+
+BASE_DAY = 19675  # epoch day of 2023-11-14; (day+3) % 7 = 5 -> weekday
+WEEKEND_DAY = 19679  # (19679+3) % 7 = 5 -> Saturday
+BASE = BASE_DAY * 86400
+
+
+def test_kruskal_wallis_untied_closed_form(spark):
+    from fiveg_spark.operators.stats_tests import _kruskal_wallis_parts
+
+    # eMBB (user 0) hourly thr {80,160,240}, URLLC (user 1)
+    # {320,400,480}: N=6 untied, R_eMBB={1,2,3}, R_URLLC={4,5,6}
+    # H = 12/(6·7)·(36/3 + 225/3) − 3·7 = 27/7
+    rows = []
+    for i, v in enumerate((10.0, 20.0, 30.0)):
+        rows.append((i, BASE + 3600 * i, 0, "a", v))
+    for i, v in enumerate((40.0, 50.0, 60.0)):
+        rows.append((10 + i, BASE + 3600 * i, 1, "a", v))
+    _events_view(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in run_parts(spark, _kruskal_wallis_parts).collect()}
+    h = 12.0 / 42.0 * (36.0 / 3.0 + 225.0 / 3.0) - 21.0
+    assert got["eMBB"]["mean_rank"] == 2.0
+    assert got["URLLC"]["mean_rank"] == 5.0
+    for r in got.values():
+        assert r["h_raw"] == pytest.approx(h, abs=1e-4)
+        assert r["h_stat"] == pytest.approx(h, abs=1e-4)  # no ties
+        assert r["dof"] == 1
+        assert r["epsilon_sq"] == pytest.approx((h - 1.0) / 4.0, abs=1e-4)
+
+
+def test_kruskal_wallis_all_tied_is_zero(spark):
+    from fiveg_spark.operators.stats_tests import _kruskal_wallis_parts
+
+    rows = [(i, BASE + 3600 * i, u, "a", 5.0)
+            for i in range(3) for u in (0, 1)]
+    rows = [(j, es, u, t, v) for j, (_, es, u, t, v) in enumerate(rows)]
+    _events_view(spark, rows)
+    for r in run_parts(spark, _kruskal_wallis_parts).collect():
+        assert r["h_stat"] == 0.0  # tie correction fully degenerate
+
+
+def test_friedman_perfect_concordance_hits_supremum(spark):
+    from fiveg_spark.operators.stats_tests import _friedman_parts
+
+    # two complete blocks, URLLC above eMBB in BOTH; a third hour with
+    # only eMBB is an incomplete block and must be dropped
+    _events_view(spark, [
+        (0, BASE, 0, "a", 10.0), (1, BASE, 1, "a", 20.0),
+        (2, BASE + 3600, 0, "a", 30.0), (3, BASE + 3600, 1, "a", 40.0),
+        (4, BASE + 7200, 0, "a", 50.0),  # incomplete block
+    ])
+    got = {r["slice"]: r.asDict()
+           for r in run_parts(spark, _friedman_parts).collect()}
+    assert got["eMBB"]["n_blocks"] == 2 and got["URLLC"]["n_blocks"] == 2
+    assert got["eMBB"]["mean_rank"] == 1.0
+    assert got["URLLC"]["mean_rank"] == 2.0
+    for r in got.values():
+        # A2 = B2 with positive numerator -> chi2 = n(k-1) = 2, W = 1
+        assert r["chi2_f"] == pytest.approx(2.0, abs=1e-4)
+        assert r["kendall_w"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_friedman_rank_flip_cancels(spark):
+    from fiveg_spark.operators.stats_tests import _friedman_parts
+
+    # block 1: eMBB < URLLC; block 2: eMBB > URLLC -> R_j equal,
+    # numerator 0, chi2 = 0 through the FORMULA branch (A2 > B2)
+    _events_view(spark, [
+        (0, BASE, 0, "a", 10.0), (1, BASE, 1, "a", 20.0),
+        (2, BASE + 3600, 0, "a", 40.0), (3, BASE + 3600, 1, "a", 30.0),
+    ])
+    for r in run_parts(spark, _friedman_parts).collect():
+        assert r["chi2_f"] == 0.0
+        assert r["kendall_w"] == 0.0
+
+
+def test_levene_brown_forsythe_closed_form(spark):
+    from fiveg_spark.operators.stats_tests import _levene_parts
+
+    # eMBB thr {80,160,240}: med 160, z = {80,0,80};
+    # URLLC constant 320: z = {0,0,0}
+    # between = 3·(80/3 − 160/6)² ·2 groups = 4266.67 = within -> F = 4
+    rows = []
+    for i, v in enumerate((10.0, 20.0, 30.0)):
+        rows.append((i, BASE + 3600 * i, 0, "a", v))
+    for i in range(3):
+        rows.append((10 + i, BASE + 3600 * i, 1, "a", 40.0))
+    _events_view(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in run_parts(spark, _levene_parts).collect()}
+    assert got["eMBB"]["median_v"] == 160.0
+    assert got["eMBB"]["mean_absdev"] == pytest.approx(160.0 / 3.0, abs=1e-4)
+    assert got["URLLC"]["mean_absdev"] == 0.0
+    for r in got.values():
+        assert r["f_stat"] == pytest.approx(4.0, abs=1e-4)
+        assert r["df_between"] == 1 and r["df_within"] == 4
+
+
+def test_chisq_hour_uniformity_extremes(spark):
+    from fiveg_spark.operators.stats_tests import _chisq_hour_uniformity_sql
+
+    # type "flat": one event per hour for 24 hours -> chi2 exactly 0;
+    # type "spike": 10 events in one hour -> chi2 = 24·100/10 − 10
+    rows = [(i, BASE + 3600 * i, 0, "flat", 1.0) for i in range(24)]
+    rows += [(100 + j, BASE + j, 0, "spike", 1.0) for j in range(10)]
+    _events_view(spark, rows)
+    got = {r["event_type"]: r.asDict()
+           for r in spark.sql(_chisq_hour_uniformity_sql("spark")).collect()}
+    flat = got["flat"]
+    assert flat["chi2"] == 0.0 and flat["cramers_v"] == 0.0
+    assert flat["hours_hit"] == 24 and not flat["nonuniform"]
+    spike = got["spike"]
+    assert spike["chi2"] == pytest.approx(230.0, abs=1e-4)
+    assert spike["peak_hour_share"] == 1.0 and spike["nonuniform"]
+    assert spike["cramers_v"] == pytest.approx(
+        math.sqrt(230.0 / (10 * 23.0)), abs=1e-4)
+
+
+def test_effect_size_ladder_closed_form(spark):
+    from fiveg_spark.operators.stats_tests import _effect_size_ladder_sql
+
+    # weekday {10,10,20,20} vs weekend {30,30,40,40}: equal variances
+    # 100/3, shift 20 -> d = Δ = 20/sqrt(100/3), g = d·(1 − 3/23),
+    # log variance ratio = ln(1) = 0
+    rows = []
+    for i, v in enumerate((10.0, 10.0, 20.0, 20.0)):
+        rows.append((i, BASE + 60 * i, 0, "a", v))
+    for i, v in enumerate((30.0, 30.0, 40.0, 40.0)):
+        rows.append((10 + i, WEEKEND_DAY * 86400 + 60 * i, 0, "a", v))
+    _events_view(spark, rows)
+    r = spark.sql(_effect_size_ladder_sql("spark")).collect()[0].asDict()
+    d = 20.0 / math.sqrt(100.0 / 3.0)
+    assert r["n_weekday"] == 4 and r["n_weekend"] == 4
+    assert r["mean_shift"] == pytest.approx(20.0, abs=1e-4)
+    assert r["cohens_d"] == pytest.approx(d, abs=1e-4)
+    assert r["hedges_g"] == pytest.approx(d * (1.0 - 3.0 / 23.0), abs=1e-4)
+    assert r["glass_delta"] == pytest.approx(d, abs=1e-4)
+    assert r["log_var_ratio"] == 0.0
+
+
+def test_effect_size_single_era_guards(spark):
+    from fiveg_spark.operators.stats_tests import _effect_size_ladder_sql
+
+    _events_view(spark, [(0, BASE, 0, "a", 5.0), (1, BASE + 60, 0, "a", 7.0)])
+    r = spark.sql(_effect_size_ladder_sql("spark")).collect()[0].asDict()
+    assert r["n_weekend"] == 0
+    for col in ("mean_shift", "cohens_d", "hedges_g", "glass_delta",
+                "log_var_ratio"):
+        assert r[col] == 0.0
+
+
+def test_weibull_fit_matches_independent_numpy(spark):
+    import numpy as np
+
+    from fiveg_spark.operators.stats_tests import (
+        WEIBULL_LADDER,
+        _weibull_iat_parts,
+    )
+
+    # one user, IATs 60..1200 s: mirror the ladder fit independently
+    iats = [60.0 * (i + 1) for i in range(20)]
+    es, rows, t = BASE, [], 0.0
+    rows.append((0, BASE, 0, "a", 1.0))
+    for i, g in enumerate(iats):
+        t += g
+        rows.append((i + 1, int(BASE + t), 0, "a", 1.0))
+    _events_view(spark, rows)
+    r = run_parts(spark, _weibull_iat_parts).collect()[0].asDict()
+
+    q = [round(float(np.percentile(iats, p * 100)), 4) for p in WEIBULL_LADDER]
+    x = np.log(q)
+    y = np.array([math.log(-math.log(1.0 - p)) for p in WEIBULL_LADDER])
+    k = float(np.polyfit(x, y, 1)[0])
+    lam = math.exp(float(x.mean()) - float(y.mean()) / k)
+    assert r["n_iat"] == 20
+    assert r["k_shape"] == pytest.approx(k, abs=1e-3)
+    assert r["lambda_scale"] == pytest.approx(lam, rel=1e-3)
+    assert r["fitted_median_iat"] == pytest.approx(
+        lam * math.log(2.0) ** (1.0 / k), rel=1e-3)
+
+
+def test_weibull_all_tied_iats_guard(spark):
+    from fiveg_spark.operators.stats_tests import _weibull_iat_parts
+
+    # simultaneous events -> every IAT 0 -> every rung filtered -> all
+    # fit outputs at the guard value
+    _events_view(spark, [(i, BASE, 0, "a", 1.0) for i in range(5)])
+    r = run_parts(spark, _weibull_iat_parts).collect()[0].asDict()
+    assert r["n_ladder_points"] == 0
+    assert r["k_shape"] == 0.0 and r["lambda_scale"] == 0.0
+
+
+def test_gumbel_maxima_closed_form(spark):
+    from fiveg_spark.operators.stats_tests import (
+        EULER_MASCHERONI,
+        _gumbel_maxima_sql,
+    )
+
+    # one event per day -> daily maxima {80,160,240}: m=160, s=80
+    _events_view(spark, [
+        (i, BASE + 86400 * i, 0, "a", v)
+        for i, v in enumerate((10.0, 20.0, 30.0))
+    ])
+    r = spark.sql(_gumbel_maxima_sql("spark")).collect()[0].asDict()
+    beta = 80.0 * math.sqrt(6.0) / math.pi
+    mu = 160.0 - EULER_MASCHERONI * beta
+    c30 = -math.log(-math.log(1.0 - 1.0 / 30.0))
+    c365 = -math.log(-math.log(1.0 - 1.0 / 365.0))
+    assert r["n_days"] == 3
+    assert r["mean_daily_max"] == 160.0
+    assert r["gumbel_beta"] == pytest.approx(beta, abs=1e-3)
+    assert r["gumbel_mu"] == pytest.approx(mu, abs=1e-3)
+    assert r["return_level_30d"] == pytest.approx(mu + beta * c30, abs=1e-3)
+    assert r["return_level_365d"] == pytest.approx(mu + beta * c365, abs=1e-3)
+
+
+def test_gumbel_single_day_collapses_to_mean(spark):
+    from fiveg_spark.operators.stats_tests import _gumbel_maxima_sql
+
+    _events_view(spark, [(0, BASE, 0, "a", 10.0)])
+    r = spark.sql(_gumbel_maxima_sql("spark")).collect()[0].asDict()
+    assert r["gumbel_beta"] == 0.0
+    assert r["gumbel_mu"] == 80.0
+    assert r["return_level_30d"] == 80.0 and r["return_level_365d"] == 80.0
+
+
+# ---- star-schema supply/retail wave (C161-C165) ----
+
+
+def _ts(day: int) -> str:
+    return f"CAST(timestamp_micros({day} * 86400 * 1000000) AS TIMESTAMP)"
+
+
+def test_net_revenue_retention_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import _nrr_sql
+
+    # 1995: c1=100, c2=200 (total 300); 1996: c1=150 (retained),
+    # c3=50 (new) -> NRR = 150/300, new share = 1 - 150/200
+    spark.createDataFrame(
+        [(1, 1, 100.0, "1995-03-01"), (2, 2, 200.0, "1995-07-01"),
+         (3, 1, 150.0, "1996-02-01"), (4, 3, 50.0, "1996-08-01")],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, d STRING",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(d AS TIMESTAMP) AS o_orderdate",
+    ).createOrReplaceTempView("orders")
+    got = {r["order_year"]: r.asDict()
+           for r in spark.sql(_nrr_sql("spark")).collect()}
+    assert got[1995]["net_revenue_retention"] == 0.0  # no prior year
+    y96 = got[1996]
+    assert y96["n_customers"] == 2 and y96["n_retained"] == 1
+    assert y96["retained_rev"] == 150.0
+    assert y96["net_revenue_retention"] == pytest.approx(0.5, abs=1e-4)
+    assert y96["new_revenue_share"] == pytest.approx(0.25, abs=1e-4)
+    assert y96["retained_customer_share"] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_safety_stock_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import (
+        SS_Z_LADDER,
+        _safety_stock_sql,
+    )
+
+    # weeks 2810/2811 shipped qty {70, 140}; leads {10, 20} days
+    spark.createDataFrame(
+        [(1, 1, 1, 70.0, 19670), (1, 2, 1, 140.0, 19677)],
+        "l_orderkey BIGINT, k BIGINT, l_partkey BIGINT, l_quantity DOUBLE, "
+        "sd BIGINT",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_quantity",
+        "CAST(timestamp_micros(sd * 86400 * 1000000) AS TIMESTAMP) "
+        "AS l_shipdate",
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(1, 19660)], "o_orderkey BIGINT, od BIGINT"
+    ).selectExpr(
+        "o_orderkey",
+        "CAST(timestamp_micros(od * 86400 * 1000000) AS TIMESTAMP) "
+        "AS o_orderdate",
+    ).createOrReplaceTempView("orders")
+    # both lines belong to order 1 -> leads 10 and 17 days
+    spark.createDataFrame(
+        [(1, "B1")], "p_partkey BIGINT, p_brand STRING"
+    ).createOrReplaceTempView("part")
+    r = spark.sql(_safety_stock_sql("spark")).collect()[0].asDict()
+    d_bar, var_d = 105.0 / 7.0, 2450.0 / 7.0
+    leads = [19670 - 19660, 19677 - 19660]
+    l_bar = sum(leads) / 2.0
+    var_l = sum((x - l_bar) ** 2 for x in leads)  # n-1 = 1
+    term = math.sqrt(l_bar * var_d + d_bar * d_bar * var_l)
+    assert r["brand"] == "B1" and r["n_weeks"] == 2 and r["n_lines"] == 2
+    assert r["mean_daily_qty"] == pytest.approx(d_bar, abs=1e-4)
+    assert r["mean_lead_days"] == pytest.approx(l_bar, abs=1e-4)
+    for lvl, z in SS_Z_LADDER:
+        assert r[f"safety_stock_z{lvl}"] == pytest.approx(
+            z * term, abs=1e-3)
+    z95 = SS_Z_LADDER[1][1]
+    assert r["reorder_point_z95"] == pytest.approx(
+        d_bar * l_bar + z95 * term, abs=1e-3)
+
+
+def test_bullwhip_ratio_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import _bullwhip_sql
+
+    # order cells {15, 45} (cv2 .5) vs ship cells {25, 35} (cv2 50/900)
+    m0, m1 = 19650, 19680  # epoch days on exact 30-day boundaries
+    lines = [
+        (1, 1, 10.0, m0), (2, 1, 30.0, m1), (3, 1, 5.0, m1), (4, 1, 15.0, m0),
+    ]
+    # orders: 1,4 placed in m0's month; 2,3 in m1's -> order qty
+    # {o-m0: 10+15=25?}: see order table below; ship months from sd
+    spark.createDataFrame(
+        lines,
+        "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE, sd BIGINT",
+    ).selectExpr(
+        "l_orderkey", "l_partkey", "l_quantity",
+        "CAST(timestamp_micros(sd * 86400 * 1000000) AS TIMESTAMP) "
+        "AS l_shipdate",
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(1, m0), (2, m1), (3, m0), (4, m1)],
+        "o_orderkey BIGINT, od BIGINT",
+    ).selectExpr(
+        "o_orderkey",
+        "CAST(timestamp_micros(od * 86400 * 1000000) AS TIMESTAMP) "
+        "AS o_orderdate",
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [(1, "B1")], "p_partkey BIGINT, p_brand STRING"
+    ).createOrReplaceTempView("part")
+    r = spark.sql(_bullwhip_sql("spark")).collect()[0].asDict()
+    # order cells: m0 gets lines 1+3 = 15, m1 gets 2+4 = 45
+    # ship cells:  m0 gets lines 1+4 = 25, m1 gets 2+3 = 35
+    cv2_o = ((15 - 30) ** 2 + (45 - 30) ** 2) / 1.0 / 900.0
+    cv2_s = ((25 - 30) ** 2 + (35 - 30) ** 2) / 1.0 / 900.0
+    assert r["n_order_months"] == 2 and r["n_ship_months"] == 2
+    assert r["cv2_orders"] == pytest.approx(cv2_o, abs=1e-4)
+    assert r["cv2_shipments"] == pytest.approx(cv2_s, abs=1e-4)
+    assert r["bullwhip_ratio"] == pytest.approx(
+        round(cv2_o + 1e-9, 4) / round(cv2_s + 1e-9, 4), abs=1e-3)
+
+
+def test_price_dispersion_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import _price_dispersion_sql
+
+    # part 1: suppliers at unit prices 10 and 20 -> cv = sqrt(50)/15;
+    # part 2: single supplier -> dropped by the n_supp >= 2 floor
+    spark.createDataFrame(
+        [(1, 1, 2.0, 20.0), (1, 2, 1.0, 20.0), (2, 1, 1.0, 5.0)],
+        "l_partkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE, "
+        "l_extendedprice DOUBLE",
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(1, "T1"), (2, "T1")], "p_partkey BIGINT, p_type STRING"
+    ).createOrReplaceTempView("part")
+    r = spark.sql(_price_dispersion_sql("spark")).collect()[0].asDict()
+    cv = math.sqrt(50.0) / 15.0
+    assert r["part_type"] == "T1"
+    assert r["n_multi_supplier_parts"] == 1
+    assert r["avg_price_cv"] == pytest.approx(cv, abs=1e-3)
+    assert r["dispersed_share"] == 1.0
+
+
+def test_nation_kendall_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import _nation_kendall_sql
+
+    # nations (n_cust, rev): (1,100), (2,200), (3,150) ->
+    # 2 concordant, 1 discordant, tau-b = 1/3
+    custs = [(1, 0), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2)]
+    spark.createDataFrame(
+        custs, "c_custkey BIGINT, c_nationkey INT"
+    ).createOrReplaceTempView("customer")
+    spark.createDataFrame(
+        [(1, 1, 100.0), (2, 2, 120.0), (3, 3, 80.0),
+         (4, 4, 50.0), (5, 5, 100.0)],
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE",
+    ).createOrReplaceTempView("orders")
+    r = spark.sql(_nation_kendall_sql("spark")).collect()[0].asDict()
+    assert r["n_pairs"] == 3
+    assert r["concordant"] == 2 and r["discordant"] == 1
+    assert r["tied_on_customers"] == 0 and r["tied_on_revenue"] == 0
+    assert r["kendall_tau_b"] == pytest.approx(1.0 / 3.0, abs=1e-4)
