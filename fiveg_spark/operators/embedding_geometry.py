@@ -1,0 +1,284 @@
+"""Embedding-geometry diagnostics (SURVEY §2 E123-E125): intrinsic
+dimension (TwoNN), kNN hubness, and a Johnson-Lindenstrauss
+random-projection distortion audit.
+
+The existing E-family measures embeddings as VECTORS (norms E100,
+moments E110, anisotropy E101, truncation E109, quantization E27);
+these measure them as a METRIC SPACE — the properties that decide
+whether ANN indexing (E7/E37/E38) will work at all: a high intrinsic
+dimension kills LSH recall, heavy hubness biases every kNN consumer,
+and the JL ratio says how few projected dims a sketch can afford.
+
+Scale doctrine: the two neighbor queries share the exact O(n²) pair
+join of E5/E6 — the small-corpus exact tool; at 1e9 vectors the same
+statistics run over E37's IVF-blocked candidate pairs (the
+embedding_dedup_ivf precedent) since both need only each point's
+nearest few neighbors, not the full matrix.  The JL audit is MAP-ONLY
+(literal ±1 coefficients, no joins at any scale).
+
+Reference scope: beyond-reference embedding-pipeline breadth.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from fiveg_spark.plans.registry import (
+    NUDGE,
+    cnt,
+    dbl,
+    materialized_backed,
+    sql_backed,
+)
+
+EMB_DIM = 64
+JL_DIM = 16
+HUB_K = 5
+
+
+def _dot(d: str, a: str, b: str) -> str:
+    """Sequential-fold dot product — the similarity._cos primitive,
+    certified bit-identical across engines."""
+    if d == "spark":
+        return (
+            f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
+            f"CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
+            f"0D, (acc, x) -> acc + x)"
+        )
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+
+
+def _l2sq(d: str, a: str, b: str) -> str:
+    """Squared euclidean via the dot identity ‖a‖²+‖b‖²−2a·b: each dot
+    is the same sequential fold in both engines, so the combined
+    double matches bit-for-bit before the 4dp rounding (a direct
+    (x−y)² fold has no DuckDB twin with guaranteed struct layout)."""
+    return (
+        f"({_dot(d, a, a)} + {_dot(d, b, b)} - 2.0 * {_dot(d, a, b)})"
+    )
+
+
+def _ranked_pairs_part(d: str, prefix: str) -> tuple[str, str]:
+    """Materialized per-anchor neighbor ranks over the exact pair join
+    (rounded distance + vec_id tiebreak keeps the cut deterministic).
+    Both consumers (TwoNN needs rn <= 2, hubness rn <= HUB_K) read it;
+    inlined, Spark would re-run the O(n²) scoring per reference."""
+    dist = _l2sq(d, "a.embedding", "b.embedding")
+    sql = f"""
+      WITH scored AS (
+        SELECT
+          a.vec_id AS anchor,
+          b.vec_id AS neighbor,
+          round({dist} + {NUDGE}, 4) + 0.0 AS d2
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id <> a.vec_id
+      )
+      SELECT anchor, neighbor, d2,
+        row_number() OVER (
+          PARTITION BY anchor ORDER BY d2, neighbor
+        ) AS rn
+      FROM scored
+    """
+    return (f"_mz_{prefix}_ranked", sql)
+
+
+def _twonn_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E123 — TwoNN intrinsic-dimension estimate (Facco et al. 2018):
+    # per point, μ = d2/d1 (1st/2nd neighbor DISTANCES); under a
+    # locally uniform density μ is Pareto(id) and the MLE is
+    # id = n / Σ ln μ.  THE capacity number for ANN tuning: LSH/IVF
+    # recall curves depend on intrinsic, not ambient, dimension.
+    # Anchors whose d1 rounds to 0 (near-duplicate twins) are excluded
+    # from the MLE and reported — their μ is infinite by construction.
+    # μ uses the ROUNDED distance ratio, rounded again before ln
+    # (round-before-log discipline).
+    parts = [_ranked_pairs_part(d, "nn2")]
+    tail = f"""
+    WITH two AS (
+      SELECT anchor,
+        max(CASE WHEN rn = 1 THEN d2 ELSE NULL END) AS d1sq,
+        max(CASE WHEN rn = 2 THEN d2 ELSE NULL END) AS d2sq
+      FROM _mz_nn2_ranked WHERE rn <= 2 GROUP BY anchor
+    ),
+    mu AS (
+      SELECT anchor,
+        CASE WHEN d1sq > 0.0 AND d2sq IS NOT NULL
+             THEN round(sqrt(d2sq / d1sq) + {NUDGE}, 4) + 0.0
+             ELSE NULL END AS mu
+      FROM two
+    ),
+    fit AS (
+      SELECT
+        CAST(count(*) AS DOUBLE) AS n_points,
+        CAST(count(mu) AS DOUBLE) AS n_valid,
+        sum(CASE WHEN mu IS NOT NULL AND mu > 1.0 THEN ln(mu)
+                 ELSE 0.0 END) AS sum_ln_mu,
+        avg(mu) AS mean_mu,
+        max(mu) AS max_mu
+      FROM mu
+    )
+    SELECT
+      {cnt("n_points", "n_points")},
+      {cnt("n_points - n_valid", "n_degenerate")},
+      {dbl("mean_mu", "mean_mu")},
+      {dbl("max_mu", "max_mu")},
+      {dbl(
+          "CASE WHEN sum_ln_mu > 1e-12 THEN n_valid / sum_ln_mu "
+          "ELSE 0.0 END",
+          "intrinsic_dim_mle",
+      )},
+      {cnt(str(EMB_DIM), "ambient_dim")}
+    FROM fit
+    """
+    return parts, tail
+
+
+def _hubness_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E124 — k-occurrence hubness profile (Radovanović et al. 2010):
+    # N_k(x) = how many OTHER points list x in their top-k.  In high
+    # intrinsic dimension N_k skews right — a few hubs appear in
+    # "everyone's" neighbor lists and silently dominate kNN label
+    # propagation (E47), dedup verdicts (E5), and retrieval (E63).
+    # Reports the skewness of N_k (the standard hubness score), the
+    # top-hub share, and the anti-hub share (N_k = 0: unreachable
+    # points an ANN index will never return).
+    #
+    # Every point keeps a row via the LEFT JOIN from the id frame —
+    # anti-hubs are exactly the points the occurrence rollup misses.
+    parts = [_ranked_pairs_part(d, "hub")]
+    tail = f"""
+    WITH occ AS (
+      SELECT neighbor, CAST(count(*) AS DOUBLE) AS nk
+      FROM _mz_hub_ranked WHERE rn <= {HUB_K}
+      GROUP BY neighbor
+    ),
+    full_occ AS (
+      SELECT e.vec_id, coalesce(o.nk, 0.0) AS nk
+      FROM embeddings e LEFT JOIN occ o ON o.neighbor = e.vec_id
+    ),
+    moments AS (
+      SELECT
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(nk) AS s1, sum(nk * nk) AS s2, sum(nk * nk * nk) AS s3,
+        max(nk) AS max_nk,
+        sum(CASE WHEN nk = 0.0 THEN 1.0 ELSE 0.0 END) AS n_antihub
+      FROM full_occ
+    ),
+    stat AS (
+      SELECT n, max_nk, n_antihub,
+        s1 / n AS m1,
+        s2 / n - (s1 / n) * (s1 / n) AS var_nk,
+        (s3 - 3.0 * (s1 / n) * s2 + 2.0 * n * (s1 / n) * (s1 / n)
+         * (s1 / n)) / n AS mu3
+      FROM moments
+    )
+    SELECT
+      {cnt("n", "n_points")},
+      {cnt(str(HUB_K), "k")},
+      {dbl("m1", "mean_k_occurrence")},
+      {dbl(
+          "CASE WHEN var_nk > 1e-12 "
+          "THEN mu3 / (sqrt(var_nk) * sqrt(var_nk) * sqrt(var_nk)) "
+          "ELSE 0.0 END",
+          "hubness_skew",
+      )},
+      {dbl("max_nk", "max_k_occurrence")},
+      {dbl("CASE WHEN n > 0.0 AND m1 > 0.0 THEN max_nk / (n * m1) "
+           "ELSE 0.0 END", "top_hub_share")},
+      {dbl("n_antihub / n", "antihub_share")}
+    FROM stat
+    """
+    return parts, tail
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic Rademacher ±1 matrix [JL_DIM][EMB_DIM] from md5
+    parity — no RNG, identical on every run and machine."""
+    signs = []
+    for j in range(JL_DIM):
+        row = []
+        for i in range(EMB_DIM):
+            h = hashlib.md5(f"jl#{j}#{i}".encode()).hexdigest()
+            row.append(1.0 if int(h[0], 16) % 2 == 0 else -1.0)
+        signs.append(row)
+    return signs
+
+
+def _elem(d: str, i: int) -> str:
+    if d == "spark":
+        return f"CAST(element_at(embedding, {i}) AS DOUBLE)"
+    return f"CAST(embedding[{i}] AS DOUBLE)"
+
+
+def _jl_norm_sql(d: str) -> str:
+    # E125 — Johnson-Lindenstrauss norm-preservation audit: project
+    # every vector to JL_DIM dims with a FIXED Rademacher matrix
+    # (literal ±1 coefficients, md5-derived in Python so both dialects
+    # compile the same constants — the D79 lesson pre-applied) and
+    # measure r = ‖Pv‖²/(k·‖v‖²), whose concentration around 1
+    # (Achlioptas 2003) is what makes an 8-byte-per-dim sketch usable
+    # for E27/E38-style distance work.  Per-label ratio stats flag
+    # label clusters whose geometry a k-dim sketch would distort.
+    #
+    # Scale: map-only — one projection per row from literal
+    # coefficients, no joins, no windows; the rollup is ≤|labels| rows.
+    signs = _jl_signs()
+    es = ",\n        ".join(f"{_elem(d, i + 1)} AS e{i + 1}"
+                            for i in range(EMB_DIM))
+    projs = []
+    for j, row in enumerate(signs):
+        terms = " ".join(
+            (f"- e{i + 1}" if c < 0 else f"+ e{i + 1}")
+            for i, c in enumerate(row)
+        )
+        projs.append(f"(0.0 {terms}) AS p{j + 1}")
+    proj_cols = ",\n        ".join(projs)
+    pnorm = " + ".join(f"p{j + 1} * p{j + 1}" for j in range(JL_DIM))
+    vnorm = " + ".join(f"e{i + 1} * e{i + 1}" for i in range(EMB_DIM))
+    return f"""
+    WITH elems AS (
+      SELECT vec_id, label,
+        {es}
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id, label,
+        {proj_cols},
+        {vnorm} AS vsq
+      FROM elems
+    ),
+    ratio AS (
+      SELECT label,
+        CASE WHEN vsq > 1e-12
+             THEN round(({pnorm}) / ({JL_DIM}.0 * vsq) + {NUDGE}, 4) + 0.0
+             ELSE NULL END AS r
+      FROM proj
+    )
+    SELECT
+      label,
+      {cnt("count(*)", "n_vectors")},
+      {cnt("count(*) - count(r)", "n_zero_vectors")},
+      {dbl("avg(r)", "mean_ratio")},
+      {dbl("min(r)", "min_ratio")},
+      {dbl("max(r)", "max_ratio")},
+      {dbl(
+          "max(CASE WHEN r > 0.0 THEN abs(ln(r)) ELSE 0.0 END)",
+          "max_abs_log_distortion",
+      )},
+      {dbl("avg(CAST(CASE WHEN r IS NULL THEN NULL "
+           "WHEN r >= 0.7 AND r <= 1.3 THEN 1 ELSE 0 END AS DOUBLE))",
+           "within_30pct_share")}
+    FROM ratio
+    GROUP BY label
+    ORDER BY label
+    """
+
+
+QUERIES = [
+    materialized_backed("intrinsic_dimension_2nn", _twonn_parts,
+                        ("embeddings",), deferred=True),
+    materialized_backed("knn_hubness_profile", _hubness_parts,
+                        ("embeddings",), deferred=True),
+    sql_backed("jl_norm_preservation", _jl_norm_sql, ("embeddings",),
+               deferred=True),
+]

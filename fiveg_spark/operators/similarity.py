@@ -990,7 +990,7 @@ def _knn_consistency_sql(d: str) -> str:
       SELECT
         probe_id,
         probe_label,
-        avg(CASE WHEN nbr_label = probe_label THEN 1.0 ELSE 0.0 END) AS purity,
+        avg(CAST(CASE WHEN nbr_label = probe_label THEN 1 ELSE 0 END AS DOUBLE)) AS purity,
         max(CASE WHEN rk = 1 AND nbr_label = probe_label
                  THEN 1 ELSE 0 END) AS top1_match
       FROM ranked

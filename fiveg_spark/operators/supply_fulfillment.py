@@ -839,7 +839,7 @@ def _price_dispersion_sql(d: str) -> str:
       {dbl("avg(c.cv_price)", "avg_price_cv")},
       {dbl(pct("c.cv_price", 0.9, d), "p90_price_cv")},
       {dbl("max(c.cv_price)", "max_price_cv")},
-      {dbl("avg(CASE WHEN c.cv_price > 0.05 THEN 1.0 ELSE 0.0 END)",
+      {dbl("avg(CAST(CASE WHEN c.cv_price > 0.05 THEN 1 ELSE 0 END AS DOUBLE))",
            "dispersed_share")}
     FROM cv c JOIN part p ON p.p_partkey = c.pk
     GROUP BY p.p_type

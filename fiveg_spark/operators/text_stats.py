@@ -1200,8 +1200,8 @@ def _readability_sql(d: str) -> str:
            "words_per_sentence")},
       {dbl(agg_flesch, "flesch_reading_ease")},
       {dbl(fk, "fk_grade_level")},
-      {dbl(f"avg(CASE WHEN words > 0 AND sents > 0 "
-           f"AND {doc_flesch} >= 60.0 THEN 1.0 ELSE 0.0 END)",
+      {dbl(f"avg(CAST(CASE WHEN words > 0 AND sents > 0 "
+           f"AND {doc_flesch} >= 60.0 THEN 1 ELSE 0 END AS DOUBLE))",
            "easy_doc_share")}
     FROM per_doc
     GROUP BY source

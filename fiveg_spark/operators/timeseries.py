@@ -428,8 +428,8 @@ def _pinball_eval_sql(d: str) -> str:
       {dbl(pinball(0.1, "q10"), "pinball_q10")},
       {dbl(pinball(0.5, "q50"), "pinball_q50")},
       {dbl(pinball(0.9, "q90"), "pinball_q90")},
-      {dbl("avg(CASE WHEN throughput_bps <= q10 THEN 1.0 ELSE 0.0 END)", "coverage_q10")},
-      {dbl("avg(CASE WHEN throughput_bps <= q90 THEN 1.0 ELSE 0.0 END)", "coverage_q90")}
+      {dbl("avg(CAST(CASE WHEN throughput_bps <= q10 THEN 1 ELSE 0 END AS DOUBLE))", "coverage_q10")},
+      {dbl("avg(CAST(CASE WHEN throughput_bps <= q90 THEN 1 ELSE 0 END AS DOUBLE))", "coverage_q90")}
     FROM test_rows
     GROUP BY slice
     ORDER BY slice

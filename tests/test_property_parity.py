@@ -1739,3 +1739,113 @@ def test_embedding_smoothness_on_random_vectors(spark):
         )
 
     check()
+
+
+def _embgeo_parts_fns():
+    from fiveg_spark.operators.embedding_geometry import (
+        _hubness_parts,
+        _twonn_parts,
+    )
+
+    return {
+        # duplicate vectors round d1 to 0 -> degenerate anchors drop
+        # from the MLE; single-vector corpora have an EMPTY pair frame
+        "intrinsic_dimension_2nn": _twonn_parts,
+        # n=1 corpora pin nk=0 everywhere (skew guard, antihub 1.0);
+        # duplicate-heavy sets make rank ties common (vec_id tiebreak)
+        "knn_hubness_profile": _hubness_parts,
+    }
+
+
+@pytest.mark.parametrize("name", sorted(_embgeo_parts_fns()))
+def test_embedding_geometry_on_random_vectors(spark, name):
+    from fiveg_spark.plans.registry import materialized_backed
+    from fiveg_spark.plans.registry import run_parts as _rp
+
+    parts_fn = _embgeo_parts_fns()[name]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.sampled_from([0.0, 0.25, 1.0, -2.5]), min_size=3, max_size=3
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+    )
+    def check(vecs):
+        emb = pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+                "embedding": [[float(x) for x in v] for v in vecs],
+                "label": pd.Series(
+                    [i % 2 for i in range(len(vecs))], dtype="int32"
+                ),
+            }
+        )
+        spark.createDataFrame(
+            emb, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+        ).createOrReplaceTempView("embeddings")
+        got = _rp(spark, parts_fn)
+        spark_rows = _rows(got.columns, got.collect())
+        oracle = materialized_backed(
+            "_tmp_eg", parts_fn, ("embeddings",)
+        ).oracle
+        con = duckdb.connect()
+        try:
+            con.register("embeddings", emb)
+            res = con.execute(oracle)
+            duck_cols = [d0[0] for d0 in res.description]
+            duck_rows = _rows(duck_cols, res.fetchall())
+        finally:
+            con.close()
+        assert sorted(got.columns) == sorted(duck_cols), name
+        assert spark_rows == duck_rows, name
+
+    check()
+
+
+def test_jl_norm_preservation_on_random_64d(spark):
+    """JL audit parity on random full-width vectors (zero vectors hit
+    the vsq guard; element_at needs all 64 positions present, so the
+    generator emits full-dimension vectors)."""
+    from fiveg_spark.operators.embedding_geometry import EMB_DIM, _jl_norm_sql
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.sampled_from([0.0, 1.0, -2.5]),
+                min_size=EMB_DIM,
+                max_size=EMB_DIM,
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+    )
+    def check(vecs):
+        emb = pd.DataFrame(
+            {
+                "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+                "embedding": [[float(x) for x in v] for v in vecs],
+                "label": pd.Series(
+                    [i % 2 for i in range(len(vecs))], dtype="int32"
+                ),
+            }
+        )
+        _assert_parity(
+            spark, emb, "embeddings",
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+            _jl_norm_sql, "jl_norm_preservation",
+        )
+
+    check()

@@ -415,3 +415,104 @@ def test_nation_kendall_closed_form(spark):
     assert r["concordant"] == 2 and r["discordant"] == 1
     assert r["tied_on_customers"] == 0 and r["tied_on_revenue"] == 0
     assert r["kendall_tau_b"] == pytest.approx(1.0 / 3.0, abs=1e-4)
+
+
+# ---- embedding geometry (E123-E125) ----
+
+
+def _emb_view(spark, vecs, labels=None):
+    labels = labels or [0] * len(vecs)
+    import pandas as pd
+
+    emb = pd.DataFrame({
+        "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+        "embedding": [[float(x) for x in v] for v in vecs],
+        "label": pd.Series(labels, dtype="int32"),
+    })
+    spark.createDataFrame(
+        emb, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).createOrReplaceTempView("embeddings")
+
+
+def test_twonn_line_closed_form(spark):
+    from fiveg_spark.operators.embedding_geometry import _twonn_parts
+
+    # colinear points at 0,1,2,4: mu = {2, 1, 2, 1.5} by hand
+    _emb_view(spark, [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [4.0, 0.0]])
+    r = run_parts(spark, _twonn_parts).collect()[0].asDict()
+    sum_ln = math.log(2.0) + 0.0 + math.log(2.0) + math.log(1.5)
+    assert r["n_points"] == 4 and r["n_degenerate"] == 0
+    assert r["mean_mu"] == pytest.approx((2 + 1 + 2 + 1.5) / 4, abs=1e-4)
+    assert r["intrinsic_dim_mle"] == pytest.approx(4.0 / sum_ln, abs=1e-3)
+
+
+def test_twonn_all_duplicates_degenerate(spark):
+    from fiveg_spark.operators.embedding_geometry import _twonn_parts
+
+    _emb_view(spark, [[1.0, 1.0]] * 3)
+    r = run_parts(spark, _twonn_parts).collect()[0].asDict()
+    assert r["n_points"] == 3 and r["n_degenerate"] == 3
+    assert r["intrinsic_dim_mle"] == 0.0
+
+
+def test_hubness_matches_independent_numpy(spark):
+    import numpy as np
+
+    from fiveg_spark.operators.embedding_geometry import (
+        HUB_K,
+        _hubness_parts,
+    )
+
+    # deterministic curve: vector i = (i^2/10, i, 1) — uneven spacing
+    # makes genuine hubs; mirror the rounded-distance ranking exactly
+    vecs = [[i * i / 10.0, float(i), 1.0] for i in range(9)]
+    _emb_view(spark, vecs)
+    r = run_parts(spark, _hubness_parts).collect()[0].asDict()
+
+    # float32 storage: mirror through np.float32 before the arithmetic
+    V = np.array(vecs, dtype=np.float32).astype(np.float64)
+    n = len(V)
+    nk = np.zeros(n)
+    for a in range(n):
+        cand = []
+        for b in range(n):
+            if b == a:
+                continue
+            d2 = round(float(V[a] @ V[a] + V[b] @ V[b] - 2 * V[a] @ V[b])
+                       + 1e-9, 4)
+            cand.append((d2, b))
+        cand.sort()
+        for _d, b in cand[:HUB_K]:
+            nk[b] += 1
+    m1 = nk.mean()
+    var = (nk * nk).mean() - m1 * m1
+    mu3 = ((nk - m1) ** 3).mean()
+    # query computes mu3 via raw power sums; equivalent algebra
+    skew = mu3 / var ** 1.5 if var > 1e-12 else 0.0
+    assert r["n_points"] == n
+    assert r["mean_k_occurrence"] == pytest.approx(m1, abs=1e-4)
+    assert r["hubness_skew"] == pytest.approx(skew, abs=1e-3)
+    assert r["max_k_occurrence"] == nk.max()
+    assert r["antihub_share"] == pytest.approx((nk == 0).mean(), abs=1e-4)
+
+
+def test_jl_one_hot_ratio_is_exactly_one(spark):
+    from fiveg_spark.operators.embedding_geometry import (
+        EMB_DIM,
+        _jl_norm_sql,
+    )
+
+    # one-hot vectors: ‖Pv‖² = Σ_j s_ji²·c² = k·c² -> ratio exactly 1;
+    # the zero vector hits the vsq guard and is counted separately
+    one_hot_a = [0.0] * EMB_DIM
+    one_hot_a[0] = 3.0
+    one_hot_b = [0.0] * EMB_DIM
+    one_hot_b[17] = -2.0
+    zero = [0.0] * EMB_DIM
+    _emb_view(spark, [one_hot_a, one_hot_b, zero], labels=[0, 0, 0])
+    r = spark.sql(_jl_norm_sql("spark")).collect()[0].asDict()
+    assert r["n_vectors"] == 3 and r["n_zero_vectors"] == 1
+    assert r["mean_ratio"] == 1.0
+    assert r["min_ratio"] == 1.0 and r["max_ratio"] == 1.0
+    assert r["max_abs_log_distortion"] == 0.0
+    assert r["within_30pct_share"] == 1.0
