@@ -1487,3 +1487,75 @@ QUERIES = [
     sql_backed("order_cadence_regularity", _order_cadence_sql,
                ("orders", "customer")),
 ]
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill, wave 2 (deferred=True)
+# --------------------------------------------------------------------------
+
+DORMANCY_DAYS = 7.0
+
+
+def _dormancy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C167 — dormancy-spell census: per-user gaps longer than
+    # DORMANCY_DAYS are SPELLS — the quantity between C23's weekly
+    # retention grid (did the user come back at all) and C90's growth
+    # accounting (new/retained/resurrected per week): how LONG do
+    # users go dark before resurrecting, and what share ever do.
+    # C129's cadence CV sees dispersion; this isolates the heavy-gap
+    # mass with its own distribution.
+    #
+    # Scale: one per-user lag window (bounded by user history), one
+    # global rollup; spell stats ride exact percentiles over the
+    # materialized <=|gaps| spell frame (referenced by both the
+    # distribution agg and the per-user census — inlined, Spark would
+    # re-run the lag window per reference).
+    es = epoch("ts", d)
+    spells_sql = f"""
+      WITH seq AS (
+        SELECT user_id,
+          ({es} - lag({es}) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+          )) / 86400.0 AS gap_days
+        FROM events
+      )
+      SELECT user_id, gap_days FROM seq
+      WHERE gap_days > {DORMANCY_DAYS!r}
+    """
+    tail = f"""
+    WITH users AS (
+      SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events
+    ),
+    spell_users AS (
+      SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n_su
+      FROM _mz_dorm_spells
+    ),
+    dist AS (
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_spells,
+        avg(gap_days) AS mean_spell,
+        {pct("gap_days", 0.5, d)} AS p50_spell,
+        {pct("gap_days", 0.9, d)} AS p90_spell,
+        max(gap_days) AS max_spell
+      FROM _mz_dorm_spells
+    )
+    SELECT
+      {cnt("u.n_users", "n_users")},
+      {cnt("su.n_su", "n_users_with_spell")},
+      {cnt("di.n_spells", "n_spells")},
+      {dbl("di.mean_spell", "mean_spell_days")},
+      {dbl("di.p50_spell", "p50_spell_days")},
+      {dbl("di.p90_spell", "p90_spell_days")},
+      {dbl("di.max_spell", "max_spell_days")},
+      {dbl("CASE WHEN u.n_users > 0.0 THEN su.n_su / u.n_users "
+           "ELSE 0.0 END", "resurrection_user_share")}
+    FROM dist di CROSS JOIN users u CROSS JOIN spell_users su
+    """
+    return [("_mz_dorm_spells", spells_sql)], tail
+
+
+QUERIES.extend([
+    materialized_backed("dormancy_spell_profile", _dormancy_parts,
+                        ("events",), deferred=True),
+])

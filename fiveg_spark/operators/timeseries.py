@@ -1118,3 +1118,98 @@ QUERIES = [
         "trending_types", _trending_parts, ("events",),
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill, wave 2 (deferred=True)
+# --------------------------------------------------------------------------
+
+
+def _linear_interp_sql(d: str) -> str:
+    # C166 — LINEAR-interpolation gap fill on the dense hourly grid:
+    # C7 zero-fills (right for counts) and D2 step-fills (right for
+    # slowly-moving levels); a throughput LEVEL fed to the D1 feature
+    # frame wants the line between the bracketing observations —
+    # zero-fill fabricates outages, step-fill fabricates plateaus.
+    # Four IGNORE NULLS windows (value+epoch in each direction) give
+    # prev/next anchors; gaps interpolate by time weight, each row
+    # labeled obs/interp so downstream consumers can weigh trust.
+    # Every gap is INTERIOR by construction — the grid spans each
+    # slice's observed min..max hour, so both anchors always exist
+    # (no dead one-sided branches to pretend to handle).
+    #
+    # Scale: the C7 grid (bounded by calendar), per-slice windows on
+    # the tiny spine, no joins beyond the grid LEFT JOIN.
+    if d == "spark":
+        grid = ("SELECT slice, explode(sequence(mn, mx, INTERVAL 1 HOUR)) "
+                "AS h FROM bounds")
+        ff_v = ("last_value(v) IGNORE NULLS OVER "
+                "(PARTITION BY slice ORDER BY h "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        ff_t = ("last_value(es) IGNORE NULLS OVER "
+                "(PARTITION BY slice ORDER BY h "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        bf_v = ("first_value(v) IGNORE NULLS OVER "
+                "(PARTITION BY slice ORDER BY h "
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+        bf_t = ("first_value(es) IGNORE NULLS OVER "
+                "(PARTITION BY slice ORDER BY h "
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+    else:
+        grid = ("SELECT slice, unnest(generate_series(mn, mx, "
+                "INTERVAL 1 HOUR)) AS h FROM bounds")
+        ff_v = ("last_value(v IGNORE NULLS) OVER "
+                "(PARTITION BY slice ORDER BY h "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        ff_t = ("last_value(es IGNORE NULLS) OVER "
+                "(PARTITION BY slice ORDER BY h "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        bf_v = ("first_value(v IGNORE NULLS) OVER "
+                "(PARTITION BY slice ORDER BY h "
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+        bf_t = ("first_value(es IGNORE NULLS) OVER "
+                "(PARTITION BY slice ORDER BY h "
+                "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+    ge = epoch("g.h", d)
+    interp = (
+        "pv + (nv - pv) * (ge - pt) / (nt - pt)"
+    )
+    return f"""
+    {_hourly_cte(d)},
+    bounds AS (
+      SELECT slice, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY slice
+    ),
+    grid AS (
+      {grid}
+    ),
+    spine AS (
+      SELECT g.slice, g.h, {ge} AS ge, hh.throughput_bps AS v,
+             CASE WHEN hh.slice IS NULL THEN NULL ELSE {epoch("hh.h", d)}
+             END AS es
+      FROM grid g
+      LEFT JOIN hourly hh ON hh.slice = g.slice AND hh.h = g.h
+    ),
+    anchored AS (
+      SELECT slice, h, ge, v,
+        {ff_v} AS pv, {ff_t} AS pt,
+        {bf_v} AS nv, {bf_t} AS nt
+      FROM spine
+    )
+    SELECT
+      slice,
+      h AS window_start,
+      {dbl(
+          "CASE WHEN v IS NOT NULL THEN v "
+          f"ELSE {interp} END",
+          "filled_value",
+      )},
+      CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'interp' END AS fill_mode
+    FROM anchored
+    ORDER BY slice, window_start
+    """
+
+
+QUERIES.extend([
+    sql_backed("linear_interp_gapfill", _linear_interp_sql, ("events",),
+               deferred=True),
+])

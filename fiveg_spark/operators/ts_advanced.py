@@ -1952,3 +1952,88 @@ QUERIES = [
     sql_backed("seasonal_strength", _seasonal_strength_sql, ("events",)),
     sql_backed("hurst_exponent", _hurst_sql, ("events",)),
 ]
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill, wave 2 (deferred=True)
+# --------------------------------------------------------------------------
+
+_PC_SLICES = ("eMBB", "URLLC", "mMTC")  # kpi.packet_projection's fixed set
+
+
+def _partial_corr_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D80 — partial correlation between slice pairs CONTROLLING the
+    # third (r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))): D35's
+    # raw pairwise CCF confounds shared load — two slices that both
+    # follow the diurnal cycle look coupled even if independent given
+    # it; partialing out the third slice (the best available proxy for
+    # the common driver) is the standard screen before reading a
+    # pairwise correlation as direct coupling.
+    #
+    # The hourly frame pivots to (h, v_eMBB, v_URLLC, v_mMTC) on hours
+    # where ALL THREE slices report (complete cases — a partial corr
+    # over mismatched supports is incoherent); the three corr_safe
+    # aggregates reduce to ONE row, materialized, and the 3-branch
+    # pair union reads that 1-row frame (inlined, Spark would re-run
+    # the pivot+corr per branch).  Raw correlations are rounded before
+    # the partial formula (round-before-reuse discipline).
+    cols = {s: f"v_{s.lower()}" for s in _PC_SLICES}
+    pivots = ",\n        ".join(
+        f"max(CASE WHEN slice = '{s}' THEN throughput_bps END) AS {c}"
+        for s, c in cols.items()
+    )
+    hourly_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")},
+      pivoted AS (
+        SELECT h,
+        {pivots}
+        FROM hourly GROUP BY h
+      )
+      SELECT * FROM pivoted
+      WHERE v_embb IS NOT NULL AND v_urllc IS NOT NULL
+        AND v_mmtc IS NOT NULL
+    """
+    r = {}
+    for a, b in (("embb", "urllc"), ("embb", "mmtc"), ("urllc", "mmtc")):
+        r[(a, b)] = (
+            f"round({corr_safe(f'v_{a}', f'v_{b}')} + {NUDGE}, 4) + 0.0"
+        )
+    corr_sql = f"""
+      SELECT
+        CAST(count(*) AS BIGINT) AS n_hours,
+        {r[("embb", "urllc")]} AS r_eu,
+        {r[("embb", "mmtc")]} AS r_em,
+        {r[("urllc", "mmtc")]} AS r_um
+      FROM _mz_pc_pivot
+    """
+
+    def branch(pair: str, rxy: str, rxz: str, ryz: str, ctrl: str) -> str:
+        part = (
+            f"CASE WHEN (1.0 - {rxz} * {rxz}) * (1.0 - {ryz} * {ryz}) "
+            f"> 1e-12 THEN ({rxy} - {rxz} * {ryz}) "
+            f"/ sqrt((1.0 - {rxz} * {rxz}) * (1.0 - {ryz} * {ryz})) "
+            f"ELSE 0.0 END"
+        )
+        return f"""
+      SELECT
+        '{pair}' AS slice_pair,
+        '{ctrl}' AS controlling,
+        {cnt("n_hours", "n_hours")},
+        {dbl(rxy, "r_raw")},
+        {dbl(part, "r_partial")},
+        {dbl(f"({rxy}) - ({part})", "confound_shift")}
+      FROM _mz_pc_corr"""
+
+    tail = f"""
+    {branch("eMBB~URLLC", "r_eu", "r_em", "r_um", "mMTC")}
+    UNION ALL {branch("eMBB~mMTC", "r_em", "r_eu", "r_um", "URLLC")}
+    UNION ALL {branch("URLLC~mMTC", "r_um", "r_eu", "r_em", "eMBB")}
+    ORDER BY slice_pair
+    """
+    return [("_mz_pc_pivot", hourly_sql), ("_mz_pc_corr", corr_sql)], tail
+
+
+QUERIES.extend([
+    materialized_backed("partial_corr_slices", _partial_corr_parts,
+                        ("events",), deferred=True),
+])

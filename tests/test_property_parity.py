@@ -463,6 +463,7 @@ def _event_sql_fns():
     from fiveg_spark.operators.timeseries import (
         _cohort_retention_sql,
         _funnel_sql,
+        _linear_interp_sql,
         _time_to_convert_sql,
     )
 
@@ -537,6 +538,9 @@ def _event_sql_fns():
         # gap-threshold session curve: nullif(session count) and the
         # per-user lag window; single-event users are always starts
         "session_gap_sensitivity": _session_gap_sensitivity_sql,
+        # four IGNORE NULLS anchors: sparse grids exercise the
+        # time-weighted interp; dense ones are all 'obs'
+        "linear_interp_gapfill": _linear_interp_sql,
         # single-agg GOF identity 24·Σc²/n − n: single-hour types pin
         # peak_hour_share at 1.0 and chi2 at 23n (max nonuniformity)
         "chisq_hour_uniformity": _chisq_hour_uniformity_sql,
@@ -939,6 +943,8 @@ def _event_parts_fns():
         _levene_parts,
         _weibull_iat_parts,
     )
+    from fiveg_spark.operators.behavior import _dormancy_parts
+    from fiveg_spark.operators.ts_advanced import _partial_corr_parts
 
     return {
         # tie-heavy journeys: simultaneous touch/purchase timestamps
@@ -1005,6 +1011,12 @@ def _event_parts_fns():
         # GLOBAL midranks: all-tied hourly frames zero the tie
         # correction (h_stat 0); single-slice streams give dof 0
         "kruskal_wallis_slices": _kruskal_wallis_parts,
+        # 72-hour tiny streams rarely gap >7 days: the empty spell
+        # frame pins every distribution column at the NULL->0.0 path
+        "dormancy_spell_profile": _dormancy_parts,
+        # complete-case pivot: streams missing a slice-hour leave the
+        # frame empty (n_hours 0, every corr at the degenerate 0)
+        "partial_corr_slices": _partial_corr_parts,
         # complete-block census: single-slice streams make every hour
         # complete (ranks all 1); identical rank patterns hit A2 = B2
         "friedman_slices": _friedman_parts,

@@ -516,3 +516,82 @@ def test_jl_one_hot_ratio_is_exactly_one(spark):
     assert r["min_ratio"] == 1.0 and r["max_ratio"] == 1.0
     assert r["max_abs_log_distortion"] == 0.0
     assert r["within_30pct_share"] == 1.0
+
+
+# ---- timeseries / behavior wave (C166, C167, D80) ----
+
+
+def test_linear_interp_closed_form(spark):
+    from fiveg_spark.operators.timeseries import _linear_interp_sql
+
+    # eMBB observed at h0 (thr 80) and h3 (thr 320): the two gap
+    # hours interpolate to 160 and 240 on the time axis
+    _events_view(spark, [
+        (0, BASE, 0, "a", 10.0),
+        (1, BASE + 3 * 3600, 0, "a", 40.0),
+    ])
+    rows = spark.sql(_linear_interp_sql("spark")).collect()
+    got = [(r["fill_mode"], r["filled_value"]) for r in rows]
+    assert got == [
+        ("obs", 80.0), ("interp", 160.0), ("interp", 240.0), ("obs", 320.0),
+    ]
+
+
+def test_dormancy_closed_form(spark):
+    from fiveg_spark.operators.behavior import _dormancy_parts
+
+    # user 1: 10-day gap (one spell) then 2-day gap; user 2: 1-day gap
+    day = 86400
+    _events_view(spark, [
+        (0, BASE, 1, "a", 1.0),
+        (1, BASE + 10 * day, 1, "a", 1.0),
+        (2, BASE + 12 * day, 1, "a", 1.0),
+        (3, BASE, 2, "a", 1.0),
+        (4, BASE + day, 2, "a", 1.0),
+    ])
+    r = run_parts(spark, _dormancy_parts).collect()[0].asDict()
+    assert r["n_users"] == 2 and r["n_users_with_spell"] == 1
+    assert r["n_spells"] == 1
+    assert r["mean_spell_days"] == 10.0 and r["max_spell_days"] == 10.0
+    assert r["resurrection_user_share"] == 0.5
+
+
+def test_dormancy_no_spells_guards(spark):
+    from fiveg_spark.operators.behavior import _dormancy_parts
+
+    _events_view(spark, [(0, BASE, 1, "a", 1.0), (1, BASE + 60, 1, "a", 1.0)])
+    r = run_parts(spark, _dormancy_parts).collect()[0].asDict()
+    assert r["n_users"] == 1 and r["n_spells"] == 0
+    assert r["mean_spell_days"] == 0.0
+    assert r["resurrection_user_share"] == 0.0
+
+
+def test_partial_corr_closed_form(spark):
+    from fiveg_spark.operators.ts_advanced import _partial_corr_parts
+
+    # four complete hours: eMBB [1,2,3,4], URLLC 2x eMBB (r_eu = 1),
+    # mMTC [1,3,2,4] (r = 0.8 against both) -> partial eu controlling
+    # mMTC = (1 - .64)/.36 = 1.0; the other two pairs hit the
+    # collinear-control guard (1 - r² = 0 on one factor)
+    rows = []
+    for i, (e, u, m) in enumerate(
+        [(1.0, 2.0, 1.0), (2.0, 4.0, 3.0), (3.0, 6.0, 2.0),
+         (4.0, 8.0, 4.0)]
+    ):
+        rows.append((10 * i, BASE + 3600 * i, 0, "a", e))
+        rows.append((10 * i + 1, BASE + 3600 * i, 1, "a", u))
+        rows.append((10 * i + 2, BASE + 3600 * i, 2, "a", m))
+    _events_view(spark, rows)
+    got = {r["slice_pair"]: r.asDict()
+           for r in run_parts(spark, _partial_corr_parts).collect()}
+    eu = got["eMBB~URLLC"]
+    assert eu["n_hours"] == 4
+    assert eu["r_raw"] == 1.0
+    assert eu["r_partial"] == pytest.approx(1.0, abs=1e-4)
+    assert eu["controlling"] == "mMTC"
+    em = got["eMBB~mMTC"]
+    assert em["r_raw"] == pytest.approx(0.8, abs=1e-4)
+    assert em["r_partial"] == 0.0  # r_eu = 1 -> zero denominator guard
+    um = got["URLLC~mMTC"]
+    assert um["r_raw"] == pytest.approx(0.8, abs=1e-4)
+    assert um["r_partial"] == 0.0
