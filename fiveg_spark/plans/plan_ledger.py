@@ -43,7 +43,10 @@ from pyspark.sql import DataFrame
 
 from fiveg_spark.plans.explain import simple_plan
 
-LEDGER_VERSION = 1
+LEDGER_VERSION = 2  # v2: order-insensitive agg/partition key lists
+                    # (v1 hashes drifted with session expression-id
+                    # churn on wide distinct-agg plans — see
+                    # _sort_unordered_lists)
 
 # Queries whose DataFrame BUILD runs driver-side model fits (k-means /
 # MLlib training / collect-based codebooks) — the advisor sweep skips
@@ -78,10 +81,129 @@ PLAN_BUILD_EXECUTES = frozenset({
 })
 
 
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _sort_unordered_lists(s: str, opener: str) -> str:
+    """Sort the top-level comma list following every ``opener`` up to
+    its matching bracket.  Grouping-key and hash-partitioning lists are
+    SETS the planner prints in expression-id order — a multi-distinct
+    aggregate's Expand stage permutes them with the session's id
+    counter, so two sessions print semantically identical plans with
+    shuffled keys (the r10w2 ledger incident: 18 wide untouched plans
+    'reshaped').  Sorting makes the hash order-insensitive exactly
+    where order carries no semantics; rangepartitioning is NOT
+    normalized (sort-key order is real semantics there)."""
+    out, i = [], 0
+    while True:
+        j = s.find(opener, i)
+        if j < 0:
+            out.append(s[i:])
+            break
+        start = j + len(opener)
+        depth, k = 1, start
+        while k < len(s) and depth > 0:
+            if s[k] in "([{":
+                depth += 1
+            elif s[k] in ")]}":
+                depth -= 1
+            k += 1
+        inner = s[start:k - 1]
+        out.append(s[i:start])
+        out.append(", ".join(sorted(_split_top_level(inner))))
+        out.append(s[k - 1])
+        i = k
+    return "".join(out)
+
+
+def _normalize_expand(s: str) -> str:
+    """Multi-distinct aggregates compile to an Expand whose projection
+    GROUPS are emitted in gid-assignment order — which follows the
+    session id counter, like the key lists.  Normalize by replacing
+    bare integer elements (the gid constants) with 'n' inside each
+    group, then sorting the groups."""
+    out, i = [], 0
+    while True:
+        j = s.find("Expand [", i)
+        if j < 0:
+            out.append(s[i:])
+            break
+        start = j + len("Expand [")
+        depth, k = 1, start
+        while k < len(s) and depth > 0:
+            if s[k] in "([{":
+                depth += 1
+            elif s[k] in ")]}":
+                depth -= 1
+            k += 1
+        groups = _split_top_level(s[start:k - 1])
+        normed = []
+        for g in groups:
+            if g.startswith("[") and g.endswith("]"):
+                # sort WITHIN the group too: the distinct column's
+                # output slot follows the same id order (kpi36's
+                # dst_port moved slots between sessions) — the
+                # fingerprint keeps each group's expression multiset,
+                # not its slot alignment
+                elems = sorted(
+                    "n" if e.isdigit() else e
+                    for e in _split_top_level(g[1:-1])
+                )
+                normed.append("[" + ", ".join(elems) + "]")
+            else:
+                normed.append(g)
+        out.append(s[i:start])
+        out.append(", ".join(sorted(normed)))
+        out.append(s[k - 1])
+        i = k
+        # the Expand node's own output list follows as ", [cols]" and
+        # permutes with the same id order — sort it too
+        if s[i:i + 3] == ", [":
+            ostart = i + 3
+            depth, k2 = 1, ostart
+            while k2 < len(s) and depth > 0:
+                if s[k2] in "([{":
+                    depth += 1
+                elif s[k2] in ")]}":
+                    depth -= 1
+                k2 += 1
+            cols = sorted(_split_top_level(s[ostart:k2 - 1]))
+            out.append(", [" + ", ".join(cols) + s[k2 - 1])
+            i = k2
+    return "".join(out)
+
+
 def canonical_plan(plan: str) -> str:
     """Strip session/run-dependent tokens from an executed-plan tree."""
     s = plan
+    # gid filter constants permute with the Expand group order
+    s = re.sub(r"\bgid#?\w* = \d+", "gid#x = n", s)
+    # CSE aliases carry a session-global counter
+    s = re.sub(r"_common_expr_\d+", "_common_expr_n", s)
     s = re.sub(r"#\d+[A-Z]*", "#x", s)          # expression ids
+    # ...collapsed BEFORE the sorts below, so sort order can't itself
+    # depend on id digits embedded in otherwise-tied strings
+    s = _normalize_expand(s)
+    s = _sort_unordered_lists(s, "keys=[")
+    s = _sort_unordered_lists(s, "hashpartitioning(")
+    # aggregate output/function lists permute with the same id order
+    # (key columns lead the output in planner id order); after #x
+    # collapsing, sorting costs nothing semantically for a fingerprint
+    s = _sort_unordered_lists(s, "output=[")
+    s = _sort_unordered_lists(s, "functions=[")
     # partition counts (hashpartitioning(k#x, 200)) move with the
     # shuffle-partition conf, not the plan's structure — strip them so
     # a dev-box ledger diffs cleanly against a CI one

@@ -110,3 +110,40 @@ def test_cli_ledger_record_and_diff(spark, tmp_path, capsys, monkeypatch):
     assert set(led["queries"]) == {"agg", "join"}
     assert all("plan_hash" in f for f in led["queries"].values())
     assert "no shape changes" in capsys.readouterr().out
+
+
+def test_fingerprint_stable_under_session_churn(spark):
+    """v2 canonicalization: multi-distinct aggregates print grouping
+    keys / Expand groups / output lists in session expression-id order
+    — two sessions with different id counters printed semantically
+    identical kpi36 plans with shuffled key lists (the r10w2 ledger
+    incident: 18 wide untouched plans 'reshaped').  The fingerprint
+    must survive running OTHER queries first."""
+    import __spark_entry__ as contract
+    import tests.conftest as c
+
+    q = contract.queries()
+    h1 = plan_fingerprint(q["kpi36"](spark, c.SF_DIR))["plan_hash"]
+    for name in ("q1_pricing_summary", "window_entropy"):
+        q[name](spark, c.SF_DIR).collect()  # advance the id counter
+    h2 = plan_fingerprint(q["kpi36"](spark, c.SF_DIR))["plan_hash"]
+    assert h1 == h2
+
+
+def test_canonical_sorts_are_nesting_aware():
+    from fiveg_spark.plans.plan_ledger import canonical_plan
+
+    a = ("HashAggregate(keys=[a#1, CASE WHEN (x, y) THEN 1 ELSE 0 END#3, "
+         "b#2], functions=[f(a#1), g(b#2)])")
+    b = ("HashAggregate(keys=[b#9, a#8, CASE WHEN (x, y) THEN 1 ELSE 0 "
+         "END#7], functions=[g(b#9), f(a#8)])")
+    assert canonical_plan(a) == canonical_plan(b)
+    # rangepartitioning keeps its order — sort keys ARE semantics
+    r1 = "Exchange rangepartitioning(a#1 ASC, b#2 ASC, 200)"
+    r2 = "Exchange rangepartitioning(b#2 ASC, a#1 ASC, 200)"
+    assert canonical_plan(r1) != canonical_plan(r2)
+    # Expand: gid literals normalize, groups and slots sort, and the
+    # trailing output list sorts
+    e1 = "Expand [[a#1, null, 0], [null, b#2, 1]], [a#1, b#2, gid#3]"
+    e2 = "Expand [[b#5, null, 0], [null, a#4, 1]], [b#5, a#4, gid#6]"
+    assert canonical_plan(e1) == canonical_plan(e2)
