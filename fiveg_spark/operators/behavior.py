@@ -1559,3 +1559,123 @@ QUERIES.extend([
     materialized_backed("dormancy_spell_profile", _dormancy_parts,
                         ("events",), deferred=True),
 ])
+
+
+HAZARD_RUNGS = 7
+
+
+def _return_hazard_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C168 — discrete return-hazard ladder (the survival twin of
+    # C167's dormancy census): h(k) = P(user returns on day k | hasn't
+    # returned in the first k−1 days), for k = 1..7, over all
+    # consecutive-event gaps.  Retention work reads this curve to
+    # place the winback touchpoint — C23's cohort grid shows THAT
+    # users decay, the hazard shows WHEN the marginal return
+    # probability collapses.
+    #
+    # One per-user lag window → ONE materialized 1-row sum frame (2
+    # sums per rung); the rung table unpivots from that tiny frame.
+    es = epoch("ts", d)
+    sums = ",\n        ".join(
+        f"sum(CASE WHEN gap_days >= {k - 1}.0 THEN 1.0 ELSE 0.0 END) "
+        f"AS at_risk_{k},\n        "
+        f"sum(CASE WHEN gap_days >= {k - 1}.0 AND gap_days < {k}.0 "
+        f"THEN 1.0 ELSE 0.0 END) AS ret_{k}"
+        for k in range(1, HAZARD_RUNGS + 1)
+    )
+    gaps_sql = f"""
+      WITH seq AS (
+        SELECT
+          ({es} - lag({es}) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+          )) / 86400.0 AS gap_days
+        FROM events
+      )
+      SELECT
+        CAST(count(gap_days) AS DOUBLE) AS n_gaps,
+        {sums}
+      FROM seq
+    """
+    branches = "\n      UNION ALL ".join(
+        f"SELECT {k} AS day_k, n_gaps, at_risk_{k} AS at_risk, "
+        f"ret_{k} AS returned FROM _mz_hz_sums"
+        for k in range(1, HAZARD_RUNGS + 1)
+    )
+    tail = f"""
+    WITH rungs AS (
+      {branches}
+    )
+    SELECT
+      CAST(day_k AS BIGINT) AS day_k,
+      {cnt("n_gaps", "n_gaps")},
+      {cnt("at_risk", "n_at_risk")},
+      {cnt("returned", "n_returned")},
+      {dbl("CASE WHEN at_risk > 0.0 THEN returned / at_risk "
+           "ELSE 0.0 END", "hazard")},
+      {dbl("CASE WHEN n_gaps > 0.0 THEN at_risk / n_gaps "
+           "ELSE 0.0 END", "survival_share")}
+    FROM rungs
+    ORDER BY day_k
+    """
+    return [("_mz_hz_sums", gaps_sql)], tail
+
+
+SESSION_GAP_S = 1800.0  # the C6 sessionizer's 30-minute threshold
+DEPTH_CAP = 10
+
+
+def _session_depth_sql(d: str) -> str:
+    # C169 — value by position-in-session (the engagement fatigue
+    # curve): is the 5th event of a session worth as much as the 1st?
+    # C6 sessionizes and stops at session grain; this re-opens the
+    # session and indexes its events.  Depths past DEPTH_CAP pool into
+    # one tail bucket so the output stays bounded.
+    #
+    # Scale: two per-user windows (session start flags → running
+    # session id → row_number within session) — all bounded by a
+    # user's history, the C6 discipline; one ≤DEPTH_CAP+1 rollup.
+    es = epoch("ts", d)
+    return f"""
+    WITH stepped AS (
+      SELECT user_id, value, ts, event_id,
+        CASE WHEN lag({es}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) IS NULL
+             OR {es} - lag({es}) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) > {SESSION_GAP_S!r}
+             THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, value, ts, event_id,
+        sum(is_start) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sess_id
+      FROM stepped
+    ),
+    depths AS (
+      SELECT value,
+        least(CAST(row_number() OVER (
+          PARTITION BY user_id, sess_id ORDER BY ts, event_id
+        ) AS BIGINT), {DEPTH_CAP + 1}) AS depth
+      FROM sessions
+    )
+    SELECT
+      depth,
+      {cnt("count(*)", "n_events")},
+      {dbl("avg(value)", "mean_value")},
+      {dbl("sum(value)", "total_value")}
+    FROM depths
+    GROUP BY depth
+    ORDER BY depth
+    """
+
+
+QUERIES.extend([
+    materialized_backed("return_hazard_ladder", _return_hazard_parts,
+                        ("events",), deferred=True),
+    sql_backed("session_depth_value_curve", _session_depth_sql,
+               ("events",), deferred=True),
+])

@@ -282,3 +282,58 @@ QUERIES = [
     sql_backed("jl_norm_preservation", _jl_norm_sql, ("embeddings",),
                deferred=True),
 ]
+
+
+def _knn_confusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E126 — kNN label-confusion matrix: WHERE does neighbor voting
+    # bleed?  E47's knn_label_consistency reports per-label purity (a
+    # diagonal-only readout); retrieval/labeling debugging needs the
+    # off-diagonal structure — which label pairs actually confuse.
+    # From the shared top-k rank frame: per (anchor label, neighbor
+    # label) cell, neighbor share within the anchor label + the lift
+    # against the neighbor label's base rate (a cell can be large just
+    # because the label is common; lift > 1 is real attraction).
+    parts = [_ranked_pairs_part(d, "cf")]
+    tail = f"""
+    WITH topk AS (
+      SELECT r.anchor, r.neighbor
+      FROM _mz_cf_ranked r WHERE r.rn <= {HUB_K}
+    ),
+    labeled AS (
+      SELECT ea.label AS anchor_label, eb.label AS neighbor_label
+      FROM topk t
+      JOIN embeddings ea ON ea.vec_id = t.anchor
+      JOIN embeddings eb ON eb.vec_id = t.neighbor
+    ),
+    cells AS (
+      SELECT anchor_label, neighbor_label, count(*) AS n
+      FROM labeled GROUP BY anchor_label, neighbor_label
+    ),
+    margins AS (
+      SELECT anchor_label, neighbor_label, n,
+        CAST(sum(n) OVER (PARTITION BY anchor_label) AS DOUBLE)
+          AS row_tot,
+        CAST(sum(n) OVER (PARTITION BY neighbor_label) AS DOUBLE)
+          AS col_tot,
+        CAST(sum(n) OVER () AS DOUBLE) AS tot
+      FROM cells
+    )
+    SELECT
+      CAST(anchor_label AS BIGINT) AS anchor_label,
+      CAST(neighbor_label AS BIGINT) AS neighbor_label,
+      {cnt("n", "n_votes")},
+      {dbl("n / row_tot", "neighbor_share")},
+      {dbl("CASE WHEN col_tot > 0.0 "
+           "THEN (n / row_tot) / (col_tot / tot) ELSE 0.0 END",
+           "lift_vs_base_rate")},
+      CAST(anchor_label = neighbor_label AS BOOLEAN) AS is_diagonal
+    FROM margins
+    ORDER BY anchor_label, neighbor_label
+    """
+    return parts, tail
+
+
+QUERIES.append(
+    materialized_backed("knn_label_confusion", _knn_confusion_parts,
+                        ("embeddings",), deferred=True)
+)

@@ -23,6 +23,7 @@ from fiveg_spark.plans.registry import (
     corr_safe,
     dbl,
     epoch,
+    materialized_backed,
     pct,
     sql_backed,
 )
@@ -905,4 +906,159 @@ QUERIES.extend([
                ("lineitem", "part"), deferred=True),
     sql_backed("nation_metric_kendall", _nation_kendall_sql,
                ("customer", "orders"), deferred=True),
+])
+
+
+def _price_index_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C170 — classical price indices per ship month (Laspeyres,
+    # Paasche, Fisher): the macro complement to C164's cross-supplier
+    # dispersion — is the realized price LEVEL of the traded basket
+    # moving?  Laspeyres weights by base-month quantities (q₀),
+    # Paasche by current (q_t), Fisher is their geometric mean; all
+    # over parts present in BOTH the base and current month (matched
+    # basket — the textbook requirement, the share of current-month
+    # value it covers is reported as basket_coverage).
+    #
+    # Scale: ONE (part, month) rollup (single fact shuffle),
+    # materialized because the base-month frame, the per-month tail,
+    # and the coverage sum all read it; the base month is a broadcast
+    # 1-row min; index arithmetic rides the ≤|parts|·|months| frame.
+    mo = f"CAST(floor({_eday('l_shipdate', d)} / 30.0) AS BIGINT)"
+    pm_sql = f"""
+      SELECT l_partkey AS pk, {mo} AS mo,
+        sum(l_quantity) AS qty,
+        sum(l_extendedprice) AS val,
+        sum(l_extendedprice) / sum(l_quantity) AS unit_price
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_partkey, {mo}
+    """
+    tail = f"""
+    WITH base_mo AS (
+      SELECT min(mo) AS mo0 FROM _mz_pi_pm
+    ),
+    base AS (
+      SELECT p.pk, p.qty AS q0, p.unit_price AS p0
+      FROM _mz_pi_pm p CROSS JOIN base_mo b
+      WHERE p.mo = b.mo0
+    ),
+    matched AS (
+      SELECT cur.mo, cur.pk,
+        cur.unit_price AS pt, cur.qty AS qt, cur.val AS vt,
+        b.p0, b.q0
+      FROM _mz_pi_pm cur
+      JOIN base b ON b.pk = cur.pk
+    ),
+    idx AS (
+      SELECT mo,
+        CAST(count(*) AS BIGINT) AS n_matched_parts,
+        sum(pt * q0) / nullif(sum(p0 * q0), 0.0) AS laspeyres,
+        sum(pt * qt) / nullif(sum(p0 * qt), 0.0) AS paasche,
+        sum(vt) AS matched_val
+      FROM matched GROUP BY mo
+    ),
+    tot AS (
+      SELECT mo, sum(val) AS month_val FROM _mz_pi_pm GROUP BY mo
+    )
+    SELECT
+      i.mo AS ship_month,
+      {cnt("i.n_matched_parts", "n_matched_parts")},
+      {dbl("i.laspeyres", "laspeyres_index")},
+      {dbl("i.paasche", "paasche_index")},
+      {dbl("sqrt(greatest(round(coalesce(i.laspeyres, 0.0) + {N}, 4)"
+           " * round(coalesce(i.paasche, 0.0) + {N}, 4), 0.0))",
+           "fisher_index")},
+      {dbl("i.matched_val / nullif(t.month_val, 0.0)",
+           "basket_coverage")}
+    FROM idx i JOIN tot t ON t.mo = i.mo
+    ORDER BY ship_month
+    """.replace("{N}", NUDGE)
+    return [("_mz_pi_pm", pm_sql)], tail
+
+
+def _value_mix_shift_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C171 — year-over-year order-value MIX shift: each year's orders
+    # split into global value quartiles (broadcast exact bounds — the
+    # C144 recipe), then the Jensen-Shannon divergence between
+    # consecutive years' quartile mixes.  C113 tracks revenue LEVEL
+    # growth; this flags COMPOSITION change (same revenue, different
+    # basket shape) — the early signal of a customer-base shift.
+    #
+    # The JSD sums over a DENSE year x quartile spine: the first draft
+    # summed only cells PRESENT in the current year, so mass vanishing
+    # from a prior-year cell went uncounted and a total shift scored
+    # half its true divergence (caught by the planted fixture).
+    # Shares are floored and rounded before log2 (the D27 PSI parity
+    # discipline); the shares frame materializes (the spine + two
+    # joins read it three times).
+    vb = ", ".join(
+        f"{pct('o_totalprice', p, d)} AS v{i}"
+        for i, p in ((1, 0.25), (2, 0.5), (3, 0.75))
+    )
+    q = (
+        "CASE WHEN o.o_totalprice <= b.v1 THEN 1 "
+        "WHEN o.o_totalprice <= b.v2 THEN 2 "
+        "WHEN o.o_totalprice <= b.v3 THEN 3 ELSE 4 END"
+    )
+    share = ("round(greatest(CAST(n AS DOUBLE) / tot, 1e-4) "
+             f"+ {NUDGE}, 4) + 0.0")
+    shares_sql = f"""
+      WITH bounds AS (SELECT {vb} FROM orders),
+      cells AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+          CAST({q} AS BIGINT) AS quartile,
+          count(*) AS n
+        FROM orders o CROSS JOIN bounds b
+        GROUP BY CAST(year(o.o_orderdate) AS BIGINT), {q}
+      )
+      SELECT yr, quartile, {share} AS p
+      FROM (
+        SELECT yr, quartile, n,
+          CAST(sum(n) OVER (PARTITION BY yr) AS DOUBLE) AS tot
+        FROM cells
+      ) t
+    """
+    m = f"round((p + q_) / 2.0 + {NUDGE}, 4)"
+    jsd_term = f"0.5 * p * log2(p / {m}) + 0.5 * q_ * log2(q_ / {m})"
+    tail = f"""
+    WITH years AS (SELECT DISTINCT yr FROM _mz_vmx_shares),
+    spine AS (
+      SELECT y.yr, qq.quartile
+      FROM years y CROSS JOIN (
+        SELECT 1 AS quartile UNION ALL SELECT 2
+        UNION ALL SELECT 3 UNION ALL SELECT 4
+      ) qq
+    ),
+    pairs AS (
+      SELECT s.yr,
+        coalesce(c.p, 1e-4) AS p,
+        coalesce(pv.p, 1e-4) AS q_
+      FROM spine s
+      LEFT JOIN _mz_vmx_shares c
+        ON c.yr = s.yr AND c.quartile = s.quartile
+      LEFT JOIN _mz_vmx_shares pv
+        ON pv.yr = s.yr - 1 AND pv.quartile = s.quartile
+    ),
+    jsd AS (
+      SELECT yr, sum({jsd_term}) AS js_div,
+        CAST(count(*) AS BIGINT) AS n_cells
+      FROM pairs GROUP BY yr
+    ),
+    first_yr AS (SELECT min(yr) AS y0 FROM _mz_vmx_shares)
+    SELECT
+      j.yr AS order_year,
+      {cnt("j.n_cells", "n_cells")},
+      {dbl("CASE WHEN j.yr = f.y0 THEN 0.0 ELSE j.js_div END",
+           "js_divergence_vs_prior")}
+    FROM jsd j CROSS JOIN first_yr f
+    ORDER BY order_year
+    """
+    return [("_mz_vmx_shares", shares_sql)], tail
+
+
+QUERIES.extend([
+    materialized_backed("laspeyres_price_index", _price_index_parts,
+                        ("lineitem",), deferred=True),
+    materialized_backed("value_mix_shift_yearly", _value_mix_shift_parts,
+                        ("orders",), deferred=True),
 ])

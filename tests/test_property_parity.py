@@ -426,6 +426,7 @@ def _event_sql_fns():
     from fiveg_spark.operators.analytics_ext import _mode_sql
     from fiveg_spark.operators.behavior import (
         _activity_by_tenure_sql,
+        _session_depth_sql,
         _growth_accounting_sql,
         _semi_markov_sql,
         _session_paths_sql,
@@ -541,6 +542,9 @@ def _event_sql_fns():
         # four IGNORE NULLS anchors: sparse grids exercise the
         # time-weighted interp; dense ones are all 'obs'
         "linear_interp_gapfill": _linear_interp_sql,
+        # two nested per-user windows + the DEPTH_CAP tail pool;
+        # tied timestamps exercise the (ts, event_id) tiebreak
+        "session_depth_value_curve": _session_depth_sql,
         # single-agg GOF identity 24·Σc²/n − n: single-hour types pin
         # peak_hour_share at 1.0 and chi2 at 23n (max nonuniformity)
         "chisq_hour_uniformity": _chisq_hour_uniformity_sql,
@@ -943,7 +947,10 @@ def _event_parts_fns():
         _levene_parts,
         _weibull_iat_parts,
     )
-    from fiveg_spark.operators.behavior import _dormancy_parts
+    from fiveg_spark.operators.behavior import (
+        _dormancy_parts,
+        _return_hazard_parts,
+    )
     from fiveg_spark.operators.ts_advanced import _partial_corr_parts
 
     return {
@@ -1017,6 +1024,9 @@ def _event_parts_fns():
         # complete-case pivot: streams missing a slice-hour leave the
         # frame empty (n_hours 0, every corr at the degenerate 0)
         "partial_corr_slices": _partial_corr_parts,
+        # rung unpivot from the 1-row sum frame: single-event users
+        # contribute no gaps (at_risk 0 -> hazard guard on every rung)
+        "return_hazard_ladder": _return_hazard_parts,
         # complete-block census: single-slice streams make every hour
         # complete (ranks all 1); identical rank patterns hit A2 = B2
         "friedman_slices": _friedman_parts,
@@ -1189,7 +1199,9 @@ def _star_sql_fns():
         _nation_kendall_sql,
         _nrr_sql,
         _price_dispersion_sql,
+        _price_index_parts,
         _safety_stock_sql,
+        _value_mix_shift_parts,
     )
     from fiveg_spark.operators.relational_ext import (
         _brand_loyalty_sql,
@@ -1302,6 +1314,13 @@ def _star_sql_fns():
         # exact-integer pair census on ROUNDED revenue: all-tied
         # customer counts zero the tau-b denominator
         "nation_metric_kendall": _nation_kendall_sql,
+        # matched-basket indices: single-month fragments make base =
+        # current (all indices 1.0); parts absent from the base month
+        # drop and show up as basket_coverage < 1
+        "laspeyres_price_index": _folded_parts(_price_index_parts),
+        # dense year x quartile spine with floored shares: collapsed
+        # bounds put everything in one cell; first year pins JSD 0.0
+        "value_mix_shift_yearly": _folded_parts(_value_mix_shift_parts),
     }
 
 
@@ -1756,6 +1775,7 @@ def test_embedding_smoothness_on_random_vectors(spark):
 def _embgeo_parts_fns():
     from fiveg_spark.operators.embedding_geometry import (
         _hubness_parts,
+        _knn_confusion_parts,
         _twonn_parts,
     )
 
@@ -1766,6 +1786,9 @@ def _embgeo_parts_fns():
         # n=1 corpora pin nk=0 everywhere (skew guard, antihub 1.0);
         # duplicate-heavy sets make rank ties common (vec_id tiebreak)
         "knn_hubness_profile": _hubness_parts,
+        # margin windows over the <=|labels|² cell frame; single-label
+        # corpora emit one all-diagonal cell at lift exactly 1.0
+        "knn_label_confusion": _knn_confusion_parts,
     }
 
 

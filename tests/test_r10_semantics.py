@@ -595,3 +595,130 @@ def test_partial_corr_closed_form(spark):
     um = got["URLLC~mMTC"]
     assert um["r_raw"] == pytest.approx(0.8, abs=1e-4)
     assert um["r_partial"] == 0.0
+
+
+# ---- batch 4: hazard, session depth, price index, mix shift, confusion ----
+
+
+def test_return_hazard_closed_form(spark):
+    from fiveg_spark.operators.behavior import _return_hazard_parts
+
+    # one user, gaps 0.5 d and 2.5 d: h(1) = 1/2, h(2) = 0/1, h(3) = 1/1
+    day = 86400
+    _events_view(spark, [
+        (0, BASE, 1, "a", 1.0),
+        (1, BASE + day // 2, 1, "a", 1.0),
+        (2, BASE + 3 * day, 1, "a", 1.0),
+    ])
+    got = {r["day_k"]: r.asDict()
+           for r in run_parts(spark, _return_hazard_parts).collect()}
+    assert got[1]["n_at_risk"] == 2 and got[1]["hazard"] == 0.5
+    assert got[2]["n_at_risk"] == 1 and got[2]["hazard"] == 0.0
+    assert got[3]["n_at_risk"] == 1 and got[3]["hazard"] == 1.0
+    for k in (4, 5, 6, 7):
+        assert got[k]["n_at_risk"] == 0 and got[k]["hazard"] == 0.0
+    assert got[1]["survival_share"] == 1.0
+    assert got[3]["survival_share"] == 0.5
+
+
+def test_session_depth_closed_form(spark):
+    from fiveg_spark.operators.behavior import _session_depth_sql
+
+    # session 1: depths 1,2,3 (values 10,20,30); session 2 (2 h later,
+    # past the 30-min gap): depth 1 (value 99)
+    _events_view(spark, [
+        (0, BASE, 1, "a", 10.0),
+        (1, BASE + 60, 1, "a", 20.0),
+        (2, BASE + 120, 1, "a", 30.0),
+        (3, BASE + 7200 + 120, 1, "a", 99.0),
+    ])
+    got = {r["depth"]: r.asDict()
+           for r in spark.sql(_session_depth_sql("spark")).collect()}
+    assert got[1]["n_events"] == 2
+    assert got[1]["mean_value"] == pytest.approx(54.5, abs=1e-4)
+    assert got[2]["n_events"] == 1 and got[2]["mean_value"] == 20.0
+    assert got[3]["n_events"] == 1 and got[3]["mean_value"] == 30.0
+
+
+def test_price_index_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import _price_index_parts
+
+    m0, m1 = 19650, 19680  # exact 30-day boundaries
+    spark.createDataFrame(
+        [(1, 5.0, 50.0, m0), (1, 2.0, 40.0, m1), (2, 3.0, 60.0, m1)],
+        "l_partkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE, "
+        "sd BIGINT",
+    ).selectExpr(
+        "l_partkey", "l_quantity", "l_extendedprice",
+        "CAST(timestamp_micros(sd * 86400 * 1000000) AS TIMESTAMP) "
+        "AS l_shipdate",
+    ).createOrReplaceTempView("lineitem")
+    got = {r["ship_month"]: r.asDict()
+           for r in run_parts(spark, _price_index_parts).collect()}
+    base = got[m0 // 30]
+    assert base["laspeyres_index"] == 1.0 and base["paasche_index"] == 1.0
+    cur = got[m1 // 30]
+    # part 1: price 10 -> 20 with base qty 5, current qty 2; part 2
+    # has no base month -> dropped, coverage = 40/100
+    assert cur["n_matched_parts"] == 1
+    assert cur["laspeyres_index"] == 2.0
+    assert cur["paasche_index"] == 2.0
+    assert cur["fisher_index"] == pytest.approx(2.0, abs=1e-4)
+    assert cur["basket_coverage"] == pytest.approx(0.4, abs=1e-4)
+
+
+def test_value_mix_shift_identical_years_is_zero(spark):
+    from fiveg_spark.operators.supply_fulfillment import (
+        _value_mix_shift_parts,
+    )
+
+    rows = []
+    for y, d0 in ((1995, "1995-03-01"), (1996, "1996-03-01")):
+        for i, v in enumerate((10.0, 20.0, 30.0, 40.0)):
+            rows.append((y * 10 + i, v, d0))
+    spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_totalprice DOUBLE, d STRING"
+    ).selectExpr(
+        "o_orderkey", "o_totalprice", "CAST(d AS TIMESTAMP) AS o_orderdate"
+    ).createOrReplaceTempView("orders")
+    got = {r["order_year"]: r.asDict()
+           for r in run_parts(spark, _value_mix_shift_parts).collect()}
+    assert got[1995]["js_divergence_vs_prior"] == 0.0  # first year
+    assert got[1996]["js_divergence_vs_prior"] == 0.0  # identical mix
+
+
+def test_value_mix_shift_flags_real_shift(spark):
+    from fiveg_spark.operators.supply_fulfillment import (
+        _value_mix_shift_parts,
+    )
+
+    rows = [(i, 10.0, "1995-03-01") for i in range(4)]
+    rows += [(100 + i, 40.0, "1996-03-01") for i in range(4)]
+    spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_totalprice DOUBLE, d STRING"
+    ).selectExpr(
+        "o_orderkey", "o_totalprice", "CAST(d AS TIMESTAMP) AS o_orderdate"
+    ).createOrReplaceTempView("orders")
+    got = {r["order_year"]: r.asDict()
+           for r in run_parts(spark, _value_mix_shift_parts).collect()}
+    assert got[1996]["js_divergence_vs_prior"] > 0.9  # near-total shift
+
+
+def test_knn_confusion_two_clusters(spark):
+    from fiveg_spark.operators.embedding_geometry import _knn_confusion_parts
+
+    # two 2-point clusters far apart; k=5 >= n-1 so every point votes
+    # for all others: label-0 anchors cast 2 within + 4 across votes
+    _emb_view(
+        spark,
+        [[0.0, 0.0], [1.0, 0.0], [10.0, 0.0], [11.0, 0.0]],
+        labels=[0, 0, 1, 1],
+    )
+    got = {(r["anchor_label"], r["neighbor_label"]): r.asDict()
+           for r in run_parts(spark, _knn_confusion_parts).collect()}
+    assert got[(0, 0)]["n_votes"] == 2 and got[(0, 1)]["n_votes"] == 4
+    assert got[(0, 0)]["neighbor_share"] == pytest.approx(1 / 3, abs=1e-4)
+    assert got[(0, 0)]["is_diagonal"] and not got[(0, 1)]["is_diagonal"]
+    # lift: share / base rate = (1/3) / (6/12)
+    assert got[(0, 0)]["lift_vs_base_rate"] == pytest.approx(2 / 3, abs=1e-4)
+    assert got[(0, 1)]["lift_vs_base_rate"] == pytest.approx(4 / 3, abs=1e-4)
