@@ -1062,3 +1062,45 @@ QUERIES.extend([
     materialized_backed("value_mix_shift_yearly", _value_mix_shift_parts,
                         ("orders",), deferred=True),
 ])
+
+
+def _basket_tradeoff_sql(d: str) -> str:
+    # C172 — basket size vs unit-price tradeoff: do bigger orders buy
+    # cheaper items?  Per order: line count + mean realized unit
+    # price; bucketed curve (1..6 lines, 7+ pooled) plus the in-row
+    # corr_safe dependence — the merchandising readout between C103's
+    # within-part elasticity and C137's header profile.
+    #
+    # One orderkey shuffle (group lineitem by order), ≤7-row rollup;
+    # the corr rides the same per-order frame via a second tiny agg
+    # joined back broadcast.
+    return f"""
+    WITH per_order AS (
+      SELECT l_orderkey,
+        CAST(count(*) AS DOUBLE) AS n_lines,
+        avg(l_extendedprice / l_quantity) AS mean_unit_price
+      FROM lineitem
+      WHERE l_quantity > 0
+      GROUP BY l_orderkey
+    ),
+    dep AS (
+      SELECT round({corr_safe("n_lines", "mean_unit_price")}
+                   + {NUDGE}, 4) + 0.0 AS size_price_corr
+      FROM per_order
+    )
+    SELECT
+      least(CAST(p.n_lines AS BIGINT), 7) AS n_lines_bucket,
+      {cnt("count(*)", "n_orders")},
+      {dbl("avg(p.mean_unit_price)", "mean_unit_price")},
+      {dbl("avg(p.n_lines)", "mean_lines")},
+      {dbl("max(d.size_price_corr)", "size_price_corr")}
+    FROM per_order p CROSS JOIN dep d
+    GROUP BY least(CAST(p.n_lines AS BIGINT), 7)
+    ORDER BY n_lines_bucket
+    """
+
+
+QUERIES.extend([
+    sql_backed("basket_size_price_tradeoff", _basket_tradeoff_sql,
+               ("lineitem",), deferred=True),
+])

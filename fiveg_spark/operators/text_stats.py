@@ -1261,3 +1261,85 @@ QUERIES.extend([
     sql_backed("yule_k_profile", _yule_k_sql, ("documents",),
                deferred=True),
 ])
+
+
+HEAD_SHARE = 0.2  # leading fraction of a doc counted as its "head"
+
+
+def _ngram_position_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E127 — positional bias of cross-doc repeated 3-grams: E42 finds
+    # WHICH shingles are boilerplate (repeated across docs); this
+    # finds WHERE they sit — headers/navigation concentrate in the
+    # first HEAD_SHARE of a doc, so a head-lift ≫ 1 says a simple
+    # prefix-trim would remove most boilerplate BEFORE paying for
+    # line-level dedup (E41).  Per source: repeated-shingle share,
+    # head share among repeated occurrences, lift vs the HEAD_SHARE
+    # baseline.
+    #
+    # Positional shingles: token index via posexplode (Spark) /
+    # generate_subscripts (DuckDB) + two lead() windows per doc
+    # (bounded by doc length); the shingle frame MATERIALIZES —
+    # corpus-level repetition counts and per-occurrence position reads
+    # both consume it.
+    toks = _tok(d)
+    if d == "spark":
+        exploded = (f"SELECT doc_id, source, pos, tok FROM documents "
+                    f"LATERAL VIEW posexplode({toks}) t AS pos, tok")
+    else:
+        exploded = (f"SELECT doc_id, source, "
+                    f"generate_subscripts({toks}, 1) - 1 AS pos, "
+                    f"unnest({toks}) AS tok FROM documents")
+    shingles_sql = f"""
+      WITH toks AS (
+        {exploded}
+      ),
+      grams AS (
+        SELECT doc_id, source, pos,
+          tok || ' ' ||
+          lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+          lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle,
+          CAST(count(*) OVER (PARTITION BY doc_id) AS DOUBLE) AS n_toks
+        FROM toks
+      )
+      SELECT doc_id, source, pos, shingle, n_toks - 2.0 AS n_shingles
+      FROM grams WHERE shingle IS NOT NULL
+    """
+    tail = f"""
+    WITH rep AS (
+      SELECT shingle
+      FROM _mz_pb_shingles
+      GROUP BY shingle
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    tagged AS (
+      SELECT s.source,
+        CAST(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END
+             AS DOUBLE) AS is_rep,
+        CAST(CASE WHEN s.n_shingles > 0.0
+                  AND CAST(s.pos AS DOUBLE) / s.n_shingles < {HEAD_SHARE!r}
+             THEN 1 ELSE 0 END AS DOUBLE) AS in_head
+      FROM _mz_pb_shingles s
+      LEFT JOIN rep r ON r.shingle = s.shingle
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_shingle_occurrences")},
+      {dbl("avg(is_rep)", "repeated_share")},
+      {dbl("CASE WHEN sum(is_rep) > 0.0 "
+           "THEN sum(is_rep * in_head) / sum(is_rep) ELSE 0.0 END",
+           "repeated_head_share")},
+      {dbl("avg(in_head)", "head_baseline_share")},
+      {dbl("CASE WHEN sum(is_rep) > 0.0 AND avg(in_head) > 0.0 "
+           "THEN (sum(is_rep * in_head) / sum(is_rep)) / avg(in_head) "
+           "ELSE 0.0 END", "head_lift")}
+    FROM tagged
+    GROUP BY source
+    ORDER BY source
+    """
+    return [("_mz_pb_shingles", shingles_sql)], tail
+
+
+QUERIES.extend([
+    materialized_backed("ngram_position_bias", _ngram_position_parts,
+                        ("documents",), deferred=True),
+])

@@ -2037,3 +2037,120 @@ QUERIES.extend([
     materialized_backed("partial_corr_slices", _partial_corr_parts,
                         ("events",), deferred=True),
 ])
+
+
+def _cointegration_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D81 — Engle-Granger cointegration screen per slice pair (Engle &
+    # Granger 1987 two-step, residual-based): D80 asks whether a
+    # pairwise CORRELATION is direct; this asks whether two load
+    # LEVELS share a long-run equilibrium — stage 1 fits y = a + b·x
+    # over the complete-case hourly pivot, stage 2 tests the residual
+    # for mean reversion via the no-constant ADF regression
+    # Δe_t = γ·e_{t−1} (γ significantly < 0 ⇒ the spread snaps back;
+    # capacity can then plan the PAIR, not two independent series).
+    # The t-stat compares against the no-constant DF 5% point (−1.95),
+    # reported as an approximation — the exact critical value depends
+    # on sample size and the estimated-residual correction.
+    #
+    # Scale: the pivot materializes once (bounded by calendar); the
+    # pair long-frame materializes once (3 pair branches would re-run
+    # the pivot inlined); stage-1 coefficients are a ≤3-row agg joined
+    # back broadcast; the lag window rides the tiny long frame.
+    # Stage-1 (a, b) round before the residuals (reuse discipline).
+    cols = {s: f"v_{s.lower()}" for s in _PC_SLICES}
+    pivots = ",\n        ".join(
+        f"max(CASE WHEN slice = '{s}' THEN throughput_bps END) AS {c}"
+        for s, c in cols.items()
+    )
+    pivot_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")},
+      pivoted AS (
+        SELECT h,
+        {pivots}
+        FROM hourly GROUP BY h
+      )
+      SELECT * FROM pivoted
+      WHERE v_embb IS NOT NULL AND v_urllc IS NOT NULL
+        AND v_mmtc IS NOT NULL
+    """
+    branches = "\n      UNION ALL ".join(
+        f"SELECT '{a}~{b}' AS pair, h, v_{a.lower()} AS x, "
+        f"v_{b.lower()} AS y FROM _mz_cg_pivot"
+        for a, b in (("eMBB", "URLLC"), ("eMBB", "mMTC"),
+                     ("URLLC", "mMTC"))
+    )
+    long_sql = f"""
+      {branches}
+    """
+    slope = ols_slope("x", "y")
+    tail = f"""
+    WITH fit1 AS (
+      SELECT pair,
+        round({slope} + {NUDGE}, 4) + 0.0 AS b,
+        round(avg(y) - ({slope}) * avg(x) + {NUDGE}, 4) + 0.0 AS a,
+        CAST(count(*) AS DOUBLE) AS n
+      FROM _mz_cg_long GROUP BY pair
+    ),
+    resid AS (
+      SELECT l.pair,
+        round(l.y - f.a - f.b * l.x + {NUDGE}, 4) + 0.0 AS e,
+        lag(round(l.y - f.a - f.b * l.x + {NUDGE}, 4) + 0.0) OVER (
+          PARTITION BY l.pair ORDER BY l.h
+        ) AS e_prev,
+        f.b AS beta, f.n AS n
+      FROM _mz_cg_long l JOIN fit1 f ON f.pair = l.pair
+    ),
+    stage2 AS (
+      SELECT pair, max(beta) AS beta, max(n) AS n_hours,
+        sum(CASE WHEN e_prev IS NOT NULL THEN e_prev * (e - e_prev)
+                 ELSE 0.0 END) AS sxy,
+        sum(CASE WHEN e_prev IS NOT NULL THEN e_prev * e_prev
+                 ELSE 0.0 END) AS sxx,
+        sum(CASE WHEN e_prev IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m
+      FROM resid GROUP BY pair
+    ),
+    gam AS (
+      SELECT pair, beta, n_hours, m,
+        CASE WHEN sxx > 1e-12 THEN sxy / sxx ELSE 0.0 END AS gamma,
+        sxx
+      FROM stage2
+    ),
+    se AS (
+      SELECT g.pair, g.beta, g.n_hours, g.m, g.gamma, g.sxx,
+        sum(CASE WHEN r.e_prev IS NOT NULL
+                 THEN (r.e - r.e_prev - g.gamma * r.e_prev)
+                      * (r.e - r.e_prev - g.gamma * r.e_prev)
+                 ELSE 0.0 END) AS ssr
+      FROM gam g JOIN resid r ON r.pair = g.pair
+      GROUP BY g.pair, g.beta, g.n_hours, g.m, g.gamma, g.sxx
+    )
+    SELECT
+      pair AS slice_pair,
+      {cnt("n_hours", "n_hours")},
+      {dbl("beta", "hedge_beta")},
+      {dbl("gamma", "adf_gamma")},
+      {dbl(
+          "CASE WHEN m > 2.0 AND sxx > 1e-12 AND ssr > 0.0 "
+          "THEN gamma / sqrt((ssr / (m - 1.0)) / sxx) ELSE 0.0 END",
+          "adf_t_stat",
+      )},
+      {dbl(
+          "CASE WHEN gamma < 0.0 AND gamma > -2.0 "
+          "AND 1.0 + gamma > 1e-12 "
+          "THEN -0.6931471805599453 / ln(round(1.0 + gamma + "
+          f"{NUDGE}, 4) + 0.0) ELSE 0.0 END",
+          "half_life_hours",
+      )},
+      CAST(CASE WHEN m > 2.0 AND sxx > 1e-12 AND ssr > 0.0
+                THEN gamma / sqrt((ssr / (m - 1.0)) / sxx) < -1.95
+                ELSE FALSE END AS BOOLEAN) AS mean_reverting
+    FROM se
+    ORDER BY slice_pair
+    """
+    return [("_mz_cg_pivot", pivot_sql), ("_mz_cg_long", long_sql)], tail
+
+
+QUERIES.extend([
+    materialized_backed("cointegration_screen", _cointegration_parts,
+                        ("events",), deferred=True),
+])

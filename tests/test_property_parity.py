@@ -804,6 +804,7 @@ def _doc_parts_fns():
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
     from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
     from fiveg_spark.operators.text_stats import (
+        _ngram_position_parts,
         _oov_rate_parts,
         _stopword_divergence_parts,
         _vocab_jaccard_parts,
@@ -826,6 +827,10 @@ def _doc_parts_fns():
         # constant (score ties break on token), shared-everything
         # vocabularies crush every score to the same value
         "tfidf_source_signature": _tfidf_source_signature_parts,
+        # posexplode/subscripts positional shingles: under-3-token
+        # docs emit none; single-doc corpora have no repeats (every
+        # share guard fires); all-same-docs put repeated_share at 1.0
+        "ngram_position_bias": _ngram_position_parts,
         "ppl_buckets": _ppl_buckets_parts,
         "minhash_recall_vs_exact": _minhash_recall_parts,
         # est/exact/3-sigma tolerance math: duplicate-heavy tiny
@@ -951,7 +956,10 @@ def _event_parts_fns():
         _dormancy_parts,
         _return_hazard_parts,
     )
-    from fiveg_spark.operators.ts_advanced import _partial_corr_parts
+    from fiveg_spark.operators.ts_advanced import (
+        _cointegration_parts,
+        _partial_corr_parts,
+    )
 
     return {
         # tie-heavy journeys: simultaneous touch/purchase timestamps
@@ -1027,6 +1035,9 @@ def _event_parts_fns():
         # rung unpivot from the 1-row sum frame: single-event users
         # contribute no gaps (at_risk 0 -> hazard guard on every rung)
         "return_hazard_ladder": _return_hazard_parts,
+        # two-stage OLS on the complete-case pivot: missing-slice
+        # streams empty the frame; constant residuals hit sxx <= 1e-12
+        "cointegration_screen": _cointegration_parts,
         # complete-block census: single-slice streams make every hour
         # complete (ranks all 1); identical rank patterns hit A2 = B2
         "friedman_slices": _friedman_parts,
@@ -1200,6 +1211,7 @@ def _star_sql_fns():
         _nrr_sql,
         _price_dispersion_sql,
         _price_index_parts,
+        _basket_tradeoff_sql,
         _safety_stock_sql,
         _value_mix_shift_parts,
     )
@@ -1318,6 +1330,9 @@ def _star_sql_fns():
         # current (all indices 1.0); parts absent from the base month
         # drop and show up as basket_coverage < 1
         "laspeyres_price_index": _folded_parts(_price_index_parts),
+        # qty>0 filter + corr_safe on the per-order frame: single-order
+        # fragments hit the degenerate-corr cutoff; 7+ lines pool
+        "basket_size_price_tradeoff": _basket_tradeoff_sql,
         # dense year x quartile spine with floored shares: collapsed
         # bounds put everything in one cell; first year pins JSD 0.0
         "value_mix_shift_yearly": _folded_parts(_value_mix_shift_parts),

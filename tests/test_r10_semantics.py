@@ -722,3 +722,89 @@ def test_knn_confusion_two_clusters(spark):
     # lift: share / base rate = (1/3) / (6/12)
     assert got[(0, 0)]["lift_vs_base_rate"] == pytest.approx(2 / 3, abs=1e-4)
     assert got[(0, 1)]["lift_vs_base_rate"] == pytest.approx(4 / 3, abs=1e-4)
+
+
+# ---- batch 5: cointegration, position bias, basket tradeoff ----
+
+
+def test_cointegration_perfect_pair_mean_reverts(spark):
+    from fiveg_spark.operators.ts_advanced import _cointegration_parts
+
+    # URLLC = 2x eMBB + alternating ±8 noise, mMTC constant-ish:
+    # the eMBB~URLLC residual alternates sign -> gamma ~ -2 bound...
+    # alternation gives e_t = -e_{t-1}: gamma = sxy/sxx = -2
+    rows, eid = [], 0
+    for i in range(8):
+        e = 10.0 * (i + 1)
+        noise = 1.0 if i % 2 == 0 else -1.0
+        rows.append((eid, BASE + 3600 * i, 0, "a", e)); eid += 1
+        rows.append((eid, BASE + 3600 * i, 1, "a", 2.0 * e + noise)); eid += 1
+        rows.append((eid, BASE + 3600 * i, 2, "a", 5.0)); eid += 1
+    _events_view(spark, rows)
+    got = {r["slice_pair"]: r.asDict()
+           for r in run_parts(spark, _cointegration_parts).collect()}
+    eu = got["eMBB~URLLC"]
+    assert eu["n_hours"] == 8
+    # both series are in throughput units (8x value), so beta ~ 2; the
+    # alternating noise tilts the finite-sample fit slightly
+    assert eu["hedge_beta"] == pytest.approx(2.0, abs=0.05)
+    # alternating residual: e_t ~ -e_{t-1} -> gamma near the -2 bound
+    assert eu["adf_gamma"] < -1.5
+    assert eu["mean_reverting"] is True
+
+
+def test_cointegration_constant_residual_guard(spark):
+    from fiveg_spark.operators.ts_advanced import _cointegration_parts
+
+    # URLLC exactly 2x eMBB: residuals all 0 -> sxx guard -> gamma 0
+    rows, eid = [], 0
+    for i in range(5):
+        e = 10.0 * (i + 1)
+        rows.append((eid, BASE + 3600 * i, 0, "a", e)); eid += 1
+        rows.append((eid, BASE + 3600 * i, 1, "a", 2.0 * e)); eid += 1
+        rows.append((eid, BASE + 3600 * i, 2, "a", 3.0 * e)); eid += 1
+    _events_view(spark, rows)
+    got = {r["slice_pair"]: r.asDict()
+           for r in run_parts(spark, _cointegration_parts).collect()}
+    eu = got["eMBB~URLLC"]
+    assert eu["adf_gamma"] == 0.0 and eu["mean_reverting"] is False
+    assert eu["half_life_hours"] == 0.0
+
+
+def test_ngram_position_bias_planted_header(spark):
+    from fiveg_spark.operators.text_stats import _ngram_position_parts
+
+    # 12-token docs sharing a 3-token header: the repeated shingle
+    # "h1 h2 h3" sits at position 0 of 10 shingles (head = pos < 2)
+    body_a = " ".join(f"a{i}" for i in range(9))
+    body_b = " ".join(f"b{i}" for i in range(9))
+    spark.createDataFrame(
+        [(0, f"h1 h2 h3 {body_a}", "en", "s1", 1),
+         (1, f"h1 h2 h3 {body_b}", "en", "s1", 1)],
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, "
+        "n_chars BIGINT",
+    ).createOrReplaceTempView("documents")
+    r = run_parts(spark, _ngram_position_parts).collect()[0].asDict()
+    # shingles per doc: 10; repeated across docs: "h1 h2 h3" + the two
+    # straddling shingles differ (h2 h3 a0 vs h2 h3 b0) -> only 1 each
+    assert r["n_shingle_occurrences"] == 20
+    assert r["repeated_share"] == pytest.approx(2 / 20, abs=1e-4)
+    assert r["repeated_head_share"] == 1.0  # pos 0 < 0.2*10
+    assert r["head_lift"] == pytest.approx(1.0 / r["head_baseline_share"],
+                                           abs=1e-3)
+
+
+def test_basket_tradeoff_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import _basket_tradeoff_sql
+
+    # order 1: one line at unit 10; order 2: two lines at units 2, 4
+    spark.createDataFrame(
+        [(1, 2.0, 20.0), (2, 1.0, 2.0), (2, 3.0, 12.0)],
+        "l_orderkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE",
+    ).createOrReplaceTempView("lineitem")
+    got = {r["n_lines_bucket"]: r.asDict()
+           for r in spark.sql(_basket_tradeoff_sql("spark")).collect()}
+    assert got[1]["n_orders"] == 1 and got[1]["mean_unit_price"] == 10.0
+    assert got[2]["n_orders"] == 1 and got[2]["mean_unit_price"] == 3.0
+    # two points, larger basket cheaper -> corr exactly -1
+    assert got[1]["size_price_corr"] == pytest.approx(-1.0, abs=1e-4)
