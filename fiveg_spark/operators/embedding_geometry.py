@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import hashlib
 
+from fiveg_spark.operators.similarity import _cos as _cos_expr
+
 from fiveg_spark.plans.registry import (
     NUDGE,
     cnt,
@@ -335,5 +337,71 @@ def _knn_confusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.append(
     materialized_backed("knn_label_confusion", _knn_confusion_parts,
+                        ("embeddings",), deferred=True)
+)
+
+
+DUP_THRESHOLD_LADDER = (0.20, 0.25, 0.30, 0.35, 0.40)
+
+
+def _cosine_curve_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E128 — cosine dedup-threshold sensitivity curve (the E71 tuning
+    # table for the EMBEDDING dedup family: E5 ships ONE threshold;
+    # the deployment question is the whole curve): per ladder rung,
+    # candidate-pair count and the GREEDY keep-first removal count —
+    # distinct vectors appearing as the HIGHER id of a qualifying pair
+    # (exactly the docs a keep-lowest-id dedup pass drops, no cluster
+    # graph needed).
+    #
+    # ONE exact pair scan (the E5/E6 small-corpus tool; IVF-blocked at
+    # scale) feeds a single multi-distinct agg; the rung table
+    # unpivots from that materialized 1-row frame.
+    cos = _cos_expr(d, "a.embedding", "b.embedding")
+    rung_cols = []
+    for i, t in enumerate(DUP_THRESHOLD_LADDER, start=1):
+        rung_cols.append(
+            f"sum(CASE WHEN cosine >= {t!r} THEN 1.0 ELSE 0.0 END) AS np{i}"
+        )
+        rung_cols.append(
+            f"count(DISTINCT CASE WHEN cosine >= {t!r} THEN vec_b END) "
+            f"AS nr{i}"
+        )
+    sums_sql = f"""
+      WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          round({cos} + {NUDGE}, 4) + 0.0 AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON b.vec_id > a.vec_id
+      )
+      SELECT
+        CAST(count(*) AS DOUBLE) AS n_pairs_total,
+        (SELECT CAST(count(*) AS DOUBLE) FROM embeddings) AS n_vecs,
+        {", ".join(rung_cols)}
+      FROM pairs
+    """
+    branches = "\n      UNION ALL ".join(
+        f"SELECT {t!r} AS threshold, n_pairs_total, n_vecs, "
+        f"np{i} AS n_pairs, CAST(nr{i} AS DOUBLE) AS n_removable "
+        f"FROM _mz_cc_sums"
+        for i, t in enumerate(DUP_THRESHOLD_LADDER, start=1)
+    )
+    tail = f"""
+    WITH rungs AS (
+      {branches}
+    )
+    SELECT
+      {dbl("threshold", "threshold")},
+      {cnt("n_pairs", "n_candidate_pairs")},
+      {dbl("n_pairs / nullif(n_pairs_total, 0.0)", "pair_share")},
+      {cnt("n_removable", "n_docs_removable")},
+      {dbl("n_removable / nullif(n_vecs, 0.0)", "removal_rate")}
+    FROM rungs
+    ORDER BY threshold
+    """
+    return [("_mz_cc_sums", sums_sql)], tail
+
+
+QUERIES.append(
+    materialized_backed("cosine_threshold_curve", _cosine_curve_parts,
                         ("embeddings",), deferred=True)
 )

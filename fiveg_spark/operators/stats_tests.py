@@ -535,3 +535,107 @@ QUERIES = [
     sql_backed("gumbel_maxima_fit", _gumbel_maxima_sql,
                ("events",), deferred=True),
 ]
+
+
+BOOTSTRAP_B = 20
+# Poisson(1) inverse-CDF ladder (cumulative probabilities), Python
+# doubles inlined (the D79 DECIMAL-literal lesson)
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+              0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+
+def _boot_u(b: int) -> str:
+    """Uniform-(0,1] from md5 digit arithmetic keyed (replicate,
+    event_id) — the B25/_u recipe, engine-exact."""
+    h = f"md5(concat('boot{b}#', CAST(event_id AS STRING)))"
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+        f" * {16.0 ** -i!r}"
+        for i in range(1, 9)
+    )
+    return f"({digits} + 1e-10)"
+
+
+def _poisson_bootstrap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D82 — Poisson bootstrap CI for the per-type mean value (Chamandy
+    # et al. 2012, "Estimating Uncertainty for Massive Data Streams" —
+    # THE distributed bootstrap): classical resampling needs n draws
+    # from n rows (a shuffle per replicate); the Poisson trick gives
+    # each row an independent Poisson(1) weight per replicate, so ALL
+    # B resamples ride ONE scan as 2B conditional sums — map-side
+    # partials, no shuffle beyond the type rollup, unchanged at 100 TB.
+    # Weights come from md5 inverse-CDF draws (deterministic,
+    # engine-exact); the replicate-mean spread is the bootstrap SE,
+    # reported next to the analytic sd/√n so the CALIBRATION is the
+    # readout (ratio ~ 1 validates both; a gap flags heavy tails or
+    # weight bugs).
+    w_cols, wv_cols = [], []
+    for b in range(1, BOOTSTRAP_B + 1):
+        u = _boot_u(b)
+        ladder = " ".join(
+            f"WHEN {u} < {c!r} THEN {k}.0"
+            for k, c in enumerate(_POIS1_CDF)
+        )
+        w = f"(CASE {ladder} ELSE 6.0 END)"
+        w_cols.append(f"sum({w}) AS w{b}")
+        wv_cols.append(f"sum({w} * value) AS wv{b}")
+    sums_sql = f"""
+      SELECT event_type,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(value) AS s,
+        sum(value * value) AS ss,
+        {", ".join(w_cols)},
+        {", ".join(wv_cols)}
+      FROM events
+      GROUP BY event_type
+    """
+    branches = "\n      UNION ALL ".join(
+        f"SELECT event_type, n, s, ss, "
+        f"round(wv{b} / nullif(w{b}, 0.0) + {NUDGE}, 4) + 0.0 AS m "
+        f"FROM _mz_boot_sums"
+        for b in range(1, BOOTSTRAP_B + 1)
+    )
+    tail = f"""
+    WITH reps AS (
+      {branches}
+    ),
+    agg AS (
+      SELECT event_type,
+        max(n) AS n, max(s) AS s, max(ss) AS ss,
+        CAST(count(m) AS DOUBLE) AS n_reps,
+        sum(coalesce(m, 0.0)) AS sm,
+        sum(coalesce(m * m, 0.0)) AS smm
+      FROM reps GROUP BY event_type
+    ),
+    stat AS (
+      SELECT event_type, n, n_reps,
+        s / n AS mean_v,
+        CASE WHEN n >= 2.0 AND ss - s * s / n > 0.0
+             THEN sqrt((ss - s * s / n) / (n - 1.0)) / sqrt(n)
+             ELSE 0.0 END AS se_analytic,
+        CASE WHEN n_reps >= 2.0 AND smm - sm * sm / n_reps > 0.0
+             THEN sqrt((smm - sm * sm / n_reps) / (n_reps - 1.0))
+             ELSE 0.0 END AS se_boot
+      FROM agg
+    )
+    SELECT
+      event_type,
+      {cnt("n", "n_events")},
+      {cnt("n_reps", "n_replicates")},
+      {dbl("mean_v", "mean_value")},
+      {dbl("se_analytic", "se_analytic")},
+      {dbl("se_boot", "se_bootstrap")},
+      {dbl("CASE WHEN se_analytic > 1e-12 THEN se_boot / se_analytic "
+           "ELSE 0.0 END", "se_calibration_ratio")},
+      {dbl("mean_v - 1.96 * se_boot", "ci95_lo")},
+      {dbl("mean_v + 1.96 * se_boot", "ci95_hi")}
+    FROM stat
+    ORDER BY event_type
+    """
+    return [("_mz_boot_sums", sums_sql)], tail
+
+
+QUERIES.extend([
+    materialized_backed("poisson_bootstrap_ci", _poisson_bootstrap_parts,
+                        ("events",), deferred=True),
+])

@@ -523,9 +523,10 @@ def _nation_brand_affinity_sql(d: str) -> str:
       brand,
       {cnt("n", "n_lines")},
       {dbl("n * tot / nullif(nation_n * brand_n, 0.0)", "lift")},
-      {dbl("(n - nation_n * brand_n / tot)"
-           " * (n - nation_n * brand_n / tot)"
-           " / nullif(nation_n * brand_n / tot, 0.0)", "chi2_contrib")}
+      {dbl("(n - nation_n * brand_n / nullif(tot, 0.0))"
+           " * (n - nation_n * brand_n / nullif(tot, 0.0))"
+           " / nullif(nation_n * brand_n / nullif(tot, 0.0), 0.0)",
+           "chi2_contrib")}
     FROM margined
     ORDER BY nation, brand
     """
@@ -1103,4 +1104,147 @@ def _basket_tradeoff_sql(d: str) -> str:
 QUERIES.extend([
     sql_backed("basket_size_price_tradeoff", _basket_tradeoff_sql,
                ("lineitem",), deferred=True),
+])
+
+
+def _leadtime_vardecomp_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D83 — nested variance decomposition of line-level lead time:
+    # SS_total splits into between-PRIORITY + between-BRAND-within-
+    # priority + residual (the unbalanced-safe nesting — a two-way
+    # crossed ANOVA is ambiguous on unbalanced counts).  The ops
+    # question behind C148's trend: is lead-time variation a PRIORITY
+    # policy effect, a BRAND/supply-base effect, or just noise no
+    # segmentation will fix?
+    #
+    # One fact scan → MATERIALIZED (priority, brand) cell stats (four
+    # consumers — prio twice, grand, parts_ss — re-ran the three-table
+    # join inlined: the advisor sweep caught 4 FileScans); everything
+    # above the cells is ≤|priorities|·|brands| arithmetic.  Cell and
+    # group means round before the squared differences.
+    lead = (
+        f"CAST({_eday('l.l_shipdate', d)} - {_eday('o.o_orderdate', d)} "
+        "AS DOUBLE)"
+    )
+    cells_sql = f"""
+      SELECT o.o_orderpriority AS priority, p.p_brand AS brand,
+        CAST(count(*) AS DOUBLE) AS n_c,
+        sum({lead}) AS s_c,
+        sum({lead} * {lead}) AS ss_c
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY o.o_orderpriority, p.p_brand
+    """
+    tail = f"""
+    WITH prio AS (
+      SELECT priority, sum(n_c) AS n_p, sum(s_c) AS s_p,
+        round(sum(s_c) / sum(n_c) + {NUDGE}, 4) + 0.0 AS m_p
+      FROM _mz_lvd_cells GROUP BY priority
+    ),
+    grand AS (
+      SELECT sum(n_c) AS n, round(sum(s_c) / sum(n_c) + {NUDGE}, 4) + 0.0
+        AS m
+      FROM _mz_lvd_cells
+    ),
+    parts_ss AS (
+      SELECT
+        sum(c.ss_c - c.s_c * c.s_c / c.n_c) AS ss_resid,
+        sum(c.n_c * (round(c.s_c / c.n_c + {NUDGE}, 4) + 0.0 - p.m_p)
+            * (round(c.s_c / c.n_c + {NUDGE}, 4) + 0.0 - p.m_p))
+          AS ss_brand,
+        sum(c.n_c * (p.m_p - g.m) * (p.m_p - g.m)) AS ss_prio_part
+      FROM _mz_lvd_cells c
+      JOIN prio p ON p.priority = c.priority
+      CROSS JOIN grand g
+    ),
+    tot AS (
+      SELECT ss_resid, ss_brand, ss_prio_part,
+        ss_resid + ss_brand + ss_prio_part AS ss_total
+      FROM parts_ss
+    )
+    SELECT
+      p.priority,
+      {cnt("p.n_p", "n_lines")},
+      {dbl("p.m_p", "mean_lead_days")},
+      {dbl("t.ss_prio_part / nullif(t.ss_total, 0.0)",
+           "priority_var_share")},
+      {dbl("t.ss_brand / nullif(t.ss_total, 0.0)",
+           "brand_within_var_share")},
+      {dbl("t.ss_resid / nullif(t.ss_total, 0.0)",
+           "residual_var_share")}
+    FROM prio p CROSS JOIN tot t
+    ORDER BY p.priority
+    """
+    return [("_mz_lvd_cells", cells_sql)], tail
+
+
+TOP_CUSTOMER_K = 50
+
+
+def _top_customer_turnover_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # C173 — year-over-year churn of the top-K customer set (the
+    # account-management twin of E118's trade-partner turnover): the
+    # Jaccard between consecutive years' top-{TOP_CUSTOMER_K} revenue
+    # sets + the share of this year's top set that is newly arrived.
+    # A stable business shows high overlap; a leaky one replaces its
+    # head every year while total revenue looks flat.
+    #
+    # Scale: (customer, year) rollup = one shuffle; the rank window
+    # partitions BY YEAR over that rollup (≤|customers| per partition,
+    # reduced frame); the ≤K·|years| top set MATERIALIZES — its four
+    # references (two self-join sides each in sizes and inter) re-ran
+    # the rollup+rank inlined (advisor sweep: 4 FileScans).
+    tops_sql = f"""
+      WITH cy AS (
+        SELECT o_custkey AS c, CAST(year(o_orderdate) AS BIGINT) AS yr,
+          round(sum(o_totalprice) + {NUDGE}, 4) + 0.0 AS rev
+        FROM orders
+        GROUP BY o_custkey, CAST(year(o_orderdate) AS BIGINT)
+      ),
+      ranked AS (
+        SELECT c, yr,
+          row_number() OVER (
+            PARTITION BY yr ORDER BY rev DESC, c
+          ) AS rk
+        FROM cy
+      )
+      SELECT c, yr FROM ranked WHERE rk <= {TOP_CUSTOMER_K}
+    """
+    tail = f"""
+    WITH sizes AS (
+      SELECT yr, CAST(count(*) AS DOUBLE) AS k
+      FROM _mz_tct_tops GROUP BY yr
+    ),
+    inter AS (
+      SELECT cur.yr, CAST(count(*) AS DOUBLE) AS n_common
+      FROM _mz_tct_tops cur JOIN _mz_tct_tops prev
+        ON prev.c = cur.c AND prev.yr = cur.yr - 1
+      GROUP BY cur.yr
+    )
+    SELECT
+      s1.yr - 1 AS year_from,
+      s1.yr AS year_to,
+      {cnt("s0.k", "k_prior")},
+      {cnt("s1.k", "k_current")},
+      {cnt("coalesce(i.n_common, 0)", "n_retained")},
+      {dbl("coalesce(i.n_common, 0.0) "
+           "/ (s0.k + s1.k - coalesce(i.n_common, 0.0))",
+           "top_set_jaccard")},
+      {dbl("1.0 - coalesce(i.n_common, 0.0) / s1.k",
+           "new_entrant_share")}
+    FROM sizes s1
+    JOIN sizes s0 ON s0.yr = s1.yr - 1
+    LEFT JOIN inter i ON i.yr = s1.yr
+    ORDER BY year_to
+    """
+    return [("_mz_tct_tops", tops_sql)], tail
+
+
+QUERIES.extend([
+    materialized_backed("leadtime_variance_decomposition",
+                        _leadtime_vardecomp_parts,
+                        ("lineitem", "orders", "part"), deferred=True),
+    materialized_backed("top_customer_turnover",
+                        _top_customer_turnover_parts,
+                        ("orders",), deferred=True),
 ])

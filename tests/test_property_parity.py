@@ -950,6 +950,7 @@ def _event_parts_fns():
         _friedman_parts,
         _kruskal_wallis_parts,
         _levene_parts,
+        _poisson_bootstrap_parts,
         _weibull_iat_parts,
     )
     from fiveg_spark.operators.behavior import (
@@ -1038,6 +1039,9 @@ def _event_parts_fns():
         # two-stage OLS on the complete-case pivot: missing-slice
         # streams empty the frame; constant residuals hit sxx <= 1e-12
         "cointegration_screen": _cointegration_parts,
+        # md5 Poisson weights: tiny streams make all-zero-weight
+        # replicates common (nullif(w) -> NULL mean, dropped from SE)
+        "poisson_bootstrap_ci": _poisson_bootstrap_parts,
         # complete-block census: single-slice streams make every hour
         # complete (ranks all 1); identical rank patterns hit A2 = B2
         "friedman_slices": _friedman_parts,
@@ -1212,7 +1216,9 @@ def _star_sql_fns():
         _price_dispersion_sql,
         _price_index_parts,
         _basket_tradeoff_sql,
+        _leadtime_vardecomp_parts,
         _safety_stock_sql,
+        _top_customer_turnover_parts,
         _value_mix_shift_parts,
     )
     from fiveg_spark.operators.relational_ext import (
@@ -1333,6 +1339,12 @@ def _star_sql_fns():
         # qty>0 filter + corr_safe on the per-order frame: single-order
         # fragments hit the degenerate-corr cutoff; 7+ lines pool
         "basket_size_price_tradeoff": _basket_tradeoff_sql,
+        # rounded cell/group means before squared diffs; single-cell
+        # fragments put the whole SS in the residual (nullif guard)
+        "leadtime_variance_decomposition": _folded_parts(_leadtime_vardecomp_parts),
+        # per-year rank cut + consecutive-year set arithmetic: single-
+        # year fragments emit no pairs; full churn pins jaccard 0
+        "top_customer_turnover": _folded_parts(_top_customer_turnover_parts),
         # dense year x quartile spine with floored shares: collapsed
         # bounds put everything in one cell; first year pins JSD 0.0
         "value_mix_shift_yearly": _folded_parts(_value_mix_shift_parts),
@@ -1789,6 +1801,7 @@ def test_embedding_smoothness_on_random_vectors(spark):
 
 def _embgeo_parts_fns():
     from fiveg_spark.operators.embedding_geometry import (
+        _cosine_curve_parts,
         _hubness_parts,
         _knn_confusion_parts,
         _twonn_parts,
@@ -1804,6 +1817,9 @@ def _embgeo_parts_fns():
         # margin windows over the <=|labels|² cell frame; single-label
         # corpora emit one all-diagonal cell at lift exactly 1.0
         "knn_label_confusion": _knn_confusion_parts,
+        # multi-distinct rung census on the half pair frame: single-
+        # vector corpora have zero pairs (every nullif share fires)
+        "cosine_threshold_curve": _cosine_curve_parts,
     }
 
 

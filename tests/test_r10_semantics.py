@@ -808,3 +808,112 @@ def test_basket_tradeoff_closed_form(spark):
     assert got[2]["n_orders"] == 1 and got[2]["mean_unit_price"] == 3.0
     # two points, larger basket cheaper -> corr exactly -1
     assert got[1]["size_price_corr"] == pytest.approx(-1.0, abs=1e-4)
+
+
+# ---- batch 6: bootstrap, variance decomposition, turnover, curve ----
+
+
+def test_poisson_bootstrap_calibrates_and_is_deterministic(spark):
+    from fiveg_spark.operators.stats_tests import _poisson_bootstrap_parts
+
+    # 60 events with sd 10: analytic SE = 10/sqrt(60); the md5-driven
+    # bootstrap SE must land in a sane band of it AND reproduce
+    # exactly across runs (no RNG anywhere)
+    import itertools
+    vals = list(itertools.islice(itertools.cycle([10.0, 20.0, 30.0]), 60))
+    _events_view(spark, [
+        (i, BASE + 60 * i, 0, "a", v) for i, v in enumerate(vals)
+    ])
+    r1 = run_parts(spark, _poisson_bootstrap_parts).collect()[0].asDict()
+    r2 = run_parts(spark, _poisson_bootstrap_parts).collect()[0].asDict()
+    assert r1 == r2  # deterministic resampling
+    assert r1["n_events"] == 60 and r1["n_replicates"] == 20
+    assert r1["mean_value"] == pytest.approx(20.0, abs=1e-4)
+    assert 0.4 < r1["se_calibration_ratio"] < 2.5  # B=20 is noisy but sane
+    assert r1["ci95_lo"] < 20.0 < r1["ci95_hi"]
+
+
+def test_poisson_bootstrap_constant_values(spark):
+    from fiveg_spark.operators.stats_tests import _poisson_bootstrap_parts
+
+    _events_view(spark, [(i, BASE + 60 * i, 0, "a", 7.0) for i in range(10)])
+    r = run_parts(spark, _poisson_bootstrap_parts).collect()[0].asDict()
+    # every replicate mean is exactly 7 -> both SEs 0, ratio guard 0
+    assert r["se_analytic"] == 0.0 and r["se_bootstrap"] == 0.0
+    assert r["se_calibration_ratio"] == 0.0
+    assert r["ci95_lo"] == 7.0 and r["ci95_hi"] == 7.0
+
+
+def test_leadtime_vardecomp_pure_priority_effect(spark):
+    from fiveg_spark.operators.supply_fulfillment import (
+        _leadtime_vardecomp_parts,
+    )
+
+    # two priorities with different lead means, identical within: ALL
+    # variance between priorities, zero brand/residual shares
+    spark.createDataFrame(
+        [(1, 1, 19660), (1, 2, 19660), (2, 1, 19680), (2, 2, 19680)],
+        "l_orderkey BIGINT, l_partkey BIGINT, sd BIGINT",
+    ).selectExpr(
+        "l_orderkey", "l_partkey",
+        "CAST(timestamp_micros(sd * 86400 * 1000000) AS TIMESTAMP) "
+        "AS l_shipdate",
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(1, "1-URGENT", 19650), (2, "3-MEDIUM", 19650)],
+        "o_orderkey BIGINT, o_orderpriority STRING, od BIGINT",
+    ).selectExpr(
+        "o_orderkey", "o_orderpriority",
+        "CAST(timestamp_micros(od * 86400 * 1000000) AS TIMESTAMP) "
+        "AS o_orderdate",
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [(1, "B1"), (2, "B2")], "p_partkey BIGINT, p_brand STRING"
+    ).createOrReplaceTempView("part")
+    got = {r["priority"]: r.asDict()
+           for r in run_parts(spark, _leadtime_vardecomp_parts).collect()}
+    u = got["1-URGENT"]
+    assert u["mean_lead_days"] == 10.0
+    assert got["3-MEDIUM"]["mean_lead_days"] == 30.0
+    assert u["priority_var_share"] == pytest.approx(1.0, abs=1e-4)
+    assert u["brand_within_var_share"] == 0.0
+    assert u["residual_var_share"] == 0.0
+
+
+def test_top_customer_turnover_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import (
+        _top_customer_turnover_parts,
+    )
+
+    # K=50 > customers, so tops = everyone: 1995 {1,2,3}, 1996 {2,3,4}
+    rows = [(i, c, 100.0 * c, "1995-06-01") for i, c in enumerate((1, 2, 3))]
+    rows += [(10 + i, c, 50.0 * c, "1996-06-01")
+             for i, c in enumerate((2, 3, 4))]
+    spark.createDataFrame(
+        rows, "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, "
+        "d STRING",
+    ).selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        "CAST(d AS TIMESTAMP) AS o_orderdate",
+    ).createOrReplaceTempView("orders")
+    r = run_parts(spark, _top_customer_turnover_parts).collect()[0].asDict()
+    assert (r["year_from"], r["year_to"]) == (1995, 1996)
+    assert r["n_retained"] == 2
+    assert r["top_set_jaccard"] == pytest.approx(2 / 4, abs=1e-4)
+    assert r["new_entrant_share"] == pytest.approx(1 / 3, abs=1e-4)
+
+
+def test_cosine_curve_nested_rungs(spark):
+    from fiveg_spark.operators.embedding_geometry import (
+        _cosine_curve_parts,
+    )
+
+    # orthogonal pair + identical pair: cos {0, 1} -> every rung
+    # captures exactly the identical pair; removable = 1 doc
+    _emb_view(spark, [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0]])
+    rows = run_parts(spark, _cosine_curve_parts).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_candidate_pairs"] == 1  # only the (0,2) twin pair
+        assert r["n_docs_removable"] == 1
+        assert r["removal_rate"] == pytest.approx(1 / 3, abs=1e-4)
