@@ -629,3 +629,69 @@ QUERIES = [
     materialized_backed("column_stat_drift", _column_stat_drift_parts,
                         ("events",)),
 ]
+
+
+# --------------------------------------------------------------------------
+# r11 pre-fill, wave 2 (deferred=True)
+# --------------------------------------------------------------------------
+
+
+def _fk_fanout_sql(d: str) -> str:
+    # C174 — FK fan-out profile per join edge: children-per-parent
+    # distribution for every fact→dim edge (lineitem→orders/part/
+    # supplier, orders→customer).  THE join-planning statistic C124's
+    # orphan audit doesn't give: a p99/mean fan-out ratio ≫ 1 is key
+    # skew — the single number that predicts which join explodes at
+    # 100 TB and needs the C51 salting treatment.
+    #
+    # Scale: the three lineitem edges share ONE scan via GROUPING SETS
+    # on the three keys (the C163 lattice trick); orders→customer is
+    # its own single scan; the distribution stats ride the ≤|parents|
+    # rollups.
+    li = """
+      SELECT
+        CASE WHEN grouping(l_orderkey) = 0 THEN 'lineitem->orders'
+             WHEN grouping(l_partkey) = 0 THEN 'lineitem->part'
+             ELSE 'lineitem->supplier' END AS edge,
+        count(*) AS fanout
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_orderkey), (l_partkey), (l_suppkey))
+    """
+    oc = """
+      SELECT 'orders->customer' AS edge, count(*) AS fanout
+      FROM orders GROUP BY o_custkey
+    """
+    return f"""
+    WITH parents AS (
+      {li}
+      UNION ALL
+      {oc}
+    ),
+    prof AS (
+      SELECT edge,
+        CAST(count(*) AS BIGINT) AS n_parents,
+        CAST(sum(fanout) AS DOUBLE) AS n_children,
+        avg(CAST(fanout AS DOUBLE)) AS mean_fanout,
+        {pct("CAST(fanout AS DOUBLE)", 0.5, d)} AS p50,
+        {pct("CAST(fanout AS DOUBLE)", 0.99, d)} AS p99,
+        CAST(max(fanout) AS DOUBLE) AS mx
+      FROM parents GROUP BY edge
+    )
+    SELECT
+      edge,
+      {cnt("n_parents", "n_parents")},
+      {cnt("n_children", "n_children")},
+      {dbl("mean_fanout", "mean_fanout")},
+      {dbl("p50", "p50_fanout")},
+      {dbl("p99", "p99_fanout")},
+      {dbl("mx", "max_fanout")},
+      {dbl("mx / nullif(mean_fanout, 0.0)", "skew_ratio")}
+    FROM prof
+    ORDER BY edge
+    """
+
+
+QUERIES.extend([
+    sql_backed("fk_fanout_profile", _fk_fanout_sql,
+               ("lineitem", "orders"), deferred=True),
+])

@@ -1208,7 +1208,10 @@ def _star_sql_fns():
         _tax_discount_joint_sql,
         _weekday_mix_sql,
     )
-    from fiveg_spark.operators.quality import _fk_orphan_audit_sql
+    from fiveg_spark.operators.quality import (
+        _fk_fanout_sql,
+        _fk_orphan_audit_sql,
+    )
     from fiveg_spark.operators.supply_fulfillment import (
         _bullwhip_sql,
         _nation_kendall_sql,
@@ -1332,6 +1335,9 @@ def _star_sql_fns():
         # exact-integer pair census on ROUNDED revenue: all-tied
         # customer counts zero the tau-b denominator
         "nation_metric_kendall": _nation_kendall_sql,
+        # GROUPING SETS edge census: exact integer fan-outs, the
+        # all-same-key fragment pins skew_ratio at n/mean
+        "fk_fanout_profile": _fk_fanout_sql,
         # matched-basket indices: single-month fragments make base =
         # current (all indices 1.0); parts absent from the base month
         # drop and show up as basket_coverage < 1

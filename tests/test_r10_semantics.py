@@ -917,3 +917,27 @@ def test_cosine_curve_nested_rungs(spark):
         assert r["n_candidate_pairs"] == 1  # only the (0,2) twin pair
         assert r["n_docs_removable"] == 1
         assert r["removal_rate"] == pytest.approx(1 / 3, abs=1e-4)
+
+
+def test_fk_fanout_closed_form(spark):
+    from fiveg_spark.operators.quality import _fk_fanout_sql
+
+    # lineitem: order 1 has 3 lines, order 2 has 1; parts {1,1,1,2};
+    # suppliers all 9 -> max skew on the supplier edge
+    spark.createDataFrame(
+        [(1, 1, 9), (1, 1, 9), (1, 2, 9), (2, 1, 9)],
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT",
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(1, 5), (2, 5), (3, 6)], "o_orderkey BIGINT, o_custkey BIGINT"
+    ).createOrReplaceTempView("orders")
+    got = {r["edge"]: r.asDict()
+           for r in spark.sql(_fk_fanout_sql("spark")).collect()}
+    lo = got["lineitem->orders"]
+    assert lo["n_parents"] == 2 and lo["n_children"] == 4
+    assert lo["mean_fanout"] == 2.0 and lo["max_fanout"] == 3.0
+    assert lo["skew_ratio"] == 1.5
+    assert got["lineitem->supplier"]["n_parents"] == 1
+    assert got["lineitem->supplier"]["max_fanout"] == 4.0
+    oc = got["orders->customer"]
+    assert oc["n_parents"] == 2 and oc["mean_fanout"] == 1.5
