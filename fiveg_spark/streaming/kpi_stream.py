@@ -182,7 +182,8 @@ def streaming_dedup(
 
 
 def streaming_attribution(
-    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame, within: str = "1 hour", watermark: str = "2 hours",
+    clicks_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Stream-stream inner join bounded by an event-time interval: each
     'view' joins the 'click's of the same user that land in
@@ -190,14 +191,18 @@ def streaming_attribution(
     join condition bounds event time in BOTH directions, so Spark can
     size the join state to (watermark + within) and GC behind it —
     unbounded-state stream joins never reach production.  Self-joining
-    one source stream (filtered two ways) is supported; state shards by
-    user_id with the shuffle."""
+    one source stream (filtered two ways) is supported; pass
+    ``clicks_stream`` to join two PHYSICALLY separate sources (the
+    production topology: views and clicks land on different topics and
+    advance their watermarks independently).  State shards by user_id
+    with the shuffle."""
+    click_src = events if clicks_stream is None else clicks_stream
     views = events.filter(F.col("event_type") == "view").select(
         F.col("user_id").alias("view_user"),
         F.col("ts").alias("view_ts"),
         F.col("event_id").alias("view_id"),
     )
-    clicks = events.filter(F.col("event_type") == "click").select(
+    clicks = click_src.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("click_user"),
         F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
