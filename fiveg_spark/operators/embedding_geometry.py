@@ -24,6 +24,7 @@ from __future__ import annotations
 import hashlib
 
 from fiveg_spark.operators.similarity import _cos as _cos_expr
+from fiveg_spark.operators.similarity import _dot
 
 from fiveg_spark.plans.registry import (
     NUDGE,
@@ -38,23 +39,13 @@ JL_DIM = 16
 HUB_K = 5
 
 
-def _dot(d: str, a: str, b: str) -> str:
-    """Sequential-fold dot product — the similarity._cos primitive,
-    certified bit-identical across engines."""
-    if d == "spark":
-        return (
-            f"aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), "
-            f"CAST({b} AS ARRAY<DOUBLE>), (x, y) -> x * y), "
-            f"0D, (acc, x) -> acc + x)"
-        )
-    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
-
-
 def _l2sq(d: str, a: str, b: str) -> str:
-    """Squared euclidean via the dot identity ‖a‖²+‖b‖²−2a·b: each dot
-    is the same sequential fold in both engines, so the combined
-    double matches bit-for-bit before the 4dp rounding (a direct
-    (x−y)² fold has no DuckDB twin with guaranteed struct layout)."""
+    """Squared euclidean via the dot identity ‖a‖²+‖b‖²−2a·b on
+    similarity._dot (the certified engine-paired fold — text-identity
+    asserted at review r10w2, now a single shared primitive): each dot
+    folds identically in both engines, so the combined double matches
+    bit-for-bit before the 4dp rounding (a direct (x−y)² fold has no
+    DuckDB twin with guaranteed struct layout)."""
     return (
         f"({_dot(d, a, a)} + {_dot(d, b, b)} - 2.0 * {_dot(d, a, b)})"
     )

@@ -617,7 +617,7 @@ QUERIES.extend([
 # --------------------------------------------------------------------------
 
 
-def _nrr_sql(d: str) -> str:
+def _nrr_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C161 — net revenue retention per order year (the SaaS metric on
     # the order book): of this year's header revenue, how much comes
     # from customers who ALSO bought last year, as a share of last
@@ -625,22 +625,24 @@ def _nrr_sql(d: str) -> str:
     # the whole prior year.  C114's yoy growth can't separate
     # expansion-from-retained vs acquisition; this does.
     #
-    # Scale: one (customer, year) header rollup (single shuffle on a
-    # high-cardinality key), a self-join on (customer, year−1) — same
-    # key, co-partitioned — then a ≤|years| rollup; the prior-year
-    # total joins on the tiny per-year frame, no global window.
-    return f"""
-    WITH cy AS (
+    # Scale: one MATERIALIZED (customer, year) header rollup (single
+    # shuffle; the r10w2 review caught the inlined form re-scanning
+    # orders 3x — cy twice via the self-join, per_year twice via the
+    # prior-year join), a self-join on (customer, year−1) — same key,
+    # co-partitioned — then a ≤|years| rollup; the prior-year total
+    # joins on the tiny per-year frame, no global window.
+    cy_sql = f"""
       SELECT o_custkey AS c, CAST(year(o_orderdate) AS BIGINT) AS yr,
              sum(o_totalprice) AS rev
       FROM orders
       GROUP BY o_custkey, CAST(year(o_orderdate) AS BIGINT)
-    ),
-    tagged AS (
+    """
+    tail = f"""
+    WITH tagged AS (
       SELECT cur.yr, cur.rev,
              CASE WHEN prev.c IS NOT NULL THEN 1 ELSE 0 END AS retained
-      FROM cy cur
-      LEFT JOIN cy prev ON prev.c = cur.c AND prev.yr = cur.yr - 1
+      FROM _mz_nrr_cy cur
+      LEFT JOIN _mz_nrr_cy prev ON prev.c = cur.c AND prev.yr = cur.yr - 1
     ),
     per_year AS (
       SELECT yr,
@@ -667,6 +669,7 @@ def _nrr_sql(d: str) -> str:
     LEFT JOIN per_year prev ON prev.yr = cur.yr - 1
     ORDER BY order_year
     """
+    return [("_mz_nrr_cy", cy_sql)], tail
 
 
 SS_Z_LADDER = ((90, 1.2815515655446004), (95, 1.6448536269514722),
@@ -897,8 +900,8 @@ def _nation_kendall_sql(d: str) -> str:
 
 
 QUERIES.extend([
-    sql_backed("net_revenue_retention", _nrr_sql, ("orders",),
-               deferred=True),
+    materialized_backed("net_revenue_retention", _nrr_parts, ("orders",),
+                        deferred=True),
     sql_backed("safety_stock_parameters", _safety_stock_sql,
                ("lineitem", "orders", "part"), deferred=True),
     sql_backed("bullwhip_variance_ratio", _bullwhip_sql,

@@ -1961,6 +1961,29 @@ QUERIES = [
 _PC_SLICES = ("eMBB", "URLLC", "mMTC")  # kpi.packet_projection's fixed set
 
 
+def _slice_pivot_sql(d: str) -> str:
+    """Complete-case hourly pivot (h, v_embb, v_urllc, v_mmtc) — the
+    shared frame of the D80 partial-correlation and D81 cointegration
+    screens: one text, so a pivot change moves both certified rows
+    together (review catch r10w2: the first D81 draft copied it)."""
+    cols = {s: f"v_{s.lower()}" for s in _PC_SLICES}
+    pivots = ",\n        ".join(
+        f"max(CASE WHEN slice = '{s}' THEN throughput_bps END) AS {c}"
+        for s, c in cols.items()
+    )
+    return f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")},
+      pivoted AS (
+        SELECT h,
+        {pivots}
+        FROM hourly GROUP BY h
+      )
+      SELECT * FROM pivoted
+      WHERE v_embb IS NOT NULL AND v_urllc IS NOT NULL
+        AND v_mmtc IS NOT NULL
+    """
+
+
 def _partial_corr_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D80 — partial correlation between slice pairs CONTROLLING the
     # third (r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²))): D35's
@@ -1977,22 +2000,7 @@ def _partial_corr_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # pair union reads that 1-row frame (inlined, Spark would re-run
     # the pivot+corr per branch).  Raw correlations are rounded before
     # the partial formula (round-before-reuse discipline).
-    cols = {s: f"v_{s.lower()}" for s in _PC_SLICES}
-    pivots = ",\n        ".join(
-        f"max(CASE WHEN slice = '{s}' THEN throughput_bps END) AS {c}"
-        for s, c in cols.items()
-    )
-    hourly_sql = f"""
-      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")},
-      pivoted AS (
-        SELECT h,
-        {pivots}
-        FROM hourly GROUP BY h
-      )
-      SELECT * FROM pivoted
-      WHERE v_embb IS NOT NULL AND v_urllc IS NOT NULL
-        AND v_mmtc IS NOT NULL
-    """
+    hourly_sql = _slice_pivot_sql(d)
     r = {}
     for a, b in (("embb", "urllc"), ("embb", "mmtc"), ("urllc", "mmtc")):
         r[(a, b)] = (
@@ -2057,22 +2065,7 @@ def _cointegration_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # the pivot inlined); stage-1 coefficients are a ≤3-row agg joined
     # back broadcast; the lag window rides the tiny long frame.
     # Stage-1 (a, b) round before the residuals (reuse discipline).
-    cols = {s: f"v_{s.lower()}" for s in _PC_SLICES}
-    pivots = ",\n        ".join(
-        f"max(CASE WHEN slice = '{s}' THEN throughput_bps END) AS {c}"
-        for s, c in cols.items()
-    )
-    pivot_sql = f"""
-      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")},
-      pivoted AS (
-        SELECT h,
-        {pivots}
-        FROM hourly GROUP BY h
-      )
-      SELECT * FROM pivoted
-      WHERE v_embb IS NOT NULL AND v_urllc IS NOT NULL
-        AND v_mmtc IS NOT NULL
-    """
+    pivot_sql = _slice_pivot_sql(d)
     branches = "\n      UNION ALL ".join(
         f"SELECT '{a}~{b}' AS pair, h, v_{a.lower()} AS x, "
         f"v_{b.lower()} AS y FROM _mz_cg_pivot"
@@ -2106,23 +2099,23 @@ def _cointegration_parts(d: str) -> tuple[list[tuple[str, str]], str]:
                  ELSE 0.0 END) AS sxy,
         sum(CASE WHEN e_prev IS NOT NULL THEN e_prev * e_prev
                  ELSE 0.0 END) AS sxx,
+        sum(CASE WHEN e_prev IS NOT NULL
+                 THEN (e - e_prev) * (e - e_prev) ELSE 0.0 END) AS sdd,
         sum(CASE WHEN e_prev IS NOT NULL THEN 1.0 ELSE 0.0 END) AS m
       FROM resid GROUP BY pair
     ),
-    gam AS (
-      SELECT pair, beta, n_hours, m,
-        CASE WHEN sxx > 1e-12 THEN sxy / sxx ELSE 0.0 END AS gamma,
-        sxx
-      FROM stage2
-    ),
     se AS (
-      SELECT g.pair, g.beta, g.n_hours, g.m, g.gamma, g.sxx,
-        sum(CASE WHEN r.e_prev IS NOT NULL
-                 THEN (r.e - r.e_prev - g.gamma * r.e_prev)
-                      * (r.e - r.e_prev - g.gamma * r.e_prev)
-                 ELSE 0.0 END) AS ssr
-      FROM gam g JOIN resid r ON r.pair = g.pair
-      GROUP BY g.pair, g.beta, g.n_hours, g.m, g.gamma, g.sxx
+      -- SSR closed form for the no-constant regression (review catch
+      -- r10w2: a second resid pass re-ran the lag window + join):
+      -- SSR = Σ(Δe − γe₋₁)² = sdd − 2γ·sxy + γ²·sxx, all from the
+      -- SAME rounded residuals, so both engines subtract identically
+      SELECT pair, beta, n_hours, m, sxx,
+        CASE WHEN sxx > 1e-12 THEN sxy / sxx ELSE 0.0 END AS gamma,
+        CASE WHEN sxx > 1e-12
+             THEN sdd - 2.0 * (sxy / sxx) * sxy
+                  + (sxy / sxx) * (sxy / sxx) * sxx
+             ELSE 0.0 END AS ssr
+      FROM stage2
     )
     SELECT
       pair AS slice_pair,

@@ -194,8 +194,15 @@ def canonical_plan(plan: str) -> str:
     # CSE aliases carry a session-global counter
     s = re.sub(r"_common_expr_\d+", "_common_expr_n", s)
     s = re.sub(r"#\d+[A-Z]*", "#x", s)          # expression ids
-    # ...collapsed BEFORE the sorts below, so sort order can't itself
-    # depend on id digits embedded in otherwise-tied strings
+    # partition counts must strip BEFORE the hashpartitioning sort:
+    # sorting moves the trailing numeric count to the list head, where
+    # the `, \d+\)` strip below can no longer reach it — and a count
+    # leaked into the hash reintroduces exactly the cross-config drift
+    # the strip exists to prevent (review catch, r10w2)
+    s = re.sub(r"(hashpartitioning|rangepartitioning|SinglePartition)"
+               r"(\([^)]*?), \d+\)", r"\1\2, N)", s)
+    # ...ids collapsed BEFORE the sorts below, so sort order can't
+    # itself depend on id digits embedded in otherwise-tied strings
     s = _normalize_expand(s)
     s = _sort_unordered_lists(s, "keys=[")
     s = _sort_unordered_lists(s, "hashpartitioning(")
@@ -204,11 +211,6 @@ def canonical_plan(plan: str) -> str:
     # collapsing, sorting costs nothing semantically for a fingerprint
     s = _sort_unordered_lists(s, "output=[")
     s = _sort_unordered_lists(s, "functions=[")
-    # partition counts (hashpartitioning(k#x, 200)) move with the
-    # shuffle-partition conf, not the plan's structure — strip them so
-    # a dev-box ledger diffs cleanly against a CI one
-    s = re.sub(r"(hashpartitioning|rangepartitioning|SinglePartition)"
-               r"(\([^)]*?), \d+\)", r"\1\2, N)", s)
     s = re.sub(r"REPARTITION_BY_NUM\(\d+\)", "REPARTITION_BY_NUM(N)", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)

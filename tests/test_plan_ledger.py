@@ -147,3 +147,17 @@ def test_canonical_sorts_are_nesting_aware():
     e1 = "Expand [[a#1, null, 0], [null, b#2, 1]], [a#1, b#2, gid#3]"
     e2 = "Expand [[b#5, null, 0], [null, a#4, 1]], [b#5, a#4, gid#6]"
     assert canonical_plan(e1) == canonical_plan(e2)
+
+
+def test_partition_counts_strip_despite_key_sort():
+    """Review catch (r10w2): sorting hashpartitioning's key list moved
+    the trailing partition count to the list head, out of reach of the
+    `, \\d+)` strip — a dev-box ledger (shuffle.partitions=8) would
+    diff dirty against CI (200) on every exchange.  The strip now runs
+    BEFORE the sort; two configs must hash identically."""
+    from fiveg_spark.plans.plan_ledger import canonical_plan
+
+    dev = "Exchange hashpartitioning(user_id#123, event_type#7, 8), E"
+    ci = "Exchange hashpartitioning(event_type#9, user_id#44, 200), E"
+    assert canonical_plan(dev) == canonical_plan(ci)
+    assert "200" not in canonical_plan(ci) and "8" not in canonical_plan(dev)

@@ -1215,7 +1215,7 @@ def _star_sql_fns():
     from fiveg_spark.operators.supply_fulfillment import (
         _bullwhip_sql,
         _nation_kendall_sql,
-        _nrr_sql,
+        _nrr_parts,
         _price_dispersion_sql,
         _price_index_parts,
         _basket_tradeoff_sql,
@@ -1322,7 +1322,7 @@ def _star_sql_fns():
         "part_name_token_stats": _part_name_tokens_sql,
         # year-1 self-join: single-year fragments leave the prior total
         # NULL (nrr -> dbl 0.0); zero-revenue years hit both nullifs
-        "net_revenue_retention": _nrr_sql,
+        "net_revenue_retention": _folded_parts(_nrr_parts),
         # n>=2 guards on both moment frames: single-week brands and
         # single-line lead-time sets zero every z rung
         "safety_stock_parameters": _safety_stock_sql,

@@ -267,7 +267,7 @@ def _ts(day: int) -> str:
 
 
 def test_net_revenue_retention_closed_form(spark):
-    from fiveg_spark.operators.supply_fulfillment import _nrr_sql
+    from fiveg_spark.operators.supply_fulfillment import _nrr_parts
 
     # 1995: c1=100, c2=200 (total 300); 1996: c1=150 (retained),
     # c3=50 (new) -> NRR = 150/300, new share = 1 - 150/200
@@ -280,7 +280,7 @@ def test_net_revenue_retention_closed_form(spark):
         "CAST(d AS TIMESTAMP) AS o_orderdate",
     ).createOrReplaceTempView("orders")
     got = {r["order_year"]: r.asDict()
-           for r in spark.sql(_nrr_sql("spark")).collect()}
+           for r in run_parts(spark, _nrr_parts).collect()}
     assert got[1995]["net_revenue_retention"] == 0.0  # no prior year
     y96 = got[1996]
     assert y96["n_customers"] == 2 and y96["n_retained"] == 1
