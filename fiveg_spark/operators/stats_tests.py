@@ -639,3 +639,156 @@ QUERIES.extend([
     materialized_backed("poisson_bootstrap_ci", _poisson_bootstrap_parts,
                         ("events",), deferred=True),
 ])
+
+
+def _median_polish_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D84 — two-sweep Tukey median polish of the (weekday × hour) load
+    # grid per slice (EDA ch. 11): the ROBUST two-way decomposition —
+    # B11's mean-based seasonal profile lets one outage hour drag its
+    # whole row; median polish doesn't.  Two full sweeps (row medians
+    # removed, then column medians, twice) then the residual MAD;
+    # output is LONG (slice, component, idx, effect) so weekday
+    # effects, hour effects, the grand level, and the residual scale
+    # ride one frame.
+    #
+    # Scale: the 7×24 cell grid per slice is calendar-bounded; every
+    # sweep is a percentile agg over ≤|slices|·168 rows reading the
+    # ONE materialized cell frame.  Medians round between sweeps so
+    # both engines subtract identical doubles (reuse discipline).
+    dow = f"((CAST(floor({epoch('h', d)} / 86400.0) AS BIGINT) + 3) % 7)"
+    hr = "hour(h)"
+    cells_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
+      SELECT slice, {dow} AS w, CAST({hr} AS BIGINT) AS hh,
+        round(avg(throughput_bps) + {NUDGE}, 4) + 0.0 AS v
+      FROM hourly
+      GROUP BY slice, {dow}, CAST({hr} AS BIGINT)
+    """
+    med = lambda x: f"round({pct(x, 0.5, d)} + {NUDGE}, 4) + 0.0"
+    tail = f"""
+    WITH g AS (
+      SELECT slice, {med("v")} AS grand FROM _mz_mp_cells GROUP BY slice
+    ),
+    c0 AS (
+      SELECT c.slice, c.w, c.hh, round(c.v - g.grand + {NUDGE}, 4) + 0.0
+        AS v
+      FROM _mz_mp_cells c JOIN g ON g.slice = c.slice
+    ),
+    r1 AS (
+      SELECT slice, w, {med("v")} AS e FROM c0 GROUP BY slice, w
+    ),
+    c1 AS (
+      SELECT c.slice, c.w, c.hh, round(c.v - r.e + {NUDGE}, 4) + 0.0 AS v
+      FROM c0 c JOIN r1 r ON r.slice = c.slice AND r.w = c.w
+    ),
+    h1 AS (
+      SELECT slice, hh, {med("v")} AS e FROM c1 GROUP BY slice, hh
+    ),
+    c2 AS (
+      SELECT c.slice, c.w, c.hh, round(c.v - hc.e + {NUDGE}, 4) + 0.0 AS v
+      FROM c1 c JOIN h1 hc ON hc.slice = c.slice AND hc.hh = c.hh
+    ),
+    r2 AS (
+      SELECT slice, w, {med("v")} AS e FROM c2 GROUP BY slice, w
+    ),
+    c3 AS (
+      SELECT c.slice, c.w, c.hh, round(c.v - r.e + {NUDGE}, 4) + 0.0 AS v
+      FROM c2 c JOIN r2 r ON r.slice = c.slice AND r.w = c.w
+    ),
+    h2 AS (
+      SELECT slice, hh, {med("v")} AS e FROM c3 GROUP BY slice, hh
+    ),
+    resid AS (
+      SELECT c.slice,
+        round(abs(c.v - hc.e) + {NUDGE}, 4) + 0.0 AS absr
+      FROM c3 c JOIN h2 hc ON hc.slice = c.slice AND hc.hh = c.hh
+    )
+    SELECT slice, component, idx, {dbl("effect", "effect")}
+    FROM (
+      SELECT slice, 'grand' AS component, CAST(0 AS BIGINT) AS idx,
+             grand AS effect FROM g
+      UNION ALL
+      SELECT r1.slice, 'weekday', r1.w,
+             r1.e + r2.e
+      FROM r1 JOIN r2 ON r2.slice = r1.slice AND r2.w = r1.w
+      UNION ALL
+      SELECT h1.slice, 'hour', h1.hh,
+             h1.e + h2.e
+      FROM h1 JOIN h2 ON h2.slice = h1.slice AND h2.hh = h1.hh
+      UNION ALL
+      SELECT slice, 'residual_mad', CAST(0 AS BIGINT), {med("absr")}
+      FROM resid GROUP BY slice
+    ) long_frame
+    ORDER BY slice, component, idx
+    """
+    return [("_mz_mp_cells", cells_sql)], tail
+
+
+def _perm_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # D85 — permutation entropy of the hourly series per slice (Bandt
+    # & Pompe 2002, order m=3): entropy of the ORDINAL-pattern
+    # distribution — complexity that ignores amplitude entirely, so it
+    # complements D43's spectral entropy (a monotone re-scaling of the
+    # load changes spectra but not ordinal patterns).  Normalized by
+    # log2(6); forbidden patterns (count 0) are the determinism signal
+    # — pure noise uses all 6, a deterministic map leaves holes.
+    # Ties break toward the EARLIER sample (<=, the standard
+    # convention), on 4dp-rounded values, identically in both engines.
+    pat = (
+        "CASE "
+        "WHEN v0 <= v1 AND v1 <= v2 THEN 0 "
+        "WHEN v0 <= v2 AND v2 < v1 THEN 1 "
+        "WHEN v1 < v0 AND v0 <= v2 THEN 2 "
+        "WHEN v2 < v0 AND v0 <= v1 THEN 3 "
+        "WHEN v1 <= v2 AND v2 < v0 THEN 4 "
+        "ELSE 5 END"
+    )
+    cells_sql = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")},
+      lagged AS (
+        SELECT slice,
+          throughput_bps AS v2,
+          lag(throughput_bps, 1) OVER (PARTITION BY slice ORDER BY h)
+            AS v1,
+          lag(throughput_bps, 2) OVER (PARTITION BY slice ORDER BY h)
+            AS v0
+        FROM hourly
+      )
+      SELECT slice, {pat} AS pattern, count(*) AS c
+      FROM lagged WHERE v0 IS NOT NULL
+      GROUP BY slice, {pat}
+    """
+    p_term = f"round(CAST(c AS DOUBLE) / tot + {NUDGE}, 4) + 0.0"
+    tail = f"""
+    WITH tot AS (
+      SELECT slice, CAST(sum(c) AS DOUBLE) AS tot,
+        CAST(count(*) AS BIGINT) AS n_patterns
+      FROM _mz_pe_cells GROUP BY slice
+    ),
+    ent AS (
+      SELECT c.slice, t.tot, t.n_patterns,
+        sum(CASE WHEN {p_term} > 0.0
+                 THEN -({p_term}) * log2({p_term}) ELSE 0.0 END) AS h
+      FROM _mz_pe_cells c JOIN tot t ON t.slice = c.slice
+      GROUP BY c.slice, t.tot, t.n_patterns
+    )
+    SELECT
+      slice,
+      {cnt("tot", "n_triples")},
+      {cnt("n_patterns", "n_patterns_seen")},
+      {cnt("6 - n_patterns", "n_forbidden_patterns")},
+      {dbl("h", "perm_entropy_bits")},
+      {dbl("h / 2.5849625007211562", "perm_entropy_normalized")}
+    FROM ent
+    ORDER BY slice
+    """
+    # 2.584962... = log2(6), a Python double (DECIMAL-fold lesson).
+    return [("_mz_pe_cells", cells_sql)], tail
+
+
+QUERIES.extend([
+    materialized_backed("median_polish_hourweek", _median_polish_parts,
+                        ("events",), deferred=True),
+    materialized_backed("permutation_entropy", _perm_entropy_parts,
+                        ("events",), deferred=True),
+])

@@ -1251,3 +1251,58 @@ QUERIES.extend([
                         _top_customer_turnover_parts,
                         ("orders",), deferred=True),
 ])
+
+
+def _nb_ordersize_sql(d: str) -> str:
+    # C175 — negative-binomial moments fit of lines-per-order per
+    # market segment (the count-data model C137's raw profile doesn't
+    # fit): dispersion index s²/μ > 1 says Poisson under-models basket
+    # sizes; the NB moments estimators r = μ²/(s²−μ), p = μ/s² then
+    # parameterize a basket simulator.  One orderkey rollup + a
+    # broadcast orders→customer hop, decomposable sums per segment.
+    return f"""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    seg AS (
+      SELECT c.c_mktsegment AS segment, p.n_lines
+      FROM per_order p
+      JOIN orders o ON o.o_orderkey = p.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    mom AS (
+      SELECT segment,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(n_lines) AS s,
+        sum(n_lines * n_lines) AS ss
+      FROM seg GROUP BY segment
+    ),
+    fit AS (
+      SELECT segment, n, s / n AS mu,
+        CASE WHEN n >= 2.0 THEN (ss - s * s / n) / (n - 1.0)
+             ELSE 0.0 END AS var_
+      FROM mom
+    )
+    SELECT
+      segment,
+      {cnt("n", "n_orders")},
+      {dbl("mu", "mean_lines")},
+      {dbl("var_", "var_lines")},
+      {dbl("CASE WHEN mu > 0.0 THEN var_ / mu ELSE 0.0 END",
+           "dispersion_index")},
+      {dbl("CASE WHEN var_ - mu > 1e-12 THEN mu * mu / (var_ - mu) "
+           "ELSE 0.0 END", "nb_r")},
+      {dbl("CASE WHEN var_ > 1e-12 AND var_ - mu > 1e-12 "
+           "THEN mu / var_ ELSE 0.0 END", "nb_p")},
+      CAST(CASE WHEN mu > 0.0 THEN var_ / mu > 1.0 ELSE FALSE END
+           AS BOOLEAN) AS overdispersed
+    FROM fit
+    ORDER BY segment
+    """
+
+
+QUERIES.extend([
+    sql_backed("nb_ordersize_fit", _nb_ordersize_sql,
+               ("lineitem", "orders", "customer"), deferred=True),
+])

@@ -950,6 +950,8 @@ def _event_parts_fns():
         _friedman_parts,
         _kruskal_wallis_parts,
         _levene_parts,
+        _median_polish_parts,
+        _perm_entropy_parts,
         _poisson_bootstrap_parts,
         _weibull_iat_parts,
     )
@@ -1042,6 +1044,13 @@ def _event_parts_fns():
         # md5 Poisson weights: tiny streams make all-zero-weight
         # replicates common (nullif(w) -> NULL mean, dropped from SE)
         "poisson_bootstrap_ci": _poisson_bootstrap_parts,
+        # rounded median sweeps on tiny grids: single-cell streams
+        # pin every effect at 0 with the grand at the cell value
+        "median_polish_hourweek": _median_polish_parts,
+        # <=2-hour slices emit no triples; tie-heavy tiny alphabets
+        # exercise the <= pattern convention; constant series -> one
+        # pattern (entropy 0, 5 forbidden)
+        "permutation_entropy": _perm_entropy_parts,
         # complete-block census: single-slice streams make every hour
         # complete (ranks all 1); identical rank patterns hit A2 = B2
         "friedman_slices": _friedman_parts,
@@ -1215,6 +1224,7 @@ def _star_sql_fns():
     from fiveg_spark.operators.supply_fulfillment import (
         _bullwhip_sql,
         _nation_kendall_sql,
+        _nb_ordersize_sql,
         _nrr_parts,
         _price_dispersion_sql,
         _price_index_parts,
@@ -1351,6 +1361,9 @@ def _star_sql_fns():
         # per-year rank cut + consecutive-year set arithmetic: single-
         # year fragments emit no pairs; full churn pins jaccard 0
         "top_customer_turnover": _folded_parts(_top_customer_turnover_parts),
+        # single-line-per-order fragments give var 0 (every NB guard
+        # fires, overdispersed FALSE); orphan joins drop orders
+        "nb_ordersize_fit": _nb_ordersize_sql,
         # dense year x quartile spine with floored shares: collapsed
         # bounds put everything in one cell; first year pins JSD 0.0
         "value_mix_shift_yearly": _folded_parts(_value_mix_shift_parts),

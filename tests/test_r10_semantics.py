@@ -941,3 +941,81 @@ def test_fk_fanout_closed_form(spark):
     assert got["lineitem->supplier"]["max_fanout"] == 4.0
     oc = got["orders->customer"]
     assert oc["n_parents"] == 2 and oc["mean_fanout"] == 1.5
+
+
+# ---- batch 7: median polish, permutation entropy, NB fit ----
+
+
+def test_median_polish_additive_grid_recovers_effects(spark):
+    from fiveg_spark.operators.stats_tests import _median_polish_parts
+
+    # perfectly additive grid: v(w, h) = 100 + wd_effect + hr_effect
+    # over 2 weekdays x 3 hours -> polish recovers effects exactly
+    # (thr = 8*value, so plant value = target/8)
+    wd_eff = {0: -10.0, 1: 10.0}   # applied via day choice
+    hr_eff = {0: -8.0, 1: 0.0, 2: 8.0}
+    # days 19675 (Tue, w=1) and 19676 (Wed, w=2)
+    rows, eid = [], 0
+    for day, we in ((19675, -10.0), (19676, 10.0)):
+        for hh, he in hr_eff.items():
+            thr = 100.0 + we + he
+            rows.append((eid, day * 86400 + 3600 * hh, 0, "a", thr / 8.0))
+            eid += 1
+    _events_view(spark, rows)
+    got = {(r["component"], r["idx"]): r["effect"]
+           for r in run_parts(spark, _median_polish_parts).collect()}
+    assert got[("grand", 0)] == 100.0
+    # weekday idx = (epoch_day + 3) % 7: 19675 -> 1, 19676 -> 2
+    assert got[("weekday", 1)] == -10.0
+    assert got[("weekday", 2)] == 10.0
+    assert got[("hour", 0)] == -8.0
+    assert got[("hour", 1)] == 0.0
+    assert got[("hour", 2)] == 8.0
+    assert got[("residual_mad", 0)] == 0.0  # additive -> clean polish
+
+
+def test_permutation_entropy_extremes(spark):
+    from fiveg_spark.operators.stats_tests import _perm_entropy_parts
+
+    # slice eMBB monotone increasing -> one pattern, H = 0, 5 forbidden
+    rows = [(i, BASE + 3600 * i, 0, "a", 10.0 * (i + 1)) for i in range(8)]
+    # slice URLLC alternating high/low -> two patterns used
+    rows += [(100 + i, BASE + 3600 * i, 1, "a",
+              50.0 if i % 2 == 0 else 10.0) for i in range(8)]
+    _events_view(spark, rows)
+    got = {r["slice"]: r.asDict()
+           for r in run_parts(spark, _perm_entropy_parts).collect()}
+    e = got["eMBB"]
+    assert e["n_triples"] == 6
+    assert e["n_patterns_seen"] == 1 and e["n_forbidden_patterns"] == 5
+    assert e["perm_entropy_bits"] == 0.0
+    u = got["URLLC"]
+    assert u["n_patterns_seen"] == 2
+    assert u["perm_entropy_normalized"] == pytest.approx(
+        1.0 / 2.584962500721156, abs=1e-3)  # two equal patterns -> 1 bit
+
+
+def test_nb_ordersize_closed_form(spark):
+    from fiveg_spark.operators.supply_fulfillment import _nb_ordersize_sql
+
+    # one segment, orders with 1/2/6 lines: mu=3, var=7 ->
+    # dispersion 7/3, r = 9/4, p = 3/7
+    li = []
+    for ok, n in ((1, 1), (2, 2), (3, 6)):
+        li += [(ok, i) for i in range(n)]
+    spark.createDataFrame(
+        li, "l_orderkey BIGINT, l_linenumber BIGINT"
+    ).createOrReplaceTempView("lineitem")
+    spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10)], "o_orderkey BIGINT, o_custkey BIGINT"
+    ).createOrReplaceTempView("orders")
+    spark.createDataFrame(
+        [(10, "BUILDING")], "c_custkey BIGINT, c_mktsegment STRING"
+    ).createOrReplaceTempView("customer")
+    r = spark.sql(_nb_ordersize_sql("spark")).collect()[0].asDict()
+    assert r["n_orders"] == 3 and r["mean_lines"] == 3.0
+    assert r["var_lines"] == 7.0
+    assert r["dispersion_index"] == pytest.approx(7 / 3, abs=1e-4)
+    assert r["nb_r"] == pytest.approx(9 / 4, abs=1e-4)
+    assert r["nb_p"] == pytest.approx(3 / 7, abs=1e-4)
+    assert r["overdispersed"] is True
