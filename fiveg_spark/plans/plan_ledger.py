@@ -212,6 +212,12 @@ def canonical_plan(plan: str) -> str:
     s = _sort_unordered_lists(s, "output=[")
     s = _sort_unordered_lists(s, "functions=[")
     s = re.sub(r"REPARTITION_BY_NUM\(\d+\)", "REPARTITION_BY_NUM(N)", s)
+    # Spark truncates long filter/projection strings at a CHARACTER
+    # budget applied BEFORE ids collapse — the cut position shifts
+    # with id width (#4 vs #4567), so a truncated DataFilters tail
+    # hashed differently across sessions (theilsen, r10w2).  Blank the
+    # unstable partial content of any cut bracket segment.
+    s = re.sub(r"\[[^\[\]]*\.\.\.", "[TRUNC...", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
     s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
     s = re.sub(r"Location: [^\n]*", "Location: x", s)

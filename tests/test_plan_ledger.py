@@ -161,3 +161,14 @@ def test_partition_counts_strip_despite_key_sort():
     ci = "Exchange hashpartitioning(event_type#9, user_id#44, 200), E"
     assert canonical_plan(dev) == canonical_plan(ci)
     assert "200" not in canonical_plan(ci) and "8" not in canonical_plan(dev)
+
+
+def test_truncated_filter_tails_normalize():
+    """Spark cuts long filter strings at a character budget BEFORE ids
+    collapse, so the cut position shifts with id width and the partial
+    tail hashed differently across sessions (theilsen, r10w2)."""
+    from fiveg_spark.plans.plan_ledger import canonical_plan
+
+    a = "DataFilters: [isnotnull((cast(x#4 as double)..., Format: P"
+    b = "DataFilters: [isnotnull((cast(x#4567 as double..., Format: P"
+    assert canonical_plan(a) == canonical_plan(b)
