@@ -1,0 +1,88 @@
+"""A31 PCAP Python DataSource: format("pcap") reads equal the A2
+binaryFile+mapInPandas path, slice pushdown prunes whole files before
+a byte is read, protocol pushdown filters inside the decode loop, and
+unsupported filters come back for Spark to evaluate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+
+from fiveg_spark.sources.pcap_datasource import (
+    PcapReader,
+    register_pcap_source,
+)
+from tests.test_sources import _ipv4_tcp_packet, _pcap_bytes
+
+
+def _lay_out_captures(tmp_path):
+    """embb/ capture with 2 TCP packets; urllc/ capture with 1."""
+    for d, n_pkts in (("embb", 2), ("urllc", 1)):
+        sub = tmp_path / d
+        sub.mkdir()
+        pkts = [_ipv4_tcp_packet(sport=1000 + i) for i in range(n_pkts)]
+        (sub / "cap0.pcap").write_bytes(_pcap_bytes(pkts))
+    return str(tmp_path)
+
+
+def test_format_pcap_matches_mapinpandas_path(spark, tmp_path):
+    from fiveg_spark.sources.pcap import read_pcap
+
+    root = _lay_out_captures(tmp_path)
+    register_pcap_source(spark)
+    via_source = spark.read.format("pcap").load(root)
+    via_a2 = read_pcap(spark, f"{root}/*/*.pcap")
+    cols = sorted(via_source.columns)
+    assert cols == sorted(via_a2.columns)
+    a = sorted(map(tuple, via_source.select(*cols).collect()))
+    b = sorted(map(tuple, via_a2.select(*cols).collect()))
+    assert a == b and len(a) == 3
+
+
+def test_slice_pushdown_prunes_files_unread(spark, tmp_path):
+    root = _lay_out_captures(tmp_path)
+    # unit level: the reader receives the filter, keeps it, and its
+    # partition list drops the non-matching file entirely
+    r = PcapReader({"path": root})
+    remaining = list(r.pushFilters([EqualTo(("slice_type",), "eMBB")]))
+    assert remaining == []
+    parts = r.partitions()
+    assert [p.slice_type for p in parts] == ["eMBB"]
+
+    # end to end: results match the post-scan filter semantics
+    register_pcap_source(spark)
+    got = (
+        spark.read.format("pcap").load(root)
+        .filter(F.col("slice_type") == "eMBB")
+        .count()
+    )
+    assert got == 2
+
+
+def test_protocol_pushdown_and_unsupported_filters_return(spark, tmp_path):
+    root = _lay_out_captures(tmp_path)
+    r = PcapReader({"path": root})
+    unsupported = GreaterThanOrEqual(("src_port",), 1001)
+    remaining = list(r.pushFilters([
+        EqualTo(("protocol",), "UDP"), unsupported,
+    ]))
+    assert remaining == [unsupported]  # back to Spark for post-scan
+    # pushed protocol=UDP: the decode loop skips every TCP row
+    assert sum(1 for p in r.partitions() for _row in r.read(p)) == 0
+
+    register_pcap_source(spark)
+    df = spark.read.format("pcap").load(root)
+    assert df.filter(F.col("protocol") == "TCP").count() == 3
+    assert df.filter(F.col("protocol") == "UDP").count() == 0
+    # combined: pushed equality + Spark-side residual predicate
+    assert (
+        df.filter((F.col("protocol") == "TCP") & (F.col("src_port") >= 1001))
+        .count() == 1
+    )
+
+
+def test_missing_path_fails_closed():
+    with pytest.raises(ValueError):
+        PcapReader({})
