@@ -34,6 +34,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     InputPartition,
 )
@@ -110,6 +111,36 @@ class PcapReader(DataSourceReader):
             yield row
 
 
+class PcapStreamReader(DataSourceStreamReader):
+    """Capture-directory tailing (SURVEY §2 A32): offsets are indexes
+    into the SORTED file listing — capture files land append-only with
+    monotonically named files (the rotation convention the reference's
+    HDFS layout follows), so a count-offset is a total order and a
+    replayed (start, end) range re-reads exactly the same files
+    (exactly-once across checkpointed restarts comes free).  Files
+    must not be mutated in place; a rewritten file is a new capture or
+    nothing."""
+
+    def __init__(self, options: dict):
+        self._batch = PcapReader(options)
+
+    def initialOffset(self) -> dict:  # noqa: N802 — API name
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:  # noqa: N802 — API name
+        return {"index": len(self._batch._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._batch._files()[start["index"]:end["index"]]
+        return [PcapFilePartition(p, infer_slice(p)) for p in files]
+
+    def read(self, partition: PcapFilePartition) -> Iterator[tuple]:
+        return self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing source-side
+
+
 class PcapDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -120,6 +151,9 @@ class PcapDataSource(DataSource):
 
     def reader(self, schema) -> PcapReader:
         return PcapReader(self.options)
+
+    def streamReader(self, schema) -> PcapStreamReader:  # noqa: N802
+        return PcapStreamReader(self.options)
 
 
 def register_pcap_source(spark) -> None:

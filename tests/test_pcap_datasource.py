@@ -86,3 +86,33 @@ def test_protocol_pushdown_and_unsupported_filters_return(spark, tmp_path):
 def test_missing_path_fails_closed():
     with pytest.raises(ValueError):
         PcapReader({})
+
+
+def test_streaming_pcap_tail_is_exactly_once(spark, tmp_path):
+    import time
+
+    root = str(tmp_path / "caps")
+    (tmp_path / "caps" / "embb").mkdir(parents=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (tmp_path / "caps" / "embb" / "a0.pcap").write_bytes(
+        _pcap_bytes([_ipv4_tcp_packet(sport=1)]))
+    register_pcap_source(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("pcap").load(root)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 1
+    # a new capture lands; the restarted stream reads ONLY it
+    time.sleep(1.1)
+    (tmp_path / "caps" / "embb" / "a1.pcap").write_bytes(
+        _pcap_bytes([_ipv4_tcp_packet(sport=2), _ipv4_tcp_packet(sport=3)]))
+    run()
+    got = sorted(r["src_port"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]  # no re-read of a0
