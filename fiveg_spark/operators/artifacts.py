@@ -585,7 +585,7 @@ QUERIES.extend([
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill (deferred=True: registered after the r10 window froze)
+# r11 pre-fill (flags dropped at r11 start; in the r11 certification window)
 # --------------------------------------------------------------------------
 
 
@@ -865,11 +865,11 @@ def _bucketed_join_oracle() -> str:
 
 QUERIES.extend([
     Query("snapshot_rollback_audit", _rollback_audit_run,
-          _rollback_audit_oracle(), deferred=True),
+          _rollback_audit_oracle()),
     Query("zorder_content_parity", _zorder_parity_run,
-          _zorder_parity_oracle(), deferred=True),
+          _zorder_parity_oracle()),
     Query("manifest_integrity_audit", _manifest_audit_run,
-          _manifest_audit_oracle(), deferred=True),
+          _manifest_audit_oracle()),
     Query("bucketed_join_parity", _bucketed_join_run,
-          _bucketed_join_oracle(), deferred=True),
+          _bucketed_join_oracle()),
 ])

@@ -1490,7 +1490,7 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill, wave 2 (deferred=True)
+# r11 pre-fill, wave 2 (flags dropped at r11 start)
 # --------------------------------------------------------------------------
 
 DORMANCY_DAYS = 7.0
@@ -1557,7 +1557,7 @@ def _dormancy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.extend([
     materialized_backed("dormancy_spell_profile", _dormancy_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
 ])
 
 
@@ -1675,7 +1675,7 @@ def _session_depth_sql(d: str) -> str:
 
 QUERIES.extend([
     materialized_backed("return_hazard_ladder", _return_hazard_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
     sql_backed("session_depth_value_curve", _session_depth_sql,
-               ("events",), deferred=True),
+               ("events",)),
 ])

@@ -269,11 +269,10 @@ def _jl_norm_sql(d: str) -> str:
 
 QUERIES = [
     materialized_backed("intrinsic_dimension_2nn", _twonn_parts,
-                        ("embeddings",), deferred=True),
+                        ("embeddings",)),
     materialized_backed("knn_hubness_profile", _hubness_parts,
-                        ("embeddings",), deferred=True),
-    sql_backed("jl_norm_preservation", _jl_norm_sql, ("embeddings",),
-               deferred=True),
+                        ("embeddings",)),
+    sql_backed("jl_norm_preservation", _jl_norm_sql, ("embeddings",)),
 ]
 
 
@@ -328,7 +327,7 @@ def _knn_confusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.append(
     materialized_backed("knn_label_confusion", _knn_confusion_parts,
-                        ("embeddings",), deferred=True)
+                        ("embeddings",))
 )
 
 
@@ -394,5 +393,5 @@ def _cosine_curve_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.append(
     materialized_backed("cosine_threshold_curve", _cosine_curve_parts,
-                        ("embeddings",), deferred=True)
+                        ("embeddings",))
 )

@@ -433,7 +433,7 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill (deferred=True: registered after the r10 window froze)
+# r11 pre-fill (flags dropped at r11 start; in the r11 certification window)
 # --------------------------------------------------------------------------
 
 
@@ -576,9 +576,9 @@ def _token_case_profile_sql(d: str) -> str:
 
 QUERIES.extend([
     sql_backed("user_hour_entropy_by_band", _hour_entropy_by_band_sql,
-               ("events",), deferred=True),
+               ("events",)),
     sql_backed("type_transition_asymmetry", _transition_asymmetry_sql,
-               ("events",), deferred=True),
+               ("events",)),
     sql_backed("doc_token_case_profile", _token_case_profile_sql,
-               ("documents",), deferred=True),
+               ("documents",)),
 ])

@@ -632,7 +632,7 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill, wave 2 (deferred=True)
+# r11 pre-fill, wave 2 (flags dropped at r11 start)
 # --------------------------------------------------------------------------
 
 
@@ -693,5 +693,5 @@ def _fk_fanout_sql(d: str) -> str:
 
 QUERIES.extend([
     sql_backed("fk_fanout_profile", _fk_fanout_sql,
-               ("lineitem", "orders"), deferred=True),
+               ("lineitem", "orders")),
 ])

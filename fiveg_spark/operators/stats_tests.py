@@ -521,19 +521,19 @@ def _gumbel_maxima_sql(d: str) -> str:
 
 QUERIES = [
     materialized_backed("kruskal_wallis_slices", _kruskal_wallis_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
     materialized_backed("friedman_slices", _friedman_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
     materialized_backed("levene_variance_homogeneity", _levene_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
     sql_backed("chisq_hour_uniformity", _chisq_hour_uniformity_sql,
-               ("events",), deferred=True),
+               ("events",)),
     sql_backed("effect_size_ladder", _effect_size_ladder_sql,
-               ("events",), deferred=True),
+               ("events",)),
     materialized_backed("weibull_iat_fit", _weibull_iat_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
     sql_backed("gumbel_maxima_fit", _gumbel_maxima_sql,
-               ("events",), deferred=True),
+               ("events",)),
 ]
 
 
@@ -637,7 +637,7 @@ def _poisson_bootstrap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.extend([
     materialized_backed("poisson_bootstrap_ci", _poisson_bootstrap_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
 ])
 
 
@@ -788,7 +788,7 @@ def _perm_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.extend([
     materialized_backed("median_polish_hourweek", _median_polish_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
     materialized_backed("permutation_entropy", _perm_entropy_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
 ])

@@ -1002,7 +1002,7 @@ QUERIES.append(
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill (deferred=True: registered after the r10 window froze)
+# r11 pre-fill (flags dropped at r11 start; in the r11 certification window)
 # --------------------------------------------------------------------------
 
 
@@ -1167,7 +1167,220 @@ def _reservoir_store_oracle() -> str:
 
 QUERIES.extend([
     Query("stream_hll_store_parity", _hll_store_run,
-          _hll_store_oracle(), deferred=True),
+          _hll_store_oracle()),
     Query("stream_reservoir_store_parity", _reservoir_store_run,
-          _reservoir_store_oracle(), deferred=True),
+          _reservoir_store_oracle()),
 ])
+
+
+# --------------------------------------------------------------------------
+# B6 — streaming 36-KPI vs the batch flagship (the reference's own
+# stream≡batch claim, KafkaKpiPipeline.scala:69-176 vs :398-465)
+# --------------------------------------------------------------------------
+
+# KPIs whose streaming aggregate is EXACTLY the batch formula (31 of 36;
+# the other 5 are the approximate trades streaming semantics force —
+# HLL distincts + percentile_approx, KafkaKpiPipeline.scala:126 makes
+# the same trade — certified below via guaranteed-bound booleans).
+_APPROX_KPIS = ("Unique_Pkt_Sizes", "Protocol_Diversity",
+                "Unique_Src_Ports", "Unique_Dst_Ports", "IAT_Median")
+_CNT_KPIS = ("Total_Packets", "Idle_Periods", "Zero_Win_Count", "RST_Count")
+
+
+def _exact_kpi_aliases() -> list[str]:
+    from fiveg_spark.operators.kpi import kpi_aggregates
+
+    out = []
+    for expr in kpi_aggregates(dialect="duckdb"):
+        alias = expr.rsplit(" AS ", 1)[1]
+        if alias not in _APPROX_KPIS:
+            out.append(alias)
+    return out
+
+
+def _stream_kpi36_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events-mapped packet view through the REAL streaming
+    plan — per-week parquet files consumed one micro-batch each
+    (maxFilesPerTrigger=1, mtime-ordered) through the stateful-IAT
+    `applyInPandasWithState` operator and the watermarked tumbling
+    window, parquet sink + checkpoint — then certify the emitted
+    windows against a DuckDB recomputation of the batch flagship.
+
+    Two SENTINEL files (far-future event time, same hour window) land
+    last: the first advances the watermark past every real window end,
+    the second triggers the batch in which they all flush — so the
+    emitted set is deterministically ALL real windows, independent of
+    whether availableNow runs a trailing no-data batch (the sentinel's
+    own window is excluded in-plan by the cutoff literal either way).
+
+    31 KPIs stream with formulas identical to the batch flagship and
+    certify by VALUE; the 5 approximation-forced KPIs certify by
+    guarantee booleans — percentile_approx's rank bound (accuracy 100
+    → ±1% rank; it returns a raw element, so the guaranteed envelope
+    is |approx − exact median| ≤ IQR) and a 15%/±2 envelope on the
+    HLL distincts.
+    """
+    import os
+
+    from fiveg_spark.operators.kpi import packet_view, with_iat
+    from fiveg_spark.streaming.kpi_stream import IAT_SCHEMA, streaming_kpi36
+
+    in_cols = [f.name for f in IAT_SCHEMA.fields if f.name != "iat"]
+    scratch = _scratch()
+    src = os.path.join(scratch, "src")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    os.makedirs(src)
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        pv = packet_view(spark, sf_dir).select("event_id", *in_cols)
+        wk = F.floor(F.col("ts_sec") / WEEK_S).cast("long")
+        weeks = sorted(
+            r[0] for r in pv.select(wk.alias("wk")).distinct().collect()
+        )
+        max_sec = pv.agg(F.max("ts_sec")).head()[0]
+        # sentinel pair: +100 days, 1 s apart → same hour window
+        sent_secs = [max_sec + 8_640_000.0, max_sec + 8_640_001.0]
+        cutoff_sec = max_sec + 1_000_000.0  # past every real window end
+
+        def land(df: DataFrame, seq: int) -> None:
+            tmp = os.path.join(scratch, f"w{seq}")
+            df.coalesce(1).write.parquet(tmp)
+            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+            dst = os.path.join(src, f"{seq:04d}.parquet")
+            os.rename(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+        for i, w in enumerate(weeks):
+            land(pv.filter(wk == w).drop("event_id"), i)
+        for j, s in enumerate(sent_secs):
+            land(
+                spark.range(1).select(
+                    F.lit("eMBB").alias("slice"),
+                    F.lit(-1).cast("long").alias("flow_id"),
+                    F.timestamp_seconds(F.lit(s)).alias("ts"),
+                    F.lit(s).alias("ts_sec"),
+                    F.lit(1.0).alias("pkt_len"),
+                    F.lit("TCP").alias("protocol"),
+                    F.lit(0).alias("src_port"),
+                    F.lit(0).alias("dst_port"),
+                    F.lit(0).alias("win_size"),
+                    F.lit(0).alias("tcp_flags"),
+                ),
+                len(weeks) + j,
+            )
+
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_kpi36(stream, window="1 hour", watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        streamed = spark.read.parquet(out).filter(
+            F.col("window_end") <= F.timestamp_seconds(F.lit(cutoff_sec))
+        )
+        exact = (
+            with_iat(packet_view(spark, sf_dir))
+            .withColumn("window_start", F.date_trunc("hour", F.col("ts")))
+            .groupBy("slice", "window_start")
+            .agg(
+                F.countDistinct("pkt_len").alias("x_upk"),
+                F.countDistinct("protocol").alias("x_pd"),
+                F.countDistinct("src_port").alias("x_usp"),
+                F.countDistinct("dst_port").alias("x_udp"),
+                F.expr("percentile(iat, 0.25)").alias("p25"),
+                F.expr("percentile(iat, 0.50)").alias("p50"),
+                F.expr("percentile(iat, 0.75)").alias("p75"),
+            )
+        )
+
+        def ok(approx: str, ex: str) -> F.Column:
+            return (
+                F.abs(F.col(approx) - F.col(ex))
+                <= F.greatest(F.lit(2.0), 0.15 * F.col(ex))
+            )
+
+        rounded = [
+            F.expr(
+                f"CAST(round(coalesce({a}, 0.0) + 1e-9, 4) + 0.0 AS DOUBLE)"
+                if a not in _CNT_KPIS else f"CAST({a} AS BIGINT)"
+            ).alias(a)
+            for a in _exact_kpi_aliases()
+        ]
+        result = (
+            streamed.join(exact, ["slice", "window_start"], "inner")
+            .select(
+                "slice",
+                "window_start",
+                *rounded,
+                ok("Unique_Pkt_Sizes", "x_upk").alias("uniq_pkt_ok"),
+                ok("Protocol_Diversity", "x_pd").alias("proto_div_ok"),
+                ok("Unique_Src_Ports", "x_usp").alias("uniq_src_ok"),
+                ok("Unique_Dst_Ports", "x_udp").alias("uniq_dst_ok"),
+                # percentile_approx returns a raw ELEMENT with rank
+                # within ±1% of the median (accuracy 100), never an
+                # interpolation — for an n=2 window that's the lower
+                # element while exact percentile() interpolates the
+                # midpoint, so the honest guaranteed bound is
+                # |approx − exact median| ≤ IQR (both live between the
+                # quartiles for every n; boundary-exact at n=2, hence
+                # the multiplicative slack)
+                (
+                    F.abs(F.col("IAT_Median") - F.col("p50"))
+                    <= (F.col("p75") - F.col("p25")) * (1 + 1e-9) + 1e-6
+                ).alias("median_in_band"),
+            )
+        )
+        schema = ", ".join(
+            ["slice STRING", "window_start TIMESTAMP"]
+            + [
+                f"{a} {'LONG' if a in _CNT_KPIS else 'DOUBLE'}"
+                for a in _exact_kpi_aliases()
+            ]
+            + [f"{b} BOOLEAN" for b in ("uniq_pkt_ok", "proto_div_ok",
+                                        "uniq_src_ok", "uniq_dst_ok",
+                                        "median_in_band")]
+        )
+        return _collected(spark, result, schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _stream_kpi36_oracle() -> str:
+    from fiveg_spark.operators.kpi import flows_cte, kpi_aggregates
+
+    aggs = ",\n      ".join(
+        e for e in kpi_aggregates(dialect="duckdb")
+        if e.rsplit(" AS ", 1)[1] not in _APPROX_KPIS
+    )
+    bools = ",\n      ".join(
+        f"TRUE AS {b}" for b in ("uniq_pkt_ok", "proto_div_ok",
+                                 "uniq_src_ok", "uniq_dst_ok",
+                                 "median_in_band")
+    )
+    return f"""
+    {flows_cte("duckdb")}
+    SELECT
+      slice,
+      date_trunc('hour', ts) AS window_start,
+      {aggs},
+      {bools}
+    FROM flows
+    GROUP BY slice, date_trunc('hour', ts)
+    """
+
+
+QUERIES.append(
+    Query("stream_kpi36_parity", _stream_kpi36_run, _stream_kpi36_oracle(),
+          deferred=True)
+)

@@ -444,7 +444,7 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill (deferred=True: registered after the r10 window froze)
+# r11 pre-fill (flags dropped at r11 start; in the r11 certification window)
 # --------------------------------------------------------------------------
 
 
@@ -601,19 +601,18 @@ def _part_name_tokens_sql(d: str) -> str:
 
 QUERIES.extend([
     sql_backed("discount_depth_by_price_quartile", _discount_depth_sql,
-               ("lineitem",), deferred=True),
+               ("lineitem",)),
     sql_backed("nation_brand_affinity", _nation_brand_affinity_sql,
-               ("lineitem", "orders", "customer", "nation", "part"),
-               deferred=True),
+               ("lineitem", "orders", "customer", "nation", "part")),
     sql_backed("debtor_activity_contrast", _debtor_contrast_sql,
-               ("customer", "orders"), deferred=True),
+               ("customer", "orders")),
     sql_backed("part_name_token_stats", _part_name_tokens_sql,
-               ("part",), deferred=True),
+               ("part",)),
 ])
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill, wave 2 (deferred=True)
+# r11 pre-fill, wave 2 (flags dropped at r11 start)
 # --------------------------------------------------------------------------
 
 
@@ -900,16 +899,15 @@ def _nation_kendall_sql(d: str) -> str:
 
 
 QUERIES.extend([
-    materialized_backed("net_revenue_retention", _nrr_parts, ("orders",),
-                        deferred=True),
+    materialized_backed("net_revenue_retention", _nrr_parts, ("orders",)),
     sql_backed("safety_stock_parameters", _safety_stock_sql,
-               ("lineitem", "orders", "part"), deferred=True),
+               ("lineitem", "orders", "part")),
     sql_backed("bullwhip_variance_ratio", _bullwhip_sql,
-               ("lineitem", "orders", "part"), deferred=True),
+               ("lineitem", "orders", "part")),
     sql_backed("part_price_dispersion", _price_dispersion_sql,
-               ("lineitem", "part"), deferred=True),
+               ("lineitem", "part")),
     sql_backed("nation_metric_kendall", _nation_kendall_sql,
-               ("customer", "orders"), deferred=True),
+               ("customer", "orders")),
 ])
 
 
@@ -1062,9 +1060,9 @@ def _value_mix_shift_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.extend([
     materialized_backed("laspeyres_price_index", _price_index_parts,
-                        ("lineitem",), deferred=True),
+                        ("lineitem",)),
     materialized_backed("value_mix_shift_yearly", _value_mix_shift_parts,
-                        ("orders",), deferred=True),
+                        ("orders",)),
 ])
 
 
@@ -1106,7 +1104,7 @@ def _basket_tradeoff_sql(d: str) -> str:
 
 QUERIES.extend([
     sql_backed("basket_size_price_tradeoff", _basket_tradeoff_sql,
-               ("lineitem",), deferred=True),
+               ("lineitem",)),
 ])
 
 
@@ -1246,10 +1244,10 @@ def _top_customer_turnover_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 QUERIES.extend([
     materialized_backed("leadtime_variance_decomposition",
                         _leadtime_vardecomp_parts,
-                        ("lineitem", "orders", "part"), deferred=True),
+                        ("lineitem", "orders", "part")),
     materialized_backed("top_customer_turnover",
                         _top_customer_turnover_parts,
-                        ("orders",), deferred=True),
+                        ("orders",)),
 ])
 
 
@@ -1304,5 +1302,5 @@ def _nb_ordersize_sql(d: str) -> str:
 
 QUERIES.extend([
     sql_backed("nb_ordersize_fit", _nb_ordersize_sql,
-               ("lineitem", "orders", "customer"), deferred=True),
+               ("lineitem", "orders", "customer")),
 ])

@@ -1140,7 +1140,7 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill, wave 2 (deferred=True)
+# r11 pre-fill, wave 2 (flags dropped at r11 start)
 # --------------------------------------------------------------------------
 
 
@@ -1256,10 +1256,8 @@ def _yule_k_sql(d: str) -> str:
 
 
 QUERIES.extend([
-    sql_backed("readability_scores", _readability_sql, ("documents",),
-               deferred=True),
-    sql_backed("yule_k_profile", _yule_k_sql, ("documents",),
-               deferred=True),
+    sql_backed("readability_scores", _readability_sql, ("documents",)),
+    sql_backed("yule_k_profile", _yule_k_sql, ("documents",)),
 ])
 
 
@@ -1341,5 +1339,5 @@ def _ngram_position_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.extend([
     materialized_backed("ngram_position_bias", _ngram_position_parts,
-                        ("documents",), deferred=True),
+                        ("documents",)),
 ])

@@ -1121,7 +1121,7 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill, wave 2 (deferred=True)
+# r11 pre-fill, wave 2 (flags dropped at r11 start)
 # --------------------------------------------------------------------------
 
 
@@ -1210,6 +1210,5 @@ def _linear_interp_sql(d: str) -> str:
 
 
 QUERIES.extend([
-    sql_backed("linear_interp_gapfill", _linear_interp_sql, ("events",),
-               deferred=True),
+    sql_backed("linear_interp_gapfill", _linear_interp_sql, ("events",)),
 ])

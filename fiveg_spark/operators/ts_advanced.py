@@ -1955,7 +1955,7 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# r11 pre-fill, wave 2 (deferred=True)
+# r11 pre-fill, wave 2 (flags dropped at r11 start)
 # --------------------------------------------------------------------------
 
 _PC_SLICES = ("eMBB", "URLLC", "mMTC")  # kpi.packet_projection's fixed set
@@ -2043,7 +2043,7 @@ def _partial_corr_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.extend([
     materialized_backed("partial_corr_slices", _partial_corr_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
 ])
 
 
@@ -2145,5 +2145,5 @@ def _cointegration_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 
 QUERIES.extend([
     materialized_backed("cointegration_screen", _cointegration_parts,
-                        ("events",), deferred=True),
+                        ("events",)),
 ])

@@ -296,6 +296,16 @@ def diff_ledgers(old: dict, new: dict) -> list[dict]:
     'reshaped' (hash moved with no scalar change — a benign-looking
     rewrite worth a glance), 'added'/'removed'/'broken'."""
     out: list[dict] = []
+    if old.get("version") != new.get("version"):
+        # v1↔v2 hashes are incomparable (different canonicalization);
+        # per-query hash comparison across versions would emit hundreds
+        # of spurious 'reshaped' findings — refuse with ONE loud line.
+        return [{"query": "*", "kind": "regressed",
+                 "field": "version",
+                 "old": old.get("version"), "new": new.get("version"),
+                 "note": "ledger versions differ — plan hashes are "
+                         "incomparable; re-record the old side at the "
+                         "current LEDGER_VERSION before diffing"}]
     if old.get("sf_dir_basename") != new.get("sf_dir_basename"):
         out.append({"query": "*", "kind": "regressed",
                     "field": "sf_dir_basename",

@@ -64,14 +64,29 @@ class PcapReader(DataSourceReader):
         self._root = root
         self._slice_eq: str | None = None
         self._protocol_eq: str | None = None
+        self._impossible = False  # conflicting pushed equalities → empty scan
 
     def pushFilters(self, filters):  # noqa: N802 — API name
+        # Catalyst does not fold two conflicting equalities on the same
+        # column to false, so a second EqualTo with a DIFFERENT value
+        # must not silently overwrite the first (both would be reported
+        # as handled while only one applied).  Conjunctive semantics:
+        # same value → idempotent consume; different value → the scan
+        # is provably empty, emit zero partitions.
         remaining = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("slice_type",):
-                self._slice_eq = str(f.value)
+                v = str(f.value)
+                if self._slice_eq is not None and self._slice_eq != v:
+                    self._impossible = True
+                self._slice_eq = self._slice_eq if self._slice_eq is not None else v
             elif isinstance(f, EqualTo) and f.attribute == ("protocol",):
-                self._protocol_eq = str(f.value)
+                v = str(f.value)
+                if self._protocol_eq is not None and self._protocol_eq != v:
+                    self._impossible = True
+                self._protocol_eq = (
+                    self._protocol_eq if self._protocol_eq is not None else v
+                )
             else:
                 remaining.append(f)
         return remaining
@@ -89,6 +104,8 @@ class PcapReader(DataSourceReader):
         return sorted(out)
 
     def partitions(self):
+        if self._impossible:
+            return []
         parts = []
         for path in self._files():
             slice_type = infer_slice(path)
@@ -111,28 +128,104 @@ class PcapReader(DataSourceReader):
             yield row
 
 
+class PcapNonMonotonicLanding(RuntimeError):
+    """A capture file landed with a name sorting at-or-below its
+    directory's committed watermark: the rotation convention (files
+    land append-only with monotonically increasing names per
+    directory) was violated, and a count-based offset would silently
+    re-read or skip files.  Fail closed instead."""
+
+
 class PcapStreamReader(DataSourceStreamReader):
-    """Capture-directory tailing (SURVEY §2 A32): offsets are indexes
-    into the SORTED file listing — capture files land append-only with
-    monotonically named files (the rotation convention the reference's
-    HDFS layout follows), so a count-offset is a total order and a
-    replayed (start, end) range re-reads exactly the same files
-    (exactly-once across checkpointed restarts comes free).  Files
-    must not be mutated in place; a rewritten file is a new capture or
-    nothing."""
+    """Capture-directory tailing (SURVEY §2 A32): offsets carry a
+    PER-DIRECTORY filename watermark — ``{dir: {"last": basename,
+    "n": count}}`` — not a position in the global sorted listing.  A
+    new capture landing in one directory (the multi-slice layout:
+    embb/, urllc/ subdirs) therefore never shifts another directory's
+    file↔offset mapping, and a replayed (start, end) range re-reads
+    exactly the files with ``start.last < name <= end.last`` in each
+    directory (exactly-once across checkpointed restarts).
+
+    Within ONE directory the rotation convention still holds — files
+    land with monotonically increasing names and are never mutated in
+    place (the reference's HDFS rotation, PcapKpiExtractor.scala's
+    continuous ingest loop assumes the same) — but a violation now
+    FAILS LOUDLY: the stored ``n`` is cross-checked against the count
+    of files at-or-below the watermark, so an out-of-order landing
+    raises :class:`PcapNonMonotonicLanding` instead of silently
+    re-reading committed files and skipping the newcomer."""
 
     def __init__(self, options: dict):
         self._batch = PcapReader(options)
 
+    def _marks(self) -> dict:
+        """Current per-directory watermarks from a fresh listing."""
+        dirs: dict[str, dict] = {}
+        for path in self._batch._files():
+            d = os.path.dirname(path)
+            name = os.path.basename(path)
+            m = dirs.setdefault(d, {"last": name, "n": 0})
+            m["n"] += 1
+            if name > m["last"]:
+                m["last"] = name
+        return dirs
+
     def initialOffset(self) -> dict:  # noqa: N802 — API name
-        return {"index": 0}
+        return {"v": 2, "dirs": {}}
 
     def latestOffset(self) -> dict:  # noqa: N802 — API name
-        return {"index": len(self._batch._files())}
+        return {"v": 2, "dirs": self._marks()}
+
+    @staticmethod
+    def _migrate(offset: dict, files: list[str]) -> dict:
+        """Legacy v1 offsets were indexes into the global sorted
+        listing; rebuild the equivalent per-directory watermarks from
+        the listing prefix so old checkpoints restart cleanly."""
+        if "dirs" in offset:
+            return offset
+        dirs: dict[str, dict] = {}
+        for path in files[: offset["index"]]:
+            d = os.path.dirname(path)
+            name = os.path.basename(path)
+            m = dirs.setdefault(d, {"last": name, "n": 0})
+            m["n"] += 1
+            if name > m["last"]:
+                m["last"] = name
+        return {"v": 2, "dirs": dirs}
 
     def partitions(self, start: dict, end: dict):
-        files = self._batch._files()[start["index"]:end["index"]]
-        return [PcapFilePartition(p, infer_slice(p)) for p in files]
+        files = self._batch._files()
+        start = self._migrate(start, files)
+        end = self._migrate(end, files)
+        by_dir: dict[str, list[str]] = {}
+        for path in files:
+            by_dir.setdefault(os.path.dirname(path), []).append(path)
+        out = []
+        for d, mark in end["dirs"].items():
+            names = sorted(os.path.basename(p) for p in by_dir.get(d, []))
+            s = start["dirs"].get(d)
+            lo = s["last"] if s is not None else ""
+            # monotonicity audit: the committed watermark promised
+            # exactly `n` files at-or-below `last`; a file that landed
+            # later with an earlier-sorting name breaks that count.
+            for watermark in (s, mark):
+                if watermark is None:
+                    continue
+                below = sum(1 for n in names if n <= watermark["last"])
+                if below != watermark["n"]:
+                    raise PcapNonMonotonicLanding(
+                        f"{d}: {below} files at-or-below watermark "
+                        f"{watermark['last']!r} but the offset committed "
+                        f"{watermark['n']} — a capture landed out of "
+                        "filename order (rotation convention violated); "
+                        "refusing to guess which files were processed"
+                    )
+            out.extend(
+                PcapFilePartition(os.path.join(d, n), infer_slice(os.path.join(d, n)))
+                for n in names
+                if lo < n <= mark["last"]
+            )
+        return out
 
     def read(self, partition: PcapFilePartition) -> Iterator[tuple]:
         return self._batch.read(partition)

@@ -45,16 +45,34 @@ def pick_watermark(
     default_s: int = DEFAULT_WATERMARK_S,
     target: float = LATE_TARGET,
 ) -> int:
-    """The restart-time decision: the monitor's smallest safe rung, or
-    the default when the store doesn't exist yet (first deploy) or no
-    rung clears the target (the monitor says 'your ladder is too
-    short' — shipping the largest rung anyway would silently drop
-    data, so fail toward the explicit default instead)."""
+    """The restart-time decision: the monitor's smallest safe rung;
+    the default when the store doesn't exist yet (first deploy); and
+    when NO rung clears the target (the monitor says 'your ladder is
+    too short'), the LARGEST available delay — max(default, top rung).
+    In that degraded-arrival regime every choice drops late data, and
+    the top rung provably drops the least of the options we have;
+    falling back to a default SMALLER than the top rung would drop
+    strictly more in exactly the scenario the monitor flagged.  The
+    ladder-exceeded condition is surfaced via warning so operators
+    know the measured tail outran the ladder."""
     try:
         rec = recommended_watermark(spark, monitor_store, target)
     except FileNotFoundError:
         return default_s
-    return default_s if rec is None else rec
+    if rec is None:
+        import warnings
+
+        from fiveg_spark.operators.lateness import WATERMARK_LADDER
+
+        chosen = max(default_s, WATERMARK_LADDER[-1])
+        warnings.warn(
+            f"lateness monitor: no ladder rung keeps late share under "
+            f"{target} — arrival lateness exceeds the {WATERMARK_LADDER[-1]}s "
+            f"ladder; using {chosen}s (the largest available delay)",
+            stacklevel=2,
+        )
+        return chosen
+    return rec
 
 
 def windowed_counts(

@@ -95,8 +95,9 @@ def streaming_kpi_aggs(
     eps: float = 1e-6,
 ) -> list:
     """The 36 KPIs, streaming-safe (HLL distincts, approx percentile)."""
+    from fiveg_spark.functions.stats import pop_kurtosis_sql, pop_skewness_sql
+
     idle = f"sum(CASE WHEN iat > {idle_threshold} THEN 1 ELSE 0 END)"
-    sk = "(avg(pow(iat,3)) - 3*avg(iat)*avg(pow(iat,2)) + 2*pow(avg(iat),3))"
     exprs = {
         "Throughput_bps": "sum(pkt_len) * 8",
         "Total_Packets": "count(*)",
@@ -104,12 +105,12 @@ def streaming_kpi_aggs(
         "Byte_Velocity": f"sum(pkt_len) / (sum(iat) + {eps})",
         "Avg_IAT": "avg(iat)",
         "Jitter": "stddev_samp(iat)",
-        "IAT_Skewness": f"{sk} / pow(stddev_pop(iat) + {eps}, 3)",
-        "IAT_Kurtosis": (
-            "(avg(pow(iat,4)) - 4*avg(iat)*avg(pow(iat,3))"
-            " + 6*pow(avg(iat),2)*avg(pow(iat,2)) - 3*pow(avg(iat),4))"
-            f" / pow(var_pop(iat) + {eps}, 2)"
-        ),
+        # identical power-sum formulas to the batch flagship
+        # (functions/stats.py) — sum/count only, so incrementally
+        # computable; the stream≡batch claim holds bit-for-bit on the
+        # moment KPIs, not just approximately
+        "IAT_Skewness": pop_skewness_sql("iat"),
+        "IAT_Kurtosis": pop_kurtosis_sql("iat"),
         "Min_IAT": "min(iat)",
         "Max_IAT": "max(iat)",
         "IAT_PAPR": f"max(iat) / (avg(iat) + {eps})",
@@ -119,15 +120,8 @@ def streaming_kpi_aggs(
         "IAT_Median": "percentile_approx(iat, 0.5, 100)",
         "Avg_Packet_Size": "avg(pkt_len)",
         "Pkt_Size_StdDev": "stddev_samp(pkt_len)",
-        "Pkt_Size_Skewness": (
-            "(avg(pow(pkt_len,3)) - 3*avg(pkt_len)*avg(pow(pkt_len,2))"
-            f" + 2*pow(avg(pkt_len),3)) / pow(stddev_pop(pkt_len) + {eps}, 3)"
-        ),
-        "Pkt_Size_Kurtosis": (
-            "(avg(pow(pkt_len,4)) - 4*avg(pkt_len)*avg(pow(pkt_len,3))"
-            " + 6*pow(avg(pkt_len),2)*avg(pow(pkt_len,2)) - 3*pow(avg(pkt_len),4))"
-            f" / pow(var_pop(pkt_len) + {eps}, 2)"
-        ),
+        "Pkt_Size_Skewness": pop_skewness_sql("pkt_len"),
+        "Pkt_Size_Kurtosis": pop_kurtosis_sql("pkt_len"),
         "Min_Pkt_Size": "min(pkt_len)",
         "Max_Pkt_Size": "max(pkt_len)",
         "Unique_Pkt_Sizes": "approx_count_distinct(pkt_len)",
@@ -160,12 +154,10 @@ def streaming_kpi36(
         iat.withWatermark("ts", watermark)
         .groupBy(F.col("slice"), F.window("ts", window))
         .agg(*streaming_kpi_aggs())
-        .select(
-            "slice",
-            F.col("window.start").alias("window_start"),
-            F.col("window.end").alias("window_end"),
-            "*",
-        )
+        # withColumn (not select-star) so `slice` is never duplicated —
+        # a duplicate survives a memory sink but poisons a parquet sink
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
         .drop("window")
     )
     return out.na.fill(0.0)

@@ -41,12 +41,21 @@ def test_pick_follows_monitor_and_falls_back_when_ladder_short(
     assert pick_watermark(spark, path) == WATERMARK_LADDER[0]
 
     # bury the frontier, then replay rows >900 s behind it: every rung
-    # drops >1% -> monitor returns None -> explicit default
+    # drops >1% -> monitor returns None -> the LARGEST available delay
+    # (max of default and top rung — a smaller default would drop
+    # strictly more late data in exactly this degraded regime), and
+    # the ladder-exceeded condition is surfaced as a warning
+    import warnings
+
     path2 = str(tmp_path / "store2")
     score2 = foreach_batch_lateness(path2)
     score2(_frame(spark, [BASE + 10000]), 0)
     score2(_frame(spark, [BASE + i for i in range(5)]), 1)
-    assert pick_watermark(spark, path2) == DEFAULT_WATERMARK_S
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert pick_watermark(spark, path2) == \
+            max(DEFAULT_WATERMARK_S, WATERMARK_LADDER[-1])
+    assert any("ladder" in str(w.message) for w in caught)
 
 
 def test_restart_adapts_delay_with_exact_counts(spark, tmp_path):

@@ -11,7 +11,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
 
 from fiveg_spark.sources.pcap_datasource import (
+    PcapNonMonotonicLanding,
     PcapReader,
+    PcapStreamReader,
     register_pcap_source,
 )
 from tests.test_sources import _ipv4_tcp_packet, _pcap_bytes
@@ -116,3 +118,89 @@ def test_streaming_pcap_tail_is_exactly_once(spark, tmp_path):
     run()
     got = sorted(r["src_port"] for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3]  # no re-read of a0
+
+
+def test_streaming_offsets_survive_earlier_sorting_directory(spark, tmp_path):
+    """The advisor's failure scenario for index-based offsets: commit
+    urllc/b0, then a new capture lands in embb/ — a directory whose
+    files sort BEFORE the committed one in the global listing.  With
+    per-directory filename watermarks the restarted stream reads ONLY
+    the newcomer (an index offset would re-read b0 and skip a1)."""
+    import time
+
+    root = str(tmp_path / "caps")
+    (tmp_path / "caps" / "urllc").mkdir(parents=True)
+    (tmp_path / "caps" / "embb").mkdir(parents=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (tmp_path / "caps" / "urllc" / "b0.pcap").write_bytes(
+        _pcap_bytes([_ipv4_tcp_packet(sport=10)]))
+    register_pcap_source(spark)
+
+    def run():
+        q = (
+            spark.readStream.format("pcap").load(root)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out).count() == 1
+    time.sleep(1.1)
+    (tmp_path / "caps" / "embb" / "a1.pcap").write_bytes(
+        _pcap_bytes([_ipv4_tcp_packet(sport=20)]))
+    run()
+    got = sorted(r["src_port"] for r in spark.read.parquet(out).collect())
+    assert got == [10, 20]  # b0 not re-read, a1 not skipped
+
+
+def test_streaming_out_of_order_landing_fails_loudly(tmp_path):
+    """Within ONE directory filename monotonicity is still assumed —
+    but violating it is now an error, not a silent re-read/skip."""
+    d = tmp_path / "embb"
+    d.mkdir()
+    (d / "c5.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=1)]))
+    r = PcapStreamReader({"path": str(tmp_path)})
+    committed = r.latestOffset()
+    # a capture lands with a name sorting BELOW the committed watermark
+    (d / "c1.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=2)]))
+    end = r.latestOffset()
+    with pytest.raises(PcapNonMonotonicLanding):
+        r.partitions(committed, end)
+
+
+def test_streaming_legacy_index_offset_migrates(tmp_path):
+    """A v1 checkpoint ({"index": N}) restarts against the new
+    watermark offsets: the listing prefix rebuilds the marks."""
+    d = tmp_path / "embb"
+    d.mkdir()
+    (d / "a0.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=1)]))
+    (d / "a1.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=2)]))
+    r = PcapStreamReader({"path": str(tmp_path)})
+    parts = r.partitions({"index": 1}, r.latestOffset())
+    assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["a1.pcap"]
+
+
+def test_conflicting_pushed_equalities_yield_empty_scan(spark, tmp_path):
+    root = _lay_out_captures(tmp_path)
+    # unit level: both equalities consumed, scan provably empty
+    r = PcapReader({"path": root})
+    assert list(r.pushFilters([
+        EqualTo(("slice_type",), "eMBB"), EqualTo(("slice_type",), "URLLC"),
+    ])) == []
+    assert r.partitions() == []
+    # idempotent duplicate does NOT empty the scan
+    r2 = PcapReader({"path": root})
+    r2.pushFilters([EqualTo(("slice_type",), "eMBB"),
+                    EqualTo(("slice_type",), "eMBB")])
+    assert [p.slice_type for p in r2.partitions()] == ["eMBB"]
+    # end to end: chained .filter() equalities — Catalyst keeps both
+    register_pcap_source(spark)
+    got = (
+        spark.read.format("pcap").load(root)
+        .filter(F.col("slice_type") == "eMBB")
+        .filter(F.col("slice_type") == "URLLC")
+        .count()
+    )
+    assert got == 0

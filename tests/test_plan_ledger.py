@@ -86,6 +86,12 @@ def test_reshaped_without_scalar_change(spark):
     findings = diff_ledgers(old, new)
     assert [f["kind"] for f in findings] == ["reshaped"]
 
+    # cross-version diff: hashes are incomparable — ONE version finding,
+    # zero spurious per-query 'reshaped' noise
+    findings = diff_ledgers(old, {**new, "version": 2})
+    assert len(findings) == 1
+    assert findings[0]["field"] == "version"
+
 
 def test_cli_ledger_record_and_diff(spark, tmp_path, capsys, monkeypatch):
     # the real registry includes queries that FIT models at plan-build
