@@ -49,3 +49,33 @@ def pop_kurtosis_sql(col: str) -> str:
         f"(CASE WHEN {m['m2']} <= 1e-12 THEN 0.0 "
         f"ELSE {m['m4']} / power({m['m2']}, 2) - 3.0 END)"
     )
+
+
+def normal_cdf_sql(x: str) -> str:
+    """Standard normal CDF Φ(x) without ``erf`` — Abramowitz & Stegun
+    26.2.17 (|error| < 7.5e-8), as ONE SQL text valid in both Spark SQL
+    and DuckDB (only ``exp``/``power``/``abs``/``CASE``), so p-value
+    columns get oracle parity by construction like every other formula
+    here.  The polynomial evaluates Φ(|x|) and the CASE mirrors the
+    negative half; 7.5e-8 absolute error is three orders below the
+    1e-4 rounding grid every certified float rides on."""
+    # every constant in E-notation: Spark parses a bare decimal literal
+    # as DECIMAL and folds the polynomial in decimal arithmetic (the
+    # DECIMAL-fold lesson), blowing the 7.5e-8 bound; `1.0e0` parses as
+    # DOUBLE in both engines
+    ax = f"abs({x})"
+    t = f"(1.0e0 / (1.0e0 + 0.2316419e0 * {ax}))"
+    phi = f"(exp(-({ax} * {ax}) / 2.0e0) / 2.5066282746310002e0)"
+    poly = (
+        f"({t} * (0.319381530e0 + {t} * (-0.356563782e0 + {t} * (1.781477937e0"
+        f" + {t} * (-1.821255978e0 + {t} * 1.330274429e0)))))"
+    )
+    upper = f"(1.0e0 - {phi} * {poly})"
+    return f"(CASE WHEN {x} >= 0.0e0 THEN {upper} ELSE 1.0e0 - {upper} END)"
+
+
+def two_sided_p_sql(z: str) -> str:
+    """Two-sided normal p-value 2·(1 − Φ(|z|)) from the same shared
+    text (clamped to [0, 1] against approximation underflow)."""
+    p = f"(2.0e0 * (1.0e0 - {normal_cdf_sql(f'abs({z})')}))"
+    return f"least(1.0e0, greatest(0.0e0, {p}))"

@@ -224,6 +224,75 @@ def _arrival_burstiness_sql(d: str) -> str:
     """
 
 
+
+
+def _source_ingestion_burstiness_sql(d: str) -> str:
+    # A34 -- per-source ingestion burstiness over a synthesized
+    # snapshot-time axis (the backlog item gated on exactly this
+    # synthesis).  The documents corpus has no arrival axis, so one is
+    # derived deterministically inside the query (the B25 precedent):
+    # each doc draws an arrival minute in a 1440-minute ingestion day
+    # from md5 digit arithmetic keyed on doc_id, and HALF the sources
+    # (first md5 hex digit of the source name < '8') upload in 30-min
+    # BATCHES -- their minutes quantize to the batch grid, the real
+    # crawl-dump shape -- while the rest trickle uniformly.
+    #
+    # The measured axis is the per-minute count dispersion over the
+    # FULL 1440-minute day (empty minutes included, via the closed-form
+    # population moments: E[c^2] = sum(c^2)/T with the zero cells
+    # contributing nothing): Fano = var/mean, peak-to-mean, and active
+    # share.  Batch-mode sources must read overdispersed (Fano >> 1),
+    # trickle sources Poisson-flat (Fano ~ 1) -- pytest plants both.
+    #
+    # Scale: one scan -> per-(source, minute) hash agg -> per-source
+    # rollup bounded by |sources| x 1440.  Engine parity: the same md5
+    # digit arithmetic both sides (E36 recipe), verdict on ROUNDED Fano.
+    h = "md5(concat('ingest#', CAST(doc_id AS STRING)))"
+    digits = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1) * {16.0 ** -i!r}"
+        for i in range(1, 9)
+    )
+    u = f"({digits} + 1e-10)"
+    raw_minute = f"least(CAST(floor({u} * 1440.0e0) AS BIGINT), 1439)"
+    batchy = "(instr('0123456789abcdef', substring(md5(source), 1, 1)) - 1) < 8"
+    minute = (
+        f"CASE WHEN {batchy} THEN CAST(floor({raw_minute} / 30) * 30 AS BIGINT) "
+        f"ELSE {raw_minute} END"
+    )
+    return f"""
+    WITH arrivals AS (
+      SELECT source, {minute} AS m, CASE WHEN {batchy} THEN 1 ELSE 0 END AS b
+      FROM documents
+    ),
+    per_min AS (
+      SELECT source, max(b) AS b, m, count(*) AS c
+      FROM arrivals GROUP BY source, m
+    ),
+    per_source AS (
+      SELECT source, max(b) AS b,
+        CAST(sum(c) AS DOUBLE) AS n_docs,
+        CAST(count(*) AS DOUBLE) AS active_minutes,
+        CAST(sum(c * c) AS DOUBLE) AS cc,
+        CAST(max(c) AS DOUBLE) AS peak
+      FROM per_min GROUP BY source
+    )
+    SELECT
+      source,
+      CAST(b = 1 AS BOOLEAN) AS batch_mode,
+      {cnt("n_docs", "n_docs")},
+      {cnt("active_minutes", "active_minutes")},
+      {dbl("active_minutes / 1440.0e0", "active_share")},
+      {dbl("(cc / 1440.0e0 - power(n_docs / 1440.0e0, 2))"
+           " / (n_docs / 1440.0e0)", "fano_factor")},
+      {dbl("peak / (n_docs / 1440.0e0)", "peak_to_mean")},
+      CAST(round((cc / 1440.0e0 - power(n_docs / 1440.0e0, 2))
+           / (n_docs / 1440.0e0) + 1e-9, 4) > 1.2 AS BOOLEAN)
+        AS overdispersed
+    FROM per_source
+    ORDER BY source
+    """
+
+
 QUERIES = [
     materialized_backed(
         "watermark_lateness_profile", _lateness_profile_parts, ("events",),
@@ -233,4 +302,8 @@ QUERIES = [
     # r9 third wave, registered AFTER the window filled: deferred
     # sorts it behind the 50 never-certified names (certifies in r10)
     sql_backed("arrival_burstiness", _arrival_burstiness_sql, ("events",)),
+    # new r11, deferred (r12 pre-fill)
+    sql_backed("source_ingestion_burstiness",
+               _source_ingestion_burstiness_sql, ("documents",),
+               deferred=True),
 ]

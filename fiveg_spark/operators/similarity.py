@@ -1257,6 +1257,86 @@ def _quant_clip_eval_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_qce_exp", exp)], tail
 
 
+
+
+def _quant_component_clip_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E129 -- PER-COMPONENT uint8 quantization clip eval: the decision
+    # E115 left open.  E109's heavy per-component kurtosis says one
+    # GLOBAL range wastes the 8-bit code space on whichever component
+    # has the widest tails; the columnar fix is one range PER component
+    # (still O(d) metadata, unlike E27's per-vector ranges which cost
+    # O(n)).  This scores all four candidates -- global/per-component x
+    # minmax/p1p99-clip -- on the same axes as E115 (mean abs error,
+    # UNCLIPPED mean, max, clipped mass), so "do per-component ranges
+    # earn their metadata?" is a measured row, not a hunch.
+    #
+    # One posexplode materializes ONCE (the global agg, the per-idx
+    # agg, and all four scoring passes read it); the per-idx range
+    # frame is <= d rows and broadcast-joins back; same half-up floor
+    # code and rounded-clip-bound determinism discipline as E115.
+    if d == "spark":
+        exp = ("SELECT posexplode(CAST(embedding AS ARRAY<DOUBLE>))"
+               " AS (pos0, v) FROM embeddings")
+        pos = "pos0 + 1"
+    else:
+        exp = ("SELECT unnest(generate_series(1, len(embedding))) AS pos0, "
+               "unnest(CAST(embedding AS DOUBLE[])) AS v FROM embeddings")
+        pos = "pos0"
+    exp_sql = f"SELECT CAST({pos} AS BIGINT) AS idx, v FROM ({exp}) e0"
+
+    def row(name: str, src: str, join: str, lo: str, hi: str) -> str:
+        clip = f"least(greatest(e.v, {lo}), {hi})"
+        step = f"nullif(({hi} - {lo}) / 255.0e0, 0.0e0)"
+        code = f"floor(({clip} - {lo}) / {step} + 0.5e0)"
+        recon = f"({lo} + {code} * {step})"
+        err = f"abs(e.v - coalesce({recon}, {lo}))"
+        inside = f"e.v >= {lo} AND e.v <= {hi}"
+        return f"""
+    SELECT
+      '{name}' AS strategy,
+      {cnt("count(*)", "n_components")},
+      {dbl(f"avg({err})", "mean_abs_err")},
+      {dbl(f"avg(CASE WHEN {inside} THEN {err} END)",
+           "mean_abs_err_unclipped")},
+      {dbl(f"max({err})", "max_abs_err")},
+      {dbl(
+          f"avg(CAST(CASE WHEN e.v < {lo} OR e.v > {hi}"
+          " THEN 1 ELSE 0 END AS DOUBLE))",
+          "clipped_share",
+      )}
+    FROM _mz_qcc_exp e {join}"""
+
+    g_join = "CROSS JOIN g"
+    c_join = "JOIN c ON e.idx = c.idx"
+    tail = f"""
+    WITH g AS (
+      SELECT
+        min(v) AS lo_mm, max(v) AS hi_mm,
+        round({pct("v", 0.01, d)} + 1e-9, 6) AS lo_p,
+        round({pct("v", 0.99, d)} + 1e-9, 6) AS hi_p
+      FROM _mz_qcc_exp
+    ),
+    c AS (
+      SELECT idx,
+        min(v) AS lo_mm, max(v) AS hi_mm,
+        round({pct("v", 0.01, d)} + 1e-9, 6) AS lo_p,
+        round({pct("v", 0.99, d)} + 1e-9, 6) AS hi_p
+      FROM _mz_qcc_exp GROUP BY idx
+    )
+    SELECT * FROM (
+    {row("a_global_minmax", "g", g_join, "g.lo_mm", "g.hi_mm")}
+    UNION ALL
+    {row("b_global_p1p99", "g", g_join, "g.lo_p", "g.hi_p")}
+    UNION ALL
+    {row("c_component_minmax", "c", c_join, "c.lo_mm", "c.hi_mm")}
+    UNION ALL
+    {row("d_component_p1p99", "c", c_join, "c.lo_p", "c.hi_p")}
+    ) s
+    ORDER BY strategy
+    """
+    return [("_mz_qcc_exp", exp_sql)], tail
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
     materialized_backed("embedding_outlier_docs", _outlier_docs_parts, ("embeddings",)),
@@ -1304,4 +1384,8 @@ QUERIES = [
                         ("documents", "embeddings")),
     materialized_backed("quantization_clip_eval", _quant_clip_eval_parts,
                         ("embeddings",)),
+    # new r11, deferred (r12 pre-fill)
+    materialized_backed("quantization_component_clip_eval",
+                        _quant_component_clip_parts, ("embeddings",),
+                        deferred=True),
 ]

@@ -792,3 +792,93 @@ QUERIES.extend([
     materialized_backed("permutation_entropy", _perm_entropy_parts,
                         ("events",)),
 ])
+
+
+def _bh_screen_sql(d: str) -> str:
+    # D86 — Benjamini-Hochberg screened mean-shift scan over every
+    # (slice, event_type) cell (Benjamini & Hochberg 1995): the layer
+    # that turns the battery's statistics into DECISIONS.  Each cell
+    # gets a Welch z of its mean value against the complement of the
+    # corpus, a two-sided p via the shared erf-free normal CDF
+    # (functions/stats.py A&S 26.2.17 — same SQL text both engines, so
+    # p-values get oracle parity by construction), then one BH step-up
+    # across the m cells controls FDR at 5% — the multiple-comparison
+    # correction that separates "18 tests, 2 nominally significant"
+    # noise from discoveries that survive screening.
+    #
+    # Decisions compare ROUNDED p to ROUNDED critical (the established
+    # verdict-on-rounded discipline), so the booleans are engine-
+    # deterministic.  One scan -> |slices x types| cells; every window
+    # rides that bounded post-agg frame.
+    from fiveg_spark.functions.stats import two_sided_p_sql
+
+    slice_case = (
+        "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'eMBB' "
+        "WHEN 1 THEN 'URLLC' ELSE 'mMTC' END"
+    )
+    var1 = "CASE WHEN n1 >= 2 THEN (ss1 - s1 * s1 / n1) / (n1 - 1) ELSE 0.0 END"
+    var2 = (
+        "CASE WHEN n - n1 >= 2 THEN "
+        "((ss - ss1) - (s - s1) * (s - s1) / (n - n1)) / (n - n1 - 1) "
+        "ELSE 0.0 END"
+    )
+    z = (
+        f"(s1 / n1 - (s - s1) / (n - n1)) / "
+        f"sqrt(({var1}) / n1 + ({var2}) / (n - n1) + 1e-12)"
+    )
+    return f"""
+    WITH cells AS (
+      SELECT {slice_case} AS slice, event_type,
+        CAST(count(*) AS DOUBLE) AS n1,
+        sum(value) AS s1,
+        sum(value * value) AS ss1
+      FROM events
+      GROUP BY {slice_case}, event_type
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS s,
+             sum(value * value) AS ss
+      FROM events
+    ),
+    zed AS (
+      SELECT slice, event_type, n1, {z} AS z
+      FROM cells CROSS JOIN tot
+    ),
+    pvals AS (
+      SELECT slice, event_type, n1, z,
+        round({two_sided_p_sql("z")} + {NUDGE}, 6) AS p6
+      FROM zed
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (ORDER BY p6, slice, event_type) AS rk,
+        CAST(count(*) OVER () AS DOUBLE) AS m
+      FROM pvals
+    ),
+    crit AS (
+      SELECT *, round(rk * 0.05 / m + {NUDGE}, 6) AS bh_crit6
+      FROM ranked
+    ),
+    stepped AS (
+      SELECT *,
+        max(CASE WHEN p6 <= bh_crit6 THEN rk ELSE 0 END) OVER () AS k_max
+      FROM crit
+    )
+    SELECT
+      slice,
+      event_type,
+      {cnt("n1", "n_events")},
+      {dbl("z", "welch_z")},
+      CAST(p6 + 0.0 AS DOUBLE) AS p_two_sided,
+      {cnt("rk", "p_rank")},
+      CAST(bh_crit6 + 0.0 AS DOUBLE) AS bh_critical,
+      CAST(rk <= k_max AS BOOLEAN) AS discovery
+    FROM stepped
+    ORDER BY slice, event_type
+    """
+
+
+QUERIES.append(
+    sql_backed("bh_screened_mean_shifts", _bh_screen_sql, ("events",),
+               deferred=True)
+)

@@ -78,6 +78,9 @@ PLAN_BUILD_EXECUTES = frozenset({
     "stream_hll_store_parity", "stream_reservoir_store_parity",
     "snapshot_rollback_audit", "zorder_content_parity",
     "manifest_integrity_audit", "bucketed_join_parity",
+    # the BUILD synthesizes a capture directory / runs the availableNow
+    # streaming replay against scratch (r11)
+    "pcap_read_parity", "stream_kpi36_parity",
 })
 
 

@@ -89,6 +89,7 @@ def test_detects_repeated_scan(spark):
 POST_AGG_GLOBAL_WINDOWS = frozenset({
     # each rides a window over a domain-bounded post-aggregation frame:
     "balance_bands",            # ntile over |customers-per-band| quantile grid
+    "bh_screened_mean_shifts",  # BH step-up over <= |slices x types| cells
     "growth_accounting",        # running totals over <= |weeks| rows
     "histogram_quantile_rollup",  # cum-sum over <= |bins| rows
     "kaplan_meier_lifetime",    # product-limit over <= |distinct lifetimes|
