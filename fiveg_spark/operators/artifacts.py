@@ -873,3 +873,118 @@ QUERIES.extend([
     Query("bucketed_join_parity", _bucketed_join_run,
           _bucketed_join_oracle()),
 ])
+
+
+# --------------------------------------------------------------------------
+# A35 — row-level CDC apply certified end-to-end
+# --------------------------------------------------------------------------
+
+_CDC_BUCKETS = 8
+_CDC_INS_OFFSET = 10_000_000  # inserted keys live far above the corpus
+
+
+def _cdc_apply_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35 certified: seed the bucketed store from orders, drive three
+    deterministic changelog batches through the REAL apply_changelog —
+    updates (keys %10==1 get +100), deletes (%10==2), inserts
+    (%10==3 cloned to key+OFFSET at double price), then a REPLAY of
+    batch 1 plus a STALE seq-0 update that must lose to the stored
+    sequence — and aggregate the final store per status.  The oracle
+    recomputes the same final state from orders in closed form; the
+    merge machinery (winner reduction, bucket-pruned rewrite,
+    stale-replay guard) is what's under test and the oracle never
+    sees it."""
+    from fiveg_spark.sources import cdc
+
+    path = _scratch() + "/orders_cdc"
+    try:
+        ensure_views(spark, ("orders",), sf_dir)
+        base = spark.sql(
+            "SELECT o_orderkey AS k, o_orderstatus AS status,"
+            " o_totalprice AS price FROM orders"
+        )
+        cdc.init_store(spark, path, base, "k", _CDC_BUCKETS)
+
+        updates = spark.sql(
+            "SELECT o_orderkey AS k, CAST(1 AS LONG) AS seq, 'U' AS op,"
+            " o_orderstatus AS status, o_totalprice + 100.0 AS price"
+            " FROM orders WHERE o_orderkey % 10 = 1"
+        )
+        cdc.apply_changelog(spark, path, updates, "k", _CDC_BUCKETS)
+
+        batch2 = spark.sql(f"""
+            SELECT o_orderkey AS k, CAST(2 AS LONG) AS seq, 'D' AS op,
+                   CAST(NULL AS STRING) AS status,
+                   CAST(NULL AS DOUBLE) AS price
+            FROM orders WHERE o_orderkey % 10 = 2
+            UNION ALL
+            SELECT o_orderkey + {_CDC_INS_OFFSET}, CAST(2 AS LONG), 'I',
+                   o_orderstatus, o_totalprice * 2.0
+            FROM orders WHERE o_orderkey % 10 = 3
+        """)
+        cdc.apply_changelog(spark, path, batch2, "k", _CDC_BUCKETS)
+
+        # replay batch 1 (idempotent) + a stale seq-0 regression probe
+        stale = spark.sql(
+            "SELECT o_orderkey AS k, CAST(0 AS LONG) AS seq, 'U' AS op,"
+            " 'XX' AS status, 0.0 AS price"
+            " FROM orders WHERE o_orderkey % 10 = 1"
+        )
+        cdc.apply_changelog(spark, path, updates.unionByName(stale),
+                            "k", _CDC_BUCKETS)
+
+        out = (
+            cdc.read_store(spark, path)
+            .groupBy("status")
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+                F.expr(
+                    "CAST(round(coalesce(sum(price), 0.0) + 1e-9, 2) + 0.0"
+                    " AS DOUBLE)"
+                ).alias("sum_price"),
+                F.expr(
+                    "CAST(sum(CASE WHEN k >= " + str(_CDC_INS_OFFSET) +
+                    " THEN 1 ELSE 0 END) AS BIGINT)"
+                ).alias("n_inserted"),
+            )
+            .orderBy("status")
+        )
+        return _collected(
+            spark, out,
+            "status STRING, n_rows LONG, sum_price DOUBLE, n_inserted LONG",
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _cdc_apply_oracle() -> str:
+    # final state closed form: survivors (not %10==2) with the %10==1
+    # +100 update applied, plus the %10==3 clones at double price
+    return f"""
+    WITH final_state AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+        CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 100.0
+             ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 10 <> 2
+      UNION ALL
+      SELECT o_orderkey + {_CDC_INS_OFFSET}, o_orderstatus,
+             o_totalprice * 2.0
+      FROM orders WHERE o_orderkey % 10 = 3
+    )
+    SELECT
+      status,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(round(coalesce(sum(price), 0.0) + 1e-9, 2) + 0.0 AS DOUBLE)
+        AS sum_price,
+      CAST(sum(CASE WHEN k >= {_CDC_INS_OFFSET} THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_inserted
+    FROM final_state
+    GROUP BY status
+    ORDER BY status
+    """
+
+
+QUERIES.append(
+    Query("cdc_apply_parity", _cdc_apply_run, _cdc_apply_oracle(),
+          deferred=True)
+)

@@ -79,8 +79,8 @@ PLAN_BUILD_EXECUTES = frozenset({
     "snapshot_rollback_audit", "zorder_content_parity",
     "manifest_integrity_audit", "bucketed_join_parity",
     # the BUILD synthesizes a capture directory / runs the availableNow
-    # streaming replay against scratch (r11)
-    "pcap_read_parity", "stream_kpi36_parity",
+    # streaming replay / drives the CDC batches against scratch (r11)
+    "pcap_read_parity", "stream_kpi36_parity", "cdc_apply_parity",
 })
 
 

@@ -1,0 +1,157 @@
+"""A35 row-level CDC apply: last-writer-wins semantics, deletes,
+stale-replay protection, bucket-pruned rewrites, replay idempotence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fiveg_spark.sources.cdc import (
+    apply_changelog,
+    init_store,
+    read_store,
+)
+
+N_BUCKETS = 4
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(k, f"v{k}", 10.0 * k) for k in range(20)],
+        "k LONG, name STRING, amount DOUBLE",
+    )
+
+
+def _changes(spark, rows):
+    """rows: (k, seq, op, name, amount)"""
+    return spark.createDataFrame(
+        rows, "k LONG, seq LONG, op STRING, name STRING, amount DOUBLE"
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    path = str(tmp_path / "store")
+    init_store(spark, path, _base(spark), "k", N_BUCKETS)
+    return path
+
+
+def _state(spark, path) -> dict:
+    return {
+        r["k"]: (r["name"], r["amount"])
+        for r in read_store(spark, path).collect()
+    }
+
+
+def test_update_insert_delete_roundtrip(spark, store):
+    res = apply_changelog(
+        spark, store,
+        _changes(spark, [
+            (3, 1, "U", "v3b", 333.0),     # update
+            (99, 1, "I", "new", 9.9),      # insert new key
+            (5, 1, "D", None, None),       # delete
+        ]),
+        "k", N_BUCKETS,
+    )
+    assert res["upserts"] == 2 and res["deletes"] == 1
+    got = _state(spark, store)
+    assert got[3] == ("v3b", 333.0)
+    assert got[99] == ("new", 9.9)
+    assert 5 not in got
+    assert len(got) == 20  # 20 - 1 delete + 1 insert
+    # untouched keys unchanged
+    assert got[7] == ("v7", 70.0)
+
+
+def test_last_writer_wins_within_batch(spark, store):
+    apply_changelog(
+        spark, store,
+        _changes(spark, [
+            (4, 1, "U", "first", 1.0),
+            (4, 3, "U", "last", 3.0),
+            (4, 2, "U", "middle", 2.0),
+            # equal-seq tie resolves to the delete (op 'D' sorts last)
+            (6, 5, "U", "keep?", 0.0),
+            (6, 5, "D", None, None),
+        ]),
+        "k", N_BUCKETS,
+    )
+    got = _state(spark, store)
+    assert got[4] == ("last", 3.0)
+    assert 6 not in got
+
+
+def test_stale_replay_cannot_regress(spark, store):
+    apply_changelog(
+        spark, store,
+        _changes(spark, [(8, 10, "U", "newer", 8.8)]), "k", N_BUCKETS,
+    )
+    # an OLD batch replays late: seq 2 < stored seq 10 -> must lose
+    res = apply_changelog(
+        spark, store,
+        _changes(spark, [(8, 2, "U", "older", 0.1)]), "k", N_BUCKETS,
+    )
+    assert res["upserts"] == 0
+    assert _state(spark, store)[8] == ("newer", 8.8)
+
+
+def test_replay_same_batch_is_idempotent(spark, store):
+    batch = [(1, 7, "U", "once", 1.1), (2, 7, "D", None, None)]
+    apply_changelog(spark, store, _changes(spark, batch), "k", N_BUCKETS)
+    before = _state(spark, store)
+    apply_changelog(spark, store, _changes(spark, batch), "k", N_BUCKETS)
+    assert _state(spark, store) == before
+
+
+def test_only_touched_buckets_rewritten(spark, store):
+    import time
+
+    def bucket_of(k: int) -> int:
+        return spark.sql(f"SELECT pmod(hash(CAST({k} AS LONG)), {N_BUCKETS})").head()[0]
+
+    target = bucket_of(3)
+    mtimes = {}
+    for b in range(N_BUCKETS):
+        d = os.path.join(store, f"bucket={b}")
+        mtimes[b] = max(os.path.getmtime(os.path.join(d, f))
+                        for f in os.listdir(d))
+    time.sleep(1.1)
+    res = apply_changelog(
+        spark, store,
+        _changes(spark, [(3, 1, "U", "touch", 0.0)]), "k", N_BUCKETS,
+    )
+    assert res["touched_buckets"] == [target]
+    for b in range(N_BUCKETS):
+        d = os.path.join(store, f"bucket={b}")
+        newest = max(os.path.getmtime(os.path.join(d, f))
+                     for f in os.listdir(d))
+        if b == target:
+            assert newest > mtimes[b]
+        else:
+            assert newest == mtimes[b]
+
+
+def test_unknown_op_fails_closed(spark, store):
+    with pytest.raises(ValueError):
+        apply_changelog(
+            spark, store,
+            _changes(spark, [(1, 1, "X", "bad", 0.0)]), "k", N_BUCKETS,
+        )
+
+
+def test_delete_can_empty_a_bucket_and_reads_survive(spark, tmp_path):
+    path = str(tmp_path / "tiny")
+    init_store(
+        spark, path,
+        spark.createDataFrame([(1, "a", 1.0)],
+                              "k LONG, name STRING, amount DOUBLE"),
+        "k", N_BUCKETS,
+    )
+    apply_changelog(
+        spark, path, _changes(spark, [(1, 1, "D", None, None)]),
+        "k", N_BUCKETS,
+    )
+    assert read_store(spark, path).count() == 0
