@@ -1384,3 +1384,159 @@ QUERIES.append(
     Query("stream_kpi36_parity", _stream_kpi36_run, _stream_kpi36_oracle(),
           deferred=True)
 )
+
+
+# --------------------------------------------------------------------------
+# B10 — stream-stream interval join vs the batch interval join
+# --------------------------------------------------------------------------
+
+
+def _land_file(df: DataFrame, scratch: str, src: str, seq: int) -> None:
+    """Write df as ONE parquet file `src/{seq}.parquet` with an
+    mtime that orders it after every lower seq (the file-source
+    replay discipline stream_kpi36 established)."""
+    import os
+
+    tmp = os.path.join(scratch, f"land{os.path.basename(src)}{seq}")
+    df.coalesce(1).write.parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    os.makedirs(src, exist_ok=True)
+    dst = os.path.join(src, f"{seq:04d}.parquet")
+    os.rename(os.path.join(tmp, part), dst)
+    os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+
+def _stream_attribution_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay views and clicks as two PHYSICALLY separate week-file
+    sources (independent watermark advancement — the production
+    topology) through the REAL streaming_attribution interval join,
+    then certify the pair set against DuckDB's batch interval join.
+
+    Inner stream-stream joins emit each qualifying pair exactly once,
+    in the micro-batch where the LATER side arrives (state holds the
+    earlier side until the opposite watermark passes the interval
+    bound), so the emitted pair set is deterministically COMPLETE when
+    availableNow drains both sources — no sentinels needed.  The
+    certified frame is the per-slice rollup of the pairs (count,
+    distinct views/clicks matched, rounded mean click delay)."""
+    import os
+
+    from fiveg_spark.streaming.kpi_stream import streaming_attribution
+
+    scratch = _scratch()
+    src_v = os.path.join(scratch, "views")
+    src_c = os.path.join(scratch, "clicks")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        ev = spark.sql(
+            "SELECT ts, user_id, event_id, event_type FROM events"
+            " WHERE event_type IN ('view', 'click')"
+        )
+        wk = F.floor(
+            F.col("ts").cast("double") / WEEK_S
+        ).cast("long")
+        weeks = sorted(
+            r[0] for r in ev.select(wk.alias("wk")).distinct().collect()
+        )
+        for i, w in enumerate(weeks):
+            batch = ev.filter(wk == w)
+            _land_file(
+                batch.filter(F.col("event_type") == "view"),
+                scratch, src_v, i,
+            )
+            _land_file(
+                batch.filter(F.col("event_type") == "click"),
+                scratch, src_c, i,
+            )
+
+        schema = spark.read.parquet(src_v).schema
+
+        def stream(src: str) -> DataFrame:
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+
+        q = (
+            streaming_attribution(
+                stream(src_v), within="1 hour", watermark="2 hours",
+                clicks_stream=stream(src_c),
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        pairs = spark.read.parquet(out)
+        rollup = (
+            pairs.withColumn(
+                "slice",
+                F.expr(
+                    "CASE CAST(view_user % 3 AS INT) WHEN 0 THEN 'eMBB'"
+                    " WHEN 1 THEN 'URLLC' ELSE 'mMTC' END"
+                ),
+            )
+            .groupBy("slice")
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_pairs"),
+                F.expr("CAST(count(DISTINCT view_id) AS BIGINT)").alias(
+                    "n_views_matched"
+                ),
+                F.expr("CAST(count(DISTINCT click_id) AS BIGINT)").alias(
+                    "n_clicks_matched"
+                ),
+                F.expr(
+                    "CAST(round(coalesce(avg(CAST(unix_micros(click_ts)"
+                    " - unix_micros(view_ts) AS DOUBLE) / 1000000.0), 0.0)"
+                    " + 1e-9, 4) + 0.0 AS DOUBLE)"
+                ).alias("mean_delay_s"),
+            )
+            .orderBy("slice")
+        )
+        return _collected(
+            spark, rollup,
+            "slice STRING, n_pairs LONG, n_views_matched LONG,"
+            " n_clicks_matched LONG, mean_delay_s DOUBLE",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _stream_attribution_oracle() -> str:
+    return """
+    WITH pairs AS (
+      SELECT v.user_id AS view_user, v.event_id AS view_id,
+             v.ts AS view_ts, c.event_id AS click_id, c.ts AS click_ts
+      FROM events v
+      JOIN events c
+        ON v.event_type = 'view' AND c.event_type = 'click'
+       AND v.user_id = c.user_id
+       AND c.ts > v.ts
+       AND c.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT
+      CASE CAST(view_user % 3 AS INT) WHEN 0 THEN 'eMBB'
+           WHEN 1 THEN 'URLLC' ELSE 'mMTC' END AS slice,
+      CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(count(DISTINCT view_id) AS BIGINT) AS n_views_matched,
+      CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_matched,
+      CAST(round(coalesce(avg(CAST(epoch_us(click_ts)
+           - epoch_us(view_ts) AS DOUBLE) / 1000000.0), 0.0)
+           + 1e-9, 4) + 0.0 AS DOUBLE) AS mean_delay_s
+    FROM pairs
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+QUERIES.append(
+    Query("stream_attribution_parity", _stream_attribution_run,
+          _stream_attribution_oracle(), deferred=True)
+)
