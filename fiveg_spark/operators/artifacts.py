@@ -938,10 +938,13 @@ def _cdc_apply_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("status")
             .agg(
                 F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+                # sum/1e6 before round-4: partial sums reach ~1e9 where
+                # engine summation-order ulps (~1e-4) would flip a
+                # cents-grid rounding (the artifacts.py:770 discipline)
                 F.expr(
-                    "CAST(round(coalesce(sum(price), 0.0) + 1e-9, 2) + 0.0"
-                    " AS DOUBLE)"
-                ).alias("sum_price"),
+                    "CAST(round(coalesce(sum(price), 0.0) / 1e6 + 1e-9, 4)"
+                    " + 0.0 AS DOUBLE)"
+                ).alias("sum_price_m"),
                 F.expr(
                     "CAST(sum(CASE WHEN k >= " + str(_CDC_INS_OFFSET) +
                     " THEN 1 ELSE 0 END) AS BIGINT)"
@@ -951,7 +954,8 @@ def _cdc_apply_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return _collected(
             spark, out,
-            "status STRING, n_rows LONG, sum_price DOUBLE, n_inserted LONG",
+            "status STRING, n_rows LONG, sum_price_m DOUBLE,"
+            " n_inserted LONG",
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -974,8 +978,8 @@ def _cdc_apply_oracle() -> str:
     SELECT
       status,
       CAST(count(*) AS BIGINT) AS n_rows,
-      CAST(round(coalesce(sum(price), 0.0) + 1e-9, 2) + 0.0 AS DOUBLE)
-        AS sum_price,
+      CAST(round(coalesce(sum(price), 0.0) / 1e6 + 1e-9, 4) + 0.0
+           AS DOUBLE) AS sum_price_m,
       CAST(sum(CASE WHEN k >= {_CDC_INS_OFFSET} THEN 1 ELSE 0 END)
            AS BIGINT) AS n_inserted
     FROM final_state

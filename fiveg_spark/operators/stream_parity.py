@@ -1244,12 +1244,7 @@ def _stream_kpi36_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         cutoff_sec = max_sec + 1_000_000.0  # past every real window end
 
         def land(df: DataFrame, seq: int) -> None:
-            tmp = os.path.join(scratch, f"w{seq}")
-            df.coalesce(1).write.parquet(tmp)
-            part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
-            dst = os.path.join(src, f"{seq:04d}.parquet")
-            os.rename(os.path.join(tmp, part), dst)
-            os.utime(dst, (1_700_000_000 + seq, 1_700_000_000 + seq))
+            _land_file(df, scratch, src, seq)
 
         for i, w in enumerate(weeks):
             land(pv.filter(wk == w).drop("event_id"), i)

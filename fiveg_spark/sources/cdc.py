@@ -11,29 +11,36 @@ payload) rows, op ∈ {'I','U','D'} with a total per-key order on seq.
 Applying a batch:
 
   1. reduce the batch to ONE winner per key (max seq — last writer
-     wins; the winner's op decides insert/update vs delete);
+     wins; the winner's op decides upsert vs delete);
   2. route winners to buckets; ONLY the touched buckets are read back
      (merge cost is O(batch + touched-bucket bytes), independent of
      table size — the merge-on-write recipe every lakehouse uses);
-  3. per touched bucket: survivors = base rows whose key has no
-     winner, plus winners with op != 'D'; rewrite the bucket dir
-     atomically (write to ``_tmp``, swap).
+  3. per touched bucket: survivors = base rows whose key has no newer
+     winner; fresh winners land as live rows or TOMBSTONES; the bucket
+     dir is swapped in with crash recovery (below).
 
-Idempotence on replay is structural: re-applying a batch routes the
-same winners to the same buckets and rewrites them to the same
-content (deterministic union + the same last-writer reduction), so a
-crash/retry between apply and checkpoint advances no duplicate state.
+Deletes are TOMBSTONES, not physical removal: a deleted key stays in
+the store as a ``_cdc_del = true`` row carrying its ``_cdc_seq``, so a
+late replay of an OLDER batch finds the newer tombstone and loses —
+without tombstones a delete would erase the very sequence number the
+stale-replay guard needs (the Cassandra/Delta-CDF lesson).
+``read_store`` filters tombstones out; ``vacuum_tombstones`` reclaims
+them once the replay horizon has passed (the retention-window
+rationale every tombstone system shares).
+
+Crash safety of the swap: the old bucket moves ASIDE to a trash dir
+outside the store root, the new bucket moves in, then trash drops.  A
+crash between the two moves leaves the bucket missing but its content
+intact in trash — the next ``apply_changelog`` (or ``recover_store``)
+restores it before doing anything else.  Replay idempotence is
+structural: re-applying a batch routes the same winners to the same
+buckets and rewrites the same content.
 
 At 100 TB: buckets shard the rewrite so one batch touches a bounded
 slice of the store; the winner reduction and the join are keyed on
 ``key`` (one shuffle each at batch scale, never table scale); the
 read-back is a file-source scan of only the touched bucket dirs with
 ordinary column pruning.
-
-Schema discipline: the store holds payload columns + ``key``; ``seq``
-is retained as ``_cdc_seq`` so late replays of an OLDER batch cannot
-regress a newer row (the max-seq guard compares against the stored
-sequence, the Debezium/Delta CDF convention).
 """
 
 from __future__ import annotations
@@ -45,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SEQ_COL = "_cdc_seq"
+DEL_COL = "_cdc_del"
 
 
 def _bucket_expr(key: str, n_buckets: int) -> F.Column:
@@ -55,15 +63,20 @@ def _bucket_dir(path: str, b: int) -> str:
     return os.path.join(path, f"bucket={b}")
 
 
+def _trash_dir(path: str) -> str:
+    return path.rstrip("/") + "__cdc_trash"
+
+
 def init_store(
     spark: SparkSession, path: str, base: DataFrame, key: str,
     n_buckets: int = 16,
 ) -> None:
-    """Seed the bucketed store from a base frame (seq 0 for every
-    row).  One shuffle on the bucket key; each bucket dir is written
-    by its own task set."""
+    """Seed the bucketed store from a base frame (seq 0, live rows).
+    One shuffle on the bucket key; each bucket dir is written by its
+    own task set."""
     (
         base.withColumn(SEQ_COL, F.lit(0).cast("long"))
+        .withColumn(DEL_COL, F.lit(False))
         .withColumn("bucket", _bucket_expr(key, n_buckets))
         .repartition("bucket")
         .write.partitionBy("bucket")
@@ -73,8 +86,91 @@ def init_store(
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
-    """The merged current state (payload + key; bookkeeping dropped)."""
-    return spark.read.parquet(path).drop(SEQ_COL, "bucket")
+    """The merged current state: tombstones filtered, bookkeeping
+    dropped."""
+    recover_store(path)
+    return (
+        spark.read.parquet(path)
+        .filter(~F.col(DEL_COL))
+        .drop(SEQ_COL, DEL_COL, "bucket")
+    )
+
+
+def recover_store(path: str) -> list[int]:
+    """Crash recovery for the bucket swap: any bucket sitting in the
+    trash dir whose store slot is MISSING was interrupted between
+    move-aside and move-in — restore it.  A trash bucket whose store
+    slot exists means the move-in succeeded; drop it.  Returns the
+    restored bucket ids."""
+    trash = _trash_dir(path)
+    restored: list[int] = []
+    if not os.path.isdir(trash):
+        return restored
+    for name in os.listdir(trash):
+        if not name.startswith("bucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        dst = _bucket_dir(path, b)
+        if not os.path.isdir(dst):
+            shutil.move(os.path.join(trash, name), dst)
+            restored.append(b)
+    shutil.rmtree(trash, ignore_errors=True)
+    return restored
+
+
+def vacuum_tombstones(
+    spark: SparkSession, path: str, horizon_seq: int, key: str,
+    n_buckets: int = 16,
+) -> int:
+    """Physically drop tombstones with ``_cdc_seq <= horizon_seq`` —
+    safe once no batch at or below the horizon can replay (the
+    caller's retention contract).  Rewrites every bucket; returns the
+    number of tombstones reclaimed."""
+    recover_store(path)
+    all_rows = spark.read.parquet(path)
+    doomed = all_rows.filter(
+        F.col(DEL_COL) & (F.col(SEQ_COL) <= horizon_seq)
+    )
+    n = doomed.count()
+    if n == 0:
+        return 0
+    kept = all_rows.filter(
+        ~(F.col(DEL_COL) & (F.col(SEQ_COL) <= horizon_seq))
+    )
+    _swap_buckets(
+        spark, path, kept, list(range(n_buckets)),
+    )
+    return n
+
+
+def _swap_buckets(
+    spark: SparkSession, path: str, merged: DataFrame, touched: list[int],
+) -> None:
+    """Write ``merged`` (must carry ``bucket``) to a staging dir, then
+    swap the touched bucket dirs in with the move-aside recovery
+    protocol documented in the module header."""
+    tmp = path.rstrip("/") + "__cdc_tmp"
+    trash = _trash_dir(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    merged.repartition("bucket").write.partitionBy("bucket").parquet(tmp)
+    os.makedirs(trash, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"bucket={b}")
+        dst = _bucket_dir(path, b)
+        if not os.path.isdir(src):
+            # nothing survived for this bucket: land a 0-row
+            # schema-anchor file so the store stays readable even if
+            # EVERY bucket empties (schema inference needs a footer)
+            (
+                merged.filter(F.lit(False)).drop("bucket")
+                .coalesce(1).write.parquet(src)
+            )
+        if os.path.isdir(dst):
+            shutil.move(dst, os.path.join(trash, f"bucket={b}"))
+        shutil.move(src, dst)
+    shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def apply_changelog(
@@ -91,13 +187,20 @@ def apply_changelog(
     Per-key winner = the row with the greatest seq, op-ascending
     tiebreak ('D' < 'I' < 'U', so a delete and an upsert carrying the
     SAME seq resolve to the delete — loudly conservative and
-    deterministic).  A winner older than the stored
-    ``_cdc_seq`` for its key loses to the store (late replay of an
-    old batch cannot regress a newer row).
+    deterministic).  A winner at-or-below the stored ``_cdc_seq`` for
+    its key loses to the store — including a stored TOMBSTONE, so a
+    late replay of an old batch cannot resurrect a deleted row.
     """
-    bad = changes.filter(~F.col("op").isin("I", "U", "D")).limit(1).collect()
+    bad = (
+        changes.filter(
+            (~F.col("op").isin("I", "U", "D")) | F.col("op").isNull()
+        )
+        .limit(1)
+        .collect()
+    )
     if bad:
         raise ValueError(f"unknown CDC op {bad[0]['op']!r}")
+    recover_store(path)
 
     winners = (
         changes.withColumn(
@@ -111,7 +214,7 @@ def apply_changelog(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
         .withColumn("bucket", _bucket_expr(key, n_buckets))
-        .localCheckpoint()  # the plan below reads winners 3x
+        .localCheckpoint()  # read by the plans below + the counters
     )
     touched = sorted(
         r["bucket"] for r in winners.select("bucket").distinct().collect()
@@ -122,7 +225,7 @@ def apply_changelog(
     payload_cols = [
         c for c in winners.columns if c not in ("seq", "op", "bucket")
     ]  # includes key
-    store_cols = [*payload_cols, SEQ_COL, "bucket"]
+    store_cols = [*payload_cols, SEQ_COL, DEL_COL, "bucket"]
 
     existing = [
         b for b in touched
@@ -137,59 +240,43 @@ def apply_changelog(
     else:
         base = spark.read.parquet(path).filter(F.lit(False))
 
-    w = winners.select(
-        F.col(key).alias("_w_key"),
-        F.col("seq").alias("_w_seq"),
-        F.col("op").alias("_w_op"),
-    )
-    # base rows keep their slot unless a NEWER winner claims the key
-    survivors = (
-        base.join(w, base[key] == w["_w_key"], "left")
-        .filter(F.col("_w_key").isNull() | (F.col(SEQ_COL) >= F.col("_w_seq")))
-        .select(*store_cols)
-    )
-    # winners land unless they are deletes or stale vs the stored seq
+    # fresh winners: newer than whatever the store holds for the key
+    # (live row OR tombstone — tombstones carry their delete seq, so a
+    # stale pre-delete update loses here).  Tiny (≤ batch keys), and
+    # read three times below (landing, both counters) → checkpoint.
     stored_seq = base.groupBy(F.col(key).alias("_s_key")).agg(
         F.max(SEQ_COL).alias("_s_seq")
     )
-    landing = (
+    fresh = (
         winners.join(stored_seq, winners[key] == stored_seq["_s_key"], "left")
         .filter(F.col("_s_seq").isNull() | (F.col("seq") > F.col("_s_seq")))
-        .filter(F.col("op") != "D")
-        .select(*[F.col(c) for c in payload_cols],
-                F.col("seq").alias(SEQ_COL), F.col("bucket"))
+        .localCheckpoint()
+    )
+    counts = fresh.agg(
+        F.sum((F.col("op") != "D").cast("long")).alias("up"),
+        F.sum((F.col("op") == "D").cast("long")).alias("de"),
+    ).head()
+
+    w = fresh.select(
+        F.col(key).alias("_w_key"), F.col("seq").alias("_w_seq")
+    )
+    # base rows keep their slot unless a FRESH winner claims the key
+    survivors = (
+        base.join(w, base[key] == w["_w_key"], "left")
+        .filter(F.col("_w_key").isNull())
+        .select(*store_cols)
+    )
+    # fresh winners land as live rows or tombstones
+    landing = fresh.select(
+        *[F.col(c) for c in payload_cols],
+        F.col("seq").alias(SEQ_COL),
+        (F.col("op") == "D").alias(DEL_COL),
+        F.col("bucket"),
     )
     merged = survivors.unionByName(landing)
-
-    tmp = path + "__cdc_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (
-        merged.repartition("bucket")
-        .write.partitionBy("bucket")
-        .parquet(tmp)
-    )
-    n_up = landing.count()
-    n_del = (
-        winners.join(stored_seq, winners[key] == stored_seq["_s_key"], "left")
-        .filter(F.col("_s_seq").isNull() | (F.col("seq") > F.col("_s_seq")))
-        .filter(F.col("op") == "D")
-        .count()
-    )
-    # swap ONLY the touched bucket dirs (atomic per bucket; untouched
-    # buckets are never read or written)
-    for b in touched:
-        src = os.path.join(tmp, f"bucket={b}")
-        dst = _bucket_dir(path, b)
-        shutil.rmtree(dst, ignore_errors=True)
-        if os.path.isdir(src):
-            shutil.move(src, dst)
-        else:
-            # bucket emptied by deletes: land a 0-row schema-anchor
-            # file so the store stays readable even if EVERY bucket
-            # empties (schema inference needs at least one footer)
-            (
-                merged.filter(F.lit(False)).drop("bucket")
-                .coalesce(1).write.mode("overwrite").parquet(dst)
-            )
-    shutil.rmtree(tmp, ignore_errors=True)
-    return {"touched_buckets": touched, "upserts": n_up, "deletes": n_del}
+    _swap_buckets(spark, path, merged, touched)
+    return {
+        "touched_buckets": touched,
+        "upserts": int(counts["up"] or 0),
+        "deletes": int(counts["de"] or 0),
+    }

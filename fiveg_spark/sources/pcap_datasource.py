@@ -180,9 +180,25 @@ class PcapStreamReader(DataSourceStreamReader):
     def _migrate(offset: dict, files: list[str]) -> dict:
         """Legacy v1 offsets were indexes into the global sorted
         listing; rebuild the equivalent per-directory watermarks from
-        the listing prefix so old checkpoints restart cleanly."""
+        the listing prefix so old checkpoints restart cleanly.
+
+        Only unambiguous with a SINGLE directory: with several, a file
+        that landed in an earlier-sorting directory while the stream
+        was down shifts the prefix exactly the way v1 offsets break —
+        the migration would silently bless the skip/re-read v2 exists
+        to prevent.  Fail closed instead and tell the operator to
+        restart the listing (reprocess or move the checkpoint)."""
         if "dirs" in offset:
             return offset
+        n_dirs = len({os.path.dirname(p) for p in files})
+        if offset["index"] > 0 and n_dirs > 1:
+            raise PcapNonMonotonicLanding(
+                f"cannot migrate a v1 index offset ({offset['index']}) "
+                f"over a multi-directory layout ({n_dirs} dirs): the "
+                "listing prefix is ambiguous — files may have landed in "
+                "earlier-sorting directories since the checkpoint; "
+                "reprocess from a fresh checkpoint"
+            )
         dirs: dict[str, dict] = {}
         for path in files[: offset["index"]]:
             d = os.path.dirname(path)

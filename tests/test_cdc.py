@@ -155,3 +155,68 @@ def test_delete_can_empty_a_bucket_and_reads_survive(spark, tmp_path):
         "k", N_BUCKETS,
     )
     assert read_store(spark, path).count() == 0
+
+
+def test_delete_tombstone_defeats_stale_resurrection(spark, store):
+    """A delete leaves a tombstone carrying its seq, so a late replay
+    of an OLDER update cannot resurrect the deleted row."""
+    apply_changelog(
+        spark, store, _changes(spark, [(9, 5, "D", None, None)]),
+        "k", N_BUCKETS,
+    )
+    res = apply_changelog(
+        spark, store,
+        _changes(spark, [(9, 2, "U", "zombie", 6.66)]), "k", N_BUCKETS,
+    )
+    assert res["upserts"] == 0
+    assert 9 not in _state(spark, store)
+    # a genuinely NEWER insert brings the key back to life
+    apply_changelog(
+        spark, store,
+        _changes(spark, [(9, 8, "I", "reborn", 1.0)]), "k", N_BUCKETS,
+    )
+    assert _state(spark, store)[9] == ("reborn", 1.0)
+
+
+def test_null_op_fails_closed(spark, store):
+    with pytest.raises(ValueError):
+        apply_changelog(
+            spark, store,
+            _changes(spark, [(1, 1, None, "x", 0.0)]), "k", N_BUCKETS,
+        )
+
+
+def test_crash_between_swap_moves_recovers(spark, store):
+    """Simulate a crash AFTER a bucket moved aside to trash and BEFORE
+    the new content moved in: the next apply restores it first."""
+    import shutil as sh
+
+    from fiveg_spark.sources.cdc import _bucket_dir, _trash_dir, recover_store
+
+    before = _state(spark, store)
+    trash = _trash_dir(store)
+    os.makedirs(trash, exist_ok=True)
+    sh.move(_bucket_dir(store, 0), os.path.join(trash, "bucket=0"))
+    assert not os.path.isdir(_bucket_dir(store, 0))
+    restored = recover_store(store)
+    assert restored == [0]
+    assert _state(spark, store) == before
+
+
+def test_vacuum_tombstones_reclaims_past_horizon(spark, store):
+    from fiveg_spark.sources.cdc import DEL_COL, vacuum_tombstones
+
+    apply_changelog(
+        spark, store,
+        _changes(spark, [(1, 3, "D", None, None), (2, 9, "D", None, None)]),
+        "k", N_BUCKETS,
+    )
+    # horizon 5: seq-3 tombstone reclaimed, seq-9 survives
+    assert vacuum_tombstones(spark, store, 5, "k", N_BUCKETS) == 1
+    raw = spark.read.parquet(store)
+    tombs = raw.filter(F.col(DEL_COL)).collect()
+    assert [t["k"] for t in tombs] == [2]
+    # the reclaimed key's OLD update can now resurrect (the retention
+    # contract: only vacuum below the replay horizon)
+    got = _state(spark, store)
+    assert 1 not in got and 2 not in got

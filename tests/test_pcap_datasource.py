@@ -172,7 +172,9 @@ def test_streaming_out_of_order_landing_fails_loudly(tmp_path):
 
 def test_streaming_legacy_index_offset_migrates(tmp_path):
     """A v1 checkpoint ({"index": N}) restarts against the new
-    watermark offsets: the listing prefix rebuilds the marks."""
+    watermark offsets: the listing prefix rebuilds the marks —
+    but ONLY over a single flat directory, where the prefix is
+    unambiguous."""
     d = tmp_path / "embb"
     d.mkdir()
     (d / "a0.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=1)]))
@@ -180,6 +182,19 @@ def test_streaming_legacy_index_offset_migrates(tmp_path):
     r = PcapStreamReader({"path": str(tmp_path)})
     parts = r.partitions({"index": 1}, r.latestOffset())
     assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["a1.pcap"]
+
+
+def test_streaming_legacy_offset_refuses_multi_directory(tmp_path):
+    """With several directories the v1 prefix is ambiguous (a file may
+    have landed in an earlier-sorting directory while the stream was
+    down — exactly the skip/re-read mode v2 prevents): fail closed."""
+    for sub, name in (("embb", "a1.pcap"), ("urllc", "b0.pcap")):
+        d = tmp_path / sub
+        d.mkdir()
+        (d / name).write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=1)]))
+    r = PcapStreamReader({"path": str(tmp_path)})
+    with pytest.raises(PcapNonMonotonicLanding):
+        r.partitions({"index": 1}, r.latestOffset())
 
 
 def test_conflicting_pushed_equalities_yield_empty_scan(spark, tmp_path):
