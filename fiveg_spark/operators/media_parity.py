@@ -188,3 +188,225 @@ QUERIES = [
     Query("media_decode_parity", _media_decode_run, _media_decode_oracle(),
           deferred=True),
 ]
+
+
+# --------------------------------------------------------------------------
+# E131 — real resize path certified against the index-math closed form
+# --------------------------------------------------------------------------
+
+_OUT_H, _OUT_W = 3, 4
+
+
+def _resize_closed_form() -> list[tuple]:
+    """resize_nn is pure index math — rows[i] = (i*h)//out_h — so the
+    resized grid is a deterministic function of the planted pattern;
+    evaluate it on the construction arrays (never through the Spark
+    path) and roll up to certifiable scalars."""
+    rows = []
+    for mid, kind, _fmt, blob, _vec in _cases():
+        if kind != "image":
+            continue  # the WAV quarantines out of the resize path
+        arr = {1: _p5_image, 2: _p6_image, 3: _png_image}[mid]()[1]
+        h, w = arr.shape[:2]
+        ri = np.minimum((np.arange(_OUT_H) * h) // _OUT_H, h - 1)
+        ci = np.minimum((np.arange(_OUT_W) * w) // _OUT_W, w - 1)
+        small = arr[ri][:, ci]
+        flat = np.asarray(small).reshape(-1).astype(np.int64)
+        ch = 1 if small.ndim == 2 else small.shape[2]
+        rows.append((
+            mid, h, w, ch,
+            int(flat.sum()), int(flat.min()), int(flat.max()),
+            int(flat[0]), int(flat[-1]),
+        ))
+    return rows
+
+
+def _media_resize_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [
+            (mid, kind, fmt, bytearray(blob), (None, None, None, None))
+            for mid, kind, fmt, blob, _vec in _cases()
+        ],
+        "media_id LONG, kind STRING, format STRING, content BINARY,"
+        " meta STRUCT<width:INT, height:INT, duration_ms:INT,"
+        " sample_rate:INT>",
+    )
+    small = resize_images(media, _OUT_H, _OUT_W)
+    return (
+        small.select(
+            "media_id",
+            F.col("in_height").cast("long").alias("in_h"),
+            F.col("in_width").cast("long").alias("in_w"),
+            F.col("channels").cast("long").alias("channels"),
+            F.expr("CAST(aggregate(pixels, 0L, (a, x) -> a + x) AS BIGINT)")
+            .alias("pixel_sum"),
+            F.expr("CAST(array_min(pixels) AS BIGINT)").alias("pixel_min"),
+            F.expr("CAST(array_max(pixels) AS BIGINT)").alias("pixel_max"),
+            F.expr("CAST(pixels[0] AS BIGINT)").alias("first_px"),
+            F.expr("CAST(element_at(pixels, -1) AS BIGINT)").alias("last_px"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _media_resize_oracle() -> str:
+    rows = ",\n      ".join(
+        "(" + ", ".join(str(v) for v in r) + ")"
+        for r in _resize_closed_form()
+    )
+    cols = ("media_id", "in_h", "in_w", "channels", "pixel_sum",
+            "pixel_min", "pixel_max", "first_px", "last_px")
+    cast = ", ".join(f"CAST({c} AS BIGINT) AS {c}" for c in cols)
+    return f"""
+    SELECT {cast}
+    FROM (VALUES
+      {rows}
+    ) AS t({", ".join(cols)})
+    ORDER BY media_id
+    """
+
+
+QUERIES.append(
+    Query("media_resize_parity", _media_resize_run, _media_resize_oracle(),
+          deferred=True)
+)
+
+
+# --------------------------------------------------------------------------
+# E132 — MP4 frame-sample plan certified against the index closed form
+# --------------------------------------------------------------------------
+
+
+def _mp4_box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + tag + payload
+
+
+_MP4_SIZES = [5 * i for i in range(1, 13)]   # 12 samples, 3 chunks of 4
+_MP4_CHUNKS = [500, 1500, 2600]
+_MP4_KEYFRAMES = [1, 5, 9]
+_BARE_N, _BARE_UNIFORM = 5, 9
+
+
+def _indexed_mp4() -> bytes:
+    """ISO-BMFF container with FULL sample tables (stsz per-sample
+    sizes, stss keyframes, stsc run, stco chunk offsets) — built from
+    the construction constants above, independent of the prober."""
+    ts, dur_ms, w, h = 1000, 1200, 64, 48
+    mvhd = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_ms) + bytes(80)
+    tkhd = (
+        bytes(4) + bytes(8) + struct.pack(">I", 1) + bytes(4)
+        + struct.pack(">I", dur_ms) + bytes(8) + bytes(8) + bytes(36)
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    mdhd = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_ms) + bytes(4)
+    hdlr = bytes(8) + b"vide" + bytes(12)
+    stsd = (bytes(4) + struct.pack(">I", 1) + struct.pack(">I", 16)
+            + b"avc1" + bytes(8))
+    stsz = bytes(4) + struct.pack(">II", 0, len(_MP4_SIZES)) + b"".join(
+        struct.pack(">I", s) for s in _MP4_SIZES
+    )
+    stss = bytes(4) + struct.pack(">I", len(_MP4_KEYFRAMES)) + b"".join(
+        struct.pack(">I", s) for s in _MP4_KEYFRAMES
+    )
+    stsc = bytes(4) + struct.pack(">I", 1) + struct.pack(">III", 1, 4, 1)
+    stco = bytes(4) + struct.pack(">I", len(_MP4_CHUNKS)) + b"".join(
+        struct.pack(">I", o) for o in _MP4_CHUNKS
+    )
+    stbl = _mp4_box(
+        b"stbl",
+        _mp4_box(b"stsd", stsd) + _mp4_box(b"stsz", stsz)
+        + _mp4_box(b"stss", stss) + _mp4_box(b"stsc", stsc)
+        + _mp4_box(b"stco", stco),
+    )
+    mdia = _mp4_box(
+        b"mdia",
+        _mp4_box(b"mdhd", mdhd) + _mp4_box(b"hdlr", hdlr)
+        + _mp4_box(b"minf", stbl),
+    )
+    trak = _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd) + mdia)
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    return _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomavc1") + moov
+
+
+def _bare_mp4() -> bytes:
+    """Same container WITHOUT stss/stsc/stco and with a UNIFORM stsz:
+    the fragmented-MP4 class — indices still plan, offsets honestly
+    NULL."""
+    ts, dur_ms = 1000, 500
+    mvhd = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_ms) + bytes(80)
+    mdhd = bytes(4) + bytes(8) + struct.pack(">II", ts, dur_ms) + bytes(4)
+    hdlr = bytes(8) + b"vide" + bytes(12)
+    stsd = (bytes(4) + struct.pack(">I", 1) + struct.pack(">I", 16)
+            + b"avc1" + bytes(8))
+    stsz = bytes(4) + struct.pack(">II", _BARE_UNIFORM, _BARE_N)
+    stbl = _mp4_box(b"stbl", _mp4_box(b"stsd", stsd) + _mp4_box(b"stsz", stsz))
+    mdia = _mp4_box(
+        b"mdia",
+        _mp4_box(b"mdhd", mdhd) + _mp4_box(b"hdlr", hdlr)
+        + _mp4_box(b"minf", stbl),
+    )
+    trak = _mp4_box(b"trak", mdia)
+    moov = _mp4_box(b"moov", _mp4_box(b"mvhd", mvhd) + trak)
+    return _mp4_box(b"ftyp", b"isom" + bytes(4) + b"isomavc1") + moov
+
+
+def _frame_plan_closed_form() -> list[tuple]:
+    """k=3 plan from the construction constants: evenly spaced
+    keyframes; offset = chunk base + preceding in-chunk sizes."""
+    rows = []
+    for s in _MP4_KEYFRAMES:  # k = |keyframes| → all three, in order
+        chunk = (s - 1) // 4
+        off = _MP4_CHUNKS[chunk] + sum(_MP4_SIZES[chunk * 4: s - 1])
+        rows.append(("indexed.mp4", s, True, off, _MP4_SIZES[s - 1]))
+    # bare, n=5, k=3 → endpoints-included even spacing 1, 3, 5
+    for s in (1, 3, 5):
+        rows.append(("bare.mp4", s, True, None, _BARE_UNIFORM))
+    return rows
+
+
+def _frame_sample_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [("indexed.mp4", bytearray(_indexed_mp4())),
+         ("bare.mp4", bytearray(_bare_mp4()))],
+        "path STRING, content BINARY",
+    )
+    return (
+        sample_frames(df, 3)
+        .select(
+            "path",
+            F.col("sample_idx").cast("long").alias("sample_idx"),
+            "is_keyframe",
+            F.col("offset").cast("long").alias("byte_offset"),
+            F.col("size").cast("long").alias("byte_size"),
+        )
+        .orderBy("path", "sample_idx")
+    )
+
+
+def _frame_sample_oracle() -> str:
+    rows = ",\n      ".join(
+        "('{}', {}, {}, {}, {})".format(
+            p, s, "TRUE" if kf else "FALSE",
+            "NULL" if off is None else off, sz,
+        )
+        for p, s, kf, off, sz in _frame_plan_closed_form()
+    )
+    return f"""
+    SELECT path, CAST(sample_idx AS BIGINT) AS sample_idx, is_keyframe,
+      CAST(byte_offset AS BIGINT) AS byte_offset,
+      CAST(byte_size AS BIGINT) AS byte_size
+    FROM (VALUES
+      {rows}
+    ) AS t(path, sample_idx, is_keyframe, byte_offset, byte_size)
+    ORDER BY path, sample_idx
+    """
+
+
+QUERIES.append(
+    Query("frame_sample_parity", _frame_sample_run, _frame_sample_oracle(),
+          deferred=True)
+)

@@ -1535,3 +1535,103 @@ QUERIES.append(
     Query("stream_attribution_parity", _stream_attribution_run,
           _stream_attribution_oracle(), deferred=True)
 )
+
+
+# --------------------------------------------------------------------------
+# A3 — Kafka wire round-trip vs the raw packet view
+# --------------------------------------------------------------------------
+
+
+def _kafka_wire_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broker-free certification of the reference wire protocol (ref
+    PcapKpiExtractor.scala:233-273 publish, KafkaKpiPipeline.scala:
+    245-261 subscribe): the canonical packet view serializes through
+    the REAL ``to_kafka_records`` (flowId-keyed JSON in the reference's
+    field names) into binary (key, value) records, deserializes back
+    through the REAL ``parse_packet_json``, and the per-slice rollup of
+    the PARSED records must equal the oracle's direct recomputation
+    from events — JSON double/long/string round-trip fidelity on the
+    certified path, not just in pytest."""
+    from fiveg_spark.operators.kpi import packet_view
+    from fiveg_spark.sources.kafka import parse_packet_json, to_kafka_records
+
+    ensure_views(spark, ("events",), sf_dir)
+    wire_cols = [
+        F.col("slice").alias("sliceType"),
+        F.col("ts_sec").alias("timestamp"),
+        (F.col("ts_sec") * 1000).cast("long").alias("timestampMs"),
+        F.col("pkt_len").cast("int").alias("packetLen"),
+        "protocol",
+        F.col("src_port").alias("srcPort"),
+        F.col("dst_port").alias("dstPort"),
+        F.col("flow_id").cast("string").alias("flowId"),
+        F.col("tcp_flags").alias("tcpFlags"),
+        F.col("win_size").alias("windowSize"),
+        F.col("event_id").alias("seqNumber"),
+    ]
+    records = to_kafka_records(
+        packet_view(spark, sf_dir).select(*wire_cols), key_col="flowId"
+    ).select(F.col("key").cast("binary"), F.col("value").cast("binary"))
+    parsed = parse_packet_json(records)
+    return (
+        parsed.groupBy(F.col("sliceType").alias("slice"))
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT)").alias("n_records"),
+            F.expr("CAST(count(DISTINCT flowId) AS BIGINT)").alias("n_flows"),
+            F.expr("CAST(sum(packetLen) AS BIGINT)").alias("sum_pkt_len"),
+            F.expr("CAST(min(timestampMs) AS BIGINT)").alias("min_ts_ms"),
+            F.expr("CAST(max(timestampMs) AS BIGINT)").alias("max_ts_ms"),
+            F.expr(
+                "CAST(sum(CASE WHEN protocol = 'TCP' THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_tcp"),
+            F.expr("CAST(sum(seqNumber) AS BIGINT)").alias("sum_seq"),
+            # the DOUBLE field survives JSON: shortest-roundtrip
+            # serialization is exact, so the rounded mean matches the
+            # oracle computing from the raw epoch arithmetic
+            F.expr(
+                "CAST(round(coalesce(avg(timestamp), 0.0) / 1e6 + 1e-9, 4)"
+                " + 0.0 AS DOUBLE)"
+            ).alias("mean_ts_megasec"),
+        )
+        .orderBy("slice")
+    )
+
+
+def _kafka_wire_oracle() -> str:
+    from fiveg_spark.operators.kpi import json_k_expr, packet_projection
+
+    proj = ",\n      ".join(packet_projection("duckdb"))
+    return f"""
+    WITH events_k AS (
+      SELECT *, {json_k_expr("duckdb")} AS k FROM events
+    ), packets AS (
+      SELECT
+      {proj}
+      FROM events_k
+    )
+    SELECT
+      slice,
+      CAST(count(*) AS BIGINT) AS n_records,
+      CAST(count(DISTINCT CAST(flow_id AS VARCHAR)) AS BIGINT) AS n_flows,
+      -- Spark's double->int CAST truncates toward zero; DuckDB's
+      -- ROUNDS -- floor() (values are positive) pins both to the
+      -- Spark wire semantics
+      CAST(sum(CAST(floor(pkt_len) AS BIGINT)) AS BIGINT) AS sum_pkt_len,
+      CAST(min(CAST(floor(ts_sec * 1000) AS BIGINT)) AS BIGINT) AS min_ts_ms,
+      CAST(max(CAST(floor(ts_sec * 1000) AS BIGINT)) AS BIGINT) AS max_ts_ms,
+      CAST(sum(CASE WHEN protocol = 'TCP' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_tcp,
+      CAST(sum(event_id) AS BIGINT) AS sum_seq,
+      CAST(round(coalesce(avg(ts_sec), 0.0) / 1e6 + 1e-9, 4) + 0.0
+           AS DOUBLE) AS mean_ts_megasec
+    FROM packets
+    GROUP BY slice
+    ORDER BY slice
+    """
+
+
+QUERIES.append(
+    Query("kafka_wire_parity", _kafka_wire_run, _kafka_wire_oracle(),
+          deferred=True)
+)
