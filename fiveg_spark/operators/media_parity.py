@@ -410,3 +410,114 @@ QUERIES.append(
     Query("frame_sample_parity", _frame_sample_run, _frame_sample_oracle(),
           deferred=True)
 )
+
+
+# --------------------------------------------------------------------------
+# A6b — JSONL/CSV quarantine ingestion certified
+# --------------------------------------------------------------------------
+
+_N_GOOD = 50
+
+
+def _jsonl_lines() -> list[str]:
+    good = [
+        '{"id": %d, "v": %s, "tag": "t%d"}' % (i, repr(i * 0.5), i % 3)
+        for i in range(_N_GOOD)
+    ]
+    bad = [
+        '{"id": 999, "v": ',              # truncated JSON
+        '{"id": "not-a-number", "v": 1}'  # type conflict on id
+            .replace("'", '"'),
+        "plain garbage line",             # not JSON at all
+    ]
+    return good + bad
+
+
+def _csv_lines() -> list[str]:
+    good = [f"{i},{i * 0.5},t{i % 3}" for i in range(_N_GOOD)]
+    bad = [
+        "xx,yy,t1",          # both numeric fields malformed
+        "1,2.0,t0,extra,x",  # too many columns
+    ]
+    return ["id,v,tag", *good, *bad]
+
+
+def _quarantine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 certified: write deterministic JSONL and CSV corpora with
+    PLANTED malformed lines into scratch, ingest through the REAL
+    read_jsonl/read_csv one-scan quarantine split, and certify both
+    the clean-side closed-form aggregates and the quarantine counts —
+    PERMISSIVE-mode semantics (type conflicts and truncated records
+    route to the corrupt column, never kill the scan, never drop
+    silently) on the oracle path."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from fiveg_spark.sources.text_formats import read_csv, read_jsonl
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("tag", T.StringType()),
+    ])
+    scratch = tempfile.mkdtemp(prefix="fiveg_quarantine_")
+    try:
+        jdir = os.path.join(scratch, "j")
+        cdir = os.path.join(scratch, "c")
+        os.makedirs(jdir)
+        os.makedirs(cdir)
+        with open(os.path.join(jdir, "part.jsonl"), "w") as f:
+            f.write("\n".join(_jsonl_lines()))
+        with open(os.path.join(cdir, "part.csv"), "w") as f:
+            f.write("\n".join(_csv_lines()))
+
+        rows = []
+        for fmt, (clean, quar) in (
+            ("jsonl", read_jsonl(spark, jdir, schema)),
+            ("csv", read_csv(spark, cdir, schema)),
+        ):
+            agg = clean.agg(
+                F.count("*").alias("n"),
+                F.sum("id").alias("sum_id"),
+                F.sum("v").alias("sum_v"),
+                F.countDistinct("tag").alias("n_tags"),
+            ).head()
+            rows.append((
+                fmt, int(agg["n"]), int(agg["sum_id"]),
+                float(round(agg["sum_v"] + 1e-9, 4) + 0.0),
+                int(agg["n_tags"]), int(quar.count()),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "format STRING, n_clean LONG, sum_id LONG, sum_v DOUBLE,"
+            " n_tags LONG, n_quarantined LONG",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _quarantine_oracle() -> str:
+    n = _N_GOOD
+    sum_id = n * (n - 1) // 2
+    sum_v = round(sum_id * 0.5 + 1e-9, 4)
+    return f"""
+    SELECT format, CAST(n_clean AS BIGINT) AS n_clean,
+      CAST(sum_id AS BIGINT) AS sum_id,
+      CAST(sum_v AS DOUBLE) AS sum_v,
+      CAST(n_tags AS BIGINT) AS n_tags,
+      CAST(n_quarantined AS BIGINT) AS n_quarantined
+    FROM (VALUES
+      ('jsonl', {n}, {sum_id}, {sum_v}, 3, 3),
+      ('csv',   {n}, {sum_id}, {sum_v}, 3, 2)
+    ) AS t(format, n_clean, sum_id, sum_v, n_tags, n_quarantined)
+    ORDER BY format
+    """
+
+
+QUERIES.append(
+    Query("jsonl_quarantine_parity", _quarantine_run, _quarantine_oracle(),
+          deferred=True)
+)

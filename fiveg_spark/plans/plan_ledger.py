@@ -81,7 +81,7 @@ PLAN_BUILD_EXECUTES = frozenset({
     # the BUILD synthesizes a capture directory / runs the availableNow
     # streaming replay / drives the CDC batches against scratch (r11)
     "pcap_read_parity", "stream_kpi36_parity", "cdc_apply_parity",
-    "stream_attribution_parity",
+    "stream_attribution_parity", "jsonl_quarantine_parity",
 })
 
 
