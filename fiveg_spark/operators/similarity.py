@@ -1266,13 +1266,16 @@ def _quant_component_clip_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # has the widest tails; the columnar fix is one range PER component
     # (still O(d) metadata, unlike E27's per-vector ranges which cost
     # O(n)).  This scores all four candidates -- global/per-component x
-    # minmax/p1p99-clip -- on the same axes as E115 (mean abs error,
-    # UNCLIPPED mean, max, clipped mass), so "do per-component ranges
-    # earn their metadata?" is a measured row, not a hunch.
+    # minmax/p1p99-clip -- on E115's axes (mean abs error, UNCLIPPED
+    # mean, max, clipped mass), so "do per-component ranges earn their
+    # metadata?" is a measured row, not a hunch.
     #
-    # One posexplode materializes ONCE (the global agg, the per-idx
-    # agg, and all four scoring passes read it); the per-idx range
-    # frame is <= d rows and broadcast-joins back; same half-up floor
+    # ONE posexplode materializes once and is scored in ONE fused pass:
+    # every row joins its <=d-row component range (broadcast) and the
+    # 1-row global range, computes all four strategies' errors side by
+    # side, and a single aggregate reduces them -- at 100 TB the n*d
+    # exploded frame is read once, not once per strategy.  The 4-row
+    # verdict unpivots from the 1-row aggregate.  Same half-up floor
     # code and rounded-clip-bound determinism discipline as E115.
     if d == "spark":
         exp = ("SELECT posexplode(CAST(embedding AS ARRAY<DOUBLE>))"
@@ -1284,31 +1287,46 @@ def _quant_component_clip_parts(d: str) -> tuple[list[tuple[str, str]], str]:
         pos = "pos0"
     exp_sql = f"SELECT CAST({pos} AS BIGINT) AS idx, v FROM ({exp}) e0"
 
-    def row(name: str, src: str, join: str, lo: str, hi: str) -> str:
+    strategies = (
+        ("a_global_minmax", "g.lo_mm", "g.hi_mm"),
+        ("b_global_p1p99", "g.lo_p", "g.hi_p"),
+        ("c_component_minmax", "c.lo_mm", "c.hi_mm"),
+        ("d_component_p1p99", "c.lo_p", "c.hi_p"),
+    )
+
+    def err_cols(name: str, lo: str, hi: str) -> str:
         clip = f"least(greatest(e.v, {lo}), {hi})"
         step = f"nullif(({hi} - {lo}) / 255.0e0, 0.0e0)"
         code = f"floor(({clip} - {lo}) / {step} + 0.5e0)"
         recon = f"({lo} + {code} * {step})"
-        err = f"abs(e.v - coalesce({recon}, {lo}))"
-        inside = f"e.v >= {lo} AND e.v <= {hi}"
-        return f"""
-    SELECT
-      '{name}' AS strategy,
-      {cnt("count(*)", "n_components")},
-      {dbl(f"avg({err})", "mean_abs_err")},
-      {dbl(f"avg(CASE WHEN {inside} THEN {err} END)",
-           "mean_abs_err_unclipped")},
-      {dbl(f"max({err})", "max_abs_err")},
-      {dbl(
-          f"avg(CAST(CASE WHEN e.v < {lo} OR e.v > {hi}"
-          " THEN 1 ELSE 0 END AS DOUBLE))",
-          "clipped_share",
-      )}
-    FROM _mz_qcc_exp e {join}"""
+        return (
+            f"abs(e.v - coalesce({recon}, {lo})) AS err_{name},\n"
+            f"      CASE WHEN e.v >= {lo} AND e.v <= {hi} THEN 1 ELSE 0 END"
+            f" AS in_{name}"
+        )
 
-    g_join = "CROSS JOIN g"
-    c_join = "JOIN c ON e.idx = c.idx"
-    tail = f"""
+    scored = ",\n      ".join(err_cols(n, lo, hi) for n, lo, hi in strategies)
+    aggs = ",\n        ".join(
+        f"avg(err_{n}) AS m_{n},\n"
+        f"        avg(CASE WHEN in_{n} = 1 THEN err_{n} END) AS mu_{n},\n"
+        f"        max(err_{n}) AS mx_{n},\n"
+        f"        avg(1.0e0 - in_{n}) AS cs_{n}"
+        for n, _lo, _hi in strategies
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{n}' AS strategy,
+      {cnt("n_all", "n_components")},
+      {dbl(f"m_{n}", "mean_abs_err")},
+      {dbl(f"mu_{n}", "mean_abs_err_unclipped")},
+      {dbl(f"mx_{n}", "max_abs_err")},
+      {dbl(f"cs_{n}", "clipped_share")}
+    FROM _mz_qcc_agg"""
+        for n, _lo, _hi in strategies
+    )
+    # the 1-row aggregate MATERIALIZES (_mz_ stage): the 4-row unpivot
+    # references it 4x, and Spark would inline a CTE and re-run the
+    # whole scored pass per strategy row
+    agg_sql = f"""
     WITH g AS (
       SELECT
         min(v) AS lo_mm, max(v) AS hi_mm,
@@ -1322,19 +1340,25 @@ def _quant_component_clip_parts(d: str) -> tuple[list[tuple[str, str]], str]:
         round({pct("v", 0.01, d)} + 1e-9, 6) AS lo_p,
         round({pct("v", 0.99, d)} + 1e-9, 6) AS hi_p
       FROM _mz_qcc_exp GROUP BY idx
+    ),
+    scored AS (
+      SELECT
+      {scored}
+      FROM _mz_qcc_exp e
+      JOIN c ON e.idx = c.idx
+      CROSS JOIN g
     )
+    SELECT count(*) AS n_all,
+      {aggs}
+    FROM scored
+    """
+    tail = f"""
     SELECT * FROM (
-    {row("a_global_minmax", "g", g_join, "g.lo_mm", "g.hi_mm")}
-    UNION ALL
-    {row("b_global_p1p99", "g", g_join, "g.lo_p", "g.hi_p")}
-    UNION ALL
-    {row("c_component_minmax", "c", c_join, "c.lo_mm", "c.hi_mm")}
-    UNION ALL
-    {row("d_component_p1p99", "c", c_join, "c.lo_p", "c.hi_p")}
+{rows}
     ) s
     ORDER BY strategy
     """
-    return [("_mz_qcc_exp", exp_sql)], tail
+    return [("_mz_qcc_exp", exp_sql), ("_mz_qcc_agg", agg_sql)], tail
 
 
 QUERIES = [

@@ -835,14 +835,21 @@ def _bh_screen_sql(d: str) -> str:
       FROM events
       GROUP BY {slice_case}, event_type
     ),
-    tot AS (
-      SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS s,
-             sum(value * value) AS ss
-      FROM events
+    -- corpus totals as a GLOBAL WINDOW over the bounded cell rollup
+    -- (decomposable sums): a `tot` CTE would inline in Spark and
+    -- re-run the events scan — the window keeps the fact table read
+    -- ONCE, and it rides the <= |slices x types| post-agg frame the
+    -- query's other global windows already ride
+    enriched AS (
+      SELECT *,
+        sum(n1) OVER () AS n,
+        sum(s1) OVER () AS s,
+        sum(ss1) OVER () AS ss
+      FROM cells
     ),
     zed AS (
       SELECT slice, event_type, n1, {z} AS z
-      FROM cells CROSS JOIN tot
+      FROM enriched
     ),
     pvals AS (
       SELECT slice, event_type, n1, z,

@@ -47,6 +47,15 @@ LEDGER_VERSION = 2  # v2: order-insensitive agg/partition key lists
                     # (v1 hashes drifted with session expression-id
                     # churn on wide distinct-agg plans — see
                     # _sort_unordered_lists)
+                    #
+                    # Known sensitivity trade (r10 advisor, accepted):
+                    # sorting the aggregate output=[ / functions=[
+                    # lists means a code change that ONLY reorders
+                    # aggregate outputs hashes identically and won't
+                    # flag as 'reshaped'.  Column order is certified
+                    # by the driver's schema compare instead, so the
+                    # ledger deliberately trades that signal for
+                    # session-churn stability.
 
 # Queries whose DataFrame BUILD runs driver-side model fits (k-means /
 # MLlib training / collect-based codebooks) — the advisor sweep skips
