@@ -33,6 +33,7 @@ from fiveg_spark.operators.engagement_ext import (
     _source_lang_mix_sql,
     _token_case_profile_sql,
 )
+from fiveg_spark.operators.lateness import _source_ingestion_burstiness_sql
 from fiveg_spark.operators.quality import _benford_digits_sql
 from fiveg_spark.operators.text import _text_normalize_sql, _text_quality_sql
 from fiveg_spark.operators.text_stats import (
@@ -68,6 +69,10 @@ _DOC_SQL = {
     "minhash_lsh_pairs": _minhash_lsh_sql,
     "ngram_jaccard_pairs": _ngram_jaccard_sql,
     "incremental_minhash_pairs": _incremental_minhash_sql,
+    # r11: md5-derived arrival axis + closed-form Fano over the full
+    # 1440-minute day; single-doc sources pin active_minutes=1 and the
+    # peak/mean ratio at 1440/n_docs — zero-variance guards live here
+    "source_ingestion_burstiness": _source_ingestion_burstiness_sql,
 }
 
 
@@ -438,6 +443,7 @@ def _event_sql_fns():
         _arrival_inversions_sql,
     )
     from fiveg_spark.operators.stats_tests import (
+        _bh_screen_sql,
         _chisq_hour_uniformity_sql,
         _effect_size_ladder_sql,
         _gumbel_maxima_sql,
@@ -554,6 +560,10 @@ def _event_sql_fns():
         # n<2 day slices pin sd = 0 (β, return levels collapse to the
         # mean); decomposable-sum SD + Python-inlined ln constants
         "gumbel_maxima_fit": _gumbel_maxima_sql,
+        # r11: Welch z + erf-free p + BH step-up — a cell that IS the
+        # whole corpus (or a 1-event complement) must guard to z=0/p=1,
+        # and tied rounded p-values exercise the deterministic rank
+        "bh_screened_mean_shifts": _bh_screen_sql,
         # value-mass drop shares: nullif(sum(value)) hits on all-zero
         # value streams; one-minute streams have no frontier at all
         "watermark_drop_value_cost": _drop_value_cost_sql,
