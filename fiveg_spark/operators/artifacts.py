@@ -992,3 +992,195 @@ QUERIES.append(
     Query("cdc_apply_parity", _cdc_apply_run, _cdc_apply_oracle(),
           deferred=True)
 )
+
+
+# --------------------------------------------------------------------------
+# A23b — snapshot vacuum: orphan retention + aged reclamation certified
+# --------------------------------------------------------------------------
+
+
+def _vacuum_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23's vacuum on the oracle path: two committed waves plus two
+    ORPHAN files (appended, never committed — the in-flight-writer
+    case the retention window exists for).  A young-guarded vacuum
+    must delete NOTHING (the orphans are inside the retention window);
+    an aged vacuum must reclaim exactly the two orphans; v1 must stay
+    readable (still referenced) and the head must read back to v2's
+    closed form once the orphans are gone."""
+    import os
+
+    from fiveg_spark.sources import snapshots
+
+    table = _scratch() + "/docs"
+    try:
+        ensure_views(spark, ("documents",), sf_dir)
+        docs = spark.sql("SELECT doc_id, n_chars FROM documents")
+        for wave in range(2):
+            docs.filter(F.col("doc_id") % N_WAVES == wave).write.mode(
+                "append"
+            ).parquet(table)
+            snapshots.commit_snapshot(table)
+        # orphans: written into the table dir, never committed
+        import shutil as sh
+
+        orphan_src = _scratch() + "/orphan"
+        docs.limit(7).coalesce(1).write.parquet(orphan_src)
+        part = next(p for p in os.listdir(orphan_src)
+                    if p.endswith(".parquet"))
+        for i in range(2):
+            sh.copyfile(os.path.join(orphan_src, part),
+                        os.path.join(table, f"orphan-{i}.parquet"))
+
+        n_young = len(snapshots.vacuum(table, keep_versions=2,
+                                       min_age_hours=1.0))
+        n_aged = len(snapshots.vacuum(table, keep_versions=2,
+                                      min_age_hours=0.0))
+        v1 = snapshots.read_as_of(spark, table, 1).agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("c")).head()
+        head = spark.read.parquet(table).agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("c")).head()
+        return spark.createDataFrame(
+            [(int(n_young), int(n_aged), int(v1["n"]), int(v1["c"]),
+              int(head["n"]), int(head["c"]))],
+            "n_deleted_young LONG, n_deleted_aged LONG, v1_docs LONG,"
+            " v1_chars LONG, head_docs LONG, head_chars LONG",
+        )
+    finally:
+        shutil.rmtree(table, ignore_errors=True)
+
+
+def _vacuum_audit_oracle() -> str:
+    return f"""
+    SELECT
+      CAST(0 AS BIGINT) AS n_deleted_young,
+      CAST(2 AS BIGINT) AS n_deleted_aged,
+      CAST(sum(CASE WHEN doc_id % {N_WAVES} = 0 THEN 1 ELSE 0 END)
+           AS BIGINT) AS v1_docs,
+      CAST(sum(CASE WHEN doc_id % {N_WAVES} = 0 THEN n_chars ELSE 0 END)
+           AS BIGINT) AS v1_chars,
+      CAST(sum(CASE WHEN doc_id % {N_WAVES} IN (0, 1) THEN 1 ELSE 0 END)
+           AS BIGINT) AS head_docs,
+      CAST(sum(CASE WHEN doc_id % {N_WAVES} IN (0, 1) THEN n_chars
+               ELSE 0 END) AS BIGINT) AS head_chars
+    FROM documents
+    """
+
+
+# --------------------------------------------------------------------------
+# A20b — table storage-health audit certified on planted layouts
+# --------------------------------------------------------------------------
+
+
+def _table_health_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 certified: a planted small-file antipattern (30 one-row
+    files in one partition, one healthy file in another) audited
+    metadata-only.  Byte sizes are encoder-dependent, so the certified
+    fields are the CLOSED-FORM ones: file/row/partition counts and the
+    small-file shares at the two threshold extremes (huge threshold →
+    every file small, share 1.0, compaction recommended; 1-byte
+    threshold → no file small, share 0.0, not recommended)."""
+    from fiveg_spark.plans.table_health import audit_table
+
+    root = _scratch() + "/tbl"
+    try:
+        ensure_views(spark, ("documents",), sf_dir)
+        docs = spark.sql("SELECT doc_id FROM documents LIMIT 130")
+        docs.limit(30).repartition(30).write.parquet(root + "/part=a")
+        docs.limit(100).coalesce(1).write.parquet(root + "/part=b")
+        wide = audit_table(root, small_bytes=1 << 30)
+        tight = audit_table(root, small_bytes=1)
+        return spark.createDataFrame(
+            [(
+                int(wide.n_files), int(wide.total_rows),
+                int(wide.partition_count),
+                float(wide.small_file_count_share),
+                bool(wide.recommend_compaction),
+                float(tight.small_file_count_share),
+                bool(tight.recommend_compaction),
+            )],
+            "n_files LONG, total_rows LONG, n_partitions LONG,"
+            " wide_small_share DOUBLE, wide_recommend BOOLEAN,"
+            " tight_small_share DOUBLE, tight_recommend BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _table_health_oracle() -> str:
+    return """
+    SELECT
+      CAST(31 AS BIGINT) AS n_files,
+      CAST(130 AS BIGINT) AS total_rows,
+      CAST(2 AS BIGINT) AS n_partitions,
+      CAST(1.0 AS DOUBLE) AS wide_small_share,
+      TRUE AS wide_recommend,
+      CAST(0.0 AS DOUBLE) AS tight_small_share,
+      FALSE AS tight_recommend
+    """
+
+
+# --------------------------------------------------------------------------
+# A16b — training-shard physical layout vs the portable hash rule
+# --------------------------------------------------------------------------
+
+
+def _shard_layout_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 certified: write_training_shards' PHYSICAL layout read back
+    per shard directory must reproduce the portable md5 first-nibble
+    assignment the certified `training_order` query defines — the
+    writer and the query are the same rule, now proven on the files."""
+    from fiveg_spark.sources.sinks import write_training_shards
+
+    root = _scratch() + "/shards"
+    try:
+        ensure_views(spark, ("documents",), sf_dir)
+        docs = spark.sql("SELECT doc_id, source FROM documents")
+        write_training_shards(docs, root, key_col="doc_id", n_shards=16)
+        back = spark.read.parquet(root)
+        out = (
+            back.groupBy(F.col("shard").cast("long").alias("shard"))
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_docs"),
+                F.expr("CAST(sum(doc_id) AS BIGINT)").alias("sum_doc_id"),
+                F.expr("min(shuffle_key)").alias("first_key"),
+            )
+            .orderBy("shard")
+        )
+        # bounded (<=16 rows): materialize before the scratch vanishes
+        return _collected(
+            spark, out,
+            "shard LONG, n_docs LONG, sum_doc_id LONG, first_key STRING",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _shard_layout_oracle() -> str:
+    key = "substring(md5(concat('order-v1#', CAST(doc_id AS VARCHAR))), 1, 8)"
+    shard = (
+        f"CAST(position(substring({key}, 1, 1) IN '0123456789abcdef') - 1"
+        " AS BIGINT)"
+    )
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {key} AS shuffle_key, {shard} AS shard
+      FROM documents
+    )
+    SELECT shard,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      min(shuffle_key) AS first_key
+    FROM keyed
+    GROUP BY shard
+    ORDER BY shard
+    """
+
+
+QUERIES.extend([
+    Query("snapshot_vacuum_audit", _vacuum_audit_run,
+          _vacuum_audit_oracle(), deferred=True),
+    Query("table_health_audit", _table_health_run,
+          _table_health_oracle(), deferred=True),
+    Query("training_shard_layout_parity", _shard_layout_run,
+          _shard_layout_oracle(), deferred=True),
+])

@@ -91,6 +91,8 @@ PLAN_BUILD_EXECUTES = frozenset({
     # streaming replay / drives the CDC batches against scratch (r11)
     "pcap_read_parity", "stream_kpi36_parity", "cdc_apply_parity",
     "stream_attribution_parity", "jsonl_quarantine_parity",
+    "snapshot_vacuum_audit", "table_health_audit",
+    "training_shard_layout_parity",
 })
 
 
