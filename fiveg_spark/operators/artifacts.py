@@ -1184,3 +1184,91 @@ QUERIES.extend([
     Query("training_shard_layout_parity", _shard_layout_run,
           _shard_layout_oracle(), deferred=True),
 ])
+
+
+# --------------------------------------------------------------------------
+# A5b — partitioned batch sink + partition-pruned read-back certified
+# --------------------------------------------------------------------------
+
+
+def _partitioned_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 certified: events land through the REAL write_partitioned
+    (partitionBy event_type), and the certified claims are (1) the
+    directory layout is exactly the distinct-type set, (2) a
+    PARTITION-PRUNED read of one type's directory equals the filtered
+    closed form — the Hive-pruning contract the layout exists for —
+    and (3) the full read-back round-trips every per-type aggregate."""
+    import os
+
+    from fiveg_spark.sources.sinks import write_partitioned
+
+    root = _scratch() + "/events_by_type"
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        ev = spark.sql("SELECT event_id, event_type, value FROM events")
+        write_partitioned(ev, root, partition_by=("event_type",))
+
+        dirs = sorted(
+            d.split("=", 1)[1] for d in os.listdir(root)
+            if d.startswith("event_type=")
+        )
+        first = dirs[0]
+        pruned = spark.read.parquet(
+            os.path.join(root, f"event_type={first}")
+        ).agg(
+            F.count("*").alias("n"), F.sum("value").alias("v")
+        ).head()
+        back = (
+            spark.read.parquet(root)
+            .groupBy("event_type")
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_events"),
+                F.expr(
+                    "CAST(round(coalesce(sum(value), 0.0) / 1e6 + 1e-9, 4)"
+                    " + 0.0 AS DOUBLE)"
+                ).alias("sum_value_m"),
+            )
+        )
+        rows = [
+            (r["event_type"], int(r["n_events"]), float(r["sum_value_m"]),
+             len(dirs), int(pruned["n"]),
+             float(round(pruned["v"] / 1e6 + 1e-9, 4) + 0.0))
+            for r in back.collect()
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_type STRING, n_events LONG, sum_value_m DOUBLE,"
+            " n_partition_dirs LONG, pruned_first_n LONG,"
+            " pruned_first_value_m DOUBLE",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _partitioned_sink_oracle() -> str:
+    return """
+    WITH per_type AS (
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n_events,
+        CAST(round(coalesce(sum(value), 0.0) / 1e6 + 1e-9, 4) + 0.0
+             AS DOUBLE) AS sum_value_m
+      FROM events GROUP BY event_type
+    ),
+    firsttype AS (
+      SELECT n_events AS pn, sum_value_m AS pv
+      FROM per_type ORDER BY event_type LIMIT 1
+    )
+    SELECT p.event_type, p.n_events, p.sum_value_m,
+      (SELECT CAST(count(*) AS BIGINT) FROM per_type)
+        AS n_partition_dirs,
+      f.pn AS pruned_first_n,
+      f.pv AS pruned_first_value_m
+    FROM per_type p CROSS JOIN firsttype f
+    ORDER BY p.event_type
+    """
+
+
+QUERIES.append(
+    Query("partitioned_sink_parity", _partitioned_sink_run,
+          _partitioned_sink_oracle(), deferred=True)
+)

@@ -1635,3 +1635,116 @@ QUERIES.append(
     Query("kafka_wire_parity", _kafka_wire_run, _kafka_wire_oracle(),
           deferred=True)
 )
+
+
+# --------------------------------------------------------------------------
+# B24 — streaming vector-index maintenance vs the closed-form assignment
+# --------------------------------------------------------------------------
+
+_IDX_K = 8  # one-hot centroids on dims 0..7
+
+
+def _index_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay embedding waves (vec_id % 4) through the REAL
+    foreach_batch_index against FROZEN one-hot centroids — with a
+    replayed batch (watermark no-op) and a re-ingested wave under a
+    higher batch_id (supersession collapses to one posting per
+    vec_id) — then compact and certify index_health off the store.
+
+    One-hot unit centroids make the assignment CLOSED-FORM: the
+    argmax-cosine list is the argmax of the vector's first k raw
+    components (normalization is monotonic), and the assignment cosine
+    is that component over the vector norm — both exactly recomputable
+    by the oracle, with the kernel's first-max tie rule mirrored as
+    (v DESC, list_id ASC)."""
+    import numpy as np
+
+    from fiveg_spark.operators.ann_ivf import save_centroids
+    from fiveg_spark.streaming import index_sink
+
+    scratch = _scratch()
+    store = scratch + "/postings"
+    cpath = scratch + "/centroids"
+    try:
+        ensure_views(spark, ("embeddings",), sf_dir)
+        dim = len(
+            spark.sql("SELECT embedding FROM embeddings LIMIT 1")
+            .head()["embedding"]
+        )
+        C = np.zeros((_IDX_K, dim))
+        C[np.arange(_IDX_K), np.arange(_IDX_K)] = 1.0
+        save_centroids(spark, C, cpath)
+
+        emb = spark.sql("SELECT vec_id, label, embedding FROM embeddings")
+        sink = index_sink.foreach_batch_index(store, cpath)
+        for b in range(4):
+            sink(emb.filter(F.col("vec_id") % 4 == b), b)
+        sink(emb.filter(F.col("vec_id") % 4 == 1), 1)  # replay: no-op
+        sink(emb.filter(F.col("vec_id") % 4 == 0), 4)  # re-ingest: supersede
+        index_sink.compact(spark, store)
+
+        health = index_sink.index_health(spark, store).select(
+            F.col("list_id").cast("long").alias("list_id"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            F.expr(
+                "CAST(round(coalesce(mean_cos, 0.0) + 1e-9, 4) + 0.0"
+                " AS DOUBLE)"
+            ).alias("mean_cos"),
+            F.expr(
+                "CAST(round(coalesce(imbalance_ratio, 0.0) + 1e-9, 4)"
+                " + 0.0 AS DOUBLE)"
+            ).alias("imbalance_ratio"),
+        ).orderBy("list_id")
+        return _collected(
+            spark, health,
+            "list_id LONG, n_vectors LONG, mean_cos DOUBLE,"
+            " imbalance_ratio DOUBLE",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _index_store_oracle() -> str:
+    from fiveg_spark.plans.registry import pct
+
+    return f"""
+    WITH comps AS (
+      SELECT e.vec_id,
+        CAST(i - 1 AS BIGINT) AS list_id,
+        CAST(embedding[i] AS DOUBLE) AS v,
+        sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> x * x))) AS nrm
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(generate_series(1, {_IDX_K})) AS i) g
+    ),
+    assigned AS (
+      SELECT vec_id, list_id, v / (nrm + 1e-12) AS cos,
+        row_number() OVER (PARTITION BY vec_id
+                           ORDER BY v DESC, list_id ASC) AS rk
+      FROM comps
+    ),
+    lists AS (
+      SELECT list_id,
+        CAST(count(*) AS BIGINT) AS n_vectors,
+        round(coalesce(avg(cos), 0.0) + 1e-9, 4) + 0.0 AS mean_cos
+      FROM assigned WHERE rk = 1
+      GROUP BY list_id
+    ),
+    stats AS (
+      SELECT max(n_vectors) AS mx,
+        {pct("n_vectors", 0.5, "duckdb")} AS med
+      FROM lists
+    )
+    SELECT l.list_id, l.n_vectors,
+      CAST(l.mean_cos AS DOUBLE) AS mean_cos,
+      CAST(round(l2.mx / greatest(l2.med, 1.0) + 1e-9, 4) + 0.0
+           AS DOUBLE) AS imbalance_ratio
+    FROM lists l CROSS JOIN stats l2
+    ORDER BY l.list_id
+    """
+
+
+QUERIES.append(
+    Query("stream_index_store_parity", _index_store_run,
+          _index_store_oracle(), deferred=True)
+)

@@ -92,7 +92,8 @@ PLAN_BUILD_EXECUTES = frozenset({
     "pcap_read_parity", "stream_kpi36_parity", "cdc_apply_parity",
     "stream_attribution_parity", "jsonl_quarantine_parity",
     "snapshot_vacuum_audit", "table_health_audit",
-    "training_shard_layout_parity",
+    "training_shard_layout_parity", "partitioned_sink_parity",
+    "stream_index_store_parity",
 })
 
 
