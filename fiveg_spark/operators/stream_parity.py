@@ -1748,3 +1748,125 @@ QUERIES.append(
     Query("stream_index_store_parity", _index_store_run,
           _index_store_oracle(), deferred=True)
 )
+
+
+# --------------------------------------------------------------------------
+# B13 — streaming EWMA anomaly vs the unrolled recursion
+# --------------------------------------------------------------------------
+
+_EWMA_BASE = 1_700_000_000.0
+
+
+def _ewma_series() -> list[tuple[str, float, float]]:
+    """Planted 3-slice series, 12 points each: a flat line with one
+    20x spike (must flag), a smooth ramp (must stay quiet), and a
+    constant (z exactly 0 forever)."""
+    rows = []
+    for i in range(12):
+        rows.append(("spiky", _EWMA_BASE + 60 * i,
+                     200.0 if i == 7 else 10.0))
+        rows.append(("ramp", _EWMA_BASE + 60 * i, 50.0 + 2.0 * i))
+        rows.append(("flat", _EWMA_BASE + 60 * i, 5.0))
+    return rows
+
+
+def _ewma_expected() -> list[tuple]:
+    """The recursion unrolled sequentially (the same pure ewma_step the
+    operator folds per row) — what the DISTRIBUTED stateful execution
+    must reproduce across micro-batch boundaries."""
+    from fiveg_spark.streaming.anomaly import Z_THRESHOLD, ewma_step
+
+    out = []
+    by_slice: dict[str, list] = {}
+    for slc, ts, v in _ewma_series():
+        by_slice.setdefault(slc, []).append((ts, v))
+    for slc, pts in by_slice.items():
+        mu, var, n = 0.0, 0.0, 0
+        for ts, x in sorted(pts):
+            if n == 0:
+                z, flag = 0.0, False
+                mu, var = x, 0.0
+            else:
+                z, mu, var = ewma_step(x, mu, var)
+                flag = bool(n >= 2 and abs(z) > Z_THRESHOLD)
+            n += 1
+            out.append((slc, ts, x, float(round(float(z), 6)), flag))
+    return out
+
+
+def _ewma_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted series replays through the REAL
+    `streaming_ewma_anomaly` plan — four micro-batches of three points
+    per slice (maxFilesPerTrigger=1, mtime-ordered), so the keyed
+    state carries (mu, var, n) across batch boundaries — into a
+    checkpointed parquet sink; every scored row must equal the
+    sequential recursion."""
+    import os
+
+    from fiveg_spark.streaming.anomaly import streaming_ewma_anomaly
+
+    scratch = _scratch()
+    src = os.path.join(scratch, "src")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    try:
+        rows = sorted(_ewma_series(), key=lambda r: r[1])
+        for b in range(4):
+            _land_file(
+                spark.createDataFrame(
+                    rows[b * 9:(b + 1) * 9],
+                    "slice STRING, ts_sec DOUBLE, value DOUBLE",
+                ),
+                scratch, src, b,
+            )
+        stream = (
+            spark.readStream.schema("slice STRING, ts_sec DOUBLE, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_ewma_anomaly(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        scored = spark.read.parquet(out).select(
+            "slice", "ts_sec", "value",
+            F.expr("CAST(round(zscore + 1e-9, 4) + 0.0 AS DOUBLE)")
+            .alias("zscore"),
+            "is_anomaly",
+        )
+        return _collected(
+            spark, scored,
+            "slice STRING, ts_sec DOUBLE, value DOUBLE, zscore DOUBLE,"
+            " is_anomaly BOOLEAN",
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _ewma_store_oracle() -> str:
+    vals = ",\n      ".join(
+        f"('{s}', {ts!r}, {v!r}, {round(z + 1e-9, 4)!r},"
+        f" {'TRUE' if f else 'FALSE'})"
+        for s, ts, v, z, f in _ewma_expected()
+    )
+    return f"""
+    SELECT slice, CAST(ts_sec AS DOUBLE) AS ts_sec,
+      CAST(value AS DOUBLE) AS value,
+      CAST(zscore AS DOUBLE) AS zscore, is_anomaly
+    FROM (VALUES
+      {vals}
+    ) AS t(slice, ts_sec, value, zscore, is_anomaly)
+    ORDER BY slice, ts_sec
+    """
+
+
+QUERIES.append(
+    Query("stream_ewma_anomaly_parity", _ewma_store_run,
+          _ewma_store_oracle(), deferred=True)
+)

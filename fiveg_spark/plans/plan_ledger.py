@@ -93,7 +93,7 @@ PLAN_BUILD_EXECUTES = frozenset({
     "stream_attribution_parity", "jsonl_quarantine_parity",
     "snapshot_vacuum_audit", "table_health_audit",
     "training_shard_layout_parity", "partitioned_sink_parity",
-    "stream_index_store_parity",
+    "stream_index_store_parity", "stream_ewma_anomaly_parity",
 })
 
 
