@@ -1011,7 +1011,8 @@ def _vacuum_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fiveg_spark.sources import snapshots
 
-    table = _scratch() + "/docs"
+    root = _scratch()
+    table = root + "/docs"
     try:
         ensure_views(spark, ("documents",), sf_dir)
         docs = spark.sql("SELECT doc_id, n_chars FROM documents")
@@ -1021,15 +1022,13 @@ def _vacuum_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).parquet(table)
             snapshots.commit_snapshot(table)
         # orphans: written into the table dir, never committed
-        import shutil as sh
-
-        orphan_src = _scratch() + "/orphan"
+        orphan_src = root + "/orphan"
         docs.limit(7).coalesce(1).write.parquet(orphan_src)
         part = next(p for p in os.listdir(orphan_src)
                     if p.endswith(".parquet"))
         for i in range(2):
-            sh.copyfile(os.path.join(orphan_src, part),
-                        os.path.join(table, f"orphan-{i}.parquet"))
+            shutil.copyfile(os.path.join(orphan_src, part),
+                            os.path.join(table, f"orphan-{i}.parquet"))
 
         n_young = len(snapshots.vacuum(table, keep_versions=2,
                                        min_age_hours=1.0))
@@ -1046,7 +1045,7 @@ def _vacuum_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             " v1_chars LONG, head_docs LONG, head_chars LONG",
         )
     finally:
-        shutil.rmtree(table, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _vacuum_audit_oracle() -> str:

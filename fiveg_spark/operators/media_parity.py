@@ -426,8 +426,7 @@ def _jsonl_lines() -> list[str]:
     ]
     bad = [
         '{"id": 999, "v": ',              # truncated JSON
-        '{"id": "not-a-number", "v": 1}'  # type conflict on id
-            .replace("'", '"'),
+        '{"id": "not-a-number", "v": 1}',  # type conflict on id
         "plain garbage line",             # not JSON at all
     ]
     return good + bad

@@ -822,12 +822,12 @@ def _bh_screen_sql(d: str) -> str:
         "((ss - ss1) - (s - s1) * (s - s1) / (n - n1)) / (n - n1 - 1) "
         "ELSE 0.0 END"
     )
-    # degenerate-cell guard: a cell that IS the whole corpus (or a
-    # 1-event complement) has no complement to test against — z = 0,
-    # p = 1, never a discovery (and never a divide-by-zero: Spark
-    # yields NULL for double/0 where DuckDB yields inf)
+    # degenerate-cell guard: a cell (or complement) with fewer than 2
+    # events has no variance to test against — z = 0, p = 1, never a
+    # discovery (and never a divide-by-zero: Spark yields NULL for
+    # double/0 where DuckDB yields inf; Welch needs n >= 2 per side)
     z = (
-        f"CASE WHEN n1 < 1 OR n - n1 < 1 THEN 0.0e0 ELSE "
+        f"CASE WHEN n1 < 2 OR n - n1 < 2 THEN 0.0e0 ELSE "
         f"(s1 / n1 - (s - s1) / (n - n1)) / "
         f"sqrt(({var1}) / n1 + ({var2}) / (n - n1) + 1e-12) END"
     )

@@ -1279,7 +1279,10 @@ def _stream_kpi36_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("availableNow replay did not finish in "
+                               "600s; refusing to read a partial sink")
 
         streamed = spark.read.parquet(out).filter(
             F.col("window_end") <= F.timestamp_seconds(F.lit(cutoff_sec))
@@ -1467,7 +1470,10 @@ def _stream_attribution_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("availableNow replay did not finish in "
+                               "600s; refusing to read a partial sink")
 
         pairs = spark.read.parquet(out)
         rollup = (
@@ -1759,8 +1765,11 @@ _EWMA_BASE = 1_700_000_000.0
 
 def _ewma_series() -> list[tuple[str, float, float]]:
     """Planted 3-slice series, 12 points each: a flat line with one
-    20x spike (must flag), a smooth ramp (must stay quiet), and a
-    constant (z exactly 0 forever)."""
+    20x spike (must flag), a deterministic ramp (documents the EW
+    WARM-UP transient: with variance still near zero the first ramp
+    steps score >3 sigma and flag, then var converges to (1-alpha)*d^2
+    and z settles near 1/sqrt(1-alpha) ~ 1.05 — quiet), and a constant
+    (z exactly 0 forever)."""
     rows = []
     for i in range(12):
         rows.append(("spiky", _EWMA_BASE + 60 * i,
@@ -1800,7 +1809,9 @@ def _ewma_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     per slice (maxFilesPerTrigger=1, mtime-ordered), so the keyed
     state carries (mu, var, n) across batch boundaries — into a
     checkpointed parquet sink; every scored row must equal the
-    sequential recursion."""
+    sequential recursion (including the ramp's warm-up transient
+    flags — a REAL detector property this certification documents,
+    not a defect of the fixture)."""
     import os
 
     from fiveg_spark.streaming.anomaly import streaming_ewma_anomaly
@@ -1833,7 +1844,10 @@ def _ewma_store_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("availableNow replay did not finish in "
+                               "600s; refusing to read a partial sink")
         scored = spark.read.parquet(out).select(
             "slice", "ts_sec", "value",
             F.expr("CAST(round(zscore + 1e-9, 4) + 0.0 AS DOUBLE)")
