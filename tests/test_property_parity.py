@@ -1657,13 +1657,24 @@ def test_source_coherence_on_random_joined_frames(spark):
     check()
 
 
-def test_embedding_parts_queries_on_random_vectors(spark):
+@pytest.mark.parametrize("parts_name", ["global_clip", "component_clip"])
+def test_embedding_parts_queries_on_random_vectors(spark, parts_name):
     """Parts-based embeddings queries through both engines on random
     tiny vector sets (constant vectors, repeated directions, zero
-    vectors — the degenerate shapes the guards exist for)."""
-    from fiveg_spark.operators.similarity import _quant_clip_eval_parts
+    vectors — the degenerate shapes the guards exist for; the r11
+    per-component variant adds the degenerate PER-INDEX range, where
+    a constant component pins its step to the nullif guard)."""
+    from fiveg_spark.operators.similarity import (
+        _quant_clip_eval_parts,
+        _quant_component_clip_parts,
+    )
     from fiveg_spark.plans.registry import materialized_backed
     from fiveg_spark.plans.registry import run_parts as _rp
+
+    _quant_parts = {
+        "global_clip": _quant_clip_eval_parts,
+        "component_clip": _quant_component_clip_parts,
+    }[parts_name]
 
     @settings(
         max_examples=6,
@@ -1690,10 +1701,10 @@ def test_embedding_parts_queries_on_random_vectors(spark):
         spark.createDataFrame(
             emb, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
         ).createOrReplaceTempView("embeddings")
-        got = _rp(spark, _quant_clip_eval_parts)
+        got = _rp(spark, _quant_parts)
         spark_rows = _rows(got.columns, got.collect())
         oracle = materialized_backed(
-            "_tmp_qce", _quant_clip_eval_parts, ("embeddings",)
+            "_tmp_qce", _quant_parts, ("embeddings",)
         ).oracle
         con = duckdb.connect()
         try:
