@@ -90,6 +90,25 @@ def test_missing_path_fails_closed():
         PcapReader({})
 
 
+def test_corrupt_capture_quarantines_not_kills(spark, tmp_path):
+    """A garbage .pcap (bad magic) and a truncated tail in the listing
+    must not kill the scan: the bad-magic file decodes to zero rows,
+    the truncated file keeps its complete leading packets — the A6
+    quarantine doctrine on the DataSource path."""
+    d = tmp_path / "embb"
+    d.mkdir()
+    good = _pcap_bytes([_ipv4_tcp_packet(sport=i) for i in range(3)])
+    (d / "a_good.pcap").write_bytes(good)
+    (d / "b_garbage.pcap").write_bytes(b"this is not a capture at all")
+    (d / "c_truncated.pcap").write_bytes(good[:-10])  # last packet cut
+    register_pcap_source(spark)
+    got = sorted(
+        r["src_port"]
+        for r in spark.read.format("pcap").load(str(tmp_path)).collect()
+    )
+    assert got == [0, 0, 1, 1, 2]  # 3 good + 2 recovered, garbage empty
+
+
 def test_streaming_pcap_tail_is_exactly_once(spark, tmp_path):
     import time
 
