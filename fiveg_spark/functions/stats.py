@@ -79,3 +79,27 @@ def two_sided_p_sql(z: str) -> str:
     text (clamped to [0, 1] against approximation underflow)."""
     p = f"(2.0e0 * (1.0e0 - {normal_cdf_sql(f'abs({z})')}))"
     return f"least(1.0e0, greatest(0.0e0, {p}))"
+
+
+def chi2_sf_sql(x: str, dof: int) -> str:
+    """Exact chi-square survival function P(X > x) for EVEN dof — the
+    closed form exp(-x/2)·Σ_{k=0}^{dof/2-1} (x/2)^k / k! (the Erlang
+    tail; no erf, no incomplete gamma), as one SQL text valid in both
+    engines.  Clamped to [0, 1]; x < 0 reads as survival 1 (a guarded
+    statistic reporting 0 stays a non-discovery).  Odd dof has no
+    polynomial-exponential closed form — callers wanting dof 23 should
+    use a different statistic or the normal approximation explicitly.
+    """
+    if dof <= 0 or dof % 2:
+        raise ValueError(f"chi2_sf_sql needs positive EVEN dof, got {dof}")
+    m = dof // 2
+    half = f"(greatest({x}, 0.0e0) / 2.0e0)"
+    import math
+
+    terms = " + ".join(
+        f"power({half}, {k}) / {float(math.factorial(k))!r}"
+        for k in range(m)
+    )
+    return (
+        f"least(1.0e0, greatest(0.0e0, exp(-{half}) * ({terms})))"
+    )

@@ -2184,3 +2184,62 @@ QUERIES = [
         "mann_kendall_trend", _mann_kendall_parts, ("events",),
     ),
 ]
+
+
+def _ljung_box_decisions_sql(d: str) -> str:
+    # D87 — Ljung-Box decisions with EXACT p-values + BH screening
+    # (r11: the chi-square half of the p-value unlock, beside D86's
+    # normal half).  D45 compares Q against one fixed 5% point; this
+    # turns each slice's Q into an exact chi2(6) survival p (even-dof
+    # Erlang tail, functions/stats.py::chi2_sf_sql — one SQL text both
+    # engines) and runs the Benjamini-Hochberg step-up across the
+    # slices, so the whiteness verdicts carry multiplicity control.
+    #
+    # p computes from the ROUNDED Q (engine-identical input, the D45
+    # verdict discipline) and decisions compare rounded p to rounded
+    # critical; all windows ride the <= |slices| rollup.
+    from fiveg_spark.functions.stats import chi2_sf_sql
+
+    q_rounded = f"round(q_stat + {NUDGE}, 4)"
+    return f"""
+    WITH lb AS (
+      SELECT slice, n_hours, q_stat FROM (
+        {_ljung_box_sql(d)}
+      ) s0
+    ),
+    pvals AS (
+      SELECT slice, n_hours, q_stat,
+        round({chi2_sf_sql(q_rounded, 6)} + {NUDGE}, 6) AS p6
+      FROM lb
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (ORDER BY p6, slice) AS rk,
+        CAST(count(*) OVER () AS DOUBLE) AS m
+      FROM pvals
+    ),
+    crit AS (
+      SELECT *, round(rk * 0.05 / m + {NUDGE}, 6) AS bh_crit6 FROM ranked
+    ),
+    stepped AS (
+      SELECT *,
+        max(CASE WHEN p6 <= bh_crit6 THEN rk ELSE 0 END) OVER () AS k_max
+      FROM crit
+    )
+    SELECT
+      slice,
+      {cnt("n_hours", "n_hours")},
+      {dbl("q_stat", "q_stat")},
+      CAST(p6 + 0.0 AS DOUBLE) AS p_chi2_6,
+      {cnt("rk", "p_rank")},
+      CAST(bh_crit6 + 0.0 AS DOUBLE) AS bh_critical,
+      CAST(rk <= k_max AS BOOLEAN) AS autocorrelated_discovery
+    FROM stepped
+    ORDER BY slice
+    """
+
+
+QUERIES.append(
+    sql_backed("ljung_box_decisions", _ljung_box_decisions_sql, ("events",),
+               deferred=True)
+)

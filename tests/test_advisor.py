@@ -96,6 +96,7 @@ POST_AGG_GLOBAL_WINDOWS = frozenset({
     "kmv_distinct_rollup",      # k-th order stat over k rows
     "kruskal_wallis_slices",    # midranks over <= |hours x slices| rollup
     "littles_law_orders",       # running WIP over <= |days| rows
+    "ljung_box_decisions",      # BH step-up over <= |slices| rows
     "lorenz_curve_users",       # cum-share over <= |percentile points|
     "oov_rate",                 # rank over the top-K frozen vocabulary
     "priority_mix_yearly",      # margins over <= |years x priorities| cells

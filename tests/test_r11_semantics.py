@@ -136,3 +136,54 @@ def test_source_ingestion_burstiness_planted_modes(spark):
     # batch grid: alpha's active minutes are only the 48 batch starts
     assert a["active_minutes"] <= 48 < b["active_minutes"]
     assert a["fano_factor"] > 1.2 > b["fano_factor"]
+
+
+def test_chi2_sf_matches_erlang_reference(spark):
+    """Even-dof Erlang-tail survival must match an independent fsum
+    reference to double precision, and reject odd dof."""
+    import pytest
+
+    from fiveg_spark.functions.stats import chi2_sf_sql
+
+    def ref(x, dof):
+        m = dof // 2
+        h = x / 2.0
+        return math.exp(-h) * math.fsum(
+            h**k / math.factorial(k) for k in range(m)
+        )
+
+    cases = [(2, 0.5), (2, 9.2), (6, 1.0), (6, 12.592), (10, 25.0)]
+    sql = ", ".join(
+        f"{chi2_sf_sql(str(x), dof)} AS c{i}"
+        for i, (dof, x) in enumerate(cases)
+    )
+    row = spark.sql(f"SELECT {sql}").head()
+    for i, (dof, x) in enumerate(cases):
+        assert abs(row[i] - ref(x, dof)) < 1e-12, (dof, x)
+    with pytest.raises(ValueError):
+        chi2_sf_sql("1.0", 5)
+
+
+def test_ljung_box_decisions_planted_autocorrelation(spark):
+    """A strongly sinusoidal slice must be the BH discovery; white
+    (constant) slices must stay quiet with p = 1."""
+    from fiveg_spark.operators.ts_diagnostics import _ljung_box_decisions_sql
+
+    rows = []
+    eid = 0
+    # 80 hourly points per slice; user_id fixes the slice mapping
+    for i in range(80):
+        # eMBB (u=0): sinusoid with period 8 -> heavy lag-k correlation
+        rows.append((eid, BASE + 3600 * i, 0,
+                     "a", 100.0 + 50.0 * math.sin(2 * math.pi * i / 8)))
+        eid += 1
+        # URLLC (u=1): constant -> ss = 0 guard, Q = 0, p = 1
+        rows.append((eid, BASE + 3600 * i, 1, "a", 42.0))
+        eid += 1
+    _events_view(spark, rows)
+    got = {r["slice"]: r
+           for r in spark.sql(_ljung_box_decisions_sql("spark")).collect()}
+    assert got["eMBB"]["autocorrelated_discovery"]
+    assert got["eMBB"]["p_chi2_6"] < 1e-4
+    assert not got["URLLC"]["autocorrelated_discovery"]
+    assert got["URLLC"]["p_chi2_6"] == 1.0
