@@ -462,6 +462,8 @@ def decode_png(content: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("not a PNG: missing IHDR")
+    if h == 0 or w == 0:
+        raise ValueError(f"PNG degenerate dimensions {h}x{w}")
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
     if interlace:
@@ -655,6 +657,11 @@ def _decode_jpeg_inner(content: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
+            if h == 0 or w == 0:
+                # a corrupted SOF dimension would otherwise decode to a
+                # degenerate 0-row image that flows NaNs downstream
+                # (hypothesis-found: one flipped height byte)
+                raise ValueError(f"JPEG degenerate dimensions {h}x{w}")
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq_ = seg[6 + 3 * ci : 9 + 3 * ci]

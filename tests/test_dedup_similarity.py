@@ -944,7 +944,13 @@ def test_jpeg_decode_rejects_malformed_cleanly():
         corrupted = good[:flip_at] + bytes([flip_to]) + good[flip_at + 1 :]
         try:
             out = decode_jpeg(corrupted)
-            assert out.shape == (8, 8)  # survivable corruption must still decode sanely
+            # survivable corruption must still decode SANELY — a flip
+            # in the SOF dimension bytes legitimately yields a smaller
+            # image (hypothesis found h flipped 8→1), but never a
+            # zero-dim raster (degenerate dims now raise) and never a
+            # non-uint8 shape leak
+            assert out.ndim in (2, 3) and out.dtype == np.uint8
+            assert out.shape[0] >= 1 and out.shape[1] >= 1
         except (ValueError, NotImplementedError):
             pass
 
