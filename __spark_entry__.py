@@ -74,16 +74,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # so never-certified oracle-backed queries are promoted to the front
 # and certified/rows-only ones sink to the back.
 def _load_certified() -> frozenset[str]:
+    import glob
     import json
     import os
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "driver_certified.json")
+    root = os.path.dirname(os.path.abspath(__file__))
+    names: set[str] = set()
+    path = os.path.join(root, "driver_certified.json")
     try:
         with open(path) as f:
-            return frozenset(json.load(f))
+            names.update(json.load(f))
     except (FileNotFoundError, ValueError):
-        return frozenset()
+        pass
+    # Self-healing union (r11 verdict "What's wrong" #1): across the round
+    # boundary a fresh CORRECTNESS_r*.json lands before anyone reruns
+    # tools/update_certified.py, so the JSON alone goes stale and the
+    # window would re-stamp already-green queries.  Scanning the (small)
+    # CORRECTNESS files live makes staleness harmless; the JSON stays as
+    # the committed record.
+    for cpath in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(cpath) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name, res in data.items():
+                if isinstance(res, dict) and res.get("hash_match"):
+                    names.add(name)
+    return frozenset(names)
 
 
 _DRIVER_CERTIFIED = _load_certified()

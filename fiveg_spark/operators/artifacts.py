@@ -896,7 +896,8 @@ def _cdc_apply_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees it."""
     from fiveg_spark.sources import cdc
 
-    path = _scratch() + "/orders_cdc"
+    root = _scratch()
+    path = root + "/orders_cdc"
     try:
         ensure_views(spark, ("orders",), sf_dir)
         base = spark.sql(
@@ -958,7 +959,10 @@ def _cdc_apply_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             " n_inserted LONG",
         )
     finally:
-        shutil.rmtree(path, ignore_errors=True)
+        # remove the mkdtemp ROOT (r11 ADVICE: rmtree(path) leaked the
+        # parent and any __cdc_trash/__cdc_tmp siblings of a mid-apply
+        # failure, which live NEXT TO the store dir, outside it)
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _cdc_apply_oracle() -> str:
@@ -989,8 +993,7 @@ def _cdc_apply_oracle() -> str:
 
 
 QUERIES.append(
-    Query("cdc_apply_parity", _cdc_apply_run, _cdc_apply_oracle(),
-          deferred=True)
+    Query("cdc_apply_parity", _cdc_apply_run, _cdc_apply_oracle())
 )
 
 
@@ -1177,11 +1180,11 @@ def _shard_layout_oracle() -> str:
 
 QUERIES.extend([
     Query("snapshot_vacuum_audit", _vacuum_audit_run,
-          _vacuum_audit_oracle(), deferred=True),
+          _vacuum_audit_oracle()),
     Query("table_health_audit", _table_health_run,
-          _table_health_oracle(), deferred=True),
+          _table_health_oracle()),
     Query("training_shard_layout_parity", _shard_layout_run,
-          _shard_layout_oracle(), deferred=True),
+          _shard_layout_oracle()),
 ])
 
 
@@ -1269,5 +1272,5 @@ def _partitioned_sink_oracle() -> str:
 
 QUERIES.append(
     Query("partitioned_sink_parity", _partitioned_sink_run,
-          _partitioned_sink_oracle(), deferred=True)
+          _partitioned_sink_oracle())
 )

@@ -304,6 +304,5 @@ QUERIES = [
     sql_backed("arrival_burstiness", _arrival_burstiness_sql, ("events",)),
     # new r11, deferred (r12 pre-fill)
     sql_backed("source_ingestion_burstiness",
-               _source_ingestion_burstiness_sql, ("documents",),
-               deferred=True),
+               _source_ingestion_burstiness_sql, ("documents",)),
 ]

@@ -185,8 +185,7 @@ def _media_decode_oracle() -> str:
 
 
 QUERIES = [
-    Query("media_decode_parity", _media_decode_run, _media_decode_oracle(),
-          deferred=True),
+    Query("media_decode_parity", _media_decode_run, _media_decode_oracle()),
 ]
 
 
@@ -269,8 +268,7 @@ def _media_resize_oracle() -> str:
 
 
 QUERIES.append(
-    Query("media_resize_parity", _media_resize_run, _media_resize_oracle(),
-          deferred=True)
+    Query("media_resize_parity", _media_resize_run, _media_resize_oracle())
 )
 
 
@@ -407,8 +405,7 @@ def _frame_sample_oracle() -> str:
 
 
 QUERIES.append(
-    Query("frame_sample_parity", _frame_sample_run, _frame_sample_oracle(),
-          deferred=True)
+    Query("frame_sample_parity", _frame_sample_run, _frame_sample_oracle())
 )
 
 
@@ -517,6 +514,5 @@ def _quarantine_oracle() -> str:
 
 
 QUERIES.append(
-    Query("jsonl_quarantine_parity", _quarantine_run, _quarantine_oracle(),
-          deferred=True)
+    Query("jsonl_quarantine_parity", _quarantine_run, _quarantine_oracle())
 )

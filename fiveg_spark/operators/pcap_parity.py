@@ -204,3 +204,142 @@ QUERIES = [
     Query("pcap_read_parity", _pcap_read_parity_run,
           _pcap_read_parity_oracle()),
 ]
+
+
+# --------------------------------------------------------------------------
+# A37: the WRITE path certified — a deterministic packet frame derived
+# from `events` in closed form goes OUT through the Spark 4 Python
+# DataSource writer (df.write.format("pcap")) and comes BACK through
+# the certified A31 reader; per-(slice, protocol) aggregates pin every
+# encoded field.  The oracle recomputes the same aggregates straight
+# from `events` with the same closed-form mapping — it never sees a
+# capture byte, so parity proves encode→decode is the identity on the
+# representable field set (ms-grain timestamps, lengths, IPs, ports,
+# TCP seq/flags/window, slice routing via marker subdirs).
+# --------------------------------------------------------------------------
+
+_WRT_COLS = (
+    "slice_type", "protocol", "n_pkts", "sum_pktlen", "sum_captured",
+    "sum_ts_ms", "n_src_ports", "n_src_ips", "sum_flags", "sum_win",
+    "sum_seq",
+)
+
+# the closed-form event_id/user_id → packet-field mapping, written
+# once as (spark_sql, duckdb) shared ANSI fragments
+_WRT_MAP = {
+    "slice_type": "CASE CAST(event_id % 3 AS INT) WHEN 0 THEN 'eMBB'"
+                  " WHEN 1 THEN 'URLLC' ELSE 'mMTC' END",
+    "protocol": "CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'TCP'"
+                " WHEN 1 THEN 'UDP' WHEN 2 THEN 'ICMP' ELSE 'OTHER' END",
+    "timestamp_ms": "1700000000000 + event_id * 7",
+    "packet_len": "60 + event_id % 1400",
+    "src_ip": "'10.' || CAST(user_id % 200 AS STRING) || '.'"
+              " || CAST(event_id % 250 AS STRING) || '.1'",
+    "dst_ip": "'10.0.' || CAST(event_id % 100 AS STRING) || '.2'",
+    "src_port": "1024 + event_id % 60000",
+    "dst_port": "80 + event_id % 1000",
+    "tcp_flags": "event_id % 256",
+    "window_size": "event_id % 65536",
+    "seq_number": "(event_id * 2654435761) % 4294967296",
+}
+
+
+def _pcap_write_roundtrip_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fiveg_spark.plans.registry import ensure_views
+    from fiveg_spark.sources.pcap_datasource import register_pcap_source
+
+    register_pcap_source(spark)
+    ensure_views(spark, ("events",), sf_dir)
+    m = dict(_WRT_MAP)
+    packets = spark.sql(f"""
+        SELECT {m['slice_type']} AS slice_type,
+               CAST({m['timestamp_ms']} AS LONG) AS timestamp_ms,
+               CAST({m['packet_len']} AS INT) AS packet_len,
+               {m['protocol']} AS protocol,
+               {m['src_ip']} AS src_ip, {m['dst_ip']} AS dst_ip,
+               CAST({m['src_port']} AS INT) AS src_port,
+               CAST({m['dst_port']} AS INT) AS dst_port,
+               CAST({m['tcp_flags']} AS INT) AS tcp_flags,
+               CAST({m['window_size']} AS INT) AS window_size,
+               CAST({m['seq_number']} AS LONG) AS seq_number
+        FROM events
+    """)
+    root = tempfile.mkdtemp(prefix="fiveg_pcap_wrt_")
+    try:
+        # 4 tasks × ≤3 slice dirs: the per-(task, slice) file routing
+        # and the overwrite snapshot/commit protocol both execute
+        (packets.repartition(4)
+         .write.format("pcap").mode("overwrite").save(root))
+        back = spark.read.format("pcap").load(root)
+        agg = (
+            back.groupBy("slice_type", "protocol")
+            .agg(
+                F.count("*").alias("n_pkts"),
+                F.sum("packet_len").alias("sum_pktlen"),
+                F.sum("captured_len").alias("sum_captured"),
+                F.sum("timestamp_ms").alias("sum_ts_ms"),
+                F.countDistinct("src_port").alias("n_src_ports"),
+                F.countDistinct("src_ip").alias("n_src_ips"),
+                F.sum("tcp_flags").alias("sum_flags"),
+                F.sum("window_size").alias("sum_win"),
+                F.sum("seq_number").alias("sum_seq"),
+            )
+            .orderBy("slice_type", "protocol")
+        )
+        rows = [tuple(r) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows,
+            "slice_type STRING, protocol STRING, n_pkts LONG,"
+            " sum_pktlen LONG, sum_captured LONG, sum_ts_ms LONG,"
+            " n_src_ports LONG, n_src_ips LONG, sum_flags LONG,"
+            " sum_win LONG, sum_seq LONG",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _pcap_write_roundtrip_oracle() -> str:
+    m = dict(_WRT_MAP)
+    # DuckDB has no STRING type name inside CAST; swap for VARCHAR
+    ip_src = m["src_ip"].replace("AS STRING", "AS VARCHAR")
+    ip_dst = m["dst_ip"].replace("AS STRING", "AS VARCHAR")
+    return f"""
+    WITH mapped AS (
+      SELECT {m['slice_type']} AS slice_type,
+             {m['protocol']} AS protocol,
+             CAST({m['timestamp_ms']} AS BIGINT) AS timestamp_ms,
+             CAST({m['packet_len']} AS BIGINT) AS packet_len,
+             {ip_src} AS src_ip, {ip_dst} AS dst_ip,
+             CAST({m['src_port']} AS BIGINT) AS src_port,
+             CAST({m['tcp_flags']} AS BIGINT) AS tcp_flags,
+             CAST({m['window_size']} AS BIGINT) AS window_size,
+             CAST({m['seq_number']} AS BIGINT) AS seq_number
+      FROM events
+    )
+    SELECT slice_type, protocol,
+           CAST(count(*) AS BIGINT) AS n_pkts,
+           CAST(sum(packet_len) AS BIGINT) AS sum_pktlen,
+           -- encoded frame sizes are closed form: TCP 55 bytes, the
+           -- 8-byte transport stub 42 (sources/pcap_writer.py)
+           CAST(sum(CASE WHEN protocol = 'TCP' THEN 55 ELSE 42 END)
+                AS BIGINT) AS sum_captured,
+           CAST(sum(timestamp_ms) AS BIGINT) AS sum_ts_ms,
+           CAST(count(DISTINCT src_port) AS BIGINT) AS n_src_ports,
+           CAST(count(DISTINCT src_ip) AS BIGINT) AS n_src_ips,
+           -- non-TCP rows read back with the decoder's zero defaults
+           CAST(sum(CASE WHEN protocol = 'TCP' THEN tcp_flags ELSE 0 END)
+                AS BIGINT) AS sum_flags,
+           CAST(sum(CASE WHEN protocol = 'TCP' THEN window_size ELSE 0 END)
+                AS BIGINT) AS sum_win,
+           CAST(sum(CASE WHEN protocol = 'TCP' THEN seq_number ELSE 0 END)
+                AS BIGINT) AS sum_seq
+    FROM mapped
+    GROUP BY slice_type, protocol
+    ORDER BY slice_type, protocol
+    """
+
+
+QUERIES.append(
+    Query("pcap_write_roundtrip_parity", _pcap_write_roundtrip_run,
+          _pcap_write_roundtrip_oracle())
+)

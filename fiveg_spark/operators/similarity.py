@@ -1410,6 +1410,5 @@ QUERIES = [
                         ("embeddings",)),
     # new r11, deferred (r12 pre-fill)
     materialized_backed("quantization_component_clip_eval",
-                        _quant_component_clip_parts, ("embeddings",),
-                        deferred=True),
+                        _quant_component_clip_parts, ("embeddings",)),
 ]

@@ -891,6 +891,5 @@ def _bh_screen_sql(d: str) -> str:
 
 
 QUERIES.append(
-    sql_backed("bh_screened_mean_shifts", _bh_screen_sql, ("events",),
-               deferred=True)
+    sql_backed("bh_screened_mean_shifts", _bh_screen_sql, ("events",))
 )

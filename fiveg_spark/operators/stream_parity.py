@@ -1181,7 +1181,8 @@ QUERIES.extend([
 # KPIs whose streaming aggregate is EXACTLY the batch formula (31 of 36;
 # the other 5 are the approximate trades streaming semantics force —
 # HLL distincts + percentile_approx, KafkaKpiPipeline.scala:126 makes
-# the same trade — certified below via guaranteed-bound booleans).
+# the same trade — certified below via envelope booleans; see the run
+# docstring for which of the two bounds is hard vs statistical).
 _APPROX_KPIS = ("Unique_Pkt_Sizes", "Protocol_Diversity",
                 "Unique_Src_Ports", "Unique_Dst_Ports", "IAT_Median")
 _CNT_KPIS = ("Total_Packets", "Idle_Periods", "Zero_Win_Count", "RST_Count")
@@ -1215,10 +1216,15 @@ def _stream_kpi36_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     31 KPIs stream with formulas identical to the batch flagship and
     certify by VALUE; the 5 approximation-forced KPIs certify by
-    guarantee booleans — percentile_approx's rank bound (accuracy 100
-    → ±1% rank; it returns a raw element, so the guaranteed envelope
-    is |approx − exact median| ≤ IQR) and a 15%/±2 envelope on the
-    HLL distincts.
+    envelope booleans of two different strengths (r11 ADVICE wording
+    fix).  The percentile envelope is a HARD bound: percentile_approx
+    at accuracy 100 returns a raw element within ±1% rank of the
+    median, so |approx − exact median| ≤ IQR deterministically.  The
+    15%/±2 HLL envelope is a HIGH-CONFIDENCE STATISTICAL bound, not a
+    guarantee: approx_count_distinct's default rsd is 5% ONE-sigma, so
+    15% is ~3 sigma — a different scale factor or corpus could in
+    principle land outside it without any regression; a red here means
+    "investigate the sketch", not "the stream is wrong".
     """
     import os
 
@@ -1379,8 +1385,7 @@ def _stream_kpi36_oracle() -> str:
 
 
 QUERIES.append(
-    Query("stream_kpi36_parity", _stream_kpi36_run, _stream_kpi36_oracle(),
-          deferred=True)
+    Query("stream_kpi36_parity", _stream_kpi36_run, _stream_kpi36_oracle())
 )
 
 
@@ -1539,7 +1544,7 @@ def _stream_attribution_oracle() -> str:
 
 QUERIES.append(
     Query("stream_attribution_parity", _stream_attribution_run,
-          _stream_attribution_oracle(), deferred=True)
+          _stream_attribution_oracle())
 )
 
 
@@ -1638,8 +1643,7 @@ def _kafka_wire_oracle() -> str:
 
 
 QUERIES.append(
-    Query("kafka_wire_parity", _kafka_wire_run, _kafka_wire_oracle(),
-          deferred=True)
+    Query("kafka_wire_parity", _kafka_wire_run, _kafka_wire_oracle())
 )
 
 
@@ -1752,7 +1756,7 @@ def _index_store_oracle() -> str:
 
 QUERIES.append(
     Query("stream_index_store_parity", _index_store_run,
-          _index_store_oracle(), deferred=True)
+          _index_store_oracle())
 )
 
 
@@ -1882,5 +1886,5 @@ def _ewma_store_oracle() -> str:
 
 QUERIES.append(
     Query("stream_ewma_anomaly_parity", _ewma_store_run,
-          _ewma_store_oracle(), deferred=True)
+          _ewma_store_oracle())
 )

@@ -2240,6 +2240,5 @@ def _ljung_box_decisions_sql(d: str) -> str:
 
 
 QUERIES.append(
-    sql_backed("ljung_box_decisions", _ljung_box_decisions_sql, ("events",),
-               deferred=True)
+    sql_backed("ljung_box_decisions", _ljung_box_decisions_sql, ("events",))
 )

@@ -89,7 +89,8 @@ PLAN_BUILD_EXECUTES = frozenset({
     "manifest_integrity_audit", "bucketed_join_parity",
     # the BUILD synthesizes a capture directory / runs the availableNow
     # streaming replay / drives the CDC batches against scratch (r11)
-    "pcap_read_parity", "stream_kpi36_parity", "cdc_apply_parity",
+    "pcap_read_parity", "pcap_write_roundtrip_parity",
+    "stream_kpi36_parity", "cdc_apply_parity",
     "stream_attribution_parity", "jsonl_quarantine_parity",
     "snapshot_vacuum_audit", "table_health_audit",
     "training_shard_layout_parity", "partitioned_sink_parity",

@@ -53,10 +53,55 @@ from pyspark.sql import functions as F
 
 SEQ_COL = "_cdc_seq"
 DEL_COL = "_cdc_del"
+META_FILE = "_cdc_meta.json"
 
 
 def _bucket_expr(key: str, n_buckets: int) -> F.Column:
     return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+
+
+def _write_meta(path: str, key: str, n_buckets: int) -> None:
+    import json
+
+    with open(os.path.join(path, META_FILE), "w") as f:
+        json.dump({"key": key, "n_buckets": n_buckets}, f)
+
+
+def _resolve_meta(path: str, key: str, n_buckets: int | None) -> int:
+    """The bucket layout is a property of the STORE, not of the call:
+    routing a batch with a different n_buckets than the store was laid
+    out with silently lands keys in the wrong bucket (the stale-replay
+    guard then reads the wrong slot — duplication, not an error).  So
+    the layout is persisted at init and every maintenance entry point
+    resolves it here: pass n_buckets=None to use the stored value, or
+    an explicit value that MUST match.  Legacy stores (pre-metadata)
+    get the caller's value stamped once, loudly requiring it."""
+    import json
+
+    meta_path = os.path.join(path, META_FILE)
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("key") != key:
+            raise ValueError(
+                f"CDC store at {path} is keyed on {meta.get('key')!r}, "
+                f"not {key!r}"
+            )
+        stored = int(meta["n_buckets"])
+        if n_buckets is not None and n_buckets != stored:
+            raise ValueError(
+                f"CDC store at {path} was laid out with n_buckets="
+                f"{stored}; refusing the caller's n_buckets={n_buckets} "
+                "(bucket routing would silently corrupt the store)"
+            )
+        return stored
+    if n_buckets is None:
+        raise ValueError(
+            f"CDC store at {path} has no {META_FILE} and no n_buckets "
+            "was given; pass the layout's n_buckets once to migrate"
+        )
+    _write_meta(path, key, n_buckets)  # one-time legacy migration
+    return n_buckets
 
 
 def _bucket_dir(path: str, b: int) -> str:
@@ -83,6 +128,7 @@ def init_store(
         .mode("errorifexists")
         .parquet(path)
     )
+    _write_meta(path, key, n_buckets)
 
 
 def read_store(spark: SparkSession, path: str) -> DataFrame:
@@ -120,13 +166,15 @@ def recover_store(path: str) -> list[int]:
 
 def vacuum_tombstones(
     spark: SparkSession, path: str, horizon_seq: int, key: str,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> int:
     """Physically drop tombstones with ``_cdc_seq <= horizon_seq`` —
     safe once no batch at or below the horizon can replay (the
     caller's retention contract).  Rewrites every bucket; returns the
-    number of tombstones reclaimed."""
+    number of tombstones reclaimed.  ``n_buckets`` defaults to the
+    store's persisted layout; an explicit mismatch raises."""
     recover_store(path)
+    n_buckets = _resolve_meta(path, key, n_buckets)
     all_rows = spark.read.parquet(path)
     doomed = all_rows.filter(
         F.col(DEL_COL) & (F.col(SEQ_COL) <= horizon_seq)
@@ -178,7 +226,7 @@ def apply_changelog(
     path: str,
     changes: DataFrame,
     key: str,
-    n_buckets: int = 16,
+    n_buckets: int | None = None,
 ) -> dict:
     """Apply one changelog batch.  ``changes`` must carry ``key``, a
     LONG ``seq``, a STRING ``op`` in {'I','U','D'}, and every payload
@@ -201,6 +249,7 @@ def apply_changelog(
     if bad:
         raise ValueError(f"unknown CDC op {bad[0]['op']!r}")
     recover_store(path)
+    n_buckets = _resolve_meta(path, key, n_buckets)
 
     winners = (
         changes.withColumn(

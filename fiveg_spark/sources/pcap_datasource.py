@@ -228,7 +228,11 @@ class PcapStreamReader(DataSourceStreamReader):
                 if watermark is None:
                     continue
                 below = sum(1 for n in names if n <= watermark["last"])
-                if below != watermark["n"]:
+                if below > watermark["n"]:
+                    # MORE files at-or-below the watermark than were
+                    # committed: a new name sorted into the processed
+                    # prefix — the rotation convention was violated and
+                    # the file would be silently skipped.
                     raise PcapNonMonotonicLanding(
                         f"{d}: {below} files at-or-below watermark "
                         f"{watermark['last']!r} but the offset committed "
@@ -236,6 +240,18 @@ class PcapStreamReader(DataSourceStreamReader):
                         "filename order (rotation convention violated); "
                         "refusing to guess which files were processed"
                     )
+                if below < watermark["n"]:
+                    # FEWER: already-processed captures were deleted
+                    # (routine retention pruning).  Nothing unprocessed
+                    # is at risk — the watermark name still fences the
+                    # processed prefix — so tolerate it rather than
+                    # poisoning every future restart (r11 ADVICE).
+                    # Residual: the offset stores (last, n), not the
+                    # name set, so a deletion happening TOGETHER with
+                    # an out-of-order landing in the same gap can net
+                    # below < n and pass; only count-increasing
+                    # violations are detectable from a count watermark.
+                    continue
             out.extend(
                 PcapFilePartition(os.path.join(d, n), infer_slice(os.path.join(d, n)))
                 for n in names
@@ -263,6 +279,13 @@ class PcapDataSource(DataSource):
 
     def streamReader(self, schema) -> PcapStreamReader:  # noqa: N802
         return PcapStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        # the write-path twin (A37): packet frames → classic-pcap
+        # capture files the reader above decodes back field-for-field
+        from fiveg_spark.sources.pcap_writer import PcapWriter
+
+        return PcapWriter(self.options, schema, overwrite)
 
 
 def register_pcap_source(spark) -> None:

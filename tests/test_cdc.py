@@ -220,3 +220,61 @@ def test_vacuum_tombstones_reclaims_past_horizon(spark, store):
     # contract: only vacuum below the replay horizon)
     got = _state(spark, store)
     assert 1 not in got and 2 not in got
+
+
+def test_bucket_layout_persisted_and_enforced(spark, store):
+    """The ADVICE r11 medium: n_buckets is a property of the store's
+    layout.  init_store persists it; apply/vacuum resolve it when the
+    caller omits it and REFUSE a mismatching explicit value (which
+    would silently route keys to the wrong bucket)."""
+    from fiveg_spark.sources.cdc import META_FILE, vacuum_tombstones
+
+    assert os.path.isfile(os.path.join(store, META_FILE))
+
+    # omitted n_buckets resolves from the store
+    apply_changelog(
+        spark, store, _changes(spark, [(3, 1, "U", "resolved", 3.3)]), "k",
+    )
+    assert _state(spark, store)[3] == ("resolved", 3.3)
+
+    # explicit mismatch fails closed on both entry points
+    with pytest.raises(ValueError, match="n_buckets"):
+        apply_changelog(
+            spark, store,
+            _changes(spark, [(4, 2, "U", "bad", 4.4)]), "k",
+            n_buckets=N_BUCKETS + 3,
+        )
+    with pytest.raises(ValueError, match="n_buckets"):
+        vacuum_tombstones(spark, store, 99, "k", n_buckets=N_BUCKETS + 3)
+    # the refused batch must not have landed
+    assert _state(spark, store)[4] == ("v4", 40.0)
+
+    # wrong key fails closed too
+    with pytest.raises(ValueError, match="keyed on"):
+        apply_changelog(
+            spark, store,
+            _changes(spark, [(5, 3, "U", "bad", 5.5)]), "name",
+        )
+
+
+def test_legacy_store_without_meta_migrates_once(spark, store):
+    """Pre-metadata stores: the first call with an explicit n_buckets
+    stamps the layout; a later omitted call then resolves it; calling
+    with NO value on an unstamped store is an error, not a guess."""
+    from fiveg_spark.sources.cdc import META_FILE
+
+    os.remove(os.path.join(store, META_FILE))
+    with pytest.raises(ValueError, match="no n_buckets"):
+        apply_changelog(
+            spark, store, _changes(spark, [(6, 1, "U", "x", 1.0)]), "k",
+        )
+    apply_changelog(
+        spark, store, _changes(spark, [(6, 1, "U", "stamped", 6.6)]), "k",
+        n_buckets=N_BUCKETS,
+    )
+    assert os.path.isfile(os.path.join(store, META_FILE))
+    apply_changelog(
+        spark, store, _changes(spark, [(7, 2, "U", "after", 7.7)]), "k",
+    )
+    got = _state(spark, store)
+    assert got[6] == ("stamped", 6.6) and got[7] == ("after", 7.7)

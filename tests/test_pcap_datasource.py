@@ -189,6 +189,24 @@ def test_streaming_out_of_order_landing_fails_loudly(tmp_path):
         r.partitions(committed, end)
 
 
+def test_streaming_retention_deletion_tolerated(tmp_path):
+    """Deleting ALREADY-PROCESSED captures (routine retention pruning)
+    must not poison restarts: the count audit only fails when files
+    at-or-below the watermark EXCEED the committed count (a landing),
+    not when they fall short (a deletion) — r11 ADVICE."""
+    d = tmp_path / "embb"
+    d.mkdir()
+    for name, sport in (("c1.pcap", 1), ("c2.pcap", 2)):
+        (d / name).write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=sport)]))
+    r = PcapStreamReader({"path": str(tmp_path)})
+    committed = r.latestOffset()
+    (d / "c1.pcap").unlink()  # retention prunes a processed capture
+    (d / "c3.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=3)]))
+    end = r.latestOffset()
+    parts = r.partitions(committed, end)
+    assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["c3.pcap"]
+
+
 def test_streaming_legacy_index_offset_migrates(tmp_path):
     """A v1 checkpoint ({"index": N}) restarts against the new
     watermark offsets: the listing prefix rebuilds the marks —
