@@ -55,6 +55,10 @@ HEADLINE = (
     # broadcast + per-user log-term rollup)
     "watermark_lateness_profile",
     "user_transfer_entropy",
+    # r12 addition (r11 verdict item 8): the decision-layer shape —
+    # one fact scan + erf-free p-value SQL + BH step-up windows on the
+    # bounded cell frame, perf-tracking the new statistical surface
+    "bh_screened_mean_shifts",
 )
 
 

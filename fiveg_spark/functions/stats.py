@@ -103,3 +103,29 @@ def chi2_sf_sql(x: str, dof: int) -> str:
     return (
         f"least(1.0e0, greatest(0.0e0, exp(-{half}) * ({terms})))"
     )
+
+
+def chi2_sf_wh_sql(x: str, dof: str) -> str:
+    """Wilson-Hilferty chi-square survival approximation (Wilson &
+    Hilferty 1931): (X/k)^(1/3) is approximately normal with mean
+    1 − 2/(9k) and variance 2/(9k), so P(X > x) ≈ 1 − Φ(z).  Unlocks
+    the dof cases ``chi2_sf_sql`` refuses — ODD dof (no Erlang closed
+    form) and RUNTIME dof (``dof`` here is a SQL expression, not a
+    compile-time constant).  Accuracy ~1e-3 relative for k ≥ 3 —
+    coarser than the exact even-dof path, but the p-value's only
+    certified consumer compares ROUNDED p to ROUNDED critical with the
+    SAME SQL text on both engines, so parity is by construction and
+    the approximation error shifts a decision threshold, never an
+    engine agreement.  Guards: x ≤ 0 or k < 1 read as survival 1 (a
+    degenerate statistic stays a non-discovery)."""
+    k = f"(CAST({dof} AS DOUBLE))"
+    v = f"(2.0e0 / (9.0e0 * {k}))"
+    z = (
+        f"((power(greatest({x}, 0.0e0) / {k}, 0.3333333333333333e0)"
+        f" - (1.0e0 - {v})) / sqrt({v}))"
+    )
+    sf = f"(1.0e0 - {normal_cdf_sql(z)})"
+    return (
+        f"(CASE WHEN {k} < 1.0e0 OR {x} <= 0.0e0 THEN 1.0e0 "
+        f"ELSE least(1.0e0, greatest(0.0e0, {sf})) END)"
+    )

@@ -997,6 +997,110 @@ QUERIES.append(
 )
 
 
+def _stream_cdc_apply_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38 certified: the SAME three deterministic changelog batches as
+    cdc_apply_parity, but delivered through the REAL streaming tail —
+    each batch lands as one parquet file (pinned mtimes), a
+    maxFilesPerTrigger=1 availableNow stream drains them through
+    foreachBatch + apply_changelog (streaming/cdc_sink.py), and the
+    final store state must match the same closed-form oracle.  Batch 3
+    bundles the batch-1 replay with the stale seq-0 probe, so the
+    store's seq watermark is exercised under streaming delivery; the
+    checkpoint makes a re-run of the same files a no-op."""
+    import os
+
+    from fiveg_spark.sources import cdc
+    from fiveg_spark.streaming.cdc_sink import attach_cdc_sink
+
+    root = _scratch()
+    path = os.path.join(root, "orders_cdc")
+    src = os.path.join(root, "changes")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    try:
+        ensure_views(spark, ("orders",), sf_dir)
+        base = spark.sql(
+            "SELECT o_orderkey AS k, o_orderstatus AS status,"
+            " o_totalprice AS price FROM orders"
+        )
+        cdc.init_store(spark, path, base, "k", _CDC_BUCKETS)
+
+        batches = [
+            "SELECT o_orderkey AS k, CAST(1 AS LONG) AS seq, 'U' AS op,"
+            " o_orderstatus AS status, o_totalprice + 100.0 AS price"
+            " FROM orders WHERE o_orderkey % 10 = 1",
+            f"""
+            SELECT o_orderkey AS k, CAST(2 AS LONG) AS seq, 'D' AS op,
+                   CAST(NULL AS STRING) AS status,
+                   CAST(NULL AS DOUBLE) AS price
+            FROM orders WHERE o_orderkey % 10 = 2
+            UNION ALL
+            SELECT o_orderkey + {_CDC_INS_OFFSET}, CAST(2 AS LONG), 'I',
+                   o_orderstatus, o_totalprice * 2.0
+            FROM orders WHERE o_orderkey % 10 = 3
+            """,
+            # replay of batch 1 + the stale seq-0 regression probe
+            "SELECT o_orderkey AS k, CAST(1 AS LONG) AS seq, 'U' AS op,"
+            " o_orderstatus AS status, o_totalprice + 100.0 AS price"
+            " FROM orders WHERE o_orderkey % 10 = 1"
+            " UNION ALL "
+            "SELECT o_orderkey AS k, CAST(0 AS LONG) AS seq, 'U' AS op,"
+            " 'XX' AS status, 0.0 AS price"
+            " FROM orders WHERE o_orderkey % 10 = 1",
+        ]
+        for i, sql in enumerate(batches):
+            stage = os.path.join(src, f"_stage_{i}")
+            spark.sql(sql).coalesce(1).write.parquet(stage)
+            (part,) = [f for f in os.listdir(stage)
+                       if f.endswith(".parquet")]
+            dst = os.path.join(src, f"batch_{i}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            t = 1_000_000_000 + 100 * i
+            os.utime(dst, (t, t))
+
+        changes = (
+            spark.readStream
+            .schema("k LONG, seq LONG, op STRING, status STRING,"
+                    " price DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = attach_cdc_sink(changes, path, ckpt, "k").trigger(
+            availableNow=True).start()
+        q.awaitTermination(300)
+
+        out = (
+            cdc.read_store(spark, path)
+            .groupBy("status")
+            .agg(
+                F.expr("CAST(count(*) AS BIGINT)").alias("n_rows"),
+                F.expr(
+                    "CAST(round(coalesce(sum(price), 0.0) / 1e6 + 1e-9, 4)"
+                    " + 0.0 AS DOUBLE)"
+                ).alias("sum_price_m"),
+                F.expr(
+                    "CAST(sum(CASE WHEN k >= " + str(_CDC_INS_OFFSET) +
+                    " THEN 1 ELSE 0 END) AS BIGINT)"
+                ).alias("n_inserted"),
+            )
+            .orderBy("status")
+        )
+        return _collected(
+            spark, out,
+            "status STRING, n_rows LONG, sum_price_m DOUBLE,"
+            " n_inserted LONG",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES.append(
+    Query("stream_cdc_apply_parity", _stream_cdc_apply_run,
+          _cdc_apply_oracle())
+)
+
+
 # --------------------------------------------------------------------------
 # A23b — snapshot vacuum: orphan retention + aged reclamation certified
 # --------------------------------------------------------------------------

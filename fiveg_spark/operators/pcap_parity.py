@@ -343,3 +343,87 @@ QUERIES.append(
     Query("pcap_write_roundtrip_parity", _pcap_write_roundtrip_run,
           _pcap_write_roundtrip_oracle())
 )
+
+
+def _pcap_stream_write_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39 certified: the SAME closed-form events-derived packet frame
+    as pcap_write_roundtrip_parity, delivered through the STREAMING
+    sink — the mapped frame lands as parquet, a maxFilesPerTrigger
+    availableNow stream re-reads it and writes captures via
+    ``writeStream.format("pcap")`` (per-epoch deterministic names,
+    commit manifests), and the read-back aggregates must match the
+    identical oracle.  Certifies the exactly-once commit path end to
+    end: every packet lands exactly once across the epochs."""
+    import tempfile as _tf
+
+    from fiveg_spark.plans.registry import ensure_views
+    from fiveg_spark.sources.pcap_datasource import register_pcap_source
+
+    register_pcap_source(spark)
+    ensure_views(spark, ("events",), sf_dir)
+    m = dict(_WRT_MAP)
+    packets = spark.sql(f"""
+        SELECT {m['slice_type']} AS slice_type,
+               CAST({m['timestamp_ms']} AS LONG) AS timestamp_ms,
+               CAST({m['packet_len']} AS INT) AS packet_len,
+               {m['protocol']} AS protocol,
+               {m['src_ip']} AS src_ip, {m['dst_ip']} AS dst_ip,
+               CAST({m['src_port']} AS INT) AS src_port,
+               CAST({m['dst_port']} AS INT) AS dst_port,
+               CAST({m['tcp_flags']} AS INT) AS tcp_flags,
+               CAST({m['window_size']} AS INT) AS window_size,
+               CAST({m['seq_number']} AS LONG) AS seq_number
+        FROM events
+    """)
+    root = _tf.mkdtemp(prefix="fiveg_pcap_swrt_")
+    src = os.path.join(root, "src")
+    out = os.path.join(root, "caps")
+    ckpt = os.path.join(root, "ckpt")
+    try:
+        # 4 source files → 4 micro-batches through the streaming sink
+        packets.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema(packets.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.format("pcap")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        back = spark.read.format("pcap").load(out)
+        agg = (
+            back.groupBy("slice_type", "protocol")
+            .agg(
+                F.count("*").alias("n_pkts"),
+                F.sum("packet_len").alias("sum_pktlen"),
+                F.sum("captured_len").alias("sum_captured"),
+                F.sum("timestamp_ms").alias("sum_ts_ms"),
+                F.countDistinct("src_port").alias("n_src_ports"),
+                F.countDistinct("src_ip").alias("n_src_ips"),
+                F.sum("tcp_flags").alias("sum_flags"),
+                F.sum("window_size").alias("sum_win"),
+                F.sum("seq_number").alias("sum_seq"),
+            )
+            .orderBy("slice_type", "protocol")
+        )
+        rows = [tuple(r) for r in agg.collect()]
+        return spark.createDataFrame(
+            rows,
+            "slice_type STRING, protocol STRING, n_pkts LONG,"
+            " sum_pktlen LONG, sum_captured LONG, sum_ts_ms LONG,"
+            " n_src_ports LONG, n_src_ips LONG, sum_flags LONG,"
+            " sum_win LONG, sum_seq LONG",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+QUERIES.append(
+    Query("pcap_stream_write_parity", _pcap_stream_write_run,
+          _pcap_write_roundtrip_oracle())
+)

@@ -893,3 +893,145 @@ def _bh_screen_sql(d: str) -> str:
 QUERIES.append(
     sql_backed("bh_screened_mean_shifts", _bh_screen_sql, ("events",))
 )
+
+
+def _hour_uniformity_decisions_sql(d: str) -> str:
+    # D88 — D76's hour-of-day GOF upgraded from a fixed-critical-value
+    # boolean to real DECISIONS: Wilson-Hilferty p-values (dof 23 is
+    # ODD — the exact Erlang closed form D87 uses is even-dof only, so
+    # this is chi2_sf_wh_sql's unlock; functions/stats.py) + one BH
+    # step-up across the |types| family at 5% FDR, the same screening
+    # layer D86/D87 established.  Same single-agg identity
+    # χ² = 24·Σc²/n − n (exact integers until the final divisions);
+    # decisions compare ROUNDED p to ROUNDED critical (engine-
+    # deterministic verdicts).  One scan → ≤|types|·24 cells → global
+    # windows on the bounded post-agg frame (allow-listed).
+    from fiveg_spark.functions.stats import chi2_sf_wh_sql
+
+    es = epoch("ts", d)
+    hour = f"(CAST(floor({es} / 3600.0) AS BIGINT) % 24)"
+    return f"""
+    WITH cells AS (
+      SELECT event_type, {hour} AS hr, count(*) AS c
+      FROM events
+      GROUP BY event_type, {hour}
+    ),
+    per_type AS (
+      SELECT event_type,
+        CAST(sum(c) AS DOUBLE) AS n,
+        CAST(sum(c * c) AS DOUBLE) AS cc
+      FROM cells GROUP BY event_type
+    ),
+    stat AS (
+      SELECT event_type, n,
+        CASE WHEN n > 0 THEN 24.0e0 * cc / n - n ELSE 0.0e0 END AS chi2
+      FROM per_type
+    ),
+    pvals AS (
+      SELECT event_type, n, chi2,
+        round({chi2_sf_wh_sql("chi2", "23")} + {NUDGE}, 6) AS p6
+      FROM stat
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (ORDER BY p6, event_type) AS rk,
+        CAST(count(*) OVER () AS DOUBLE) AS m
+      FROM pvals
+    ),
+    crit AS (
+      SELECT *, round(rk * 0.05 / m + {NUDGE}, 6) AS bh_crit6
+      FROM ranked
+    ),
+    stepped AS (
+      SELECT *,
+        max(CASE WHEN p6 <= bh_crit6 THEN rk ELSE 0 END) OVER () AS k_max
+      FROM crit
+    )
+    SELECT
+      event_type,
+      {cnt("n", "n_events")},
+      {dbl("chi2", "chi2")},
+      {cnt("23", "dof")},
+      CAST(p6 + 0.0 AS DOUBLE) AS p_wh,
+      {cnt("rk", "p_rank")},
+      CAST(bh_crit6 + 0.0 AS DOUBLE) AS bh_critical,
+      CAST(rk <= k_max AS BOOLEAN) AS discovery
+    FROM stepped
+    ORDER BY event_type
+    """
+
+
+def _weekday_uniformity_decisions_sql(d: str) -> str:
+    # D89 — the weekday twin at (slice × type) grain: χ² GOF of the
+    # day-of-week arrival profile against uniform-7 per cell, EXACT
+    # even-dof p-values (dof 6 → chi2_sf_sql's Erlang closed form) +
+    # BH across the ≤|slices|·|types| family.  Day classes are epoch
+    # days mod 7 — a consistent 7-way clock on both engines (the
+    # uniform null makes the class labeling irrelevant).  Same
+    # χ² = 7·Σc²/n − n single-agg identity; the D86 slice convention.
+    from fiveg_spark.functions.stats import chi2_sf_sql
+
+    es = epoch("ts", d)
+    dow = f"(CAST(floor({es} / 86400.0) AS BIGINT) % 7)"
+    slice_case = (
+        "CASE CAST(user_id % 3 AS INT) WHEN 0 THEN 'eMBB' "
+        "WHEN 1 THEN 'URLLC' ELSE 'mMTC' END"
+    )
+    return f"""
+    WITH cells AS (
+      SELECT {slice_case} AS slice, event_type, {dow} AS dw, count(*) AS c
+      FROM events
+      GROUP BY {slice_case}, event_type, {dow}
+    ),
+    per_cell AS (
+      SELECT slice, event_type,
+        CAST(sum(c) AS DOUBLE) AS n,
+        CAST(sum(c * c) AS DOUBLE) AS cc
+      FROM cells GROUP BY slice, event_type
+    ),
+    stat AS (
+      SELECT slice, event_type, n,
+        CASE WHEN n > 0 THEN 7.0e0 * cc / n - n ELSE 0.0e0 END AS chi2
+      FROM per_cell
+    ),
+    pvals AS (
+      SELECT slice, event_type, n, chi2,
+        round({chi2_sf_sql("chi2", 6)} + {NUDGE}, 6) AS p6
+      FROM stat
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (ORDER BY p6, slice, event_type) AS rk,
+        CAST(count(*) OVER () AS DOUBLE) AS m
+      FROM pvals
+    ),
+    crit AS (
+      SELECT *, round(rk * 0.05 / m + {NUDGE}, 6) AS bh_crit6
+      FROM ranked
+    ),
+    stepped AS (
+      SELECT *,
+        max(CASE WHEN p6 <= bh_crit6 THEN rk ELSE 0 END) OVER () AS k_max
+      FROM crit
+    )
+    SELECT
+      slice,
+      event_type,
+      {cnt("n", "n_events")},
+      {dbl("chi2", "chi2")},
+      {cnt("6", "dof")},
+      CAST(p6 + 0.0 AS DOUBLE) AS p_exact,
+      {cnt("rk", "p_rank")},
+      CAST(bh_crit6 + 0.0 AS DOUBLE) AS bh_critical,
+      CAST(rk <= k_max AS BOOLEAN) AS discovery
+    FROM stepped
+    ORDER BY slice, event_type
+    """
+
+
+QUERIES.extend([
+    sql_backed("hour_uniformity_decisions",
+               _hour_uniformity_decisions_sql, ("events",)),
+    sql_backed("weekday_uniformity_decisions",
+               _weekday_uniformity_decisions_sql, ("events",)),
+])

@@ -858,6 +858,14 @@ def _nation_kendall_sql(d: str) -> str:
     # outlier).  All pair arithmetic is EXACT integers/doubles on the
     # ≤|nations| rollup; the pair self-join is ≤|nations|² rows — a
     # post-agg frame, never the facts.
+    #
+    # ALLOW-LISTED CARTESIAN (r11 verdict adjudication — do not
+    # re-litigate on a ledger diff): this is the plan ledger's only
+    # has_cartesian=true.  The cross join pairs two per-year rank
+    # frames each bounded by |nations| ≤ 25 rows (≤625 pairs), both
+    # AGGREGATED before the join — it cannot scale with fact volume,
+    # and rewriting it as an equi-join on a dummy key would obscure
+    # the all-pairs semantics tau-b actually needs.
     return f"""
     WITH per_nation AS (
       SELECT c.c_nationkey AS nk,

@@ -90,11 +90,32 @@ PLAN_BUILD_EXECUTES = frozenset({
     # the BUILD synthesizes a capture directory / runs the availableNow
     # streaming replay / drives the CDC batches against scratch (r11)
     "pcap_read_parity", "pcap_write_roundtrip_parity",
-    "stream_kpi36_parity", "cdc_apply_parity",
+    "pcap_stream_write_parity",
+    "stream_kpi36_parity", "cdc_apply_parity", "stream_cdc_apply_parity",
     "stream_attribution_parity", "jsonl_quarantine_parity",
     "snapshot_vacuum_audit", "table_health_audit",
     "training_shard_layout_parity", "partitioned_sink_parity",
     "stream_index_store_parity", "stream_ewma_anomaly_parity",
+})
+
+# The subset of PLAN_BUILD_EXECUTES whose run() RETURNS a real
+# distributed plan (the ANN/ML certification family: the driver-side
+# fit produces centroids/codebooks/weights, but the returned DataFrame
+# is the genuine assignment/rerank/score pipeline).  These get a
+# POST-BUILD fingerprint in every default ledger pass — the r11
+# verdict's quantified blind spot: the r3 minhash incident's class of
+# silent plan change lived exactly here with no shape protection.  The
+# cost is honest and bounded: one fit per query at the ledger's sf.
+# The other 40 skip-listed queries return COLLECTED local frames
+# (createDataFrame over certification rows) — their final "plan" is a
+# LocalTableScan that canonicalizes to one constant line, so a
+# fingerprint would be false security, and they stay skipped.
+PLAN_BUILD_EXECUTES_PLANNABLE = frozenset({
+    "ann_ivf_recall", "ann_pq_recall", "ann_lsh_recall",
+    "mllib_ann_recall", "ann_recall_matrix",
+    "embedding_dedup_ivf", "semdedup_summary",
+    "hybrid_train_cert", "hybrid_forecast_cert",
+    "mllib_minhash_pairs", "holt_forecast", "holt_winters_forecast",
 })
 
 
@@ -273,16 +294,29 @@ def record_ledger(
     and write the ledger atomically.  Returns the ledger dict.  A query
     that fails to PLAN is recorded with an ``error`` field rather than
     aborting the ledger (a broken plan is exactly what the diff should
-    surface).  Queries in PLAN_BUILD_EXECUTES are recorded as
-    ``skipped`` unless ``include_fits`` — their builders TRAIN models,
-    so a default ledger pass stays genuinely planning-only."""
+    surface).  Queries in PLAN_BUILD_EXECUTES split two ways (r12,
+    shrinking the r11 verdict's 52-query blind spot): the PLANNABLE
+    subset — whose build trains a model but whose returned DataFrame is
+    a real distributed plan — is fingerprinted anyway and marked
+    ``post_build: true`` (the ledger pass pays those fits); the rest
+    return collected local frames with no reachable plan and stay
+    ``skipped``.  ``include_fits`` forces fingerprints for everything."""
     entries = {}
     for name in sorted(queries):
+        post_build = False
         if name in PLAN_BUILD_EXECUTES and not include_fits:
-            entries[name] = {"skipped": "model fit at plan build"}
-            continue
+            if name in PLAN_BUILD_EXECUTES_PLANNABLE:
+                post_build = True  # fit runs, final plan is real — record it
+            else:
+                entries[name] = {
+                    "skipped": "build executes; returns a collected "
+                               "local frame (no reachable plan)"
+                }
+                continue
         try:
             entries[name] = plan_fingerprint(queries[name](spark, sf_dir))
+            if post_build:
+                entries[name]["post_build"] = True
         except Exception as exc:  # noqa: BLE001 — recorded, not raised
             entries[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
     ledger = {"version": LEDGER_VERSION, "sf_dir_basename":

@@ -287,6 +287,13 @@ class PcapDataSource(DataSource):
 
         return PcapWriter(self.options, schema, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool):  # noqa: N802
+        # A39: exactly-once streaming capture sink — temps promoted to
+        # deterministic per-epoch names at commit, replay-idempotent
+        from fiveg_spark.sources.pcap_writer import PcapStreamWriter
+
+        return PcapStreamWriter(self.options, schema)
+
 
 def register_pcap_source(spark) -> None:
     """Idempotent registration: after this,

@@ -52,7 +52,11 @@ import struct
 import uuid
 from dataclasses import dataclass, field
 
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 # slice label → marker subdirectory (the exact inverse of
 # pcap.infer_slice's DEFAULT_SLICE_MARKERS lookup)
@@ -133,9 +137,57 @@ def encode_packet(
     return rec + frame
 
 
+def _stream_rows_to_files(
+    root: str, iterator, tmp_namer
+) -> tuple[dict[str, str], int]:
+    """Shared per-task encode loop: rows stream into one open file per
+    slice subdir (lazily created via ``tmp_namer(subdir)``), O(handles)
+    memory; any failure closes and removes every partial file before
+    re-raising (no readable half-capture survives).  Returns
+    ({subdir: written_path}, n_packets)."""
+    handles: dict[str, tuple] = {}  # subdir -> (path, fh)
+    n = 0
+    try:
+        for row in iterator:
+            subdir = SLICE_DIRS.get(row["slice_type"], _OTHER_DIR)
+            if subdir not in handles:
+                os.makedirs(os.path.join(root, subdir), exist_ok=True)
+                path = tmp_namer(subdir)
+                fh = open(path, "wb")
+                fh.write(GLOBAL_HEADER)
+                handles[subdir] = (path, fh)
+            _, fh = handles[subdir]
+            fh.write(encode_packet(
+                row["timestamp_ms"], row["packet_len"],
+                row["protocol"], row["src_ip"], row["dst_ip"],
+                row["src_port"], row["dst_port"], row["tcp_flags"],
+                row["window_size"], row["seq_number"],
+            ))
+            n += 1
+    except BaseException:
+        for path, fh in handles.values():
+            fh.close()
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        raise
+    for _, fh in handles.values():
+        fh.close()
+    return {s: p for s, (p, _) in handles.items()}, n
+
+
 @dataclass
 class PcapCommitMessage(WriterCommitMessage):
     files: list = field(default_factory=list)  # final (renamed) paths
+    n_packets: int = 0
+
+
+@dataclass
+class PcapStreamCommitMessage(WriterCommitMessage):
+    # ordered (subdir, tmp_path) pairs — final naming happens at COMMIT
+    # on the driver, where the batchId is known
+    tmp_files: list = field(default_factory=list)
     n_packets: int = 0
 
 
@@ -170,40 +222,19 @@ class PcapWriter(DataSourceWriter):
         ctx = TaskContext.get()
         part = ctx.partitionId() if ctx is not None else 0
         run = uuid.uuid4().hex[:8]
-        handles: dict[str, tuple] = {}  # subdir -> (tmp_path, final, fh)
-        n = 0
-        try:
-            for row in iterator:
-                subdir = SLICE_DIRS.get(row["slice_type"], _OTHER_DIR)
-                if subdir not in handles:
-                    d = os.path.join(self._root, subdir)
-                    os.makedirs(d, exist_ok=True)
-                    final = os.path.join(
-                        d, f"part-{part:05d}-{run}.pcap"
-                    )
-                    tmp = final + ".inprogress"
-                    fh = open(tmp, "wb")
-                    fh.write(GLOBAL_HEADER)
-                    handles[subdir] = (tmp, final, fh)
-                _, _, fh = handles[subdir]
-                fh.write(encode_packet(
-                    row["timestamp_ms"], row["packet_len"],
-                    row["protocol"], row["src_ip"], row["dst_ip"],
-                    row["src_port"], row["dst_port"], row["tcp_flags"],
-                    row["window_size"], row["seq_number"],
-                ))
-                n += 1
-        except BaseException:
-            for tmp, _, fh in handles.values():
-                fh.close()
-                try:
-                    os.remove(tmp)
-                except OSError:
-                    pass
-            raise
+
+        def final_name(subdir: str) -> str:
+            return os.path.join(
+                self._root, subdir, f"part-{part:05d}-{run}.pcap"
+            )
+
+        by_subdir, n = _stream_rows_to_files(
+            self._root, iterator,
+            lambda subdir: final_name(subdir) + ".inprogress",
+        )
         files = []
-        for tmp, final, fh in handles.values():
-            fh.close()
+        for subdir, tmp in by_subdir.items():
+            final = final_name(subdir)
             os.replace(tmp, final)  # readable only once complete
             files.append(final)
         return PcapCommitMessage(files=sorted(files), n_packets=n)
@@ -241,5 +272,100 @@ class PcapWriter(DataSourceWriter):
             for f in m.files:
                 try:
                     os.remove(f)
+                except OSError:
+                    pass
+
+
+class PcapStreamWriter(DataSourceStreamWriter):
+    """A39: the STREAMING twin — ``df.writeStream.format("pcap")``.
+
+    Exactly-once visibility without a transactional store:
+
+    - tasks write ``.inprogress-<uuid>`` temps and ship their paths in
+      the commit message — no ``.pcap`` exists until the epoch commits;
+    - ``commit(messages, batchId)`` renames temps to DETERMINISTIC
+      per-epoch names ``part-b<batchId>-<task#>-<slice#>.pcap``, prunes
+      any stale ``part-b<batchId>-*`` leftovers from a previous failed
+      attempt of the SAME epoch, and lands a per-batch manifest — so a
+      replayed epoch (crash between sink commit and checkpoint commit)
+      overwrites its own files byte-for-byte instead of duplicating;
+    - ``abort`` removes the attempt's temps.
+
+    Readers glob ``*.pcap``, so they see exactly the union of committed
+    epochs at every instant.
+    """
+
+    def __init__(self, options: dict, schema):
+        root = options.get("path")
+        if not root:
+            raise ValueError("pcap stream writer requires a path")
+        self._root = root
+        missing = [c for c in REQUIRED_COLUMNS if c not in schema.names]
+        if missing:
+            raise ValueError(
+                f"pcap stream writer: input is missing columns {missing};"
+                f" required: {list(REQUIRED_COLUMNS)}"
+            )
+
+    def write(self, iterator) -> PcapStreamCommitMessage:
+        run = uuid.uuid4().hex[:8]
+        by_subdir, n = _stream_rows_to_files(
+            self._root, iterator,
+            lambda subdir: os.path.join(
+                self._root, subdir, f".inprogress-{run}-{subdir}"
+            ),
+        )
+        return PcapStreamCommitMessage(
+            tmp_files=sorted(by_subdir.items()), n_packets=n,
+        )
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        finals = set()
+        for mi, m in enumerate(messages):
+            if m is None:
+                continue
+            for si, (subdir, tmp) in enumerate(m.tmp_files):
+                final = os.path.join(
+                    self._root, subdir,
+                    f"part-b{batchId:08d}-{mi:05d}-{si}.pcap",
+                )
+                os.replace(tmp, final)
+                finals.add(final)
+        # prune leftovers of a previous attempt of this same epoch
+        # (different task partitioning -> different names)
+        prefix = f"part-b{batchId:08d}-"
+        for sub in os.listdir(self._root):
+            d = os.path.join(self._root, sub)
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                p = os.path.join(d, f)
+                if (f.startswith(prefix) and f.endswith(".pcap")
+                        and p not in finals):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+        mdir = os.path.join(self._root, "_pcap_stream_commits")
+        os.makedirs(mdir, exist_ok=True)
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(os.path.relpath(f, self._root) for f in finals),
+            "n_packets": sum(
+                m.n_packets for m in messages if m is not None
+            ),
+        }
+        tmp = os.path.join(mdir, f".batch-{batchId}.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, sort_keys=True, indent=1)
+        os.replace(tmp, os.path.join(mdir, f"batch-{batchId:08d}.json"))
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        for m in messages:
+            if m is None:
+                continue
+            for _subdir, tmp in m.tmp_files:
+                try:
+                    os.remove(tmp)
                 except OSError:
                     pass

@@ -91,6 +91,7 @@ POST_AGG_GLOBAL_WINDOWS = frozenset({
     "balance_bands",            # ntile over |customers-per-band| quantile grid
     "bh_screened_mean_shifts",  # BH step-up over <= |slices x types| cells
     "growth_accounting",        # running totals over <= |weeks| rows
+    "hour_uniformity_decisions",  # BH step-up over <= |types| rows
     "histogram_quantile_rollup",  # cum-sum over <= |bins| rows
     "kaplan_meier_lifetime",    # product-limit over <= |distinct lifetimes|
     "kmv_distinct_rollup",      # k-th order stat over k rows
@@ -106,6 +107,7 @@ POST_AGG_GLOBAL_WINDOWS = frozenset({
     "top_flows",                # global top-k (TakeOrdered at execution)
     "trending_types",           # rank over <= |windows x types| rows
     "user_type_affinity",       # lift grid over <= |deciles x types| rows
+    "weekday_uniformity_decisions",  # BH over <= |slices x types| cells
     "watermark_lateness_profile",  # running max over <= |arrival minutes|
     "watermark_drop_value_cost",  # same B25 minute-frontier frame
     "weekday_hour_heatmap",     # load share over <= 168 calendar cells

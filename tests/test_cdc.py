@@ -278,3 +278,92 @@ def test_legacy_store_without_meta_migrates_once(spark, store):
     )
     got = _state(spark, store)
     assert got[6] == ("stamped", 6.6) and got[7] == ("after", 7.7)
+
+
+# ---------------------------------------------------------------------------
+# A38: the streaming CDC tail — changelog files drain through
+# foreachBatch + the REAL apply_changelog.
+# ---------------------------------------------------------------------------
+
+_CHANGE_SCHEMA = (
+    "k LONG, seq LONG, op STRING, name STRING, amount DOUBLE"
+)
+
+
+def _run_cdc_stream(spark, src, store, ckpt):
+    from fiveg_spark.streaming.cdc_sink import attach_cdc_sink
+
+    changes = (
+        spark.readStream.schema(_CHANGE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = attach_cdc_sink(changes, store, ckpt, "k").trigger(
+        availableNow=True).start()
+    q.awaitTermination(180)
+
+
+def _land(spark, src, rows, name, mtime):
+    """Land one changelog file FLAT in src (the file source does not
+    recurse into non-partition subdirs), with a pinned mtime so the
+    maxFilesPerTrigger=1 replay order is deterministic."""
+    import shutil as _sh
+
+    stage = os.path.join(src, f"_stage_{name}")
+    spark.createDataFrame(rows, _CHANGE_SCHEMA).coalesce(1).write.parquet(stage)
+    (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    dst = os.path.join(src, f"{name}.parquet")
+    _sh.move(os.path.join(stage, part), dst)
+    _sh.rmtree(stage)
+    os.utime(dst, (mtime, mtime))
+
+
+def test_stream_cdc_tail_applies_batches_in_order(spark, store, tmp_path):
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _land(spark, src, [(1, 1, "U", "one", 1.1), (2, 1, "U", "two", 2.2)],
+          "b1", 1_000_000_000)
+    _land(spark, src, [(1, 2, "D", None, None), (3, 2, "I", "three", 3.3)],
+          "b2", 1_000_000_100)
+    _run_cdc_stream(spark, src, store, ckpt)
+    got = _state(spark, store)
+    assert 1 not in got                      # updated then deleted
+    assert got[2] == ("two", 2.2)
+    assert got[3] == ("three", 3.3)
+
+
+def test_stream_cdc_tail_restart_applies_only_new_files(
+    spark, store, tmp_path
+):
+    src = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _land(spark, src, [(5, 1, "U", "v5a", 5.1)], "b1", 1_000_000_000)
+    _run_cdc_stream(spark, src, store, ckpt)
+    assert _state(spark, store)[5] == ("v5a", 5.1)
+    # a second incarnation sees only the new file; a STALE record in
+    # it (seq 0 <= stored seq 1) must lose to the store watermark
+    _land(spark, src, [(5, 0, "U", "stale", 0.0), (6, 2, "I", "six", 6.6)],
+          "b2", 1_000_000_200)
+    _run_cdc_stream(spark, src, store, ckpt)
+    got = _state(spark, store)
+    assert got[5] == ("v5a", 5.1)            # stale replay lost
+    assert got[6] == ("six", 6.6)
+
+
+def test_stream_cdc_tail_replay_after_checkpoint_loss_is_idempotent(
+    spark, store, tmp_path
+):
+    """Losing the checkpoint replays EVERY file; the store's seq guard
+    makes the re-application a no-op, not a duplication."""
+    src = str(tmp_path / "changes")
+    os.makedirs(src)
+    _land(spark, src, [(7, 3, "U", "seven", 7.7), (8, 3, "D", None, None)],
+          "b1", 1_000_000_000)
+    _run_cdc_stream(spark, src, store, str(tmp_path / "ckpt1"))
+    before = _state(spark, store)
+    _run_cdc_stream(spark, src, store, str(tmp_path / "ckpt2"))  # full replay
+    assert _state(spark, store) == before
+    # the tombstone survived the replay too (not resurrected)
+    assert 8 not in before

@@ -168,3 +168,90 @@ def test_written_file_is_classic_pcap_little_endian(spark, tmp_path):
     _v_major, _v_minor, _tz, _sig, snap, link = struct.unpack(
         "<HHiIII", head[4:24])
     assert (snap, link) == (65535, 1)
+
+
+# ---------------------------------------------------------------------------
+# A39: the streaming pcap sink (DataSourceStreamWriter)
+# ---------------------------------------------------------------------------
+
+
+def _land_rows(spark, src, rows, name, mtime):
+    import shutil as _sh
+
+    stage = os.path.join(src, f"_stage_{name}")
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(stage)
+    (part,) = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+    dst = os.path.join(src, f"{name}.parquet")
+    _sh.move(os.path.join(stage, part), dst)
+    _sh.rmtree(stage)
+    os.utime(dst, (mtime, mtime))
+
+
+def _run_stream(spark, src, out, ckpt):
+    q = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.format("pcap")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_stream_writer_roundtrip_and_epoch_manifests(spark, tmp_path):
+    register_pcap_source(spark)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "caps", "ckpt"))
+    os.makedirs(src)
+    _land_rows(spark, src, _ROWS[:2], "b0", 1_000_000_000)
+    _land_rows(spark, src, _ROWS[2:4], "b1", 1_000_000_100)
+    _run_stream(spark, src, out, ckpt)
+    got = sorted(
+        r["timestamp_ms"]
+        for r in spark.read.format("pcap").load(out).collect()
+    )
+    assert got == sorted(r[1] for r in _ROWS[:4])
+    # per-epoch commit manifests landed, batch-numbered
+    mdir = os.path.join(out, "_pcap_stream_commits")
+    manifests = sorted(os.listdir(mdir))
+    assert len(manifests) == 2
+    m0 = json.load(open(os.path.join(mdir, manifests[0])))
+    assert m0["n_packets"] == 2
+    for f in m0["files"]:
+        assert os.path.isfile(os.path.join(out, f))
+    # file names are deterministic per epoch: part-b<batch>-...
+    assert all(f.split("/")[-1].startswith("part-b0000000")
+               for f in m0["files"])
+
+
+def test_stream_writer_restart_appends_only_new(spark, tmp_path):
+    register_pcap_source(spark)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "caps", "ckpt"))
+    os.makedirs(src)
+    _land_rows(spark, src, _ROWS[:2], "b0", 1_000_000_000)
+    _run_stream(spark, src, out, ckpt)
+    _land_rows(spark, src, _ROWS[2:4], "b1", 1_000_000_100)
+    _run_stream(spark, src, out, ckpt)  # same checkpoint: only b1 new
+    assert spark.read.format("pcap").load(out).count() == 4
+
+
+def test_stream_writer_checkpoint_loss_replay_is_idempotent(spark, tmp_path):
+    """Replaying the same epochs after checkpoint loss must overwrite
+    the SAME per-epoch file names, not duplicate packets."""
+    register_pcap_source(spark)
+    src, out = str(tmp_path / "src"), str(tmp_path / "caps")
+    os.makedirs(src)
+    _land_rows(spark, src, _ROWS[:2], "b0", 1_000_000_000)
+    _land_rows(spark, src, _ROWS[2:4], "b1", 1_000_000_100)
+    _run_stream(spark, src, out, str(tmp_path / "ckpt1"))
+    n1 = spark.read.format("pcap").load(out).count()
+    _run_stream(spark, src, out, str(tmp_path / "ckpt2"))  # full replay
+    assert spark.read.format("pcap").load(out).count() == n1 == 4
+    # no stray temps
+    strays = [
+        f for dp, _, fs in os.walk(out) for f in fs
+        if f.startswith(".inprogress")
+    ]
+    assert strays == []

@@ -178,3 +178,45 @@ def test_truncated_filter_tails_normalize():
     a = "DataFilters: [isnotnull((cast(x#4 as double)..., Format: P"
     b = "DataFilters: [isnotnull((cast(x#4567 as double..., Format: P"
     assert canonical_plan(a) == canonical_plan(b)
+
+
+def test_post_build_plannable_fingerprinted_and_diff_flags_change(
+    spark, tmp_path, monkeypatch
+):
+    """r12: the ANN/ML blind-spot fix.  A skip-listed query whose
+    build executes but whose final plan is REAL gets a post_build
+    fingerprint in the default (include_fits=False) pass, and a
+    planted plan change under its name IS flagged by the diff; a
+    skip-listed query returning a collected frame stays skipped."""
+    import fiveg_spark.plans.plan_ledger as pl
+
+    monkeypatch.setattr(
+        pl, "PLAN_BUILD_EXECUTES",
+        frozenset({"fitq", "collectq"}),
+    )
+    monkeypatch.setattr(
+        pl, "PLAN_BUILD_EXECUTES_PLANNABLE", frozenset({"fitq"}),
+    )
+
+    def collectq(spark, sf_dir):
+        rows = [tuple(r) for r in _agg_query(spark, sf_dir).collect()]
+        return spark.createDataFrame(rows, "event_type STRING, count LONG")
+
+    p_old = str(tmp_path / "old.json")
+    p_new = str(tmp_path / "new.json")
+    pl.record_ledger(
+        {"fitq": _agg_query, "collectq": collectq}, spark, c.SF_DIR, p_old)
+    old = load_ledger(p_old)
+    assert old["queries"]["fitq"]["post_build"] is True
+    assert old["queries"]["fitq"]["n_file_scans"] >= 1
+    assert "skipped" in old["queries"]["collectq"]
+
+    # planted ANN-class regression: the same name's plan gains a join
+    pl.record_ledger(
+        {"fitq": _join_query, "collectq": collectq}, spark, c.SF_DIR, p_new)
+    findings = diff_ledgers(old, load_ledger(p_new))
+    assert any(
+        f["query"] == "fitq" and f["kind"] == "regressed"
+        for f in findings
+    ), findings
+    assert not any(f["query"] == "collectq" for f in findings)
