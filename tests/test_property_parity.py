@@ -447,6 +447,8 @@ def _event_sql_fns():
         _chisq_hour_uniformity_sql,
         _effect_size_ladder_sql,
         _gumbel_maxima_sql,
+        _hour_uniformity_decisions_sql,
+        _weekday_uniformity_decisions_sql,
     )
     from fiveg_spark.operators.engagement_ext import (
         _drop_value_cost_sql,
@@ -564,6 +566,12 @@ def _event_sql_fns():
         # whole corpus (or a 1-event complement) must guard to z=0/p=1,
         # and tied rounded p-values exercise the deterministic rank
         "bh_screened_mean_shifts": _bh_screen_sql,
+        # r12: WH p-values over the same GOF identity — single-hour
+        # types drive chi2 to 23n (WH deep-tail underflow clamp) and
+        # one-event types to the n=1 degenerate; tied p6 exercise the
+        # deterministic BH rank on both decision queries
+        "hour_uniformity_decisions": _hour_uniformity_decisions_sql,
+        "weekday_uniformity_decisions": _weekday_uniformity_decisions_sql,
         # value-mass drop shares: nullif(sum(value)) hits on all-zero
         # value streams; one-minute streams have no frontier at all
         "watermark_drop_value_cost": _drop_value_cost_sql,
