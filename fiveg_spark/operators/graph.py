@@ -340,3 +340,95 @@ QUERIES = [
         + _dedup_representatives_oracle().lstrip().removeprefix("WITH "),
     ),
 ]
+
+
+# --------------------------------------------------------------------------
+# C166 — recursive-CTE BFS reach over the thresholded trade graph
+# (Spark 4's WITH RECURSIVE: the first ITERATIVE query the engine runs
+# natively in SQL instead of a driver-side loop)
+# --------------------------------------------------------------------------
+
+_REACH_DEPTH = 4
+
+# revenue-weighted nation→nation trade edges, thresholded at the mean
+# edge weight.  Weights are rounded on the /1e6 grid BEFORE the mean
+# and the comparison: raw sums reach ~1e7 where engine summation-order
+# noise (~1e-2 absolute) would flip a threshold tie, while the rounded
+# grid is 100× coarser than the noise (the artifacts.py cents-grid
+# discipline).  The mean rides a global window over the ≤|nations|²
+# post-agg frame (allow-listed).
+_REACH_EDGES_SQL = """
+      SELECT src, dst FROM (
+        SELECT src, dst, wm, round(avg(wm) OVER () + 1e-9, 4) AS mwm
+        FROM (
+          SELECT
+            cn.n_name AS src,
+            sn.n_name AS dst,
+            round(sum(l.l_extendedprice * (1 - l.l_discount)) / 1e6
+                  + 1e-9, 4) AS wm
+          FROM customer c
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN orders o ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+          WHERE cn.n_name <> sn.n_name
+          GROUP BY cn.n_name, sn.n_name
+        ) raw
+      ) banded
+      WHERE wm >= mwm
+"""
+
+
+def _reach_tail(edges_rel: str) -> str:
+    """The SHARED recursive text (Spark 4.1 and DuckDB both execute it
+    verbatim): depth-bounded BFS from the lexicographic-min source.
+    Spark's recursion supports UNION ALL only, so cycles re-emit nodes
+    at longer depths and the outer min(d) collapses them — the frontier
+    is bounded by out-degree^depth on the ≤25-node thresholded graph,
+    never by fact volume."""
+    return f"""
+    WITH RECURSIVE reach(node, d) AS (
+      SELECT seed.node, 0 FROM (
+        SELECT min(src) AS node FROM {edges_rel}
+      ) seed
+      UNION ALL
+      SELECT e.dst, r.d + 1
+      FROM reach r JOIN {edges_rel} e ON e.src = r.node
+      WHERE r.d < {_REACH_DEPTH}
+    )
+    SELECT
+      n.n_name AS nation,
+      CAST(coalesce(min(r.d), -1) AS BIGINT) AS hops,
+      min(r.d) IS NOT NULL AS reached
+    FROM nation n
+    LEFT JOIN reach r ON r.node = n.n_name
+    GROUP BY n.n_name
+    ORDER BY nation
+    """
+
+
+def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C166: hop distance (≤4) from the lexicographic-min trading
+    nation over mean-thresholded trade edges, computed by Spark's
+    NATIVE recursive CTE (UnionLoop execution).  The edge frame — the
+    only fact-scale work — materializes ONCE via localCheckpoint, so
+    each loop iteration joins the ≤|nations|² checkpointed frame, never
+    the 5-table join (the pagerank discipline applied to recursion).
+    The oracle runs the IDENTICAL recursive text over the same edge SQL
+    in DuckDB — two independent recursive executors must agree on every
+    hop count."""
+    ensure_views(spark, ("customer", "nation", "orders", "lineitem",
+                         "supplier"), sf_dir)
+    edges = spark.sql(_REACH_EDGES_SQL).localCheckpoint()
+    edges.createOrReplaceTempView("_mz_reach_edges")
+    return spark.sql(_reach_tail("_mz_reach_edges"))
+
+
+def _trade_reach_oracle() -> str:
+    return _reach_tail(f"({_REACH_EDGES_SQL})")
+
+
+QUERIES.append(
+    Query("trade_reach_hops", trade_reach_hops, _trade_reach_oracle())
+)

@@ -781,3 +781,79 @@ QUERIES = [
     ),
     sql_backed("pii_luhn", _pii_luhn_sql, ("documents",)),
 ]
+
+
+# chunking geometry: 200-char context windows, 150-char stride (50-char
+# overlap) — the RAG/pretraining sliding-window shard shape
+CHUNK_W = 200
+CHUNK_S = 150
+
+
+def _doc_chunk_sql(d: str) -> str:
+    # E133 — sliding-window document chunking (the context-window shard
+    # pass between curation and tokenization: RAG indexing and
+    # long-doc pretraining both consume fixed-width overlapping chunks,
+    # not whole documents — sequence_packing bins WHOLE docs; this is
+    # the complementary WITHIN-doc split).  Chunk starts are a stride
+    # arithmetic sequence materialized by the engine's lazy sequence
+    # explode — no Python, no joins: one corpus scan → explode →
+    # substring → two bounded rollups.  Certified aggregates pin the
+    # full chunk GEOMETRY (counts, per-doc maxima, start offsets) and
+    # the CONTENT boundary semantics (substring truncation at doc end:
+    # sum of chunk lengths, count of full-width chunks, space-carrying
+    # chunks — 1-based substring must agree across engines).
+    #
+    # Scale: explode fan-out is ceil(len/stride) ≈ 4 rows/KB — linear,
+    # no shuffle until the per-source rollup; chunk text itself never
+    # shuffles (lengths reduce map-side).  At 100 TB the pass stays a
+    # single corpus scan, the same budget as every E-family explode.
+    if d == "spark":
+        starts = (
+            "SELECT doc_id, source, n_chars, text, "
+            f"explode(sequence(1, CAST(greatest(length(text), 1) AS INT),"
+            f" {CHUNK_S})) AS start FROM documents"
+        )
+    else:
+        starts = (
+            "SELECT doc_id, source, n_chars, text, "
+            f"unnest(generate_series(1, greatest(length(text), 1),"
+            f" {CHUNK_S})) AS start FROM documents"
+        )
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id, source, n_chars, start,
+             substring(text, start, {CHUNK_W}) AS chunk
+      FROM ({starts}) s
+    ),
+    per_doc AS (
+      SELECT source, doc_id,
+        count(*) AS k,
+        sum(length(chunk)) AS chars,
+        sum(CASE WHEN length(chunk) = {CHUNK_W} THEN 1 ELSE 0 END) AS full_k,
+        sum(CASE WHEN chunk LIKE '% %' THEN 1 ELSE 0 END) AS spacey_k,
+        sum(start) AS sum_starts,
+        max(n_chars) AS n_chars
+      FROM chunks
+      GROUP BY source, doc_id
+    )
+    SELECT
+      source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(k)", "n_chunks")},
+      {cnt("max(k)", "max_chunks_per_doc")},
+      {cnt("sum(chars)", "sum_chunk_chars")},
+      {cnt("sum(full_k)", "n_full_chunks")},
+      {cnt("sum(spacey_k)", "n_space_chunks")},
+      {cnt("sum(sum_starts)", "sum_start_offsets")},
+      {cnt("sum(CASE WHEN k = 1 AND n_chars <= " + str(CHUNK_W) +
+           " THEN 1 ELSE 0 END)", "n_single_chunk_docs")},
+      {dbl("sum(chars) * 1.0 / sum(n_chars)", "expansion_ratio")}
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+QUERIES.append(
+    sql_backed("doc_chunk_stats", _doc_chunk_sql, ("documents",))
+)
