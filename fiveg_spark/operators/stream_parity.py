@@ -1888,3 +1888,115 @@ QUERIES.append(
     Query("stream_ewma_anomaly_parity", _ewma_store_run,
           _ewma_store_oracle())
 )
+
+
+# --------------------------------------------------------------------------
+# B37 — the state store itself on the oracle path: Spark 4's
+# `statestore` reader certified against a DuckDB recomputation
+# --------------------------------------------------------------------------
+
+
+def _state_read_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B37 certified: run a complete-mode streaming aggregation over
+    the events corpus (availableNow, checkpointed), then read the
+    OPERATOR STATE back through `spark.read.format("statestore")` —
+    the running (sum, count) per event_type that the state store
+    physically holds — and certify those state rows against a direct
+    DuckDB aggregation of the same corpus.  What's under test is the
+    state-reader path itself (key/value struct flattening, operator
+    resolution, committed-batch pinning); the streaming agg is the
+    vehicle.  state-metadata booleans ride along: exactly one stateful
+    operator, committed batch range [0, 0] for the single-batch
+    availableNow run."""
+    import os
+    import uuid as _uuid
+
+    from fiveg_spark.streaming.state_inspect import (
+        read_operator_state,
+        state_metadata,
+    )
+
+    scratch = _scratch()
+    ckpt = os.path.join(scratch, "ckpt")
+    qname = f"state_parity_{_uuid.uuid4().hex[:8]}"
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        # the file stream source needs a DIRECTORY; the corpus is one
+        # parquet file — stage a copy in scratch
+        src = os.path.join(scratch, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, ts TIMESTAMP, user_id LONG,"
+                " event_type STRING, value DOUBLE, props STRING"
+            )
+            .parquet(src)
+        )
+        q = (
+            stream.groupBy("event_type")
+            .agg(F.sum("value").alias("s"), F.count("*").alias("c"))
+            .writeStream.outputMode("complete")
+            .format("memory").queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        meta = state_metadata(spark, ckpt).collect()
+        meta_ok = (
+            len(meta) == 1
+            and int(meta[0]["minBatchId"]) == 0
+            and int(meta[0]["maxBatchId"]) == 0
+        )
+        st = read_operator_state(spark, ckpt, operator_id=0)
+        # key/value struct fields flatten positionally:
+        # [event_type, <sum>, <count>, partition_id]
+        cols = st.columns
+        out = (
+            st.select(
+                F.col(cols[0]).alias("event_type"),
+                F.col(cols[1]).alias("s"),
+                F.col(cols[2]).alias("c"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.expr(
+                    "CAST(round(sum(s) + 1e-9, 4) + 0.0 AS DOUBLE)"
+                ).alias("sum_value"),
+                F.expr("CAST(sum(c) AS BIGINT)").alias("n_events"),
+            )
+            .withColumn("meta_ok", F.lit(bool(meta_ok)))
+            .orderBy("event_type")
+        )
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows,
+            "event_type STRING, sum_value DOUBLE, n_events LONG,"
+            " meta_ok BOOLEAN",
+        )
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _state_read_oracle() -> str:
+    return """
+    SELECT
+      event_type,
+      CAST(round(sum(value) + 1e-9, 4) + 0.0 AS DOUBLE) AS sum_value,
+      CAST(count(*) AS BIGINT) AS n_events,
+      TRUE AS meta_ok
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+QUERIES.append(
+    Query("state_store_read_parity", _state_read_run, _state_read_oracle())
+)
