@@ -847,7 +847,7 @@ def _doc_chunk_sql(d: str) -> str:
       {cnt("sum(sum_starts)", "sum_start_offsets")},
       {cnt("sum(CASE WHEN k = 1 AND n_chars <= " + str(CHUNK_W) +
            " THEN 1 ELSE 0 END)", "n_single_chunk_docs")},
-      {dbl("sum(chars) * 1.0 / sum(n_chars)", "expansion_ratio")}
+      {dbl("sum(chars) * 1.0 / nullif(sum(n_chars), 0)", "expansion_ratio")}
     FROM per_doc
     GROUP BY source
     ORDER BY source

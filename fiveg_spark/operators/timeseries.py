@@ -1212,3 +1212,44 @@ def _linear_interp_sql(d: str) -> str:
 QUERIES.extend([
     sql_backed("linear_interp_gapfill", _linear_interp_sql, ("events",)),
 ])
+
+
+def _collated_mix_sql(d: str) -> str:
+    # C167 — case-insensitive analytics via Spark 4 COLLATIONS: the
+    # query synthesizes a case-mangled event-type column (upper for
+    # even event_ids — the dirty-ingest reality collations exist for),
+    # then groups under UTF8_LCASE so 'CLICK' and 'click' are ONE group
+    # at the ENGINE level: no lower() rewrite in the plan, the collated
+    # comparator drives the hash aggregate itself.  The oracle gets the
+    # same semantics the pre-collation way (GROUP BY lower()) — two
+    # different mechanisms, identical groups.  The group label is
+    # lower(min(raw)) (binary min is deterministic both engines);
+    # n_case_variants counts the BINARY-distinct spellings inside each
+    # case-insensitive group (2 whenever both parities occur).
+    if d == "spark":
+        key = "et COLLATE UTF8_LCASE"
+    else:
+        key = "lower(et)"
+    return f"""
+    WITH mangled AS (
+      SELECT
+        CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+             ELSE event_type END AS et,
+        user_id, value
+      FROM events
+    )
+    SELECT
+      lower(min(et)) AS event_type,
+      {cnt("count(*)", "n_events")},
+      {cnt("count(DISTINCT et)", "n_case_variants")},
+      {cnt("count(DISTINCT user_id)", "n_users")},
+      {dbl("sum(value)", "sum_value")}
+    FROM mangled
+    GROUP BY {key}
+    ORDER BY event_type
+    """
+
+
+QUERIES.append(
+    sql_backed("collated_type_mix", _collated_mix_sql, ("events",))
+)

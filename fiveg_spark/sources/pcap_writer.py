@@ -41,6 +41,13 @@ route-by-slice means a ``df.repartition("slice_type")`` upstream gives
 one file per slice per task set, and file count is bounded by
 partitions × live slices — the same file-granular unit the reader
 parallelizes over.
+
+Known caveat (both writers): a SPECULATIVE duplicate task attempt that
+succeeds after the primary renames its file would orphan a duplicate
+capture that readers' ``*.pcap`` glob picks up — the Python DataSource
+write API has no output-committer hook to fence it.  Run capture
+writes with ``spark.speculation=false`` (the default), or read through
+the commit manifests when speculation is on.
 """
 
 from __future__ import annotations
@@ -320,6 +327,9 @@ class PcapStreamWriter(DataSourceStreamWriter):
         )
 
     def commit(self, messages, batchId: int) -> None:  # noqa: N803 — API name
+        # an all-empty epoch writes no files and may not have created
+        # the root yet — commit must still land its manifest
+        os.makedirs(self._root, exist_ok=True)
         finals = set()
         for mi, m in enumerate(messages):
             if m is None:

@@ -255,3 +255,17 @@ def test_stream_writer_checkpoint_loss_replay_is_idempotent(spark, tmp_path):
         if f.startswith(".inprogress")
     ]
     assert strays == []
+
+
+def test_stream_writer_empty_epoch_commits_manifest(spark, tmp_path):
+    """A zero-row epoch must still commit (manifest lands, no crash)
+    even when the output root does not exist yet — review-pass fix."""
+    register_pcap_source(spark)
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "caps", "ckpt"))
+    os.makedirs(src)
+    _land_rows(spark, src, [], "b0", 1_000_000_000)
+    _run_stream(spark, src, out, ckpt)
+    mdir = os.path.join(out, "_pcap_stream_commits")
+    (m,) = os.listdir(mdir)
+    got = json.load(open(os.path.join(mdir, m)))
+    assert got["files"] == [] and got["n_packets"] == 0
