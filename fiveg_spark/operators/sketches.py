@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fiveg_spark.plans.registry import Query, materialized_backed
+from fiveg_spark.plans.registry import Query, ensure_views, materialized_backed
 from fiveg_spark.sources.tables import load_table
 
 
@@ -479,3 +479,102 @@ QUERIES = [
     # new r7, non-deferred
     materialized_backed("bloom_membership", _bloom_parts, ("events",)),
 ]
+
+
+# --------------------------------------------------------------------------
+# C168/C169 — Spark 4.1's NATIVE DataSketches surface: approx_top_k and
+# the theta family as built-in aggregates (the engine-level twins of the
+# repo's portable KMV/Misra-Gries constructions).
+# --------------------------------------------------------------------------
+
+
+def _native_topk_run(spark, sf_dir):
+    """C168: `approx_top_k` in its exact regime — with maxItemsTracked
+    (default 10000) above the column's true cardinality the sketch
+    degenerates to exact counting, so the unnested (item, count) rows
+    must equal DuckDB's exact GROUP BY top-k row-for-row.  k=10 exceeds
+    |event types|, so tie-boundary membership can't bite; the outer
+    sort re-orders deterministically (count desc, item) because the
+    sketch's own tie order is unspecified."""
+    ensure_views(spark, ("events",), sf_dir)
+    return spark.sql("""
+        WITH tk AS (
+          SELECT approx_top_k(event_type, 10) AS arr FROM events
+        )
+        SELECT e.item AS event_type,
+               CAST(e.count AS BIGINT) AS n_events
+        FROM tk LATERAL VIEW explode(arr) x AS e
+        ORDER BY n_events DESC, event_type
+    """)
+
+
+_NATIVE_TOPK_ORACLE = """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY n_events DESC, event_type
+"""
+
+
+def _native_theta_run(spark, sf_dir):
+    """C169: the theta-sketch family as built-ins — per-type
+    `theta_sketch_agg(user_id)` estimates, merged corpus-wide with
+    `theta_union_agg` (the mergeable-rollup property C32 demonstrates
+    portably with HLL, here on the engine's own Compressed-V2 theta
+    binaries).  Certified the approx_variants way: exact anchors
+    hash-compare, each estimate bounds ITSELF in-row (theta rse at
+    lgK 12 is ~1.6%, 5%/±2 ≈ 3σ; at certification SF the sketch is in
+    exact mode and the bound is trivially tight).  Two corpus scans:
+    the per-type frame and the global exact anchor (overlapping users
+    across types make the global irreducible from the per-type one)."""
+    ensure_views(spark, ("events",), sf_dir)
+    return spark.sql("""
+        WITH per_type AS (
+          SELECT event_type,
+                 count(DISTINCT user_id) AS n_exact,
+                 theta_sketch_agg(user_id) AS sk
+          FROM events GROUP BY event_type
+        ),
+        est AS (
+          SELECT event_type, n_exact,
+                 theta_sketch_estimate(sk) AS n_est
+          FROM per_type
+        ),
+        glob AS (
+          SELECT theta_sketch_estimate(theta_union_agg(sk, 12)) AS g_est
+          FROM per_type
+        ),
+        g_exact AS (
+          SELECT count(DISTINCT user_id) AS g FROM events
+        )
+        SELECT
+          e.event_type,
+          CAST(e.n_exact AS BIGINT) AS n_users_exact,
+          CAST(g.g AS BIGINT) AS n_users_global,
+          abs(e.n_est - e.n_exact) <= greatest(2.0, 0.05 * e.n_exact)
+            AS theta_within_bound,
+          abs(gl.g_est - g.g) <= greatest(2.0, 0.05 * g.g)
+            AS union_within_bound
+        FROM est e CROSS JOIN glob gl CROSS JOIN g_exact g
+        ORDER BY e.event_type
+    """)
+
+
+_NATIVE_THETA_ORACLE = """
+    WITH g AS (SELECT count(DISTINCT user_id) AS g FROM events)
+    SELECT
+      event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      CAST(max(g.g) AS BIGINT) AS n_users_global,
+      TRUE AS theta_within_bound,
+      TRUE AS union_within_bound
+    FROM events CROSS JOIN g
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+QUERIES.extend([
+    Query("native_topk_types", _native_topk_run, _NATIVE_TOPK_ORACLE),
+    Query("native_theta_users", _native_theta_run, _NATIVE_THETA_ORACLE),
+])
