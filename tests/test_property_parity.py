@@ -25,6 +25,7 @@ from fiveg_spark.operators.dedup import (
     _ngram_jaccard_sql,
 )
 from fiveg_spark.operators.llm_curation import (
+    _doc_chunk_sql,
     _domain_reweight_sql,
     _gopher_quality_sql,
     _mixture_weights_sql,
@@ -73,6 +74,10 @@ _DOC_SQL = {
     # 1440-minute day; single-doc sources pin active_minutes=1 and the
     # peak/mean ratio at 1440/n_docs — zero-variance guards live here
     "source_ingestion_burstiness": _source_ingestion_burstiness_sql,
+    # r12: sliding-window chunking — the tiny corpus makes every doc a
+    # single truncated chunk (stride > length), pinning the substring
+    # boundary and the nullif-guarded expansion ratio
+    "doc_chunk_stats": _doc_chunk_sql,
 }
 
 
