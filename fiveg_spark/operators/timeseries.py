@@ -1253,3 +1253,42 @@ def _collated_mix_sql(d: str) -> str:
 QUERIES.append(
     sql_backed("collated_type_mix", _collated_mix_sql, ("events",))
 )
+
+
+def _pipe_syntax_sql(d: str) -> str:
+    # C170 — Spark 4's SQL PIPE syntax certified semantically: the
+    # Spark side expresses a 5-stage pipeline with |> operators
+    # (EXTEND → WHERE → AGGREGATE..GROUP BY → post-agg WHERE → ORDER),
+    # the oracle the same pipeline as classical nested SQL — the two
+    # syntaxes must parse to identical semantics or the hash breaks.
+    # Same underlying discipline as every query: exact-integer day
+    # bucketing, counts as BIGINT, sums rounded on the shared grid.
+    day = f"CAST(floor({epoch('ts', d)} / 86400.0) AS BIGINT)"
+    if d == "spark":
+        return f"""
+        FROM events
+        |> EXTEND {day} AS day
+        |> WHERE value IS NOT NULL
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_events,
+                     {dbl("sum(value)", "sum_value")}
+           GROUP BY event_type, day
+        |> WHERE n_events >= 3
+        |> ORDER BY event_type, day
+        """
+    return f"""
+    SELECT event_type, day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           {dbl("sum(value)", "sum_value")}
+    FROM (
+      SELECT event_type, {day} AS day, value
+      FROM events WHERE value IS NOT NULL
+    ) t
+    GROUP BY event_type, day
+    HAVING count(*) >= 3
+    ORDER BY event_type, day
+    """
+
+
+QUERIES.append(
+    sql_backed("pipe_syntax_daily_mix", _pipe_syntax_sql, ("events",))
+)
