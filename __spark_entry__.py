@@ -57,8 +57,9 @@ from fiveg_spark.operators import stats_tests as _stats_tests
 from fiveg_spark.operators import embedding_geometry as _emb_geo
 from fiveg_spark.operators import pcap_parity as _pcap_parity
 from fiveg_spark.operators import media_parity as _media_parity
+from fiveg_spark.operators import engine_native as _engine_native
 
-_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _tdigest, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _ml_cert, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _ann_recall, _ann_retrieval, _graph, _lateness, _stream_parity, _artifacts, _supply, _engage, _stats_tests, _emb_geo, _pcap_parity, _media_parity)
+_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _tdigest, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _ml_cert, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _ann_recall, _ann_retrieval, _graph, _lateness, _stream_parity, _artifacts, _supply, _engage, _stats_tests, _emb_geo, _pcap_parity, _media_parity, _engine_native)
 
 
 def entry(spark: SparkSession) -> DataFrame:
