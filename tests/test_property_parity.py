@@ -430,7 +430,14 @@ def _event_sql_fns():
         _welch_sql,
     )
     from fiveg_spark.operators.timeseries import (
+        _collated_mix_sql,
         _funnel_ci_sql,
+        _pipe_syntax_sql,
+    )
+    from fiveg_spark.operators.engine_native import (
+        _listagg_paths_sql,
+        _variant_explode_sql,
+        _xml_ingest_sql,
     )
 
     from fiveg_spark.operators.analytics_ext import _mode_sql
@@ -577,6 +584,15 @@ def _event_sql_fns():
         # deterministic BH rank on both decision queries
         "hour_uniformity_decisions": _hour_uniformity_decisions_sql,
         "weekday_uniformity_decisions": _weekday_uniformity_decisions_sql,
+        # r12 engine-native surface on degenerate streams: exact-ts
+        # ties exercise the listagg total order, single-event users the
+        # 1-element path, tiny ints the variant/xml casts, and the
+        # coarse type alphabet the collated grouping + pipe HAVING
+        "collated_type_mix": _collated_mix_sql,
+        "pipe_syntax_daily_mix": _pipe_syntax_sql,
+        "listagg_user_paths": _listagg_paths_sql,
+        "variant_explode_kv": _variant_explode_sql,
+        "xml_ingest_mix": _xml_ingest_sql,
         # value-mass drop shares: nullif(sum(value)) hits on all-zero
         # value streams; one-minute streams have no frontier at all
         "watermark_drop_value_cost": _drop_value_cost_sql,
