@@ -21,7 +21,14 @@ scan.
 
 from __future__ import annotations
 
-from fiveg_spark.plans.registry import NUDGE, cnt, dbl, epoch, sql_backed
+from fiveg_spark.plans.registry import (
+    NUDGE,
+    Query,
+    cnt,
+    dbl,
+    epoch,
+    sql_backed,
+)
 
 
 def _listagg_paths_sql(d: str) -> str:
@@ -160,3 +167,103 @@ QUERIES = [
     sql_backed("variant_explode_kv", _variant_explode_sql, ("events",)),
     sql_backed("xml_ingest_mix", _xml_ingest_sql, ("events",)),
 ]
+
+
+def _sql_udf_pvalue_run(spark, sf_dir):
+    """C174: SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`) certified through the p-value layer — Φ is DECLARED ONCE as
+    a named SQL UDF (the erf-free A&S 26.2.17 text from
+    functions/stats.py) and every per-type mean-shift p-value resolves
+    through the function-catalog path; the oracle inlines the identical
+    formula, so a divergence isolates the UDF resolution/inlining
+    mechanism itself.  The UDF body is pure expression SQL — Catalyst
+    inlines it, so the plan stays WholeStageCodegen with no UDF-call
+    overhead at scale."""
+    from fiveg_spark.functions.stats import normal_cdf_sql
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("events",), sf_dir)
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION fiveg_phi(x DOUBLE)
+        RETURNS DOUBLE RETURN {normal_cdf_sql('x')}
+    """)
+    return spark.sql(_sql_udf_pvalue_body("fiveg_phi(", ")"))
+
+
+def _sql_udf_pvalue_body(phi_open: str, phi_close: str) -> str:
+    # shared statistical body; Φ enters via the UDF (Spark) or fully
+    # inlined (oracle) — everything else is character-identical
+    z = "((s / n - mean_g) / sqrt(var_g / n + 1e-12))"
+    p = (f"least(1.0e0, greatest(0.0e0, 2.0e0 * (1.0e0 - "
+         f"{phi_open}abs({z}){phi_close})))")
+    return f"""
+    WITH cells AS (
+      SELECT event_type,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(value) AS s,
+        sum(value * value) AS ss
+      FROM events GROUP BY event_type
+    ),
+    enriched AS (
+      SELECT *,
+        sum(s) OVER () / sum(n) OVER () AS mean_g,
+        sum(ss) OVER () / sum(n) OVER ()
+          - power(sum(s) OVER () / sum(n) OVER (), 2) AS var_g
+      FROM cells
+    )
+    SELECT
+      event_type,
+      {cnt("n", "n_events")},
+      {dbl("s / n", "mean_value")},
+      {dbl(z, "z_shift")},
+      CAST(round({p} + {NUDGE}, 6) + 0.0 AS DOUBLE) AS p_two_sided
+    FROM enriched
+    ORDER BY event_type
+    """
+
+
+def _sql_udf_pvalue_oracle() -> str:
+    from fiveg_spark.functions.stats import normal_cdf_sql
+
+    # inline Φ the classical way: normal_cdf_sql references its
+    # argument many times, so compute |z| once as a CTE column and
+    # inline Φ(az) on the alias — semantically exactly what the UDF
+    # receives on the Spark side
+    z = "((s / n - mean_g) / sqrt(var_g / n + 1e-12))"
+    phi_az = normal_cdf_sql("az")
+    return f"""
+    WITH cells AS (
+      SELECT event_type,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(value) AS s,
+        sum(value * value) AS ss
+      FROM events GROUP BY event_type
+    ),
+    enriched AS (
+      SELECT *,
+        sum(s) OVER () / sum(n) OVER () AS mean_g,
+        sum(ss) OVER () / sum(n) OVER ()
+          - power(sum(s) OVER () / sum(n) OVER (), 2) AS var_g
+      FROM cells
+    ),
+    zed AS (
+      SELECT event_type, n, s, {z} AS z, abs({z}) AS az
+      FROM enriched
+    )
+    SELECT
+      event_type,
+      {cnt("n", "n_events")},
+      {dbl("s / n", "mean_value")},
+      {dbl("z", "z_shift")},
+      CAST(round(
+        least(1.0e0, greatest(0.0e0, 2.0e0 * (1.0e0 - {phi_az})))
+        + {NUDGE}, 6) + 0.0 AS DOUBLE) AS p_two_sided
+    FROM zed
+    ORDER BY event_type
+    """
+
+
+QUERIES.append(
+    Query("sql_udf_pvalue_mix", _sql_udf_pvalue_run,
+          _sql_udf_pvalue_oracle())
+)

@@ -104,6 +104,7 @@ POST_AGG_GLOBAL_WINDOWS = frozenset({
     "rfm_segments",             # quintile cuts over <= |quantile grid|
     "rrf_fusion",               # rank fusion over <= k x |metrics| rows
     "session_paths",            # top-k over <= |distinct trigrams| rows
+    "sql_udf_pvalue_mix",       # corpus moments over <= |types| cells
     "top_flows",                # global top-k (TakeOrdered at execution)
     "trending_types",           # rank over <= |windows x types| rows
     "user_type_affinity",       # lift grid over <= |deciles x types| rows
