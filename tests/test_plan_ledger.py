@@ -220,3 +220,16 @@ def test_post_build_plannable_fingerprinted_and_diff_flags_change(
         for f in findings
     ), findings
     assert not any(f["query"] == "collectq" for f in findings)
+
+
+def test_recursive_plan_fingerprint_stable(spark):
+    """C166's UnionLoop plan must canonicalize stably: two fresh
+    builds (fresh expression ids, fresh loop/CTE ids) hash identically,
+    or every future ledger diff shows a spurious 'reshaped' on the
+    recursive query."""
+    from fiveg_spark.operators.graph import trade_reach_hops
+
+    f1 = plan_fingerprint(trade_reach_hops(spark, c.SF_DIR))
+    f2 = plan_fingerprint(trade_reach_hops(spark, c.SF_DIR))
+    assert f1 == f2
+    assert not f1["has_cartesian"]
