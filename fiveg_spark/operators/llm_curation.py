@@ -857,3 +857,72 @@ def _doc_chunk_sql(d: str) -> str:
 QUERIES.append(
     sql_backed("doc_chunk_stats", _doc_chunk_sql, ("documents",))
 )
+
+
+PACK_BUDGET = 300  # chars per sentence-aligned chunk
+
+
+def _sentence_pack_sql(d: str) -> str:
+    # E134 — sentence-boundary-aligned chunk packing (the quality
+    # upgrade over E133's blind sliding window: RAG context quality
+    # degrades when a window cuts mid-sentence).  Sentences split on
+    # the E102 [.!?]+ convention, keep their in-doc ordinal, and pack
+    # greedily by the cumulative-offset binning trick the
+    # sequence_packing operator established: chunk = floor(chars
+    # BEFORE this sentence / budget), so a sentence spills into its
+    # starting chunk and fill can exceed 1.0 — deterministic, one
+    # window per doc, no iteration.  Per-source census certifies the
+    # split ↔ ordinal ↔ window ↔ binning chain across engines.
+    if d == "spark":
+        sents = f"""
+        SELECT source, doc_id, pos + 1 AS idx,
+               length(trim(s)) AS slen
+        FROM documents
+        LATERAL VIEW posexplode(split(text, '[.!?]+')) t AS pos, s
+        WHERE length(trim(s)) > 0
+        """
+    else:
+        sents = f"""
+        SELECT t.source, t.doc_id, r.u.i AS idx,
+               length(trim(r.u.s)) AS slen
+        FROM documents t,
+             unnest(list_transform(
+               string_split_regex(t.text, '[.!?]+'),
+               (x, i) -> {{'s': x, 'i': i}}
+             )) AS r(u)
+        WHERE length(trim(r.u.s)) > 0
+        """
+    return f"""
+    WITH sents AS ({sents}),
+    packed AS (
+      SELECT source, doc_id, slen,
+        CAST(floor((sum(slen) OVER (
+          PARTITION BY doc_id ORDER BY idx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) - slen) / {PACK_BUDGET}.0) AS BIGINT) AS chunk_id
+      FROM sents
+    ),
+    chunks AS (
+      SELECT source, doc_id, chunk_id,
+        count(*) AS n_sents, sum(slen) AS chars
+      FROM packed GROUP BY source, doc_id, chunk_id
+    )
+    SELECT
+      source,
+      {cnt("count(DISTINCT doc_id)", "n_docs")},
+      {cnt("count(*)", "n_chunks")},
+      {cnt("sum(n_sents)", "n_sentences")},
+      {dbl("avg(chars)", "mean_chunk_chars")},
+      {cnt("max(n_sents)", "max_sents_per_chunk")},
+      {cnt("sum(CASE WHEN chars > " + str(PACK_BUDGET) +
+           " THEN 1 ELSE 0 END)", "n_over_budget")}
+    FROM chunks
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+QUERIES.append(
+    sql_backed("sentence_pack_chunks", _sentence_pack_sql, ("documents",),
+               deferred=True)
+)
