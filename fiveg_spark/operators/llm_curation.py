@@ -926,3 +926,56 @@ QUERIES.append(
     sql_backed("sentence_pack_chunks", _sentence_pack_sql, ("documents",),
                deferred=True)
 )
+
+
+def _chunk_dedup_sql(d: str) -> str:
+    # E135 — duplicate-chunk census at E133's chunk grain: whole-doc
+    # dedup (E1/E2) misses the boilerplate PARAGRAPH repeated across
+    # otherwise-unique pages — the dominant residual duplication in web
+    # corpora (Lee et al. 2022 measure it at the 50-token span grain;
+    # the 200-char window is this engine's equivalent).  Chunks from
+    # the same stride explode as E133, keyed by md5 (content hash, both
+    # engines produce identical hex for identical bytes), censused per
+    # source: how many chunks, how many are copies of a chunk seen
+    # anywhere in the corpus, the dup mass, and the single most-shared
+    # chunk's multiplicity.  One explode → one (hash) hash-agg → one
+    # broadcast-size join-back of the ≤|dup hashes| frame.
+    if d == "spark":
+        starts = (
+            "SELECT doc_id, source, text, "
+            f"explode(sequence(1, CAST(greatest(length(text), 1) AS INT),"
+            f" {CHUNK_S})) AS start FROM documents"
+        )
+    else:
+        starts = (
+            "SELECT doc_id, source, text, "
+            f"unnest(generate_series(1, greatest(length(text), 1),"
+            f" {CHUNK_S})) AS start FROM documents"
+        )
+    return f"""
+    WITH chunks AS (
+      SELECT doc_id, source,
+             md5(substring(text, start, {CHUNK_W})) AS h
+      FROM ({starts}) s
+    ),
+    freq AS (
+      SELECT h, count(*) AS n FROM chunks GROUP BY h
+    )
+    SELECT
+      c.source,
+      {cnt("count(*)", "n_chunks")},
+      {cnt("count(DISTINCT c.h)", "n_distinct_chunks")},
+      {cnt("sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)", "n_dup_chunks")},
+      {dbl("sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)"
+           " / CAST(count(*) AS DOUBLE)", "dup_ratio")},
+      {cnt("max(f.n)", "max_multiplicity")}
+    FROM chunks c JOIN freq f ON f.h = c.h
+    GROUP BY c.source
+    ORDER BY c.source
+    """
+
+
+QUERIES.append(
+    sql_backed("chunk_dedup_census", _chunk_dedup_sql, ("documents",),
+               deferred=True)
+)
