@@ -2000,3 +2000,90 @@ def _state_read_oracle() -> str:
 QUERIES.append(
     Query("state_store_read_parity", _state_read_run, _state_read_oracle())
 )
+
+
+def _state_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B38 certified: the statestore reader over a SECOND store type —
+    streaming dropDuplicates state (bare key rows, NULL value struct;
+    B37 covered the aggregation store).  The dedup keys physically
+    retained by the state store after an availableNow pass over the
+    corpus must equal DuckDB's distinct census — certifying the
+    reader's key-struct flattening on a valueless store.  Keys are
+    (event_type, user band); no watermark is set, so within the single
+    replay batch every key survives and the census is exact."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as _F
+
+    from fiveg_spark.streaming.state_inspect import read_operator_state
+
+    scratch = _scratch()
+    ckpt = os.path.join(scratch, "ckpt")
+    qname = f"state_dedup_{_uuid.uuid4().hex[:8]}"
+    try:
+        ensure_views(spark, ("events",), sf_dir)
+        src = os.path.join(scratch, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, ts TIMESTAMP, user_id LONG,"
+                " event_type STRING, value DOUBLE, props STRING"
+            )
+            .parquet(src)
+            .withColumn("band", _F.pmod(_F.col("user_id"), _F.lit(10)))
+            .select("event_type", "band")
+        )
+        q = (
+            stream.dropDuplicates(["event_type", "band"])
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        st = read_operator_state(spark, ckpt, operator_id=0)
+        out = (
+            st.groupBy("event_type")
+            .agg(
+                _F.expr("CAST(count(*) AS BIGINT)").alias("n_bands"),
+                _F.expr("CAST(min(band) AS BIGINT)").alias("min_band"),
+                _F.expr("CAST(max(band) AS BIGINT)").alias("max_band"),
+            )
+            .orderBy("event_type")
+        )
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows,
+            "event_type STRING, n_bands LONG, min_band LONG, max_band LONG",
+        )
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _state_dedup_oracle() -> str:
+    return """
+    WITH pairs AS (
+      SELECT DISTINCT event_type, user_id % 10 AS band FROM events
+    )
+    SELECT
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_bands,
+      CAST(min(band) AS BIGINT) AS min_band,
+      CAST(max(band) AS BIGINT) AS max_band
+    FROM pairs
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+QUERIES.append(
+    Query("state_dedup_read_parity", _state_dedup_run,
+          _state_dedup_oracle(), deferred=True)
+)

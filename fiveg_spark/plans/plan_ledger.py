@@ -96,7 +96,7 @@ PLAN_BUILD_EXECUTES = frozenset({
     "snapshot_vacuum_audit", "table_health_audit",
     "training_shard_layout_parity", "partitioned_sink_parity",
     "stream_index_store_parity", "stream_ewma_anomaly_parity",
-    "state_store_read_parity",
+    "state_store_read_parity", "state_dedup_read_parity",
 })
 
 # The subset of PLAN_BUILD_EXECUTES whose run() RETURNS a real
