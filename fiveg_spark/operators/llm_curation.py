@@ -952,26 +952,35 @@ def _chunk_dedup_sql(d: str) -> str:
             f"unnest(generate_series(1, greatest(length(text), 1),"
             f" {CHUNK_S})) AS start FROM documents"
         )
+    # ONE corpus scan: per-(source, hash) counts reduce first, the
+    # global multiplicity arrives as a window over the REDUCED frame
+    # (partition by h — bounded by |distinct chunks|, never raw rows),
+    # and no join rematerializes the explode (the chunks-CTE-join
+    # draft inlined in Spark and scanned the corpus twice — the r3
+    # minhash disease at 2×, caught by its own ledger fingerprint).
     return f"""
-    WITH chunks AS (
-      SELECT doc_id, source,
-             md5(substring(text, start, {CHUNK_W})) AS h
+    WITH cells AS (
+      SELECT source, md5(substring(text, start, {CHUNK_W})) AS h,
+             count(*) AS c
       FROM ({starts}) s
+      GROUP BY source, md5(substring(text, start, {CHUNK_W}))
     ),
-    freq AS (
-      SELECT h, count(*) AS n FROM chunks GROUP BY h
+    enriched AS (
+      SELECT source, h, c,
+             sum(c) OVER (PARTITION BY h) AS n
+      FROM cells
     )
     SELECT
-      c.source,
-      {cnt("count(*)", "n_chunks")},
-      {cnt("count(DISTINCT c.h)", "n_distinct_chunks")},
-      {cnt("sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)", "n_dup_chunks")},
-      {dbl("sum(CASE WHEN f.n > 1 THEN 1 ELSE 0 END)"
-           " / CAST(count(*) AS DOUBLE)", "dup_ratio")},
-      {cnt("max(f.n)", "max_multiplicity")}
-    FROM chunks c JOIN freq f ON f.h = c.h
-    GROUP BY c.source
-    ORDER BY c.source
+      source,
+      {cnt("sum(c)", "n_chunks")},
+      {cnt("count(*)", "n_distinct_chunks")},
+      {cnt("sum(CASE WHEN n > 1 THEN c ELSE 0 END)", "n_dup_chunks")},
+      {dbl("sum(CASE WHEN n > 1 THEN c ELSE 0 END)"
+           " / CAST(sum(c) AS DOUBLE)", "dup_ratio")},
+      {cnt("max(n)", "max_multiplicity")}
+    FROM enriched
+    GROUP BY source
+    ORDER BY source
     """
 
 
