@@ -923,8 +923,7 @@ def _sentence_pack_sql(d: str) -> str:
 
 
 QUERIES.append(
-    sql_backed("sentence_pack_chunks", _sentence_pack_sql, ("documents",),
-               deferred=True)
+    sql_backed("sentence_pack_chunks", _sentence_pack_sql, ("documents",))
 )
 
 
@@ -985,6 +984,5 @@ def _chunk_dedup_sql(d: str) -> str:
 
 
 QUERIES.append(
-    sql_backed("chunk_dedup_census", _chunk_dedup_sql, ("documents",),
-               deferred=True)
+    sql_backed("chunk_dedup_census", _chunk_dedup_sql, ("documents",))
 )

@@ -2085,5 +2085,5 @@ def _state_dedup_oracle() -> str:
 
 QUERIES.append(
     Query("state_dedup_read_parity", _state_dedup_run,
-          _state_dedup_oracle(), deferred=True)
+          _state_dedup_oracle())
 )
