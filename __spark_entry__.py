@@ -58,8 +58,9 @@ from fiveg_spark.operators import embedding_geometry as _emb_geo
 from fiveg_spark.operators import pcap_parity as _pcap_parity
 from fiveg_spark.operators import media_parity as _media_parity
 from fiveg_spark.operators import engine_native as _engine_native
+from fiveg_spark.operators import chunk_dedup as _chunk_dedup
 
-_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _tdigest, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _ml_cert, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _ann_recall, _ann_retrieval, _graph, _lateness, _stream_parity, _artifacts, _supply, _engage, _stats_tests, _emb_geo, _pcap_parity, _media_parity, _engine_native)
+_MODULES = (_flows, _timeseries, _ts_diag, _ts_adv, _llm_cur, _tpch, _tpch_deep, _analytics_ext, _curation, _sketches, _tdigest, _rel_ext, _asof, _quality, _dedup, _text, _text_stats, _stats_assoc, _behavior, _rollup_stats, _semdedup, _similarity, _ml, _ml_cert, _mllib, _simhash, _ann, _ann_ivf, _ann_pq, _ann_recall, _ann_retrieval, _graph, _lateness, _stream_parity, _artifacts, _supply, _engage, _stats_tests, _emb_geo, _pcap_parity, _media_parity, _engine_native, _chunk_dedup)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -78,22 +79,33 @@ def _load_certified() -> frozenset[str]:
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    names: set[str] = set()
+    json_names: set[str] = set()
     path = os.path.join(root, "driver_certified.json")
     try:
         with open(path) as f:
-            names.update(json.load(f))
+            json_names.update(json.load(f))
     except (FileNotFoundError, ValueError):
         pass
-    # Self-healing union (r11 verdict "What's wrong" #1): across the round
-    # boundary a fresh CORRECTNESS_r*.json lands before anyone reruns
+    # Self-healing live scan (r11 verdict "What's wrong" #1): across the
+    # round boundary a fresh CORRECTNESS_r*.json lands before anyone reruns
     # tools/update_certified.py, so the JSON alone goes stale and the
     # window would re-stamp already-green queries.  Scanning the (small)
     # CORRECTNESS files live makes staleness harmless; the JSON stays as
-    # the committed record.
-    for cpath in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+    # the committed record.  Latest-round-wins (r12 advice): a query's
+    # status comes from the HIGHEST round that mentions it, so a green-in-r5
+    # but regressed-in-r12 query re-enters the window for re-verification
+    # instead of hiding behind its old stamp.
+    def round_of(p: str) -> int:
+        m = re.search(r"_r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    latest: dict[str, bool] = {}
+    for cpath in sorted(
+        glob.glob(os.path.join(root, "CORRECTNESS_r*.json")), key=round_of
+    ):
         try:
             with open(cpath) as f:
                 data = json.load(f)
@@ -101,8 +113,12 @@ def _load_certified() -> frozenset[str]:
             continue
         if isinstance(data, dict):
             for name, res in data.items():
-                if isinstance(res, dict) and res.get("hash_match"):
-                    names.add(name)
+                if isinstance(res, dict) and "hash_match" in res:
+                    latest[name] = bool(res.get("hash_match"))
+    names = {name for name, ok in latest.items() if ok}
+    # JSON-only names (never mentioned in a live CORRECTNESS file — e.g.
+    # record files trimmed) keep their committed status.
+    names |= json_names - set(latest)
     return frozenset(names)
 
 

@@ -1378,3 +1378,98 @@ QUERIES.append(
     Query("partitioned_sink_parity", _partitioned_sink_run,
           _partitioned_sink_oracle())
 )
+
+
+def _stream_agg_merge_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40 certified: an incrementally-MERGE-maintained aggregate table
+    (streaming/agg_sink.py) — three deterministic order slices land as
+    pinned-mtime parquet files, a maxFilesPerTrigger=1 availableNow
+    stream folds each micro-batch's partial (count, sum) into the
+    versioned store through foreachBatch, and the final table read-back
+    must equal the one-shot GROUP BY the oracle computes directly.  The
+    merge algebra (decomposable partial fold), the snapshot/manifest
+    atomicity, and the per-epoch replay ledger are what's under test;
+    the oracle never sees any of it.  avg derives at read time from
+    the maintained sums — stored ratios cannot merge."""
+    import os
+
+    from fiveg_spark.streaming import agg_sink
+
+    root = _scratch()
+    path = os.path.join(root, "orders_agg")
+    src = os.path.join(root, "slices")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(src)
+    try:
+        ensure_views(spark, ("orders",), sf_dir)
+        agg_sink.init_agg_store(spark, path, ["status"], ["price"])
+
+        for i, residue in enumerate((1, 2, 3)):
+            stage = os.path.join(src, f"_stage_{i}")
+            spark.sql(
+                "SELECT o_orderstatus AS status, o_totalprice AS price"
+                f" FROM orders WHERE o_orderkey % 10 = {residue}"
+            ).coalesce(1).write.parquet(stage)
+            (part,) = [f for f in os.listdir(stage)
+                       if f.endswith(".parquet")]
+            dst = os.path.join(src, f"slice_{i}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            t = 1_000_000_000 + 100 * i
+            os.utime(dst, (t, t))
+
+        rows = (
+            spark.readStream
+            .schema("status STRING, price DOUBLE")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = agg_sink.attach_agg_sink(rows, path, ckpt, "r13cert").trigger(
+            availableNow=True).start()
+        q.awaitTermination(300)
+
+        out = (
+            agg_sink.read_agg_table(spark, path)
+            .select(
+                "status",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.expr(
+                    "CAST(round(coalesce(sum_price, 0.0) / 1e6 + 1e-9, 4)"
+                    " + 0.0 AS DOUBLE)"
+                ).alias("sum_price_m"),
+                F.expr(
+                    "CAST(round(coalesce(sum_price, 0.0) / n_rows / 1e3"
+                    " + 1e-9, 4) + 0.0 AS DOUBLE)"
+                ).alias("avg_price_k"),
+            )
+            .orderBy("status")
+        )
+        return _collected(
+            spark, out,
+            "status STRING, n_rows LONG, sum_price_m DOUBLE,"
+            " avg_price_k DOUBLE",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _stream_agg_merge_oracle() -> str:
+    return """
+    SELECT
+      o_orderstatus AS status,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(round(coalesce(sum(o_totalprice), 0.0) / 1e6 + 1e-9, 4) + 0.0
+           AS DOUBLE) AS sum_price_m,
+      CAST(round(coalesce(sum(o_totalprice), 0.0) / count(*) / 1e3
+                 + 1e-9, 4) + 0.0 AS DOUBLE) AS avg_price_k
+    FROM orders
+    WHERE o_orderkey % 10 IN (1, 2, 3)
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """
+
+
+QUERIES.append(
+    Query("stream_agg_merge_parity", _stream_agg_merge_run,
+          _stream_agg_merge_oracle())
+)

@@ -1,9 +1,9 @@
 """Spark 4.1 engine-native SQL surface, certified against classical
-recomputations (SURVEY §2 C171-C173): ordered LISTAGG, the
+recomputations (SURVEY §2 C177-C179, né C171-C173): ordered LISTAGG, the
 ``variant_explode`` table-valued function over VARIANT payloads, and
 ``from_xml`` schema-on-read ingestion.
 
-Same doctrine as C167-C170 (collation / pipe syntax / native
+Same doctrine as C180-C183 (né C167-C170) (collation / pipe syntax / native
 sketches): every NEW engine mechanism earns an oracle row where DuckDB
 reaches the identical result through the classical mechanism —
 ``string_agg`` with ORDER BY, plain JSON path extraction, and a
@@ -71,7 +71,7 @@ def _listagg_paths_sql(d: str) -> str:
 
 
 def _variant_explode_sql(d: str) -> str:
-    # C172 — the variant_explode TVF: a two-key VARIANT object is
+    # C178 (né C172) — the variant_explode TVF: a two-key VARIANT object is
     # synthesized from integer columns ('u' = user_id, 'e' = event_id),
     # exploded into (pos, key, value) rows by the engine's variant
     # traversal, and re-aggregated per key.  The oracle recomputes the
@@ -120,7 +120,7 @@ def _variant_explode_sql(d: str) -> str:
 
 
 def _xml_ingest_sql(d: str) -> str:
-    # C173 — from_xml schema-on-read: XML documents synthesized from
+    # C179 (né C173) — from_xml schema-on-read: XML documents synthesized from
     # the event columns round-trip through Spark's XML parser (element
     # extraction, typed fields, a MISSING element reading as NULL for
     # odd event_ids) and re-aggregate to the closed form the oracle
@@ -170,7 +170,7 @@ QUERIES = [
 
 
 def _sql_udf_pvalue_run(spark, sf_dir):
-    """C174: SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN
+    """C176 (né C174): SQL-defined functions (Spark 4 `CREATE FUNCTION ... RETURN
     expr`) certified through the p-value layer — Φ is DECLARED ONCE as
     a named SQL UDF (the erf-free A&S 26.2.17 text from
     functions/stats.py) and every per-type mean-shift p-value resolves

@@ -18,6 +18,8 @@ identical cluster roots (min-id is algorithm-independent).
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -26,10 +28,21 @@ from fiveg_spark.plans.registry import Query, cnt, ensure_views
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) edge list → (node, component) with component = min
-    node id in the connected component."""
+    node id in the connected component.
+
+    Converges early: each round already materializes the label frame
+    (lineage truncation), so the changed-label count is one cheap
+    aggregate on it, and label propagation + pointer doubling stabilize
+    in O(log diameter) rounds — the loop exits then instead of running
+    all ``max_iter`` joined rounds.  Pass ``stats`` to observe
+    ``stats["rounds"]`` (tests pin the early exit with it)."""
     sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").union(
         edges.selectExpr(f"{dst} AS a", f"{src} AS b")
     )
@@ -38,7 +51,9 @@ def connected_components(
     sym = sym.localCheckpoint()
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("component", F.col("node"))
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = (
             sym.join(labels, sym["a"] == labels["node"])
             .groupBy(F.col("b").alias("node"))
@@ -80,6 +95,8 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels
 
 
@@ -343,7 +360,7 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# C166 — recursive-CTE BFS reach over the thresholded trade graph
+# C184 (né C166) — recursive-CTE BFS reach over the thresholded trade graph
 # (Spark 4's WITH RECURSIVE: the first ITERATIVE query the engine runs
 # natively in SQL instead of a driver-side loop)
 # --------------------------------------------------------------------------
@@ -409,7 +426,7 @@ def _reach_tail(edges_rel: str) -> str:
 
 
 def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C166: hop distance (≤4) from the lexicographic-min trading
+    """C184: hop distance (≤4) from the lexicographic-min trading
     nation over mean-thresholded trade edges, computed by Spark's
     NATIVE recursive CTE (UnionLoop execution).  The edge frame — the
     only fact-scale work — materializes ONCE via localCheckpoint, so
@@ -421,8 +438,18 @@ def trade_reach_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_views(spark, ("customer", "nation", "orders", "lineitem",
                          "supplier"), sf_dir)
     edges = spark.sql(_REACH_EDGES_SQL).localCheckpoint()
-    edges.createOrReplaceTempView("_mz_reach_edges")
-    return spark.sql(_reach_tail("_mz_reach_edges"))
+    # Per-run unique view name, dropped immediately after analysis (r12
+    # advice: a fixed name silently overwrote concurrent runs and the view
+    # leaked for the session's lifetime).  spark.sql analyzes eagerly, so
+    # the returned frame keeps its resolved plan after the drop; the
+    # checkpointed blocks are reclaimed by the ContextCleaner once the
+    # caller releases the frame.
+    view = f"_mz_reach_edges_{uuid.uuid4().hex}"
+    edges.createOrReplaceTempView(view)
+    try:
+        return spark.sql(_reach_tail(view))
+    finally:
+        spark.catalog.dropTempView(view)
 
 
 def _trade_reach_oracle() -> str:

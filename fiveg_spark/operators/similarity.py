@@ -1361,6 +1361,98 @@ def _quant_component_clip_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [("_mz_qcc_exp", exp_sql), ("_mz_qcc_agg", agg_sql)], tail
 
 
+def _int8_scored_sql(d: str) -> str:
+    """One embeddings scan producing BOTH similarity channels per
+    candidate: exact float cosine and the cosine computed entirely in
+    the dequantized uint8 domain (E27's per-vector scheme — explicit
+    half-up floor, s=0 guard — applied to candidates AND the query
+    vector).  Rounded to the 4-decimal grid here so the top-k cut
+    downstream is deterministic in both engines."""
+    if d == "spark":
+        arr = "CAST(embedding AS ARRAY<DOUBLE>)"
+        mn, mx = "array_min(arr)", "array_max(arr)"
+        deq = (
+            "transform(arr, x -> mn +"
+            " CAST(floor((x - mn) / s + 0.5) AS BIGINT) * s)"
+        )
+    else:
+        arr = "CAST(embedding AS DOUBLE[])"
+        mn, mx = "list_min(arr)", "list_max(arr)"
+        deq = (
+            "list_transform(arr, x -> mn +"
+            " CAST(floor((x - mn) / s + 0.5) AS BIGINT) * s)"
+        )
+    cos_f = _cos(d, "e.arr", "q.qf")
+    cos_q = _cos(d, "e.qarr", "q.qq")
+    return f"""
+    WITH base AS (
+      SELECT vec_id, {arr} AS arr FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, arr, {mn} AS mn,
+        CASE WHEN {mx} = {mn} THEN 1.0 ELSE ({mx} - {mn}) / 255.0 END AS s
+      FROM base
+    ),
+    deq AS (
+      SELECT vec_id, arr, {deq} AS qarr FROM scaled
+    ),
+    q AS (
+      SELECT arr AS qf, qarr AS qq FROM deq WHERE vec_id = 0
+    )
+    SELECT
+      e.vec_id,
+      {dbl(cos_f, "cos_float")},
+      {dbl(cos_q, "cos_quant")}
+    FROM deq e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    """
+
+
+def _int8_ann_recall_parts(d: str) -> tuple[list[tuple[str, str]], str]:
+    # E138 — does retrieval quality SURVIVE uint8 quantization?  The
+    # r12 verdict's composition ask: E27 (quantization) feeds the E6
+    # brute-force ranking and the top-k overlap against the exact float
+    # ranking is measured END-TO-END.  Unlike the ann_* boolean rows,
+    # EVERY column here is value-certified: the quantize→dequantize→
+    # cosine chain is closed-form two-dialect SQL, so both engines
+    # compute identical rounded scores, identical top-k cuts, identical
+    # recall — a divergence pinpoints the engine, not sketch luck.
+    #
+    # Scale: ONE corpus scan (the scored frame materializes once, both
+    # top-k cuts and the error profile read it); each cut is ORDER BY +
+    # LIMIT = TakeOrdered, no global sort, no window.
+    tail = f"""
+    WITH topf AS (
+      SELECT vec_id FROM _mz_i8r_scored
+      ORDER BY cos_float DESC, vec_id LIMIT {KNN_K}
+    ),
+    topq AS (
+      SELECT vec_id FROM _mz_i8r_scored
+      ORDER BY cos_quant DESC, vec_id LIMIT {KNN_K}
+    ),
+    h AS (
+      SELECT count(*) AS n FROM topf JOIN topq USING (vec_id)
+    ),
+    err AS (
+      SELECT
+        count(*) AS n_cand,
+        avg(abs(cos_float - cos_quant)) AS mae,
+        max(abs(cos_float - cos_quant)) AS maxe
+      FROM _mz_i8r_scored
+    )
+    SELECT
+      {cnt(str(KNN_K), "k")},
+      {cnt("err.n_cand", "n_candidates")},
+      {cnt("h.n", "n_hits")},
+      {dbl(f"h.n / {KNN_K}.0", "recall")},
+      {dbl("err.mae", "mean_abs_cos_err")},
+      {dbl("err.maxe", "max_abs_cos_err")},
+      h.n / {KNN_K}.0 >= 0.5 AS recall_ok
+    FROM h CROSS JOIN err
+    """
+    return [("_mz_i8r_scored", _int8_scored_sql(d))], tail
+
+
 QUERIES = [
     sql_backed("knn_bruteforce", _knn_sql, ("embeddings",)),
     materialized_backed("embedding_outlier_docs", _outlier_docs_parts, ("embeddings",)),
@@ -1411,4 +1503,7 @@ QUERIES = [
     # new r11, deferred (r12 pre-fill)
     materialized_backed("quantization_component_clip_eval",
                         _quant_component_clip_parts, ("embeddings",)),
+    # new r13: E138 — quantized-domain retrieval recall, end-to-end
+    materialized_backed("int8_ann_recall", _int8_ann_recall_parts,
+                        ("embeddings",)),
 ]

@@ -482,14 +482,14 @@ QUERIES = [
 
 
 # --------------------------------------------------------------------------
-# C168/C169 — Spark 4.1's NATIVE DataSketches surface: approx_top_k and
+# C181/C182 (né C168/C169) — Spark 4.1's NATIVE DataSketches surface: approx_top_k and
 # the theta family as built-in aggregates (the engine-level twins of the
 # repo's portable KMV/Misra-Gries constructions).
 # --------------------------------------------------------------------------
 
 
 def _native_topk_run(spark, sf_dir):
-    """C168: `approx_top_k` in its exact regime — with maxItemsTracked
+    """C181: `approx_top_k` in its exact regime — with maxItemsTracked
     (default 10000) above the column's true cardinality the sketch
     degenerates to exact counting, so the unnested (item, count) rows
     must equal DuckDB's exact GROUP BY top-k row-for-row.  k=10 exceeds
@@ -517,7 +517,7 @@ _NATIVE_TOPK_ORACLE = """
 
 
 def _native_theta_run(spark, sf_dir):
-    """C169: the theta-sketch family as built-ins — per-type
+    """C182: the theta-sketch family as built-ins — per-type
     `theta_sketch_agg(user_id)` estimates, merged corpus-wide with
     `theta_union_agg` (the mergeable-rollup property C32 demonstrates
     portably with HLL, here on the engine's own Compressed-V2 theta

@@ -2087,3 +2087,110 @@ QUERIES.append(
     Query("state_dedup_read_parity", _state_dedup_run,
           _state_dedup_oracle())
 )
+
+
+def _stream_chunk_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39 certified (r12 verdict item 2d): STREAMING chunk dedup —
+    the corpus streams through the E133 stride explode, chunks key by
+    (source, md5) and dedup via ``dropDuplicatesWithinWatermark`` (the
+    Spark 3.5+ operator whose state GC is driven by the watermark
+    instead of growing forever like plain dropDuplicates), and BOTH
+    visible surfaces must equal DuckDB's distinct-chunk census:
+
+    - the EMITTED rows (one per first-seen key — the dedup output), and
+    - the PHYSICAL state rows read back through the B38 statestore
+      reader (key struct + expiresAtMicros value — the third store
+      type the reader is certified on: aggregation B37, bare-key
+      dedup B38, now keyed-expiry dedup).
+
+    A constant event time far inside the 1-day delay keeps every key
+    live through the single availableNow pass, so the census is exact;
+    the WATERMARK semantics themselves (expiry GC across batches) are
+    pinned by tests/test_state_inspect.py at controlled timestamps."""
+    import os
+    import uuid as _uuid
+
+    from fiveg_spark.streaming.state_inspect import read_operator_state
+
+    scratch = _scratch()
+    ckpt = os.path.join(scratch, "ckpt")
+    qname = f"chunk_dedup_{_uuid.uuid4().hex[:8]}"
+    try:
+        ensure_views(spark, ("documents",), sf_dir)
+        src = os.path.join(scratch, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(src, "documents.parquet"),
+        )
+        schema = spark.read.parquet(
+            os.path.join(src, "documents.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema).parquet(src)
+            .selectExpr(
+                "source", "text",
+                "explode(sequence(1, CAST(greatest(length(text), 1)"
+                " AS INT), 150)) AS start",
+            )
+            .selectExpr(
+                "source", "md5(substring(text, start, 200)) AS h",
+                "timestamp'2026-01-01 00:00:00' AS ts",
+            )
+            .withWatermark("ts", "1 day")
+        )
+        q = (
+            stream.dropDuplicatesWithinWatermark(["source", "h"])
+            .writeStream.format("memory").queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = (
+            spark.table(qname)
+            .groupBy("source")
+            .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_emitted"))
+        )
+        state = (
+            read_operator_state(spark, ckpt, operator_id=0)
+            .groupBy("source")
+            .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_state_keys"))
+        )
+        out = emitted.join(state, "source").orderBy("source")
+        rows = [tuple(r) for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "source STRING, n_emitted LONG, n_state_keys LONG"
+        )
+    finally:
+        spark.catalog.dropTempView(qname)
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def _stream_chunk_dedup_oracle() -> str:
+    return """
+    WITH cells AS (
+      SELECT DISTINCT source,
+        md5(substring(text, start, 200)) AS h
+      FROM (
+        SELECT source, text,
+          unnest(generate_series(1, greatest(length(text), 1), 150))
+            AS start
+        FROM documents
+      ) s
+    )
+    SELECT
+      source,
+      CAST(count(*) AS BIGINT) AS n_emitted,
+      CAST(count(*) AS BIGINT) AS n_state_keys
+    FROM cells
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+QUERIES.append(
+    Query("stream_chunk_dedup_parity", _stream_chunk_dedup_run,
+          _stream_chunk_dedup_oracle())
+)

@@ -1215,7 +1215,7 @@ QUERIES.extend([
 
 
 def _collated_mix_sql(d: str) -> str:
-    # C167 — case-insensitive analytics via Spark 4 COLLATIONS: the
+    # C183 (né C167) — case-insensitive analytics via Spark 4 COLLATIONS: the
     # query synthesizes a case-mangled event-type column (upper for
     # even event_ids — the dirty-ingest reality collations exist for),
     # then groups under UTF8_LCASE so 'CLICK' and 'click' are ONE group
@@ -1256,7 +1256,7 @@ QUERIES.append(
 
 
 def _pipe_syntax_sql(d: str) -> str:
-    # C170 — Spark 4's SQL PIPE syntax certified semantically: the
+    # C180 (né C170) — Spark 4's SQL PIPE syntax certified semantically: the
     # Spark side expresses a 5-stage pipeline with |> operators
     # (EXTEND → WHERE → AGGREGATE..GROUP BY → post-agg WHERE → ORDER),
     # the oracle the same pipeline as classical nested SQL — the two

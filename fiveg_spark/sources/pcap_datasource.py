@@ -149,32 +149,49 @@ class PcapStreamReader(DataSourceStreamReader):
     Within ONE directory the rotation convention still holds — files
     land with monotonically increasing names and are never mutated in
     place (the reference's HDFS rotation, PcapKpiExtractor.scala's
-    continuous ingest loop assumes the same) — but a violation now
-    FAILS LOUDLY: the stored ``n`` is cross-checked against the count
-    of files at-or-below the watermark, so an out-of-order landing
-    raises :class:`PcapNonMonotonicLanding` instead of silently
-    re-reading committed files and skipping the newcomer."""
+    continuous ingest loop assumes the same) — but a violation FAILS
+    LOUDLY: v3 offsets persist each directory's processed NAME SET
+    (the FileStreamSource seen-files discipline), so any name found
+    at-or-below the watermark that the commit never saw raises
+    :class:`PcapNonMonotonicLanding` — exactly, even when retention
+    deletions in the same restart gap keep the file COUNT unchanged
+    (the v2 count-only audit's documented blind spot).  Deleting
+    already-processed captures (retention pruning) stays tolerated."""
 
     def __init__(self, options: dict):
         self._batch = PcapReader(options)
 
     def _marks(self) -> dict:
-        """Current per-directory watermarks from a fresh listing."""
+        """Current per-directory watermarks from a fresh listing.
+
+        v3 (r12 advice): alongside ``(last, n)`` each mark carries the
+        sorted ``names`` list itself, so a restart can distinguish
+        retention deletions (names vanished from the committed set —
+        tolerated) from out-of-order landings (names appeared that the
+        commit never saw — fail closed) even when both happen in the
+        same restart gap and the COUNT nets out unchanged.  Persisting
+        the processed-file set in the checkpoint is exactly what
+        Spark's built-in FileStreamSource does (its seen-files metadata
+        log); a capture directory under rotation holds a bounded file
+        count, so the offset stays small."""
         dirs: dict[str, dict] = {}
         for path in self._batch._files():
             d = os.path.dirname(path)
             name = os.path.basename(path)
-            m = dirs.setdefault(d, {"last": name, "n": 0})
+            m = dirs.setdefault(d, {"last": name, "n": 0, "names": []})
             m["n"] += 1
+            m["names"].append(name)
             if name > m["last"]:
                 m["last"] = name
+        for m in dirs.values():
+            m["names"].sort()
         return dirs
 
     def initialOffset(self) -> dict:  # noqa: N802 — API name
-        return {"v": 2, "dirs": {}}
+        return {"v": 3, "dirs": {}}
 
     def latestOffset(self) -> dict:  # noqa: N802 — API name
-        return {"v": 2, "dirs": self._marks()}
+        return {"v": 3, "dirs": self._marks()}
 
     @staticmethod
     def _migrate(offset: dict, files: list[str]) -> dict:
@@ -221,37 +238,43 @@ class PcapStreamReader(DataSourceStreamReader):
             names = sorted(os.path.basename(p) for p in by_dir.get(d, []))
             s = start["dirs"].get(d)
             lo = s["last"] if s is not None else ""
-            # monotonicity audit: the committed watermark promised
-            # exactly `n` files at-or-below `last`; a file that landed
-            # later with an earlier-sorting name breaks that count.
+            # monotonicity audit: v3 marks carry the committed NAME SET,
+            # so the check is exact set difference — a name at-or-below
+            # the watermark that the commit never saw is an out-of-order
+            # landing (fail closed) regardless of how many processed
+            # captures retention deleted in the same gap (the r12-advice
+            # fix for the v2 count-only residual, where deletion +
+            # landing could net below <= n and pass undetected).  v2/v1
+            # marks (no names) keep the count-only audit.
             for watermark in (s, mark):
                 if watermark is None:
                     continue
-                below = sum(1 for n in names if n <= watermark["last"])
-                if below > watermark["n"]:
-                    # MORE files at-or-below the watermark than were
-                    # committed: a new name sorted into the processed
-                    # prefix — the rotation convention was violated and
-                    # the file would be silently skipped.
+                below = [n for n in names if n <= watermark["last"]]
+                if "names" in watermark:
+                    landed = sorted(set(below) - set(watermark["names"]))
+                    if landed:
+                        raise PcapNonMonotonicLanding(
+                            f"{d}: capture(s) {landed} landed at-or-below "
+                            f"watermark {watermark['last']!r} after it was "
+                            "committed — out-of-filename-order landing "
+                            "(rotation convention violated); refusing to "
+                            "guess which files were processed"
+                        )
+                    # names missing from `below` are retention-pruned
+                    # processed captures: tolerated (r11 ADVICE).
+                elif len(below) > watermark["n"]:
+                    # v2 count-only fallback: MORE files at-or-below the
+                    # watermark than were committed — a new name sorted
+                    # into the processed prefix and would be skipped.
+                    # (below < n = deletion: tolerated, with the
+                    # documented blind spot v3's name set closes.)
                     raise PcapNonMonotonicLanding(
-                        f"{d}: {below} files at-or-below watermark "
+                        f"{d}: {len(below)} files at-or-below watermark "
                         f"{watermark['last']!r} but the offset committed "
                         f"{watermark['n']} — a capture landed out of "
                         "filename order (rotation convention violated); "
                         "refusing to guess which files were processed"
                     )
-                if below < watermark["n"]:
-                    # FEWER: already-processed captures were deleted
-                    # (routine retention pruning).  Nothing unprocessed
-                    # is at risk — the watermark name still fences the
-                    # processed prefix — so tolerate it rather than
-                    # poisoning every future restart (r11 ADVICE).
-                    # Residual: the offset stores (last, n), not the
-                    # name set, so a deletion happening TOGETHER with
-                    # an out-of-order landing in the same gap can net
-                    # below < n and pass; only count-increasing
-                    # violations are detectable from a count watermark.
-                    continue
             out.extend(
                 PcapFilePartition(os.path.join(d, n), infer_slice(os.path.join(d, n)))
                 for n in names

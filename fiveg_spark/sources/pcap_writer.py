@@ -29,12 +29,15 @@ Wire format written (and what round-trips):
   read back with the decoder's zero defaults.
 
 Commit protocol (the A21 artifact discipline): tasks write
-``.inprogress``-suffixed files and RENAME on task success (a crashed
-task leaves no readable .pcap); ``commit`` writes a JSON manifest of
+``.inprogress``-suffixed files and ship (tmp, final) pairs in their
+commit message; ``commit`` renames every temp to its final ``*.pcap``
+name ONLY after all tasks succeeded, then writes a JSON manifest of
 the committed files and — in overwrite mode — deletes exactly the
 pre-existing captures snapshotted at writer construction; ``abort``
-removes this write's files.  Readers glob ``*.pcap``, so in-progress
-and manifest files are invisible to them at every point.
+removes this write's temps.  A crashed task, or a driver crash before
+job commit, leaves only ``.inprogress`` temps — readers glob
+``*.pcap``, so partial output is invisible to them at every point
+(both batch and stream paths share this rename-on-commit shape).
 
 Scale: parallelism = #partitions (each task streams its rows once);
 route-by-slice means a ``df.repartition("slice_type")`` upstream gives
@@ -42,12 +45,14 @@ one file per slice per task set, and file count is bounded by
 partitions × live slices — the same file-granular unit the reader
 parallelizes over.
 
-Known caveat (both writers): a SPECULATIVE duplicate task attempt that
-succeeds after the primary renames its file would orphan a duplicate
-capture that readers' ``*.pcap`` glob picks up — the Python DataSource
-write API has no output-committer hook to fence it.  Run capture
-writes with ``spark.speculation=false`` (the default), or read through
-the commit manifests when speculation is on.
+Known caveat (speculation): the Python DataSource write API has no
+output-committer hook to fence a SPECULATIVE duplicate task attempt.
+With rename-on-commit both paths degrade safely — the losing attempt's
+temp is never shipped in a commit message, so it lingers only as an
+invisible ``.inprogress`` orphan (disk garbage, not a readable
+duplicate capture).  Run capture writes with
+``spark.speculation=false`` (the default) to avoid even the orphan, or
+sweep ``*.inprogress*`` temps older than the last manifest.
 """
 
 from __future__ import annotations
@@ -186,7 +191,12 @@ def _stream_rows_to_files(
 
 @dataclass
 class PcapCommitMessage(WriterCommitMessage):
-    files: list = field(default_factory=list)  # final (renamed) paths
+    # ordered (tmp_path, final_path) pairs — final naming happens at
+    # COMMIT on the driver, after every task succeeded (r12 advice: a
+    # task-side rename made partial output visible to readers' *.pcap
+    # glob if the driver crashed mid-job; the stream writer already
+    # deferred naming to commit(), the batch path now matches)
+    pending: list = field(default_factory=list)
     n_packets: int = 0
 
 
@@ -239,17 +249,23 @@ class PcapWriter(DataSourceWriter):
             self._root, iterator,
             lambda subdir: final_name(subdir) + ".inprogress",
         )
-        files = []
-        for subdir, tmp in by_subdir.items():
-            final = final_name(subdir)
-            os.replace(tmp, final)  # readable only once complete
-            files.append(final)
-        return PcapCommitMessage(files=sorted(files), n_packets=n)
+        pending = sorted(
+            (tmp, final_name(subdir)) for subdir, tmp in by_subdir.items()
+        )
+        return PcapCommitMessage(pending=pending, n_packets=n)
 
     def commit(self, messages) -> None:
-        committed = sorted(
-            f for m in messages if m is not None for f in m.files
-        )
+        # Rename-on-commit: no *.pcap becomes visible until EVERY task
+        # succeeded, so a mid-job driver crash (abort never runs) leaves
+        # only .inprogress temps, which readers' *.pcap glob ignores.
+        committed = []
+        for m in messages:
+            if m is None:
+                continue
+            for tmp, final in m.pending:
+                os.replace(tmp, final)
+                committed.append(final)
+        committed.sort()
         if self._overwrite:
             keep = set(committed)
             for old in self._preexisting:
@@ -276,9 +292,9 @@ class PcapWriter(DataSourceWriter):
         for m in messages:
             if m is None:
                 continue
-            for f in m.files:
+            for tmp, _final in m.pending:
                 try:
-                    os.remove(f)
+                    os.remove(tmp)
                 except OSError:
                     pass
 

@@ -207,6 +207,40 @@ def test_streaming_retention_deletion_tolerated(tmp_path):
     assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["c3.pcap"]
 
 
+def test_streaming_deletion_plus_landing_same_gap_fails_loudly(tmp_path):
+    """The v2 count audit's blind spot (r12 ADVICE): a retention
+    deletion AND an out-of-order landing in the same restart gap kept
+    the at-or-below count <= n, so the unprocessed newcomer was
+    silently skipped.  v3 offsets persist the processed NAME SET, so
+    the landing is detected exactly even when the count nets out."""
+    d = tmp_path / "embb"
+    d.mkdir()
+    for name, sport in (("c2.pcap", 1), ("c5.pcap", 2)):
+        (d / name).write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=sport)]))
+    r = PcapStreamReader({"path": str(tmp_path)})
+    committed = r.latestOffset()
+    (d / "c2.pcap").unlink()  # retention prunes a processed capture...
+    # ...and an UNPROCESSED capture lands below the watermark: the
+    # at-or-below count is back to 2 == committed n.
+    (d / "c3.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=3)]))
+    end = r.latestOffset()
+    with pytest.raises(PcapNonMonotonicLanding, match="c3.pcap"):
+        r.partitions(committed, end)
+
+
+def test_streaming_v2_count_offset_still_restarts(tmp_path):
+    """A v2 checkpoint ({last, n} without names) keeps working across
+    the v3 upgrade via the count-only audit fallback."""
+    d = tmp_path / "embb"
+    d.mkdir()
+    (d / "c1.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=1)]))
+    (d / "c2.pcap").write_bytes(_pcap_bytes([_ipv4_tcp_packet(sport=2)]))
+    r = PcapStreamReader({"path": str(tmp_path)})
+    v2 = {"v": 2, "dirs": {str(d): {"last": "c1.pcap", "n": 1}}}
+    parts = r.partitions(v2, r.latestOffset())
+    assert [p.path.rsplit("/", 1)[-1] for p in parts] == ["c2.pcap"]
+
+
 def test_streaming_legacy_index_offset_migrates(tmp_path):
     """A v1 checkpoint ({"index": N}) restarts against the new
     watermark offsets: the listing prefix rebuilds the marks —

@@ -17,21 +17,33 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "driver_certified.json")
 
 
+def _round_of(path: str) -> int:
+    m = re.search(r"_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+
 def certified_names() -> set[str]:
-    names: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+    """Latest-round-wins: a query's status is taken from the HIGHEST round
+    whose CORRECTNESS file mentions it (r12 advice: an any-round union kept
+    a regressed query certified forever, sinking it to the back of the
+    driver window instead of re-verifying the known regression)."""
+    latest: dict[str, bool] = {}
+    for path in sorted(
+        glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")), key=_round_of
+    ):
         with open(path) as f:
             data = json.load(f)
         for name, res in data.items():
-            if isinstance(res, dict) and res.get("hash_match"):
-                names.add(name)
-    return names
+            if isinstance(res, dict) and "hash_match" in res:
+                latest[name] = bool(res.get("hash_match"))
+    return {name for name, ok in latest.items() if ok}
 
 
 def main() -> int:
@@ -42,18 +54,27 @@ def main() -> int:
     except FileNotFoundError:
         current = set()
     missing = sorted(fresh - current)
+    regressed = sorted(current - fresh)
     if "--check" in sys.argv:
-        if missing:
-            print(f"STALE: {len(missing)} certified names not in {OUT}: {missing}")
+        if missing or regressed:
+            if missing:
+                print(f"STALE: {len(missing)} certified names not in {OUT}: {missing}")
+            if regressed:
+                print(
+                    f"STALE: {len(regressed)} names in {OUT} are not certified "
+                    f"at their latest round: {regressed}"
+                )
             return 1
         print(f"up to date ({len(current)} certified)")
         return 0
     with open(OUT, "w") as f:
-        json.dump(sorted(fresh | current), f, indent=0)
+        json.dump(sorted(fresh), f, indent=0)
         f.write("\n")
-    print(f"{OUT}: {len(current)} -> {len(fresh | current)} (+{len(missing)})")
+    print(f"{OUT}: {len(current)} -> {len(fresh)} (+{len(missing)} -{len(regressed)})")
     for name in missing:
         print(f"  + {name}")
+    for name in regressed:
+        print(f"  - {name}")
     return 0
 
 
