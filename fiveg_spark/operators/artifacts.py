@@ -44,6 +44,9 @@ def _scratch() -> str:
 
 
 def _collected(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
+    from fiveg_spark.plans.plan_ledger import note_precollect
+
+    note_precollect(df)  # ledger capture of the distributed pre-collect plan
     rows = [tuple(r) for r in df.collect()]
     return spark.createDataFrame(rows, schema)
 

@@ -267,3 +267,145 @@ QUERIES.append(
     Query("sql_udf_pvalue_mix", _sql_udf_pvalue_run,
           _sql_udf_pvalue_oracle())
 )
+
+
+def _regr_family_spark_sql() -> str:
+    # C185 — the SQL:2003 linear-regression aggregate family as Spark
+    # natives: regr_slope/intercept/r2/count/avgx/avgy of value vs
+    # hour-of-day per event type, every column resolved through the
+    # engine's own one-pass co-moment aggregates.
+    return f"""
+    WITH xy AS (
+      SELECT event_type,
+        CAST(extract(HOUR FROM ts) AS DOUBLE) AS x,
+        value AS y
+      FROM events
+    )
+    SELECT
+      event_type,
+      {cnt("regr_count(y, x)", "n")},
+      {dbl("regr_avgx(y, x)", "avg_x")},
+      {dbl("regr_avgy(y, x)", "avg_y")},
+      {dbl("regr_slope(y, x)", "slope")},
+      {dbl("regr_intercept(y, x)", "intercept")},
+      {dbl("regr_r2(y, x)", "r2")}
+    FROM xy
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+def _regr_family_oracle() -> str:
+    # the classical recomputation: decomposable sums only (no co-moment
+    # builtin on the oracle side — that is the point: two mechanisms,
+    # one certified answer).  r2 for simple linear regression is the
+    # squared Pearson correlation; degenerate variance guards mirror
+    # the natives' NULL -> 0.0 coalescing inside dbl().
+    sxx = "(n * sxx - sx * sx)"
+    syy = "(n * syy - sy * sy)"
+    sxy = "(n * sxy - sx * sy)"
+    return f"""
+    WITH xy AS (
+      SELECT event_type,
+        CAST(extract(HOUR FROM ts) AS DOUBLE) AS x,
+        value AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+        CAST(count(*) AS DOUBLE) AS n,
+        sum(x) AS sx, sum(y) AS sy,
+        sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM xy GROUP BY event_type
+    )
+    SELECT
+      event_type,
+      CAST(n AS BIGINT) AS n,
+      {dbl("sx / n", "avg_x")},
+      {dbl("sy / n", "avg_y")},
+      {dbl(f"CASE WHEN {sxx} = 0 THEN NULL ELSE {sxy} / {sxx} END",
+           "slope")},
+      {dbl(f"CASE WHEN {sxx} = 0 THEN NULL ELSE"
+           f" (sy - sx * {sxy} / {sxx}) / n END", "intercept")},
+      {dbl(f"CASE WHEN {sxx} = 0 OR {syy} = 0 THEN NULL ELSE"
+           f" ({sxy} * {sxy}) / ({sxx} * {syy}) END", "r2")}
+    FROM sums
+    ORDER BY event_type
+    """
+
+
+def _regr_family_run(spark, sf_dir):
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("events",), sf_dir)
+    return spark.sql(_regr_family_spark_sql())
+
+
+QUERIES.append(
+    Query("native_regr_family", _regr_family_run, _regr_family_oracle())
+)
+
+
+def _median_try_spark_sql() -> str:
+    # C186 — Spark's native `median` aggregate plus the try_* error-
+    # suppressing arithmetic family (`try_divide`, `try_add`) certified
+    # semantically: under the session's default ANSI mode a plain
+    # divide-by-zero THROWS, so try_divide's NULL-on-zero is a real
+    # semantic branch (not sugar), and try_add must pass finite sums
+    # through untouched.  The per-type zero-denominator census counts
+    # value-bucket collisions where (value - avg-bucket) nets zero.
+    return f"""
+    WITH base AS (
+      SELECT event_type, value,
+        CAST(user_id % 5 AS DOUBLE) - 2.0 AS denom
+      FROM events
+    )
+    SELECT
+      event_type,
+      {cnt("count(*)", "n")},
+      {dbl("median(value)", "med_value")},
+      {cnt("count(try_divide(value, denom))", "n_divisible")},
+      {cnt("sum(CASE WHEN try_divide(value, denom) IS NULL"
+           " THEN 1 ELSE 0 END)", "n_div_by_zero")},
+      {dbl("sum(try_add(value, 1.0)) / count(*)", "avg_plus_one")}
+    FROM base
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+def _median_try_oracle() -> str:
+    # classical recomputation: continuous median via percentile_cont,
+    # the try_* branches as explicit CASE guards
+    return f"""
+    WITH base AS (
+      SELECT event_type, value,
+        CAST(user_id % 5 AS DOUBLE) - 2.0 AS denom
+      FROM events
+    )
+    SELECT
+      event_type,
+      CAST(count(*) AS BIGINT) AS n,
+      {dbl("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)",
+           "med_value")},
+      CAST(sum(CASE WHEN denom <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_divisible,
+      CAST(sum(CASE WHEN denom = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_div_by_zero,
+      {dbl("sum(value + 1.0) / count(*)", "avg_plus_one")}
+    FROM base
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+def _median_try_run(spark, sf_dir):
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("events",), sf_dir)
+    return spark.sql(_median_try_spark_sql())
+
+
+QUERIES.append(
+    Query("native_median_try_ops", _median_try_run, _median_try_oracle())
+)

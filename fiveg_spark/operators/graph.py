@@ -459,3 +459,109 @@ def _trade_reach_oracle() -> str:
 QUERIES.append(
     Query("trade_reach_hops", trade_reach_hops, _trade_reach_oracle())
 )
+
+
+def dedup_adjusted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E140 — dedup-adjusted source mixture (the E55 → mixture_weights
+    composition the sampling pipeline actually consumes): soft-dedup
+    weights (1/cluster-size from the E15 transitive closure) convert
+    each source's RAW token mass into its EFFECTIVE mass, and the
+    mixture share re-derives from effective tokens — a source whose
+    volume is mostly near-dup boilerplate loses exactly its duplicated
+    mass.  The comps/sizes side is bounded by the LSH-pruned near-dup
+    population (broadcastable); the global share denominators come from
+    a 1-row aggregate of the ≤|sources| frame, never a corpus window."""
+    from fiveg_spark.operators.dedup import _ngram_jaccard_sql
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("documents",), sf_dir)
+    pairs = spark.sql(_ngram_jaccard_sql("spark")).select("doc_a", "doc_b")
+    comps = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comps.groupBy("component").agg(F.count("*").alias("n"))
+    docs = spark.sql(
+        "SELECT doc_id, source,"
+        " CAST(size(split(text, ' +')) AS DOUBLE) AS toks"
+        " FROM documents"
+    )
+    weighted = (
+        docs.join(comps, docs["doc_id"] == comps["node"], "left")
+        .join(sizes, "component", "left")
+        .select(
+            "source", "toks",
+            (F.col("toks") / F.coalesce(F.col("n"), F.lit(1)).cast("double"))
+            .alias("eff_toks"),
+        )
+    )
+    per_source = weighted.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("toks").alias("raw_tokens"),
+        F.sum("eff_toks").alias("eff_tokens"),
+    )
+    totals = per_source.agg(
+        F.sum("raw_tokens").alias("tot_raw"),
+        F.sum("eff_tokens").alias("tot_eff"),
+    )
+    r4 = lambda c: (F.round(c + F.lit(1e-9), 4) + F.lit(0.0)).cast("double")
+    return (
+        per_source.crossJoin(totals)
+        .select(
+            "source",
+            "n_docs",
+            F.col("raw_tokens").cast("long").alias("raw_tokens"),
+            r4(F.col("eff_tokens")).alias("eff_tokens"),
+            r4(F.col("raw_tokens") / F.col("tot_raw")).alias("raw_share"),
+            r4(F.col("eff_tokens") / F.col("tot_eff")).alias("eff_share"),
+            r4(F.col("eff_tokens") / F.col("raw_tokens")).alias(
+                "dedup_discount"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_adjusted_mixture_oracle() -> str:
+    return f"""
+    {_dedup_clusters_oracle().lstrip().removeprefix("WITH ").rsplit("SELECT", 1)[0]}
+    , csizes AS (
+      SELECT component, count(*) AS n FROM comp GROUP BY component
+    ),
+    docs AS (
+      SELECT d.doc_id, d.source,
+        CAST(len(string_split_regex(d.text, ' +')) AS DOUBLE) AS toks,
+        coalesce(s.n, 1) AS csize
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.node
+      LEFT JOIN csizes s ON c.component = s.component
+    ),
+    per_source AS (
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        sum(toks) AS raw_tokens,
+        sum(toks / csize) AS eff_tokens
+      FROM docs GROUP BY source
+    ),
+    totals AS (
+      SELECT sum(raw_tokens) AS tot_raw, sum(eff_tokens) AS tot_eff
+      FROM per_source
+    )
+    SELECT
+      p.source,
+      p.n_docs,
+      CAST(p.raw_tokens AS BIGINT) AS raw_tokens,
+      round(p.eff_tokens + 1e-9, 4) + 0.0 AS eff_tokens,
+      round(p.raw_tokens / t.tot_raw + 1e-9, 4) + 0.0 AS raw_share,
+      round(p.eff_tokens / t.tot_eff + 1e-9, 4) + 0.0 AS eff_share,
+      round(p.eff_tokens / p.raw_tokens + 1e-9, 4) + 0.0 AS dedup_discount
+    FROM per_source p CROSS JOIN totals t
+    ORDER BY p.source
+    """
+
+
+QUERIES.append(
+    Query(
+        "dedup_adjusted_mixture",
+        dedup_adjusted_mixture,
+        "WITH RECURSIVE "
+        + _dedup_adjusted_mixture_oracle().lstrip().removeprefix("WITH "),
+    )
+)

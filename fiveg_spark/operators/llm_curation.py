@@ -32,7 +32,7 @@ broadcast; at 100 TB the corpus side stays map-local.
 from __future__ import annotations
 
 from fiveg_spark.operators.text import _marker_count, _tok
-from fiveg_spark.plans.registry import arr_len, cnt, dbl, materialized_backed, sql_backed
+from fiveg_spark.plans.registry import NUDGE, arr_len, cnt, dbl, materialized_backed, pct, split_ws, sql_backed
 
 BOILERPLATE_DF = 5  # 3-gram in >= this many docs = boilerplate
 
@@ -985,4 +985,57 @@ def _chunk_dedup_sql(d: str) -> str:
 
 QUERIES.append(
     sql_backed("chunk_dedup_census", _chunk_dedup_sql, ("documents",))
+)
+
+
+CURRICULUM_Q = 0.7  # admit the top 30% of the corpus by quality score
+
+
+def _curriculum_cut_sql(d: str) -> str:
+    # E139 — quality-threshold curriculum cut (the data-selection pass
+    # every pretraining mix runs after scoring: keep the best X% of
+    # the corpus by a quality signal and report what that does to each
+    # source's token share).  The admission rule is a SCORE QUANTILE,
+    # not a budget-ordered cumulative cut, deliberately: an exact
+    # token-budget cut needs a global sort + running sum over every
+    # document (single-partition window — the known scale-killer),
+    # while the quantile threshold is one exact-percentile aggregate
+    # (partial-agged) + a broadcast threshold + one filter pass — the
+    # same answer when scores are continuous, and the two-pass shape
+    # that survives 100 TB.  Score = log-token-volume damped by how far
+    # the mean word length sits from English-like (~5 chars): cheap,
+    # deterministic, closed-form in both engines.
+    toks = arr_len(split_ws("text", d), d)
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+        CAST({toks} AS DOUBLE) AS toks,
+        round(ln(1.0 + {toks}) *
+              (1.0 - abs(length(text) * 1.0 / {toks} - 5.0) / 10.0),
+              6) AS score
+      FROM documents
+    ),
+    thr AS (
+      SELECT round({pct("score", CURRICULUM_Q, d)} + {NUDGE}, 6) AS cut
+      FROM scored
+    )
+    SELECT
+      s.source,
+      {cnt("count(*)", "n_docs")},
+      {cnt("sum(CASE WHEN s.score >= t.cut THEN 1 ELSE 0 END)",
+           "n_admitted")},
+      {cnt("sum(toks)", "raw_tokens")},
+      {cnt("sum(CASE WHEN s.score >= t.cut THEN toks ELSE 0 END)",
+           "admitted_tokens")},
+      {dbl("sum(CASE WHEN s.score >= t.cut THEN toks ELSE 0 END)"
+           " / sum(toks)", "token_share")},
+      {dbl("t.cut", "threshold")}
+    FROM scored s CROSS JOIN thr t
+    GROUP BY s.source, t.cut
+    ORDER BY s.source
+    """
+
+
+QUERIES.append(
+    sql_backed("quality_curriculum_cut", _curriculum_cut_sql, ("documents",))
 )

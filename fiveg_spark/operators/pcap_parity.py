@@ -286,6 +286,8 @@ def _pcap_write_roundtrip_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("slice_type", "protocol")
         )
+        from fiveg_spark.plans.plan_ledger import note_precollect
+        note_precollect(agg)
         rows = [tuple(r) for r in agg.collect()]
         return spark.createDataFrame(
             rows,
@@ -411,6 +413,8 @@ def _pcap_stream_write_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("slice_type", "protocol")
         )
+        from fiveg_spark.plans.plan_ledger import note_precollect
+        note_precollect(agg)
         rows = [tuple(r) for r in agg.collect()]
         return spark.createDataFrame(
             rows,

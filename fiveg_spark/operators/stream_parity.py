@@ -82,6 +82,9 @@ def _week_batches(
 def _collected(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
     """Materialize a bounded result frame so the scratch store can be
     deleted before returning (the ml/certify tiny-frame doctrine)."""
+    from fiveg_spark.plans.plan_ledger import note_precollect
+
+    note_precollect(df)  # ledger capture of the distributed pre-collect plan
     rows = [tuple(r) for r in df.collect()]
     return spark.createDataFrame(rows, schema)
 
@@ -1973,6 +1976,8 @@ def _state_read_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("meta_ok", F.lit(bool(meta_ok)))
             .orderBy("event_type")
         )
+        from fiveg_spark.plans.plan_ledger import note_precollect
+        note_precollect(out)
         rows = [tuple(r) for r in out.collect()]
         return spark.createDataFrame(
             rows,
@@ -2057,6 +2062,8 @@ def _state_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("event_type")
         )
+        from fiveg_spark.plans.plan_ledger import note_precollect
+        note_precollect(out)
         rows = [tuple(r) for r in out.collect()]
         return spark.createDataFrame(
             rows,
@@ -2159,6 +2166,8 @@ def _stream_chunk_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("CAST(count(*) AS BIGINT)").alias("n_state_keys"))
         )
         out = emitted.join(state, "source").orderBy("source")
+        from fiveg_spark.plans.plan_ledger import note_precollect
+        note_precollect(out)
         rows = [tuple(r) for r in out.collect()]
         return spark.createDataFrame(
             rows, "source STRING, n_emitted LONG, n_state_keys LONG"

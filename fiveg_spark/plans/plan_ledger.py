@@ -97,6 +97,9 @@ PLAN_BUILD_EXECUTES = frozenset({
     "training_shard_layout_parity", "partitioned_sink_parity",
     "stream_index_store_parity", "stream_ewma_anomaly_parity",
     "state_store_read_parity", "state_dedup_read_parity",
+    # r13: streaming replays against scratch (agg-store fold, chunk
+    # dedup state read-back)
+    "stream_agg_merge_parity", "stream_chunk_dedup_parity",
 })
 
 # The subset of PLAN_BUILD_EXECUTES whose run() RETURNS a real
@@ -287,9 +290,53 @@ def plan_fingerprint(df: DataFrame) -> dict:
     }
 
 
+# --- pre-collect capture (r13, the r12 verdict's skip-list shrink) ---
+# Parity/cert queries return COLLECTED local frames (LocalTableScan —
+# fingerprinting that is false security), but the frame they collect
+# HAS a real distributed plan.  Operators call note_precollect(df)
+# right before .collect() (the shared _collected helpers do it for
+# whole families); a ledger pass with capture enabled executes those
+# builds once and fingerprints every captured pre-collect plan.
+_CAPTURE: list[dict] | None = None
+
+
+def note_precollect(df: DataFrame) -> None:
+    """Record the distributed plan about to be collected — no-op unless
+    a ledger capture pass is active, so certification runs pay nothing."""
+    global _CAPTURE
+    if _CAPTURE is not None:
+        try:
+            _CAPTURE.append(plan_fingerprint(df))
+        except Exception:  # noqa: BLE001 — capture must never fail a run
+            pass
+
+
+def _merge_captured(caps: list[dict]) -> dict:
+    """Fold N captured pre-collect fingerprints into one ledger entry:
+    scalars sum (any growth in total exchanges/scans/python-ops across
+    the query's collected frames is a real shape regression), the hash
+    chains the per-frame canonical hashes in capture order."""
+    entry = {
+        "n_exchanges": sum(c["n_exchanges"] for c in caps),
+        "n_file_scans": sum(c["n_file_scans"] for c in caps),
+        "n_broadcasts": sum(c["n_broadcasts"] for c in caps),
+        "n_codegen_spans": sum(c["n_codegen_spans"] for c in caps),
+        "n_python_ops": sum(c["n_python_ops"] for c in caps),
+        "has_cartesian": any(c["has_cartesian"] for c in caps),
+        "n_sorts": sum(c["n_sorts"] for c in caps),
+        "plan_hash": md5(
+            "|".join(c["plan_hash"] for c in caps).encode()
+        ).hexdigest(),
+        "post_build": True,
+        "n_precollect": len(caps),
+    }
+    return entry
+
+
 def record_ledger(
     queries: dict, spark, sf_dir: str, path: str,
     include_fits: bool = False,
+    capture_precollect: bool = True,
 ) -> dict:
     """Fingerprint every (name -> callable(spark, sf_dir) -> DataFrame)
     and write the ledger atomically.  Returns the ledger dict.  A query
@@ -302,12 +349,16 @@ def record_ledger(
     ``post_build: true`` (the ledger pass pays those fits); the rest
     return collected local frames with no reachable plan and stay
     ``skipped``.  ``include_fits`` forces fingerprints for everything."""
+    global _CAPTURE
     entries = {}
     for name in sorted(queries):
         post_build = False
+        captured = False
         if name in PLAN_BUILD_EXECUTES and not include_fits:
             if name in PLAN_BUILD_EXECUTES_PLANNABLE:
                 post_build = True  # fit runs, final plan is real — record it
+            elif capture_precollect:
+                captured = True  # execute once, fingerprint pre-collect plans
             else:
                 entries[name] = {
                     "skipped": "build executes; returns a collected "
@@ -315,6 +366,22 @@ def record_ledger(
                 }
                 continue
         try:
+            if captured:
+                _CAPTURE = []
+                try:
+                    queries[name](spark, sf_dir)
+                    caps = _CAPTURE
+                finally:
+                    _CAPTURE = None
+                if caps:
+                    entries[name] = _merge_captured(caps)
+                else:
+                    entries[name] = {
+                        "skipped": "build executes and collects without "
+                                   "a note_precollect hook — no "
+                                   "distributed plan surfaced"
+                    }
+                continue
             entries[name] = plan_fingerprint(queries[name](spark, sf_dir))
             if post_build:
                 entries[name]["post_build"] = True
