@@ -53,6 +53,16 @@ N_TERMS = len(FEATURES) * P_LAGS + 1  # intercept + k*p lag terms
 GRU_SAMPLE = 64
 
 
+
+def _noted(df):
+    """Chain-preserving ledger hook: fingerprint the distributed frame
+    about to be collected (plans/plan_ledger.note_precollect) — no-op
+    outside a ledger capture pass."""
+    from fiveg_spark.plans.plan_ledger import note_precollect
+
+    note_precollect(df)
+    return df
+
 def _counted_cte() -> str:
     return f"""{_hourly_cte("duckdb")},
     counted AS (SELECT slice, count(*) AS n FROM hourly GROUP BY slice)"""
@@ -85,7 +95,7 @@ def var_ols_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 ).alias("syy"),
             )
-            .collect()
+            .transform(_noted).collect()
         )
     finally:
         design.unpersist()
@@ -191,7 +201,7 @@ def huber_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("loss_hub").alias("loss_hub"),
                 F.sum("loss_ols").alias("loss_ols"),
             )
-            .collect()
+            .transform(_noted).collect()
         )
     finally:
         design.unpersist()
@@ -412,14 +422,14 @@ def gru_forward_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             seqs.orderBy("slice", "window_start")
             .limit(GRU_SAMPLE)
             .select("slice", "window_start", "seq")
-            .collect()
+            .transform(_noted).collect()
         )
         dist = {
             (r["slice"], r["window_start"]): r["resid_pred"]
             for r in preds.orderBy("slice", "window_start")
             .limit(GRU_SAMPLE)
             .select("slice", "window_start", "resid_pred")
-            .collect()
+            .transform(_noted).collect()
         }
         max_diff = 0.0
         for r in sample:
@@ -729,7 +739,7 @@ def ridge_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ]
                 ).alias("syy"),
             )
-            .collect()
+            .transform(_noted).collect()
         )
     finally:
         design.unpersist()
@@ -847,7 +857,7 @@ def _order_criteria(spark: SparkSession, sf_dir: str):
                     for j in range(i, k)
                 ],
             )
-            .collect()
+            .transform(_noted).collect()
         )
     finally:
         design.unpersist()
@@ -1027,7 +1037,7 @@ def _granger_rows(spark: SparkSession, sf_dir: str) -> list:
         FROM grid g JOIN complete c ON c.h = g.h
         ORDER BY g.h, g.slice
         """
-    ).collect()  # bounded: hours x slices rows, calendar-sized
+    ).transform(_noted).collect()  # bounded: hours x slices rows, calendar-sized
     series: dict[str, list[float]] = {}
     hours: list = []
     for r in pivot:

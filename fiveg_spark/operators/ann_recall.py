@@ -30,6 +30,15 @@ K = 10
 RECALL_FLOOR = 0.5
 
 
+
+def _noted(df):
+    """Chain-preserving ledger hook (plans/plan_ledger.note_precollect):
+    no-op outside a ledger capture pass."""
+    from fiveg_spark.plans.plan_ledger import note_precollect
+
+    note_precollect(df)
+    return df
+
 def _methods():
     from fiveg_spark.ml.mllib_models import mllib_ann_topk
     from fiveg_spark.operators.ann_ivf import ann_ivf
@@ -140,9 +149,9 @@ def probe_ladder_hits(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]]
     exact = _exact_topk_ids(spark, sf_dir)
     out = []
     for p in PROBE_LADDER:
-        cand = assigned.filter(
+        cand = _noted(assigned.filter(
             F.col("list_id").isin(order[:p]) & (F.col("vec_id") != 0)
-        ).select("vec_id").distinct()
+        ).select("vec_id").distinct())
         out.append((p, cand.join(F.broadcast(exact), "vec_id").count()))
     return out
 
@@ -208,9 +217,9 @@ def rerank_ladder_hits(spark: SparkSession, sf_dir: str) -> list[tuple[int, int]
         for r in pq_query_adc(spark, sf_dir, query_vec_id=0)
         .orderBy(F.asc("adc_d2"), F.asc("vec_id"))
         .limit(RERANK_LADDER[-1])
-        .collect()
+        .transform(_noted).collect()
     ]
-    exact = {int(r["vec_id"]) for r in _exact_topk_ids(spark, sf_dir).collect()}
+    exact = {int(r["vec_id"]) for r in _noted(_exact_topk_ids(spark, sf_dir)).collect()}
     return [
         (s, len(exact.intersection(deepest[:s]))) for s in RERANK_LADDER
     ]

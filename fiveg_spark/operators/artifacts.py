@@ -43,6 +43,15 @@ def _scratch() -> str:
     return tempfile.mkdtemp(prefix="fiveg_artifacts_")
 
 
+def _noted(df: DataFrame) -> DataFrame:
+    """Chain-preserving ledger hook (plans/plan_ledger.note_precollect):
+    no-op outside a ledger capture pass."""
+    from fiveg_spark.plans.plan_ledger import note_precollect
+
+    note_precollect(df)
+    return df
+
+
 def _collected(spark: SparkSession, df: DataFrame, schema: str) -> DataFrame:
     from fiveg_spark.plans.plan_ledger import note_precollect
 
@@ -81,11 +90,11 @@ def _time_travel_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = []
         prev_rows = 0
         for v in versions:
-            agg = snapshots.read_as_of(spark, table, v).agg(
+            agg = _noted(snapshots.read_as_of(spark, table, v).agg(
                 F.count("*").alias("n"),
                 F.sum("n_chars").alias("chars"),
                 F.countDistinct("source").alias("srcs"),
-            ).head()
+            )).head()
             added = (
                 int(agg["n"]) - prev_rows
                 if v == versions[0]
@@ -620,10 +629,10 @@ def _rollback_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rows = []
         for v in (1, 2, head):
-            agg = snapshots.read_as_of(spark, table, v).agg(
+            agg = _noted(snapshots.read_as_of(spark, table, v).agg(
                 F.count("*").alias("n"),
                 F.sum("n_chars").alias("chars"),
-            ).head()
+            )).head()
             rows.append(
                 (int(v), int(agg["n"]), int(agg["chars"]),
                  bool(v3_fails_closed))
@@ -738,12 +747,12 @@ def _manifest_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         manifest.write_with_manifest(orders.repartition(4), table)
         ok, _msg = manifest.verify_manifest(table)
         loaded = manifest.load_verified(spark, table)
-        agg = loaded.groupBy("o_orderpriority").agg(
+        agg = _noted(loaded.groupBy("o_orderpriority").agg(
             F.count("*").alias("n_orders"),
             F.round(F.sum("o_totalprice") / 1e6 + 1e-9, 4).alias(
                 "total_value_m"
             ),
-        ).collect()
+        )).collect()
         victim = next(
             os.path.join(table, f)
             for f in sorted(os.listdir(table))
@@ -1144,10 +1153,10 @@ def _vacuum_audit_run(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        min_age_hours=1.0))
         n_aged = len(snapshots.vacuum(table, keep_versions=2,
                                       min_age_hours=0.0))
-        v1 = snapshots.read_as_of(spark, table, 1).agg(
-            F.count("*").alias("n"), F.sum("n_chars").alias("c")).head()
-        head = spark.read.parquet(table).agg(
-            F.count("*").alias("n"), F.sum("n_chars").alias("c")).head()
+        v1 = _noted(snapshots.read_as_of(spark, table, 1).agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("c"))).head()
+        head = _noted(spark.read.parquet(table).agg(
+            F.count("*").alias("n"), F.sum("n_chars").alias("c"))).head()
         return spark.createDataFrame(
             [(int(n_young), int(n_aged), int(v1["n"]), int(v1["c"]),
               int(head["n"]), int(head["c"]))],
@@ -1342,7 +1351,7 @@ def _partitioned_sink_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r["event_type"], int(r["n_events"]), float(r["sum_value_m"]),
              len(dirs), int(pruned["n"]),
              float(round(pruned["v"] / 1e6 + 1e-9, 4) + 0.0))
-            for r in back.collect()
+            for r in _noted(back).collect()
         ]
         return spark.createDataFrame(
             rows,

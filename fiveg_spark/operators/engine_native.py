@@ -409,3 +409,194 @@ def _median_try_run(spark, sf_dir):
 QUERIES.append(
     Query("native_median_try_ops", _median_try_run, _median_try_oracle())
 )
+
+
+SESSION_GAP_S = 1800  # native session_window gap (30 min)
+
+
+def _session_window_spark_sql() -> str:
+    # C187 — Spark's NATIVE session_window aggregate (dynamic-gap
+    # session assignment inside the hash aggregate itself — the engine
+    # twin of C6's classical lag→flag→cumsum sessionization, which
+    # needs two window passes): per-user sessions at a 30-minute gap,
+    # rolled up per user band.  The per-user GROUP BY keeps the
+    # session merge key-local (the same partitioning C6 shuffles on);
+    # the band rollup is the bounded second agg.
+    return f"""
+    SELECT CAST(user_id % 10 AS BIGINT) AS band,
+      {cnt("count(*)", "n_sessions")},
+      {cnt("sum(n)", "n_events")},
+      {cnt("max(n)", "max_session_events")},
+      {dbl("sum(span_s)", "sum_span_s")}
+    FROM (
+      SELECT user_id, session_window(ts, '{SESSION_GAP_S} seconds') AS w,
+             count(*) AS n,
+             CAST(max(unix_micros(ts)) - min(unix_micros(ts)) AS DOUBLE)
+               / 1e6 AS span_s
+      FROM events
+      GROUP BY user_id, session_window(ts, '{SESSION_GAP_S} seconds')
+    ) s
+    GROUP BY user_id % 10
+    ORDER BY band
+    """
+
+
+def _session_window_oracle() -> str:
+    # the classical mechanism: lag → new-session flag → running sum →
+    # session agg.  Spark's session windows are END-EXCLUSIVE (a gap of
+    # EXACTLY the threshold starts a new session), so the flag is >=,
+    # not C6's strictly-greater convention.
+    return f"""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, us,
+        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us)
+               IS NULL
+              OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                 >= {SESSION_GAP_S}000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ),
+    numbered AS (
+      SELECT user_id, us,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sid, count(*) AS n,
+        (max(us) - min(us)) / 1000000.0 AS span_s
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS band,
+      CAST(count(*) AS BIGINT) AS n_sessions,
+      CAST(sum(n) AS BIGINT) AS n_events,
+      CAST(max(n) AS BIGINT) AS max_session_events,
+      {dbl("sum(span_s)", "sum_span_s")}
+    FROM sess GROUP BY user_id % 10
+    ORDER BY band
+    """
+
+
+def _session_window_run(spark, sf_dir):
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("events",), sf_dir)
+    return spark.sql(_session_window_spark_sql())
+
+
+QUERIES.append(
+    Query("native_session_window", _session_window_run,
+          _session_window_oracle())
+)
+
+
+def _native_hll_run(spark, sf_dir):
+    """C188: the Apache-DataSketches HLL family as built-ins —
+    per-type `hll_sketch_agg(user_id)` estimates merged corpus-wide
+    with `hll_union_agg` (the engine twin of C32's PORTABLE HLL rollup
+    and the sibling of C182's theta path).  approx_variants doctrine:
+    exact anchors hash-compare, each estimate bounds itself in-row
+    (HLL rse at lgK 12 is ~1.6%; 5%/±2 ≈ 3σ)."""
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("events",), sf_dir)
+    return spark.sql("""
+        WITH per_type AS (
+          SELECT event_type,
+                 count(DISTINCT user_id) AS n_exact,
+                 hll_sketch_agg(user_id) AS sk
+          FROM events GROUP BY event_type
+        ),
+        est AS (
+          SELECT event_type, n_exact,
+                 hll_sketch_estimate(sk) AS n_est
+          FROM per_type
+        ),
+        glob AS (
+          SELECT hll_sketch_estimate(hll_union_agg(sk)) AS g_est
+          FROM per_type
+        ),
+        g_exact AS (
+          SELECT count(DISTINCT user_id) AS g FROM events
+        )
+        SELECT
+          e.event_type,
+          CAST(e.n_exact AS BIGINT) AS n_users_exact,
+          CAST(g.g AS BIGINT) AS n_users_global,
+          abs(e.n_est - e.n_exact) <= greatest(2.0, 0.05 * e.n_exact)
+            AS hll_within_bound,
+          abs(gl.g_est - g.g) <= greatest(2.0, 0.05 * g.g)
+            AS union_within_bound
+        FROM est e CROSS JOIN glob gl CROSS JOIN g_exact g
+        ORDER BY e.event_type
+    """)
+
+
+_NATIVE_HLL_ORACLE = """
+    WITH g AS (SELECT count(DISTINCT user_id) AS g FROM events)
+    SELECT
+      event_type,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      CAST(max(g.g) AS BIGINT) AS n_users_global,
+      TRUE AS hll_within_bound,
+      TRUE AS union_within_bound
+    FROM events CROSS JOIN g
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+
+QUERIES.append(
+    Query("native_hll_users", _native_hll_run, _NATIVE_HLL_ORACLE)
+)
+
+
+def _unpivot_spark_sql() -> str:
+    # C189 — SQL UNPIVOT as an engine construct: a wide per-type
+    # aggregate relationally rotated to long (metric, value) rows by
+    # the engine's own unpivot operator; the oracle reaches the same
+    # long frame the pre-UNPIVOT way (UNION ALL of one SELECT per
+    # metric).  Wide→long is the last step of every metrics export —
+    # certifying the operator beats hand-rolling stack() expressions.
+    return f"""
+    SELECT event_type, metric,
+      {dbl("val", "value")}
+    FROM (
+      SELECT event_type,
+        sum(value) AS total_value,
+        avg(value) AS mean_value,
+        min(value) AS min_value,
+        max(value) AS max_value
+      FROM events GROUP BY event_type
+    ) wide
+    UNPIVOT (val FOR metric IN (
+      total_value, mean_value, min_value, max_value))
+    ORDER BY event_type, metric
+    """
+
+
+def _unpivot_oracle() -> str:
+    rows = []
+    for m in ("total_value", "mean_value", "min_value", "max_value"):
+        agg = {
+            "total_value": "sum(value)", "mean_value": "avg(value)",
+            "min_value": "min(value)", "max_value": "max(value)",
+        }[m]
+        rows.append(
+            f"SELECT event_type, '{m}' AS metric, {dbl(agg, 'value')}"
+            " FROM events GROUP BY event_type"
+        )
+    return "\n    UNION ALL\n    ".join(rows) + "\n    ORDER BY event_type, metric"
+
+
+def _unpivot_run(spark, sf_dir):
+    from fiveg_spark.plans.registry import ensure_views
+
+    ensure_views(spark, ("events",), sf_dir)
+    return spark.sql(_unpivot_spark_sql())
+
+
+QUERIES.append(
+    Query("unpivot_metrics_long", _unpivot_run, _unpivot_oracle())
+)

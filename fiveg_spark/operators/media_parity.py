@@ -39,6 +39,15 @@ from fiveg_spark.plans.registry import Query
 # ---- deterministic constructions -----------------------------------------
 
 
+
+def _noted(df):
+    """Chain-preserving ledger hook (plans/plan_ledger.note_precollect):
+    no-op outside a ledger capture pass."""
+    from fiveg_spark.plans.plan_ledger import note_precollect
+
+    note_precollect(df)
+    return df
+
 def _p5_image() -> tuple[bytes, np.ndarray]:
     w, h = 8, 5
     arr = np.fromfunction(lambda y, x: (3 * x + 7 * y) % 256, (h, w)).astype(
@@ -475,12 +484,12 @@ def _quarantine_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("jsonl", read_jsonl(spark, jdir, schema)),
             ("csv", read_csv(spark, cdir, schema)),
         ):
-            agg = clean.agg(
+            agg = _noted(clean.agg(
                 F.count("*").alias("n"),
                 F.sum("id").alias("sum_id"),
                 F.sum("v").alias("sum_v"),
                 F.countDistinct("tag").alias("n_tags"),
-            ).head()
+            )).head()
             rows.append((
                 fmt, int(agg["n"]), int(agg["sum_id"]),
                 float(round(agg["sum_v"] + 1e-9, 4) + 0.0),

@@ -164,6 +164,8 @@ def _pcap_read_parity_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("timestamp_ms").alias("min_ts_ms"),
             F.max("timestamp_ms").alias("max_ts_ms"),
         )
+        from fiveg_spark.plans.plan_ledger import note_precollect
+        note_precollect(agg)
         rows = {r["slice_type"]: r for r in agg.collect()}
         out = []
         for slice_type, *_rest in _LAYOUT:

@@ -110,10 +110,16 @@ PLAN_BUILD_EXECUTES = frozenset({
 # verdict's quantified blind spot: the r3 minhash incident's class of
 # silent plan change lived exactly here with no shape protection.  The
 # cost is honest and bounded: one fit per query at the ledger's sf.
-# The other 40 skip-listed queries return COLLECTED local frames
+#
+# The remaining skip-listed queries return COLLECTED local frames
 # (createDataFrame over certification rows) — their final "plan" is a
 # LocalTableScan that canonicalizes to one constant line, so a
-# fingerprint would be false security, and they stay skipped.
+# fingerprint would be false security.  Since r13 the default ledger
+# pass EXECUTES them once and fingerprints the distributed frames they
+# collect (note_precollect hooks at every _collected/_noted site);
+# anything still reported "skipped: ... no note_precollect hook" does
+# genuinely no distributed pre-collect work — e.g. table_health_audit,
+# whose audit reads parquet FOOTER METADATA driver-side by design.
 PLAN_BUILD_EXECUTES_PLANNABLE = frozenset({
     "ann_ivf_recall", "ann_pq_recall", "ann_lsh_recall",
     "mllib_ann_recall", "ann_recall_matrix",
