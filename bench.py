@@ -59,6 +59,11 @@ HEADLINE = (
     # one fact scan + erf-free p-value SQL + BH step-up windows on the
     # bounded cell frame, perf-tracking the new statistical surface
     "bh_screened_mean_shifts",
+    # r13 addition: the chunk-grain near-dup shape — stride explode →
+    # content-dedup reduce → shingle minhash → banding buckets →
+    # bucket-local pair census (E136), the span-level fuzzy-dedup cost
+    # the corpus pipeline pays on top of E135's exact census
+    "chunk_minhash_pairs",
 )
 
 

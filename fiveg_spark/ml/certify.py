@@ -264,7 +264,7 @@ def linear_baseline_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr = model.stages[-1]
         stats = part.agg(
             F.count("*").alias("n"), F.stddev_pop("y").alias("sd")
-        ).head()
+        ).transform(_noted).head()
         r2 = float(lr.summary.r2)
         rmse = float(lr.summary.rootMeanSquaredError)
         sd = float(stats["sd"] or 0.0)
@@ -329,7 +329,7 @@ def pca_cert(spark: SparkSession, sf_dir: str, k: int = 4) -> DataFrame:
                 for d in range(dim)
             ],
         )
-        .head()
+        .transform(_noted).head()
     )
     total = sum(stats[f"vd{d}"] for d in range(dim))
     pc1_ratio_ok = bool(abs(stats["v1"] / total - ratios[0]) <= 1e-4)
@@ -368,7 +368,7 @@ def isotonic_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.col("actual") - F.col("prediction"), 2)).alias("sse_cal"),
         F.sum("actual").alias("sa"),
         F.sum("prediction").alias("sp"),
-    ).head()
+    ).transform(_noted).head()
     mse_improves = bool(
         agg["sse_cal"] <= agg["sse_raw"] + 1e-6 * max(1.0, agg["sse_raw"])
     )

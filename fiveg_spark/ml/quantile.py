@@ -47,6 +47,15 @@ ITERS = 80
 RIDGE = 1e-6  # rank-deficient tiny-SF designs need more than 1e-9
 
 
+
+def _noted(df):
+    """Chain-preserving ledger hook (plans/plan_ledger.note_precollect):
+    no-op outside a ledger capture pass."""
+    from fiveg_spark.plans.plan_ledger import note_precollect
+
+    note_precollect(df)
+    return df
+
 def _qr_weight_kernel(betas: dict[str, np.ndarray] | None, tau: float, kappa: float):
     """mapInPandas kernel: one partial weighted Gram per (batch, slice)
     with pinball IRLS weights; betas=None → unit weights (OLS start)."""
@@ -182,7 +191,7 @@ def quantile_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[F.sum(F.element_at("absx", t + 1)) for t in range(m)]
                 ).alias("absx"),
             )
-            .collect()
+            .transform(_noted).collect()
         )
     finally:
         design.unpersist()

@@ -43,7 +43,18 @@ from pyspark.sql import DataFrame
 
 from fiveg_spark.plans.explain import simple_plan
 
-LEDGER_VERSION = 2  # v2: order-insensitive agg/partition key lists
+LEDGER_VERSION = 3  # v3 (r13): plans render with
+                    # spark.sql.maxMetadataStringLength=10000 (session
+                    # factory) — the default 100-char budget truncated
+                    # FileScan metadata at a position dependent on
+                    # expression-id WIDTH, so whether a borderline
+                    # DataFilters list truncated at all flipped with
+                    # session churn (the q2/q3 'reshaped' incident; the
+                    # [TRUNC... normalization below only stabilized the
+                    # already-truncated tail, not the fits-vs-truncated
+                    # boundary).  v2 hashes rendered under the small
+                    # budget and are incomparable.
+                    # v2: order-insensitive agg/partition key lists
                     # (v1 hashes drifted with session expression-id
                     # churn on wide distinct-agg plans — see
                     # _sort_unordered_lists)

@@ -72,7 +72,20 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/fiveg_spark_warehouse"),
         )
         .config("spark.ui.enabled", "false")
+        # FileScan metadata (DataFilters/PushedFilters/ReadSchema) is
+        # string-truncated at a CHARACTER budget (default 100) — after
+        # heavy session churn wider expression ids (#45678 vs #4) push
+        # a borderline list over the budget, so the SAME plan renders
+        # truncated-or-not depending on session history and the A24
+        # ledger fingerprint flips (the r13 q2/q3 'reshaped' incident;
+        # theilsen r10w2 was the truncated-tail variant).  A big budget
+        # makes plan renders deterministic and keeps full filter text
+        # in the hash.
+        .config("spark.sql.maxMetadataStringLength", "10000")
     )
     spark = builder.getOrCreate()
+    # enforce on REUSED sessions too (getOrCreate may return a session
+    # built before this config existed — runtime-settable)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -233,3 +233,36 @@ def test_recursive_plan_fingerprint_stable(spark):
     f2 = plan_fingerprint(trade_reach_hops(spark, c.SF_DIR))
     assert f1 == f2
     assert not f1["has_cartesian"]
+
+
+def test_fingerprint_survives_expression_id_churn(spark):
+    """The r13 q2/q3 incident: FileScan metadata truncates at a
+    CHARACTER budget, so wider expression ids (#45678 after session
+    churn) pushed a borderline DataFilters render over the edge and
+    the hash flipped.  v3 raises spark.sql.maxMetadataStringLength to
+    10000 in the session factory; this pins (a) the conf is live and
+    (b) a filter-heavy scan hashes identically across a ~40k-id burn."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.maxMetadataStringLength") == "10000"
+
+    def filter_heavy(s):
+        li = load_table(s, "lineitem", c.SF_DIR)
+        return li.filter(
+            (F.col("l_quantity") > 5)
+            & (F.col("l_discount") < 0.08)
+            & (F.col("l_shipdate").isNotNull())
+            & (F.col("l_returnflag") != "R")
+            & (F.col("l_extendedprice") > 100.0)
+        ).groupBy("l_linestatus").count()
+
+    f1 = plan_fingerprint(filter_heavy(spark))
+    # burn ~40k expression ids (each selected column expression takes
+    # fresh NamedExpression ids at analysis)
+    ev = load_table(spark, "events", c.SF_DIR)
+    for _ in range(40):
+        ev.select(
+            *[(F.col("value") + i).alias(f"c{i}") for i in range(500)]
+        ).schema  # analysis only — no execution
+    f2 = plan_fingerprint(filter_heavy(spark))
+    assert f1 == f2

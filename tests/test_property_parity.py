@@ -25,6 +25,7 @@ from fiveg_spark.operators.dedup import (
     _ngram_jaccard_sql,
 )
 from fiveg_spark.operators.llm_curation import (
+    _curriculum_cut_sql,
     _doc_chunk_sql,
     _domain_reweight_sql,
     _gopher_quality_sql,
@@ -78,6 +79,10 @@ _DOC_SQL = {
     # single truncated chunk (stride > length), pinning the substring
     # boundary and the nullif-guarded expansion ratio
     "doc_chunk_stats": _doc_chunk_sql,
+    # r13: quantile-threshold curriculum — all-equal scores put the cut
+    # AT every score (everything admits, share 1.0); single-doc corpora
+    # pin the quantile to the lone score
+    "quality_curriculum_cut": _curriculum_cut_sql,
 }
 
 
@@ -840,6 +845,10 @@ def _doc_parts_fns():
         _dup_pressure_parts,
         _minhash_estimate_parts,
     )
+    from fiveg_spark.operators.chunk_dedup import (
+        _chunk_minhash_parts,
+        _chunk_recall_parts,
+    )
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
     from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
     from fiveg_spark.operators.text_stats import (
@@ -907,6 +916,12 @@ def _doc_parts_fns():
         "quality_dup_calibration": _quality_dup_calibration_parts,
         # 2^rel gains + log2 discounts + idcg=0 guard on no-hit corpora
         "retrieval_eval_lexical": _retrieval_eval_parts,
+        # r13 chunk-grain minhash: sub-3-token chunks emit no shingles
+        # (signature-less reps vanish), duplicate-heavy tiny corpora
+        # collapse to ONE representative (no pairs -> empty census /
+        # recall 1.0 coalesce), same-doc stride overlaps dominate
+        "chunk_minhash_pairs": _chunk_minhash_parts,
+        "chunk_minhash_recall": _chunk_recall_parts,
     }
 
 
