@@ -1039,3 +1039,120 @@ def _curriculum_cut_sql(d: str) -> str:
 QUERIES.append(
     sql_backed("quality_curriculum_cut", _curriculum_cut_sql, ("documents",))
 )
+
+
+def _trigram_novelty_sql(d: str) -> str:
+    # E141 — corpus novelty curve ("is the crawl saturating?"): order
+    # each source's documents by doc_id (ingestion order in this
+    # corpus), split into 5 quantile buckets, and measure what share
+    # of each bucket's trigram OCCURRENCES are novel — first seen in
+    # that bucket rather than any earlier one.  A healthy growing
+    # corpus holds novelty up; a saturating crawl's late buckets go
+    # mostly redundant — the redundancy-growth diagnostic behind
+    # dedup-budget planning (C4/RefinedWeb-style corpus analyses).
+    # One trigram explode → min-bucket per (source, trigram) reduce →
+    # join-back per bucket occurrence census.  ntile is over the
+    # ≤|docs|-per-source doc frame (bounded window partitioned by
+    # source — the C51 partitioned-window shape, never a global sort).
+    toks = split_ws("lower(text)", d)
+    if d == "spark":
+        sh = (
+            "explode(transform(sequence(1, size(t) - 2), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ', "
+            "element_at(t, i + 2))))"
+        )
+        pred = "size(t) >= 3"
+    else:
+        sh = (
+            "unnest(list_transform(generate_series(1, len(t) - 2), "
+            "i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2])))"
+        )
+        pred = "len(t) >= 3"
+    return f"""
+    WITH bucketed AS (
+      SELECT doc_id, source, text,
+        ntile(5) OVER (PARTITION BY source ORDER BY doc_id) AS bucket
+      FROM documents
+    ),
+    grams AS (
+      SELECT source, bucket, shingle FROM (
+        SELECT source, bucket, {sh} AS shingle
+        FROM (SELECT source, bucket, {toks} AS t FROM bucketed) x
+        WHERE {pred}
+      ) e
+    ),
+    first_seen AS (
+      SELECT source, shingle, min(bucket) AS first_bucket
+      FROM grams GROUP BY source, shingle
+    )
+    SELECT
+      g.source,
+      CAST(g.bucket AS BIGINT) AS bucket,
+      {cnt("count(*)", "n_occurrences")},
+      {cnt("sum(CASE WHEN f.first_bucket = g.bucket THEN 1 ELSE 0 END)",
+           "n_novel_occurrences")},
+      {cnt("count(DISTINCT CASE WHEN f.first_bucket = g.bucket"
+           " THEN g.shingle END)", "n_novel_types")},
+      {dbl("sum(CASE WHEN f.first_bucket = g.bucket THEN 1 ELSE 0 END)"
+           " * 1.0 / count(*)", "novelty_rate")}
+    FROM grams g
+    JOIN first_seen f ON f.source = g.source AND f.shingle = g.shingle
+    GROUP BY g.source, g.bucket
+    ORDER BY g.source, bucket
+    """
+
+
+QUERIES.append(
+    sql_backed("trigram_novelty_curve", _trigram_novelty_sql, ("documents",))
+)
+
+
+def _cross_lang_dup_sql(d: str) -> str:
+    # E142 — shared-prefix duplicate census across language labels (the
+    # boilerplate-header / mislabeled-language detector): documents
+    # whose normalized 80-char PREFIX hash collides share crawl
+    # boilerplate (headers, navigation) — and a collision across
+    # DIFFERENT lang labels is either a lang-ID error or the same
+    # template crawled under two language routes; both must be caught
+    # before per-language mixture weights (a template counted once per
+    # label double-dips the mixture).  Prefix grain, not whole-doc:
+    # the E1 whole-doc hash only fires on byte-identical copies, while
+    # template boilerplate shares the OPENING of otherwise-distinct
+    # pages (this corpus: 19 shared prefixes, 14 of them cross-lang).
+    # One scan → (hash) reduce carrying per-lang distinct counts →
+    # census per (lang_a, lang_b, cross_lang) cell.
+    return f"""
+    WITH hashed AS (
+      SELECT md5(substring(lower(text), 1, 80)) AS h,
+             lang, source, doc_id
+      FROM documents
+    ),
+    per_hash AS (
+      SELECT h,
+        count(*) AS n_docs,
+        count(DISTINCT lang) AS n_langs,
+        min(lang) AS lang_a,
+        max(lang) AS lang_b,
+        count(DISTINCT source) AS n_sources
+      FROM hashed
+      GROUP BY h
+    )
+    SELECT
+      lang_a,
+      lang_b,
+      n_langs > 1 AS cross_lang,
+      {cnt("count(*)", "n_shared_hashes")},
+      {cnt("sum(n_docs)", "n_docs_involved")},
+      {cnt("max(n_docs)", "max_copies")},
+      {cnt("sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)",
+           "n_cross_source")}
+    FROM per_hash
+    WHERE n_docs > 1
+    GROUP BY lang_a, lang_b, n_langs > 1
+    ORDER BY lang_a, lang_b, cross_lang
+    """
+
+
+QUERIES.append(
+    sql_backed("cross_lang_dup_census", _cross_lang_dup_sql, ("documents",))
+)

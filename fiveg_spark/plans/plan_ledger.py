@@ -278,6 +278,11 @@ def canonical_plan(plan: str) -> str:
     # unstable partial content of any cut bracket segment.
     s = re.sub(r"\[[^\[\]]*\.\.\.", "[TRUNC...", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    # per-run scratch TABLE names (bucketed-join parity creates
+    # catalog tables with a uuid suffix so concurrent runs don't
+    # collide) — collapse the hex suffix or every capture pass
+    # 'reshapes' the same plan (r13)
+    s = re.sub(r"(spark_catalog\.\w+\.\w+?_)[0-9a-f]{8,32}\b", r"\1x", s)
     s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
     s = re.sub(r"Location: [^\n]*", "Location: x", s)
     s = re.sub(r"file:[^\s,\]]+", "file:x", s)
