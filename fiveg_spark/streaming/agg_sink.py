@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST = "_agg_manifest.json"
+_KEEP_VERSIONS = 3  # retained snapshot dirs (current + reader grace)
 
 
 def _read_manifest(path: str) -> dict:
@@ -127,6 +128,14 @@ def apply_increment(
     m["table"] = vdir
     m["applied"] = sorted(m["applied"] + [tag])
     _write_manifest(path, m)
+    # retention: old snapshots are unreachable once the manifest flips —
+    # without a sweep the store grows one full table copy per batch.
+    # Kept versions > 1 give a concurrent reader that resolved the
+    # previous manifest time to finish its scan.
+    import shutil
+
+    for n in range(1, m["version"] - _KEEP_VERSIONS + 1):
+        shutil.rmtree(os.path.join(path, f"v{n}"), ignore_errors=True)
     return True
 
 

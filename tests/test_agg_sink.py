@@ -93,3 +93,17 @@ def test_streaming_tail_end_to_end(spark, tmp_path):
         for r in agg_sink.read_agg_table(spark, path).collect()
     }
     assert got == {"A": (2, 4.0), "B": (1, 2.0)}
+
+
+def test_old_snapshots_are_swept(spark, tmp_path):
+    # without retention the store grows one full table copy per batch
+    path = str(tmp_path / "store")
+    agg_sink.init_agg_store(spark, path, ["status"], ["price"])
+    for i in range(6):
+        agg_sink.apply_increment(
+            spark, path, _rows(spark, [("A", float(i))]), "r", i
+        )
+    vdirs = sorted(d for d in os.listdir(path) if d.startswith("v"))
+    assert vdirs == ["v4", "v5", "v6"]  # _KEEP_VERSIONS = 3
+    (row,) = agg_sink.read_agg_table(spark, path).collect()
+    assert (row["n_rows"], row["sum_price"]) == (6, 15.0)
