@@ -1050,10 +1050,14 @@ def _trigram_novelty_sql(d: str) -> str:
     # corpus holds novelty up; a saturating crawl's late buckets go
     # mostly redundant — the redundancy-growth diagnostic behind
     # dedup-budget planning (C4/RefinedWeb-style corpus analyses).
-    # One trigram explode → min-bucket per (source, trigram) reduce →
-    # join-back per bucket occurrence census.  ntile is over the
-    # ≤|docs|-per-source doc frame (bounded window partitioned by
-    # source — the C51 partitioned-window shape, never a global sort).
+    # ONE trigram explode → first-seen flag as a min() window over
+    # (source, shingle) — the gram-key partitioning distributes well —
+    # → per-bucket census.  (The min-bucket-reduce + join-back draft
+    # inlined the gram CTE twice in Spark and exploded the corpus 2×;
+    # its own ledger fingerprint showed the doubled scan — the E135
+    # lesson repeating.)  ntile is over the ≤|docs|-per-source doc
+    # frame (bounded window partitioned by source, never a global
+    # sort).
     toks = split_ws("lower(text)", d)
     if d == "spark":
         sh = (
@@ -1081,24 +1085,25 @@ def _trigram_novelty_sql(d: str) -> str:
         WHERE {pred}
       ) e
     ),
-    first_seen AS (
-      SELECT source, shingle, min(bucket) AS first_bucket
-      FROM grams GROUP BY source, shingle
+    flagged AS (
+      SELECT source, bucket, shingle,
+        bucket = min(bucket) OVER (PARTITION BY source, shingle)
+          AS novel
+      FROM grams
     )
     SELECT
-      g.source,
-      CAST(g.bucket AS BIGINT) AS bucket,
+      source,
+      CAST(bucket AS BIGINT) AS bucket,
       {cnt("count(*)", "n_occurrences")},
-      {cnt("sum(CASE WHEN f.first_bucket = g.bucket THEN 1 ELSE 0 END)",
+      {cnt("sum(CASE WHEN novel THEN 1 ELSE 0 END)",
            "n_novel_occurrences")},
-      {cnt("count(DISTINCT CASE WHEN f.first_bucket = g.bucket"
-           " THEN g.shingle END)", "n_novel_types")},
-      {dbl("sum(CASE WHEN f.first_bucket = g.bucket THEN 1 ELSE 0 END)"
-           " * 1.0 / count(*)", "novelty_rate")}
-    FROM grams g
-    JOIN first_seen f ON f.source = g.source AND f.shingle = g.shingle
-    GROUP BY g.source, g.bucket
-    ORDER BY g.source, bucket
+      {cnt("count(DISTINCT CASE WHEN novel THEN shingle END)",
+           "n_novel_types")},
+      {dbl("sum(CASE WHEN novel THEN 1 ELSE 0 END) * 1.0 / count(*)",
+           "novelty_rate")}
+    FROM flagged
+    GROUP BY source, bucket
+    ORDER BY source, bucket
     """
 
 
