@@ -1219,106 +1219,115 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # ≤4-row aggregate pattern census every user shares.  All counts
     # are exact integers; each user sums ≤8 log terms.
     #
-    # Scale: two events scans (hour census + distinct user-hours), the
-    # pair/census frames are |hours|-bounded and broadcast; the only
-    # big frames are user-keyed rollups.
+    # Scale (r13 optimization, guide §2.3/§2.4): ONE events scan — the
+    # per-(user, hour) grouped frame is the only fact-sized reduction,
+    # and BOTH original scans (hour census = sum of its counts, distinct
+    # user-hours = its key set) derive from it.  The pair/census frames
+    # are |hours|-bounded; the census totals (n_l, n) ride along as
+    # window sums over the 4-row census instead of join-back CTEs, and
+    # the per-(user, b, l) margin c_bl is a window over the dense grid
+    # instead of a groupBy + 3-way re-join (the r13 plan audit measured
+    # the old tail at 24 Exchanges / 6 SortMergeJoins; this shape runs
+    # 3 materialize jobs instead of 5 and a ~6-Exchange tail).
     ep = epoch("ts", d)
-    hours_sql = f"""
-      SELECT CAST(floor({ep} / 3600.0) AS BIGINT) AS hr, count(*) AS n_ev
+    base_sql = f"""
+      SELECT user_id, CAST(floor({ep} / 3600.0) AS BIGINT) AS hr,
+             count(*) AS n_uh
       FROM events
-      GROUP BY CAST(floor({ep} / 3600.0) AS BIGINT)
-    """
-    uh_sql = f"""
-      SELECT DISTINCT user_id, CAST(floor({ep} / 3600.0) AS BIGINT) AS hr
-      FROM events
+      GROUP BY user_id, CAST(floor({ep} / 3600.0) AS BIGINT)
     """
     pairs_sql = f"""
-      WITH med AS (
-        SELECT {pct("n_ev", 0.5, d)} AS m FROM _mz_ute_hours
+      WITH hours AS (
+        SELECT hr, sum(n_uh) AS n_ev FROM _mz_ute_base GROUP BY hr
+      ),
+      med AS (
+        SELECT {pct("n_ev", 0.5, d)} AS m FROM hours
       ),
       lab AS (
         SELECT hr,
           CASE WHEN n_ev > (SELECT m FROM med) THEN 1 ELSE 0 END AS l
-        FROM _mz_ute_hours
+        FROM hours
       )
       SELECT a.hr AS hr, a.l AS l, b.l AS lp
       FROM lab a
       JOIN lab b ON b.hr = a.hr + 1
     """
-    census_sql = """
-      SELECT l, lp, count(*) AS big_n FROM _mz_ute_pairs GROUP BY l, lp
-    """
     # the per-user dense cell grid (b=1 from observed counts, b=0 in
-    # closed form): materialized because cb/terms both consume it —
-    # inlined, the users x census x c1 join chain re-ran per reference
-    # (the plan audit measured 92 exchanges; materialized it's ~15)
+    # closed form): materialized because the term/margin consumers read
+    # it — inlined, the users x census x c1 join chain re-ran per
+    # reference.  The b dimension comes from ONE 2-row cross join (the
+    # old UNION ALL duplicated the c1 LEFT JOIN), and the census totals
+    # + per-(user, b, l) margin are window sums computed here once.
     dense_sql = """
-      WITH c1 AS (
+      WITH ce AS (
+        SELECT l, lp, count(*) AS big_n FROM _mz_ute_pairs GROUP BY l, lp
+      ),
+      cew AS (
+        SELECT l, lp, big_n,
+          sum(big_n) OVER (PARTITION BY l) AS n_l,
+          sum(big_n) OVER () AS n
+        FROM ce
+      ),
+      c1 AS (
         SELECT u.user_id, p.l, p.lp, count(*) AS c
-        FROM _mz_ute_uh u
+        FROM _mz_ute_base u
         JOIN _mz_ute_pairs p ON p.hr = u.hr
         GROUP BY u.user_id, p.l, p.lp
       ),
       users AS (
-        SELECT DISTINCT user_id FROM _mz_ute_uh
+        SELECT DISTINCT user_id FROM _mz_ute_base
+      ),
+      grid AS (
+        SELECT
+          us.user_id, ce.l, ce.lp, bb.b,
+          CASE WHEN bb.b = 1 THEN coalesce(c1.c, 0)
+               ELSE ce.big_n - coalesce(c1.c, 0) END AS c,
+          ce.big_n, ce.n_l, ce.n
+        FROM users us
+        CROSS JOIN cew ce
+        CROSS JOIN (SELECT 1 AS b UNION ALL SELECT 0 AS b) bb
+        LEFT JOIN c1 ON c1.user_id = us.user_id
+                    AND c1.l = ce.l AND c1.lp = ce.lp
       )
-      SELECT
-        us.user_id, ce.l, ce.lp, 1 AS b,
-        coalesce(c1.c, 0) AS c,
-        ce.big_n
-      FROM users us
-      CROSS JOIN _mz_ute_census ce
-      LEFT JOIN c1 ON c1.user_id = us.user_id
-                  AND c1.l = ce.l AND c1.lp = ce.lp
-      UNION ALL
-      SELECT
-        us.user_id, ce.l, ce.lp, 0 AS b,
-        ce.big_n - coalesce(c1.c, 0) AS c,
-        ce.big_n
-      FROM users us
-      CROSS JOIN _mz_ute_census ce
-      LEFT JOIN c1 ON c1.user_id = us.user_id
-                  AND c1.l = ce.l AND c1.lp = ce.lp
+      SELECT user_id, l, lp, b, c, big_n, n_l, n,
+        sum(c) OVER (PARTITION BY user_id, b, l) AS c_bl
+      FROM grid
     """
     tail = f"""
-    WITH census_l AS (
-      SELECT l, sum(big_n) AS n_l FROM _mz_ute_census GROUP BY l
-    ),
-    n_tot AS (
-      SELECT sum(big_n) AS n FROM _mz_ute_census
-    ),
-    cb AS (
-      SELECT user_id, b, l, sum(c) AS c_bl
-      FROM _mz_ute_dense GROUP BY user_id, b, l
-    ),
-    terms AS (
+    WITH terms AS (
       SELECT
-        de.user_id,
-        CASE WHEN de.c > 0 AND cb.c_bl > 0 THEN
-          (de.c / CAST(nt.n AS DOUBLE)) * log2(
-            (de.c / CAST(cb.c_bl AS DOUBLE))
-            / (de.big_n / CAST(cl.n_l AS DOUBLE))
+        user_id,
+        n,
+        CASE WHEN c > 0 AND c_bl > 0 THEN
+          (c / CAST(n AS DOUBLE)) * log2(
+            (c / CAST(c_bl AS DOUBLE))
+            / (big_n / CAST(n_l AS DOUBLE))
           )
         ELSE 0.0 END AS term
-      FROM _mz_ute_dense de
-      JOIN cb ON cb.user_id = de.user_id AND cb.b = de.b AND cb.l = de.l
-      JOIN census_l cl ON cl.l = de.l
-      CROSS JOIN n_tot nt
+      FROM _mz_ute_dense
+    ),
+    te AS (
+      SELECT user_id, max(n) AS n, sum(term) AS te_bits
+      FROM terms GROUP BY user_id
+    ),
+    ce AS (
+      SELECT l, lp, count(*) AS big_n FROM _mz_ute_pairs GROUP BY l, lp
+    ),
+    cew AS (
+      SELECT big_n,
+        sum(big_n) OVER (PARTITION BY l) AS n_l,
+        sum(big_n) OVER () AS n
+      FROM ce
     ),
     hcond AS (
       SELECT
-        -sum((ce.big_n / CAST(nt.n AS DOUBLE))
-             * log2(ce.big_n / CAST(cl.n_l AS DOUBLE))) AS h_bits
-      FROM _mz_ute_census ce
-      JOIN census_l cl ON cl.l = ce.l
-      CROSS JOIN n_tot nt
-    ),
-    te AS (
-      SELECT user_id, sum(term) AS te_bits FROM terms GROUP BY user_id
+        -sum((big_n / CAST(n AS DOUBLE))
+             * log2(big_n / CAST(n_l AS DOUBLE))) AS h_bits
+      FROM cew
     )
     SELECT
       t.user_id,
-      {cnt("(SELECT n FROM n_tot)", "n_hour_pairs")},
+      {cnt("t.n", "n_hour_pairs")},
       {dbl("t.te_bits", "te_bits")},
       {dbl("h.h_bits", "cond_entropy_bits")},
       {dbl(
@@ -1331,10 +1340,8 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ORDER BY t.user_id
     """
     return [
-        ("_mz_ute_hours", hours_sql),
-        ("_mz_ute_uh", uh_sql),
+        ("_mz_ute_base", base_sql),
         ("_mz_ute_pairs", pairs_sql),
-        ("_mz_ute_census", census_sql),
         ("_mz_ute_dense", dense_sql),
     ], tail
 

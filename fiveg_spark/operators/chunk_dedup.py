@@ -100,6 +100,12 @@ def _chunk_shingles_from(d: str, rel: str) -> str:
             "element_at(t, i + 2))))"
         )
         pred = "size(t) >= 3"
+        # the _shingles_body rule (dedup.py:64): the rep frame leaves its
+        # dedup agg AQE-coalesced to a couple of partitions (it is only a
+        # few MB), but the downstream shingle explode + 2×md5 amplifies
+        # CPU ~50× per byte — an explicit spread of the tiny rep rows
+        # unlocks full-core hashing (guide §2.5 input-skew rule)
+        rel = f"(SELECT /*+ REPARTITION({_parallelism()}, ck) */ * FROM {rel})"
     else:
         sh = (
             "unnest(list_transform(generate_series(1, len(t) - 2), "
@@ -113,17 +119,17 @@ def _chunk_shingles_from(d: str, rel: str) -> str:
       ) exploded"""
 
 
-def _chunk_sigs_sql(d: str) -> str:
-    """E2's 8-lane md5-minhash signature build over the MATERIALIZED
-    representative-chunk frame: (doc_id = ck, mh0..mh7) — the column
-    names the shared banding chain expects."""
+def _chunk_sigs_sql(d: str, rel: str = "_mz_ckm_reps") -> str:
+    """E2's 8-lane md5-minhash signature build over the representative-
+    chunk frame ``rel``: (doc_id = ck, mh0..mh7) — the column names the
+    shared banding chain expects."""
     mh_aggs = ",\n        ".join(
         f"min(substring(h{i // 4}, {1 + 8 * (i % 4)}, 8)) AS mh{i}"
         for i in range(N_HASHES)
     )
     return f"""
     WITH csh AS (
-      {_chunk_shingles_from(d, "_mz_ckm_reps")}
+      {_chunk_shingles_from(d, rel)}
     ),
     hashed AS (
       SELECT ck AS doc_id,
@@ -137,11 +143,11 @@ def _chunk_sigs_sql(d: str) -> str:
     """
 
 
-def _chunk_cand_sql(d: str) -> str:
+def _chunk_cand_sql(d: str, rel: str = "_mz_ckm_sigs") -> str:
     """The shared banding → bucket → candidate-pair chain over the
-    materialized chunk signatures (a standalone query: dedup.py's
+    chunk signatures in ``rel`` (a standalone query: dedup.py's
     WITH-continuation gets its WITH here)."""
-    return f"WITH {_banding_pairs_from(d, '_mz_ckm_sigs')}"
+    return f"WITH {_banding_pairs_from(d, rel)}"
 
 
 def _chunk_minhash_parts(d: str) -> tuple[list[tuple[str, str]], str]:
@@ -151,9 +157,25 @@ def _chunk_minhash_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # same-doc (overlapping stride windows agree trivially — the
     # within-doc overlap E133's stride creates by design) vs cross-doc
     # (the boilerplate spans dedup actually hunts).
+    #
+    # r13 optimization (guide §2.4): every frame here is consumed
+    # exactly ONCE (reps → sigs → cand → census), so the old three
+    # localCheckpoint materializations bought nothing — the query is a
+    # pure chain and runs as ONE lazy plan (zero eager jobs, the
+    # corpus still scanned once).  The recall twin below keeps its
+    # materializations (there reps and cand really are read twice).
     doc_a = f"CAST(floor(doc_a / {KEY_BASE}.0) AS BIGINT)"
     doc_b = f"CAST(floor(doc_b / {KEY_BASE}.0) AS BIGINT)"
     tail = f"""
+    WITH reps AS (
+      {_rep_chunks_sql(d)}
+    ),
+    sigs AS (
+      {_chunk_sigs_sql(d, "reps")}
+    ),
+    cand AS (
+      {_chunk_cand_sql(d, "sigs")}
+    )
     SELECT
       n_bands,
       {cnt("count(*)", "n_pairs")},
@@ -163,15 +185,11 @@ def _chunk_minhash_parts(d: str) -> tuple[list[tuple[str, str]], str]:
            "n_same_doc_pairs")},
       {cnt(f"count(DISTINCT {doc_a})", "n_docs_left")},
       {cnt(f"count(DISTINCT {doc_b})", "n_docs_right")}
-    FROM _mz_ckm_cand
+    FROM cand
     GROUP BY n_bands
     ORDER BY n_bands
     """
-    return [
-        ("_mz_ckm_reps", _rep_chunks_sql(d)),
-        ("_mz_ckm_sigs", _chunk_sigs_sql(d)),
-        ("_mz_ckm_cand", _chunk_cand_sql(d)),
-    ], tail
+    return [], tail
 
 
 def _chunk_exact_pairs_sql(d: str) -> str:

@@ -455,6 +455,11 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     )
     frac = f"(CAST({digits} AS DOUBLE) / 4294967296.0)"
     k = THETA_K
+    # (r13: an explicit REPARTITION spread between the inner distinct
+    # and the md5 projection was A/B-measured SLOWER here — the digit
+    # arithmetic over the already-deduped rows is too cheap to pay an
+    # extra exchange for, unlike the chunk-sigs shingle+md5 explode.)
+    spread = shingled_scan(d, "source", distinct=True)
     # DISTINCT (source, shingle) BEFORE hashing (r8 measurement: ~12%
     # faster at sf0.1 — the corpus has ~10× more shingle occurrences
     # than distinct shingles, and the md5+digit arithmetic is the
@@ -462,11 +467,34 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # partial-agg-compacted shuffle of the strings).  The outer
     # DISTINCT on frac stays: two distinct shingles colliding to one
     # 32-bit frac must count once in the sketch.
-    sf = f"""
-      SELECT DISTINCT source, {frac} AS frac
+    # ONE materialized frame (r13 optimization, guide §2.4): the old
+    # shape checkpointed sf (distinct fracs) AND a separate rank-window
+    # sketch over it — two eager jobs.  The rank/count windows plus the
+    # per-source theta (a second window over the SAME source partition:
+    # no extra exchange, the hash(source)+sort(frac) the rank already
+    # paid satisfies it) now ride ON the distinct frame, so the tail's
+    # srcs frame is a filter (rn = 1) instead of a groupBy and retained
+    # is a filter instead of a sketch⋈srcs join.  Old tail: 20
+    # Exchanges / 2 SMJ; new: filters + the same bounded pair stages.
+    sfw = f"""
+      SELECT source, frac, rn, n_src,
+        CASE WHEN n_src >= {k}
+             THEN max(CASE WHEN rn = {k} THEN frac END)
+                    OVER (PARTITION BY source)
+             ELSE 1.0 END AS theta
       FROM (
-        {shingled_scan(d, "source", distinct=True)}
-      ) shingled
+        SELECT
+          source,
+          frac,
+          row_number() OVER (PARTITION BY source ORDER BY frac) AS rn,
+          count(*) OVER (PARTITION BY source) AS n_src
+        FROM (
+          SELECT DISTINCT source, {frac} AS frac
+          FROM (
+            {spread}
+          ) shingled
+        ) sf
+      ) ranked
     """
     # Exact pairwise-intersection witness.  Spark uses the E3 posting-
     # list shape (group the sketch-input frame by frac, explode source
@@ -480,7 +508,7 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     if d == "spark":
         exact_inter = """frac_posting AS (
       SELECT sort_array(collect_set(source)) AS srcs
-      FROM _mz_theta_sf
+      FROM _mz_theta_sfw
       GROUP BY frac
       HAVING size(collect_set(source)) > 1
     ),
@@ -495,34 +523,18 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     else:
         exact_inter = """exact_inter AS (
       SELECT a.source AS sa, b.source AS sb, count(*) AS xi
-      FROM _mz_theta_sf a
-      JOIN _mz_theta_sf b ON a.frac = b.frac AND a.source < b.source
+      FROM _mz_theta_sfw a
+      JOIN _mz_theta_sfw b ON a.frac = b.frac AND a.source < b.source
       GROUP BY a.source, b.source
     )"""
-    sketch = f"""
-      SELECT source, frac, rn, n_src FROM (
-        SELECT
-          source,
-          frac,
-          row_number() OVER (PARTITION BY source ORDER BY frac) AS rn,
-          count(*) OVER (PARTITION BY source) AS n_src
-        FROM _mz_theta_sf
-      ) r WHERE rn <= {k}
-    """
     tail = f"""
     WITH srcs AS (
-      SELECT
-        source,
-        max(n_src) AS n,
-        CASE WHEN max(n_src) >= {k}
-             THEN max(CASE WHEN rn = {k} THEN frac END)
-             ELSE 1.0 END AS theta
-      FROM _mz_theta_sketch GROUP BY source
+      SELECT source, n_src AS n, theta
+      FROM _mz_theta_sfw WHERE rn = 1
     ),
     retained AS (
-      SELECT s.source, s.frac
-      FROM _mz_theta_sketch s JOIN srcs t ON s.source = t.source
-      WHERE s.frac < t.theta
+      SELECT source, frac
+      FROM _mz_theta_sfw WHERE rn <= {k} AND frac < theta
     ),
     pairs AS (
       SELECT
@@ -582,7 +594,7 @@ def _theta_overlap_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     LEFT JOIN exact_inter x ON x.sa = p.sa AND x.sb = p.sb
     ORDER BY p.sa, p.sb
     """
-    return [("_mz_theta_sf", sf), ("_mz_theta_sketch", sketch)], tail
+    return [("_mz_theta_sfw", sfw)], tail
 
 
 

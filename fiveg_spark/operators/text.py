@@ -308,6 +308,9 @@ def _tf_frame_sql(d: str) -> str:
     desynchronizing three copies (r7 self-review)."""
     toks = _tok(d)
     if d == "spark":
+        # (r13: a REPARTITION spread before this explode was A/B-measured
+        # slower — a plain unigram explode is too cheap per row to pay an
+        # extra exchange for, unlike the md5-amplified shingle paths.)
         exploded = f"SELECT doc_id, explode({toks}) AS term FROM documents"
     else:
         exploded = f"SELECT doc_id, unnest({toks}) AS term FROM documents"

@@ -106,12 +106,18 @@ def materialized_backed(
         return run_parts(spark, parts_fn)
 
     ctes, tail = parts_fn("duckdb")
-    with_clause = ",\n".join(f"{rel} AS ({sql})" for rel, sql in ctes)
-    stripped = tail.lstrip()
-    if stripped[:5].upper() == "WITH ":
-        oracle = f"WITH {with_clause},\n{stripped[5:]}"
+    if not ctes:
+        # a parts query whose references turned out to be a pure chain
+        # (each frame consumed exactly once): no materialization needed,
+        # the tail IS the query in both dialects
+        oracle = tail
     else:
-        oracle = f"WITH {with_clause}\n{tail}"
+        with_clause = ",\n".join(f"{rel} AS ({sql})" for rel, sql in ctes)
+        stripped = tail.lstrip()
+        if stripped[:5].upper() == "WITH ":
+            oracle = f"WITH {with_clause},\n{stripped[5:]}"
+        else:
+            oracle = f"WITH {with_clause}\n{tail}"
     return Query(name=name, run=run, oracle=oracle, deferred=deferred)
 
 
