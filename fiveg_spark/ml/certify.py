@@ -404,9 +404,13 @@ def gru_forward_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scaled, _ = robust_scale(feature_frame(spark, sf_dir))
     seqs = sliding_sequences(scaled).persist()
+    preds = None
     try:
         w = init_weights()
-        preds = predict_residuals(seqs, spark.sparkContext.broadcast(w))
+        # r13 opt: persist the forward-pass output — it is consumed
+        # twice (finiteness agg + the bit-parity sample collect), and
+        # unpersisted the Arrow-batch numpy forward ran twice.
+        preds = predict_residuals(seqs, spark.sparkContext.broadcast(w)).persist()
         finite = preds.agg(
             F.count("*").alias("n"),
             F.sum(
@@ -439,6 +443,8 @@ def gru_forward_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_diff = max(max_diff, float(np.abs(local - got).max()))
     finally:
         seqs.unpersist()
+        if preds is not None:
+            preds.unpersist()
     return spark.createDataFrame(
         [
             (

@@ -212,11 +212,24 @@ def ann_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are 0-based and contiguous in the testdata embeddings)
     queries = emb.filter(F.col("vec_id") < QUERY_N).localCheckpoint()
     corpus = emb.filter(F.col("vec_id") >= QUERY_N).localCheckpoint()
-    exact = _exact_retrieve(queries, corpus, K).select("query_id", "vec_id")
+    # r13 opt: exact and each approx frame are referenced twice below
+    # (count + hits join) — unmaterialized, the whole brute-force /
+    # IVF / PQ retrieval pipeline re-ran per reference (the ledger
+    # showed 34 exchanges / 8 Python nodes for this plan).  The frames
+    # are QUERY_N·K = 80 rows; checkpoint once, read twice.
+    exact = (
+        _exact_retrieve(queries, corpus, K)
+        .select("query_id", "vec_id")
+        .localCheckpoint()
+    )
 
     rows = []
     for method, fn in (("ivf", ivf_retrieve), ("pq", pq_retrieve)):
-        approx = fn(spark, queries, corpus, K).select("query_id", "vec_id")
+        approx = (
+            fn(spark, queries, corpus, K)
+            .select("query_id", "vec_id")
+            .localCheckpoint()
+        )
         hits = approx.join(exact, ["query_id", "vec_id"])
         rows.append(
             approx.agg(
@@ -267,8 +280,13 @@ def ann_retrieval_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.filter(F.col("vec_id") < QUERY_N).localCheckpoint()
     corpus = emb.filter(F.col("vec_id") >= QUERY_N).localCheckpoint()
-    exact = _exact_retrieve(queries, corpus, K).select(
-        "query_id", "vec_id", F.lit(1.0).alias("rel")
+    # r13 opt: materialize the 80-row exact frame once — it is joined
+    # against BOTH methods' rankings below, and unmaterialized the
+    # brute-force rerank re-ran per method (guide §2.4).
+    exact = (
+        _exact_retrieve(queries, corpus, K)
+        .select("query_id", "vec_id", F.lit(1.0).alias("rel"))
+        .localCheckpoint()
     )
     idcg = sum(1.0 / math.log2(r + 1) for r in range(1, K + 1))
 

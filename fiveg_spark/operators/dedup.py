@@ -787,7 +787,7 @@ def _incremental_minhash_sql(d: str) -> str:
 
 
 
-def _dup_spectrum_sql(d: str) -> str:
+def _dup_spectrum_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E80 -- the duplication SPECTRUM: the cluster-SIZE distribution of
     # E1's exact content-hash groups (same md5(lower(text)) convention,
     # so the spectrum describes exactly the clusters E1 deduplicates).
@@ -804,16 +804,23 @@ def _dup_spectrum_sql(d: str) -> str:
     # Scale: one corpus scan -> hash groupBy -> <=|distinct sizes|
     # rows; every later stage is histogram-sized.  Rounding before ln
     # (PSI discipline) keeps both engines' regression inputs identical.
-    return f"""
-    WITH clusters AS (
-      SELECT md5(lower(text)) AS h, count(*) AS sz
-      FROM documents
-      GROUP BY md5(lower(text))
-    ),
-    hist AS (
+    #
+    # r13 opt: the histogram is MATERIALIZED — the tail references it
+    # three times (corpus total, the log-log fit, and the per-size
+    # output row), and Spark inlines CTEs, so the corpus scan + md5
+    # groupBy ran 3× (ledger: 3 file scans for a 1-table query).
+    hist_sql = f"""
       SELECT sz, count(*) AS n_clusters, sum(sz) AS n_docs
-      FROM clusters
+      FROM (
+        SELECT md5(lower(text)) AS h, count(*) AS sz
+        FROM documents
+        GROUP BY md5(lower(text))
+      ) clusters
       GROUP BY sz
+    """
+    tail = f"""
+    WITH hist AS (
+      SELECT * FROM _mz_dsp_hist
     ),
     tot AS (
       SELECT sum(n_docs) AS total_docs FROM hist
@@ -848,6 +855,7 @@ def _dup_spectrum_sql(d: str) -> str:
     FROM hist h CROSS JOIN tot t CROSS JOIN fit f
     ORDER BY h.sz
     """
+    return [("_mz_dsp_hist", hist_sql)], tail
 
 
 def _dup_pressure_parts(d: str) -> tuple[list[tuple[str, str]], str]:
@@ -1000,7 +1008,7 @@ def _line_dedup_sql(d: str) -> str:
     """
 
 
-def _survivorship_sql(d: str) -> str:
+def _survivorship_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E86 — exact-dedup SURVIVORSHIP by source: who wins when E1's
     # keep-rule (keeper = min doc_id per content-hash cluster) runs —
     # per source: docs kept/removed, tokens reclaimed, and the CROSS-
@@ -1014,11 +1022,21 @@ def _survivorship_sql(d: str) -> str:
     # Scale: one scan → hash groupBy (E1's shape) → join back on the
     # high-cardinality hash → per-source rollup.
     toks = split_ws("lower(text)", d)
-    return f"""
-    WITH docs AS (
+    # r13 opt: the per-doc (source, hash, token-count) frame is
+    # MATERIALIZED — the tail references it three times (cluster
+    # groupBy, keeper-source lookup, per-doc flag join), and Spark
+    # inlines CTEs, so the tokenize+md5 corpus scan ran 3× (ledger:
+    # 3 file scans for a 1-table query).  The frame is the narrow
+    # decision-pass projection (guide §8): one corpus read, three
+    # reads of (doc_id, source, h, n_tokens).
+    docs_sql = f"""
       SELECT doc_id, source, md5(lower(text)) AS h,
              {arr_len("t", d)} AS n_tokens
       FROM (SELECT doc_id, source, {toks} AS t, text FROM documents) raw
+    """
+    tail = f"""
+    WITH docs AS (
+      SELECT * FROM _mz_surv_docs
     ),
     clusters AS (
       SELECT h, min(doc_id) AS keeper, count(*) AS sz
@@ -1051,6 +1069,7 @@ def _survivorship_sql(d: str) -> str:
     GROUP BY source
     ORDER BY source
     """
+    return [("_mz_surv_docs", docs_sql)], tail
 
 
 def _minhash_estimate_parts(d: str) -> tuple[list[tuple[str, str]], str]:
@@ -1134,7 +1153,8 @@ def _minhash_estimate_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 QUERIES = [
     sql_backed("dedup_exact", _dedup_exact_sql, ("documents",)),
     sql_backed("line_dedup", _line_dedup_sql, ("documents",)),
-    sql_backed("dedup_survivorship_by_source", _survivorship_sql, ("documents",)),
+    materialized_backed("dedup_survivorship_by_source", _survivorship_parts,
+               ("documents",)),
     materialized_backed(
         "minhash_jaccard_estimate", _minhash_estimate_parts, ("documents",),
     ),
@@ -1164,5 +1184,6 @@ QUERIES = [
         "dup_pressure_by_source", _dup_pressure_parts, ("documents",),
 
     ),
-    sql_backed("dup_cluster_spectrum", _dup_spectrum_sql, ("documents",)),
+    materialized_backed("dup_cluster_spectrum", _dup_spectrum_parts,
+               ("documents",)),
 ]

@@ -262,21 +262,29 @@ def _new_vs_returning_sql(d: str) -> str:
     """
 
 
-def _source_lang_mix_sql(d: str) -> str:
+def _source_lang_mix_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E116 — source × lang dependence over the documents corpus: the
     # DENSE contingency (cross-join spine keeps vanished-cell mass —
     # the r8 sparse-grid lesson) with per-cell share, lift vs
     # independence, and the chi-square contribution.
-    return f"""
-    WITH cells AS (
+    # r13 opt: the (source, lang) cell frame is MATERIALIZED and the
+    # spine derives from IT (every source/lang value present in the
+    # corpus appears in the grouped cells, so the distinct sets are
+    # identical) — the old inline shape re-scanned documents three
+    # times: cells + both DISTINCT spine arms (ledger: 3 file scans).
+    cells_sql = """
       SELECT source, lang, count(*) AS n
       FROM documents
       GROUP BY source, lang
+    """
+    tail = f"""
+    WITH cells AS (
+      SELECT * FROM _mz_slm_cells
     ),
     spine AS (
       SELECT s.source, l.lang
-      FROM (SELECT DISTINCT source FROM documents) s
-      CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+      FROM (SELECT DISTINCT source FROM cells) s
+      CROSS JOIN (SELECT DISTINCT lang FROM cells) l
     ),
     dense AS (
       SELECT
@@ -307,6 +315,7 @@ def _source_lang_mix_sql(d: str) -> str:
     FROM margined
     ORDER BY source, lang
     """
+    return [("_mz_slm_cells", cells_sql)], tail
 
 
 def _emb_smoothness_sql(d: str) -> str:
@@ -423,7 +432,7 @@ QUERIES = [
     sql_backed("user_phase_value_shift", _phase_shift_sql, ("events",)),
     sql_backed("daily_new_vs_returning", _new_vs_returning_sql,
                ("events",)),
-    sql_backed("source_lang_mix", _source_lang_mix_sql, ("documents",)),
+    materialized_backed("source_lang_mix", _source_lang_mix_parts, ("documents",)),
     sql_backed("embedding_smoothness", _emb_smoothness_sql,
                ("embeddings",)),
     materialized_backed(
@@ -437,7 +446,7 @@ QUERIES = [
 # --------------------------------------------------------------------------
 
 
-def _hour_entropy_by_band_sql(d: str) -> str:
+def _hour_entropy_by_band_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C159 — diurnal concentration by activity band: per-user Shannon
     # entropy (nats) of the hour-of-day profile, averaged within
     # activity quartiles.  Banding uses exact percentile BOUNDS of the
@@ -458,11 +467,18 @@ def _hour_entropy_by_band_sql(d: str) -> str:
         " WHEN CAST(u.n AS DOUBLE) <= b.b2 THEN 2"
         " WHEN CAST(u.n AS DOUBLE) <= b.b3 THEN 3 ELSE 4 END"
     )
-    return f"""
-    WITH per_cell AS (
+    # r13 opt: the (user, hour) cell frame is MATERIALIZED — the tail
+    # reaches it through per_user_tot (2×: entropy join + the quartile
+    # bounds) and per_user, and Spark inlines CTEs, so the fact scan ran
+    # 3× (ledger: 3 file scans for a 1-table query).
+    cells_sql = f"""
       SELECT user_id, {hour} AS hr, count(*) AS c
       FROM events
       GROUP BY user_id, {hour}
+    """
+    tail = f"""
+    WITH per_cell AS (
+      SELECT * FROM _mz_uhe_cells
     ),
     per_user_tot AS (
       SELECT user_id, sum(c) AS n FROM per_cell GROUP BY user_id
@@ -491,6 +507,7 @@ def _hour_entropy_by_band_sql(d: str) -> str:
     GROUP BY {band}
     ORDER BY activity_band
     """
+    return [("_mz_uhe_cells", cells_sql)], tail
 
 
 def _transition_asymmetry_sql(d: str) -> str:
@@ -575,7 +592,7 @@ def _token_case_profile_sql(d: str) -> str:
 
 
 QUERIES.extend([
-    sql_backed("user_hour_entropy_by_band", _hour_entropy_by_band_sql,
+    materialized_backed("user_hour_entropy_by_band", _hour_entropy_by_band_parts,
                ("events",)),
     sql_backed("type_transition_asymmetry", _transition_asymmetry_sql,
                ("events",)),

@@ -89,14 +89,26 @@ def delay_expr() -> str:
 
 def _lateness_profile_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     es = epoch("ts", d)
+    # arr is computed ONCE in an inner select and arr_min derives from
+    # that column (r13 opt): the naive inline repeated delay_expr() —
+    # 2 md5 digit-arithmetic draws, ~32 string ops — per OUTPUT column,
+    # doubling the dominant per-row hash cost of the materialized frame.
+    # Same expression tree feeds both engines, so results are identical.
     arr_sql = f"""
       SELECT
         event_id,
         event_type,
-        {es} AS es,
-        ({es} + ({delay_expr()})) AS arr,
-        CAST(floor(({es} + ({delay_expr()})) / 60.0) AS BIGINT) AS arr_min
-      FROM events
+        es,
+        arr,
+        CAST(floor(arr / 60.0) AS BIGINT) AS arr_min
+      FROM (
+        SELECT
+          event_id,
+          event_type,
+          {es} AS es,
+          ({es} + ({delay_expr()})) AS arr
+        FROM events
+      ) delayed
     """
     late_cols = ",\n      ".join(
         dbl(

@@ -83,7 +83,16 @@ def semdedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate near-dup pairs, distinct dropped vectors."""
     emb = load_table(spark, "embeddings", sf_dir)
     centroids_bc = spark.sparkContext.broadcast(fit_centroids(spark, emb))
-    assigned = assign_lists(emb, centroids_bc).select("vec_id", "list_id")
+    # r13 opt: the assignment frame is referenced 3× below (both sides
+    # of the within-cluster self-join + the cluster-size agg) — left
+    # lazy, the scan+broadcast-assign map re-ran per reference (the
+    # ledger showed 22 file scans).  (vec_id, list_id) is narrow; at
+    # production scale this materialization IS the IVF index build.
+    assigned = (
+        assign_lists(emb, centroids_bc)
+        .select("vec_id", "list_id")
+        .localCheckpoint()
+    )
     pairs = _pairs_within(emb, assigned, THRESHOLD)
     sizes = assigned.groupBy("list_id").agg(F.count("*").alias("n_vectors"))
     drops = pairs.groupBy("list_id").agg(
@@ -122,8 +131,12 @@ def semdedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = emb.filter(F.col("vec_id") < N_PLANT).select(
         (F.col("vec_id") + _PLANT_OFFSET).alias("vec_id"), "label", "embedding"
     )
-    corpus = emb.unionByName(planted)
-    pairs = semdedup_pairs(spark, corpus, THRESHOLD)
+    # r13 opt: materialize the planted union once (it feeds the k-means
+    # fit, the assignment, both exact-pair sides and the count — ~6
+    # rescans of the union when lazy) and the within-cluster pair set
+    # (referenced by the planted filter + its own count).
+    corpus = emb.unionByName(planted).localCheckpoint()
+    pairs = semdedup_pairs(spark, corpus, THRESHOLD).localCheckpoint()
     planted_found = pairs.filter(
         (F.col("drop_id") == F.col("keep_id") + _PLANT_OFFSET)
         & (F.col("keep_id") < N_PLANT)

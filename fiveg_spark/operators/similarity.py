@@ -383,14 +383,21 @@ def _hybrid_fusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # RRF scores round (NUDGE) before the fused rank; doc_id tiebreak.
     tf_sql = _tf_frame_sql(d)
     cos = _cos(d, "q.qemb", "e.embedding")
+    # r13 opt: the BM25 pool is materialized as its OWN checkpointed
+    # frame — the tail referenced `ranked` twice (lex + seed), and Spark
+    # inlines CTEs, so the whole doclen/df/scored/window chain over the
+    # tf frame ran twice (the ledger showed 30 exchanges).  The pool is
+    # ≤ |queries|·|matched docs| rows; both references are now filters.
+    pool_sql = f"""
+    WITH {_bm25_ranked_ctes("_mz_hyb_tf")}
+    SELECT query_id, doc_id, rnk FROM ranked WHERE rnk <= {RRF_POOL}
+    """
     tail = f"""
-    WITH {_bm25_ranked_ctes("_mz_hyb_tf")},
-    lex AS (
-      SELECT query_id, doc_id, rnk AS rank_lex
-      FROM ranked WHERE rnk <= {RRF_POOL}
+    WITH lex AS (
+      SELECT query_id, doc_id, rnk AS rank_lex FROM _mz_hyb_pool
     ),
     seed AS (
-      SELECT query_id, doc_id AS seed_doc FROM ranked WHERE rnk = 1
+      SELECT query_id, doc_id AS seed_doc FROM _mz_hyb_pool WHERE rnk = 1
     ),
     qvec AS (
       SELECT s.query_id, e.embedding AS qemb
@@ -446,7 +453,7 @@ def _hybrid_fusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     WHERE fr <= {HYBRID_TOPK}
     ORDER BY query_id, rnk
     """
-    return [("_mz_hyb_tf", tf_sql)], tail
+    return [("_mz_hyb_tf", tf_sql), ("_mz_hyb_pool", pool_sql)], tail
 
 
 IF_K = 8  # frozen-index stand-in: the 8 earliest vectors seed the clusters

@@ -17,7 +17,8 @@ second pass over raw data.
 from __future__ import annotations
 
 from fiveg_spark.operators.timeseries import _hourly_cte
-from fiveg_spark.plans.registry import NUDGE, cnt, dbl, epoch, sql_backed
+from fiveg_spark.plans.registry import (NUDGE, cnt, dbl, epoch,
+                                         materialized_backed, sql_backed)
 
 
 # Guarded OLS fit pieces over Σ sums named (n, sx, sy, sxx, syy, sxy):
@@ -295,7 +296,7 @@ def _evt_tail_sql(d: str) -> str:
     """
 
 
-def _jackknife_sql(d: str) -> str:
+def _jackknife_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C72 — delete-one-BLOCK jackknife confidence interval for a
     # ratio-of-sums metric (Efron 1981; the block variant is the
     # standard error machinery for ratio metrics at data-warehouse
@@ -312,8 +313,11 @@ def _jackknife_sql(d: str) -> str:
     # hash-certify exactly (ratio arithmetic on identical doubles;
     # var_pop's summation-order noise is absorbed by the edge rounding).
     # Single-day types have no replicates -> se pinned 0 with a flag.
-    return f"""
-    WITH daily AS (
+    # r13 opt: the per-(type, day) partial frame is MATERIALIZED — the
+    # tail walks it via tot (2×: loo join + final) and loo, and Spark
+    # inlines CTEs, so the fact scan ran 3× (ledger: 3 file scans for a
+    # 1-table query).  One fact pass; everything after is |types|·|days|.
+    daily_sql = """
       SELECT
         event_type,
         date_trunc('day', ts) AS day,
@@ -322,6 +326,10 @@ def _jackknife_sql(d: str) -> str:
       FROM events
       WHERE value IS NOT NULL
       GROUP BY event_type, date_trunc('day', ts)
+    """
+    tail = f"""
+    WITH daily AS (
+      SELECT * FROM _mz_jk_daily
     ),
     tot AS (
       SELECT event_type, sum(s) AS st, sum(n) AS nt, count(*) AS b
@@ -359,6 +367,7 @@ def _jackknife_sql(d: str) -> str:
     FROM tot t LEFT JOIN jk j ON j.event_type = t.event_type
     ORDER BY t.event_type
     """
+    return [("_mz_jk_daily", daily_sql)], tail
 
 
 ANOVA_F_CRIT = 3.0  # F(df1=2, df2→∞) at alpha = 0.05
@@ -509,7 +518,7 @@ def _chunk_audit_sql(d: str) -> str:
     """
 
 
-def _priority_anova_sql(d: str) -> str:
+def _priority_anova_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # C112 — does o_orderpriority actually move shipping?  One-way
     # ANOVA of the order→ship latency (C82's convention) across the
     # five priority classes — C77's F machinery pointed at the ops
@@ -520,18 +529,26 @@ def _priority_anova_sql(d: str) -> str:
     #
     # Scale: one lineitem⋈orders pass (broadcast-able orders columns),
     # one 5-group Σ/Σ² agg — the distributed-ANOVA layout of C77.
+    #
+    # r13 opt: the 5-row Σ/Σ² frame is MATERIALIZED — the tail
+    # references it three times (grand mean, the pooled F sums, and the
+    # per-priority output row), and Spark inlines CTEs, so the full
+    # lineitem⋈orders pass ran 3× (the ledger showed 6 file scans for
+    # a 2-table query).  One fact pass, three reads of 5 rows.
     lat = f"(({epoch('l.l_shipdate', d)} - {epoch('o.o_orderdate', d)}) / 86400.0)"
-    return f"""
-    WITH obs AS (
-      SELECT o.o_orderpriority AS priority, {lat} AS lat
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    ),
-    grp AS (
+    grp_sql = f"""
       SELECT priority,
         count(*) AS n_i,
         sum(lat) AS s_i,
         sum(lat * lat) AS ss_i
-      FROM obs GROUP BY priority
+      FROM (
+        SELECT o.o_orderpriority AS priority, {lat} AS lat
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      ) obs GROUP BY priority
+    """
+    tail_prefix = f"""
+    WITH grp AS (
+      SELECT * FROM _mz_panova_grp
     ),
     grand AS (
       SELECT sum(s_i) / sum(n_i) AS gm FROM grp
@@ -562,6 +579,7 @@ def _priority_anova_sql(d: str) -> str:
     FROM grp g CROSS JOIN tot t
     ORDER BY g.priority
     """
+    return [("_mz_panova_grp", grp_sql)], tail_prefix
 
 
 def _lead_time_trend_sql(d: str) -> str:
@@ -661,9 +679,9 @@ QUERIES = [
     sql_backed("supplier_lead_time_trend", _lead_time_trend_sql,
                ("lineitem", "orders", "supplier", "nation")),
     # r8 third wave; deferred flag dropped at r9 start (standing mechanic)
-    sql_backed("priority_latency_anova", _priority_anova_sql,
-               ("lineitem", "orders")),
-    sql_backed("jackknife_ratio_ci", _jackknife_sql, ("events",)),
+    materialized_backed("priority_latency_anova", _priority_anova_parts,
+                        ("lineitem", "orders")),
+    materialized_backed("jackknife_ratio_ci", _jackknife_parts, ("events",)),
     sql_backed("ols_trend_per_slice", _ols_trend_sql, ("events",)),
     sql_backed("gini_token_concentration", _gini_sql, ("documents",)),
     sql_backed("event_time_association", _assoc_sql, ("events",)),

@@ -665,63 +665,76 @@ def _median_polish_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       GROUP BY slice, {dow}, CAST({hr} AS BIGINT)
     """
     med = lambda x: f"round({pct(x, 0.5, d)} + {NUDGE}, 4) + 0.0"
-    tail = f"""
-    WITH g AS (
-      SELECT slice, {med("v")} AS grand FROM _mz_mp_cells GROUP BY slice
-    ),
-    c0 AS (
-      SELECT c.slice, c.w, c.hh, round(c.v - g.grand + {NUDGE}, 4) + 0.0
-        AS v
-      FROM _mz_mp_cells c JOIN g ON g.slice = c.slice
-    ),
-    r1 AS (
-      SELECT slice, w, {med("v")} AS e FROM c0 GROUP BY slice, w
-    ),
-    c1 AS (
-      SELECT c.slice, c.w, c.hh, round(c.v - r.e + {NUDGE}, 4) + 0.0 AS v
-      FROM c0 c JOIN r1 r ON r.slice = c.slice AND r.w = c.w
-    ),
-    h1 AS (
-      SELECT slice, hh, {med("v")} AS e FROM c1 GROUP BY slice, hh
-    ),
-    c2 AS (
-      SELECT c.slice, c.w, c.hh, round(c.v - hc.e + {NUDGE}, 4) + 0.0 AS v
-      FROM c1 c JOIN h1 hc ON hc.slice = c.slice AND hc.hh = c.hh
-    ),
-    r2 AS (
-      SELECT slice, w, {med("v")} AS e FROM c2 GROUP BY slice, w
-    ),
-    c3 AS (
-      SELECT c.slice, c.w, c.hh, round(c.v - r.e + {NUDGE}, 4) + 0.0 AS v
-      FROM c2 c JOIN r2 r ON r.slice = c.slice AND r.w = c.w
-    ),
-    h2 AS (
-      SELECT slice, hh, {med("v")} AS e FROM c3 GROUP BY slice, hh
-    ),
-    resid AS (
-      SELECT c.slice,
-        round(abs(c.v - hc.e) + {NUDGE}, 4) + 0.0 AS absr
-      FROM c3 c JOIN h2 hc ON hc.slice = c.slice AND hc.hh = c.hh
+    # r13 opt: the sweeps ride WINDOW medians layered over ONE pass of
+    # the cell frame instead of the old groupBy-median + join-back CTE
+    # chain (g→c0→r1→c1→h1→c2→r2→c3→h2→resid).  Every CTE there was
+    # referenced twice (next sweep + final output), and Spark inlines
+    # CTEs, so the subtree DOUBLED per sweep — the r13 ledger showed 123
+    # exchanges.  A window median over PARTITION BY (slice[, w|hh]) is
+    # the same median over the same rows, and every subtraction rounds
+    # through the same R(x) = round(x + NUDGE, 4) + 0.0 in the same
+    # order, so the effects are bit-identical; the polished frame
+    # materializes once and the four output branches are cheap aggs of
+    # constant-within-group columns (min() picks the one value).
+    medw = lambda x, part: (
+        f"round({pct(x, 0.5, d)} OVER (PARTITION BY {part}) + {NUDGE}, 4) + 0.0"
     )
+    polished_sql = f"""
+      SELECT slice, w, hh, g, e_r1, e_h1, e_r2, e_h2,
+        round(abs(v3 - e_h2) + {NUDGE}, 4) + 0.0 AS absr
+      FROM (
+        SELECT *, {medw("v3", "slice, hh")} AS e_h2
+        FROM (
+          SELECT slice, w, hh, g, e_r1, e_h1, e_r2,
+            round(v2 - e_r2 + {NUDGE}, 4) + 0.0 AS v3
+          FROM (
+            SELECT *, {medw("v2", "slice, w")} AS e_r2
+            FROM (
+              SELECT slice, w, hh, g, e_r1, e_h1,
+                round(v1 - e_h1 + {NUDGE}, 4) + 0.0 AS v2
+              FROM (
+                SELECT *, {medw("v1", "slice, hh")} AS e_h1
+                FROM (
+                  SELECT slice, w, hh, g, e_r1,
+                    round(v0 - e_r1 + {NUDGE}, 4) + 0.0 AS v1
+                  FROM (
+                    SELECT *, {medw("v0", "slice, w")} AS e_r1
+                    FROM (
+                      SELECT slice, w, hh, g,
+                        round(v - g + {NUDGE}, 4) + 0.0 AS v0
+                      FROM (
+                        SELECT *, {medw("v", "slice")} AS g
+                        FROM _mz_mp_cells
+                      ) lg
+                    ) lv0
+                  ) lr1
+                ) lv1
+              ) lh1
+            ) lv2
+          ) lr2
+        ) lv3
+      ) lh2
+    """
+    tail = f"""
     SELECT slice, component, idx, {dbl("effect", "effect")}
     FROM (
       SELECT slice, 'grand' AS component, CAST(0 AS BIGINT) AS idx,
-             grand AS effect FROM g
+             min(g) AS effect
+      FROM _mz_mp_polished GROUP BY slice
       UNION ALL
-      SELECT r1.slice, 'weekday', r1.w,
-             r1.e + r2.e
-      FROM r1 JOIN r2 ON r2.slice = r1.slice AND r2.w = r1.w
+      SELECT slice, 'weekday', w, min(e_r1) + min(e_r2)
+      FROM _mz_mp_polished GROUP BY slice, w
       UNION ALL
-      SELECT h1.slice, 'hour', h1.hh,
-             h1.e + h2.e
-      FROM h1 JOIN h2 ON h2.slice = h1.slice AND h2.hh = h1.hh
+      SELECT slice, 'hour', hh, min(e_h1) + min(e_h2)
+      FROM _mz_mp_polished GROUP BY slice, hh
       UNION ALL
       SELECT slice, 'residual_mad', CAST(0 AS BIGINT), {med("absr")}
-      FROM resid GROUP BY slice
+      FROM _mz_mp_polished GROUP BY slice
     ) long_frame
     ORDER BY slice, component, idx
     """
-    return [("_mz_mp_cells", cells_sql)], tail
+    return [("_mz_mp_cells", cells_sql),
+            ("_mz_mp_polished", polished_sql)], tail
 
 
 def _perm_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:

@@ -374,10 +374,19 @@ def _retrieval_eval_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     tf_sql = _tf_frame_sql(d)
     log2 = "ln(2.0)"
     gain = "(power(2.0, n_terms_matched) - 1.0)"
+    # r13 opt: the BM25 ranking is materialized as its OWN checkpointed
+    # frame — the tail referenced `ranked` twice (dcg's topk + the ideal
+    # re-rank), and Spark inlines CTEs, so the doclen/df/scored/window
+    # chain over the tf frame ran twice (ledger: 25 exchanges).  The
+    # ranking is ≤ |queries|·|matched docs| rows; both references are
+    # now reads of the small frame.
+    ranked_sql = f"""
+    WITH {_bm25_ranked_ctes("_mz_releval_tf")}
+    SELECT query_id, doc_id, n_terms_matched, rnk FROM ranked
+    """
     tail = f"""
-    WITH {_bm25_ranked_ctes("_mz_releval_tf")},
-    topk AS (
-      SELECT * FROM ranked WHERE rnk <= {BM25_TOPK}
+    WITH topk AS (
+      SELECT * FROM _mz_releval_ranked WHERE rnk <= {BM25_TOPK}
     ),
     dcg AS (
       SELECT query_id,
@@ -392,7 +401,7 @@ def _retrieval_eval_parts(d: str) -> tuple[list[tuple[str, str]], str]:
                PARTITION BY query_id
                ORDER BY n_terms_matched DESC, doc_id
              ) AS irnk
-      FROM ranked
+      FROM _mz_releval_ranked
     ),
     idcg AS (
       SELECT query_id,
@@ -416,7 +425,7 @@ def _retrieval_eval_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     FROM dcg d JOIN idcg i ON i.query_id = d.query_id
     ORDER BY d.query_id
     """
-    return [("_mz_releval_tf", tf_sql)], tail
+    return [("_mz_releval_tf", tf_sql), ("_mz_releval_ranked", ranked_sql)], tail
 
 
 def _rx_all(d: str, x: str, pat: str, rep: str) -> str:

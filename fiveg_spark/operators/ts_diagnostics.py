@@ -625,7 +625,7 @@ def _mw_parts(d: str) -> tuple[list[tuple[str, str]], str]:
 THEILSEN_MAX_LAG = 168  # pair horizon, hours (one week)
 
 
-def _theilsen_sql(d: str) -> str:
+def _theilsen_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # D36 — Theil-Sen robust trend per slice (Theil 1950; Sen 1968):
     # slope = median of pairwise slopes (v_j−v_i)/(t_j−t_i), the
     # 29%-breakdown-point complement to C44's least-squares trend —
@@ -643,11 +643,19 @@ def _theilsen_sql(d: str) -> str:
     # are their IEEE ratios; the median interpolates identically (pct
     # helper) and rounds before the intercept computation so both
     # engines subtract the same slope.
-    return f"""
-    {_hourly_cte(d)},
-    series AS (
+    # r13 opt: the per-slice hourly series is MATERIALIZED — the tail
+    # references it three times (both sides of the banded pair self-join
+    # + the intercept pass), and Spark inlines CTEs, so the fact scan +
+    # hourly rollup ran 3× (ledger: 3 file scans for a 1-table query).
+    # The series is |slices|·|hours| rows — calendar-bounded.
+    series_sql = f"""
+      {_hourly_cte(d)}
       SELECT slice, {epoch("h", d)} / 3600.0 AS th, throughput_bps AS v
       FROM hourly
+    """
+    tail = f"""
+    WITH series AS (
+      SELECT * FROM _mz_ts_series
     ),
     slopes AS (
       SELECT
@@ -675,6 +683,7 @@ def _theilsen_sql(d: str) -> str:
     GROUP BY f.slice, f.n_pairs, f.slope
     ORDER BY f.slice
     """
+    return [("_mz_ts_series", series_sql)], tail
 
 
 def _conformal_sql(d: str) -> str:
@@ -2161,7 +2170,7 @@ QUERIES = [
     # new r7, non-deferred
     materialized_backed("ks_two_sample", _ks_parts, ("events",)),
     materialized_backed("mann_whitney_shift", _mw_parts, ("events",)),
-    sql_backed("theilsen_trend", _theilsen_sql, ("events",)),
+    materialized_backed("theilsen_trend", _theilsen_parts, ("events",)),
     sql_backed("conformal_alpha_sweep", _conformal_sweep_sql, ("events",)),
     # new r7 (second wave), non-deferred
     sql_backed("iat_burstiness", _iat_burstiness_sql, ("events",)),

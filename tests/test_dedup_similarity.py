@@ -1440,7 +1440,8 @@ def test_resize_images_surface_decodes_and_downsamples(spark):
 def test_dup_spectrum_histogram_shares_and_slope(spark):
     import numpy as np
 
-    from fiveg_spark.operators.dedup import _dup_spectrum_sql
+    from fiveg_spark.operators.dedup import _dup_spectrum_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # 8 singletons, two pairs, one 4-cluster -> 16 docs
     rows, did = [], 0
@@ -1456,7 +1457,7 @@ def test_dup_spectrum_histogram_shares_and_slope(spark):
         rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
     ).createOrReplaceTempView("documents")
     got = {r["cluster_size"]: r.asDict()
-           for r in spark.sql(_dup_spectrum_sql("spark")).collect()}
+           for r in run_parts(spark, _dup_spectrum_parts).collect()}
 
     assert got[1]["n_clusters"] == 8 and got[1]["n_docs"] == 8
     assert got[2]["n_clusters"] == 2 and got[2]["n_docs"] == 4

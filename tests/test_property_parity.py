@@ -31,10 +31,7 @@ from fiveg_spark.operators.llm_curation import (
     _gopher_quality_sql,
     _mixture_weights_sql,
 )
-from fiveg_spark.operators.engagement_ext import (
-    _source_lang_mix_sql,
-    _token_case_profile_sql,
-)
+from fiveg_spark.operators.engagement_ext import _token_case_profile_sql
 from fiveg_spark.operators.lateness import _source_ingestion_burstiness_sql
 from fiveg_spark.operators.quality import _benford_digits_sql
 from fiveg_spark.operators.text import _text_normalize_sql, _text_quality_sql
@@ -59,9 +56,6 @@ _DOC_SQL = {
     "mixture_weights": _mixture_weights_sql,
     "domain_mixture_weights": _domain_reweight_sql,
     "text_normalize": _text_normalize_sql,
-    # dense source x lang spine: single-lang corpora pin every share
-    # at 1.0 and chi2 at 0; the nullif margins guard empty cells
-    "source_lang_mix": _source_lang_mix_sql,
     # alphabetic-token casing shares: the tiny-word corpus is all
     # lowercase, pinning lower_share at 1.0 and the rest at 0
     "doc_token_case_profile": _token_case_profile_sql,
@@ -113,11 +107,7 @@ def _more_doc_sql_fns():
         _token_counts_sql,
     )
     from fiveg_spark.operators.curation import _frontier_sql, _quality_trend_sql
-    from fiveg_spark.operators.dedup import (
-        _dup_spectrum_sql,
-        _line_dedup_sql,
-        _survivorship_sql,
-    )
+    from fiveg_spark.operators.dedup import _line_dedup_sql
     from fiveg_spark.operators.llm_curation import _pii_density_sql
     from fiveg_spark.operators.stats_assoc import _chunk_audit_sql
     from fiveg_spark.operators.text_stats import (
@@ -179,10 +169,6 @@ def _more_doc_sql_fns():
         # the greatest() guard, under-3-token docs the CASE 0 branch,
         # shingle-free sources the compression = 1.0 convention
         "token_fertility": _token_fertility_sql,
-        # histogram shares + log-log regression: duplicate-free tiny
-        # corpora give ONE spectrum point (k < 3 -> slope 0), whole-
-        # corpus clones give a single non-1 size class
-        "dup_cluster_spectrum": _dup_spectrum_sql,
         # removed-token ratio + ceil-block arithmetic: under-10-token
         # docs are a single short line (never a dedup candidate),
         # identical tiny docs exercise the (doc_id,pos) keeper packing
@@ -195,10 +181,6 @@ def _more_doc_sql_fns():
         # every doc frontier-eligible (no strictly-longer peer), ties
         # in rounded scores never dominate each other
         "quality_length_frontier": _frontier_sql,
-        # keeper-rule joins: duplicate-free corpora keep everything
-        # (rates 0), whole-corpus clones lose all but one doc with the
-        # cross-source split deciding where
-        "dedup_survivorship_by_source": _survivorship_sql,
         # per-1k nullif ratios: zero-token sources hit the NULL->0.0
         # convention, digit-free corpora pin densities at exact 0
         "pii_density_by_source": _pii_density_sql,
@@ -413,7 +395,6 @@ def _event_sql_fns():
         _anova_sql,
         _assoc_sql,
         _evt_tail_sql,
-        _jackknife_sql,
         _ols_trend_sql,
     )
     from fiveg_spark.operators.timeseries import (
@@ -431,7 +412,6 @@ def _event_sql_fns():
         _iat_burstiness_sql,
         _ljung_box_sql,
         _page_hinkley_sql,
-        _theilsen_sql,
         _welch_sql,
     )
     from fiveg_spark.operators.timeseries import (
@@ -469,7 +449,6 @@ def _event_sql_fns():
     )
     from fiveg_spark.operators.engagement_ext import (
         _drop_value_cost_sql,
-        _hour_entropy_by_band_sql,
         _ltv_by_acquisition_sql,
         _new_vs_returning_sql,
         _offpeak_contrast_sql,
@@ -611,9 +590,6 @@ def _event_sql_fns():
         "user_phase_value_shift": _phase_shift_sql,
         # first-day share: single-user streams pin the share at 1.0
         "daily_new_vs_returning": _new_vs_returning_sql,
-        # per-user hour entropy with percentile-bound bands: single-
-        # hour users have entropy exactly 0; ties cluster band bounds
-        "user_hour_entropy_by_band": _hour_entropy_by_band_sql,
         # net-flow asymmetry with nullif(n_ab + n_ba): self-loops are
         # excluded, single-type streams emit no pairs at all
         "type_transition_asymmetry": _transition_asymmetry_sql,
@@ -670,8 +646,6 @@ def _event_sql_fns():
         # midrank ECDF ratios + the n_train = 0 guard (series shorter
         # than the split floor leave the train era empty)
         "quantile_transform": _quantile_transform_sql,
-        # leave-one-out ratio arithmetic + single-block se degenerate
-        "jackknife_ratio_ci": _jackknife_sql,
 
         "acf_throughput": _acf_sql,
         "ols_trend_per_slice": _ols_trend_sql,
@@ -682,9 +656,6 @@ def _event_sql_fns():
         "feature_correlations": _feature_correlations_sql,
         # behavior block: tie-handling + window logic on tiny streams
         "transition_matrix": _transition_matrix_sql,
-        # pairwise-slope ratios on tied timestamps (1-row series ->
-        # zero pairs -> no fit row)
-        "theilsen_trend": _theilsen_sql,
         # (σ−μ)/(σ+μ) ratio with the σ+μ=0 guard (all-tied IATs) and
         # corr_safe over flow-lagged pairs
         "iat_burstiness": _iat_burstiness_sql,
@@ -843,12 +814,15 @@ def _doc_parts_fns():
     from fiveg_spark.operators.text_stats import _tfidf_source_signature_parts
     from fiveg_spark.operators.dedup import (
         _dup_pressure_parts,
+        _dup_spectrum_parts,
         _minhash_estimate_parts,
+        _survivorship_parts,
     )
     from fiveg_spark.operators.chunk_dedup import (
         _chunk_minhash_parts,
         _chunk_recall_parts,
     )
+    from fiveg_spark.operators.engagement_ext import _source_lang_mix_parts
     from fiveg_spark.operators.rollup_stats import _theta_overlap_parts
     from fiveg_spark.operators.text import _bm25_parts, _retrieval_eval_parts
     from fiveg_spark.operators.text_stats import (
@@ -880,6 +854,10 @@ def _doc_parts_fns():
         # share guard fires); all-same-docs put repeated_share at 1.0
         "ngram_position_bias": _ngram_position_parts,
         "ppl_buckets": _ppl_buckets_parts,
+        # dense source x lang spine: single-lang corpora pin every share
+        # at 1.0 and chi2 at 0; the nullif margins guard empty cells
+        # (r13: parts — spine derives from the materialized cells)
+        "source_lang_mix": _source_lang_mix_parts,
         "minhash_recall_vs_exact": _minhash_recall_parts,
         # est/exact/3-sigma tolerance math: duplicate-heavy tiny
         # corpora make every candidate exact-J 1.0 (est must agree),
@@ -916,6 +894,14 @@ def _doc_parts_fns():
         "quality_dup_calibration": _quality_dup_calibration_parts,
         # 2^rel gains + log2 discounts + idcg=0 guard on no-hit corpora
         "retrieval_eval_lexical": _retrieval_eval_parts,
+        # histogram shares + log-log regression: duplicate-free tiny
+        # corpora give ONE spectrum point (k < 3 -> slope 0), whole-
+        # corpus clones give a single non-1 size class (r13: parts)
+        "dup_cluster_spectrum": _dup_spectrum_parts,
+        # keeper-rule joins: duplicate-free corpora keep everything
+        # (rates 0), whole-corpus clones lose all but one doc with the
+        # cross-source split deciding where (r13: parts)
+        "dedup_survivorship_by_source": _survivorship_parts,
         # r13 chunk-grain minhash: sub-3-token chunks emit no shingles
         # (signature-less reps vanish), duplicate-heavy tiny corpora
         # collapse to ONE representative (no pairs -> empty census /
@@ -991,8 +977,13 @@ def _event_parts_fns():
     from fiveg_spark.operators.lateness import _lateness_profile_parts
     from fiveg_spark.operators.quality import _column_stat_drift_parts
     from fiveg_spark.operators.ts_advanced import _weekly_slice_corr_parts
+    from fiveg_spark.operators.engagement_ext import (
+        _hour_entropy_by_band_parts,
+    )
+    from fiveg_spark.operators.stats_assoc import _jackknife_parts
     from fiveg_spark.operators.ts_diagnostics import (
         _cvm_parts,
+        _theilsen_parts,
         _iat_exponential_fit_parts,
         _ks_parts,
         _mann_kendall_parts,
@@ -1078,6 +1069,17 @@ def _event_parts_fns():
         # fill-ratio ln() + modulo hashing on negative probe ids; tiny
         # streams keep every type under-filled
         "bloom_membership": _bloom_parts,
+        # per-user hour entropy with percentile-bound bands: single-
+        # hour users have entropy exactly 0; ties cluster band bounds
+        # (r13: parts — the (user, hour) cell frame materializes once)
+        "user_hour_entropy_by_band": _hour_entropy_by_band_parts,
+        # leave-one-out ratio arithmetic + single-block se degenerate
+        # (r13: parts — the daily partial frame materializes once)
+        "jackknife_ratio_ci": _jackknife_parts,
+        # pairwise-slope ratios on tied timestamps (1-row series ->
+        # zero pairs -> no fit row)
+        # (r13: parts — the hourly series materializes once)
+        "theilsen_trend": _theilsen_parts,
         # midrank tie arithmetic + the all-tied var_u = 0 -> z = 0 guard
         "mann_whitney_shift": _mw_parts,
         # GLOBAL midranks: all-tied hourly frames zero the tie

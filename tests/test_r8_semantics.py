@@ -125,7 +125,8 @@ def test_returnflag_shift_emits_vanished_flag_cells(spark):
 
 
 def test_survivorship_cross_source_attribution(spark):
-    from fiveg_spark.operators.dedup import _survivorship_sql
+    from fiveg_spark.operators.dedup import _survivorship_parts
+    from fiveg_spark.plans.registry import run_parts
 
     rows = [
         (0, "shared text body here", "s1", "en", 0),
@@ -136,7 +137,7 @@ def test_survivorship_cross_source_attribution(spark):
     rows = [(r[0], r[1], r[3], r[2], r[4]) for r in rows]
     _docs_view(spark, rows)
     got = {r["source"]: r.asDict()
-           for r in spark.sql(_survivorship_sql("spark")).collect()}
+           for r in run_parts(spark, _survivorship_parts).collect()}
     assert got["s1"]["n_removed"] == 0
     assert got["s2"]["n_removed"] == 1
     # the surviving copy lives in s1 -> s2's loss is CROSS-source

@@ -266,7 +266,8 @@ def test_entropy_rate_deterministic_vs_random_chains(spark):
 def test_theilsen_ignores_outliers_ols_cannot(spark):
     import datetime as dt
 
-    from fiveg_spark.operators.ts_diagnostics import _theilsen_sql
+    from fiveg_spark.operators.ts_diagnostics import _theilsen_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # clean linear trend of +3 per hour in value (x8 in throughput_bps,
     # the hourly rollup's unit), with two absurd outlier hours: the
@@ -279,7 +280,7 @@ def test_theilsen_ignores_outliers_ols_cannot(spark):
             v = 1e6
         rows.append((h, t0 + dt.timedelta(hours=h), "view", 0, v, "{}"))
     _events_from(spark, rows)
-    (r,) = spark.sql(_theilsen_sql("spark")).collect()
+    (r,) = run_parts(spark, _theilsen_parts).collect()
     assert abs(r["slope_per_hour"] - 24.0) < 0.05
     assert r["n_pairs"] == 72 * 71 // 2  # all pairs inside the 168h band
 

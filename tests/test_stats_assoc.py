@@ -288,7 +288,8 @@ def test_conformal_intervals_cover_on_stationary_series(spark):
 def test_jackknife_ratio_ci_covers_and_degenerates(spark):
     import datetime as dt
 
-    from fiveg_spark.operators.stats_assoc import _jackknife_sql
+    from fiveg_spark.operators.stats_assoc import _jackknife_parts
+    from fiveg_spark.plans.registry import run_parts
 
     # type A: 10 days with per-day means wobbling around 50 -> se > 0
     # and the CI brackets the pooled ratio; type B: single day -> no
@@ -311,7 +312,7 @@ def test_jackknife_ratio_ci_covers_and_degenerates(spark):
         " value DOUBLE, props STRING",
     ).createOrReplaceTempView("events")
     got = {r["event_type"]: r.asDict()
-           for r in spark.sql(_jackknife_sql("spark")).collect()}
+           for r in run_parts(spark, _jackknife_parts).collect()}
     a = got["A"]
     assert a["n_days"] == 10 and a["se_defined"]
     assert a["jk_se"] > 0
