@@ -254,17 +254,20 @@ def _mad_outliers_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # re-running the events scan + median join per reference.
     med_v = pct("value", 0.5, d)
     med_dev = pct("abs_dev", 0.5, d)
-    med_sql = f"""
-      SELECT event_type, round({med_v} + 1e-9, 4) + 0.0 AS m
-      FROM events GROUP BY event_type
-    """
-    devs_sql = """
+    # the per-type value median rides INSIDE the deviation job (r13
+    # fold: it has exactly one consumer, so an eager materialization
+    # paid a job + checkpoint for nothing)
+    devs_sql = f"""
+      WITH med AS (
+        SELECT event_type, round({med_v} + 1e-9, 4) + 0.0 AS m
+        FROM events GROUP BY event_type
+      )
       SELECT
         e.event_type,
         e.value,
         m.m,
         abs(e.value - m.m) AS abs_dev
-      FROM events e JOIN _mz_mad_med m ON e.event_type = m.event_type
+      FROM events e JOIN med m ON e.event_type = m.event_type
     """
     tail = f"""
     WITH mad AS (
@@ -280,7 +283,7 @@ def _mad_outliers_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     FROM _mz_mad_devs d JOIN mad md ON d.event_type = md.event_type
     GROUP BY d.event_type
     """
-    return [("_mz_mad_med", med_sql), ("_mz_mad_devs", devs_sql)], tail
+    return [("_mz_mad_devs", devs_sql)], tail
 
 
 def _percent_of_total_sql(d: str) -> str:

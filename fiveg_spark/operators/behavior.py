@@ -1124,7 +1124,12 @@ def _session_conversion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       FROM seq
       GROUP BY user_id, session_idx
     """
+    # the per-session frame has exactly one consumer (this rollup) so
+    # it rides lazily in the tail (r13 fold — no eager job for it)
     tail = f"""
+    WITH sess_conv AS (
+      {sess_sql}
+    )
     SELECT
       entry_type,
       CASE WHEN n_events = 1 THEN 'a_1'
@@ -1136,7 +1141,7 @@ def _session_conversion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
            "conversion_rate")},
       {dbl("avg(t_purchase - t_start)", "mean_s_to_purchase")},
       {dbl("avg(n_events)", "mean_session_events")}
-    FROM _mz_sess_conv
+    FROM sess_conv
     GROUP BY entry_type,
       CASE WHEN n_events = 1 THEN 'a_1'
            WHEN n_events <= 3 THEN 'b_2_3'
@@ -1144,7 +1149,7 @@ def _session_conversion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
            ELSE 'd_over_10' END
     ORDER BY entry_type, length_band
     """
-    return [("_mz_sess_conv", sess_sql)], tail
+    return [], tail
 
 
 def _second_session_latency_parts(d: str) -> tuple[list[tuple[str, str]], str]:
@@ -1228,7 +1233,8 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # the per-(user, b, l) margin c_bl is a window over the dense grid
     # instead of a groupBy + 3-way re-join (the r13 plan audit measured
     # the old tail at 24 Exchanges / 6 SortMergeJoins; this shape runs
-    # 3 materialize jobs instead of 5 and a ~6-Exchange tail).
+    # 2 materialize jobs instead of 5 — the dense grid itself is a pure
+    # chain consumed once, so it rides lazily in the tail).
     ep = epoch("ts", d)
     base_sql = f"""
       SELECT user_id, CAST(floor({ep} / 3600.0) AS BIGINT) AS hr,
@@ -1253,48 +1259,52 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       JOIN lab b ON b.hr = a.hr + 1
     """
     # the per-user dense cell grid (b=1 from observed counts, b=0 in
-    # closed form): materialized because the term/margin consumers read
-    # it — inlined, the users x census x c1 join chain re-ran per
-    # reference.  The b dimension comes from ONE 2-row cross join (the
-    # old UNION ALL duplicated the c1 LEFT JOIN), and the census totals
-    # + per-(user, b, l) margin are window sums computed here once.
-    dense_sql = """
-      WITH ce AS (
-        SELECT l, lp, count(*) AS big_n FROM _mz_ute_pairs GROUP BY l, lp
-      ),
-      cew AS (
-        SELECT l, lp, big_n,
-          sum(big_n) OVER (PARTITION BY l) AS n_l,
-          sum(big_n) OVER () AS n
-        FROM ce
-      ),
-      c1 AS (
-        SELECT u.user_id, p.l, p.lp, count(*) AS c
-        FROM _mz_ute_base u
-        JOIN _mz_ute_pairs p ON p.hr = u.hr
-        GROUP BY u.user_id, p.l, p.lp
-      ),
-      users AS (
-        SELECT DISTINCT user_id FROM _mz_ute_base
-      ),
-      grid AS (
-        SELECT
-          us.user_id, ce.l, ce.lp, bb.b,
-          CASE WHEN bb.b = 1 THEN coalesce(c1.c, 0)
-               ELSE ce.big_n - coalesce(c1.c, 0) END AS c,
-          ce.big_n, ce.n_l, ce.n
-        FROM users us
-        CROSS JOIN cew ce
-        CROSS JOIN (SELECT 1 AS b UNION ALL SELECT 0 AS b) bb
-        LEFT JOIN c1 ON c1.user_id = us.user_id
-                    AND c1.l = ce.l AND c1.lp = ce.lp
-      )
+    # closed form) rides IN the tail: every CTE below expands exactly
+    # once (users × census × c1 → grid → dense → terms is a pure
+    # chain), so an eager materialization of the 8·|users|-row frame
+    # bought one extra job + checkpoint for nothing (r13 fold; the
+    # OLD shape needed it because the term/margin consumers re-read
+    # it — the margin is a window sum now).  The b dimension comes
+    # from ONE 2-row cross join (the old UNION ALL duplicated the c1
+    # LEFT JOIN), and the census totals + per-(user, b, l) margin are
+    # window sums computed once.
+    tail = f"""
+    WITH ce_g AS (
+      SELECT l, lp, count(*) AS big_n FROM _mz_ute_pairs GROUP BY l, lp
+    ),
+    cew_g AS (
+      SELECT l, lp, big_n,
+        sum(big_n) OVER (PARTITION BY l) AS n_l,
+        sum(big_n) OVER () AS n
+      FROM ce_g
+    ),
+    c1 AS (
+      SELECT u.user_id, p.l, p.lp, count(*) AS c
+      FROM _mz_ute_base u
+      JOIN _mz_ute_pairs p ON p.hr = u.hr
+      GROUP BY u.user_id, p.l, p.lp
+    ),
+    users AS (
+      SELECT DISTINCT user_id FROM _mz_ute_base
+    ),
+    grid AS (
+      SELECT
+        us.user_id, ce.l, ce.lp, bb.b,
+        CASE WHEN bb.b = 1 THEN coalesce(c1.c, 0)
+             ELSE ce.big_n - coalesce(c1.c, 0) END AS c,
+        ce.big_n, ce.n_l, ce.n
+      FROM users us
+      CROSS JOIN cew_g ce
+      CROSS JOIN (SELECT 1 AS b UNION ALL SELECT 0 AS b) bb
+      LEFT JOIN c1 ON c1.user_id = us.user_id
+                  AND c1.l = ce.l AND c1.lp = ce.lp
+    ),
+    dense AS (
       SELECT user_id, l, lp, b, c, big_n, n_l, n,
         sum(c) OVER (PARTITION BY user_id, b, l) AS c_bl
       FROM grid
-    """
-    tail = f"""
-    WITH terms AS (
+    ),
+    terms AS (
       SELECT
         user_id,
         n,
@@ -1304,7 +1314,7 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
             / (big_n / CAST(n_l AS DOUBLE))
           )
         ELSE 0.0 END AS term
-      FROM _mz_ute_dense
+      FROM dense
     ),
     te AS (
       SELECT user_id, max(n) AS n, sum(term) AS te_bits
@@ -1342,7 +1352,6 @@ def _user_transfer_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     return [
         ("_mz_ute_base", base_sql),
         ("_mz_ute_pairs", pairs_sql),
-        ("_mz_ute_dense", dense_sql),
     ], tail
 
 

@@ -150,6 +150,19 @@ def _chunk_cand_sql(d: str, rel: str = "_mz_ckm_sigs") -> str:
     return f"WITH {_banding_pairs_from(d, rel)}"
 
 
+def _chunk_cand_from_reps_sql(d: str) -> str:
+    """Banding chain with the signature build riding INSIDE the job
+    (r13 fold): the Spark banding chain reads the signature frame
+    exactly once (one LATERAL VIEW unpivot), so a separate eager
+    signature materialization paid a job + checkpoint for nothing.
+    (DuckDB's 4-branch band UNION references `sigs` 4× — it
+    materializes CTEs, so oracle-side cost is irrelevant.)"""
+    return f"""WITH sigs AS (
+      {_chunk_sigs_sql(d, "_mz_ckm_reps")}
+    ),
+    {_banding_pairs_from(d, "sigs")}"""
+
+
 def _chunk_minhash_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # E136 — chunk-grain LSH candidate census: the banding chain from
     # dedup.py runs unchanged over chunk signatures; the tail censuses
@@ -251,8 +264,7 @@ def _chunk_recall_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     """
     return [
         ("_mz_ckm_reps", _rep_chunks_sql(d)),
-        ("_mz_ckm_sigs", _chunk_sigs_sql(d)),
-        ("_mz_ckm_cand", _chunk_cand_sql(d)),
+        ("_mz_ckm_cand", _chunk_cand_from_reps_sql(d)),
         ("_mz_ckm_exact", _chunk_exact_pairs_sql(d)),
     ], tail
 

@@ -51,28 +51,30 @@ def _l2sq(d: str, a: str, b: str) -> str:
     )
 
 
-def _ranked_pairs_part(d: str, prefix: str) -> tuple[str, str]:
-    """Materialized per-anchor neighbor ranks over the exact pair join
-    (rounded distance + vec_id tiebreak keeps the cut deterministic).
-    Both consumers (TwoNN needs rn <= 2, hubness rn <= HUB_K) read it;
-    inlined, Spark would re-run the O(n²) scoring per reference."""
+def _ranked_pairs_ctes(d: str) -> str:
+    """`scored AS (…), ranked AS (…)` WITH-chain fragment: per-anchor
+    neighbor ranks over the exact pair join (rounded distance + vec_id
+    tiebreak keeps the cut deterministic).  Each consumer query reads
+    `ranked` exactly ONCE, so it rides lazily in the consumer's tail
+    (r13 fold: the old per-query materialization checkpointed the
+    O(n²) frame for a single read; lazy, the `rn <= k` filter sits
+    next to the window and Spark's WindowGroupLimit prunes the rank)."""
     dist = _l2sq(d, "a.embedding", "b.embedding")
-    sql = f"""
-      WITH scored AS (
-        SELECT
-          a.vec_id AS anchor,
-          b.vec_id AS neighbor,
-          round({dist} + {NUDGE}, 4) + 0.0 AS d2
-        FROM embeddings a
-        JOIN embeddings b ON b.vec_id <> a.vec_id
-      )
+    return f"""scored AS (
+      SELECT
+        a.vec_id AS anchor,
+        b.vec_id AS neighbor,
+        round({dist} + {NUDGE}, 4) + 0.0 AS d2
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
       SELECT anchor, neighbor, d2,
         row_number() OVER (
           PARTITION BY anchor ORDER BY d2, neighbor
         ) AS rn
       FROM scored
-    """
-    return (f"_mz_{prefix}_ranked", sql)
+    )"""
 
 
 def _twonn_parts(d: str) -> tuple[list[tuple[str, str]], str]:
@@ -85,13 +87,13 @@ def _twonn_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # from the MLE and reported — their μ is infinite by construction.
     # μ uses the ROUNDED distance ratio, rounded again before ln
     # (round-before-log discipline).
-    parts = [_ranked_pairs_part(d, "nn2")]
     tail = f"""
-    WITH two AS (
+    WITH {_ranked_pairs_ctes(d)},
+    two AS (
       SELECT anchor,
         max(CASE WHEN rn = 1 THEN d2 ELSE NULL END) AS d1sq,
         max(CASE WHEN rn = 2 THEN d2 ELSE NULL END) AS d2sq
-      FROM _mz_nn2_ranked WHERE rn <= 2 GROUP BY anchor
+      FROM ranked WHERE rn <= 2 GROUP BY anchor
     ),
     mu AS (
       SELECT anchor,
@@ -123,7 +125,7 @@ def _twonn_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       {cnt(str(EMB_DIM), "ambient_dim")}
     FROM fit
     """
-    return parts, tail
+    return [], tail
 
 
 def _hubness_parts(d: str) -> tuple[list[tuple[str, str]], str]:
@@ -138,11 +140,11 @@ def _hubness_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     #
     # Every point keeps a row via the LEFT JOIN from the id frame —
     # anti-hubs are exactly the points the occurrence rollup misses.
-    parts = [_ranked_pairs_part(d, "hub")]
     tail = f"""
-    WITH occ AS (
+    WITH {_ranked_pairs_ctes(d)},
+    occ AS (
       SELECT neighbor, CAST(count(*) AS DOUBLE) AS nk
-      FROM _mz_hub_ranked WHERE rn <= {HUB_K}
+      FROM ranked WHERE rn <= {HUB_K}
       GROUP BY neighbor
     ),
     full_occ AS (
@@ -181,7 +183,7 @@ def _hubness_parts(d: str) -> tuple[list[tuple[str, str]], str]:
       {dbl("n_antihub / n", "antihub_share")}
     FROM stat
     """
-    return parts, tail
+    return [], tail
 
 
 def _jl_signs() -> list[list[float]]:
@@ -285,11 +287,11 @@ def _knn_confusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # label) cell, neighbor share within the anchor label + the lift
     # against the neighbor label's base rate (a cell can be large just
     # because the label is common; lift > 1 is real attraction).
-    parts = [_ranked_pairs_part(d, "cf")]
     tail = f"""
-    WITH topk AS (
+    WITH {_ranked_pairs_ctes(d)},
+    topk AS (
       SELECT r.anchor, r.neighbor
-      FROM _mz_cf_ranked r WHERE r.rn <= {HUB_K}
+      FROM ranked r WHERE r.rn <= {HUB_K}
     ),
     labeled AS (
       SELECT ea.label AS anchor_label, eb.label AS neighbor_label
@@ -322,7 +324,7 @@ def _knn_confusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     FROM margins
     ORDER BY anchor_label, neighbor_label
     """
-    return parts, tail
+    return [], tail
 
 
 QUERIES.append(

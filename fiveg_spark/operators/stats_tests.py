@@ -385,10 +385,17 @@ def _weibull_iat_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # without the textbook empirical-CDF rank window — the D24 scale
     # move: one hash-agg for the ladder, OLS on a ≤|types|·9 frame.
     #
-    # Both the IAT frame and the ladder materialize: the ladder is
-    # UNPIVOTED via 9 UNION ALL branches, which Spark would otherwise
-    # inline into 9 re-runs of the percentile aggregation.
-    iat_sql = f"""
+    # ONLY the ladder materializes: it is UNPIVOTED via 9 UNION ALL
+    # branches, which Spark would otherwise inline into 9 re-runs of
+    # the percentile aggregation.  The events-sized IAT frame has
+    # exactly one consumer (the ladder agg) so it rides INSIDE that
+    # job (r13 fold — the old shape checkpointed every IAT row for a
+    # single read).
+    quant_cols = ",\n        ".join(
+        f"{dbl(pct('iat', p, d), f'q{i}')}"
+        for i, p in enumerate(WEIBULL_LADDER, start=1)
+    )
+    quants_sql = f"""
       WITH seq AS (
         SELECT
           event_type,
@@ -397,19 +404,15 @@ def _weibull_iat_parts(d: str) -> tuple[list[tuple[str, str]], str]:
             PARTITION BY user_id, event_type ORDER BY ts, event_id
           ) AS prev_t
         FROM events
+      ),
+      iat AS (
+        SELECT event_type, t - prev_t AS iat
+        FROM seq
+        WHERE prev_t IS NOT NULL
       )
-      SELECT event_type, t - prev_t AS iat
-      FROM seq
-      WHERE prev_t IS NOT NULL
-    """
-    quant_cols = ",\n        ".join(
-        f"{dbl(pct('iat', p, d), f'q{i}')}"
-        for i, p in enumerate(WEIBULL_LADDER, start=1)
-    )
-    quants_sql = f"""
       SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
         {quant_cols}
-      FROM _mz_wb_iat
+      FROM iat
       GROUP BY event_type
     """
     branches = "\n      UNION ALL ".join(
@@ -455,7 +458,7 @@ def _weibull_iat_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     """
     # an all-tied type (every rung filtered) keeps its row with the
     # guard zeros instead of silently vanishing from the profile
-    return [("_mz_wb_iat", iat_sql), ("_mz_wb_quants", quants_sql)], tail
+    return [("_mz_wb_quants", quants_sql)], tail
 
 
 EULER_MASCHERONI = 0.5772156649015329
@@ -657,12 +660,17 @@ def _median_polish_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # both engines subtract identical doubles (reuse discipline).
     dow = f"((CAST(floor({epoch('h', d)} / 86400.0) AS BIGINT) + 3) % 7)"
     hr = "hour(h)"
-    cells_sql = f"""
-      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")}
-      SELECT slice, {dow} AS w, CAST({hr} AS BIGINT) AS hh,
-        round(avg(throughput_bps) + {NUDGE}, 4) + 0.0 AS v
-      FROM hourly
-      GROUP BY slice, {dow}, CAST({hr} AS BIGINT)
+    # the 7x24-per-slice cell grid has exactly one consumer (the
+    # polish chain below) so it rides INSIDE that job as a CTE (r13
+    # fold — a separate eager materialization paid a job for nothing)
+    cells_cte = f"""
+      WITH {_hourly_cte(d).lstrip().removeprefix("WITH ")},
+      cells AS (
+        SELECT slice, {dow} AS w, CAST({hr} AS BIGINT) AS hh,
+          round(avg(throughput_bps) + {NUDGE}, 4) + 0.0 AS v
+        FROM hourly
+        GROUP BY slice, {dow}, CAST({hr} AS BIGINT)
+      )
     """
     med = lambda x: f"round({pct(x, 0.5, d)} + {NUDGE}, 4) + 0.0"
     # r13 opt: the sweeps ride WINDOW medians layered over ONE pass of
@@ -680,6 +688,7 @@ def _median_polish_parts(d: str) -> tuple[list[tuple[str, str]], str]:
         f"round({pct(x, 0.5, d)} OVER (PARTITION BY {part}) + {NUDGE}, 4) + 0.0"
     )
     polished_sql = f"""
+      {cells_cte}
       SELECT slice, w, hh, g, e_r1, e_h1, e_r2, e_h2,
         round(abs(v3 - e_h2) + {NUDGE}, 4) + 0.0 AS absr
       FROM (
@@ -704,7 +713,7 @@ def _median_polish_parts(d: str) -> tuple[list[tuple[str, str]], str]:
                         round(v - g + {NUDGE}, 4) + 0.0 AS v0
                       FROM (
                         SELECT *, {medw("v", "slice")} AS g
-                        FROM _mz_mp_cells
+                        FROM cells
                       ) lg
                     ) lv0
                   ) lr1
@@ -733,8 +742,7 @@ def _median_polish_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     ) long_frame
     ORDER BY slice, component, idx
     """
-    return [("_mz_mp_cells", cells_sql),
-            ("_mz_mp_polished", polished_sql)], tail
+    return [("_mz_mp_polished", polished_sql)], tail
 
 
 def _perm_entropy_parts(d: str) -> tuple[list[tuple[str, str]], str]:

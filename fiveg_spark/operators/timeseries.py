@@ -896,14 +896,6 @@ def _retention_halflife_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     firsts_sql = """
     SELECT user_id, min(day) AS first_day FROM _mz_rh_activity GROUP BY user_id
     """
-    cohorts_sql = f"""
-    WITH gmax AS (SELECT max(day) AS max_day FROM _mz_rh_activity)
-    SELECT f.first_day,
-           count(*) AS cohort_size,
-           CAST(floor({obs} / 7.0) AS INT) AS max_week
-    FROM _mz_rh_firsts f CROSS JOIN gmax gm
-    GROUP BY f.first_day, CAST(floor({obs} / 7.0) AS INT)
-    """
     cells_sql = f"""
     WITH offsets AS (
       SELECT
@@ -915,14 +907,25 @@ def _retention_halflife_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     SELECT first_day, week_offset, count(DISTINCT user_id) AS active
     FROM offsets GROUP BY first_day, week_offset
     """
+    # the cohort lattice has exactly one consumer (pooled below) so it
+    # rides INSIDE the curve job as a CTE over the two materialized
+    # frames (r13 fold — no separate eager job for it)
     curve_sql = f"""
-    WITH pooled AS (
+    WITH gmax AS (SELECT max(day) AS max_day FROM _mz_rh_activity),
+    cohorts AS (
+      SELECT f.first_day,
+             count(*) AS cohort_size,
+             CAST(floor({obs} / 7.0) AS INT) AS max_week
+      FROM _mz_rh_firsts f CROSS JOIN gmax gm
+      GROUP BY f.first_day, CAST(floor({obs} / 7.0) AS INT)
+    ),
+    pooled AS (
       SELECT
         cs.max_week,
         w.week_offset,
         sum(cs.cohort_size) AS base,
         sum(coalesce(ce.active, 0)) AS active
-      FROM _mz_rh_cohorts cs
+      FROM cohorts cs
       JOIN (SELECT DISTINCT week_offset FROM _mz_rh_cells) w
         ON w.week_offset <= cs.max_week
       LEFT JOIN _mz_rh_cells ce
@@ -968,7 +971,6 @@ def _retention_halflife_parts(d: str) -> tuple[list[tuple[str, str]], str]:
         [
             ("_mz_rh_activity", activity_sql),
             ("_mz_rh_firsts", firsts_sql),
-            ("_mz_rh_cohorts", cohorts_sql),
             ("_mz_rh_cells", cells_sql),
             ("_mz_rh_curve", curve_sql),
         ],

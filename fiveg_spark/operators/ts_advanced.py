@@ -1998,21 +1998,25 @@ def _partial_corr_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # over mismatched supports is incoherent); the three corr_safe
     # aggregates reduce to ONE row, materialized, and the 3-branch
     # pair union reads that 1-row frame (inlined, Spark would re-run
-    # the pivot+corr per branch).  Raw correlations are rounded before
-    # the partial formula (round-before-reuse discipline).
-    hourly_sql = _slice_pivot_sql(d)
+    # the pivot+corr per branch).  The pivot itself has exactly one
+    # consumer (this corr agg) so it rides INSIDE the corr job (r13
+    # fold).  Raw correlations are rounded before the partial formula
+    # (round-before-reuse discipline).
     r = {}
     for a, b in (("embb", "urllc"), ("embb", "mmtc"), ("urllc", "mmtc")):
         r[(a, b)] = (
             f"round({corr_safe(f'v_{a}', f'v_{b}')} + {NUDGE}, 4) + 0.0"
         )
     corr_sql = f"""
+      WITH pc_pivot AS (
+        {_slice_pivot_sql(d)}
+      )
       SELECT
         CAST(count(*) AS BIGINT) AS n_hours,
         {r[("embb", "urllc")]} AS r_eu,
         {r[("embb", "mmtc")]} AS r_em,
         {r[("urllc", "mmtc")]} AS r_um
-      FROM _mz_pc_pivot
+      FROM pc_pivot
     """
 
     def branch(pair: str, rxy: str, rxz: str, ryz: str, ctrl: str) -> str:
@@ -2038,7 +2042,7 @@ def _partial_corr_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     UNION ALL {branch("URLLC~mMTC", "r_um", "r_eu", "r_em", "eMBB")}
     ORDER BY slice_pair
     """
-    return [("_mz_pc_pivot", hourly_sql), ("_mz_pc_corr", corr_sql)], tail
+    return [("_mz_pc_corr", corr_sql)], tail
 
 
 QUERIES.extend([

@@ -1384,16 +1384,13 @@ def _model_router_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # ROUNDED statistics against fixed critical points (identical
     # 4-dp doubles both engines; the D45/D42 parity discipline).
     #
-    # materialized_backed: the hourly frame feeds BOTH statistic
-    # families (lag chain + hour-of-day profile) — inlined, Spark
-    # would run the events scan + rollup twice.  Everything downstream
-    # of the one materialized rollup is per-slice windows on a tiny
-    # series frame.  Degenerate guards: n <= LB_LAGS+1 or zero
+    # The hourly rollup rides IN the tail (r13 fold): both statistic
+    # families (lag chain + hour-of-day profile) read it through the
+    # ONE `base` projection, so the chain is single-expansion and an
+    # eager materialization paid a job + checkpoint for nothing.
+    # Everything downstream of the rollup is per-slice windows on a
+    # tiny series frame.  Degenerate guards: n <= LB_LAGS+1 or zero
     # centered SS -> white -> 'mean'; zero total variance -> F_s = 0.
-    hourly_sql = f"""
-    {_hourly_cte(d)}
-    SELECT slice, h, throughput_bps AS v FROM hourly
-    """
     lags = ", ".join(
         f"lag(v, {k}) OVER (PARTITION BY slice ORDER BY h) AS v{k}"
         for k in range(1, LB_LAGS + 1)
@@ -1415,7 +1412,11 @@ def _model_router_parts(d: str) -> tuple[list[tuple[str, str]], str]:
         f"round(1.0 - var_resid / var_total + {NUDGE}, 4)) ELSE 0.0 END"
     )
     tail = f"""
-    WITH base AS (
+    {_hourly_cte(d)},
+    rh AS (
+      SELECT slice, h, throughput_bps AS v FROM hourly
+    ),
+    base AS (
       SELECT
         slice,
         h,
@@ -1425,7 +1426,7 @@ def _model_router_parts(d: str) -> tuple[list[tuple[str, str]], str]:
         round(avg(v) OVER (PARTITION BY slice, hour(h)) + {NUDGE}, 4)
           + 0.0 AS seas,
         {lags}
-      FROM _mz_router_hourly
+      FROM rh
     ),
     withr AS (
       SELECT *, round(v - seas, 4) AS r FROM base
@@ -1464,7 +1465,7 @@ def _model_router_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     FROM scored
     ORDER BY slice
     """
-    return [("_mz_router_hourly", hourly_sql)], tail
+    return [], tail
 
 
 def _poisson_dispersion_sql(d: str) -> str:
