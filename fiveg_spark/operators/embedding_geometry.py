@@ -283,21 +283,40 @@ def _knn_confusion_parts(d: str) -> tuple[list[tuple[str, str]], str]:
     # bleed?  E47's knn_label_consistency reports per-label purity (a
     # diagonal-only readout); retrieval/labeling debugging needs the
     # off-diagonal structure — which label pairs actually confuse.
-    # From the shared top-k rank frame: per (anchor label, neighbor
-    # label) cell, neighbor share within the anchor label + the lift
-    # against the neighbor label's base rate (a cell can be large just
-    # because the label is common; lift > 1 is real attraction).
+    # From the top-k rank frame: per (anchor label, neighbor label)
+    # cell, neighbor share within the anchor label + the lift against
+    # the neighbor label's base rate (a cell can be large just because
+    # the label is common; lift > 1 is real attraction).
+    #
+    # The labels ride THROUGH the O(n²) self-join (vec_id is unique, so
+    # selecting a.label/b.label here is row-identical to the old
+    # join-back of topk against embeddings twice) — that keeps the
+    # query at the self-join's 2 scans instead of 4 and drops both
+    # label joins.  Same rank window as _ranked_pairs_ctes: rounded
+    # distance + vec_id tiebreak, rn <= k next to the window so
+    # WindowGroupLimit prunes the per-anchor sort.
+    dist = _l2sq(d, "a.embedding", "b.embedding")
     tail = f"""
-    WITH {_ranked_pairs_ctes(d)},
-    topk AS (
-      SELECT r.anchor, r.neighbor
-      FROM ranked r WHERE r.rn <= {HUB_K}
+    WITH scored AS (
+      SELECT
+        a.label AS anchor_label,
+        b.label AS neighbor_label,
+        a.vec_id AS anchor,
+        b.vec_id AS neighbor,
+        round({dist} + {NUDGE}, 4) + 0.0 AS d2
+      FROM embeddings a
+      JOIN embeddings b ON b.vec_id <> a.vec_id
+    ),
+    ranked AS (
+      SELECT anchor_label, neighbor_label,
+        row_number() OVER (
+          PARTITION BY anchor ORDER BY d2, neighbor
+        ) AS rn
+      FROM scored
     ),
     labeled AS (
-      SELECT ea.label AS anchor_label, eb.label AS neighbor_label
-      FROM topk t
-      JOIN embeddings ea ON ea.vec_id = t.anchor
-      JOIN embeddings eb ON eb.vec_id = t.neighbor
+      SELECT anchor_label, neighbor_label
+      FROM ranked WHERE rn <= {HUB_K}
     ),
     cells AS (
       SELECT anchor_label, neighbor_label, count(*) AS n
