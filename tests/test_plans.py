@@ -387,15 +387,24 @@ def test_r7_deferred_plan_shapes(spark):
     parts after measuring 3 inlined events scans).  var_order_cert is
     a driver-side Gram solve (its design persist is pinned by the
     certify tests) and embedding_anisotropy's applyInPandas-free tail
-    is covered below.  All zero-Python."""
-    for name in ("calendar_outlier_days", "session_stats", "diebold_mariano"):
+    is covered below.  All zero-Python.
+
+    model_router moved groups in r13: its hourly rollup had exactly
+    one consumer, so the eager materialization was folded into the
+    tail (one job, one events scan) — the single-scan pin now
+    documents that shape."""
+    for name in (
+        "calendar_outlier_days",
+        "session_stats",
+        "diebold_mariano",
+        "model_router",
+    ):
         facts = plan_facts(QUERIES[name](spark, SF_DIR), execute=True)
         assert facts.n_scans == 1, f"{name}: {facts.n_scans} scans"
         assert facts.python_ops == 0, name
 
     for name in (
         "trending_types",
-        "model_router",
         "mann_kendall_trend",
         "oov_rate",
         "embedding_anisotropy",
