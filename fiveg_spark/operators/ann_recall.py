@@ -63,8 +63,14 @@ def _exact_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _recall_row(spark: SparkSession, sf_dir: str, name: str, fn, exact: DataFrame) -> DataFrame:
     """One certification row for one ANN method: recall of its top-k id
-    set vs the exact brute-force set (broadcast: k rows)."""
-    approx = fn(spark, sf_dir).select("vec_id")
+    set vs the exact brute-force set (broadcast: k rows).
+
+    ``approx`` is localCheckpoint'd: it is a K-row id frame referenced
+    twice (n_returned agg + hits join) whose subtree is the method's
+    whole ANN pipeline — without the checkpoint Spark re-inlines the
+    pipeline per reference and the embeddings table is scanned twice
+    per method (r14, verdict item 8)."""
+    approx = fn(spark, sf_dir).select("vec_id").localCheckpoint()
     hits = approx.join(F.broadcast(exact), "vec_id")
     return (
         approx.agg(
@@ -83,7 +89,9 @@ def _recall_row(spark: SparkSession, sf_dir: str, name: str, fn, exact: DataFram
 
 
 def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = _exact_topk_ids(spark, sf_dir)
+    # K-row frame read by all 4 method rows; checkpointed so the exact
+    # brute-force knn subtree runs once, not once per broadcast (r14)
+    exact = _exact_topk_ids(spark, sf_dir).localCheckpoint()
     summaries = [
         _recall_row(spark, sf_dir, name, fn, exact)
         for name, fn in _methods().items()
@@ -96,6 +104,8 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _method_query(method: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # exact is consumed ONCE here (single broadcast) — no
+        # checkpoint, per the r13 single-consumer fold rule
         exact = _exact_topk_ids(spark, sf_dir)
         return _recall_row(spark, sf_dir, method, _methods()[method], exact)
 

@@ -1167,8 +1167,18 @@ QUERIES = [
         "incremental_minhash_pairs", _incremental_minhash_sql, ("documents",),
     ),
     # registered mid-round 6: sorts behind the frozen window
+    # mode="inline": the positions part is an EXPLODED frame (one row
+    # per token, span strings attached — several times the corpus
+    # bytes) referenced exactly twice; materializing it writes more
+    # bytes than re-running the two document scans, and the r14
+    # interleaved A/B measured the inline execution repeatably faster
+    # (0.61-1.17 s checkpoint → 0.39-0.92 s across four sessions, 7-rep
+    # medians 0.671 vs 0.474).  Guide §2.3: when the derived frame is
+    # larger than its input, a second pushed-down columnar scan beats
+    # materializing the explode.  (see registry.parts_mode)
     materialized_backed(
         "substring_dedup", _substring_dedup_parts, ("documents",),
+        mode="inline",
     ),
     materialized_backed(
         "minhash_recall_vs_exact", _minhash_recall_parts, ("documents",),

@@ -112,6 +112,22 @@ def _cnt(expr: str, alias: str) -> str:
     return f"CAST({expr} AS BIGINT) AS {alias}"
 
 
+def _distinct_cnt(col: str, alias: str, dialect: str) -> str:
+    """Exact distinct count.  Spark plans multiple count(DISTINCT x)
+    aggregates via an Expand that replicates every input row once per
+    distinct column (+1 for the plain aggregates) — a 5x row blow-up
+    through the first aggregate at 100 TB (r13 verdict item 6).
+    size(collect_set(x)) computes the same exact count in ONE pass with
+    map-side partial sets and no Expand: collect_set drops NULLs and
+    dedups exactly like count(DISTINCT), and size() of the merged set
+    is the same integer on every engine run (set order never matters).
+    DuckDB keeps the literal count(DISTINCT) — same value, and the
+    oracle text stays the obvious spelling."""
+    if dialect == "spark":
+        return _cnt(f"size(collect_set({col}))", alias)
+    return _cnt(f"count(DISTINCT {col})", alias)
+
+
 def kpi_aggregates(
     idle_threshold: float = IDLE_THRESHOLD_S,
     small_pkt: float = SMALL_PKT,
@@ -147,7 +163,7 @@ def kpi_aggregates(
         _dbl(pop_kurtosis_sql("pkt_len"), "Pkt_Size_Kurtosis"),
         _dbl("min(pkt_len)", "Min_Pkt_Size"),
         _dbl("max(pkt_len)", "Max_Pkt_Size"),
-        _cnt("count(DISTINCT pkt_len)", "Unique_Pkt_Sizes"),
+        _distinct_cnt("pkt_len", "Unique_Pkt_Sizes", dialect),
         _dbl(
             f"sum(CASE WHEN pkt_len < {small_pkt} THEN 1 ELSE 0 END) / count(*)",
             "Small_Pkt_Ratio",
@@ -159,8 +175,8 @@ def kpi_aggregates(
         # ---- Protocol (4) ----
         _dbl("sum(CASE WHEN protocol = 'TCP' THEN 1 ELSE 0 END) / count(*)", "TCP_Ratio"),
         _dbl("sum(CASE WHEN protocol = 'UDP' THEN 1 ELSE 0 END) / count(*)", "UDP_Ratio"),
-        _cnt("count(DISTINCT protocol)", "Protocol_Diversity"),
-        _cnt("count(DISTINCT src_port)", "Unique_Src_Ports"),
+        _distinct_cnt("protocol", "Protocol_Diversity", dialect),
+        _distinct_cnt("src_port", "Unique_Src_Ports", dialect),
         # ---- TCP health (6) ----
         _dbl("avg(win_size)", "Avg_Win_Size"),
         _dbl("stddev_samp(win_size)", "Win_Size_StdDev"),
@@ -170,7 +186,7 @@ def kpi_aggregates(
         # RST flag = bit 2 (0x04), ref KafkaKpiPipeline.scala:158
         _cnt("sum(CASE WHEN tcp_flags % 8 >= 4 THEN 1 ELSE 0 END)", "RST_Count"),
         # ---- Flow (2) ----
-        _cnt("count(DISTINCT dst_port)", "Unique_Dst_Ports"),
+        _distinct_cnt("dst_port", "Unique_Dst_Ports", dialect),
         _dbl(f"stddev_samp(pkt_len) / (avg(pkt_len) + {EPS})", "Coeff_Variation_Size"),
     ]
 

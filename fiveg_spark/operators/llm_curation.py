@@ -32,7 +32,7 @@ broadcast; at 100 TB the corpus side stays map-local.
 from __future__ import annotations
 
 from fiveg_spark.operators.text import _marker_count, _tok
-from fiveg_spark.plans.registry import NUDGE, arr_len, cnt, dbl, materialized_backed, pct, split_ws, sql_backed
+from fiveg_spark.plans.registry import NUDGE, arr_len, cnt, dbl, distinct_cnt, materialized_backed, pct, split_ws, sql_backed
 
 BOILERPLATE_DF = 5  # 3-gram in >= this many docs = boilerplate
 
@@ -1135,10 +1135,10 @@ def _cross_lang_dup_sql(d: str) -> str:
     per_hash AS (
       SELECT h,
         count(*) AS n_docs,
-        count(DISTINCT lang) AS n_langs,
+        {distinct_cnt("lang", d)} AS n_langs,
         min(lang) AS lang_a,
         max(lang) AS lang_b,
-        count(DISTINCT source) AS n_sources
+        {distinct_cnt("source", d)} AS n_sources
       FROM hashed
       GROUP BY h
     )

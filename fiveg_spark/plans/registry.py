@@ -10,11 +10,13 @@ Sharing the text makes oracle parity structural instead of aspirational.
 
 from __future__ import annotations
 
+import os
 import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from fiveg_spark.sources.tables import load_table
 
@@ -72,13 +74,84 @@ def sql_backed(
     return Query(name=name, run=run, oracle=sql_fn("duckdb"), deferred=deferred)
 
 
-def run_parts(spark: SparkSession, parts_fn) -> DataFrame:
+# session → {rel: persisted part frame} for the MOST RECENT run_parts
+# call (persist mode).  Unpersisting every live part before each call
+# guarantees a re-run recomputes from the parquet inputs — the cache
+# only ever shares work WITHIN one query execution (the ≥2-consumer
+# rule), never across bench iterations or across queries.  Weak keys:
+# a stopped/GC'd session drops its entries.
+_LIVE_PARTS: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def parts_mode() -> str:
+    """Part execution mode (env-switchable so modes can be interleaved
+    for A/B in one session):
+    'checkpoint' (default): eager localCheckpoint per part — computes
+      the part to completion before the tail plans, so tail references
+      can never recompute it.
+    'persist': LAZY persist (MEMORY_AND_DISK) — no separate job
+      barrier, the tail's first job populates the cache.  Measured
+      SLOWER on multi-reference parts (concurrent tail stages race to
+      build the cache and recompute the part subtree, ute 1.0→3.0 s);
+      kept for the A/B record.
+    'persist_eager': persist + a count() trigger — job barrier kept,
+      but the tail reads columnar cached batches instead of the
+      checkpoint's row RDD.
+
+    'inline': no materialization at all — plain temp views, the tail
+      re-inlines the part subtree per reference.
+
+    The r14 interleaved A/B (tools/ab_parts.py + ad-hoc 3-mode runs,
+    5-7 reps x 4 sessions, sf0.1/local[32]) settled the default:
+    'checkpoint' stays.  Lazy persist LOSES on multi-reference parts
+    (user_transfer_entropy 0.8 → 2.4-3.0 s, vocab_jaccard_matrix
+    0.4 → 0.7-0.8 s) and persist_eager loses everywhere it differs.
+    A structural caveat explains part of it: CacheManager plan
+    substitution never fires for a part whose SQL opens with its own
+    WITH chain (the view-embedded copy renumbers CTERelationDef ids, so
+    the canonicalized plans don't match) — for those parts 'persist'
+    degenerates to 'inline' plus an unused cache entry.  A query opts
+    into 'inline' via materialized_backed(mode=...) only on a
+    repeatable measured win where the re-inlined shape is ALSO the
+    scale-correct one (substring_dedup: exploded part bigger than its
+    input, 2 references — 7-rep medians 0.671 checkpoint / 0.489
+    persist / 0.474 inline)."""
+    return os.environ.get("SPARK_GRAFT_PARTS", "")
+
+
+def run_parts(spark: SparkSession, parts_fn, default_mode: str = "checkpoint") -> DataFrame:
     """Execute a materialized_backed parts query against whatever views
     are currently registered (tests point the base tables at synthetic
     frames first)."""
     ctes, tail = parts_fn("spark")
+    # drop any still-persisted parts from the previous run_parts call
+    # FIRST, in both modes: a re-run (bench rep, A/B arm) must recompute
+    # from the inputs, never read a cache the prior call left behind
+    live = _LIVE_PARTS.setdefault(spark, {})
+    for prev in live.values():
+        prev.unpersist()
+    live.clear()
+    mode = parts_mode() or default_mode
+    if not ctes or mode == "checkpoint":
+        for rel, sql in ctes:
+            spark.sql(sql).localCheckpoint().createOrReplaceTempView(rel)
+        return spark.sql(tail)
+    if mode == "inline":
+        # plain temp views: the tail re-inlines the part subtree per
+        # reference.  Cheaper than any materialization when the part is
+        # small and referenced exactly twice in one stage chain.
+        for rel, sql in ctes:
+            spark.sql(sql).createOrReplaceTempView(rel)
+        return spark.sql(tail)
+    eager = mode == "persist_eager"
     for rel, sql in ctes:
-        spark.sql(sql).localCheckpoint().createOrReplaceTempView(rel)
+        df = spark.sql(sql).persist(StorageLevel.MEMORY_AND_DISK)
+        if eager:
+            df.count()  # populate the cache before the tail plans
+        df.createOrReplaceTempView(rel)
+        live[rel] = df
     return spark.sql(tail)
 
 
@@ -87,6 +160,7 @@ def materialized_backed(
     parts_fn: Callable[[str], tuple[list[tuple[str, str]], str]],
     tables: tuple[str, ...],
     deferred: bool = False,
+    mode: str = "checkpoint",
 ) -> Query:
     """sql_backed variant for queries whose tail references a derived
     frame 3+ times.  Spark inlines CTEs, so a shared WITH body re-runs
@@ -103,7 +177,7 @@ def materialized_backed(
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_views(spark, tables, sf_dir)
-        return run_parts(spark, parts_fn)
+        return run_parts(spark, parts_fn, default_mode=mode)
 
     ctes, tail = parts_fn("duckdb")
     if not ctes:
@@ -133,6 +207,26 @@ def dbl(expr: str, alias: str) -> str:
 
 def cnt(expr: str, alias: str) -> str:
     return f"CAST({expr} AS BIGINT) AS {alias}"
+
+
+def distinct_cnt(expr: str, dialect: str) -> str:
+    """Exact distinct count, Expand-free on Spark.  Two or more
+    count(DISTINCT ...) aggregates in one SELECT make Spark Expand the
+    input N+1 ways (every row replicated per distinct column) before
+    the first partial aggregate — at 100 TB that multiplies the rows
+    entering the aggregation by the distinct-column count.
+    size(collect_set(x)) computes the same integer (collect_set drops
+    NULLs and dedups exactly like count(DISTINCT); set order never
+    reaches the result) in ONE pass with map-side partial sets.
+
+    ONLY for bounded-cardinality distinct sets (languages, sources,
+    protocols, ports): collect_set holds each group's set in a single
+    aggregation buffer, so an unbounded distinct (user_id, content
+    hash) must keep the count(DISTINCT) spelling, whose Expand +
+    partial-dedup distributes the set across partitions."""
+    if dialect == "spark":
+        return f"size(collect_set({expr}))"
+    return f"count(DISTINCT {expr})"
 
 
 def corr_safe(x: str, y: str) -> str:

@@ -73,7 +73,24 @@ def main(out_dir: str) -> None:
         "source": pa.array(out["source"], pa.string()),
         "n_chars": pa.array(out["n_chars"], pa.int64()),
     })
-    pq.write_table(table, os.path.join(out_dir, "documents.parquet"))
+    # 16 part files under a documents.parquet DIRECTORY (Spark reads it
+    # like a table path): a single ~6 MB file packs into 1-2 scan
+    # partitions (maxSplitBytes floors at openCostInBytes), serializing
+    # every sf1 scan that lacks an explicit repartition — 16 files give
+    # the scan 16 tasks, the honest input spread for a scaling bench
+    # (guide §2.5 input skew / §6 small-file packing arithmetic).
+    doc_dir = os.path.join(out_dir, "documents.parquet")
+    if os.path.isfile(doc_dir):
+        os.remove(doc_dir)  # pre-r14 single-file layout
+    os.makedirs(doc_dir, exist_ok=True)
+    n_rows = table.num_rows
+    n_shards = 16
+    per = (n_rows + n_shards - 1) // n_shards
+    for i in range(n_shards):
+        pq.write_table(
+            table.slice(i * per, per),
+            os.path.join(doc_dir, f"part-{i:05d}.parquet"),
+        )
     for name in os.listdir(SRC):
         if name != "documents.parquet" and name.endswith(".parquet"):
             dst = os.path.join(out_dir, name)
