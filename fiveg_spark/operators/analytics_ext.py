@@ -125,6 +125,13 @@ def _zscore_sql(d: str) -> str:
     # from Σx, Σx² (explicit formula — engine-identical, see §4 rules);
     # the |z|>2 filter runs on the ROUNDED z so both engines apply an
     # identical predicate to an identical value.
+    #
+    # r14 two-pass A/B (10x events, noop sink, interleaved 5 reps,
+    # local[32]): this scan-twice shape 0.618 s vs a window-over-daily
+    # variant 0.640 s (results proven frame-equal) — flat, because the
+    # daily reduce is cheap next to the scan; the shape is kept as the
+    # certified text (the window variant's one saved reduce pass is
+    # real at 100 TB but unresolvable above this box's noise floor).
     # n = 1 guard: (n - 1) = 0 divides by zero under ANSI; a single
     # observation has z = 0 by definition (v = mean), so the CASE keeps
     # the expression total without changing any multi-row result
@@ -215,6 +222,18 @@ def _winsorized_stats_sql(d: str) -> str:
     # aggregate the clipped values — the robust-stats companion to the
     # trimmed z-score pass.  Percentiles are rounded before clipping so
     # both engines clip identical doubles.
+    #
+    # r14 two-pass A/B (10x events, noop sink, interleaved 5 reps,
+    # local[32]): scan-twice 1.219 s vs a percentile-window variant
+    # 0.843 s (frame-equal results).  The window variant measured
+    # FASTER here and was still REJECTED: it shuffles the whole fact
+    # table into |event_type| (~5) window partitions — at 100 TB that
+    # serializes the corpus through a handful of tasks (guide §2.5
+    # skew), exactly the local[32]-only win the round rules exclude.
+    # The two-scan shape keeps the fact table un-shuffled: pass 1
+    # reduces to a |types|-row bounds frame, pass 2 re-scans with the
+    # bounds broadcast (§2.3 — shuffle bytes, not scans, are the
+    # scarce resource).
     p05 = pct("value", 0.05, d)
     p95 = pct("value", 0.95, d)
     return f"""
