@@ -3,6 +3,8 @@ on the engine's own contract queries (which are kept clean)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 import tests.conftest as c
@@ -116,6 +118,7 @@ POST_AGG_GLOBAL_WINDOWS = frozenset({
 })
 
 
+@pytest.mark.slow  # all-490-query advisor sweep (~3 min) — default run excludes it (r14, driver budget)
 def test_advisor_sweep_no_errors_no_triple_scans(spark):
     """Structural gate over the whole contract surface: no query plan
     may carry an ERROR-level advisor finding (CartesianProduct,

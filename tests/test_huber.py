@@ -3,6 +3,8 @@ planted outliers must bend OLS but barely move the Huber fit."""
 
 from __future__ import annotations
 
+import pytest
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -56,6 +58,7 @@ def test_huber_resists_planted_outliers(spark):
     assert abs(hub[0]) < 0.3
 
 
+@pytest.mark.slow  # long IRLS fit (~36 s) — default run excludes it (r14, driver budget)
 def test_quantile_fit_recovers_empirical_quantile(spark):
     """Intercept-only design: the pinball minimizer IS the empirical
     tau-quantile.  The distributed IRLS must land on it (within the

@@ -18,6 +18,12 @@ from tests.conftest import SF_DIR
 QUERIES = contract.queries()
 ORACLES = contract.oracle_sql()
 
+# slow layer (r14): this file re-runs the driver's own DuckDB
+# certification over the whole contract (~7 min) — excluded from the
+# default driver-budget run; `tools/drive_contract.py` and the driver
+# itself cover the same ground.  Full run: -m 'slow or not slow'.
+pytestmark = pytest.mark.slow
+
 
 def _norm(v):
     """Normalize a cell so Spark and DuckDB renderings compare equal."""

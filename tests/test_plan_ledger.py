@@ -9,6 +9,8 @@ severity ordering.
 
 from __future__ import annotations
 
+import pytest
+
 import tests.conftest as c
 from fiveg_spark.plans.plan_ledger import (
     diff_ledgers,
@@ -235,6 +237,7 @@ def test_recursive_plan_fingerprint_stable(spark):
     assert not f1["has_cartesian"]
 
 
+@pytest.mark.slow  # double whole-contract ledger pass (~1.7 min) — default run excludes it (r14, driver budget)
 def test_fingerprint_survives_expression_id_churn(spark):
     """The r13 q2/q3 incident: FileScan metadata truncates at a
     CHARACTER budget, so wider expression ids (#45678 after session

@@ -54,6 +54,7 @@ def test_events_scan_prunes_props_when_unused(spark):
     assert "props" not in schemas, f"props not pruned: {schemas}"
 
 
+@pytest.mark.slow  # all-490-query plan sweep (~4.4 min) — default run excludes it (r14, driver budget)
 def test_no_cartesian_product_anywhere(spark):
     """Sweeping invariant: NO contract query may plan a CartesianProduct.
     (BroadcastNestedLoopJoin is acceptable — interval joins use it with a
@@ -414,6 +415,7 @@ def test_r7_deferred_plan_shapes(spark):
         assert facts.python_ops == 0, name
 
 
+@pytest.mark.slow  # writes hundreds of small files (~37 s) — default run excludes it (r14, driver budget)
 def test_table_health_flags_small_file_sprawl(spark, tmp_path):
     from fiveg_spark.plans.table_health import audit_table
 

@@ -14,6 +14,12 @@ from __future__ import annotations
 import duckdb
 import pandas as pd
 import pytest
+
+# slow layer (r14): the hypothesis fuzz gate is the heaviest file in the
+# suite (~11 min) — excluded from the default driver-budget run, run in
+# full locally with -m 'slow or not slow'.
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -75,6 +75,7 @@ def test_fit_reduces_loss_on_learnable_signal():
     assert losses[-1] == min(losses) or losses[-1] < 1.05 * min(losses)
 
 
+@pytest.mark.slow  # full hybrid train+eval (~1 min) — default run excludes it (r14, driver budget)
 def test_hybrid_train_eval_beats_var_only(spark):
     from fiveg_spark.ml.train import hybrid_train_eval
     from tests.conftest import SF_DIR
