@@ -152,7 +152,9 @@ def main() -> None:
         timings[name] = best
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
-    scale_line = _bench_scale_subset(spark, queries)
+    # sf1 subset only alongside the real (sf>=0.1) headline run — a
+    # smoke bench at sf0.001/sf0.01 should stay a smoke bench
+    scale_line = _bench_scale_subset(spark, queries) if sf >= 0.1 else None
     if scale_line is not None:
         print(json.dumps(scale_line))
 
